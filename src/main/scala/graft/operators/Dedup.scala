@@ -1,0 +1,189 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import TextOps.{charHashExpr, permHashExpr, PermP}
+
+/** Deduplication operators for the LLM-data-pipeline surface.
+  *
+  * The reference's only identity notion is the sequential ES DocumentID
+  * (`api/controllers/elastic_controller.go:204`) — re-indexing the same
+  * query overwrites docs 1..N, i.e. dedup-by-position. These operators
+  * give content-based identity at corpus scale:
+  *
+  *  - exact:      hash-groupBy on the full text (one shuffle on a short
+  *                digest, never on the text itself);
+  *  - MinHash+LSH: shingle → k-minhash signature → banded bucket join —
+  *                candidate generation touches only docs sharing a band
+  *                bucket, so the join is |buckets|-local instead of
+  *                all-pairs (the only formulation that survives 100 TB);
+  *  - SimHash:    64-bit signed-projection signature, banded on 16-bit
+  *                chunks (any pair within Hamming distance 3 shares at
+  *                least one of 4 exact chunks — pigeonhole);
+  *  - n-gram Jaccard: exact set similarity via an inverted-index join
+  *                (the verification path; also usable standalone at
+  *                moderate scale).
+  *
+  * All signatures use the portable arithmetic hash from [[TextOps]] so a
+  * DuckDB oracle reproduces them exactly; swap `xxhash64` in via the same
+  * expressions for production (cheaper, not SQL-portable).
+  */
+object Dedup {
+
+  /** Exact dedup: per-document keep/drop decision + duplicate-group size.
+    * Shuffles on `md5(text)` (16-byte key), not the document body; the
+    * canonical survivor is the minimum doc_id of the group.
+    */
+  def exactDedup(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(md5(col("text")))
+    docs
+      .withColumn("group_size", count(lit(1)).over(w))
+      .withColumn("keep_id", min(col("doc_id")).over(w))
+      .withColumn("is_dup", col("doc_id") =!= col("keep_id"))
+  }
+
+  /** MinHash signatures: `sig[i] = min over shingles of hash_i(shingle)`,
+    * i < k. Input df must have `doc_id` and `shingles` (see
+    * [[TextOps.withShingles]]). One pass, no shuffle, codegen'd.
+    */
+  def minhashSignatures(docs: DataFrame, k: Int = 64): DataFrame =
+    docs
+      .withColumn("sh_hashes",
+        expr(s"transform(shingles, s -> ${charHashExpr("s")})"))
+      // Docs with no shingles (< n tokens) get an empty signature — they
+      // cannot participate in set similarity. (An unguarded array_min
+      // over an empty array would yield null sig elements, and every
+      // such doc would then collide on the same all-null band key.)
+      .withColumn("sig", expr(
+        s"if(size(shingles) > 0, transform(sequence(0, ${k - 1}), i -> " +
+          s"array_min(transform(sh_hashes, v -> ${permHashExpr("v", "i")}))), " +
+          "array())"))
+
+  /** LSH candidate pairs from banded minhash signatures: docs sharing any
+    * (band_id, band_signature) bucket. For b bands of r rows, a pair with
+    * Jaccard j collides with prob 1-(1-j^r)^b — at b=16, r=4 the miss
+    * probability at j=0.8 is (1-0.8^4)^16 ≈ 5e-4 and at j=0.9 ≈ 2e-7.
+    * The band key is the concatenated r-slice, so bucketing is exact.
+    */
+  def lshCandidates(sigs: DataFrame, bands: Int = 16, rows: Int = 4): DataFrame = {
+    val banded = sigs
+      .filter(expr("size(sig) > 0"))
+      .select(col("doc_id"), posexplode(expr(
+      s"transform(sequence(0, ${bands - 1}), b -> " +
+        s"concat_ws('_', slice(sig, b * $rows + 1, $rows)))"))
+      .as(Seq("band_id", "band_key")))
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    a.join(b,
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard verification of candidate pairs against the shingle
+    * sets. `candidates` has (doc_a, doc_b); `shingled` has
+    * (doc_id, shingles). Returns pairs with their exact Jaccard.
+    */
+  def verifyJaccard(candidates: DataFrame, shingled: DataFrame): DataFrame = {
+    val sa = shingled.select(col("doc_id").as("doc_a"),
+      col("shingles").as("sh_a"))
+    val sb = shingled.select(col("doc_id").as("doc_b"),
+      col("shingles").as("sh_b"))
+    candidates
+      .join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("n_inter",
+        expr("bigint(size(array_intersect(sh_a, sh_b)))"))
+      .withColumn("n_union",
+        expr("bigint(size(sh_a)) + bigint(size(sh_b)) - n_inter"))
+      .withColumn("jaccard",
+        expr("cast(n_inter as double) / cast(n_union as double)"))
+  }
+
+  /** MinHash+LSH near-duplicate pairs, exact-verified at `threshold`.
+    * The standard two-phase shape: LSH generates a near-complete
+    * candidate set with a bucket-local join; exact Jaccard then removes
+    * false positives. Output: (doc_a, doc_b, jaccard), doc_a < doc_b.
+    */
+  def minhashNearDups(docs: DataFrame, threshold: Double = 0.8,
+                      k: Int = 64, bands: Int = 16): DataFrame = {
+    val shingled = TextOps.withShingles(docs)
+    val sigs = minhashSignatures(shingled, k)
+    val cands = lshCandidates(sigs, bands, k / bands)
+    verifyJaccard(cands, shingled)
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** n-gram Jaccard near-dups via an inverted-index join: explode
+    * shingles, join postings on the shingle hash, count shared shingles
+    * per pair, compute exact Jaccard. Every true pair (Jaccard > 0) is
+    * found — no probabilistic recall — at the cost of a join whose
+    * fan-out is the posting-list length; prefer [[minhashNearDups]]
+    * beyond moderate corpus sizes or add prefix filtering.
+    */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val shingled = TextOps.withShingles(docs)
+      .withColumn("n_sh", expr("bigint(size(shingles))"))
+    val postings = shingled
+      .select(col("doc_id"), col("n_sh"),
+        explode(col("shingles")).as("shingle"))
+    val a = postings.alias("a")
+    val b = postings.alias("b")
+    a.join(b,
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
+      .agg(count(lit(1)).as("n_inter"))
+      .withColumn("jaccard", expr(
+        "cast(n_inter as double) / cast(n_a + n_b - n_inter as double)"))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** 64-bit SimHash as a bit array: bit j is the sign of
+    * `sum over token occurrences of (2*parity(hash_j(tokHash)) - 1)`
+    * (tf-weighted by construction, since tokens repeat in the list).
+    */
+  def simhashBits(docs: DataFrame, nBits: Int = 64): DataFrame =
+    docs
+      .withColumn("toks", TextOps.tokens("text"))
+      .withColumn("tok_hashes",
+        expr(s"transform(toks, t -> ${charHashExpr("t")})"))
+      .withColumn("bits", expr(
+        s"transform(sequence(0, ${nBits - 1}), j -> " +
+          s"if(aggregate(tok_hashes, 0L, (acc, v) -> " +
+          s"acc + 2L * (${permHashExpr("v", "j")} % 2L) - 1L) >= 0L, 1, 0))"))
+
+  /** SimHash near-dup pairs within `maxHamming` (< 4): band the 64 bits
+    * into 4 exact 16-bit chunks (each folded MSB-first into an int);
+    * any pair at Hamming ≤ 3 agrees on ≥ 1 chunk (pigeonhole), so the
+    * bucket join has perfect recall. Output (doc_a, doc_b, hamming).
+    */
+  def simhashNearDups(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sigs = simhashBits(docs)
+      .withColumn("bands", expr(
+        "transform(sequence(0, 3), b -> " +
+          "aggregate(slice(bits, b * 16 + 1, 16), 0L, (acc, x) -> acc * 2 + x))"))
+    val banded = sigs.select(col("doc_id"), col("bits"),
+      posexplode(col("bands")).as(Seq("band_id", "band_val")))
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    a.join(b,
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.bits").as("bits_a"), col("b.bits").as("bits_b"))
+      .distinct()
+      .withColumn("hamming", expr(
+        "aggregate(zip_with(bits_a, bits_b, (x, y) -> abs(x - y)), " +
+          "0L, (acc, z) -> acc + z)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+}

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Full-text search operators — the native rebuild of what the reference
+  * outsources to Elasticsearch/Lucene (`api/controllers/
+  * elastic_controller.go:196-229` pushes raw docs; analysis, the inverted
+  * index and scoring all happen inside ES). Here they are Spark plans:
+  *
+  *  - analysis: tokenize (codegen'd `split`, [[TextOps.tokens]]);
+  *  - inverted index: term → postings via explode + groupBy — ONE shuffle
+  *    keyed by term, partial-aggregated map-side; at scale this is
+  *    written out bucketed by term so lookups prune to one bucket;
+  *  - scoring: tf × idf with idf as the raw N/df ratio (log-free, so the
+  *    score is pure IEEE mul/div — bit-identical across engines; swap in
+  *    `log` for production BM25 once cross-engine bit-equality is not a
+  *    test requirement).
+  */
+object Search {
+
+  /** Postings: one row per (term, doc) with the term frequency. */
+  def postings(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(TextOps.tokens("text")).as("term"))
+      .groupBy("term", "doc_id")
+      .agg(count(lit(1)).as("tf"))
+
+  /** Inverted index: term → document frequency, total tf and the posting
+    * list (doc-id-sorted for deterministic output).
+    */
+  def invertedIndex(docs: DataFrame): DataFrame =
+    postings(docs)
+      .groupBy("term")
+      .agg(count(lit(1)).as("doc_freq"),
+        sum("tf").as("total_tf"),
+        sort_array(collect_list(struct(col("doc_id"), col("tf"))))
+          .as("postings"))
+
+  /** Term search with tf-idf-ish ranking: score(doc) = Σ_terms tf ×
+    * (N / df). Query terms are a literal set → the postings filter
+    * pushes down to the term key; only matching postings are read.
+    */
+  def search(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    val p = postings(docs)
+    // Corpus size as a broadcast 1-row frame — stays inside the single
+    // plan (no separate driver-side count job).
+    val nDf = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val df_ = p.groupBy("term").agg(count(lit(1)).as("doc_freq"))
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    // Per-term pivoted contributions summed in a FIXED order: each
+    // sum() collapses exactly one non-zero value (plus 0.0s, which add
+    // exactly), so the final score is order-independent → bit-identical
+    // across shuffle orders and engines.
+    val contribs = terms.zipWithIndex.map { case (t, i) =>
+      sum(expr(s"if(term = '$t', " +
+        "cast(tf as double) * (n_docs / cast(doc_freq as double)), " +
+        "cast(0.0 as double))")).as(s"c_$i")
+    }
+    val score = terms.indices
+      .map(i => col(s"c_$i"))
+      .reduce(_ + _)
+    p.filter(expr(s"term IN ($termList)"))
+      .join(df_, "term")
+      .crossJoin(broadcast(nDf))
+      .groupBy("doc_id")
+      .agg(contribs.head, contribs.tail :+ count(lit(1)).as("n_terms_hit"): _*)
+      .withColumn("score", score)
+      .select(col("doc_id"), col("score"), col("n_terms_hit"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
+}

@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the LLM-data-pipeline surface.
+  *
+  * The reference delegates all text handling to Elasticsearch's analyzers
+  * when it bulk-indexes documents (`api/controllers/elastic_controller.go:
+  * 196-229` pushes raw JSON and relies on ES dynamic mapping + the standard
+  * analyzer). Here the analysis chain is explicit and distributed: every
+  * function below is a pure Catalyst `Column` expression (higher-order
+  * array functions — `transform`/`aggregate`/`filter` — all codegen'd),
+  * so it runs inside whole-stage codegen with zero UDF/serialization
+  * overhead and scales linearly with partitions.
+  *
+  * Portability contract: the arithmetic hash [[charHash]] uses only
+  * integer ops available identically in ANSI SQL engines, so the DuckDB
+  * oracle can reproduce signatures bit-for-bit. At production scale one
+  * would swap in `xxhash64` (same structure, cheaper); the operators
+  * take the hash as a parameter for exactly that reason.
+  */
+object TextOps {
+
+  /** Modulus for the portable char-polynomial hash (large prime). */
+  val HashP = 1000003L
+
+  /** Modulus for derived hash families (2^31 - 1, Mersenne prime). */
+  val PermP = 2147483647L
+
+  /** Whitespace tokens of a single-space-separated text column. */
+  def tokens(text: String): Column = split(col(text), " ")
+
+  /** Portable polynomial hash of a string column: left fold
+    * `h = (h*31 + ascii(c)) mod 1000003` over the characters.
+    * Identical in DuckDB as
+    * `list_reduce([0] || list_transform(string_split(s,''), c->ascii(c)),
+    *              (h,c) -> (h*31+c) % 1000003)`.
+    */
+  def charHashExpr(colName: String): String =
+    s"aggregate(transform(split($colName, ''), c -> bigint(ascii(c))), " +
+      s"0L, (h, c) -> (h * 31 + c) % $HashP)"
+
+  /** The i-th member of a portable universal-ish hash family over a base
+    * value `v` < [[PermP]]: `(v*a_i + b_i) mod (2^31-1)` with the large
+    * mixing multipliers `a_i = (2654435761*(i+1)) mod p`,
+    * `b_i = (2246822519*(i+1)) mod p` (Knuth/xxhash primes). The
+    * multipliers MUST be large: with small linear `a_i` the products
+    * never wrap the modulus, every family member preserves the ordering
+    * of `v`, and all minhash positions collapse onto the same argmin —
+    * bands become fully correlated and LSH recall dies. Products stay
+    * < 2^62, no int64 overflow.
+    */
+  def permHashExpr(v: String, i: String): String =
+    s"(($v * ((2654435761L * ($i + 1)) % ${PermP}L) + " +
+      s"((2246822519L * ($i + 1)) % ${PermP}L)) % ${PermP}L)"
+
+  /** Distinct word n-gram shingles (joined by single spaces) of a token
+    * array column. Empty array when the doc has fewer than n tokens.
+    */
+  def shingleExpr(toksCol: String, n: Int): String = {
+    val parts = (0 until n).map(j => s"$toksCol[i + $j]").mkString(", ' ', ")
+    s"if(size($toksCol) >= $n, " +
+      s"array_distinct(transform(sequence(0, size($toksCol) - $n), " +
+      s"i -> concat($parts))), array())"
+  }
+
+  /** doc_id + distinct word-3-gram shingles for a documents-shaped df. */
+  def withShingles(docs: DataFrame, n: Int = 3): DataFrame =
+    docs
+      .withColumn("toks", tokens("text"))
+      .withColumn("shingles", expr(shingleExpr("toks", n)))
+
+  /** Stopword marker lists for the n-gram/stopword language-ID heuristic.
+    * Deterministic tie-break: first list wins (en > es > fr > de).
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "in", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "les"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"))
+
+  /** Language-ID by stopword-hit counting: for each candidate language,
+    * count tokens that are in its marker list; predict the argmax
+    * (ties broken by list order; all-zero → "und" = undetermined).
+    * A real pipeline would use fastText/CLD3; the *shape* — a cheap
+    * per-row score computed in codegen, no shuffle — is the part that
+    * matters at 100 TB.
+    */
+  def withLangId(docs: DataFrame): DataFrame = {
+    val toks = docs.withColumn("toks", tokens("text"))
+    val scored = langMarkers.foldLeft(toks) { case (df, (lang, words)) =>
+      val arr = words.map(w => s"'$w'").mkString(", ")
+      df.withColumn(s"score_$lang",
+        expr(s"bigint(size(filter(toks, t -> array_contains(array($arr), t))))"))
+    }
+    val best = langMarkers.map(_._1).foldRight(lit("und"): Column) {
+      case (lang, elseCol) =>
+        when(col(s"score_$lang") === greatest(
+          langMarkers.map(m => col(s"score_${m._1}")): _*) &&
+          col(s"score_$lang") > 0, lit(lang)).otherwise(elseCol)
+    }
+    scored.withColumn("pred_lang", best)
+  }
+
+  /** Heuristic document-quality score in [0,1]:
+    * 0.4 * type-token-ratio  (vocabulary diversity)
+    * + 0.3 * min(1, n_tokens/100)  (length prior)
+    * + 0.3 * (1 - stopword_ratio)  (content density).
+    * All double arithmetic in a fixed order → engine-portable.
+    */
+  def withQuality(docs: DataFrame): DataFrame = {
+    val en = langMarkers.head._2.map(w => s"'$w'").mkString(", ")
+    docs
+      .withColumn("toks", tokens("text"))
+      .withColumn("n_tokens", expr("bigint(size(toks))"))
+      .withColumn("n_distinct", expr("bigint(size(array_distinct(toks)))"))
+      .withColumn("ttr",
+        expr("cast(n_distinct as double) / cast(n_tokens as double)"))
+      .withColumn("stop_ratio", expr(
+        s"cast(size(filter(toks, t -> array_contains(array($en), t))) as double)" +
+          " / cast(n_tokens as double)"))
+      .withColumn("quality", expr(
+        "0.4 * ttr + 0.3 * least(cast(1.0 as double), " +
+          "cast(n_tokens as double) / 100.0) + 0.3 * (1.0 - stop_ratio)"))
+  }
+
+  /** Token counting, two ways: whitespace tokens and a BPE-ish greedy
+    * regex segmentation (chunks of up to 4 letters — a stand-in for a
+    * real subword vocab; greedy left-to-right longest-match is exactly
+    * how BPE merges behave on unseen text).
+    */
+  def withTokenCounts(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("n_ws_tokens", expr("bigint(size(split(text, ' ')))"))
+      .withColumn("n_subword_tokens",
+        expr("bigint(size(regexp_extract_all(text, '[a-z]{1,4}', 0)))"))
+
+  /** Order-sensitive document fingerprint: rolling polynomial hash of the
+    * token-hash stream, `h = (h*131 + charHash(tok)) mod (2^31-1)`.
+    * Equal fingerprints ⇔ equal token sequences (mod collisions);
+    * unlike [[Dedup]] set-similarity it is sensitive to word order.
+    */
+  def withFingerprint(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", tokens("text"))
+      .withColumn("tok_hashes",
+        expr(s"transform(toks, t -> ${charHashExpr("t")})"))
+      .withColumn("fingerprint", expr(
+        s"aggregate(tok_hashes, 0L, (h, v) -> (h * 131 + v) % ${PermP}L)"))
+}

@@ -1,0 +1,367 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.operators.{Dedup, Multimodal, Search, Similarity, TextOps}
+
+/** LLM-data-pipeline query surface (SURVEY §2.3): search-engine,
+  * deduplication, similarity-search, text-analysis and multimodal
+  * operators over the `documents` / `embeddings` fixtures, each with a
+  * DuckDB oracle that reproduces the computation bit-for-bit (portable
+  * arithmetic hashes, fixed-order float folds — see the operator
+  * modules for the determinism contracts).
+  */
+object LlmSurface {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.table(s, d, "documents")
+  private def emb(s: SparkSession, d: String): DataFrame =
+    Tables.table(s, d, "embeddings")
+
+  /** Query terms for the TF-IDF search demo. */
+  val searchTerms: Seq[String] = Seq("spark", "join", "vector")
+
+  val queries: Map[String, Q] = Map(
+    // --- analysis chain: tokenize + term frequencies ---
+    "q24_tokenize" -> ((s, d) =>
+      docs(s, d)
+        .select(explode(TextOps.tokens("text")).as("term"))
+        .groupBy("term")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("term"))),
+
+    // --- inverted index: term -> document stats ---
+    "q25_inverted_index" -> ((s, d) =>
+      Search.invertedIndex(docs(s, d))
+        .select(col("term"), col("doc_freq"),
+          col("total_tf").cast("long").as("total_tf"))
+        .orderBy("term")),
+
+    // --- TF-IDF term search (ES _search analogue) ---
+    "q26_tfidf_search" -> ((s, d) =>
+      Search.search(docs(s, d), searchTerms, 20)),
+
+    // --- language ID by stopword-marker counting ---
+    "q27_langid" -> ((s, d) =>
+      TextOps.withLangId(docs(s, d))
+        .select(col("doc_id"), col("pred_lang"), col("score_en"),
+          col("score_es"), col("score_fr"), col("score_de"))
+        .orderBy("doc_id")),
+
+    // --- quality scoring ---
+    "q28_quality" -> ((s, d) =>
+      TextOps.withQuality(docs(s, d))
+        .select("doc_id", "n_tokens", "n_distinct", "ttr", "stop_ratio",
+          "quality")
+        .orderBy("doc_id")),
+
+    // --- token counting: whitespace + BPE-ish greedy regex ---
+    "q29_tokencount" -> ((s, d) =>
+      TextOps.withTokenCounts(docs(s, d))
+        .select("doc_id", "n_ws_tokens", "n_subword_tokens")
+        .orderBy("doc_id")),
+
+    // --- order-sensitive rolling-hash fingerprint ---
+    "q30_fingerprint" -> ((s, d) =>
+      TextOps.withFingerprint(docs(s, d))
+        .select("doc_id", "fingerprint")
+        .orderBy("doc_id")),
+
+    // --- exact dedup: keep/drop decision per doc ---
+    "q31_exact_dedup" -> ((s, d) =>
+      Dedup.exactDedup(docs(s, d))
+        .select("doc_id", "group_size", "keep_id", "is_dup")
+        .orderBy("doc_id")),
+
+    // --- MinHash + LSH near-dups, exact-verified at 0.8 ---
+    "q32_minhash_dedup" -> ((s, d) =>
+      Dedup.minhashNearDups(docs(s, d), threshold = 0.8)
+        .orderBy("doc_a", "doc_b")),
+
+    // --- n-gram Jaccard near-dups via inverted-index join ---
+    "q33_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(docs(s, d), threshold = 0.4)
+        .orderBy("doc_a", "doc_b")),
+
+    // --- SimHash near-dups (Hamming <= 3, banded) ---
+    "q34_simhash" -> ((s, d) =>
+      Dedup.simhashNearDups(docs(s, d), maxHamming = 3)
+        .orderBy("doc_a", "doc_b")),
+
+    // --- brute-force cosine top-k (exact ANN baseline) ---
+    "q35_cosine_topk" -> ((s, d) =>
+      Similarity.bruteForceTopK(emb(s, d), "vec_id < 10", k = 5)
+        .orderBy("q_id", "rank")),
+
+    // --- LSH-bucketed approximate top-k ---
+    "q36_ann_lsh" -> ((s, d) =>
+      Similarity.annTopK(emb(s, d), "vec_id < 10", k = 5)
+        .orderBy("q_id", "rank")),
+
+    // --- embedding-cosine near-dup pairs (LSH candidates, verified) ---
+    "q37_cosine_neardup" -> ((s, d) =>
+      Similarity.cosineNearDups(emb(s, d), threshold = 0.3)
+        .orderBy("id_a", "id_b")),
+
+    // --- multimodal byte-level plumbing over a binary payload column ---
+    "q38_media_bytes" -> ((s, d) =>
+      Multimodal.withByteStats(
+        docs(s, d).withColumn("payload", col("text").cast("binary")))
+        .withColumn("first_byte", expr("bigint(ascii(substring(text, 1, 1)))"))
+        .select("doc_id", "n_bytes", "digest", "head_hex", "first_byte")
+        .orderBy("doc_id"))
+  )
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracles. Fragments mirror TextOps/Dedup/Similarity arithmetic
+  // exactly; DuckDB lambda indices are 1-based where Spark's are 0-based
+  // (adjusted where marked).
+  // ---------------------------------------------------------------------
+
+  /** charHash(s) — portable char-polynomial hash (TextOps.charHashExpr). */
+  private def dkCharHash(s: String): String =
+    s"list_reduce([0::BIGINT] || list_transform(string_split($s, ''), " +
+      s"c -> ascii(c)::BIGINT), (h, c) -> (h * 31 + c) % ${TextOps.HashP})"
+
+  /** perm_i(v) — hash family member (TextOps.permHashExpr). */
+  private def dkPerm(v: String, i: String): String =
+    s"(($v * ((2654435761 * ($i + 1)) % ${TextOps.PermP}) + " +
+      s"((2246822519 * ($i + 1)) % ${TextOps.PermP})) % ${TextOps.PermP})"
+
+  /** Distinct word-3-gram shingles of `toks` (TextOps.shingleExpr). */
+  private val dkShingles =
+    "CASE WHEN len(toks) >= 3 THEN list_distinct(" +
+      "[toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] " +
+      "for i in range(1, len(toks) - 1)]) ELSE [] END"
+
+  private val dkSh =
+    s"""sh AS (SELECT doc_id, $dkShingles AS shingles
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))"""
+      .stripMargin
+
+  /** Left-fold dot product of two double lists (Similarity cos). */
+  private def dkDot(a: String, b: String): String =
+    s"list_reduce([0.0::DOUBLE] || list_transform(list_zip($a, $b), " +
+      "p -> p[1] * p[2]), (acc, x) -> acc + x)"
+
+  /** vec + L2 norm CTE over embeddings (Similarity.withNorm). */
+  private val dkNormed =
+    """normed AS (SELECT vec_id,
+      |  list_transform(embedding, x -> x::DOUBLE) AS v,
+      |  sqrt(list_reduce([0.0::DOUBLE] || list_transform(
+      |    list_transform(embedding, x -> x::DOUBLE), x -> x * x),
+      |    (acc, x) -> acc + x)) AS nrm
+      | FROM embeddings)""".stripMargin
+
+  /** Hyperplane dot for LSH table t, bit j (Similarity.planeExpr);
+    * DuckDB k is 1-based → (k-1)+3 = k+2 matches Spark's 0-based k+3.
+    */
+  private def dkPlaneDot(tj: String): String =
+    s"list_reduce([0.0::DOUBLE] || list_transform(v, (x, k) -> " +
+      s"x * ((7 + 31 * ($tj) * (k + 2)) % 97 - 48)::DOUBLE), " +
+      "(acc, x) -> acc + x)"
+
+  /** LSH bucket list for `tables` tables of `nBits` sign bits. */
+  private def dkBuckets(tables: Int, nBits: Int): String = {
+    val per = (0 until tables).map { t =>
+      val bits = (0 until nBits).map { j =>
+        s"CASE WHEN ${dkPlaneDot(s"${t * 8 + j + 1}")} >= 0.0 THEN 1::BIGINT ELSE 0::BIGINT END"
+      }.mkString(", ")
+      s"list_reduce([0::BIGINT, $bits], (acc, x) -> acc * 2 + x)"
+    }.mkString(", ")
+    s"[$per]"
+  }
+
+  private val enMarkers = TextOps.langMarkers.head._2
+    .map(w => s"'$w'").mkString(", ")
+
+  val oracles: Map[String, String] = Map(
+    "q24_tokenize" ->
+      """SELECT term, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |GROUP BY term ORDER BY n DESC, term""".stripMargin,
+
+    "q25_inverted_index" ->
+      """SELECT term, count(*) AS doc_freq, sum(tf)::BIGINT AS total_tf
+        |FROM (SELECT term, doc_id, count(*) AS tf
+        |      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |            FROM documents)
+        |      GROUP BY term, doc_id)
+        |GROUP BY term ORDER BY term""".stripMargin,
+
+    "q26_tfidf_search" -> {
+      val terms = searchTerms
+      val termList = terms.map(t => s"'$t'").mkString(", ")
+      val contribs = terms.map { t =>
+        s"sum(CASE WHEN term = '$t' THEN tf::DOUBLE * (n_docs / doc_freq::DOUBLE) ELSE 0.0::DOUBLE END)"
+      }
+      s"""WITH p AS (SELECT term, doc_id, count(*)::BIGINT AS tf
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |        FROM documents) GROUP BY term, doc_id),
+         | dfreq AS (SELECT term, count(*)::BIGINT AS doc_freq FROM p GROUP BY term),
+         | nd AS (SELECT count(*)::DOUBLE AS n_docs FROM documents)
+         |SELECT doc_id, ${contribs.mkString(" + ")} AS score,
+         |  count(*) AS n_terms_hit
+         |FROM p JOIN dfreq USING (term), nd
+         |WHERE term IN ($termList)
+         |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+    },
+
+    "q27_langid" -> {
+      val scores = TextOps.langMarkers.map { case (lang, words) =>
+        val arr = words.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(toks, t -> list_contains([$arr], t)))::BIGINT AS score_$lang"
+      }.mkString(",\n  ")
+      val langs = TextOps.langMarkers.map(_._1)
+      val gr = langs.map(l => s"score_$l").mkString(", ")
+      val cases = langs.map(l =>
+        s"WHEN score_$l = greatest($gr) AND score_$l > 0 THEN '$l'")
+        .mkString(" ")
+      s"""WITH sc AS (SELECT doc_id,
+         |  $scores
+         | FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+         |SELECT doc_id, CASE $cases ELSE 'und' END AS pred_lang,
+         |  score_en, score_es, score_fr, score_de
+         |FROM sc ORDER BY doc_id""".stripMargin
+    },
+
+    "q28_quality" ->
+      s"""WITH q AS (SELECT doc_id,
+         |  len(toks)::BIGINT AS n_tokens,
+         |  len(list_distinct(toks))::BIGINT AS n_distinct,
+         |  len(list_filter(toks, t -> list_contains([$enMarkers], t)))::BIGINT AS n_stop
+         | FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+         |SELECT doc_id, n_tokens, n_distinct,
+         |  n_distinct::DOUBLE / n_tokens::DOUBLE AS ttr,
+         |  n_stop::DOUBLE / n_tokens::DOUBLE AS stop_ratio,
+         |  0.4 * (n_distinct::DOUBLE / n_tokens::DOUBLE)
+         |   + 0.3 * least(1.0::DOUBLE, n_tokens::DOUBLE / 100.0)
+         |   + 0.3 * (1.0 - n_stop::DOUBLE / n_tokens::DOUBLE) AS quality
+         |FROM q ORDER BY doc_id""".stripMargin,
+
+    "q29_tokencount" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' '))::BIGINT AS n_ws_tokens,
+        |  len(regexp_extract_all(text, '[a-z]{1,4}'))::BIGINT AS n_subword_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q30_fingerprint" ->
+      s"""SELECT doc_id,
+         |  list_reduce([0::BIGINT] || list_transform(string_split(text, ' '),
+         |    t -> ${dkCharHash("t")}),
+         |    (h, v) -> (h * 131 + v) % ${TextOps.PermP}) AS fingerprint
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q31_exact_dedup" ->
+      """SELECT doc_id,
+        |  count(*) OVER w AS group_size,
+        |  min(doc_id) OVER w AS keep_id,
+        |  doc_id != min(doc_id) OVER w AS is_dup
+        |FROM documents
+        |WINDOW w AS (PARTITION BY md5(text))
+        |ORDER BY doc_id""".stripMargin,
+
+    // Exact all-pairs Jaccard — valid oracle because the data's
+    // similarity gap (nothing between ~0.3 and ~0.85) puts LSH recall
+    // at threshold 0.8 effectively at 1 (miss prob < 1e-6 per pair);
+    // verified empirically at sf0.01/sf0.1 before shipping.
+    "q32_minhash_dedup" ->
+      s"""WITH $dkSh
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+         |  (len(a.shingles) + len(b.shingles)
+         |   - len(list_intersect(a.shingles, b.shingles)))::DOUBLE AS jaccard
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+         |  (len(a.shingles) + len(b.shingles)
+         |   - len(list_intersect(a.shingles, b.shingles)))::DOUBLE >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q33_ngram_jaccard" ->
+      s"""WITH $dkSh
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+         |  (len(a.shingles) + len(b.shingles)
+         |   - len(list_intersect(a.shingles, b.shingles)))::DOUBLE AS jaccard
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.shingles, b.shingles)) > 0
+         |  AND len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+         |  (len(a.shingles) + len(b.shingles)
+         |   - len(list_intersect(a.shingles, b.shingles)))::DOUBLE >= 0.4
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Exact all-pairs Hamming — the 4x16-bit banding has perfect recall
+    // for Hamming <= 3 by pigeonhole, so exact is the true oracle.
+    "q34_simhash" ->
+      s"""WITH th AS (SELECT doc_id,
+         |  list_transform(string_split(text, ' '), t -> ${dkCharHash("t")})
+         |    AS tok_hashes FROM documents),
+         | bits AS (SELECT doc_id,
+         |  [CASE WHEN list_reduce([0::BIGINT] || list_transform(tok_hashes,
+         |     v -> 2 * (${dkPerm("v", "j")} % 2) - 1),
+         |     (acc, x) -> acc + x) >= 0 THEN 1 ELSE 0 END
+         |   for j in range(0, 64)] AS bits FROM th)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  list_reduce([0::BIGINT] || list_transform(
+         |    list_zip(a.bits, b.bits), p -> abs(p[1] - p[2])::BIGINT),
+         |    (acc, x) -> acc + x) AS hamming
+         |FROM bits a JOIN bits b ON a.doc_id < b.doc_id
+         |WHERE list_reduce([0::BIGINT] || list_transform(
+         |    list_zip(a.bits, b.bits), p -> abs(p[1] - p[2])::BIGINT),
+         |    (acc, x) -> acc + x) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q35_cosine_topk" ->
+      s"""WITH $dkNormed
+         |SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+         |  row_number() OVER (PARTITION BY q.vec_id
+         |    ORDER BY ${dkDot("q.v", "c.v")} / (q.nrm * c.nrm) DESC,
+         |      c.vec_id ASC)::BIGINT AS rank,
+         |  ${dkDot("q.v", "c.v")} / (q.nrm * c.nrm) AS cos
+         |FROM normed q JOIN normed c
+         |  ON q.vec_id < 10 AND c.vec_id != q.vec_id
+         |QUALIFY rank <= 5
+         |ORDER BY q_id, rank""".stripMargin,
+
+    "q36_ann_lsh" ->
+      s"""WITH $dkNormed,
+         | bucketed AS (SELECT vec_id, v, nrm,
+         |   ${dkBuckets(4, 4)} AS bl FROM normed),
+         | cands AS (SELECT q.vec_id AS q_id, q.v AS qv, q.nrm AS qn,
+         |    c.vec_id AS neighbor_id, c.v AS cv, c.nrm AS cn
+         |  FROM bucketed q JOIN bucketed c
+         |   ON q.vec_id < 10 AND c.vec_id != q.vec_id
+         |   AND len(list_filter(range(1, 5), t -> q.bl[t] = c.bl[t])) > 0)
+         |SELECT q_id, neighbor_id,
+         |  row_number() OVER (PARTITION BY q_id
+         |    ORDER BY ${dkDot("qv", "cv")} / (qn * cn) DESC,
+         |      neighbor_id ASC)::BIGINT AS rank,
+         |  ${dkDot("qv", "cv")} / (qn * cn) AS cos
+         |FROM cands
+         |QUALIFY rank <= 5
+         |ORDER BY q_id, rank""".stripMargin,
+
+    "q37_cosine_neardup" ->
+      s"""WITH $dkNormed,
+         | bucketed AS (SELECT vec_id, v, nrm,
+         |   ${dkBuckets(8, 2)} AS bl FROM normed)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  ${dkDot("a.v", "b.v")} / (a.nrm * b.nrm) AS cos
+         |FROM bucketed a JOIN bucketed b
+         | ON a.vec_id < b.vec_id
+         | AND len(list_filter(range(1, 9), t -> a.bl[t] = b.bl[t])) > 0
+         |WHERE ${dkDot("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.3
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q38_media_bytes" ->
+      """SELECT doc_id,
+        |  octet_length(encode(text))::BIGINT AS n_bytes,
+        |  md5(text) AS digest,
+        |  upper(hex(substr(text, 1, 4))) AS head_hex,
+        |  ascii(substr(text, 1, 1))::BIGINT AS first_byte
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

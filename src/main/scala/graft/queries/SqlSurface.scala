@@ -163,8 +163,12 @@ object SqlSurface {
 
     // --- window functions: row_number / rank / lag / running frame ---
     "q11_window" -> ((s, d) => {
+      // (l_orderkey, l_linenumber) can repeat in the synthetic data, so
+      // extend the ordering until unique — lag/running-sum are order-
+      // dependent and must match the oracle row-for-row.
       val w = Window.partitionBy("l_suppkey")
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice")
       t(s, d, "lineitem")
         .filter(col("l_quantity") >= 45)
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
@@ -178,7 +182,8 @@ object SqlSurface {
         .withColumn("running_qty", sum(dec(col("l_quantity")))
           .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
           .cast("double"))
-        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice")
     }),
 
     // --- global sort + limit → TakeOrderedAndProject ---
@@ -395,11 +400,13 @@ object SqlSurface {
         |   ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC) AS BIGINT) AS rnk,
         | lag(l_quantity, 1) OVER w AS prev_qty,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) OVER (PARTITION BY l_suppkey
-        |   ORDER BY l_orderkey, l_linenumber
+        |   ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
         |FROM lineitem WHERE l_quantity >= 45
-        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber)
-        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+        |WINDOW w AS (PARTITION BY l_suppkey
+        |   ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice)
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber, l_quantity, l_extendedprice"""
+        .stripMargin,
 
     "q12_topk" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat"), // near dup of 1
+    (4L, "completely different words about spark engines here"),
+    (5L, "tiny doc")) // < 3 tokens → no shingles
+    .toDF("doc_id", "text")
+
+  test("exactDedup keeps min doc_id per group and flags the rest") {
+    val out = Dedup.exactDedup(docs)
+      .select("doc_id", "keep_id", "is_dup", "group_size")
+      .as[(Long, Long, Boolean, Long)].collect().sortBy(_._1)
+    assert(out(0) == (1L, 1L, false, 2L))
+    assert(out(1) == (2L, 1L, true, 2L))
+    assert(out(2) == (3L, 3L, false, 1L))
+    assert(out(4) == (5L, 5L, false, 1L))
+  }
+
+  test("minhash signature is identical for identical texts") {
+    val sigs = Dedup.minhashSignatures(TextOps.withShingles(docs))
+      .select("doc_id", "sig").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(4L))
+    assert(sigs(1L).length == 64)
+    assert(sigs(5L).isEmpty) // no shingles → empty signature
+  }
+
+  test("minhashNearDups finds exact+near dups, not unrelated docs") {
+    val pairs = Dedup.minhashNearDups(docs, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("ngramJaccardPairs: exact dup has jaccard 1.0; sim order sane") {
+    val rows = Dedup.ngramJaccardPairs(docs, threshold = 0.1)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => ((a, b), j) }.toMap
+    assert(rows((1L, 2L)) == 1.0)
+    assert(rows((1L, 3L)) > 0.4 && rows((1L, 3L)) < 1.0)
+    assert(!rows.contains((1L, 4L)))
+  }
+
+  test("LSH candidates are a superset of verified near-dups (two-phase)") {
+    val sf = spark.read.parquet(s"$sf001/documents.parquet")
+    val shingled = TextOps.withShingles(sf)
+    val cands = Dedup.lshCandidates(Dedup.minhashSignatures(shingled))
+      .as[(Long, Long)].collect().toSet
+    val verified = Dedup.minhashNearDups(sf, 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(verified.subsetOf(cands))
+    assert(verified.nonEmpty)
+  }
+
+  test("minhash LSH recall matches exact ngram join at threshold 0.8") {
+    val sf = spark.read.parquet(s"$sf001/documents.parquet")
+    val lsh = Dedup.minhashNearDups(sf, 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val exact = Dedup.ngramJaccardPairs(sf, 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(lsh == exact)
+  }
+
+  test("simhash: identical docs at hamming 0; banding finds them") {
+    val sigs = Dedup.simhashBits(docs)
+      .select("doc_id", "bits").as[(Long, Seq[Int])].collect().toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L).length == 64)
+    val pairs = Dedup.simhashNearDups(docs, maxHamming = 3)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Long)].collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0L))
+  }
+
+  test("dedup is idempotent: rerunning on kept docs finds nothing") {
+    val kept = Dedup.exactDedup(docs).filter(!col("is_dup"))
+      .select("doc_id", "text")
+    val second = Dedup.exactDedup(kept).filter(col("is_dup")).count()
+    assert(second == 0L)
+  }
+}

@@ -1,0 +1,46 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class SearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "spark spark spark engine"),
+    (2L, "spark engine engine"),
+    (3L, "rare term here"),
+    (4L, "nothing relevant at all"))
+    .toDF("doc_id", "text")
+
+  test("postings: one row per (term, doc) with tf") {
+    val p = Search.postings(docs)
+      .as[(String, Long, Long)].collect()
+      .map { case (t, d, tf) => ((t, d), tf) }.toMap
+    assert(p(("spark", 1L)) == 3L)
+    assert(p(("spark", 2L)) == 1L)
+    assert(p(("engine", 2L)) == 2L)
+  }
+
+  test("inverted index: postings completeness — every (doc, term) appears once") {
+    val docsDf = spark.read.parquet(s"$sf001/documents.parquet")
+    val idx = Search.invertedIndex(docsDf)
+    val totalPostings = idx.agg(org.apache.spark.sql.functions
+      .sum("doc_freq")).as[Long].head()
+    val distinctPairs = Search.postings(docsDf).count()
+    assert(totalPostings == distinctPairs)
+    // posting lists are doc-sorted
+    val first = idx.orderBy("term").select("postings")
+      .as[Seq[(Long, Long)]].head()
+    assert(first.map(_._1) == first.map(_._1).sorted)
+  }
+
+  test("tf-idf search ranks tf-heavy docs first, rare terms weigh more") {
+    val hits = Search.search(docs, Seq("spark", "rare"), k = 10)
+      .select("doc_id", "score").as[(Long, Double)].collect()
+    val scores = hits.toMap
+    assert(scores(1L) > scores(2L)) // higher tf on same term
+    // 'rare' appears in 1/4 docs vs 'spark' in 2/4 → idf doubles
+    assert(scores(3L) == 1.0 * (4.0 / 1.0))
+    assert(!scores.contains(4L))
+  }
+}

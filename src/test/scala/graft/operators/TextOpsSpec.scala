@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox", "en"),
+    (2L, "el perro que corre y salta", "es"),
+    (3L, "le chat et le chien", "fr"),
+    (4L, "der hund und die katze ist da", "de"),
+    (5L, "xyzzy plugh qwerty", "??"))
+    .toDF("doc_id", "text", "lang")
+
+  test("charHash matches the reference fold (portable to DuckDB)") {
+    // h('spark') via (h*31+ascii) % 1000003 = 638038 (cross-checked in
+    // DuckDB: list_reduce([0] || ascii chars, same fold))
+    val h = spark.range(1).select(
+      expr(TextOps.charHashExpr("'spark'")).as("h")).as[Long].head()
+    assert(h == 638038L)
+  }
+
+  test("shingles: distinct word 3-grams; empty under 3 tokens") {
+    val sh = TextOps.withShingles(Seq((1L, "a b c d"), (2L, "a b"))
+        .toDF("doc_id", "text"))
+      .select("doc_id", "shingles").as[(Long, Seq[String])].collect().toMap
+    assert(sh(1L) == Seq("a b c", "b c d"))
+    assert(sh(2L) == Seq.empty)
+  }
+
+  test("langid predicts by stopword markers with deterministic tie-break") {
+    val out = TextOps.withLangId(docs)
+      .select("doc_id", "pred_lang").as[(Long, String)].collect().toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "es")
+    assert(out(4L) == "de")
+    assert(out(5L) == "und") // no markers hit
+  }
+
+  test("quality score is in [0,1] and penalizes stopword-heavy docs") {
+    val q = TextOps.withQuality(docs)
+      .select("doc_id", "quality").as[(Long, Double)].collect().toMap
+    assert(q.values.forall(v => v >= 0.0 && v <= 1.0))
+    val stopHeavy = TextOps.withQuality(
+      Seq((9L, "the the the the the the")).toDF("doc_id", "text"))
+      .select("quality").as[Double].head()
+    assert(stopHeavy < q(5L)) // all-stopword doc scores below content doc
+  }
+
+  test("token counts: whitespace vs BPE-ish subword chunks") {
+    val out = TextOps.withTokenCounts(
+      Seq((1L, "hello worldwide ab")).toDF("doc_id", "text"))
+      .select("n_ws_tokens", "n_subword_tokens").as[(Long, Long)].head()
+    assert(out._1 == 3L)
+    // hello→[hell,o], worldwide→[worl,dwid,e], ab→[ab] = 6 chunks
+    assert(out._2 == 6L)
+  }
+
+  test("fingerprint is order-sensitive (unlike set similarity)") {
+    val fp = TextOps.withFingerprint(Seq(
+        (1L, "a b c"), (2L, "c b a"), (3L, "a b c"))
+      .toDF("doc_id", "text"))
+      .select("doc_id", "fingerprint").as[(Long, Long)].collect().toMap
+    assert(fp(1L) == fp(3L))
+    assert(fp(1L) != fp(2L))
+  }
+}
