@@ -46,20 +46,45 @@ object Dedup {
 
   /** MinHash signatures: `sig[i] = min over shingles of hash_i(shingle)`,
     * i < k. Input df must have `doc_id` and `shingles` (see
-    * [[TextOps.withShingles]]). One pass, no shuffle, codegen'd.
+    * [[TextOps.withShingles]]).
+    *
+    * Formulated as explode + k parallel `min` aggregates rather than
+    * nested higher-order functions, for two load-bearing reasons:
+    * (1) HOF lambdas are interpreted (no codegen) and — worse — the
+    * optimizer collapses projections INTO downstream band/join
+    * expressions, re-evaluating the whole signature chain once per band
+    * (measured 20× slowdown); the aggregate puts a hard plan boundary
+    * after the sig. (2) At scale the k mins partial-aggregate map-side,
+    * so the shuffle carries one k-vector per (doc, partition) — the
+    * classic distributed-minhash shape.
+    *
+    * Docs with no shingles (< n tokens) drop out (explode yields no
+    * rows): they cannot participate in set similarity.
     */
-  def minhashSignatures(docs: DataFrame, k: Int = 64): DataFrame =
-    docs
-      .withColumn("sh_hashes",
-        expr(s"transform(shingles, s -> ${charHashExpr("s")})"))
-      // Docs with no shingles (< n tokens) get an empty signature — they
-      // cannot participate in set similarity. (An unguarded array_min
-      // over an empty array would yield null sig elements, and every
-      // such doc would then collide on the same all-null band key.)
-      .withColumn("sig", expr(
-        s"if(size(shingles) > 0, transform(sequence(0, ${k - 1}), i -> " +
-          s"array_min(transform(sh_hashes, v -> ${permHashExpr("v", "i")}))), " +
-          "array())"))
+  /** Base shingle hash: native codegen'd xxhash64, folded into
+    * [0, 2^31-1) for the portable perm family. The base hash only
+    * affects WHICH candidates LSH surfaces (recall), never an output
+    * value — outputs are exact Jaccard over shingle strings — so the
+    * non-SQL-portable xxhash64 is safe here. Tests swap in
+    * [[TextOps.charHashExpr]] via the `baseHash` parameter when they
+    * need cross-engine signature parity.
+    */
+  val xxBaseHash: String => String =
+    s => s"(((xxhash64($s) % ${PermP}L) + ${PermP}L) % ${PermP}L)"
+
+  def minhashSignatures(docs: DataFrame, k: Int = 64,
+                        baseHash: String => String = xxBaseHash): DataFrame = {
+    val exploded = docs
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
+      .withColumn("v", expr(baseHash("s")))
+    val mins = (0 until k).map(i =>
+      min(expr(permHashExpr("v", i.toString))).as(s"m$i"))
+    exploded
+      .groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+  }
 
   /** LSH candidate pairs from banded minhash signatures: docs sharing any
     * (band_id, band_signature) bucket. For b bands of r rows, a pair with
@@ -69,7 +94,6 @@ object Dedup {
     */
   def lshCandidates(sigs: DataFrame, bands: Int = 16, rows: Int = 4): DataFrame = {
     val banded = sigs
-      .filter(expr("size(sig) > 0"))
       .select(col("doc_id"), posexplode(expr(
       s"transform(sequence(0, ${bands - 1}), b -> " +
         s"concat_ws('_', slice(sig, b * $rows + 1, $rows)))"))
@@ -110,7 +134,11 @@ object Dedup {
     */
   def minhashNearDups(docs: DataFrame, threshold: Double = 0.8,
                       k: Int = 64, bands: Int = 16): DataFrame = {
+    // The shingled frame feeds three plan branches (signatures + both
+    // verify sides); persist it so the tokenize/shingle chain runs once.
     val shingled = TextOps.withShingles(docs)
+      .select("doc_id", "shingles")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigs = minhashSignatures(shingled, k)
     val cands = lshCandidates(sigs, bands, k / bands)
     verifyJaccard(cands, shingled)
@@ -128,6 +156,8 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val shingled = TextOps.withShingles(docs)
       .withColumn("n_sh", expr("bigint(size(shingles))"))
+      .select("doc_id", "n_sh", "shingles")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val postings = shingled
       .select(col("doc_id"), col("n_sh"),
         explode(col("shingles")).as("shingle"))
@@ -148,16 +178,23 @@ object Dedup {
   /** 64-bit SimHash as a bit array: bit j is the sign of
     * `sum over token occurrences of (2*parity(hash_j(tokHash)) - 1)`
     * (tf-weighted by construction, since tokens repeat in the list).
+    *
+    * Explode + nBits parallel `sum` aggregates, for the same codegen /
+    * plan-boundary / map-side-partial reasons as [[minhashSignatures]].
     */
-  def simhashBits(docs: DataFrame, nBits: Int = 64): DataFrame =
-    docs
-      .withColumn("toks", TextOps.tokens("text"))
-      .withColumn("tok_hashes",
-        expr(s"transform(toks, t -> ${charHashExpr("t")})"))
-      .withColumn("bits", expr(
-        s"transform(sequence(0, ${nBits - 1}), j -> " +
-          s"if(aggregate(tok_hashes, 0L, (acc, v) -> " +
-          s"acc + 2L * (${permHashExpr("v", "j")} % 2L) - 1L) >= 0L, 1, 0))"))
+  def simhashBits(docs: DataFrame, nBits: Int = 64): DataFrame = {
+    val exploded = docs
+      .select(col("doc_id"), explode(TextOps.tokens("text")).as("t"))
+      .withColumn("v", expr(charHashExpr("t")))
+    val sums = (0 until nBits).map(j =>
+      sum(expr(s"2L * (${permHashExpr("v", j.toString)} % 2L) - 1L"))
+        .as(s"s$j"))
+    exploded
+      .groupBy("doc_id")
+      .agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), array((0 until nBits).map(j =>
+        when(col(s"s$j") >= 0L, 1).otherwise(0)): _*).as("bits"))
+  }
 
   /** SimHash near-dup pairs within `maxHamming` (< 4): band the 64 bits
     * into 4 exact 16-bit chunks (each folded MSB-first into an int);
@@ -165,10 +202,13 @@ object Dedup {
     * bucket join has perfect recall. Output (doc_a, doc_b, hamming).
     */
   def simhashNearDups(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    // Persist: the signature subtree (explode + 64 sums over the portable
+    // char hash) feeds both sides of the band self-join.
     val sigs = simhashBits(docs)
       .withColumn("bands", expr(
         "transform(sequence(0, 3), b -> " +
           "aggregate(slice(bits, b * 16 + 1, 16), 0L, (acc, x) -> acc * 2 + x))"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select(col("doc_id"), col("bits"),
       posexplode(col("bands")).as(Seq("band_id", "band_val")))
     val a = banded.alias("a")

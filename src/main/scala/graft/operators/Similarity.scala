@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -13,26 +13,42 @@ import org.apache.spark.sql.functions._
   *
   *  - brute-force cosine top-k: the exact baseline — a broadcast of the
   *    (small) query set against the full corpus, one pass, no shuffle on
-  *    the corpus side; per-row work is a codegen'd higher-order-function
-  *    fold, no UDF;
+  *    the corpus side;
   *  - LSH-bucketed ANN: random-hyperplane signatures partition the corpus
   *    into buckets; search touches only candidates sharing a bucket with
   *    the query in any of L tables. At 100 TB the corpus side is
   *    pre-bucketed once (write-time partitioning by bucket key) and a
-  *    query reads only its buckets — this is the IVF posture on files.
+  *    query reads only its buckets — the IVF posture on files.
   *
-  * Determinism: all arithmetic is element-order-sequential left folds on
-  * doubles (cast from float *before* multiplying), so results are
-  * bit-identical across engines and partitionings.
+  * Dot products / norms are EXPANDED into flat `v[0]*w[0] + ... +
+  * v[d-1]*w[d-1]` expressions over a fixed dimension rather than
+  * `aggregate`/`zip_with` higher-order functions: HOF lambdas are
+  * interpreted per element (measured ~3µs/element), while the expanded
+  * form stays inside whole-stage codegen. Addition is left-to-right in
+  * index order — the exact same float-summation order as a sequential
+  * fold, so results are bit-identical to the DuckDB oracle's
+  * `list_reduce` and invariant to partitioning.
   */
 object Similarity {
 
+  /** Fixture embedding dimension (embeddings.parquet, FIXTURES.md). */
+  val DefaultDim = 64
+
+  /** Expanded left-to-right sum of `f(k)` for k < dim (codegen-friendly). */
+  private def sumExpand(dim: Int)(f: Int => Column): Column =
+    (0 until dim).map(f).reduce(_ + _)
+
+  /** Expanded dot product of two double-array columns. */
+  def dot(a: Column, b: Column, dim: Int = DefaultDim): Column =
+    sumExpand(dim)(k => a(k) * b(k))
+
   /** Cast the float embedding to double and attach its L2 norm. */
-  def withNorm(df: DataFrame, vecCol: String = "embedding"): DataFrame =
-    df
-      .withColumn("dvec", expr(s"transform($vecCol, x -> cast(x as double))"))
-      .withColumn("norm", expr(
-        "sqrt(aggregate(dvec, cast(0.0 as double), (acc, x) -> acc + x * x))"))
+  def withNorm(df: DataFrame, vecCol: String = "embedding",
+               dim: Int = DefaultDim): DataFrame = {
+    val dv = expr(s"transform($vecCol, x -> cast(x as double))")
+    df.withColumn("dvec", dv)
+      .withColumn("norm", sqrt(sumExpand(dim)(k => col("dvec")(k) * col("dvec")(k))))
+  }
 
   /** Exact cosine top-k: for every query vector (rows matching
     * `queryPred`), the k nearest corpus vectors by cosine similarity.
@@ -40,16 +56,16 @@ object Similarity {
     * corpus is scanned exactly once. Ties broken by neighbor id.
     * Output: (q_id, neighbor_id, rank, cos).
     */
-  def bruteForceTopK(emb: DataFrame, queryPred: String, k: Int): DataFrame = {
-    val n = withNorm(emb)
+  def bruteForceTopK(emb: DataFrame, queryPred: String, k: Int,
+                     dim: Int = DefaultDim): DataFrame = {
+    val n = withNorm(emb, dim = dim)
     val q = n.filter(expr(queryPred))
       .select(col("vec_id").as("q_id"), col("dvec").as("q_vec"),
         col("norm").as("q_norm"))
     val c = n.select(col("vec_id").as("neighbor_id"), col("dvec"), col("norm"))
     val scored = c.join(broadcast(q), col("neighbor_id") =!= col("q_id"))
-      .withColumn("cos", expr(
-        "aggregate(zip_with(q_vec, dvec, (x, y) -> x * y), " +
-          "cast(0.0 as double), (acc, x) -> acc + x) / (q_norm * norm)"))
+      .withColumn("cos",
+        dot(col("q_vec"), col("dvec"), dim) / (col("q_norm") * col("norm")))
     val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("neighbor_id"))
     scored
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -58,57 +74,60 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane component for (table t,
-    * bit j, dim k): integer in [-48, 48]. Portable arithmetic so the
-    * DuckDB oracle reproduces the exact same planes.
-    * Spark `transform` lambda indices are 0-based (DuckDB's are 1-based —
-    * the oracle uses k-1).
+    * bit j, dim k): integer in [-48, 48]. Mirrored by the DuckDB oracle
+    * (whose 1-based lambda index uses k+2 where this 0-based k uses k+3).
     */
-  private def planeExpr(t: Int, j: Int): String =
-    s"aggregate(transform(dvec, (x, k) -> " +
-      s"x * cast((7 + 31 * ${t * 8 + j + 1} * (k + 3)) % 97 - 48 as double)), " +
-      "cast(0.0 as double), (acc, x) -> acc + x)"
+  private def planeComponent(t: Int, j: Int, k: Int): Double =
+    ((7 + 31 * (t * 8 + j + 1) * (k + 3)) % 97 - 48).toDouble
 
   /** Attach L sign-LSH bucket ids (one per hash table), each from
-    * `nBits` hyperplane sign bits folded MSB-first into an int.
+    * `nBits` hyperplane sign bits folded MSB-first into an int. The
+    * plane dot is an expanded literal-weighted sum — fully codegen'd.
     */
-  def withLshBuckets(df: DataFrame, tables: Int = 4, nBits: Int = 4): DataFrame = {
-    val n = if (df.columns.contains("dvec")) df else withNorm(df)
+  def withLshBuckets(df: DataFrame, tables: Int = 4, nBits: Int = 4,
+                     dim: Int = DefaultDim): DataFrame = {
+    val n = if (df.columns.contains("dvec")) df else withNorm(df, dim = dim)
     (0 until tables).foldLeft(n) { (acc, t) =>
-      val bits = (0 until nBits)
-        .map(j => s"if(${planeExpr(t, j)} >= cast(0.0 as double), 1L, 0L)")
-        .mkString(", ")
-      acc.withColumn(s"bucket_$t", expr(
-        s"aggregate(array($bits), 0L, (acc, x) -> acc * 2 + x)"))
+      val bucket = (0 until nBits).map { j =>
+        val d = sumExpand(dim)(k => col("dvec")(k) * lit(planeComponent(t, j, k)))
+        when(d >= 0.0, 1L).otherwise(0L)
+      }.reduce((acc2, bit) => acc2 * 2 + bit)
+      acc.withColumn(s"bucket_$t", bucket)
     }
   }
 
+  /** (vec_id, table_id, bucket) long form for bucket-equality joins. */
+  private def bucketLongForm(bucketed: DataFrame, tables: Int): DataFrame =
+    bucketed.select(col("vec_id"),
+      posexplode(array((0 until tables).map(t => col(s"bucket_$t")): _*))
+        .as(Seq("table_id", "bucket")))
+
   /** Approximate top-k: exact cosine ranking restricted to candidates
     * that share a bucket with the query in ANY of the L tables. The
-    * candidate join is per-(table, bucket) — never all-pairs — and the
-    * bucket key is what you would partition the corpus files by at scale.
+    * candidate join carries only ids — vectors are joined back AFTER
+    * pair dedup, so the wide rows never pass through a shuffle.
     * Output: (q_id, neighbor_id, rank, cos).
     */
   def annTopK(emb: DataFrame, queryPred: String, k: Int,
-              tables: Int = 4, nBits: Int = 4): DataFrame = {
-    val bucketed = withLshBuckets(emb, tables, nBits)
-    val bandCols = (0 until tables).map(t => col(s"bucket_$t"))
-    // (vec_id, table_id, bucket) long form for the bucket-equality join.
-    val long = bucketed.select(col("vec_id"), col("dvec"), col("norm"),
-      posexplode(array(bandCols: _*)).as(Seq("table_id", "bucket")))
-    val q = long.join(
-      bucketed.filter(expr(queryPred)).select(col("vec_id").as("qid")),
-      col("vec_id") === col("qid"))
-      .select(col("vec_id").as("q_id"), col("dvec").as("q_vec"),
-        col("norm").as("q_norm"), col("table_id"), col("bucket"))
-    val cands = long.join(broadcast(q),
-        Seq("table_id", "bucket"))
+              tables: Int = 4, nBits: Int = 4,
+              dim: Int = DefaultDim): DataFrame = {
+    val bucketed = withLshBuckets(emb, tables, nBits, dim)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val long = bucketLongForm(bucketed, tables)
+    val qIds = bucketed.filter(expr(queryPred)).select(col("vec_id").as("q_id"))
+    val qLong = long.join(broadcast(qIds), col("vec_id") === col("q_id"))
+      .select(col("q_id"), col("table_id"), col("bucket"))
+    val candIds = long.join(broadcast(qLong), Seq("table_id", "bucket"))
       .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("q_vec"), col("q_norm"),
-        col("vec_id").as("neighbor_id"), col("dvec"), col("norm"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"))
       .dropDuplicates("q_id", "neighbor_id")
-    val scored = cands.withColumn("cos", expr(
-      "aggregate(zip_with(q_vec, dvec, (x, y) -> x * y), " +
-        "cast(0.0 as double), (acc, x) -> acc + x) / (q_norm * norm)"))
+    val qv = bucketed.select(col("vec_id").as("q_id"),
+      col("dvec").as("q_vec"), col("norm").as("q_norm"))
+    val cv = bucketed.select(col("vec_id").as("neighbor_id"),
+      col("dvec"), col("norm"))
+    val scored = candIds.join(broadcast(qv), "q_id").join(cv, "neighbor_id")
+      .withColumn("cos",
+        dot(col("q_vec"), col("dvec"), dim) / (col("q_norm") * col("norm")))
     val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("neighbor_id"))
     scored
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -116,31 +135,34 @@ object Similarity {
       .select("q_id", "neighbor_id", "rank", "cos")
   }
 
-  /** Embedding-cosine near-duplicate pairs: all pairs with cosine ≥
-    * `threshold`, generated via the LSH bucket join (candidates must
-    * share a bucket in some table) and exact-verified — the same
-    * two-phase candidates→verify shape as [[Dedup.minhashNearDups]].
+  /** Embedding-cosine near-duplicate pairs: pairs with cosine ≥
+    * `threshold` among LSH candidates (sharing a bucket in some table) —
+    * the same two-phase candidates→verify shape as
+    * [[Dedup.minhashNearDups]]. The bucket join and pair dedup carry
+    * only ids; vectors join back afterwards.
     * Output: (id_a, id_b, cos), id_a < id_b.
     */
   def cosineNearDups(emb: DataFrame, threshold: Double,
-                     tables: Int = 8, nBits: Int = 2): DataFrame = {
-    val long = withLshBuckets(emb, tables, nBits)
-      .select(col("vec_id"), col("dvec"), col("norm"),
-        posexplode(array((0 until tables).map(t => col(s"bucket_$t")): _*))
-          .as(Seq("table_id", "bucket")))
+                     tables: Int = 4, nBits: Int = 4,
+                     dim: Int = DefaultDim): DataFrame = {
+    val bucketed = withLshBuckets(emb, tables, nBits, dim)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val long = bucketLongForm(bucketed, tables)
     val a = long.alias("a")
     val b = long.alias("b")
-    a.join(b,
+    val pairIds = a.join(b,
         col("a.table_id") === col("b.table_id") &&
           col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        col("a.dvec").as("va"), col("a.norm").as("na"),
-        col("b.dvec").as("vb"), col("b.norm").as("nb"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-      .withColumn("cos", expr(
-        "aggregate(zip_with(va, vb, (x, y) -> x * y), " +
-          "cast(0.0 as double), (acc, x) -> acc + x) / (na * nb)"))
+    val va = bucketed.select(col("vec_id").as("id_a"),
+      col("dvec").as("va"), col("norm").as("na"))
+    val vb = bucketed.select(col("vec_id").as("id_b"),
+      col("dvec").as("vb"), col("norm").as("nb"))
+    pairIds.join(va, "id_a").join(vb, "id_b")
+      .withColumn("cos",
+        dot(col("va"), col("vb"), dim) / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }

@@ -347,12 +347,12 @@ object LlmSurface {
     "q37_cosine_neardup" ->
       s"""WITH $dkNormed,
          | bucketed AS (SELECT vec_id, v, nrm,
-         |   ${dkBuckets(8, 2)} AS bl FROM normed)
+         |   ${dkBuckets(4, 4)} AS bl FROM normed)
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |  ${dkDot("a.v", "b.v")} / (a.nrm * b.nrm) AS cos
          |FROM bucketed a JOIN bucketed b
          | ON a.vec_id < b.vec_id
-         | AND len(list_filter(range(1, 9), t -> a.bl[t] = b.bl[t])) > 0
+         | AND len(list_filter(range(1, 5), t -> a.bl[t] = b.bl[t])) > 0
          |WHERE ${dkDot("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.3
          |ORDER BY id_a, id_b""".stripMargin,
 

@@ -32,7 +32,7 @@ class DedupSpec extends SparkSpec {
     assert(sigs(1L) == sigs(2L))
     assert(sigs(1L) != sigs(4L))
     assert(sigs(1L).length == 64)
-    assert(sigs(5L).isEmpty) // no shingles → empty signature
+    assert(!sigs.contains(5L)) // no shingles → no signature row
   }
 
   test("minhashNearDups finds exact+near dups, not unrelated docs") {

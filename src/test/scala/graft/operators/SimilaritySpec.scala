@@ -14,7 +14,7 @@ class SimilaritySpec extends SparkSpec {
     .toDF("vec_id", "embedding")
 
   test("bruteForceTopK ranks by exact cosine") {
-    val out = Similarity.bruteForceTopK(emb, "vec_id = 0", k = 4)
+    val out = Similarity.bruteForceTopK(emb, "vec_id = 0", k = 4, dim = 3)
       .select("neighbor_id", "rank", "cos").as[(Long, Long, Double)]
       .collect().sortBy(_._2)
     assert(out.map(_._1).toSeq == Seq(1L, 4L, 2L, 3L))
@@ -50,7 +50,7 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("cosineNearDups finds the colinear pair and respects threshold") {
-    val out = Similarity.cosineNearDups(emb, threshold = 0.99)
+    val out = Similarity.cosineNearDups(emb, threshold = 0.99, dim = 3)
       .select("id_a", "id_b", "cos").as[(Long, Long, Double)].collect()
     assert(out.exists(p => p._1 == 0L && p._2 == 1L))
     assert(out.forall(_._3 >= 0.99))
