@@ -1,0 +1,78 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.SparkEntry
+
+/** Physical-plan regression tests: the properties that make these plans
+  * survive a 100 TB scale-up are asserted, not assumed. A refactor that
+  * silently breaks filter pushdown, broadcasts a big side, or loses
+  * partial aggregation passes correctness tests but dies on a cluster —
+  * these specs catch that class of regression at build time.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sf001)
+      .queryExecution.executedPlan.toString
+
+  test("q02: filters push down to the parquet scan") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters: ["), p.take(800))
+    assert(p.contains("l_discount") && p.contains("GreaterThan"),
+      "discount filter not pushed")
+  }
+
+  test("q02: scan reads only projected+filtered columns") {
+    val p = plan("q02_filter_project")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") &&
+      readSchema.contains("l_discount"))
+    assert(!readSchema.contains("l_tax") && !readSchema.contains("l_suppkey"),
+      s"column pruning lost: $readSchema")
+  }
+
+  test("q03: small dimension is broadcast, not shuffled") {
+    val p = plan("q03_join_topk")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
+  test("q01: aggregation is partial (map-side) + final") {
+    val p = plan("q01_agg")
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"),
+      p.take(800))
+    // two HashAggregate levels around the exchange
+    assert("HashAggregate".r.findAllIn(p).length >= 2)
+  }
+
+  test("q01: plan runs inside whole-stage codegen") {
+    // AQE only materializes codegen stages once executed
+    val df = SparkEntry.queries("q01_agg")(spark, sf001)
+    df.collect() // count() plans a separate agg; collect finalizes THIS plan
+    val p = df.queryExecution.executedPlan.toString
+    // "*(n)" is the WholeStageCodegen stage marker in plan strings
+    assert(p.contains("*("), p.take(600))
+  }
+
+  test("q12: global sort+limit becomes TakeOrderedAndProject") {
+    val p = plan("q12_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
+  test("q04: EXISTS becomes a semi join, not an aggregate-join") {
+    val p = plan("q04_semijoin")
+    assert(p.contains("LeftSemi"), p.take(800))
+  }
+
+  test("q26: tf-idf search keeps the corpus-size frame broadcast") {
+    val p = plan("q26_tfidf_search")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(1200))
+  }
+
+  test("q35: brute-force top-k broadcasts the query side only") {
+    val p = plan("q35_cosine_topk")
+    assert(p.contains("BroadcastExchange"), p.take(1200))
+    // corpus side must not be globally sorted (window is per-q_id)
+    assert(!p.contains("GlobalSort"), "unexpected global sort")
+  }
+}
