@@ -38,16 +38,20 @@ object Similarity {
   private def sumExpand(dim: Int)(f: Int => Column): Column =
     (0 until dim).map(f).reduce(_ + _)
 
-  /** Expanded dot product of two double-array columns. */
+  /** Dot product via the native [[graft.functions.ArrayDotProduct]]
+    * expression — dimension-agnostic, whole-stage-codegen'd, and
+    * bit-identical to a sequential left-to-right fold.
+    */
   def dot(a: Column, b: Column, dim: Int = DefaultDim): Column =
-    sumExpand(dim)(k => a(k) * b(k))
+    call_function("array_dot", a, b)
 
   /** Cast the float embedding to double and attach its L2 norm. */
   def withNorm(df: DataFrame, vecCol: String = "embedding",
                dim: Int = DefaultDim): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val dv = expr(s"transform($vecCol, x -> cast(x as double))")
     df.withColumn("dvec", dv)
-      .withColumn("norm", sqrt(sumExpand(dim)(k => col("dvec")(k) * col("dvec")(k))))
+      .withColumn("norm", sqrt(dot(col("dvec"), col("dvec"), dim)))
   }
 
   /** Exact cosine top-k: for every query vector (rows matching

@@ -297,6 +297,59 @@ object SqlSurface {
           dsum(col("value")).as("sum_value"))
         .orderBy("hour_ts", "event_type")),
 
+    // --- FULL OUTER join: all customers x all nations-of-orders ---
+    "q39_fullouter" -> ((s, d) => {
+      val c = t(s, d, "customer").filter(col("c_acctbal") > 9000)
+        .select(col("c_custkey"), col("c_name"))
+      val o = t(s, d, "orders").filter(col("o_totalprice") > 250000)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_big"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+        .select(col("c_custkey"), col("c_name"), col("o_custkey"),
+          col("n_big"))
+        .orderBy(asc_nulls_first("c_custkey"), asc_nulls_first("o_custkey"))
+    }),
+
+    // --- CROSS join (small x small) ---
+    "q40_crossjoin" -> ((s, d) => {
+      val r = t(s, d, "region").select(col("r_name"))
+      val n = t(s, d, "nation").filter(col("n_nationkey") < 5)
+        .select(col("n_name"))
+      r.crossJoin(n).orderBy("r_name", "n_name")
+    }),
+
+    // --- RIGHT OUTER join ---
+    "q41_rightjoin" -> ((s, d) => {
+      val o = t(s, d, "orders").filter(col("o_totalprice") > 280000)
+      val c = t(s, d, "customer")
+      o.join(c, o("o_custkey") === c("c_custkey"), "right")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_custkey")
+    }),
+
+    // --- from_json: parse the events props payload into a struct ---
+    "q42_from_json" -> ((s, d) =>
+      t(s, d, "events")
+        .withColumn("p", from_json(col("props"),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType)))))
+        .groupBy((col("p.k") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("n"), sum(col("p.k")).as("k_sum"))
+        .orderBy(asc_nulls_first("k_mod"))),
+
+    // --- approx_count_distinct (HLL++ sketch). No DuckDB oracle: sketch
+    //     estimates are engine-specific (SURVEY §7.3) — the driver
+    //     records a rows-only check; the exact counts ride along so the
+    //     relative error is inspectable in the output itself. ---
+    "q43_approx_distinct" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct("l_partkey").as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct("l_orderkey").as("approx_orders"))
+        .orderBy("l_returnflag")),
+
     // --- E2 parity: document production with sequential 1-based _id ---
     "q23_index_docs" -> ((s, d) => {
       val o = t(s, d, "orders"); val c = t(s, d, "customer")
@@ -486,6 +539,33 @@ object SqlSurface {
         | count(*) AS n,
         | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_ts, event_type""".stripMargin,
+
+    "q39_fullouter" ->
+      """SELECT c_custkey, c_name, o_custkey, n_big FROM
+        |(SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 9000) c
+        |FULL OUTER JOIN
+        |(SELECT o_custkey, count(*) AS n_big FROM orders
+        | WHERE o_totalprice > 250000 GROUP BY o_custkey) o
+        |ON c.c_custkey = o.o_custkey
+        |ORDER BY c_custkey ASC NULLS FIRST, o_custkey ASC NULLS FIRST"""
+        .stripMargin,
+
+    "q40_crossjoin" ->
+      """SELECT r_name, n_name FROM region
+        |CROSS JOIN (SELECT n_name FROM nation WHERE n_nationkey < 5)
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "q41_rightjoin" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+        |FROM (SELECT * FROM orders WHERE o_totalprice > 280000) o
+        |RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "q42_from_json" ->
+      """SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
+        | count(*) AS n,
+        | sum(CAST(json_extract(props, '$.k') AS BIGINT))::BIGINT AS k_sum
+        |FROM events GROUP BY 1 ORDER BY k_mod ASC NULLS FIRST""".stripMargin,
 
     "q23_index_docs" ->
       """SELECT CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT) AS _id,
