@@ -1,0 +1,52 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.gate.EngineError
+
+/** Source connectors — the rebuild of the reference's driver dispatch
+  * (`api/controllers/base.go:38-66`: build a DSN from env for mysql or
+  * postgres, `sql.Open`, hand the connection to the query path).
+  *
+  * Here a "driver" selects a Spark source format:
+  *  - `parquet` — the primary, testable path: a directory of tables
+  *    (`<dir>/<table>.parquet`), scanned distributed/vectorized with
+  *    pushdown (the fixture layout, TESTDATA.md);
+  *  - `jdbc` — literal parity with the reference's MySQL/Postgres role:
+  *    `spark.read.format("jdbc")` against a URL. Partitioned reads
+  *    (partitionColumn/lowerBound/upperBound/numPartitions) are the
+  *    scale knob — a single-connection JDBC scan is the reference's
+  *    bottleneck reproduced, so [[jdbcTable]] requires the caller to
+  *    think about it. No database is reachable in the test environment;
+  *    the construction path is exercised, execution is not.
+  */
+object Sources {
+
+  /** Open one table through the driver-dispatch gate. */
+  def table(spark: SparkSession, dbDriver: String, dbName: String,
+            tableName: String): DataFrame = dbDriver match {
+    case "parquet" =>
+      spark.read.parquet(s"$dbName/$tableName.parquet")
+    case "jdbc" =>
+      jdbcTable(spark, dbName, tableName)
+    case other =>
+      throw EngineError.IncorrectSource(other)
+  }
+
+  /** JDBC table read. `url` must be a full JDBC URL (the reference
+    * assembles it from env, `base.go:42-60`); `partitionSpec` enables
+    * the parallel range-partitioned scan.
+    */
+  def jdbcTable(spark: SparkSession, url: String, tableName: String,
+                partitionSpec: Option[(String, Long, Long, Int)] = None): DataFrame = {
+    val base = spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", tableName)
+    val withPart = partitionSpec.fold(base) { case (col, lo, hi, n) =>
+      base.option("partitionColumn", col)
+        .option("lowerBound", lo).option("upperBound", hi)
+        .option("numPartitions", n)
+    }
+    withPart.load()
+  }
+}

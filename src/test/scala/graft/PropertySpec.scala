@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.operators.{Dedup, Indexer, TextOps}
+
+/** Property-based invariants (SURVEY §5.2): JSON round-trips, hash
+  * determinism/range, dedup idempotence, jaccard bounds — checked over
+  * ScalaCheck-generated inputs (fixed seeds — the raw scalacheck dep is
+  * driven directly; the scalatest bridge artifact is not available in
+  * the offline cache), executed through the real Spark expressions.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+  private val text = Gen.listOfN(8, word).map(_.mkString(" "))
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).map(i => g.pureApply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("toJSON ∘ from_json is the identity on (id, text) rows") {
+    samples(Gen.listOfN(5, text), 5).foreach { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val json = Indexer.toJsonDocs(df)
+      val back = spark.read.json(json)
+      val orig = df.collect().map(r => (r.getLong(0), r.getString(1))).sorted
+      val round = back.select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sorted
+      assert(round.toSeq == orig.toSeq)
+    }
+  }
+
+  test("charHash is deterministic and in [0, P)") {
+    samples(Gen.listOfN(20, word), 3).foreach { words =>
+      val df = words.toDF("w")
+        .withColumn("h1", expr(TextOps.charHashExpr("w")))
+        .withColumn("h2", expr(TextOps.charHashExpr("w")))
+      val rows = df.select("h1", "h2").as[(Long, Long)].collect()
+      assert(rows.forall { case (a, b) => a == b })
+      assert(rows.forall { case (a, _) => a >= 0 && a < TextOps.HashP })
+    }
+  }
+
+  test("jaccard of any doc with its copy is 1; bounds hold for all pairs") {
+    samples(Gen.listOfN(6, text), 3).foreach { texts =>
+      val distinct = texts.distinct.filter(_.split(" ").length >= 3)
+      val df = distinct.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val doubled = df.union(df.withColumn("doc_id", col("doc_id") + 1000))
+      val pairs = Dedup.ngramJaccardPairs(doubled, threshold = 0.0)
+        .as[(Long, Long, Double)].collect()
+      distinct.indices.foreach { i =>
+        assert(pairs.exists(p =>
+          p._1 == i && p._2 == i + 1000 && p._3 == 1.0))
+      }
+      assert(pairs.forall(p => p._3 > 0.0 && p._3 <= 1.0))
+    }
+  }
+
+  test("exact dedup is idempotent over arbitrary duplication") {
+    samples(Gen.zip(Gen.listOfN(4, text), Gen.choose(2, 4)), 3).foreach {
+      case (texts, copies) =>
+        val rows = for {
+          (t, i) <- texts.zipWithIndex
+          c <- 0 until copies
+        } yield ((i * 100 + c).toLong, t)
+        val df = rows.toDF("doc_id", "text")
+        val kept = Dedup.exactDedup(df).filter(!col("is_dup"))
+          .select("doc_id", "text")
+        assert(kept.count() == texts.distinct.length.toLong)
+        assert(Dedup.exactDedup(kept).filter(col("is_dup")).count() == 0)
+    }
+  }
+}
