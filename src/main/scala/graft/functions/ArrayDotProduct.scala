@@ -89,7 +89,7 @@ case class ArrayDotProduct(left: Expression, right: Expression)
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
-    ext.injectFunction(GraftFunctions.arrayDot)
+    GraftFunctions.all.foreach(ext.injectFunction)
 }
 
 object GraftFunctions {
@@ -99,11 +99,16 @@ object GraftFunctions {
     new ExpressionInfo(classOf[ArrayDotProduct].getName, "array_dot"),
     (children: Seq[Expression]) => ArrayDotProduct(children(0), children(1)))
 
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq(arrayDot, CharPolyHash.registration)
+
   /** Idempotent runtime registration on a session. */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    if (!registry.functionExists(arrayDot._1)) {
-      registry.registerFunction(arrayDot._1, arrayDot._2, arrayDot._3)
+    all.foreach { case (id, info, builder) =>
+      if (!registry.functionExists(id)) {
+        registry.registerFunction(id, info, builder)
+      }
     }
   }
 }

@@ -183,9 +183,10 @@ object Dedup {
     * plan-boundary / map-side-partial reasons as [[minhashSignatures]].
     */
   def simhashBits(docs: DataFrame, nBits: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val exploded = docs
       .select(col("doc_id"), explode(TextOps.tokens("text")).as("t"))
-      .withColumn("v", expr(charHashExpr("t")))
+      .withColumn("v", expr("char_poly_hash(t)")) // native twin of charHashExpr
     val sums = (0 until nBits).map(j =>
       sum(expr(s"2L * (${permHashExpr("v", j.toString)} % 2L) - 1L"))
         .as(s"s$j"))

@@ -34,10 +34,6 @@ object Similarity {
   /** Fixture embedding dimension (embeddings.parquet, FIXTURES.md). */
   val DefaultDim = 64
 
-  /** Expanded left-to-right sum of `f(k)` for k < dim (codegen-friendly). */
-  private def sumExpand(dim: Int)(f: Int => Column): Column =
-    (0 until dim).map(f).reduce(_ + _)
-
   /** Dot product via the native [[graft.functions.ArrayDotProduct]]
     * expression — dimension-agnostic, whole-stage-codegen'd, and
     * bit-identical to a sequential left-to-right fold.
@@ -85,15 +81,18 @@ object Similarity {
     ((7 + 31 * (t * 8 + j + 1) * (k + 3)) % 97 - 48).toDouble
 
   /** Attach L sign-LSH bucket ids (one per hash table), each from
-    * `nBits` hyperplane sign bits folded MSB-first into an int. The
-    * plane dot is an expanded literal-weighted sum — fully codegen'd.
+    * `nBits` hyperplane sign bits folded MSB-first into an int. Each
+    * plane is a constant-folded literal array; the dot runs in the
+    * native `array_dot` loop (same sequential accumulation order as the
+    * oracle's fold, so the sign — and hence every bucket id — matches).
     */
   def withLshBuckets(df: DataFrame, tables: Int = 4, nBits: Int = 4,
                      dim: Int = DefaultDim): DataFrame = {
     val n = if (df.columns.contains("dvec")) df else withNorm(df, dim = dim)
     (0 until tables).foldLeft(n) { (acc, t) =>
       val bucket = (0 until nBits).map { j =>
-        val d = sumExpand(dim)(k => col("dvec")(k) * lit(planeComponent(t, j, k)))
+        val plane = typedLit((0 until dim).map(planeComponent(t, j, _)).toArray)
+        val d = dot(col("dvec"), plane, dim)
         when(d >= 0.0, 1L).otherwise(0L)
       }.reduce((acc2, bit) => acc2 * 2 + bit)
       acc.withColumn(s"bucket_$t", bucket)

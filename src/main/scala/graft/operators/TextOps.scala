@@ -141,11 +141,14 @@ object TextOps {
     * Equal fingerprints ⇔ equal token sequences (mod collisions);
     * unlike [[Dedup]] set-similarity it is sensitive to word order.
     */
-  def withFingerprint(docs: DataFrame): DataFrame =
+  def withFingerprint(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     docs
       .withColumn("toks", tokens("text"))
+      // native char_poly_hash == charHashExpr by construction
       .withColumn("tok_hashes",
-        expr(s"transform(toks, t -> ${charHashExpr("t")})"))
+        expr("transform(toks, t -> char_poly_hash(t))"))
       .withColumn("fingerprint", expr(
         s"aggregate(tok_hashes, 0L, (h, v) -> (h * 131 + v) % ${PermP}L)"))
+  }
 }

@@ -43,6 +43,15 @@ class ArrayDotProductSpec extends SparkSpec {
     assert(df.head().getDouble(0) > 0)
   }
 
+  test("char_poly_hash equals the interpreted charHashExpr fold") {
+    val df = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("t"))
+      .withColumn("native", expr("char_poly_hash(t)"))
+      .withColumn("hof", expr(graft.operators.TextOps.charHashExpr("t")))
+    assert(df.filter(col("native") =!= col("hof")).count() == 0L)
+    assert(df.count() > 0)
+  }
+
   test("registration is idempotent and extension class applies cleanly") {
     GraftFunctions.register(spark)
     GraftFunctions.register(spark)
