@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators: the corpus-preparation steps that
+  * sit between raw documents and a training run. All are per-row
+  * codegen'd expressions or single-shuffle joins; all are deterministic
+  * (content-hash based, no RNG) so runs are reproducible and the DuckDB
+  * oracle can replay them exactly — on a 1000-executor cluster,
+  * determinism-under-repartitioning is what makes a data recipe a
+  * recipe.
+  */
+object Pipeline {
+
+  /** Sliding token-window chunks (`size` tokens, `stride` step) — the
+    * context-window packing step. One output row per chunk; the explode
+    * multiplies row count by ~n_tokens/stride, so repartition after
+    * chunking, before any wide transform (SCALE.md).
+    */
+  def chunk(docs: DataFrame, size: Int = 32, stride: Int = 16): DataFrame =
+    docs
+      .withColumn("toks", TextOps.tokens("text"))
+      .withColumn("chunk_id", explode(expr(
+        s"sequence(0, greatest(cast(ceil((size(toks) - $size) / " +
+          s"cast($stride as double)) as int), 0))")))
+      .withColumn("chunk_text", expr(
+        s"concat_ws(' ', slice(toks, chunk_id * $stride + 1, $size))"))
+      .withColumn("chunk_tokens", expr(
+        s"bigint(size(slice(toks, chunk_id * $stride + 1, $size)))"))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        col("chunk_text"), col("chunk_tokens"))
+
+  /** PII-shaped redaction: digit runs → `<num>`, token-internal
+    * at-signs → `<email>` placeholder. Pure `regexp_replace` — the
+    * pattern set is a stand-in; the operator shape (chained per-row
+    * regex rewrites, no shuffle) is the real thing.
+    */
+  def redact(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("redacted", regexp_replace(
+        regexp_replace(col("text"), "[a-z0-9.]+@[a-z0-9.]+", "<email>"),
+        "[0-9]+", "<num>"))
+      .withColumn("n_redactions", expr(
+        "bigint(size(regexp_extract_all(redacted, '<(num|email)>', 0)))"))
+
+  /** Deterministic content-hash train/val/test split: bucket =
+    * charHash(text) mod 100 → train < `trainPct` ≤ val < `valEnd` ≤
+    * test. Content-based (not id-based) so re-ingested duplicates land
+    * in the same split — the property that prevents leakage.
+    */
+  def split(docs: DataFrame, trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val valEnd = trainPct + valPct
+    docs
+      .withColumn("bucket", expr("char_poly_hash(text) % 100"))
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < valEnd, "val")
+          .otherwise("test"))
+  }
+
+  /** Systematic (deterministic) sampling: keep rows whose content hash
+    * lands under `pct` of the bucket space. Unlike `df.sample`, the
+    * result is a pure function of content — stable across runs,
+    * partitionings and engines.
+    */
+  def systematicSample(docs: DataFrame, pct: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.filter(expr(s"char_poly_hash(text) % 100 < $pct"))
+  }
+
+  /** Train/test contamination check: for every test doc, count distinct
+    * train docs sharing at least one word n-gram, via the inverted-
+    * index join (shingle-keyed shuffle — never a cross join). The
+    * output is per-test-doc so offending documents are actionable.
+    */
+  def contamination(train: DataFrame, test: DataFrame, n: Int = 8): DataFrame = {
+    val tr = TextOps.withShingles(train, n)
+      .select(col("doc_id").as("train_id"), explode(col("shingles")).as("sh"))
+    val te = TextOps.withShingles(test, n)
+      .select(col("doc_id").as("test_id"), explode(col("shingles")).as("sh"))
+    te.join(tr, "sh")
+      .groupBy("test_id")
+      .agg(countDistinct(col("train_id")).as("n_train_docs"),
+        count(lit(1)).as("n_shared_ngrams"))
+      .orderBy("test_id")
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
-import graft.operators.{Dedup, Multimodal, Search, Similarity, TextOps}
+import graft.operators.{Dedup, Multimodal, Pipeline, Search, Similarity, TextOps}
 
 /** LLM-data-pipeline query surface (SURVEY §2.3): search-engine,
   * deduplication, similarity-search, text-analysis and multimodal
@@ -105,6 +105,45 @@ object LlmSurface {
     "q37_cosine_neardup" -> ((s, d) =>
       Similarity.cosineNearDups(emb(s, d), threshold = 0.3)
         .orderBy("id_a", "id_b")),
+
+    // --- context-window chunking (sliding token windows) ---
+    "q44_chunk" -> ((s, d) =>
+      Pipeline.chunk(docs(s, d), size = 32, stride = 16)
+        .orderBy("doc_id", "chunk_id")),
+
+    // --- PII-shaped redaction (digits injected via doc_id so the
+    //     rewrite is observable on the all-letters fixture corpus) ---
+    "q45_redact" -> ((s, d) =>
+      Pipeline.redact(docs(s, d)
+          .withColumn("text",
+            concat(col("text"), lit(" contact user"), col("doc_id"),
+              lit("@example.com id "), col("doc_id"))))
+        .select("doc_id", "redacted", "n_redactions")
+        .orderBy("doc_id")),
+
+    // --- deterministic content-hash train/val/test split ---
+    "q46_split" -> ((s, d) =>
+      Pipeline.split(docs(s, d))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n"),
+          min("bucket").as("min_bucket"), max("bucket").as("max_bucket"))
+        .orderBy("split")),
+
+    // --- systematic content-hash sampling ---
+    "q47_sample" -> ((s, d) =>
+      Pipeline.systematicSample(docs(s, d), pct = 10)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")),
+
+    // --- train/test contamination via n-gram overlap ---
+    "q48_contamination" -> ((s, d) => {
+      val withBucket = Pipeline.split(docs(s, d))
+      val train = withBucket.filter(col("split") === "train")
+        .select("doc_id", "text")
+      val test = withBucket.filter(col("split") === "test")
+        .select("doc_id", "text")
+      Pipeline.contamination(train, test, n = 8)
+    }),
 
     // --- multimodal byte-level plumbing over a binary payload column ---
     "q38_media_bytes" -> ((s, d) =>
@@ -355,6 +394,65 @@ object LlmSurface {
          | AND len(list_filter(range(1, 5), t -> a.bl[t] = b.bl[t])) > 0
          |WHERE ${dkDot("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.3
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q44_chunk" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        | c AS (SELECT doc_id, toks,
+        |   unnest(range(0, greatest(CAST(ceil((len(toks) - 32) / 16.0) AS INT), 0) + 1)) AS chunk_id
+        |  FROM t)
+        |SELECT doc_id, chunk_id::BIGINT AS chunk_id,
+        |  array_to_string(toks[chunk_id * 16 + 1 : chunk_id * 16 + 32], ' ') AS chunk_text,
+        |  len(toks[chunk_id * 16 + 1 : chunk_id * 16 + 32])::BIGINT AS chunk_tokens
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q45_redact" ->
+      """WITH t AS (SELECT doc_id,
+        |  text || ' contact user' || doc_id || '@example.com id ' || doc_id AS text
+        | FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(text, '[a-z0-9.]+@[a-z0-9.]+', '<email>', 'g'),
+        |                 '[0-9]+', '<num>', 'g') AS redacted,
+        |  len(regexp_extract_all(
+        |    regexp_replace(regexp_replace(text, '[a-z0-9.]+@[a-z0-9.]+', '<email>', 'g'),
+        |                   '[0-9]+', '<num>', 'g'),
+        |    '<(num|email)>'))::BIGINT AS n_redactions
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q46_split" -> {
+      val h = dkCharHash("text")
+      s"""WITH b AS (SELECT doc_id, $h % 100 AS bucket FROM documents)
+         |SELECT CASE WHEN bucket < 80 THEN 'train'
+         |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+         |  count(*) AS n, min(bucket) AS min_bucket, max(bucket) AS max_bucket
+         |FROM b GROUP BY 1 ORDER BY split""".stripMargin
+    },
+
+    "q47_sample" -> {
+      val h = dkCharHash("text")
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE $h % 100 < 10 ORDER BY doc_id""".stripMargin
+    },
+
+    "q48_contamination" -> {
+      val h = dkCharHash("text")
+      val sh8 =
+        "CASE WHEN len(toks) >= 8 THEN list_distinct([" +
+          (0 until 8).map(j => s"toks[i+$j]").mkString(" || ' ' || ") +
+          " for i in range(1, len(toks) - 6)]) ELSE [] END"
+      s"""WITH b AS (SELECT doc_id, text, $h % 100 AS bucket FROM documents),
+         | tr AS (SELECT train_id, unnest(sh) AS sh FROM
+         |   (SELECT doc_id AS train_id, $sh8 AS sh
+         |    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM b
+         |          WHERE bucket < 80))),
+         | te AS (SELECT test_id, unnest(sh) AS sh FROM
+         |   (SELECT doc_id AS test_id, $sh8 AS sh
+         |    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM b
+         |          WHERE bucket >= 90)))
+         |SELECT test_id, count(DISTINCT train_id) AS n_train_docs,
+         |  count(*) AS n_shared_ngrams
+         |FROM te JOIN tr USING (sh)
+         |GROUP BY test_id ORDER BY test_id""".stripMargin
+    },
 
     "q38_media_bytes" ->
       """SELECT doc_id,

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, (1 to 80).map(i => s"w$i").mkString(" ")), // 80 tokens
+    (2L, "short doc here"))
+    .toDF("doc_id", "text")
+
+  test("chunk: sliding windows cover every token; short docs get one chunk") {
+    val c = Pipeline.chunk(docs, size = 32, stride = 16)
+      .as[(Long, Long, String, Long)].collect()
+    val doc1 = c.filter(_._1 == 1L).sortBy(_._2)
+    // 80 tokens, size 32, stride 16 → ceil((80-32)/16)=3 → chunks 0..3
+    assert(doc1.map(_._2).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(doc1.take(3).forall(_._4 == 32L))
+    assert(doc1.head._3.startsWith("w1 w2 "))
+    // last chunk starts at 3*16+1 = 49 → 32 tokens to 80 exactly
+    assert(doc1.last._4 == 32L)
+    val doc2 = c.filter(_._1 == 2L)
+    assert(doc2.length == 1 && doc2.head._4 == 3L)
+    // coverage: every token of doc1 appears in some chunk
+    val covered = doc1.flatMap(_._3.split(" ")).toSet
+    assert((1 to 80).forall(i => covered.contains(s"w$i")))
+  }
+
+  test("redact replaces emails before digits and counts rewrites") {
+    val r = Pipeline.redact(Seq(
+        (1L, "mail me at bob99@mail.com or call 555 1234"),
+        (2L, "nothing sensitive here"))
+      .toDF("doc_id", "text"))
+      .select("doc_id", "redacted", "n_redactions")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(r(0)._2 == "mail me at <email> or call <num> <num>")
+    assert(r(0)._3 == 3L)
+    assert(r(1)._2 == "nothing sensitive here" && r(1)._3 == 0L)
+  }
+
+  test("split is content-based: identical text → identical split") {
+    val df = Seq((1L, "same text alpha beta"), (2L, "same text alpha beta"),
+      (3L, "totally different content"))
+      .toDF("doc_id", "text")
+    val s = Pipeline.split(df).select("doc_id", "split")
+      .as[(Long, String)].collect().toMap
+    assert(s(1L) == s(2L))
+  }
+
+  test("split buckets partition [0,100) into train/val/test") {
+    val sf = spark.read.parquet(s"$sf001/documents.parquet")
+    val s = Pipeline.split(sf)
+    val bad = s.filter(
+      (col("split") === "train" && col("bucket") >= 80) ||
+        (col("split") === "val" && (col("bucket") < 80 || col("bucket") >= 90)) ||
+        (col("split") === "test" && col("bucket") < 90)).count()
+    assert(bad == 0L)
+    assert(s.select("split").distinct().count() == 3)
+  }
+
+  test("systematicSample is stable and roughly proportional") {
+    val sf = spark.read.parquet(s"$sf001/documents.parquet")
+    val a = Pipeline.systematicSample(sf, 10).select("doc_id")
+      .as[Long].collect().sorted
+    val b = Pipeline.systematicSample(sf, 10).select("doc_id")
+      .as[Long].collect().sorted
+    assert(a.toSeq == b.toSeq) // deterministic
+    assert(a.length > 10 && a.length < 150) // ~10% of 500, loose bounds
+  }
+
+  test("contamination finds planted train/test n-gram overlap") {
+    val train = Seq((1L, (1 to 20).map("t" + _).mkString(" ")),
+      (2L, "unrelated train words only here padding pad pad pad")).toDF("doc_id", "text")
+    val test = Seq((10L, (5 to 16).map("t" + _).mkString(" ")), // overlaps doc 1
+      (11L, "clean test document with fresh tokens pad2 pad2")).toDF("doc_id", "text")
+    val c = Pipeline.contamination(train, test, n = 8)
+      .as[(Long, Long, Long)].collect()
+    assert(c.exists(r => r._1 == 10L && r._2 == 1L))
+    assert(!c.exists(_._1 == 11L))
+  }
+}
