@@ -76,10 +76,17 @@ object Pipeline {
     * output is per-test-doc so offending documents are actionable.
     */
   def contamination(train: DataFrame, test: DataFrame, n: Int = 8): DataFrame = {
-    val tr = TextOps.withShingles(train, n)
-      .select(col("doc_id").as("train_id"), explode(col("shingles")).as("sh"))
-    val te = TextOps.withShingles(test, n)
-      .select(col("doc_id").as("test_id"), explode(col("shingles")).as("sh"))
+    // Persist the shingled frames before exploding: a Generate over the
+    // higher-order shingle expression re-evaluates the chain per row
+    // (same pathology as in Dedup.minhashSignatures — measured 7×).
+    def shingled(df: DataFrame, idCol: String): DataFrame =
+      TextOps.withShingles(df, n)
+        .select(col("doc_id").as(idCol), col("shingles"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tr = shingled(train, "train_id")
+      .select(col("train_id"), explode(col("shingles")).as("sh"))
+    val te = shingled(test, "test_id")
+      .select(col("test_id"), explode(col("shingles")).as("sh"))
     te.join(tr, "sh")
       .groupBy("test_id")
       .agg(countDistinct(col("train_id")).as("n_train_docs"),
