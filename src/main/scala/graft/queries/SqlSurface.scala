@@ -350,6 +350,45 @@ object SqlSurface {
           approx_count_distinct("l_orderkey").as("approx_orders"))
         .orderBy("l_returnflag")),
 
+    // --- exact percentiles (sort-based; linear interpolation both
+    //     engines) ---
+    "q49_quantiles" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, 0.25)").as("q25"),
+          expr("percentile(l_quantity, 0.5)").as("q50"),
+          expr("percentile(l_quantity, 0.75)").as("q75"),
+          expr("percentile(l_extendedprice, 0.9)").as("p90_price"))
+        .orderBy("l_returnflag")),
+
+    // --- string function breadth: pad/replace/split_part/levenshtein ---
+    "q50_strfns" -> ((s, d) =>
+      t(s, d, "part")
+        .filter(col("p_partkey") <= 100)
+        .select(col("p_partkey"),
+          lpad(col("p_brand"), 12, "*").as("brand_pad"),
+          regexp_replace(col("p_name"), " ", "_").as("name_us"),
+          expr("split_part(p_type, ' ', 1)").as("type_head"),
+          reverse(col("p_brand")).as("brand_rev"),
+          levenshtein(col("p_brand"), lit("Brand#1")).cast("long")
+            .as("lev_brand"),
+          expr("bigint(instr(p_name, 'a'))").as("first_a"))
+        .orderBy("p_partkey")),
+
+    // --- date arithmetic breadth ---
+    "q51_datefns" -> ((s, d) =>
+      t(s, d, "orders")
+        .filter(col("o_orderkey") <= 300)
+        .select(col("o_orderkey"),
+          date_add(col("o_orderdate"), 30).as("due_date"),
+          last_day(col("o_orderdate")).as("month_end"),
+          datediff(lit("1998-01-01").cast("date"), col("o_orderdate"))
+            .cast("long").as("days_to_98"),
+          dayofweek(col("o_orderdate")).cast("long").as("dow"),
+          quarter(col("o_orderdate")).cast("long").as("qtr"),
+          date_trunc("month", col("o_orderdate")).as("month_start"))
+        .orderBy("o_orderkey")),
+
     // --- E2 parity: document production with sequential 1-based _id ---
     "q23_index_docs" -> ((s, d) => {
       val o = t(s, d, "orders"); val c = t(s, d, "customer")
@@ -566,6 +605,36 @@ object SqlSurface {
         | count(*) AS n,
         | sum(CAST(json_extract(props, '$.k') AS BIGINT))::BIGINT AS k_sum
         |FROM events GROUP BY 1 ORDER BY k_mod ASC NULLS FIRST""".stripMargin,
+
+    "q49_quantiles" ->
+      """SELECT l_returnflag,
+        | quantile_cont(l_quantity, 0.25) AS q25,
+        | quantile_cont(l_quantity, 0.5) AS q50,
+        | quantile_cont(l_quantity, 0.75) AS q75,
+        | quantile_cont(l_extendedprice, 0.9) AS p90_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+        .stripMargin,
+
+    "q50_strfns" ->
+      """SELECT p_partkey,
+        | lpad(p_brand, 12, '*') AS brand_pad,
+        | regexp_replace(p_name, ' ', '_', 'g') AS name_us,
+        | split_part(p_type, ' ', 1) AS type_head,
+        | reverse(p_brand) AS brand_rev,
+        | levenshtein(p_brand, 'Brand#1')::BIGINT AS lev_brand,
+        | instr(p_name, 'a')::BIGINT AS first_a
+        |FROM part WHERE p_partkey <= 100 ORDER BY p_partkey""".stripMargin,
+
+    // Spark dayofweek is 1=Sunday..7; DuckDB dayofweek is 0=Sunday..6.
+    "q51_datefns" ->
+      """SELECT o_orderkey,
+        | (o_orderdate + INTERVAL 30 DAY)::DATE AS due_date,
+        | last_day(o_orderdate) AS month_end,
+        | date_diff('day', o_orderdate, DATE '1998-01-01')::BIGINT AS days_to_98,
+        | (dayofweek(o_orderdate) + 1)::BIGINT AS dow,
+        | quarter(o_orderdate)::BIGINT AS qtr,
+        | date_trunc('month', o_orderdate)::TIMESTAMP AS month_start
+        |FROM orders WHERE o_orderkey <= 300 ORDER BY o_orderkey""".stripMargin,
 
     "q23_index_docs" ->
       """SELECT CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT) AS _id,
