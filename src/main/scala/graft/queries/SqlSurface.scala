@@ -389,6 +389,25 @@ object SqlSurface {
           date_trunc("month", col("o_orderdate")).as("month_start"))
         .orderBy("o_orderkey")),
 
+    // --- UDAF tier: typed Aggregator computing grouped top-k with a
+    //     k-bounded buffer + map-side merge (vs full window sort) ---
+    "q52_topk_udaf" -> ((s, d) => {
+      val topk = udaf(new graft.functions.TopKAggregator(3),
+        org.apache.spark.sql.Encoders.product[graft.functions.Scored])
+      t(s, d, "lineitem")
+        .select(col("l_returnflag"),
+          (col("l_orderkey") * 10 + col("l_linenumber")).as("id"),
+          col("l_extendedprice").as("score"))
+        .groupBy("l_returnflag")
+        .agg(topk(col("id"), col("score")).as("top"))
+        .select(col("l_returnflag"),
+          posexplode(col("top")).as(Seq("pos", "item")))
+        .select(col("l_returnflag"),
+          (col("pos") + 1).cast("long").as("rank"),
+          col("item.id").as("id"), col("item.score").as("score"))
+        .orderBy("l_returnflag", "rank")
+    }),
+
     // --- E2 parity: document production with sequential 1-based _id ---
     "q23_index_docs" -> ((s, d) => {
       val o = t(s, d, "orders"); val c = t(s, d, "customer")
@@ -605,6 +624,17 @@ object SqlSurface {
         | count(*) AS n,
         | sum(CAST(json_extract(props, '$.k') AS BIGINT))::BIGINT AS k_sum
         |FROM events GROUP BY 1 ORDER BY k_mod ASC NULLS FIRST""".stripMargin,
+
+    "q52_topk_udaf" ->
+      """SELECT l_returnflag, rn AS rank, id, score FROM (
+        | SELECT l_returnflag,
+        |  l_orderkey * 10 + l_linenumber AS id,
+        |  l_extendedprice AS score,
+        |  row_number() OVER (PARTITION BY l_returnflag
+        |    ORDER BY l_extendedprice DESC, l_orderkey * 10 + l_linenumber ASC)
+        |    ::BIGINT AS rn
+        | FROM lineitem)
+        |WHERE rn <= 3 ORDER BY l_returnflag, rank""".stripMargin,
 
     "q49_quantiles" ->
       """SELECT l_returnflag,
