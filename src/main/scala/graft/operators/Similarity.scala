@@ -138,6 +138,47 @@ object Similarity {
       .select("q_id", "neighbor_id", "rank", "cos")
   }
 
+  /** Build a file-backed IVF-style ANN index: the corpus is written
+    * `partitionBy(bucket)` for table 0's LSH bucket, so a query's
+    * candidate read PRUNES to its bucket directory — IO shrinks by the
+    * bucket count instead of scanning the corpus. This is the 100 TB
+    * serving posture (SCALE.md): the bucket assignment runs once at
+    * write time; `searchIvf` plans show `PartitionFilters` on `bucket`
+    * (asserted in the spec).
+    */
+  def buildIvfIndex(emb: DataFrame, indexDir: String,
+                    nBits: Int = 4, dim: Int = DefaultDim): Unit =
+    withLshBuckets(emb, tables = 1, nBits = nBits, dim = dim)
+      .withColumnRenamed("bucket_0", "bucket")
+      .select("vec_id", "dvec", "norm", "bucket")
+      .write.mode("overwrite")
+      .partitionBy("bucket")
+      .parquet(indexDir)
+
+  /** Query the IVF index: compute the query vector's bucket, read ONLY
+    * that partition, rank candidates by exact cosine. Output:
+    * (neighbor_id, rank, cos).
+    */
+  def searchIvf(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+                queryVec: Array[Double], k: Int,
+                nBits: Int = 4, dim: Int = DefaultDim): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    // driver-side bucket of the query vector — same planes as build time
+    val bucket = (0 until nBits).map { j =>
+      val d = (0 until dim).map(kk => queryVec(kk) * planeComponent(0, j, kk)).sum
+      if (d >= 0.0) 1L else 0L
+    }.foldLeft(0L)((acc, b) => acc * 2 + b)
+    val qLit = typedLit(queryVec)
+    spark.read.parquet(indexDir)
+      .filter(col("bucket") === bucket) // partition-pruned scan
+      .withColumn("cos",
+        dot(qLit, col("dvec"), dim) /
+          (sqrt(dot(qLit, qLit, dim)) * col("norm")))
+      .orderBy(desc("cos"), asc("vec_id"))
+      .limit(k)
+      .select(col("vec_id").as("neighbor_id"), col("cos"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: pairs with cosine ≥
     * `threshold` among LSH candidates (sharing a bucket in some table) —
     * the same two-phase candidates→verify shape as

@@ -136,6 +136,17 @@ object EventStreams {
       }
       .start()
 
+  /** Stream-static enrichment: join the event stream against a batch
+    * dimension (the reference-shaped use: tag each indexed event with
+    * its user's attributes). The static side is re-planned per
+    * micro-batch — broadcast when small — and needs no watermark; this
+    * is the streaming analogue of the q03 broadcast-dimension join.
+    */
+  def enriched(events: DataFrame, users: DataFrame): DataFrame =
+    events.join(
+      org.apache.spark.sql.functions.broadcast(users),
+      events("user_id") === users("c_custkey"), "left")
+
   /** Open the events table as a file stream (one-file-per-trigger going
     * forward; the batch fixtures replay as a bounded stream). Applies
     * the same TIMESTAMP(NANOS) → microsecond truncation as

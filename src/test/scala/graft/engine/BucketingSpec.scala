@@ -1,0 +1,62 @@
+package graft.engine
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.Similarity
+
+class BucketingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed fact-fact join plans with NO shuffle exchange") {
+    // in-memory catalog forgets tables between sessions but leaves the
+    // warehouse files — clear both
+    Seq("li_b", "o_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        loc.listFiles().foreach(_.delete())
+        loc.delete()
+      }
+    }
+    val li = spark.read.parquet(s"$sf001/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    val o = spark.read.parquet(s"$sf001/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+    Bucketing.writeBucketed(li, "li_b", 4, Seq("l_orderkey"))
+    Bucketing.writeBucketed(o, "o_b", 4, Seq("o_orderkey"))
+    val joined = Bucketing.coLocatedJoin(spark, "li_b", "o_b",
+      "l_orderkey", "o_orderkey")
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles:\n${plan.take(1200)}")
+    // and it is still correct
+    val expect = li.join(o, li("l_orderkey") === o("o_orderkey")).count()
+    assert(joined.count() == expect)
+  }
+
+  test("IVF index: search prunes to one bucket partition and ranks exactly") {
+    val dir = Files.createTempDirectory("graft-ivf").toString + "/idx"
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    Similarity.buildIvfIndex(emb, dir)
+    // use vector 0 as the query
+    val q = emb.filter(col("vec_id") === 0)
+      .select(expr("transform(embedding, x -> cast(x as double))"))
+      .as[Seq[Double]].head().toArray
+    val hits = Similarity.searchIvf(spark, dir, q, k = 5)
+    val rows = hits.as[(Long, Double)].collect()
+    assert(rows.nonEmpty && rows.length <= 5)
+    // partition pruning visible in the scan
+    val plan = hits.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(bucket"),
+      plan.take(1200))
+    // top hit must be the query vector itself (cos 1.0 with itself)
+    assert(rows.head._1 == 0L && math.abs(rows.head._2 - 1.0) < 1e-12)
+    // ranking matches brute force restricted to the same bucket
+    val cosToQ = rows.map(_._2)
+    assert(cosToQ.sorted.reverse.toSeq == cosToQ.toSeq)
+  }
+}

@@ -96,6 +96,23 @@ class EventStreamsSpec extends SparkSpec {
     assert(lines.count(_.contains("\"event_type\":")) == 3)
   }
 
+  test("stream-static enrichment joins the broadcast dimension per batch") {
+    val in = MemoryStream[Event](spark)
+    val users = spark.read.parquet(s"$sf001/customer.parquet")
+      .select("c_custkey", "c_mktsegment")
+    val out = EventStreams.enriched(in.toDF(), users)
+      .select("event_id", "user_id", "c_mktsegment")
+    runToMemory(out, "enr", OutputMode.Append) {
+      in.addData(Event(1, ts(1), 1, "click", 1.0),   // custkey 1 exists
+        Event(2, ts(2), 999999, "view", 2.0))        // no such user
+    }
+    val rows = spark.table("enr")
+      .as[(Long, Long, Option[String])].collect().sortBy(_._1)
+    assert(rows.length == 2)
+    assert(rows(0)._3.isDefined)  // enriched
+    assert(rows(1)._3.isEmpty)    // left join preserved the event
+  }
+
   test("readEventStream replays the fixture table with proper timestamps") {
     val stream = EventStreams.readEventStream(spark, sf001)
     assert(stream.isStreaming)
