@@ -41,6 +41,36 @@ object Search {
     * (N / df). Query terms are a literal set → the postings filter
     * pushes down to the term key; only matching postings are read.
     */
+  /** BM25 ranking — the scoring Lucene actually runs under the
+    * reference's ES queries. `log`-based idf means results are NOT
+    * bit-portable across engines (libm), so this is spec-tested with
+    * tolerances rather than DuckDB-oracled; [[search]] remains the
+    * exact-arithmetic surface.
+    */
+  def bm25(docs: DataFrame, terms: Seq[String], k: Int,
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val p = postings(docs)
+    val lens = docs.select(col("doc_id"),
+      expr("cast(size(split(text, ' ')) as double)").as("dl"))
+    val stats = docs.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      avg(expr("size(split(text, ' '))")).as("avg_dl"))
+    val df_ = p.groupBy("term").agg(count(lit(1)).as("doc_freq"))
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    p.filter(expr(s"term IN ($termList)"))
+      .join(df_, "term")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", expr(
+        "log((n_docs - doc_freq + 0.5) / (doc_freq + 0.5) + 1.0)"))
+      .withColumn("contrib", expr(
+        s"idf * (tf * ($k1 + 1.0)) / (tf + $k1 * (1.0 - $b + $b * dl / avg_dl))"))
+      .groupBy("doc_id")
+      .agg(sum("contrib").as("score"), count(lit(1)).as("n_terms_hit"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
+
   def search(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
     val p = postings(docs)
     // Corpus size as a broadcast 1-row frame — stays inside the single
