@@ -408,6 +408,45 @@ object SqlSurface {
         .orderBy("l_returnflag", "rank")
     }),
 
+    // --- collection aggregates: sorted collect_list / collect_set ---
+    "q53_collect" -> ((s, d) =>
+      t(s, d, "supplier")
+        .join(t(s, d, "nation"),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(sort_array(collect_list(col("s_name"))).as("suppliers"),
+          sort_array(collect_set(col("s_suppkey"))).as("supp_keys"),
+          count(lit(1)).as("n"))
+        .orderBy("n_name")),
+
+    // --- pivot-shaped conditional aggregation (wide by return flag) ---
+    "q54_pivot" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_linestatus")
+        .agg(
+          dsum(when(col("l_returnflag") === "A", col("l_quantity"))
+            .otherwise(lit(0))).as("qty_a"),
+          dsum(when(col("l_returnflag") === "N", col("l_quantity"))
+            .otherwise(lit(0))).as("qty_n"),
+          dsum(when(col("l_returnflag") === "R", col("l_quantity"))
+            .otherwise(lit(0))).as("qty_r"),
+          count(lit(1)).as("n"))
+        .orderBy("l_linestatus")),
+
+    // --- array functions over the embedding column (array output) ---
+    "q56_arrayfns" -> ((s, d) =>
+      t(s, d, "embeddings")
+        .filter(col("vec_id") < 50)
+        .withColumn("dv", expr("transform(embedding, x -> cast(x as double))"))
+        .select(col("vec_id"),
+          expr("bigint(size(dv))").as("dim"),
+          expr("array_max(dv)").as("vmax"),
+          expr("array_min(dv)").as("vmin"),
+          expr("slice(dv, 1, 4)").as("head4"),
+          expr("reverse(slice(dv, 1, 3))").as("rev3"),
+          expr("bigint(array_position(dv, array_max(dv)))").as("argmax1"))
+        .orderBy("vec_id")),
+
     // --- E2 parity: document production with sequential 1-based _id ---
     "q23_index_docs" -> ((s, d) => {
       val o = t(s, d, "orders"); val c = t(s, d, "customer")
@@ -624,6 +663,37 @@ object SqlSurface {
         | count(*) AS n,
         | sum(CAST(json_extract(props, '$.k') AS BIGINT))::BIGINT AS k_sum
         |FROM events GROUP BY 1 ORDER BY k_mod ASC NULLS FIRST""".stripMargin,
+
+    "q53_collect" ->
+      """SELECT n_name,
+        | list_sort(list(s_name)) AS suppliers,
+        | list_sort(list(DISTINCT s_suppkey)) AS supp_keys,
+        | count(*) AS n
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q54_pivot" ->
+      """SELECT l_linestatus,
+        | CAST(sum(CASE WHEN l_returnflag = 'A'
+        |   THEN CAST(l_quantity AS DECIMAL(18,4)) ELSE 0 END) AS DOUBLE) AS qty_a,
+        | CAST(sum(CASE WHEN l_returnflag = 'N'
+        |   THEN CAST(l_quantity AS DECIMAL(18,4)) ELSE 0 END) AS DOUBLE) AS qty_n,
+        | CAST(sum(CASE WHEN l_returnflag = 'R'
+        |   THEN CAST(l_quantity AS DECIMAL(18,4)) ELSE 0 END) AS DOUBLE) AS qty_r,
+        | count(*) AS n
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "q56_arrayfns" ->
+      """SELECT vec_id,
+        | len(dv)::BIGINT AS dim,
+        | list_max(dv) AS vmax,
+        | list_min(dv) AS vmin,
+        | dv[1:4] AS head4,
+        | list_reverse(dv[1:3]) AS rev3,
+        | list_position(dv, list_max(dv))::BIGINT AS argmax1
+        |FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS dv
+        |      FROM embeddings WHERE vec_id < 50)
+        |ORDER BY vec_id""".stripMargin,
 
     "q52_topk_udaf" ->
       """SELECT l_returnflag, rn AS rank, id, score FROM (
