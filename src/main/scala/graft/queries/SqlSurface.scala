@@ -447,6 +447,47 @@ object SqlSurface {
           expr("bigint(array_position(dv, array_max(dv)))").as("argmax1"))
         .orderBy("vec_id")),
 
+    // --- as-of join: latest order per customer at event time.
+    //     Composed from existing ops (preference order (a), SURVEY
+    //     §2.2 range-join row): range join + per-event argmax. At
+    //     scale: bucket both sides by the equi key; the range predicate
+    //     prunes within buckets. ---
+    "q57_asof" -> ((s, d) => {
+      val e = t(s, d, "events").filter(col("event_id") <= 200)
+        .select(col("event_id"), col("ts"), col("user_id"))
+      val o = t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      e.join(o, col("user_id") === col("o_custkey") &&
+          col("o_orderdate") <= col("ts"), "left")
+        .groupBy("event_id", "ts", "user_id")
+        .agg(max(struct(col("o_orderdate"), col("o_orderkey")))
+          .as("latest"))
+        .select(col("event_id"), col("user_id"),
+          col("latest.o_orderkey").as("asof_orderkey"),
+          col("latest.o_orderdate").as("asof_orderdate"))
+        .orderBy("event_id")
+    }),
+
+    // --- batch sessionization: lag + cumulative gap counting (the
+    //     batch twin of streaming.EventStreams.sessionize) ---
+    "q58_sessions" -> ((s, d) => {
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      t(s, d, "events")
+        .withColumn("prev_ts", lag("ts", 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            col("ts").cast("long") - col("prev_ts").cast("long") > 1800,
+            1L).otherwise(0L))
+        .withColumn("session_no",
+          sum("new_session").over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_no")
+        .agg(count(lit(1)).as("n_events"),
+          min("ts").as("started"), max("ts").as("ended"),
+          dsum(col("value")).as("total_value"))
+        .orderBy("user_id", "session_no")
+    }),
+
     // --- E2 parity: document production with sequential 1-based _id ---
     "q23_index_docs" -> ((s, d) => {
       val o = t(s, d, "orders"); val c = t(s, d, "customer")
@@ -663,6 +704,35 @@ object SqlSurface {
         | count(*) AS n,
         | sum(CAST(json_extract(props, '$.k') AS BIGINT))::BIGINT AS k_sum
         |FROM events GROUP BY 1 ORDER BY k_mod ASC NULLS FIRST""".stripMargin,
+
+    "q57_asof" ->
+      """SELECT event_id, user_id,
+        | (max(struct_pack(d := o_orderdate, k := o_orderkey))).k AS asof_orderkey,
+        | (max(struct_pack(d := o_orderdate, k := o_orderkey))).d AS asof_orderdate
+        |FROM (SELECT event_id, ts, user_id FROM events WHERE event_id <= 200) e
+        |LEFT JOIN orders o
+        |  ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+        |GROUP BY event_id, ts, user_id
+        |ORDER BY event_id""".stripMargin,
+
+    "q58_sessions" ->
+      """WITH g AS (
+        | SELECT user_id, ts, event_id, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |        OR date_diff('second', lag(ts) OVER w, ts) > 1800
+        |       THEN 1 ELSE 0 END AS new_session
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        | s AS (
+        | SELECT user_id, ts, value,
+        |  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_no
+        | FROM g)
+        |SELECT user_id, session_no, count(*) AS n_events,
+        | min(ts) AS started, max(ts) AS ended,
+        | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM s GROUP BY user_id, session_no
+        |ORDER BY user_id, session_no""".stripMargin,
 
     "q53_collect" ->
       """SELECT n_name,
