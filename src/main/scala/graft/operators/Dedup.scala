@@ -184,13 +184,20 @@ object Dedup {
     */
   def simhashBits(docs: DataFrame, nBits: Int = 64): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val exploded = docs
+    // Pre-aggregate to distinct (doc, token) with tf: the per-occurrence
+    // sum Σ (2·parity−1) equals the tf-weighted sum over distinct
+    // tokens (integer arithmetic — exactly), and the nBits hash
+    // evaluations then run once per distinct token instead of once per
+    // occurrence (~3× less work on natural text).
+    val tokenTf = docs
       .select(col("doc_id"), explode(TextOps.tokens("text")).as("t"))
+      .groupBy("doc_id", "t")
+      .agg(count(lit(1)).as("tf"))
       .withColumn("v", expr("char_poly_hash(t)")) // native twin of charHashExpr
     val sums = (0 until nBits).map(j =>
-      sum(expr(s"2L * (${permHashExpr("v", j.toString)} % 2L) - 1L"))
+      sum(expr(s"tf * (2L * (${permHashExpr("v", j.toString)} % 2L) - 1L)"))
         .as(s"s$j"))
-    exploded
+    tokenTf
       .groupBy("doc_id")
       .agg(sums.head, sums.tail: _*)
       .select(col("doc_id"), array((0 until nBits).map(j =>
