@@ -100,7 +100,7 @@ object GraftFunctions {
     (children: Seq[Expression]) => ArrayDotProduct(children(0), children(1)))
 
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
-    Seq(arrayDot, CharPolyHash.registration)
+    Seq(arrayDot, CharPolyHash.registration, SimHashAggregate.registration)
 
   /** Idempotent runtime registration on a session. */
   def register(spark: SparkSession): Unit = {

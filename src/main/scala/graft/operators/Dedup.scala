@@ -194,14 +194,11 @@ object Dedup {
       .groupBy("doc_id", "t")
       .agg(count(lit(1)).as("tf"))
       .withColumn("v", expr("char_poly_hash(t)")) // native twin of charHashExpr
-    val sums = (0 until nBits).map(j =>
-      sum(expr(s"tf * (2L * (${permHashExpr("v", j.toString)} % 2L) - 1L)"))
-        .as(s"s$j"))
     tokenTf
       .groupBy("doc_id")
-      .agg(sums.head, sums.tail: _*)
-      .select(col("doc_id"), array((0 until nBits).map(j =>
-        when(col(s"s$j") >= 0L, 1).otherwise(0)): _*).as("bits"))
+      // native sketch aggregate (SimHashAggregate): one k-long buffer,
+      // tight JVM update loop, map-side partial merge
+      .agg(expr("simhash_agg(v, tf)").as("bits"))
   }
 
   /** SimHash near-dup pairs within `maxHamming` (< 4): band the 64 bits
