@@ -100,7 +100,8 @@ object GraftFunctions {
     (children: Seq[Expression]) => ArrayDotProduct(children(0), children(1)))
 
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
-    Seq(arrayDot, CharPolyHash.registration, SimHashAggregate.registration)
+    Seq(arrayDot, CharPolyHash.registration, SimHashAggregate.registration,
+      MinHashAggregate.registration)
 
   /** Idempotent runtime registration on a session. */
   def register(spark: SparkSession): Unit = {

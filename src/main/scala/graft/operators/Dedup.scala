@@ -74,16 +74,15 @@ object Dedup {
 
   def minhashSignatures(docs: DataFrame, k: Int = 64,
                         baseHash: String => String = xxBaseHash): DataFrame = {
-    val exploded = docs
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    require(k == 64, "minhash_agg sketch is built for k=64")
+    docs
       .select(col("doc_id"), explode(col("shingles")).as("s"))
       .withColumn("v", expr(baseHash("s")))
-    val mins = (0 until k).map(i =>
-      min(expr(permHashExpr("v", i.toString))).as(s"m$i"))
-    exploded
       .groupBy("doc_id")
-      .agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"),
-        array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+      // native k-min sketch aggregate (MinHashAggregate): one buffer,
+      // tight update loop, elementwise-min map-side merges
+      .agg(expr("minhash_agg(v)").as("sig"))
   }
 
   /** LSH candidate pairs from banded minhash signatures: docs sharing any
