@@ -145,6 +145,27 @@ object LlmSurface {
       Pipeline.contamination(train, test, n = 8)
     }),
 
+    // --- text normalization: suffix-stripping stem + vocab effect ---
+    "q59_normalize" -> ((s, d) =>
+      docs(s, d)
+        .withColumn("toks", TextOps.tokens("text"))
+        .withColumn("stems", expr(
+          "transform(toks, t -> regexp_replace(t, '(ing|ed|es|s)$', ''))"))
+        .select(col("doc_id"),
+          expr("bigint(size(array_distinct(toks)))").as("vocab_raw"),
+          expr("bigint(size(array_distinct(stems)))").as("vocab_stemmed"),
+          expr("concat_ws(' ', slice(stems, 1, 8))").as("stem_head"))
+        .orderBy("doc_id")),
+
+    // --- embedding L2 normalization (unit vectors, array output) ---
+    "q60_normvec" -> ((s, d) =>
+      graft.operators.Similarity.withNorm(emb(s, d))
+        .filter(col("vec_id") < 100)
+        .withColumn("unit", expr("transform(dvec, x -> x / norm)"))
+        .select(col("vec_id"), col("norm"),
+          expr("slice(unit, 1, 8)").as("unit_head8"))
+        .orderBy("vec_id")),
+
     // --- multimodal byte-level plumbing over a binary payload column ---
     "q38_media_bytes" -> ((s, d) =>
       Multimodal.withByteStats(
@@ -394,6 +415,28 @@ object LlmSurface {
          | AND len(list_filter(range(1, 5), t -> a.bl[t] = b.bl[t])) > 0
          |WHERE ${dkDot("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.3
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q59_normalize" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        | n AS (SELECT doc_id, toks,
+        |   list_transform(toks, t -> regexp_replace(t, '(ing|ed|es|s)$', '')) AS stems
+        |  FROM t)
+        |SELECT doc_id,
+        | len(list_distinct(toks))::BIGINT AS vocab_raw,
+        | len(list_distinct(stems))::BIGINT AS vocab_stemmed,
+        | array_to_string(stems[1:8], ' ') AS stem_head
+        |FROM n ORDER BY doc_id""".stripMargin,
+
+    "q60_normvec" ->
+      """SELECT vec_id,
+        | sqrt(list_reduce([0.0::DOUBLE] || list_transform(dv, x -> x * x),
+        |   (acc, x) -> acc + x)) AS norm,
+        | list_transform(dv[1:8], x -> x / sqrt(list_reduce(
+        |   [0.0::DOUBLE] || list_transform(dv, y -> y * y),
+        |   (acc, y) -> acc + y))) AS unit_head8
+        |FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS dv
+        |      FROM embeddings WHERE vec_id < 100)
+        |ORDER BY vec_id""".stripMargin,
 
     "q44_chunk" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
