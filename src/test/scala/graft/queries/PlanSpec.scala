@@ -69,6 +69,25 @@ class PlanSpec extends SparkSpec {
       p.take(1200))
   }
 
+  test("no query plans an accidental Cartesian product") {
+    // q40 is an intentional CROSS JOIN of two tiny inputs
+    val allowed = Set("q40_crossjoin")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(allowed)
+      .filter { name =>
+        val p = SparkEntry.queries(name)(spark, sf001)
+          .queryExecution.executedPlan.toString
+        p.contains("CartesianProduct")
+      }
+    assert(offenders.isEmpty, s"cartesian plans: $offenders")
+  }
+
+  test("q57: as-of join uses the equi key (no nested-loop over facts)") {
+    val p = plan("q57_asof")
+    assert(!p.contains("BroadcastNestedLoopJoin") || p.contains("HashJoin"),
+      p.take(1200))
+  }
+
   test("q35: brute-force top-k broadcasts the query side only") {
     val p = plan("q35_cosine_topk")
     assert(p.contains("BroadcastExchange"), p.take(1200))
