@@ -41,6 +41,34 @@ object Search {
     * (N / df). Query terms are a literal set → the postings filter
     * pushes down to the term key; only matching postings are read.
     */
+  /** Persist the inverted index as a catalog table bucketed by term:
+    * a term lookup then scans only the buckets containing the queried
+    * terms (bucket pruning — `SelectedBucketsCount` in the plan) plus
+    * benefits from the parquet min/max term filter inside each bucket.
+    * This is the write-once/query-many posture the SCALE.md story
+    * requires of a 100 TB index; `numBuckets` sizes to corpus vocab.
+    */
+  def writeIndex(docs: DataFrame, tableName: String,
+                 numBuckets: Int = 8): Unit =
+    postings(docs)
+      .write.format("parquet").mode("overwrite")
+      .bucketBy(numBuckets, "term")
+      .sortBy("term")
+      .saveAsTable(tableName)
+
+  /** Bucket-pruned postings lookup for a literal term set.
+    * `autoBucketedScan` must be off: the planner's heuristic drops the
+    * bucketed read (and with it, bucket pruning) when no join/agg
+    * exploits the bucketing — but pruning IS the benefit here.
+    */
+  def lookup(spark: org.apache.spark.sql.SparkSession, tableName: String,
+             terms: Seq[String]): DataFrame = {
+    spark.conf.set(
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    spark.table(tableName).filter(expr(s"term IN ($termList)"))
+  }
+
   /** BM25 ranking — the scoring Lucene actually runs under the
     * reference's ES queries. `log`-based idf means results are NOT
     * bit-portable across engines (libm), so this is spec-tested with

@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkSpec
 
 class SearchSpec extends SparkSpec {
@@ -32,6 +34,26 @@ class SearchSpec extends SparkSpec {
     val first = idx.orderBy("term").select("postings")
       .as[Seq[(Long, Long)]].head()
     assert(first.map(_._1) == first.map(_._1).sorted)
+  }
+
+  test("bucketed index lookup prunes to the terms' buckets") {
+    spark.sql("DROP TABLE IF EXISTS idx_b")
+    val loc = new java.io.File("spark-warehouse/idx_b")
+    if (loc.exists()) { loc.listFiles().foreach(_.delete()); loc.delete() }
+    val docsDf = spark.read.parquet(s"$sf001/documents.parquet")
+    Search.writeIndex(docsDf, "idx_b", numBuckets = 8)
+    val hits = Search.lookup(spark, "idx_b", Seq("spark", "join"))
+    hits.collect()
+    val plan = hits.queryExecution.executedPlan.toString
+    assert(plan.contains("SelectedBucketsCount"), plan.take(900))
+    val sel = "SelectedBucketsCount: (\\d+) out of 8".r
+      .findFirstMatchIn(plan).map(_.group(1).toInt)
+    assert(sel.exists(_ <= 2), s"expected <=2 buckets scanned: $plan")
+    // results match the direct postings computation
+    val direct = Search.postings(docsDf)
+      .filter(col("term").isin("spark", "join"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(hits.as[(String, Long, Long)].collect().toSet == direct)
   }
 
   test("tf-idf search ranks tf-heavy docs first, rare terms weigh more") {
