@@ -145,6 +145,31 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** [[minhashNearDups]] with stage materialization to parquet instead
+    * of `.persist()` — the shape a 100 TB run actually uses (SCALE.md):
+    * shingles and signatures are written once to `workDir` and each
+    * downstream stage reads the files, so no stage depends on cache
+    * residency, stages are independently restartable, and the
+    * intermediates are inspectable. Results are identical to the
+    * in-memory variant (spec-asserted).
+    */
+  def minhashNearDupsStaged(docs: DataFrame, workDir: String,
+                            threshold: Double = 0.8,
+                            k: Int = 64, bands: Int = 16): DataFrame = {
+    val spark = docs.sparkSession
+    TextOps.withShingles(docs)
+      .select("doc_id", "shingles")
+      .write.mode("overwrite").parquet(s"$workDir/shingled")
+    val shingled = spark.read.parquet(s"$workDir/shingled")
+    minhashSignatures(shingled, k)
+      .write.mode("overwrite").parquet(s"$workDir/sigs")
+    val sigs = spark.read.parquet(s"$workDir/sigs")
+    val cands = lshCandidates(sigs, bands, k / bands)
+    verifyJaccard(cands, shingled)
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
   /** n-gram Jaccard near-dups via an inverted-index join: explode
     * shingles, join postings on the shingle hash, count shared shingles
     * per pair, compute exact Jaccard. Every true pair (Jaccard > 0) is

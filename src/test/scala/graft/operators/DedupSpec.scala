@@ -62,6 +62,18 @@ class DedupSpec extends SparkSpec {
     assert(verified.nonEmpty)
   }
 
+  test("staged (file-materialized) minhash equals the in-memory variant") {
+    val sf = spark.read.parquet(s"$sf001/documents.parquet")
+    val work = java.nio.file.Files.createTempDirectory("mh-staged").toString
+    val staged = Dedup.minhashNearDupsStaged(sf, work)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val mem = Dedup.minhashNearDups(sf, 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(staged == mem && staged.nonEmpty)
+    // intermediates really are on disk
+    assert(new java.io.File(s"$work/sigs").exists())
+  }
+
   test("minhash LSH recall matches exact ngram join at threshold 0.8") {
     val sf = spark.read.parquet(s"$sf001/documents.parquet")
     val lsh = Dedup.minhashNearDups(sf, 0.8)
