@@ -488,6 +488,20 @@ object SqlSurface {
         .orderBy("user_id", "session_no")
     }),
 
+    // --- null semantics: NULLIF / COALESCE / null-safe equality ---
+    "q61_nullsafe" -> ((s, d) =>
+      t(s, d, "orders")
+        .filter(col("o_orderkey") <= 400)
+        .withColumn("status_or_null", expr("nullif(o_orderstatus, 'O')"))
+        .select(col("o_orderkey"),
+          col("status_or_null"),
+          coalesce(col("status_or_null"), lit("open")).as("status_filled"),
+          col("status_or_null").eqNullSafe(lit("F")).as("is_f_nullsafe"),
+          expr("if(isnull(status_or_null), 0L, 1L)").as("has_status"),
+          expr("nvl2(nullif(o_orderpriority, '1-URGENT'), 'other', 'urgent')")
+            .as("prio_class"))
+        .orderBy("o_orderkey")),
+
     // --- E2 parity: document production with sequential 1-based _id ---
     "q23_index_docs" -> ((s, d) => {
       val o = t(s, d, "orders"); val c = t(s, d, "customer")
@@ -704,6 +718,17 @@ object SqlSurface {
         | count(*) AS n,
         | sum(CAST(json_extract(props, '$.k') AS BIGINT))::BIGINT AS k_sum
         |FROM events GROUP BY 1 ORDER BY k_mod ASC NULLS FIRST""".stripMargin,
+
+    "q61_nullsafe" ->
+      """SELECT o_orderkey,
+        | nullif(o_orderstatus, 'O') AS status_or_null,
+        | coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_filled,
+        | nullif(o_orderstatus, 'O') IS NOT DISTINCT FROM 'F' AS is_f_nullsafe,
+        | CASE WHEN nullif(o_orderstatus, 'O') IS NULL THEN 0 ELSE 1 END::BIGINT
+        |   AS has_status,
+        | CASE WHEN nullif(o_orderpriority, '1-URGENT') IS NOT NULL
+        |      THEN 'other' ELSE 'urgent' END AS prio_class
+        |FROM orders WHERE o_orderkey <= 400 ORDER BY o_orderkey""".stripMargin,
 
     "q57_asof" ->
       """SELECT event_id, user_id,
