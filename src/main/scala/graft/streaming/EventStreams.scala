@@ -147,6 +147,30 @@ object EventStreams {
       org.apache.spark.sql.functions.broadcast(users),
       events("user_id") === users("c_custkey"), "left")
 
+  /** Stream-stream interval join: correlate two event streams per user
+    * within a bounded event-time window (right event within 0..maxGap
+    * AFTER the left event). Both sides carry watermarks so the join
+    * state is evicted once the interval can no longer match — the
+    * condition that keeps a stream-stream join's state finite at any
+    * scale (an unbounded-interval join would accumulate forever).
+    */
+  def intervalJoin(clicks: DataFrame, views: DataFrame,
+                   maxGapMinutes: Int = 10,
+                   watermark: String = "30 minutes"): DataFrame = {
+    val l = clicks.withWatermark("ts", watermark)
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val r = views.withWatermark("ts", watermark)
+      .select(col("event_id").as("view_id"),
+        col("user_id").as("v_user_id"), col("ts").as("view_ts"))
+    l.join(r,
+      col("user_id") === col("v_user_id") &&
+        col("view_ts") >= col("click_ts") &&
+        col("view_ts") <= col("click_ts") +
+          expr(s"INTERVAL $maxGapMinutes MINUTES"))
+      .select("click_id", "view_id", "user_id", "click_ts", "view_ts")
+  }
+
   /** Open the events table as a file stream (one-file-per-trigger going
     * forward; the batch fixtures replay as a bounded stream). Applies
     * the same TIMESTAMP(NANOS) → microsecond truncation as

@@ -113,6 +113,25 @@ class EventStreamsSpec extends SparkSpec {
     assert(rows(1)._3.isEmpty)    // left join preserved the event
   }
 
+  test("stream-stream interval join matches within the bounded window only") {
+    val clicks = MemoryStream[Event](spark)
+    val views = MemoryStream[Event](spark)
+    val out = EventStreams.intervalJoin(clicks.toDF(), views.toDF(),
+      maxGapMinutes = 10)
+    runToMemory(out.select("click_id", "view_id"), "ssj", OutputMode.Append) {
+      clicks.addData(Event(1, ts(10), 7, "click", 0))
+      views.addData(
+        Event(100, ts(12), 7, "view", 0),  // within 10 min → joins
+        Event(101, ts(35), 7, "view", 0),  // outside window → no join
+        Event(102, ts(12), 8, "view", 0))  // other user → no join
+      clicks.addData(Event(2, ts(200), 9, "click", 0)) // advance watermark
+      views.addData(Event(103, ts(200), 9, "view", 0))
+    }
+    val pairs = spark.table("ssj").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 100L)))
+    assert(!pairs.contains((1L, 101L)) && !pairs.contains((1L, 102L)))
+  }
+
   test("readEventStream replays the fixture table with proper timestamps") {
     val stream = EventStreams.readEventStream(spark, sf001)
     assert(stream.isStreaming)
