@@ -65,8 +65,9 @@ object Search {
              terms: Seq[String]): DataFrame = {
     spark.conf.set(
       "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
-    val termList = terms.map(t => s"'$t'").mkString(", ")
-    spark.table(tableName).filter(expr(s"term IN ($termList)"))
+    // isin over literals, not string-spliced SQL: terms are caller data
+    // (a quote in a term must stay data, never become syntax).
+    spark.table(tableName).filter(col("term").isin(terms: _*))
   }
 
   /** BM25 ranking — the scoring Lucene actually runs under the
@@ -84,8 +85,7 @@ object Search {
       count(lit(1)).cast("double").as("n_docs"),
       avg(expr("size(split(text, ' '))")).as("avg_dl"))
     val df_ = p.groupBy("term").agg(count(lit(1)).as("doc_freq"))
-    val termList = terms.map(t => s"'$t'").mkString(", ")
-    p.filter(expr(s"term IN ($termList)"))
+    p.filter(col("term").isin(terms: _*))
       .join(df_, "term")
       .join(lens, "doc_id")
       .crossJoin(broadcast(stats))
@@ -105,20 +105,21 @@ object Search {
     // plan (no separate driver-side count job).
     val nDf = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     val df_ = p.groupBy("term").agg(count(lit(1)).as("doc_freq"))
-    val termList = terms.map(t => s"'$t'").mkString(", ")
     // Per-term pivoted contributions summed in a FIXED order: each
     // sum() collapses exactly one non-zero value (plus 0.0s, which add
     // exactly), so the final score is order-independent → bit-identical
-    // across shuffle orders and engines.
+    // across shuffle orders and engines. Terms enter as Column literals
+    // (never spliced into SQL text).
     val contribs = terms.zipWithIndex.map { case (t, i) =>
-      sum(expr(s"if(term = '$t', " +
-        "cast(tf as double) * (n_docs / cast(doc_freq as double)), " +
-        "cast(0.0 as double))")).as(s"c_$i")
+      sum(when(col("term") === lit(t),
+        col("tf").cast("double") *
+          (col("n_docs") / col("doc_freq").cast("double")))
+        .otherwise(lit(0.0d))).as(s"c_$i")
     }
     val score = terms.indices
       .map(i => col(s"c_$i"))
       .reduce(_ + _)
-    p.filter(expr(s"term IN ($termList)"))
+    p.filter(col("term").isin(terms: _*))
       .join(df_, "term")
       .crossJoin(broadcast(nDf))
       .groupBy("doc_id")

@@ -157,13 +157,17 @@ object LlmSurface {
           expr("concat_ws(' ', slice(stems, 1, 8))").as("stem_head"))
         .orderBy("doc_id")),
 
-    // --- embedding L2 normalization (unit vectors, array output) ---
+    // --- embedding L2 normalization (unit vectors). The array output
+    //     is serialized for the oracle diff: both engines compute the
+    //     same IEEE double chain (fixed-order fold → sqrt → div), so
+    //     scaling by 2^20 (exact) + floor + join is bit-deterministic. ---
     "q60_normvec" -> ((s, d) =>
       graft.operators.Similarity.withNorm(emb(s, d))
         .filter(col("vec_id") < 100)
         .withColumn("unit", expr("transform(dvec, x -> x / norm)"))
         .select(col("vec_id"), col("norm"),
-          expr("slice(unit, 1, 8)").as("unit_head8"))
+          expr("concat_ws('|', transform(slice(unit, 1, 8), " +
+            "x -> bigint(floor(x * 1048576.0d))))").as("unit_head8"))
         .orderBy("vec_id")),
 
     // --- multimodal byte-level plumbing over a binary payload column ---
@@ -431,9 +435,11 @@ object LlmSurface {
       """SELECT vec_id,
         | sqrt(list_reduce([0.0::DOUBLE] || list_transform(dv, x -> x * x),
         |   (acc, x) -> acc + x)) AS norm,
-        | list_transform(dv[1:8], x -> x / sqrt(list_reduce(
-        |   [0.0::DOUBLE] || list_transform(dv, y -> y * y),
-        |   (acc, y) -> acc + y))) AS unit_head8
+        | array_to_string(list_transform(dv[1:8],
+        |   x -> CAST(floor((x / sqrt(list_reduce(
+        |     [0.0::DOUBLE] || list_transform(dv, y -> y * y),
+        |     (acc, y) -> acc + y))) * 1048576.0) AS BIGINT)), '|')
+        |   AS unit_head8
         |FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS dv
         |      FROM embeddings WHERE vec_id < 100)
         |ORDER BY vec_id""".stripMargin,

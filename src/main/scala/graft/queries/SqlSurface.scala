@@ -408,14 +408,20 @@ object SqlSurface {
         .orderBy("l_returnflag", "rank")
     }),
 
-    // --- collection aggregates: sorted collect_list / collect_set ---
+    // --- collection aggregates: sorted collect_list / collect_set.
+    //     Array outputs are serialized to '|'-joined strings: the
+    //     driver's pandas diff cannot sort/hash ndarray cells, and a
+    //     deterministic string is just as strong a check. ---
     "q53_collect" -> ((s, d) =>
       t(s, d, "supplier")
         .join(t(s, d, "nation"),
           col("s_nationkey") === col("n_nationkey"))
         .groupBy("n_name")
-        .agg(sort_array(collect_list(col("s_name"))).as("suppliers"),
-          sort_array(collect_set(col("s_suppkey"))).as("supp_keys"),
+        .agg(
+          concat_ws("|", sort_array(collect_list(col("s_name"))))
+            .as("suppliers"),
+          concat_ws("|", transform(sort_array(collect_set(col("s_suppkey"))),
+            x => x.cast("string"))).as("supp_keys"),
           count(lit(1)).as("n"))
         .orderBy("n_name")),
 
@@ -433,7 +439,11 @@ object SqlSurface {
           count(lit(1)).as("n"))
         .orderBy("l_linestatus")),
 
-    // --- array functions over the embedding column (array output) ---
+    // --- array functions over the embedding column. Array outputs are
+    //     serialized for the oracle diff: each double is scaled by 2^20
+    //     (exact in IEEE — power-of-two multiply) and floored to a
+    //     bigint (floor is portable; double→bigint CAST is not: Spark
+    //     truncates, DuckDB rounds), then '|'-joined. ---
     "q56_arrayfns" -> ((s, d) =>
       t(s, d, "embeddings")
         .filter(col("vec_id") < 50)
@@ -442,8 +452,10 @@ object SqlSurface {
           expr("bigint(size(dv))").as("dim"),
           expr("array_max(dv)").as("vmax"),
           expr("array_min(dv)").as("vmin"),
-          expr("slice(dv, 1, 4)").as("head4"),
-          expr("reverse(slice(dv, 1, 3))").as("rev3"),
+          expr("concat_ws('|', transform(slice(dv, 1, 4), " +
+            "x -> bigint(floor(x * 1048576.0d))))").as("head4"),
+          expr("concat_ws('|', transform(reverse(slice(dv, 1, 3)), " +
+            "x -> bigint(floor(x * 1048576.0d))))").as("rev3"),
           expr("bigint(array_position(dv, array_max(dv)))").as("argmax1"))
         .orderBy("vec_id")),
 
@@ -647,9 +659,11 @@ object SqlSurface {
         | CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_k
         |FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""".stripMargin,
 
+    // sum(BIGINT) is HUGEINT in DuckDB — cast back so the dtype matches
+    // Spark's LongType (the r1 hash mismatch was dtype-only).
     "q16_json" ->
       """SELECT event_type,
-        | sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+        | sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS k_sum,
         | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_value,
         | count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
@@ -761,8 +775,8 @@ object SqlSurface {
 
     "q53_collect" ->
       """SELECT n_name,
-        | list_sort(list(s_name)) AS suppliers,
-        | list_sort(list(DISTINCT s_suppkey)) AS supp_keys,
+        | array_to_string(list_sort(list(s_name)), '|') AS suppliers,
+        | array_to_string(list_sort(list(DISTINCT s_suppkey)), '|') AS supp_keys,
         | count(*) AS n
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
@@ -783,8 +797,10 @@ object SqlSurface {
         | len(dv)::BIGINT AS dim,
         | list_max(dv) AS vmax,
         | list_min(dv) AS vmin,
-        | dv[1:4] AS head4,
-        | list_reverse(dv[1:3]) AS rev3,
+        | array_to_string(list_transform(dv[1:4],
+        |   x -> CAST(floor(x * 1048576.0) AS BIGINT)), '|') AS head4,
+        | array_to_string(list_transform(list_reverse(dv[1:3]),
+        |   x -> CAST(floor(x * 1048576.0) AS BIGINT)), '|') AS rev3,
         | list_position(dv, list_max(dv))::BIGINT AS argmax1
         |FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS dv
         |      FROM embeddings WHERE vec_id < 50)

@@ -37,6 +37,21 @@ def main(out_dir, sf_dir):
             exp = con.sql(sql)
             exp_cols = exp.columns
             exp_rows = exp.fetchall()
+            # Replicate the driver's pandas path: dtype equality (q16's
+            # r1 hash "mismatch" was HUGEINT vs BIGINT dtype only) and a
+            # sort_values over every column (crashes on array-typed
+            # cells exactly like the driver's harness did for q53/56/60).
+            gdf = con.sql(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+            edf = con.sql(sql).df()
+            gd = {c: str(gdf[c].dtype) for c in gdf.columns}
+            ed = {c: str(edf[c].dtype) for c in edf.columns}
+            if gd != ed:
+                print(f"FAIL {name}: dtypes {gd} != {ed}")
+                failures += 1
+                continue
+            gdf.sort_values(by=sorted(gdf.columns), inplace=True)
+            edf.sort_values(by=sorted(edf.columns), inplace=True)
         except Exception as e:
             print(f"FAIL {name}: error {e}")
             failures += 1
