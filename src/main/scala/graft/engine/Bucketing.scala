@@ -14,15 +14,33 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketing {
 
-  /** Write `df` as a catalog table bucketed (and sorted) by `keys`. */
+  /** Write `df` as a catalog table bucketed (and sorted) by `keys`.
+    * Idempotent across sessions: an in-memory catalog forgets tables
+    * between JVMs but leaves the warehouse files, and `saveAsTable`
+    * refuses to adopt an orphaned location — so drop the table AND
+    * clear any leftover location first.
+    */
   def writeBucketed(df: DataFrame, tableName: String, numBuckets: Int,
-                    keys: Seq[String]): Unit =
+                    keys: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$tableName`")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val root = if (warehouse.contains(":"))
+      new java.io.File(new java.net.URI(warehouse).getPath)
+    else new java.io.File(warehouse)
+    deleteRecursively(new java.io.File(root, tableName))
     df.write
       .format("parquet")
       .mode("overwrite")
       .bucketBy(numBuckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(tableName)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = if (f.exists()) {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    f.delete(): Unit
+  }
 
   /** Co-located equi-join of two bucketed catalog tables on their
     * bucket keys. With matching bucket counts, neither side shuffles.

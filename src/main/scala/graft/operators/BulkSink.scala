@@ -40,27 +40,39 @@ object BulkSink {
 
   final case class SinkStats(flushed: Long, failedBatches: Long,
                              retries: Long, batches: Long,
-                             durationMs: Long) {
+                             durationMs: Long,
+                             failedDocs: Long = 0L) {
     def docsPerSec: Double = flushed * 1000.0 / math.max(1L, durationMs)
   }
 
   /** Stream `docs` (one serialized doc per row, single string column)
     * into the transport with byte-budgeted batching and bounded
-    * exponential-backoff retry. Throws if a batch exhausts its retries —
-    * Spark then retries the task (`spark.task.maxFailures`), and the
-    * job fails only after both budgets are spent, which mirrors the
-    * reference's "log the error, fail the request" behavior at the
-    * right scale boundary.
+    * exponential-backoff retry.
+    *
+    * Failure semantics are two-mode, mirroring the reference's split
+    * between OnFailure accounting (`elastic_controller.go:215-229`:
+    * log, count, keep going) and request failure:
+    *  - `continueOnError = false` (default): a batch that exhausts its
+    *    retries throws — Spark then retries the task
+    *    (`spark.task.maxFailures`) and the job fails only after both
+    *    budgets are spent (all-or-nothing).
+    *  - `continueOnError = true`: a permanently-failing batch is
+    *    counted (`failedBatches` / `failedDocs` accumulators — the
+    *    Spark twin of the reference's `atomic.AddUint64` failure
+    *    counters) and the job completes, reporting the losses.
     */
   def write(docs: DataFrame,
             transportFactory: () => BulkTransport,
             flushBytes: Long = 5000000L,
             maxRetries: Int = 5,
-            backoffMs: Long = 10L): SinkStats = {
+            backoffMs: Long = 10L,
+            continueOnError: Boolean = false): SinkStats = {
     val spark = docs.sparkSession
     val flushedAcc = spark.sparkContext.longAccumulator("bulk.flushed")
     val retriesAcc = spark.sparkContext.longAccumulator("bulk.retries")
     val batchesAcc = spark.sparkContext.longAccumulator("bulk.batches")
+    val failedBatchesAcc = spark.sparkContext.longAccumulator("bulk.failedBatches")
+    val failedDocsAcc = spark.sparkContext.longAccumulator("bulk.failedDocs")
     val t0 = System.nanoTime()
     val ds = docs.toDF("doc")
     ds.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
@@ -69,8 +81,14 @@ object BulkSink {
         val buf = scala.collection.mutable.ArrayBuffer.empty[String]
         var bufBytes = 0L
         def flush(): Unit = if (buf.nonEmpty) {
-          sendWithRetry(transport, buf.toSeq, maxRetries, backoffMs, retriesAcc)
-          flushedAcc.add(buf.size)
+          try {
+            sendWithRetry(transport, buf.toSeq, maxRetries, backoffMs, retriesAcc)
+            flushedAcc.add(buf.size)
+          } catch {
+            case scala.util.control.NonFatal(_) if continueOnError =>
+              failedBatchesAcc.add(1)
+              failedDocsAcc.add(buf.size)
+          }
           batchesAcc.add(1)
           buf.clear()
           bufBytes = 0L
@@ -85,7 +103,8 @@ object BulkSink {
       } finally transport.close()
     }
     val ms = (System.nanoTime() - t0) / 1000000L
-    SinkStats(flushedAcc.value, 0L, retriesAcc.value, batchesAcc.value, ms)
+    SinkStats(flushedAcc.value, failedBatchesAcc.value, retriesAcc.value,
+      batchesAcc.value, ms, failedDocsAcc.value)
   }
 
   private def sendWithRetry(transport: BulkTransport, batch: Seq[String],

@@ -514,6 +514,45 @@ object SqlSurface {
             .as("prio_class"))
         .orderBy("o_orderkey")),
 
+    // --- bucketed co-located fact-fact join (the SCALE.md shape, as a
+    //     query): both facts are written bucketed+sorted by orderkey,
+    //     so the join AND the same-key aggregation run with zero
+    //     shuffle exchange (asserted in PlanSpec) — at 100 TB this is
+    //     the ingest-once/join-many posture that removes the dominant
+    //     recurring shuffle. The merge hint pins SMJ so the plan shape
+    //     is stable across SFs (broadcast would also be exchange-ish).
+    //     Bucketing is plan-only: the DuckDB oracle is the plain join. ---
+    "q62_bucketed_join" -> ((s, d) => {
+      val l = t(s, d, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      val o = t(s, d, "orders")
+        .select("o_orderkey", "o_orderpriority")
+      graft.engine.Bucketing.writeBucketed(
+        l, "graft_bkt_lineitem", 8, Seq("l_orderkey"))
+      graft.engine.Bucketing.writeBucketed(
+        o, "graft_bkt_orders", 8, Seq("o_orderkey"))
+      val lb = s.table("graft_bkt_lineitem")
+      val ob = s.table("graft_bkt_orders")
+      lb.join(ob.hint("merge"), lb("l_orderkey") === ob("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(sum(revenueDec).cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .filter(col("o_orderkey") <= 2000)
+        .orderBy("o_orderkey")
+    }),
+
+    // --- interval join, batch twin: the SAME operator code as the
+    //     stream-stream interval join (EventStreams.intervalJoin — the
+    //     watermark is a no-op in batch), so the join logic itself gets
+    //     a DuckDB hash check, not just the streaming plumbing. ---
+    "q63_interval_join" -> ((s, d) => {
+      val e = t(s, d, "events")
+      val clicks = e.filter(col("event_type") === "click")
+      val views = e.filter(col("event_type") === "view")
+      graft.streaming.EventStreams.intervalJoin(clicks, views)
+        .orderBy("click_id", "view_id")
+    }),
+
     // --- E2 parity: document production with sequential 1-based _id ---
     "q23_index_docs" -> ((s, d) => {
       val o = t(s, d, "orders"); val c = t(s, d, "customer")
@@ -846,6 +885,23 @@ object SqlSurface {
         | quarter(o_orderdate)::BIGINT AS qtr,
         | date_trunc('month', o_orderdate)::TIMESTAMP AS month_start
         |FROM orders WHERE o_orderkey <= 300 ORDER BY o_orderkey""".stripMargin,
+
+    "q62_bucketed_join" ->
+      s"""SELECT o_orderkey, o_orderpriority,
+        | CAST(sum($REV) AS DOUBLE) AS revenue, count(*) AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderkey <= 2000
+        |GROUP BY o_orderkey, o_orderpriority
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q63_interval_join" ->
+      """SELECT c.event_id AS click_id, v.event_id AS view_id,
+        | c.user_id, c.ts AS click_ts, v.ts AS view_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON c.user_id = v.user_id
+        | AND v.ts >= c.ts AND v.ts <= c.ts + INTERVAL 10 MINUTE
+        |ORDER BY click_id, view_id""".stripMargin,
 
     "q23_index_docs" ->
       """SELECT CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT) AS _id,

@@ -36,6 +36,22 @@ object TestTransports {
           StandardOpenOption.CREATE, StandardOpenOption.APPEND)
       }
     }
+
+  /** Transport where any batch containing a "poison" doc fails
+    * PERMANENTLY (non-retryable) — exercises continue-on-error
+    * accounting.
+    */
+  def poisonTransport(dir: String): () => BulkTransport =
+    () => new BulkTransport {
+      private val id = java.util.UUID.randomUUID().toString
+      override def send(batch: Seq[String]): Unit = {
+        if (batch.exists(_.contains("poison")))
+          throw new RuntimeException("permanent mapping failure")
+        Files.write(Paths.get(dir, s"part-$id.ndjson"),
+          (batch.mkString("\n") + "\n").getBytes,
+          StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+      }
+    }
 }
 
 class BulkSinkSpec extends SparkSpec {
@@ -74,6 +90,34 @@ class BulkSinkSpec extends SparkSpec {
       BulkSink.write(docs(5).repartition(1),
         TestTransports.fileTransport(dir, failFirst = 1000),
         flushBytes = 100000L, maxRetries = 2, backoffMs = 1L)
+    }
+  }
+
+  test("continue-on-error: failed batches are counted, job completes") {
+    val dir = Files.createTempDirectory("bulk-poison").toString
+    // every ~7-doc batch containing a multiple of 10 carries "poison"
+    val mixed = (1 to 100)
+      .map(i => if (i % 10 == 0) s"""{"id":$i,"tag":"poison"}"""
+                else s"""{"id":$i,"body":"${"x" * 50}"}""")
+      .toDF("doc")
+    val stats = BulkSink.write(mixed.repartition(2),
+      TestTransports.poisonTransport(dir), flushBytes = 400L,
+      continueOnError = true)
+    assert(stats.failedBatches > 0L, s"stats=$stats")
+    assert(stats.failedDocs > 0L)
+    assert(stats.flushed + stats.failedDocs == 100L, s"stats=$stats")
+    assert(written(dir).length.toLong == stats.flushed)
+    assert(written(dir).forall(!_.contains("poison")))
+  }
+
+  test("without continue-on-error, a permanent failure fails the job") {
+    val dir = Files.createTempDirectory("bulk-poison-strict").toString
+    val mixed = (1 to 20)
+      .map(i => if (i == 10) s"""{"id":$i,"tag":"poison"}"""
+                else s"""{"id":$i}""").toDF("doc")
+    assertThrows[SparkException] {
+      BulkSink.write(mixed.repartition(1),
+        TestTransports.poisonTransport(dir), flushBytes = 100000L)
     }
   }
 

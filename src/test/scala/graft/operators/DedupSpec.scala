@@ -42,6 +42,27 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("ngram prefix filter prunes candidates without losing true pairs") {
+    val corpus = spark.read.parquet(s"$sf001/documents.parquet")
+    val shingled = TextOps.withShingles(corpus)
+      .withColumn("n_sh", expr("bigint(size(shingles))"))
+      .select("doc_id", "n_sh", "shingles")
+    val t = 0.4
+    // baseline: every co-occurring pair (full postings, no length filter)
+    val full = Dedup.ngramCandidates(shingled, 0.0, prefixFilter = false)
+    val pruned = Dedup.ngramCandidates(shingled, t)
+    val (nFull, nPruned) = (full.count(), pruned.count())
+    assert(nPruned < nFull,
+      s"prefix+length filter pruned nothing: $nPruned vs $nFull")
+    info(s"candidate pairs: $nFull unfiltered -> $nPruned prefix-filtered")
+    // exactness: the verified result sets are identical (recall 1)
+    def verified(c: org.apache.spark.sql.DataFrame) =
+      Dedup.verifyJaccard(c, shingled.select("doc_id", "shingles"))
+        .filter(col("jaccard") >= t)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(verified(pruned) == verified(full))
+  }
+
   test("ngramJaccardPairs: exact dup has jaccard 1.0; sim order sane") {
     val rows = Dedup.ngramJaccardPairs(docs, threshold = 0.1)
       .as[(Long, Long, Double)].collect()

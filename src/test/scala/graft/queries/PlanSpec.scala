@@ -94,4 +94,16 @@ class PlanSpec extends SparkSpec {
     // corpus side must not be globally sorted (window is per-q_id)
     assert(!p.contains("GlobalSort"), "unexpected global sort")
   }
+
+  test("q62: bucketed join + same-key agg plans with no hash exchange") {
+    val df = SparkEntry.queries("q62_bucketed_join")(spark, sf001)
+    df.collect() // finalize the (adaptive) plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), p.take(1200))
+    // The join reads co-located buckets and the aggregation groups on
+    // the bucket key — the only allowed exchange is the final ORDER BY
+    // range partitioning.
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"bucketed q62 still shuffles:\n${p.take(1500)}")
+  }
 }
