@@ -208,21 +208,42 @@ object Dedup {
       .distinct()
   }
 
-  /** n-gram Jaccard near-dups, exactly: prefix-filtered candidate join
-    * ([[ngramCandidates]] — recall 1 by the prefix-filter lemma), then
-    * exact Jaccard verification over the full shingle sets. Every true
-    * pair at `threshold` is found — no probabilistic recall — with a
-    * join whose fan-out is bounded by prefix posting lists rather than
-    * full ones; [[minhashNearDups]] remains the cheaper path when
-    * sub-1 recall is acceptable.
+  /** n-gram Jaccard near-dups, exactly: full-postings inverted-index
+    * join with the size filter (J ≥ t ⇒ t·|B| ≤ |A| ≤ |B|/t) inside the
+    * join condition, then count-based intersection (each shared shingle
+    * contributes one joined row; the count partial-aggregates map-side,
+    * so the shuffle after the join is one small row per pair). Every
+    * true pair at `threshold` is found — no probabilistic recall.
+    *
+    * Two exact pruning levers exist and serve different scales:
+    * the size filter here cuts joined rows with zero extra passes
+    * (measured faster than prefix+verify up to sf0.1); the prefix
+    * filter ([[ngramCandidates]] + [[verifyJaccard]]) bounds the join
+    * fan-out itself by indexing only sorted prefixes — the formulation
+    * to switch to when posting lists grow beyond memory-resident (the
+    * spec asserts both yield identical pairs). [[minhashNearDups]]
+    * remains the cheapest path when sub-1 recall is acceptable.
     */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val shingled = TextOps.withShingles(docs)
       .withColumn("n_sh", expr("bigint(size(shingles))"))
       .select("doc_id", "n_sh", "shingles")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cands = ngramCandidates(shingled, threshold)
-    verifyJaccard(cands, shingled.select("doc_id", "shingles"))
+    val postings = shingled
+      .select(col("doc_id"), col("n_sh"),
+        explode(col("shingles")).as("shingle"))
+    val a = postings.alias("a")
+    val b = postings.alias("b")
+    a.join(b,
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("a.n_sh") >= lit(threshold) * col("b.n_sh") &&
+          col("b.n_sh") >= lit(threshold) * col("a.n_sh"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
+      .agg(count(lit(1)).as("n_inter"))
+      .withColumn("jaccard", expr(
+        "cast(n_inter as double) / cast(n_a + n_b - n_inter as double)"))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }
