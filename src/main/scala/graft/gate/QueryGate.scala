@@ -98,4 +98,36 @@ object QueryGate {
     validate(spark, dbDriver, dbName, query)
     spark.sql(query)
   }
+
+  /** O15/O16 parity: the reference wraps every route in a logging
+    * middleware that emits one structured line per request — status,
+    * latency, and the request descriptor (`api/middlewares/
+    * middlewares.go:40-59`). The in-process twin wraps the gate+plan
+    * step: one JSON line per admitted or rejected query, with the
+    * EngineError's HTTP-taxonomy code on rejection (200 on success,
+    * matching the reference's envelope). `log` defaults to stderr and
+    * is injectable for tests and for routing into a real logger.
+    */
+  def runLogged(spark: SparkSession, dbDriver: String, dbName: String,
+                query: String,
+                log: String => Unit = Console.err.println): DataFrame = {
+    val t0 = System.nanoTime()
+    def esc(s: String) =
+      s.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t")
+    def line(status: Int, err: Option[String]) = {
+      val ms = (System.nanoTime() - t0) / 1e6
+      val errField = err.fold("")(e => s""","error":"${esc(e)}"""")
+      s"""{"op":"query","driver":"${esc(String.valueOf(dbDriver))}","db":"${esc(String.valueOf(dbName))}","status":$status,"latency_ms":$ms,"query":"${esc(String.valueOf(query).take(200))}"$errField}"""
+    }
+    try {
+      val df = runQuery(spark, dbDriver, dbName, query)
+      log(line(200, None))
+      df
+    } catch {
+      case e: EngineError =>
+        log(line(e.code, Some(e.getMessage)))
+        throw e
+    }
+  }
 }

@@ -47,10 +47,11 @@ object SqlSurface {
   private def t(s: SparkSession, d: String, n: String): DataFrame =
     Tables.table(s, d, n)
 
-  /** Run SQL through the reference-parity gate (exercises O2-O7). */
+  /** Run SQL through the reference-parity gate (exercises O2-O7 and the
+    * O15/O16 request-log line, emitted to stderr per gated query). */
   private def gated(s: SparkSession, d: String, sql: String): DataFrame = {
     Tables.register(s, d)
-    QueryGate.runQuery(s, "parquet", d, sql)
+    QueryGate.runLogged(s, "parquet", d, sql)
   }
 
   val queries: Map[String, Q] = Map(

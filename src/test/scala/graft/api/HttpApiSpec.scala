@@ -1,0 +1,96 @@
+package graft.api
+
+import java.net.URLEncoder
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import graft.SparkSpec
+
+/** End-to-end wire tests of the reference's three routes over a real
+  * (loopback) HTTP server: envelopes, status codes, and the bulk-index
+  * round trip are exercised exactly as a reference client would.
+  */
+class HttpApiSpec extends SparkSpec {
+
+  private val client = HttpClient.newHttpClient()
+  private def enc(s: String) = URLEncoder.encode(s, "UTF-8")
+
+  private def get(url: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(java.net.URI.create(url)).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def postForm(url: String, form: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(java.net.URI.create(url))
+      .header("Content-Type", "application/x-www-form-urlencoded")
+      .POST(HttpRequest.BodyPublishers.ofString(form)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def withApi(f: (String, String) => Unit): Unit = {
+    val indexRoot =
+      java.nio.file.Files.createTempDirectory("http-index").toString
+    val logs = scala.collection.mutable.ArrayBuffer.empty[String]
+    val api = HttpApi.start(spark, indexRoot,
+      log = s => logs.synchronized { logs += s })
+    try f(s"http://localhost:${api.port}", indexRoot)
+    finally api.stop()
+    assert(logs.nonEmpty, "logging middleware emitted nothing")
+    assert(logs.forall(_.contains("\"latency_ms\":")), logs.mkString("\n"))
+  }
+
+  test("GET / returns the welcome envelope") {
+    withApi { (base, _) =>
+      val r = get(s"$base/")
+      assert(r.statusCode() == 200)
+      assert(r.body().contains("Welcome to Database Query engine"))
+      assert(r.headers().firstValue("Content-Type").get == "application/json")
+    }
+  }
+
+  test("GET /query/ executes gated SQL and returns JSON rows") {
+    withApi { (base, _) =>
+      val sql = "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"
+      val r = get(s"$base/query/?dbDriver=parquet&dbName=${enc(sf001)}" +
+        s"&query=${enc(sql)}")
+      assert(r.statusCode() == 200, r.body())
+      assert(r.body().startsWith("[{\"r_regionkey\":0"), r.body().take(200))
+      assert(r.body().split("\\},\\{").length == 5)
+    }
+  }
+
+  test("DDL gets 401, bad driver 400, with the error envelope") {
+    withApi { (base, _) =>
+      val ddl = get(s"$base/query/?dbDriver=parquet&dbName=${enc(sf001)}" +
+        s"&query=${enc("DROP TABLE region")}")
+      assert(ddl.statusCode() == 401, ddl.body())
+      assert(ddl.body().startsWith("""{"error":"""), ddl.body())
+      val bad = get(s"$base/query/?dbDriver=mongodb&dbName=x&query=SELECT%201")
+      assert(bad.statusCode() == 400)
+      assert(bad.body().contains("incorrect db driver"), bad.body())
+    }
+  }
+
+  test("POST /elastic/save/ bulk-indexes the query result and reports stats") {
+    withApi { (base, indexRoot) =>
+      val sql = "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey"
+      val r = postForm(s"$base/elastic/save/",
+        s"dbDriver=parquet&dbName=${enc(sf001)}&query=${enc(sql)}" +
+          "&indexName=nations")
+      assert(r.statusCode() == 200, r.body())
+      assert(r.body().contains("\"docs\":25"), r.body())
+      // the NDJSON bulk file is really there, in ES _bulk shape
+      val dir = new java.io.File(s"$indexRoot/nations")
+      val lines = dir.listFiles().filter(_.getName.startsWith("part-"))
+        .flatMap(f => scala.io.Source.fromFile(f).getLines()).toSeq
+      assert(lines.count(_.startsWith("""{"index":{"_index":"nations"""")) == 25)
+      assert(lines.exists(_.contains("\"n_nationkey\":0")))
+    }
+  }
+
+  test("missing indexName on /elastic/save/ is a 400 incomplete-params") {
+    withApi { (base, _) =>
+      val r = postForm(s"$base/elastic/save/",
+        s"dbDriver=parquet&dbName=${enc(sf001)}&query=SELECT%201")
+      assert(r.statusCode() == 400)
+      assert(r.body().contains("indexName"), r.body())
+    }
+  }
+}

@@ -67,4 +67,34 @@ class QueryGateSpec extends SparkSpec {
     val df = QueryGate.runQuery(spark, "parquet", "any", "SELECT 1 AS one")
     assert(df.collect().map(_.getInt(0)).toSeq == Seq(1))
   }
+
+  test("runLogged emits a 200 request line with latency (O15/O16)") {
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    QueryGate.runLogged(spark, "parquet", "any", "SELECT 1 AS one",
+      lines += _)
+    assert(lines.size == 1)
+    val l = lines.head
+    assert(l.contains("\"status\":200") && l.contains("\"latency_ms\":"), l)
+    assert(l.contains("\"driver\":\"parquet\""), l)
+  }
+
+  test("runLogged logs the taxonomy code on rejection and rethrows") {
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    intercept[EngineError.UnauthorizedOperation] {
+      QueryGate.runLogged(spark, "parquet", "any", "DROP TABLE t",
+        lines += _)
+    }
+    assert(lines.size == 1)
+    assert(lines.head.contains("\"status\":401"), lines.head)
+    assert(lines.head.contains("\"error\":"), lines.head)
+  }
+
+  test("runLogged escapes quotes/newlines so the log line stays valid JSON") {
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    QueryGate.runLogged(spark, "parquet", "any",
+      "SELECT 'it''s' AS s,\n 2 AS two", lines += _)
+    val l = lines.head
+    assert(!l.contains("\n"), "raw newline leaked into the log line")
+    assert(l.contains("\\n"), l)
+  }
 }
