@@ -44,6 +44,29 @@ object Pipeline {
       .withColumn("n_redactions", expr(
         "bigint(size(regexp_extract_all(redacted, '<(num|email)>', 0)))"))
 
+  /** Deterministic STRATIFIED sampling: per-stratum keep rates (percent)
+    * keyed by a stratum column, with content-hash bucketing — the
+    * data-mixture lever of a training pipeline (e.g. downsample the
+    * dominant language, keep all of a rare one). Same determinism
+    * contract as [[split]]/[[systematicSample]]: bucket = charHash(text)
+    * mod 100, keep if bucket < rate(stratum); no RNG, invariant under
+    * repartitioning, and a re-ingested duplicate row makes the same
+    * keep/drop decision everywhere. Per-row codegen'd hash + a literal
+    * CASE over the rate map — zero shuffle.
+    */
+  def stratifiedSample(docs: DataFrame, rates: Map[String, Int],
+                       defaultPct: Int,
+                       stratumCol: String = "lang"): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultPct)) {
+      case (acc, (k, v)) => when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    docs
+      .withColumn("bucket", expr("char_poly_hash(text) % 100"))
+      .withColumn("keep_rate", rate.cast("long"))
+      .filter(col("bucket") < col("keep_rate"))
+  }
+
   /** Deterministic content-hash train/val/test split: bucket =
     * charHash(text) mod 100 → train < `trainPct` ≤ val < `valEnd` ≤
     * test. Content-based (not id-based) so re-ingested duplicates land

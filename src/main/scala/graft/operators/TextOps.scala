@@ -136,6 +136,25 @@ object TextOps {
       .withColumn("n_subword_tokens",
         expr("bigint(size(regexp_extract_all(text, '[a-z]{1,4}', 0)))"))
 
+  /** Corpus-level subword vocabulary: explode the BPE-ish greedy
+    * segmentation ([[withTokenCounts]]'s `[a-z]{1,4}` chunks), count
+    * occurrences and document frequency per subword, keep the top `k`
+    * by frequency — the vocabulary-construction step of a tokenizer
+    * build. One explode + one partial-aggregated groupBy shuffle keyed
+    * by subword, then a global top-k (TakeOrderedAndProject) — the
+    * same plan shape at any corpus size.
+    */
+  def subwordVocab(docs: DataFrame, k: Int): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(expr("regexp_extract_all(text, '[a-z]{1,4}', 0)"))
+          .as("subword"))
+      .groupBy("subword")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("doc_id")).as("doc_freq"))
+      .orderBy(desc("n"), asc("subword"))
+      .limit(k)
+
   /** Order-sensitive document fingerprint: rolling polynomial hash of the
     * token-hash stream, `h = (h*131 + charHash(tok)) mod (2^31-1)`.
     * Equal fingerprints ⇔ equal token sequences (mod collisions);

@@ -170,6 +170,38 @@ object LlmSurface {
             "x -> bigint(floor(x * 1048576.0d))))").as("unit_head8"))
         .orderBy("vec_id")),
 
+    // --- int8 embedding quantization (the ANN storage lever: 4x
+    //     smaller vectors, order-independent exact integer dots) ---
+    "q64_quantize" -> ((s, d) =>
+      Similarity.quantizeInt8(emb(s, d))
+        .filter(col("vec_id") < 100)
+        .select(col("vec_id"),
+          expr("bigint(floor(qscale * 1048576.0d))").as("qscale_fx"),
+          expr("concat_ws('|', transform(slice(qvec, 1, 8), x -> bigint(x)))")
+            .as("q_head8"),
+          expr("bigint(aggregate(qvec, cast(0 as double), (a, x) -> a + x))")
+            .as("q_sum"),
+          expr("bigint(array_min(qvec))").as("q_min"),
+          expr("bigint(array_max(qvec))").as("q_max"))
+        .orderBy("vec_id")),
+
+    // --- brute-force top-k over the quantized vectors: integer inner
+    //     products (exact in any order), one float div at the end ---
+    "q67_ann_int8" -> ((s, d) =>
+      Similarity.int8TopK(emb(s, d), "vec_id < 10", k = 5)
+        .orderBy("q_id", "rank")),
+
+    // --- per-language stratified sampling (data-mixture control) ---
+    "q65_stratified_sample" -> ((s, d) =>
+      Pipeline.stratifiedSample(docs(s, d),
+          rates = Map("en" -> 5, "zh" -> 30), defaultPct = 15)
+        .select("doc_id", "lang", "bucket", "keep_rate")
+        .orderBy("doc_id")),
+
+    // --- tokenizer vocabulary construction: top-100 subwords ---
+    "q66_subword_vocab" -> ((s, d) =>
+      TextOps.subwordVocab(docs(s, d), k = 100)),
+
     // --- multimodal byte-level plumbing over a binary payload column ---
     "q38_media_bytes" -> ((s, d) =>
       Multimodal.withByteStats(
@@ -502,6 +534,65 @@ object LlmSurface {
          |FROM te JOIN tr USING (sh)
          |GROUP BY test_id ORDER BY test_id""".stripMargin
     },
+
+    "q64_quantize" ->
+      """WITH d AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS dv
+        |           FROM embeddings WHERE vec_id < 100),
+        | s AS (SELECT vec_id, dv,
+        |         list_max(list_transform(dv, x -> abs(x))) AS mx FROM d),
+        | qz AS (SELECT vec_id, 127.0 / mx AS qscale,
+        |         list_transform(dv,
+        |           x -> CAST(floor(x * (127.0 / mx) + 0.5) AS BIGINT)) AS qvec
+        |        FROM s WHERE mx > 0.0)
+        |SELECT vec_id,
+        | CAST(floor(qscale * 1048576.0) AS BIGINT) AS qscale_fx,
+        | array_to_string(qvec[1:8], '|') AS q_head8,
+        | list_reduce([0::BIGINT] || qvec, (a, x) -> a + x) AS q_sum,
+        | list_min(qvec) AS q_min,
+        | list_max(qvec) AS q_max
+        |FROM qz ORDER BY vec_id""".stripMargin,
+
+    "q67_ann_int8" ->
+      """WITH d AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS dv
+        |           FROM embeddings),
+        | s AS (SELECT vec_id, dv,
+        |         list_max(list_transform(dv, x -> abs(x))) AS mx FROM d),
+        | qz AS (SELECT vec_id,
+        |         list_transform(dv,
+        |           x -> CAST(floor(x * (127.0 / mx) + 0.5) AS BIGINT)) AS qvec
+        |        FROM s WHERE mx > 0.0),
+        | qn AS (SELECT vec_id, qvec,
+        |         sqrt(list_reduce([0.0::DOUBLE] ||
+        |           list_transform(qvec, x -> (x * x)::DOUBLE),
+        |           (a, x) -> a + x)) AS qnorm FROM qz),
+        | scored AS (SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+        |   list_reduce([0::BIGINT] || list_transform(
+        |     list_zip(q.qvec, c.qvec), p -> p[1] * p[2]),
+        |     (a, x) -> a + x) AS ip,
+        |   q.qnorm * c.qnorm AS nn
+        |  FROM qn q JOIN qn c ON q.vec_id < 10 AND c.vec_id != q.vec_id)
+        |SELECT q_id, neighbor_id,
+        | row_number() OVER (PARTITION BY q_id
+        |   ORDER BY ip::DOUBLE / nn DESC, neighbor_id ASC)::BIGINT AS rank,
+        | ip, ip::DOUBLE / nn AS qcos
+        |FROM scored QUALIFY rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    "q65_stratified_sample" -> {
+      val h = dkCharHash("text")
+      s"""SELECT doc_id, lang, h % 100 AS bucket,
+         | (CASE WHEN lang = 'en' THEN 5 WHEN lang = 'zh' THEN 30
+         |       ELSE 15 END)::BIGINT AS keep_rate
+         |FROM (SELECT doc_id, lang, $h AS h FROM documents)
+         |WHERE h % 100 < CASE WHEN lang = 'en' THEN 5
+         |                     WHEN lang = 'zh' THEN 30 ELSE 15 END
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "q66_subword_vocab" ->
+      """SELECT subword, count(*) AS n, count(DISTINCT doc_id) AS doc_freq
+        |FROM (SELECT doc_id, unnest(regexp_extract_all(text, '[a-z]{1,4}'))
+        |        AS subword FROM documents)
+        |GROUP BY subword ORDER BY n DESC, subword LIMIT 100""".stripMargin,
 
     "q38_media_bytes" ->
       """SELECT doc_id,

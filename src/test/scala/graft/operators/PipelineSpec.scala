@@ -71,6 +71,26 @@ class PipelineSpec extends SparkSpec {
     assert(a.length > 10 && a.length < 150) // ~10% of 500, loose bounds
   }
 
+  test("stratifiedSample applies per-stratum rates deterministically") {
+    val corpus = spark.read.parquet(s"$sf001/documents.parquet")
+    val rates = Map("en" -> 5, "zh" -> 30)
+    val kept = Pipeline.stratifiedSample(corpus, rates, defaultPct = 15)
+    // every kept row satisfies its stratum's rate
+    val viol = kept.filter(col("bucket") >= col("keep_rate")).count()
+    assert(viol == 0)
+    val byLang = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = corpus.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // rare-kept stratum is sampled harder than the boosted one
+    assert(byLang.getOrElse("en", 0L).toDouble / totals("en") <
+      byLang.getOrElse("zh", 0L).toDouble / totals("zh"))
+    // content-hash determinism: repartitioning changes nothing
+    val again = Pipeline.stratifiedSample(corpus.repartition(7), rates, 15)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(again == kept.select("doc_id").as[Long].collect().sorted.toSeq)
+  }
+
   test("contamination finds planted train/test n-gram overlap") {
     val train = Seq((1L, (1 to 20).map("t" + _).mkString(" ")),
       (2L, "unrelated train words only here padding pad pad pad")).toDF("doc_id", "text")

@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.expr
+
 import graft.SparkSpec
 
 class SimilaritySpec extends SparkSpec {
@@ -54,5 +56,28 @@ class SimilaritySpec extends SparkSpec {
       .select("id_a", "id_b", "cos").as[(Long, Long, Double)].collect()
     assert(out.exists(p => p._1 == 0L && p._2 == 1L))
     assert(out.forall(_._3 >= 0.99))
+  }
+
+  test("quantizeInt8: values in [-127,127], reconstruction within half a step") {
+    val sf = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val qz = Similarity.quantizeInt8(sf)
+    val bad = qz.filter(expr(
+      "exists(qvec, x -> abs(x) > 127.0) OR " +
+        // |q/scale - x| <= 0.5/scale for every component
+        "exists(zip_with(qvec, dvec, (q, x) -> " +
+        "abs(q / qscale - x) > 0.5 / qscale + 1e-12), b -> b)")).count()
+    assert(bad == 0)
+    assert(qz.count() == sf.count()) // no all-zero vectors in the fixture
+  }
+
+  test("int8TopK ranks by quantized cosine and tracks float top-k closely") {
+    val sf = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val q8 = Similarity.int8TopK(sf, "vec_id < 20", k = 5)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val brute = Similarity.bruteForceTopK(sf, "vec_id < 20", k = 5)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val agree = (q8 & brute).size.toDouble / brute.size
+    // int8 quantization barely perturbs 64-dim cosine ordering
+    assert(agree > 0.8, s"quantized/float top-k agreement $agree")
   }
 }

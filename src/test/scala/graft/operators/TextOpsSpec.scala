@@ -67,4 +67,18 @@ class TextOpsSpec extends SparkSpec {
     assert(fp(1L) == fp(3L))
     assert(fp(1L) != fp(2L))
   }
+
+  test("subwordVocab: greedy chunks counted corpus-wide, df <= n") {
+    val vocab = TextOps.subwordVocab(Seq(
+        (1L, "alpha beta alpha"), (2L, "beta gamma"))
+      .toDF("doc_id", "text"), k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // 'alph'+'a' from alpha, 'beta', 'gamm'+'a' from gamma
+    val m = vocab.map(v => v._1 -> v).toMap
+    assert(m("beta") == ("beta", 2L, 2L))
+    assert(m("a")._2 == 3L) // two alphas + gamma tail
+    assert(vocab.forall(v => v._3 <= v._2))
+    // ordered by frequency desc then subword asc
+    assert(vocab.sortBy(v => (-v._2, v._1)).toSeq == vocab.toSeq)
+  }
 }
