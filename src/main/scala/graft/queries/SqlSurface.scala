@@ -554,6 +554,60 @@ object SqlSurface {
         .orderBy("click_id", "view_id")
     }),
 
+    // --- UNPIVOT: wide metrics → long (metric, value) rows ---
+    "q68_unpivot" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_orderkey") <= 100)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          expr("stack(3, 'disc', l_discount, 'price', l_extendedprice, " +
+            "'qty', l_quantity)").as(Seq("metric", "value")))
+        .orderBy("l_orderkey", "l_linenumber", "metric")),
+
+    // --- RANGE frame over event time: 30-day trailing spend window.
+    //     Range frames include peers, so the sum is deterministic even
+    //     under order-date ties; decimal-exact money math as usual. ---
+    "q69_range_frame" -> ((s, d) => {
+      Tables.register(s, d)
+      QueryGate.runLogged(s, "parquet", d,
+        """SELECT o_orderkey, o_custkey, o_orderdate,
+          | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+          |   PARTITION BY o_custkey ORDER BY o_orderdate
+          |   RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+          |   AS DOUBLE) AS spend_30d
+          |FROM orders WHERE o_custkey <= 100
+          |ORDER BY o_orderkey""".stripMargin)
+    }),
+
+    // --- ranking-function breadth: percent_rank / cume_dist / ntile /
+    //     first_value / last_value (explicit full frame) ---
+    "q70_rank_fns" -> ((s, d) => gated(s, d,
+      """SELECT o_orderkey, o_orderstatus,
+        | percent_rank() OVER w AS pr,
+        | cume_dist() OVER w AS cd,
+        | CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        | first_value(o_orderkey) OVER w AS cheapest,
+        | last_value(o_orderkey) OVER (PARTITION BY o_orderstatus
+        |   ORDER BY o_totalprice, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |   AS priciest
+        |FROM orders WHERE o_orderkey <= 500
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |             ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin)),
+
+    // --- regex breadth: extract group / match / extract-all count ---
+    "q71_regex" -> ((s, d) =>
+      t(s, d, "part")
+        .filter(col("p_partkey") <= 200)
+        .select(col("p_partkey"),
+          regexp_extract(col("p_name"), "^([a-z]+)", 1).as("first_word"),
+          col("p_name").rlike("red").as("has_red"),
+          expr("bigint(size(regexp_extract_all(p_name, '[aeiou]+', 0)))")
+            .as("n_vowel_runs"),
+          expr("bigint(size(regexp_extract_all(p_type, '[A-Z]+', 0)))")
+            .as("n_upper_runs"))
+        .orderBy("p_partkey")),
+
     // --- E2 parity: document production with sequential 1-based _id ---
     "q23_index_docs" -> ((s, d) => {
       val o = t(s, d, "orders"); val c = t(s, d, "customer")
@@ -903,6 +957,50 @@ object SqlSurface {
         |  ON c.user_id = v.user_id
         | AND v.ts >= c.ts AND v.ts <= c.ts + INTERVAL 10 MINUTE
         |ORDER BY click_id, view_id""".stripMargin,
+
+    "q68_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, metric, value FROM (
+        | SELECT l_orderkey, l_linenumber, 'disc' AS metric, l_discount AS value
+        |   FROM lineitem WHERE l_orderkey <= 100
+        | UNION ALL
+        | SELECT l_orderkey, l_linenumber, 'price', l_extendedprice
+        |   FROM lineitem WHERE l_orderkey <= 100
+        | UNION ALL
+        | SELECT l_orderkey, l_linenumber, 'qty', l_quantity
+        |   FROM lineitem WHERE l_orderkey <= 100)
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
+
+    "q69_range_frame" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        |   PARTITION BY o_custkey ORDER BY o_orderdate
+        |   RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+        |   AS DOUBLE) AS spend_30d
+        |FROM orders WHERE o_custkey <= 100
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q70_rank_fns" ->
+      """SELECT o_orderkey, o_orderstatus,
+        | percent_rank() OVER w AS pr,
+        | cume_dist() OVER w AS cd,
+        | ntile(4) OVER w::BIGINT AS quartile,
+        | first_value(o_orderkey) OVER w AS cheapest,
+        | last_value(o_orderkey) OVER (PARTITION BY o_orderstatus
+        |   ORDER BY o_totalprice, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |   AS priciest
+        |FROM orders WHERE o_orderkey <= 500
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |             ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q71_regex" ->
+      """SELECT p_partkey,
+        | regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+        | regexp_matches(p_name, 'red') AS has_red,
+        | len(regexp_extract_all(p_name, '[aeiou]+'))::BIGINT AS n_vowel_runs,
+        | len(regexp_extract_all(p_type, '[A-Z]+'))::BIGINT AS n_upper_runs
+        |FROM part WHERE p_partkey <= 200 ORDER BY p_partkey""".stripMargin,
 
     "q23_index_docs" ->
       """SELECT CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT) AS _id,
