@@ -30,6 +30,10 @@ import graft.operators.Indexer
   *    float rounding). This matters doubly at cluster scale, where
   *    partition count changes between runs.
   */
+/** Typed row for the Dataset-API query (q73). */
+final case class OrderRow(o_orderkey: Long, o_custkey: Long,
+                          o_totalprice: Double, o_orderstatus: String)
+
 object SqlSurface {
   type Q = (SparkSession, String) => DataFrame
 
@@ -608,6 +612,53 @@ object SqlSurface {
             .as("n_upper_runs"))
         .orderBy("p_partkey")),
 
+    // --- map functions: construct/concat/keys/values/element_at.
+    //     Map-typed cells don't hash in the driver's diff, so outputs
+    //     are serialized scalars; the map ops still run on this side
+    //     and the oracle pins their results value-for-value. ---
+    "q72_mapfns" -> ((s, d) =>
+      t(s, d, "orders")
+        .filter(col("o_orderkey") <= 200)
+        .withColumn("m", map(
+          lit("status"), col("o_orderstatus"),
+          lit("prio"), col("o_orderpriority")))
+        .withColumn("m2", map_concat(col("m"),
+          map(lit("okey"), col("o_orderkey").cast("string"))))
+        .select(col("o_orderkey"),
+          concat_ws(",", map_keys(col("m2"))).as("m_keys"),
+          concat_ws(",", map_values(col("m2"))).as("m_vals"),
+          expr("element_at(m, 'prio')").as("prio"),
+          expr("bigint(size(m2))").as("m_size"))
+        .orderBy("o_orderkey")),
+
+    // --- typed Dataset API: case-class Encoders + groupByKey/mapGroups
+    //     — the type-safe escape hatch for per-group imperative logic.
+    //     Only order-independent stats (count/max) so the result is
+    //     partition-order invariant; note mapGroups forgoes partial
+    //     aggregation (full row shuffle), which is the documented cost
+    //     of leaving the declarative tier. ---
+    "q73_typed_ds" -> ((s, d) => {
+      import s.implicits._
+      val ds = t(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+        .as[OrderRow]
+      ds.filter(_.o_totalprice > 200000)
+        .groupByKey(_.o_orderstatus)
+        .mapGroups { (status, rows) =>
+          var n = 0L
+          var mx = Double.MinValue
+          var minKey = Long.MaxValue
+          rows.foreach { o =>
+            n += 1
+            if (o.o_totalprice > mx) mx = o.o_totalprice
+            if (o.o_orderkey < minKey) minKey = o.o_orderkey
+          }
+          (status, n, mx, minKey)
+        }
+        .toDF("o_orderstatus", "n_big", "max_price", "first_okey")
+        .orderBy("o_orderstatus")
+    }),
+
     // --- E2 parity: document production with sequential 1-based _id ---
     "q23_index_docs" -> ((s, d) => {
       val o = t(s, d, "orders"); val c = t(s, d, "customer")
@@ -1001,6 +1052,24 @@ object SqlSurface {
         | len(regexp_extract_all(p_name, '[aeiou]+'))::BIGINT AS n_vowel_runs,
         | len(regexp_extract_all(p_type, '[A-Z]+'))::BIGINT AS n_upper_runs
         |FROM part WHERE p_partkey <= 200 ORDER BY p_partkey""".stripMargin,
+
+    // The Spark side computes these through map construction/concat/
+    // element_at; the oracle pins the equivalent values directly.
+    "q72_mapfns" ->
+      """SELECT o_orderkey,
+        | 'status,prio,okey' AS m_keys,
+        | o_orderstatus || ',' || o_orderpriority || ',' || o_orderkey
+        |   AS m_vals,
+        | o_orderpriority AS prio,
+        | 3::BIGINT AS m_size
+        |FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey""".stripMargin,
+
+    "q73_typed_ds" ->
+      """SELECT o_orderstatus, count(*) AS n_big,
+        | max(o_totalprice) AS max_price,
+        | min(o_orderkey) AS first_okey
+        |FROM orders WHERE o_totalprice > 200000
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q23_index_docs" ->
       """SELECT CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT) AS _id,

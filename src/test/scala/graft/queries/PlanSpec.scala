@@ -95,6 +95,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("GlobalSort"), "unexpected global sort")
   }
 
+  test("q66: vocab top-k is TakeOrdered over a partial-aggregated count") {
+    val p = plan("q66_subword_vocab")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1200))
+    assert("HashAggregate".r.findAllIn(p).length >= 2, "agg not partial+final")
+  }
+
+  test("q67: quantized ANN broadcasts the query side only") {
+    val p = plan("q67_ann_int8")
+    assert(p.contains("BroadcastExchange"), p.take(1200))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q62: bucketed join + same-key agg plans with no hash exchange") {
     val df = SparkEntry.queries("q62_bucketed_join")(spark, sf001)
     df.collect() // finalize the (adaptive) plan
