@@ -208,7 +208,20 @@ object LlmSurface {
         docs(s, d).withColumn("payload", col("text").cast("binary")))
         .withColumn("first_byte", expr("bigint(ascii(substring(text, 1, 1)))"))
         .select("doc_id", "n_bytes", "digest", "head_hex", "first_byte")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // --- multimodal frame sampling: every 2nd 64-byte block of the
+    //     payload stands in for a decoded video frame (stub codec —
+    //     the exploded row shape is the real, tested plumbing) ---
+    "q74_frames" -> ((s, d) =>
+      Multimodal.sampleFrames(
+          docs(s, d).select(col("doc_id").as("media_id"),
+            col("text").cast("binary").as("payload")),
+          blockSize = 64, stride = 2)
+        .select(col("media_id"), col("frame_no").cast("long").as("frame_no"),
+          expr("bigint(octet_length(frame_bytes))").as("n_frame_bytes"),
+          expr("hex(substring(frame_bytes, 1, 8))").as("head_hex"))
+        .orderBy("media_id", "frame_no"))
   )
 
   // ---------------------------------------------------------------------
@@ -600,6 +613,23 @@ object LlmSurface {
         |  md5(text) AS digest,
         |  upper(hex(substr(text, 1, 4))) AS head_hex,
         |  ascii(substr(text, 1, 1))::BIGINT AS first_byte
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // The fixture text is pure ASCII (1 byte per char), so VARCHAR
+    // substr mirrors the Spark side's binary slicing byte-for-byte
+    // (DuckDB cannot slice BLOBs).
+    "q74_frames" ->
+      """WITH nf AS (SELECT doc_id AS media_id, text,
+        |   CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) AS n_frames
+        |  FROM documents),
+        | f AS (SELECT media_id, text,
+        |   unnest(list_filter(range(0, greatest(n_frames - 1, 0) + 1),
+        |     x -> x % 2 = 0)) AS frame_no
+        |  FROM nf)
+        |SELECT media_id, frame_no,
+        | octet_length(encode(substr(text, frame_no * 64 + 1, 64)))::BIGINT
+        |   AS n_frame_bytes,
+        | upper(hex(substr(text, frame_no * 64 + 1, 8))) AS head_hex
+        |FROM f ORDER BY media_id, frame_no""".stripMargin
   )
 }

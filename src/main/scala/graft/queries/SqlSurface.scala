@@ -612,6 +612,24 @@ object SqlSurface {
             .as("n_upper_runs"))
         .orderBy("p_partkey")),
 
+    // --- salted skew join as a query: the hot-key fallback when AQE
+    //     skew splitting isn't enough. Salting is plan-only (the left
+    //     key fans across 8 sub-partitions, the right side replicates
+    //     8x), so the oracle is the plain join — equivalence is the
+    //     point. ---
+    "q75_salted_join" -> ((s, d) => {
+      val l = t(s, d, "lineitem").filter(col("l_orderkey") <= 2000)
+        .select("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
+      val o = t(s, d, "orders").filter(col("o_orderkey") <= 2000)
+        .select("o_orderkey", "o_orderpriority")
+      graft.operators.SkewJoin
+        .saltedJoin(l, o, "l_orderkey", "o_orderkey", salts = 8)
+        .groupBy("o_orderpriority")
+        .agg(sum(revenueDec).cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("o_orderpriority")
+    }),
+
     // --- map functions: construct/concat/keys/values/element_at.
     //     Map-typed cells don't hash in the driver's diff, so outputs
     //     are serialized scalars; the map ops still run on this side
@@ -1052,6 +1070,13 @@ object SqlSurface {
         | len(regexp_extract_all(p_name, '[aeiou]+'))::BIGINT AS n_vowel_runs,
         | len(regexp_extract_all(p_type, '[A-Z]+'))::BIGINT AS n_upper_runs
         |FROM part WHERE p_partkey <= 200 ORDER BY p_partkey""".stripMargin,
+
+    "q75_salted_join" ->
+      s"""SELECT o_orderpriority,
+        | CAST(sum($REV) AS DOUBLE) AS revenue, count(*) AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_orderkey <= 2000 AND o_orderkey <= 2000
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     // The Spark side computes these through map construction/concat/
     // element_at; the oracle pins the equivalent values directly.
