@@ -10,9 +10,21 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the session once (JIT, codegen, file-index, shuffle setup) so
-    // per-query numbers measure the queries, not JVM startup.
+    // Warm the session (JIT, codegen compilation, file-index, shuffle
+    // machinery) by running the whole suite once against the tiny
+    // sf0.001 fixtures, so timed numbers measure steady-state query
+    // throughput at the target SF rather than first-run JVM costs.
+    // Disable with SPARK_GRAFT_WARM=0.
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM", "/root/testdata/sf0.001")
+    if (warmDir != "0" && new java.io.File(warmDir).isDirectory) {
+      val t0 = System.nanoTime()
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+        try { fn(spark, warmDir).count(); () } catch { case _: Throwable => () }
+      }
+      System.err.println(
+        f"[bench] warm pass ($warmDir) ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // A query that throws must fail the bench loudly — a swallowed
