@@ -21,6 +21,7 @@ object Bench {
       val t0 = System.nanoTime()
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
         try { fn(spark, warmDir).count(); () } catch { case _: Throwable => () }
+        spark.catalog.clearCache()
       }
       System.err.println(
         f"[bench] warm pass ($warmDir) ${(System.nanoTime() - t0) / 1e9}%.1f s")
@@ -34,6 +35,9 @@ object Bench {
           Some(e.toString.linesIterator.next().take(200))
       }
       val sec = (System.nanoTime() - t0) / 1e9
+      // per-invocation operator persists are dead after the count —
+      // clear so the suite's footprint stays flat across 74 queries
+      spark.catalog.clearCache()
       System.err.println(
         f"[bench] $name%-22s $sec%8.2f s${err.fold("")(" ERROR " + _)}")
       (name, sec, err)
