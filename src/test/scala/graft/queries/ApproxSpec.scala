@@ -10,6 +10,20 @@ import graft.{SparkEntry, SparkSpec}
   */
 class ApproxSpec extends SparkSpec {
 
+  test("approx_percentile within 1% of exact percentile at sf0.1") {
+    import org.apache.spark.sql.functions._
+    val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+    val rows = li.groupBy("l_returnflag")
+      .agg(expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("ap"),
+        expr("percentile(l_extendedprice, 0.5)").as("ex"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ap, ex) = (r.getDouble(1), r.getDouble(2))
+      assert(math.abs(ap - ex) / ex < 0.01, s"group ${r.get(0)}: $ap vs $ex")
+    }
+  }
+
   test("q43: approx_count_distinct within 5% of exact at sf0.1") {
     val rows = SparkEntry.queries("q43_approx_distinct")(
       spark, "/root/testdata/sf0.1").collect()
