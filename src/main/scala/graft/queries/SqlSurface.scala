@@ -620,6 +620,41 @@ object SqlSurface {
             .as("n_upper_runs"))
         .orderBy("p_partkey")),
 
+    // --- NOT IN with NULLs in the subquery: the classic three-valued-
+    //     logic trap (one NULL in the list empties the result unless
+    //     rows are null-filtered). Both branches exercised: raw NOT IN
+    //     against a null-free list, and the NULL-safe NOT EXISTS form. ---
+    "q76_not_in_null" -> ((s, d) => gated(s, d,
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN (
+        |  SELECT o_custkey FROM orders
+        |  WHERE o_totalprice > 350000 AND o_custkey IS NOT NULL)
+        |  AND c_acctbal < -900
+        |ORDER BY c_custkey""".stripMargin)),
+
+    // --- deterministic statistics: variance/stddev derived from
+    //     decimal-EXACT sum and sum-of-squares (the naive two-pass
+    //     formula is unstable in float but exact here because both
+    //     moments are decimal sums; Welford-style streaming variance
+    //     would differ across engines/partition orders). ---
+    "q77_stats" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          dsum(col("l_quantity")).as("s1"),
+          sum(dec(col("l_quantity")) * dec(col("l_quantity")))
+            .cast("double").as("s2"),
+          expr("every(l_quantity >= 1)").as("all_pos"),
+          expr("any(l_quantity >= 50)").as("has_big"))
+        .select(col("l_returnflag"), col("n"),
+          ((col("s2") - col("s1") * col("s1") / col("n")) / col("n"))
+            .as("var_pop"),
+          sqrt((col("s2") - col("s1") * col("s1") / col("n")) / col("n"))
+            .as("std_pop"),
+          col("all_pos"), col("has_big"))
+        .orderBy("l_returnflag")),
+
     // --- salted skew join as a query: the hot-key fallback when AQE
     //     skew splitting isn't enough. Salting is plan-only (the left
     //     key fans across 8 sub-partitions, the right side replicates
@@ -1078,6 +1113,28 @@ object SqlSurface {
         | len(regexp_extract_all(p_name, '[aeiou]+'))::BIGINT AS n_vowel_runs,
         | len(regexp_extract_all(p_type, '[A-Z]+'))::BIGINT AS n_upper_runs
         |FROM part WHERE p_partkey <= 200 ORDER BY p_partkey""".stripMargin,
+
+    "q76_not_in_null" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN (
+        |  SELECT o_custkey FROM orders
+        |  WHERE o_totalprice > 350000 AND o_custkey IS NOT NULL)
+        |  AND c_acctbal < -900
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q77_stats" ->
+      """WITH m AS (SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS s1,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4)) *
+        |           CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS s2,
+        |  bool_and(l_quantity >= 1) AS all_pos,
+        |  bool_or(l_quantity >= 50) AS has_big
+        | FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        | (s2 - s1 * s1 / n) / n AS var_pop,
+        | sqrt((s2 - s1 * s1 / n) / n) AS std_pop,
+        | all_pos, has_big
+        |FROM m ORDER BY l_returnflag""".stripMargin,
 
     "q75_salted_join" ->
       s"""SELECT o_orderpriority,
