@@ -248,6 +248,51 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Resolve near-dup PAIRS into duplicate CLUSTERS (connected
+    * components): every doc's cluster id is the minimum doc_id
+    * reachable through the pair graph; the canonical survivor per
+    * cluster is the doc whose id equals it. Without this step,
+    * pairwise dedup keeps one doc per PAIR, not per cluster — A~B,
+    * B~C would drop B and C but keep both A and C's near-dup content
+    * if A~C fell under threshold.
+    *
+    * Min-label propagation with driver-side loop control: each round
+    * is one distributed join + partial-aggregated min; data never
+    * leaves executors (the driver sees only the change count). Rounds
+    * are bounded by the component diameter — tiny for dup clusters.
+    * For adversarial diameters switch the round body to the
+    * alternating large-star/small-star formulation (O(log n) rounds);
+    * the per-round plan shape is identical.
+    */
+  def dupClusters(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(lvl)
+    var labels = docs.select(col("doc_id"),
+      col("doc_id").as("cluster")).persist(lvl)
+    var converged = false
+    while (!converged) {
+      val nmin = edges
+        .join(labels.select(col("doc_id").as("dst_id"),
+          col("cluster").as("dst_cluster")), col("dst") === col("dst_id"))
+        .groupBy(col("src")).agg(min("dst_cluster").as("nmin"))
+      val updated = labels.join(nmin, labels("doc_id") === nmin("src"), "left")
+        .select(labels("doc_id"),
+          least(col("cluster"), coalesce(col("nmin"), col("cluster")))
+            .as("cluster"))
+        .persist(lvl)
+      val changes = updated.select(col("doc_id"), col("cluster").as("c_new"))
+        .join(labels, "doc_id")
+        .filter(col("c_new") =!= col("cluster")).count()
+      labels.unpersist()
+      labels = updated
+      converged = changes == 0L
+    }
+    edges.unpersist()
+    labels.withColumn("is_canonical", col("doc_id") === col("cluster"))
+  }
+
   /** 64-bit SimHash as a bit array: bit j is the sign of
     * `sum over token occurrences of (2*parity(hash_j(tokHash)) - 1)`
     * (tf-weighted by construction, since tokens repeat in the list).

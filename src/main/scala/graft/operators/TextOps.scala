@@ -136,6 +136,33 @@ object TextOps {
       .withColumn("n_subword_tokens",
         expr("bigint(size(regexp_extract_all(text, '[a-z]{1,4}', 0)))"))
 
+  /** Repetition-based quality signals (the Gopher/C4 rule family):
+    * fraction of tokens inside duplicated 2-grams and the share of the
+    * document taken by its single most frequent token — high values
+    * flag boilerplate/spam. Pure per-row array arithmetic (no shuffle);
+    * exact integer ratios so the DuckDB oracle reproduces them
+    * bit-for-bit.
+    */
+  def withRepetition(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", tokens("text"))
+      .withColumn("n_tokens", expr("bigint(size(toks))"))
+      // guard: sequence(1, 0) descends in Spark, so short docs need the
+      // explicit empty branch
+      .withColumn("bigrams", expr(
+        "if(size(toks) < 2, array(), transform(sequence(1, size(toks) - 1), " +
+          "i -> concat(toks[i - 1], ' ', toks[i])))"))
+      .withColumn("n_dup_bigrams", expr(
+        "bigint(size(bigrams) - size(array_distinct(bigrams)))"))
+      .withColumn("dup_bigram_ratio", expr(
+        "if(size(bigrams) = 0, cast(0.0 as double), " +
+          "cast(n_dup_bigrams as double) / cast(size(bigrams) as double))"))
+      .withColumn("top_tok_count", expr(
+        "array_max(transform(array_distinct(toks), " +
+          "t -> bigint(size(filter(toks, x -> x = t)))))"))
+      .withColumn("top_tok_ratio", expr(
+        "cast(top_tok_count as double) / cast(n_tokens as double)"))
+
   /** Corpus-level subword vocabulary: explode the BPE-ish greedy
     * segmentation ([[withTokenCounts]]'s `[a-z]{1,4}` chunks), count
     * occurrences and document frequency per subword, keep the top `k`

@@ -210,6 +210,23 @@ object LlmSurface {
         .select("doc_id", "n_bytes", "digest", "head_hex", "first_byte")
         .orderBy("doc_id")),
 
+    // --- duplicate-cluster resolution: MinHash pairs → connected
+    //     components → one canonical doc per CLUSTER (not per pair) ---
+    "q79_dup_clusters" -> ((s, d) => {
+      val dd = docs(s, d)
+      val pairs = Dedup.minhashNearDups(dd, threshold = 0.8)
+      Dedup.dupClusters(dd.select("doc_id"), pairs)
+        .select("doc_id", "cluster", "is_canonical")
+        .orderBy("doc_id")
+    }),
+
+    // --- repetition quality signals (Gopher/C4 rule family) ---
+    "q78_repetition" -> ((s, d) =>
+      TextOps.withRepetition(docs(s, d))
+        .select("doc_id", "n_tokens", "n_dup_bigrams", "dup_bigram_ratio",
+          "top_tok_count", "top_tok_ratio")
+        .orderBy("doc_id")),
+
     // --- multimodal frame sampling: every 2nd 64-byte block of the
     //     payload stands in for a decoded video frame (stub codec —
     //     the exploded row shape is the real, tested plumbing) ---
@@ -614,6 +631,49 @@ object LlmSurface {
         |  upper(hex(substr(text, 1, 4))) AS head_hex,
         |  ascii(substr(text, 1, 1))::BIGINT AS first_byte
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Exact closure oracle: all-pairs Jaccard >= 0.8 (valid for the same
+    // recall-gap reason as q32's oracle), then a recursive CTE computes
+    // the min reachable id per doc.
+    "q79_dup_clusters" ->
+      s"""WITH RECURSIVE $dkSh,
+         | pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+         |   (len(a.shingles) + len(b.shingles)
+         |    - len(list_intersect(a.shingles, b.shingles)))::DOUBLE >= 0.8),
+         | edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         | r(id, lab) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.src, r.lab FROM edges e JOIN r ON e.dst = r.id),
+         | reach AS (SELECT id, min(lab) AS cluster FROM r GROUP BY id)
+         |SELECT d.doc_id, reach.cluster,
+         |  d.doc_id = reach.cluster AS is_canonical
+         |FROM documents d JOIN reach ON d.doc_id = reach.id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "q78_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        | b AS (SELECT doc_id, toks, len(toks)::BIGINT AS n_tokens,
+        |   CASE WHEN len(toks) >= 2 THEN
+        |     [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]
+        |   ELSE [] END AS bigrams FROM t)
+        |SELECT doc_id, n_tokens,
+        | (len(bigrams) - len(list_distinct(bigrams)))::BIGINT
+        |   AS n_dup_bigrams,
+        | CASE WHEN len(bigrams) = 0 THEN 0.0::DOUBLE
+        |      ELSE (len(bigrams) - len(list_distinct(bigrams)))::DOUBLE
+        |           / len(bigrams)::DOUBLE END AS dup_bigram_ratio,
+        | list_max(list_transform(list_distinct(toks),
+        |   t -> len(list_filter(toks, x -> x = t))))::BIGINT AS top_tok_count,
+        | list_max(list_transform(list_distinct(toks),
+        |   t -> len(list_filter(toks, x -> x = t))))::DOUBLE
+        |   / n_tokens::DOUBLE AS top_tok_ratio
+        |FROM b ORDER BY doc_id""".stripMargin,
 
     // The fixture text is pure ASCII (1 byte per char), so VARCHAR
     // substr mirrors the Spark side's binary slicing byte-for-byte

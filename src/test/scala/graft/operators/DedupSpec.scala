@@ -42,6 +42,18 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("dupClusters closes pair chains transitively (A~B, B~C → one cluster)") {
+    val ids = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("doc_id")
+    // chain 1-2-3, pair 4-5, singleton 9; (1,3) deliberately NOT a pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val out = Dedup.dupClusters(ids, pairs)
+      .select("doc_id", "cluster", "is_canonical")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(out.map(r => r._1 -> r._2).toMap ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 9L -> 9L))
+    assert(out.filter(_._3).map(_._1).toSeq == Seq(1L, 4L, 9L))
+  }
+
   test("ngram prefix filter prunes candidates without losing true pairs") {
     val corpus = spark.read.parquet(s"$sf001/documents.parquet")
     val shingled = TextOps.withShingles(corpus)
