@@ -44,6 +44,30 @@ object Pipeline {
       .withColumn("n_redactions", expr(
         "bigint(size(regexp_extract_all(redacted, '<(num|email)>', 0)))"))
 
+  /** Sequence packing (the pack-then-split training layout): concatenate
+    * documents into a token stream per `partitionCol` stratum (ordered
+    * by doc_id — deterministic) and cut it into fixed-`capacity`
+    * windows. Each doc reports the window its first token lands in and
+    * its offset inside that window; docs may straddle windows, exactly
+    * like GPT-style packing. One windowed cumulative sum partitioned by
+    * the stratum — parallel in the stratum count, no global single-task
+    * window.
+    */
+  def packSequences(docs: DataFrame, capacity: Int,
+                    partitionCol: String = "lang"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(partitionCol).orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs
+      .withColumn("n_tokens", expr("bigint(size(split(text, ' ')))"))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .withColumn("start_tok", col("cum_tokens") - col("n_tokens"))
+      // integer div/mod (not double division) — exact at any magnitude
+      .withColumn("window_id", expr(s"start_tok div $capacity"))
+      .withColumn("window_offset", col("start_tok") % capacity)
+  }
+
   /** Deterministic STRATIFIED sampling: per-stratum keep rates (percent)
     * keyed by a stratum column, with content-hash bucketing — the
     * data-mixture lever of a training pipeline (e.g. downsample the

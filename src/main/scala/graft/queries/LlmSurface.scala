@@ -210,6 +210,14 @@ object LlmSurface {
         .select("doc_id", "n_bytes", "digest", "head_hex", "first_byte")
         .orderBy("doc_id")),
 
+    // --- sequence packing: per-language token stream cut into
+    //     256-token training windows ---
+    "q80_packing" -> ((s, d) =>
+      Pipeline.packSequences(docs(s, d), capacity = 256)
+        .select("doc_id", "lang", "n_tokens", "cum_tokens", "window_id",
+          "window_offset")
+        .orderBy("doc_id")),
+
     // --- duplicate-cluster resolution: MinHash pairs → connected
     //     components → one canonical doc per CLUSTER (not per pair) ---
     "q79_dup_clusters" -> ((s, d) => {
@@ -631,6 +639,18 @@ object LlmSurface {
         |  upper(hex(substr(text, 1, 4))) AS head_hex,
         |  ascii(substr(text, 1, 1))::BIGINT AS first_byte
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q80_packing" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |   len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents),
+        | c AS (SELECT doc_id, lang, n_tokens,
+        |   sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+        |     AS cum_tokens FROM t)
+        |SELECT doc_id, lang, n_tokens, cum_tokens,
+        | ((cum_tokens - n_tokens) // 256)::BIGINT AS window_id,
+        | ((cum_tokens - n_tokens) % 256)::BIGINT AS window_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     // Exact closure oracle: all-pairs Jaccard >= 0.8 (valid for the same
     // recall-gap reason as q32's oracle), then a recursive CTE computes
