@@ -277,17 +277,21 @@ object Dedup {
         .join(labels.select(col("doc_id").as("dst_id"),
           col("cluster").as("dst_cluster")), col("dst") === col("dst_id"))
         .groupBy(col("src")).agg(min("dst_cluster").as("nmin"))
+      // one Spark action per round: the change count rides the
+      // materializing pass as an Observation instead of a second join
+      val obs = org.apache.spark.sql.Observation()
       val updated = labels.join(nmin, labels("doc_id") === nmin("src"), "left")
-        .select(labels("doc_id"),
+        .select(labels("doc_id"), col("cluster").as("old_cluster"),
           least(col("cluster"), coalesce(col("nmin"), col("cluster")))
             .as("cluster"))
+        .observe(obs, sum((col("cluster") =!= col("old_cluster"))
+          .cast("long")).as("n_changed"))
+        .select("doc_id", "cluster")
         .persist(lvl)
-      val changes = updated.select(col("doc_id"), col("cluster").as("c_new"))
-        .join(labels, "doc_id")
-        .filter(col("c_new") =!= col("cluster")).count()
+      updated.count()
       labels.unpersist()
       labels = updated
-      converged = changes == 0L
+      converged = obs.get("n_changed").asInstanceOf[Long] == 0L
     }
     edges.unpersist()
     labels.withColumn("is_canonical", col("doc_id") === col("cluster"))
