@@ -256,21 +256,31 @@ object Dedup {
     * B~C would drop B and C but keep both A and C's near-dup content
     * if A~C fell under threshold.
     *
-    * Min-label propagation with driver-side loop control: each round
-    * is one distributed join + partial-aggregated min; data never
-    * leaves executors (the driver sees only the change count). Rounds
-    * are bounded by the component diameter — tiny for dup clusters.
-    * For adversarial diameters switch the round body to the
-    * alternating large-star/small-star formulation (O(log n) rounds);
-    * the per-round plan shape is identical.
+    * Min-label propagation with pointer doubling, driver-side loop
+    * control: each round takes the min over neighbor labels AND then
+    * follows its own label's label (path halving), so convergence is
+    * O(log diameter) rounds — a 2^k-long chain resolves in ~k rounds,
+    * not 2^k. Each round is one Spark action (the change count rides
+    * the materializing pass as an Observation); data never leaves
+    * executors. Requires every id appearing in `pairs` to be present
+    * in `docs`.
     */
   def dupClusters(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist(lvl)
-    var labels = docs.select(col("doc_id"),
+    // Lineage truncation is load-bearing: the round body self-joins its
+    // input, so building each round on the previous round's PLAN would
+    // double the logical tree every iteration (exponential analysis
+    // time — measured 3 min for a 32-chain). Rebasing on the
+    // materialized cache keeps every round's plan constant-size.
+    def truncate(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.rdd, df.schema)
+    var cached = docs.select(col("doc_id"),
       col("doc_id").as("cluster")).persist(lvl)
+    var labels = truncate(cached)
     var converged = false
     while (!converged) {
       val nmin = edges
@@ -280,17 +290,25 @@ object Dedup {
       // one Spark action per round: the change count rides the
       // materializing pass as an Observation instead of a second join
       val obs = org.apache.spark.sql.Observation()
-      val updated = labels.join(nmin, labels("doc_id") === nmin("src"), "left")
+      val stepped = labels.join(nmin, labels("doc_id") === nmin("src"), "left")
         .select(labels("doc_id"), col("cluster").as("old_cluster"),
           least(col("cluster"), coalesce(col("nmin"), col("cluster")))
             .as("cluster"))
+      // pointer doubling: follow my label's label (labels are monotone
+      // non-increasing doc ids, so label(label(u)) <= label(u))
+      val jump = stepped.select(col("doc_id").as("p_id"),
+        col("cluster").as("p_cluster"))
+      val updated = stepped.join(jump, stepped("cluster") === jump("p_id"), "left")
+        .select(stepped("doc_id"), col("old_cluster"),
+          coalesce(col("p_cluster"), stepped("cluster")).as("cluster"))
         .observe(obs, sum((col("cluster") =!= col("old_cluster"))
           .cast("long")).as("n_changed"))
         .select("doc_id", "cluster")
         .persist(lvl)
       updated.count()
-      labels.unpersist()
-      labels = updated
+      cached.unpersist()
+      cached = updated
+      labels = truncate(updated)
       converged = obs.get("n_changed").asInstanceOf[Long] == 0L
     }
     edges.unpersist()

@@ -54,6 +54,16 @@ class DedupSpec extends SparkSpec {
     assert(out.filter(_._3).map(_._1).toSeq == Seq(1L, 4L, 9L))
   }
 
+  test("dupClusters resolves a 32-link chain (pointer doubling, not O(d) rounds)") {
+    val n = 32
+    val ids = (1L to n.toLong).toDF("doc_id")
+    val chain = (1L until n.toLong).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val out = Dedup.dupClusters(ids, chain)
+      .select("doc_id", "cluster").as[(Long, Long)].collect()
+    assert(out.length == n)
+    assert(out.forall(_._2 == 1L), out.filter(_._2 != 1L).mkString(","))
+  }
+
   test("ngram prefix filter prunes candidates without losing true pairs") {
     val corpus = spark.read.parquet(s"$sf001/documents.parquet")
     val shingled = TextOps.withShingles(corpus)
