@@ -294,13 +294,17 @@ object Dedup {
         .select(labels("doc_id"), col("cluster").as("old_cluster"),
           least(col("cluster"), coalesce(col("nmin"), col("cluster")))
             .as("cluster"))
-      // pointer doubling: follow my label's label (labels are monotone
-      // non-increasing doc ids, so label(label(u)) <= label(u))
-      val jump = stepped.select(col("doc_id").as("p_id"),
+      // pointer jumping: follow my label's label. The lookup table is
+      // the PREVIOUS round's cached labels (not `stepped` — a stepped
+      // self-join would evaluate the neighbor-min subtree twice per
+      // round); labels are monotone non-increasing doc ids, so
+      // prev_label(x) <= x and the contraction stays valid.
+      val jump = labels.select(col("doc_id").as("p_id"),
         col("cluster").as("p_cluster"))
       val updated = stepped.join(jump, stepped("cluster") === jump("p_id"), "left")
         .select(stepped("doc_id"), col("old_cluster"),
-          coalesce(col("p_cluster"), stepped("cluster")).as("cluster"))
+          least(coalesce(col("p_cluster"), stepped("cluster")),
+            stepped("cluster")).as("cluster"))
         .observe(obs, sum((col("cluster") =!= col("old_cluster"))
           .cast("long")).as("n_changed"))
         .select("doc_id", "cluster")
