@@ -620,6 +620,15 @@ object SqlSurface {
             .as("n_upper_runs"))
         .orderBy("p_partkey")),
 
+    // --- ordered string aggregation (SQL:2016 LISTAGG ... WITHIN
+    //     GROUP), via the gate ---
+    "q81_listagg" -> ((s, d) => gated(s, d,
+      """SELECT n_name,
+        | listagg(s_name, '|') WITHIN GROUP (ORDER BY s_name) AS suppliers,
+        | count(*) AS n
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
     // --- NOT IN with NULLs in the subquery: the classic three-valued-
     //     logic trap (one NULL in the list empties the result unless
     //     rows are null-filtered). Both branches exercised: raw NOT IN
@@ -1113,6 +1122,13 @@ object SqlSurface {
         | len(regexp_extract_all(p_name, '[aeiou]+'))::BIGINT AS n_vowel_runs,
         | len(regexp_extract_all(p_type, '[A-Z]+'))::BIGINT AS n_upper_runs
         |FROM part WHERE p_partkey <= 200 ORDER BY p_partkey""".stripMargin,
+
+    "q81_listagg" ->
+      """SELECT n_name,
+        | string_agg(s_name, '|' ORDER BY s_name) AS suppliers,
+        | count(*) AS n
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
     "q76_not_in_null" ->
       """SELECT c_custkey, c_name FROM customer

@@ -61,6 +61,49 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("packSequences conserves tokens and stays inside window bounds") {
+    samples(Gen.listOfN(12, Gen.zip(text, Gen.oneOf("en", "zh"))), 3)
+      .foreach { rows =>
+        val df = rows.zipWithIndex
+          .map { case ((t, l), i) => (i.toLong, l, t) }
+          .toDF("doc_id", "lang", "text")
+        val packed = graft.operators.Pipeline.packSequences(df, capacity = 16)
+          .select("lang", "n_tokens", "cum_tokens", "window_id",
+            "window_offset")
+          .collect()
+        // conservation: per stratum, max cumsum == total tokens
+        packed.groupBy(_.getString(0)).foreach { case (_, g) =>
+          assert(g.map(_.getLong(2)).max == g.map(_.getLong(1)).sum)
+        }
+        // offsets always inside a window; window ids consistent
+        assert(packed.forall { r =>
+          val off = r.getLong(4)
+          off >= 0 && off < 16 &&
+            r.getLong(3) == (r.getLong(2) - r.getLong(1)) / 16
+        })
+      }
+  }
+
+  test("dupClusters is idempotent: clustering canonical survivors is a no-op") {
+    samples(Gen.listOfN(10, Gen.choose(1L, 8L)), 3).foreach { picks =>
+      // random small graph over ids 1..8
+      val ids = (1L to 8L).toDF("doc_id")
+      val pairs = picks.grouped(2).collect {
+        case Seq(a, b) if a != b => (math.min(a, b), math.max(a, b))
+      }.toSeq.distinct.toDF("doc_a", "doc_b")
+      val clusters = Dedup.dupClusters(ids, pairs)
+      // every cluster id is a member of its own cluster (canonical exists)
+      val m = clusters.select("doc_id", "cluster")
+        .as[(Long, Long)].collect().toMap
+      assert(m.values.forall(c => m(c) == c))
+      // rerun on canonical survivors with no surviving edges: all singleton
+      val survivors = clusters.filter(col("is_canonical")).select("doc_id")
+      val again = Dedup.dupClusters(survivors,
+        Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"))
+      assert(again.filter(!col("is_canonical")).count() == 0)
+    }
+  }
+
   test("exact dedup is idempotent over arbitrary duplication") {
     samples(Gen.zip(Gen.listOfN(4, text), Gen.choose(2, 4)), 3).foreach {
       case (texts, copies) =>
