@@ -620,6 +620,29 @@ object SqlSurface {
             .as("n_upper_runs"))
         .orderBy("p_partkey")),
 
+    // --- time-series densification: generate the full hourly spine per
+    //     series (sequence + explode) and left-join the actuals, so
+    //     silent gaps become explicit zero rows. The spine derives from
+    //     per-series min/max — a tiny aggregate — so generation is
+    //     bounded and distributed. ---
+    "q82_gapfill" -> ((s, d) => {
+      val e = t(s, d, "events")
+      val hourly = e.withColumn("hour_ts", date_trunc("hour", col("ts")))
+        .groupBy("event_type", "hour_ts")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      val bounds = e.groupBy("event_type")
+        .agg(date_trunc("hour", min("ts")).as("min_h"),
+          date_trunc("hour", max("ts")).as("max_h"))
+      val spine = bounds.select(col("event_type"),
+        explode(expr("sequence(min_h, max_h, interval 1 hour)"))
+          .as("hour_ts"))
+      spine.join(hourly, Seq("event_type", "hour_ts"), "left")
+        .select(col("event_type"), col("hour_ts"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+        .orderBy("event_type", "hour_ts")
+    }),
+
     // --- ordered string aggregation (SQL:2016 LISTAGG ... WITHIN
     //     GROUP), via the gate ---
     "q81_listagg" -> ((s, d) => gated(s, d,
@@ -1122,6 +1145,23 @@ object SqlSurface {
         | len(regexp_extract_all(p_name, '[aeiou]+'))::BIGINT AS n_vowel_runs,
         | len(regexp_extract_all(p_type, '[A-Z]+'))::BIGINT AS n_upper_runs
         |FROM part WHERE p_partkey <= 200 ORDER BY p_partkey""".stripMargin,
+
+    "q82_gapfill" ->
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+        |   count(*) AS n,
+        |   CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |  FROM events GROUP BY 1, 2),
+        | b AS (SELECT event_type, date_trunc('hour', min(ts)) AS min_h,
+        |   date_trunc('hour', max(ts)) AS max_h FROM events GROUP BY 1),
+        | spine AS (SELECT event_type,
+        |   unnest(generate_series(min_h, max_h, INTERVAL 1 HOUR)) AS hour_ts
+        |  FROM b)
+        |SELECT s.event_type, s.hour_ts,
+        | coalesce(h.n, 0)::BIGINT AS n,
+        | coalesce(h.sum_value, 0.0) AS sum_value
+        |FROM spine s LEFT JOIN h
+        |  ON s.event_type = h.event_type AND s.hour_ts = h.hour_ts
+        |ORDER BY s.event_type, s.hour_ts""".stripMargin,
 
     "q81_listagg" ->
       """SELECT n_name,
