@@ -228,6 +228,25 @@ object LlmSurface {
         .orderBy("doc_id")
     }),
 
+    // --- canonical selection per dup cluster by QUALITY (not min id):
+    //     clustering + quality scoring composed — the survivor is the
+    //     highest-quality member, ties to the lowest doc_id ---
+    "q83_cluster_canonical" -> ((s, d) => {
+      val dd = docs(s, d)
+      val pairs = Dedup.minhashNearDups(dd, threshold = 0.8)
+      val clusters = Dedup.dupClusters(dd.select("doc_id"), pairs)
+      val quality = TextOps.withQuality(dd).select("doc_id", "quality")
+      clusters.join(quality, "doc_id")
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n_docs"),
+          max(struct(col("quality"), (-col("doc_id")).as("neg_id")))
+            .as("best"))
+        .select(col("cluster"), col("n_docs"),
+          (-col("best.neg_id")).as("best_doc"),
+          col("best.quality").as("best_quality"))
+        .orderBy("cluster")
+    }),
+
     // --- repetition quality signals (Gopher/C4 rule family) ---
     "q78_repetition" -> ((s, d) =>
       TextOps.withRepetition(docs(s, d))
@@ -639,6 +658,39 @@ object LlmSurface {
         |  upper(hex(substr(text, 1, 4))) AS head_hex,
         |  ascii(substr(text, 1, 1))::BIGINT AS first_byte
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q83_cluster_canonical" ->
+      s"""WITH RECURSIVE $dkSh,
+         | pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+         |   (len(a.shingles) + len(b.shingles)
+         |    - len(list_intersect(a.shingles, b.shingles)))::DOUBLE >= 0.8),
+         | edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         | r(id, lab) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.src, r.lab FROM edges e JOIN r ON e.dst = r.id),
+         | reach AS (SELECT id, min(lab) AS cluster FROM r GROUP BY id),
+         | qm AS (SELECT doc_id,
+         |   len(toks)::BIGINT AS n_tokens,
+         |   len(list_distinct(toks))::BIGINT AS n_distinct,
+         |   len(list_filter(toks, t -> list_contains([$enMarkers], t)))::BIGINT
+         |     AS n_stop
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+         |        FROM documents)),
+         | q AS (SELECT doc_id,
+         |   0.4 * (n_distinct::DOUBLE / n_tokens::DOUBLE)
+         |    + 0.3 * least(1.0::DOUBLE, n_tokens::DOUBLE / 100.0)
+         |    + 0.3 * (1.0 - n_stop::DOUBLE / n_tokens::DOUBLE) AS quality
+         |  FROM qm)
+         |SELECT reach.cluster, count(*) AS n_docs,
+         | -((max(struct_pack(q := quality, nid := -doc_id))).nid) AS best_doc,
+         | (max(struct_pack(q := quality, nid := -doc_id))).q AS best_quality
+         |FROM reach JOIN q ON reach.id = q.doc_id
+         |GROUP BY reach.cluster ORDER BY reach.cluster""".stripMargin,
 
     "q80_packing" ->
       """WITH t AS (SELECT doc_id, lang,
