@@ -42,10 +42,13 @@ object EngineError {
   */
 object QueryGate {
 
-  /** Sources this engine can open; parity with {mysql, postgres}
-    * (reference `query_controller.go:46-51`), re-based on our formats.
+  /** Sources this engine can open. The reference's literal allowlist is
+    * {mysql, postgres} (`query_controller.go:46-51`); both are accepted
+    * here as aliases of the jdbc path ([[graft.sources.Sources.table]]),
+    * so the error taxonomy is string-for-string comparable, alongside
+    * our native formats.
     */
-  val allowedDrivers: Set[String] = Set("parquet", "jdbc")
+  val allowedDrivers: Set[String] = Set("parquet", "jdbc", "mysql", "postgres")
 
   /** Full validation chain; returns the query on success. */
   def validate(spark: SparkSession, dbDriver: String, dbName: String,

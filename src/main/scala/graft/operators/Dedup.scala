@@ -189,9 +189,14 @@ object Dedup {
     */
   def ngramCandidates(shingled: DataFrame, threshold: Double,
                       prefixFilter: Boolean = true): DataFrame = {
+    // ceil guard: when t·n is an exact integer, the fp representation of
+    // t can round the product a hair ABOVE it, making ceil one too large
+    // and the indexed prefix one element too short — a pair at Jaccard
+    // exactly t would then be missed. Subtracting 1e-9 (far below the
+    // 1/n² granularity of achievable t·n values) restores recall 1.
     val prefixLen =
       if (prefixFilter)
-        s"greatest(int(size(shingles)) - int(ceil($threshold * size(shingles))) + 1, 0)"
+        s"greatest(int(size(shingles)) - int(ceil($threshold * size(shingles) - 1e-9d)) + 1, 0)"
       else "size(shingles)"
     val postings = shingled
       .select(col("doc_id"), col("n_sh"),
@@ -202,8 +207,9 @@ object Dedup {
     a.join(b,
         col("a.shingle") === col("b.shingle") &&
           col("a.doc_id") < col("b.doc_id") &&
-          col("a.n_sh") >= lit(threshold) * col("b.n_sh") &&
-          col("b.n_sh") >= lit(threshold) * col("a.n_sh"))
+          // same exact-boundary guard as prefixLen: J = t pairs must pass
+          col("a.n_sh") >= lit(threshold) * col("b.n_sh") - lit(1e-9) &&
+          col("b.n_sh") >= lit(threshold) * col("a.n_sh") - lit(1e-9))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
   }
@@ -237,8 +243,9 @@ object Dedup {
     a.join(b,
         col("a.shingle") === col("b.shingle") &&
           col("a.doc_id") < col("b.doc_id") &&
-          col("a.n_sh") >= lit(threshold) * col("b.n_sh") &&
-          col("b.n_sh") >= lit(threshold) * col("a.n_sh"))
+          // exact-boundary guard (see ngramCandidates): J = t must pass
+          col("a.n_sh") >= lit(threshold) * col("b.n_sh") - lit(1e-9) &&
+          col("b.n_sh") >= lit(threshold) * col("a.n_sh") - lit(1e-9))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
       .agg(count(lit(1)).as("n_inter"))
@@ -265,11 +272,27 @@ object Dedup {
     * executors. Requires every id appearing in `pairs` to be present
     * in `docs`.
     */
-  def dupClusters(docs: DataFrame, pairs: DataFrame): DataFrame = {
+  def dupClusters(docs: DataFrame, pairs: DataFrame): DataFrame =
+    dupClustersCounted(docs, pairs)._1
+
+  /** [[dupClusters]] plus the number of propagation rounds executed —
+    * exposed so the O(log diameter) pointer-doubling bound is a testable
+    * contract (PropertySpec: a 2^k chain must converge in ≤ k+2 rounds),
+    * not just a scaladoc claim.
+    */
+  def dupClustersCounted(docs: DataFrame, pairs: DataFrame): (DataFrame, Int) = {
     val spark = docs.sparkSession
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(lvl)
+    // Only edge-incident docs can ever change labels, so the iteration
+    // runs on `docs semi-join edges` alone; singletons (at a realistic
+    // 1–5% dup rate, the overwhelming majority of a corpus) are their
+    // own cluster by definition and are unioned back once at the end.
+    // Dragging them through every round's joins would multiply each
+    // round's shuffle volume ~20–100× at scale for zero information.
+    val incident = edges.select(col("src").as("doc_id")).distinct()
       .persist(lvl)
     // Lineage truncation is load-bearing: the round body self-joins its
     // input, so building each round on the previous round's PLAN would
@@ -278,11 +301,14 @@ object Dedup {
     // materialized cache keeps every round's plan constant-size.
     def truncate(df: DataFrame): DataFrame =
       spark.createDataFrame(df.rdd, df.schema)
-    var cached = docs.select(col("doc_id"),
-      col("doc_id").as("cluster")).persist(lvl)
+    var cached = docs.select("doc_id")
+      .join(incident, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("doc_id").as("cluster")).persist(lvl)
     var labels = truncate(cached)
     var converged = false
+    var rounds = 0
     while (!converged) {
+      rounds += 1
       val nmin = edges
         .join(labels.select(col("doc_id").as("dst_id"),
           col("cluster").as("dst_cluster")), col("dst") === col("dst_id"))
@@ -305,8 +331,8 @@ object Dedup {
         .select(stepped("doc_id"), col("old_cluster"),
           least(coalesce(col("p_cluster"), stepped("cluster")),
             stepped("cluster")).as("cluster"))
-        .observe(obs, sum((col("cluster") =!= col("old_cluster"))
-          .cast("long")).as("n_changed"))
+        .observe(obs, coalesce(sum((col("cluster") =!= col("old_cluster"))
+          .cast("long")), lit(0L)).as("n_changed"))
         .select("doc_id", "cluster")
         .persist(lvl)
       updated.count()
@@ -316,7 +342,15 @@ object Dedup {
       converged = obs.get("n_changed").asInstanceOf[Long] == 0L
     }
     edges.unpersist()
-    labels.withColumn("is_canonical", col("doc_id") === col("cluster"))
+    // `incident` stays persisted: the returned frame's anti-join reads
+    // it lazily at the caller's action, and an unpersist here would
+    // silently recompute the whole candidate-pair pipeline behind it.
+    // (Per-query persists are released by the session's clearCache.)
+    val singletons = docs.select("doc_id")
+      .join(incident, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster"))
+    val all = labels.union(singletons)
+    (all.withColumn("is_canonical", col("doc_id") === col("cluster")), rounds)
   }
 
   /** 64-bit SimHash as a bit array: bit j is the sign of

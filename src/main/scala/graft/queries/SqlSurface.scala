@@ -343,16 +343,29 @@ object SqlSurface {
         .agg(count(lit(1)).as("n"), sum(col("p.k")).as("k_sum"))
         .orderBy(asc_nulls_first("k_mod"))),
 
-    // --- approx_count_distinct (HLL++ sketch). No DuckDB oracle: sketch
-    //     estimates are engine-specific (SURVEY §7.3) — the driver
-    //     records a rows-only check; the exact counts ride along so the
-    //     relative error is inspectable in the output itself. ---
+    // --- approx_count_distinct (HLL++ sketch). Sketch ESTIMATES are
+    //     engine-specific, so the oracled output is the exact counts
+    //     plus a boolean ≤5%-relative-error check per estimate: DuckDB
+    //     oracles the exact columns and literal TRUE, turning the
+    //     tolerance assertion itself into a hash-checked row (ApproxSpec
+    //     additionally exercises the bound in-process). ---
+    //     rsd=0.01 makes the 5% bound a 5-sigma contract (the default
+    //     rsd of 0.05 puts ~1/3 of groups outside 5% by construction);
+    //     HLL++ register merges are max-based, so the estimate is
+    //     deterministic for a given dataset regardless of partitioning.
     "q43_approx_distinct" -> ((s, d) =>
       t(s, d, "lineitem")
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct("l_partkey").as("approx_parts"),
-          countDistinct(col("l_partkey")).as("exact_parts"),
-          approx_count_distinct("l_orderkey").as("approx_orders"))
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          (abs(approx_count_distinct(col("l_partkey"), 0.01) -
+              countDistinct(col("l_partkey"))).cast("double") <
+            countDistinct(col("l_partkey")).cast("double") * lit(0.05))
+            .as("parts_within_tol"),
+          (abs(approx_count_distinct(col("l_orderkey"), 0.01) -
+              countDistinct(col("l_orderkey"))).cast("double") <
+            countDistinct(col("l_orderkey")).cast("double") * lit(0.05))
+            .as("orders_within_tol"))
         .orderBy("l_returnflag")),
 
     // --- exact percentiles (sort-based; linear interpolation both
@@ -970,6 +983,17 @@ object SqlSurface {
         | count(*) AS n,
         | sum(CAST(json_extract(props, '$.k') AS BIGINT))::BIGINT AS k_sum
         |FROM events GROUP BY 1 ORDER BY k_mod ASC NULLS FIRST""".stripMargin,
+
+    // The within-tol booleans assert HLL++'s documented error bound
+    // (default rsd 5%); the oracle states them as literal TRUE, so a
+    // sketch drifting out of tolerance fails the hash check.
+    "q43_approx_distinct" ->
+      """SELECT l_returnflag,
+        | count(DISTINCT l_partkey) AS exact_parts,
+        | count(DISTINCT l_orderkey) AS exact_orders,
+        | TRUE AS parts_within_tol,
+        | TRUE AS orders_within_tol
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q61_nullsafe" ->
       """SELECT o_orderkey,

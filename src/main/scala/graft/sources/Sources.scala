@@ -12,13 +12,16 @@ import graft.gate.EngineError
   *  - `parquet` — the primary, testable path: a directory of tables
   *    (`<dir>/<table>.parquet`), scanned distributed/vectorized with
   *    pushdown (the fixture layout, TESTDATA.md);
-  *  - `jdbc` — literal parity with the reference's MySQL/Postgres role:
-  *    `spark.read.format("jdbc")` against a URL. Partitioned reads
-  *    (partitionColumn/lowerBound/upperBound/numPartitions) are the
-  *    scale knob — a single-connection JDBC scan is the reference's
-  *    bottleneck reproduced, so [[jdbcTable]] requires the caller to
-  *    think about it. No database is reachable in the test environment;
-  *    the construction path is exercised, execution is not.
+  *  - `jdbc` (aliases: `mysql`, `postgres` — the reference's literal
+  *    allowlist, query_controller.go:46-51) — parity with the
+  *    reference's MySQL/Postgres role: `spark.read.format("jdbc")`
+  *    against a URL. Partitioned reads (partitionColumn/lowerBound/
+  *    upperBound/numPartitions) are the scale knob — a
+  *    single-connection JDBC scan is the reference's bottleneck
+  *    reproduced, so [[jdbcTable]] requires the caller to think about
+  *    it. Execution is exercised end-to-end against an embedded Derby
+  *    database (SourcesSpec: real connection, 4-way range-partitioned
+  *    scan, checksummed).
   */
 object Sources {
 
@@ -27,7 +30,7 @@ object Sources {
             tableName: String): DataFrame = dbDriver match {
     case "parquet" =>
       spark.read.parquet(s"$dbName/$tableName.parquet")
-    case "jdbc" =>
+    case "jdbc" | "mysql" | "postgres" =>
       jdbcTable(spark, dbName, tableName)
     case other =>
       throw EngineError.IncorrectSource(other)

@@ -104,6 +104,23 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("dupClusters: adversarial-diameter 2^k chain converges in <= k+2 rounds") {
+    // Pointer doubling contracts path length geometrically, so a chain of
+    // 2^k nodes (diameter 2^k - 1) must resolve in O(k) rounds — plain
+    // min-label propagation would take 2^k. k+2 = the doubling bound plus
+    // one slack round plus the final no-change round that detects
+    // convergence.
+    val k = 6
+    val n = 1L << k
+    val ids = (1L to n).toDF("doc_id")
+    val chain = (1L until n).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (out, rounds) = Dedup.dupClustersCounted(ids, chain)
+    val labels = out.select("doc_id", "cluster").as[(Long, Long)].collect()
+    assert(labels.length == n && labels.forall(_._2 == 1L))
+    assert(rounds <= k + 2,
+      s"2^$k chain took $rounds rounds; pointer-doubling bound is ${k + 2}")
+  }
+
   test("exact dedup is idempotent over arbitrary duplication") {
     samples(Gen.zip(Gen.listOfN(4, text), Gen.choose(2, 4)), 3).foreach {
       case (texts, copies) =>

@@ -55,6 +55,20 @@ class QueryGateSpec extends SparkSpec {
     val e = intercept[EngineError.IncorrectSource](
       QueryGate.validate(spark, "mongodb", "db", "SELECT 1"))
     assert(e.code == 400)
+    assert(e.getMessage == "incorrect db driver: mongodb")
+  }
+
+  test("mysql/postgres (the reference's literal allowlist) pass the gate " +
+    "and dispatch to the jdbc path") {
+    // gate: both reference driver names validate
+    assert(QueryGate.validate(spark, "mysql", "db", "SELECT 1") == "SELECT 1")
+    assert(QueryGate.validate(spark, "postgres", "db", "SELECT 1") == "SELECT 1")
+    // dispatch: the aliases reach the jdbc reader (and so fail with a
+    // jdbc URL error, not IncorrectSource, on a bogus URL)
+    val e = intercept[Exception](
+      graft.sources.Sources.table(spark, "mysql", "not-a-jdbc-url", "t")
+        .collect())
+    assert(!e.isInstanceOf[EngineError.IncorrectSource])
   }
 
   test("error codes mirror the reference taxonomy (401/400)") {

@@ -64,6 +64,20 @@ class DedupSpec extends SparkSpec {
     assert(out.forall(_._2 == 1L), out.filter(_._2 != 1L).mkString(","))
   }
 
+  test("dupClusters: singleton-heavy corpus (the realistic shape) resolves") {
+    // 1000 docs, only 5 edge-incident — the loop must not depend on the
+    // 995 singletons, and they must still come back as their own cluster
+    val ids = (1L to 1000L).toDF("doc_id")
+    val pairs = Seq((7L, 9L), (9L, 11L), (500L, 900L)).toDF("doc_a", "doc_b")
+    val m = Dedup.dupClusters(ids, pairs)
+      .select("doc_id", "cluster").as[(Long, Long)].collect().toMap
+    assert(m.size == 1000)
+    assert(m(7L) == 7L && m(9L) == 7L && m(11L) == 7L)
+    assert(m(500L) == 500L && m(900L) == 500L)
+    assert((1L to 1000L).filterNot(Set(7L, 9L, 11L, 500L, 900L))
+      .forall(i => m(i) == i))
+  }
+
   test("ngram prefix filter prunes candidates without losing true pairs") {
     val corpus = spark.read.parquet(s"$sf001/documents.parquet")
     val shingled = TextOps.withShingles(corpus)

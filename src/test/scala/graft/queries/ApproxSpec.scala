@@ -2,11 +2,13 @@ package graft.queries
 
 import graft.{SparkEntry, SparkSpec}
 
-/** q43 has no DuckDB oracle by design (HLL++ estimates are
-  * engine-specific), so its accuracy contract is pinned here instead:
-  * the sketch must land within 5% relative error of the exact distinct
-  * counts it rides along with, at a non-trivial scale (sf0.1 — the
-  * bench SF, ~240k distinct partkeys across groups).
+/** q43's output embeds its own accuracy contract: the HLL++ estimate is
+  * engine-specific, so the query emits exact distinct counts plus
+  * boolean ≤5%-relative-error checks, and the DuckDB oracle pins the
+  * booleans to literal TRUE. This spec exercises the same bound at a
+  * non-trivial scale (sf0.1 — the bench SF, ~240k distinct partkeys
+  * across groups), so a sketch regression fails here AND in the
+  * driver's hash compare.
   */
 class ApproxSpec extends SparkSpec {
 
@@ -29,11 +31,12 @@ class ApproxSpec extends SparkSpec {
       spark, "/root/testdata/sf0.1").collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val approx = r.getAs[Long]("approx_parts").toDouble
-      val exact = r.getAs[Long]("exact_parts").toDouble
-      val relErr = math.abs(approx - exact) / exact
-      assert(relErr < 0.05,
-        s"group ${r.get(0)}: approx=$approx exact=$exact relErr=$relErr")
+      assert(r.getAs[Boolean]("parts_within_tol"),
+        s"group ${r.get(0)}: partkey sketch out of 5% tolerance " +
+          s"(exact=${r.getAs[Long]("exact_parts")})")
+      assert(r.getAs[Boolean]("orders_within_tol"),
+        s"group ${r.get(0)}: orderkey sketch out of 5% tolerance " +
+          s"(exact=${r.getAs[Long]("exact_orders")})")
     }
   }
 }
