@@ -1,6 +1,6 @@
 package graft.api
 
-import java.net.{InetSocketAddress, URLDecoder}
+import java.net.{InetAddress, InetSocketAddress, URLDecoder}
 import java.nio.charset.StandardCharsets
 
 import scala.util.control.NonFatal
@@ -38,6 +38,25 @@ import graft.operators.Indexer
   * reference's control-plane API, not a data-plane operator; the heavy
   * lifting behind each request (scan/join/index) still executes as
   * distributed Spark jobs.
+  *
+  * Hardening (this is a stand-in that maps names to LOCAL paths, a risk
+  * the reference — which talks to external MySQL/ES — never had):
+  *   - binds the LOOPBACK interface only; fronting a real deployment
+  *     with a proxy is the operator's explicit choice, not a default;
+  *   - `indexName` must match `[A-Za-z0-9_-]+` — a traversal-shaped
+  *     name (`../../…`) would otherwise escape `indexRoot` and, with
+  *     overwrite mode, destroy the target directory;
+  *   - optional `dataRoot` confines `dbName` (the parquet table
+  *     directory a query reads) to a configured subtree, the twin of
+  *     the reference constraining dbName to configured connections;
+  *   - `/query/` STREAMS its JSON array via `toLocalIterator` — one
+  *     partition in driver memory at a time, byte-identical to the
+  *     buffered form. (The reference buffers the full result set,
+  *     elastic_controller.go:118 — its scale ceiling, not parity worth
+  *     keeping.) Plan/analysis errors still surface as error envelopes
+  *     before any byte is written; a mid-stream EXECUTION error can
+  *     only truncate the chunked body, which the client sees as a
+  *     transport error — the price of not materializing the result.
   */
 object HttpApi {
 
@@ -46,21 +65,35 @@ object HttpApi {
     def stop(): Unit = server.stop(0)
   }
 
-  /** Start the API on `port` (0 = ephemeral). `indexRoot` is the
-    * directory backing the NDJSON bulk index (the ES stand-in).
+  /** A handler result: fully-buffered envelope, or a streamed body
+    * (the writer returns the byte count for the log line).
+    */
+  private sealed trait Resp
+  private final case class Full(code: Int, body: String) extends Resp
+  private final case class Chunked(code: Int,
+      write: java.io.OutputStream => Long) extends Resp
+
+  private val IndexNamePattern = "[A-Za-z0-9_-]+".r
+
+  /** Start the API on `port` (0 = ephemeral), bound to loopback.
+    * `indexRoot` is the directory backing the NDJSON bulk index (the ES
+    * stand-in). `dataRoot`, when set, rejects any `dbName` that does
+    * not resolve under it.
     */
   def start(spark: SparkSession, indexRoot: String, port: Int = 0,
-            log: String => Unit = Console.err.println): Running = {
-    val server = HttpServer.create(new InetSocketAddress(port), 0)
+            log: String => Unit = Console.err.println,
+            dataRoot: Option[String] = None): Running = {
+    val server = HttpServer.create(
+      new InetSocketAddress(InetAddress.getLoopbackAddress, port), 0)
     server.createContext("/elastic/save/",
-      logged(log, "POST /elastic/save/")(elasticSave(spark, indexRoot)))
+      logged(log, "POST /elastic/save/")(elasticSave(spark, indexRoot, dataRoot)))
     server.createContext("/query/",
-      logged(log, "GET /query/")(queryRoute(spark)))
+      logged(log, "GET /query/")(queryRoute(spark, dataRoot)))
     server.createContext("/", logged(log, "GET /") { ex =>
       if (ex.getRequestURI.getPath == "/")
-        (200,
+        Full(200,
           "\"Welcome to Database Query engine and Elastic Search bulk posting engine\"")
-      else (404, """{"error":"no such route"}""")
+      else Full(404, """{"error":"no such route"}""")
     })
     server.start()
     Running(server)
@@ -68,59 +101,109 @@ object HttpApi {
 
   // --- routes ---------------------------------------------------------
 
-  private def queryRoute(spark: SparkSession)(ex: HttpExchange): (Int, String) = {
+  private def queryRoute(spark: SparkSession, dataRoot: Option[String])(
+      ex: HttpExchange): Resp = {
     val p = params(Option(ex.getRequestURI.getRawQuery).getOrElse(""))
-    run(spark, p) { df => (200, df.toJSON.collect().mkString("[", ",", "]")) }
+    run(spark, p, dataRoot) { df =>
+      // Materialize the analyzed plan (and so any analysis error) BEFORE
+      // committing to a 200 streamed response.
+      val json = df.toJSON
+      Chunked(200, os => {
+        var n = 0L
+        def w(s: String): Unit = {
+          val b = s.getBytes(StandardCharsets.UTF_8); os.write(b); n += b.length
+        }
+        w("[")
+        val it = json.toLocalIterator()
+        var first = true
+        while (it.hasNext) {
+          if (!first) w(",")
+          w(it.next()); first = false
+        }
+        w("]")
+        n
+      })
+    }
   }
 
-  private def elasticSave(spark: SparkSession, indexRoot: String)(
-      ex: HttpExchange): (Int, String) = {
+  private def elasticSave(spark: SparkSession, indexRoot: String,
+                          dataRoot: Option[String])(
+      ex: HttpExchange): Resp = {
     val body = new String(ex.getRequestBody.readAllBytes(),
       StandardCharsets.UTF_8)
     val p = params(body)
     val indexName = p.getOrElse("indexName", "")
     if (indexName.trim.isEmpty)
-      (400, errorJson("incomplete request params: indexName"))
-    else run(spark, p) { df =>
+      Full(400, errorJson("incomplete request params: indexName"))
+    else if (!IndexNamePattern.matches(indexName))
+      Full(400, errorJson(
+        s"invalid indexName (must match [A-Za-z0-9_-]+): $indexName"))
+    else run(spark, p, dataRoot) { df =>
       val stats = Indexer.bulkIndex(df, indexRoot, indexName,
         orderBy = df.columns.toSeq.map(col), mode = "overwrite")
-      (200, stats.jsonLine)
+      Full(200, stats.jsonLine)
     }
   }
 
   /** Shared gate+execute step with the reference's error mapping. */
-  private def run(spark: SparkSession, p: Map[String, String])(
-      f: org.apache.spark.sql.DataFrame => (Int, String)): (Int, String) =
+  private def run(spark: SparkSession, p: Map[String, String],
+                  dataRoot: Option[String])(
+      f: org.apache.spark.sql.DataFrame => Resp): Resp =
     try {
       val (driver, db, query) = (p.getOrElse("dbDriver", ""),
         p.getOrElse("dbName", ""), p.getOrElse("query", ""))
-      if (driver == "parquet" && db.nonEmpty) Tables.register(spark, db)
+      if (driver == "parquet" && db.nonEmpty) {
+        dataRoot.foreach { root =>
+          val rootPath = new java.io.File(root).getCanonicalPath
+          val dbPath = new java.io.File(db).getCanonicalPath
+          if (dbPath != rootPath &&
+              !dbPath.startsWith(rootPath + java.io.File.separator))
+            throw EngineError.IncorrectSource(s"dbName outside data root: $db")
+        }
+        Tables.register(spark, db)
+      }
       f(QueryGate.runQuery(spark, driver, db, query))
     } catch {
-      case e: EngineError => (e.code, errorJson(e.getMessage))
+      case e: EngineError => Full(e.code, errorJson(e.getMessage))
       case NonFatal(e) => // analysis/execution errors → reference's 400
-        (400, errorJson(String.valueOf(e.getMessage).take(500)))
+        Full(400, errorJson(String.valueOf(e.getMessage).take(500)))
     }
 
   // --- middleware + plumbing ------------------------------------------
 
   /** O15 twin: time the handler, answer with the JSON content type the
     * reference's writer shim forces, emit one structured log line.
+    * Buffered responses go out with an exact Content-Length; streamed
+    * ones use chunked transfer encoding (length 0 to the JDK server).
     */
   private def logged(log: String => Unit, route: String)(
-      f: HttpExchange => (Int, String)): com.sun.net.httpserver.HttpHandler =
+      f: HttpExchange => Resp): com.sun.net.httpserver.HttpHandler =
     (ex: HttpExchange) => {
       val t0 = System.nanoTime()
-      val (code, bodyStr) =
-        try f(ex)
-        catch { case NonFatal(e) => (500, errorJson(String.valueOf(e))) }
-      val bytes = bodyStr.getBytes(StandardCharsets.UTF_8)
+      val resp = try f(ex)
+        catch { case NonFatal(e) => Full(500, errorJson(String.valueOf(e))) }
       ex.getResponseHeaders.set("Content-Type", "application/json")
-      ex.sendResponseHeaders(code, bytes.length)
-      val os = ex.getResponseBody
-      try os.write(bytes) finally os.close()
+      var err: Option[String] = None
+      val nBytes: Long = resp match {
+        case Full(code, bodyStr) =>
+          val bytes = bodyStr.getBytes(StandardCharsets.UTF_8)
+          ex.sendResponseHeaders(code, bytes.length)
+          val os = ex.getResponseBody
+          try os.write(bytes) finally os.close()
+          bytes.length.toLong
+        case Chunked(code, writeBody) =>
+          ex.sendResponseHeaders(code, 0)
+          val os = ex.getResponseBody
+          try writeBody(os)
+          catch { // headers are gone; all we can do is log the truncation
+            case NonFatal(e) => err = Some(String.valueOf(e)); -1L
+          } finally os.close()
+      }
       val ms = (System.nanoTime() - t0) / 1e6
-      log(s"""{"route":"$route","status":$code,"bytes":${bytes.length},"latency_ms":$ms}""")
+      val code = resp match { case Full(c, _) => c; case Chunked(c, _) => c }
+      val errField = err.fold("")(e =>
+        s""","stream_error":"${e.replace("\\", "\\\\").replace("\"", "\\\"").take(200)}"""")
+      log(s"""{"route":"$route","status":$code,"bytes":$nBytes,"latency_ms":$ms$errField}""")
     }
 
   private def errorJson(msg: String): String =

@@ -170,6 +170,44 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** MinHash near-dup pairs through a content-addressed parquet stage:
+    * compute once, reuse everywhere. The shingle → signature → LSH →
+    * verify pipeline is the dominant cost of every query that COMPOSES
+    * on the pair set (cluster resolution, canonical selection, …); at
+    * 100 TB, recomputing it per downstream query is the difference
+    * between one corpus pass and N. The stage directory is keyed by a
+    * content fingerprint — row count plus an order-independent sum of
+    * 64-bit text hashes, plus all pipeline parameters — so a changed
+    * corpus or changed parameters never reuses a stale stage, a missing
+    * stage is computed on the spot, and every caller stays
+    * independently runnable. (q32, the pair-pipeline benchmark itself,
+    * deliberately does NOT use the stage.)
+    */
+  def minhashNearDupsShared(docs: DataFrame, threshold: Double = 0.8,
+                            k: Int = 64, bands: Int = 16,
+                            workRoot: String =
+                              sys.props("java.io.tmpdir") + "/graft-pair-stage")
+      : DataFrame = {
+    val spark = docs.sparkSession
+    // Overflow-safe under ANSI mode: XOR-fold of the 64-bit text hashes
+    // (order-independent, no arithmetic) plus a bounded modular sum
+    // (catches the XOR blind spot where duplicated rows cancel).
+    val fp = docs
+      .agg(count(lit(1)).cast("long"),
+        coalesce(expr("bit_xor(xxhash64(text))"), lit(0L)),
+        coalesce(sum(pmod(xxhash64(col("text")), lit(1048573L))), lit(0L)))
+      .head()
+    val key = f"n${fp.getLong(0)}%d_x${fp.getLong(1)}%016x_s${fp.getLong(2)}%d" +
+      f"_t${math.round(threshold * 1000)}%d_k$k%d_b$bands%d"
+    val pairsPath = s"$workRoot/$key/pairs"
+    // Spark's own _SUCCESS marker doubles as the stage-complete flag;
+    // the fingerprint key makes the path self-invalidating.
+    if (!new java.io.File(s"$pairsPath/_SUCCESS").exists())
+      minhashNearDups(docs, threshold, k, bands)
+        .write.mode("overwrite").parquet(pairsPath)
+    spark.read.parquet(pairsPath)
+  }
+
   /** Candidate pairs for exact n-gram Jaccard at `threshold`, via an
     * inverted-index join over shingle PREFIXES (the All-Pairs/PPJoin
     * prefix filter): with every shingle set sorted in one global total
@@ -283,17 +321,25 @@ object Dedup {
   def dupClustersCounted(docs: DataFrame, pairs: DataFrame): (DataFrame, Int) = {
     val spark = docs.sparkSession
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // Both edge directions from ONE pass over the pair pipeline: a
+    // union of two selects over `pairs` would evaluate the (expensive)
+    // candidate-generation subtree twice when the cache first
+    // materializes; explode duplicates rows, not the plan.
+    val edges = pairs.select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(lvl)
     // Only edge-incident docs can ever change labels, so the iteration
-    // runs on `docs semi-join edges` alone; singletons (at a realistic
-    // 1–5% dup rate, the overwhelming majority of a corpus) are their
-    // own cluster by definition and are unioned back once at the end.
-    // Dragging them through every round's joins would multiply each
-    // round's shuffle volume ~20–100× at scale for zero information.
-    val incident = edges.select(col("src").as("doc_id")).distinct()
-      .persist(lvl)
+    // runs on them alone; singletons (at a realistic 1–5% dup rate, the
+    // overwhelming majority of a corpus) are their own cluster by
+    // definition and are unioned back once at the end. Dragging them
+    // through every round's joins would multiply each round's shuffle
+    // volume ~20–100× at scale for zero information. Every incident doc
+    // appears as `src` (edges are bidirectional), so round 1 needs no
+    // join at all: against identity labels the neighbor-min is just
+    // min(dst) per src — one aggregate over the edge cache seeds the
+    // loop with round 1 already applied.
     // Lineage truncation is load-bearing: the round body self-joins its
     // input, so building each round on the previous round's PLAN would
     // double the logical tree every iteration (exponential analysis
@@ -301,12 +347,14 @@ object Dedup {
     // materialized cache keeps every round's plan constant-size.
     def truncate(df: DataFrame): DataFrame =
       spark.createDataFrame(df.rdd, df.schema)
-    var cached = docs.select("doc_id")
-      .join(incident, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), col("doc_id").as("cluster")).persist(lvl)
+    var cached = edges.groupBy("src")
+      .agg(min("dst").as("nmin"))
+      .select(col("src").as("doc_id"),
+        least(col("src"), col("nmin")).as("cluster"))
+      .persist(lvl)
     var labels = truncate(cached)
     var converged = false
-    var rounds = 0
+    var rounds = 1 // the seeding aggregate IS round 1's propagation
     while (!converged) {
       rounds += 1
       val nmin = edges
@@ -320,12 +368,13 @@ object Dedup {
         .select(labels("doc_id"), col("cluster").as("old_cluster"),
           least(col("cluster"), coalesce(col("nmin"), col("cluster")))
             .as("cluster"))
-      // pointer jumping: follow my label's label. The lookup table is
-      // the PREVIOUS round's cached labels (not `stepped` — a stepped
-      // self-join would evaluate the neighbor-min subtree twice per
-      // round); labels are monotone non-increasing doc ids, so
-      // prev_label(x) <= x and the contraction stays valid.
-      val jump = labels.select(col("doc_id").as("p_id"),
+        .persist(lvl)
+      // pointer jumping: follow my label's label through THIS round's
+      // stepped labels (persisted, so the neighbor-min subtree above is
+      // computed once, not once per use) — two contraction steps per
+      // materialized round. Labels are monotone non-increasing ids in
+      // the same component, so stepped(x) <= x and the jump stays valid.
+      val jump = stepped.select(col("doc_id").as("p_id"),
         col("cluster").as("p_cluster"))
       val updated = stepped.join(jump, stepped("cluster") === jump("p_id"), "left")
         .select(stepped("doc_id"), col("old_cluster"),
@@ -336,18 +385,20 @@ object Dedup {
         .select("doc_id", "cluster")
         .persist(lvl)
       updated.count()
+      stepped.unpersist()
       cached.unpersist()
       cached = updated
       labels = truncate(updated)
       converged = obs.get("n_changed").asInstanceOf[Long] == 0L
     }
     edges.unpersist()
-    // `incident` stays persisted: the returned frame's anti-join reads
-    // it lazily at the caller's action, and an unpersist here would
-    // silently recompute the whole candidate-pair pipeline behind it.
-    // (Per-query persists are released by the session's clearCache.)
+    // Singletons: docs with no incident edge, i.e. no row in the final
+    // label frame. `cached` stays persisted (the anti-join below reads
+    // it lazily at the caller's action; unpersisting here would
+    // silently recompute the whole pair pipeline behind it — per-query
+    // persists are released by the session's clearCache).
     val singletons = docs.select("doc_id")
-      .join(incident, Seq("doc_id"), "left_anti")
+      .join(labels.select("doc_id"), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("doc_id").as("cluster"))
     val all = labels.union(singletons)
     (all.withColumn("is_canonical", col("doc_id") === col("cluster")), rounds)

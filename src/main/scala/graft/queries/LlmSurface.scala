@@ -219,10 +219,12 @@ object LlmSurface {
         .orderBy("doc_id")),
 
     // --- duplicate-cluster resolution: MinHash pairs → connected
-    //     components → one canonical doc per CLUSTER (not per pair) ---
+    //     components → one canonical doc per CLUSTER (not per pair).
+    //     Pairs come through the content-addressed stage so queries
+    //     composing on the pair set share one corpus pass. ---
     "q79_dup_clusters" -> ((s, d) => {
       val dd = docs(s, d)
-      val pairs = Dedup.minhashNearDups(dd, threshold = 0.8)
+      val pairs = Dedup.minhashNearDupsShared(dd, threshold = 0.8)
       Dedup.dupClusters(dd.select("doc_id"), pairs)
         .select("doc_id", "cluster", "is_canonical")
         .orderBy("doc_id")
@@ -233,7 +235,7 @@ object LlmSurface {
     //     highest-quality member, ties to the lowest doc_id ---
     "q83_cluster_canonical" -> ((s, d) => {
       val dd = docs(s, d)
-      val pairs = Dedup.minhashNearDups(dd, threshold = 0.8)
+      val pairs = Dedup.minhashNearDupsShared(dd, threshold = 0.8)
       val clusters = Dedup.dupClusters(dd.select("doc_id"), pairs)
       val quality = TextOps.withQuality(dd).select("doc_id", "quality")
       clusters.join(quality, "doc_id")

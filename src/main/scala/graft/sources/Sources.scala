@@ -36,6 +36,22 @@ object Sources {
       throw EngineError.IncorrectSource(other)
   }
 
+  /** [[table]] through the reference's env-assembled DSN
+    * ([[graft.engine.EngineConfig]], `base.go:39-56`): for
+    * mysql/postgres, when the env provides host/port, `dbName` is the
+    * DATABASE name and the JDBC URL is assembled around it — exactly
+    * the reference's contract; with no env config, `dbName` falls back
+    * to being a literal JDBC URL.
+    */
+  def table(spark: SparkSession, dbDriver: String, dbName: String,
+            tableName: String, config: graft.engine.EngineConfig): DataFrame =
+    dbDriver match {
+      case "mysql" | "postgres" =>
+        jdbcTable(spark,
+          config.jdbcUrl(dbDriver, dbName).getOrElse(dbName), tableName)
+      case _ => table(spark, dbDriver, dbName, tableName)
+    }
+
   /** JDBC table read. `url` must be a full JDBC URL (the reference
     * assembles it from env, `base.go:42-60`); `partitionSpec` enables
     * the parallel range-partitioned scan.

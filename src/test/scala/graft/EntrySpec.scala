@@ -10,11 +10,11 @@ class EntrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("oracle keys are a subset of query keys; only q43 is oracle-less") {
+  test("every query has an oracle, and every oracle has a query") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"orphan oracles: ${o -- q}")
-    assert((q -- o) == Set("q43_approx_distinct"), s"missing oracles: ${q -- o}")
+    assert((q -- o).isEmpty, s"missing oracles: ${q -- o}")
   }
 
   test("query names are unique and well-formed") {

@@ -93,4 +93,75 @@ class HttpApiSpec extends SparkSpec {
       assert(r.body().contains("indexName"), r.body())
     }
   }
+
+  test("/query/ streams: byte-identical to the buffered form, chunked, " +
+    "many partitions") {
+    withApi { (base, _) =>
+      // DISTRIBUTE BY forces a multi-partition result, so the streamed
+      // route walks toLocalIterator across many partitions
+      val sql = "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem " +
+        "DISTRIBUTE BY l_orderkey SORT BY l_orderkey, l_linenumber"
+      val r = get(s"$base/query/?dbDriver=parquet&dbName=${enc(sf001)}" +
+        s"&query=${enc(sql)}")
+      assert(r.statusCode() == 200, r.body().take(300))
+      assert(r.headers().firstValue("Transfer-encoding").orElse("") == "chunked",
+        r.headers().map().toString)
+      // byte-identical to what collect-and-join would have produced
+      val expected = spark.sql(sql.replace("lineitem",
+          s"parquet.`$sf001/lineitem.parquet`"))
+        .toJSON.collect().mkString("[", ",", "]")
+      assert(r.body() == expected)
+      assert(r.body().split("\\},\\{").length == expected.split("\\},\\{").length)
+    }
+  }
+
+  test("server binds loopback only") {
+    val api = HttpApi.start(spark,
+      java.nio.file.Files.createTempDirectory("http-bind").toString,
+      log = _ => ())
+    try assert(api.server.getAddress.getAddress.isLoopbackAddress)
+    finally api.stop()
+  }
+
+  test("traversal-shaped indexName is rejected and writes nothing") {
+    withApi { (base, indexRoot) =>
+      val victim = java.nio.file.Files.createTempDirectory("victim")
+      java.nio.file.Files.writeString(victim.resolve("keep.txt"), "precious")
+      val evil = s"../../${victim.toString.stripPrefix("/")}"
+      val r = postForm(s"$base/elastic/save/",
+        s"dbDriver=parquet&dbName=${enc(sf001)}" +
+          s"&query=${enc("SELECT 1 AS one")}&indexName=${enc(evil)}")
+      assert(r.statusCode() == 400, r.body())
+      assert(r.body().contains("invalid indexName"), r.body())
+      assert(java.nio.file.Files.exists(victim.resolve("keep.txt")),
+        "traversal escaped indexRoot and clobbered the target")
+      // dots, slashes, spaces all rejected; plain names still pass
+      Seq("a.b", "a/b", "a b", "").foreach { bad =>
+        val rb = postForm(s"$base/elastic/save/",
+          s"dbDriver=parquet&dbName=${enc(sf001)}" +
+            s"&query=${enc("SELECT 1 AS one")}&indexName=${enc(bad)}")
+        assert(rb.statusCode() == 400, s"'$bad' -> ${rb.body()}")
+      }
+    }
+  }
+
+  test("dataRoot confines dbName to the configured subtree") {
+    val indexRoot = java.nio.file.Files.createTempDirectory("http-idx").toString
+    val api = HttpApi.start(spark, indexRoot, log = _ => (),
+      dataRoot = Some("/root/testdata"))
+    try {
+      val base = s"http://localhost:${api.port}"
+      val ok = get(s"$base/query/?dbDriver=parquet&dbName=${enc(sf001)}" +
+        s"&query=${enc("SELECT count(*) AS n FROM region")}")
+      assert(ok.statusCode() == 200, ok.body())
+      val outside = get(s"$base/query/?dbDriver=parquet&dbName=${enc("/etc")}" +
+        s"&query=${enc("SELECT 1 AS one")}")
+      assert(outside.statusCode() == 400, outside.body())
+      assert(outside.body().contains("outside data root"), outside.body())
+      val sneaky = get(s"$base/query/?dbDriver=parquet" +
+        s"&dbName=${enc("/root/testdata/../../etc")}" +
+        s"&query=${enc("SELECT 1 AS one")}")
+      assert(sneaky.statusCode() == 400, sneaky.body())
+    } finally api.stop()
+  }
 }

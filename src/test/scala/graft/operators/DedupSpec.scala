@@ -131,6 +131,27 @@ class DedupSpec extends SparkSpec {
     assert(new java.io.File(s"$work/sigs").exists())
   }
 
+  test("shared pair stage equals fresh; content fingerprint invalidates") {
+    val work = java.nio.file.Files.createTempDirectory("pair-stage").toString
+    val sf = spark.read.parquet(s"$sf001/documents.parquet")
+    val fresh = Dedup.minhashNearDups(sf, 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val staged = Dedup.minhashNearDupsShared(sf, 0.8, workRoot = work)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(staged == fresh && staged.nonEmpty)
+    // second call reuses the stage (no new stage dir)
+    val nDirs = new java.io.File(work).list().length
+    assert(Dedup.minhashNearDupsShared(sf, 0.8, workRoot = work).count() ==
+      fresh.size)
+    assert(new java.io.File(work).list().length == nDirs)
+    // a changed corpus must mint a NEW stage, not reuse the stale one
+    val changed = sf.withColumn("text",
+      when(col("doc_id") === 1L, concat(col("text"), lit(" zzz")))
+        .otherwise(col("text")))
+    Dedup.minhashNearDupsShared(changed, 0.8, workRoot = work).count()
+    assert(new java.io.File(work).list().length == nDirs + 1)
+  }
+
   test("minhash LSH recall matches exact ngram join at threshold 0.8") {
     val sf = spark.read.parquet(s"$sf001/documents.parquet")
     val lsh = Dedup.minhashNearDups(sf, 0.8)
