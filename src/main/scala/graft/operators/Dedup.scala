@@ -85,6 +85,16 @@ object Dedup {
       .agg(expr("minhash_agg(v)").as("sig"))
   }
 
+  /** Banded view of minhash signatures: one (doc_id, band_id, band_key)
+    * row per band, the unit both LSH self-joins and the incremental
+    * batch-vs-corpus join bucket on.
+    */
+  def bandedSigs(sigs: DataFrame, bands: Int, rows: Int): DataFrame =
+    sigs.select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, ${bands - 1}), b -> " +
+          s"concat_ws('_', slice(sig, b * $rows + 1, $rows)))"))
+      .as(Seq("band_id", "band_key")))
+
   /** LSH candidate pairs from banded minhash signatures: docs sharing any
     * (band_id, band_signature) bucket. For b bands of r rows, a pair with
     * Jaccard j collides with prob 1-(1-j^r)^b — at b=16, r=4 the miss
@@ -92,11 +102,7 @@ object Dedup {
     * The band key is the concatenated r-slice, so bucketing is exact.
     */
   def lshCandidates(sigs: DataFrame, bands: Int = 16, rows: Int = 4): DataFrame = {
-    val banded = sigs
-      .select(col("doc_id"), posexplode(expr(
-      s"transform(sequence(0, ${bands - 1}), b -> " +
-        s"concat_ws('_', slice(sig, b * $rows + 1, $rows)))"))
-      .as(Seq("band_id", "band_key")))
+    val banded = bandedSigs(sigs, bands, rows)
     val a = banded.alias("a")
     val b = banded.alias("b")
     a.join(b,
@@ -291,6 +297,75 @@ object Dedup {
         "cast(n_inter as double) / cast(n_a + n_b - n_inter as double)"))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Incremental near-dup detection: pairs between a NEW batch and an
+    * EXISTING (already-deduped) corpus, plus within-batch pairs — the
+    * production shape of dedup at 100 TB, where a daily increment must
+    * never trigger a corpus×corpus pass. The LSH join is
+    * batch-bands × (corpus ∪ batch)-bands: the batch side drives, so
+    * candidate generation costs O(batch + bucket collisions), and
+    * corpus docs that share no band bucket with any batch doc are never
+    * touched past their (precomputable, stageable) signature scan.
+    * Output: (doc_a, doc_b, jaccard), doc_a < doc_b, at least one side
+    * from the batch; corpus-corpus pairs are excluded by construction.
+    */
+  def incrementalNearDups(batch: DataFrame, corpus: DataFrame,
+                          threshold: Double = 0.8,
+                          k: Int = 64, bands: Int = 16): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val shB = TextOps.withShingles(batch)
+      .select("doc_id", "shingles").persist(lvl)
+    // In production the corpus side's shingles/signatures come from a
+    // stage (see minhashNearDupsShared); computing them here keeps the
+    // operator self-contained without changing the join topology.
+    val shC = TextOps.withShingles(corpus)
+      .select("doc_id", "shingles").persist(lvl)
+    val bandedB = bandedSigs(minhashSignatures(shB, k), bands, k / bands)
+      .persist(lvl)
+    val bandedC = bandedSigs(minhashSignatures(shC, k), bands, k / bands)
+    val cands = bandedB.alias("a")
+      .join(bandedC.union(bandedB).alias("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
+    verifyJaccard(cands, shB.union(shC))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Corpus-frequency boilerplate scoring (the C4/Gopher quality-rule
+    * family at corpus scale): a shingle present in ≥ `minDocs` distinct
+    * documents is "boilerplate" (navigation chrome, license headers,
+    * templated text), and each document reports how much of it is made
+    * of such shingles. Two passes, both shuffle-light: document
+    * frequency is one partial-aggregated count over exploded shingles
+    * (shingle sets are distinct per doc by construction, so `count(*)`
+    * IS doc-frequency), and the per-doc rollup shuffles one small row
+    * per (doc, shingle). Docs with < 3 tokens have no shingles and
+    * score 0.
+    */
+  def boilerplate(docs: DataFrame, minDocs: Long = 3L): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val ex = TextOps.withShingles(docs)
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      .persist(lvl)
+    val docFreq = ex.groupBy("shingle")
+      .agg(count(lit(1)).as("doc_freq"))
+    val per = ex.join(docFreq, "shingle")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum((col("doc_freq") >= minDocs).cast("long")).as("n_boiler"))
+    docs.select("doc_id").join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+        when(coalesce(col("n_shingles"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(col("n_boiler").cast("double") /
+            col("n_shingles").cast("double")).as("boiler_ratio"))
   }
 
   /** Resolve near-dup PAIRS into duplicate CLUSTERS (connected

@@ -249,6 +249,24 @@ object LlmSurface {
         .orderBy("cluster")
     }),
 
+    // --- incremental dedup: a 20% "new batch" (doc_id % 5 = 4) against
+    //     the standing corpus — batch×(corpus ∪ batch) LSH join, never
+    //     corpus×corpus ---
+    "q84_incremental_dedup" -> ((s, d) => {
+      val dd = docs(s, d)
+      Dedup.incrementalNearDups(
+          batch = dd.filter(col("doc_id") % 5 === 4),
+          corpus = dd.filter(col("doc_id") % 5 =!= 4),
+          threshold = 0.8)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // --- corpus-frequency boilerplate scoring: shingles in >= 3 docs
+    //     are boilerplate; per-doc ratio of boilerplate shingles ---
+    "q85_boilerplate" -> ((s, d) =>
+      Dedup.boilerplate(docs(s, d), minDocs = 3L)
+        .orderBy("doc_id")),
+
     // --- repetition quality signals (Gopher/C4 rule family) ---
     "q78_repetition" -> ((s, d) =>
       TextOps.withRepetition(docs(s, d))
@@ -727,6 +745,39 @@ object LlmSurface {
          |SELECT d.doc_id, reach.cluster,
          |  d.doc_id = reach.cluster AS is_canonical
          |FROM documents d JOIN reach ON d.doc_id = reach.id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // Exact all-pairs Jaccard restricted to pairs touching the batch —
+    // valid oracle for the same recall-gap reason as q32's.
+    "q84_incremental_dedup" ->
+      s"""WITH $dkSh
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+         |  (len(a.shingles) + len(b.shingles)
+         |   - len(list_intersect(a.shingles, b.shingles)))::DOUBLE AS jaccard
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE (a.doc_id % 5 = 4 OR b.doc_id % 5 = 4)
+         |  AND len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+         |  (len(a.shingles) + len(b.shingles)
+         |   - len(list_intersect(a.shingles, b.shingles)))::DOUBLE >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q85_boilerplate" ->
+      s"""WITH $dkSh,
+         | ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+         | dfq AS (SELECT shingle, count(*) AS doc_freq FROM ex
+         |         GROUP BY shingle),
+         | per AS (SELECT doc_id, count(*)::BIGINT AS n_shingles,
+         |   sum(CASE WHEN doc_freq >= 3 THEN 1 ELSE 0 END)::BIGINT
+         |     AS n_boiler
+         |  FROM ex JOIN dfq USING (shingle) GROUP BY doc_id)
+         |SELECT d.doc_id,
+         | coalesce(per.n_shingles, 0)::BIGINT AS n_shingles,
+         | coalesce(per.n_boiler, 0)::BIGINT AS n_boiler,
+         | CASE WHEN coalesce(per.n_shingles, 0) = 0 THEN 0.0::DOUBLE
+         |      ELSE per.n_boiler::DOUBLE / per.n_shingles::DOUBLE
+         | END AS boiler_ratio
+         |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
          |ORDER BY d.doc_id""".stripMargin,
 
     "q78_repetition" ->

@@ -161,6 +161,53 @@ class DedupSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("incrementalNearDups: batch-touching pairs only, corpus never self-joined") {
+    val rows = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "an unrelated corpus document about spark engines"),
+      (4L, "the quick brown fox jumps over the lazy dog"),   // batch dup of 1
+      (7L, "an unrelated corpus document about spark engines"), // corpus dup of 2!
+      (9L, "the quick brown fox jumps over the lazy cat"),   // batch near-dup
+      (3L, "completely different words entirely here now ok")
+    ).toDF("doc_id", "text")
+    val batch = rows.filter(col("doc_id") % 5 === 4)   // {4, 9}
+    val corpus = rows.filter(col("doc_id") % 5 =!= 4)  // {1, 2, 3, 7}
+    val inc = Dedup.incrementalNearDups(batch, corpus, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // batch-corpus and batch-batch pairs found...
+    assert(inc.contains((1L, 4L)))
+    assert(inc.contains((4L, 9L)) || inc.contains((1L, 9L)))
+    // ...but the corpus-corpus dup (2,7) is excluded by construction
+    assert(!inc.contains((2L, 7L)), inc.toString)
+    assert(inc.forall(p => p._1 % 5 == 4 || p._2 % 5 == 4))
+  }
+
+  test("incrementalNearDups equals full near-dups restricted to batch pairs") {
+    val sf = spark.read.parquet(s"$sf001/documents.parquet")
+    val inc = Dedup.incrementalNearDups(
+        sf.filter(col("doc_id") % 5 === 4), sf.filter(col("doc_id") % 5 =!= 4),
+        threshold = 0.3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val full = Dedup.minhashNearDups(sf, threshold = 0.3)
+      .filter(col("doc_a") % 5 === 4 || col("doc_b") % 5 === 4)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(inc == full, s"inc=$inc full=$full")
+  }
+
+  test("boilerplate: shared shingles flagged at minDocs, shingle-less doc scores 0") {
+    val out = Dedup.boilerplate(docs, minDocs = 3L)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    val m = out.map(r => r._1 -> r).toMap
+    // docs 1,2,3 share the 'the quick brown fox...' prefix shingles →
+    // those shingles hit doc_freq 3 and are boilerplate
+    assert(m(1L)._3 > 0 && m(1L)._4 > 0.5, m(1L).toString)
+    assert(m(2L)._3 == m(1L)._3) // identical text, identical score
+    // doc 4 shares nothing
+    assert(m(4L)._3 == 0L && m(4L)._4 == 0.0)
+    // doc 5 has < 3 tokens → no shingles → all zeros
+    assert(m(5L) == ((5L, 0L, 0L, 0.0)))
+  }
+
   test("simhash: identical docs at hamming 0; banding finds them") {
     val sigs = Dedup.simhashBits(docs)
       .select("doc_id", "bits").as[(Long, Seq[Int])].collect().toMap
