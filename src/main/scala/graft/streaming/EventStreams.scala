@@ -19,6 +19,18 @@ final case class Session(user_id: Long, n_events: Int, total_value: Double,
 /** Mutable-free per-user session accumulator (stream state). */
 final case class SessionState(n: Int, total: Double, start: Long, last: Long)
 
+/** A document arriving on a stream (near-dup candidate detection). */
+final case class StreamDoc(doc_id: Long, text: String)
+
+/** One banded-signature row of a streaming doc. */
+final case class DocBand(band_id: Int, band_key: String, doc_id: Long)
+
+/** Resident doc ids of one LSH bucket (stream state). */
+final case class BucketState(ids: List[Long])
+
+/** A near-dup candidate pair emitted by the stream (doc_a < doc_b). */
+final case class CandidatePair(doc_a: Long, doc_b: Long)
+
 /** Structured Streaming surface over the `events` shape.
   *
   * The reference is strictly one-shot batch per HTTP request
@@ -169,6 +181,75 @@ object EventStreams {
         col("view_ts") <= col("click_ts") +
           expr(s"INTERVAL $maxGapMinutes MINUTES"))
       .select("click_id", "view_id", "user_id", "click_ts", "view_ts")
+  }
+
+  /** Streaming near-dup CANDIDATE detection — the streaming twin of
+    * [[graft.operators.Dedup.incrementalNearDups]]: every arriving doc
+    * is shingled and min-hashed PER ROW (scalar expressions, no
+    * streaming aggregate needed), banded, and grouped by
+    * (band_id, band_key); [[flatMapGroupsWithState]] keeps each
+    * bucket's resident doc ids as state and emits one candidate pair
+    * per (arrival, resident) — the bucket-local join that cannot wait
+    * for a batch window. Exact Jaccard verification stays a batch
+    * concern over the emitted pairs ([[graft.operators.Dedup.verifyJaccard]]),
+    * exactly as in the batch two-phase design.
+    *
+    * Signature arithmetic matches the batch path bit-for-bit
+    * (xxhash64 base fold + the [[graft.operators.TextOps.permHashExpr]]
+    * family), so stream-emitted candidates are a superset-compatible
+    * feed into the same verification (spec asserts equality with
+    * [[graft.operators.Dedup.lshCandidates]] on a replay).
+    *
+    * State per bucket is capped at `maxPerBucket` resident ids (a giant
+    * duplicate cluster would otherwise grow one bucket's state — and
+    * its per-arrival fan-out — without bound; residents beyond the cap
+    * stop acquiring NEW pair edges, which connected-components closure
+    * downstream absorbs). State never times out by default: dedup
+    * is against the full corpus history, the deliberate opposite of the
+    * watermark-bounded operators above — bound it by cap, not by time.
+    */
+  def nearDupCandidates(docs: Dataset[StreamDoc], k: Int = 64,
+                        bands: Int = 16, maxPerBucket: Int = 64)
+      : Dataset[CandidatePair] = {
+    import docs.sparkSession.implicits._
+    val rows = k / bands
+    val P = graft.operators.TextOps.PermP
+    // per-row signature: sig[i] = min over shingles of perm_i(base(s));
+    // base = xxhash64 folded into [0, P) — Dedup.xxBaseHash verbatim
+    val sigExpr = s"transform(sequence(0, ${k - 1}), i -> " +
+      "array_min(transform(shingles, s -> " +
+      graft.operators.TextOps.permHashExpr(
+        s"(((xxhash64(s) % ${P}L) + ${P}L) % ${P}L)", "i") + ")))"
+    val banded = docs.toDF()
+      .withColumn("toks", graft.operators.TextOps.tokens("text"))
+      .withColumn("shingles",
+        expr(graft.operators.TextOps.shingleExpr("toks", 3)))
+      .filter(size(col("shingles")) > 0)
+      .withColumn("sig", expr(sigExpr))
+      .select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(0, ${bands - 1}), b -> " +
+            s"concat_ws('_', slice(sig, b * $rows + 1, $rows)))"))
+        .as(Seq("band_id", "band_key")))
+      .as[DocBand]
+    def fn(key: (Int, String), arrivals: Iterator[DocBand],
+           state: GroupState[BucketState]): Iterator[CandidatePair] = {
+      var resident = state.getOption.map(_.ids).getOrElse(Nil)
+      val out = scala.collection.mutable.ArrayBuffer.empty[CandidatePair]
+      arrivals.foreach { a =>
+        resident.foreach { r =>
+          if (r != a.doc_id)
+            out += CandidatePair(math.min(r, a.doc_id), math.max(r, a.doc_id))
+        }
+        if (resident.size < maxPerBucket && !resident.contains(a.doc_id))
+          resident = a.doc_id :: resident
+      }
+      state.update(BucketState(resident))
+      out.distinct.iterator
+    }
+    banded
+      .groupByKey(b => (b.band_id, b.band_key))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
   }
 
   /** Open the events table as a file stream (one-file-per-trigger going

@@ -80,6 +80,41 @@ class EventStreamsSpec extends SparkSpec {
       first.started == ts(1) && first.ended == ts(5))
   }
 
+  test("nearDupCandidates: dup arriving in a later batch pairs with the resident") {
+    val in = MemoryStream[StreamDoc](spark)
+    val out = EventStreams.nearDupCandidates(in.toDS())
+    runToMemory(out, "ndc", OutputMode.Append) {
+      in.addData(
+        StreamDoc(1L, "the quick brown fox jumps over the lazy dog"),
+        StreamDoc(4L, "completely different words about spark engines here"))
+      in.addData( // near-dup of resident doc 1, arriving later
+        StreamDoc(3L, "the quick brown fox jumps over the lazy cat"))
+    }
+    val pairs = spark.table("ndc").as[CandidatePair].collect()
+      .map(p => (p.doc_a, p.doc_b)).toSet
+    assert(pairs.contains((1L, 3L)), pairs.toString)
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      s"unrelated doc entered a candidate pair: $pairs")
+  }
+
+  test("nearDupCandidates replay equals the batch LSH candidate set") {
+    val corpus = spark.read.parquet(s"$sf001/documents.parquet")
+    val in = MemoryStream[StreamDoc](spark)
+    val out = EventStreams.nearDupCandidates(in.toDS())
+    runToMemory(out, "ndc2", OutputMode.Append) {
+      in.addData(corpus.select("doc_id", "text").as[StreamDoc].collect()
+        .toIndexedSeq)
+    }
+    val streamed = spark.table("ndc2").as[CandidatePair].collect()
+      .map(p => (p.doc_a, p.doc_b)).toSet
+    val batch = graft.operators.Dedup.lshCandidates(
+        graft.operators.Dedup.minhashSignatures(
+          graft.operators.TextOps.withShingles(corpus)))
+      .as[(Long, Long)].collect().toSet
+    assert(streamed == batch,
+      s"stream-only: ${streamed -- batch}; batch-only: ${batch -- streamed}")
+  }
+
   test("bulkIndexSink appends ES-bulk NDJSON per micro-batch") {
     val in = MemoryStream[Event](spark)
     val dir = Files.createTempDirectory("graft-stream-idx").toString
