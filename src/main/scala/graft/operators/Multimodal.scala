@@ -103,6 +103,35 @@ object Multimodal {
         expr(s"substring(payload, frame_no * $blockSize + 1, $blockSize)"))
       .select("media_id", "frame_no", "frame_bytes")
 
+  /** STUB resize: a real implementation decodes, scales and re-encodes
+    * the payload; the stub keeps every `factor`-th byte (deterministic,
+    * byte-exact testable) so the payload shrinks ~factor×. The plumbing
+    * that matters at scale is real: a per-partition binary transform
+    * (resize state — scaler context, target profile — initialized once
+    * per task), payload bytes never touch the driver, and the output
+    * keeps the (media_id, payload) contract every downstream operator
+    * expects. Output: (media_id, orig_bytes, payload).
+    */
+  def resizeStub(media: DataFrame, factor: Int = 2): DataFrame = {
+    require(factor >= 1, "resize factor must be >= 1")
+    val spark = media.sparkSession
+    val out = media.select("media_id", "payload").rdd
+      .mapPartitions { rows =>
+        // per-partition init (scaler context stand-in)
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val resized = Array.tabulate((bytes.length + factor - 1) / factor)(
+            j => bytes(j * factor))
+          Row(id, bytes.length.toLong, resized)
+        }
+      }
+    spark.createDataFrame(out, StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("orig_bytes", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false))))
+  }
+
   /** Byte-level metadata extraction as pure codegen'd SQL — the part of
     * the pipeline that needs no codec at all: sizes, digests, magic-byte
     * sniffing. Works on any BinaryType column.

@@ -274,6 +274,18 @@ object LlmSurface {
           "top_tok_count", "top_tok_ratio")
         .orderBy("doc_id")),
 
+    // --- multimodal resize (stub codec: every 2nd byte survives; the
+    //     per-partition binary transform is the real plumbing) ---
+    "q86_resize" -> ((s, d) =>
+      Multimodal.resizeStub(
+          docs(s, d).select(col("doc_id").as("media_id"),
+            col("text").cast("binary").as("payload")),
+          factor = 2)
+        .select(col("media_id"), col("orig_bytes"),
+          expr("bigint(octet_length(payload))").as("resized_bytes"),
+          expr("hex(substring(payload, 1, 8))").as("head_hex"))
+        .orderBy("media_id")),
+
     // --- multimodal frame sampling: every 2nd 64-byte block of the
     //     payload stands in for a decoded video frame (stub codec —
     //     the exploded row shape is the real, tested plumbing) ---
@@ -799,6 +811,20 @@ object LlmSurface {
         |   t -> len(list_filter(toks, x -> x = t))))::DOUBLE
         |   / n_tokens::DOUBLE AS top_tok_ratio
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    // ASCII fixture text ⇒ VARCHAR char ops mirror byte ops exactly
+    // (as q74); DuckDB's indexed list_filter lambda ((c, i), 1-based)
+    // reproduces the every-factor-th-byte stride.
+    "q86_resize" ->
+      """WITH r AS (SELECT doc_id AS media_id,
+        |  octet_length(encode(text))::BIGINT AS orig_bytes,
+        |  array_to_string(list_filter(string_split(text, ''),
+        |    (c, i) -> (i - 1) % 2 = 0), '') AS resized
+        | FROM documents)
+        |SELECT media_id, orig_bytes,
+        | octet_length(encode(resized))::BIGINT AS resized_bytes,
+        | upper(hex(substr(resized, 1, 8))) AS head_hex
+        |FROM r ORDER BY media_id""".stripMargin,
 
     // The fixture text is pure ASCII (1 byte per char), so VARCHAR
     // substr mirrors the Spark side's binary slicing byte-for-byte

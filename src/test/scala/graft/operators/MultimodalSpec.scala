@@ -48,6 +48,24 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.select("frame_no").as[Int].collect().forall(_ % 2 == 0))
   }
 
+  test("resizeStub keeps every factor-th byte, byte-exactly") {
+    val m = Multimodal.synthetic(spark, 5)
+    val orig = m.select("media_id", "payload")
+      .as[(Long, Array[Byte])].collect().toMap
+    val resized = Multimodal.resizeStub(m, factor = 3)
+      .select("media_id", "orig_bytes", "payload")
+      .as[(Long, Long, Array[Byte])].collect()
+    assert(resized.length == 5)
+    resized.foreach { case (id, nOrig, bytes) =>
+      val o = orig(id)
+      assert(nOrig == o.length.toLong)
+      assert(bytes.length == (o.length + 2) / 3)
+      assert(bytes.toSeq == o.indices.collect {
+        case i if i % 3 == 0 => o(i)
+      }.toSeq)
+    }
+  }
+
   test("withByteStats computes sizes and digests in pure SQL") {
     val m = Multimodal.synthetic(spark, 4)
     val s = Multimodal.withByteStats(m)
