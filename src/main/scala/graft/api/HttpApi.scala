@@ -60,9 +60,10 @@ import graft.operators.Indexer
   */
 object HttpApi {
 
-  final case class Running(server: HttpServer) {
+  final case class Running(server: HttpServer,
+                           pool: java.util.concurrent.ExecutorService) {
     def port: Int = server.getAddress.getPort
-    def stop(): Unit = server.stop(0)
+    def stop(): Unit = { server.stop(0); pool.shutdown() }
   }
 
   /** A handler result: fully-buffered envelope, or a streamed body
@@ -95,8 +96,14 @@ object HttpApi {
           "\"Welcome to Database Query engine and Elastic Search bulk posting engine\"")
       else Full(404, """{"error":"no such route"}""")
     })
+    // Concurrent request handling (the reference's mux router serves
+    // concurrently; the JDK server's default executor is the dispatch
+    // thread — serial). Spark schedules concurrent driver-side jobs
+    // fairly; each request's heavy work still runs as distributed jobs.
+    val pool = java.util.concurrent.Executors.newCachedThreadPool()
+    server.setExecutor(pool)
     server.start()
-    Running(server)
+    Running(server, pool)
   }
 
   // --- routes ---------------------------------------------------------

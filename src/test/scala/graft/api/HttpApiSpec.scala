@@ -115,6 +115,20 @@ class HttpApiSpec extends SparkSpec {
     }
   }
 
+  test("concurrent requests are served in parallel, all complete") {
+    withApi { (base, _) =>
+      val sql = "SELECT count(*) AS n FROM lineitem"
+      val futures = (1 to 8).map { _ =>
+        java.util.concurrent.CompletableFuture.supplyAsync(() =>
+          get(s"$base/query/?dbDriver=parquet&dbName=${enc(sf001)}" +
+            s"&query=${enc(sql)}"))
+      }
+      val results = futures.map(_.join())
+      assert(results.forall(_.statusCode() == 200))
+      assert(results.map(_.body()).distinct.size == 1) // identical answers
+    }
+  }
+
   test("server binds loopback only") {
     val api = HttpApi.start(spark,
       java.nio.file.Files.createTempDirectory("http-bind").toString,
