@@ -207,10 +207,15 @@ object Dedup {
       f"_t${math.round(threshold * 1000)}%d_k$k%d_b$bands%d"
     val pairsPath = s"$workRoot/$key/pairs"
     // Spark's own _SUCCESS marker doubles as the stage-complete flag;
-    // the fingerprint key makes the path self-invalidating.
-    if (!new java.io.File(s"$pairsPath/_SUCCESS").exists())
-      minhashNearDups(docs, threshold, k, bands)
-        .write.mode("overwrite").parquet(pairsPath)
+    // the fingerprint key makes the path self-invalidating. The
+    // check-and-build is serialized JVM-wide so concurrent callers
+    // (e.g. parallel HTTP requests) never race the overwrite; readers
+    // of a COMPLETE stage skip the lock's critical section instantly.
+    Dedup.synchronized {
+      if (!new java.io.File(s"$pairsPath/_SUCCESS").exists())
+        minhashNearDups(docs, threshold, k, bands)
+          .write.mode("overwrite").parquet(pairsPath)
+    }
     spark.read.parquet(pairsPath)
   }
 

@@ -107,6 +107,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q85: boilerplate doc-frequency aggregation is partial+final") {
+    val p = plan("q85_boilerplate")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, "agg not partial+final")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q84: incremental dedup joins on the band key (no all-pairs shape)") {
+    val p = plan("q84_incremental_dedup")
+    // the candidate join must key on band columns — a hash or sort-merge
+    // equi-join, never a nested loop over doc pairs
+    assert(p.contains("band_key"), p.take(1500))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "candidate generation degenerated to a non-equi join")
+  }
+
   test("q62: bucketed join + same-key agg plans with no hash exchange") {
     val df = SparkEntry.queries("q62_bucketed_join")(spark, sf001)
     df.collect() // finalize the (adaptive) plan
