@@ -95,6 +95,14 @@ object Indexer {
   def bulkIndex(df: DataFrame, indexDir: String, indexName: String,
                 orderBy: Seq[Column], numWorkers: Int = 0,
                 mode: String = "errorifexists"): IndexStats = {
+    // Defense in depth below the HTTP gate's [A-Za-z0-9_-]+ check: the
+    // name is spliced into both the output PATH (a traversal-shaped
+    // name + overwrite mode would destroy the target directory) and the
+    // JSON action line (a quote/backslash would corrupt every action).
+    require(indexName.nonEmpty && !indexName.contains("/") &&
+      !indexName.contains("\\") && !indexName.contains("\"") &&
+      !indexName.contains("..") && !indexName.exists(_.isControl),
+      s"unsafe indexName: $indexName")
     val withId = withDocIds(df.drop("_id"), orderBy)
     val docCols = withId.columns.filter(_ != "_id").map(col)
     val lines = withId.select(concat(

@@ -54,6 +54,17 @@ class IndexerSpec extends SparkSpec {
     assert(lines.count(_.contains("\"name\":")) == 3)
   }
 
+  test("bulkIndex rejects names that would corrupt the path or action line") {
+    val dir = Files.createTempDirectory("graft-bulk3").toString
+    Seq("../escape", "a/b", "a\\b", "a\"b", "", "a\nb").foreach { bad =>
+      assertThrows[IllegalArgumentException](
+        Indexer.bulkIndex(sample, dir, bad, Seq(col("k"))))
+    }
+    // a plain name still works
+    assert(Indexer.bulkIndex(sample, dir, "ok-name_1", Seq(col("k")))
+      .numFlushed == 3)
+  }
+
   test("bulkIndex create-if-absent semantics: second write fails, append works") {
     val dir = Files.createTempDirectory("graft-bulk2").toString
     Indexer.bulkIndex(sample, dir, "idx", Seq(col("k")))
