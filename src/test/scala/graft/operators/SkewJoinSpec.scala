@@ -23,6 +23,38 @@ class SkewJoinSpec extends SparkSpec {
     assert(plain.size == 901)
   }
 
+  test("AQE splits a skewed join partition at runtime (the no-salt path)") {
+    // The modern default for skew: leave the query declarative and let
+    // adaptive execution split oversized partitions. Thresholds are
+    // lowered so the fixture-sized skew actually trips the optimization;
+    // production keeps the defaults and the same plan shape.
+    val conf = Map(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force a shuffle join
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = conf.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      conf.foreach { case (k, v) => spark.conf.set(k, v) }
+      val left = (1 to 60000).map(i =>
+        (if (i <= 54000) 1L else (i % 1999L) + 2L, s"payload-$i-${"x" * 40}"))
+        .toDF("k", "payload")
+      val right = (1 to 2000).map(i => (i.toLong, s"attr$i")).toDF("rk", "attr")
+      val joined = left.join(right, left("k") === right("rk"))
+      // collect THIS frame so its adaptive plan is finalized (count()
+      // would plan a separate query execution)
+      assert(joined.collect().length == 60000) // every left row matches once
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE did not mark the skewed side:\n${p.take(1500)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("salt spreads the hot key across sub-partitions deterministically") {
     val left = (1 to 400).map(i => (1L, s"p$i")).toDF("k", "payload")
     val salted1 = SkewJoin.saltedJoin(left,
