@@ -267,6 +267,22 @@ object LlmSurface {
       Dedup.boilerplate(docs(s, d), minDocs = 3L)
         .orderBy("doc_id")),
 
+    // --- the composed corpus-prep pipeline: exact dedup → quality
+    //     gate → content-hash split → per-(split, lang) data-mixture
+    //     report. One plan, four operators, zero driver round-trips —
+    //     the shape a real training-data build runs nightly. ---
+    "q87_corpus_prep" -> ((s, d) => {
+      val dd = docs(s, d)
+      val kept = Dedup.exactDedup(dd).filter(!col("is_dup"))
+      val scored = TextOps.withQuality(kept).filter(col("quality") >= 0.5)
+      Pipeline.split(scored)
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("sum_tokens"),
+          min("quality").as("min_quality"))
+        .orderBy("split", "lang")
+    }),
+
     // --- repetition quality signals (Gopher/C4 rule family) ---
     "q78_repetition" -> ((s, d) =>
       TextOps.withRepetition(docs(s, d))
@@ -758,6 +774,32 @@ object LlmSurface {
          |  d.doc_id = reach.cluster AS is_canonical
          |FROM documents d JOIN reach ON d.doc_id = reach.id
          |ORDER BY d.doc_id""".stripMargin,
+
+    // Composition oracle: each stage reuses the fragment its standalone
+    // query already hash-matches (q31 dedup window, q28 quality, q46
+    // split buckets), so the only new surface is the final rollup.
+    "q87_corpus_prep" -> {
+      val h = dkCharHash("text")
+      s"""WITH dd AS (SELECT doc_id, text, lang,
+         |  doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS keep
+         | FROM documents),
+         | q AS (SELECT doc_id, text, lang,
+         |   len(toks)::BIGINT AS n_tokens,
+         |   0.4 * (len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE)
+         |    + 0.3 * least(1.0::DOUBLE, len(toks)::DOUBLE / 100.0)
+         |    + 0.3 * (1.0 - len(list_filter(toks,
+         |        t -> list_contains([$enMarkers], t)))::DOUBLE
+         |        / len(toks)::DOUBLE) AS quality
+         |  FROM (SELECT doc_id, text, lang, string_split(text, ' ') AS toks
+         |        FROM dd WHERE keep)),
+         | s AS (SELECT lang, n_tokens, quality, $h % 100 AS bucket
+         |       FROM q WHERE quality >= 0.5)
+         |SELECT CASE WHEN bucket < 80 THEN 'train'
+         |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+         | lang, count(*) AS n_docs, sum(n_tokens)::BIGINT AS sum_tokens,
+         | min(quality) AS min_quality
+         |FROM s GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
+    },
 
     // Exact all-pairs Jaccard restricted to pairs touching the batch —
     // valid oracle for the same recall-gap reason as q32's.
