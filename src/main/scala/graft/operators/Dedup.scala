@@ -342,6 +342,40 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** [[incrementalNearDups]] against a STAGED corpus: the corpus side's
+    * shingles and signatures are read from the parquet stage that
+    * [[minhashNearDupsStaged]] materializes (`workDir/shingled`,
+    * `workDir/sigs`) instead of being recomputed — completing the
+    * incremental promise end-to-end: a daily batch pays for its own
+    * shingling/signing plus the bucket-local join, and the 100 TB
+    * corpus contributes files it wrote once at ingest. Results are
+    * identical to the self-contained variant (spec-asserted).
+    */
+  def incrementalNearDupsStaged(batch: DataFrame, corpusWorkDir: String,
+                                threshold: Double = 0.8,
+                                k: Int = 64, bands: Int = 16): DataFrame = {
+    val spark = batch.sparkSession
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val shB = TextOps.withShingles(batch)
+      .select("doc_id", "shingles").persist(lvl)
+    val shC = spark.read.parquet(s"$corpusWorkDir/shingled")
+    val sigsC = spark.read.parquet(s"$corpusWorkDir/sigs")
+    val bandedB = bandedSigs(minhashSignatures(shB, k), bands, k / bands)
+      .persist(lvl)
+    val bandedC = bandedSigs(sigsC, bands, k / bands)
+    val cands = bandedB.alias("a")
+      .join(bandedC.union(bandedB).alias("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
+    verifyJaccard(cands, shB.union(shC))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
   /** Corpus-frequency boilerplate scoring (the C4/Gopher quality-rule
     * family at corpus scale): a shingle present in ≥ `minDocs` distinct
     * documents is "boilerplate" (navigation chrome, license headers,

@@ -194,6 +194,20 @@ class DedupSpec extends SparkSpec {
     assert(inc == full, s"inc=$inc full=$full")
   }
 
+  test("incrementalNearDupsStaged: staged corpus side equals self-contained") {
+    val sf = spark.read.parquet(s"$sf001/documents.parquet")
+    val corpus = sf.filter(col("doc_id") % 5 =!= 4)
+    val batch = sf.filter(col("doc_id") % 5 === 4)
+    // stage the corpus artifacts as an ingest job would
+    val work = java.nio.file.Files.createTempDirectory("inc-staged").toString
+    Dedup.minhashNearDupsStaged(corpus, work, threshold = 0.3).count()
+    val staged = Dedup.incrementalNearDupsStaged(batch, work, threshold = 0.3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val self = Dedup.incrementalNearDups(batch, corpus, threshold = 0.3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(staged == self, s"staged=$staged self=$self")
+  }
+
   test("boilerplate: shared shingles flagged at minDocs, shingle-less doc scores 0") {
     val out = Dedup.boilerplate(docs, minDocs = 3L)
       .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
