@@ -270,6 +270,28 @@ object SqlSurface {
         |WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
         |ORDER BY p_partkey""".stripMargin)),
 
+    // --- recursive CTE (Spark 4 WITH RECURSIVE): per-customer order
+    //     stream folded into a rolling fingerprint — a modular
+    //     recurrence fp_n = (fp_{n-1}*131 + v_n) mod p that NO window
+    //     function can express (non-associative under the mod);
+    //     exact integer arithmetic ⇒ engine-identical. ---
+    "q88_recursive_chain" -> ((s, d) => gated(s, d,
+      """WITH RECURSIVE base AS (
+        |  SELECT o_custkey,
+        |    CAST(floor(CAST(o_totalprice AS DECIMAL(18,4))) AS BIGINT) AS v,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM orders WHERE o_custkey <= 50),
+        | r AS (
+        |  SELECT o_custkey, rn, v % 1000003 AS fp FROM base WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.o_custkey, b.rn, (r.fp * 131 + b.v) % 1000003 AS fp
+        |  FROM r JOIN base b ON b.o_custkey = r.o_custkey
+        |    AND b.rn = r.rn + 1)
+        |SELECT o_custkey, CAST(max(rn) AS BIGINT) AS n_orders,
+        |  max(named_struct('rn', rn, 'fp', fp)).fp AS chain_fp
+        |FROM r GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)),
+
     "q19_subquery_corr" -> ((s, d) => gated(s, d,
       """SELECT s_suppkey, s_name FROM supplier s
         |WHERE s_acctbal > (SELECT avg(c_acctbal) FROM customer c
@@ -932,6 +954,25 @@ object SqlSurface {
       """SELECT p_partkey, p_name, p_retailprice FROM part
         |WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
         |ORDER BY p_partkey""".stripMargin,
+
+    // DuckDB twin of q88: identical recursion; only the struct-argmax
+    // spelling differs (struct_pack vs named_struct).
+    "q88_recursive_chain" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT o_custkey,
+        |    CAST(floor(CAST(o_totalprice AS DECIMAL(18,4))) AS BIGINT) AS v,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM orders WHERE o_custkey <= 50),
+        | r AS (
+        |  SELECT o_custkey, rn, v % 1000003 AS fp FROM base WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.o_custkey, b.rn, (r.fp * 131 + b.v) % 1000003 AS fp
+        |  FROM r JOIN base b ON b.o_custkey = r.o_custkey
+        |    AND b.rn = r.rn + 1)
+        |SELECT o_custkey, CAST(max(rn) AS BIGINT) AS n_orders,
+        |  (max(struct_pack(rn := rn, fp := fp))).fp AS chain_fp
+        |FROM r GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "q19_subquery_corr" ->
       """SELECT s_suppkey, s_name FROM supplier s
