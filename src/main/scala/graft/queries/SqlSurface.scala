@@ -270,6 +270,21 @@ object SqlSurface {
         |WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
         |ORDER BY p_partkey""".stripMargin)),
 
+    // --- bag-semantics set ops: EXCEPT ALL / INTERSECT ALL keep
+    //     multiplicities (q13/q14 cover the DISTINCT-semantics family;
+    //     bags are the variant dedup accounting actually needs) ---
+    "q89_setops_all" -> ((s, d) => gated(s, d,
+      """WITH a AS (SELECT l_suppkey AS k FROM lineitem
+        |           WHERE l_quantity < 10),
+        | b AS (SELECT l_suppkey AS k FROM lineitem
+        |       WHERE l_returnflag = 'R')
+        |SELECT 'except_all' AS op, k, count(*) AS n
+        |FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b) GROUP BY k
+        |UNION ALL
+        |SELECT 'intersect_all' AS op, k, count(*) AS n
+        |FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b) GROUP BY k
+        |ORDER BY op, k""".stripMargin)),
+
     // --- recursive CTE (Spark 4 WITH RECURSIVE): per-customer order
     //     stream folded into a rolling fingerprint — a modular
     //     recurrence fp_n = (fp_{n-1}*131 + v_n) mod p that NO window
@@ -954,6 +969,18 @@ object SqlSurface {
       """SELECT p_partkey, p_name, p_retailprice FROM part
         |WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
         |ORDER BY p_partkey""".stripMargin,
+
+    "q89_setops_all" ->
+      """WITH a AS (SELECT l_suppkey AS k FROM lineitem
+        |           WHERE l_quantity < 10),
+        | b AS (SELECT l_suppkey AS k FROM lineitem
+        |       WHERE l_returnflag = 'R')
+        |SELECT 'except_all' AS op, k, count(*) AS n
+        |FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b) GROUP BY k
+        |UNION ALL
+        |SELECT 'intersect_all' AS op, k, count(*) AS n
+        |FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b) GROUP BY k
+        |ORDER BY op, k""".stripMargin,
 
     // DuckDB twin of q88: identical recursion; only the struct-argmax
     // spelling differs (struct_pack vs named_struct).
