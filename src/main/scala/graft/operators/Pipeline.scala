@@ -107,6 +107,36 @@ object Pipeline {
           .otherwise("test"))
   }
 
+  /** Data-mixture planning: given target shares per language, find the
+    * largest token budget the corpus can serve at EXACTLY those shares
+    * (the binding language is the one with the least headroom,
+    * budget = min over l of available_l / share_l), and each language's
+    * keep rate against its available tokens. The rate ships as a
+    * 2^20-fixed-point integer — exact to serialize, and directly
+    * comparable to the content-hash bucket space the sampling operators
+    * use. One aggregation plus a broadcast 1-row budget frame; every
+    * arithmetic step is a single IEEE op in fixed order, so the DuckDB
+    * oracle reproduces it bit-for-bit.
+    */
+  def mixturePlan(docs: DataFrame,
+                  targets: Seq[(String, Double)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val avail = docs
+      .withColumn("n_tokens", expr("bigint(size(split(text, ' ')))"))
+      .groupBy("lang").agg(sum("n_tokens").as("avail_tokens"))
+    val t = targets.toDF("lang", "target_share")
+    val joined = avail.join(t, Seq("lang"), "inner")
+      .withColumn("ratio",
+        col("avail_tokens").cast("double") / col("target_share"))
+    val budget = joined.agg(min("ratio").as("budget"))
+    joined.crossJoin(broadcast(budget))
+      .select(col("lang"), col("avail_tokens"),
+        expr("bigint(floor(target_share * budget))").as("planned_tokens"),
+        expr("bigint(floor(target_share * budget / " +
+          "cast(avail_tokens as double) * 1048576.0d))").as("keep_rate_fx"))
+  }
+
   /** Systematic (deterministic) sampling: keep rows whose content hash
     * lands under `pct` of the bucket space. Unlike `df.sample`, the
     * result is a pure function of content — stable across runs,

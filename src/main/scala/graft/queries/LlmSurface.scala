@@ -267,6 +267,13 @@ object LlmSurface {
       Dedup.boilerplate(docs(s, d), minDocs = 3L)
         .orderBy("doc_id")),
 
+    // --- data-mixture planning: the largest token budget servable at
+    //     target language shares, and per-language keep rates ---
+    "q90_mixture_plan" -> ((s, d) =>
+      Pipeline.mixturePlan(docs(s, d),
+          Seq("en" -> 0.5, "zh" -> 0.3, "de" -> 0.2))
+        .orderBy("lang")),
+
     // --- the composed corpus-prep pipeline: exact dedup → quality
     //     gate → content-hash split → per-(split, lang) data-mixture
     //     report. One plan, four operators, zero driver round-trips —
@@ -774,6 +781,22 @@ object LlmSurface {
          |  d.doc_id = reach.cluster AS is_canonical
          |FROM documents d JOIN reach ON d.doc_id = reach.id
          |ORDER BY d.doc_id""".stripMargin,
+
+    // Single-IEEE-op-per-step arithmetic (divide, min, multiply, divide,
+    // exact 2^20 scale, floor) — bit-identical across engines.
+    "q90_mixture_plan" ->
+      """WITH a AS (SELECT lang,
+        |  sum(len(string_split(text, ' ')))::BIGINT AS avail_tokens
+        | FROM documents GROUP BY lang),
+        | t(lang, share) AS (VALUES ('en', 0.5), ('zh', 0.3), ('de', 0.2)),
+        | j AS (SELECT a.lang, avail_tokens, share,
+        |   avail_tokens::DOUBLE / share AS ratio FROM a JOIN t USING (lang)),
+        | m AS (SELECT min(ratio) AS budget FROM j)
+        |SELECT lang, avail_tokens,
+        | CAST(floor(share * budget) AS BIGINT) AS planned_tokens,
+        | CAST(floor(share * budget / avail_tokens::DOUBLE * 1048576.0)
+        |   AS BIGINT) AS keep_rate_fx
+        |FROM j, m ORDER BY lang""".stripMargin,
 
     // Composition oracle: each stage reuses the fragment its standalone
     // query already hash-matches (q31 dedup window, q28 quality, q46

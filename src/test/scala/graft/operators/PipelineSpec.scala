@@ -71,6 +71,23 @@ class PipelineSpec extends SparkSpec {
     assert(a.length > 10 && a.length < 150) // ~10% of 500, loose bounds
   }
 
+  test("mixturePlan: binding language keeps everything, shares are exact") {
+    val docs = Seq(
+      (1L, "en", ("w " * 99).trim + " w"),  // en: 100 tokens
+      (2L, "zh", ("w " * 9).trim + " w"),   // zh: 10 tokens
+      (3L, "de", ("w " * 499).trim + " w")  // de: 500 tokens
+    ).toDF("doc_id", "lang", "text")
+    val plan = Pipeline.mixturePlan(docs,
+        Seq("en" -> 0.5, "zh" -> 0.25, "de" -> 0.25))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // zh binds: 10 / 0.25 = 40 total budget
+    assert(plan("zh") == (("zh", 10L, 10L, 1048576L))) // rate exactly 1.0
+    assert(plan("en")._3 == 20L) // 0.5 * 40
+    assert(plan("de")._3 == 10L) // 0.25 * 40
+    assert(plan("en")._4 == (1048576L * 20 / 100)) // rate 0.2 in fx
+  }
+
   test("stratifiedSample applies per-stratum rates deterministically") {
     val corpus = spark.read.parquet(s"$sf001/documents.parquet")
     val rates = Map("en" -> 5, "zh" -> 30)
