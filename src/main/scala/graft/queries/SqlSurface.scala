@@ -290,7 +290,7 @@ object SqlSurface {
     //     recurrence fp_n = (fp_{n-1}*131 + v_n) mod p that NO window
     //     function can express (non-associative under the mod);
     //     exact integer arithmetic ⇒ engine-identical. The chain is
-    //     bounded to the first 16 orders per customer: recursion depth
+    //     bounded to the first 8 orders per customer: recursion depth
     //     IS the iteration count on any engine, so a production chain
     //     fold states its depth bound explicitly. ---
     "q88_recursive_chain" -> ((s, d) => gated(s, d,
@@ -305,7 +305,7 @@ object SqlSurface {
         |  UNION ALL
         |  SELECT b.o_custkey, b.rn, (r.fp * 131 + b.v) % 1000003 AS fp
         |  FROM r JOIN base b ON b.o_custkey = r.o_custkey
-        |    AND b.rn = r.rn + 1 AND b.rn <= 16)
+        |    AND b.rn = r.rn + 1 AND b.rn <= 8)
         |SELECT o_custkey, CAST(max(rn) AS BIGINT) AS n_orders,
         |  max(named_struct('rn', rn, 'fp', fp)).fp AS chain_fp
         |FROM r GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)),
@@ -999,7 +999,7 @@ object SqlSurface {
         |  UNION ALL
         |  SELECT b.o_custkey, b.rn, (r.fp * 131 + b.v) % 1000003 AS fp
         |  FROM r JOIN base b ON b.o_custkey = r.o_custkey
-        |    AND b.rn = r.rn + 1 AND b.rn <= 16)
+        |    AND b.rn = r.rn + 1 AND b.rn <= 8)
         |SELECT o_custkey, CAST(max(rn) AS BIGINT) AS n_orders,
         |  (max(struct_pack(rn := rn, fp := fp))).fp AS chain_fp
         |FROM r GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
