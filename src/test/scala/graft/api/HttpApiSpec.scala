@@ -65,6 +65,13 @@ class HttpApiSpec extends SparkSpec {
       val bad = get(s"$base/query/?dbDriver=mongodb&dbName=x&query=SELECT%201")
       assert(bad.statusCode() == 400)
       assert(bad.body().contains("incorrect db driver"), bad.body())
+      // the reference's literal driver names pass the GATE over the wire
+      // (mysql reaches the execution path; no jdbc tables registered for
+      // this dbName, so the query itself 400s — NOT an incorrect-driver)
+      val my = get(s"$base/query/?dbDriver=mysql&dbName=x&query=" +
+        enc("SELECT 1 AS one"))
+      assert(my.statusCode() == 200 ||
+        !my.body().contains("incorrect db driver"), my.body())
     }
   }
 

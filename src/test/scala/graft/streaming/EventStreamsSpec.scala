@@ -97,6 +97,26 @@ class EventStreamsSpec extends SparkSpec {
       s"unrelated doc entered a candidate pair: $pairs")
   }
 
+  test("nearDupCandidates: bucket cap bounds state, pairs stop at the cap") {
+    val in = MemoryStream[StreamDoc](spark)
+    // cap 2: the third identical doc may pair with at most 2 residents
+    val out = EventStreams.nearDupCandidates(in.toDS(), maxPerBucket = 2)
+    runToMemory(out, "ndc3", OutputMode.Append) {
+      val t = "the quick brown fox jumps over the lazy dog"
+      in.addData(StreamDoc(1L, t), StreamDoc(2L, t))
+      in.addData(StreamDoc(3L, t))
+      in.addData(StreamDoc(4L, t)) // beyond cap: pairs only with residents 1,2
+    }
+    val pairs = spark.table("ndc3").as[CandidatePair].collect()
+      .map(p => (p.doc_a, p.doc_b)).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)) &&
+      pairs.contains((2L, 3L)))
+    // doc 3 never became a resident (cap 2), so (3,4) cannot appear;
+    // doc 4 still pairs with the capped residents
+    assert(!pairs.contains((3L, 4L)), pairs.toString)
+    assert(pairs.contains((1L, 4L)) && pairs.contains((2L, 4L)))
+  }
+
   test("nearDupCandidates replay equals the batch LSH candidate set") {
     val corpus = spark.read.parquet(s"$sf001/documents.parquet")
     val in = MemoryStream[StreamDoc](spark)
