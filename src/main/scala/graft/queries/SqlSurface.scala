@@ -270,6 +270,34 @@ object SqlSurface {
         |WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
         |ORDER BY p_partkey""".stripMargin)),
 
+    // --- grouping()/grouping_id(): the subtotal-row disambiguators
+    //     that make CUBE output machine-consumable (a NULL key could
+    //     otherwise be a real NULL or a rollup line) ---
+    "q92_grouping_fns" -> ((s, d) => gated(s, d,
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+        |  CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+        |  CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS g_id,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY g_id, l_returnflag ASC NULLS FIRST,
+        |  l_linestatus ASC NULLS FIRST""".stripMargin)),
+
+    // --- navigation window functions: lead/lag/first_value + per-key
+    //     event spacing (the order-stream shape q11/q69/q70 don't
+    //     cover) ---
+    "q91_leadlag" -> ((s, d) => gated(s, d,
+      """SELECT o_custkey, o_orderkey,
+        |  lag(o_orderkey) OVER w AS prev_order,
+        |  lead(o_orderkey) OVER w AS next_order,
+        |  first_value(o_orderkey) OVER w AS first_order,
+        |  CAST(datediff(o_orderdate, lag(o_orderdate) OVER w) AS BIGINT)
+        |    AS days_since_prev
+        |FROM orders WHERE o_custkey <= 100
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
     // --- bag-semantics set ops: EXCEPT ALL / INTERSECT ALL keep
     //     multiplicities (q13/q14 cover the DISTINCT-semantics family;
     //     bags are the variant dedup accounting actually needs) ---
@@ -972,6 +1000,33 @@ object SqlSurface {
       """SELECT p_partkey, p_name, p_retailprice FROM part
         |WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
         |ORDER BY p_partkey""".stripMargin,
+
+    // DuckDB's multi-arg GROUPING() IS the bitmask Spark calls
+    // grouping_id(); explicit NULLS FIRST because DuckDB defaults to
+    // NULLS LAST where Spark defaults FIRST.
+    "q92_grouping_fns" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+        |  CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+        |  CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS g_id,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY g_id, l_returnflag ASC NULLS FIRST,
+        |  l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    // DuckDB spells day-difference as date_diff over DATEs; values match
+    // Spark's datediff on the timestamp pair.
+    "q91_leadlag" ->
+      """SELECT o_custkey, o_orderkey,
+        |  lag(o_orderkey) OVER w AS prev_order,
+        |  lead(o_orderkey) OVER w AS next_order,
+        |  first_value(o_orderkey) OVER w AS first_order,
+        |  CAST(date_diff('day', CAST(lag(o_orderdate) OVER w AS DATE),
+        |    CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_prev
+        |FROM orders WHERE o_custkey <= 100
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q89_setops_all" ->
       """WITH a AS (SELECT l_suppkey AS k FROM lineitem
