@@ -54,9 +54,12 @@ import graft.operators.Indexer
   *     buffered form. (The reference buffers the full result set,
   *     elastic_controller.go:118 — its scale ceiling, not parity worth
   *     keeping.) Plan/analysis errors still surface as error envelopes
-  *     before any byte is written; a mid-stream EXECUTION error can
-  *     only truncate the chunked body, which the client sees as a
-  *     transport error — the price of not materializing the result.
+  *     before any byte is written. A mid-stream EXECUTION error
+  *     truncates the JSON payload while the chunked encoding itself
+  *     still terminates cleanly — clients must parse the body as JSON
+  *     (a truncated array fails to parse) and the logged `stream_error`
+  *     line is the server-side record; this is the price of not
+  *     materializing the result.
   */
 object HttpApi {
 
@@ -152,24 +155,36 @@ object HttpApi {
     }
   }
 
-  /** Shared gate+execute step with the reference's error mapping. */
+  /** Shared gate+execute step with the reference's error mapping.
+    * Temp-view registration + SQL ANALYSIS are serialized JVM-wide:
+    * `Tables.register` binds the shared global view names on the one
+    * SparkSession, so with concurrent handlers, request B re-registering
+    * for a different dbName between A's register and A's analysis would
+    * silently resolve A's query against B's tables. `spark.sql` analyzes
+    * eagerly, so once the lock releases the resolved plan references
+    * this request's files directly — EXECUTION (the expensive part)
+    * stays fully concurrent.
+    */
   private def run(spark: SparkSession, p: Map[String, String],
                   dataRoot: Option[String])(
       f: org.apache.spark.sql.DataFrame => Resp): Resp =
     try {
       val (driver, db, query) = (p.getOrElse("dbDriver", ""),
         p.getOrElse("dbName", ""), p.getOrElse("query", ""))
-      if (driver == "parquet" && db.nonEmpty) {
-        dataRoot.foreach { root =>
-          val rootPath = new java.io.File(root).getCanonicalPath
-          val dbPath = new java.io.File(db).getCanonicalPath
-          if (dbPath != rootPath &&
-              !dbPath.startsWith(rootPath + java.io.File.separator))
-            throw EngineError.IncorrectSource(s"dbName outside data root: $db")
+      val df = HttpApi.synchronized {
+        if (driver == "parquet" && db.nonEmpty) {
+          dataRoot.foreach { root =>
+            val rootPath = new java.io.File(root).getCanonicalPath
+            val dbPath = new java.io.File(db).getCanonicalPath
+            if (dbPath != rootPath &&
+                !dbPath.startsWith(rootPath + java.io.File.separator))
+              throw EngineError.IncorrectSource(s"dbName outside data root: $db")
+          }
+          Tables.register(spark, db)
         }
-        Tables.register(spark, db)
+        QueryGate.runQuery(spark, driver, db, query)
       }
-      f(QueryGate.runQuery(spark, driver, db, query))
+      f(df)
     } catch {
       case e: EngineError => Full(e.code, errorJson(e.getMessage))
       case NonFatal(e) => // analysis/execution errors → reference's 400

@@ -45,8 +45,11 @@ object Bucketing {
     * files: the file count comes from the ACTUAL on-disk byte size
     * (not a row-count guess), rows are round-robin repartitioned so
     * output files are uniform, and the rewrite goes to a temp sibling
-    * first — the swap is the only non-atomic window, and a crash there
-    * leaves the complete original OR the complete rewrite, never a mix.
+    * first. The swap is two renames — original → `.compact-old`, then
+    * rewrite → dir — so the original is never deleted before the
+    * rewrite is in place: a crash between the renames leaves the full
+    * original recoverable at `.compact-old` (never a deleted-and-gone
+    * window); the backup is removed only after the rewrite is live.
     * Returns (filesBefore, filesAfter).
     */
   def compact(spark: SparkSession, dir: String,
@@ -58,13 +61,18 @@ object Bucketing {
     val before = parquetFiles(d)
     val totalBytes = before.map(_.length()).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    val tmp = dir.stripSuffix("/") + ".compact-tmp"
+    val tmp = new java.io.File(dir.stripSuffix("/") + ".compact-tmp")
+    val old = new java.io.File(dir.stripSuffix("/") + ".compact-old")
     spark.read.parquet(dir)
       .repartition(nOut)
-      .write.mode("overwrite").parquet(tmp)
-    deleteRecursively(d)
-    require(new java.io.File(tmp).renameTo(d),
-      s"compaction swap failed: $tmp -> $dir")
+      .write.mode("overwrite").parquet(tmp.getPath)
+    deleteRecursively(old) // leftover backup from an interrupted prior run
+    require(d.renameTo(old), s"compaction swap: cannot move $dir aside")
+    if (!tmp.renameTo(d)) {
+      old.renameTo(d) // restore the original before failing
+      throw new IllegalStateException(s"compaction swap failed: $tmp -> $dir")
+    }
+    deleteRecursively(old)
     (before.length, parquetFiles(d).length)
   }
 

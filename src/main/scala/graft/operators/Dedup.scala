@@ -195,13 +195,21 @@ object Dedup {
                               sys.props("java.io.tmpdir") + "/graft-pair-stage")
       : DataFrame = {
     val spark = docs.sparkSession
-    // Overflow-safe under ANSI mode: XOR-fold of the 64-bit text hashes
+    // Overflow-safe under ANSI mode: XOR-fold of the 64-bit row hashes
     // (order-independent, no arithmetic) plus a bounded modular sum
-    // (catches the XOR blind spot where duplicated rows cancel).
+    // (catches the XOR blind spot where duplicated rows cancel). The
+    // hash covers (doc_id, text), not text alone: the staged PAIRS are
+    // id pairs, so a corpus with the same texts under a different id
+    // assignment must mint a new stage, not reuse ids from the old one.
+    // Note the fingerprint itself is one full column scan per call —
+    // the price of self-validation. A pipeline that manages staging
+    // explicitly (ingest once, query many) uses minhashNearDupsStaged
+    // with its own workDir and skips the scan entirely.
     val fp = docs
       .agg(count(lit(1)).cast("long"),
-        coalesce(expr("bit_xor(xxhash64(text))"), lit(0L)),
-        coalesce(sum(pmod(xxhash64(col("text")), lit(1048573L))), lit(0L)))
+        coalesce(expr("bit_xor(xxhash64(doc_id, text))"), lit(0L)),
+        coalesce(sum(pmod(xxhash64(col("doc_id"), col("text")),
+          lit(1048573L))), lit(0L)))
       .head()
     val key = f"n${fp.getLong(0)}%d_x${fp.getLong(1)}%016x_s${fp.getLong(2)}%d" +
       f"_t${math.round(threshold * 1000)}%d_k$k%d_b$bands%d"
@@ -322,13 +330,26 @@ object Dedup {
     val shB = TextOps.withShingles(batch)
       .select("doc_id", "shingles").persist(lvl)
     // In production the corpus side's shingles/signatures come from a
-    // stage (see minhashNearDupsShared); computing them here keeps the
-    // operator self-contained without changing the join topology.
+    // stage (see incrementalNearDupsStaged); computing them here keeps
+    // the operator self-contained without changing the join topology.
     val shC = TextOps.withShingles(corpus)
       .select("doc_id", "shingles").persist(lvl)
+    batchDrivenPairs(shB, shC, minhashSignatures(shC, k), threshold, k, bands)
+  }
+
+  /** The shared batch-driven join+verify body of the two incremental
+    * variants: batch bands probe (corpus ∪ batch) bands, pairs are
+    * normalized/deduped on ids, then exact-verified. One definition so
+    * the "results identical" contract between the variants cannot
+    * silently drift.
+    */
+  private def batchDrivenPairs(shB: DataFrame, shC: DataFrame,
+                               sigsC: DataFrame, threshold: Double,
+                               k: Int, bands: Int): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val bandedB = bandedSigs(minhashSignatures(shB, k), bands, k / bands)
       .persist(lvl)
-    val bandedC = bandedSigs(minhashSignatures(shC, k), bands, k / bands)
+    val bandedC = bandedSigs(sigsC, bands, k / bands)
     val cands = bandedB.alias("a")
       .join(bandedC.union(bandedB).alias("b"),
         col("a.band_id") === col("b.band_id") &&
@@ -358,22 +379,10 @@ object Dedup {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val shB = TextOps.withShingles(batch)
       .select("doc_id", "shingles").persist(lvl)
-    val shC = spark.read.parquet(s"$corpusWorkDir/shingled")
-    val sigsC = spark.read.parquet(s"$corpusWorkDir/sigs")
-    val bandedB = bandedSigs(minhashSignatures(shB, k), bands, k / bands)
-      .persist(lvl)
-    val bandedC = bandedSigs(sigsC, bands, k / bands)
-    val cands = bandedB.alias("a")
-      .join(bandedC.union(bandedB).alias("b"),
-        col("a.band_id") === col("b.band_id") &&
-          col("a.band_key") === col("b.band_key") &&
-          col("a.doc_id") =!= col("b.doc_id"))
-      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
-        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
-      .distinct()
-    verifyJaccard(cands, shB.union(shC))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
+    batchDrivenPairs(shB,
+      spark.read.parquet(s"$corpusWorkDir/shingled"),
+      spark.read.parquet(s"$corpusWorkDir/sigs"),
+      threshold, k, bands)
   }
 
   /** Corpus-frequency boilerplate scoring (the C4/Gopher quality-rule

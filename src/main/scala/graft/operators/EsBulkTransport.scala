@@ -34,6 +34,11 @@ final class EsBulkTransport(endpoint: String,
                             requestTimeoutMs: Long = 30000L)
     extends BulkTransport {
 
+  // whitespace-tolerant: proxies and pretty-printers may serialize the
+  // flag as `"errors" : true`; a substring check would silently treat a
+  // batch with per-item rejections as fully indexed
+  private val ErrorsTrue = "\"errors\"\\s*:\\s*true".r
+
   private val client = HttpClient.newBuilder()
     .connectTimeout(Duration.ofMillis(requestTimeoutMs)).build()
   private val bulkUri = URI.create(endpoint.stripSuffix("/") + "/_bulk")
@@ -68,7 +73,7 @@ final class EsBulkTransport(endpoint: String,
         throw new RetryableFailure(
           s"bulk HTTP ${resp.statusCode()}: ${resp.body().take(200)}")
       case c if c >= 200 && c < 300 =>
-        if (resp.body().contains("\"errors\":true"))
+        if (ErrorsTrue.findFirstIn(resp.body()).isDefined)
           throw new RuntimeException(
             s"bulk item failures: ${resp.body().take(500)}")
       case c =>

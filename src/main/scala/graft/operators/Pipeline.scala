@@ -125,16 +125,22 @@ object Pipeline {
     val avail = docs
       .withColumn("n_tokens", expr("bigint(size(split(text, ' ')))"))
       .groupBy("lang").agg(sum("n_tokens").as("avail_tokens"))
+    // LEFT join from the TARGETS side: a targeted language absent from
+    // the corpus has zero headroom, which must drive the budget to 0 —
+    // an inner join would silently drop it and overstate the budget as
+    // if the mixture were servable without that language.
     val t = targets.toDF("lang", "target_share")
-    val joined = avail.join(t, Seq("lang"), "inner")
+    val joined = t.join(avail, Seq("lang"), "left")
+      .withColumn("avail_tokens", coalesce(col("avail_tokens"), lit(0L)))
       .withColumn("ratio",
         col("avail_tokens").cast("double") / col("target_share"))
     val budget = joined.agg(min("ratio").as("budget"))
     joined.crossJoin(broadcast(budget))
       .select(col("lang"), col("avail_tokens"),
         expr("bigint(floor(target_share * budget))").as("planned_tokens"),
-        expr("bigint(floor(target_share * budget / " +
-          "cast(avail_tokens as double) * 1048576.0d))").as("keep_rate_fx"))
+        expr("if(avail_tokens = 0L, 0L, bigint(floor(target_share * " +
+          "budget / cast(avail_tokens as double) * 1048576.0d)))")
+          .as("keep_rate_fx"))
   }
 
   /** Systematic (deterministic) sampling: keep rows whose content hash

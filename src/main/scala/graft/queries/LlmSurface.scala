@@ -784,18 +784,22 @@ object LlmSurface {
 
     // Single-IEEE-op-per-step arithmetic (divide, min, multiply, divide,
     // exact 2^20 scale, floor) — bit-identical across engines.
+    // LEFT join from targets (as the operator): an absent targeted
+    // language zeroes the budget instead of being dropped.
     "q90_mixture_plan" ->
       """WITH a AS (SELECT lang,
         |  sum(len(string_split(text, ' ')))::BIGINT AS avail_tokens
         | FROM documents GROUP BY lang),
         | t(lang, share) AS (VALUES ('en', 0.5), ('zh', 0.3), ('de', 0.2)),
-        | j AS (SELECT a.lang, avail_tokens, share,
-        |   avail_tokens::DOUBLE / share AS ratio FROM a JOIN t USING (lang)),
+        | j AS (SELECT t.lang, coalesce(avail_tokens, 0)::BIGINT AS avail_tokens,
+        |   share, coalesce(avail_tokens, 0)::DOUBLE / share AS ratio
+        |  FROM t LEFT JOIN a ON t.lang = a.lang),
         | m AS (SELECT min(ratio) AS budget FROM j)
         |SELECT lang, avail_tokens,
         | CAST(floor(share * budget) AS BIGINT) AS planned_tokens,
-        | CAST(floor(share * budget / avail_tokens::DOUBLE * 1048576.0)
-        |   AS BIGINT) AS keep_rate_fx
+        | CASE WHEN avail_tokens = 0 THEN 0::BIGINT
+        |      ELSE CAST(floor(share * budget / avail_tokens::DOUBLE
+        |        * 1048576.0) AS BIGINT) END AS keep_rate_fx
         |FROM j, m ORDER BY lang""".stripMargin,
 
     // Composition oracle: each stage reuses the fragment its standalone

@@ -220,16 +220,16 @@ object EventStreams {
       "array_min(transform(shingles, s -> " +
       graft.operators.TextOps.permHashExpr(
         s"(((xxhash64(s) % ${P}L) + ${P}L) % ${P}L)", "i") + ")))"
-    val banded = docs.toDF()
+    val withSig = docs.toDF()
       .withColumn("toks", graft.operators.TextOps.tokens("text"))
       .withColumn("shingles",
         expr(graft.operators.TextOps.shingleExpr("toks", 3)))
       .filter(size(col("shingles")) > 0)
       .withColumn("sig", expr(sigExpr))
-      .select(col("doc_id"), posexplode(expr(
-          s"transform(sequence(0, ${bands - 1}), b -> " +
-            s"concat_ws('_', slice(sig, b * $rows + 1, $rows)))"))
-        .as(Seq("band_id", "band_key")))
+    // the SAME banding as the batch path (Dedup.bandedSigs) — the
+    // replay-equality spec depends on the band keys never diverging
+    val banded = graft.operators.Dedup.bandedSigs(withSig, bands, rows)
+      .select("band_id", "band_key", "doc_id")
       .as[DocBand]
     def fn(key: (Int, String), arrivals: Iterator[DocBand],
            state: GroupState[BucketState]): Iterator[CandidatePair] = {

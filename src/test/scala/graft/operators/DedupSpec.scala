@@ -150,6 +150,13 @@ class DedupSpec extends SparkSpec {
         .otherwise(col("text")))
     Dedup.minhashNearDupsShared(changed, 0.8, workRoot = work).count()
     assert(new java.io.File(work).list().length == nDirs + 1)
+    // SAME texts under a different id assignment must ALSO mint a new
+    // stage — the staged pairs are id pairs, so id-blind reuse would
+    // return pairs referring to the old assignment
+    val reassigned = sf.withColumn("doc_id",
+      when(col("doc_id") === 0L, lit(9999L)).otherwise(col("doc_id")))
+    Dedup.minhashNearDupsShared(reassigned, 0.8, workRoot = work).count()
+    assert(new java.io.File(work).list().length == nDirs + 2)
   }
 
   test("minhash LSH recall matches exact ngram join at threshold 0.8") {

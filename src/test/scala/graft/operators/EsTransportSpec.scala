@@ -99,6 +99,13 @@ class EsTransportSpec extends SparkSpec {
         new EsBulkTransport(stub.endpoint).send(Seq(item1)))
       assert(!e.isInstanceOf[BulkSink.RetryableFailure])
       assert(e.getMessage.contains("bulk item failures"))
+      // whitespace variants (proxies, pretty-printers) must also trip it
+      stub.statuses.add((200, """{ "took": 3, "errors" : true }"""))
+      intercept[RuntimeException](
+        new EsBulkTransport(stub.endpoint).send(Seq(item1)))
+      // and errors:false must NOT
+      stub.statuses.add((200, """{ "took": 1, "errors" : false }"""))
+      new EsBulkTransport(stub.endpoint).send(Seq(item1))
     }
   }
 

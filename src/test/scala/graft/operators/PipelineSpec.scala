@@ -86,6 +86,14 @@ class PipelineSpec extends SparkSpec {
     assert(plan("en")._3 == 20L) // 0.5 * 40
     assert(plan("de")._3 == 10L) // 0.25 * 40
     assert(plan("en")._4 == (1048576L * 20 / 100)) // rate 0.2 in fx
+    // a targeted language ABSENT from the corpus zeroes the budget —
+    // the mixture is not servable at those shares at all
+    val impossible = Pipeline.mixturePlan(docs,
+        Seq("en" -> 0.5, "fr" -> 0.5))
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(impossible.keySet == Set("en", "fr"))
+    assert(impossible("fr") == (("fr", 0L, 0L, 0L)))
+    assert(impossible("en")._3 == 0L && impossible("en")._4 == 0L)
   }
 
   test("stratifiedSample applies per-stratum rates deterministically") {
