@@ -12,6 +12,7 @@ import org.apache.spark.sql.functions.col
 import graft.engine.Tables
 import graft.gate.{EngineError, QueryGate}
 import graft.operators.Indexer
+import graft.sources.Sources
 
 /** The live HTTP twin of the reference service — its three routes
   * (`api/controllers/routes.go:9-15`), each wrapped in the logging
@@ -82,17 +83,23 @@ object HttpApi {
   /** Start the API on `port` (0 = ephemeral), bound to loopback.
     * `indexRoot` is the directory backing the NDJSON bulk index (the ES
     * stand-in). `dataRoot`, when set, rejects any `dbName` that does
-    * not resolve under it.
+    * not resolve under it. `jdbcUrlFor` resolves a (driver, dbName)
+    * pair to a JDBC URL for the mysql/postgres drivers — the default is
+    * the reference's env-assembled DSN ([[graft.engine.EngineConfig]]);
+    * injectable so specs exercise the wiring against embedded Derby.
     */
   def start(spark: SparkSession, indexRoot: String, port: Int = 0,
             log: String => Unit = Console.err.println,
-            dataRoot: Option[String] = None): Running = {
+            dataRoot: Option[String] = None,
+            jdbcUrlFor: (String, String) => Option[String] =
+              (d, db) => graft.engine.EngineConfig().jdbcUrl(d, db)): Running = {
     val server = HttpServer.create(
       new InetSocketAddress(InetAddress.getLoopbackAddress, port), 0)
     server.createContext("/elastic/save/",
-      logged(log, "POST /elastic/save/")(elasticSave(spark, indexRoot, dataRoot)))
+      logged(log, "POST /elastic/save/")(
+        elasticSave(spark, indexRoot, dataRoot, jdbcUrlFor)))
     server.createContext("/query/",
-      logged(log, "GET /query/")(queryRoute(spark, dataRoot)))
+      logged(log, "GET /query/")(queryRoute(spark, dataRoot, jdbcUrlFor)))
     server.createContext("/", logged(log, "GET /") { ex =>
       if (ex.getRequestURI.getPath == "/")
         Full(200,
@@ -111,10 +118,11 @@ object HttpApi {
 
   // --- routes ---------------------------------------------------------
 
-  private def queryRoute(spark: SparkSession, dataRoot: Option[String])(
+  private def queryRoute(spark: SparkSession, dataRoot: Option[String],
+                         jdbcUrlFor: (String, String) => Option[String])(
       ex: HttpExchange): Resp = {
     val p = params(Option(ex.getRequestURI.getRawQuery).getOrElse(""))
-    run(spark, p, dataRoot) { df =>
+    run(spark, p, dataRoot, jdbcUrlFor) { df =>
       // Materialize the analyzed plan (and so any analysis error) BEFORE
       // committing to a 200 streamed response.
       val json = df.toJSON
@@ -137,7 +145,8 @@ object HttpApi {
   }
 
   private def elasticSave(spark: SparkSession, indexRoot: String,
-                          dataRoot: Option[String])(
+                          dataRoot: Option[String],
+                          jdbcUrlFor: (String, String) => Option[String])(
       ex: HttpExchange): Resp = {
     val body = new String(ex.getRequestBody.readAllBytes(),
       StandardCharsets.UTF_8)
@@ -148,7 +157,7 @@ object HttpApi {
     else if (!IndexNamePattern.matches(indexName))
       Full(400, errorJson(
         s"invalid indexName (must match [A-Za-z0-9_-]+): $indexName"))
-    else run(spark, p, dataRoot) { df =>
+    else run(spark, p, dataRoot, jdbcUrlFor) { df =>
       val stats = Indexer.bulkIndex(df, indexRoot, indexName,
         orderBy = df.columns.toSeq.map(col), mode = "overwrite")
       Full(200, stats.jsonLine)
@@ -157,16 +166,27 @@ object HttpApi {
 
   /** Shared gate+execute step with the reference's error mapping.
     * Temp-view registration + SQL ANALYSIS are serialized JVM-wide:
-    * `Tables.register` binds the shared global view names on the one
+    * view registration binds the shared global view names on the one
     * SparkSession, so with concurrent handlers, request B re-registering
     * for a different dbName between A's register and A's analysis would
     * silently resolve A's query against B's tables. `spark.sql` analyzes
     * eagerly, so once the lock releases the resolved plan references
     * this request's files directly — EXECUTION (the expensive part)
     * stays fully concurrent.
+    *
+    * Driver routing: `parquet` registers the fixture tables under
+    * `dbName` (a confined directory); `mysql`/`postgres` resolve a JDBC
+    * URL through `jdbcUrlFor` (the reference's env-assembled DSN) and
+    * register EVERY table the query references as a JDBC-backed view —
+    * an unconfigured driver is a 400, never a silent fallback onto
+    * whatever views a prior parquet request left behind; `jdbc` treats
+    * `dbName` as a literal JDBC URL. Registration fetches each remote
+    * table's schema eagerly, so a missing remote table also fails here,
+    * as a 400.
     */
   private def run(spark: SparkSession, p: Map[String, String],
-                  dataRoot: Option[String])(
+                  dataRoot: Option[String],
+                  jdbcUrlFor: (String, String) => Option[String])(
       f: org.apache.spark.sql.DataFrame => Resp): Resp =
     try {
       val (driver, db, query) = (p.getOrElse("dbDriver", ""),
@@ -181,6 +201,20 @@ object HttpApi {
               throw EngineError.IncorrectSource(s"dbName outside data root: $db")
           }
           Tables.register(spark, db)
+        } else if ((driver == "mysql" || driver == "postgres" ||
+            driver == "jdbc") && db.nonEmpty && query.nonEmpty) {
+          val url =
+            if (driver == "jdbc") {
+              // a known driver with a bad dbName is a plain 400, NOT the
+              // reference's "incorrect db driver" (that means unknown)
+              if (!db.startsWith("jdbc:"))
+                throw new IllegalArgumentException(
+                  s"jdbc driver requires a jdbc: URL as dbName: $db")
+              db
+            } else jdbcUrlFor(driver, db).getOrElse(
+              throw new IllegalArgumentException(
+                s"$driver is not configured (no DB host/port in environment)"))
+          registerJdbcViews(spark, url, query)
         }
         QueryGate.runQuery(spark, driver, db, query)
       }
@@ -190,6 +224,29 @@ object HttpApi {
       case NonFatal(e) => // analysis/execution errors → reference's 400
         Full(400, errorJson(String.valueOf(e.getMessage).take(500)))
     }
+
+  /** Bind each base table the query references to a JDBC scan of the
+    * same-named remote table. CTE names are excluded (they resolve to
+    * the CTE, not a source); names are taken from the PARSED plan's
+    * unresolved relations, so comments/strings cannot smuggle one in.
+    */
+  private def registerJdbcViews(spark: SparkSession, url: String,
+                                query: String): Unit = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+    import org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith
+    val plan =
+      try spark.sessionState.sqlParser.parsePlan(query)
+      catch { case _: Exception => return } // the gate reports syntax errors
+    val cteNames = plan.collect {
+      case w: UnresolvedWith => w.cteRelations.map(_._1)
+    }.flatten.toSet
+    val tables = plan.collect {
+      case r: UnresolvedRelation => r.multipartIdentifier.last
+    }.distinct.filterNot(cteNames.contains)
+    tables.foreach { t =>
+      Sources.jdbcTable(spark, url, t).createOrReplaceTempView(t)
+    }
+  }
 
   // --- middleware + plumbing ------------------------------------------
 

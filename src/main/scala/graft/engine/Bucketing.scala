@@ -51,6 +51,14 @@ object Bucketing {
     * original recoverable at `.compact-old` (never a deleted-and-gone
     * window); the backup is removed only after the rewrite is live.
     * Returns (filesBefore, filesAfter).
+    *
+    * Scope guard: compaction handles FLAT directories of parquet files
+    * only. A hive-partitioned layout (subdirectories) would be read
+    * with its partition columns folded into the data and rewritten as
+    * one unpartitioned directory — the partitioning silently destroyed
+    * — so any subdirectory is a hard refusal, as is a directory with
+    * data files but no `*.parquet` (sizing by parquet bytes would see 0
+    * and the rewrite would drop the non-parquet files on the swap).
     */
   def compact(spark: SparkSession, dir: String,
               targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
@@ -58,7 +66,24 @@ object Bucketing {
       Option(d.listFiles()).getOrElse(Array.empty)
         .filter(f => f.isFile && f.getName.endsWith(".parquet"))
     val d = new java.io.File(dir)
+    val entries = Option(d.listFiles()).getOrElse(Array.empty)
+    val subdirs = entries.filter(_.isDirectory)
+    require(subdirs.isEmpty,
+      s"compact($dir): refusing a partitioned/nested layout — " +
+        s"subdirectories present: ${subdirs.take(3).map(_.getName).mkString(", ")}")
     val before = parquetFiles(d)
+    // metadata sidecars (_SUCCESS, .crc, …) are recreated by the rewrite;
+    // anything else alongside zero parquet files means this is not a
+    // parquet dataset directory
+    val strays = entries.filter(f => f.isFile &&
+      !f.getName.endsWith(".parquet") &&
+      !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    require(before.nonEmpty,
+      s"compact($dir): no *.parquet files to compact" +
+        (if (entries.nonEmpty) s" (directory is non-empty: ${entries.length} entries)" else ""))
+    require(strays.isEmpty,
+      s"compact($dir): non-parquet data files would be lost on swap: " +
+        strays.take(3).map(_.getName).mkString(", "))
     val totalBytes = before.map(_.length()).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val tmp = new java.io.File(dir.stripSuffix("/") + ".compact-tmp")

@@ -17,6 +17,14 @@ final case class EngineConfig(env: Map[String, String] = sys.env) {
   private def get(k: String): Option[String] =
     env.get(k).map(_.trim).filter(_.nonEmpty)
 
+  /** Credentials are spliced into the URL's query string, so reserved
+    * characters ('&', '=', '%', '#', …) in a password would corrupt or
+    * truncate the URL — percent-encode them (both the MySQL and
+    * PostgreSQL JDBC drivers URL-decode connection-property values).
+    */
+  private def enc(v: String): String =
+    java.net.URLEncoder.encode(v, java.nio.charset.StandardCharsets.UTF_8)
+
   /** Reference mysql DSN (`base.go:40`:
     * `user:pass@tcp(host:port)/db?...`) as a Spark JDBC URL.
     */
@@ -25,8 +33,8 @@ final case class EngineConfig(env: Map[String, String] = sys.env) {
     port <- get("DB_PORT")
   } yield {
     val q = Seq(
-      get("DB_USER").map(u => s"user=$u"),
-      get("DB_PASSWORD").map(p => s"password=$p")).flatten
+      get("DB_USER").map(u => s"user=${enc(u)}"),
+      get("DB_PASSWORD").map(p => s"password=${enc(p)}")).flatten
     s"jdbc:mysql://$host:$port/$dbName" +
       (if (q.isEmpty) "" else q.mkString("?", "&", ""))
   }
@@ -39,8 +47,8 @@ final case class EngineConfig(env: Map[String, String] = sys.env) {
     port <- get("POSTGRESS_DB_PORT")
   } yield {
     val q = Seq(
-      get("POSTGRESS_DB_USER").map(u => s"user=$u"),
-      get("POSTGRESS_DB_PASSWORD").map(p => s"password=$p"),
+      get("POSTGRESS_DB_USER").map(u => s"user=${enc(u)}"),
+      get("POSTGRESS_DB_PASSWORD").map(p => s"password=${enc(p)}"),
       Some("sslmode=disable")).flatten
     s"jdbc:postgresql://$host:$port/$dbName" + q.mkString("?", "&", "")
   }

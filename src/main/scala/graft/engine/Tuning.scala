@@ -1,0 +1,37 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+
+/** Session knob the engine's sketch aggregates depend on.
+  *
+  * `minhash_agg` / `simhash_agg` are `TypedImperativeAggregate`s, so
+  * they execute under `ObjectHashAggregateExec`, which falls back to
+  * SORT-based aggregation once a task holds
+  * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold`
+  * aggregation buffers — and Spark's default is 128. Grouping by
+  * `doc_id` is high-cardinality (thousands of groups per partition at
+  * any realistic scale), so under the default every sketch aggregation
+  * silently degrades into a full sort of its exploded token rows —
+  * measured as the q32/q34 driver-bench instability in rounds 2–3.
+  *
+  * The sketch buffers are small and fixed-size (simhash: 64 longs ≈
+  * 0.5 KB; minhash: k longs), so 128Ki buffers ≈ 64–128 MB per task —
+  * within executor budgets at 100 TB shuffle-partition sizing — and the
+  * hash path stays hash. Applied by every engine entry point's session
+  * builder and, defensively, by [[graft.functions.GraftFunctions
+  * .register]] when the session still has the Spark default.
+  */
+object Tuning {
+  val ObjectAggFallbackKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+  val ObjectAggFallbackEntries: Int = 128 * 1024
+
+  def apply(b: SparkSession.Builder): SparkSession.Builder =
+    b.config(ObjectAggFallbackKey, ObjectAggFallbackEntries.toString)
+
+  /** Raise the fallback threshold on a live session iff it is still at
+    * the Spark default — never overrides an explicit user setting.
+    */
+  def ensure(spark: SparkSession): Unit =
+    if (spark.conf.get(ObjectAggFallbackKey, "128") == "128")
+      spark.conf.set(ObjectAggFallbackKey, ObjectAggFallbackEntries.toString)
+}

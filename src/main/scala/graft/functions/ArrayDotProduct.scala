@@ -101,10 +101,16 @@ object GraftFunctions {
 
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(arrayDot, CharPolyHash.registration, SimHashAggregate.registration,
-      MinHashAggregate.registration)
+      SimHashAggregate.bandsRegistration, MinHashAggregate.registration)
 
-  /** Idempotent runtime registration on a session. */
+  /** Idempotent runtime registration on a session. Also raises the
+    * object-hash-aggregation fallback threshold when still at Spark's
+    * default 128 ([[graft.engine.Tuning]]): the sketch aggregates here
+    * group by high-cardinality keys, and the default silently turns
+    * them into sort-based aggregation.
+    */
   def register(spark: SparkSession): Unit = {
+    graft.engine.Tuning.ensure(spark)
     val registry = spark.sessionState.functionRegistry
     all.foreach { case (id, info, builder) =>
       if (!registry.functionExists(id)) {

@@ -29,6 +29,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
   */
 case class SimHashAggregate(
     vExpr: Expression, tfExpr: Expression, nBits: Int = 64,
+    emitBands: Boolean = false,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[Array[Long]] {
 
@@ -45,7 +46,9 @@ case class SimHashAggregate(
     else TypeCheckResult.TypeCheckFailure(
       "simhash_agg requires (bigint, bigint)")
 
-  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def dataType: DataType =
+    if (emitBands) ArrayType(LongType, containsNull = false)
+    else ArrayType(IntegerType, containsNull = false)
   override def nullable: Boolean = false
 
   override def createAggregationBuffer(): Array[Long] = new Array[Long](nBits)
@@ -71,8 +74,31 @@ case class SimHashAggregate(
     a
   }
 
+  /** `emitBands=false`: the raw 64-bit signature as 0/1 ints.
+    * `emitBands=true` (`simhash_bands_agg`): the signature pre-packed
+    * into nBits/16 longs, each folding 16 consecutive bits MSB-first —
+    * bit-identical to
+    * `aggregate(slice(bits, b*16+1, 16), 0L, (acc, x) -> acc*2 + x)`,
+    * but computed in the aggregate's eval instead of an interpreted
+    * higher-order function over the emitted array.
+    */
   override def eval(buf: Array[Long]): Any =
-    new GenericArrayData(buf.map(s => if (s >= 0L) 1 else 0))
+    if (emitBands) {
+      val nBands = nBits / 16
+      val bands = new Array[Long](nBands)
+      var b = 0
+      while (b < nBands) {
+        var acc = 0L
+        var i = 0
+        while (i < 16) {
+          acc = acc * 2 + (if (buf(b * 16 + i) >= 0L) 1L else 0L)
+          i += 1
+        }
+        bands(b) = acc
+        b += 1
+      }
+      new GenericArrayData(bands)
+    } else new GenericArrayData(buf.map(s => if (s >= 0L) 1 else 0))
 
   override def serialize(buf: Array[Long]): Array[Byte] = {
     val bb = ByteBuffer.allocate(8 * nBits)
@@ -102,4 +128,13 @@ object SimHashAggregate {
     new ExpressionInfo(classOf[SimHashAggregate].getName, "simhash_agg"),
     (children: Seq[Expression]) =>
       SimHashAggregate(children(0), children(1)))
+
+  /** `simhash_bands_agg(v, tf)`: same sketch, emitted as 4 packed
+    * 16-bit band longs (the LSH join keys AND the full signature).
+    */
+  val bandsRegistration: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("simhash_bands_agg"),
+    new ExpressionInfo(classOf[SimHashAggregate].getName, "simhash_bands_agg"),
+    (children: Seq[Expression]) =>
+      SimHashAggregate(children(0), children(1), emitBands = true))
 }

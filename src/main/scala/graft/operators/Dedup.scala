@@ -219,12 +219,37 @@ object Dedup {
     // check-and-build is serialized JVM-wide so concurrent callers
     // (e.g. parallel HTTP requests) never race the overwrite; readers
     // of a COMPLETE stage skip the lock's critical section instantly.
+    // ACROSS processes the JVM lock is no protection and workRoot
+    // defaults to the shared tmpdir — so the build goes to a
+    // process-private temp sibling and is published with ONE atomic
+    // rename: a concurrent reader sees either no stage or a complete
+    // one, never a directory mid-overwrite. Losing the publish race is
+    // fine — the winner's stage has identical content (the key is the
+    // content fingerprint), so ours is discarded and theirs is read.
     Dedup.synchronized {
-      if (!new java.io.File(s"$pairsPath/_SUCCESS").exists())
+      val dstDir = new java.io.File(pairsPath)
+      def complete = new java.io.File(dstDir, "_SUCCESS").exists()
+      if (!complete) {
+        val tmp = new java.io.File(
+          s"$workRoot/$key/pairs-tmp-${ProcessHandle.current().pid()}")
         minhashNearDups(docs, threshold, k, bands)
-          .write.mode("overwrite").parquet(pairsPath)
+          .write.mode("overwrite").parquet(tmp.getPath)
+        // a stage dir without _SUCCESS is a crashed writer's leftover
+        if (dstDir.exists() && !complete) deleteRecursively(dstDir)
+        if (!tmp.renameTo(dstDir)) {
+          require(complete,
+            s"pair-stage publish failed: ${tmp.getPath} -> $pairsPath")
+          deleteRecursively(tmp)
+        }
+      }
     }
     spark.read.parquet(pairsPath)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = if (f.exists()) {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(): Unit
   }
 
   /** Candidate pairs for exact n-gram Jaccard at `threshold`, via an
@@ -322,6 +347,9 @@ object Dedup {
     * touched past their (precomputable, stageable) signature scan.
     * Output: (doc_a, doc_b, jaccard), doc_a < doc_b, at least one side
     * from the batch; corpus-corpus pairs are excluded by construction.
+    * Batch and corpus doc_ids MUST be disjoint (enforced — see
+    * [[batchDrivenPairs]]); re-ingesting an id is an upsert problem,
+    * not an incremental-dedup one.
     */
   def incrementalNearDups(batch: DataFrame, corpus: DataFrame,
                           threshold: Double = 0.8,
@@ -342,11 +370,25 @@ object Dedup {
     * normalized/deduped on ids, then exact-verified. One definition so
     * the "results identical" contract between the variants cannot
     * silently drift.
+    *
+    * PRECONDITION (enforced): batch and corpus doc_ids are disjoint.
+    * A shared id would never pair (`a.doc_id =!= b.doc_id` treats the
+    * two rows as one doc even when the texts differ) and would put two
+    * shingle rows per id into the verification join, multiplying its
+    * rows and emitting ambiguous jaccard values — so it is rejected up
+    * front. The check is one broadcast semi-join of the (small) batch
+    * ids against the corpus id column, capped at the first hit.
     */
   private def batchDrivenPairs(shB: DataFrame, shC: DataFrame,
                                sigsC: DataFrame, threshold: Double,
                                k: Int, bands: Int): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val shared = shC.select("doc_id")
+      .join(broadcast(shB.select("doc_id")), Seq("doc_id"), "left_semi")
+      .limit(1).collect()
+    require(shared.isEmpty,
+      s"incremental dedup requires batch and corpus doc_ids to be " +
+        s"disjoint (shared id: ${shared.headOption.map(_.get(0)).orNull})")
     val bandedB = bandedSigs(minhashSignatures(shB, k), bands, k / bands)
       .persist(lvl)
     val bandedC = bandedSigs(sigsC, bands, k / bands)
@@ -541,16 +583,29 @@ object Dedup {
     // tokens (integer arithmetic — exactly), and the nBits hash
     // evaluations then run once per distinct token instead of once per
     // occurrence (~3× less work on natural text).
-    val tokenTf = docs
-      .select(col("doc_id"), explode(TextOps.tokens("text")).as("t"))
-      .groupBy("doc_id", "t")
-      .agg(count(lit(1)).as("tf"))
-      .withColumn("v", expr("char_poly_hash(t)")) // native twin of charHashExpr
-    tokenTf
+    simhashTokenTf(docs)
       .groupBy("doc_id")
       // native sketch aggregate (SimHashAggregate): one k-long buffer,
       // tight JVM update loop, map-side partial merge
       .agg(expr("simhash_agg(v, tf)").as("bits"))
+  }
+
+  /** Distinct (doc, token hash, tf) triples feeding the SimHash sketch. */
+  private def simhashTokenTf(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), explode(TextOps.tokens("text")).as("t"))
+    .groupBy("doc_id", "t")
+    .agg(count(lit(1)).as("tf"))
+    .withColumn("v", expr("char_poly_hash(t)")) // native twin of charHashExpr
+
+  /** SimHash signatures pre-packed into 4 16-bit band longs — the band
+    * fold happens inside the aggregate's eval (simhash_bands_agg), not
+    * in an interpreted `transform`/`aggregate` HOF over the bit array.
+    */
+  def simhashBands(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    simhashTokenTf(docs)
+      .groupBy("doc_id")
+      .agg(expr("simhash_bands_agg(v, tf)").as("bands"))
   }
 
   /** SimHash near-dup pairs within `maxHamming` (< 4): band the 64 bits
@@ -559,42 +614,49 @@ object Dedup {
     * bucket join has perfect recall. Output (doc_a, doc_b, hamming).
     *
     * The 4 band longs together hold the full 64-bit signature, so the
-    * hot path never touches the 64-element bit array: candidate pairs
-    * are deduped on (doc_a, doc_b) ids alone (16-byte shuffle rows, not
-    * ~1 KB of bit arrays), signatures join back afterwards, and Hamming
-    * distance is Σ_band `bit_count(a ^ b)` — built-in, codegen'd
-    * (DuckDB mirrors it as `bit_count(xor(a, b))`). The r1 formulation
+    * hot path never touches the 64-element bit array: banded rows carry
+    * the 4-long signature through the bucket join (~40-byte shuffle
+    * rows), Hamming distance is Σ_band `bit_count(a ^ b)` — built-in,
+    * codegen'd (DuckDB mirrors it as `bit_count(xor(a, b))`) — computed
+    * inline on each candidate, and only rows already at Hamming ≤ k
+    * reach the pair distinct. Two shuffles end to end (bucket join +
+    * distinct); no signature join-back. The r1 formulation
     * (array-carrying distinct + interpreted zip_with/aggregate HOF) was
-    * 9.7 s at sf0.1 — this is the same output at a fraction of the
-    * shuffle weight and zero interpreted eval per pair.
+    * 9.7 s at sf0.1; the r2/r3 one (id-only pairs + two signature
+    * join-backs off a persisted frame) benched unstably under the
+    * driver (7.6 s, 19.7 s) — this shape has nothing left to recompute.
     */
   def simhashNearDups(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    // Persist: the signature subtree (explode + the native simhash_agg
-    // sketch) feeds the band self-join and the two signature join-backs.
-    val sigs = simhashBits(docs)
-      .withColumn("bands", expr(
-        "transform(sequence(0, 3), b -> " +
-          "aggregate(slice(bits, b * 16 + 1, 16), 0L, (acc, x) -> acc * 2 + x))"))
-      .select("doc_id", "bands")
+    // The 4 band longs ARE the full 64-bit signature, so each banded
+    // row carries its signature along (5 longs/row): the bucket
+    // self-join computes Hamming distance inline and no signature
+    // join-back exists. Persist: the signature subtree (tokenize +
+    // groupBy + sketch agg) feeds both sides of the self-join; caching
+    // its ~40-byte rows stops the subtree running twice.
+    val sigs = simhashBands(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = sigs.select(col("doc_id"),
+    // Materialize the cache BEFORE the self-join: both sides read it in
+    // one stage, and filling it from two concurrent consumers serializes
+    // tasks on per-block cache locks (computing each partition under the
+    // lock) — an eager fill of the ~40-byte rows costs one tiny job and
+    // makes the join read only ready blocks.
+    sigs.count()
+    val banded = sigs.select(col("doc_id"), col("bands"),
       posexplode(col("bands")).as(Seq("band_id", "band_val")))
-    val a = banded.alias("a")
-    val b = banded.alias("b")
-    val pairs = a.join(b,
-        col("a.band_id") === col("b.band_id") &&
-          col("a.band_val") === col("b.band_val") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    val sa = sigs.select(col("doc_id").as("doc_a"), col("bands").as("ba"))
-    val sb = sigs.select(col("doc_id").as("doc_b"), col("bands").as("bb"))
-    pairs
-      .join(sa, "doc_a").join(sb, "doc_b")
+    val a = banded.select(col("doc_id").as("doc_a"), col("bands").as("ba"),
+      col("band_id"), col("band_val"))
+    val b = banded.select(col("doc_id").as("doc_b"), col("bands").as("bb"),
+      col("band_id"), col("band_val"))
+    a.join(b, Seq("band_id", "band_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      // Hamming ≤ k filters BEFORE the pair distinct: a function of the
+      // pair, so dedup order is immaterial — and codegen'd bit_count
+      // per candidate row beats shuffling non-neighbors into distinct.
       .withColumn("hamming", expr(
         "bigint(bit_count(ba[0] ^ bb[0]) + bit_count(ba[1] ^ bb[1]) + " +
           "bit_count(ba[2] ^ bb[2]) + bit_count(ba[3] ^ bb[3]))"))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
+      .distinct()
   }
 }

@@ -65,14 +65,62 @@ class HttpApiSpec extends SparkSpec {
       val bad = get(s"$base/query/?dbDriver=mongodb&dbName=x&query=SELECT%201")
       assert(bad.statusCode() == 400)
       assert(bad.body().contains("incorrect db driver"), bad.body())
-      // the reference's literal driver names pass the GATE over the wire
-      // (mysql reaches the execution path; no jdbc tables registered for
-      // this dbName, so the query itself 400s — NOT an incorrect-driver)
+      // the reference's literal driver names pass the GATE over the wire;
+      // with no DB host/port configured the request 400s with an explicit
+      // not-configured message — never "incorrect db driver" (that means
+      // unknown), and never a silent fallback onto stale parquet views
       val my = get(s"$base/query/?dbDriver=mysql&dbName=x&query=" +
         enc("SELECT 1 AS one"))
-      assert(my.statusCode() == 200 ||
-        !my.body().contains("incorrect db driver"), my.body())
+      assert(my.statusCode() == 400, my.body())
+      assert(my.body().contains("not configured"), my.body())
+      assert(!my.body().contains("incorrect db driver"), my.body())
+      // jdbc driver demands a literal jdbc: URL as dbName
+      val jd = get(s"$base/query/?dbDriver=jdbc&dbName=not-a-url&query=" +
+        enc("SELECT 1 AS one"))
+      assert(jd.statusCode() == 400 && jd.body().contains("jdbc: URL"),
+        jd.body())
     }
+  }
+
+  test("mysql driver routes through the JDBC path (Derby-backed DSN)") {
+    // the reference resolves mysql/postgres to an env-assembled DSN; the
+    // spec injects a DSN resolver pointing at embedded Derby and drives
+    // the whole route over the wire: parse → referenced tables → JDBC
+    // views → gated execution
+    val url = "jdbc:derby:memory:graftapi;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.execute("DROP TABLE accounts") catch { case _: Exception => () }
+      st.execute("CREATE TABLE accounts (id INT NOT NULL, balance DOUBLE)")
+      val ps = conn.prepareStatement("INSERT INTO accounts VALUES (?, ?)")
+      (1 to 20).foreach { i =>
+        ps.setInt(1, i); ps.setDouble(2, i * 10.0); ps.addBatch()
+      }
+      ps.executeBatch(); ()
+    } finally conn.close()
+    val indexRoot =
+      java.nio.file.Files.createTempDirectory("http-jdbc").toString
+    val api = HttpApi.start(spark, indexRoot, log = _ => (),
+      jdbcUrlFor = (d, db) => if (d == "mysql" && db == "bank") Some(url)
+                              else None)
+    try {
+      val base = s"http://localhost:${api.port}"
+      val sql = "SELECT count(*) AS n, sum(balance) AS total FROM accounts"
+      val ok = get(s"$base/query/?dbDriver=mysql&dbName=bank&query=${enc(sql)}")
+      assert(ok.statusCode() == 200, ok.body())
+      assert(ok.body().contains("\"n\":20"), ok.body())
+      assert(ok.body().contains("\"total\":2100.0"), ok.body())
+      // a table missing on the remote side fails registration → 400
+      val missing = get(s"$base/query/?dbDriver=mysql&dbName=bank&query=" +
+        enc("SELECT * FROM no_such_table"))
+      assert(missing.statusCode() == 400, missing.body())
+      // an unknown dbName for this resolver is not configured → 400
+      val nodb = get(s"$base/query/?dbDriver=mysql&dbName=other&query=" +
+        enc("SELECT 1 AS one"))
+      assert(nodb.statusCode() == 400 && nodb.body().contains("not configured"),
+        nodb.body())
+    } finally api.stop()
   }
 
   test("POST /elastic/save/ bulk-indexes the query result and reports stats") {

@@ -57,6 +57,34 @@ class BucketingSpec extends SparkSpec {
     assert(after.toSeq == before.toSeq, "compaction changed the data")
   }
 
+  test("compact refuses layouts it would corrupt") {
+    import spark.implicits._
+    // hive-partitioned: rewriting would fold the partition column into
+    // one flat file and drop the subdirectories
+    val part = java.nio.file.Files.createTempDirectory("compact-p").toString + "/t"
+    (1 to 100).map(i => (i.toLong, i % 3)).toDF("id", "p")
+      .write.partitionBy("p").parquet(part)
+    val e1 = intercept[IllegalArgumentException](Bucketing.compact(spark, part))
+    assert(e1.getMessage.contains("partitioned"), e1.getMessage)
+    assert(spark.read.parquet(part).count() == 100, "refusal must not mutate")
+
+    // non-parquet data files would be silently lost on the swap
+    val stray = java.nio.file.Files.createTempDirectory("compact-s").toString + "/t"
+    (1 to 10).map(i => (i.toLong, s"v$i")).toDF("id", "v").write.parquet(stray)
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(stray, "sidecar.json"), "{}")
+    val e2 = intercept[IllegalArgumentException](Bucketing.compact(spark, stray))
+    assert(e2.getMessage.contains("sidecar.json"), e2.getMessage)
+
+    // a non-empty directory with zero parquet files is not a dataset
+    val empty = java.nio.file.Files.createTempDirectory("compact-e").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(empty, "data.csv"), "a,b\n1,2\n")
+    val e3 = intercept[IllegalArgumentException](
+      Bucketing.compact(spark, empty))
+    assert(e3.getMessage.contains("no *.parquet"), e3.getMessage)
+  }
+
   test("IVF index: search prunes to one bucket partition and ranks exactly") {
     val dir = Files.createTempDirectory("graft-ivf").toString + "/idx"
     val emb = spark.read.parquet(s"$sf001/embeddings.parquet")

@@ -57,4 +57,16 @@ class EngineConfigSpec extends AnyFunSuite {
     val cfg = EngineConfig(Map("DB_HOST" -> "h", "DB_PORT" -> "1"))
     assert(cfg.mysqlJdbcUrl("d").contains("jdbc:mysql://h:1/d"))
   }
+
+  test("reserved characters in credentials are percent-encoded") {
+    // '&', '=', '%', '#' would otherwise truncate or corrupt the URL's
+    // query string; the JDBC drivers URL-decode property values
+    val cfg = EngineConfig(Map("DB_HOST" -> "h", "DB_PORT" -> "1",
+      "DB_USER" -> "a&b=c", "DB_PASSWORD" -> "p%25#x y"))
+    val url = cfg.mysqlJdbcUrl("d").get
+    assert(url == "jdbc:mysql://h:1/d?user=a%26b%3Dc&password=p%2525%23x+y", url)
+    // round-trips back to the original values
+    def dec(v: String) = java.net.URLDecoder.decode(v, "UTF-8")
+    assert(dec("a%26b%3Dc") == "a&b=c" && dec("p%2525%23x+y") == "p%25#x y")
+  }
 }

@@ -229,6 +229,35 @@ class DedupSpec extends SparkSpec {
     assert(m(5L) == ((5L, 0L, 0L, 0.0)))
   }
 
+  test("incrementalNearDups rejects a doc_id shared by batch and corpus") {
+    // a shared id would silently never pair (a.doc_id =!= b.doc_id) and
+    // would double its shingle rows in the verification join — so it is
+    // a precondition violation, not a degraded answer
+    val batch = Seq((1L, "the quick brown fox"), (2L, "other text here"))
+      .toDF("doc_id", "text")
+    val corpus = Seq((2L, "DIFFERENT text same id"), (3L, "corpus doc"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException](
+      Dedup.incrementalNearDups(batch, corpus, threshold = 0.3).collect())
+    assert(e.getMessage.contains("disjoint"), e.getMessage)
+    assert(e.getMessage.contains("2"), e.getMessage)
+  }
+
+  test("simhash_bands_agg equals the MSB-first 16-bit fold of simhash_agg") {
+    graft.functions.GraftFunctions.register(spark)
+    val bits = Dedup.simhashBits(docs)
+      .select(col("doc_id"), expr(
+        "transform(sequence(0, 3), b -> " +
+          "aggregate(slice(bits, b * 16 + 1, 16), 0L, (acc, x) -> acc * 2 + x))")
+        .as("bands"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val bands = Dedup.simhashBands(docs)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(bands == bits)
+    // and the 4 longs each fit 16 bits (fold is unsigned MSB-first)
+    assert(bands.values.flatten.forall(b => b >= 0L && b < 65536L))
+  }
+
   test("simhash: identical docs at hamming 0; banding finds them") {
     val sigs = Dedup.simhashBits(docs)
       .select("doc_id", "bits").as[(Long, Seq[Int])].collect().toMap
