@@ -283,6 +283,73 @@ object SqlSurface {
         |ORDER BY g_id, l_returnflag ASC NULLS FIRST,
         |  l_linestatus ASC NULLS FIRST""".stripMargin)),
 
+    // --- bigram collocation mining ("lift" = P(xy)/(P(x)P(y)), the
+    //     monotone core of PMI): tokens via posexplode, bigrams via a
+    //     per-doc lead() window, then two broadcast joins against the
+    //     unigram counts. All counts are exact integers and the single
+    //     fp op (one double division of exactly-representable ints) is
+    //     IEEE-identical across engines — no log(), no tolerance ---
+    "q95_collocations" -> ((s, d) => gated(s, d,
+      """WITH toks AS (
+        |  SELECT doc_id, pos, col AS tok
+        |  FROM (SELECT doc_id, posexplode(split(text, ' '))
+        |        FROM documents)),
+        | bi AS (
+        |  SELECT tok AS w1,
+        |    lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |  FROM toks),
+        | big AS (SELECT w1, w2, count(*) AS n_xy FROM bi
+        |         WHERE w2 IS NOT NULL GROUP BY w1, w2),
+        | uni AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+        | tot AS (SELECT sum(n_xy) AS nb FROM big)
+        |SELECT w1, w2, n_xy,
+        |  CAST(n_xy * nb AS DOUBLE) / CAST(u1.n * u2.n AS DOUBLE) AS lift
+        |FROM big JOIN uni u1 ON big.w1 = u1.tok
+        |         JOIN uni u2 ON big.w2 = u2.tok
+        |         CROSS JOIN tot
+        |WHERE n_xy >= 5
+        |ORDER BY lift DESC, w1, w2 LIMIT 50""".stripMargin)),
+
+    // --- LATERAL correlated subquery join: per-outer-row dependent
+    //     subquery with its own ORDER BY + LIMIT ("top-2 orders per
+    //     customer") — the decorrelated-join operator family; Catalyst
+    //     rewrites the inner LIMIT into a partitioned rank, so no
+    //     per-row subquery execution survives into the physical plan ---
+    "q93_lateral" -> ((s, d) => gated(s, d,
+      """SELECT c_custkey, o_orderkey, o_totalprice
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+        |         WHERE o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |WHERE c_custkey <= 200
+        |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin)),
+
+    // --- 6-table star join (TPC-H Q5 shape): region→nation prune the
+    //     fact flow; only the two genuinely tiny dims carry broadcast
+    //     hints (region 5 rows, nation 25 — broadcastable at ANY SF),
+    //     while customer/supplier joins are left to AQE, which
+    //     broadcasts them at bench SFs but can fall back to shuffle at
+    //     100 TB where a 1B-row dim would OOM a forced broadcast ---
+    "q94_star_join" -> ((s, d) => {
+      val r = t(s, d, "region").filter(col("r_name") === "ASIA")
+      val n = t(s, d, "nation")
+      val c = t(s, d, "customer")
+      val sup = t(s, d, "supplier")
+      val o = t(s, d, "orders").filter(
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val l = t(s, d, "lineitem")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(sup, sup("s_suppkey") === l("l_suppkey") &&
+          sup("s_nationkey") === c("c_nationkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(revenueDec).cast("double").as("revenue"))
+        .orderBy(desc("revenue"), asc("n_name"))
+    }),
+
     // --- navigation window functions: lead/lag/first_value + per-key
     //     event spacing (the order-stream shape q11/q69/q70 don't
     //     cover) ---
@@ -1000,6 +1067,57 @@ object SqlSurface {
       """SELECT p_partkey, p_name, p_retailprice FROM part
         |WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
         |ORDER BY p_partkey""".stripMargin,
+
+    // identical LATERAL syntax; DuckDB executes the dependent subquery
+    // per row where Spark decorrelates it — same rows either way
+    "q93_lateral" ->
+      """SELECT c_custkey, o_orderkey, o_totalprice
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+        |         WHERE o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |WHERE c_custkey <= 200
+        |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
+
+    "q94_star_join" ->
+      s"""SELECT n_name,
+         |  CAST(sum($REV) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON s_suppkey = l_suppkey
+         |  AND s_nationkey = c_nationkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01'
+         |GROUP BY n_name
+         |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    // parallel unnest() calls zip positionally in DuckDB — the twin of
+    // posexplode; everything downstream is engine-identical SQL
+    "q95_collocations" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(range(len(string_split(text, ' ')))) AS pos,
+        |    unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        | bi AS (
+        |  SELECT tok AS w1,
+        |    lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |  FROM toks),
+        | big AS (SELECT w1, w2, count(*) AS n_xy FROM bi
+        |         WHERE w2 IS NOT NULL GROUP BY w1, w2),
+        | uni AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+        | tot AS (SELECT sum(n_xy) AS nb FROM big)
+        |SELECT w1, w2, n_xy,
+        |  CAST(n_xy * nb AS DOUBLE) / CAST(u1.n * u2.n AS DOUBLE) AS lift
+        |FROM big JOIN uni u1 ON big.w1 = u1.tok
+        |         JOIN uni u2 ON big.w2 = u2.tok
+        |         CROSS JOIN tot
+        |WHERE n_xy >= 5
+        |ORDER BY lift DESC, w1, w2 LIMIT 50""".stripMargin,
 
     // DuckDB's multi-arg GROUPING() IS the bitmask Spark calls
     // grouping_id(); explicit NULLS FIRST because DuckDB defaults to

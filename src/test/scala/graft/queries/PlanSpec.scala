@@ -123,6 +123,32 @@ class PlanSpec extends SparkSpec {
       "candidate generation degenerated to a non-equi join")
   }
 
+  test("q93: LATERAL limit-2 decorrelates to a rank window, not a loop") {
+    val p = plan("q93_lateral")
+    // Catalyst must rewrite the correlated ORDER BY+LIMIT subquery into
+    // a partitioned window/rank over ONE scan of orders — per-outer-row
+    // re-execution would surface as a nested-loop join
+    assert(p.contains("Window"), p.take(1500))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
+
+  test("q94: star join broadcasts every dimension, shuffles only facts") {
+    val p = plan("q94_star_join")
+    // region+nation are hinted; customer/supplier picked up by AQE at
+    // this SF — all four must be broadcast, never shuffled-for-join
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 4, p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+    // the revenue agg is partial+final
+    assert("HashAggregate".r.findAllIn(p).length >= 2, "agg not partial+final")
+  }
+
+  test("q95: collocation unigram joins broadcast; bigram agg partial+final") {
+    val p = plan("q95_collocations")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert("HashAggregate".r.findAllIn(p).length >= 2, "agg not partial+final")
+  }
+
   test("q62: bucketed join + same-key agg plans with no hash exchange") {
     val df = SparkEntry.queries("q62_bucketed_join")(spark, sf001)
     df.collect() // finalize the (adaptive) plan
