@@ -106,6 +106,35 @@ object LlmSurface {
       Similarity.cosineNearDups(emb(s, d), threshold = 0.3)
         .orderBy("id_a", "id_b")),
 
+    // --- k-NN label vote: majority label among the 10 cosine-nearest
+    //     neighbors vs the vector's own label — the label-purity /
+    //     embedding-quality audit run after clustering or labeling.
+    //     Argmax is ONE aggregate (max of (votes, -label) struct), not
+    //     a rank-filter pass; ties break to the smallest label ---
+    "q96_knn_label" -> ((s, d) => {
+      val e = emb(s, d)
+      val knn = Similarity.bruteForceTopK(e, "vec_id < 100", k = 10)
+      val nl = e.select(col("vec_id").as("neighbor_id"),
+        col("label").as("n_label"))
+      // label joins: the knn/pred side is O(queries·k) rows — AQE
+      // broadcasts IT, never the corpus-sized label side (unhinted on
+      // purpose: a broadcast(labels) hint would OOM at real corpus SF)
+      val votes = knn.join(nl, Seq("neighbor_id"))
+        .groupBy("q_id", "n_label")
+        .agg(count(lit(1)).as("votes"))
+      votes
+        .groupBy("q_id")
+        .agg(max(struct(col("votes"), (-col("n_label")).as("neg_label"),
+          col("n_label").as("pl"))).as("m"))
+        .select(col("q_id"), col("m.pl").as("pred_label"),
+          col("m.votes").as("votes"))
+        .join(e.select(col("vec_id").as("q_id"),
+          col("label").as("true_label")), Seq("q_id"))
+        .withColumn("correct", col("pred_label") === col("true_label"))
+        .select("q_id", "pred_label", "votes", "true_label", "correct")
+        .orderBy("q_id")
+    }),
+
     // --- context-window chunking (sliding token windows) ---
     "q44_chunk" -> ((s, d) =>
       Pipeline.chunk(docs(s, d), size = 32, stride = 16)
@@ -563,6 +592,29 @@ object LlmSurface {
          | AND len(list_filter(range(1, 5), t -> a.bl[t] = b.bl[t])) > 0
          |WHERE ${dkDot("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.3
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // same knn core as q35 (rank <= 10 over the same cosine, so ranks
+    // are bit-identical), then vote/argmax in engine-identical SQL
+    "q96_knn_label" ->
+      s"""WITH $dkNormed,
+         | knn AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id
+         |  FROM normed q JOIN normed c
+         |    ON q.vec_id < 100 AND c.vec_id != q.vec_id
+         |  QUALIFY row_number() OVER (PARTITION BY q.vec_id
+         |    ORDER BY ${dkDot("q.v", "c.v")} / (q.nrm * c.nrm) DESC,
+         |      c.vec_id ASC) <= 10),
+         | votes AS (SELECT q_id, e.label AS n_label, count(*) AS votes
+         |   FROM knn JOIN embeddings e ON knn.neighbor_id = e.vec_id
+         |   GROUP BY q_id, e.label),
+         | pred AS (SELECT q_id, n_label, votes,
+         |   row_number() OVER (PARTITION BY q_id
+         |     ORDER BY votes DESC, n_label ASC) AS rn FROM votes)
+         |SELECT p.q_id, p.n_label AS pred_label,
+         |  CAST(p.votes AS BIGINT) AS votes,
+         |  e.label AS true_label, (p.n_label = e.label) AS correct
+         |FROM pred p JOIN embeddings e ON p.q_id = e.vec_id
+         |WHERE rn = 1 ORDER BY q_id""".stripMargin,
 
     "q59_normalize" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
