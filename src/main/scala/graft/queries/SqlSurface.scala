@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
 import graft.gate.QueryGate
-import graft.operators.Indexer
+import graft.operators.{GraphOps, Indexer}
 
 /** The delegated SELECT surface (SURVEY §2.2).
   *
@@ -309,6 +309,21 @@ object SqlSurface {
         |         CROSS JOIN tot
         |WHERE n_xy >= 5
         |ORDER BY lift DESC, w1, w2 LIMIT 50""".stripMargin)),
+
+    // --- triangle counting + local clustering on the co-purchase
+    //     graph (parts sharing an order at significant quantity):
+    //     degree-ordered "forward" orientation bounds the wedge join at
+    //     O(m^1.5) under ANY degree skew — see GraphOps.triangleStats ---
+    "q97_triangles" -> ((s, d) => {
+      val l = t(s, d, "lineitem").filter(col("l_quantity") >= 30)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = l.select(col("l_orderkey"), col("l_partkey").as("src"))
+        .join(l.select(col("l_orderkey"), col("l_partkey").as("dst")),
+          Seq("l_orderkey"))
+        .filter(col("src") < col("dst"))
+        .select("src", "dst").distinct()
+      GraphOps.triangleStats(edges).orderBy("node_id")
+    }),
 
     // --- LATERAL correlated subquery join: per-outer-row dependent
     //     subquery with its own ORDER BY + LIMIT ("top-2 orders per
@@ -1067,6 +1082,40 @@ object SqlSurface {
       """SELECT p_partkey, p_name, p_retailprice FROM part
         |WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
         |ORDER BY p_partkey""".stripMargin,
+
+    // same forward-orientation algorithm in SQL: orient each edge
+    // toward the larger (degree, id), wedge-join, close with a
+    // semi-join; all counts exact integers
+    "q97_triangles" ->
+      """WITH e AS (
+        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  WHERE a.l_quantity >= 30 AND b.l_quantity >= 30),
+        | deg AS (SELECT v, count(*) AS deg FROM (
+        |    SELECT src AS v FROM e UNION ALL SELECT dst AS v FROM e)
+        |   GROUP BY v),
+        | o AS (SELECT
+        |    CASE WHEN ds.deg < dd.deg OR (ds.deg = dd.deg AND e.src < e.dst)
+        |         THEN e.src ELSE e.dst END AS u,
+        |    CASE WHEN ds.deg < dd.deg OR (ds.deg = dd.deg AND e.src < e.dst)
+        |         THEN e.dst ELSE e.src END AS w
+        |   FROM e JOIN deg ds ON e.src = ds.v JOIN deg dd ON e.dst = dd.v),
+        | tri AS (SELECT e1.u AS x, e1.w AS y, e2.w AS z
+        |   FROM o e1 JOIN o e2 ON e1.w = e2.u
+        |   WHERE EXISTS (SELECT 1 FROM o e3
+        |                 WHERE e1.u = e3.u AND e2.w = e3.w)),
+        | pv AS (SELECT v, count(*) AS n_triangles FROM (
+        |   SELECT x AS v FROM tri UNION ALL SELECT y AS v FROM tri
+        |   UNION ALL SELECT z AS v FROM tri) GROUP BY v)
+        |SELECT deg.v AS node_id, deg.deg AS degree,
+        |  COALESCE(pv.n_triangles, 0) AS n_triangles,
+        |  CASE WHEN deg.deg >= 2 THEN
+        |    CAST(COALESCE(pv.n_triangles, 0) * 2 AS DOUBLE) /
+        |    CAST(deg.deg * (deg.deg - 1) AS DOUBLE) ELSE 0.0 END
+        |    AS clustering
+        |FROM deg LEFT JOIN pv ON deg.v = pv.v
+        |ORDER BY node_id""".stripMargin,
 
     // identical LATERAL syntax; DuckDB executes the dependent subquery
     // per row where Spark decorrelates it — same rows either way

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def canonical(pairs: Seq[(Long, Long)]) =
+    pairs.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct.toDF("src", "dst")
+
+  test("triangleStats: 4-clique plus pendant, known counts") {
+    // {1,2,3,4} complete + pendant 5-1
+    val edges = canonical(Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), (5L, 1L)))
+    val rows = GraphOps.triangleStats(edges)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // vertex 1: degree 4, in all 3 triangles that contain it, cc = 6/12
+    assert(rows(1L) == ((4L, 3L, 0.5)))
+    // clique-only vertices: degree 3, 3 triangles, cc = 1.0
+    Seq(2L, 3L, 4L).foreach(v => assert(rows(v) == ((3L, 3L, 1.0)), s"v=$v"))
+    // pendant: degree 1, no triangles, cc = 0 by convention
+    assert(rows(5L) == ((1L, 0L, 0.0)))
+    // Σ per-vertex = 3 × total triangles (4 in the clique)
+    assert(rows.values.map(_._2).sum == 3L * 4L)
+  }
+
+  test("triangleStats: counts invariant under vertex relabeling") {
+    // id-reversal flips every (degree, id) tie-break the orientation
+    // uses — triangle counts must not care
+    val base = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L),
+      (3L, 5L), (5L, 6L))
+    val a = GraphOps.triangleStats(canonical(base))
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val b = GraphOps.triangleStats(canonical(base.map {
+        case (x, y) => (100L - x, 100L - y) }))
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (100L - r._1) -> ((r._2, r._3))).toMap
+    assert(a == b)
+  }
+
+  test("triangleStats: triangle-free graph yields all zeros") {
+    // a path and a star — bipartite-ish, no triangles
+    val edges = canonical(Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (10L, 13L)))
+    val rows = GraphOps.triangleStats(edges)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.forall(_._3 == 0L), rows.mkString(","))
+    assert(rows.forall(_._4 == 0.0))
+  }
+}
