@@ -310,6 +310,22 @@ object SqlSurface {
         |WHERE n_xy >= 5
         |ORDER BY lift DESC, w1, w2 LIMIT 50""".stripMargin)),
 
+    // --- schema-evolution union: two generations of a feed with
+    //     drifted columns, aligned BY NAME with missing columns
+    //     null-filled (Spark unionByName(allowMissingColumns) ↔ DuckDB
+    //     UNION ALL BY NAME) — the append-only ingestion posture where
+    //     upstream adds/drops fields between batches ---
+    "q98_union_by_name" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val gen1 = o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val gen2 = o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderpriority"))
+      gen1.unionByName(gen2, allowMissingColumns = true)
+        .orderBy("o_orderkey")
+    }),
+
     // --- triangle counting + local clustering on the co-purchase
     //     graph (parts sharing an order at significant quantity):
     //     degree-ordered "forward" orientation bounds the wedge join at
@@ -1082,6 +1098,14 @@ object SqlSurface {
       """SELECT p_partkey, p_name, p_retailprice FROM part
         |WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
         |ORDER BY p_partkey""".stripMargin,
+
+    "q98_union_by_name" ->
+      """SELECT o_orderkey, o_totalprice
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |UNION ALL BY NAME
+        |SELECT o_orderkey, o_orderstatus, o_orderpriority
+        |FROM orders WHERE o_orderkey % 2 = 1
+        |ORDER BY o_orderkey""".stripMargin,
 
     // same forward-orientation algorithm in SQL: orient each edge
     // toward the larger (degree, id), wedge-join, close with a
