@@ -135,6 +135,27 @@ object LlmSurface {
         .orderBy("q_id")
     }),
 
+    // --- ANN recall audit: recall@10 of the LSH-bucketed index vs the
+    //     brute-force ground truth, per query — the measure-don't-guess
+    //     loop that decides whether an index's bucket/table parameters
+    //     are safe to ship. Intersections are id-set counts (exact
+    //     integers); the single division is IEEE-identical ---
+    "q99_ann_recall" -> ((s, d) => {
+      val e = emb(s, d)
+      val exact = Similarity.bruteForceTopK(e, "vec_id < 50", k = 10)
+        .select(col("q_id"), col("neighbor_id"))
+      val approx = Similarity.annTopK(e, "vec_id < 50", k = 10)
+        .select(col("q_id"), col("neighbor_id"))
+      val hits = exact.join(approx, Seq("q_id", "neighbor_id"), "left_semi")
+        .groupBy("q_id").agg(count(lit(1)).as("hits"))
+      e.filter(expr("vec_id < 50")).select(col("vec_id").as("q_id"))
+        .join(hits, Seq("q_id"), "left")
+        .na.fill(0L, Seq("hits"))
+        .select(col("q_id"), col("hits"),
+          (col("hits").cast("double") / lit(10).cast("double")).as("recall"))
+        .orderBy("q_id")
+    }),
+
     // --- context-window chunking (sliding token windows) ---
     "q44_chunk" -> ((s, d) =>
       Pipeline.chunk(docs(s, d), size = 32, stride = 16)
@@ -592,6 +613,39 @@ object LlmSurface {
          | AND len(list_filter(range(1, 5), t -> a.bl[t] = b.bl[t])) > 0
          |WHERE ${dkDot("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.3
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // exact side = q35's core at (50, 10); approx side = q36's core at
+    // the same parameters; recall joins the two id sets
+    "q99_ann_recall" ->
+      s"""WITH $dkNormed,
+         | bucketed AS (SELECT vec_id, v, nrm,
+         |   ${dkBuckets(4, 4)} AS bl FROM normed),
+         | exact AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id
+         |  FROM normed q JOIN normed c
+         |    ON q.vec_id < 50 AND c.vec_id != q.vec_id
+         |  QUALIFY row_number() OVER (PARTITION BY q.vec_id
+         |    ORDER BY ${dkDot("q.v", "c.v")} / (q.nrm * c.nrm) DESC,
+         |      c.vec_id ASC) <= 10),
+         | approx AS (
+         |  SELECT q_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS q_id, q.v AS qv, q.nrm AS qn,
+         |      c.vec_id AS neighbor_id, c.v AS cv, c.nrm AS cn
+         |    FROM bucketed q JOIN bucketed c
+         |     ON q.vec_id < 50 AND c.vec_id != q.vec_id
+         |     AND len(list_filter(range(1, 5), t -> q.bl[t] = c.bl[t])) > 0)
+         |  QUALIFY row_number() OVER (PARTITION BY q_id
+         |    ORDER BY ${dkDot("qv", "cv")} / (qn * cn) DESC,
+         |      neighbor_id ASC) <= 10),
+         | hits AS (SELECT e.q_id, count(*) AS hits
+         |   FROM exact e JOIN approx a
+         |     ON e.q_id = a.q_id AND e.neighbor_id = a.neighbor_id
+         |   GROUP BY e.q_id)
+         |SELECT n.vec_id AS q_id, COALESCE(h.hits, 0) AS hits,
+         |  CAST(COALESCE(h.hits, 0) AS DOUBLE) / CAST(10 AS DOUBLE)
+         |    AS recall
+         |FROM normed n LEFT JOIN hits h ON n.vec_id = h.q_id
+         |WHERE n.vec_id < 50 ORDER BY q_id""".stripMargin,
 
     // same knn core as q35 (rank <= 10 over the same cosine, so ranks
     // are bit-identical), then vote/argmax in engine-identical SQL

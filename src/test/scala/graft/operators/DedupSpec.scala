@@ -159,6 +159,23 @@ class DedupSpec extends SparkSpec {
     assert(new java.io.File(work).list().length == nDirs + 2)
   }
 
+  test("shared pair stage: a crashed writer's leftover is rebuilt cleanly") {
+    val work = java.nio.file.Files.createTempDirectory("pair-crash").toString
+    val sf = spark.read.parquet(s"$sf001/documents.parquet")
+    val n = Dedup.minhashNearDupsShared(sf, 0.8, workRoot = work).count()
+    def find(f: java.io.File): Seq[java.io.File] =
+      if (f.isFile) Seq(f)
+      else Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(find)
+    // simulate a writer that died mid-publish: stage dir present, no
+    // _SUCCESS marker — the next caller must rebuild, not trust it
+    val markers = find(new java.io.File(work)).filter(_.getName == "_SUCCESS")
+    assert(markers.nonEmpty)
+    markers.foreach(m => assert(m.delete()))
+    assert(Dedup.minhashNearDupsShared(sf, 0.8, workRoot = work).count() == n)
+    assert(find(new java.io.File(work)).exists(_.getName == "_SUCCESS"),
+      "rebuild did not republish a complete stage")
+  }
+
   test("minhash LSH recall matches exact ngram join at threshold 0.8") {
     val sf = spark.read.parquet(s"$sf001/documents.parquet")
     val lsh = Dedup.minhashNearDups(sf, 0.8)
