@@ -43,6 +43,39 @@ class GraphOpsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("triangleStats agrees with a naive O(n^3) count on random graphs") {
+    // scalacheck driven directly with fixed seeds (the scalatest bridge
+    // is not in the offline cache) — same pattern as PropertySpec
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val pairGen = for {
+      n <- Gen.choose(4, 9)
+      pairs <- Gen.listOf(Gen.zip(Gen.choose(1L, n.toLong),
+        Gen.choose(1L, n.toLong)))
+    } yield pairs.filter(p => p._1 != p._2)
+    (0 until 8).foreach { i =>
+      val pairs = pairGen.pureApply(Gen.Parameters.default, Seed(7L + i))
+      if (pairs.nonEmpty) {
+        val es = pairs.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+          .distinct
+        val vs = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+        val eset = es.toSet
+        def adjacent(a: Long, b: Long) =
+          eset((math.min(a, b), math.max(a, b)))
+        val naive = vs.map { v =>
+          val nbrs = vs.filter(u => u != v && adjacent(v, u))
+          v -> nbrs.combinations(2)
+            .count { case Seq(a, b) => adjacent(a, b); case _ => false }
+            .toLong
+        }.toMap
+        val got = GraphOps.triangleStats(es.toDF("src", "dst"))
+          .as[(Long, Long, Long, Double)].collect()
+          .map(r => r._1 -> r._3).toMap
+        assert(got == naive, s"seed ${7L + i}: got $got expected $naive")
+      }
+    }
+  }
+
   test("triangleStats: triangle-free graph yields all zeros") {
     // a path and a star — bipartite-ish, no triangles
     val edges = canonical(Seq((1L, 2L), (2L, 3L), (3L, 4L),
