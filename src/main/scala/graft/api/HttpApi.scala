@@ -176,13 +176,23 @@ object HttpApi {
     *
     * Driver routing: `parquet` registers the fixture tables under
     * `dbName` (a confined directory); `mysql`/`postgres` resolve a JDBC
-    * URL through `jdbcUrlFor` (the reference's env-assembled DSN) and
-    * register EVERY table the query references as a JDBC-backed view —
-    * an unconfigured driver is a 400, never a silent fallback onto
-    * whatever views a prior parquet request left behind; `jdbc` treats
-    * `dbName` as a literal JDBC URL. Registration fetches each remote
-    * table's schema eagerly, so a missing remote table also fails here,
-    * as a 400.
+    * URL through `jdbcUrlFor` (the reference's env-assembled DSN) after
+    * a conservative dbName shape check (so dbName cannot inject
+    * connection properties into the URL), and bind EVERY table the
+    * query references as a JDBC-backed TEMP view — an unconfigured
+    * driver is a 400, never a silent fallback onto whatever views a
+    * prior request left behind, and the views are dropped again before
+    * the handler returns, so no request leaks views into the next.
+    * Literal `jdbc:` URLs as dbName are REJECTED over HTTP (a client-
+    * supplied URL can point the server's JDBC drivers at arbitrary
+    * endpoints/local files); library callers use [[graft.sources
+    * .Sources.table]] directly for that.
+    *
+    * Ordering: the GATE validates first (no remote I/O and no session
+    * mutation for 400/401-rejected requests), then remote schemas are
+    * fetched OUTSIDE the lock (a slow or unreachable DB must not block
+    * other requests on the JVM-wide registration lock), and only the
+    * cheap bind + analyze happens inside it.
     */
   private def run(spark: SparkSession, p: Map[String, String],
                   dataRoot: Option[String],
@@ -191,32 +201,43 @@ object HttpApi {
     try {
       val (driver, db, query) = (p.getOrElse("dbDriver", ""),
         p.getOrElse("dbName", ""), p.getOrElse("query", ""))
+      QueryGate.validate(spark, driver, db, query)
+      // remote schema fetch (one round-trip per referenced table) runs
+      // unlocked; failures surface as the reference's 400
+      val jdbcViews: Seq[(String, org.apache.spark.sql.DataFrame)] =
+        if (driver == "mysql" || driver == "postgres" || driver == "jdbc") {
+          if (driver == "jdbc")
+            throw new IllegalArgumentException(
+              "literal jdbc URLs are not accepted over HTTP; use the " +
+                "mysql/postgres drivers with a configured DSN")
+          if (!DbNamePattern.matches(db))
+            throw new IllegalArgumentException(
+              s"invalid dbName (must match [A-Za-z0-9_.-]+): $db")
+          val url = jdbcUrlFor(driver, db).getOrElse(
+            throw new IllegalArgumentException(
+              s"$driver is not configured (no DB host/port in environment)"))
+          referencedTables(spark, query)
+            .map(t => t -> Sources.jdbcTable(spark, url, t))
+        } else Seq.empty
       val df = HttpApi.synchronized {
-        if (driver == "parquet" && db.nonEmpty) {
-          dataRoot.foreach { root =>
-            val rootPath = new java.io.File(root).getCanonicalPath
-            val dbPath = new java.io.File(db).getCanonicalPath
-            if (dbPath != rootPath &&
-                !dbPath.startsWith(rootPath + java.io.File.separator))
-              throw EngineError.IncorrectSource(s"dbName outside data root: $db")
+        try {
+          if (driver == "parquet" && db.nonEmpty) {
+            dataRoot.foreach { root =>
+              val rootPath = new java.io.File(root).getCanonicalPath
+              val dbPath = new java.io.File(db).getCanonicalPath
+              if (dbPath != rootPath &&
+                  !dbPath.startsWith(rootPath + java.io.File.separator))
+                throw EngineError.IncorrectSource(
+                  s"dbName outside data root: $db")
+            }
+            Tables.register(spark, db)
+          } else jdbcViews.foreach { case (t, frame) =>
+            frame.createOrReplaceTempView(t)
           }
-          Tables.register(spark, db)
-        } else if ((driver == "mysql" || driver == "postgres" ||
-            driver == "jdbc") && db.nonEmpty && query.nonEmpty) {
-          val url =
-            if (driver == "jdbc") {
-              // a known driver with a bad dbName is a plain 400, NOT the
-              // reference's "incorrect db driver" (that means unknown)
-              if (!db.startsWith("jdbc:"))
-                throw new IllegalArgumentException(
-                  s"jdbc driver requires a jdbc: URL as dbName: $db")
-              db
-            } else jdbcUrlFor(driver, db).getOrElse(
-              throw new IllegalArgumentException(
-                s"$driver is not configured (no DB host/port in environment)"))
-          registerJdbcViews(spark, url, query)
+          QueryGate.runQuery(spark, driver, db, query)
+        } finally jdbcViews.foreach { case (t, _) =>
+          spark.catalog.dropTempView(t): Unit
         }
-        QueryGate.runQuery(spark, driver, db, query)
       }
       f(df)
     } catch {
@@ -225,27 +246,41 @@ object HttpApi {
         Full(400, errorJson(String.valueOf(e.getMessage).take(500)))
     }
 
-  /** Bind each base table the query references to a JDBC scan of the
-    * same-named remote table. CTE names are excluded (they resolve to
-    * the CTE, not a source); names are taken from the PARSED plan's
-    * unresolved relations, so comments/strings cannot smuggle one in.
+  private val DbNamePattern = "[A-Za-z0-9_.-]+".r
+
+  /** Base tables the query references, from the PARSED plan's
+    * unresolved relations (comments/strings cannot smuggle one in),
+    * INCLUDING those inside IN/EXISTS/scalar subqueries. CTE names are
+    * excluded case-insensitively (Spark resolves them that way).
     */
-  private def registerJdbcViews(spark: SparkSession, url: String,
-                                query: String): Unit = {
+  private def referencedTables(spark: SparkSession,
+                               query: String): Seq[String] = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
-    import org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith
-    val plan =
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnresolvedWith}
+    val root =
       try spark.sessionState.sqlParser.parsePlan(query)
-      catch { case _: Exception => return } // the gate reports syntax errors
-    val cteNames = plan.collect {
-      case w: UnresolvedWith => w.cteRelations.map(_._1)
-    }.flatten.toSet
-    val tables = plan.collect {
-      case r: UnresolvedRelation => r.multipartIdentifier.last
-    }.distinct.filterNot(cteNames.contains)
-    tables.foreach { t =>
-      Sources.jdbcTable(spark, url, t).createOrReplaceTempView(t)
+      catch { case NonFatal(_) => return Seq.empty } // gate reports syntax
+    // Worklist over the main plan plus every CTE DEFINITION plan —
+    // cteRelations are not children of UnresolvedWith, so a plain
+    // collect would miss tables referenced only inside a CTE body;
+    // collectWithSubqueries additionally descends into IN/EXISTS/scalar
+    // subquery expressions.
+    val plans = scala.collection.mutable.ArrayBuffer[LogicalPlan](root)
+    val cteNames = scala.collection.mutable.Set.empty[String]
+    var i = 0
+    while (i < plans.length) {
+      plans(i).collectWithSubqueries { case w: UnresolvedWith =>
+        w.cteRelations.foreach { rel =>
+          cteNames += rel._1.toLowerCase
+          plans += rel._2
+        }
+      }
+      i += 1
     }
+    plans.toSeq.flatMap(_.collectWithSubqueries {
+      case r: UnresolvedRelation => r.multipartIdentifier.last
+    }).distinctBy(_.toLowerCase)
+      .filterNot(t => cteNames.contains(t.toLowerCase))
   }
 
   // --- middleware + plumbing ------------------------------------------

@@ -67,9 +67,14 @@ object Bucketing {
         .filter(f => f.isFile && f.getName.endsWith(".parquet"))
     val d = new java.io.File(dir)
     val entries = Option(d.listFiles()).getOrElse(Array.empty)
-    val subdirs = entries.filter(_.isDirectory)
+    // `_temporary` / dot-dirs are crashed-write leftovers, recreatable —
+    // they must not block compaction; `_spark_metadata` is a streaming
+    // sink's commit log and real data subdirectories are a partitioned
+    // layout — both would be corrupted by the flat rewrite+swap
+    val subdirs = entries.filter(f => f.isDirectory &&
+      f.getName != "_temporary" && !f.getName.startsWith("."))
     require(subdirs.isEmpty,
-      s"compact($dir): refusing a partitioned/nested layout — " +
+      s"compact($dir): refusing a partitioned/nested/streaming layout — " +
         s"subdirectories present: ${subdirs.take(3).map(_.getName).mkString(", ")}")
     val before = parquetFiles(d)
     // metadata sidecars (_SUCCESS, .crc, …) are recreated by the rewrite;

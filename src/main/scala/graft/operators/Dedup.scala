@@ -220,12 +220,17 @@ object Dedup {
     // (e.g. parallel HTTP requests) never race the overwrite; readers
     // of a COMPLETE stage skip the lock's critical section instantly.
     // ACROSS processes the JVM lock is no protection and workRoot
-    // defaults to the shared tmpdir — so the build goes to a
-    // process-private temp sibling and is published with ONE atomic
-    // rename: a concurrent reader sees either no stage or a complete
-    // one, never a directory mid-overwrite. Losing the publish race is
-    // fine — the winner's stage has identical content (the key is the
-    // content fingerprint), so ours is discarded and theirs is read.
+    // defaults to the shared tmpdir — so builders additionally hold a
+    // cross-process lock FILE (atomic createNewFile; stale locks older
+    // than 10 min are presumed crashed and stolen) around the
+    // leftover-cleanup + publish, the build itself goes to a
+    // process-private temp sibling, and publication is ONE atomic
+    // rename. Under the lock, a complete stage is never deleted (the
+    // leftover cleanup re-checks completeness while holding it), so a
+    // reader sees either no stage or a complete one — never a directory
+    // mid-overwrite or mid-delete. Losing the build race is fine: the
+    // winner's stage has identical content (the key is the content
+    // fingerprint), so ours is discarded and theirs is read.
     Dedup.synchronized {
       val dstDir = new java.io.File(pairsPath)
       def complete = new java.io.File(dstDir, "_SUCCESS").exists()
@@ -234,16 +239,40 @@ object Dedup {
           s"$workRoot/$key/pairs-tmp-${ProcessHandle.current().pid()}")
         minhashNearDups(docs, threshold, k, bands)
           .write.mode("overwrite").parquet(tmp.getPath)
-        // a stage dir without _SUCCESS is a crashed writer's leftover
-        if (dstDir.exists() && !complete) deleteRecursively(dstDir)
-        if (!tmp.renameTo(dstDir)) {
-          require(complete,
-            s"pair-stage publish failed: ${tmp.getPath} -> $pairsPath")
-          deleteRecursively(tmp)
+        withStageLock(new java.io.File(s"$workRoot/$key/pairs.lock")) {
+          if (complete) deleteRecursively(tmp) // another process won
+          else {
+            // a stage dir without _SUCCESS is a crashed writer's
+            // leftover — safe to clear: completeness was re-checked
+            // under the lock and no other publisher can be mid-rename
+            if (dstDir.exists()) deleteRecursively(dstDir)
+            require(tmp.renameTo(dstDir),
+              s"pair-stage publish failed: ${tmp.getPath} -> $pairsPath")
+          }
         }
       }
     }
     spark.read.parquet(pairsPath)
+  }
+
+  /** Cross-process mutual exclusion via atomic `createNewFile`. A lock
+    * older than 10 minutes is presumed orphaned by a crashed process
+    * and stolen; the wait loop polls rather than blocks (stage builds
+    * are seconds, contention is rare).
+    */
+  private def withStageLock[T](lock: java.io.File)(body: => T): T = {
+    val staleMs = 10 * 60 * 1000L
+    var acquired = false
+    while (!acquired) {
+      acquired = lock.createNewFile()
+      if (!acquired) {
+        if (lock.lastModified() > 0 &&
+            System.currentTimeMillis() - lock.lastModified() > staleMs)
+          lock.delete(): Unit // stale; next loop races createNewFile fairly
+        else Thread.sleep(200)
+      }
+    }
+    try body finally { lock.delete(): Unit }
   }
 
   private def deleteRecursively(f: java.io.File): Unit = if (f.exists()) {

@@ -34,12 +34,16 @@ object GraphOps {
     * bitwise reproducible across engines.
     */
   def triangleStats(undirected: DataFrame): DataFrame = {
-    val e = undirected.select(col("src"), col("dst"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = undirected.select(col("src"), col("dst")).persist(lvl)
     val deg = e.select(col("src").as("v"))
       .union(e.select(col("dst").as("v")))
       .groupBy("v").agg(count(lit(1)).as("deg"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(lvl)
+    // Materialize deg BEFORE its three consumers (orientation ×2 +
+    // final join): concurrent first-fill serializes tasks on per-block
+    // cache locks (same pattern as simhashNearDups).
+    deg.count()
     // src < dst canonically, so orientation only decides keep-or-flip
     val keep = col("ds") < col("dd") ||
       (col("ds") === col("dd") && col("src") < col("dst"))
@@ -48,7 +52,14 @@ object GraphOps {
       .join(deg.select(col("v").as("dst"), col("deg").as("dd")), "dst")
       .select(when(keep, col("src")).otherwise(col("dst")).as("u"),
         when(keep, col("dst")).otherwise(col("src")).as("w"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(lvl)
+    // oriented feeds three self-join consumers — eager fill, then the
+    // edge frame is no longer needed by anything downstream
+    oriented.count()
+    e.unpersist()
+    // deg + oriented stay cached for the returned LAZY frame (the
+    // caller's clearCache() releases them — unpersisting here would
+    // silently recompute the whole pipeline at the caller's action)
     val tri = oriented.as("e1")
       .join(oriented.as("e2"), col("e1.w") === col("e2.u"))
       .select(col("e1.u").as("x"), col("e1.w").as("y"), col("e2.w").as("z"))

@@ -74,11 +74,20 @@ class HttpApiSpec extends SparkSpec {
       assert(my.statusCode() == 400, my.body())
       assert(my.body().contains("not configured"), my.body())
       assert(!my.body().contains("incorrect db driver"), my.body())
-      // jdbc driver demands a literal jdbc: URL as dbName
-      val jd = get(s"$base/query/?dbDriver=jdbc&dbName=not-a-url&query=" +
+      // literal jdbc URLs are a client-controlled connect-anywhere
+      // vector — rejected over HTTP (the gate still accepts the driver
+      // name; the HTTP layer is the policy boundary)
+      val jd = get(s"$base/query/?dbDriver=jdbc&dbName=" +
+        enc("jdbc:derby:memory:x;create=true") +
+        "&query=" + enc("SELECT 1 AS one"))
+      assert(jd.statusCode() == 400 &&
+        jd.body().contains("not accepted over HTTP"), jd.body())
+      // dbName cannot inject connection properties into the DSN
+      val inj = get(s"$base/query/?dbDriver=mysql&dbName=" +
+        enc("bank?allowLoadLocalInfile=true") + "&query=" +
         enc("SELECT 1 AS one"))
-      assert(jd.statusCode() == 400 && jd.body().contains("jdbc: URL"),
-        jd.body())
+      assert(inj.statusCode() == 400 && inj.body().contains("invalid dbName"),
+        inj.body())
     }
   }
 
@@ -120,6 +129,31 @@ class HttpApiSpec extends SparkSpec {
         enc("SELECT 1 AS one"))
       assert(nodb.statusCode() == 400 && nodb.body().contains("not configured"),
         nodb.body())
+      // a 401-rejected statement must not have bound any view (the gate
+      // runs BEFORE registration)...
+      val ddl = get(s"$base/query/?dbDriver=mysql&dbName=bank&query=" +
+        enc("INSERT INTO accounts VALUES (99, 9.9)"))
+      assert(ddl.statusCode() == 401, ddl.body())
+      // ...and a successful mysql request must not leak its views into
+      // later requests with other drivers: the same table name under
+      // the parquet driver is simply not found, never Derby's data
+      val leak = get(s"$base/query/?dbDriver=parquet&dbName=${enc(sf001)}" +
+        "&query=" + enc("SELECT * FROM accounts"))
+      assert(leak.statusCode() == 400, leak.body())
+      assert(!leak.body().contains("balance"), leak.body())
+      // tables inside subquery expressions ARE registered (collect
+      // descends into IN/EXISTS subqueries)
+      val sub = get(s"$base/query/?dbDriver=mysql&dbName=bank&query=" +
+        enc("SELECT count(*) AS n FROM accounts WHERE id IN " +
+          "(SELECT id FROM accounts WHERE balance > 100)"))
+      assert(sub.statusCode() == 200, sub.body())
+      assert(sub.body().contains("\"n\":10"), sub.body())
+      // a CTE name referenced in a different case is NOT treated as a
+      // remote table (Spark resolves CTEs case-insensitively)
+      val cte = get(s"$base/query/?dbDriver=mysql&dbName=bank&query=" +
+        enc("WITH Totals AS (SELECT count(*) AS n FROM accounts) " +
+          "SELECT n FROM totals"))
+      assert(cte.statusCode() == 200, cte.body())
     } finally api.stop()
   }
 
