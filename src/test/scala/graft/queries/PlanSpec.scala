@@ -149,6 +149,13 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).length >= 2, "agg not partial+final")
   }
 
+  test("q97: graph joins are hash equi-joins on vertex ids, never loops") {
+    val p = plan("q97_triangles")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("Join"), p.take(1500))
+  }
+
   test("q62: bucketed join + same-key agg plans with no hash exchange") {
     val df = SparkEntry.queries("q62_bucketed_join")(spark, sf001)
     df.collect() // finalize the (adaptive) plan
