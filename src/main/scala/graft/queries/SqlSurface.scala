@@ -310,6 +310,13 @@ object SqlSurface {
         |WHERE n_xy >= 5
         |ORDER BY lift DESC, w1, w2 LIMIT 50""".stripMargin)),
 
+    // --- mode + discrete percentile with DETERMINISTIC tie-breaks:
+    //     built-in mode() breaks ties arbitrarily in both engines, so
+    //     both statistics are spelled as windows — mode = rank-1 of
+    //     (count DESC, value ASC), p50_disc = the value at sorted
+    //     position ceil(0.5·n). One SQL text serves Spark and DuckDB ---
+    "q100_mode_percentile" -> ((s, d) => gated(s, d, ModePercentileSql)),
+
     // --- schema-evolution union: two generations of a feed with
     //     drifted columns, aligned BY NAME with missing columns
     //     null-filled (Spark unionByName(allowMissingColumns) ↔ DuckDB
@@ -943,6 +950,26 @@ object SqlSurface {
   )
 
   // DuckDB dialect of each query. Money math mirrors the decimal-exact
+  /** q100: engine-portable mode + discrete median (same text runs in
+    * Spark and DuckDB; every tie broken explicitly).
+    */
+  private val ModePercentileSql: String =
+    """WITH vals AS (SELECT l_returnflag AS flag,
+      |    CAST(l_quantity AS BIGINT) AS q FROM lineitem),
+      | counts AS (SELECT flag, q, count(*) AS n FROM vals
+      |   GROUP BY flag, q),
+      | mode_pick AS (SELECT flag, q AS mode_q, n AS mode_n,
+      |    row_number() OVER (PARTITION BY flag
+      |      ORDER BY n DESC, q ASC) AS rn FROM counts),
+      | ordered AS (SELECT flag, q,
+      |    row_number() OVER (PARTITION BY flag ORDER BY q) AS pos,
+      |    count(*) OVER (PARTITION BY flag) AS total FROM vals),
+      | pct AS (SELECT flag, q AS p50_disc FROM ordered
+      |   WHERE pos = CAST(ceil(0.5 * total) AS BIGINT))
+      |SELECT m.flag, m.mode_q, m.mode_n, p.p50_disc
+      |FROM mode_pick m JOIN pct p ON m.flag = p.flag
+      |WHERE m.rn = 1 ORDER BY m.flag""".stripMargin
+
   // scheme above so values are bitwise identical (see class doc).
   private val SUM_QTY = "CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)"
   private val REV =
@@ -1098,6 +1125,8 @@ object SqlSurface {
       """SELECT p_partkey, p_name, p_retailprice FROM part
         |WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
         |ORDER BY p_partkey""".stripMargin,
+
+    "q100_mode_percentile" -> ModePercentileSql,
 
     "q98_union_by_name" ->
       """SELECT o_orderkey, o_totalprice

@@ -18,6 +18,6 @@ class EntrySpec extends SparkSpec {
   }
 
   test("query names are unique and well-formed") {
-    assert(SparkEntry.queries.keys.forall(_.matches("q\\d{2}_[a-z0-9_]+")))
+    assert(SparkEntry.queries.keys.forall(_.matches("q\\d{2,3}_[a-z0-9_]+")))
   }
 }
