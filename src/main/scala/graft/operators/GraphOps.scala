@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distributed graph primitives over edge-list DataFrames.
@@ -77,5 +77,73 @@ object GraphOps {
           (col("n_triangles") * 2).cast("double") /
             (col("deg") * (col("deg") - 1)).cast("double"))
           .otherwise(lit(0.0)).as("clustering"))
+  }
+
+  /** Bounded-iteration PageRank over a DIRECTED edge list `(src, dst)`
+    * in fixed-point integer arithmetic, so the result is bitwise
+    * identical on any engine and any partitioning.
+    *
+    * Floating-point PageRank sums contributions in a
+    * partition-dependent order, so no two runs (let alone two engines)
+    * agree bitwise. Here rank is an integer in units of 1e-6
+    * (`Scale`), and the two inexact steps are explicit floor
+    * divisions computed as `(a - a % b) / b` — the numerator is made
+    * exactly divisible first, so the IEEE division is exact and the
+    * BIGINT cast is engine-independent (DuckDB rounds double→BIGINT,
+    * Spark truncates; on exact integers they agree):
+    *
+    *   r₀(v)   = Scale
+    *   rₜ₊₁(v) = (1−d)·Scale + d · Σ_{u→v} floor(rₜ(u) / outdeg(u))
+    *   with d = 85/100 applied as floor(85·Σ / 100).
+    *
+    * Magnitudes: total mass never grows (floors only lose), so every
+    * intermediate is ≤ 85 · n · Scale — exact in a double (< 2^53) up
+    * to ~10^8 vertices and in a BIGINT far beyond. Dangling vertices
+    * (no out-edges) leak their mass, the standard simplification; the
+    * symmetrized graphs we feed it have none.
+    *
+    * Scale shape: one hash-partitioned join + agg per iteration, same
+    * loop skeleton as [[Dedup.dupClusters]] — per-iteration persist
+    * with eager fill, previous iteration unpersisted, lineage
+    * truncated each round so the plan stays O(1) deep. Nothing is
+    * collected; the iteration count is a caller-fixed bound, not a
+    * data-dependent convergence test.
+    */
+  def pageRank(directed: DataFrame, iterations: Int): DataFrame = {
+    require(iterations >= 0, s"iterations must be >= 0: $iterations")
+    val Scale = 1000000L
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    def floorDiv(a: Column, b: Column): Column =
+      ((a - a % b) / b).cast("long")
+    val e = directed.select(col("src"), col("dst")).persist(lvl)
+    val verts = e.select(col("src").as("v"))
+      .union(e.select(col("dst").as("v"))).distinct().persist(lvl)
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("d")).persist(lvl)
+    // eager fill: each frame feeds every iteration; concurrent first
+    // fill would serialize tasks on per-block cache locks
+    verts.count(); outdeg.count()
+    var r = verts.select(col("v"), lit(Scale).as("r")).persist(lvl)
+    r.count()
+    for (_ <- 1 to iterations) {
+      val msgs = e
+        .join(r.withColumnRenamed("v", "src"), Seq("src"))
+        .join(outdeg, Seq("src"))
+        .select(col("dst").as("v"), floorDiv(col("r"), col("d")).as("c"))
+        .groupBy("v").agg(sum(col("c")).as("m"))
+      val next = verts.join(msgs, Seq("v"), "left")
+        .select(col("v"),
+          (lit((Scale * 15L - Scale * 15L % 100L) / 100L) +
+            floorDiv(lit(85L) * coalesce(col("m"), lit(0L)), lit(100L)))
+            .as("r"))
+        .persist(lvl)
+      next.count()
+      r.unpersist()
+      r = next
+    }
+    e.unpersist()
+    // verts/outdeg/r stay cached for the returned lazy frame; the
+    // caller's clearCache() releases them (triangleStats pattern)
+    r.select(col("v").as("node_id"), col("r").as("rank_fp"),
+      (col("r").cast("double") / Scale.toDouble).as("rank"))
   }
 }

@@ -182,6 +182,90 @@ object TextOps {
       .orderBy(desc("n"), asc("subword"))
       .limit(k)
 
+  /** True byte-pair-encoding merge learning, bounded to `rounds`
+    * merges: start from characters, repeatedly merge the corpus-wide
+    * most frequent adjacent symbol pair. Returns the merge table
+    * `(step, left_sym, right_sym, merged, n)` — the artifact a
+    * tokenizer trainer ships.
+    *
+    * Scale shape (Sennrich et al. 2016's dictionary trick, the reason
+    * BPE trains on terabyte corpora at all): the only pass over the
+    * corpus is one `groupBy(word)` count with map-side partials; the
+    * merge loop then runs on the compact word-frequency dictionary
+    * (vocabulary-sized, corpus-size-independent). Each round is one
+    * pair-count aggregation over the dictionary plus a 1-row winner
+    * frame broadcast back — nothing is ever collected to the driver,
+    * and the per-round persist/unpersist keeps lineage O(1) deep
+    * (the [[Dedup.dupClusters]] loop skeleton).
+    *
+    * Determinism contract: pair counts are exact integers; the winner
+    * is argmax by `(n DESC, left ASC, right ASC)` so ties are total-
+    * ordered; the merge rewrite is plain `replace` over a symbol
+    * string in which EVERY symbol is individually wrapped in the
+    * unit separator (U+001F): `abc` → `␟a␟␟b␟␟c␟`. Each pair match
+    * `␟l␟␟r␟` is therefore self-contained — it consumes no boundary
+    * shared with a neighboring occurrence — so plain left-to-right
+    * non-overlapping `replace` reproduces classic greedy BPE exactly
+    * ("abab"→"ab ab", "aaaa"→"aa aa"; a single-sentinel encoding gets
+    * both wrong because the match eats the next occurrence's leading
+    * separator). Verified against a reference implementation over the
+    * full fixture corpus and run/alternation adversaries. Pair
+    * counting counts overlapping occurrences ("aaa" → (a,a) twice),
+    * matching the classic implementation. No floats anywhere.
+    */
+  def bpeMerges(docs: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val Sep = "\u001f"
+    val S = lit(Sep)
+    // the one corpus-wide pass: word-frequency dictionary
+    var dict = docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .select(col("word"), col("cnt"),
+        array_join(transform(split(col("word"), ""),
+          c => concat(S, c, S)), "").as("seq"))
+      .persist(lvl)
+    dict.count()
+    val winners = Seq.newBuilder[DataFrame]
+    for (step <- 1 to rounds) {
+      val pairs = dict
+        .select(col("cnt"),
+          split(trim(col("seq"), Sep), Sep + Sep).as("syms"))
+        .select(col("cnt"), explode(expr(
+          "transform(slice(syms, 1, size(syms) - 1), " +
+            "(s, i) -> struct(s AS l, element_at(syms, i + 2) AS r))"))
+          .as("p"))
+        .select(col("cnt"), col("p.l").as("l"), col("p.r").as("r"))
+        .groupBy("l", "r").agg(sum(col("cnt")).as("n"))
+      val win = pairs
+        .orderBy(desc("n"), asc("l"), asc("r")).limit(1)
+        .select(lit(step).as("step"), col("l"), col("r"), col("n"))
+        .persist(lvl)
+      win.count()
+      winners += win
+      val next = dict
+        .crossJoin(broadcast(win.select(col("l").as("w_l"),
+          col("r").as("w_r"))))
+        .select(col("word"), col("cnt"),
+          call_function("replace", col("seq"),
+            concat(S, col("w_l"), S, S, col("w_r"), S),
+            concat(S, col("w_l"), col("w_r"), S)).as("seq"))
+        .persist(lvl)
+      next.count()
+      dict.unpersist()
+      dict = next
+    }
+    dict.unpersist()
+    winners.result()
+      .reduce(_.unionByName(_))
+      .select(col("step"), col("l").as("left_sym"),
+        col("r").as("right_sym"),
+        concat(col("l"), col("r")).as("merged"), col("n"))
+      .orderBy("step")
+  }
+
   /** Order-sensitive document fingerprint: rolling polynomial hash of the
     * token-hash stream, `h = (h*131 + charHash(tok)) mod (2^31-1)`.
     * Equal fingerprints ⇔ equal token sequences (mod collisions);

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
 import graft.gate.QueryGate
-import graft.operators.{GraphOps, Indexer}
+import graft.operators.{GraphOps, Indexer, TextOps}
 
 /** The delegated SELECT surface (SURVEY §2.2).
   *
@@ -347,6 +347,31 @@ object SqlSurface {
         .select("src", "dst").distinct()
       GraphOps.triangleStats(edges).orderBy("node_id")
     }),
+
+    // --- bounded-iteration PageRank on the symmetrized co-purchase
+    //     graph, fixed-point integer arithmetic: every contribution is
+    //     an explicit exact floor division, so ranks are bitwise
+    //     engine-identical — floating PageRank would hash-diverge on
+    //     summation order alone. See GraphOps.pageRank ---
+    "q101_pagerank" -> ((s, d) => {
+      val l = t(s, d, "lineitem").filter(col("l_quantity") >= 30)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val und = l.select(col("l_orderkey"), col("l_partkey").as("src"))
+        .join(l.select(col("l_orderkey"), col("l_partkey").as("dst")),
+          Seq("l_orderkey"))
+        .filter(col("src") < col("dst"))
+        .select("src", "dst").distinct()
+      val directed = und.union(und.select(col("dst"), col("src")))
+      GraphOps.pageRank(directed, iterations = 3).orderBy("node_id")
+    }),
+
+    // --- true BPE merge learning, 5 bounded rounds over the word-
+    //     frequency dictionary (the Sennrich dictionary trick: one
+    //     corpus pass, then a vocabulary-sized loop) — exact integer
+    //     pair counts, total-ordered tie-breaks, greedy left-to-right
+    //     merges. See TextOps.bpeMerges ---
+    "q102_bpe_merges" -> ((s, d) =>
+      TextOps.bpeMerges(t(s, d, "documents"), rounds = 5)),
 
     // --- LATERAL correlated subquery join: per-outer-row dependent
     //     subquery with its own ORDER BY + LIMIT ("top-2 orders per
@@ -962,10 +987,10 @@ object SqlSurface {
       |    row_number() OVER (PARTITION BY flag
       |      ORDER BY n DESC, q ASC) AS rn FROM counts),
       | ordered AS (SELECT flag, q,
-      |    row_number() OVER (PARTITION BY flag ORDER BY q) AS pos,
-      |    count(*) OVER (PARTITION BY flag) AS total FROM vals),
-      | pct AS (SELECT flag, q AS p50_disc FROM ordered
-      |   WHERE pos = CAST(ceil(0.5 * total) AS BIGINT))
+      |    sum(n) OVER (PARTITION BY flag ORDER BY q) AS cum,
+      |    sum(n) OVER (PARTITION BY flag) AS total FROM counts),
+      | pct AS (SELECT flag, min(q) AS p50_disc FROM ordered
+      |   WHERE cum >= CAST(ceil(0.5 * total) AS BIGINT) GROUP BY flag)
       |SELECT m.flag, m.mode_q, m.mode_n, p.p50_disc
       |FROM mode_pick m JOIN pct p ON m.flag = p.flag
       |WHERE m.rn = 1 ORDER BY m.flag""".stripMargin
@@ -1139,6 +1164,109 @@ object SqlSurface {
     // same forward-orientation algorithm in SQL: orient each edge
     // toward the larger (degree, id), wedge-join, close with a
     // semi-join; all counts exact integers
+    // DuckDB twin of q101: the 3 iterations unrolled as chained CTEs
+    // (aggregates are illegal in a recursive term, and the bound is
+    // part of the contract anyway). Same exact-integer floor-division
+    // scheme: (a - a%b)/b makes the numerator divisible, so the
+    // double division is exact and DuckDB's round-on-cast equals
+    // Spark's truncate-on-cast.
+    "q101_pagerank" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  WHERE a.l_quantity >= 30 AND b.l_quantity >= 30),
+        | e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+        | verts AS (SELECT DISTINCT src AS v FROM e),
+        | od AS (SELECT src AS v, count(*) AS d FROM e GROUP BY src),
+        | r0 AS (SELECT v, CAST(1000000 AS BIGINT) AS r FROM verts),
+        | s1 AS (SELECT e.dst AS v,
+        |    sum(CAST((r0.r - r0.r % od.d) / od.d AS BIGINT)) AS m
+        |   FROM e JOIN r0 ON e.src = r0.v JOIN od ON e.src = od.v
+        |   GROUP BY e.dst),
+        | r1 AS (SELECT verts.v, 150000 + CAST((85 * COALESCE(s1.m, 0)
+        |      - (85 * COALESCE(s1.m, 0)) % 100) / 100 AS BIGINT) AS r
+        |   FROM verts LEFT JOIN s1 ON verts.v = s1.v),
+        | s2 AS (SELECT e.dst AS v,
+        |    sum(CAST((r1.r - r1.r % od.d) / od.d AS BIGINT)) AS m
+        |   FROM e JOIN r1 ON e.src = r1.v JOIN od ON e.src = od.v
+        |   GROUP BY e.dst),
+        | r2 AS (SELECT verts.v, 150000 + CAST((85 * COALESCE(s2.m, 0)
+        |      - (85 * COALESCE(s2.m, 0)) % 100) / 100 AS BIGINT) AS r
+        |   FROM verts LEFT JOIN s2 ON verts.v = s2.v),
+        | s3 AS (SELECT e.dst AS v,
+        |    sum(CAST((r2.r - r2.r % od.d) / od.d AS BIGINT)) AS m
+        |   FROM e JOIN r2 ON e.src = r2.v JOIN od ON e.src = od.v
+        |   GROUP BY e.dst),
+        | r3 AS (SELECT verts.v, 150000 + CAST((85 * COALESCE(s3.m, 0)
+        |      - (85 * COALESCE(s3.m, 0)) % 100) / 100 AS BIGINT) AS r
+        |   FROM verts LEFT JOIN s3 ON verts.v = s3.v)
+        |SELECT v AS node_id, r AS rank_fp,
+        |  CAST(r AS DOUBLE) / 1000000 AS rank
+        |FROM r3 ORDER BY node_id""".stripMargin,
+
+    // DuckDB twin of q102: the 5 merge rounds unrolled; same
+    // dictionary/pair-count/argmax/greedy-replace scheme with every
+    // symbol individually chr(31)-wrapped, so each pair match is
+    // self-contained and plain replace = classic greedy BPE (see
+    // TextOps.bpeMerges for why single sentinels would be wrong).
+    "q102_bpe_merges" ->
+      """WITH wd AS (
+        |  SELECT w AS word, count(*) AS cnt
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE w <> '' GROUP BY w),
+        | d0 AS (SELECT word, cnt,
+        |   array_to_string(list_transform(string_split(word, ''),
+        |     c -> chr(31) || c || chr(31)), '') AS seq FROM wd),
+        | p1 AS (SELECT z[1] AS l, z[2] AS r, CAST(sum(cnt) AS BIGINT) AS n FROM (
+        |    SELECT cnt, unnest(list_zip(syms[:-1], syms[2:])) AS z
+        |    FROM (SELECT cnt, string_split(trim(seq, chr(31)), chr(31) || chr(31)) AS syms FROM d0))
+        |   WHERE z[2] IS NOT NULL GROUP BY z[1], z[2]),
+        | w1 AS (SELECT l, r, n FROM p1 ORDER BY n DESC, l, r LIMIT 1),
+        | d1 AS (SELECT word, cnt,
+        |    replace(seq, chr(31) || w.l || chr(31) || chr(31) || w.r || chr(31),
+        |                 chr(31) || w.l || w.r || chr(31)) AS seq
+        |   FROM d0, w1 w),
+        | p2 AS (SELECT z[1] AS l, z[2] AS r, CAST(sum(cnt) AS BIGINT) AS n FROM (
+        |    SELECT cnt, unnest(list_zip(syms[:-1], syms[2:])) AS z
+        |    FROM (SELECT cnt, string_split(trim(seq, chr(31)), chr(31) || chr(31)) AS syms FROM d1))
+        |   WHERE z[2] IS NOT NULL GROUP BY z[1], z[2]),
+        | w2 AS (SELECT l, r, n FROM p2 ORDER BY n DESC, l, r LIMIT 1),
+        | d2 AS (SELECT word, cnt,
+        |    replace(seq, chr(31) || w.l || chr(31) || chr(31) || w.r || chr(31),
+        |                 chr(31) || w.l || w.r || chr(31)) AS seq
+        |   FROM d1, w2 w),
+        | p3 AS (SELECT z[1] AS l, z[2] AS r, CAST(sum(cnt) AS BIGINT) AS n FROM (
+        |    SELECT cnt, unnest(list_zip(syms[:-1], syms[2:])) AS z
+        |    FROM (SELECT cnt, string_split(trim(seq, chr(31)), chr(31) || chr(31)) AS syms FROM d2))
+        |   WHERE z[2] IS NOT NULL GROUP BY z[1], z[2]),
+        | w3 AS (SELECT l, r, n FROM p3 ORDER BY n DESC, l, r LIMIT 1),
+        | d3 AS (SELECT word, cnt,
+        |    replace(seq, chr(31) || w.l || chr(31) || chr(31) || w.r || chr(31),
+        |                 chr(31) || w.l || w.r || chr(31)) AS seq
+        |   FROM d2, w3 w),
+        | p4 AS (SELECT z[1] AS l, z[2] AS r, CAST(sum(cnt) AS BIGINT) AS n FROM (
+        |    SELECT cnt, unnest(list_zip(syms[:-1], syms[2:])) AS z
+        |    FROM (SELECT cnt, string_split(trim(seq, chr(31)), chr(31) || chr(31)) AS syms FROM d3))
+        |   WHERE z[2] IS NOT NULL GROUP BY z[1], z[2]),
+        | w4 AS (SELECT l, r, n FROM p4 ORDER BY n DESC, l, r LIMIT 1),
+        | d4 AS (SELECT word, cnt,
+        |    replace(seq, chr(31) || w.l || chr(31) || chr(31) || w.r || chr(31),
+        |                 chr(31) || w.l || w.r || chr(31)) AS seq
+        |   FROM d3, w4 w),
+        | p5 AS (SELECT z[1] AS l, z[2] AS r, CAST(sum(cnt) AS BIGINT) AS n FROM (
+        |    SELECT cnt, unnest(list_zip(syms[:-1], syms[2:])) AS z
+        |    FROM (SELECT cnt, string_split(trim(seq, chr(31)), chr(31) || chr(31)) AS syms FROM d4))
+        |   WHERE z[2] IS NOT NULL GROUP BY z[1], z[2]),
+        | w5 AS (SELECT l, r, n FROM p5 ORDER BY n DESC, l, r LIMIT 1)
+        |SELECT 1 AS step, l AS left_sym, r AS right_sym,
+        |  l || r AS merged, n FROM w1
+        |UNION ALL SELECT 2, l, r, l || r, n FROM w2
+        |UNION ALL SELECT 3, l, r, l || r, n FROM w3
+        |UNION ALL SELECT 4, l, r, l || r, n FROM w4
+        |UNION ALL SELECT 5, l, r, l || r, n FROM w5
+        |ORDER BY step""".stripMargin,
+
     "q97_triangles" ->
       """WITH e AS (
         |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst

@@ -76,6 +76,53 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("pageRank: a directed cycle is an exact fixed point") {
+    // outdeg 1 everywhere: contribution = rank exactly, and
+    // 150000 + floor(85 * 1000000 / 100) = 1000000 — no floor loss
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val ranks = GraphOps.pageRank(edges, 3)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._2).toMap
+    assert(ranks == Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 1000000L))
+  }
+
+  test("pageRank: two-node chain, hand-computed trajectory") {
+    // 1→2 only. it1: r=(150000, 1000000); it2 onward r2 =
+    // 150000 + floor(.85*150000) = 277500 and stays (source pins at
+    // the teleport mass, sink one damping step behind)
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    def at(n: Int) = GraphOps.pageRank(edges, n)
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(at(1) == Map(1L -> 150000L, 2L -> 1000000L))
+    assert(at(2) == Map(1L -> 150000L, 2L -> 277500L))
+    assert(at(3) == Map(1L -> 150000L, 2L -> 277500L))
+  }
+
+  test("pageRank: floor division is exact-integer, not rounded") {
+    // star 1→{2,3,4}: contribution = floor(1000000/3) = 333333 (not
+    // 333333.33 rounded to 333334), then leaf rank =
+    // 150000 + floor(85 * 333333 / 100) = 433333 (floor, not 433334)
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    val ranks = GraphOps.pageRank(edges, 1)
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(ranks == Map(1L -> 150000L, 2L -> 433333L, 3L -> 433333L,
+      4L -> 433333L))
+  }
+
+  test("pageRank: mass never grows, and rank is relabel-invariant") {
+    val base = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 3L),
+      (2L, 4L), (4L, 1L))
+    val a = GraphOps.pageRank(base.toDF("src", "dst"), 4)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._2).toMap
+    assert(a.values.sum <= 4L * 1000000L)
+    val b = GraphOps.pageRank(base.map { case (x, y) => (50L - x, 50L - y) }
+        .toDF("src", "dst"), 4)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (50L - r._1) -> r._2).toMap
+    assert(a == b)
+  }
+
   test("triangleStats: triangle-free graph yields all zeros") {
     // a path and a star — bipartite-ish, no triangles
     val edges = canonical(Seq((1L, 2L), (2L, 3L), (3L, 4L),

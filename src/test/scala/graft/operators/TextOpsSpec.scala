@@ -81,4 +81,43 @@ class TextOpsSpec extends SparkSpec {
     // ordered by frequency desc then subword asc
     assert(vocab.sortBy(v => (-v._2, v._1)).toSeq == vocab.toSeq)
   }
+
+  private def merges(text: String, rounds: Int) =
+    TextOps.bpeMerges(Seq((1L, text)).toDF("doc_id", "text"), rounds)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+
+  test("bpeMerges: textbook trajectory with count-weighted dictionary") {
+    // low×3 lower lowest: (l,o) ties (o,w) at 5, l < o breaks it; the
+    // merged symbol then participates in the next round's pairs
+    assert(merges("low low low lower lowest", 3) == Seq(
+      (1, "l", "o", "lo", 5L),
+      (2, "lo", "w", "low", 5L),
+      (3, "low", "e", "lowe", 2L)))
+  }
+
+  test("bpeMerges: runs merge greedily left-to-right, non-overlapping") {
+    // 'aaaa' pairs count overlaps ((a,a)×3 per word) but the merge is
+    // greedy: aaaa → (aa)(aa), so round 2 can merge (aa,aa). A
+    // boundary-consuming replace would leave aa,a,a and fail this.
+    assert(merges("aaaa aaaa ab", 3) == Seq(
+      (1, "a", "a", "aa", 6L),
+      (2, "aa", "aa", "aaaa", 2L),
+      (3, "a", "b", "ab", 1L)))
+  }
+
+  test("bpeMerges: alternating occurrences all merge") {
+    // abab → (ab)(ab): the second occurrence must not lose its leading
+    // boundary to the first one's match
+    assert(merges("abab abab ababab", 3) == Seq(
+      (1, "a", "b", "ab", 7L),
+      (2, "ab", "ab", "abab", 4L),
+      (3, "abab", "ab", "ababab", 1L)))
+  }
+
+  test("bpeMerges: merged symbol pairs with a preceding single char") {
+    assert(merges("aaa baaa aa", 3) == Seq(
+      (1, "a", "a", "aa", 5L),
+      (2, "aa", "a", "aaa", 2L),
+      (3, "b", "aaa", "baaa", 1L)))
+  }
 }
