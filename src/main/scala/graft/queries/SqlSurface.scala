@@ -354,14 +354,16 @@ object SqlSurface {
     //     engine-identical — floating PageRank would hash-diverge on
     //     summation order alone. See GraphOps.pageRank ---
     "q101_pagerank" -> ((s, d) => {
-      val l = t(s, d, "lineitem").filter(col("l_quantity") >= 30)
+      val l = t(s, d, "lineitem").filter(col("l_quantity") >= 40)
         .select(col("l_orderkey"), col("l_partkey"))
-      val und = l.select(col("l_orderkey"), col("l_partkey").as("src"))
+      // both directions straight from the self-join (src != dst), NOT
+      // canonical-pairs-then-union — a union would evaluate the
+      // self-join subtree twice in the edge-cache fill
+      val directed = l.select(col("l_orderkey"), col("l_partkey").as("src"))
         .join(l.select(col("l_orderkey"), col("l_partkey").as("dst")),
           Seq("l_orderkey"))
-        .filter(col("src") < col("dst"))
+        .filter(col("src") =!= col("dst"))
         .select("src", "dst").distinct()
-      val directed = und.union(und.select(col("dst"), col("src")))
       GraphOps.pageRank(directed, iterations = 3).orderBy("node_id")
     }),
 
@@ -1171,12 +1173,11 @@ object SqlSurface {
     // double division is exact and DuckDB's round-on-cast equals
     // Spark's truncate-on-cast.
     "q101_pagerank" ->
-      """WITH e0 AS (
+      """WITH e AS (
         |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
         |  FROM lineitem a JOIN lineitem b
-        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-        |  WHERE a.l_quantity >= 30 AND b.l_quantity >= 30),
-        | e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        |  WHERE a.l_quantity >= 40 AND b.l_quantity >= 40),
         | verts AS (SELECT DISTINCT src AS v FROM e),
         | od AS (SELECT src AS v, count(*) AS d FROM e GROUP BY src),
         | r0 AS (SELECT v, CAST(1000000 AS BIGINT) AS r FROM verts),
