@@ -153,6 +153,45 @@ object Pipeline {
     docs.filter(expr(s"char_poly_hash(text) % 100 < $pct"))
   }
 
+  /** Deterministic probability-proportional-to-size (Poisson/IPPS)
+    * sampling targeting ~`targetDocs` draws: doc `i` with integer
+    * weight `w_i` (token count) is kept with inclusion probability
+    * `p_i = min(1, targetDocs·w_i / W)` where `W = Σw` — the classic
+    * size-biased corpus sample, with `ht_weight = 1/p_i` emitted so
+    * downstream statistics can be Horvitz-Thompson-unbiased.
+    *
+    * Same determinism contract as [[systematicSample]]: the draw is
+    * `charHash(text) mod M < thresh_i` with
+    * `thresh_i = min(M, (targetDocs·w_i·M) div W)` — all exact integer
+    * arithmetic (magnitudes: `targetDocs·w_i·M` must stay under 2^63,
+    * i.e. `targetDocs·w_max < 9·10^12`; ANSI mode turns an overflow
+    * into a loud error, never a silent wrap), so the sample is a pure
+    * function of content, invariant under partitioning and engine.
+    * `ht_weight = M/thresh_i` is the realized
+    * (post-floor) inverse probability: one IEEE division of
+    * exactly-representable integers, bitwise portable.
+    *
+    * Scale shape: one partial-aggregated `sum(w)` reduced to a 1-row
+    * frame and broadcast back (never a driver collect), then a pure
+    * per-row codegen'd filter — no other shuffle at any corpus size.
+    */
+  def weightedSample(docs: DataFrame, targetDocs: Long): DataFrame = {
+    require(targetDocs > 0, s"targetDocs must be > 0: $targetDocs")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val M = graft.operators.TextOps.HashP
+    val weighted = docs
+      .withColumn("n_tokens", expr("bigint(size(split(text, ' ')))"))
+    val tot = weighted.agg(sum("n_tokens").as("total_w"))
+    weighted
+      .crossJoin(broadcast(tot))
+      .withColumn("thresh", least(lit(M),
+        expr(s"($targetDocs * n_tokens * ${M}L) div total_w")))
+      .filter(expr(s"char_poly_hash(text) % ${M}L") < col("thresh"))
+      .withColumn("ht_weight",
+        lit(M).cast("double") / col("thresh").cast("double"))
+      .drop("total_w")
+  }
+
   /** Train/test contamination check: for every test doc, count distinct
     * train docs sharing at least one word n-gram, via the inverted-
     * index join (shingle-keyed shuffle — never a cross join). The

@@ -185,6 +185,14 @@ object LlmSurface {
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")),
 
+    // --- deterministic size-biased (IPPS/Poisson) sampling with
+    //     Horvitz-Thompson weights: p_i ∝ token count, exact-integer
+    //     thresholds, content-hash draw — see Pipeline.weightedSample ---
+    "q103_weighted_sample" -> ((s, d) =>
+      Pipeline.weightedSample(docs(s, d), targetDocs = 100L)
+        .select("doc_id", "n_tokens", "thresh", "ht_weight")
+        .orderBy("doc_id")),
+
     // --- train/test contamination via n-gram overlap ---
     "q48_contamination" -> ((s, d) => {
       val withBucket = Pipeline.split(docs(s, d))
@@ -730,6 +738,25 @@ object LlmSurface {
       val h = dkCharHash("text")
       s"""SELECT doc_id, lang, source FROM documents
          |WHERE $h % 100 < 10 ORDER BY doc_id""".stripMargin
+    },
+
+    // DuckDB twin of q103: same exact-integer IPPS thresholds; `//`
+    // is DuckDB's integer floor division (Spark: `div`), and the HT
+    // weight is one IEEE division of exact integers in both engines
+    "q103_weighted_sample" -> {
+      val h = dkCharHash("text")
+      val M = TextOps.HashP
+      s"""WITH w AS (SELECT doc_id, text,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         | t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_w FROM w),
+         | th AS (SELECT doc_id, text, n_tokens,
+         |    least($M, (100 * n_tokens * $M) // total_w) AS thresh
+         |  FROM w, t)
+         |SELECT doc_id, n_tokens, thresh,
+         |  CAST($M AS DOUBLE) / CAST(thresh AS DOUBLE) AS ht_weight
+         |FROM th WHERE $h % $M < thresh
+         |ORDER BY doc_id""".stripMargin
     },
 
     "q48_contamination" -> {

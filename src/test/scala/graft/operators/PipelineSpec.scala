@@ -116,6 +116,48 @@ class PipelineSpec extends SparkSpec {
     assert(again == kept.select("doc_id").as[Long].collect().sorted.toSeq)
   }
 
+  test("weightedSample: exact IPPS thresholds, hand-computed") {
+    // replicate char_poly_hash in the test so expected keeps are
+    // derived independently of the operator
+    def h(s: String): Long =
+      s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1000003L)
+    val M = 1000003L
+    val texts = Seq("a b", "x y z", "p q r s t") // weights 2, 3, 5; W=10
+    val corpus = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = Pipeline.weightedSample(corpus, targetDocs = 1L)
+      .select("doc_id", "n_tokens", "thresh", "ht_weight")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val expected = texts.zipWithIndex.flatMap { case (t, i) =>
+      val w = t.split(" ").length.toLong
+      val thresh = math.min(M, 1L * w * M / 10L)
+      if (h(t) % M < thresh)
+        Some((i.toLong, w, thresh, M.toDouble / thresh.toDouble))
+      else None
+    }
+    assert(got == expected)
+    // hand-check one threshold: floor(5 * 1000003 / 10) = 500001
+    assert(expected.forall { case (_, w, th, _) =>
+      th == math.min(M, w * M / 10L) })
+  }
+
+  test("weightedSample: oversize docs are certainty draws, ht = 1") {
+    // one doc holds >half the mass with targetDocs=2 → p=1, always kept
+    val big = (1 to 300).map("w" + _).mkString(" ")
+    val corpus = (Seq((0L, big)) ++
+      (1 to 50).map(i => (i.toLong, s"tiny doc $i"))).toDF("doc_id", "text")
+    val got = Pipeline.weightedSample(corpus, targetDocs = 2L)
+      .select("doc_id", "thresh", "ht_weight")
+      .as[(Long, Long, Double)].collect()
+    val bigRow = got.find(_._1 == 0L)
+    assert(bigRow.isDefined, "certainty draw must be present")
+    assert(bigRow.get._2 == 1000003L && bigRow.get._3 == 1.0)
+    // determinism under repartitioning
+    val again = Pipeline.weightedSample(corpus.repartition(7), 2L)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(again == got.map(_._1).sorted.toSeq)
+  }
+
   test("contamination finds planted train/test n-gram overlap") {
     val train = Seq((1L, (1 to 20).map("t" + _).mkString(" ")),
       (2L, "unrelated train words only here padding pad pad pad")).toDF("doc_id", "text")
