@@ -73,7 +73,18 @@ object Explain {
     "q103_weighted_sample" ->
       ("Weighted IPPS sampling: the corpus token total rides as a " +
         "broadcast 1-row frame inside the plan; the draw itself is a " +
-        "per-row codegen'd hash filter — no exchange anywhere else."))
+        "per-row codegen'd hash filter — no exchange anywhere else."),
+    "q104_bpe_encode" ->
+      ("Tokenizer encode via the dictionary trick: the vocabulary-sized " +
+        "encoded dictionary joins the corpus words as a " +
+        "`BroadcastHashJoin`; the corpus pays one explode + broadcast " +
+        "probe + partial-aggregated per-doc rollup — the merge-learning " +
+        "chain above it touches only dictionary-sized frames."),
+    "q107_kmeans" ->
+      ("k-means E-step: the k centroids (with precomputed self-dots) " +
+        "ride as ONE broadcast row; assignment is a per-row argmin " +
+        "(`array_min` over (d2, id) structs) — the corpus is scanned " +
+        "once and nothing shuffles until the k-row cluster rollup."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -106,6 +106,54 @@ object Bucketing {
     (before.length, parquetFiles(d).length)
   }
 
+  /** Z-order clustered write — the multi-column data-skipping layout.
+    * Sorting by a lexicographic key gives narrow per-file min/max
+    * envelopes on the FIRST column only; interleaving the bits of every
+    * clustered column's bucket rank into one z-value and range-sorting
+    * by it gives narrow envelopes on ALL of them, so parquet
+    * row-group/file pruning works for predicates on any clustered
+    * column. This is the layout lever that turns a 100 TB full scan
+    * into a handful of file reads for selective multi-dimension
+    * filters (Delta/Iceberg OPTIMIZE ZORDER is this same construction).
+    *
+    * Bucket ranks here are linear min/max scaling — one agg pass whose
+    * 1-row result rides back as a broadcast (no collect); production
+    * layouts use approx-quantile splits instead when value skew is
+    * heavy (same z construction, different rank function). The write
+    * itself is `repartitionByRange(z)` + in-partition sort — fully
+    * parallel, no global sort task.
+    */
+  def zorderWrite(df: DataFrame, outDir: String, cols: Seq[String],
+                  bits: Int = 8, numFiles: Int = 16): Unit = {
+    require(cols.nonEmpty, "zorderWrite needs at least one column")
+    import org.apache.spark.sql.functions._
+    val k = cols.size
+    val maxB = (1 << bits) - 1
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c)).cast("double").as(s"_zmn_$c"),
+      max(col(c)).cast("double").as(s"_zmx_$c")))
+    val stats = df.agg(aggs.head, aggs.tail: _*)
+    val ranked = cols.zipWithIndex.foldLeft(df.crossJoin(broadcast(stats))) {
+      case (acc, (c, j)) =>
+        val span = when(col(s"_zmx_$c") > col(s"_zmn_$c"),
+          col(s"_zmx_$c") - col(s"_zmn_$c")).otherwise(lit(1.0))
+        acc.withColumn(s"_zb_$j",
+          least(lit(maxB.toLong), greatest(lit(0L),
+            floor((col(c).cast("double") - col(s"_zmn_$c")) / span *
+              maxB).cast("long"))))
+    }
+    val zExpr = (0 until bits).flatMap(i => (0 until k).map(j =>
+      s"shiftleft(shiftright(_zb_$j, $i) & 1, ${i * k + j})"))
+      .mkString(" + ")
+    val helper = cols.flatMap(c => Seq(s"_zmn_$c", s"_zmx_$c")) ++
+      (0 until k).map(j => s"_zb_$j") :+ "_z"
+    ranked.withColumn("_z", expr(zExpr))
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop(helper: _*)
+      .write.mode("overwrite").parquet(outDir)
+  }
+
   private def deleteRecursively(f: java.io.File): Unit = if (f.exists()) {
     if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
     f.delete(): Unit

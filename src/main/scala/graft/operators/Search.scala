@@ -70,6 +70,45 @@ object Search {
     spark.table(tableName).filter(col("term").isin(terms: _*))
   }
 
+  /** Positional postings: one row per (term, doc, 0-based position) —
+    * the positional inverted index exact-phrase queries need (what
+    * Lucene stores when a field is indexed with positions). `pos` is
+    * widened to long up front so downstream arithmetic and the oracle
+    * agree on types.
+    */
+  def positionalPostings(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        posexplode(TextOps.tokens("text")).as(Seq("pos", "term")))
+      .select(col("doc_id"), col("term"), col("pos").cast("long").as("pos"))
+
+  /** Exact phrase search: the k-term phrase is an equi-join of k
+    * posting lists on `(doc_id, pos - offset)`. Each list is filtered
+    * to ONE literal term BEFORE the join — against a term-bucketed
+    * persisted index ([[writeIndex]] with positions) that filter prunes
+    * to one bucket per term, so the join inputs are per-term posting
+    * lists, never the corpus; the joins are plain hash equi-joins on
+    * (doc_id, pos), and AQE broadcasts whichever side is rare. Output:
+    * one row per matching doc with its occurrence count and first
+    * match position.
+    */
+  def phraseSearch(docs: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    val posts = positionalPostings(docs)
+    // anchor: positions of the phrase's first term
+    val first = posts.filter(col("term") === lit(phrase.head))
+      .select(col("doc_id"), col("pos"))
+    val matched = phrase.zipWithIndex.drop(1).foldLeft(first) {
+      case (acc, (term, i)) =>
+        val p = posts.filter(col("term") === lit(term))
+          .select(col("doc_id"), (col("pos") - lit(i.toLong)).as("pos"))
+        acc.join(p, Seq("doc_id", "pos"))
+    }
+    matched.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_occurrences"), min("pos").as("first_pos"))
+      .orderBy("doc_id")
+  }
+
   /** BM25 ranking — the scoring Lucene actually runs under the
     * reference's ES queries. `log`-based idf means results are NOT
     * bit-portable across engines (libm), so this is spec-tested with

@@ -309,4 +309,45 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("q_id", "neighbor_id", "rank", "ip", "qcos")
   }
+
+  /** The assignment (E-)step of one distributed k-means/Lloyd iteration
+    * over the embedding corpus: every vector is assigned to its nearest
+    * centroid (squared-L2, ties by centroid id). Centroids are the rows
+    * matching `centroidPred` (a fixed seed-id predicate keeps the
+    * iteration deterministic; a real run feeds back the previous
+    * round's means).
+    *
+    * Scale shape — exactly how MLlib's k-means distributes: the k
+    * centroids ride as ONE broadcast row (an array of structs with
+    * pre-computed self-dots), the corpus is scanned once with a per-row
+    * argmin, and nothing shuffles until the k-row cluster rollup the
+    * caller aggregates. Per row the distance uses the expansion
+    * `|v|² + |c|² − 2·(v·c)` so the corpus-side self-dot `|v|²` is
+    * computed once per row (not once per centroid) and each dot is the
+    * native codegen'd `array_dot` fold — bit-identical to the oracle's
+    * `list_reduce` (see the module scaladoc on float-fold order).
+    * Output: (vec_id, cluster, d2, v0) — `v0` carries dimension 0 so
+    * the caller's rollup can emit fixed-point new-centroid sums.
+    */
+  def kmeansAssign(emb: DataFrame, centroidPred: String,
+                   dim: Int = DefaultDim): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val v = emb
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("dvec"))
+      .withColumn("nv", dot(col("dvec"), col("dvec"), dim))
+    val cents = v.filter(expr(centroidPred))
+      .select(struct(col("vec_id").as("c_id"), col("dvec").as("cv"),
+        col("nv").as("cn2")).as("s"))
+      .agg(collect_list(col("s")).as("cs"))
+    v.crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        // argmin as an order-invariant array_min over (d2, c_id) structs
+        expr("array_min(transform(cs, s -> struct(" +
+          "nv + s.cn2 - 2.0D * array_dot(dvec, s.cv) AS d2, " +
+          "s.c_id AS c_id)))").as("m"),
+        expr("dvec[0]").as("v0"))
+      .select(col("vec_id"), col("m.c_id").as("cluster"),
+        col("m.d2").as("d2"), col("v0"))
+  }
 }

@@ -214,6 +214,29 @@ object TextOps {
     * matching the classic implementation. No floats anywhere.
     */
   def bpeMerges(docs: DataFrame, rounds: Int): DataFrame = {
+    val (cached, _, winners) = bpeLoop(docs, rounds)
+    // winners are materialized inside the loop; the merge table does
+    // not reference the dictionary, so the corpus-pass cache can go.
+    cached.unpersist()
+    winners
+      .reduce(_.unionByName(_))
+      .select(col("step"), col("l").as("left_sym"),
+        col("r").as("right_sym"),
+        concat(col("l"), col("r")).as("merged"), col("n"))
+      .orderBy("step")
+  }
+
+  /** The shared BPE merge loop: learns `rounds` merges and carries the
+    * word dictionary through every rewrite. Returns (the persisted
+    * corpus-pass dictionary handle, the dictionary AFTER all merges
+    * applied, the per-round 1-row winner frames — each already
+    * materialized). [[bpeMerges]] ships the winners (and unpersists the
+    * corpus pass); [[bpeEncode]] ships the rewritten dictionary and
+    * must leave the corpus pass persisted until its final action runs
+    * (the bench/verify harnesses `clearCache()` per query).
+    */
+  private def bpeLoop(docs: DataFrame, rounds: Int)
+      : (DataFrame, DataFrame, Seq[DataFrame]) = {
     require(rounds >= 1, s"rounds must be >= 1: $rounds")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val Sep = "\u001f"
@@ -233,7 +256,7 @@ object TextOps {
     val spark = docs.sparkSession
     def truncate(df: DataFrame): DataFrame =
       spark.createDataFrame(df.rdd, df.schema)
-    var cached = docs
+    val cached = docs
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("cnt"))
@@ -269,13 +292,41 @@ object TextOps {
             concat(S, col("w_l"), S, S, col("w_r"), S),
             concat(S, col("w_l"), col("w_r"), S)).as("seq"))
     }
-    cached.unpersist()
-    winners.result()
-      .reduce(_.unionByName(_))
-      .select(col("step"), col("l").as("left_sym"),
-        col("r").as("right_sym"),
-        concat(col("l"), col("r")).as("merged"), col("n"))
-      .orderBy("step")
+    (cached, dict, winners.result())
+  }
+
+  /** Tokenizer ENCODE: apply `rounds` learned BPE merges back to the
+    * corpus and report per-document subword statistics
+    * `(doc_id, n_words, n_chars, n_bpe_tokens)` — `n_bpe_tokens /
+    * n_chars` is the compression the learned vocabulary achieves,
+    * the number a tokenizer-training loop watches.
+    *
+    * Scale shape — the same dictionary trick as learning, in reverse:
+    * each DISTINCT word is encoded exactly once (the merge loop's
+    * rewritten dictionary already IS the encoded vocabulary: counting
+    * the `␟sym␟` groups in `seq` gives the word's subword count), and
+    * the vocabulary-sized dictionary is then broadcast back onto the
+    * corpus words. The corpus pays one explode + one broadcast hash
+    * join + one partial-aggregated `groupBy(doc_id)` — no corpus-sized
+    * shuffle other than the per-doc rollup, at any corpus size. This is
+    * exactly how production tokenizers batch-encode: vocabulary on
+    * every worker, one streaming pass over the data.
+    */
+  def bpeEncode(docs: DataFrame, rounds: Int): DataFrame = {
+    val (_, dict, _) = bpeLoop(docs, rounds)
+    val Sep = "\u001f"
+    val enc = dict.select(col("word"),
+      size(split(trim(col("seq"), Sep), Sep + Sep)).cast("long")
+        .as("n_sub"))
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .join(broadcast(enc), Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("word"))).cast("long").as("n_chars"),
+        sum(col("n_sub")).as("n_bpe_tokens"))
+      .orderBy("doc_id")
   }
 
   /** Order-sensitive document fingerprint: rolling polynomial hash of the

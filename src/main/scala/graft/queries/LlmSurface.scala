@@ -44,6 +44,26 @@ object LlmSurface {
     "q26_tfidf_search" -> ((s, d) =>
       Search.search(docs(s, d), searchTerms, 20)),
 
+    // --- exact phrase query over the positional inverted index
+    //     (ES match_phrase analogue): k literal-term posting lists
+    //     equi-joined on (doc_id, pos - offset) ---
+    "q105_phrase_search" -> ((s, d) =>
+      Search.phraseSearch(docs(s, d), Seq("big", "order", "scan"))),
+
+    // --- per-source document cap (the C4/RefinedWeb "at most N pages
+    //     per domain" curation rule): keep each source's top-3 docs by
+    //     quality. One shuffle keyed by source; the rank window never
+    //     sees more than one source's rows per partition ---
+    "q106_source_cap" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(desc("quality"), asc("doc_id"))
+      TextOps.withQuality(docs(s, d))
+        .select(col("doc_id"), col("source"), col("quality"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .orderBy("source", "rn")
+    }),
+
     // --- language ID by stopword-marker counting ---
     "q27_langid" -> ((s, d) =>
       TextOps.withLangId(docs(s, d))
@@ -155,6 +175,18 @@ object LlmSurface {
           (col("hits").cast("double") / lit(10).cast("double")).as("recall"))
         .orderBy("q_id")
     }),
+
+    // --- one Lloyd/k-means iteration over the embedding corpus:
+    //     broadcast-centroid assignment (E-step) + fixed-point update
+    //     statistics (M-step sums) — the embedding-clustering primitive
+    //     behind semantic dedup and topic bucketing ---
+    "q107_kmeans" -> ((s, d) =>
+      Similarity.kmeansAssign(emb(s, d), "vec_id < 4")
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n_members"),
+          sum(expr("bigint(floor(d2 * 1048576.0d))")).as("sum_d2_fx"),
+          sum(expr("bigint(floor(v0 * 1048576.0d))")).as("sum_v0_fx"))
+        .orderBy("cluster")),
 
     // --- context-window chunking (sliding token windows) ---
     "q44_chunk" -> ((s, d) =>
@@ -476,6 +508,25 @@ object LlmSurface {
          |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
     },
 
+    // Positional postings (DuckDB list index is 1-based -> pos = i - 1
+    // matches Spark's 0-based posexplode); the 3-term phrase is two
+    // +offset self-joins anchored on the first term.
+    "q105_phrase_search" ->
+      """WITH tp AS (SELECT doc_id, z[1] AS term, z[2] - 1 AS pos
+        |  FROM (SELECT doc_id, unnest(list_zip(toks,
+        |          list_transform(toks, (x, i) -> i::BIGINT))) AS z
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |              FROM documents)))
+        |SELECT a.doc_id, count(*) AS n_occurrences,
+        |  CAST(min(a.pos) AS BIGINT) AS first_pos
+        |FROM tp a
+        |JOIN tp b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |         AND b.term = 'order'
+        |JOIN tp c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+        |         AND c.term = 'scan'
+        |WHERE a.term = 'big'
+        |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin,
+
     "q27_langid" -> {
       val scores = TextOps.langMarkers.map { case (lang, words) =>
         val arr = words.map(w => s"'$w'").mkString(", ")
@@ -507,6 +558,26 @@ object LlmSurface {
          |   + 0.3 * least(1.0::DOUBLE, n_tokens::DOUBLE / 100.0)
          |   + 0.3 * (1.0 - n_stop::DOUBLE / n_tokens::DOUBLE) AS quality
          |FROM q ORDER BY doc_id""".stripMargin,
+
+    // Same quality arithmetic as q28; the cap is a rank window with a
+    // total-ordered tie-break (quality DESC, doc_id ASC).
+    "q106_source_cap" ->
+      s"""WITH q AS (SELECT doc_id, source,
+         |  len(toks)::BIGINT AS n_tokens,
+         |  len(list_distinct(toks))::BIGINT AS n_distinct,
+         |  len(list_filter(toks, t -> list_contains([$enMarkers], t)))::BIGINT AS n_stop
+         | FROM (SELECT doc_id, source, string_split(text, ' ') AS toks
+         |       FROM documents)),
+         | sc AS (SELECT doc_id, source,
+         |  0.4 * (n_distinct::DOUBLE / n_tokens::DOUBLE)
+         |   + 0.3 * least(1.0::DOUBLE, n_tokens::DOUBLE / 100.0)
+         |   + 0.3 * (1.0 - n_stop::DOUBLE / n_tokens::DOUBLE) AS quality
+         | FROM q),
+         | r AS (SELECT doc_id, source, quality, row_number() OVER (
+         |    PARTITION BY source ORDER BY quality DESC, doc_id) AS rn
+         |  FROM sc)
+         |SELECT doc_id, source, quality, rn FROM r WHERE rn <= 3
+         |ORDER BY source, rn""".stripMargin,
 
     "q29_tokencount" ->
       """SELECT doc_id,
@@ -654,6 +725,29 @@ object LlmSurface {
          |    AS recall
          |FROM normed n LEFT JOIN hits h ON n.vec_id = h.q_id
          |WHERE n.vec_id < 50 ORDER BY q_id""".stripMargin,
+
+    // Same |v|² + |c|² − 2·(v·c) expansion as Similarity.kmeansAssign
+    // (each dot a left fold, the combining expression parsed
+    // identically), argmin as rn = 1 with the (d2, c_id) tie-break.
+    "q107_kmeans" ->
+      s"""WITH ev AS (SELECT vec_id,
+         |   list_transform(embedding, x -> x::DOUBLE) AS v
+         |  FROM embeddings),
+         | nv AS (SELECT vec_id, v, ${dkDot("v", "v")} AS n2 FROM ev),
+         | c AS (SELECT vec_id AS c_id, v AS cv, n2 AS cn2
+         |  FROM nv WHERE vec_id < 4),
+         | d AS (SELECT nv.vec_id, c.c_id,
+         |   nv.n2 + c.cn2 - 2.0 * ${dkDot("nv.v", "c.cv")} AS d2,
+         |   nv.v[1] AS v0
+         |  FROM nv, c),
+         | a AS (SELECT vec_id, c_id, d2, v0, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY d2, c_id) AS rn FROM d)
+         |SELECT c_id AS cluster, count(*) AS n_members,
+         |  CAST(sum(CAST(floor(d2 * 1048576.0) AS BIGINT)) AS BIGINT)
+         |    AS sum_d2_fx,
+         |  CAST(sum(CAST(floor(v0 * 1048576.0) AS BIGINT)) AS BIGINT)
+         |    AS sum_v0_fx
+         |FROM a WHERE rn = 1 GROUP BY c_id ORDER BY cluster""".stripMargin,
 
     // same knn core as q35 (rank <= 10 over the same cosine, so ranks
     // are bit-identical), then vote/argmax in engine-identical SQL

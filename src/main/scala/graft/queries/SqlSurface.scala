@@ -51,6 +51,40 @@ object SqlSurface {
   private def t(s: SparkSession, d: String, n: String): DataFrame =
     Tables.table(s, d, n)
 
+  /** DuckDB twin of TextOps.bpeLoop: the merge-learning CTE chain,
+    * unrolled through `rounds` rounds. Yields CTEs `wd, d0,
+    * p1, w1, d1, …, p<r>, w<r>, d<r>` — `w<i>` is round i's winning
+    * pair, `d<i>` the dictionary after applying it. Same
+    * dictionary/pair-count/argmax/greedy-replace scheme with every
+    * symbol individually chr(31)-wrapped, so each pair match is
+    * self-contained and plain replace = classic greedy BPE (see
+    * TextOps.bpeMerges for why single sentinels would be wrong).
+    * Shared by the q102 (merge table) and q104 (encode) oracles so the
+    * chain has exactly one encoding.
+    */
+  private def dkBpeChain(rounds: Int): String = {
+    val head =
+      """wd AS (
+        |  SELECT w AS word, count(*) AS cnt
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE w <> '' GROUP BY w),
+        | d0 AS (SELECT word, cnt,
+        |   array_to_string(list_transform(string_split(word, ''),
+        |     c -> chr(31) || c || chr(31)), '') AS seq FROM wd)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      s""" p$i AS (SELECT z[1] AS l, z[2] AS r, CAST(sum(cnt) AS BIGINT) AS n FROM (
+         |    SELECT cnt, unnest(list_zip(syms[:-1], syms[2:])) AS z
+         |    FROM (SELECT cnt, string_split(trim(seq, chr(31)), chr(31) || chr(31)) AS syms FROM d${i - 1}))
+         |   WHERE z[2] IS NOT NULL GROUP BY z[1], z[2]),
+         | w$i AS (SELECT l, r, n FROM p$i ORDER BY n DESC, l, r LIMIT 1),
+         | d$i AS (SELECT word, cnt,
+         |    replace(seq, chr(31) || w.l || chr(31) || chr(31) || w.r || chr(31),
+         |                 chr(31) || w.l || w.r || chr(31)) AS seq
+         |   FROM d${i - 1}, w$i w)""".stripMargin
+    }
+    (head +: steps).mkString(",\n")
+  }
+
   /** Run SQL through the reference-parity gate (exercises O2-O7 and the
     * O15/O16 request-log line, emitted to stderr per gated query). */
   private def gated(s: SparkSession, d: String, sql: String): DataFrame = {
@@ -374,6 +408,14 @@ object SqlSurface {
     //     merges. See TextOps.bpeMerges ---
     "q102_bpe_merges" -> ((s, d) =>
       TextOps.bpeMerges(t(s, d, "documents"), rounds = 5)),
+
+    // --- tokenizer ENCODE: the 5 learned merges applied back to the
+    //     corpus via the encoded word dictionary (vocabulary-sized,
+    //     broadcast) — per-doc subword counts; the corpus pays one
+    //     explode + broadcast join + partial-agg rollup, no other
+    //     shuffle. See TextOps.bpeEncode ---
+    "q104_bpe_encode" -> ((s, d) =>
+      TextOps.bpeEncode(t(s, d, "documents"), rounds = 5)),
 
     // --- LATERAL correlated subquery join: per-outer-row dependent
     //     subquery with its own ORDER BY + LIMIT ("top-2 orders per
@@ -918,6 +960,26 @@ object SqlSurface {
         .orderBy("o_orderpriority")
     }),
 
+    // --- join-key skew diagnostics: the distribution report that tells
+    //     you whether q75's salting (or AQE skew splitting) is needed
+    //     for a key BEFORE running the join. One partial-agg shuffle to
+    //     key counts (keys-sized, not rows-sized), then a single-row
+    //     rollup; the exact percentile over key counts keeps the oracle
+    //     bit-exact — at 100 TB swap in approx_percentile (q43's
+    //     tolerance pattern) so the rollup stays partial-aggregable ---
+    "q108_skew_report" -> ((s, d) => {
+      val counts = t(s, d, "lineitem")
+        .groupBy("l_partkey").agg(count(lit(1)).as("cnt"))
+      counts.agg(
+        count(lit(1)).as("n_keys"),
+        sum("cnt").as("n_rows"),
+        max("cnt").as("max_cnt"),
+        expr("percentile(cnt, 0.5)").as("p50"),
+        expr("percentile(cnt, 0.99)").as("p99"),
+        (max("cnt").cast("double") * count(lit(1)).cast("double") /
+          sum("cnt").cast("double")).as("skew_factor"))
+    }),
+
     // --- map functions: construct/concat/keys/values/element_at.
     //     Map-typed cells don't hash in the driver's diff, so outputs
     //     are serialized scalars; the map ops still run on this side
@@ -1206,67 +1268,32 @@ object SqlSurface {
         |  CAST(r AS DOUBLE) / 1000000 AS rank
         |FROM r3 ORDER BY node_id""".stripMargin,
 
-    // DuckDB twin of q102: the 5 merge rounds unrolled; same
-    // dictionary/pair-count/argmax/greedy-replace scheme with every
-    // symbol individually chr(31)-wrapped, so each pair match is
-    // self-contained and plain replace = classic greedy BPE (see
-    // TextOps.bpeMerges for why single sentinels would be wrong).
+    // DuckDB twin of q102: the shared merge-learning chain (see
+    // dkBpeChain) + the 5 winners stacked into the merge table.
     "q102_bpe_merges" ->
-      """WITH wd AS (
-        |  SELECT w AS word, count(*) AS cnt
-        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-        |  WHERE w <> '' GROUP BY w),
-        | d0 AS (SELECT word, cnt,
-        |   array_to_string(list_transform(string_split(word, ''),
-        |     c -> chr(31) || c || chr(31)), '') AS seq FROM wd),
-        | p1 AS (SELECT z[1] AS l, z[2] AS r, CAST(sum(cnt) AS BIGINT) AS n FROM (
-        |    SELECT cnt, unnest(list_zip(syms[:-1], syms[2:])) AS z
-        |    FROM (SELECT cnt, string_split(trim(seq, chr(31)), chr(31) || chr(31)) AS syms FROM d0))
-        |   WHERE z[2] IS NOT NULL GROUP BY z[1], z[2]),
-        | w1 AS (SELECT l, r, n FROM p1 ORDER BY n DESC, l, r LIMIT 1),
-        | d1 AS (SELECT word, cnt,
-        |    replace(seq, chr(31) || w.l || chr(31) || chr(31) || w.r || chr(31),
-        |                 chr(31) || w.l || w.r || chr(31)) AS seq
-        |   FROM d0, w1 w),
-        | p2 AS (SELECT z[1] AS l, z[2] AS r, CAST(sum(cnt) AS BIGINT) AS n FROM (
-        |    SELECT cnt, unnest(list_zip(syms[:-1], syms[2:])) AS z
-        |    FROM (SELECT cnt, string_split(trim(seq, chr(31)), chr(31) || chr(31)) AS syms FROM d1))
-        |   WHERE z[2] IS NOT NULL GROUP BY z[1], z[2]),
-        | w2 AS (SELECT l, r, n FROM p2 ORDER BY n DESC, l, r LIMIT 1),
-        | d2 AS (SELECT word, cnt,
-        |    replace(seq, chr(31) || w.l || chr(31) || chr(31) || w.r || chr(31),
-        |                 chr(31) || w.l || w.r || chr(31)) AS seq
-        |   FROM d1, w2 w),
-        | p3 AS (SELECT z[1] AS l, z[2] AS r, CAST(sum(cnt) AS BIGINT) AS n FROM (
-        |    SELECT cnt, unnest(list_zip(syms[:-1], syms[2:])) AS z
-        |    FROM (SELECT cnt, string_split(trim(seq, chr(31)), chr(31) || chr(31)) AS syms FROM d2))
-        |   WHERE z[2] IS NOT NULL GROUP BY z[1], z[2]),
-        | w3 AS (SELECT l, r, n FROM p3 ORDER BY n DESC, l, r LIMIT 1),
-        | d3 AS (SELECT word, cnt,
-        |    replace(seq, chr(31) || w.l || chr(31) || chr(31) || w.r || chr(31),
-        |                 chr(31) || w.l || w.r || chr(31)) AS seq
-        |   FROM d2, w3 w),
-        | p4 AS (SELECT z[1] AS l, z[2] AS r, CAST(sum(cnt) AS BIGINT) AS n FROM (
-        |    SELECT cnt, unnest(list_zip(syms[:-1], syms[2:])) AS z
-        |    FROM (SELECT cnt, string_split(trim(seq, chr(31)), chr(31) || chr(31)) AS syms FROM d3))
-        |   WHERE z[2] IS NOT NULL GROUP BY z[1], z[2]),
-        | w4 AS (SELECT l, r, n FROM p4 ORDER BY n DESC, l, r LIMIT 1),
-        | d4 AS (SELECT word, cnt,
-        |    replace(seq, chr(31) || w.l || chr(31) || chr(31) || w.r || chr(31),
-        |                 chr(31) || w.l || w.r || chr(31)) AS seq
-        |   FROM d3, w4 w),
-        | p5 AS (SELECT z[1] AS l, z[2] AS r, CAST(sum(cnt) AS BIGINT) AS n FROM (
-        |    SELECT cnt, unnest(list_zip(syms[:-1], syms[2:])) AS z
-        |    FROM (SELECT cnt, string_split(trim(seq, chr(31)), chr(31) || chr(31)) AS syms FROM d4))
-        |   WHERE z[2] IS NOT NULL GROUP BY z[1], z[2]),
-        | w5 AS (SELECT l, r, n FROM p5 ORDER BY n DESC, l, r LIMIT 1)
-        |SELECT 1 AS step, l AS left_sym, r AS right_sym,
-        |  l || r AS merged, n FROM w1
-        |UNION ALL SELECT 2, l, r, l || r, n FROM w2
-        |UNION ALL SELECT 3, l, r, l || r, n FROM w3
-        |UNION ALL SELECT 4, l, r, l || r, n FROM w4
-        |UNION ALL SELECT 5, l, r, l || r, n FROM w5
-        |ORDER BY step""".stripMargin,
+      (s"WITH ${dkBpeChain(5)}\n" +
+        (1 to 5).map(i =>
+          s"SELECT $i AS step, l AS left_sym, r AS right_sym, " +
+            s"l || r AS merged, n FROM w$i")
+          .mkString("", "\nUNION ALL ", "\nORDER BY step")),
+
+    // DuckDB twin of q104: the same chain, but shipping the round-5
+    // dictionary — count the chr(31)-wrapped symbol groups per word,
+    // join back onto the corpus words, roll up per document.
+    "q104_bpe_encode" ->
+      (s"WITH ${dkBpeChain(5)},\n" +
+        """ enc AS (SELECT word,
+          |   len(string_split(trim(seq, chr(31)), chr(31) || chr(31))) AS n_sub
+          |  FROM d5),
+          | dw AS (SELECT doc_id, w AS word
+          |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+          |        FROM documents) WHERE w <> '')
+          |SELECT dw.doc_id,
+          |  count(*) AS n_words,
+          |  CAST(sum(len(dw.word)) AS BIGINT) AS n_chars,
+          |  CAST(sum(enc.n_sub) AS BIGINT) AS n_bpe_tokens
+          |FROM dw JOIN enc ON dw.word = enc.word
+          |GROUP BY dw.doc_id ORDER BY dw.doc_id""".stripMargin),
 
     "q97_triangles" ->
       """WITH e AS (
@@ -1553,6 +1580,18 @@ object SqlSurface {
         |    ::BIGINT AS rn
         | FROM lineitem)
         |WHERE rn <= 3 ORDER BY l_returnflag, rank""".stripMargin,
+
+    "q108_skew_report" ->
+      """WITH c AS (SELECT l_partkey, count(*) AS cnt
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT count(*) AS n_keys,
+        | CAST(sum(cnt) AS BIGINT) AS n_rows,
+        | max(cnt) AS max_cnt,
+        | quantile_cont(cnt, 0.5) AS p50,
+        | quantile_cont(cnt, 0.99) AS p99,
+        | max(cnt)::DOUBLE * count(*)::DOUBLE / sum(cnt)::DOUBLE
+        |   AS skew_factor
+        |FROM c""".stripMargin,
 
     "q49_quantiles" ->
       """SELECT l_returnflag,

@@ -252,6 +252,24 @@ object EventStreams {
         GroupStateTimeout.NoTimeout)(fn)
   }
 
+  /** Streaming degree maintenance — the streaming twin of the
+    * [[graft.operators.GraphOps]] degree computation: an unbounded
+    * edge stream `(src, dst)` keeps per-vertex running degrees through
+    * ONE stateful aggregation keyed by vertex id (state = one long per
+    * vertex, hash-partitioned — the same key distribution the batch
+    * `groupBy` shuffles on, so the twin scales exactly as far). The
+    * same plan runs unchanged on a batch frame; the replay spec
+    * asserts stream-end state equals [[graft.operators.GraphOps
+    * .triangleStats]]'s degree column on the same edges. Like
+    * near-dup residency (and unlike the watermarked operators above),
+    * degree is corpus-lifetime state — bound it by vertex partitioning,
+    * not by time.
+    */
+  def degreeCounts(edges: DataFrame): DataFrame =
+    edges
+      .select(explode(array(col("src"), col("dst"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+
   /** Open the events table as a file stream (one-file-per-trigger going
     * forward; the batch fixtures replay as a bounded stream). Applies
     * the same TIMESTAMP(NANOS) → microsecond truncation as

@@ -138,4 +138,37 @@ class BucketingSpec extends SparkSpec {
     assert((rows.map(_._1).toSet & f32).size >= 4,
       s"i8=${rows.map(_._1).toSeq} f32=$f32")
   }
+
+  test("zorderWrite narrows per-file envelopes on BOTH clustered columns") {
+    val base = Files.createTempDirectory("zorder").toString
+    val li = spark.read.parquet(s"$sf001/lineitem.parquet")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    li.repartition(8).write.mode("overwrite").parquet(s"$base/rr")
+    Bucketing.zorderWrite(li, s"$base/z",
+      Seq("l_orderkey", "l_partkey"), bits = 8, numFiles = 8)
+    // identical multiset content, different layout (order-invariant
+    // hash-sum signature — except() would miss duplicate-row changes)
+    // modular hash-sum: order-invariant, exact (6k × 10^12 < 2^63),
+    // and unlike bit_xor not blind to even-multiplicity row changes
+    def sig(dir: String): (Long, Long) =
+      spark.read.parquet(dir)
+        .agg(sum(expr(
+          "pmod(xxhash64(l_orderkey, l_partkey, l_quantity), 1000000000037)")),
+          count(lit(1)))
+        .as[(Long, Long)].head()
+    assert(sig(s"$base/z") == sig(s"$base/rr"))
+    // mean per-file (max - min) envelope of each clustered column:
+    // z-ordering must shrink it vs round-robin on BOTH columns at once
+    def meanEnvelope(dir: String, c: String): Double =
+      spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg((max(col(c)) - min(col(c))).cast("double").as("w"))
+        .agg(avg("w")).as[Double].head()
+    for (c <- Seq("l_orderkey", "l_partkey")) {
+      val rr = meanEnvelope(s"$base/rr", c)
+      val zo = meanEnvelope(s"$base/z", c)
+      assert(zo < rr * 0.6,
+        s"$c: z-order envelope $zo not narrower than round-robin $rr")
+    }
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, expr}
 
 import graft.SparkSpec
 
@@ -64,5 +64,48 @@ class SearchSpec extends SparkSpec {
     // 'rare' appears in 1/4 docs vs 'spark' in 2/4 → idf doubles
     assert(scores(3L) == 1.0 * (4.0 / 1.0))
     assert(!scores.contains(4L))
+  }
+
+  test("phraseSearch: counts in-order adjacent occurrences per doc") {
+    val d = Seq(
+      (1L, "a b c a b c"),   // phrase twice
+      (2L, "a b x c"),       // broken by x → no match
+      (3L, "c b a"),         // reversed → no match
+      (4L, "x a b c"))       // once, offset 1
+      .toDF("doc_id", "text")
+    val out = Search.phraseSearch(d, Seq("a", "b", "c"))
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out == Map(1L -> ((2L, 0L)), 4L -> ((1L, 1L))))
+  }
+
+  test("phraseSearch: overlapping matches and single-term phrases") {
+    val d = Seq((1L, "a a a")).toDF("doc_id", "text")
+    // self-overlapping repeat: (0,1) and (1,2) both match "a a"
+    val rep = Search.phraseSearch(d, Seq("a", "a"))
+      .as[(Long, Long, Long)].head()
+    assert(rep == ((1L, 2L, 0L)))
+    // single-term phrase degenerates to a term posting count
+    val one = Search.phraseSearch(d, Seq("a"))
+      .as[(Long, Long, Long)].head()
+    assert(one == ((1L, 3L, 0L)))
+  }
+
+  test("phraseSearch agrees with a regex count over the fixture corpus") {
+    val docsDf = spark.read.parquet(s"$sf001/documents.parquet")
+    val phrase = Seq("big", "order", "scan")
+    val expected = docsDf
+      .select(col("doc_id"), expr(
+        // count positions whose 3-token window equals the phrase
+        "bigint(size(filter(sequence(0, size(split(text, ' ')) - 3), i -> " +
+          "split(text, ' ')[i] = 'big' AND " +
+          "split(text, ' ')[i + 1] = 'order' AND " +
+          "split(text, ' ')[i + 2] = 'scan')))").as("n"))
+      .filter(col("n") > 0)
+      .as[(Long, Long)].collect().toMap
+    val got = Search.phraseSearch(docsDf, phrase)
+      .select("doc_id", "n_occurrences")
+      .as[(Long, Long)].collect().toMap
+    assert(got == expected)
   }
 }

@@ -80,4 +80,34 @@ class SimilaritySpec extends SparkSpec {
     // int8 quantization barely perturbs 64-dim cosine ordering
     assert(agree > 0.8, s"quantized/float top-k agreement $agree")
   }
+
+  test("kmeansAssign: nearest centroid by squared L2, exact distances") {
+    val pts = Seq(
+      (0L, Array(0.0f, 0.0f, 0.0f)),  // centroid 0
+      (1L, Array(4.0f, 0.0f, 0.0f)),  // centroid 1
+      (2L, Array(1.0f, 0.0f, 0.0f)),  // closer to c0 (d2 1 vs 9)
+      (3L, Array(3.0f, 1.0f, 0.0f)),  // closer to c1 (d2 2 vs 10)
+      (4L, Array(2.0f, 0.0f, 0.0f)))  // equidistant (4 vs 4) → c0
+      .toDF("vec_id", "embedding")
+    val out = Similarity.kmeansAssign(pts, "vec_id < 2", dim = 3)
+      .select("vec_id", "cluster", "d2").as[(Long, Long, Double)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // centroids assign to themselves with exactly zero distance
+    assert(out(0L) == ((0L, 0.0)))
+    assert(out(1L) == ((1L, 0.0)))
+    assert(out(2L) == ((0L, 1.0)))
+    assert(out(3L) == ((1L, 2.0)))
+    assert(out(4L) == ((0L, 4.0))) // tie broken by lower centroid id
+  }
+
+  test("kmeansAssign covers every vector exactly once (fixture corpus)") {
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val assigned = Similarity.kmeansAssign(e, "vec_id < 4")
+    assert(assigned.count() == e.count())
+    assert(assigned.select("vec_id").distinct().count() == e.count())
+    // every cluster id is one of the 4 seeds and all d2 >= 0
+    val bad = assigned.filter(
+      expr("cluster NOT IN (0, 1, 2, 3) OR d2 < 0.0")).count()
+    assert(bad == 0L)
+  }
 }

@@ -120,4 +120,31 @@ class TextOpsSpec extends SparkSpec {
       (2, "aa", "a", "aaa", 2L),
       (3, "b", "aaa", "baaa", 1L)))
   }
+
+  test("bpeEncode: per-doc counts match hand-applied merges") {
+    // corpus dict: low×4, lower×1, lowest×1 → merges (l,o), (lo,w),
+    // (low,e); encoded: low→[low]=1, lower→[lowe,r]=2,
+    // lowest→[lowe,s,t]=3
+    val out = TextOps.bpeEncode(
+      Seq((1L, "low low low"), (2L, "lower lowest low"))
+        .toDF("doc_id", "text"), rounds = 3)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(1L) == ((3L, 9L, 3L)))  // 3 words, 9 chars, 3 subwords
+    assert(out(2L) == ((3L, 14L, 6L))) // 2 + 3 + 1 subwords
+  }
+
+  test("bpeEncode: more merges never increase the encoded length") {
+    val docs = Seq((1L, "abab abab cdcd"), (2L, "ab cd abab"))
+      .toDF("doc_id", "text")
+    def total(rounds: Int): Long =
+      TextOps.bpeEncode(docs, rounds)
+        .agg(sum("n_bpe_tokens")).as[Long].head()
+    val t1 = total(1); val t2 = total(2); val t4 = total(4)
+    assert(t1 >= t2 && t2 >= t4)
+    // and encoding is bounded: n_words <= n_bpe_tokens <= n_chars
+    val rows = TextOps.bpeEncode(docs, 2)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.forall(r => r._2 <= r._4 && r._4 <= r._3))
+  }
 }

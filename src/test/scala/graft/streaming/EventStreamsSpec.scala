@@ -203,4 +203,20 @@ class EventStreamsSpec extends SparkSpec {
     // the fixture spans many hours so most do
     assert(spark.table("replay").count() > 0)
   }
+
+  test("degreeCounts: stream-end state equals the batch degree column") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+    val in = MemoryStream[(Long, Long)](spark)
+    val out = EventStreams.degreeCounts(in.toDS().toDF("src", "dst"))
+    runToMemory(out, "deg", OutputMode.Complete) {
+      in.addData(edges.take(2): _*) // arrivals split across two batches
+      in.addData(edges.drop(2): _*)
+    }
+    val streamed = spark.table("deg").as[(Long, Long)].collect().toMap
+    val batch = graft.operators.GraphOps
+      .triangleStats(edges.toDF("src", "dst"))
+      .select("node_id", "degree").as[(Long, Long)].collect().toMap
+    assert(streamed == batch)
+    assert(streamed == Map(1L -> 2L, 2L -> 2L, 3L -> 3L, 4L -> 1L))
+  }
 }
