@@ -487,6 +487,46 @@ object Dedup {
             col("n_shingles").cast("double")).as("boiler_ratio"))
   }
 
+  /** Corpus-wide repeated-span detection — the per-document signal
+    * behind EXACT-substring dedup (the "deduplicating training data"
+    * result: substrings repeated verbatim across a corpus are
+    * memorization fuel; the cure is cutting or down-weighting the
+    * repeated spans, not whole near-dup documents). A distributed
+    * suffix array is overkill for measurement; the standard
+    * approximation anchors on fixed-length token n-grams: every
+    * n-token window whose gram occurs more than once CORPUS-WIDE
+    * (including twice within one document) marks a repeated span.
+    * Output per doc: `(doc_id, n_windows, n_rep_windows, rep_ratio)` —
+    * rank by `rep_ratio` to find the templated/memorizable tail.
+    *
+    * Scale shape: one explode to (doc, gram) window rows, one
+    * partial-aggregated count keyed by gram, one hash join back, one
+    * per-doc rollup — all equi-keyed, nothing all-pairs. The gram keys
+    * here are the literal strings so the DuckDB oracle is exact; at
+    * 100 TB swap the key for `xxhash64(gram)` (8-byte shuffle rows,
+    * same plan; the 2^-64 collision rate only perturbs a ratio).
+    * Gram-frequency skew (stopword runs) is absorbed by the map-side
+    * partial agg exactly as in [[boilerplate]].
+    */
+  def repeatedSpans(docs: DataFrame, n: Int = 5): DataFrame = {
+    require(n >= 2, s"span gram size must be >= 2: $n")
+    val parts = (0 until n).map(j => s"toks[i + $j]").mkString(", ' ', ")
+    val gramsExpr = s"transform(sequence(0, size(toks) - $n), " +
+      s"i -> concat($parts))"
+    val grams = docs
+      .withColumn("toks", TextOps.tokens("text"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(expr(gramsExpr)).as("gram"))
+    val occ = grams.groupBy("gram").agg(count(lit(1)).as("occ"))
+    grams.join(occ, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum((col("occ") > 1).cast("long")).as("n_rep_windows"))
+      .withColumn("rep_ratio",
+        col("n_rep_windows").cast("double") / col("n_windows").cast("double"))
+      .orderBy("doc_id")
+  }
+
   /** Resolve near-dup PAIRS into duplicate CLUSTERS (connected
     * components): every doc's cluster id is the minimum doc_id
     * reachable through the pair graph; the canonical survivor per

@@ -329,6 +329,35 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Unigram language-model score — the log-free perplexity proxy: a
+    * document whose tokens are all corpus-rare is likely noise/garble;
+    * one whose tokens are all corpus-frequent is likely boilerplate.
+    * Reports per doc the mean and minimum corpus frequency of its
+    * tokens (`mean_freq` low → rare/garbled tail, `min_freq` = the
+    * rarest token — the OOV/typo detector). True perplexity needs
+    * `log` (libm, not bit-portable across engines); the frequency
+    * moments rank documents the same way for filtering purposes and
+    * stay in exact integers plus one IEEE division.
+    *
+    * Scale shape: the corpus frequency table is vocabulary-sized —
+    * AQE broadcasts it onto the exploded token stream (same posture as
+    * [[bpeEncode]]'s dictionary); the only corpus-sized shuffle is the
+    * partial-aggregated per-doc rollup.
+    */
+  def unigramLmScore(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(tokens("text")).as("tok"))
+      .filter(col("tok") =!= "")
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("freq"))
+    toks.join(freq, "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum("freq").as("sum_freq"),
+        min("freq").as("min_freq"))
+      .withColumn("mean_freq",
+        col("sum_freq").cast("double") / col("n_tokens").cast("double"))
+      .orderBy("doc_id")
+  }
+
   /** Order-sensitive document fingerprint: rolling polynomial hash of the
     * token-hash stream, `h = (h*131 + charHash(tok)) mod (2^31-1)`.
     * Equal fingerprints ⇔ equal token sequences (mod collisions);

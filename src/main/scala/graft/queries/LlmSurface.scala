@@ -50,6 +50,17 @@ object LlmSurface {
     "q105_phrase_search" -> ((s, d) =>
       Search.phraseSearch(docs(s, d), Seq("big", "order", "scan"))),
 
+    // --- repeated-span detection: n-token windows occurring >1 time
+    //     corpus-wide — the exact-substring-dedup / memorization
+    //     signal; rank by rep_ratio for the templated tail ---
+    "q109_repeated_spans" -> ((s, d) =>
+      Dedup.repeatedSpans(docs(s, d), n = 5)),
+
+    // --- unigram-LM frequency moments: the log-free perplexity proxy
+    //     (mean/min corpus token frequency per doc) ---
+    "q110_unigram_lm" -> ((s, d) =>
+      TextOps.unigramLmScore(docs(s, d))),
+
     // --- per-source document cap (the C4/RefinedWeb "at most N pages
     //     per domain" curation rule): keep each source's top-3 docs by
     //     quality. One shuffle keyed by source; the rank window never
@@ -558,6 +569,40 @@ object LlmSurface {
          |   + 0.3 * least(1.0::DOUBLE, n_tokens::DOUBLE / 100.0)
          |   + 0.3 * (1.0 - n_stop::DOUBLE / n_tokens::DOUBLE) AS quality
          |FROM q ORDER BY doc_id""".stripMargin,
+
+    // Non-distinct 5-token windows (DuckDB comprehension is 1-based:
+    // range(1, len-3) yields the len-4 window starts); a gram with
+    // occ > 1 anywhere in the corpus marks every one of its windows.
+    "q109_repeated_spans" ->
+      """WITH g AS (SELECT doc_id, unnest(
+        |    CASE WHEN len(toks) >= 5 THEN
+        |      [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+        |       || toks[i+3] || ' ' || toks[i+4]
+        |       for i in range(1, len(toks) - 3)]
+        |    ELSE [] END) AS gram
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |        FROM documents)),
+        | c AS (SELECT gram, count(*) AS occ FROM g GROUP BY gram),
+        | p AS (SELECT g.doc_id, count(*) AS n_windows,
+        |   CAST(sum(CASE WHEN c.occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |     AS n_rep_windows
+        |  FROM g JOIN c USING (gram) GROUP BY g.doc_id)
+        |SELECT doc_id, n_windows, n_rep_windows,
+        |  n_rep_windows::DOUBLE / n_windows::DOUBLE AS rep_ratio
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    "q110_unigram_lm" ->
+      """WITH t AS (SELECT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents) WHERE tok <> ''),
+        | f AS (SELECT tok, count(*) AS freq FROM t GROUP BY tok),
+        | p AS (SELECT t.doc_id, count(*) AS n_tokens,
+        |    CAST(sum(f.freq) AS BIGINT) AS sum_freq,
+        |    min(f.freq) AS min_freq
+        |   FROM t JOIN f USING (tok) GROUP BY t.doc_id)
+        |SELECT doc_id, n_tokens, sum_freq, min_freq,
+        |  sum_freq::DOUBLE / n_tokens::DOUBLE AS mean_freq
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     // Same quality arithmetic as q28; the cap is a rank window with a
     // total-ordered tie-break (quality DESC, doc_id ASC).

@@ -291,4 +291,24 @@ class DedupSpec extends SparkSpec {
     val second = Dedup.exactDedup(kept).filter(col("is_dup")).count()
     assert(second == 0L)
   }
+
+  test("repeatedSpans flags every window of a corpus-repeated gram") {
+    val d = Seq(
+      (1L, "a b a b"), // windows: (a b), (b a), (a b)
+      (2L, "a b c"),   // windows: (a b), (b c)
+      (3L, "x y"))     // window: (x y) — unique
+      .toDF("doc_id", "text")
+    val out = Dedup.repeatedSpans(d, n = 2)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // "a b" occurs 3x corpus-wide (twice in doc 1, once in doc 2):
+    // every one of its windows is repeated, including the within-doc pair
+    assert(out(1L) == ((3L, 2L, 2.0 / 3.0)))
+    assert(out(2L) == ((2L, 1L, 0.5)))
+    assert(out(3L) == ((1L, 0L, 0.0)))
+    // docs shorter than n contribute no rows
+    val short = Dedup.repeatedSpans(
+      Seq((9L, "solo")).toDF("doc_id", "text"), n = 2).count()
+    assert(short == 0L)
+  }
 }

@@ -134,6 +134,16 @@ class TextOpsSpec extends SparkSpec {
     assert(out(2L) == ((3L, 14L, 6L))) // 2 + 3 + 1 subwords
   }
 
+  test("unigramLmScore: frequency moments from exact corpus counts") {
+    val d = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val out = TextOps.unigramLmScore(d)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // freq: a=2, b=2, c=1
+    assert(out(1L) == ((3L, 6L, 2L, 2.0)))
+    assert(out(2L) == ((2L, 3L, 1L, 1.5)))
+  }
+
   test("bpeEncode: more merges never increase the encoded length") {
     val docs = Seq((1L, "abab abab cdcd"), (2L, "ab cd abab"))
       .toDF("doc_id", "text")
