@@ -1,12 +1,34 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+
+  /** Cumulative stop-the-world GC milliseconds across all collectors.
+    * Deltas between queries separate "this query burned GC" from "the
+    * machine stalled": an external stall shows a large wall-clock gap
+    * with a flat GC delta and flat heap.
+    */
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+  }
+
+  private def heapUsedMb(): Long = {
+    val rt = Runtime.getRuntime
+    (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = graft.engine.Tuning(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Periodically force a full GC on the driver so accumulated soft
+      // refs / broadcast cleanup can't snowball across a 100+-query
+      // suite and masquerade as a query-level regression.
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -27,6 +49,7 @@ object Bench {
         f"[bench] warm pass ($warmDir) ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val gc0 = gcMillis()
       val t0 = System.nanoTime()
       // A query that throws must fail the bench loudly — a swallowed
       // error would report a (fast!) wall time and read as a speedup.
@@ -36,19 +59,32 @@ object Bench {
       }
       val sec = (System.nanoTime() - t0) / 1e9
       // per-invocation operator persists are dead after the count —
-      // clear so the suite's footprint stays flat across 74 queries
+      // clear so the suite's footprint stays flat across the suite
       spark.catalog.clearCache()
+      val endMs = System.currentTimeMillis()
+      val gcMs = gcMillis() - gc0
+      val heapMb = heapUsedMb()
+      // One timestamped JSON line per query AS IT COMPLETES: if the
+      // machine stalls mid-run, the stall shows up as a gap between
+      // consecutive `end_epoch_ms` values with a flat `gc_ms` — an
+      // external cause, distinguishable from a code regression.
       System.err.println(
-        f"[bench] $name%-22s $sec%8.2f s${err.fold("")(" ERROR " + _)}")
-      (name, sec, err)
+        f"""{"q":"$name","sec":$sec%.3f,"end_epoch_ms":$endMs,"gc_ms":$gcMs,"heap_mb":$heapMb}${err.fold("")(e => " ERROR " + e)}""")
+      (name, sec, err, endMs, gcMs, heapMb)
     }
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) => s"\"$k\":${jstr(e)}" }
+    val errs = results.collect { case (k, _, Some(e), _, _, _) => s"\"$k\":${jstr(e)}" }
       .mkString("{", ",", "}")
+    // Self-contained diagnostics in the artifact itself: per-query end
+    // timestamp, GC delta and heap so a contended run is adjudicable
+    // from BENCH_r{N}.json alone (no stderr capture required).
+    val metrics = results.map { case (k, v, _, endMs, gcMs, heapMb) =>
+      f""""$k":{"sec":$v%.3f,"end_epoch_ms":$endMs,"gc_ms":$gcMs,"heap_mb":$heapMb}"""
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"metrics":$metrics,"sf":"$sfDir"}""")
     spark.stop()
     if (results.exists(_._3.nonEmpty)) sys.exit(1)
   }

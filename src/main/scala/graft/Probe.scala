@@ -14,6 +14,7 @@ object Probe {
     val spark = graft.engine.Tuning(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

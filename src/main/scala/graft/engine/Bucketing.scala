@@ -125,10 +125,38 @@ object Bucketing {
     */
   def zorderWrite(df: DataFrame, outDir: String, cols: Seq[String],
                   bits: Int = 8, numFiles: Int = 16): Unit = {
+    import org.apache.spark.sql.functions._
+    val k = cols.size
+    val helper = cols.flatMap(c => Seq(s"_zmn_$c", s"_zmx_$c")) ++
+      (0 until k).map(j => s"_zb_$j") :+ "_z"
+    zorderFrame(df, cols, bits)
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop(helper: _*)
+      .write.mode("overwrite").parquet(outDir)
+  }
+
+  /** `df` plus the interleaved `_z` column (and rank/stat helpers) —
+    * split out from [[zorderWrite]] so the z construction itself is
+    * testable: the write drops `_z`, but its sign and monotonicity
+    * properties are where interleave bugs live.
+    *
+    * The z-value is a signed Long: the highest bit position used is
+    * bits*k-1, which must stay below bit 63 — bit 63 is the sign bit,
+    * and a z-value with it set sorts BEFORE every non-negative z-value,
+    * silently corrupting the range-sort (8 columns at the default
+    * bits=8 would hit exactly that; >8 columns would wrap the shift
+    * past 63 and collide positions). So the per-column bits are capped
+    * from k instead: 8 cols → 7 bits, 16 cols → 3.
+    */
+  private[engine] def zorderFrame(df: DataFrame, cols: Seq[String],
+                                  bits: Int): DataFrame = {
     require(cols.nonEmpty, "zorderWrite needs at least one column")
     import org.apache.spark.sql.functions._
     val k = cols.size
-    val maxB = (1 << bits) - 1
+    require(k <= 63, s"zorderWrite: cannot interleave $k columns into 63 bits")
+    val effBits = math.max(1, math.min(bits, 63 / k))
+    val maxB = (1 << effBits) - 1
     val aggs = cols.flatMap(c => Seq(
       min(col(c)).cast("double").as(s"_zmn_$c"),
       max(col(c)).cast("double").as(s"_zmx_$c")))
@@ -142,16 +170,10 @@ object Bucketing {
             floor((col(c).cast("double") - col(s"_zmn_$c")) / span *
               maxB).cast("long"))))
     }
-    val zExpr = (0 until bits).flatMap(i => (0 until k).map(j =>
+    val zExpr = (0 until effBits).flatMap(i => (0 until k).map(j =>
       s"shiftleft(shiftright(_zb_$j, $i) & 1, ${i * k + j})"))
       .mkString(" + ")
-    val helper = cols.flatMap(c => Seq(s"_zmn_$c", s"_zmx_$c")) ++
-      (0 until k).map(j => s"_zb_$j") :+ "_z"
     ranked.withColumn("_z", expr(zExpr))
-      .repartitionByRange(numFiles, col("_z"))
-      .sortWithinPartitions("_z")
-      .drop(helper: _*)
-      .write.mode("overwrite").parquet(outDir)
   }
 
   private def deleteRecursively(f: java.io.File): Unit = if (f.exists()) {

@@ -171,4 +171,42 @@ class BucketingSpec extends SparkSpec {
         s"$c: z-order envelope $zo not narrower than round-robin $rr")
     }
   }
+
+  test("zorder with 8 clustered columns stays monotone (no sign-bit corruption)") {
+    // 8 columns × the default bits=8 would put the top bucket bit of
+    // the 8th column at position 63 — the Long sign bit — making every
+    // row past the range midpoint NEGATIVE and range-sorting it before
+    // row 0. The cap (63/8 = 7 bits per column) must keep z-values
+    // non-negative and dominance-monotone. The diagonal (i,i,...,i) is
+    // totally ordered under coordinate dominance, so its z-values must
+    // be non-decreasing in i — the midpoint wrap is exactly what this
+    // catches.
+    val cols = (0 until 8).map(j => s"c$j")
+    val diag = (0 to 255).map(i => (i, i, i, i, i, i, i, i))
+      .toDF(cols: _*)
+    val z = Bucketing.zorderFrame(diag, cols, bits = 8)
+      .orderBy("c0").select("_z").as[Long].collect()
+    assert(z.forall(_ >= 0L), s"negative z-values: ${z.filter(_ < 0).take(3).toSeq}")
+    assert(z.zip(z.tail).forall { case (a, b) => a <= b },
+      "z not monotone along the dominance diagonal")
+    // strictly increasing somewhere — the cap must not collapse ranks
+    assert(z.distinct.length > 100, s"z collapsed to ${z.distinct.length} ranks")
+
+    // and the end-to-end write with 8 clustered columns round-trips
+    val base = Files.createTempDirectory("zorder8").toString
+    val li = spark.read.parquet(s"$sf001/lineitem.parquet")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    Bucketing.zorderWrite(li, s"$base/z8", li.columns.toSeq, numFiles = 4)
+    val back = spark.read.parquet(s"$base/z8")
+    assert(back.columns.sorted.toSeq == li.columns.sorted.toSeq)
+    assert(back.count() == li.count())
+
+    // >63 columns cannot interleave at all — hard refusal, not wrap
+    val wide = (0 until 64).map(j => s"w$j")
+    val row = spark.range(1).select(wide.map(c => lit(1).as(c)): _*)
+    val e = intercept[IllegalArgumentException](
+      Bucketing.zorderFrame(row, wide, bits = 1))
+    assert(e.getMessage.contains("63"), e.getMessage)
+  }
 }
