@@ -82,31 +82,92 @@ object Search {
         posexplode(TextOps.tokens("text")).as(Seq("pos", "term")))
       .select(col("doc_id"), col("term"), col("pos").cast("long").as("pos"))
 
-  /** Exact phrase search: the k-term phrase is an equi-join of k
-    * posting lists on `(doc_id, pos - offset)`. Each list is filtered
-    * to ONE literal term BEFORE the join — against a term-bucketed
-    * persisted index ([[writeIndex]] with positions) that filter prunes
-    * to one bucket per term, so the join inputs are per-term posting
-    * lists, never the corpus; the joins are plain hash equi-joins on
-    * (doc_id, pos), and AQE broadcasts whichever side is rare. Output:
-    * one row per matching doc with its occurrence count and first
-    * match position.
+  /** Persist the POSITIONAL postings as a term-bucketed catalog table —
+    * the phrase-query twin of [[writeIndex]]: a k-term phrase lookup
+    * against it prunes to at most k buckets (`SelectedBucketsCount`)
+    * instead of touching the corpus at all.
     */
-  def phraseSearch(docs: DataFrame, phrase: Seq[String]): DataFrame = {
-    require(phrase.nonEmpty, "phrase must have at least one term")
-    val posts = positionalPostings(docs)
-    // anchor: positions of the phrase's first term
-    val first = posts.filter(col("term") === lit(phrase.head))
-      .select(col("doc_id"), col("pos"))
-    val matched = phrase.zipWithIndex.drop(1).foldLeft(first) {
-      case (acc, (term, i)) =>
-        val p = posts.filter(col("term") === lit(term))
-          .select(col("doc_id"), (col("pos") - lit(i.toLong)).as("pos"))
-        acc.join(p, Seq("doc_id", "pos"))
+  def writePositionalIndex(docs: DataFrame, tableName: String,
+                           numBuckets: Int = 8): Unit = {
+    // same idempotence story as Bucketing.writeBucketed: an in-memory
+    // catalog forgets tables between JVMs but leaves the warehouse
+    // files, and saveAsTable refuses an orphaned location — clear both
+    val spark = docs.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$tableName`")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val root = if (warehouse.contains(":"))
+      new java.io.File(new java.net.URI(warehouse).getPath)
+    else new java.io.File(warehouse)
+    def rm(f: java.io.File): Unit = if (f.exists()) {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
     }
-    matched.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_occurrences"), min("pos").as("first_pos"))
+    rm(new java.io.File(root, tableName))
+    positionalPostings(docs)
+      .write.format("parquet").mode("overwrite")
+      .bucketBy(numBuckets, "term")
+      .sortBy("term")
+      .saveAsTable(tableName)
+  }
+
+  /** Phrase matching over an arbitrary positional-postings frame — the
+    * shared core of the ad-hoc and index-backed variants. One pass,
+    * one shuffle: each posting of a phrase term at position p is a
+    * candidate anchor `p - offset` for every offset at which that term
+    * occurs in the phrase (the tiny term→offset table rides along as a
+    * broadcast); an anchor with all k offsets present is an exact
+    * occurrence. No k-way self-join, so the postings input is read
+    * ONCE — against the raw corpus that means a single tokenize rather
+    * than k+1, and the literal-term IN filter sits directly on the
+    * postings scan (bucket-pruning when the input is a
+    * [[writePositionalIndex]] table). Output: one row per matching doc
+    * with its occurrence count and first match position.
+    */
+  private def phraseFromPostings(posts: DataFrame,
+                                 phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    val spark = posts.sparkSession
+    import spark.implicits._
+    val k = phrase.length
+    val offsets = phrase.zipWithIndex
+      .map { case (t, i) => (t, i.toLong) }.toDF("term", "off")
+    posts
+      .filter(col("term").isin(phrase.distinct: _*))
+      .join(broadcast(offsets), "term")
+      .select(col("doc_id"), (col("pos") - col("off")).as("anchor"))
+      .filter(col("anchor") >= 0)
+      // a position holds exactly one term, so each phrase offset
+      // contributes at most one row per (doc, anchor): count == k
+      // IS "every offset matched" — no distinct needed
+      .groupBy("doc_id", "anchor")
+      .agg(count(lit(1)).as("n_hit"))
+      .filter(col("n_hit") === lit(k.toLong))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_occurrences"), min("anchor").as("first_pos"))
       .orderBy("doc_id")
+  }
+
+  /** Exact phrase search over raw documents (ad-hoc, query-once): the
+    * corpus is tokenized ONCE into positional postings and matched via
+    * the single-shuffle anchor-count core ([[phraseFromPostings]]).
+    * For the query-many posture, build the index once with
+    * [[writePositionalIndex]] and use [[phraseSearchIndexed]], which
+    * never touches the corpus.
+    */
+  def phraseSearch(docs: DataFrame, phrase: Seq[String]): DataFrame =
+    phraseFromPostings(positionalPostings(docs), phrase)
+
+  /** Exact phrase search against a persisted positional index: the
+    * literal-term filter prunes the bucketed scan to at most k of the
+    * index's buckets, so per-query cost is proportional to the queried
+    * terms' posting lists — the corpus is never re-read.
+    */
+  def phraseSearchIndexed(spark: org.apache.spark.sql.SparkSession,
+                          tableName: String,
+                          phrase: Seq[String]): DataFrame = {
+    spark.conf.set(
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    phraseFromPostings(spark.table(tableName), phrase)
   }
 
   /** BM25 ranking — the scoring Lucene actually runs under the

@@ -44,11 +44,21 @@ object LlmSurface {
     "q26_tfidf_search" -> ((s, d) =>
       Search.search(docs(s, d), searchTerms, 20)),
 
-    // --- exact phrase query over the positional inverted index
-    //     (ES match_phrase analogue): k literal-term posting lists
-    //     equi-joined on (doc_id, pos - offset) ---
+    // --- exact phrase query (ES match_phrase analogue): one corpus
+    //     tokenize into positional postings, then the single-shuffle
+    //     anchor-count match (each posting proposes pos-offset anchors;
+    //     an anchor with all k offsets present is an occurrence) ---
     "q105_phrase_search" -> ((s, d) =>
       Search.phraseSearch(docs(s, d), Seq("big", "order", "scan"))),
+
+    // --- the same phrase query in the query-many posture: postings
+    //     persisted once as a term-bucketed index, per-query scan
+    //     pruned to the phrase terms' buckets — the corpus is never
+    //     re-read ---
+    "q105b_phrase_indexed" -> ((s, d) => {
+      Search.writePositionalIndex(docs(s, d), "graft_pos_idx", numBuckets = 8)
+      Search.phraseSearchIndexed(s, "graft_pos_idx", Seq("big", "order", "scan"))
+    }),
 
     // --- repeated-span detection: n-token windows occurring >1 time
     //     corpus-wide — the exact-substring-dedup / memorization
@@ -487,7 +497,29 @@ object LlmSurface {
   private val enMarkers = TextOps.langMarkers.head._2
     .map(w => s"'$w'").mkString(", ")
 
+  // Positional postings (DuckDB list index is 1-based -> pos = i - 1
+  // matches Spark's 0-based posexplode); the 3-term phrase is two
+  // +offset self-joins anchored on the first term. Shared by q105
+  // (ad-hoc) and q105b (persisted bucketed index) — both must produce
+  // the identical result.
+  private val phraseOracle: String =
+    """WITH tp AS (SELECT doc_id, z[1] AS term, z[2] - 1 AS pos
+      |  FROM (SELECT doc_id, unnest(list_zip(toks,
+      |          list_transform(toks, (x, i) -> i::BIGINT))) AS z
+      |        FROM (SELECT doc_id, string_split(text, ' ') AS toks
+      |              FROM documents)))
+      |SELECT a.doc_id, count(*) AS n_occurrences,
+      |  CAST(min(a.pos) AS BIGINT) AS first_pos
+      |FROM tp a
+      |JOIN tp b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      |         AND b.term = 'order'
+      |JOIN tp c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+      |         AND c.term = 'scan'
+      |WHERE a.term = 'big'
+      |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q105b_phrase_indexed" -> phraseOracle,
     "q24_tokenize" ->
       """SELECT term, count(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
@@ -519,24 +551,7 @@ object LlmSurface {
          |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
     },
 
-    // Positional postings (DuckDB list index is 1-based -> pos = i - 1
-    // matches Spark's 0-based posexplode); the 3-term phrase is two
-    // +offset self-joins anchored on the first term.
-    "q105_phrase_search" ->
-      """WITH tp AS (SELECT doc_id, z[1] AS term, z[2] - 1 AS pos
-        |  FROM (SELECT doc_id, unnest(list_zip(toks,
-        |          list_transform(toks, (x, i) -> i::BIGINT))) AS z
-        |        FROM (SELECT doc_id, string_split(text, ' ') AS toks
-        |              FROM documents)))
-        |SELECT a.doc_id, count(*) AS n_occurrences,
-        |  CAST(min(a.pos) AS BIGINT) AS first_pos
-        |FROM tp a
-        |JOIN tp b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-        |         AND b.term = 'order'
-        |JOIN tp c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
-        |         AND c.term = 'scan'
-        |WHERE a.term = 'big'
-        |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin,
+    "q105_phrase_search" -> phraseOracle,
 
     "q27_langid" -> {
       val scores = TextOps.langMarkers.map { case (lang, words) =>

@@ -168,13 +168,39 @@ class PlanSpec extends SparkSpec {
       s"bucketed q62 still shuffles:\n${p.take(1500)}")
   }
 
-  test("q105: phrase join is equi-keyed posting lists, never the corpus") {
+  test("q105: phrase match tokenizes the corpus ONCE behind a literal-term filter") {
     val p = plan("q105_phrase_search")
-    // each posting list is filtered to one literal term BEFORE the join
-    assert(p.contains("term"), p.take(1500))
+    // the literal phrase-term IN filter must actually appear in the
+    // plan (right above the postings generate) — not just the word
+    // "term" somewhere
+    assert(Seq("big", "order", "scan").forall(p.contains),
+      s"literal term filter missing:\n${p.take(1500)}")
+    assert(p.contains("Filter"), p.take(1500))
+    // the anchor-count formulation explodes the corpus exactly once;
+    // a k-way posting self-join would show k+1 Generate nodes
+    val generates = "Generate".r.findAllIn(p).length
+    assert(generates == 1,
+      s"corpus exploded $generates times (expected 1):\n${p.take(1500)}")
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("BroadcastNestedLoopJoin"),
-      "phrase join degenerated to a non-equi join")
+      "phrase match degenerated to a non-equi join")
+  }
+
+  test("q105b: indexed phrase query prunes the bucketed postings scan") {
+    val df = SparkEntry.queries("q105b_phrase_indexed")(spark, sf001)
+    df.collect() // finalize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    // the scan reads only the buckets holding the 3 phrase terms —
+    // never the corpus, never all 8 buckets
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(p)
+    assert(sel.isDefined, s"no bucket pruning in plan:\n${p.take(1500)}")
+    val (nSel, nAll) = (sel.get.group(1).toInt, sel.get.group(2).toInt)
+    assert(nAll == 8 && nSel <= 3,
+      s"expected <=3 of 8 buckets, scanned $nSel of $nAll")
+    // and no Generate at all: the corpus is not re-tokenized
+    assert(!p.contains("Generate"),
+      s"indexed phrase query re-tokenized the corpus:\n${p.take(1500)}")
   }
 
   test("q107: k-means E-step is one corpus pass — single broadcast, " +
