@@ -215,25 +215,34 @@ object TextOps {
     */
   def bpeMerges(docs: DataFrame, rounds: Int): DataFrame = {
     val (cached, _, winners) = bpeLoop(docs, rounds)
-    // winners are materialized inside the loop; the merge table does
-    // not reference the dictionary, so the corpus-pass cache can go.
-    cached.unpersist()
-    winners
+    // The merge table is rounds × 1 rows — materialize it eagerly
+    // (localCheckpoint: block lifetime follows the returned frame, the
+    // ContextCleaner frees it when the frame is dropped) so EVERY
+    // cache entry the loop pinned can be released before returning.
+    // Leaving the winners persisted instead would leak one frame per
+    // round per call outside harnesses that clearCache() per query.
+    val out = winners
       .reduce(_.unionByName(_))
       .select(col("step"), col("l").as("left_sym"),
         col("r").as("right_sym"),
         concat(col("l"), col("r")).as("merged"), col("n"))
       .orderBy("step")
+      .localCheckpoint(true)
+    cached.unpersist()
+    winners.foreach(_.unpersist())
+    out
   }
 
   /** The shared BPE merge loop: learns `rounds` merges and carries the
     * word dictionary through every rewrite. Returns (the persisted
     * corpus-pass dictionary handle, the dictionary AFTER all merges
     * applied, the per-round 1-row winner frames — each already
-    * materialized). [[bpeMerges]] ships the winners (and unpersists the
-    * corpus pass); [[bpeEncode]] ships the rewritten dictionary and
-    * must leave the corpus pass persisted until its final action runs
-    * (the bench/verify harnesses `clearCache()` per query).
+    * materialized and persisted). CALLERS OWN THE CACHE LIFECYCLE:
+    * both [[bpeMerges]] and [[bpeEncode]] eagerly localCheckpoint
+    * their (dictionary-sized) result and then unpersist the corpus
+    * pass AND every winner before returning, so repeated calls leave
+    * no session-cache residue — no reliance on a harness
+    * `clearCache()`.
     */
   private def bpeLoop(docs: DataFrame, rounds: Int)
       : (DataFrame, DataFrame, Seq[DataFrame]) = {
@@ -313,11 +322,22 @@ object TextOps {
     * every worker, one streaming pass over the data.
     */
   def bpeEncode(docs: DataFrame, rounds: Int): DataFrame = {
-    val (_, dict, _) = bpeLoop(docs, rounds)
+    val (cached, dict, winners) = bpeLoop(docs, rounds)
     val Sep = "\u001f"
     val enc = dict.select(col("word"),
       size(split(trim(col("seq"), Sep), Sep + Sep)).cast("long")
         .as("n_sub"))
+      // The encoded vocabulary is dictionary-sized — materialize it
+      // eagerly (localCheckpoint truncates lineage; the blocks live as
+      // long as the returned frame and are freed by the ContextCleaner
+      // when the frame is dropped) so the loop's corpus-pass and winner
+      // caches can ALL be released right here instead of leaking one
+      // set per call in any caller that doesn't clearCache() per
+      // query. The downstream encode join recomputes nothing: its
+      // dictionary side reads the checkpointed rows.
+      .localCheckpoint(true)
+    cached.unpersist()
+    winners.foreach(_.unpersist())
     docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .filter(col("word") =!= "")

@@ -253,20 +253,31 @@ object EventStreams {
   }
 
   /** Streaming degree maintenance — the streaming twin of the
-    * [[graft.operators.GraphOps]] degree computation: an unbounded
-    * edge stream `(src, dst)` keeps per-vertex running degrees through
-    * ONE stateful aggregation keyed by vertex id (state = one long per
-    * vertex, hash-partitioned — the same key distribution the batch
-    * `groupBy` shuffles on, so the twin scales exactly as far). The
-    * same plan runs unchanged on a batch frame; the replay spec
-    * asserts stream-end state equals [[graft.operators.GraphOps
-    * .triangleStats]]'s degree column on the same edges. Like
-    * near-dup residency (and unlike the watermarked operators above),
-    * degree is corpus-lifetime state — bound it by vertex partitioning,
-    * not by time.
+    * [[graft.operators.GraphOps]] degree computation. The batch twin
+    * defines degree over DISTINCT CANONICAL edges (`src < dst`, no
+    * self-loops), so the stream must too: each arriving edge is
+    * canonicalized (`least`/`greatest`, self-loops dropped) and passed
+    * through a stateful `dropDuplicates` keyed by the canonical pair —
+    * an at-least-once source redelivering an edge, or delivering it
+    * flipped, leaves the degrees unchanged. Then ONE stateful
+    * aggregation keyed by vertex id maintains the running counts
+    * (state = one long per vertex, hash-partitioned — the same key
+    * distribution the batch `groupBy` shuffles on, so the twin scales
+    * exactly as far; dedup state is one row per distinct edge,
+    * edge-partitioned). The same plan runs unchanged on a batch frame;
+    * the replay spec asserts stream-end state equals
+    * [[graft.operators.GraphOps.triangleStats]]'s degree column under
+    * duplicate and flipped redelivery. Like near-dup residency (and
+    * unlike the watermarked operators above), degree — and the edge
+    * dedup backing it — is corpus-lifetime state: bound it by
+    * partitioning, not by time.
     */
   def degreeCounts(edges: DataFrame): DataFrame =
     edges
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .dropDuplicates("src", "dst")
       .select(explode(array(col("src"), col("dst"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("deg"))
 

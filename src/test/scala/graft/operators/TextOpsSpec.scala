@@ -157,4 +157,26 @@ class TextOpsSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect()
     assert(rows.forall(r => r._2 <= r._4 && r._4 <= r._3))
   }
+
+  test("bpeEncode/bpeMerges: repeated calls leave no session cache behind") {
+    // The learn loop pins the corpus pass + one 1-row frame per round;
+    // a leak means every call outside a harness's clearCache()
+    // accumulates rounds+1 MEMORY_AND_DISK frames. After the fix the
+    // only blocks left are each returned frame's own localCheckpoint
+    // (lifetime tied to the frame, freed by the ContextCleaner when it
+    // is dropped) — so 3 calls must add at most 3 persistent RDDs, not
+    // 3 * (rounds + 1).
+    val docs = Seq((1L, "low low lower lowest"), (2L, "ab ab abba"))
+      .toDF("doc_id", "text")
+    spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val rounds = 3
+    val r1 = TextOps.bpeEncode(docs, rounds); r1.count()
+    val r2 = TextOps.bpeEncode(docs, rounds); r2.count()
+    val r3 = TextOps.bpeMerges(docs, rounds); r3.count()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 3,
+      s"bpe calls leaked ${after - before} persisted frames " +
+        s"(expected <=3 checkpoint blocks for 3 live results)")
+  }
 }

@@ -219,4 +219,26 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed == batch)
     assert(streamed == Map(1L -> 2L, 2L -> 2L, 3L -> 3L, 4L -> 1L))
   }
+
+  test("degreeCounts: duplicate/flipped redelivery and self-loops do not " +
+    "diverge from the batch twin") {
+    // the canonical distinct edge set the batch twin sees
+    val canonical = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+    // an at-least-once source: every edge delivered twice across
+    // batches, one redelivery flipped, plus a self-loop that the
+    // canonical-edge contract excludes entirely
+    val in = MemoryStream[(Long, Long)](spark)
+    val out = EventStreams.degreeCounts(in.toDS().toDF("src", "dst"))
+    runToMemory(out, "deg_dup", OutputMode.Complete) {
+      in.addData((1L, 2L), (1L, 3L), (2L, 2L)) // first delivery + self-loop
+      in.addData((2L, 1L), (1L, 3L))           // redelivered (one flipped)
+      in.addData((2L, 3L), (3L, 4L), (4L, 3L)) // rest + flipped redelivery
+    }
+    val streamed = spark.table("deg_dup").as[(Long, Long)].collect().toMap
+    val batch = graft.operators.GraphOps
+      .triangleStats(canonical.toDF("src", "dst"))
+      .select("node_id", "degree").as[(Long, Long)].collect().toMap
+    assert(streamed == batch,
+      s"streamed=$streamed batch=$batch")
+  }
 }
