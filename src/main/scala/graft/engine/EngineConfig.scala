@@ -12,6 +12,64 @@ package graft.engine
   * [[graft.operators.EsBulkTransport]]. `env` is injectable so specs
   * exercise the assembly without touching the process environment.
   */
+object EngineConfig {
+
+  /** Parse dotenv file content (the godotenv subset the reference's
+    * `.env` actually uses — `api/controllers/base.go:26-35` loads it
+    * before every DSN assembly). Per line: blank lines and `#` comments
+    * skipped, optional `export ` prefix, `KEY=VALUE` split at the first
+    * `=`. Unquoted values are trimmed and lose a trailing ` # comment`
+    * (the reference's own fixture carries trailing spaces, e.g.
+    * `DB_PORT=3306 `); single-quoted values are literal; double-quoted
+    * values process \n, \t, \r, \", \\ escapes. Later duplicates win,
+    * matching godotenv's map-overwrite order.
+    */
+  def parseDotenv(content: String): Map[String, String] = {
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    for (raw <- content.linesIterator) {
+      val line = raw.trim
+      if (line.nonEmpty && !line.startsWith("#")) {
+        val stripped = if (line.startsWith("export ")) line.drop(7).trim else line
+        val eq = stripped.indexOf('=')
+        if (eq > 0) {
+          val key = stripped.substring(0, eq).trim
+          val rhs = stripped.substring(eq + 1).trim
+          val value =
+            if (rhs.length >= 2 && rhs.head == '"' && rhs.last == '"')
+              rhs.substring(1, rhs.length - 1)
+                .replace("\\n", "\n").replace("\\t", "\t").replace("\\r", "\r")
+                .replace("\\\"", "\"").replace("\\\\", "\\")
+            else if (rhs.length >= 2 && rhs.head == '\'' && rhs.last == '\'')
+              rhs.substring(1, rhs.length - 1)
+            else {
+              val hash = rhs.indexOf(" #")
+              (if (hash >= 0) rhs.substring(0, hash) else rhs).trim
+            }
+          out(key) = value
+        }
+      }
+    }
+    out.toMap
+  }
+
+  /** Build a config from a dotenv file merged under the process
+    * environment — an already-set process variable wins over the file,
+    * exactly godotenv's no-override contract. A missing or unreadable
+    * file degrades to process-env-only (the reference fatals there,
+    * `base.go:30-31`; a library stays usable and lets the caller decide).
+    */
+  def fromDotenv(path: String, processEnv: Map[String, String] = sys.env): EngineConfig = {
+    val file = new java.io.File(path)
+    val fileEnv =
+      if (file.isFile)
+        parseDotenv(new String(
+          java.nio.file.Files.readAllBytes(file.toPath),
+          java.nio.charset.StandardCharsets.UTF_8))
+      else Map.empty[String, String]
+    EngineConfig(fileEnv ++ processEnv)
+  }
+}
+
 final case class EngineConfig(env: Map[String, String] = sys.env) {
 
   private def get(k: String): Option[String] =

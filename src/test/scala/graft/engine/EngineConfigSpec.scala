@@ -58,6 +58,73 @@ class EngineConfigSpec extends AnyFunSuite {
     assert(cfg.mysqlJdbcUrl("d").contains("jdbc:mysql://h:1/d"))
   }
 
+  test(".env FILE loads end-to-end into a jdbc url (godotenv parity, base.go:26-35)") {
+    // the reference's own .env shape, including its trailing spaces,
+    // comment lines, and an inline comment
+    val dotenv =
+      """# Mysql
+        |DB_HOST=127.0.0.1
+        |DB_DRIVER=mysql
+        |DB_USER=rakesh
+        |DB_PASSWORD=root
+        |DB_NAME=testdb
+        |DB_PORT=3306
+        |
+        |# Postgres
+        |POSTGRESS_DB_HOST=127.0.0.1
+        |POSTGRESS_DB_PORT=5432  # default pg port
+        |POSTGRESS_DB_USER=username
+        |POSTGRESS_DB_PASSWORD=password
+        |
+        |#ElasticSearch
+        |ELASTICSEARCH_HOST=http://localhost:9200
+        |export USERNAME="elastic"
+        |PASSWORD='elastic'
+        |""".stripMargin
+    val dir = java.nio.file.Files.createTempDirectory("dotenv").toFile
+    dir.deleteOnExit()
+    val f = new java.io.File(dir, ".env")
+    java.nio.file.Files.write(f.toPath, dotenv.getBytes("UTF-8"))
+    val cfg = EngineConfig.fromDotenv(f.getPath, processEnv = Map.empty)
+    assert(cfg.jdbcUrl("mysql", "testdb").contains(
+      "jdbc:mysql://127.0.0.1:3306/testdb?user=rakesh&password=root"))
+    assert(cfg.jdbcUrl("postgres", "testdb").contains(
+      "jdbc:postgresql://127.0.0.1:5432/testdb" +
+        "?user=username&password=password&sslmode=disable"))
+    assert(cfg.esEndpoint.contains("http://localhost:9200"))
+    assert(cfg.esUsername.contains("elastic") && cfg.esPassword.contains("elastic"))
+  }
+
+  test("process env wins over the .env file (godotenv no-override contract)") {
+    val dir = java.nio.file.Files.createTempDirectory("dotenv").toFile
+    dir.deleteOnExit()
+    val f = new java.io.File(dir, ".env")
+    java.nio.file.Files.write(f.toPath,
+      "DB_HOST=from-file\nDB_PORT=1111\n".getBytes("UTF-8"))
+    val cfg = EngineConfig.fromDotenv(f.getPath,
+      processEnv = Map("DB_HOST" -> "from-proc"))
+    assert(cfg.mysqlJdbcUrl("d").contains("jdbc:mysql://from-proc:1111/d"))
+  }
+
+  test("missing .env degrades to process-env-only") {
+    val cfg = EngineConfig.fromDotenv("/nonexistent/.env",
+      processEnv = Map("DB_HOST" -> "h", "DB_PORT" -> "9"))
+    assert(cfg.mysqlJdbcUrl("d").contains("jdbc:mysql://h:9/d"))
+  }
+
+  test("dotenv parser: quotes, escapes, export prefix, duplicates") {
+    val m = EngineConfig.parseDotenv(
+      """A="x\ny"
+        |B='lit\n'
+        |export C=3
+        |C=4
+        |not-a-pair
+        |=nokey
+        |""".stripMargin)
+    assert(m("A") == "x\ny" && m("B") == "lit\\n" && m("C") == "4")
+    assert(!m.contains("") && m.size == 3)
+  }
+
   test("reserved characters in credentials are percent-encoded") {
     // '&', '=', '%', '#' would otherwise truncate or corrupt the URL's
     // query string; the JDBC drivers URL-decode property values
