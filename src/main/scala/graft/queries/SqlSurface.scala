@@ -431,6 +431,34 @@ object SqlSurface {
         |WHERE c_custkey <= 200
         |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin)),
 
+    // --- EXISTS over a correlated ORDER BY/LIMIT subquery: "does any of
+    //     this customer's top-3 orders (by price) carry URGENT priority".
+    //     The LIMIT is load-bearing (priority ≠ the ordering column), so
+    //     Catalyst must decorrelate it into a partitioned row_number rank
+    //     feeding a semi join — no per-outer-row subquery execution ---
+    "q111_exists_lateral" -> ((s, d) => gated(s, d,
+      """SELECT c_custkey, c_name
+        |FROM customer c
+        |WHERE c_custkey <= 300 AND EXISTS (
+        |  SELECT 1 FROM (SELECT o_orderpriority FROM orders
+        |                 WHERE o_custkey = c.c_custkey
+        |                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t
+        |  WHERE t.o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin)),
+
+    // --- LATERAL with a scalar aggregate: one row per outer row even
+    //     for order-less customers (count=0, sum=NULL). Decorrelates to
+    //     a partial+final hash agg over orders + one outer domain join —
+    //     the per-row dependent aggregation never survives planning ---
+    "q112_lateral_agg" -> ((s, d) => gated(s, d,
+      """SELECT c_custkey, t.n_orders, t.total_spend
+        |FROM customer c,
+        |LATERAL (SELECT count(*) AS n_orders,
+        |           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_spend
+        |         FROM orders WHERE o_custkey = c.c_custkey) t
+        |WHERE c_custkey <= 200
+        |ORDER BY c_custkey""".stripMargin)),
+
     // --- 6-table star join (TPC-H Q5 shape): region→nation prune the
     //     fact flow; only the two genuinely tiny dims carry broadcast
     //     hints (region 5 rows, nation 25 — broadcastable at ANY SF),
@@ -1035,6 +1063,19 @@ object SqlSurface {
       Indexer.withDocIds(joined, Seq(col("o_orderkey")))
         .select("_id", "o_orderkey", "c_name", "o_totalprice")
         .orderBy("_id")
+    }),
+
+    // --- q23's scale twin: identical output, but ids assigned by the
+    //     distributed path (range-repartition + per-partition offsets,
+    //     Indexer.withScalableDocIds) — no single-task window anywhere
+    //     in the plan, so the id assignment parallelizes at 100 TB ---
+    "q23b_index_scaled" -> ((s, d) => {
+      val o = t(s, d, "orders"); val c = t(s, d, "customer")
+      val joined = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .select("o_orderkey", "c_name", "o_totalprice")
+      Indexer.withScalableDocIds(joined, Seq(col("o_orderkey")))
+        .select("_id", "o_orderkey", "c_name", "o_totalprice")
+        .orderBy("_id")
     })
   )
 
@@ -1336,6 +1377,27 @@ object SqlSurface {
         |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
         |WHERE c_custkey <= 200
         |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
+
+    // identical text in both engines; DuckDB runs the dependent
+    // subqueries per row where Spark decorrelates — same rows either way
+    "q111_exists_lateral" ->
+      """SELECT c_custkey, c_name
+        |FROM customer c
+        |WHERE c_custkey <= 300 AND EXISTS (
+        |  SELECT 1 FROM (SELECT o_orderpriority FROM orders
+        |                 WHERE o_custkey = c.c_custkey
+        |                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t
+        |  WHERE t.o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q112_lateral_agg" ->
+      """SELECT c_custkey, t.n_orders, t.total_spend
+        |FROM customer c,
+        |LATERAL (SELECT count(*) AS n_orders,
+        |           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_spend
+        |         FROM orders WHERE o_custkey = c.c_custkey) t
+        |WHERE c_custkey <= 200
+        |ORDER BY c_custkey""".stripMargin,
 
     "q94_star_join" ->
       s"""SELECT n_name,
@@ -1756,6 +1818,14 @@ object SqlSurface {
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q23_index_docs" ->
+      """SELECT CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT) AS _id,
+        | o_orderkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY _id""".stripMargin,
+
+    // same oracle as q23: the scalable path must produce the exact same
+    // dense 1-based id sequence the single-window path does
+    "q23b_index_scaled" ->
       """SELECT CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT) AS _id,
         | o_orderkey, c_name, o_totalprice
         |FROM orders JOIN customer ON o_custkey = c_custkey

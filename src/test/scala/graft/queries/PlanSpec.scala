@@ -63,6 +63,39 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), p.take(800))
   }
 
+  test("q23 vs q23b: scalable id path drops the single-partition window") {
+    // q23 is exact reference parity: row_number() over an un-partitioned
+    // window — Spark warns and funnels every row through ONE task
+    val parity = plan("q23_index_docs")
+    assert(parity.contains("Window") && parity.contains("SinglePartition"),
+      parity.take(1200))
+    // q23b produces the identical id sequence (same oracle) with the
+    // distributed path: range-repartition + per-partition offsets — no
+    // window and no single-partition exchange anywhere in the plan
+    val scaled = plan("q23b_index_scaled")
+    assert(!scaled.contains("Window"), scaled.take(1200))
+    assert(!scaled.contains("SinglePartition"), scaled.take(1200))
+  }
+
+  test("q111: EXISTS-LATERAL decorrelates to rank + semi join") {
+    val p = plan("q111_exists_lateral")
+    // the correlated LIMIT 3 must become a per-custkey row_number rank...
+    assert(p.contains("row_number"), p.take(1500))
+    // ...feeding a semi join — not a per-outer-row nested-loop subquery
+    assert(p.contains("LeftSemi"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(1500))
+  }
+
+  test("q112: LATERAL aggregate decorrelates to partial+final agg + one join") {
+    val p = plan("q112_lateral_agg")
+    // map-side partial aggregation over orders, not per-customer subqueries
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p.take(1500))
+    assert(p.contains("LeftOuter"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(1500))
+  }
+
   test("q26: tf-idf search keeps the corpus-size frame broadcast") {
     val p = plan("q26_tfidf_search")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
