@@ -193,10 +193,11 @@ object TextOps {
     * corpus is one `groupBy(word)` count with map-side partials; the
     * merge loop then runs on the compact word-frequency dictionary
     * (vocabulary-sized, corpus-size-independent). Each round is one
-    * pair-count aggregation over the dictionary plus a 1-row winner
-    * frame broadcast back — nothing is ever collected to the driver,
-    * and the per-round persist/unpersist keeps lineage O(1) deep
-    * (the [[Dedup.dupClusters]] loop skeleton).
+    * pair-count aggregation over the dictionary; the 1-row winner is
+    * read back as the round's merge-table entry (rounds-sized
+    * coordinator metadata — see [[bpeLoop]]; the corpus itself never
+    * leaves the executors) and periodic checkpoints keep lineage
+    * bounded at any round count.
     *
     * Determinism contract: pair counts are exact integers; the winner
     * is argmax by `(n DESC, left ASC, right ASC)` so ties are total-
@@ -215,56 +216,58 @@ object TextOps {
     */
   def bpeMerges(docs: DataFrame, rounds: Int): DataFrame = {
     val (cached, _, winners) = bpeLoop(docs, rounds)
-    // The merge table is rounds × 1 rows — materialize it eagerly
-    // (localCheckpoint: block lifetime follows the returned frame, the
-    // ContextCleaner frees it when the frame is dropped) so EVERY
-    // cache entry the loop pinned can be released before returning.
-    // Leaving the winners persisted instead would leak one frame per
-    // round per call outside harnesses that clearCache() per query.
-    val out = winners
-      .reduce(_.unionByName(_))
-      .select(col("step"), col("l").as("left_sym"),
-        col("r").as("right_sym"),
-        concat(col("l"), col("r")).as("merged"), col("n"))
-      .orderBy("step")
-      .localCheckpoint(true)
     cached.unpersist()
-    winners.foreach(_.unpersist())
-    out
+    // The merge table is rounds × 1 rows of driver-held metadata (see
+    // bpeLoop — production tokenizers persist exactly this list); a
+    // local relation, nothing cached, nothing to release.
+    val spark = docs.sparkSession
+    import spark.implicits._
+    winners.map { case (step, l, r, n) => (step, l, r, l + r, n) }
+      .toDF("step", "left_sym", "right_sym", "merged", "n")
+      .orderBy("step")
   }
 
   /** The shared BPE merge loop: learns `rounds` merges and carries the
     * word dictionary through every rewrite. Returns (the persisted
     * corpus-pass dictionary handle, the dictionary AFTER all merges
-    * applied, the per-round 1-row winner frames — each already
-    * materialized and persisted). CALLERS OWN THE CACHE LIFECYCLE:
-    * both [[bpeMerges]] and [[bpeEncode]] eagerly localCheckpoint
-    * their (dictionary-sized) result and then unpersist the corpus
-    * pass AND every winner before returning, so repeated calls leave
-    * no session-cache residue — no reliance on a harness
+    * applied, the learned merge table as driver values). CALLERS OWN
+    * THE CACHE LIFECYCLE: both [[bpeMerges]] and [[bpeEncode]]
+    * unpersist the corpus pass before returning, so repeated calls
+    * leave no session-cache residue — no reliance on a harness
     * `clearCache()`.
+    *
+    * Per-round shape: ONE job. The round's winner — argmax pair by
+    * `(n DESC, l, r)` — is exactly one row, and it is the round's
+    * merge-TABLE entry: rounds-sized tokenizer metadata that
+    * production trainers hold on the coordinator and ship to workers
+    * (the same class of driver-side read as a limit-1 guard; the
+    * corpus never leaves the executors). Reading it back lets the
+    * dict rewrite splice the pair in as string LITERALS — a narrow
+    * projection Catalyst collapses — instead of a broadcast join,
+    * which cost two extra jobs per round (winner materialization +
+    * broadcast exchange) and doubled the logical tree per round.
+    *
+    * Rounds are data-dependent and inherently sequential (round k+1's
+    * counts depend on round k's merge), so the loop floor is `rounds`
+    * scheduler round-trips over the vocabulary-sized dict — the
+    * corpus is touched exactly once, in the initial dictionary pass.
+    * Every 8 rounds the dict is eagerly localCheckpoint'd: that caps
+    * both the replace-chain re-evaluation and the RDD lineage depth
+    * (an unbounded chain overflows the task-serializer stack past
+    * ~50 rounds); the ContextCleaner frees superseded checkpoint
+    * blocks when the next checkpoint drops the last reference.
+    *
+    * If the dictionary merges down to single symbols before `rounds`
+    * (no pair left to count), the loop stops early and the merge
+    * table simply has fewer rows.
     */
   private def bpeLoop(docs: DataFrame, rounds: Int)
-      : (DataFrame, DataFrame, Seq[DataFrame]) = {
+      : (DataFrame, DataFrame, Seq[(Int, String, String, Long)]) = {
     require(rounds >= 1, s"rounds must be >= 1: $rounds")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val Sep = "\u001f"
     val S = lit(Sep)
     // the one corpus-wide pass: word-frequency dictionary
-    // Per-round materialization strategy: the winner appears TWICE in
-    // the next dict (once inside its own argmax subtree, once in the
-    // rewrite join), so leaving it lazy doubles the logical tree per
-    // round — exponential Catalyst analysis time (measured: rounds 1-5
-    // going 0.6 s → 3.8 s on a 31-word dict). Materializing + rebasing
-    // the ONE-ROW winner each round breaks the doubling; the dict
-    // chain itself stays lazy (it references each winner leaf and the
-    // cached dictionary once — linear growth), so each round costs a
-    // single action instead of two. Re-evaluating the k-stage rewrite
-    // chain over the cached dictionary is trivial CPU at any corpus
-    // size — the dictionary is vocabulary-sized, not corpus-sized.
-    val spark = docs.sparkSession
-    def truncate(df: DataFrame): DataFrame =
-      spark.createDataFrame(df.rdd, df.schema)
     val cached = docs
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(col("word") =!= "")
@@ -273,11 +276,22 @@ object TextOps {
         array_join(transform(split(col("word"), ""),
           c => concat(S, c, S)), "").as("seq"))
       .persist(lvl)
-    cached.count()
-    var dict = truncate(cached)
-    val winners = Seq.newBuilder[DataFrame]
-    for (step <- 1 to rounds) {
-      val pairs = dict
+    val vocabSize = cached.count()
+    // The dictionary is vocabulary-sized — orders of magnitude smaller
+    // than the corpus that produced it, but the cache pins it at full
+    // shuffle-partition width (caching blocks AQE output coalescing),
+    // so every per-round job would pay a fleet of near-empty tasks.
+    // Coalesce by size: ~250k words per partition is one small task
+    // locally and still hundreds of parallel tasks at a web-scale
+    // 100M-word vocabulary. coalesce is narrow — it reads the cache,
+    // no shuffle.
+    val dictParts = math.max(1L, math.min(vocabSize / 250000L + 1L, 2048L)).toInt
+    var dict: DataFrame = cached.coalesce(dictParts)
+    val winners = Seq.newBuilder[(Int, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= rounds && !exhausted) {
+      val win = dict
         .select(col("cnt"),
           split(trim(col("seq"), Sep), Sep + Sep).as("syms"))
         .select(col("cnt"), explode(expr(
@@ -286,20 +300,19 @@ object TextOps {
           .as("p"))
         .select(col("cnt"), col("p.l").as("l"), col("p.r").as("r"))
         .groupBy("l", "r").agg(sum(col("cnt")).as("n"))
-      val win = pairs
         .orderBy(desc("n"), asc("l"), asc("r")).limit(1)
-        .select(lit(step).as("step"), col("l"), col("r"), col("n"))
-        .persist(lvl)
-      win.count()
-      winners += win
-      val winT = truncate(win)
-      dict = dict
-        .crossJoin(broadcast(winT.select(col("l").as("w_l"),
-          col("r").as("w_r"))))
-        .select(col("word"), col("cnt"),
+        .collect()
+      if (win.isEmpty) exhausted = true
+      else {
+        val (l, r, n) = (win(0).getString(0), win(0).getString(1), win(0).getLong(2))
+        winners += ((step, l, r, n))
+        dict = dict.select(col("word"), col("cnt"),
           call_function("replace", col("seq"),
-            concat(S, col("w_l"), S, S, col("w_r"), S),
-            concat(S, col("w_l"), col("w_r"), S)).as("seq"))
+            lit(Sep + l + Sep + Sep + r + Sep),
+            lit(Sep + l + r + Sep)).as("seq"))
+        if (step % 8 == 0 && step < rounds) dict = dict.localCheckpoint(true)
+        step += 1
+      }
     }
     (cached, dict, winners.result())
   }
@@ -322,7 +335,7 @@ object TextOps {
     * every worker, one streaming pass over the data.
     */
   def bpeEncode(docs: DataFrame, rounds: Int): DataFrame = {
-    val (cached, dict, winners) = bpeLoop(docs, rounds)
+    val (cached, dict, _) = bpeLoop(docs, rounds)
     val Sep = "\u001f"
     val enc = dict.select(col("word"),
       size(split(trim(col("seq"), Sep), Sep + Sep)).cast("long")
@@ -330,14 +343,13 @@ object TextOps {
       // The encoded vocabulary is dictionary-sized — materialize it
       // eagerly (localCheckpoint truncates lineage; the blocks live as
       // long as the returned frame and are freed by the ContextCleaner
-      // when the frame is dropped) so the loop's corpus-pass and winner
-      // caches can ALL be released right here instead of leaking one
-      // set per call in any caller that doesn't clearCache() per
-      // query. The downstream encode join recomputes nothing: its
-      // dictionary side reads the checkpointed rows.
+      // when the frame is dropped) so the loop's corpus-pass cache can
+      // be released right here instead of leaking one frame per call
+      // in any caller that doesn't clearCache() per query. The
+      // downstream encode join recomputes nothing: its dictionary side
+      // reads the checkpointed rows.
       .localCheckpoint(true)
     cached.unpersist()
-    winners.foreach(_.unpersist())
     docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .filter(col("word") =!= "")

@@ -68,22 +68,45 @@ object SqlSurface {
         |  SELECT w AS word, count(*) AS cnt
         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
         |  WHERE w <> '' GROUP BY w),
-        | d0 AS (SELECT word, cnt,
+        | d0 AS MATERIALIZED (SELECT word, cnt,
         |   array_to_string(list_transform(string_split(word, ''),
         |     c -> chr(31) || c || chr(31)), '') AS seq FROM wd)""".stripMargin
     val steps = (1 to rounds).map { i =>
+      // each d(i-1) is referenced twice (pair counting + rewrite);
+      // MATERIALIZED stops DuckDB inlining the dictionary chain into an
+      // exponentially duplicated scan tree — at 64 rounds the inlined
+      // form exhausts file handles before it finishes planning
       s""" p$i AS (SELECT z[1] AS l, z[2] AS r, CAST(sum(cnt) AS BIGINT) AS n FROM (
          |    SELECT cnt, unnest(list_zip(syms[:-1], syms[2:])) AS z
          |    FROM (SELECT cnt, string_split(trim(seq, chr(31)), chr(31) || chr(31)) AS syms FROM d${i - 1}))
          |   WHERE z[2] IS NOT NULL GROUP BY z[1], z[2]),
          | w$i AS (SELECT l, r, n FROM p$i ORDER BY n DESC, l, r LIMIT 1),
-         | d$i AS (SELECT word, cnt,
+         | d$i AS MATERIALIZED (SELECT word, cnt,
          |    replace(seq, chr(31) || w.l || chr(31) || chr(31) || w.r || chr(31),
          |                 chr(31) || w.l || w.r || chr(31)) AS seq
          |   FROM d${i - 1}, w$i w)""".stripMargin
     }
     (head +: steps).mkString(",\n")
   }
+
+  /** DuckDB twin of TextOps.bpeEncode at `rounds`: the merge chain's
+    * final dictionary shipped back onto the corpus words (shared by the
+    * q104 round-5 and q113 round-64 oracles).
+    */
+  private def dkBpeEncodeSql(rounds: Int): String =
+    s"WITH ${dkBpeChain(rounds)},\n" +
+      s""" enc AS (SELECT word,
+         |   len(string_split(trim(seq, chr(31)), chr(31) || chr(31))) AS n_sub
+         |  FROM d$rounds),
+         | dw AS (SELECT doc_id, w AS word
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |        FROM documents) WHERE w <> '')
+         |SELECT dw.doc_id,
+         |  count(*) AS n_words,
+         |  CAST(sum(len(dw.word)) AS BIGINT) AS n_chars,
+         |  CAST(sum(enc.n_sub) AS BIGINT) AS n_bpe_tokens
+         |FROM dw JOIN enc ON dw.word = enc.word
+         |GROUP BY dw.doc_id ORDER BY dw.doc_id""".stripMargin
 
   /** Run SQL through the reference-parity gate (exercises O2-O7 and the
     * O15/O16 request-log line, emitted to stderr per gated query). */
@@ -416,6 +439,15 @@ object SqlSurface {
     //     shuffle. See TextOps.bpeEncode ---
     "q104_bpe_encode" -> ((s, d) =>
       TextOps.bpeEncode(t(s, d, "documents"), rounds = 5)),
+
+    // --- the production tokenizer shape: a 64-round merge table
+    //     learned and applied in one call. Same one-corpus-pass
+    //     dictionary trick; the loop floor is 64 sequential
+    //     vocabulary-sized jobs (data-dependent rounds cannot
+    //     parallelize), with the dict checkpointed every 8 rounds so
+    //     lineage and re-evaluation stay bounded at any round count ---
+    "q113_bpe_encode64" -> ((s, d) =>
+      TextOps.bpeEncode(t(s, d, "documents"), rounds = 64)),
 
     // --- LATERAL correlated subquery join: per-outer-row dependent
     //     subquery with its own ORDER BY + LIMIT ("top-2 orders per
@@ -1321,20 +1353,11 @@ object SqlSurface {
     // DuckDB twin of q104: the same chain, but shipping the round-5
     // dictionary — count the chr(31)-wrapped symbol groups per word,
     // join back onto the corpus words, roll up per document.
-    "q104_bpe_encode" ->
-      (s"WITH ${dkBpeChain(5)},\n" +
-        """ enc AS (SELECT word,
-          |   len(string_split(trim(seq, chr(31)), chr(31) || chr(31))) AS n_sub
-          |  FROM d5),
-          | dw AS (SELECT doc_id, w AS word
-          |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
-          |        FROM documents) WHERE w <> '')
-          |SELECT dw.doc_id,
-          |  count(*) AS n_words,
-          |  CAST(sum(len(dw.word)) AS BIGINT) AS n_chars,
-          |  CAST(sum(enc.n_sub) AS BIGINT) AS n_bpe_tokens
-          |FROM dw JOIN enc ON dw.word = enc.word
-          |GROUP BY dw.doc_id ORDER BY dw.doc_id""".stripMargin),
+    "q104_bpe_encode" -> dkBpeEncodeSql(5),
+
+    // DuckDB twin of q113: identical shape at the production round
+    // count — the 64-step dictionary chain, then the encode join.
+    "q113_bpe_encode64" -> dkBpeEncodeSql(64),
 
     "q97_triangles" ->
       """WITH e AS (

@@ -158,6 +158,21 @@ class TextOpsSpec extends SparkSpec {
     assert(rows.forall(r => r._2 <= r._4 && r._4 <= r._3))
   }
 
+  test("bpe loop stops early when the vocabulary is fully merged") {
+    // "ab" is the only word: round 1 merges (a,b), after which no pair
+    // remains — a 64-round request must return a 1-row merge table
+    // rather than emptying the dictionary or spinning 63 no-op jobs
+    val docs = Seq((1L, "ab ab"), (2L, "ab")).toDF("doc_id", "text")
+    val m = TextOps.bpeMerges(docs, rounds = 64)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(m == Seq((1, "a", "b", "ab", 3L)))
+    // encode still works off the exhausted dictionary: 1 subword/word
+    val e = TextOps.bpeEncode(docs, rounds = 64)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(e(1L) == ((2L, 4L, 2L)) && e(2L) == ((1L, 2L, 1L)))
+  }
+
   test("bpeEncode/bpeMerges: repeated calls leave no session cache behind") {
     // The learn loop pins the corpus pass + one 1-row frame per round;
     // a leak means every call outside a harness's clearCache()
