@@ -220,6 +220,81 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed == Map(1L -> 2L, 2L -> 2L, 3L -> 3L, 4L -> 1L))
   }
 
+  test("wedgeStream closure equals batch triangle counts across batches") {
+    // K4 on {1,2,3,4}: every vertex is in C(3,2) = 3 triangles
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val in = MemoryStream[(Long, Long)](spark)
+    val out = EventStreams.wedgeStream(in.toDS().toDF("src", "dst"))
+    runToMemory(out, "wedges", OutputMode.Append) {
+      in.addData(edges.take(3): _*)
+      in.addData(edges.drop(3): _*)
+    }
+    val batchEdges = edges.toDF("src", "dst")
+    val streamed = EventStreams
+      .triangleCountsOf(spark.table("wedges"), batchEdges)
+      .as[(Long, Long)].collect().toMap
+    val batch = graft.operators.GraphOps.triangleStats(batchEdges)
+      .select("node_id", "n_triangles").as[(Long, Long)].collect().toMap
+    assert(streamed == batch && streamed == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
+      s"streamed=$streamed batch=$batch")
+    // exactly one wedge per (center, neighbor-pair): 4 vertices × C(3,2)
+    assert(spark.table("wedges").count() == 12L)
+    assert(spark.table("wedges").distinct().count() == 12L)
+  }
+
+  test("wedgeStream: duplicate/flipped redelivery and self-loops leave " +
+    "the wedge set unchanged") {
+    val canonical = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (2L, 4L))
+    val in = MemoryStream[(Long, Long)](spark)
+    val out = EventStreams.wedgeStream(in.toDS().toDF("src", "dst"))
+    runToMemory(out, "wedges_dup", OutputMode.Append) {
+      in.addData((1L, 2L), (1L, 3L), (2L, 2L))  // first delivery + self-loop
+      in.addData((2L, 1L), (3L, 1L))            // both redelivered flipped
+      in.addData((2L, 3L), (3L, 4L), (2L, 4L))
+      in.addData((4L, 3L), (2L, 3L))            // redeliveries again
+    }
+    val batchEdges = canonical.toDF("src", "dst")
+    val streamed = EventStreams
+      .triangleCountsOf(spark.table("wedges_dup"), batchEdges)
+      .as[(Long, Long)].collect().toMap
+    val batch = graft.operators.GraphOps.triangleStats(batchEdges)
+      .select("node_id", "n_triangles").as[(Long, Long)].collect().toMap
+    // triangles {1,2,3} and {2,3,4}; vertices 2,3 are in both
+    assert(streamed == batch.filter(_._2 > 0) &&
+      streamed == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L),
+      s"streamed=$streamed batch=$batch")
+  }
+
+  test("wedgeStream replay equals batch triangle counts on a real graph") {
+    // the q97-shaped co-occurrence graph at sf0.001: parts sharing an
+    // order, canonical distinct edges
+    val li = graft.engine.Tables.table(spark, "/root/testdata/sf0.001", "lineitem")
+    val edges = li.as("a").join(li.as("b"),
+        $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_partkey" < $"b.l_partkey")
+      .select($"a.l_partkey".as("src"), $"b.l_partkey".as("dst"))
+      .distinct()
+    val data = edges.as[(Long, Long)].collect().toIndexedSeq
+    val in = MemoryStream[(Long, Long)](spark)
+    val out = EventStreams.wedgeStream(in.toDS().toDF("src", "dst"))
+    runToMemory(out, "wedges_replay", OutputMode.Append) {
+      // arrivals split across three micro-batches, one slice flipped
+      val (h, t) = data.splitAt(data.size / 3)
+      val (m, l) = t.splitAt(t.size / 2)
+      in.addData(h: _*)
+      in.addData(m.map(e => (e._2, e._1)): _*) // flipped delivery
+      in.addData(l: _*)
+      in.addData(h.take(20): _*)               // redelivery
+    }
+    val streamed = EventStreams
+      .triangleCountsOf(spark.table("wedges_replay"), edges)
+      .as[(Long, Long)].collect().toMap
+    val batch = graft.operators.GraphOps.triangleStats(edges)
+      .select("node_id", "n_triangles").as[(Long, Long)].collect().toMap
+      .filter(_._2 > 0)
+    assert(streamed == batch,
+      s"stream-only=${streamed.toSet -- batch.toSet} batch-only=${batch.toSet -- streamed.toSet}")
+  }
+
   test("degreeCounts: duplicate/flipped redelivery and self-loops do not " +
     "diverge from the batch twin") {
     // the canonical distinct edge set the batch twin sees
