@@ -18,6 +18,10 @@ class EntrySpec extends SparkSpec {
   }
 
   test("query names are unique and well-formed") {
-    assert(SparkEntry.queries.keys.forall(_.matches("q\\d{2,3}_[a-z0-9_]+")))
+    // an optional letter suffix marks a twin of the same-numbered query
+    // (q23b = q23 via the scalable id path, q105b = q105 via the index)
+    assert(SparkEntry.queries.keys.forall(_.matches("q\\d{2,3}[a-z]?_[a-z0-9_]+")),
+      SparkEntry.queries.keys.filterNot(_.matches("q\\d{2,3}[a-z]?_[a-z0-9_]+"))
+        .mkString(", "))
   }
 }
