@@ -449,6 +449,41 @@ object SqlSurface {
     "q113_bpe_encode64" -> ((s, d) =>
       TextOps.bpeEncode(t(s, d, "documents"), rounds = 64)),
 
+    // --- multiple DISTINCT aggregates in one pass: Catalyst's Expand
+    //     rewrite fans each row out once per distinct-column set, so
+    //     the query stays ONE shuffle pipeline (partial-agg'd) instead
+    //     of one self-join per distinct aggregate — the plan shape that
+    //     survives 100 TB is asserted in PlanSpec ---
+    "q114_multi_distinct" -> ((s, d) => gated(s, d,
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // --- IGNORE NULLS navigation: forward-fill ("most recent big
+    //     order's price as of each order") — the sparse-metadata
+    //     propagation every curation pipeline needs; one partitioned
+    //     window, no self-join, NULL until the first qualifying row ---
+    "q115_ignore_nulls" -> ((s, d) => gated(s, d,
+      """SELECT o_orderkey, o_custkey,
+        |  last_value(CASE WHEN o_totalprice > 150000 THEN o_totalprice END) IGNORE NULLS
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_big_price
+        |FROM orders WHERE o_custkey <= 100
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin)),
+
+    // --- ANSI FILTER clause: per-aggregate predicates in one
+    //     aggregation pass (no CASE-WHEN contortions, no second scan) ---
+    "q116_filter_agg" -> ((s, d) => gated(s, d,
+      """SELECT o_orderstatus,
+        |  count(*) AS n_all,
+        |  count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+        |  count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE) AS urgent_value
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     // --- LATERAL correlated subquery join: per-outer-row dependent
     //     subquery with its own ORDER BY + LIMIT ("top-2 orders per
     //     customer") — the decorrelated-join operator family; Catalyst
@@ -1358,6 +1393,31 @@ object SqlSurface {
     // DuckDB twin of q113: identical shape at the production round
     // count — the 64-step dictionary chain, then the encode join.
     "q113_bpe_encode64" -> dkBpeEncodeSql(64),
+
+    "q114_multi_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // DuckDB puts IGNORE NULLS inside the call parens; Spark after them
+    "q115_ignore_nulls" ->
+      """SELECT o_orderkey, o_custkey,
+        |  last_value(CASE WHEN o_totalprice > 150000 THEN o_totalprice END IGNORE NULLS)
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_big_price
+        |FROM orders WHERE o_custkey <= 100
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+
+    "q116_filter_agg" ->
+      """SELECT o_orderstatus,
+        |  count(*) AS n_all,
+        |  count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+        |  count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE) AS urgent_value
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q97_triangles" ->
       """WITH e AS (

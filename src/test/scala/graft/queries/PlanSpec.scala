@@ -96,6 +96,15 @@ class PlanSpec extends SparkSpec {
       p.take(1500))
   }
 
+  test("q114: multiple distinct aggregates run as ONE Expand pipeline") {
+    val p = plan("q114_multi_distinct")
+    // the Expand rewrite: rows fanned out per distinct-column set...
+    assert(p.contains("Expand"), p.take(1500))
+    // ...feeding partial+final aggregation — not a join of per-distinct
+    // subplans
+    assert(!p.contains("Join"), p.take(1500))
+  }
+
   test("q26: tf-idf search keeps the corpus-size frame broadcast") {
     val p = plan("q26_tfidf_search")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
