@@ -84,7 +84,25 @@ object Explain {
       ("k-means E-step: the k centroids (with precomputed self-dots) " +
         "ride as ONE broadcast row; assignment is a per-row argmin " +
         "(`array_min` over (d2, id) structs) — the corpus is scanned " +
-        "once and nothing shuffles until the k-row cluster rollup."))
+        "once and nothing shuffles until the k-row cluster rollup."),
+    "q23b_index_scaled" ->
+      ("Distributed dense id assignment: range repartition + " +
+        "per-partition offsets — NO `Window` and NO `SinglePartition` " +
+        "exchange anywhere; q23's parity path funnels every row " +
+        "through one task, this one never does."),
+    "q111_exists_lateral" ->
+      ("EXISTS over a correlated ORDER BY/LIMIT subquery: the LIMIT " +
+        "decorrelates into a per-custkey `row_number` rank feeding a " +
+        "`LeftSemi` hash join — no per-outer-row subquery execution."),
+    "q112_lateral_agg" ->
+      ("LATERAL scalar aggregate: partial+final hash aggregation over " +
+        "orders + ONE outer domain join — empty groups keep their row " +
+        "(count=0, sum=NULL) without any nested-loop fallback."),
+    "q114_multi_distinct" ->
+      ("Multiple DISTINCT aggregates: Catalyst's Expand rewrite fans " +
+        "each row out per distinct-column set, keeping the query one " +
+        "partial-aggregated shuffle pipeline — no join of per-distinct " +
+        "subplans."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
