@@ -716,6 +716,25 @@ object SqlSurface {
           expr("percentile(l_extendedprice, 0.9)").as("p90_price"))
         .orderBy("l_returnflag")),
 
+    // --- approximate percentile sketch (KLL/GK-style), q43's pattern:
+    //     the output embeds its own accuracy contract. accuracy=10000
+    //     bounds rank error at n/10000 (~60 rows of 600k), so the
+    //     sketch value must land between the exact p±0.01 quantiles —
+    //     stated as literal TRUE in the oracle, a drifting sketch
+    //     fails the hash check. The exact percentiles are sort-based
+    //     and interpolation-identical across engines (q49). ---
+    "q117_approx_percentile" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(l_extendedprice, 0.5)").as("exact_p50"),
+          expr("percentile_approx(l_extendedprice, 0.5, 10000) BETWEEN " +
+            "percentile(l_extendedprice, 0.49) AND " +
+            "percentile(l_extendedprice, 0.51)").as("p50_within_tol"),
+          expr("percentile_approx(l_extendedprice, 0.9, 10000) BETWEEN " +
+            "percentile(l_extendedprice, 0.89) AND " +
+            "percentile(l_extendedprice, 0.91)").as("p90_within_tol"))
+        .orderBy("l_returnflag")),
+
     // --- string function breadth: pad/replace/split_part/levenshtein ---
     "q50_strfns" -> ((s, d) =>
       t(s, d, "part")
@@ -1744,6 +1763,16 @@ object SqlSurface {
         | quantile_cont(l_quantity, 0.5) AS q50,
         | quantile_cont(l_quantity, 0.75) AS q75,
         | quantile_cont(l_extendedprice, 0.9) AS p90_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+        .stripMargin,
+
+    // the within-tol booleans assert the sketch's rank-error bound; the
+    // oracle states them as literal TRUE (q43's accuracy-contract shape)
+    "q117_approx_percentile" ->
+      """SELECT l_returnflag,
+        | quantile_cont(l_extendedprice, 0.5) AS exact_p50,
+        | TRUE AS p50_within_tol,
+        | TRUE AS p90_within_tol
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
         .stripMargin,
 
