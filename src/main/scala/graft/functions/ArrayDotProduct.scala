@@ -101,7 +101,8 @@ object GraftFunctions {
 
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(arrayDot, CharPolyHash.registration, SimHashAggregate.registration,
-      SimHashAggregate.bandsRegistration, MinHashAggregate.registration)
+      SimHashAggregate.bandsRegistration, MinHashAggregate.registration,
+      BloomFunctions.aggRegistration, BloomFunctions.probeRegistration)
 
   /** Idempotent runtime registration on a session. Also raises the
     * object-hash-aggregation fallback threshold when still at Spark's

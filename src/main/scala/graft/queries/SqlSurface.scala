@@ -735,6 +735,92 @@ object SqlSurface {
             "percentile(l_extendedprice, 0.91)").as("p90_within_tol"))
         .orderBy("l_returnflag")),
 
+    // --- explicit Bloom-pruned semi join: the 100 TB shuffle-pruning
+    //     pattern stated in the query itself. `bloom_agg` (Spark's
+    //     runtime-filter aggregate, surfaced via GraftFunctions) builds
+    //     one tiny binary over the small side's hashed keys as a scalar
+    //     subquery; `bloom_might_contain` probes it on the big side's
+    //     scan BEFORE the join, so the shuffle carries ~|matches| +
+    //     fp·|big| rows instead of |big|. No false negatives ⇒ the
+    //     trailing exact IN-subquery restores precise semantics, and
+    //     the result is hash-identical to the plain semi join the
+    //     oracle states. ---
+    "q118_bloom_prune" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      gated(s, d,
+        """WITH dim AS (
+          |  SELECT o_custkey FROM orders
+          |  WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 250000)
+          |SELECT c_custkey, c_name
+          |FROM customer
+          |WHERE bloom_might_contain(
+          |        (SELECT bloom_agg(xxhash64(o_custkey)) FROM dim),
+          |        xxhash64(c_custkey))
+          |  AND c_custkey IN (SELECT o_custkey FROM dim)
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
+    // --- mergeable-sketch rollup (DataSketches HLL): sketch each
+    //     nation's customers ONCE, then roll nation sketches up to
+    //     regions with a register-max union — the "sketch at ingest,
+    //     merge at any granularity later" posture that replaces a
+    //     second full-corpus distinct pass at 100 TB. Estimates carry
+    //     a 5% accuracy contract (lgK=12 ⇒ ~1.6% RSE, so 5% is ~3σ);
+    //     exact counts ride along because c_custkey is unique, making
+    //     per-nation distincts disjoint and summable. ---
+    "q119_hll_rollup" -> ((s, d) => gated(s, d,
+      """WITH nat AS (
+        |  SELECT c_nationkey,
+        |         hll_sketch_agg(c_custkey) AS sk,
+        |         count(DISTINCT c_custkey) AS exact_n
+        |  FROM customer GROUP BY c_nationkey),
+        | reg AS (
+        |  SELECT n.n_regionkey,
+        |         hll_sketch_estimate(hll_union_agg(nat.sk)) AS est,
+        |         CAST(sum(nat.exact_n) AS BIGINT) AS exact_n
+        |  FROM nat JOIN nation n ON nat.c_nationkey = n.n_nationkey
+        |  GROUP BY n.n_regionkey)
+        |SELECT n_regionkey, exact_n,
+        |       est BETWEEN exact_n * 0.95 AND exact_n * 1.05
+        |         AS est_within_5pct
+        |FROM reg ORDER BY n_regionkey""".stripMargin)),
+
+    // --- heavy-hitter sketch (DataSketches frequent-items via
+    //     approx_top_k): the top-token / top-domain report every corpus
+    //     audit opens with, in ONE pass with a bounded-memory sketch
+    //     instead of a full-vocabulary groupBy + sort. With
+    //     maxItemsTracked ≥ the live vocabulary the sketch provably
+    //     never purges, so its counts are exact — stated as contract
+    //     booleans the oracle pins to TRUE (q43's shape): every
+    //     returned count equals the exact groupBy count, and every
+    //     returned item clears the exact kth-largest threshold. ---
+    //     Scan economy: the corpus is read exactly twice — once into
+    //     the sketch, once into the exact counts the audit compares
+    //     against (production runs the sketch pass alone). Everything
+    //     downstream (rank, kth threshold, totals) derives from the
+    //     vocabulary-sized `exact` frame in ONE aggregate; the rank
+    //     window runs over post-agg count rows (q100's pattern), never
+    //     the raw token stream.
+    "q120_approx_topk" -> ((s, d) => gated(s, d,
+      """WITH toks AS (
+        |  SELECT tok
+        |  FROM (SELECT explode(split(text, ' ')) AS tok FROM documents)
+        |  WHERE tok <> ''),
+        | exact AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+        | ak AS (SELECT approx_top_k(tok, 20, 1024) AS arr FROM toks),
+        | items AS (SELECT t.* FROM ak LATERAL VIEW inline(arr) t),
+        | j AS (
+        |  SELECT e.c, i.count AS ac,
+        |         row_number() OVER (ORDER BY e.c DESC, e.tok) AS rn
+        |  FROM exact e LEFT JOIN items i ON e.tok = i.item)
+        |SELECT
+        |  CAST(count(ac) AS BIGINT) AS n_returned,
+        |  bool_and(ac IS NULL OR ac = c) AS counts_exact,
+        |  min(CASE WHEN ac IS NOT NULL THEN c END) >=
+        |    min(CASE WHEN rn <= 20 THEN c END) AS all_at_least_kth,
+        |  CAST(sum(c) AS BIGINT) AS total_tokens
+        |FROM j""".stripMargin)),
+
     // --- string function breadth: pad/replace/split_part/levenshtein ---
     "q50_strfns" -> ((s, d) =>
       t(s, d, "part")
@@ -1775,6 +1861,41 @@ object SqlSurface {
         | TRUE AS p90_within_tol
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
         .stripMargin,
+
+    // the bloom probe is a pass-through prune (no false negatives); the
+    // oracle is the plain semi join it accelerates
+    "q118_bloom_prune" ->
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE c_custkey IN (
+        |  SELECT o_custkey FROM orders
+        |  WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 250000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    // per-nation distincts are disjoint (c_custkey unique), so the
+    // region exact count is their sum; the union'd-sketch estimate is
+    // asserted inside its 5% contract as literal TRUE
+    "q119_hll_rollup" ->
+      """SELECT n.n_regionkey,
+        | CAST(count(DISTINCT c.c_custkey) AS BIGINT) AS exact_n,
+        | TRUE AS est_within_5pct
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n.n_regionkey ORDER BY n_regionkey""".stripMargin,
+
+    // the sketch never purges at maxItemsTracked ≥ |vocabulary|, so its
+    // counts are exact and both contract booleans are literal TRUE; the
+    // oracle recomputes the exact side only
+    "q120_approx_topk" ->
+      """WITH toks AS (
+        |  SELECT tok
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  WHERE tok <> '')
+        |SELECT CAST(20 AS BIGINT) AS n_returned,
+        |  TRUE AS counts_exact,
+        |  TRUE AS all_at_least_kth,
+        |  CAST(count(*) AS BIGINT) AS total_tokens
+        |FROM toks""".stripMargin,
 
     "q50_strfns" ->
       """SELECT p_partkey,

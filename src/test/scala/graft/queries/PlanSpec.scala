@@ -260,6 +260,54 @@ class PlanSpec extends SparkSpec {
     assert(hashEx <= 1, s"corpus-side shuffle crept in:\n${p.take(2000)}")
   }
 
+  test("q118: bloom probe filters the big side BELOW the semi join, " +
+    "and the bloom build is map-side combined") {
+    val p = plan("q118_bloom_prune")
+    // the probe must be a Filter on the customer scan feeding the join,
+    // keyed by the same xxhash64 the build side aggregates
+    assert(p.contains("might_contain"), p.take(1500))
+    assert(p.contains("xxhash64(c_custkey"),
+      s"bloom probe not on the big side's key:\n${p.take(1500)}")
+    assert(p.contains("LeftSemi"), p.take(1500))
+    // the filter is a CHILD of the join: in the indented plan tree the
+    // join line precedes the might_contain filter line
+    val lines = p.linesIterator.toVector
+    val joinLn = lines.indexWhere(_.contains("LeftSemi"))
+    val probeLn = lines.indexWhere(_.contains("might_contain"))
+    assert(joinLn >= 0 && probeLn > joinLn,
+      s"bloom probe not below the semi join:\n${p.take(1500)}")
+    // bloom build: partial aggregate before the single-partition merge
+    assert(p.contains("partial_bloom_filter_agg"),
+      s"bloom build not map-side combined:\n${p.take(1500)}")
+  }
+
+  test("q119: region rollup merges nation SKETCHES — customer scanned " +
+    "once, sketch agg partial'd map-side") {
+    val p = plan("q119_hll_rollup")
+    assert(p.contains("partial_hll_sketch_agg"),
+      s"sketch build not map-side combined:\n${p.take(1500)}")
+    assert(p.contains("hll_union_agg"),
+      s"region level must union sketches, not rescan:\n${p.take(1500)}")
+    val scans = "customer.parquet".r.findAllIn(p).length
+    assert(scans == 1,
+      s"customer scanned $scans times (expected 1):\n${p.take(1500)}")
+  }
+
+  test("q120: heavy-hitter audit reads the corpus exactly twice " +
+    "(sketch pass + exact pass), ranks over post-agg rows only") {
+    val p = plan("q120_approx_topk")
+    assert(p.contains("approx_top_k"), p.take(1500))
+    val scans = "documents.parquet".r.findAllIn(p).length
+    assert(scans == 2,
+      s"documents scanned $scans times (expected 2):\n${p.take(2000)}")
+    // the rank window must sit above the vocabulary aggregate, never
+    // the raw token stream: exactly 2 corpus explodes (one per pass —
+    // the third Generate is inline() over the k-row sketch array)
+    val explodes = "Generate explode".r.findAllIn(p).length
+    assert(explodes == 2,
+      s"token stream exploded $explodes times:\n${p.take(2000)}")
+  }
+
   test("q104: encode joins the corpus against a BROADCAST dictionary") {
     val df = SparkEntry.queries("q104_bpe_encode")(spark, sf001)
     df.collect()
