@@ -40,6 +40,20 @@ final case class Wedge(center: Long, a: Long, b: Long)
 /** Adjacency of one vertex (stream state for the triangle twin). */
 final case class AdjState(nbrs: List[Long])
 
+/** A wedge or saturation marker from the CAPPED triangle twin: wedge
+  * rows carry `saturated = false`; the one-time marker row a vertex
+  * emits when its adjacency first overflows the cap carries
+  * `saturated = true` with `a = b = -1`.
+  */
+final case class CappedWedge(center: Long, a: Long, b: Long,
+                             saturated: Boolean)
+
+/** Capped adjacency of one vertex (stream state for the capped twin):
+  * `sat` latches once a (cap+1)-th distinct neighbor has been seen, so
+  * the marker is emitted exactly once.
+  */
+final case class CapAdjState(nbrs: List[Long], sat: Boolean)
+
 /** Structured Streaming surface over the `events` shape.
   *
   * The reference is strictly one-shot batch per HTTP request
@@ -346,6 +360,74 @@ object EventStreams {
         GroupStateTimeout.NoTimeout)(fn)
   }
 
+  /** Hub-capped variant of [[wedgeStream]] — the bounded-memory,
+    * bounded-emission posture for adversarial (hub-heavy) graphs.
+    *
+    * [[wedgeStream]] is exact and therefore pays Σ C(deg, 2) emission
+    * and O(deg) state at every vertex: one 10M-degree hub in a 100 TB
+    * web graph means a 10M-entry adjacency list in one state-store key
+    * and ~5·10¹³ wedges from that key alone. This variant caps the
+    * resident adjacency at `cap` neighbors per vertex:
+    *
+    *  - a vertex whose final canonical degree is ≤ `cap` can never
+    *    saturate (only DISTINCT new neighbors grow the list), so its
+    *    wedges — and its closed triangle counts — are exactly the
+    *    uncapped twin's, independent of arrival order;
+    *  - a (cap+1)-th distinct neighbor emits a one-time saturation
+    *    MARKER row instead of wedges, and further new neighbors are
+    *    dropped: that center's counts become deterministic lower
+    *    bounds over the first-`cap` arrivals, its state stays O(cap),
+    *    and its total emission is bounded by C(cap, 2);
+    *  - redeliveries (exact or flipped) and self-loops emit nothing,
+    *    saturated or not — at-least-once sources stay safe.
+    *
+    * No sampling, no RNG: the kept set is the arrival prefix, so a
+    * replay of the same stream reproduces the same output bit-for-bit.
+    * Close with [[cappedTriangleCountsOf]], which surfaces the marker
+    * as a per-vertex `lower_bound` flag. The exact twin stays the
+    * default; this is the switch a 100 TB deployment flips when hub
+    * state or emission becomes the bottleneck.
+    */
+  def wedgeStreamCapped(edges: DataFrame, cap: Int): Dataset[CappedWedge] = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    import edges.sparkSession.implicits._
+    val routed = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(explode(array(
+        struct(col("a").as("v"), col("b").as("w")),
+        struct(col("b").as("v"), col("a").as("w")))).as("r"))
+      .select(col("r.v").as("v"), col("r.w").as("w"))
+      .as[(Long, Long)]
+    def fn(v: Long, arrivals: Iterator[(Long, Long)],
+           state: GroupState[CapAdjState]): Iterator[CappedWedge] = {
+      var st = state.getOption.getOrElse(CapAdjState(Nil, sat = false))
+      var nbrs = st.nbrs
+      var sat = st.sat
+      val out = scala.collection.mutable.ArrayBuffer.empty[CappedWedge]
+      arrivals.foreach { case (_, w) =>
+        if (!nbrs.contains(w)) {
+          if (nbrs.size < cap) {
+            nbrs.foreach { x =>
+              out += CappedWedge(v, math.min(x, w), math.max(x, w),
+                saturated = false)
+            }
+            nbrs = w :: nbrs
+          } else if (!sat) {
+            out += CappedWedge(v, -1L, -1L, saturated = true)
+            sat = true
+          }
+        }
+      }
+      state.update(CapAdjState(nbrs, sat))
+      out.iterator
+    }
+    routed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
+
   /** Close streamed wedges against the (canonical, distinct) edge set:
     * a wedge is a triangle iff its outer pair is an edge. One hash
     * semi-join on `(a, b)` + one vertex-keyed count — per-vertex
@@ -361,6 +443,33 @@ object EventStreams {
     wedges.join(canon, Seq("a", "b"), "left_semi")
       .groupBy("center").agg(count(lit(1)).as("n_triangles"))
       .select(col("center").as("node_id"), col("n_triangles"))
+  }
+
+  /** Close a [[wedgeStreamCapped]] output: wedge rows close exactly as
+    * [[triangleCountsOf]]; marker rows become a per-vertex
+    * `lower_bound` flag (true ⇒ that count covers only the first-`cap`
+    * arrival prefix and the true count may be higher). A saturated
+    * vertex with no closed wedges still appears, with count 0.
+    * Output: (node_id, n_triangles, lower_bound).
+    */
+  def cappedTriangleCountsOf(wedges: DataFrame,
+                             edges: DataFrame): DataFrame = {
+    val canon = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val closed = wedges.filter(!col("saturated"))
+      .join(canon, Seq("a", "b"), "left_semi")
+      .groupBy("center").agg(count(lit(1)).as("n_triangles"))
+    // rename the marker-side key: both branches share the streamed
+    // frame's lineage and an eponymous join would self-conflict
+    val marks = wedges.filter(col("saturated"))
+      .select(col("center").as("sat_center")).distinct()
+    closed.join(marks, col("center") === col("sat_center"), "full_outer")
+      .select(coalesce(col("center"), col("sat_center")).as("node_id"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        col("sat_center").isNotNull.as("lower_bound"))
   }
 
   /** Open the events table as a file stream (one-file-per-trigger going

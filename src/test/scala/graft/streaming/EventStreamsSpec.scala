@@ -295,6 +295,100 @@ class EventStreamsSpec extends SparkSpec {
       s"stream-only=${streamed.toSet -- batch.toSet} batch-only=${batch.toSet -- streamed.toSet}")
   }
 
+  test("wedgeStreamCapped: low-degree vertices stay exact, the hub " +
+    "saturates into a flagged lower bound with bounded emission") {
+    // star hub 100 → {1..6} (degree 6 > cap 4) plus partner edges
+    // (1,2), (3,4), (5,6): exact triangles at the hub = 3. Arrival
+    // order sends 5 and 6 to the hub AFTER the cap fills, so the
+    // hub's capped count misses (100,5,6); every other vertex has
+    // degree 2 ≤ cap and must match the exact twin.
+    val edges = Seq(
+      (100L, 1L), (100L, 2L), (100L, 3L), (100L, 4L),
+      (100L, 5L), (100L, 6L),
+      (1L, 2L), (3L, 4L), (5L, 6L))
+    val in = MemoryStream[(Long, Long)](spark)
+    val out = EventStreams.wedgeStreamCapped(in.toDS().toDF("src", "dst"),
+      cap = 4)
+    runToMemory(out, "wedges_cap", OutputMode.Append) {
+      in.addData(edges.take(4): _*)  // hub fills to cap
+      in.addData(edges.slice(4, 6): _*) // 5th/6th neighbor → marker
+      in.addData(edges.drop(6): _*)  // partner edges
+    }
+    val batchEdges = edges.toDF("src", "dst")
+    val streamed = EventStreams
+      .cappedTriangleCountsOf(spark.table("wedges_cap"), batchEdges)
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val exact = graft.operators.GraphOps.triangleStats(batchEdges)
+      .select("node_id", "n_triangles").as[(Long, Long)].collect().toMap
+    // exactly one saturation marker, at the hub
+    val marks = spark.table("wedges_cap").filter($"saturated")
+      .as[CappedWedge].collect()
+    assert(marks.toSeq == Seq(CappedWedge(100L, -1L, -1L, saturated = true)))
+    // hub: flagged lower bound, strictly below the exact count here
+    assert(streamed(100L) == ((2L, true)) && exact(100L) == 3L)
+    // every unsaturated vertex matches the exact twin
+    streamed.filterNot(_._1 == 100L).foreach { case (v, (n, lb)) =>
+      assert(!lb && n == exact(v), s"vertex $v: capped=$n exact=${exact(v)}")
+    }
+    // emission at the hub is bounded by C(cap, 2), not C(deg, 2)
+    val hubWedges = spark.table("wedges_cap")
+      .filter($"center" === 100L && !$"saturated").count()
+    assert(hubWedges <= 6L, s"hub emitted $hubWedges wedges > C(4,2)")
+  }
+
+  test("wedgeStreamCapped: redelivery to a saturated vertex emits " +
+    "nothing and replays reproduce the same output") {
+    val edges = Seq((9L, 1L), (9L, 2L), (9L, 3L), (1L, 2L))
+    def run(name: String, extra: Seq[(Long, Long)]): Set[CappedWedge] = {
+      val in = MemoryStream[(Long, Long)](spark)
+      val out = EventStreams.wedgeStreamCapped(in.toDS().toDF("src", "dst"),
+        cap = 2)
+      runToMemory(out, name, OutputMode.Append) {
+        in.addData(edges: _*)
+        if (extra.nonEmpty) in.addData(extra: _*)
+      }
+      spark.table(name).as[CappedWedge].collect().toSet
+    }
+    val base = run("wcap_base", Nil)
+    // flipped + duplicate redeliveries, including to the saturated hub,
+    // plus a self-loop: the output set must not change
+    val replayed = run("wcap_replay",
+      Seq((1L, 9L), (3L, 9L), (9L, 3L), (2L, 1L), (9L, 9L)))
+    assert(base == replayed, s"base=$base replayed=$replayed")
+    // hub 9 saturated at cap=2 (3 distinct neighbors): one marker
+    assert(base.count(_.saturated) == 1)
+  }
+
+  test("wedgeStreamCapped with cap >= max degree equals the exact twin") {
+    // K4: every vertex has degree 3 = cap, so nothing saturates
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val in = MemoryStream[(Long, Long)](spark)
+    val out = EventStreams.wedgeStreamCapped(in.toDS().toDF("src", "dst"),
+      cap = 3)
+    runToMemory(out, "wcap_k4", OutputMode.Append) {
+      in.addData(edges.take(3): _*)
+      in.addData(edges.drop(3): _*)
+    }
+    val rows = spark.table("wcap_k4").as[CappedWedge].collect()
+    assert(!rows.exists(_.saturated))
+    val asWedges = rows.map(c => Wedge(c.center, c.a, c.b)).toSet
+    val in2 = MemoryStream[(Long, Long)](spark)
+    val exact = EventStreams.wedgeStream(in2.toDS().toDF("src", "dst"))
+    runToMemory(exact, "wcap_k4_exact", OutputMode.Append) {
+      in2.addData(edges.take(3): _*)
+      in2.addData(edges.drop(3): _*)
+    }
+    assert(asWedges == spark.table("wcap_k4_exact").as[Wedge].collect().toSet)
+    // closure agrees and nothing is a lower bound
+    val counts = EventStreams
+      .cappedTriangleCountsOf(spark.table("wcap_k4"), edges.toDF("src", "dst"))
+      .as[(Long, Long, Boolean)].collect()
+    assert(counts.forall(!_._3) &&
+      counts.map(r => r._1 -> r._2).toMap ==
+        Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
   test("degreeCounts: duplicate/flipped redelivery and self-loops do not " +
     "diverge from the batch twin") {
     // the canonical distinct edge set the batch twin sees
