@@ -102,7 +102,23 @@ object Explain {
       ("Multiple DISTINCT aggregates: Catalyst's Expand rewrite fans " +
         "each row out per distinct-column set, keeping the query one " +
         "partial-aggregated shuffle pipeline — no join of per-distinct " +
-        "subplans."))
+        "subplans."),
+    "q118_bloom_prune" ->
+      ("Explicit Bloom-pruned semi join: the `bloom_agg` build is a " +
+        "map-side-combined aggregate collapsing to one tiny binary; " +
+        "the `might_contain` probe filters the big side BELOW the " +
+        "`LeftSemi` join, so the join input carries ~|matches| rows " +
+        "instead of the full scan."),
+    "q119_hll_rollup" ->
+      ("Mergeable HLL rollup: `hll_sketch_agg` partials map-side, the " +
+        "region level unions nation SKETCHES (`hll_union_agg`) — the " +
+        "customer corpus is scanned exactly once; re-aggregation at a " +
+        "coarser granularity never re-reads data."),
+    "q120_approx_topk" ->
+      ("Heavy-hitter audit: `approx_top_k` sketches the token stream " +
+        "in one bounded-memory pass; the exact comparison side is the " +
+        "only other corpus read, and the rank window runs over the " +
+        "vocabulary-sized aggregate output, never the raw stream."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
