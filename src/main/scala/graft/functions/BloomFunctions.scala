@@ -53,5 +53,9 @@ object BloomFunctions {
     new ExpressionInfo(classOf[BloomFilterMightContain].getName,
       "bloom_might_contain"),
     (children: Seq[Expression]) =>
-      BloomFilterMightContain(children(0), children(1)))
+      children match {
+        case Seq(filter, key) => BloomFilterMightContain(filter, key)
+        case _ => throw new IllegalArgumentException(
+          "bloom_might_contain(bloom, xxhash64(key))")
+      })
 }
