@@ -22,6 +22,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // full JSON string escape incl. control chars (a tab inside an
+    // exception message must not break the artifact's parse)
+    def jstr(s: String) = "\"" + s.flatMap {
+      case '"'          => "\\\""
+      case '\\'         => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c            => c.toString
+    } + "\""
     val spark = graft.engine.Tuning(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -67,12 +75,13 @@ object Bench {
       // One timestamped JSON line per query AS IT COMPLETES: if the
       // machine stalls mid-run, the stall shows up as a gap between
       // consecutive `end_epoch_ms` values with a flat `gc_ms` — an
-      // external cause, distinguishable from a code regression.
+      // external cause, distinguishable from a code regression. Errors
+      // ride INSIDE the object (escaped) so the one line that matters
+      // most stays machine-parseable.
       System.err.println(
-        f"""{"q":"$name","sec":$sec%.3f,"end_epoch_ms":$endMs,"gc_ms":$gcMs,"heap_mb":$heapMb}${err.fold("")(e => " ERROR " + e)}""")
+        f"""{"q":"$name","sec":$sec%.3f,"end_epoch_ms":$endMs,"gc_ms":$gcMs,"heap_mb":$heapMb${err.fold("")(e => ",\"error\":" + jstr(e))}}""")
       (name, sec, err, endMs, gcMs, heapMb)
     }
-    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val qs = results.map { case (k, v, _, _, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e), _, _, _) => s"\"$k\":${jstr(e)}" }

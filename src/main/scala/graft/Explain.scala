@@ -104,7 +104,7 @@ object Explain {
         "partial-aggregated shuffle pipeline — no join of per-distinct " +
         "subplans."),
     "q118_bloom_prune" ->
-      ("Explicit Bloom-pruned semi join: the `bloom_agg` build is a " +
+      ("Explicit Bloom-pruned semi join: the `graft_bloom_agg` build is a " +
         "map-side-combined aggregate collapsing to one tiny binary; " +
         "the `might_contain` probe filters the big side BELOW the " +
         "`LeftSemi` join, so the join input carries ~|matches| rows " +

@@ -23,12 +23,7 @@ object Bucketing {
   def writeBucketed(df: DataFrame, tableName: String, numBuckets: Int,
                     keys: Seq[String]): Unit = {
     val spark = df.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS `$tableName`")
-    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    val root = if (warehouse.contains(":"))
-      new java.io.File(new java.net.URI(warehouse).getPath)
-    else new java.io.File(warehouse)
-    deleteRecursively(new java.io.File(root, tableName))
+    dropTableAndLocation(spark, tableName)
     df.write
       .format("parquet")
       .mode("overwrite")
@@ -179,6 +174,25 @@ object Bucketing {
   private def deleteRecursively(f: java.io.File): Unit = if (f.exists()) {
     if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
     f.delete(): Unit
+  }
+
+  /** Drop `tableName` from the catalog AND clear any leftover warehouse
+    * location — the one idempotence preamble every bucketed-table
+    * writer needs: an in-memory catalog forgets tables between JVMs but
+    * leaves the warehouse files, and `saveAsTable` refuses to adopt an
+    * orphaned location. The location uses the LOWERCASED name (Spark
+    * lowercases unquoted identifiers at catalog time), so a mixed-case
+    * `tableName` must not delete a same-cased path and miss the real
+    * one.
+    */
+  def dropTableAndLocation(spark: SparkSession, tableName: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$tableName`")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val root = if (warehouse.contains(":"))
+      new java.io.File(new java.net.URI(warehouse).getPath)
+    else new java.io.File(warehouse)
+    deleteRecursively(new java.io.File(root,
+      tableName.toLowerCase(java.util.Locale.ROOT)))
   }
 
   /** Co-located equi-join of two bucketed catalog tables on their

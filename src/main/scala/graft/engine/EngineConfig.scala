@@ -36,9 +36,7 @@ object EngineConfig {
           val rhs = stripped.substring(eq + 1).trim
           val value =
             if (rhs.length >= 2 && rhs.head == '"' && rhs.last == '"')
-              rhs.substring(1, rhs.length - 1)
-                .replace("\\n", "\n").replace("\\t", "\t").replace("\\r", "\r")
-                .replace("\\\"", "\"").replace("\\\\", "\\")
+              unescape(rhs.substring(1, rhs.length - 1))
             else if (rhs.length >= 2 && rhs.head == '\'' && rhs.last == '\'')
               rhs.substring(1, rhs.length - 1)
             else {
@@ -52,6 +50,32 @@ object EngineConfig {
     out.toMap
   }
 
+  /** Decode double-quoted-value escapes in ONE left-to-right scan.
+    * Sequential `replace` calls cannot implement escape decoding: with
+    * `\\` handled last, the two-backslash prefix of `\\n` (a literal
+    * backslash then the letter n) is half-consumed by the `\n` rule
+    * first and mis-decodes into backslash + newline. godotenv's subset:
+    * \n \t \r \" \\; an unrecognized escape keeps both characters.
+    */
+  private def unescape(s: String): String = {
+    val b = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n'  => b.append('\n'); i += 2
+          case 't'  => b.append('\t'); i += 2
+          case 'r'  => b.append('\r'); i += 2
+          case '"'  => b.append('"'); i += 2
+          case '\\' => b.append('\\'); i += 2
+          case other => b.append(c).append(other); i += 2
+        }
+      } else { b.append(c); i += 1 }
+    }
+    b.toString
+  }
+
   /** Build a config from a dotenv file merged under the process
     * environment — an already-set process variable wins over the file,
     * exactly godotenv's no-override contract. A missing or unreadable
@@ -60,11 +84,14 @@ object EngineConfig {
     */
   def fromDotenv(path: String, processEnv: Map[String, String] = sys.env): EngineConfig = {
     val file = new java.io.File(path)
+    // Try, not just isFile: an existing-but-unreadable file (permission
+    // denied, I/O error) must also degrade, per the contract above.
     val fileEnv =
       if (file.isFile)
-        parseDotenv(new String(
+        scala.util.Try(parseDotenv(new String(
           java.nio.file.Files.readAllBytes(file.toPath),
-          java.nio.charset.StandardCharsets.UTF_8))
+          java.nio.charset.StandardCharsets.UTF_8)))
+          .getOrElse(Map.empty[String, String])
       else Map.empty[String, String]
     EngineConfig(fileEnv ++ processEnv)
   }

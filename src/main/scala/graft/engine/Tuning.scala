@@ -25,13 +25,28 @@ object Tuning {
   val ObjectAggFallbackKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
   val ObjectAggFallbackEntries: Int = 128 * 1024
 
+  /** Keep bucketed layouts authoritative: with auto-bucketed-scan on,
+    * Spark may discard a table's bucketing when it judges it unhelpful,
+    * which also discards the bucket PRUNING that
+    * [[graft.operators.Search.phraseSearchIndexed]] and the persisted
+    * TF-IDF index rely on (a k-term phrase reads k buckets, not the
+    * table). Session-wide so every query in a suite plans under ONE
+    * config — a mid-suite per-operator flip would make later queries'
+    * timings incomparable to earlier ones.
+    */
+  val AutoBucketedScanKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+
   def apply(b: SparkSession.Builder): SparkSession.Builder =
     b.config(ObjectAggFallbackKey, ObjectAggFallbackEntries.toString)
+      .config(AutoBucketedScanKey, "false")
 
-  /** Raise the fallback threshold on a live session iff it is still at
-    * the Spark default — never overrides an explicit user setting.
+  /** Apply both knobs on a live session iff still at the Spark
+    * defaults — never overrides an explicit user setting.
     */
-  def ensure(spark: SparkSession): Unit =
+  def ensure(spark: SparkSession): Unit = {
     if (spark.conf.get(ObjectAggFallbackKey, "128") == "128")
       spark.conf.set(ObjectAggFallbackKey, ObjectAggFallbackEntries.toString)
+    if (spark.conf.get(AutoBucketedScanKey, "true") == "true")
+      spark.conf.set(AutoBucketedScanKey, "false")
+  }
 }

@@ -37,25 +37,26 @@ object BloomFunctions {
 
   val aggRegistration
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
-    FunctionIdentifier("bloom_agg"),
-    new ExpressionInfo(classOf[BloomFilterAggregate].getName, "bloom_agg"),
+    FunctionIdentifier("graft_bloom_agg"),
+    new ExpressionInfo(classOf[BloomFilterAggregate].getName,
+      "graft_bloom_agg"),
     (children: Seq[Expression]) =>
       children match {
         case Seq(c)    => new BloomFilterAggregate(c)
         case Seq(c, n) => new BloomFilterAggregate(c, n)
         case _ => throw new IllegalArgumentException(
-          "bloom_agg(xxhash64(key)[, expectedItems])")
+          "graft_bloom_agg(xxhash64(key)[, expectedItems])")
       })
 
   val probeRegistration
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
-    FunctionIdentifier("bloom_might_contain"),
+    FunctionIdentifier("graft_bloom_might_contain"),
     new ExpressionInfo(classOf[BloomFilterMightContain].getName,
-      "bloom_might_contain"),
+      "graft_bloom_might_contain"),
     (children: Seq[Expression]) =>
       children match {
         case Seq(filter, key) => BloomFilterMightContain(filter, key)
         case _ => throw new IllegalArgumentException(
-          "bloom_might_contain(bloom, xxhash64(key))")
+          "graft_bloom_might_contain(bloom, xxhash64(key))")
       })
 }

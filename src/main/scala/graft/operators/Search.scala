@@ -49,26 +49,26 @@ object Search {
     * requires of a 100 TB index; `numBuckets` sizes to corpus vocab.
     */
   def writeIndex(docs: DataFrame, tableName: String,
-                 numBuckets: Int = 8): Unit =
+                 numBuckets: Int = 8): Unit = {
+    graft.engine.Bucketing.dropTableAndLocation(docs.sparkSession, tableName)
     postings(docs)
       .write.format("parquet").mode("overwrite")
       .bucketBy(numBuckets, "term")
       .sortBy("term")
       .saveAsTable(tableName)
+  }
 
   /** Bucket-pruned postings lookup for a literal term set.
-    * `autoBucketedScan` must be off: the planner's heuristic drops the
-    * bucketed read (and with it, bucket pruning) when no join/agg
-    * exploits the bucketing — but pruning IS the benefit here.
+    * `autoBucketedScan` must be off (a session-wide Tuning default):
+    * the planner's heuristic drops the bucketed read (and with it,
+    * bucket pruning) when no join/agg exploits the bucketing — but
+    * pruning IS the benefit here.
     */
   def lookup(spark: org.apache.spark.sql.SparkSession, tableName: String,
-             terms: Seq[String]): DataFrame = {
-    spark.conf.set(
-      "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+             terms: Seq[String]): DataFrame =
     // isin over literals, not string-spliced SQL: terms are caller data
     // (a quote in a term must stay data, never become syntax).
     spark.table(tableName).filter(col("term").isin(terms: _*))
-  }
 
   /** Positional postings: one row per (term, doc, 0-based position) —
     * the positional inverted index exact-phrase queries need (what
@@ -89,20 +89,7 @@ object Search {
     */
   def writePositionalIndex(docs: DataFrame, tableName: String,
                            numBuckets: Int = 8): Unit = {
-    // same idempotence story as Bucketing.writeBucketed: an in-memory
-    // catalog forgets tables between JVMs but leaves the warehouse
-    // files, and saveAsTable refuses an orphaned location — clear both
-    val spark = docs.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS `$tableName`")
-    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    val root = if (warehouse.contains(":"))
-      new java.io.File(new java.net.URI(warehouse).getPath)
-    else new java.io.File(warehouse)
-    def rm(f: java.io.File): Unit = if (f.exists()) {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(): Unit
-    }
-    rm(new java.io.File(root, tableName))
+    graft.engine.Bucketing.dropTableAndLocation(docs.sparkSession, tableName)
     positionalPostings(docs)
       .write.format("parquet").mode("overwrite")
       .bucketBy(numBuckets, "term")
@@ -164,11 +151,11 @@ object Search {
     */
   def phraseSearchIndexed(spark: org.apache.spark.sql.SparkSession,
                           tableName: String,
-                          phrase: Seq[String]): DataFrame = {
-    spark.conf.set(
-      "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+                          phrase: Seq[String]): DataFrame =
+    // bucket pruning needs auto-bucketed-scan OFF; that is a
+    // session-wide Tuning default (one config for a whole suite), not
+    // a per-call flip that would contaminate later queries' plans
     phraseFromPostings(spark.table(tableName), phrase)
-  }
 
   /** BM25 ranking — the scoring Lucene actually runs under the
     * reference's ES queries. `log`-based idf means results are NOT

@@ -75,16 +75,22 @@ object SqlSurface {
       // each d(i-1) is referenced twice (pair counting + rewrite);
       // MATERIALIZED stops DuckDB inlining the dictionary chain into an
       // exponentially duplicated scan tree — at 64 rounds the inlined
-      // form exhausts file handles before it finishes planning
+      // form exhausts file handles before it finishes planning.
+      // LEFT JOIN ON TRUE, not a cross join: once merges exhaust (every
+      // word one symbol), w_i is EMPTY — a cross join would collapse
+      // d_i to zero rows and cascade an empty oracle, while the Scala
+      // loop stops early and keeps the dictionary; the guard keeps the
+      // two engines at the same fixed point for any round count
       s""" p$i AS (SELECT z[1] AS l, z[2] AS r, CAST(sum(cnt) AS BIGINT) AS n FROM (
          |    SELECT cnt, unnest(list_zip(syms[:-1], syms[2:])) AS z
          |    FROM (SELECT cnt, string_split(trim(seq, chr(31)), chr(31) || chr(31)) AS syms FROM d${i - 1}))
          |   WHERE z[2] IS NOT NULL GROUP BY z[1], z[2]),
          | w$i AS (SELECT l, r, n FROM p$i ORDER BY n DESC, l, r LIMIT 1),
          | d$i AS MATERIALIZED (SELECT word, cnt,
-         |    replace(seq, chr(31) || w.l || chr(31) || chr(31) || w.r || chr(31),
-         |                 chr(31) || w.l || w.r || chr(31)) AS seq
-         |   FROM d${i - 1}, w$i w)""".stripMargin
+         |    CASE WHEN w.l IS NULL THEN seq ELSE
+         |      replace(seq, chr(31) || w.l || chr(31) || chr(31) || w.r || chr(31),
+         |                   chr(31) || w.l || w.r || chr(31)) END AS seq
+         |   FROM d${i - 1} LEFT JOIN w$i w ON TRUE)""".stripMargin
     }
     (head +: steps).mkString(",\n")
   }
@@ -736,10 +742,10 @@ object SqlSurface {
         .orderBy("l_returnflag")),
 
     // --- explicit Bloom-pruned semi join: the 100 TB shuffle-pruning
-    //     pattern stated in the query itself. `bloom_agg` (Spark's
+    //     pattern stated in the query itself. `graft_bloom_agg` (Spark's
     //     runtime-filter aggregate, surfaced via GraftFunctions) builds
     //     one tiny binary over the small side's hashed keys as a scalar
-    //     subquery; `bloom_might_contain` probes it on the big side's
+    //     subquery; `graft_bloom_might_contain` probes it on the big side's
     //     scan BEFORE the join, so the shuffle carries ~|matches| +
     //     fp·|big| rows instead of |big|. No false negatives ⇒ the
     //     trailing exact IN-subquery restores precise semantics, and
@@ -753,8 +759,8 @@ object SqlSurface {
           |  WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 250000)
           |SELECT c_custkey, c_name
           |FROM customer
-          |WHERE bloom_might_contain(
-          |        (SELECT bloom_agg(xxhash64(o_custkey)) FROM dim),
+          |WHERE graft_bloom_might_contain(
+          |        (SELECT graft_bloom_agg(xxhash64(o_custkey)) FROM dim),
           |        xxhash64(c_custkey))
           |  AND c_custkey IN (SELECT o_custkey FROM dim)
           |ORDER BY c_custkey""".stripMargin)

@@ -296,13 +296,30 @@ object EventStreams {
     * partitioning, not by time.
     */
   def degreeCounts(edges: DataFrame): DataFrame =
-    edges
-      .select(least(col("src"), col("dst")).as("src"),
-        greatest(col("src"), col("dst")).as("dst"))
-      .filter(col("src") =!= col("dst"))
-      .dropDuplicates("src", "dst")
-      .select(explode(array(col("src"), col("dst"))).as("v"))
+    canonicalEdges(edges)
+      .dropDuplicates("a", "b")
+      .select(explode(array(col("a"), col("b"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("deg"))
+
+  /** Canonical undirected edges — (min, max) as (a, b), self-loops
+    * dropped: the normalization every graph twin in this file shares.
+    */
+  private def canonicalEdges(edges: DataFrame): DataFrame =
+    edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+
+  /** Each canonical edge routed to BOTH endpoint groups as (v, w). */
+  private def routedByEndpoint(edges: DataFrame): Dataset[(Long, Long)] = {
+    import edges.sparkSession.implicits._
+    canonicalEdges(edges)
+      .select(explode(array(
+        struct(col("a").as("v"), col("b").as("w")),
+        struct(col("b").as("v"), col("a").as("w")))).as("r"))
+      .select(col("r.v").as("v"), col("r.w").as("w"))
+      .as[(Long, Long)]
+  }
 
   /** Streaming wedge maintenance — the incremental half of the
     * [[graft.operators.GraphOps.triangleStats]] twin. Each arriving edge
@@ -331,21 +348,17 @@ object EventStreams {
     */
   def wedgeStream(edges: DataFrame): Dataset[Wedge] = {
     import edges.sparkSession.implicits._
-    val routed = edges
-      .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .filter(col("a") =!= col("b"))
-      .select(explode(array(
-        struct(col("a").as("v"), col("b").as("w")),
-        struct(col("b").as("v"), col("a").as("w")))).as("r"))
-      .select(col("r.v").as("v"), col("r.w").as("w"))
-      .as[(Long, Long)]
     def fn(v: Long, arrivals: Iterator[(Long, Long)],
            state: GroupState[AdjState]): Iterator[Wedge] = {
       var nbrs = state.getOption.map(_.nbrs).getOrElse(Nil)
+      // O(1) membership: redeliveries must not pay an O(deg) list walk
+      // (on a hub, a duplicate-heavy stream would otherwise make the
+      // no-op dedup check as costly as worst-case emission)
+      val seen = scala.collection.mutable.HashSet.empty[Long]
+      seen ++= nbrs
       val out = scala.collection.mutable.ArrayBuffer.empty[Wedge]
       arrivals.foreach { case (_, w) =>
-        if (!nbrs.contains(w)) {
+        if (seen.add(w)) {
           nbrs.foreach { x =>
             out += Wedge(v, math.min(x, w), math.max(x, w))
           }
@@ -355,7 +368,7 @@ object EventStreams {
       state.update(AdjState(nbrs))
       out.iterator
     }
-    routed.groupByKey(_._1)
+    routedByEndpoint(edges).groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout)(fn)
   }
@@ -391,29 +404,25 @@ object EventStreams {
   def wedgeStreamCapped(edges: DataFrame, cap: Int): Dataset[CappedWedge] = {
     require(cap >= 1, s"cap must be >= 1, got $cap")
     import edges.sparkSession.implicits._
-    val routed = edges
-      .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .filter(col("a") =!= col("b"))
-      .select(explode(array(
-        struct(col("a").as("v"), col("b").as("w")),
-        struct(col("b").as("v"), col("a").as("w")))).as("r"))
-      .select(col("r.v").as("v"), col("r.w").as("w"))
-      .as[(Long, Long)]
     def fn(v: Long, arrivals: Iterator[(Long, Long)],
            state: GroupState[CapAdjState]): Iterator[CappedWedge] = {
-      var st = state.getOption.getOrElse(CapAdjState(Nil, sat = false))
+      val st = state.getOption.getOrElse(CapAdjState(Nil, sat = false))
       var nbrs = st.nbrs
       var sat = st.sat
+      var size = nbrs.size
+      val seen = scala.collection.mutable.HashSet.empty[Long]
+      seen ++= nbrs
       val out = scala.collection.mutable.ArrayBuffer.empty[CappedWedge]
       arrivals.foreach { case (_, w) =>
-        if (!nbrs.contains(w)) {
-          if (nbrs.size < cap) {
+        if (!seen.contains(w)) {
+          if (size < cap) {
             nbrs.foreach { x =>
               out += CappedWedge(v, math.min(x, w), math.max(x, w),
                 saturated = false)
             }
             nbrs = w :: nbrs
+            seen += w
+            size += 1
           } else if (!sat) {
             out += CappedWedge(v, -1L, -1L, saturated = true)
             sat = true
@@ -423,7 +432,7 @@ object EventStreams {
       state.update(CapAdjState(nbrs, sat))
       out.iterator
     }
-    routed.groupByKey(_._1)
+    routedByEndpoint(edges).groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout)(fn)
   }
@@ -435,11 +444,7 @@ object EventStreams {
     * [[graft.operators.GraphOps.triangleStats]]'s `n_triangles`.
     */
   def triangleCountsOf(wedges: DataFrame, edges: DataFrame): DataFrame = {
-    val canon = edges
-      .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .filter(col("a") =!= col("b"))
-      .distinct()
+    val canon = canonicalEdges(edges).distinct()
     wedges.join(canon, Seq("a", "b"), "left_semi")
       .groupBy("center").agg(count(lit(1)).as("n_triangles"))
       .select(col("center").as("node_id"), col("n_triangles"))
@@ -454,11 +459,7 @@ object EventStreams {
     */
   def cappedTriangleCountsOf(wedges: DataFrame,
                              edges: DataFrame): DataFrame = {
-    val canon = edges
-      .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .filter(col("a") =!= col("b"))
-      .distinct()
+    val canon = canonicalEdges(edges).distinct()
     val closed = wedges.filter(!col("saturated"))
       .join(canon, Seq("a", "b"), "left_semi")
       .groupBy("center").agg(count(lit(1)).as("n_triangles"))

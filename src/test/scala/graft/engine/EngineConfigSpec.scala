@@ -125,6 +125,19 @@ class EngineConfigSpec extends AnyFunSuite {
     assert(!m.contains("") && m.size == 3)
   }
 
+  test("dotenv parser: escaped backslash before n/t/r decodes to a " +
+    "literal backslash, not a control character") {
+    // "a\\nb" (backslash backslash n) is a literal backslash + n per
+    // godotenv — a sequential-replace decoder half-consumes the pair
+    // and yields an embedded newline
+    val m = EngineConfig.parseDotenv(
+      "P=\"a\\\\nb\"\nQ=\"t\\\\\\\\u\"\nR=\"odd\\\\\"\nS=\"\\x\"\n")
+    assert(m("P") == "a\\nb", m("P"))      // \\ then n
+    assert(m("Q") == "t\\\\u", m("Q"))     // four backslashes → two
+    assert(m("R") == "odd\\", m("R"))      // trailing escaped backslash
+    assert(m("S") == "\\x", m("S"))        // unrecognized escape kept
+  }
+
   test("reserved characters in credentials are percent-encoded") {
     // '&', '=', '%', '#' would otherwise truncate or corrupt the URL's
     // query string; the JDBC drivers URL-decode property values
