@@ -1,8 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.types.LongType
 
 /** SQL-surface names for Spark's runtime-filter Bloom expressions.
   *
@@ -42,8 +43,10 @@ object BloomFunctions {
       "graft_bloom_agg"),
     (children: Seq[Expression]) =>
       children match {
-        case Seq(c)    => new BloomFilterAggregate(c)
-        case Seq(c, n) => new BloomFilterAggregate(c, n)
+        case Seq(c) => new BloomFilterAggregate(c)
+        // the aggregate type-checks expectedItems as BIGINT; widen so a
+        // plain integer literal works at the SQL surface
+        case Seq(c, n) => new BloomFilterAggregate(c, Cast(n, LongType))
         case _ => throw new IllegalArgumentException(
           "graft_bloom_agg(xxhash64(key)[, expectedItems])")
       })
