@@ -20,4 +20,17 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     SqlSurface.oracles ++ LlmSurface.oracles
+
+  /** Ingest-time staging for the fixture at `sfDir` — the write-once
+    * half of every write-once/query-many operator, split out so query
+    * entries measure PROBE cost only (a search engine's index build is
+    * not part of its query latency). Idempotent: each staged artifact
+    * is keyed by the fixture dir and built at most once per catalog.
+    * Harmless to skip — entries degrade to build-on-first-use.
+    */
+  def stage(spark: SparkSession, sfDir: String): Unit = {
+    graft.operators.Search.ensurePositionalIndex(spark, sfDir,
+      graft.engine.Tables.table(spark, sfDir, "documents"), numBuckets = 8)
+    ()
+  }
 }

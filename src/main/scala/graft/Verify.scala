@@ -15,6 +15,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Ingest-time staging (indexes etc.) up front: entries then run in
+    // their query-many posture. A staging failure must not kill the
+    // dump — entries rebuild on first use.
+    try SparkEntry.stage(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] staging failed: ${e.getMessage}")
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -151,7 +151,9 @@ object Bucketing {
     val k = cols.size
     require(k <= 63, s"zorderWrite: cannot interleave $k columns into 63 bits")
     val effBits = math.max(1, math.min(bits, 63 / k))
-    val maxB = (1 << effBits) - 1
+    // Long shift: an Int `1 << effBits` wraps mod 32, so k=1 with a
+    // caller bits >= 32 would collapse every rank to 0 silently.
+    val maxB = (1L << effBits) - 1
     val aggs = cols.flatMap(c => Seq(
       min(col(c)).cast("double").as(s"_zmn_$c"),
       max(col(c)).cast("double").as(s"_zmx_$c")))

@@ -40,13 +40,18 @@ object Tuning {
     b.config(ObjectAggFallbackKey, ObjectAggFallbackEntries.toString)
       .config(AutoBucketedScanKey, "false")
 
-  /** Apply both knobs on a live session iff still at the Spark
-    * defaults — never overrides an explicit user setting.
+  /** Apply both knobs on a live session iff the user never set them —
+    * never overrides an explicit user setting. "Explicitly set" is
+    * membership in `spark.conf.getAll` (the session's settings map,
+    * which holds only set entries, not registered defaults): comparing
+    * against the default VALUE would clobber a user who deliberately
+    * set a knob back to its default.
     */
   def ensure(spark: SparkSession): Unit = {
-    if (spark.conf.get(ObjectAggFallbackKey, "128") == "128")
+    val explicitlySet = spark.conf.getAll.keySet
+    if (!explicitlySet.contains(ObjectAggFallbackKey))
       spark.conf.set(ObjectAggFallbackKey, ObjectAggFallbackEntries.toString)
-    if (spark.conf.get(AutoBucketedScanKey, "true") == "true")
+    if (!explicitlySet.contains(AutoBucketedScanKey))
       spark.conf.set(AutoBucketedScanKey, "false")
   }
 }

@@ -97,6 +97,29 @@ object Search {
       .saveAsTable(tableName)
   }
 
+  /** The positional index for one immutable fixture corpus, built AT
+    * MOST ONCE per catalog — the staging step of the write-once/
+    * query-many posture [[phraseSearchIndexed]] documents. The table
+    * name carries a fingerprint of `fixtureKey` (the fixture
+    * directory), so indexes for different corpora can never shadow one
+    * another, and `docs` is by-name: when the table already exists the
+    * corpus frame is never even constructed, let alone tokenized or
+    * written. Callers that want the build OUT of a measured query path
+    * stage it up front (SparkEntry.stage); a cold catalog degrades to
+    * build-on-first-probe instead of failing.
+    */
+  def ensurePositionalIndex(spark: org.apache.spark.sql.SparkSession,
+                            fixtureKey: String, docs: => DataFrame,
+                            numBuckets: Int = 8): String = {
+    val fp = java.security.MessageDigest.getInstance("MD5")
+      .digest(fixtureKey.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.take(8)
+    val tableName = s"graft_pos_idx_$fp"
+    if (!spark.catalog.tableExists(tableName))
+      writePositionalIndex(docs, tableName, numBuckets)
+    tableName
+  }
+
   /** Phrase matching over an arbitrary positional-postings frame — the
     * shared core of the ad-hoc and index-backed variants. One pass,
     * one shuffle: each posting of a phrase term at position p is a

@@ -52,12 +52,14 @@ object LlmSurface {
       Search.phraseSearch(docs(s, d), Seq("big", "order", "scan"))),
 
     // --- the same phrase query in the query-many posture: postings
-    //     persisted once as a term-bucketed index, per-query scan
-    //     pruned to the phrase terms' buckets — the corpus is never
-    //     re-read ---
+    //     persisted once as a term-bucketed index (staged up front by
+    //     SparkEntry.stage; built on first probe only on a cold
+    //     catalog), per-query scan pruned to the phrase terms' buckets
+    //     — the corpus is never re-read, and a staged invocation is
+    //     probe-only: no tokenize, no write ---
     "q105b_phrase_indexed" -> ((s, d) => {
-      Search.writePositionalIndex(docs(s, d), "graft_pos_idx", numBuckets = 8)
-      Search.phraseSearchIndexed(s, "graft_pos_idx", Seq("big", "order", "scan"))
+      val idx = Search.ensurePositionalIndex(s, d, docs(s, d), numBuckets = 8)
+      Search.phraseSearchIndexed(s, idx, Seq("big", "order", "scan"))
     }),
 
     // --- repeated-span detection: n-token windows occurring >1 time

@@ -807,6 +807,12 @@ object SqlSurface {
     //     vocabulary-sized `exact` frame in ONE aggregate; the rank
     //     window runs over post-agg count rows (q100's pattern), never
     //     the raw token stream.
+    //     PRECONDITION, stated as the `vocab_within_sketch` contract
+    //     column: the exactness booleans hold only while the live
+    //     vocabulary fits maxItemsTracked (1024 below). A fixture that
+    //     outgrows it flips this column FALSE on BOTH sides, so the
+    //     stale assumption reads directly off the dumped result instead
+    //     of surfacing as an unexplained hash mismatch.
     "q120_approx_topk" -> ((s, d) => gated(s, d,
       """WITH toks AS (
         |  SELECT tok
@@ -824,7 +830,8 @@ object SqlSurface {
         |  bool_and(ac IS NULL OR ac = c) AS counts_exact,
         |  min(CASE WHEN ac IS NOT NULL THEN c END) >=
         |    min(CASE WHEN rn <= 20 THEN c END) AS all_at_least_kth,
-        |  CAST(sum(c) AS BIGINT) AS total_tokens
+        |  CAST(sum(c) AS BIGINT) AS total_tokens,
+        |  count(*) <= 1024 AS vocab_within_sketch
         |FROM j""".stripMargin)),
 
     // --- string function breadth: pad/replace/split_part/levenshtein ---
@@ -1890,17 +1897,21 @@ object SqlSurface {
 
     // the sketch never purges at maxItemsTracked ≥ |vocabulary|, so its
     // counts are exact and both contract booleans are literal TRUE; the
-    // oracle recomputes the exact side only
+    // oracle recomputes the exact side only. n_returned is DERIVED
+    // (LEAST(20, |vocab|)), not a hard-coded 20, and the 1024
+    // maxItemsTracked precondition is the vocab_within_sketch column —
+    // a fixture that outgrows the sketch flips it on both sides.
     "q120_approx_topk" ->
       """WITH toks AS (
         |  SELECT tok
         |  FROM (SELECT unnest(string_split(text, ' ')) AS tok
         |        FROM documents)
         |  WHERE tok <> '')
-        |SELECT CAST(20 AS BIGINT) AS n_returned,
+        |SELECT CAST(LEAST(20, count(DISTINCT tok)) AS BIGINT) AS n_returned,
         |  TRUE AS counts_exact,
         |  TRUE AS all_at_least_kth,
-        |  CAST(count(*) AS BIGINT) AS total_tokens
+        |  CAST(count(*) AS BIGINT) AS total_tokens,
+        |  count(DISTINCT tok) <= 1024 AS vocab_within_sketch
         |FROM toks""".stripMargin,
 
     "q50_strfns" ->

@@ -245,6 +245,36 @@ class PlanSpec extends SparkSpec {
       s"indexed phrase query re-tokenized the corpus:\n${p.take(1500)}")
   }
 
+  test("q105b: a staged invocation is probe-only — no index rebuild, " +
+    "no documents scan") {
+    // first invocation stages (or reuses) the fixture-keyed index
+    SparkEntry.queries("q105b_phrase_indexed")(spark, sf001).collect()
+    val idx = graft.operators.Search.ensurePositionalIndex(spark, sf001,
+      fail("staged index missing: ensure re-built on second call"))
+    def indexFiles(): Map[String, Long] = {
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val root = if (wh.contains(":"))
+        new java.io.File(new java.net.URI(wh).getPath)
+      else new java.io.File(wh)
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(root, idx))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val before = indexFiles()
+    assert(before.nonEmpty, s"no files under staged index $idx")
+    val df = SparkEntry.queries("q105b_phrase_indexed")(spark, sf001)
+    df.collect()
+    // the repeated invocation neither dropped nor rewrote the index…
+    assert(indexFiles() == before,
+      "staged q105b invocation rewrote the positional index")
+    // …and its plan reads ONLY the index table — the corpus parquet
+    // never appears
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("documents.parquet"),
+      s"staged phrase probe still scans the corpus:\n${p.take(1500)}")
+  }
+
   test("q107: k-means E-step is one corpus pass — single broadcast, " +
     "no corpus shuffle before the k-row rollup") {
     val df = SparkEntry.queries("q107_kmeans")(spark, sf001)
