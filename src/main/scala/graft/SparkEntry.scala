@@ -29,8 +29,19 @@ object SparkEntry {
     * Harmless to skip — entries degrade to build-on-first-use.
     */
   def stage(spark: SparkSession, sfDir: String): Unit = {
-    graft.operators.Search.ensurePositionalIndex(spark, sfDir,
-      graft.engine.Tables.table(spark, sfDir, "documents"), numBuckets = 8)
-    ()
+    // Independent ingest writes are independent Spark jobs — submit
+    // them concurrently; the scheduler interleaves their stages across
+    // the executor pool (on a cluster this divides ingest wall time).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val writes = Seq[Future[Any]](
+      Future(graft.operators.Search.ensurePositionalIndex(spark, sfDir,
+        graft.engine.Tables.table(spark, sfDir, "documents"),
+        numBuckets = 8)),
+      Future(SqlSurface.ensureBucketedLineitem(spark, sfDir)),
+      Future(SqlSurface.ensureBucketedOrders(spark, sfDir)),
+      Future(SqlSurface.ensureZorderedLineitem(spark, sfDir)))
+    writes.foreach(Await.result(_, Duration.Inf))
   }
 }

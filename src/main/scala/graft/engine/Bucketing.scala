@@ -32,6 +32,49 @@ object Bucketing {
       .saveAsTable(tableName)
   }
 
+  /** Short stable fingerprint of a staging key — suffixes staged table
+    * / directory names so artifacts for different fixture corpora (or
+    * layouts) can never shadow one another.
+    */
+  def fingerprint8(key: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(8)
+
+  /** [[writeBucketed]] AT MOST ONCE per (catalog, fixture, layout) —
+    * the staged form: the bucketed copy is ingest work, not query
+    * work, so repeated query entries against one immutable fixture
+    * must not pay for it again. `df` is by-name: when the table exists
+    * the source frame is never constructed. Returns the staged table
+    * name.
+    */
+  def ensureBucketed(spark: SparkSession, fixtureKey: String,
+                     df: => DataFrame, baseName: String, numBuckets: Int,
+                     keys: Seq[String]): String = {
+    val name = s"${baseName}_${fingerprint8(
+      s"$fixtureKey|$numBuckets|${keys.mkString(",")}")}"
+    if (!spark.catalog.tableExists(name))
+      writeBucketed(df, name, numBuckets, keys)
+    name
+  }
+
+  /** [[zorderWrite]] AT MOST ONCE per (fixture, columns, layout): the
+    * z-ordered copy is a write-once clustering of an immutable fixture,
+    * staged under the JVM temp dir and reused across invocations in
+    * the same filesystem lifetime (`_SUCCESS` is the completion
+    * marker, so a torn write re-stages). Returns the staged directory.
+    */
+  def ensureZordered(spark: SparkSession, fixtureKey: String,
+                     df: => DataFrame, cols: Seq[String], baseName: String,
+                     bits: Int = 8, numFiles: Int = 16): String = {
+    val fp = fingerprint8(
+      s"$fixtureKey|$baseName|${cols.mkString(",")}|$bits|$numFiles")
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_z_${baseName}_$fp")
+    if (!new java.io.File(dir, "_SUCCESS").isFile)
+      zorderWrite(df, dir.getPath, cols, bits, numFiles)
+    dir.getPath
+  }
+
   /** Small-file compaction — the lake-maintenance half of ingest
     * hygiene. Streaming sinks, per-request bulk writes and incremental
     * batches leave behind directories of KB-scale files; at 100 TB the

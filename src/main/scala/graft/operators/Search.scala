@@ -111,9 +111,7 @@ object Search {
   def ensurePositionalIndex(spark: org.apache.spark.sql.SparkSession,
                             fixtureKey: String, docs: => DataFrame,
                             numBuckets: Int = 8): String = {
-    val fp = java.security.MessageDigest.getInstance("MD5")
-      .digest(fixtureKey.getBytes("UTF-8"))
-      .map(b => f"$b%02x").mkString.take(8)
+    val fp = graft.engine.Bucketing.fingerprint8(fixtureKey)
     val tableName = s"graft_pos_idx_$fp"
     if (!spark.catalog.tableExists(tableName))
       writePositionalIndex(docs, tableName, numBuckets)

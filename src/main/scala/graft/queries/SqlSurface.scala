@@ -51,6 +51,26 @@ object SqlSurface {
   private def t(s: SparkSession, d: String, n: String): DataFrame =
     Tables.table(s, d, n)
 
+  /** Staged ingest artifacts for the SQL surface — fixture-keyed,
+    * built at most once (see [[graft.SparkEntry.stage]]); query entries
+    * call these and get the staged copy back for free, or a
+    * build-on-first-use on a cold catalog.
+    */
+  def ensureBucketedLineitem(s: SparkSession, d: String): String =
+    graft.engine.Bucketing.ensureBucketed(s, d,
+      t(s, d, "lineitem").select("l_orderkey", "l_extendedprice",
+        "l_discount"),
+      "graft_bkt_lineitem", 8, Seq("l_orderkey"))
+
+  def ensureBucketedOrders(s: SparkSession, d: String): String =
+    graft.engine.Bucketing.ensureBucketed(s, d,
+      t(s, d, "orders").select("o_orderkey", "o_orderpriority"),
+      "graft_bkt_orders", 8, Seq("o_orderkey"))
+
+  def ensureZorderedLineitem(s: SparkSession, d: String): String =
+    graft.engine.Bucketing.ensureZordered(s, d, t(s, d, "lineitem"),
+      Seq("l_partkey", "l_suppkey"), "lineitem")
+
   /** DuckDB twin of TextOps.bpeLoop: the merge-learning CTE chain,
     * unrolled through `rounds` rounds. Yields CTEs `wd, d0,
     * p1, w1, d1, …, p<r>, w<r>, d<r>` — `w<i>` is round i's winning
@@ -750,7 +770,16 @@ object SqlSurface {
     //     fp·|big| rows instead of |big|. No false negatives ⇒ the
     //     trailing exact IN-subquery restores precise semantics, and
     //     the result is hash-identical to the plain semi join the
-    //     oracle states. ---
+    //     oracle states.
+    //     SIZING is explicit: the 2-arg form pins expectedItems
+    //     (4M = Spark's runtime-filter cap → 32M bits / 4 MB binary,
+    //     ~2% fp at capacity) instead of inheriting the 1M-item
+    //     default, which a 100 TB dim side would silently outgrow —
+    //     past capacity the fp rate (and the pruning) degrades with no
+    //     error (BloomFunctionsSpec measures this). expectedItems must
+    //     be a literal (the aggregate requires a foldable size), so at
+    //     scale it comes from table stats / the planner's ndv estimate,
+    //     not a count pass. ---
     "q118_bloom_prune" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
       gated(s, d,
@@ -760,7 +789,8 @@ object SqlSurface {
           |SELECT c_custkey, c_name
           |FROM customer
           |WHERE graft_bloom_might_contain(
-          |        (SELECT graft_bloom_agg(xxhash64(o_custkey)) FROM dim),
+          |        (SELECT graft_bloom_agg(xxhash64(o_custkey), 4000000)
+          |         FROM dim),
           |        xxhash64(c_custkey))
           |  AND c_custkey IN (SELECT o_custkey FROM dim)
           |ORDER BY c_custkey""".stripMargin)
@@ -996,24 +1026,11 @@ object SqlSurface {
     //     is stable across SFs (broadcast would also be exchange-ish).
     //     Bucketing is plan-only: the DuckDB oracle is the plain join. ---
     "q62_bucketed_join" -> ((s, d) => {
-      val l = t(s, d, "lineitem")
-        .select("l_orderkey", "l_extendedprice", "l_discount")
-      val o = t(s, d, "orders")
-        .select("o_orderkey", "o_orderpriority")
-      // The two ingest writes are independent Spark jobs — submit them
-      // concurrently (the scheduler interleaves their stages across the
-      // executor pool; on a cluster this halves ingest wall time).
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      import scala.concurrent.duration.Duration
-      val writes = Seq(
-        Future(graft.engine.Bucketing.writeBucketed(
-          l, "graft_bkt_lineitem", 8, Seq("l_orderkey"))),
-        Future(graft.engine.Bucketing.writeBucketed(
-          o, "graft_bkt_orders", 8, Seq("o_orderkey"))))
-      writes.foreach(Await.result(_, Duration.Inf))
-      val lb = s.table("graft_bkt_lineitem")
-      val ob = s.table("graft_bkt_orders")
+      // Both bucketed copies are STAGED (SparkEntry.stage, built at
+      // most once per fixture) — the entry itself is the join-many
+      // half; on a cold catalog it degrades to build-on-first-use.
+      val lb = s.table(SqlSurface.ensureBucketedLineitem(s, d))
+      val ob = s.table(SqlSurface.ensureBucketedOrders(s, d))
       lb.join(ob.hint("merge"), lb("l_orderkey") === ob("o_orderkey"))
         .groupBy("o_orderkey", "o_orderpriority")
         .agg(sum(revenueDec).cast("double").as("revenue"),
@@ -1021,6 +1038,24 @@ object SqlSurface {
         .filter(col("o_orderkey") <= 2000)
         .orderBy("o_orderkey")
     }),
+
+    // --- z-order clustered scan (the multi-column data-skipping
+    //     layout, as a query): the staged z-ordered lineitem copy is
+    //     read under a conjunctive range predicate on BOTH clustered
+    //     columns; interleaved bucket ranks give every file a narrow
+    //     (partkey × suppkey) envelope, so parquet row-group stats
+    //     prune all but the overlapping files (PlanSpec measures the
+    //     scan reading a fraction of what an unclustered twin reads).
+    //     The oracle is the same predicate on the PLAIN table —
+    //     hash-exactness proves the clustered copy is a faithful
+    //     reordering, not just a faster one. ---
+    "q121_zorder_skip" -> ((s, d) =>
+      s.read.parquet(SqlSurface.ensureZorderedLineitem(s, d))
+        .filter(col("l_partkey").between(10, 40) &&
+          col("l_suppkey").between(1, 3))
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")),
 
     // --- interval join, batch twin: the SAME operator code as the
     //     stream-stream interval join (EventStreams.intervalJoin — the
@@ -1942,6 +1977,14 @@ object SqlSurface {
         |WHERE o_orderkey <= 2000
         |GROUP BY o_orderkey, o_orderpriority
         |ORDER BY o_orderkey""".stripMargin,
+
+    // the z-ordered copy must be a faithful REORDERING of lineitem:
+    // the oracle runs the same range predicate on the plain table
+    "q121_zorder_skip" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 10 AND 40 AND l_suppkey BETWEEN 1 AND 3
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q63_interval_join" ->
       """SELECT c.event_id AS click_id, v.event_id AS view_id,

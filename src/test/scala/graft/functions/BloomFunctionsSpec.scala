@@ -37,6 +37,29 @@ class BloomFunctionsSpec extends SparkSpec {
     assert(hits == 3L)
   }
 
+  test("undersized expectedItems silently degrades the fp rate — why " +
+    "q118 pins sizing explicitly") {
+    // 20k distinct build keys; probe 20k DISJOINT keys, so every hit
+    // is a false positive. Deterministic: xxhash64 over fixed keys,
+    // zero RNG.
+    spark.range(0L, 20000L).toDF("k").createOrReplaceTempView("bf_members")
+    spark.range(100000L, 120000L).toDF("k")
+      .createOrReplaceTempView("bf_nonmembers")
+    def fpRate(expectedItems: Long): Double =
+      spark.sql(
+        s"""SELECT avg(CAST(graft_bloom_might_contain(
+           |  (SELECT graft_bloom_agg(xxhash64(k), $expectedItems)
+           |   FROM bf_members),
+           |  xxhash64(k)) AS DOUBLE)) AS fp
+           |FROM bf_nonmembers""".stripMargin)
+        .as[Double].head()
+    val sized = fpRate(20000L)     // 8 bits/item at true cardinality
+    val undersized = fpRate(200L)  // 100x over capacity: ~all bits set
+    assert(sized < 0.05, s"right-sized filter fp=$sized")
+    assert(undersized > 0.5,
+      s"expected near-saturated fp when 100x over capacity, got $undersized")
+  }
+
   test("wrong arity raises a clear error naming the signature") {
     val e1 = intercept[Exception] {
       spark.sql("SELECT graft_bloom_agg(xxhash64(1), 10, 99)").collect()

@@ -275,6 +275,53 @@ class PlanSpec extends SparkSpec {
       s"staged phrase probe still scans the corpus:\n${p.take(1500)}")
   }
 
+  test("q121: z-ordered layout skips — the clustered copy's scan reads " +
+    "a fraction of an unclustered twin, and staging never rewrites") {
+    import org.apache.spark.sql.functions._
+    val zPath = SqlSurface.ensureZorderedLineitem(spark, sf001)
+    def mtimes(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(zPath)).map(f => f.getPath -> f.lastModified())
+        .toMap
+    }
+    val staged = mtimes()
+    assert(staged.nonEmpty, s"no staged z-order files under $zPath")
+    // unclustered twin: identical rows and file count, hash layout —
+    // every file spans the full (partkey, suppkey) envelope, so parquet
+    // stats can prune nothing
+    val flat = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_ztest_flat_twin")
+    if (!new java.io.File(flat, "_SUCCESS").isFile)
+      graft.engine.Tables.table(spark, sf001, "lineitem")
+        .repartition(16, col("l_orderkey"))
+        .write.mode("overwrite").parquet(flat.getPath)
+    // rows the SCAN emits (post row-group pruning) — the data-skipping
+    // metric itself, not the post-filter row count (identical by
+    // correctness)
+    def scannedRows(path: String): Long = {
+      val df = spark.read.parquet(path)
+        .filter(col("l_partkey").between(10, 40) &&
+          col("l_suppkey").between(1, 3))
+        .select("l_orderkey")
+      df.collect()
+      df.queryExecution.executedPlan.collect {
+        case sc: org.apache.spark.sql.execution.FileSourceScanExec =>
+          sc.metrics("numOutputRows").value
+      }.sum
+    }
+    val zRows = scannedRows(zPath)
+    val flatRows = scannedRows(flat.getPath)
+    assert(zRows > 0, "predicate selected nothing — test is vacuous")
+    assert(zRows * 2 <= flatRows,
+      s"z-ordered scan read $zRows rows vs unclustered $flatRows — " +
+        "row-group skipping is not happening")
+    // and the oracled entry is probe-only once staged: invoking it
+    // must not rewrite the staged copy
+    SparkEntry.queries("q121_zorder_skip")(spark, sf001).collect()
+    assert(mtimes() == staged, "q121 invocation rewrote the staged z-copy")
+  }
+
   test("q107: k-means E-step is one corpus pass — single broadcast, " +
     "no corpus shuffle before the k-row rollup") {
     val df = SparkEntry.queries("q107_kmeans")(spark, sf001)
