@@ -473,6 +473,44 @@ object EventStreams {
         col("sat_center").isNotNull.as("lower_bound"))
   }
 
+  /** Horvitz–Thompson-corrected per-vertex triangle estimate over a
+    * [[wedgeStreamCapped]] output — the unbiased companion to (never a
+    * replacement for) the deterministic `lower_bound`.
+    *
+    * A saturated center kept the first `cap` DISTINCT arrivals of its
+    * deg(v) true neighbors. When arrival order is exchangeable (any
+    * permutation equally likely — a shuffled replay or hash-ordered
+    * shard merge qualifies; an adversarially sorted feed does not),
+    * that kept set is a uniform cap-subset of the neighbors, so a
+    * given neighbor PAIR survives with inclusion probability
+    * p = cap·(cap−1) / (deg·(deg−1)) and `closed / p` is unbiased for
+    * the true triangle count at v. Unsaturated vertices pass through
+    * exact (p = 1). Variance: `closed` is a sum of T_v negatively
+    * correlated Bernoulli(p) indicators, so Var[est] ≤ T_v·(1−p)/p
+    * ⇒ relative σ ≤ sqrt((1−p)/(p·T_v)) — tighten by raising cap
+    * (the spec realizes ~23% σ at cap 60 / deg 200). deg(v) comes
+    * exact from [[degreeCounts]] over the same edge stream — an
+    * O(1)-per-vertex counter that never saturates, so the correction
+    * needs no extra state class.
+    *
+    * Output: (node_id, n_triangles, lower_bound, est_triangles) —
+    * the deterministic bound stays authoritative; `est_triangles`
+    * annotates it.
+    */
+  def cappedTriangleEstimate(wedges: DataFrame, edges: DataFrame,
+                             cap: Int): DataFrame = {
+    require(cap >= 2, s"pair estimation needs cap >= 2, got $cap")
+    val base = cappedTriangleCountsOf(wedges, edges)
+    val degs = degreeCounts(edges)
+    base.join(degs, base("node_id") === degs("v"), "left")
+      .select(base("node_id"), col("n_triangles"), col("lower_bound"),
+        when(!col("lower_bound"), col("n_triangles").cast("double"))
+          .otherwise(col("n_triangles").cast("double") *
+            (col("deg") * (col("deg") - lit(1L))).cast("double") /
+            lit((cap.toLong * (cap - 1L)).toDouble))
+          .as("est_triangles"))
+  }
+
   /** Open the events table as a file stream (one-file-per-trigger going
     * forward; the batch fixtures replay as a bounded stream). Applies
     * the same TIMESTAMP(NANOS) → microsecond truncation as

@@ -187,6 +187,33 @@ class EventStreamsSpec extends SparkSpec {
     assert(!pairs.contains((1L, 101L)) && !pairs.contains((1L, 102L)))
   }
 
+  test("stream-stream interval join replay equals the batch twin (q63)") {
+    import org.apache.spark.sql.functions.col
+    // the REAL fixture through BOTH streaming sides — same operator
+    // code as the oracled batch q63, so set-equality here closes the
+    // loop: the streaming plumbing adds/drops/duplicates nothing
+    val clicksS = EventStreams.readEventStream(spark, sf001)
+      .filter(col("event_type") === "click")
+    val viewsS = EventStreams.readEventStream(spark, sf001)
+      .filter(col("event_type") === "view")
+    // sf0.001 events are sparse — widen the interval so the fixture
+    // actually produces matches (same widening on both twins)
+    runToMemory(EventStreams.intervalJoin(clicksS, viewsS,
+        maxGapMinutes = 1440)
+      .select("click_id", "view_id"), "ssj_replay", OutputMode.Append) { () }
+    val streamed = spark.table("ssj_replay")
+      .as[(Long, Long)].collect().toSet
+    val e = graft.engine.Tables.table(spark, sf001, "events")
+    val batch = EventStreams.intervalJoin(
+        e.filter(col("event_type") === "click"),
+        e.filter(col("event_type") === "view"), maxGapMinutes = 1440)
+      .select("click_id", "view_id").as[(Long, Long)].collect().toSet
+    assert(streamed.nonEmpty, "replay produced no joined pairs")
+    assert(streamed == batch,
+      s"stream vs batch diverged: only-stream=${(streamed -- batch).take(5)}" +
+        s" only-batch=${(batch -- streamed).take(5)}")
+  }
+
   test("readEventStream replays the fixture table with proper timestamps") {
     val stream = EventStreams.readEventStream(spark, sf001)
     assert(stream.isStreaming)
@@ -335,6 +362,46 @@ class EventStreamsSpec extends SparkSpec {
     val hubWedges = spark.table("wedges_cap")
       .filter($"center" === 100L && !$"saturated").count()
     assert(hubWedges <= 6L, s"hub emitted $hubWedges wedges > C(4,2)")
+  }
+
+  test("cappedTriangleEstimate: HT correction recovers the hub's " +
+    "triangle count within the variance bound, exact elsewhere") {
+    // hub 0 → {1..200} with ring edges (i, i+1): 199 triangles at the
+    // hub, degree 200 ≫ cap 60. Ring vertices have degree ≤ 3 — exact.
+    val hubEdges = (1L to 200L).map(i => (0L, i))
+    val ringEdges = (1L to 199L).map(i => (i, i + 1))
+    val all = (hubEdges ++ ringEdges).toIndexedSeq
+    // exchangeable arrival = a fixed shuffled order (seeded: the test
+    // is deterministic end-to-end; the operator itself stays RNG-free)
+    val shuffled = new scala.util.Random(7).shuffle(all)
+    val in = MemoryStream[(Long, Long)](spark)
+    val cap = 60
+    val out = EventStreams.wedgeStreamCapped(in.toDS().toDF("src", "dst"),
+      cap = cap)
+    runToMemory(out, "wedges_ht", OutputMode.Append) {
+      shuffled.grouped(100).foreach(chunk => in.addData(chunk: _*))
+    }
+    val batchEdges = all.toDF("src", "dst")
+    val est = EventStreams.cappedTriangleEstimate(
+        spark.table("wedges_ht"), batchEdges, cap)
+      .as[(Long, Long, Boolean, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val exact = graft.operators.GraphOps.triangleStats(batchEdges)
+      .select("node_id", "n_triangles").as[(Long, Long)].collect().toMap
+    // the hub: flagged lower bound strictly below truth, HT estimate
+    // within ~2σ of it (rel σ = sqrt((1-p)/(p·T)) ≈ 0.23 here)
+    val (hubRaw, hubLb, hubEst) = est(0L)
+    assert(hubLb, "hub did not saturate")
+    assert(hubRaw < 199L, s"raw capped count $hubRaw not a strict bound")
+    assert(hubEst > hubRaw.toDouble, "estimate must exceed the raw bound")
+    val relErr = math.abs(hubEst - 199.0) / 199.0
+    assert(relErr < 0.5,
+      s"HT estimate $hubEst vs exact 199 — rel err $relErr > 2σ bound")
+    // every unsaturated vertex: estimate IS the exact count
+    est.filterNot(_._1 == 0L).foreach { case (v, (n, lb, e)) =>
+      assert(!lb && e == exact(v).toDouble && n == exact(v),
+        s"vertex $v: est=$e capped=$n exact=${exact(v)}")
+    }
   }
 
   test("wedgeStreamCapped: redelivery to a saturated vertex emits " +
