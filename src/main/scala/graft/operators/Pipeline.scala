@@ -153,6 +153,38 @@ object Pipeline {
     docs.filter(expr(s"char_poly_hash(text) % 100 < $pct"))
   }
 
+  /** Deterministic sharded corpus shuffle — the global pseudo-random
+    * permutation a training run reads, factored the only way it scales:
+    * `shard = hash(salt, doc_id) mod nShards`, within-shard order by
+    * `(hash, doc_id)`. A true global sort-by-random-key is one global
+    * range exchange; this is ONE hash-keyed shuffle parallel in
+    * nShards, and the per-shard sort is local. No RNG anywhere: the
+    * permutation is a pure function of (salt, doc_id), so re-runs,
+    * repartitionings and engines agree row-for-row (the
+    * repartition-invariance spec), and changing `salt` is a fresh
+    * epoch's shuffle — exactly how large trainers re-shuffle between
+    * epochs without materializing a new copy.
+    *
+    * The write path is the same shuffle with the audit column dropped:
+    * `repartition(nShards, shard).sortWithinPartitions(h, doc_id)` into
+    * one file per shard; `shard_pos` materializes the within-shard
+    * order as an oracle-checkable column.
+    */
+  def shardedShuffle(docs: DataFrame, nShards: Int,
+                     salt: String = "shuffle"): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1: $nShards")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("h", "doc_id")
+    docs
+      .withColumn("_sk",
+        concat(lit(salt + ":"), col("doc_id").cast("string")))
+      .withColumn("h", expr("char_poly_hash(_sk)"))
+      .withColumn("shard", col("h") % nShards)
+      .withColumn("shard_pos", row_number().over(w).cast("long"))
+      .select("doc_id", "shard", "shard_pos")
+  }
+
   /** Deterministic probability-proportional-to-size (Poisson/IPPS)
     * sampling targeting ~`targetDocs` draws: doc `i` with integer
     * weight `w_i` (token count) is kept with inclusion probability

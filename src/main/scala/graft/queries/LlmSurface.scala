@@ -248,6 +248,14 @@ object LlmSurface {
         .select("doc_id", "n_tokens", "thresh", "ht_weight")
         .orderBy("doc_id")),
 
+    // --- deterministic sharded corpus shuffle: the training reader's
+    //     global permutation as (shard, within-shard position), pure
+    //     function of (salt, doc_id) — one nShards-parallel shuffle,
+    //     no RNG, no global sort (Pipeline.shardedShuffle) ---
+    "q122_shard_shuffle" -> ((s, d) =>
+      Pipeline.shardedShuffle(docs(s, d), nShards = 8)
+        .orderBy("doc_id")),
+
     // --- train/test contamination via n-gram overlap ---
     "q48_contamination" -> ((s, d) => {
       val withBucket = Pipeline.split(docs(s, d))
@@ -913,6 +921,17 @@ object LlmSurface {
          |  CAST($M AS DOUBLE) / CAST(thresh AS DOUBLE) AS ht_weight
          |FROM th WHERE $h % $M < thresh
          |ORDER BY doc_id""".stripMargin
+    },
+
+    // DuckDB twin of q122: the same salt-keyed polynomial hash over
+    // 'shuffle:' || doc_id, same shard mod and within-shard rank
+    "q122_shard_shuffle" -> {
+      val h = dkCharHash("'shuffle:' || doc_id::VARCHAR")
+      s"""WITH h AS (SELECT doc_id, $h AS h FROM documents)
+         |SELECT doc_id, h % 8 AS shard,
+         |  row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id)
+         |    AS shard_pos
+         |FROM h ORDER BY doc_id""".stripMargin
     },
 
     "q48_contamination" -> {

@@ -158,6 +158,32 @@ class PipelineSpec extends SparkSpec {
     assert(again == got.map(_._1).sorted.toSeq)
   }
 
+  test("shardedShuffle: permutation is complete, repartition-invariant, " +
+    "and salt-keyed") {
+    val corpus = (1L to 500L).map(i => (i, s"doc body $i"))
+      .toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame, salt: String) =
+      Pipeline.shardedShuffle(df, nShards = 8, salt = salt)
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val base = run(corpus, "shuffle")
+    // complete permutation: every doc exactly once, shards in [0, 8),
+    // within-shard positions are 1..size(shard) with no gaps
+    assert(base.map(_._1) == (1L to 500L))
+    assert(base.forall(r => r._2 >= 0 && r._2 < 8))
+    base.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted == (1L to rows.size).toSeq,
+        s"shard $shard positions have gaps")
+    }
+    // no degenerate assignment: the hash spreads docs over every shard
+    assert(base.map(_._2).distinct.size == 8)
+    // repartition invariance: a different physical layout yields the
+    // SAME logical permutation row-for-row
+    assert(run(corpus.repartition(7), "shuffle") == base)
+    assert(run(corpus.repartition(3, col("doc_id")), "shuffle") == base)
+    // a new salt is a genuinely different epoch permutation
+    assert(run(corpus, "epoch2") != base)
+  }
+
   test("contamination finds planted train/test n-gram overlap") {
     val train = Seq((1L, (1 to 20).map("t" + _).mkString(" ")),
       (2L, "unrelated train words only here padding pad pad pad")).toDF("doc_id", "text")
