@@ -248,14 +248,34 @@ object TextOps {
     * broadcast exchange) and doubled the logical tree per round.
     *
     * Rounds are data-dependent and inherently sequential (round k+1's
-    * counts depend on round k's merge), so the loop floor is `rounds`
-    * scheduler round-trips over the vocabulary-sized dict — the
-    * corpus is touched exactly once, in the initial dictionary pass.
-    * Every 8 rounds the dict is eagerly localCheckpoint'd: that caps
-    * both the replace-chain re-evaluation and the RDD lineage depth
-    * (an unbounded chain overflows the task-serializer stack past
-    * ~50 rounds); the ContextCleaner frees superseded checkpoint
-    * blocks when the next checkpoint drops the last reference.
+    * counts depend on round k's merge) — but a PROVABLY-SAFE batch of
+    * merges can share one scheduler round-trip. Per job the loop
+    * fetches the top K+1 pairs and batches the maximal PREFIX of the
+    * `(n DESC, l, r)`-sorted table that is pairwise symbol-disjoint,
+    * shrunk until every batched merge after the first counts STRICTLY
+    * above the first excluded pair. That prefix applied together
+    * equals the sequential rounds, because at sequential step i of the
+    * batch: (a) w_i's own count is untouched (disjoint from every
+    * earlier merge); (b) old pairs only lose occurrences, and all old
+    * pairs outside the prefix already ranked below w_i; (c) a NEW pair
+    * containing a merged symbol M_j inherits its count from a parent
+    * pair overlapping w_j — that parent shares a symbol with w_j, so
+    * it cannot be in the (pairwise-disjoint) prefix, so its count is
+    * ≤ the first excluded pair's count < n_i. No candidate can reach
+    * w_i's count, so the sequential argmax picks w_i. The merge
+    * TABLE is therefore bit-identical to single-merge learning — the
+    * sequential DuckDB oracle stays the ground truth and verifies the
+    * batching on every run. The K+1-row fetch is the same class of
+    * coordinator metadata as the old 1-row winner.
+    *
+    * The loop floor drops from `rounds` round-trips to the number of
+    * SAFE BATCHES (fixture: ~64 → ~20); the corpus is still touched
+    * exactly once, in the initial dictionary pass. Every ≥8 applied
+    * merges the dict is eagerly localCheckpoint'd: that caps both the
+    * replace-chain re-evaluation and the RDD lineage depth (an
+    * unbounded chain overflows the task-serializer stack past ~50
+    * rounds); the ContextCleaner frees superseded checkpoint blocks
+    * when the next checkpoint drops the last reference.
     *
     * If the dictionary merges down to single symbols before `rounds`
     * (no pair left to count), the loop stops early and the merge
@@ -290,8 +310,10 @@ object TextOps {
     val winners = Seq.newBuilder[(Int, String, String, Long)]
     var step = 1
     var exhausted = false
+    val K = 8 // max merges per scheduler round-trip
+    var sinceCheckpoint = 0
     while (step <= rounds && !exhausted) {
-      val win = dict
+      val top = dict
         .select(col("cnt"),
           split(trim(col("seq"), Sep), Sep + Sep).as("syms"))
         .select(col("cnt"), explode(expr(
@@ -300,18 +322,44 @@ object TextOps {
           .as("p"))
         .select(col("cnt"), col("p.l").as("l"), col("p.r").as("r"))
         .groupBy("l", "r").agg(sum(col("cnt")).as("n"))
-        .orderBy(desc("n"), asc("l"), asc("r")).limit(1)
+        .orderBy(desc("n"), asc("l"), asc("r")).limit(K + 1)
         .collect()
-      if (win.isEmpty) exhausted = true
+      if (top.isEmpty) exhausted = true
       else {
-        val (l, r, n) = (win(0).getString(0), win(0).getString(1), win(0).getLong(2))
-        winners += ((step, l, r, n))
-        dict = dict.select(col("word"), col("cnt"),
-          call_function("replace", col("seq"),
+        // maximal pairwise-symbol-disjoint PREFIX of the sorted table
+        // (prefix, not subsequence: a skipped-over pair could spawn
+        // new pairs that outrank later selections)
+        val budget = math.min(K, rounds - step + 1)
+        val used = scala.collection.mutable.HashSet.empty[String]
+        var p = 0
+        var blocked = false
+        while (!blocked && p < math.min(top.length, budget)) {
+          val (l, r) = (top(p).getString(0), top(p).getString(1))
+          if (used.contains(l) || used.contains(r)) blocked = true
+          else { used += l; used += r; p += 1 }
+        }
+        // strict-dominance shrink: batched merges after the first must
+        // count STRICTLY above the first excluded pair, else a new
+        // pair could tie and win the sequential lex tie-break
+        var m = p
+        while (m > 1 && m < top.length &&
+          top(m - 1).getLong(2) <= top(m).getLong(2)) m -= 1
+        var newSeq = col("seq")
+        (0 until m).foreach { i =>
+          val (l, r, n) =
+            (top(i).getString(0), top(i).getString(1), top(i).getLong(2))
+          winners += ((step, l, r, n))
+          newSeq = call_function("replace", newSeq,
             lit(Sep + l + Sep + Sep + r + Sep),
-            lit(Sep + l + r + Sep)).as("seq"))
-        if (step % 8 == 0 && step < rounds) dict = dict.localCheckpoint(true)
-        step += 1
+            lit(Sep + l + r + Sep))
+          step += 1
+        }
+        dict = dict.select(col("word"), col("cnt"), newSeq.as("seq"))
+        sinceCheckpoint += m
+        if (sinceCheckpoint >= 8 && step <= rounds) {
+          dict = dict.localCheckpoint(true)
+          sinceCheckpoint = 0
+        }
       }
     }
     (cached, dict, winners.result())
