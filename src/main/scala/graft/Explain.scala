@@ -118,7 +118,19 @@ object Explain {
       ("Heavy-hitter audit: `approx_top_k` sketches the token stream " +
         "in one bounded-memory pass; the exact comparison side is the " +
         "only other corpus read, and the rank window runs over the " +
-        "vocabulary-sized aggregate output, never the raw stream."))
+        "vocabulary-sized aggregate output, never the raw stream."),
+    "q121_zorder_skip" ->
+      ("Z-order clustered scan: the staged clustered copy is read " +
+        "under a conjunctive range predicate on BOTH clustered " +
+        "columns — `PushedFilters` carries both ranges, and the " +
+        "interleaved layout's narrow per-file envelopes let parquet " +
+        "row-group stats prune most of the files (PlanSpec measures " +
+        "the scan emitting ≤ half the unclustered twin's rows)."),
+    "q122_shard_shuffle" ->
+      ("Deterministic training-shard permutation: one hash-keyed " +
+        "exchange on `shard` (nShards-parallel), the rank window runs " +
+        "inside each shard partition — no global sort, no RNG " +
+        "anywhere in the plan."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -176,13 +176,40 @@ object Pipeline {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy("h", "doc_id")
+    withShardKey(docs, nShards, salt)
+      .withColumn("shard_pos", row_number().over(w).cast("long"))
+      .select("doc_id", "shard", "shard_pos")
+  }
+
+  private def withShardKey(docs: DataFrame, nShards: Int,
+                           salt: String): DataFrame =
     docs
       .withColumn("_sk",
         concat(lit(salt + ":"), col("doc_id").cast("string")))
       .withColumn("h", expr("char_poly_hash(_sk)"))
       .withColumn("shard", col("h") % nShards)
-      .withColumn("shard_pos", row_number().over(w).cast("long"))
-      .select("doc_id", "shard", "shard_pos")
+
+  /** The WRITE half of [[shardedShuffle]]: materialize the shuffled
+    * corpus as one shard-keyed directory per shard
+    * (`outDir/shard=N/…`), rows inside each shard's file(s) in the
+    * permutation order a trainer reads them. Same single hash-keyed
+    * shuffle (`repartition` on shard) + per-partition sort — the
+    * partition write preserves sorted row order into the files, and
+    * determinism is row-for-row: re-running the write (any input
+    * partitioning) reproduces byte-identical shard contents, so a
+    * shard file is re-creatable from the recipe (salt, nShards) alone.
+    */
+  def writeShards(docs: DataFrame, outDir: String, nShards: Int,
+                  salt: String = "shuffle"): Unit = {
+    require(nShards >= 1, s"nShards must be >= 1: $nShards")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    withShardKey(docs, nShards, salt)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions("shard", "h", "doc_id")
+      .drop("_sk")
+      .write.mode("overwrite")
+      .partitionBy("shard")
+      .parquet(outDir)
   }
 
   /** Deterministic probability-proportional-to-size (Poisson/IPPS)

@@ -281,7 +281,81 @@ object TextOps {
     * (no pair left to count), the loop stops early and the merge
     * table simply has fewer rows.
     */
-  private def bpeLoop(docs: DataFrame, rounds: Int)
+  /** Greedy left-to-right non-overlapping merge of (l, r) in a symbol
+    * sequence — the in-memory twin of the wrapped-separator string
+    * `replace` (the per-symbol separators make replace exactly this
+    * scan; see [[bpeMerges]]' determinism contract).
+    */
+  private def applyMergeLocal(syms: Array[String], l: String,
+                              r: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** Run the full Sennrich merge loop in memory over one partition's
+    * (word, cnt) rows — used when the whole vocabulary fits one task.
+    * Exact counts (overlapping adjacents, like the distributed
+    * explode), exact tie-break `(n DESC, l ASC, r ASC)` — ASCII
+    * UTF-16 order coincides with the engines' binary order on the
+    * fixtures' ASCII symbols.
+    */
+  private def bpeTrainLocal(words: Array[(String, Long)], rounds: Int)
+      : Seq[(Int, String, String, Long)] = {
+    val seqs = words.map(_._1.split(""))
+    val cnts = words.map(_._2)
+    val winners = Seq.newBuilder[(Int, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= rounds && !exhausted) {
+      val counts = scala.collection.mutable.HashMap
+        .empty[(String, String), Long]
+      var i = 0
+      while (i < seqs.length) {
+        val s = seqs(i)
+        var j = 0
+        while (j < s.length - 1) {
+          counts.updateWith((s(j), s(j + 1)))(
+            o => Some(o.getOrElse(0L) + cnts(i)))
+          j += 1
+        }
+        i += 1
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        // deterministic argmax — never rely on hash-map iteration order
+        var best: ((String, String), Long) = null
+        counts.foreach { kv =>
+          if (best == null || kv._2 > best._2 ||
+            (kv._2 == best._2 && (kv._1._1 < best._1._1 ||
+              (kv._1._1 == best._1._1 && kv._1._2 < best._1._2))))
+            best = kv
+        }
+        val ((l, r), n) = best
+        winners += ((step, l, r, n))
+        i = 0
+        while (i < seqs.length) {
+          seqs(i) = applyMergeLocal(seqs(i), l, r)
+          i += 1
+        }
+        step += 1
+      }
+    }
+    winners.result()
+  }
+
+  /** Vocabulary size up to which the merge loop runs in ONE task (the
+    * local path); beyond it the distributed per-round loop runs.
+    */
+  private[operators] val LocalVocabMax = 131072L
+
+  private[operators] def bpeLoop(docs: DataFrame, rounds: Int,
+                                 forceDistributed: Boolean = false)
       : (DataFrame, DataFrame, Seq[(Int, String, String, Long)]) = {
     require(rounds >= 1, s"rounds must be >= 1: $rounds")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -297,6 +371,45 @@ object TextOps {
           c => concat(S, c, S)), "").as("seq"))
       .persist(lvl)
     val vocabSize = cached.count()
+    // LOCAL PATH: when the vocabulary fits one task, run the merge
+    // loop where the vocabulary lives — a single mapPartitions task
+    // executes ALL rounds in memory and returns only the rounds-sized
+    // merge table (the same coordinator metadata the distributed loop
+    // reads back one batch at a time), collapsing ~rounds scheduler
+    // round-trips into ONE job. The rewritten dictionary is then one
+    // embarrassingly-parallel pass applying the learned merges per
+    // word — semantics identical to the distributed literal-replace
+    // chain (path-equality spec; the sequential DuckDB oracles hold
+    // for both). The corpus never leaves the executors on either path.
+    if (!forceDistributed && vocabSize <= LocalVocabMax) {
+      val spark = docs.sparkSession
+      import spark.implicits._
+      val winners = cached.select("word", "cnt").as[(String, Long)]
+        .coalesce(1)
+        .mapPartitions { it =>
+          val words = it.toArray
+          if (words.isEmpty) Iterator.empty
+          else bpeTrainLocal(words, rounds).iterator
+        }
+        .collect().sortBy(_._1).toSeq
+      val mergeList = winners.map(w => (w._2, w._3))
+      val dict = cached.select("word", "cnt").as[(String, Long)]
+        .mapPartitions { it =>
+          it.map { case (w, c) =>
+            var syms = w.split("")
+            mergeList.foreach { case (l, r) =>
+              syms = applyMergeLocal(syms, l, r)
+            }
+            (w, c, syms.map(s => Sep + s + Sep).mkString(""))
+          }
+        }
+        .toDF("word", "cnt", "seq")
+      return (cached, dict, winners)
+    }
+    // DISTRIBUTED PATH: the vocabulary spans partitions — per-trip
+    // pair counting over the dictionary, batching provably-safe merge
+    // prefixes (below).
+    //
     // The dictionary is vocabulary-sized — orders of magnitude smaller
     // than the corpus that produced it, but the cache pins it at full
     // shuffle-partition width (caching blocks AQE output coalescing),
@@ -344,6 +457,8 @@ object TextOps {
         var m = p
         while (m > 1 && m < top.length &&
           top(m - 1).getLong(2) <= top(m).getLong(2)) m -= 1
+        if (sys.env.contains("GRAFT_BPE_DEBUG"))
+          System.err.println(s"[bpe] trip: disjoint_prefix=$p batched=$m")
         var newSeq = col("seq")
         (0 until m).foreach { i =>
           val (l, r, n) =

@@ -184,6 +184,34 @@ class PipelineSpec extends SparkSpec {
     assert(run(corpus, "epoch2") != base)
   }
 
+  test("writeShards: shard dirs partition the corpus in permutation " +
+    "order; rewrite from any layout is identical") {
+    val corpus = (1L to 300L).map(i => (i, s"text $i"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString
+    Pipeline.writeShards(corpus, dir, nShards = 4)
+    // the audit view is the ground truth for order within each shard
+    val expected = Pipeline.shardedShuffle(corpus, nShards = 4)
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._2).map { case (s, rows) =>
+        s -> rows.sortBy(_._3).map(_._1).toSeq
+      }
+    def shardDocs(d: String, s: Int): Seq[Long] =
+      spark.read.parquet(s"$d/shard=$s").select("doc_id")
+        .as[Long].collect().toSeq
+    (0 until 4).foreach { s =>
+      assert(shardDocs(dir, s) == expected(s.toLong),
+        s"shard $s not in permutation order")
+    }
+    // determinism: rewriting from a different physical layout
+    // reproduces every shard file row-for-row
+    val dir2 = java.nio.file.Files.createTempDirectory("shards2").toString
+    Pipeline.writeShards(corpus.repartition(7), dir2, nShards = 4)
+    (0 until 4).foreach { s =>
+      assert(shardDocs(dir2, s) == shardDocs(dir, s))
+    }
+  }
+
   test("contamination finds planted train/test n-gram overlap") {
     val train = Seq((1L, (1 to 20).map("t" + _).mkString(" ")),
       (2L, "unrelated train words only here padding pad pad pad")).toDF("doc_id", "text")

@@ -194,4 +194,21 @@ class TextOpsSpec extends SparkSpec {
       s"bpe calls leaked ${after - before} persisted frames " +
         s"(expected <=3 checkpoint blocks for 3 live results)")
   }
+
+  test("bpe local and distributed paths learn the identical merge table " +
+    "and rewritten dictionary") {
+    // realistic mixed corpus off the fixture — exercises ties,
+    // repeated pairs and merge exhaustion edges in both paths
+    val fixture = graft.engine.Tables
+      .table(spark, "/root/testdata/sf0.001", "documents")
+    val rounds = 12
+    val (c1, d1, w1) = TextOps.bpeLoop(fixture, rounds)
+    val (c2, d2, w2) = TextOps.bpeLoop(fixture, rounds,
+      forceDistributed = true)
+    assert(w1 == w2, s"merge tables diverged:\nlocal=$w1\ndist =$w2")
+    val s1 = d1.select("word", "seq").as[(String, String)].collect().toMap
+    val s2 = d2.select("word", "seq").as[(String, String)].collect().toMap
+    assert(s1 == s2, "rewritten dictionaries diverged")
+    c1.unpersist(); c2.unpersist(); ()
+  }
 }
