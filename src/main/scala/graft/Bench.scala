@@ -66,8 +66,14 @@ object Bench {
     // query-many operators — their cost belongs to ingest, and timing
     // them per-query would measure the anti-pattern the index exists
     // to avoid.
+    // Failure-tolerant like Verify's staging: entries rebuild on first
+    // use, so a staging bug must cost per-query seconds, not the whole
+    // bench artifact.
     val tStage = System.nanoTime()
-    SparkEntry.stage(spark, sfDir)
+    try SparkEntry.stage(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] staging failed: ${e.getMessage}")
+    }
     System.err.println(
       f"[bench] staged ($sfDir) ${(System.nanoTime() - tStage) / 1e9}%.1f s")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -67,9 +67,15 @@ object SqlSurface {
       t(s, d, "orders").select("o_orderkey", "o_orderpriority"),
       "graft_bkt_orders", 8, Seq("o_orderkey"))
 
-  def ensureZorderedLineitem(s: SparkSession, d: String): String =
-    graft.engine.Bucketing.ensureZordered(s, d, t(s, d, "lineitem"),
+  def ensureZorderedLineitem(s: SparkSession, d: String): String = {
+    // the staged copy outlives the JVM (tmp-dir memo), so its key must
+    // change when the SOURCE fixture is regenerated at the same path —
+    // fold the source file's stat into the fixture key
+    val src = new java.io.File(s"$d/lineitem.parquet")
+    graft.engine.Bucketing.ensureZordered(s,
+      s"$d|${src.lastModified}|${src.length}", t(s, d, "lineitem"),
       Seq("l_partkey", "l_suppkey"), "lineitem")
+  }
 
   /** DuckDB twin of TextOps.bpeLoop: the merge-learning CTE chain,
     * unrolled through `rounds` rounds. Yields CTEs `wd, d0,

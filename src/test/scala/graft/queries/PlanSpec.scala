@@ -290,12 +290,13 @@ class PlanSpec extends SparkSpec {
     // unclustered twin: identical rows and file count, hash layout —
     // every file spans the full (partkey, suppkey) envelope, so parquet
     // stats can prune nothing
+    // written unconditionally: a memoized twin could go stale against a
+    // regenerated fixture and invalidate the comparison
     val flat = new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft_ztest_flat_twin")
-    if (!new java.io.File(flat, "_SUCCESS").isFile)
-      graft.engine.Tables.table(spark, sf001, "lineitem")
-        .repartition(16, col("l_orderkey"))
-        .write.mode("overwrite").parquet(flat.getPath)
+    graft.engine.Tables.table(spark, sf001, "lineitem")
+      .repartition(16, col("l_orderkey"))
+      .write.mode("overwrite").parquet(flat.getPath)
     // rows the SCAN emits (post row-group pruning) — the data-skipping
     // metric itself, not the post-filter row count (identical by
     // correctness)
