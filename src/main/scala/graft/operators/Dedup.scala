@@ -527,6 +527,50 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Benchmark decontamination: flag corpus documents that share any
+    * exact word n-gram with a benchmark (eval-set) document — the
+    * train/test-overlap removal step every published LLM pipeline runs
+    * before training (n-gram collision against held-out benchmarks).
+    *
+    * Output: one row per CONTAMINATED corpus doc —
+    * `(doc_id, n_hit_grams, n_bench_docs)` where `n_hit_grams` counts
+    * the doc's distinct n-grams that occur anywhere in the benchmark
+    * and `n_bench_docs` counts the distinct benchmark docs it collides
+    * with. The clean corpus is the anti-join complement (same
+    * fingerprint frame, no second scan).
+    *
+    * Scale shape: the benchmark side is eval sets — MBs against a
+    * 100 TB corpus — so its distinct `(gram-digest, bench_doc_id)`
+    * pairs are BROADCAST and the corpus is scanned exactly once with a
+    * map-side hash probe; no shuffle is keyed on grams. Gram identity
+    * is `md5(gram)` (the [[exactDedup]] posture): fixed 16-byte
+    * digests move, never gram text, and a 128-bit digest makes false
+    * contamination flags from collisions practically impossible.
+    * The per-doc rollup is the only shuffle, keyed by doc_id with
+    * map-side partial distinct-counting.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+      n: Int = 4): DataFrame = {
+    require(n >= 2, s"decontamination gram size must be >= 2: $n")
+    val parts = (0 until n).map(j => s"toks[i + $j]").mkString(", ' ', ")
+    val gramsExpr = s"transform(sequence(0, size(toks) - $n), " +
+      s"i -> concat($parts))"
+    def grams(df: DataFrame): DataFrame = df
+      .withColumn("toks", TextOps.tokens("text"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(expr(gramsExpr)).as("gram"))
+      .select(col("doc_id"), md5(col("gram")).as("g"))
+      .distinct()
+    val bench = grams(benchmark)
+      .withColumnRenamed("doc_id", "bench_doc_id")
+    grams(corpus)
+      .join(broadcast(bench), "g")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("g")).as("n_hit_grams"),
+        countDistinct(col("bench_doc_id")).as("n_bench_docs"))
+      .orderBy("doc_id")
+  }
+
   /** Resolve near-dup PAIRS into duplicate CLUSTERS (connected
     * components): every doc's cluster id is the minimum doc_id
     * reachable through the pair graph; the canonical survivor per

@@ -256,6 +256,21 @@ object LlmSurface {
       Pipeline.shardedShuffle(docs(s, d), nShards = 8)
         .orderBy("doc_id")),
 
+    // --- q48's scale twin: benchmark decontamination in the broadcast
+    //     posture. Eval sets are MBs against a 100 TB corpus, so the
+    //     benchmark's gram digests BROADCAST and the corpus is scanned
+    //     exactly once with a map-side probe — no shuffle keyed on
+    //     grams (q48 shuffles both sides; right for comparable splits,
+    //     wrong when one side is 10^6× smaller). Digest = md5(gram):
+    //     16-byte keys move, never gram text (Dedup.decontaminate) ---
+    "q123_decontaminate" -> ((s, d) => {
+      val ds = docs(s, d)
+      Dedup.decontaminate(
+        ds.filter(col("source") =!= "src0").select("doc_id", "text"),
+        ds.filter(col("source") === "src0").select("doc_id", "text"),
+        n = 4)
+    }),
+
     // --- train/test contamination via n-gram overlap ---
     "q48_contamination" -> ((s, d) => {
       val withBucket = Pipeline.split(docs(s, d))
@@ -933,6 +948,25 @@ object LlmSurface {
          |    AS shard_pos
          |FROM h ORDER BY doc_id""".stripMargin
     },
+
+    // DuckDB twin of q123: same 4-gram windows, same md5 digests, same
+    // distinct-(doc, gram) semantics as Dedup.decontaminate
+    "q123_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t
+        |              FROM documents),
+        | grams AS (SELECT doc_id, source, unnest(list_distinct(
+        |     [md5(array_to_string(t[i:i+3], ' '))
+        |      for i in range(1, len(t) - 2)])) AS g
+        |   FROM toks WHERE len(t) >= 4),
+        | bench AS (SELECT DISTINCT doc_id AS bench_doc_id, g
+        |           FROM grams WHERE source = 'src0'),
+        | corp AS (SELECT DISTINCT doc_id, g
+        |          FROM grams WHERE source <> 'src0')
+        |SELECT corp.doc_id,
+        |  count(DISTINCT corp.g)::BIGINT AS n_hit_grams,
+        |  count(DISTINCT bench.bench_doc_id)::BIGINT AS n_bench_docs
+        |FROM corp JOIN bench USING (g)
+        |GROUP BY corp.doc_id ORDER BY corp.doc_id""".stripMargin,
 
     "q48_contamination" -> {
       val h = dkCharHash("text")

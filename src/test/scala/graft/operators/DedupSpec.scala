@@ -311,4 +311,36 @@ class DedupSpec extends SparkSpec {
       Seq((9L, "solo")).toDF("doc_id", "text"), n = 2).count()
     assert(short == 0L)
   }
+
+  test("decontaminate flags corpus docs sharing an n-gram with the benchmark") {
+    val bench = Seq(
+      (100L, "alpha beta gamma delta epsilon"),
+      (101L, "one two three four"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // shares "alpha beta gamma delta" AND "beta gamma delta epsilon"
+      (1L, "x alpha beta gamma delta epsilon y"),
+      // shares "one two three four" with bench 101 only
+      (2L, "zero one two three four"),
+      // shares grams with BOTH bench docs
+      (3L, "alpha beta gamma delta and one two three four"),
+      // benchmark words but never 4 in a row
+      (4L, "alpha beta x gamma delta y epsilon"),
+      (5L, "unrelated content entirely different words here"),
+      (6L, "too short")) // < n tokens → no grams, never flagged
+      .toDF("doc_id", "text")
+    val out = Dedup.decontaminate(corpus, bench, n = 4)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((2L, 1L))) // 2 distinct hit grams, 1 bench doc
+    assert(out(2L) == ((1L, 1L)))
+    assert(out(3L) == ((2L, 2L))) // one gram from each bench doc
+    assert(!out.contains(4L) && !out.contains(5L) && !out.contains(6L))
+    // repeated grams within a doc count once (distinct semantics)
+    val rep = Dedup.decontaminate(
+      Seq((7L, "one two three four one two three four")).toDF("doc_id", "text"),
+      bench, n = 4)
+      .as[(Long, Long, Long)].collect()
+    assert(rep.toSeq == Seq((7L, 1L, 1L)))
+  }
 }
