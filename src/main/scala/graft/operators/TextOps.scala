@@ -568,4 +568,37 @@ object TextOps {
       .withColumn("fingerprint", expr(
         s"aggregate(tok_hashes, 0L, (h, v) -> (h * 131 + v) % ${PermP}L)"))
   }
+
+  /** PII redaction patterns, applied in declaration order:
+    * `(kind, regex, replacement)`. The regex subset is chosen to mean
+    * the same thing under Java regex (Spark) and RE2 (DuckDB, and the
+    * common production scrubbers): character classes, bounded repeats
+    * and `\b` only — no backreferences, no lookaround. Order matters:
+    * an email is scrubbed before the IP rule can eat a dotted-digit
+    * fragment of its domain.
+    */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("id", "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b", "<ID>"),
+    ("phone", "\\+[0-9]{7,15}", "<PHONE>"),
+    ("ip", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"))
+
+  /** Redact all [[PiiPatterns]] occurrences in `text` — the
+    * pre-training scrub pass. A pure per-row codegen'd expression
+    * chain (4 `regexp_replace`): embarrassingly parallel, no shuffle,
+    * no UDF; idempotent (replacement tokens match no pattern).
+    */
+  def scrubPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (_, p, r)) =>
+      regexp_replace(c, p, r)
+    }
+
+  /** Per-kind PII match counts over the ORIGINAL text (audit columns:
+    * what the scrub removed), as `n_<kind>s` long columns.
+    */
+  def piiCounts(text: Column): Seq[(String, Column)] =
+    PiiPatterns.map { case (kind, p, _) =>
+      (s"n_${kind}s",
+        size(regexp_extract_all(text, lit(p), lit(0))).cast("long"))
+    }
 }

@@ -271,6 +271,45 @@ object LlmSurface {
         n = 4)
     }),
 
+    // --- PII scrub audit: redact emails / SSN-shaped ids / E.164
+    //     phones / IPv4s and count what was removed. The corpus text
+    //     is clean by construction, so each row deterministically
+    //     derives its PII load from doc_id (same expressions in the
+    //     DuckDB twin) — the check is that two engines' regex dialects
+    //     agree byte-for-byte on the scrubbed output (md5) and the
+    //     audit counts. Per-row codegen'd expression chain: no
+    //     shuffle, no UDF (TextOps.scrubPii / piiCounts) ---
+    "q124_pii_scrub" -> ((s, d) => {
+      val idStr = col("doc_id").cast("string")
+      val base = docs(s, d).select(col("doc_id"), concat(
+        col("text"),
+        lit(" contact user"), idStr,
+        lit("@mail"), (col("doc_id") % 7).cast("string"),
+        lit(".example.com call +1"),
+        lpad(((col("doc_id") * 7919) % 10000000).cast("string"), 7, "0"),
+        lit(" ssn "), lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+        lit("-"), lpad((col("doc_id") % 100).cast("string"), 2, "0"),
+        lit("-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" from 10."), (col("doc_id") % 256).cast("string"),
+        lit("."), ((col("doc_id") * 31) % 256).cast("string"), lit(".1"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit(" cc ops-"), (col("doc_id") % 5).cast("string"),
+            lit("@ex.io"))).otherwise(lit("")),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" via 192.168."), (col("doc_id") % 100).cast("string"),
+            lit(".254"))).otherwise(lit(""))).as("pii_text"))
+      val counted = TextOps.piiCounts(col("pii_text"))
+        .foldLeft(base) { case (df, (name, c)) => df.withColumn(name, c) }
+      counted
+        .withColumn("scrubbed", TextOps.scrubPii(col("pii_text")))
+        .select(col("doc_id"),
+          col("n_emails"), col("n_ids"), col("n_phones"), col("n_ips"),
+          md5(col("scrubbed")).as("scrub_md5"),
+          (length(col("pii_text")) - length(col("scrubbed")))
+            .cast("long").as("len_delta"))
+        .orderBy("doc_id")
+    }),
+
     // --- train/test contamination via n-gram overlap ---
     "q48_contamination" -> ((s, d) => {
       val withBucket = Pipeline.split(docs(s, d))
@@ -967,6 +1006,48 @@ object LlmSurface {
         |  count(DISTINCT bench.bench_doc_id)::BIGINT AS n_bench_docs
         |FROM corp JOIN bench USING (g)
         |GROUP BY corp.doc_id ORDER BY corp.doc_id""".stripMargin,
+
+    // DuckDB twin of q124: identical PII derivation, RE2 equivalents of
+    // the Java patterns (shared \b / class / bounded-repeat subset),
+    // 'g' flag mirrors Spark's replace-all default
+    "q124_pii_scrub" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ssn = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+      val phone = "\\+[0-9]{7,15}"
+      val ip = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+      s"""WITH pii AS (SELECT doc_id, text
+         |    || ' contact user' || doc_id::VARCHAR
+         |    || '@mail' || (doc_id % 7)::VARCHAR
+         |    || '.example.com call +1'
+         |    || lpad(((doc_id * 7919) % 10000000)::VARCHAR, 7, '0')
+         |    || ' ssn ' || lpad((doc_id % 1000)::VARCHAR, 3, '0')
+         |    || '-' || lpad((doc_id % 100)::VARCHAR, 2, '0')
+         |    || '-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+         |    || ' from 10.' || (doc_id % 256)::VARCHAR
+         |    || '.' || ((doc_id * 31) % 256)::VARCHAR || '.1'
+         |    || CASE WHEN doc_id % 2 = 0 THEN
+         |         ' cc ops-' || (doc_id % 5)::VARCHAR || '@ex.io'
+         |       ELSE '' END
+         |    || CASE WHEN doc_id % 3 = 0 THEN
+         |         ' via 192.168.' || (doc_id % 100)::VARCHAR || '.254'
+         |       ELSE '' END AS pii_text
+         |  FROM documents),
+         | scrub AS (SELECT doc_id, pii_text,
+         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |      pii_text, '$email', '<EMAIL>', 'g'),
+         |      '$ssn', '<ID>', 'g'),
+         |      '$phone', '<PHONE>', 'g'),
+         |      '$ip', '<IP>', 'g') AS scrubbed
+         |  FROM pii)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(pii_text, '$email'))::BIGINT AS n_emails,
+         |  len(regexp_extract_all(pii_text, '$ssn'))::BIGINT AS n_ids,
+         |  len(regexp_extract_all(pii_text, '$phone'))::BIGINT AS n_phones,
+         |  len(regexp_extract_all(pii_text, '$ip'))::BIGINT AS n_ips,
+         |  md5(scrubbed) AS scrub_md5,
+         |  (length(pii_text) - length(scrubbed))::BIGINT AS len_delta
+         |FROM scrub ORDER BY doc_id""".stripMargin
+    },
 
     "q48_contamination" -> {
       val h = dkCharHash("text")

@@ -211,4 +211,55 @@ class TextOpsSpec extends SparkSpec {
     assert(s1 == s2, "rewritten dictionaries diverged")
     c1.unpersist(); c2.unpersist(); ()
   }
+
+  test("scrubPii redacts all occurrences of every pattern kind") {
+    val in = Seq(
+      (1L, "mail a.b-c%d@sub.example.org and x@y.io twice"),
+      (2L, "ids 123-45-6789 then 000-00-0000 end"),
+      (3L, "call +18005551212 or +1234567"),
+      (4L, "host 10.0.0.1 peer 192.168.255.254"),
+      (5L, "mixed u@ex.com 111-22-3333 +9998887 172.16.0.9"))
+      .toDF("doc_id", "text")
+    val out = in.select(col("doc_id"),
+        TextOps.scrubPii(col("text")).as("s"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "mail <EMAIL> and <EMAIL> twice")
+    assert(out(2L) == "ids <ID> then <ID> end")
+    assert(out(3L) == "call <PHONE> or <PHONE>")
+    assert(out(4L) == "host <IP> peer <IP>")
+    assert(out(5L) == "mixed <EMAIL> <ID> <PHONE> <IP>")
+  }
+
+  test("scrubPii leaves near-misses alone and is idempotent") {
+    val in = Seq(
+      (1L, "not-an-email a@b no tld"),       // missing .tld
+      (2L, "not-an-ip 1.2.3 and 1.2.3.4.5"), // 3 octets / embedded run
+      (3L, "not-an-id x123-45-6789y"),       // no word boundary
+      (4L, "bare 12345678 digits"))          // phone needs leading +
+      .toDF("doc_id", "text")
+    val out = in.select(col("doc_id"),
+        TextOps.scrubPii(col("text")).as("s"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "not-an-email a@b no tld")
+    // "1.2.3.4.5": the first 4 octets match at a word boundary; the
+    // RE2/Java-shared \b semantics keep this deterministic cross-engine
+    assert(out(2L) == "not-an-ip 1.2.3 and <IP>.5")
+    assert(out(3L) == "not-an-id x123-45-6789y")
+    assert(out(4L) == "bare 12345678 digits")
+    // idempotence: replacement tokens match no pattern
+    val once = in.select(TextOps.scrubPii(col("text")).as("s"))
+    val twice = once.select(TextOps.scrubPii(col("s")).as("s"))
+    assert(once.as[String].collect().toSeq ==
+      twice.as[String].collect().toSeq)
+  }
+
+  test("piiCounts audits the original text per kind") {
+    val in = Seq((1L, "u@ex.com v@ex.com 111-22-3333 10.0.0.1"))
+      .toDF("doc_id", "text")
+    val counted = TextOps.piiCounts(col("text"))
+      .foldLeft(in) { case (df, (n, c)) => df.withColumn(n, c) }
+    val r = counted.select("n_emails", "n_ids", "n_phones", "n_ips")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(r == ((2L, 1L, 0L, 1L)))
+  }
 }
