@@ -102,7 +102,8 @@ object GraftFunctions {
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(arrayDot, CharPolyHash.registration, SimHashAggregate.registration,
       SimHashAggregate.bandsRegistration, MinHashAggregate.registration,
-      BloomFunctions.aggRegistration, BloomFunctions.probeRegistration)
+      BloomFunctions.aggRegistration, BloomFunctions.probeRegistration,
+      CmsFunctions.estimateRegistration, CmsFunctions.mergeRegistration)
 
   /** Idempotent runtime registration on a session. Also raises the
     * object-hash-aggregation fallback threshold when still at Spark's

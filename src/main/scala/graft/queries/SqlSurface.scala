@@ -870,6 +870,47 @@ object SqlSurface {
         |  count(*) <= 1024 AS vocab_within_sketch
         |FROM j""".stripMargin)),
 
+    // --- count-min-sketch frequency rollup: sketch each source's
+    //     token stream ONCE (Spark's native count_min_sketch, map-side
+    //     partial merge), union the per-source sketches with
+    //     graft_cms_merge_agg — CMS counters are linear, so the merged
+    //     sketch IS the whole-corpus sketch — and probe the top-20
+    //     terms with graft_cms_estimate. The q119 posture for
+    //     FREQUENCIES instead of cardinalities: ingest sketches each
+    //     batch, the fleet rolls up in KBs, the corpus is never
+    //     re-read. Accuracy is the one-sided CMS contract, stated as
+    //     oracle-pinned booleans: est >= exact always; est <= exact +
+    //     ceil(eps*N) per probe w.p. >= confidence (deterministic here:
+    //     fixed seed, eps 1e-4 => 27183-cell rows vs a tiny live
+    //     vocabulary, so estimates are exact). Exact counts ride along
+    //     for the audit only — production runs the sketch pass alone. ---
+    "q125_cms_freq" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      gated(s, d,
+        """WITH toks AS (
+          |  SELECT source, explode(split(text, ' ')) AS term
+          |  FROM documents),
+          | per AS (
+          |  SELECT source,
+          |    count_min_sketch(xxhash64(term), 0.0001d, 0.99d, 42) AS sk
+          |  FROM toks GROUP BY source),
+          | u AS (SELECT graft_cms_merge_agg(sk) AS s FROM per),
+          | exact AS (
+          |  SELECT term, count(*) AS exact_n FROM toks GROUP BY term),
+          | tot AS (SELECT count(*) AS n FROM toks),
+          | probed AS (
+          |  SELECT term, exact_n,
+          |    graft_cms_estimate((SELECT s FROM u), xxhash64(term)) AS est
+          |  FROM exact)
+          |SELECT term, exact_n,
+          |  est >= exact_n AS est_ge_exact,
+          |  est <= exact_n + CAST(ceil(0.0001 * (SELECT n FROM tot)) AS BIGINT)
+          |    AS est_within_eps
+          |FROM probed
+          |ORDER BY exact_n DESC, term
+          |LIMIT 20""".stripMargin)
+    }),
+
     // --- string function breadth: pad/replace/split_part/levenshtein ---
     "q50_strfns" -> ((s, d) =>
       t(s, d, "part")
@@ -1954,6 +1995,19 @@ object SqlSurface {
         |  CAST(count(*) AS BIGINT) AS total_tokens,
         |  count(DISTINCT tok) <= 1024 AS vocab_within_sketch
         |FROM toks""".stripMargin,
+
+    // DuckDB twin of q125: exact counts + the CMS one-sided error
+    // contracts pinned TRUE (only Spark can compute the sketch; the
+    // contracts are what the estimates must satisfy — q119's shape)
+    "q125_cms_freq" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |SELECT term, count(*)::BIGINT AS exact_n,
+        |  TRUE AS est_ge_exact,
+        |  TRUE AS est_within_eps
+        |FROM toks GROUP BY term
+        |ORDER BY exact_n DESC, term
+        |LIMIT 20""".stripMargin,
 
     "q50_strfns" ->
       """SELECT p_partkey,
