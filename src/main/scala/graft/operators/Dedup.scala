@@ -549,27 +549,44 @@ object Dedup {
     * The per-doc rollup is the only shuffle, keyed by doc_id with
     * map-side partial distinct-counting.
     */
-  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
-      n: Int = 4): DataFrame = {
+  /** md5 digests of a doc's word n-grams as an array expression over a
+    * `toks` column — the shared gram identity of [[decontaminate]] and
+    * its streaming twin
+    * [[graft.streaming.EventStreams.decontaminateStream]].
+    */
+  private[graft] def gramDigestArrayExpr(n: Int): String = {
     require(n >= 2, s"decontamination gram size must be >= 2: $n")
     val parts = (0 until n).map(j => s"toks[i + $j]").mkString(", ' ', ")
-    val gramsExpr = s"transform(sequence(0, size(toks) - $n), " +
-      s"i -> concat($parts))"
-    def grams(df: DataFrame): DataFrame = df
-      .withColumn("toks", TextOps.tokens("text"))
-      .filter(size(col("toks")) >= n)
-      .select(col("doc_id"), explode(expr(gramsExpr)).as("gram"))
-      .select(col("doc_id"), md5(col("gram")).as("g"))
-      .distinct()
-    val bench = grams(benchmark)
+    s"transform(sequence(0, size(toks) - $n), i -> md5(concat($parts)))"
+  }
+
+  private def gramDigests(df: DataFrame, n: Int): DataFrame = df
+    .withColumn("toks", TextOps.tokens("text"))
+    .filter(size(col("toks")) >= n)
+    .select(col("doc_id"), explode(expr(gramDigestArrayExpr(n))).as("g"))
+    .distinct()
+
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+      n: Int = 4): DataFrame = {
+    val bench = gramDigests(benchmark, n)
       .withColumnRenamed("doc_id", "bench_doc_id")
-    grams(corpus)
+    gramDigests(corpus, n)
       .join(broadcast(bench), "g")
       .groupBy("doc_id")
       .agg(countDistinct(col("g")).as("n_hit_grams"),
         countDistinct(col("bench_doc_id")).as("n_bench_docs"))
       .orderBy("doc_id")
   }
+
+  /** The benchmark's distinct gram digests as a driver-side value, for
+    * closure-shipping into a stream. The collect is sized by the
+    * BENCHMARK — eval sets, MBs by construction — never the corpus;
+    * the same bound that justifies [[decontaminate]]'s broadcast.
+    */
+  def benchmarkDigests(benchmark: DataFrame, n: Int = 4): Seq[String] =
+    gramDigests(benchmark, n)
+      .select("g").as[String](org.apache.spark.sql.Encoders.STRING)
+      .collect().toSeq
 
   /** Resolve near-dup PAIRS into duplicate CLUSTERS (connected
     * components): every doc's cluster id is the minimum doc_id

@@ -171,6 +171,35 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming twin of [[graft.operators.Dedup.decontaminate]]: flag
+    * arriving documents that share any word n-gram with a fixed
+    * benchmark — decontamination AT INGEST, before a contaminated doc
+    * ever lands in the corpus.
+    *
+    * The benchmark's gram digests (from
+    * [[graft.operators.Dedup.benchmarkDigests]] — eval-set-sized by
+    * construction) ride the plan as ONE array literal, so the probe is
+    * a per-row `array_intersect` against a constant: STATELESS, no
+    * watermark, no streaming aggregation, no shuffle — append mode with
+    * zero state store, the strongest posture a streaming operator can
+    * have. `n_hit_grams` (distinct grams hit) matches the batch
+    * operator exactly; per-benchmark-doc attribution (`n_bench_docs`)
+    * is deliberately absent — it needs the gram→doc map, which is the
+    * batch audit's job, not the ingest filter's.
+    */
+  def decontaminateStream(docs: DataFrame, benchDigests: Seq[String],
+      n: Int = 4): DataFrame =
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= n)
+      .withColumn("grams",
+        expr(graft.operators.Dedup.gramDigestArrayExpr(n)))
+      .withColumn("n_hit_grams",
+        size(array_intersect(col("grams"), typedLit(benchDigests)))
+          .cast("long"))
+      .filter(col("n_hit_grams") > 0)
+      .select("doc_id", "n_hit_grams")
+
   /** Stream-static enrichment: join the event stream against a batch
     * dimension (the reference-shaped use: tag each indexed event with
     * its user's attributes). The static side is re-planned per

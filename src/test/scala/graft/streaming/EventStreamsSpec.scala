@@ -477,4 +477,32 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed == batch,
       s"streamed=$streamed batch=$batch")
   }
+
+  test("decontaminateStream replay equals the batch decontaminate counts") {
+    val bench = Seq(
+      (100L, "alpha beta gamma delta epsilon"),
+      (101L, "one two three four"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      StreamDoc(1L, "x alpha beta gamma delta epsilon y"),
+      StreamDoc(2L, "zero one two three four"),
+      StreamDoc(3L, "alpha beta gamma delta and one two three four"),
+      StreamDoc(4L, "alpha beta x gamma delta y epsilon"), // near-miss
+      StreamDoc(5L, "unrelated content entirely different words here"),
+      StreamDoc(6L, "too short"))
+    val digests = graft.operators.Dedup.benchmarkDigests(bench, n = 4)
+    val in = MemoryStream[StreamDoc](spark)
+    val out = EventStreams.decontaminateStream(in.toDF(), digests, n = 4)
+    runToMemory(out, "decon", OutputMode.Append) {
+      in.addData(corpus.take(3))
+      in.addData(corpus.drop(3)) // flagging is per-row: batch boundaries free
+    }
+    val streamed = spark.table("decon")
+      .as[(Long, Long)].collect().toSet
+    val batch = graft.operators.Dedup
+      .decontaminate(corpus.toDF(), bench, n = 4)
+      .select("doc_id", "n_hit_grams").as[(Long, Long)].collect().toSet
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    assert(streamed.map(_._1) == Set(1L, 2L, 3L))
+  }
 }
