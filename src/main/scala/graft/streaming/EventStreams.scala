@@ -93,6 +93,31 @@ object EventStreams {
       .select(col("window.start").as("window_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Windowed count-min sketches: each event-time window folds its key
+    * stream into ONE bounded-size CMS binary (Spark's native
+    * `count_min_sketch` aggregate running in streaming state), emitted
+    * when the watermark closes the window — the sketch-at-ingest
+    * posture for FREQUENCIES. Because CMS counters are linear,
+    * any downstream rollup of emitted window sketches with
+    * `graft_cms_merge_agg` is EXACTLY the sketch of the union stream
+    * (spec pins this against a batch whole-stream build): ingest pays
+    * one pass, every later granularity — hour, day, corpus — is a
+    * KB-sized merge, never a re-read. State per window is the sketch
+    * itself (eps/confidence-bounded, independent of key cardinality),
+    * evicted on close.
+    */
+  def windowedCms(events: DataFrame, window_ : String = "1 hour",
+      watermark: String = "2 hours", eps: Double = 0.001,
+      conf: Double = 0.99, seed: Int = 42): DataFrame = {
+    graft.functions.GraftFunctions.register(events.sparkSession)
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_))
+      .agg(expr(s"count_min_sketch(xxhash64(event_type), " +
+        s"${eps}d, ${conf}d, $seed)").as("sk"))
+      .select(col("window.start").as("window_start"), col("sk"))
+  }
+
   /** Streaming exact dedup on event_id within the watermark horizon:
     * duplicates arriving inside the late-data bound are dropped; state
     * for ids older than the watermark is evicted (bounded memory —

@@ -478,6 +478,37 @@ class EventStreamsSpec extends SparkSpec {
       s"streamed=$streamed batch=$batch")
   }
 
+  test("windowedCms: merged window sketches estimate the whole stream exactly") {
+    graft.functions.GraftFunctions.register(spark)
+    val in = MemoryStream[Event](spark)
+    val out = EventStreams.windowedCms(
+      in.toDF(), window_ = "10 minutes", watermark = "5 minutes")
+    runToMemory(out, "wcms", OutputMode.Append) {
+      // window [0,10): 3 clicks, 1 view; window [10,20): 2 views
+      in.addData(
+        Event(1, ts(1), 10, "click", 1.0),
+        Event(2, ts(4), 10, "click", 1.0),
+        Event(3, ts(8), 11, "view", 1.0))
+      in.addData(
+        Event(4, ts(9), 12, "click", 1.0),
+        Event(5, ts(12), 10, "view", 1.0),
+        Event(6, ts(14), 11, "view", 1.0))
+      in.addData(Event(7, ts(40), 10, "click", 1.0)) // advances watermark
+    }
+    // two closed windows, one sketch each
+    val emitted = spark.table("wcms")
+    assert(emitted.count() == 2, emitted.collect().mkString(","))
+    // linearity: the rollup of window sketches IS the stream's sketch —
+    // estimates over the union must equal the exact replayed counts
+    emitted.createOrReplaceTempView("wcms_emitted")
+    val est = spark.sql(
+      """WITH u AS (SELECT graft_cms_merge_agg(sk) AS s FROM wcms_emitted)
+        |SELECT t, graft_cms_estimate((SELECT s FROM u), xxhash64(t)) AS n
+        |FROM (SELECT 'click' AS t UNION ALL SELECT 'view')""".stripMargin)
+      .as[(String, Long)].collect().toMap
+    assert(est == Map("click" -> 3L, "view" -> 3L), est)
+  }
+
   test("decontaminateStream replay equals the batch decontaminate counts") {
     val bench = Seq(
       (100L, "alpha beta gamma delta epsilon"),
