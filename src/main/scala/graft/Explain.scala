@@ -130,7 +130,23 @@ object Explain {
       ("Deterministic training-shard permutation: one hash-keyed " +
         "exchange on `shard` (nShards-parallel), the rank window runs " +
         "inside each shard partition — no global sort, no RNG " +
-        "anywhere in the plan."))
+        "anywhere in the plan."),
+    "q123_decontaminate" ->
+      ("Broadcast-posture decontamination: the benchmark's gram digests " +
+        "enter through a `BroadcastExchange`/`BroadcastHashJoin` — the " +
+        "corpus side is scanned once and never shuffles on grams; the " +
+        "only hash exchange is the per-doc rollup."),
+    "q124_pii_scrub" ->
+      ("PII scrub: the whole redaction + audit is ONE codegen'd " +
+        "projection over the scan — no exchange except the final " +
+        "ORDER BY; the regexp chain never leaves WholeStageCodegen."),
+    "q125_cms_freq" ->
+      ("CMS frequency rollup: per-source sketches build with partial " +
+        "ObjectHashAggregate, union to one binary via " +
+        "`graft_cms_merge_agg`, and the top-20 probe evaluates " +
+        "`graft_cms_estimate` against the scalar-subquery sketch — " +
+        "the corpus is scanned twice (sketch + exact audit), " +
+        "production runs the sketch pass alone."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -560,17 +560,26 @@ object Dedup {
     s"transform(sequence(0, size(toks) - $n), i -> md5(concat($parts)))"
   }
 
-  private def gramDigests(df: DataFrame, n: Int): DataFrame = df
+  /** Raw (doc_id, gram-digest) stream — NOT deduplicated: a pre-join
+    * distinct would shuffle the whole gram stream, which on the corpus
+    * side is the exact gram-keyed shuffle this operator exists to
+    * avoid. Dedup happens where it is free: a `.distinct()` on the
+    * benchmark side (tiny), `countDistinct` in the rollup on the
+    * corpus side.
+    */
+  private def gramStream(df: DataFrame, n: Int): DataFrame = df
     .withColumn("toks", TextOps.tokens("text"))
     .filter(size(col("toks")) >= n)
     .select(col("doc_id"), explode(expr(gramDigestArrayExpr(n))).as("g"))
-    .distinct()
 
   def decontaminate(corpus: DataFrame, benchmark: DataFrame,
       n: Int = 4): DataFrame = {
-    val bench = gramDigests(benchmark, n)
+    val bench = gramStream(benchmark, n).distinct()
       .withColumnRenamed("doc_id", "bench_doc_id")
-    gramDigests(corpus, n)
+    // corpus grams flow UN-deduplicated into the broadcast probe: only
+    // hit rows survive to the rollup, whose countDistinct absorbs both
+    // within-doc gram repeats and multi-bench-doc fan-out
+    gramStream(corpus, n)
       .join(broadcast(bench), "g")
       .groupBy("doc_id")
       .agg(countDistinct(col("g")).as("n_hit_grams"),
@@ -584,8 +593,9 @@ object Dedup {
     * the same bound that justifies [[decontaminate]]'s broadcast.
     */
   def benchmarkDigests(benchmark: DataFrame, n: Int = 4): Seq[String] =
-    gramDigests(benchmark, n)
-      .select("g").as[String](org.apache.spark.sql.Encoders.STRING)
+    gramStream(benchmark, n)
+      .select("g").distinct()
+      .as[String](org.apache.spark.sql.Encoders.STRING)
       .collect().toSeq
 
   /** Resolve near-dup PAIRS into duplicate CLUSTERS (connected

@@ -396,4 +396,26 @@ class PlanSpec extends SparkSpec {
     // nested-loop crossJoins by design; no CartesianProduct anywhere)
     assert(!p.contains("CartesianProduct"), p.take(1500))
   }
+
+  test("q123: corpus gram stream reaches the broadcast probe unshuffled") {
+    val df = SparkEntry.queries("q123_decontaminate")(spark, sf001)
+    df.collect() // finalize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val lines = p.linesIterator.toVector
+    val joinLn = lines.indexWhere(_.contains("BroadcastHashJoin"))
+    assert(joinLn >= 0, p.take(1500))
+    val bcastLn = lines.indexWhere(_.contains("BroadcastExchange"), joinLn)
+    assert(bcastLn > joinLn, p.take(1500))
+    // in the pre-order dump the streamed (corpus) subtree is exactly
+    // the lines between the join and its build side's
+    // BroadcastExchange: scan → explode → project, NO exchange — the
+    // 100 TB posture (all hash exchanges sit above, in the rollup)
+    val streamed = lines.slice(joinLn + 1, bcastLn)
+    assert(!streamed.exists(_.contains("Exchange")),
+      s"corpus side shuffles before the probe:\n${streamed.mkString("\n")}")
+    // the benchmark-side dedup lives under the broadcast (tiny side)
+    assert(lines.drop(bcastLn).exists(_.contains("HashAggregate")),
+      p.take(2000))
+  }
 }
