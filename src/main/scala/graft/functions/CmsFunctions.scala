@@ -93,7 +93,21 @@ case class CmsEstimate(sketchExpr: Expression, itemExpr: Expression)
     else if (itemExpr.dataType != LongType)
       TypeCheckResult.TypeCheckFailure(
         s"$prettyName: item must be BIGINT — hash the key with xxhash64")
-    else TypeCheckResult.TypeCheckSuccess
+    else sketchExpr match {
+      // the once-per-task deserialization contract requires a
+      // per-query constant; a per-row sketch column would mis-evaluate
+      // (same analysis-time gate as BloomFilterMightContain)
+      case e if e.foldable => TypeCheckResult.TypeCheckSuccess
+      // PlanExpression covers both the analysis-time SubqueryExpression
+      // and the planned execution ScalarSubquery (the check re-runs
+      // after physical planning rewrites the operand)
+      case _: org.apache.spark.sql.catalyst.expressions.PlanExpression[_] =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: the sketch must be a constant or scalar " +
+          "subquery, not a per-row column (aggregate it first, or join " +
+          "the sketch in as a scalar subquery)")
+    }
 
   @transient private lazy val sketch: CountMinSketch = {
     val bytes = sketchExpr.eval(null).asInstanceOf[Array[Byte]]

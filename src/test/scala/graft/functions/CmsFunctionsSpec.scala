@@ -69,6 +69,21 @@ class CmsFunctionsSpec extends SparkSpec {
           m.contains("graft_cms_merge_agg")), e.getMessage)
   }
 
+  test("a per-row sketch column is rejected at analysis, not mis-run") {
+    items.createOrReplaceTempView("cms_col")
+    val e = intercept[Exception] {
+      spark.sql(
+        """WITH per AS (
+          |  SELECT k, count_min_sketch(xxhash64(k), 0.001d, 0.99d, 42) AS s
+          |  FROM cms_col GROUP BY k)
+          |SELECT graft_cms_estimate(s, xxhash64(k)) FROM per""".stripMargin)
+        .collect()
+    }
+    assert(e.getMessage != null &&
+      (e.getMessage.contains("constant or scalar subquery") ||
+        e.getMessage.contains("DATATYPE_MISMATCH")), e.getMessage)
+  }
+
   test("null item estimates to null; empty input merges to null") {
     items.createOrReplaceTempView("cms_n")
     val r = spark.sql(
