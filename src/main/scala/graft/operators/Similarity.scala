@@ -350,4 +350,62 @@ object Similarity {
       .select(col("vec_id"), col("m.c_id").as("cluster"),
         col("m.d2").as("d2"), col("v0"))
   }
+
+  /** SemDeDup — semantic near-duplicate pruning by embedding-cluster
+    * locality (Abbas et al. 2023, arXiv:2303.09540): assign every
+    * vector to its nearest centroid, then WITHIN each cluster drop
+    * every vector whose cosine to a smaller-id cluster member reaches
+    * `threshold`. This is the paper's one-pass max-over-others rule
+    * with the deterministic keep-lowest-id orientation, so it is
+    * join-expressible: kept rows are exactly those with no smaller-id
+    * same-cluster neighbor at ≥ threshold, which makes the kept set
+    * pairwise below the threshold (see SimilaritySpec).
+    *
+    * Scale shape: assignment is the [[kmeansAssign]] posture — the k
+    * centroids ride as ONE broadcast row, the corpus is scanned once,
+    * nothing shuffles. The pruning join then shuffles the corpus
+    * exactly ONCE keyed by `cluster` and is quadratic only WITHIN a
+    * cluster — the paper's own trade: k grows with the corpus
+    * (k ≈ N / target-members-per-cluster) so per-cluster work stays
+    * bounded and the corpus-wide all-pairs join never exists. The
+    * assigned frame is persisted because the pruning join reads it
+    * twice (both sides); at 100 TB this is the standard
+    * write-the-assignment-once step of every SemDeDup run.
+    *
+    * Output: (vec_id, cluster, kept, dup_of) — `dup_of` is the
+    * smallest qualifying smaller-id neighbor, NULL on kept rows.
+    */
+  def semanticDedup(emb: DataFrame, centroidPred: String,
+                    threshold: Double, dim: Int = DefaultDim): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val v = emb
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("dvec"))
+      .withColumn("nv", dot(col("dvec"), col("dvec"), dim))
+    val cents = v.filter(expr(centroidPred))
+      .select(struct(col("vec_id").as("c_id"), col("dvec").as("cv"),
+        col("nv").as("cn2")).as("s"))
+      .agg(collect_list(col("s")).as("cs"))
+    val asg = v.crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        expr("array_min(transform(cs, s -> struct(" +
+          "nv + s.cn2 - 2.0D * array_dot(dvec, s.cv) AS d2, " +
+          "s.c_id AS c_id))).c_id").as("cluster"),
+        col("dvec"), sqrt(col("nv")).as("norm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = asg.select(col("cluster"), col("vec_id").as("id_a"),
+      col("dvec").as("va"), col("norm").as("na"))
+    val b = asg.select(col("cluster"), col("vec_id").as("id_b"),
+      col("dvec").as("vb"), col("norm").as("nb"))
+    val dups = a.join(b, Seq("cluster"))
+      .where(col("id_a") < col("id_b") &&
+        dot(col("va"), col("vb"), dim) / (col("na") * col("nb"))
+          >= threshold)
+      .groupBy("id_b").agg(min(col("id_a")).as("dup_of"))
+      .withColumnRenamed("id_b", "vec_id")
+    asg.select("vec_id", "cluster")
+      .join(dups, Seq("vec_id"), "left")
+      .withColumn("kept", col("dup_of").isNull)
+      .select("vec_id", "cluster", "kept", "dup_of")
+  }
 }

@@ -211,6 +211,15 @@ object LlmSurface {
           sum(expr("bigint(floor(v0 * 1048576.0d))")).as("sum_v0_fx"))
         .orderBy("cluster")),
 
+    // --- SemDeDup: semantic near-duplicate pruning — cluster-local
+    //     cosine dedup after broadcast-centroid assignment, the
+    //     embedding-space sibling of MinHash near-dup (q32). The
+    //     corpus-wide all-pairs join never exists: quadratic work is
+    //     confined WITHIN a cluster ---
+    "q126_semantic_dedup" -> ((s, d) =>
+      Similarity.semanticDedup(emb(s, d), "vec_id < 8", threshold = 0.25)
+        .orderBy("vec_id")),
+
     // --- context-window chunking (sliding token windows) ---
     "q44_chunk" -> ((s, d) =>
       Pipeline.chunk(docs(s, d), size = 32, stride = 16)
@@ -872,6 +881,34 @@ object LlmSurface {
          |  CAST(sum(CAST(floor(v0 * 1048576.0) AS BIGINT)) AS BIGINT)
          |    AS sum_v0_fx
          |FROM a WHERE rn = 1 GROUP BY c_id ORDER BY cluster""".stripMargin,
+
+    // Assignment CTE = q107's argmin (same |v|² + |c|² − 2·(v·c)
+    // expansion, same (d2, c_id) tie-break); the dedup rule is
+    // Similarity.semanticDedup's smaller-id-neighbor join stated
+    // relationally: dup_of = min qualifying smaller id, kept = none.
+    "q126_semantic_dedup" ->
+      s"""WITH ev AS (SELECT vec_id,
+         |   list_transform(embedding, x -> x::DOUBLE) AS v
+         |  FROM embeddings),
+         | nv AS (SELECT vec_id, v, ${dkDot("v", "v")} AS n2 FROM ev),
+         | c AS (SELECT vec_id AS c_id, v AS cv, n2 AS cn2
+         |  FROM nv WHERE vec_id < 8),
+         | d AS (SELECT nv.vec_id, c.c_id,
+         |   nv.n2 + c.cn2 - 2.0 * ${dkDot("nv.v", "c.cv")} AS d2
+         |  FROM nv, c),
+         | a AS (SELECT vec_id, c_id, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY d2, c_id) AS rn FROM d),
+         | asg AS (SELECT nv.vec_id, a.c_id AS cluster, nv.v,
+         |   sqrt(nv.n2) AS nrm
+         |  FROM nv JOIN a ON nv.vec_id = a.vec_id AND a.rn = 1),
+         | dups AS (SELECT b.vec_id, min(a.vec_id) AS dup_of
+         |  FROM asg a JOIN asg b
+         |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |  WHERE ${dkDot("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.25
+         |  GROUP BY b.vec_id)
+         |SELECT g.vec_id, g.cluster, (d.dup_of IS NULL) AS kept, d.dup_of
+         |FROM asg g LEFT JOIN dups d ON g.vec_id = d.vec_id
+         |ORDER BY g.vec_id""".stripMargin,
 
     // same knn core as q35 (rank <= 10 over the same cosine, so ranks
     // are bit-identical), then vote/argmax in engine-identical SQL

@@ -100,6 +100,42 @@ class SimilaritySpec extends SparkSpec {
     assert(out(4L) == ((0L, 4.0))) // tie broken by lower centroid id
   }
 
+  test("semanticDedup: kept set pairwise below threshold, dup_of exact") {
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val out = Similarity.semanticDedup(e, "vec_id < 8", threshold = 0.25)
+      .select("vec_id", "cluster", "kept", "dup_of")
+      .as[(Long, Long, Boolean, Option[Long])].collect()
+    assert(out.length == e.count())
+    assert(out.exists(_._3), "some rows must be kept")
+    assert(out.exists(!_._3), "some rows must be dropped at this threshold")
+    // recompute exact cosines driver-side for the audit
+    val vecs = e.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect()
+      .map { case (id, v) => id -> v.map(_.toDouble) }.toMap
+    def cos(a: Long, b: Long): Double = {
+      val (va, vb) = (vecs(a), vecs(b))
+      val d = va.indices.foldLeft(0.0)((s, i) => s + va(i) * vb(i))
+      d / (math.sqrt(va.map(x => x * x).sum) *
+        math.sqrt(vb.map(x => x * x).sum))
+    }
+    val byCluster = out.groupBy(_._2)
+    byCluster.values.foreach { members =>
+      val kept = members.filter(_._3).map(_._1).sorted
+      // kept rows are pairwise below the threshold (the paper's invariant)
+      for (i <- kept.indices; j <- i + 1 until kept.length)
+        assert(cos(kept(i), kept(j)) < 0.25)
+      // every dropped row's dup_of is the SMALLEST same-cluster
+      // smaller-id neighbor at >= threshold
+      val ids = members.map(_._1).toSet
+      members.filterNot(_._3).foreach { case (id, _, _, dupOf) =>
+        val qualifying = ids.filter(o => o < id && cos(o, id) >= 0.25)
+        assert(qualifying.nonEmpty && dupOf.contains(qualifying.min))
+      }
+      // kept rows carry no dup_of
+      members.filter(_._3).foreach(m => assert(m._4.isEmpty))
+    }
+  }
+
   test("kmeansAssign covers every vector exactly once (fixture corpus)") {
     val e = spark.read.parquet(s"$sf001/embeddings.parquet")
     val assigned = Similarity.kmeansAssign(e, "vec_id < 4")
