@@ -113,7 +113,20 @@ object Bench {
       s""""$k":{"sec":${f3(v)},"end_epoch_ms":$endMs,"gc_ms":$gcMs,"heap_mb":$heapMb}"""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"metrics":$metrics,"sf":"$sfDir"}""")
+    val summary =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"metrics":$metrics,"sf":"$sfDir"}"""
+    println(summary)
+    // Also persist the summary line to a small file: the driver's
+    // artifact keeps only a bounded stdout/stderr TAIL, and a full
+    // metrics object can exceed it (BENCH_r07.json captured 2 KB and
+    // lost the totals — "parsed": null). A file on disk survives any
+    // truncation. Best-effort: benching must never fail on a read-only
+    // working directory.
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_local.json"),
+        (summary + "\n").getBytes("UTF-8"))
+    } catch { case _: java.io.IOException => () }
     spark.stop()
     if (results.exists(_._3.nonEmpty)) sys.exit(1)
   }

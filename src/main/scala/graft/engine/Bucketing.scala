@@ -66,8 +66,10 @@ object Bucketing {
   def ensureZordered(spark: SparkSession, fixtureKey: String,
                      df: => DataFrame, cols: Seq[String], baseName: String,
                      bits: Int = 8, numFiles: Int = 16): String = {
+    // "z2" = deterministic-boundary layout version: a staged dir from
+    // the earlier sampled-boundary zorderWrite must not be adopted
     val fp = fingerprint8(
-      s"$fixtureKey|$baseName|${cols.mkString(",")}|$bits|$numFiles")
+      s"$fixtureKey|$baseName|z2|${cols.mkString(",")}|$bits|$numFiles")
     val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_z_${baseName}_$fp")
     if (!new java.io.File(dir, "_SUCCESS").isFile)
@@ -157,21 +159,92 @@ object Bucketing {
     * Bucket ranks here are linear min/max scaling — one agg pass whose
     * 1-row result rides back as a broadcast (no collect); production
     * layouts use approx-quantile splits instead when value skew is
-    * heavy (same z construction, different rank function). The write
-    * itself is `repartitionByRange(z)` + in-partition sort — fully
-    * parallel, no global sort task.
+    * heavy (same z construction, different rank function).
+    *
+    * The file split is DETERMINISTIC, not sampled: `repartitionByRange`
+    * picks range boundaries by reservoir-sampling the input with
+    * RDD-id-derived seeds, so the same data laid out twice (or after a
+    * different scan-split history) lands in different files — a layout
+    * job must be replayable byte-for-byte. Instead: one exact, bounded
+    * histogram of the z-space (≤ [[ZHistCells]] cells — a CONSTANT, so
+    * the driver read is O(1) like every other bounded collect in this
+    * repo) gives cumulative-count boundaries — skew-aware, since cell
+    * counts are exact. Placement then hash-partitions on a per-file
+    * preimage key chosen so `pmod(murmur3(key), numFiles) == fileId`,
+    * i.e. each file index maps to exactly its own shuffle partition —
+    * still ONE shuffle, fully parallel, no global sort task, and the
+    * same rows land in the same files on every run.
     */
   def zorderWrite(df: DataFrame, outDir: String, cols: Seq[String],
                   bits: Int = 8, numFiles: Int = 16): Unit = {
     import org.apache.spark.sql.functions._
     val k = cols.size
+    val effBits = math.max(1, math.min(bits, 63 / k))
     val helper = cols.flatMap(c => Seq(s"_zmn_$c", s"_zmx_$c")) ++
-      (0 until k).map(j => s"_zb_$j") :+ "_z"
-    zorderFrame(df, cols, bits)
-      .repartitionByRange(numFiles, col("_z"))
+      (0 until k).map(j => s"_zb_$j") ++ Seq("_z", "_zcell", "_zpf")
+    val zed = zorderFrame(df, cols, bits)
+    // Exact z-histogram at bounded granularity: z-space spans
+    // effBits*k bits; coarsen to ≤ log2(ZHistCells) high bits so the
+    // groupBy result is ≤ ZHistCells rows regardless of data size.
+    val zBits = effBits * k
+    val cellShift = math.max(0, zBits - ZHistCellBits)
+    val cells = zed
+      .groupBy(shiftright(col("_z"), cellShift).as("_zcell"))
+      .agg(count(lit(1)).as("_zn"))
+      .orderBy("_zcell")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val total = cells.map(_._2).sum
+    // Boundary b_f = first cell at/after which cumulative mass reaches
+    // f/numFiles of the total; fileId(cell) = #{b : cell >= b}.
+    val boundaries = {
+      var cum = 0L
+      val bs = Array.newBuilder[Long]
+      var f = 1
+      for ((cell, n) <- cells) {
+        cum += n
+        while (f < numFiles && cum >= total * f / numFiles &&
+          total > 0) { bs += cell + 1; f += 1 }
+      }
+      bs.result()
+    }
+    val fileId = boundaries.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(shiftright(col("_z"), cellShift) >= b, 1).otherwise(0)
+    }
+    val pre = partitionPreimages(numFiles)
+    val preCol = element_at(
+      array(pre.map(p => lit(p)): _*), fileId + 1)
+    zed
+      .withColumn("_zpf", preCol)
+      .repartition(numFiles, col("_zpf"))
       .sortWithinPartitions("_z")
       .drop(helper: _*)
       .write.mode("overwrite").parquet(outDir)
+  }
+
+  /** Upper bound on z-histogram cells (2^12 = 4096): caps the one
+    * bounded driver collect in [[zorderWrite]] at a constant.
+    */
+  private val ZHistCellBits = 12
+  private[engine] val ZHistCells: Int = 1 << ZHistCellBits
+
+  /** For each shuffle partition `i` of a hash-`repartition(n, key)`,
+    * an Int key whose Spark partition id is exactly `i` — Spark places
+    * a row at `pmod(murmur3(key, seed=42), n)`, so brute-force the
+    * first preimage per slot (tiny driver search, expected O(n ln n)
+    * probes; independent of data). Lets a DataFrame pipeline address
+    * shuffle partitions EXACTLY without sampling or RDD partitioners.
+    */
+  private[engine] def partitionPreimages(n: Int): Array[Int] = {
+    val out = Array.fill(n)(-1)
+    var found = 0
+    var k = 0
+    while (found < n) {
+      val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(k, 42)
+      val slot = ((h % n) + n) % n
+      if (out(slot) < 0) { out(slot) = k; found += 1 }
+      k += 1
+    }
+    out
   }
 
   /** `df` plus the interleaved `_z` column (and rank/stat helpers) —

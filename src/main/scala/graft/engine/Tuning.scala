@@ -36,9 +36,22 @@ object Tuning {
     */
   val AutoBucketedScanKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
 
+  /** Read parquet naive (isAdjustedToUTC=false) timestamps as
+    * TIMESTAMP, not TIMESTAMP_NTZ. The fixture generator writes plain
+    * `timestamp[us]` columns; under Spark 4's NTZ inference those
+    * become TIMESTAMP_NTZ, which cannot carry a streaming watermark
+    * (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE), cannot cast to BIGINT
+    * epoch seconds, and diverges from the instant semantics every
+    * oracle comparison was verified under. Sessions here run in UTC,
+    * where the two readings denote the same wall-clock values — this
+    * knob just keeps the engine-facing type stable.
+    */
+  val InferTimestampNtzKey = "spark.sql.parquet.inferTimestampNTZ.enabled"
+
   def apply(b: SparkSession.Builder): SparkSession.Builder =
     b.config(ObjectAggFallbackKey, ObjectAggFallbackEntries.toString)
       .config(AutoBucketedScanKey, "false")
+      .config(InferTimestampNtzKey, "false")
 
   /** Apply both knobs on a live session iff the user never set them —
     * never overrides an explicit user setting. "Explicitly set" is
@@ -53,5 +66,7 @@ object Tuning {
       spark.conf.set(ObjectAggFallbackKey, ObjectAggFallbackEntries.toString)
     if (!explicitlySet.contains(AutoBucketedScanKey))
       spark.conf.set(AutoBucketedScanKey, "false")
+    if (!explicitlySet.contains(InferTimestampNtzKey))
+      spark.conf.set(InferTimestampNtzKey, "false")
   }
 }

@@ -351,6 +351,84 @@ object Similarity {
         col("m.d2").as("d2"), col("v0"))
   }
 
+  /** The update (M-)step completing one full Lloyd iteration: assign
+    * every vector to its nearest seed centroid ([[kmeansAssign]]'s
+    * E-step posture — k centroids as ONE broadcast row, corpus scanned
+    * once), then emit each cluster's LEARNED centroid as the member
+    * mean. Output: (c_id, cv, cn2) — directly feedable to
+    * [[semanticDedupCentroids]] / IVF coarse quantization, or back into
+    * another iteration. A seed that wins no members disappears (the
+    * standard Lloyd drop-empty-cluster convention).
+    *
+    * Cross-engine exactness (the oracle reproduces centroids BITWISE):
+    * per-dimension member sums are integer sums of `floor(v_i · 2^20)`
+    * — order-invariant, so partitioning can't perturb them — and the
+    * mean is `double(sum) / double(n) / 2^20`: one correctly-rounded
+    * IEEE division (sums stay < 2^53, so the casts are exact) followed
+    * by an exact power-of-two scale. Every engine with IEEE doubles
+    * lands on the same bits, so the next E-step's distances (computed
+    * off these centroids with the same sequential-fold dot) are
+    * bit-identical too.
+    *
+    * Scale shape: the E-step is shuffle-free; the M-step is ONE
+    * partial-aggregated groupBy collapsing to k rows (dim+1 narrow agg
+    * columns, all inside whole-stage codegen) — per-iteration cost is
+    * one corpus scan plus a k-row exchange, exactly MLlib's Lloyd
+    * round.
+    */
+  def kmeansMStep(emb: DataFrame, centroidPred: String,
+                  dim: Int = DefaultDim): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val v = dvecFrame(emb)
+    val asg = v.crossJoin(broadcast(centroidListFromPred(v, centroidPred)))
+      .select(col("vec_id"), assignedCluster.as("cluster"), col("dvec"))
+    val aggs = count(lit(1)).as("n") +:
+      (0 until dim).map(i =>
+        sum(expr(s"bigint(floor(dvec[$i] * 1048576.0d))")).as(s"_s$i"))
+    asg.groupBy("cluster").agg(aggs.head, aggs.tail: _*)
+      .select(col("cluster").as("c_id"),
+        array((0 until dim).map(i =>
+          col(s"_s$i").cast("double") / col("n").cast("double") /
+            lit(1048576.0d)): _*).as("cv"))
+      .withColumn("cn2", dot(col("cv"), col("cv"), dim))
+  }
+
+  /** Corpus cast to double vectors with the per-row self-dot — the
+    * shared preamble of every centroid-assignment operator here.
+    */
+  private def dvecFrame(emb: DataFrame, dim: Int = DefaultDim): DataFrame =
+    emb.select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("dvec"))
+      .withColumn("nv", dot(col("dvec"), col("dvec"), dim))
+
+  /** The k centroids folded into ONE broadcastable row, from the
+    * corpus rows matching `pred` (fixed seed ids keep it
+    * deterministic).
+    */
+  private def centroidListFromPred(v: DataFrame, pred: String): DataFrame =
+    centroidList(v.filter(expr(pred))
+      .select(col("vec_id").as("c_id"), col("dvec").as("cv"),
+        col("nv").as("cn2")))
+
+  /** The k centroids folded into ONE broadcastable row, from an
+    * explicit (c_id, cv, cn2) frame (e.g. [[kmeansMStep]] output).
+    * `collect_list` order is arbitrary — safe, because assignment is
+    * the order-invariant `array_min` over (d2, c_id) structs.
+    */
+  private def centroidList(centroids: DataFrame): DataFrame =
+    centroids
+      .select(struct(col("c_id"), col("cv"), col("cn2")).as("s"))
+      .agg(collect_list(col("s")).as("cs"))
+
+  /** Nearest-centroid id for a (dvec, nv) row against the `cs` list:
+    * argmin of `|v|² + |c|² − 2·(v·c)` as an order-invariant array_min
+    * over (d2, c_id) structs, ties to the smaller centroid id.
+    */
+  private def assignedCluster: Column =
+    expr("array_min(transform(cs, s -> struct(" +
+      "nv + s.cn2 - 2.0D * array_dot(dvec, s.cv) AS d2, " +
+      "s.c_id AS c_id))).c_id")
+
   /** SemDeDup — semantic near-duplicate pruning by embedding-cluster
     * locality (Abbas et al. 2023, arXiv:2303.09540): assign every
     * vector to its nearest centroid, then WITHIN each cluster drop
@@ -378,19 +456,30 @@ object Similarity {
   def semanticDedup(emb: DataFrame, centroidPred: String,
                     threshold: Double, dim: Int = DefaultDim): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
-    val v = emb
-      .select(col("vec_id"),
-        expr("transform(embedding, x -> cast(x as double))").as("dvec"))
-      .withColumn("nv", dot(col("dvec"), col("dvec"), dim))
-    val cents = v.filter(expr(centroidPred))
-      .select(struct(col("vec_id").as("c_id"), col("dvec").as("cv"),
-        col("nv").as("cn2")).as("s"))
-      .agg(collect_list(col("s")).as("cs"))
+    semanticDedupWith(emb,
+      centroidListFromPred(dvecFrame(emb, dim), centroidPred),
+      threshold, dim)
+  }
+
+  /** [[semanticDedup]] with EXPLICIT centroids — (c_id, cv, cn2), e.g.
+    * the learned means from [[kmeansMStep]] — so the real SemDeDup
+    * pipeline (cluster the corpus, then prune within learned clusters)
+    * composes end-to-end instead of seeding from a predicate. Same
+    * scale shape: centroids still ride as ONE broadcast row and the
+    * pruning join still shuffles the corpus exactly once on `cluster`.
+    */
+  def semanticDedupCentroids(emb: DataFrame, centroids: DataFrame,
+                             threshold: Double,
+                             dim: Int = DefaultDim): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    semanticDedupWith(emb, centroidList(centroids), threshold, dim)
+  }
+
+  private def semanticDedupWith(emb: DataFrame, cents: DataFrame,
+                                threshold: Double, dim: Int): DataFrame = {
+    val v = dvecFrame(emb, dim)
     val asg = v.crossJoin(broadcast(cents))
-      .select(col("vec_id"),
-        expr("array_min(transform(cs, s -> struct(" +
-          "nv + s.cn2 - 2.0D * array_dot(dvec, s.cv) AS d2, " +
-          "s.c_id AS c_id))).c_id").as("cluster"),
+      .select(col("vec_id"), assignedCluster.as("cluster"),
         col("dvec"), sqrt(col("nv")).as("norm"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = asg.select(col("cluster"), col("vec_id").as("id_a"),

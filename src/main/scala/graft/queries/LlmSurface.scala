@@ -220,6 +220,21 @@ object LlmSurface {
       Similarity.semanticDedup(emb(s, d), "vec_id < 8", threshold = 0.25)
         .orderBy("vec_id")),
 
+    // --- the REAL SemDeDup pipeline, end-to-end: one full Lloyd
+    //     iteration (E-step assignment + M-step per-cluster means)
+    //     LEARNS the centroids, then semantic dedup prunes within the
+    //     learned clusters. Centroid means are bitwise cross-engine
+    //     (order-invariant integer per-dim sums, IEEE-exact division
+    //     chain — Similarity.kmeansMStep scaladoc), so the second
+    //     assignment and the cosine pruning stay hash-exact vs DuckDB.
+    //     Still one broadcast row of centroids per assignment pass and
+    //     exactly one cluster-keyed corpus shuffle in the prune ---
+    "q128_kmeans_semdedup" -> ((s, d) =>
+      Similarity.semanticDedupCentroids(emb(s, d),
+        Similarity.kmeansMStep(emb(s, d), "vec_id < 8"),
+        threshold = 0.25)
+        .orderBy("vec_id")),
+
     // --- context-window chunking (sliding token windows) ---
     "q44_chunk" -> ((s, d) =>
       Pipeline.chunk(docs(s, d), size = 32, stride = 16)
@@ -264,6 +279,34 @@ object LlmSurface {
     "q122_shard_shuffle" -> ((s, d) =>
       Pipeline.shardedShuffle(docs(s, d), nShards = 8)
         .orderBy("doc_id")),
+
+    // --- q122's WRITE half, verified through the filesystem: run
+    //     Pipeline.writeShards, read the shard directories back, and
+    //     re-derive (shard, shard_pos) from the PHYSICAL row order of
+    //     each shard file — input_file_name groups rows by file and
+    //     monotonically_increasing_id ascends in scan order within a
+    //     file, so shard_pos is the order a trainer streaming the file
+    //     would actually see. Hash-exact vs the SAME DuckDB oracle as
+    //     q122: the bytes on disk ARE the permutation, not merely a
+    //     frame that claims it. (Per-file mid ordering assumes a file
+    //     is not split across scan partitions — shard files at any
+    //     verification SF sit far below maxPartitionBytes; the write
+    //     path itself is SF-independent.) ---
+    "q127_shard_writeread" -> ((s, d) => {
+      val dir = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        "graft_shards_" + graft.engine.Bucketing.fingerprint8(d)).getPath
+      Pipeline.writeShards(docs(s, d), dir, nShards = 8)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("_f").orderBy("_mid")
+      s.read.parquet(dir)
+        .withColumn("_f", input_file_name())
+        .withColumn("_mid", monotonically_increasing_id())
+        .withColumn("shard_pos", row_number().over(w).cast("long"))
+        .select(col("doc_id"), col("shard").cast("long").as("shard"),
+          col("shard_pos"))
+        .orderBy("doc_id")
+    }),
 
     // --- q48's scale twin: benchmark decontamination in the broadcast
     //     posture. Eval sets are MBs against a 100 TB corpus, so the
@@ -910,6 +953,57 @@ object LlmSurface {
          |FROM asg g LEFT JOIN dups d ON g.vec_id = d.vec_id
          |ORDER BY g.vec_id""".stripMargin,
 
+    // q128: q126's pipeline with centroids LEARNED by one Lloyd
+    // iteration. The M-step reproduces kmeansMStep's arithmetic
+    // exactly: per-dim integer sums of floor(v_i * 2^20) (order-free),
+    // then double(sum)/double(n)/2^20 — each step IEEE-exact, so the
+    // learned centroids (and every downstream distance) match Spark
+    // bitwise. Note v is 1-indexed here vs dvec 0-indexed in Spark;
+    // list(... ORDER BY i) keeps positions aligned.
+    "q128_kmeans_semdedup" ->
+      s"""WITH ev AS (SELECT vec_id,
+         |   list_transform(embedding, x -> x::DOUBLE) AS v
+         |  FROM embeddings),
+         | nv AS (SELECT vec_id, v, ${dkDot("v", "v")} AS n2 FROM ev),
+         | c0 AS (SELECT vec_id AS c_id, v AS cv, n2 AS cn2
+         |  FROM nv WHERE vec_id < 8),
+         | d0 AS (SELECT nv.vec_id, c0.c_id,
+         |   nv.n2 + c0.cn2 - 2.0 * ${dkDot("nv.v", "c0.cv")} AS d2
+         |  FROM nv, c0),
+         | a0 AS (SELECT vec_id, c_id, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY d2, c_id) AS rn FROM d0),
+         | asg0 AS (SELECT nv.vec_id, a0.c_id AS cluster, nv.v
+         |  FROM nv JOIN a0 ON nv.vec_id = a0.vec_id AND a0.rn = 1),
+         | n0 AS (SELECT cluster, count(*) AS n FROM asg0 GROUP BY cluster),
+         | ex AS (SELECT cluster, idx.i AS i,
+         |   CAST(floor(v[idx.i] * 1048576.0) AS BIGINT) AS fx
+         |  FROM asg0 CROSS JOIN
+         |    (SELECT unnest(range(1, 65)) AS i) idx),
+         | s0 AS (SELECT cluster, i, sum(fx) AS sfx
+         |  FROM ex GROUP BY cluster, i),
+         | c1 AS (SELECT s0.cluster AS c_id,
+         |   list(CAST(sfx AS DOUBLE) / CAST(n AS DOUBLE) / 1048576.0
+         |        ORDER BY i) AS cv
+         |  FROM s0 JOIN n0 ON s0.cluster = n0.cluster
+         |  GROUP BY s0.cluster),
+         | c1n AS (SELECT c_id, cv, ${dkDot("cv", "cv")} AS cn2 FROM c1),
+         | d1 AS (SELECT nv.vec_id, c1n.c_id,
+         |   nv.n2 + c1n.cn2 - 2.0 * ${dkDot("nv.v", "c1n.cv")} AS d2
+         |  FROM nv, c1n),
+         | a1 AS (SELECT vec_id, c_id, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY d2, c_id) AS rn FROM d1),
+         | asg AS (SELECT nv.vec_id, a1.c_id AS cluster, nv.v,
+         |   sqrt(nv.n2) AS nrm
+         |  FROM nv JOIN a1 ON nv.vec_id = a1.vec_id AND a1.rn = 1),
+         | dups AS (SELECT b.vec_id, min(a.vec_id) AS dup_of
+         |  FROM asg a JOIN asg b
+         |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |  WHERE ${dkDot("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.25
+         |  GROUP BY b.vec_id)
+         |SELECT g.vec_id, g.cluster, (d.dup_of IS NULL) AS kept, d.dup_of
+         |FROM asg g LEFT JOIN dups d ON g.vec_id = d.vec_id
+         |ORDER BY g.vec_id""".stripMargin,
+
     // same knn core as q35 (rank <= 10 over the same cosine, so ranks
     // are bit-identical), then vote/argmax in engine-identical SQL
     "q96_knn_label" ->
@@ -1017,6 +1111,17 @@ object LlmSurface {
     // DuckDB twin of q122: the same salt-keyed polynomial hash over
     // 'shuffle:' || doc_id, same shard mod and within-shard rank
     "q122_shard_shuffle" -> {
+      val h = dkCharHash("'shuffle:' || doc_id::VARCHAR")
+      s"""WITH h AS (SELECT doc_id, $h AS h FROM documents)
+         |SELECT doc_id, h % 8 AS shard,
+         |  row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id)
+         |    AS shard_pos
+         |FROM h ORDER BY doc_id""".stripMargin
+    },
+
+    // DuckDB twin of q127 = q122's oracle verbatim: the write+readback
+    // must reproduce the identical permutation from the file bytes
+    "q127_shard_writeread" -> {
       val h = dkCharHash("'shuffle:' || doc_id::VARCHAR")
       s"""WITH h AS (SELECT doc_id, $h AS h FROM documents)
          |SELECT doc_id, h % 8 AS shard,

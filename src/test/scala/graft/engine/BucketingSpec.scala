@@ -143,7 +143,13 @@ class BucketingSpec extends SparkSpec {
     val base = Files.createTempDirectory("zorder").toString
     val li = spark.read.parquet(s"$sf001/lineitem.parquet")
       .select("l_orderkey", "l_partkey", "l_quantity")
-    li.repartition(8).write.mode("overwrite").parquet(s"$base/rr")
+    // the unclustered twin hash-scatters on the VALUE columns — like
+    // round-robin it gives every file a near-full range on both
+    // clustered columns, but unlike round-robin (whose placement
+    // follows scan-split history) it is a pure function of row values,
+    // so both layouts compared here are session-order-deterministic
+    li.repartition(8, col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+      .write.mode("overwrite").parquet(s"$base/rr")
     Bucketing.zorderWrite(li, s"$base/z",
       Seq("l_orderkey", "l_partkey"), bits = 8, numFiles = 8)
     // identical multiset content, different layout (order-invariant
@@ -164,11 +170,16 @@ class BucketingSpec extends SparkSpec {
         .groupBy(input_file_name().as("f"))
         .agg((max(col(c)) - min(col(c))).cast("double").as("w"))
         .agg(avg("w")).as[Double].head()
+    // both layouts are deterministic (computed z boundaries on one
+    // side, value-hash scatter on the other), so these ratios are
+    // fixed numbers for this fixture; 0.75 leaves slack over the
+    // observed ~0.5 rather than sitting on the measured edge
     for (c <- Seq("l_orderkey", "l_partkey")) {
       val rr = meanEnvelope(s"$base/rr", c)
       val zo = meanEnvelope(s"$base/z", c)
-      assert(zo < rr * 0.6,
-        s"$c: z-order envelope $zo not narrower than round-robin $rr")
+      info(f"$c: envelope ratio ${zo / rr}%.3f (z=$zo%.1f scattered=$rr%.1f)")
+      assert(zo < rr * 0.75,
+        s"$c: z-order envelope $zo not narrower than scattered $rr")
     }
   }
 
