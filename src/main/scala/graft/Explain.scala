@@ -146,7 +146,32 @@ object Explain {
         "`graft_cms_merge_agg`, and the top-20 probe evaluates " +
         "`graft_cms_estimate` against the scalar-subquery sketch — " +
         "the corpus is scanned twice (sketch + exact audit), " +
-        "production runs the sketch pass alone."))
+        "production runs the sketch pass alone."),
+    "q127_shard_writeread" ->
+      ("Shard write path verified through the filesystem: writeShards' " +
+        "one hash exchange + per-partition sort materializes the " +
+        "permutation, and the read-back derives (shard, position) from " +
+        "physical file order (`input_file_name` + per-file ascending " +
+        "`monotonically_increasing_id`) — the on-disk bytes, not a " +
+        "recomputation, carry the order under audit."),
+    "q128_kmeans_semdedup" ->
+      ("Learned-centroid SemDeDup: the Lloyd E-step rides a single " +
+        "BroadcastExchange of seed centroids, the M-step is one " +
+        "k-row partial-aggregated rollup, the learned means broadcast " +
+        "back for re-assignment, and the prune join shuffles the " +
+        "corpus exactly once keyed by `cluster` — no corpus-wide " +
+        "all-pairs shape anywhere."),
+    "q129_ivf_recall_learned" ->
+      ("IVF recall audit: both assignment passes are broadcast-only " +
+        "corpus scans; approx candidates reach the per-query rank " +
+        "window through a broadcast of the 50-query side keyed on " +
+        "`cluster`, so the corpus never shuffles before the top-k."),
+    "q130_meta_agg" ->
+      ("Metadata-only aggregation: the DSv2 parquet scan answers " +
+        "COUNT/MIN/MAX from row-group footer statistics — " +
+        "`PushedAggregation: [COUNT(*), MIN(...), MAX(...)]` in the " +
+        "scan node, zero data pages decoded; the only exchange is the " +
+        "single-row final agg."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

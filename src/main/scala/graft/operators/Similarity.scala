@@ -497,4 +497,40 @@ object Similarity {
       .withColumn("kept", col("dup_of").isNull)
       .select("vec_id", "cluster", "kept", "dup_of")
   }
+
+  /** IVF (inverted-file) top-k with an EXPLICIT learned coarse
+    * quantizer — the in-plan twin of [[searchIvf]]'s on-disk index,
+    * with [[kmeansMStep]] output as the centroid set: every vector is
+    * assigned to its nearest learned centroid (broadcast posture, no
+    * shuffle), and each query ranks by exact cosine WITHIN its own
+    * cell only — the classic IVF nprobe=1 trade: recall bounded by how
+    * often true neighbors share the query's cell, cost bounded by cell
+    * size instead of corpus size.
+    *
+    * Scale shape: the (tiny) query side broadcasts onto the assigned
+    * corpus stream keyed by `cluster`, so the corpus is scanned once
+    * un-shuffled; only the candidate rows (queries' cells) reach the
+    * per-query top-k window. Output: (q_id, neighbor_id, rank, qcos).
+    */
+  def ivfTopKLearned(emb: DataFrame, centroids: DataFrame,
+                     queryPred: String, k: Int,
+                     dim: Int = DefaultDim): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val cents = centroidList(centroids)
+    val asg = dvecFrame(emb, dim).crossJoin(broadcast(cents))
+      .select(col("vec_id"), assignedCluster.as("cluster"),
+        col("dvec"), sqrt(col("nv")).as("norm"))
+    val q = asg.filter(expr(queryPred))
+      .select(col("vec_id").as("q_id"), col("cluster"),
+        col("dvec").as("qv"), col("norm").as("qn"))
+    val scored = asg.join(broadcast(q), Seq("cluster"))
+      .where(col("vec_id") =!= col("q_id"))
+      .withColumn("qcos",
+        dot(col("qv"), col("dvec"), dim) / (col("qn") * col("norm")))
+    val w = Window.partitionBy("q_id").orderBy(desc("qcos"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        col("rank"), col("qcos"))
+  }
 }

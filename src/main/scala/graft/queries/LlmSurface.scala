@@ -199,6 +199,31 @@ object LlmSurface {
         .orderBy("q_id")
     }),
 
+    // --- q99's recall audit applied to the IVF path with LEARNED
+    //     centroids: kmeansMStep learns the coarse quantizer, each
+    //     query ranks by exact cosine within its own cell (nprobe=1),
+    //     and recall@10 is measured against brute force — the honest
+    //     quality number for the cell-local trade. The measured recall
+    //     itself is oracle-checked (both engines learn the SAME
+    //     centroids bitwise, so cells and hits agree exactly) ---
+    "q129_ivf_recall_learned" -> ((s, d) => {
+      val e = emb(s, d)
+      val learned = Similarity.kmeansMStep(e, "vec_id < 8")
+      val exact = Similarity.bruteForceTopK(e, "vec_id < 50", k = 10)
+        .select(col("q_id"), col("neighbor_id"))
+      val approx = Similarity.ivfTopKLearned(e, learned, "vec_id < 50",
+          k = 10)
+        .select(col("q_id"), col("neighbor_id"))
+      val hits = exact.join(approx, Seq("q_id", "neighbor_id"), "left_semi")
+        .groupBy("q_id").agg(count(lit(1)).as("hits"))
+      e.filter(expr("vec_id < 50")).select(col("vec_id").as("q_id"))
+        .join(hits, Seq("q_id"), "left")
+        .na.fill(0L, Seq("hits"))
+        .select(col("q_id"), col("hits"),
+          (col("hits").cast("double") / lit(10).cast("double")).as("recall"))
+        .orderBy("q_id")
+    }),
+
     // --- one Lloyd/k-means iteration over the embedding corpus:
     //     broadcast-centroid assignment (E-step) + fixed-point update
     //     statistics (M-step sums) — the embedding-clustering primitive
@@ -900,6 +925,72 @@ object LlmSurface {
          |  CAST(COALESCE(h.hits, 0) AS DOUBLE) / CAST(10 AS DOUBLE)
          |    AS recall
          |FROM normed n LEFT JOIN hits h ON n.vec_id = h.q_id
+         |WHERE n.vec_id < 50 ORDER BY q_id""".stripMargin,
+
+    // q129: q99's recall scaffold over the IVF-with-learned-centroids
+    // path. The learning CTEs are q128's verbatim (same bitwise
+    // fixed-point M-step), `asg` assigns every vector to its learned
+    // cell, and approx candidates are same-cell rows ranked by the
+    // same exact cosine as `exact` — so the recall number itself is
+    // cross-engine exact.
+    "q129_ivf_recall_learned" ->
+      s"""WITH ev AS (SELECT vec_id,
+         |   list_transform(embedding, x -> x::DOUBLE) AS v
+         |  FROM embeddings),
+         | nv AS (SELECT vec_id, v, ${dkDot("v", "v")} AS n2 FROM ev),
+         | c0 AS (SELECT vec_id AS c_id, v AS cv, n2 AS cn2
+         |  FROM nv WHERE vec_id < 8),
+         | d0 AS (SELECT nv.vec_id, c0.c_id,
+         |   nv.n2 + c0.cn2 - 2.0 * ${dkDot("nv.v", "c0.cv")} AS d2
+         |  FROM nv, c0),
+         | a0 AS (SELECT vec_id, c_id, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY d2, c_id) AS rn FROM d0),
+         | asg0 AS (SELECT nv.vec_id, a0.c_id AS cluster, nv.v
+         |  FROM nv JOIN a0 ON nv.vec_id = a0.vec_id AND a0.rn = 1),
+         | n0 AS (SELECT cluster, count(*) AS n FROM asg0 GROUP BY cluster),
+         | ex AS (SELECT cluster, idx.i AS i,
+         |   CAST(floor(v[idx.i] * 1048576.0) AS BIGINT) AS fx
+         |  FROM asg0 CROSS JOIN
+         |    (SELECT unnest(range(1, 65)) AS i) idx),
+         | s0 AS (SELECT cluster, i, sum(fx) AS sfx
+         |  FROM ex GROUP BY cluster, i),
+         | c1 AS (SELECT s0.cluster AS c_id,
+         |   list(CAST(sfx AS DOUBLE) / CAST(n AS DOUBLE) / 1048576.0
+         |        ORDER BY i) AS cv
+         |  FROM s0 JOIN n0 ON s0.cluster = n0.cluster
+         |  GROUP BY s0.cluster),
+         | c1n AS (SELECT c_id, cv, ${dkDot("cv", "cv")} AS cn2 FROM c1),
+         | d1 AS (SELECT nv.vec_id, c1n.c_id,
+         |   nv.n2 + c1n.cn2 - 2.0 * ${dkDot("nv.v", "c1n.cv")} AS d2
+         |  FROM nv, c1n),
+         | a1 AS (SELECT vec_id, c_id, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY d2, c_id) AS rn FROM d1),
+         | asg AS (SELECT nv.vec_id, a1.c_id AS cluster, nv.v,
+         |   sqrt(nv.n2) AS nrm
+         |  FROM nv JOIN a1 ON nv.vec_id = a1.vec_id AND a1.rn = 1),
+         | exact AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id
+         |  FROM asg q JOIN asg c
+         |    ON q.vec_id < 50 AND c.vec_id != q.vec_id
+         |  QUALIFY row_number() OVER (PARTITION BY q.vec_id
+         |    ORDER BY ${dkDot("q.v", "c.v")} / (q.nrm * c.nrm) DESC,
+         |      c.vec_id ASC) <= 10),
+         | approx AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id
+         |  FROM asg q JOIN asg c
+         |    ON q.vec_id < 50 AND c.vec_id != q.vec_id
+         |    AND q.cluster = c.cluster
+         |  QUALIFY row_number() OVER (PARTITION BY q.vec_id
+         |    ORDER BY ${dkDot("q.v", "c.v")} / (q.nrm * c.nrm) DESC,
+         |      c.vec_id ASC) <= 10),
+         | hits AS (SELECT e.q_id, count(*) AS hits
+         |   FROM exact e JOIN approx a
+         |     ON e.q_id = a.q_id AND e.neighbor_id = a.neighbor_id
+         |   GROUP BY e.q_id)
+         |SELECT n.vec_id AS q_id, COALESCE(h.hits, 0) AS hits,
+         |  CAST(COALESCE(h.hits, 0) AS DOUBLE) / CAST(10 AS DOUBLE)
+         |    AS recall
+         |FROM nv n LEFT JOIN hits h ON n.vec_id = h.q_id
          |WHERE n.vec_id < 50 ORDER BY q_id""".stripMargin,
 
     // Same |v|² + |c|² − 2·(v·c) expansion as Similarity.kmeansAssign

@@ -1104,6 +1104,26 @@ object SqlSurface {
           "l_quantity")
         .orderBy("l_orderkey", "l_linenumber")),
 
+    // --- layout tier, metadata-only aggregation: COUNT/MIN/MAX
+    //     answered from parquet row-group FOOTER statistics — zero
+    //     data pages decoded (PlanSpec asserts PushedAggregation).
+    //     Needs the DSv2 parquet reader, so the query runs in a
+    //     derived session (newSession shares the SparkContext but
+    //     isolates conf) with aggregatePushDown on; every other query
+    //     keeps its verified v1 plan. At 100 TB this answers corpus
+    //     bookkeeping queries from footers instead of a full scan. ---
+    "q130_meta_agg" -> ((s, d) => {
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.sources.useV1SourceList", "")
+      s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+      s2.read.parquet(s"$d/lineitem.parquet")
+        .agg(expr("count(*)").as("n_rows"),
+          min("l_orderkey").as("min_orderkey"),
+          max("l_orderkey").as("max_orderkey"),
+          min("l_partkey").as("min_partkey"),
+          max("l_partkey").as("max_partkey"))
+    }),
+
     // --- interval join, batch twin: the SAME operator code as the
     //     stream-stream interval join (EventStreams.intervalJoin — the
     //     watermark is a no-op in batch), so the join logic itself gets
@@ -2045,6 +2065,13 @@ object SqlSurface {
         |FROM lineitem
         |WHERE l_partkey BETWEEN 10 AND 40 AND l_suppkey BETWEEN 1 AND 3
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // footer-statistics aggregation must equal the full-scan answer
+    "q130_meta_agg" ->
+      """SELECT count(*) AS n_rows,
+        | min(l_orderkey) AS min_orderkey, max(l_orderkey) AS max_orderkey,
+        | min(l_partkey) AS min_partkey, max(l_partkey) AS max_partkey
+        |FROM lineitem""".stripMargin,
 
     "q63_interval_join" ->
       """SELECT c.event_id AS click_id, v.event_id AS view_id,

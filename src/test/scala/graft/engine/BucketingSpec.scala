@@ -183,6 +183,35 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("zorderWrite is layout-deterministic: rewrite from any input " +
+    "partitioning reproduces per-file contents exactly") {
+    val base = Files.createTempDirectory("zorderdet").toString
+    val li = spark.read.parquet(s"$sf001/lineitem.parquet")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    Bucketing.zorderWrite(li, s"$base/a",
+      Seq("l_orderkey", "l_partkey"), bits = 8, numFiles = 8)
+    // a different (and prime, so nothing aligns) input partitioning
+    // must land every row in the same output file: boundaries come
+    // from an exact histogram and placement from value hashing, so
+    // nothing in the layout depends on how the input was split
+    Bucketing.zorderWrite(li.repartition(13), s"$base/b",
+      Seq("l_orderkey", "l_partkey"), bits = 8, numFiles = 8)
+    // per-file MULTISET signature (order within a file may permute
+    // tied _z rows; file membership may not)
+    def sig(dir: String): Seq[(String, Long, Long)] =
+      spark.read.parquet(dir)
+        .groupBy(regexp_extract(input_file_name(), "part-(\\d+)", 1)
+          .as("f"))
+        .agg(sum(expr(
+          "pmod(xxhash64(l_orderkey, l_partkey, l_quantity), 1000000000037)"))
+          .as("sig"), count(lit(1)).as("n"))
+        .orderBy("f")
+        .as[(String, Long, Long)].collect().toSeq
+    val (a, b) = (sig(s"$base/a"), sig(s"$base/b"))
+    assert(a.length == 8, s"expected 8 files, got ${a.map(_._1)}")
+    assert(a == b)
+  }
+
   test("zorder with 8 clustered columns stays monotone (no sign-bit corruption)") {
     // 8 columns × the default bits=8 would put the top bucket bit of
     // the 8th column at position 63 — the Long sign bit — making every

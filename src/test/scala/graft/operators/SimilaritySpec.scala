@@ -146,4 +146,74 @@ class SimilaritySpec extends SparkSpec {
       expr("cluster NOT IN (0, 1, 2, 3) OR d2 < 0.0")).count()
     assert(bad == 0L)
   }
+
+  test("kmeansMStep: learned centroid is the exact fixed-point member mean") {
+    val pts = Seq(
+      (0L, Array(0.0f, 0.0f, 0.0f)),  // seed 0
+      (1L, Array(8.0f, 0.0f, 0.0f)),  // seed 1
+      (2L, Array(2.0f, 0.0f, 0.0f)),  // → cluster 0
+      (3L, Array(6.0f, 2.0f, 0.0f)),  // → cluster 1
+      (4L, Array(1.0f, 1.0f, 0.0f)))  // → cluster 0
+      .toDF("vec_id", "embedding")
+    val out = Similarity.kmeansMStep(pts, "vec_id < 2", dim = 3)
+      .select("c_id", "cv").as[(Long, Seq[Double])].collect()
+      .map { case (id, cv) => id -> cv }.toMap
+    // element-wise check against the documented formula:
+    // double(sum(floor(v_i*2^20))) / n / 2^20
+    def mean(vals: Seq[Double], n: Int): Double = {
+      val s = vals.map(x => math.floor(x * 1048576.0).toLong).sum
+      s.toDouble / n.toDouble / 1048576.0
+    }
+    assert(out(0L) == Seq(mean(Seq(0, 2, 1), 3), mean(Seq(0, 0, 1), 3),
+      mean(Seq(0, 0, 0), 3)))
+    assert(out(1L) == Seq(mean(Seq(8, 6), 2), mean(Seq(0, 2), 2),
+      mean(Seq(0, 0), 2)))
+    // cn2 is the self-dot of the emitted centroid
+    val cn2 = Similarity.kmeansMStep(pts, "vec_id < 2", dim = 3)
+      .select("c_id", "cn2").as[(Long, Double)].collect().toMap
+    assert(cn2(0L) == out(0L).map(x => x * x).sum)
+  }
+
+  test("kmeansMStep drops a seed that wins no members") {
+    val pts = Seq(
+      (0L, Array(0.0f, 0.0f, 0.0f)),   // seed 0: wins everything
+      (1L, Array(100.0f, 0.0f, 0.0f)), // seed 1: wins only itself...
+      (2L, Array(0.1f, 0.0f, 0.0f)),
+      // ...unless we pick seeds so one is strictly dominated: seed at
+      // the same point as seed 0 loses every tie (higher c_id)
+      (3L, Array(0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    // seeds 0 and 3 coincide; ties break to the lower id, so cluster 3
+    // is empty and must vanish from the learned set
+    val learned = Similarity.kmeansMStep(pts, "vec_id IN (0, 3)", dim = 3)
+      .select("c_id").as[Long].collect().toSet
+    assert(learned == Set(0L))
+  }
+
+  test("semanticDedupCentroids with learned centroids keeps the " +
+    "pairwise-below-threshold invariant per cluster") {
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val learned = Similarity.kmeansMStep(e, "vec_id < 8")
+    val out = Similarity.semanticDedupCentroids(e, learned, threshold = 0.25)
+      .select("vec_id", "cluster", "kept", "dup_of")
+      .as[(Long, Long, Boolean, Option[Long])].collect()
+    assert(out.length == e.count())
+    // clusters are learned-centroid ids (a subset of the seed ids)
+    assert(out.map(_._2).toSet.subsetOf((0L until 8L).toSet))
+    val vecs = e.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect()
+      .map { case (id, v) => id -> v.map(_.toDouble) }.toMap
+    def cos(a: Long, b: Long): Double = {
+      val (va, vb) = (vecs(a), vecs(b))
+      val d = va.indices.foldLeft(0.0)((s, i) => s + va(i) * vb(i))
+      d / (math.sqrt(va.map(x => x * x).sum) *
+        math.sqrt(vb.map(x => x * x).sum))
+    }
+    out.groupBy(_._2).values.foreach { members =>
+      val kept = members.filter(_._3).map(_._1).sorted
+      for (i <- kept.indices; j <- i + 1 until kept.length)
+        assert(cos(kept(i), kept(j)) < 0.25)
+      members.filter(_._3).foreach(m => assert(m._4.isEmpty))
+    }
+  }
 }

@@ -323,6 +323,17 @@ class PlanSpec extends SparkSpec {
     assert(mtimes() == staged, "q121 invocation rewrote the staged z-copy")
   }
 
+  test("q130: count/min/max are answered from parquet footer stats " +
+    "(PushedAggregation), not a data scan") {
+    val df = SparkEntry.queries("q130_meta_agg")(spark, sf001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedAggregation: [COUNT(*)"),
+      s"aggregate not pushed to the parquet footer reader:\n${p.take(1500)}")
+    assert(!p.contains("PushedAggregation: []"), p.take(1500))
+    // and the derived-session conf did not leak into the shared session
+    assert(spark.conf.get("spark.sql.parquet.aggregatePushdown") == "false")
+  }
+
   test("q107: k-means E-step is one corpus pass — single broadcast, " +
     "no corpus shuffle before the k-row rollup") {
     val df = SparkEntry.queries("q107_kmeans")(spark, sf001)
