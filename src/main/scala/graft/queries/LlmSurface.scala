@@ -333,6 +333,29 @@ object LlmSurface {
         .orderBy("doc_id")
     }),
 
+    // --- small-file compaction oracled through the filesystem: the
+    //     documents table is deliberately fragmented into dozens of
+    //     KB-scale files, compacted (rewrite + two-rename atomic
+    //     swap), and read back — content hash-exact vs the plain
+    //     table, with the post-compaction file count pinned as a
+    //     column (targetBytes sized so the answer is exactly 1). The
+    //     lake-maintenance twin of q127: both verify the BYTES a
+    //     maintenance pass leaves behind, not a frame that claims
+    //     success. ---
+    "q131_compact_roundtrip" -> ((s, d) => {
+      val dir = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        "graft_compact_" + graft.engine.Bucketing.fingerprint8(d)).getPath
+      docs(s, d).repartition(64).write.mode("overwrite").parquet(dir)
+      val (before, after) =
+        graft.engine.Bucketing.compact(s, dir, targetBytes = 1L << 30)
+      s.read.parquet(dir)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .withColumn("n_files_after", lit(after.toLong))
+        .withColumn("defragmented", lit(before > after))
+        .orderBy("doc_id")
+    }),
+
     // --- q48's scale twin: benchmark decontamination in the broadcast
     //     posture. Eval sets are MBs against a 100 TB corpus, so the
     //     benchmark's gram digests BROADCAST and the corpus is scanned
@@ -1220,6 +1243,14 @@ object LlmSurface {
          |    AS shard_pos
          |FROM h ORDER BY doc_id""".stripMargin
     },
+
+    // q131: compaction must preserve content exactly and land on ONE
+    // file at this targetBytes — the count and the defrag fact are
+    // pinned as oracle columns, the rows prove the swap lost nothing
+    "q131_compact_roundtrip" ->
+      """SELECT doc_id, lang, source,
+        | CAST(1 AS BIGINT) AS n_files_after, TRUE AS defragmented
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // DuckDB twin of q123: same 4-gram windows, same md5 digests, same
     // distinct-(doc, gram) semantics as Dedup.decontaminate
