@@ -502,27 +502,40 @@ object Similarity {
     * quantizer — the in-plan twin of [[searchIvf]]'s on-disk index,
     * with [[kmeansMStep]] output as the centroid set: every vector is
     * assigned to its nearest learned centroid (broadcast posture, no
-    * shuffle), and each query ranks by exact cosine WITHIN its own
-    * cell only — the classic IVF nprobe=1 trade: recall bounded by how
-    * often true neighbors share the query's cell, cost bounded by cell
-    * size instead of corpus size.
+    * shuffle), and each query ranks by exact cosine within its
+    * `nprobe` NEAREST cells — the classic IVF dial: nprobe=1 is the
+    * cheapest cell-local search, raising nprobe buys recall linearly
+    * in candidate volume without changing any shuffle (the probe list
+    * is per-query metadata, not a plan change).
     *
-    * Scale shape: the (tiny) query side broadcasts onto the assigned
+    * Scale shape: the (tiny) query side — nqueries × nprobe rows after
+    * exploding each query's probe list — broadcasts onto the assigned
     * corpus stream keyed by `cluster`, so the corpus is scanned once
-    * un-shuffled; only the candidate rows (queries' cells) reach the
-    * per-query top-k window. Output: (q_id, neighbor_id, rank, qcos).
+    * un-shuffled; only the candidate rows (queries' probed cells)
+    * reach the per-query top-k window.
+    * Output: (q_id, neighbor_id, rank, qcos).
     */
   def ivfTopKLearned(emb: DataFrame, centroids: DataFrame,
-                     queryPred: String, k: Int,
+                     queryPred: String, k: Int, nprobe: Int = 1,
                      dim: Int = DefaultDim): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1: $nprobe")
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val cents = centroidList(centroids)
     val asg = dvecFrame(emb, dim).crossJoin(broadcast(cents))
       .select(col("vec_id"), assignedCluster.as("cluster"),
         col("dvec"), sqrt(col("nv")).as("norm"))
-    val q = asg.filter(expr(queryPred))
-      .select(col("vec_id").as("q_id"), col("cluster"),
-        col("dvec").as("qv"), col("norm").as("qn"))
+    // per-query probe list: its nprobe nearest centroids, by the same
+    // (d2, c_id) order as assignment — array_sort on structs sorts by
+    // fields left-to-right, so probes(0) IS the assigned cell
+    val q = dvecFrame(emb, dim).filter(expr(queryPred))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id").as("q_id"), col("dvec").as("qv"),
+        sqrt(col("nv")).as("qn"),
+        expr("transform(slice(array_sort(transform(cs, s -> struct(" +
+          "nv + s.cn2 - 2.0D * array_dot(dvec, s.cv) AS d2, " +
+          s"s.c_id AS c_id))), 1, $nprobe), p -> p.c_id)").as("probes"))
+      .withColumn("cluster", explode(col("probes")))
+      .drop("probes")
     val scored = asg.join(broadcast(q), Seq("cluster"))
       .where(col("vec_id") =!= col("q_id"))
       .withColumn("qcos",

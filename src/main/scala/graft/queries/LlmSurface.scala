@@ -224,6 +224,30 @@ object LlmSurface {
         .orderBy("q_id")
     }),
 
+    // --- the IVF recall/cost DIAL, measured: same audit as q129 at
+    //     nprobe=2 — each query searches its two nearest cells. The
+    //     per-query recall delta vs q129 is the empirical price curve
+    //     of the dial (recall can only rise: nprobe=2's candidate set
+    //     contains nprobe=1's), and both numbers are cross-engine
+    //     exact off the same bitwise-learned centroids ---
+    "q132_ivf_nprobe2" -> ((s, d) => {
+      val e = emb(s, d)
+      val learned = Similarity.kmeansMStep(e, "vec_id < 8")
+      val exact = Similarity.bruteForceTopK(e, "vec_id < 50", k = 10)
+        .select(col("q_id"), col("neighbor_id"))
+      val approx = Similarity.ivfTopKLearned(e, learned, "vec_id < 50",
+          k = 10, nprobe = 2)
+        .select(col("q_id"), col("neighbor_id"))
+      val hits = exact.join(approx, Seq("q_id", "neighbor_id"), "left_semi")
+        .groupBy("q_id").agg(count(lit(1)).as("hits"))
+      e.filter(expr("vec_id < 50")).select(col("vec_id").as("q_id"))
+        .join(hits, Seq("q_id"), "left")
+        .na.fill(0L, Seq("hits"))
+        .select(col("q_id"), col("hits"),
+          (col("hits").cast("double") / lit(10).cast("double")).as("recall"))
+        .orderBy("q_id")
+    }),
+
     // --- one Lloyd/k-means iteration over the embedding corpus:
     //     broadcast-centroid assignment (E-step) + fixed-point update
     //     statistics (M-step sums) — the embedding-clustering primitive
@@ -1003,6 +1027,73 @@ object LlmSurface {
          |  FROM asg q JOIN asg c
          |    ON q.vec_id < 50 AND c.vec_id != q.vec_id
          |    AND q.cluster = c.cluster
+         |  QUALIFY row_number() OVER (PARTITION BY q.vec_id
+         |    ORDER BY ${dkDot("q.v", "c.v")} / (q.nrm * c.nrm) DESC,
+         |      c.vec_id ASC) <= 10),
+         | hits AS (SELECT e.q_id, count(*) AS hits
+         |   FROM exact e JOIN approx a
+         |     ON e.q_id = a.q_id AND e.neighbor_id = a.neighbor_id
+         |   GROUP BY e.q_id)
+         |SELECT n.vec_id AS q_id, COALESCE(h.hits, 0) AS hits,
+         |  CAST(COALESCE(h.hits, 0) AS DOUBLE) / CAST(10 AS DOUBLE)
+         |    AS recall
+         |FROM nv n LEFT JOIN hits h ON n.vec_id = h.q_id
+         |WHERE n.vec_id < 50 ORDER BY q_id""".stripMargin,
+
+    // q132: q129's oracle with a probe CTE — each query's TWO nearest
+    // learned cells by the same (d2, c_id) order; a candidate matches
+    // exactly one probe (its own cell), so no dedup is needed
+    "q132_ivf_nprobe2" ->
+      s"""WITH ev AS (SELECT vec_id,
+         |   list_transform(embedding, x -> x::DOUBLE) AS v
+         |  FROM embeddings),
+         | nv AS (SELECT vec_id, v, ${dkDot("v", "v")} AS n2 FROM ev),
+         | c0 AS (SELECT vec_id AS c_id, v AS cv, n2 AS cn2
+         |  FROM nv WHERE vec_id < 8),
+         | d0 AS (SELECT nv.vec_id, c0.c_id,
+         |   nv.n2 + c0.cn2 - 2.0 * ${dkDot("nv.v", "c0.cv")} AS d2
+         |  FROM nv, c0),
+         | a0 AS (SELECT vec_id, c_id, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY d2, c_id) AS rn FROM d0),
+         | asg0 AS (SELECT nv.vec_id, a0.c_id AS cluster, nv.v
+         |  FROM nv JOIN a0 ON nv.vec_id = a0.vec_id AND a0.rn = 1),
+         | n0 AS (SELECT cluster, count(*) AS n FROM asg0 GROUP BY cluster),
+         | ex AS (SELECT cluster, idx.i AS i,
+         |   CAST(floor(v[idx.i] * 1048576.0) AS BIGINT) AS fx
+         |  FROM asg0 CROSS JOIN
+         |    (SELECT unnest(range(1, 65)) AS i) idx),
+         | s0 AS (SELECT cluster, i, sum(fx) AS sfx
+         |  FROM ex GROUP BY cluster, i),
+         | c1 AS (SELECT s0.cluster AS c_id,
+         |   list(CAST(sfx AS DOUBLE) / CAST(n AS DOUBLE) / 1048576.0
+         |        ORDER BY i) AS cv
+         |  FROM s0 JOIN n0 ON s0.cluster = n0.cluster
+         |  GROUP BY s0.cluster),
+         | c1n AS (SELECT c_id, cv, ${dkDot("cv", "cv")} AS cn2 FROM c1),
+         | d1 AS (SELECT nv.vec_id, c1n.c_id,
+         |   nv.n2 + c1n.cn2 - 2.0 * ${dkDot("nv.v", "c1n.cv")} AS d2
+         |  FROM nv, c1n),
+         | a1 AS (SELECT vec_id, c_id, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY d2, c_id) AS rn FROM d1),
+         | asg AS (SELECT nv.vec_id, a1.c_id AS cluster, nv.v,
+         |   sqrt(nv.n2) AS nrm
+         |  FROM nv JOIN a1 ON nv.vec_id = a1.vec_id AND a1.rn = 1),
+         | qp AS (SELECT vec_id AS q_id, c_id AS pcluster FROM d1
+         |  WHERE vec_id < 50
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY d2, c_id) <= 2),
+         | exact AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id
+         |  FROM asg q JOIN asg c
+         |    ON q.vec_id < 50 AND c.vec_id != q.vec_id
+         |  QUALIFY row_number() OVER (PARTITION BY q.vec_id
+         |    ORDER BY ${dkDot("q.v", "c.v")} / (q.nrm * c.nrm) DESC,
+         |      c.vec_id ASC) <= 10),
+         | approx AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id
+         |  FROM asg q JOIN qp ON q.vec_id = qp.q_id
+         |  JOIN asg c ON c.cluster = qp.pcluster
+         |    AND c.vec_id != q.vec_id
          |  QUALIFY row_number() OVER (PARTITION BY q.vec_id
          |    ORDER BY ${dkDot("q.v", "c.v")} / (q.nrm * c.nrm) DESC,
          |      c.vec_id ASC) <= 10),

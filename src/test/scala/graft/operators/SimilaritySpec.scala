@@ -190,6 +190,28 @@ class SimilaritySpec extends SparkSpec {
     assert(learned == Set(0L))
   }
 
+  test("ivfTopKLearned: recall@10 is per-query monotone in nprobe") {
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val learned = Similarity.kmeansMStep(e, "vec_id < 8")
+    val exact = Similarity.bruteForceTopK(e, "vec_id < 20", k = 10)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def hits(np: Int): Map[Long, Int] =
+      Similarity.ivfTopKLearned(e, learned, "vec_id < 20", k = 10,
+          nprobe = np)
+        .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+        .intersect(exact).groupBy(_._1).view.mapValues(_.size).toMap
+        .withDefaultValue(0)
+    val (h1, h2) = (hits(1), hits(2))
+    // a true top-10 neighbor displaced from the wider candidate set's
+    // top-10 is displaced only by another true top-10 member, so
+    // per-query hit counts cannot drop as nprobe grows
+    (0L until 20L).foreach { q =>
+      assert(h2(q) >= h1(q), s"q=$q: nprobe=2 hits ${h2(q)} < ${h1(q)}")
+    }
+    info(s"recall@10 sum: nprobe=1 ${(0L until 20L).map(h1).sum}/200, " +
+      s"nprobe=2 ${(0L until 20L).map(h2).sum}/200")
+  }
+
   test("semanticDedupCentroids with learned centroids keeps the " +
     "pairwise-below-threshold invariant per cluster") {
     val e = spark.read.parquet(s"$sf001/embeddings.parquet")
