@@ -41,7 +41,10 @@ object SparkEntry {
         numBuckets = 8)),
       Future(SqlSurface.ensureBucketedLineitem(spark, sfDir)),
       Future(SqlSurface.ensureBucketedOrders(spark, sfDir)),
-      Future(SqlSurface.ensureZorderedLineitem(spark, sfDir)))
+      Future(SqlSurface.ensureZorderedLineitem(spark, sfDir)),
+      Future(graft.engine.Bucketing.ensurePartitioned(spark, sfDir,
+        graft.engine.Tables.table(spark, sfDir, "documents"),
+        Seq("lang"), "docs")))
     writes.foreach(Await.result(_, Duration.Inf))
   }
 }

@@ -77,6 +77,30 @@ object Bucketing {
     dir.getPath
   }
 
+  /** Hive-partitioned staged copy — the third layout lever next to
+    * bucketing (join co-location) and z-order (multi-column range
+    * skipping): `partitionBy` puts each partition-column value in its
+    * own directory, so an equality/IN predicate on that column prunes
+    * whole directories at PLANNING time (`PartitionFilters` in the
+    * scan, before any file or footer is touched). Staged AT MOST ONCE
+    * per (fixture, columns) under the JVM temp dir, `_SUCCESS` as the
+    * completion marker — same contract as [[ensureZordered]]. Returns
+    * the staged directory.
+    */
+  def ensurePartitioned(spark: SparkSession, fixtureKey: String,
+                        df: => DataFrame, partCols: Seq[String],
+                        baseName: String): String = {
+    require(partCols.nonEmpty, "ensurePartitioned needs partition columns")
+    val fp = fingerprint8(
+      s"$fixtureKey|$baseName|part|${partCols.mkString(",")}")
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_p_${baseName}_$fp")
+    if (!new java.io.File(dir, "_SUCCESS").isFile)
+      df.write.mode("overwrite").partitionBy(partCols: _*)
+        .parquet(dir.getPath)
+    dir.getPath
+  }
+
   /** Small-file compaction — the lake-maintenance half of ingest
     * hygiene. Streaming sinks, per-request bulk writes and incremental
     * batches leave behind directories of KB-scale files; at 100 TB the

@@ -212,6 +212,23 @@ object Pipeline {
       .parquet(outDir)
   }
 
+  /** Merge/upsert — the CDC primitive every incremental corpus needs:
+    * rows in `updates` REPLACE same-key rows in `base`; keys new to
+    * `updates` append. Expressed as the join it is: base anti-joins
+    * the update KEYS (only the key column of the small side moves),
+    * then the updates union in by name.
+    *
+    * Scale shape: the usual CDC asymmetry (updates ≪ base) makes the
+    * anti join a broadcast — the 100 TB base is scanned once, never
+    * shuffled; comparable sides degrade to one key-hashed exchange.
+    * This is exactly the MERGE INTO execution plan of the lakehouse
+    * formats, minus their transaction log.
+    */
+  def mergeUpsert(base: DataFrame, updates: DataFrame,
+                  key: String): DataFrame =
+    base.join(updates.select(key), Seq(key), "left_anti")
+      .unionByName(updates)
+
   /** Deterministic probability-proportional-to-size (Poisson/IPPS)
     * sampling targeting ~`targetDocs` draws: doc `i` with integer
     * weight `w_i` (token count) is kept with inclusion probability

@@ -380,6 +380,39 @@ object LlmSurface {
         .orderBy("doc_id")
     }),
 
+    // --- hive-partitioned layout, oracled: documents staged ONCE
+    //     partitionBy(lang); an equality predicate on the partition
+    //     column prunes whole directories at PLANNING time
+    //     (PartitionFilters in the scan — before any file or footer is
+    //     read; PlanSpec asserts it). The third layout lever next to
+    //     bucketing (q62) and z-order (q121); hash-exactness vs the
+    //     plain table proves the partitioned copy is faithful ---
+    "q133_partition_prune" -> ((s, d) => {
+      val dir = graft.engine.Bucketing.ensurePartitioned(s, d,
+        docs(s, d), Seq("lang"), "docs")
+      s.read.parquet(dir)
+        .filter(col("lang") === "en")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
+    // --- merge/upsert (the CDC primitive): updates replace same-key
+    //     base rows, new keys append — base anti-joins the update
+    //     KEYS (broadcast under the usual updates ≪ base asymmetry,
+    //     so the corpus never shuffles), updates union in. Update set
+    //     derived deterministically from the fixture: every 10th doc
+    //     rewritten, five new docs appended ---
+    "q134_merge_upsert" -> ((s, d) => {
+      val base = docs(s, d).select("doc_id", "text", "lang", "source")
+      val updates = base.filter(col("doc_id") % 10 === 0)
+          .withColumn("text", upper(col("text")))
+        .unionByName(
+          base.filter(col("doc_id") < 5)
+            .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+      Pipeline.mergeUpsert(base, updates, "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // --- q48's scale twin: benchmark decontamination in the broadcast
     //     posture. Eval sets are MBs against a 100 TB corpus, so the
     //     benchmark's gram digests BROADCAST and the corpus is scanned
@@ -1342,6 +1375,28 @@ object LlmSurface {
       """SELECT doc_id, lang, source,
         | CAST(1 AS BIGINT) AS n_files_after, TRUE AS defragmented
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q133: the partitioned copy must be a faithful re-layout — same
+    // predicate on the plain table
+    "q133_partition_prune" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE lang = 'en' ORDER BY doc_id""".stripMargin,
+
+    // q134: identical update-set derivation; merged = base rows whose
+    // key is untouched, plus every update row
+    "q134_merge_upsert" ->
+      """WITH base AS (SELECT doc_id, text, lang, source FROM documents),
+        | upd AS (
+        |  SELECT doc_id, upper(text) AS text, lang, source
+        |  FROM base WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, lang, source
+        |  FROM base WHERE doc_id < 5)
+        |SELECT * FROM (
+        |  SELECT b.doc_id, b.text, b.lang, b.source FROM base b
+        |  WHERE b.doc_id NOT IN (SELECT doc_id FROM upd)
+        |  UNION ALL SELECT * FROM upd)
+        |ORDER BY doc_id""".stripMargin,
 
     // DuckDB twin of q123: same 4-gram windows, same md5 digests, same
     // distinct-(doc, gram) semantics as Dedup.decontaminate

@@ -118,6 +118,24 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("sk"))
   }
 
+  /** [[windowedCms]]'s DISTINCT-count twin: one HLL sketch of
+    * `user_id` per event-time window, emitted when the watermark
+    * closes the window. HLL registers merge by MAX, so unioning
+    * emitted window sketches (`hll_union_agg`) gives exactly the
+    * whole-stream sketch — and unlike summing per-window distinct
+    * COUNTS, the union deduplicates across windows for free: a user
+    * active in every window still counts once. State per window is one
+    * fixed-size sketch (2^lgK registers), independent of user
+    * cardinality — the q119 rollup posture running at ingest.
+    */
+  def windowedHll(events: DataFrame, window_ : String = "1 hour",
+      watermark: String = "2 hours", lgK: Int = 12): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_))
+      .agg(expr(s"hll_sketch_agg(user_id, $lgK)").as("sk"))
+      .select(col("window.start").as("window_start"), col("sk"))
+
   /** Streaming exact dedup on event_id within the watermark horizon:
     * duplicates arriving inside the late-data bound are dropped; state
     * for ids older than the watermark is evicted (bounded memory —

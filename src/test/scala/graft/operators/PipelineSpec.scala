@@ -184,6 +184,22 @@ class PipelineSpec extends SparkSpec {
     assert(run(corpus, "epoch2") != base)
   }
 
+  test("mergeUpsert: updates replace same-key rows, new keys append, " +
+    "untouched rows survive verbatim") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c"))
+      .toDF("doc_id", "text")
+    val updates = Seq((2L, "B2"), (9L, "new"))
+      .toDF("doc_id", "text")
+    val out = Pipeline.mergeUpsert(base, updates, "doc_id")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, "a"), (2L, "B2"), (3L, "c"), (9L, "new")))
+    // idempotence: merging the same updates again changes nothing
+    val again = Pipeline.mergeUpsert(
+      Pipeline.mergeUpsert(base, updates, "doc_id"), updates, "doc_id")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(again == out)
+  }
+
   test("writeShards: shard dirs partition the corpus in permutation " +
     "order; rewrite from any layout is identical") {
     val corpus = (1L to 300L).map(i => (i, s"text $i"))

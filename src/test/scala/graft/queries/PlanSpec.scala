@@ -334,6 +334,34 @@ class PlanSpec extends SparkSpec {
     assert(spark.conf.get("spark.sql.parquet.aggregatePushdown") == "false")
   }
 
+  test("q133: partition-column predicate prunes directories at " +
+    "planning time (PartitionFilters, not data filters)") {
+    val df = SparkEntry.queries("q133_partition_prune")(spark, sf001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(lang"),
+      s"lang predicate did not reach PartitionFilters:\n${p.take(1500)}")
+    assert("PartitionFilters: \\[[^\\]]*\\(lang[^\\]]* = en\\)".r
+      .findFirstIn(p).nonEmpty || p.contains("lang#"),
+      p.take(1500))
+    // the predicate must NOT fall back to a post-scan data filter
+    assert(!p.contains("PushedFilters: [IsNotNull(lang"), p.take(1500))
+  }
+
+  test("q134: merge/upsert anti-joins the update KEYS as a broadcast — " +
+    "the base side never shuffles") {
+    val df = SparkEntry.queries("q134_merge_upsert")(spark, sf001)
+    df.collect()
+    val full = df.queryExecution.executedPlan.toString
+    val p = full.split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      p.take(1500))
+    // no hash exchange below the anti join: the only exchange allowed
+    // is the final orderBy's range partitioning
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"base side shuffled:\n${p.take(2000)}")
+  }
+
   test("q107: k-means E-step is one corpus pass — single broadcast, " +
     "no corpus shuffle before the k-row rollup") {
     val df = SparkEntry.queries("q107_kmeans")(spark, sf001)

@@ -509,6 +509,41 @@ class EventStreamsSpec extends SparkSpec {
     assert(est == Map("click" -> 3L, "view" -> 3L), est)
   }
 
+  test("windowedHll: union of window sketches deduplicates users " +
+    "across windows") {
+    val in = MemoryStream[Event](spark)
+    val out = EventStreams.windowedHll(
+      in.toDF(), window_ = "10 minutes", watermark = "5 minutes")
+    runToMemory(out, "whll", OutputMode.Append) {
+      // window [0,10): users 10, 11; window [10,20): users 10, 12 —
+      // user 10 is active in BOTH windows
+      in.addData(
+        Event(1, ts(1), 10, "click", 1.0),
+        Event(2, ts(4), 11, "click", 1.0),
+        Event(3, ts(8), 10, "view", 1.0))
+      in.addData(
+        Event(4, ts(12), 10, "view", 1.0),
+        Event(5, ts(14), 12, "view", 1.0))
+      in.addData(Event(6, ts(40), 10, "click", 1.0)) // advances watermark
+    }
+    val emitted = spark.table("whll")
+    assert(emitted.count() == 2, emitted.collect().mkString(","))
+    emitted.createOrReplaceTempView("whll_emitted")
+    // per-window distinct users: 2 and 2 (HLL is exact at these sizes)
+    val per = spark.sql(
+      """SELECT window_start, hll_sketch_estimate(sk) FROM whll_emitted
+        |ORDER BY window_start""".stripMargin)
+      .as[(java.sql.Timestamp, Long)].collect().map(_._2).toSeq
+    assert(per == Seq(2L, 2L), per)
+    // register-max union counts the cross-window user ONCE: 3 distinct
+    // users overall, not 4 — the property a sum of per-window counts
+    // cannot deliver
+    val total = spark.sql(
+      "SELECT hll_sketch_estimate(hll_union_agg(sk)) FROM whll_emitted")
+      .as[Long].head()
+    assert(total == 3L, s"union estimate $total")
+  }
+
   test("decontaminateStream replay equals the batch decontaminate counts") {
     val bench = Seq(
       (100L, "alpha beta gamma delta epsilon"),
