@@ -171,7 +171,19 @@ object Explain {
         "COUNT/MIN/MAX from row-group footer statistics — " +
         "`PushedAggregation: [COUNT(*), MIN(...), MAX(...)]` in the " +
         "scan node, zero data pages decoded; the only exchange is the " +
-        "single-row final agg."))
+        "single-row final agg."),
+    "q133_partition_prune" ->
+      ("Hive-partition pruning: the staged partitionBy(lang) copy is " +
+        "read under a partition-column equality — `PartitionFilters` " +
+        "carries the predicate and whole directories are pruned at " +
+        "planning time, before any file or footer I/O; no post-scan " +
+        "data filter remains."),
+    "q134_merge_upsert" ->
+      ("Merge/upsert: the update keys enter through a " +
+        "BroadcastExchange into a LeftAnti BroadcastHashJoin — the " +
+        "base corpus is scanned once and never hash-shuffled " +
+        "(PlanSpec pins zero hash exchanges); updates union in above " +
+        "the join."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
