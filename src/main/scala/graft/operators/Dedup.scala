@@ -44,6 +44,52 @@ object Dedup {
       .withColumn("is_dup", col("doc_id") =!= col("keep_id"))
   }
 
+  /** Paragraph-granularity dedup with document REASSEMBLY — the
+    * C4/RefinedWeb step between exact doc-dedup and near-dedup:
+    * repeated boilerplate (footers, navigation, license blurbs) recurs
+    * verbatim across millions of documents that are NOT duplicates of
+    * each other, so the unit of dedup is the paragraph. Every
+    * delimiter-separated segment keeps only its FIRST corpus-wide
+    * occurrence (lexicographic (doc_id, seg_idx) — deterministic, not
+    * arrival order); each document is rebuilt from its surviving
+    * segments in original order.
+    *
+    * Scale shape: the keeper choice shuffles `(md5(seg), doc_id,
+    * seg_idx)` — 16-byte digests plus two longs, never paragraph text
+    * — into one min(struct) aggregate (partial map-side); the verdict
+    * joins back on the digest; reassembly is one per-doc rollup whose
+    * `sort_array(collect_list(struct))` orders WITHIN the group, no
+    * window. Segment text crosses the wire once (the rollup join).
+    *
+    * Output: (doc_id, clean_text, n_segs, n_kept) — a document whose
+    * every paragraph was seen earlier reassembles to the empty string,
+    * the drop-candidate signal.
+    */
+  def paragraphDedup(docs: DataFrame, delim: String = "\n"): DataFrame = {
+    val lit_ = java.util.regex.Pattern.quote(delim)
+    val segs = docs.select(col("doc_id"),
+        posexplode(split(col("text"), lit_)).as(Seq("seg_idx", "seg")))
+      .withColumn("h", md5(col("seg")))
+    val keeper = segs
+      .groupBy("h")
+      .agg(min(struct(col("doc_id"), col("seg_idx"))).as("first"))
+    val kept = segs.join(keeper, Seq("h"))
+      .where(col("first.doc_id") === col("doc_id") &&
+        col("first.seg_idx") === col("seg_idx"))
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(delim, expr(
+          "transform(sort_array(collect_list(struct(seg_idx, seg))), " +
+            "p -> p.seg)")).as("clean_text"))
+    val counts = segs.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segs"))
+    docs.select("doc_id").join(counts, Seq("doc_id"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_segs"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   /** MinHash signatures: `sig[i] = min over shingles of hash_i(shingle)`,
     * i < k. Input df must have `doc_id` and `shingles` (see
     * [[TextOps.withShingles]]).

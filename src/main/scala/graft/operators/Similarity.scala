@@ -380,7 +380,41 @@ object Similarity {
                   dim: Int = DefaultDim): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val v = dvecFrame(emb)
-    val asg = v.crossJoin(broadcast(centroidListFromPred(v, centroidPred)))
+    mStepWith(v, centroidListFromPred(v, centroidPred), dim)
+  }
+
+  /** [[kmeansMStep]] continued from EXPLICIT centroids — feed one
+    * round's output back in to run Lloyd to any depth; each call is
+    * one corpus scan plus a k-row exchange. The classic Lloyd
+    * guarantee holds round over round (the within-cluster objective
+    * Σ min-d² is non-increasing, up to the 2^-20 fixed-point
+    * quantization of the means — SimilaritySpec pins it on the
+    * fixture).
+    */
+  def kmeansMStepFrom(emb: DataFrame, centroids: DataFrame,
+                      dim: Int = DefaultDim): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    mStepWith(dvecFrame(emb, dim), centroidList(centroids), dim)
+  }
+
+  /** [[kmeansAssign]] against EXPLICIT centroids (e.g. learned means):
+    * same broadcast posture, output (vec_id, cluster, d2).
+    */
+  def kmeansAssignWith(emb: DataFrame, centroids: DataFrame,
+                       dim: Int = DefaultDim): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    dvecFrame(emb, dim).crossJoin(broadcast(centroidList(centroids)))
+      .select(col("vec_id"),
+        expr("array_min(transform(cs, s -> struct(" +
+          "nv + s.cn2 - 2.0D * array_dot(dvec, s.cv) AS d2, " +
+          "s.c_id AS c_id)))").as("m"))
+      .select(col("vec_id"), col("m.c_id").as("cluster"),
+        col("m.d2").as("d2"))
+  }
+
+  private def mStepWith(v: DataFrame, cents: DataFrame,
+                        dim: Int): DataFrame = {
+    val asg = v.crossJoin(broadcast(cents))
       .select(col("vec_id"), assignedCluster.as("cluster"), col("dvec"))
     val aggs = count(lit(1)).as("n") +:
       (0 until dim).map(i =>

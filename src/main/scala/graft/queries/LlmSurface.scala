@@ -380,6 +380,23 @@ object LlmSurface {
         .orderBy("doc_id")
     }),
 
+    // --- paragraph-granularity dedup with document REASSEMBLY (the
+    //     C4/RefinedWeb boilerplate step): a per-source footer
+    //     paragraph is planted behind a delimiter — repeated verbatim
+    //     across every doc of the source — and paragraphDedup keeps
+    //     only each paragraph's first corpus-wide occurrence, then
+    //     rebuilds every doc from its survivors. md5 digests shuffle,
+    //     never paragraph text (Dedup.paragraphDedup) ---
+    "q135_paragraph_dedup" -> ((s, d) =>
+      Dedup.paragraphDedup(
+        docs(s, d).select(col("doc_id"),
+          concat(col("text"), lit("|follow us on example dot com "),
+            col("source")).as("text")),
+        delim = "|")
+        .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"),
+          col("n_segs"), col("n_kept"))
+        .orderBy("doc_id")),
+
     // --- hive-partitioned layout, oracled: documents staged ONCE
     //     partitionBy(lang); an equality predicate on the partition
     //     column prunes whole directories at PLANNING time
@@ -1375,6 +1392,29 @@ object LlmSurface {
       """SELECT doc_id, lang, source,
         | CAST(1 AS BIGINT) AS n_files_after, TRUE AS defragmented
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q135: same planted footer, same first-(doc_id, seg_idx)-wins
+    // rule stated as a window, same delimiter-join reassembly
+    "q135_paragraph_dedup" ->
+      """WITH d2 AS (SELECT doc_id,
+        |   text || '|follow us on example dot com ' || source AS t
+        |  FROM documents),
+        | sp AS (SELECT doc_id, string_split(t, '|') AS s FROM d2),
+        | segs AS (SELECT doc_id, idx.i - 1 AS seg_idx, s[idx.i] AS seg
+        |  FROM sp CROSS JOIN (SELECT unnest(range(1, 11)) AS i) idx
+        |  WHERE idx.i <= len(s)),
+        | kept AS (SELECT doc_id, seg_idx, seg FROM segs
+        |  QUALIFY row_number() OVER (PARTITION BY md5(seg)
+        |    ORDER BY doc_id, seg_idx) = 1),
+        | reb AS (SELECT doc_id, count(*) AS n_kept,
+        |   string_agg(seg, '|' ORDER BY seg_idx) AS clean_text
+        |  FROM kept GROUP BY doc_id),
+        | cnt AS (SELECT doc_id, count(*) AS n_segs
+        |  FROM segs GROUP BY doc_id)
+        |SELECT c.doc_id, md5(coalesce(r.clean_text, '')) AS clean_md5,
+        | c.n_segs, CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept
+        |FROM cnt c LEFT JOIN reb r ON c.doc_id = r.doc_id
+        |ORDER BY c.doc_id""".stripMargin,
 
     // q133: the partitioned copy must be a faithful re-layout — same
     // predicate on the plain table

@@ -25,6 +25,27 @@ class DedupSpec extends SparkSpec {
     assert(out(4) == (5L, 5L, false, 1L))
   }
 
+  test("paragraphDedup: first occurrence wins, docs reassemble in " +
+    "order, fully-seen docs go empty") {
+    val d = Seq(
+      (1L, "alpha|shared|beta"),
+      (2L, "shared|gamma"),
+      (3L, "shared"))
+      .toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(d, "|")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    // doc 1 owns every segment's first occurrence — untouched
+    assert(out(0) == ((1L, "alpha|shared|beta", 3L, 3L)))
+    // doc 2 loses the shared footer but keeps its own paragraph
+    assert(out(1) == ((2L, "gamma", 2L, 1L)))
+    // doc 3 was nothing BUT boilerplate — the drop-candidate signal
+    assert(out(2) == ((3L, "", 1L, 0L)))
+    // determinism: a different input layout reassembles identically
+    val again = Dedup.paragraphDedup(d.repartition(7), "|")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(again == out)
+  }
+
   test("minhash signature is identical for identical texts") {
     val sigs = Dedup.minhashSignatures(TextOps.withShingles(docs))
       .select("doc_id", "sig").collect()

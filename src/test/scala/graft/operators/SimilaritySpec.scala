@@ -190,6 +190,24 @@ class SimilaritySpec extends SparkSpec {
     assert(learned == Set(0L))
   }
 
+  test("Lloyd objective is non-increasing across iterated M-steps") {
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+    def j(asg: org.apache.spark.sql.DataFrame): Double =
+      asg.agg(org.apache.spark.sql.functions.sum("d2")).as[Double].head()
+    val j0 = j(Similarity.kmeansAssign(e, "vec_id < 8")
+      .select("vec_id", "cluster", "d2"))
+    val c1 = Similarity.kmeansMStep(e, "vec_id < 8")
+    val j1 = j(Similarity.kmeansAssignWith(e, c1))
+    val c2 = Similarity.kmeansMStepFrom(e, c1)
+    val j2 = j(Similarity.kmeansAssignWith(e, c2))
+    info(f"objective: seed $j0%.3f -> round1 $j1%.3f -> round2 $j2%.3f")
+    // moving to the member means strictly improves over raw seed
+    // points on this fixture; subsequent rounds may only improve up to
+    // the 2^-20 fixed-point quantization of the means
+    assert(j1 < j0, s"M-step did not improve: $j1 >= $j0")
+    assert(j2 <= j1 * (1 + 1e-9), s"second round regressed: $j2 > $j1")
+  }
+
   test("ivfTopKLearned: recall@10 is per-query monotone in nprobe") {
     val e = spark.read.parquet(s"$sf001/embeddings.parquet")
     val learned = Similarity.kmeansMStep(e, "vec_id < 8")
