@@ -44,7 +44,13 @@ object SparkEntry {
       Future(SqlSurface.ensureZorderedLineitem(spark, sfDir)),
       Future(graft.engine.Bucketing.ensurePartitioned(spark, sfDir,
         graft.engine.Tables.table(spark, sfDir, "documents"),
-        Seq("lang"), "docs")))
+        Seq("lang"), "docs")),
+      Future(graft.operators.Similarity.ensureIvfLearnedIndex(spark, sfDir,
+        graft.engine.Tables.table(spark, sfDir, "embeddings"),
+        "vec_id < 8")),
+      Future(graft.engine.Bucketing.ensurePartitionedZordered(spark, sfDir,
+        graft.engine.Tables.table(spark, sfDir, "documents"),
+        "lang", Seq("n_chars", "doc_id"), "docs")))
     writes.foreach(Await.result(_, Duration.Inf))
   }
 }

@@ -1,6 +1,7 @@
 package graft.engine
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Bucketed-table helpers: the shuffle-elimination half of the SCALE.md
   * story, made concrete. A fact-fact join (lineitem ⋈ orders on
@@ -98,6 +99,43 @@ object Bucketing {
     if (!new java.io.File(dir, "_SUCCESS").isFile)
       df.write.mode("overwrite").partitionBy(partCols: _*)
         .parquet(dir.getPath)
+    dir.getPath
+  }
+
+  /** [[ensurePartitioned]] and [[zorderWrite]] COMPOSED — the
+    * production lakehouse layout: COARSE pruning by a categorical
+    * partition column (whole directories drop at planning time,
+    * `PartitionFilters`), FINE multi-column range skipping by z-order
+    * within each partition (row groups drop at scan time via footer
+    * stats). One [[zorderWrite]] per partition value into its
+    * `col=value/` directory; the root `_SUCCESS` marker lands only
+    * after every partition finished, so a torn staging re-runs
+    * (per-partition overwrite makes that idempotent).
+    *
+    * The distinct-values collect is bounded BY DESIGN: a hive
+    * partition column names directories, so its cardinality is small
+    * (lang, date, source — not ids). The per-partition writes are
+    * independent jobs — sequential here; at ingest scale they submit
+    * concurrently exactly like `SparkEntry.stage`'s futures.
+    */
+  def ensurePartitionedZordered(spark: SparkSession, fixtureKey: String,
+      df: => DataFrame, partCol: String, zCols: Seq[String],
+      baseName: String, bits: Int = 8, numFiles: Int = 4): String = {
+    val fp = fingerprint8(s"$fixtureKey|$baseName|pz1|$partCol|" +
+      s"${zCols.mkString(",")}|$bits|$numFiles")
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_pz_${baseName}_$fp")
+    if (!new java.io.File(dir, "_SUCCESS").isFile) {
+      val src = df
+      val vals = src.select(partCol).distinct().collect()
+        .map(_.get(0).toString).sorted
+      vals.foreach { v =>
+        zorderWrite(src.filter(col(partCol) === v).drop(partCol),
+          new java.io.File(dir, s"$partCol=$v").getPath,
+          zCols, bits, numFiles)
+      }
+      new java.io.File(dir, "_SUCCESS").createNewFile()
+    }
     dir.getPath
   }
 
@@ -220,14 +258,20 @@ object Bucketing {
     val total = cells.map(_._2).sum
     // Boundary b_f = first cell at/after which cumulative mass reaches
     // f/numFiles of the total; fileId(cell) = #{b : cell >= b}.
+    // Thresholds in BigInt: `total * f` overflows Long once row counts
+    // pass ~Long.MaxValue/numFiles, and a silent wrap here would
+    // corrupt boundary placement. Same floor-division value at every
+    // magnitude, so small-scale layouts are bit-identical.
     val boundaries = {
       var cum = 0L
       val bs = Array.newBuilder[Long]
       var f = 1
       for ((cell, n) <- cells) {
         cum += n
-        while (f < numFiles && cum >= total * f / numFiles &&
-          total > 0) { bs += cell + 1; f += 1 }
+        while (f < numFiles && total > 0 &&
+          BigInt(cum) >= BigInt(total) * f / numFiles) {
+          bs += cell + 1; f += 1
+        }
       }
       bs.result()
     }

@@ -573,6 +573,65 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Exact-substring dedup WITH REMOVAL — the production form of the
+    * Lee et al. 2022 ExactSubstr step (arXiv:2107.06499,
+    * "Deduplicating Training Data Makes Language Models Better"):
+    * [[repeatedSpans]] only COUNTS corpus-repeated windows; this
+    * operator deletes them. Every word n-gram occurring more than once
+    * corpus-wide keeps exactly its FIRST occurrence — lexicographic
+    * (doc_id, pos), deterministic, never arrival order — and every
+    * other occurrence dooms its token span [pos, pos+n); overlapping
+    * doomed spans union; each document reassembles from its surviving
+    * tokens in original order ([[paragraphDedup]]'s rollup shape).
+    * (The paper finds variable-length duplicates via a corpus suffix
+    * array; at a fixed window n the distributed join-expressible
+    * equivalent of its removal step is exactly this gram-keyed
+    * first-wins deletion.)
+    *
+    * Scale shape: the keeper choice shuffles (md5(gram), doc_id, pos)
+    * — 16-byte digests plus two longs, never gram text — into one
+    * min(struct) partial-aggregated rollup; each doomed occurrence
+    * explodes to at most n positions; the anti join and the reassembly
+    * rollup move (doc_id, pos, tok) once. Token text crosses the wire
+    * only where reassembly inherently requires it.
+    *
+    * Output: (doc_id, clean_text, n_toks, n_removed) — a document that
+    * is a verbatim copy of an earlier one loses every position and
+    * reassembles to the empty string, the drop-candidate signal.
+    */
+  def exactSubstrDedup(docs: DataFrame, n: Int = 5): DataFrame = {
+    require(n >= 2, s"span gram size must be >= 2: $n")
+    val toks = docs.select(col("doc_id"),
+      posexplode(TextOps.tokens("text")).as(Seq("pos", "tok")))
+    val grams = docs
+      .withColumn("toks", TextOps.tokens("text"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"),
+        posexplode(expr(gramDigestArrayExpr(n))).as(Seq("pos", "g")))
+    val keeper = grams.groupBy("g")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+    // a lone occurrence IS its gram's first — `struct != first` alone
+    // selects exactly the non-first occurrences of repeated grams
+    val doomed = grams.join(keeper, Seq("g"))
+      .where(struct(col("doc_id"), col("pos")) =!= col("first"))
+      .select(col("doc_id"),
+        explode(expr(s"sequence(pos, pos + ${n - 1})")).as("pos"))
+      .distinct()
+    val kept = toks.join(doomed, Seq("doc_id", "pos"), "left_anti")
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", expr(
+          "transform(sort_array(collect_list(struct(pos, tok))), " +
+            "p -> p.tok)")).as("clean_text"))
+    val counts = toks.groupBy("doc_id").agg(count(lit(1)).as("n_toks"))
+    docs.select("doc_id").join(counts, Seq("doc_id"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_toks"),
+        (col("n_toks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** Benchmark decontamination: flag corpus documents that share any
     * exact word n-gram with a benchmark (eval-set) document — the
     * train/test-overlap removal step every published LLM pipeline runs

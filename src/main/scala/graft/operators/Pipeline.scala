@@ -223,6 +223,14 @@ object Pipeline {
     * shuffled; comparable sides degrade to one key-hashed exchange.
     * This is exactly the MERGE INTO execution plan of the lakehouse
     * formats, minus their transaction log.
+    *
+    * Precondition (the lakehouse MERGE cardinality rule): `updates`
+    * keys must be UNIQUE and NON-NULL. A duplicate update key emits
+    * both rows (the union does not re-deduplicate), and a null key
+    * never matches the anti join (SQL null semantics), so a null-key
+    * base row would survive alongside a null-key update. Callers that
+    * cannot guarantee this upstream should pre-aggregate updates to
+    * one row per key; PipelineSpec pins both behaviors.
     */
   def mergeUpsert(base: DataFrame, updates: DataFrame,
                   key: String): DataFrame =

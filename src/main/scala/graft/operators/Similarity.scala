@@ -548,6 +548,13 @@ object Similarity {
     * un-shuffled; only the candidate rows (queries' probed cells)
     * reach the per-query top-k window.
     * Output: (q_id, neighbor_id, rank, qcos).
+    *
+    * Contract note: a query whose probed cells contain no OTHER
+    * vectors yields NO output rows at all (the candidate join is
+    * empty) — absence means "no candidates probed", not recall 0.
+    * Callers computing recall must LEFT-join their query set onto
+    * this result and treat missing queries as hits=0 (both in-repo
+    * recall audits, q129/q132, do exactly that).
     */
   def ivfTopKLearned(emb: DataFrame, centroids: DataFrame,
                      queryPred: String, k: Int, nprobe: Int = 1,
@@ -571,6 +578,112 @@ object Similarity {
       .withColumn("cluster", explode(col("probes")))
       .drop("probes")
     val scored = asg.join(broadcast(q), Seq("cluster"))
+      .where(col("vec_id") =!= col("q_id"))
+      .withColumn("qcos",
+        dot(col("qv"), col("dvec"), dim) / (col("qn") * col("norm")))
+    val w = Window.partitionBy("q_id").orderBy(desc("qcos"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        col("rank"), col("qcos"))
+  }
+
+  /** The learned-centroid IVF index STAGED — the write-once half of
+    * [[ivfTopKStaged]], built AT MOST ONCE per (fixture, centroid
+    * seed, dim), same contract as `Search.ensurePositionalIndex`:
+    * one Lloyd M-step learns the coarse quantizer from the corpus,
+    * the k learned centroids persist as a tiny catalog table, and the
+    * assigned corpus — (vec_id, dvec, nv, norm, cluster) — is written
+    * hive-partitioned BY CLUSTER so a probe prunes to its cells at
+    * planning time. `nv` (the exact self-dot) is stored alongside
+    * `norm` = sqrt(nv) because sqrt-then-square is not an IEEE
+    * identity: probe-list distances must reuse the exact `nv` the
+    * in-plan path computes, or cell ordering could drift off the
+    * oracle's. `emb` is by-name — never constructed when the staged
+    * artifacts exist.
+    *
+    * Scale shape: ingest pays two corpus scans (learn, assign+write)
+    * and one k-row exchange — the index-build cost that round 8's
+    * verdict flagged as living inside the query path; queries now pay
+    * only a pruned read. Returns (centroid table, index directory).
+    */
+  def ensureIvfLearnedIndex(spark: org.apache.spark.sql.SparkSession,
+                            fixtureKey: String, emb: => DataFrame,
+                            centroidPred: String,
+                            dim: Int = DefaultDim): (String, String) = {
+    val fp = graft.engine.Bucketing.fingerprint8(
+      s"$fixtureKey|ivf1|$centroidPred|$dim")
+    val centTable = s"graft_ivfc_$fp"
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_ivf_asg_$fp")
+    if (!spark.catalog.tableExists(centTable) ||
+        !new java.io.File(dir, "_SUCCESS").isFile) {
+      graft.functions.GraftFunctions.register(spark)
+      val v = dvecFrame(emb, dim)
+      val learned = mStepWith(v, centroidListFromPred(v, centroidPred), dim)
+      graft.engine.Bucketing.dropTableAndLocation(spark, centTable)
+      learned.write.format("parquet").mode("overwrite")
+        .saveAsTable(centTable)
+      // assign off the PERSISTED centroids (exact double round-trip),
+      // so probe-time and staged assignments share one source of truth
+      val cents = centroidList(spark.table(centTable))
+      v.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("dvec"), col("nv"),
+          sqrt(col("nv")).as("norm"), assignedCluster.as("cluster"))
+        .write.mode("overwrite").partitionBy("cluster")
+        .parquet(dir.getPath)
+    }
+    (centTable, dir.getPath)
+  }
+
+  /** [[ivfTopKLearned]] against the STAGED index — the query-many half:
+    * no corpus assignment happens here at all. The probe list is
+    * computed for the query rows only (same (d2, c_id) order as
+    * assignment, off the persisted centroids), the distinct probed
+    * cells — a ≤ k-element, data-independent driver list, same bounded
+    * class as the centroid broadcast itself — become a partition-column
+    * IN filter, and the scan reads ONLY those cell directories
+    * (`PartitionFilters`, asserted in PlanSpec). Query vectors are
+    * read from the index too (vec_id-pushdown scan), so the raw
+    * embeddings table is never touched.
+    *
+    * Same dropped-query contract as [[ivfTopKLearned]]: a query whose
+    * probed cells hold no other vectors yields no rows — recall
+    * callers left-join their query set and read absence as hits=0.
+    * Output: (q_id, neighbor_id, rank, qcos), bitwise identical to
+    * the in-plan path.
+    */
+  def ivfTopKStaged(spark: org.apache.spark.sql.SparkSession,
+                    fixtureKey: String, emb: => DataFrame,
+                    centroidPred: String, queryPred: String, k: Int,
+                    nprobe: Int = 1, dim: Int = DefaultDim): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1: $nprobe")
+    graft.functions.GraftFunctions.register(spark)
+    val (centTable, asgDir) =
+      ensureIvfLearnedIndex(spark, fixtureKey, emb, centroidPred, dim)
+    val cents = centroidList(spark.table(centTable))
+    // explicit schema: partition-value inference would type the small
+    // cluster ids INT, and the resulting cast in the probe's IN filter
+    // could defeat planning-time partition pruning
+    val asg = spark.read
+      .schema("vec_id BIGINT, dvec ARRAY<DOUBLE>, nv DOUBLE, " +
+        "norm DOUBLE, cluster BIGINT")
+      .parquet(asgDir)
+    val q = asg.filter(expr(queryPred))
+      .select(col("vec_id").as("q_id"), col("dvec").as("qv"),
+        col("norm").as("qn"), col("nv"))
+      .crossJoin(broadcast(cents))
+      .select(col("q_id"), col("qv"), col("qn"),
+        expr("transform(slice(array_sort(transform(cs, s -> struct(" +
+          "nv + s.cn2 - 2.0D * array_dot(qv, s.cv) AS d2, " +
+          s"s.c_id AS c_id))), 1, $nprobe), p -> p.c_id)").as("probes"))
+      .withColumn("cluster", explode(col("probes")))
+      .drop("probes")
+    val probedCells = q.select("cluster").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val scored = asg
+      .filter(col("cluster").isin(probedCells: _*))
+      .join(broadcast(q), Seq("cluster"))
       .where(col("vec_id") =!= col("q_id"))
       .withColumn("qcos",
         dot(col("qv"), col("dvec"), dim) / (col("qn") * col("norm")))

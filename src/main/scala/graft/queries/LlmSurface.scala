@@ -205,14 +205,19 @@ object LlmSurface {
     //     and recall@10 is measured against brute force — the honest
     //     quality number for the cell-local trade. The measured recall
     //     itself is oracle-checked (both engines learn the SAME
-    //     centroids bitwise, so cells and hits agree exactly) ---
+    //     centroids bitwise, so cells and hits agree exactly).
+    //     Round 9: the probe side runs against the STAGED cluster-
+    //     partitioned index (Similarity.ensureIvfLearnedIndex, built
+    //     at ingest via SparkEntry.stage) — centroid learning and
+    //     corpus assignment are no longer inside the query path; only
+    //     the brute-force ground truth still scans raw embeddings,
+    //     because that is what a recall audit measures against ---
     "q129_ivf_recall_learned" -> ((s, d) => {
       val e = emb(s, d)
-      val learned = Similarity.kmeansMStep(e, "vec_id < 8")
       val exact = Similarity.bruteForceTopK(e, "vec_id < 50", k = 10)
         .select(col("q_id"), col("neighbor_id"))
-      val approx = Similarity.ivfTopKLearned(e, learned, "vec_id < 50",
-          k = 10)
+      val approx = Similarity.ivfTopKStaged(s, d, emb(s, d),
+          "vec_id < 8", "vec_id < 50", k = 10)
         .select(col("q_id"), col("neighbor_id"))
       val hits = exact.join(approx, Seq("q_id", "neighbor_id"), "left_semi")
         .groupBy("q_id").agg(count(lit(1)).as("hits"))
@@ -232,11 +237,10 @@ object LlmSurface {
     //     exact off the same bitwise-learned centroids ---
     "q132_ivf_nprobe2" -> ((s, d) => {
       val e = emb(s, d)
-      val learned = Similarity.kmeansMStep(e, "vec_id < 8")
       val exact = Similarity.bruteForceTopK(e, "vec_id < 50", k = 10)
         .select(col("q_id"), col("neighbor_id"))
-      val approx = Similarity.ivfTopKLearned(e, learned, "vec_id < 50",
-          k = 10, nprobe = 2)
+      val approx = Similarity.ivfTopKStaged(s, d, emb(s, d),
+          "vec_id < 8", "vec_id < 50", k = 10, nprobe = 2)
         .select(col("q_id"), col("neighbor_id"))
       val hits = exact.join(approx, Seq("q_id", "neighbor_id"), "left_semi")
         .groupBy("q_id").agg(count(lit(1)).as("hits"))
@@ -283,6 +287,26 @@ object LlmSurface {
         Similarity.kmeansMStep(emb(s, d), "vec_id < 8"),
         threshold = 0.25)
         .orderBy("vec_id")),
+
+    // --- Lloyd run to depth 2, oracled end-to-end: round-1 means feed
+    //     kmeansMStepFrom for a SECOND M-step, and the final E-step
+    //     (kmeansAssignWith) reports per-cluster membership + the
+    //     fixed-point objective — the round-over-round feedback loop
+    //     the helpers exist for, now hash-exact vs DuckDB (both
+    //     engines' round-2 centroids are bitwise identical, so the
+    //     final assignment and objective agree exactly). Cost shape:
+    //     one corpus scan + one k-row exchange per round, 3 rounds
+    //     here (M, M, E) ---
+    "q137_kmeans_iter2" -> ((s, d) => {
+      val e = emb(s, d)
+      val c1 = Similarity.kmeansMStep(e, "vec_id < 8")
+      val c2 = Similarity.kmeansMStepFrom(e, c1)
+      Similarity.kmeansAssignWith(e, c2)
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n_members"),
+          sum(expr("bigint(floor(d2 * 1048576.0d))")).as("sum_d2_fx"))
+        .orderBy("cluster")
+    }),
 
     // --- context-window chunking (sliding token windows) ---
     "q44_chunk" -> ((s, d) =>
@@ -397,6 +421,24 @@ object LlmSurface {
           col("n_segs"), col("n_kept"))
         .orderBy("doc_id")),
 
+    // --- exact-substring dedup WITH REMOVAL (Lee et al. ExactSubstr,
+    //     the step q109 only counts): a per-source footer planted on
+    //     every doc makes corpus-repeated 5-gram spans — each such
+    //     span keeps its first (doc_id, pos) occurrence, every other
+    //     occurrence's token span is deleted (overlaps union), and
+    //     docs reassemble from surviving tokens. Gram digests shuffle,
+    //     never gram text (Dedup.exactSubstrDedup) ---
+    "q136_substr_dedup" -> ((s, d) =>
+      Dedup.exactSubstrDedup(
+        docs(s, d).select(col("doc_id"),
+          concat(col("text"),
+            lit(" shared footer sentence for substring dedup from "),
+            col("source")).as("text")),
+        n = 5)
+        .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"),
+          col("n_toks"), col("n_removed"))
+        .orderBy("doc_id")),
+
     // --- hive-partitioned layout, oracled: documents staged ONCE
     //     partitionBy(lang); an equality predicate on the partition
     //     column prunes whole directories at PLANNING time
@@ -409,6 +451,29 @@ object LlmSurface {
         docs(s, d), Seq("lang"), "docs")
       s.read.parquet(dir)
         .filter(col("lang") === "en")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
+    // --- the q133 × q121 COMPOSITION — hive partitions for coarse
+    //     planning-time pruning, z-order INSIDE each partition for
+    //     fine footer-stats skipping: documents staged once
+    //     partitionBy(lang) with each lang directory z-ordered on
+    //     (n_chars, doc_id). A lang-equality + two-range predicate
+    //     prunes directories first, then skips files within the
+    //     survivor — the production lakehouse layout (PlanSpec asserts
+    //     both levers); hash-exactness vs the plain table proves the
+    //     composed re-layout faithful ---
+    "q138_part_zorder" -> ((s, d) => {
+      val dir = graft.engine.Bucketing.ensurePartitionedZordered(s, d,
+        docs(s, d), "lang", Seq("n_chars", "doc_id"), "docs")
+      // corner-anchored ranges: a z-curve's file bounding boxes are
+      // quadrants, so a low-corner rectangle excludes whole files —
+      // mid-range rectangles intersect every quadrant and skip nothing
+      s.read.parquet(dir)
+        .filter(col("lang") === "en" &&
+          col("n_chars").between(50, 150) &&
+          col("doc_id").between(0, 150))
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")
     }),
@@ -1259,6 +1324,68 @@ object LlmSurface {
          |FROM asg g LEFT JOIN dups d ON g.vec_id = d.vec_id
          |ORDER BY g.vec_id""".stripMargin,
 
+    // q137: q128's round-1 chain continued one more Lloyd round — the
+    // same fixed-point M-step arithmetic makes round-2 centroids
+    // bitwise identical, so the final assignment and the floor'd
+    // objective sums agree exactly across engines
+    "q137_kmeans_iter2" ->
+      s"""WITH ev AS (SELECT vec_id,
+         |   list_transform(embedding, x -> x::DOUBLE) AS v
+         |  FROM embeddings),
+         | nv AS (SELECT vec_id, v, ${dkDot("v", "v")} AS n2 FROM ev),
+         | c0 AS (SELECT vec_id AS c_id, v AS cv, n2 AS cn2
+         |  FROM nv WHERE vec_id < 8),
+         | d0 AS (SELECT nv.vec_id, c0.c_id,
+         |   nv.n2 + c0.cn2 - 2.0 * ${dkDot("nv.v", "c0.cv")} AS d2
+         |  FROM nv, c0),
+         | a0 AS (SELECT vec_id, c_id, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY d2, c_id) AS rn FROM d0),
+         | asg0 AS (SELECT nv.vec_id, a0.c_id AS cluster, nv.v
+         |  FROM nv JOIN a0 ON nv.vec_id = a0.vec_id AND a0.rn = 1),
+         | n0 AS (SELECT cluster, count(*) AS n FROM asg0 GROUP BY cluster),
+         | ex AS (SELECT cluster, idx.i AS i,
+         |   CAST(floor(v[idx.i] * 1048576.0) AS BIGINT) AS fx
+         |  FROM asg0 CROSS JOIN
+         |    (SELECT unnest(range(1, 65)) AS i) idx),
+         | s0 AS (SELECT cluster, i, sum(fx) AS sfx
+         |  FROM ex GROUP BY cluster, i),
+         | c1 AS (SELECT s0.cluster AS c_id,
+         |   list(CAST(sfx AS DOUBLE) / CAST(n AS DOUBLE) / 1048576.0
+         |        ORDER BY i) AS cv
+         |  FROM s0 JOIN n0 ON s0.cluster = n0.cluster
+         |  GROUP BY s0.cluster),
+         | c1n AS (SELECT c_id, cv, ${dkDot("cv", "cv")} AS cn2 FROM c1),
+         | d1 AS (SELECT nv.vec_id, c1n.c_id,
+         |   nv.n2 + c1n.cn2 - 2.0 * ${dkDot("nv.v", "c1n.cv")} AS d2
+         |  FROM nv, c1n),
+         | a1 AS (SELECT vec_id, c_id, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY d2, c_id) AS rn FROM d1),
+         | asg1 AS (SELECT nv.vec_id, a1.c_id AS cluster, nv.v
+         |  FROM nv JOIN a1 ON nv.vec_id = a1.vec_id AND a1.rn = 1),
+         | n1 AS (SELECT cluster, count(*) AS n FROM asg1 GROUP BY cluster),
+         | ex1 AS (SELECT cluster, idx.i AS i,
+         |   CAST(floor(v[idx.i] * 1048576.0) AS BIGINT) AS fx
+         |  FROM asg1 CROSS JOIN
+         |    (SELECT unnest(range(1, 65)) AS i) idx),
+         | s1 AS (SELECT cluster, i, sum(fx) AS sfx
+         |  FROM ex1 GROUP BY cluster, i),
+         | c2 AS (SELECT s1.cluster AS c_id,
+         |   list(CAST(sfx AS DOUBLE) / CAST(n AS DOUBLE) / 1048576.0
+         |        ORDER BY i) AS cv
+         |  FROM s1 JOIN n1 ON s1.cluster = n1.cluster
+         |  GROUP BY s1.cluster),
+         | c2n AS (SELECT c_id, cv, ${dkDot("cv", "cv")} AS cn2 FROM c2),
+         | d2c AS (SELECT nv.vec_id, c2n.c_id,
+         |   nv.n2 + c2n.cn2 - 2.0 * ${dkDot("nv.v", "c2n.cv")} AS d2
+         |  FROM nv, c2n),
+         | a2 AS (SELECT vec_id, c_id, d2, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY d2, c_id) AS rn FROM d2c)
+         |SELECT c_id AS cluster, count(*) AS n_members,
+         | CAST(sum(CAST(floor(d2 * 1048576.0) AS BIGINT)) AS BIGINT)
+         |   AS sum_d2_fx
+         |FROM a2 WHERE rn = 1 GROUP BY c_id
+         |ORDER BY cluster""".stripMargin,
+
     // same knn core as q35 (rank <= 10 over the same cosine, so ranks
     // are bit-identical), then vote/argmax in engine-identical SQL
     "q96_knn_label" ->
@@ -1400,9 +1527,8 @@ object LlmSurface {
         |   text || '|follow us on example dot com ' || source AS t
         |  FROM documents),
         | sp AS (SELECT doc_id, string_split(t, '|') AS s FROM d2),
-        | segs AS (SELECT doc_id, idx.i - 1 AS seg_idx, s[idx.i] AS seg
-        |  FROM sp CROSS JOIN (SELECT unnest(range(1, 11)) AS i) idx
-        |  WHERE idx.i <= len(s)),
+        | segs AS (SELECT doc_id, generate_subscripts(s, 1) - 1 AS seg_idx,
+        |   unnest(s) AS seg FROM sp),
         | kept AS (SELECT doc_id, seg_idx, seg FROM segs
         |  QUALIFY row_number() OVER (PARTITION BY md5(seg)
         |    ORDER BY doc_id, seg_idx) = 1),
@@ -1415,6 +1541,48 @@ object LlmSurface {
         | c.n_segs, CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept
         |FROM cnt c LEFT JOIN reb r ON c.doc_id = r.doc_id
         |ORDER BY c.doc_id""".stripMargin,
+
+    // q136: same planted footer, same first-(doc_id, pos)-wins rule as
+    // a window over gram digests, same union-of-doomed-spans deletion,
+    // same ordered-string_agg reassembly
+    "q136_substr_dedup" ->
+      """WITH d2 AS (SELECT doc_id,
+        |   text || ' shared footer sentence for substring dedup from '
+        |     || source AS t
+        |  FROM documents),
+        | sp AS (SELECT doc_id, string_split(t, ' ') AS s FROM d2),
+        | toks AS (SELECT doc_id, generate_subscripts(s, 1) - 1 AS pos,
+        |   unnest(s) AS tok FROM sp),
+        | grams AS (SELECT doc_id, i - 1 AS pos,
+        |   md5(array_to_string(s[i:i+4], ' ')) AS g
+        |  FROM (SELECT doc_id, s, generate_subscripts(s, 1) AS i FROM sp)
+        |  WHERE i + 4 <= len(s)),
+        | doomed AS (SELECT DISTINCT doc_id, pos FROM (
+        |   SELECT doc_id, unnest(range(pos, pos + 5)) AS pos
+        |   FROM (SELECT doc_id, pos FROM grams
+        |     QUALIFY row_number() OVER (PARTITION BY g
+        |       ORDER BY doc_id, pos) > 1))),
+        | kept AS (SELECT t.doc_id, t.pos, t.tok FROM toks t
+        |  WHERE NOT EXISTS (SELECT 1 FROM doomed x
+        |    WHERE x.doc_id = t.doc_id AND x.pos = t.pos)),
+        | reb AS (SELECT doc_id, count(*) AS n_kept,
+        |   string_agg(tok, ' ' ORDER BY pos) AS clean_text
+        |  FROM kept GROUP BY doc_id),
+        | cnt AS (SELECT doc_id, count(*) AS n_toks FROM toks
+        |  GROUP BY doc_id)
+        |SELECT c.doc_id, md5(coalesce(r.clean_text, '')) AS clean_md5,
+        | c.n_toks,
+        | c.n_toks - CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM cnt c LEFT JOIN reb r ON c.doc_id = r.doc_id
+        |ORDER BY c.doc_id""".stripMargin,
+
+    // q138: the partitioned+z-ordered copy must be a faithful
+    // re-layout — same composed predicate on the plain table
+    "q138_part_zorder" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE lang = 'en' AND n_chars BETWEEN 50 AND 150
+        |  AND doc_id BETWEEN 0 AND 150
+        |ORDER BY doc_id""".stripMargin,
 
     // q133: the partitioned copy must be a faithful re-layout — same
     // predicate on the plain table

@@ -911,6 +911,39 @@ object SqlSurface {
           |LIMIT 20""".stripMargin)
     }),
 
+    // --- the sketch tier's QUANTILE member (round 9): fixed-width
+    //     bucket histogram of event values + quantile read-off from
+    //     the cumulative walk — the batch twin of
+    //     EventStreams.windowedHistogram (same bucket function;
+    //     EventStreamsSpec pins replay + merge equality). Chosen over
+    //     randomized KLL deliberately: bucketing is a pure integer
+    //     function of the value, so the sketch is deterministic and
+    //     hash-oracled, and histograms are LINEAR — any rollup is a
+    //     vector add of ≤ nBuckets counters. The p50/p95 flags are
+    //     exact integer bracket tests (2·cum ≥ total etc.), no float
+    //     thresholds. Scale shape: one partial-aggregated groupBy to
+    //     ≤ 20 rows; the cumulative window runs over post-agg rows
+    //     only (the q120 posture) ---
+    "q139_value_histogram" -> ((s, d) => {
+      val hist = t(s, d, "events")
+        .groupBy(least(greatest(floor(col("value") / lit(25.0d)),
+          lit(0L)), lit(19L)).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      hist
+        .withColumn("cum", sum("n").over(w))
+        .withColumn("total", sum("n").over(tot))
+        .select(col("bucket"), col("n"), col("cum"),
+          (col("cum") * 2 >= col("total") &&
+            (col("cum") - col("n")) * 2 < col("total")).as("is_p50"),
+          (col("cum") * 20 >= col("total") * 19 &&
+            (col("cum") - col("n")) * 20 < col("total") * 19).as("is_p95"))
+        .orderBy("bucket")
+    }),
+
     // --- string function breadth: pad/replace/split_part/levenshtein ---
     "q50_strfns" -> ((s, d) =>
       t(s, d, "part")
@@ -2019,6 +2052,21 @@ object SqlSurface {
     // DuckDB twin of q125: exact counts + the CMS one-sided error
     // contracts pinned TRUE (only Spark can compute the sketch; the
     // contracts are what the estimates must satisfy — q119's shape)
+    // q139: same bucket function, same exact-integer bracket tests
+    "q139_value_histogram" ->
+      """WITH h AS (SELECT
+        |   least(greatest(CAST(floor(value / 25.0) AS BIGINT), 0), 19)
+        |     AS bucket,
+        |   count(*) AS n
+        |  FROM events GROUP BY 1),
+        | c AS (SELECT bucket, n,
+        |   sum(n) OVER (ORDER BY bucket) AS cum,
+        |   sum(n) OVER () AS total FROM h)
+        |SELECT bucket, n, CAST(cum AS BIGINT) AS cum,
+        | (2*cum >= total AND 2*(cum - n) < total) AS is_p50,
+        | (20*cum >= 19*total AND 20*(cum - n) < 19*total) AS is_p95
+        |FROM c ORDER BY bucket""".stripMargin,
+
     "q125_cms_freq" ->
       """WITH toks AS (
         |  SELECT unnest(string_split(text, ' ')) AS term FROM documents)

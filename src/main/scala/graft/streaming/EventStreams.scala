@@ -136,6 +136,36 @@ object EventStreams {
       .agg(expr(s"hll_sketch_agg(user_id, $lgK)").as("sk"))
       .select(col("window.start").as("window_start"), col("sk"))
 
+  /** The QUANTILE twin of [[windowedCms]]/[[windowedHll]]: per
+    * event-time window, a fixed-width bucket histogram of `value` —
+    * `bucket = clamp(floor(value / width), 0, nBuckets-1)` — emitted
+    * as sparse (window_start, bucket, n) rows when the watermark
+    * closes the window. Chosen over a randomized KLL-style sketch
+    * deliberately: bucketing is a pure integer function of the value,
+    * so the sketch is deterministic, cross-engine exact (the batch
+    * twin q139 is hash-oracled against DuckDB), and LINEAR like CMS —
+    * vector-adding window histograms IS the histogram of the union
+    * stream, so hour→day→corpus rollups are KB-sized merges, never
+    * re-reads, and any quantile reads off the merged cumulative walk
+    * with error bounded by one bucket width.
+    *
+    * State per open window is ≤ nBuckets counters — bounded,
+    * independent of event cardinality — evicted on close.
+    */
+  def windowedHistogram(events: DataFrame, window_ : String = "1 hour",
+      watermark: String = "2 hours", width: Double = 50.0,
+      nBuckets: Int = 32): DataFrame = {
+    require(width > 0 && nBuckets >= 1, s"bad histogram: $width/$nBuckets")
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_),
+        least(greatest(floor(col("value") / lit(width)), lit(0L)),
+          lit(nBuckets - 1L)).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("bucket"),
+        col("n"))
+  }
+
   /** Streaming exact dedup on event_id within the watermark horizon:
     * duplicates arriving inside the late-data bound are dropped; state
     * for ids older than the watermark is evicted (bounded memory —

@@ -46,6 +46,32 @@ class DedupSpec extends SparkSpec {
     assert(again == out)
   }
 
+  test("exactSubstrDedup: first occurrence survives, overlapping doomed " +
+    "spans union, within-doc repeats collapse, copies go empty") {
+    val d = Seq(
+      (1L, "p q r s t"),            // owns every gram's first occurrence
+      (2L, "m p q r s n"),          // repeats "p q r","q r s" at pos 1,2
+      (3L, "z z z z"),              // within-doc overlap of "z z z"
+      (4L, "p q r s t"),            // verbatim copy of doc 1
+      (5L, "xx yy"))                // shorter than n → untouched
+      .toDF("doc_id", "text")
+    val out = Dedup.exactSubstrDedup(d, n = 3)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out(0) == ((1L, "p q r s t", 5L, 0L)))
+    // doc 2's doomed occurrences at pos 1 and 2 span [1,3] and [2,4]:
+    // the union [1,4] leaves exactly the boundary tokens m and n
+    assert(out(1) == ((2L, "m n", 6L, 4L)))
+    // "z z z" at pos 0 is first; pos 1 dooms [1,3] → one z survives
+    assert(out(2) == ((3L, "z", 4L, 3L)))
+    // every position of the verbatim copy is covered → empty rebuild
+    assert(out(3) == ((4L, "", 5L, 5L)))
+    assert(out(4) == ((5L, "xx yy", 2L, 0L)))
+    // determinism: physical layout cannot perturb the keep-rule
+    val again = Dedup.exactSubstrDedup(d.repartition(7), n = 3)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(again == out)
+  }
+
   test("minhash signature is identical for identical texts") {
     val sigs = Dedup.minhashSignatures(TextOps.withShingles(docs))
       .select("doc_id", "sig").collect()

@@ -200,6 +200,35 @@ class PipelineSpec extends SparkSpec {
     assert(again == out)
   }
 
+  test("mergeUpsert: the documented key precondition is real — " +
+    "duplicate update keys emit both rows, null keys never match") {
+    val base = Seq((Some(1L), "a"), (None, "nullbase"))
+      .toDF("doc_id", "text")
+    // duplicate key in updates → MERGE cardinality violation: both
+    // update rows survive the union (2 rows for key 1)
+    val dupUpd = Seq((Some(1L), "u1"), (Some(1L), "u2"))
+      .toDF("doc_id", "text")
+    val dupOut = Pipeline.mergeUpsert(base, dupUpd, "doc_id")
+      .as[(Option[Long], String)].collect()
+    assert(dupOut.count(_._1.contains(1L)) == 2,
+      "duplicate update keys must surface as duplicate rows (documented)")
+    // null key in updates → anti join can't match it, so the null-key
+    // base row survives ALONGSIDE the null-key update
+    val nullUpd = Seq((Option.empty[Long], "nullupd"))
+      .toDF("doc_id", "text")
+    val nullOut = Pipeline.mergeUpsert(base, nullUpd, "doc_id")
+      .as[(Option[Long], String)].collect()
+    assert(nullOut.count(_._1.isEmpty) == 2,
+      "null-key rows must not merge (SQL null semantics, documented)")
+    // the caller-side guard the scaladoc prescribes: pre-aggregated
+    // unique non-null keys restore MERGE semantics
+    val clean = dupUpd.filter(col("doc_id").isNotNull)
+      .groupBy("doc_id").agg(max(col("text")).as("text"))
+    val cleanOut = Pipeline.mergeUpsert(base, clean, "doc_id")
+      .as[(Option[Long], String)].collect()
+    assert(cleanOut.count(_._1.contains(1L)) == 1)
+  }
+
   test("writeShards: shard dirs partition the corpus in permutation " +
     "order; rewrite from any layout is identical") {
     val corpus = (1L to 300L).map(i => (i, s"text $i"))

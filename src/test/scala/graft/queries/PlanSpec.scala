@@ -342,10 +342,80 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PartitionFilters: [isnotnull(lang"),
       s"lang predicate did not reach PartitionFilters:\n${p.take(1500)}")
     assert("PartitionFilters: \\[[^\\]]*\\(lang[^\\]]* = en\\)".r
-      .findFirstIn(p).nonEmpty || p.contains("lang#"),
-      p.take(1500))
+      .findFirstIn(p).nonEmpty,
+      s"'= en' predicate missing from PartitionFilters:\n${p.take(1500)}")
     // the predicate must NOT fall back to a post-scan data filter
     assert(!p.contains("PushedFilters: [IsNotNull(lang"), p.take(1500))
+  }
+
+  test("q138: composed layout — lang directories prune at planning " +
+    "time AND z-order skips files inside the surviving partition") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("q138_part_zorder")(spark, sf001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*\\(lang[^\\]]* = en\\)".r
+      .findFirstIn(p).nonEmpty,
+      s"lang predicate did not reach PartitionFilters:\n${p.take(1500)}")
+    // the plan string truncates PushedFilters at ~100 chars, so only
+    // the first z-column's pushdown is visibly assertable; the
+    // files-read metric below is the real evidence both ranges skip
+    assert(p.contains("GreaterThanOrEqual(n_chars"),
+      s"z-column ranges not pushed to footers:\n${p.take(1500)}")
+    // file-level skipping inside the partition: the en directory holds
+    // numFiles z-ordered files; the composed predicate's z-rectangle
+    // must not touch all of them (boundaries are deterministic, so
+    // this is a fixed property of the fixture, not a flake)
+    val dir = graft.engine.Bucketing.ensurePartitionedZordered(spark,
+      sf001, graft.engine.Tables.table(spark, sf001, "documents"),
+      "lang", Seq("n_chars", "doc_id"), "docs")
+    // row-group skipping INSIDE the surviving partition, measured as
+    // scan-emitted rows vs an unclustered twin of the same partition
+    // (the q121 posture: numFiles is a planning metric and footer
+    // pruning is row-group level, so rows emitted by the scan — after
+    // row-group pruning, before the Filter node — is the skip signal)
+    val flat = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_pztest_flat_twin")
+    spark.read.parquet(dir).filter(col("lang") === "en").drop("lang")
+      .repartition(4, col("doc_id"))
+      .write.mode("overwrite").parquet(flat.getPath)
+    def scannedRows(d: org.apache.spark.sql.DataFrame): Long = {
+      val probe = d
+        .filter(col("n_chars").between(50, 150) &&
+          col("doc_id").between(0, 150))
+        .select("doc_id")
+      probe.collect()
+      probe.queryExecution.executedPlan.collect {
+        case sc: org.apache.spark.sql.execution.FileSourceScanExec =>
+          sc.metrics("numOutputRows").value
+      }.sum
+    }
+    val zRows = scannedRows(
+      spark.read.parquet(dir).filter(col("lang") === "en"))
+    val flatRows = scannedRows(spark.read.parquet(flat.getPath))
+    assert(zRows > 0, "predicate selected nothing — test is vacuous")
+    assert(zRows < flatRows,
+      s"z-ordered partition scan read $zRows rows vs unclustered twin " +
+        s"$flatRows — row-group skipping is not happening")
+  }
+
+  test("q129 probe path: staged IVF reads ONLY probed cluster cells " +
+    "(PartitionFilters) and never re-assigns the raw corpus") {
+    val emb = graft.engine.Tables.table(spark, sf001, "embeddings")
+    val df = graft.operators.Similarity.ivfTopKStaged(spark, sf001,
+      emb, "vec_id < 8", "vec_id < 50", k = 10)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the candidate scan reads the staged cluster-partitioned index
+    // with a planning-time partition prune on the probed cells
+    assert(p.contains("graft_ivf_asg_"),
+      s"probe does not read the staged index:\n${p.take(1500)}")
+    assert("PartitionFilters: \\[cluster[#\\w]* IN".r.findFirstIn(p).nonEmpty,
+      s"probed cells not pruned at planning time:\n${p.take(1500)}")
+    // index-build work must be OUT of the query path: no scan of the
+    // raw embeddings table anywhere in the probe plan
+    assert(!p.contains("embeddings.parquet"),
+      s"probe re-scans the raw corpus:\n${p.take(1500)}")
   }
 
   test("q134: merge/upsert anti-joins the update KEYS as a broadcast — " +

@@ -544,6 +544,40 @@ class EventStreamsSpec extends SparkSpec {
     assert(total == 3L, s"union estimate $total")
   }
 
+  test("windowedHistogram: sparse per-window buckets, clamping, and " +
+    "LINEARITY — vector-adding windows is the union-stream histogram") {
+    val in = MemoryStream[Event](spark)
+    val out = EventStreams.windowedHistogram(
+      in.toDF(), window_ = "10 minutes", watermark = "5 minutes",
+      width = 50.0, nBuckets = 4)
+    runToMemory(out, "whist", OutputMode.Append) {
+      in.addData(
+        Event(1, ts(1), 10, "click", 10.0), // bucket 0
+        Event(2, ts(4), 11, "click", 60.0), // bucket 1
+        Event(3, ts(8), 10, "view", 70.0)) // bucket 1
+      in.addData(
+        Event(4, ts(12), 10, "view", 10.0), // bucket 0, window 2
+        Event(5, ts(14), 12, "view", 990.0)) // clamps to bucket 3
+      in.addData(Event(6, ts(40), 10, "click", 1.0)) // advances watermark
+    }
+    val emitted = spark.table("whist")
+      .as[(Timestamp, Long, Long)].collect().toSeq
+    // sparse emission: only occupied (window, bucket) cells appear
+    assert(emitted.map(_._1).distinct.size == 2, emitted.mkString(","))
+    assert(emitted.size == 4, emitted.mkString(","))
+    val w1 = emitted.filter(_._1 == ts(0)).map(t => t._2 -> t._3).toMap
+    val w2 = emitted.filter(_._1 == ts(10)).map(t => t._2 -> t._3).toMap
+    assert(w1 == Map(0L -> 1L, 1L -> 2L), w1)
+    assert(w2 == Map(0L -> 1L, 3L -> 1L), w2)
+    // linearity — the CMS/HLL merge property in its simplest form:
+    // summing per-window counters by bucket IS the histogram of the
+    // union stream, so any later granularity is a KB-sized vector add
+    val merged = spark.table("whist").groupBy("bucket")
+      .agg(org.apache.spark.sql.functions.sum("n").as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(merged == Map(0L -> 2L, 1L -> 2L, 3L -> 1L), merged)
+  }
+
   test("decontaminateStream replay equals the batch decontaminate counts") {
     val bench = Seq(
       (100L, "alpha beta gamma delta epsilon"),
