@@ -162,10 +162,13 @@ object Explain {
         "corpus exactly once keyed by `cluster` — no corpus-wide " +
         "all-pairs shape anywhere."),
     "q129_ivf_recall_learned" ->
-      ("IVF recall audit: both assignment passes are broadcast-only " +
-        "corpus scans; approx candidates reach the per-query rank " +
-        "window through a broadcast of the 50-query side keyed on " +
-        "`cluster`, so the corpus never shuffles before the top-k."),
+      ("IVF recall audit against the STAGED learned-centroid index " +
+        "(round 9): the probe side reads the cluster-partitioned index " +
+        "under a `PartitionFilters: [cluster IN (...)]` planning-time " +
+        "prune — no corpus assignment happens in the query; only the " +
+        "brute-force ground-truth arm scans raw embeddings, and approx " +
+        "candidates reach the per-query rank window through a " +
+        "broadcast of the 50-query side keyed on `cluster`."),
     "q130_meta_agg" ->
       ("Metadata-only aggregation: the DSv2 parquet scan answers " +
         "COUNT/MIN/MAX from row-group footer statistics — " +
@@ -183,7 +186,33 @@ object Explain {
         "BroadcastExchange into a LeftAnti BroadcastHashJoin — the " +
         "base corpus is scanned once and never hash-shuffled " +
         "(PlanSpec pins zero hash exchanges); updates union in above " +
-        "the join."))
+        "the join."),
+    "q136_substr_dedup" ->
+      ("Exact-substring dedup with removal (Lee et al. ExactSubstr): " +
+        "the keeper rollup is a partial-aggregated min(struct) over " +
+        "`(md5(gram), doc_id, pos)` — digests shuffle, never gram " +
+        "text; doomed spans explode to ≤ n positions, the anti join " +
+        "keys on (doc_id, pos), and reassembly is one per-doc " +
+        "sort_array rollup — token text crosses the wire once."),
+    "q137_kmeans_iter2" ->
+      ("Lloyd to depth 2: each round is one broadcast-assignment " +
+        "corpus scan plus a k-row partial-aggregated exchange — the " +
+        "plan shows three such scans (M, M, E) and nothing else " +
+        "touching the corpus; round-2 centroids re-enter as a single " +
+        "broadcast row."),
+    "q138_part_zorder" ->
+      ("Composed lakehouse layout: `PartitionFilters` drops non-en " +
+        "lang directories at planning time AND the surviving " +
+        "partition's z-ordered files carry narrow (n_chars, doc_id) " +
+        "envelopes, so footer stats prune row groups under the " +
+        "corner-anchored range predicate (PlanSpec measures the scan " +
+        "emitting fewer rows than an unclustered twin)."),
+    "q139_value_histogram" ->
+      ("Histogram quantile sketch: one partial-aggregated groupBy " +
+        "collapses the event stream to ≤ 20 bucket counters; the " +
+        "cumulative-walk windows and exact-integer p50/p95 bracket " +
+        "tests run over those post-agg rows only — the raw stream " +
+        "never reaches a window."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
