@@ -212,7 +212,13 @@ object Explain {
         "collapses the event stream to ≤ 20 bucket counters; the " +
         "cumulative-walk windows and exact-integer p50/p95 bracket " +
         "tests run over those post-agg rows only — the raw stream " +
-        "never reaches a window."))
+        "never reaches a window."),
+    "q140_ivf_append" ->
+      ("Incremental IVF upkeep probe: the appended batch entered the " +
+        "staged index at ingest (O(batch) assignment against the " +
+        "persisted quantizer, append-only write); the probe plan is " +
+        "identical to q129's staged shape — `PartitionFilters` cell " +
+        "pruning over base ∪ appended, no corpus scan, no rebuild."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

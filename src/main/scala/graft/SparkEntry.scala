@@ -50,7 +50,8 @@ object SparkEntry {
         "vec_id < 8")),
       Future(graft.engine.Bucketing.ensurePartitionedZordered(spark, sfDir,
         graft.engine.Tables.table(spark, sfDir, "documents"),
-        "lang", Seq("n_chars", "doc_id"), "docs")))
+        "lang", Seq("n_chars", "doc_id"), "docs")),
+      Future(graft.queries.LlmSurface.ivfAppendStage(spark, sfDir)))
     writes.foreach(Await.result(_, Duration.Inf))
   }
 }

@@ -636,6 +636,47 @@ object Similarity {
     (centTable, dir.getPath)
   }
 
+  /** Incremental upkeep of the staged IVF index — the ingest path
+    * that keeps [[ensureIvfLearnedIndex]] from going stale: `batch`
+    * rows (vec_id, embedding) are assigned against the PERSISTED
+    * centroids (one broadcast, no corpus scan — the batch is the only
+    * input read) and appended into their cluster directories. The
+    * coarse quantizer deliberately does NOT move — that is the
+    * standard IVF upkeep contract (re-learning centroids is a
+    * re-stage, a separate, rarer event), so existing cell contents
+    * and all previously-returned probe results stay valid.
+    *
+    * Idempotent per `batchKey`: a marker file inside the index dir
+    * records a completed append, so replays (warm passes, retries,
+    * repeated query invocations) are no-ops — and a re-stage's
+    * `overwrite` clears the markers with the data, putting rebuild
+    * and re-append back in one consistent order.
+    *
+    * Scale shape: cost is O(|batch|) — assign + one nShards-ish
+    * append write; the 100 TB standing index is never read, never
+    * rewritten. Returns (centroid table, index directory).
+    */
+  def ivfAppendOnce(spark: org.apache.spark.sql.SparkSession,
+                    fixtureKey: String, emb: => DataFrame,
+                    centroidPred: String, batch: => DataFrame,
+                    batchKey: String,
+                    dim: Int = DefaultDim): (String, String) = {
+    val (centTable, asgDir) =
+      ensureIvfLearnedIndex(spark, fixtureKey, emb, centroidPred, dim)
+    val marker = new java.io.File(asgDir,
+      s"_APPENDED_${graft.engine.Bucketing.fingerprint8(batchKey)}")
+    if (!marker.isFile) {
+      graft.functions.GraftFunctions.register(spark)
+      val cents = centroidList(spark.table(centTable))
+      dvecFrame(batch, dim).crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("dvec"), col("nv"),
+          sqrt(col("nv")).as("norm"), assignedCluster.as("cluster"))
+        .write.mode("append").partitionBy("cluster").parquet(asgDir)
+      marker.createNewFile()
+    }
+    (centTable, asgDir)
+  }
+
   /** [[ivfTopKLearned]] against the STAGED index — the query-many half:
     * no corpus assignment happens here at all. The probe list is
     * computed for the query rows only (same (d2, c_id) order as

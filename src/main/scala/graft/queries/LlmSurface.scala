@@ -24,6 +24,20 @@ object LlmSurface {
   /** Query terms for the TF-IDF search demo. */
   val searchTerms: Seq[String] = Seq("spark", "join", "vector")
 
+  /** q140's ingest half, also invoked from `SparkEntry.stage`: a
+    * dedicated staged IVF index (fixture key suffixed `#append`, so
+    * q129/q132's shared index never sees appended rows) plus one
+    * idempotent batch append — 20 fixture vectors with ids shifted by
+    * 1e6, the deterministic stand-in for newly-ingested embeddings.
+    */
+  def ivfAppendStage(s: SparkSession, d: String): Unit = {
+    Similarity.ivfAppendOnce(s, s"$d#append", emb(s, d), "vec_id < 8",
+      emb(s, d).filter(col("vec_id") < 20)
+        .withColumn("vec_id", col("vec_id") + lit(1000000L)),
+      batchKey = "batch1")
+    ()
+  }
+
   val queries: Map[String, Q] = Map(
     // --- analysis chain: tokenize + term frequencies ---
     "q24_tokenize" -> ((s, d) =>
@@ -250,6 +264,24 @@ object LlmSurface {
         .select(col("q_id"), col("hits"),
           (col("hits").cast("double") / lit(10).cast("double")).as("recall"))
         .orderBy("q_id")
+    }),
+
+    // --- incremental IVF index upkeep, oracled: a batch of 20 "new"
+    //     vectors (fixture rows with shifted ids — deterministic)
+    //     appends into a dedicated staged index by assignment against
+    //     the PERSISTED centroids (no rebuild, no corpus scan, O(batch)
+    //     cost), then the nprobe=1 probe returns each query's top-10
+    //     over base ∪ appended. Appended exact copies surface at
+    //     rank 1 with cosine 1.0 for copied queries — the oracle
+    //     reproduces the union ranking exactly. Isolated under its own
+    //     fixture key so q129/q132's shared index stays append-free ---
+    "q140_ivf_append" -> ((s, d) => {
+      ivfAppendStage(s, d)
+      Similarity.ivfTopKStaged(s, s"$d#append", emb(s, d),
+          "vec_id < 8", "vec_id < 50", k = 10)
+        .select(col("q_id"), col("neighbor_id"), col("rank"),
+          (col("neighbor_id") >= 1000000L).as("is_appended"))
+        .orderBy("q_id", "rank")
     }),
 
     // --- one Lloyd/k-means iteration over the embedding corpus:
@@ -1154,6 +1186,61 @@ object LlmSurface {
          |    AS recall
          |FROM nv n LEFT JOIN hits h ON n.vec_id = h.q_id
          |WHERE n.vec_id < 50 ORDER BY q_id""".stripMargin,
+
+    // q140: q129's learning chain (centroids from the BASE corpus
+    // only — upkeep never moves the quantizer), then assignment and
+    // same-cell top-10 over base ∪ shifted-id batch
+    "q140_ivf_append" ->
+      s"""WITH ev AS (SELECT vec_id,
+         |   list_transform(embedding, x -> x::DOUBLE) AS v
+         |  FROM embeddings),
+         | nv AS (SELECT vec_id, v, ${dkDot("v", "v")} AS n2 FROM ev),
+         | c0 AS (SELECT vec_id AS c_id, v AS cv, n2 AS cn2
+         |  FROM nv WHERE vec_id < 8),
+         | d0 AS (SELECT nv.vec_id, c0.c_id,
+         |   nv.n2 + c0.cn2 - 2.0 * ${dkDot("nv.v", "c0.cv")} AS d2
+         |  FROM nv, c0),
+         | a0 AS (SELECT vec_id, c_id, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY d2, c_id) AS rn FROM d0),
+         | asg0 AS (SELECT nv.vec_id, a0.c_id AS cluster, nv.v
+         |  FROM nv JOIN a0 ON nv.vec_id = a0.vec_id AND a0.rn = 1),
+         | n0 AS (SELECT cluster, count(*) AS n FROM asg0 GROUP BY cluster),
+         | ex AS (SELECT cluster, idx.i AS i,
+         |   CAST(floor(v[idx.i] * 1048576.0) AS BIGINT) AS fx
+         |  FROM asg0 CROSS JOIN
+         |    (SELECT unnest(range(1, 65)) AS i) idx),
+         | s0 AS (SELECT cluster, i, sum(fx) AS sfx
+         |  FROM ex GROUP BY cluster, i),
+         | c1 AS (SELECT s0.cluster AS c_id,
+         |   list(CAST(sfx AS DOUBLE) / CAST(n AS DOUBLE) / 1048576.0
+         |        ORDER BY i) AS cv
+         |  FROM s0 JOIN n0 ON s0.cluster = n0.cluster
+         |  GROUP BY s0.cluster),
+         | c1n AS (SELECT c_id, cv, ${dkDot("cv", "cv")} AS cn2 FROM c1),
+         | app AS (SELECT vec_id + 1000000 AS vec_id, v, n2
+         |  FROM nv WHERE vec_id < 20),
+         | allv AS (SELECT vec_id, v, n2 FROM nv
+         |  UNION ALL SELECT vec_id, v, n2 FROM app),
+         | d1 AS (SELECT allv.vec_id, c1n.c_id,
+         |   allv.n2 + c1n.cn2 - 2.0 * ${dkDot("allv.v", "c1n.cv")} AS d2
+         |  FROM allv, c1n),
+         | a1 AS (SELECT vec_id, c_id, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY d2, c_id) AS rn FROM d1),
+         | asg AS (SELECT allv.vec_id, a1.c_id AS cluster, allv.v,
+         |   sqrt(allv.n2) AS nrm
+         |  FROM allv JOIN a1 ON allv.vec_id = a1.vec_id AND a1.rn = 1),
+         | approx AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+         |   row_number() OVER (PARTITION BY q.vec_id
+         |    ORDER BY ${dkDot("q.v", "c.v")} / (q.nrm * c.nrm) DESC,
+         |      c.vec_id ASC) AS rank
+         |  FROM asg q JOIN asg c
+         |    ON q.vec_id < 50 AND c.vec_id != q.vec_id
+         |    AND q.cluster = c.cluster
+         |  QUALIFY rank <= 10)
+         |SELECT q_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+         | neighbor_id >= 1000000 AS is_appended
+         |FROM approx ORDER BY q_id, rank""".stripMargin,
 
     // q132: q129's oracle with a probe CTE — each query's TWO nearest
     // learned cells by the same (d2, c_id) order; a candidate matches

@@ -230,6 +230,58 @@ class SimilaritySpec extends SparkSpec {
       s"nprobe=2 ${(0L until 20L).map(h2).sum}/200")
   }
 
+  test("staged IVF: probe equals the in-plan path bitwise; append is " +
+    "idempotent, never moves centroids, and surfaces copies at rank 1") {
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val key = s"$sf001#spec-append"
+    // staged probe == in-plan path on the SAME learned centroids
+    val learned = Similarity.kmeansMStep(e, "vec_id < 8")
+    val inPlan = Similarity.ivfTopKLearned(e, learned, "vec_id < 20",
+        k = 10)
+      .select("q_id", "neighbor_id", "rank")
+      .as[(Long, Long, Long)].collect().sortBy(t => (t._1, t._3)).toSeq
+    val (centTable, asgDir) = Similarity.ensureIvfLearnedIndex(
+      spark, key, e, "vec_id < 8")
+    def persistedCentroids(): Seq[(Long, Seq[Double])] =
+      spark.table(centTable).select("c_id", "cv")
+        .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+    val centsBefore = persistedCentroids()
+    val staged = Similarity.ivfTopKStaged(spark, key, e, "vec_id < 8",
+        "vec_id < 20", k = 10)
+      .select("q_id", "neighbor_id", "rank")
+      .as[(Long, Long, Long)].collect().sortBy(t => (t._1, t._3)).toSeq
+    assert(staged == inPlan, "staged probe diverged from in-plan path")
+    // append: idempotent per batchKey (file census identical on replay)
+    def census(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(asgDir))
+        .map(f => f.getPath -> f.length()).toMap
+    }
+    val batch = e.filter(expr("vec_id < 5"))
+      .withColumn("vec_id",
+        org.apache.spark.sql.functions.col("vec_id") +
+          org.apache.spark.sql.functions.lit(1000000L))
+    Similarity.ivfAppendOnce(spark, key, e, "vec_id < 8", batch, "b1")
+    val afterFirst = census()
+    Similarity.ivfAppendOnce(spark, key, e, "vec_id < 8", batch, "b1")
+    assert(census() == afterFirst, "replayed append mutated the index")
+    // the PERSISTED quantizer did not move: upkeep's invariant
+    // (re-learning is a re-stage, not an append)
+    assert(persistedCentroids() == centsBefore,
+      "append mutated the persisted centroid table")
+    // an appended exact copy of a query is its rank-1 neighbor
+    val withCopies = Similarity.ivfTopKStaged(spark, key, e,
+        "vec_id < 8", "vec_id < 5", k = 10)
+      .select("q_id", "neighbor_id", "rank")
+      .as[(Long, Long, Long)].collect()
+    (0L until 5L).foreach { q =>
+      val r1 = withCopies.find(t => t._1 == q && t._3 == 1L)
+      assert(r1.exists(_._2 == q + 1000000L),
+        s"q=$q rank-1 is ${r1.map(_._2)}, expected copy ${q + 1000000L}")
+    }
+  }
+
   test("semanticDedupCentroids with learned centroids keeps the " +
     "pairwise-below-threshold invariant per cluster") {
     val e = spark.read.parquet(s"$sf001/embeddings.parquet")
