@@ -218,7 +218,35 @@ object Explain {
         "staged index at ingest (O(batch) assignment against the " +
         "persisted quantizer, append-only write); the probe plan is " +
         "identical to q129's staged shape — `PartitionFilters` cell " +
-        "pruning over base ∪ appended, no corpus scan, no rebuild."))
+        "pruning over base ∪ appended, no corpus scan, no rebuild."),
+    "q141_zonemap_skip" ->
+      ("Zone-map + file-Bloom skipping: the probe consulted the " +
+        "O(numFiles) stats manifest on the DRIVER before this plan was " +
+        "built, so the scan's file list already contains only the " +
+        "units whose Bloom admits the point key — the plan reads a " +
+        "handful of leaf directories, with the residual " +
+        "orderkey/partkey filter pushed into the pruned scan."),
+    "q142_editdist_join" ->
+      ("SymSpell edit-distance join: the deletion-variant explode is a " +
+        "codegen'd Generate emitting |s|+1 md5 digests per title; " +
+        "candidates come from ONE digest equi-join (never a cross " +
+        "product), and the exact `levenshtein` verify runs only on the " +
+        "candidate pairs after two broadcast joins rebind the title " +
+        "strings."),
+    "q143_snapshot_read" ->
+      ("CDC snapshot reads: each version is a chain of LeftAnti " +
+        "BroadcastHashJoins over the base scan — batch KEYS broadcast, " +
+        "the corpus never hash-shuffles for the replay; both requested " +
+        "versions union above their replay chains, so the history " +
+        "read is two bounded-depth replays of the same log."),
+    "q144_containment_dedup" ->
+      ("Containment via prefix filtering: shingle digests feed two " +
+        "partial-aggregated rollups (global frequency, per-doc size), " +
+        "the per-doc rarity rank window selects the prefix, and the " +
+        "candidate join keys on the PREFIX digests — the corpus's " +
+        "rarest posting lists; the exact intersection count joins " +
+        "only candidate pairs, so no all-pairs shape exists at any " +
+        "corpus size."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

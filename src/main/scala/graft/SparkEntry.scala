@@ -51,7 +51,8 @@ object SparkEntry {
       Future(graft.engine.Bucketing.ensurePartitionedZordered(spark, sfDir,
         graft.engine.Tables.table(spark, sfDir, "documents"),
         "lang", Seq("n_chars", "doc_id"), "docs")),
-      Future(graft.queries.LlmSurface.ivfAppendStage(spark, sfDir)))
+      Future(graft.queries.LlmSurface.ivfAppendStage(spark, sfDir)),
+      Future(SqlSurface.ensureZonemappedLineitem(spark, sfDir)))
     writes.foreach(Await.result(_, Duration.Inf))
   }
 }

@@ -1,0 +1,126 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Explicit file-level data-skipping index — the fourth layout lever
+  * next to bucketing (join co-location), z-order (correlated
+  * multi-column ranges) and hive partitioning (categorical pruning):
+  * a ZONE MAP. The staged copy is range-bucketed into `numFiles`
+  * units by one column, and a separate tiny stats table records, PER
+  * FILE UNIT, the min/max of that column plus a Bloom filter over a
+  * SECOND, non-layout column. A probe consults the stats table first
+  * and reads only the surviving units — file pruning the scan planner
+  * cannot do itself, because the Bloom column's values are scattered
+  * across the layout (parquet footer min/max on a scattered column
+  * spans everything; a Bloom still answers point lookups).
+  *
+  * This is exactly the Delta/Iceberg file-statistics manifest shape:
+  * the stats side is O(numFiles) — bounded by the LAYOUT, not the
+  * data — so the probe's driver-side consult stays a constant-size
+  * read at any corpus size (at 100 TB the manifest is thousands of
+  * rows where the data is billions; reading it on the driver is the
+  * same O(files) listing every table scan already performs).
+  *
+  * Reference basis: the reference's Elasticsearch side gets this from
+  * Lucene per-segment terms indexes
+  * (`/root/reference/api/controllers/elastic_controller.go:197-224`);
+  * this is the columnar-lakehouse equivalent (SURVEY §2.5).
+  */
+object ZoneMap {
+
+  /** Stage the zone-mapped copy of `df` AT MOST ONCE per (fixture,
+    * layout): range-bucket rows by `rangeCol` into `numFiles` leaf
+    * directories (exact integer boundaries — deterministic, no
+    * sampling), then write `_zonemap/` holding per-unit (min, max,
+    * bloom(xxhash64(`bloomCol`))). `_SUCCESS` lands only after BOTH
+    * writes, so a torn staging re-runs. Returns the staged root.
+    */
+  def ensureZonemapped(spark: SparkSession, fixtureKey: String,
+      df: => DataFrame, rangeCol: String, bloomCol: String,
+      baseName: String, numFiles: Int = 16,
+      bloomItems: Long = 100000L): String = {
+    require(numFiles >= 1, s"numFiles must be >= 1: $numFiles")
+    val fp = Bucketing.fingerprint8(
+      s"$fixtureKey|$baseName|zm1|$rangeCol|$bloomCol|$numFiles")
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_zm_${baseName}_$fp")
+    if (!new java.io.File(dir, "_SUCCESS").isFile) {
+      graft.functions.GraftFunctions.register(spark)
+      val src = df
+      val head = src.agg(min(col(rangeCol)).cast("long"),
+        max(col(rangeCol)).cast("long")).head()
+      val (mn, mx) = (head.getLong(0), head.getLong(1))
+      require(mx - mn < Long.MaxValue / numFiles,
+        s"$rangeCol span ${mx - mn} * $numFiles files overflows int64 " +
+          "bucket math — raise the bucket width or use BigInt boundaries")
+      val span = mx - mn + 1
+      // exact integer bucket math (`div`, not `/` — Column./ is IEEE
+      // division, lossy past 2^53)
+      val data = src.withColumn("zf", expr(
+        s"cast(((cast($rangeCol as bigint) - ${mn}L) * ${numFiles}L) " +
+          s"div ${span}L as int)"))
+      data.repartition(col("zf"))
+        .write.mode("overwrite").partitionBy("zf")
+        .parquet(new java.io.File(dir, "data").getPath)
+      // Stats from the files AS WRITTEN (read-back, not the source
+      // frame): the manifest must describe what a probe will read.
+      val back = spark.read.parquet(new java.io.File(dir, "data").getPath)
+      back.groupBy("zf")
+        .agg(min(col(rangeCol)).cast("long").as("mn"),
+          max(col(rangeCol)).cast("long").as("mx"),
+          expr(s"graft_bloom_agg(xxhash64($bloomCol), ${bloomItems}L)")
+            .as("bloom"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(new java.io.File(dir, "zonemap").getPath)
+      new java.io.File(dir, "_SUCCESS").createNewFile()
+    }
+    dir.getPath
+  }
+
+  /** Probe the staged zone map under the conjunctive predicate
+    * `rangeCol BETWEEN lo AND hi AND bloomCol = point`: consult the
+    * stats table (O(numFiles) rows — the bounded manifest read), keep
+    * units whose [min, max] overlaps the range AND whose Bloom admits
+    * the point (no false negatives ⇒ recall-1 pruning; a false
+    * positive only costs a read), then scan ONLY the surviving leaf
+    * directories with the exact residual filter on top. Returns the
+    * surviving unit ids (for the pruning assertion in PlanSpec) and
+    * the result frame.
+    */
+  def zonemapScan(spark: SparkSession, dir: String, rangeCol: String,
+      bloomCol: String, lo: Long, hi: Long,
+      point: Long): (Seq[Int], DataFrame) = {
+    val stats = spark.read.parquet(s"$dir/zonemap")
+    // The manifest consult happens ON THE DRIVER — the same place the
+    // planner prunes partitions — over O(numFiles) rows. The Bloom
+    // probe key is xxhash64(point), matching the hashing the build
+    // side fed into graft_bloom_agg. (The codegen'd might_contain
+    // expression requires a CONSTANT filter, so a per-manifest-row
+    // probe deserializes each sketch here instead.)
+    // seed 42 = the xxhash64() SQL function's fixed seed
+    val hash = org.apache.spark.sql.catalyst.expressions
+      .XxHash64(Seq(org.apache.spark.sql.catalyst.expressions
+        .Literal(point)), 42L).eval().asInstanceOf[Long]
+    val survivors = stats
+      .filter(col("mx") >= lo && col("mn") <= hi)
+      .select("zf", "bloom").collect()
+      .filter { r =>
+        org.apache.spark.util.sketch.BloomFilter
+          .readFrom(new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          .mightContainLong(hash)
+      }
+      .map(_.getInt(0)).sorted.toSeq
+    val raw =
+      if (survivors.isEmpty)
+        // empty survivor set: keep the output schema without touching
+        // any data file beyond the footer of the root read
+        spark.read.parquet(s"$dir/data").filter(lit(false))
+      else
+        spark.read.parquet(survivors.map(z => s"$dir/data/zf=$z"): _*)
+    val out = raw.drop("zf")
+      .filter(col(rangeCol).between(lo, hi) && col(bloomCol) === point)
+    (survivors, out)
+  }
+}

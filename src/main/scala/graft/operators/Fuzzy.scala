@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fuzzy-matching tier: edit-distance self-join and asymmetric
+  * set-containment detection — the two dedup shapes the Jaccard tier
+  * (Dedup.scala) cannot express. Jaccard is symmetric and token-order
+  * blind; real corpora also need (a) "these two short strings are the
+  * same up to a typo" (titles, names, near-identical URLs) and (b)
+  * "document A is mostly QUOTED inside document B" (containment — a
+  * 200-token quote inside a 20k-token page has Jaccard ≈ 0.01 but
+  * containment ≈ 1.0).
+  *
+  * Reference basis: the reference delegates all matching to
+  * Elasticsearch (`/root/reference/api/controllers/elastic_controller.go:197-224`),
+  * whose fuzzy queries are Damerau-Levenshtein automata per shard;
+  * this module is the batch, corpus-scale equivalent (SURVEY §2.5).
+  *
+  * Determinism contract (shared with the rest of the repo): every
+  * blocking key is an md5 digest of derived text; verification uses
+  * exact integer edit distance / integer set counts; the single final
+  * division producing a ratio is one IEEE double op on
+  * exactly-representable integers — bitwise portable to the DuckDB
+  * oracles.
+  */
+object Fuzzy {
+
+  /** All pairs of rows whose strings are within Levenshtein distance 1,
+    * found WITHOUT an all-pairs comparison: deletion-neighborhood
+    * blocking (the SymSpell scheme). Each string emits itself plus its
+    * |s| single-character-deletion variants; two strings at edit
+    * distance ≤ 1 provably share a variant —
+    *   substitution at i: deleting position i from both sides yields
+    *     the same string;
+    *   insertion/deletion: deleting the inserted character from the
+    *     longer side yields the shorter side's identity variant;
+    *   equality: both identity variants match —
+    * so the blocking is RECALL-1 (FuzzySpec pins each case). Distance-2
+    * pairs can also collide (delete a different char from each side);
+    * the exact `levenshtein` verification filters them.
+    *
+    * Scale shape: the explode is linear — |s|+1 digest rows per string
+    * (md5(variant) shuffles, never variant text), the self-join is
+    * keyed by those digests, and candidate groups are true near-dup
+    * clusters plus rare digest collisions, never the corpus. The exact
+    * verify runs only on candidates. No all-pairs product at any
+    * corpus size; intended for short strings (titles/names — the
+    * variant count is per-CHARACTER, so apply to a derived title
+    * column, not document bodies).
+    *
+    * Output: (id_a, id_b, dist) with id_a < id_b, one row per pair.
+    */
+  def editDistancePairs(strings: DataFrame, idCol: String,
+                        strCol: String): DataFrame = {
+    val base = strings.select(col(idCol).cast("long").as("id"),
+      col(strCol).as("s"))
+    // i = 0 keeps the string itself; i = 1..len deletes character i.
+    val variants = base
+      .withColumn("v", explode(expr(
+        "transform(sequence(0, length(s)), i -> if(i = 0, s, " +
+          "concat(substring(s, 1, i - 1), substring(s, i + 1))))")))
+      .select(col("id"), md5(col("v")).as("vd"))
+      .distinct()
+    val cand = variants.alias("a")
+      .join(variants.alias("b"), "vd")
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand
+      .join(base.select(col("id").as("id_a"), col("s").as("s_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("s").as("s_b")), "id_b")
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")).cast("long"))
+      .filter(col("dist") <= 1)
+      .select("id_a", "id_b", "dist")
+  }
+
+  /** Asymmetric containment detection over distinct word n-gram shingle
+    * sets: emit (a, b, ...) whenever `|S_a ∩ S_b| / |S_a| ≥ tauNum/tauDen`
+    * with a ≠ b — "doc a's shingles are mostly inside doc b" (quote /
+    * subset / boilerplate-page detection). Note the direction: a short
+    * quote scores ~1.0 against its source while the source scores low
+    * against the quote, exactly the asymmetry Jaccard erases.
+    *
+    * Candidate generation is PREFIX FILTERING under a global rarity
+    * order (the PPJoin containment bound): order every doc's shingles
+    * by (corpus frequency ASC, digest ASC) and take the first
+    * `|S_a| - ceil(tau·|S_a|) + 1` as doc a's prefix. If
+    * `|S_a ∩ S_b| ≥ tau·|S_a|` then a misses at most
+    * `(1-tau)·|S_a| < prefixLen` of its shingles from S_b, so at least
+    * one PREFIX shingle is shared — recall-1 (FuzzySpec pins it).
+    * Because the prefix holds each doc's RAREST shingles, its posting
+    * lists are the corpus's shortest: the candidate join is keyed by
+    * rare digests, never by stopword-grade shingles.
+    *
+    * Scale shape: three digest-keyed shuffles (frequency count, prefix
+    * rank, candidate join) + one candidate-bounded intersection count;
+    * md5 digests move, never shingle text. The exact verify joins only
+    * candidate pairs. Threshold compare is exact integer
+    * (`tauDen·shared ≥ tauNum·|S_a|`); the reported ratio is one
+    * IEEE division of exact integers.
+    *
+    * Output: (a_id, b_id, n_shared, n_a, containment), a ≠ b.
+    */
+  def containmentPairs(docs: DataFrame, n: Int = 5, tauNum: Int = 4,
+                       tauDen: Int = 5): DataFrame = {
+    require(tauNum > 0 && tauDen >= tauNum,
+      s"need 0 < tau <= 1: $tauNum/$tauDen")
+    val sh = TextOps.withShingles(docs, n)
+      .select(col("doc_id"), explode(col("shingles")).as("g"))
+      .select(col("doc_id"), md5(col("g")).as("gd"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val freq = sh.groupBy("gd").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(asc("df"), asc("gd"))
+    val prefix = sh.join(freq, "gd")
+      .withColumn("rn", row_number().over(w))
+      .join(sizes, "doc_id")
+      // prefixLen = n_sh - ceil(tau*n_sh) + 1, all integer (`div`,
+      // not `/` — Column./ is IEEE division)
+      .filter(col("rn") <= expr(
+        s"n_sh - ((n_sh * $tauNum + ${tauDen - 1}) div $tauDen) + 1"))
+      .select(col("doc_id").as("a_id"), col("gd"))
+    val cand = prefix
+      .join(sh.select(col("doc_id").as("b_id"), col("gd")), "gd")
+      .filter(col("a_id") =!= col("b_id"))
+      .select("a_id", "b_id")
+      .distinct()
+    val shared = cand
+      .join(sh.select(col("doc_id").as("a_id"), col("gd")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("gd")),
+        Seq("b_id", "gd"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("n_a")),
+        "a_id")
+      .filter(col("n_shared") * tauDen >= col("n_a") * tauNum)
+      .withColumn("containment",
+        col("n_shared").cast("double") / col("n_a").cast("double"))
+      .select("a_id", "b_id", "n_shared", "n_a", "containment")
+  }
+}

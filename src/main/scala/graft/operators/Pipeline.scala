@@ -237,6 +237,45 @@ object Pipeline {
     base.join(updates.select(key), Seq(key), "left_anti")
       .unionByName(updates)
 
+  /** One CDC batch applied to a snapshot: rows with `op = 'U'` upsert
+    * (replace-or-append, [[mergeUpsert]] semantics), rows with
+    * `op = 'D'` delete their key. Both ops ride the SAME anti join —
+    * every batch key leaves the base, then only the upserts union
+    * back — so a batch costs exactly what [[mergeUpsert]] costs: the
+    * base never shuffles, only batch keys move (broadcast under the
+    * usual batch ≪ base asymmetry).
+    *
+    * Same cardinality precondition as [[mergeUpsert]]: batch keys
+    * unique and non-null (one op per key per batch — a delete and an
+    * upsert of the same key in one batch is a contradiction upstream
+    * must resolve).
+    */
+  def applyCdc(base: DataFrame, batch: DataFrame, key: String,
+               opCol: String = "op"): DataFrame =
+    base.join(batch.select(key), Seq(key), "left_anti")
+      .unionByName(batch.filter(col(opCol) === "U").drop(opCol))
+
+  /** Snapshot-at-version ("time travel") over a CDC log: replay the
+    * first `version` batches onto the base with [[applyCdc]].
+    * `version = 0` is the base itself; any older version stays
+    * readable after newer batches exist — the log IS the history,
+    * exactly the lakehouse-format contract (Delta/Iceberg minus their
+    * transaction-log files).
+    *
+    * Scale shape: `version` sequential broadcast anti joins over one
+    * base scan pipeline — lineage depth is the version count, so a
+    * long-lived 100 TB table periodically MATERIALIZES a snapshot and
+    * re-bases the log (the checkpoint lever every lakehouse format
+    * pulls); replay cost is then `version mod checkpointInterval`
+    * batches, never the full history.
+    */
+  def snapshotAt(base: DataFrame, batches: Seq[DataFrame], version: Int,
+                 key: String, opCol: String = "op"): DataFrame = {
+    require(version >= 0 && version <= batches.size,
+      s"version must be in [0, ${batches.size}]: $version")
+    batches.take(version).foldLeft(base)(applyCdc(_, _, key, opCol))
+  }
+
   /** Deterministic probability-proportional-to-size (Poisson/IPPS)
     * sampling targeting ~`targetDocs` draws: doc `i` with integer
     * weight `w_i` (token count) is kept with inclusion probability

@@ -471,6 +471,79 @@ object LlmSurface {
           col("n_toks"), col("n_removed"))
         .orderBy("doc_id")),
 
+    // --- edit-distance fuzzy join (typo-tolerant title dedup): a
+    //     derived titles table (first 8 tokens per doc) plus planted
+    //     single-character corruptions; all Levenshtein-≤1 pairs found
+    //     via deletion-neighborhood (SymSpell) blocking — digests of
+    //     single-deletion variants shuffle, candidate groups are true
+    //     near-dup clusters, exact levenshtein verifies. Never an
+    //     all-pairs product (Fuzzy.editDistancePairs; the DuckDB twin
+    //     IS the all-pairs quadratic, valid only at oracle scale) ---
+    "q142_editdist_join" -> ((s, d) => {
+      val base = docs(s, d).select(col("doc_id"),
+        expr("concat_ws(' ', slice(split(text, ' '), 1, 8))").as("title"))
+      val typos = base.filter(col("doc_id") % 7 === 3)
+        .withColumn("p", (col("doc_id") % 10 + 2).cast("int"))
+        .select((col("doc_id") + lit(100000L)).as("doc_id"),
+          expr("concat(substring(title, 1, p - 1), 'x', " +
+            "substring(title, p + 1))").as("title"))
+      graft.operators.Fuzzy
+        .editDistancePairs(base.unionByName(typos), "doc_id", "title")
+        .orderBy("id_a", "id_b")
+    }),
+
+    // --- snapshot-at-version reads ("time travel") over a CDC log:
+    //     two derived batches (upserts, appends, deletes) on top of
+    //     the documents base; versions 1 AND 2 are both reconstructed
+    //     from the same log after batch 2 exists — the lakehouse
+    //     history contract. Each replay step is the broadcast
+    //     anti-join of Pipeline.applyCdc: the base scans, never
+    //     shuffles (Pipeline.snapshotAt) ---
+    "q143_snapshot_read" -> ((s, d) => {
+      val base = docs(s, d).select("doc_id", "text")
+      val b1 = base.filter(col("doc_id") % 9 === 1)
+          .withColumn("text", concat(col("text"), lit(" v1")))
+          .withColumn("op", lit("U"))
+        .unionByName(base.filter(col("doc_id") < 3)
+          .withColumn("doc_id", col("doc_id") + lit(2000000L))
+          .withColumn("op", lit("U")))
+      val b2 = base.filter(col("doc_id") % 9 === 4)
+          .withColumn("text", concat(col("text"), lit(" v2")))
+          .withColumn("op", lit("U"))
+        .unionByName(base.filter(col("doc_id") % 9 === 7)
+          .withColumn("op", lit("D")))
+      val log = Seq(b1, b2)
+      val v1 = Pipeline.snapshotAt(base, log, 1, "doc_id")
+        .select(lit(1L).as("version"), col("doc_id"),
+          md5(col("text")).as("text_md5"))
+      val v2 = Pipeline.snapshotAt(base, log, 2, "doc_id")
+        .select(lit(2L).as("version"), col("doc_id"),
+          md5(col("text")).as("text_md5"))
+      v1.unionByName(v2).orderBy("version", "doc_id")
+    }),
+
+    // --- asymmetric containment dedup (quote / subset detection): a
+    //     40%-prefix "quote" doc planted for every 50th document; a
+    //     pair reports when ≥ 80% of the SMALLER side's distinct
+    //     5-gram shingles appear in the other doc — the relation
+    //     Jaccard erases (quote vs source: containment 1.0, Jaccard
+    //     ≈ 0.4). Candidates via prefix filtering under a global
+    //     rarity order (recall-1, rarest-shingle posting lists);
+    //     digests shuffle, never shingle text (Fuzzy.containmentPairs;
+    //     the DuckDB twin is the exact shared-shingle join) ---
+    "q144_containment_dedup" -> ((s, d) => {
+      val base = docs(s, d).select("doc_id", "text")
+      val quotes = base.filter(col("doc_id") % 50 === 17)
+        .withColumn("toks", split(col("text"), " "))
+        .select((col("doc_id") + lit(300000L)).as("doc_id"),
+          expr("concat_ws(' ', slice(toks, 1, " +
+            "cast((2 * size(toks) + 4) div 5 as int)))").as("text"))
+      graft.operators.Fuzzy
+        .containmentPairs(base.unionByName(quotes), n = 5,
+          tauNum = 4, tauDen = 5)
+        .orderBy("a_id", "b_id")
+    }),
+
     // --- hive-partitioned layout, oracled: documents staged ONCE
     //     partitionBy(lang); an equality predicate on the partition
     //     column prunes whole directories at PLANNING time
@@ -1662,6 +1735,75 @@ object LlmSurface {
         | c.n_toks - CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
         |FROM cnt c LEFT JOIN reb r ON c.doc_id = r.doc_id
         |ORDER BY c.doc_id""".stripMargin,
+
+    // q142: same derived titles + planted typos; the oracle is the
+    // honest all-pairs quadratic — valid at oracle scale only, which
+    // is exactly why the Spark side blocks on deletion digests
+    "q142_editdist_join" ->
+      """WITH base AS (SELECT doc_id,
+        |   array_to_string((string_split(text, ' '))[1:8], ' ') AS title
+        |  FROM documents),
+        | typo AS (SELECT doc_id + 100000 AS tid,
+        |   substr(title, 1, CAST(doc_id % 10 + 1 AS INT)) || 'x' ||
+        |     substr(title, CAST(doc_id % 10 + 3 AS INT)) AS title
+        |  FROM base WHERE doc_id % 7 = 3),
+        | s AS (SELECT doc_id, title FROM base
+        |       UNION ALL SELECT tid, title FROM typo)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.title, b.title) AS BIGINT) AS dist
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE levenshtein(a.title, b.title) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // q143: identical batch derivations; each version replays its
+    // prefix of the log (anti-join on batch keys, upserts union in)
+    "q143_snapshot_read" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        | u1 AS (SELECT doc_id, text || ' v1' AS text FROM base
+        |         WHERE doc_id % 9 = 1
+        |        UNION ALL SELECT doc_id + 2000000, text FROM base
+        |         WHERE doc_id < 3),
+        | v1 AS (SELECT doc_id, text FROM base
+        |         WHERE doc_id NOT IN (SELECT doc_id FROM u1)
+        |        UNION ALL SELECT doc_id, text FROM u1),
+        | b2k AS (SELECT doc_id FROM base
+        |         WHERE doc_id % 9 = 4 OR doc_id % 9 = 7),
+        | v2 AS (SELECT doc_id, text FROM v1
+        |         WHERE doc_id NOT IN (SELECT doc_id FROM b2k)
+        |        UNION ALL SELECT doc_id, text || ' v2' FROM base
+        |         WHERE doc_id % 9 = 4)
+        |SELECT CAST(1 AS BIGINT) AS version, doc_id,
+        |  md5(text) AS text_md5 FROM v1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), doc_id, md5(text) FROM v2
+        |ORDER BY version, doc_id""".stripMargin,
+
+    // q144: same planted 40%-prefix quotes, same distinct-5-shingle
+    // sets; the oracle joins shared shingles directly (exact, no
+    // prefix filter — the filter is recall-1, so results agree)
+    "q144_containment_dedup" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        | quotes AS (SELECT doc_id + 300000 AS doc_id,
+        |   array_to_string(toks[1:CAST((2 * len(toks) + 4) // 5 AS INT)],
+        |     ' ') AS text
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |        FROM base WHERE doc_id % 50 = 17)),
+        | corpus AS (SELECT * FROM base UNION ALL SELECT * FROM quotes),
+        | sp AS (SELECT doc_id, string_split(text, ' ') AS s FROM corpus),
+        | g AS (SELECT DISTINCT doc_id,
+        |   md5(array_to_string(s[i:i+4], ' ')) AS gd
+        |  FROM (SELECT doc_id, s, generate_subscripts(s, 1) AS i FROM sp)
+        |  WHERE i + 4 <= len(s)),
+        | sz AS (SELECT doc_id, count(*) AS n_sh FROM g GROUP BY doc_id),
+        | pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |   count(*) AS n_shared
+        |  FROM g a JOIN g b USING (gd) WHERE a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT p.a_id, p.b_id, p.n_shared, s.n_sh AS n_a,
+        |  p.n_shared::DOUBLE / s.n_sh::DOUBLE AS containment
+        |FROM pr p JOIN sz s ON p.a_id = s.doc_id
+        |WHERE p.n_shared * 5 >= s.n_sh * 4
+        |ORDER BY a_id, b_id""".stripMargin,
 
     // q138: the partitioned+z-ordered copy must be a faithful
     // re-layout — same composed predicate on the plain table

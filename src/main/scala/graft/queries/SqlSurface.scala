@@ -77,6 +77,15 @@ object SqlSurface {
       Seq("l_partkey", "l_suppkey"), "lineitem")
   }
 
+  def ensureZonemappedLineitem(s: SparkSession, d: String): String = {
+    // same outlives-the-JVM contract as the z-order stage: fold the
+    // source file's stat into the fixture key
+    val src = new java.io.File(s"$d/lineitem.parquet")
+    graft.engine.ZoneMap.ensureZonemapped(s,
+      s"$d|${src.lastModified}|${src.length}", t(s, d, "lineitem"),
+      rangeCol = "l_partkey", bloomCol = "l_orderkey", "lineitem")
+  }
+
   /** DuckDB twin of TextOps.bpeLoop: the merge-learning CTE chain,
     * unrolled through `rounds` rounds. Yields CTEs `wd, d0,
     * p1, w1, d1, …, p<r>, w<r>, d<r>` — `w<i>` is round i's winning
@@ -172,7 +181,11 @@ object SqlSurface {
         .select(col("l_orderkey"), col("l_linenumber"),
           revenueDec.cast("double").as("revenue"),
           col("l_returnflag"))
-        .orderBy("l_orderkey", "l_linenumber")),
+        // all output columns in the sort: (orderkey, linenumber) is
+        // NOT unique in the fixtures, and a tie with different
+        // revenue would flake the row-wise oracle compare
+        .orderBy("l_orderkey", "l_linenumber", "revenue",
+          "l_returnflag")),
 
     // --- multi-way join + agg + top-k, with explicit broadcast of the
     //     small dimension (TPC-H Q3 shape) ---
@@ -1135,7 +1148,31 @@ object SqlSurface {
           col("l_suppkey").between(1, 3))
         .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
           "l_quantity")
-        .orderBy("l_orderkey", "l_linenumber")),
+        // ties on every ORDER BY column are identical projected rows,
+        // so the sort is deterministic up to row equality — ordering
+        // by fewer columns flakes the row-wise oracle compare
+        // whenever a fixture has duplicate (orderkey, linenumber)
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "l_quantity")),
+
+    // --- layout tier, zone map + file Blooms: the staged lineitem
+    //     copy is range-bucketed by l_partkey with a per-file-unit
+    //     stats manifest (min/max partkey + Bloom over orderkey). A
+    //     point lookup on l_orderkey — a column the LAYOUT scatters,
+    //     so footer min/max can never skip on it — consults the
+    //     O(files) manifest and reads only the units whose Bloom
+    //     admits the key (PlanSpec asserts the pruning on both
+    //     levers). Hash-exactness vs the plain table proves the
+    //     pruned read lossless: Blooms have no false negatives ---
+    "q141_zonemap_skip" -> ((s, d) => {
+      val dir = SqlSurface.ensureZonemappedLineitem(s, d)
+      val (_, df) = graft.engine.ZoneMap.zonemapScan(s, dir,
+        "l_partkey", "l_orderkey", 0L, Long.MaxValue, point = 777L)
+      df.select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "l_quantity")
+    }),
 
     // --- layout tier, metadata-only aggregation: COUNT/MIN/MAX
     //     answered from parquet row-group FOOTER statistics — zero
@@ -1176,7 +1213,7 @@ object SqlSurface {
         .select(col("l_orderkey"), col("l_linenumber"),
           expr("stack(3, 'disc', l_discount, 'price', l_extendedprice, " +
             "'qty', l_quantity)").as(Seq("metric", "value")))
-        .orderBy("l_orderkey", "l_linenumber", "metric")),
+        .orderBy("l_orderkey", "l_linenumber", "metric", "value")),
 
     // --- RANGE frame over event time: 30-day trailing spend window.
     //     Range frames include peers, so the sum is deterministic even
@@ -1446,7 +1483,7 @@ object SqlSurface {
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |  AND l_shipdate <  TIMESTAMP '1997-01-01'
         |  AND l_discount > 0.05 AND l_quantity < 30
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, revenue, l_returnflag""".stripMargin,
 
     "q03_join_topk" ->
       s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
@@ -2112,7 +2149,7 @@ object SqlSurface {
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
         |FROM lineitem
         |WHERE l_partkey BETWEEN 10 AND 40 AND l_suppkey BETWEEN 1 AND 3
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity""".stripMargin,
 
     // footer-statistics aggregation must equal the full-scan answer
     "q130_meta_agg" ->
@@ -2120,6 +2157,14 @@ object SqlSurface {
         | min(l_orderkey) AS min_orderkey, max(l_orderkey) AS max_orderkey,
         | min(l_partkey) AS min_partkey, max(l_partkey) AS max_partkey
         |FROM lineitem""".stripMargin,
+
+    // q141: the zone-mapped copy + Bloom-pruned read must be lossless —
+    // same point predicate on the plain table
+    "q141_zonemap_skip" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+        |FROM lineitem WHERE l_orderkey = 777
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |  l_quantity""".stripMargin,
 
     "q63_interval_join" ->
       """SELECT c.event_id AS click_id, v.event_id AS view_id,
@@ -2140,7 +2185,7 @@ object SqlSurface {
         | UNION ALL
         | SELECT l_orderkey, l_linenumber, 'qty', l_quantity
         |   FROM lineitem WHERE l_orderkey <= 100)
-        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, metric, value""".stripMargin,
 
     "q69_range_frame" ->
       """SELECT o_orderkey, o_custkey, o_orderdate,

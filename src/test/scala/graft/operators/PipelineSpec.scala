@@ -257,6 +257,35 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("applyCdc: upserts replace, appends land, deletes remove — in " +
+    "one batch") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val batch = Seq((2L, "B2", "U"), (9L, "new", "U"), (3L, "", "D"))
+      .toDF("doc_id", "text", "op")
+    val out = Pipeline.applyCdc(base, batch, "doc_id")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, "a"), (2L, "B2"), (9L, "new")))
+  }
+
+  test("snapshotAt: every version stays readable after newer batches " +
+    "exist, version 0 is the base, bounds are enforced") {
+    val base = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    val b1 = Seq((1L, "a1", "U"), (3L, "c", "U"))
+      .toDF("doc_id", "text", "op")
+    val b2 = Seq((2L, "", "D"), (3L, "c2", "U"))
+      .toDF("doc_id", "text", "op")
+    val log = Seq(b1, b2)
+    def snap(v: Int) = Pipeline.snapshotAt(base, log, v, "doc_id")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(snap(0) == Seq((1L, "a"), (2L, "b")))
+    assert(snap(1) == Seq((1L, "a1"), (2L, "b"), (3L, "c")))
+    assert(snap(2) == Seq((1L, "a1"), (3L, "c2")))
+    // time travel: v1 re-read AFTER v2 was computed is unchanged
+    assert(snap(1) == Seq((1L, "a1"), (2L, "b"), (3L, "c")))
+    intercept[IllegalArgumentException](snap(3))
+    intercept[IllegalArgumentException](snap(-1))
+  }
+
   test("contamination finds planted train/test n-gram overlap") {
     val train = Seq((1L, (1 to 20).map("t" + _).mkString(" ")),
       (2L, "unrelated train words only here padding pad pad pad")).toDF("doc_id", "text")
