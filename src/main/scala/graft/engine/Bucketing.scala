@@ -73,8 +73,8 @@ object Bucketing {
       s"$fixtureKey|$baseName|z2|${cols.mkString(",")}|$bits|$numFiles")
     val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_z_${baseName}_$fp")
-    if (!new java.io.File(dir, "_SUCCESS").isFile)
-      zorderWrite(df, dir.getPath, cols, bits, numFiles)
+    atomicStage(dir)(tmp => zorderWrite(df, tmp.getPath, cols, bits,
+      numFiles))
     dir.getPath
   }
 
@@ -96,9 +96,9 @@ object Bucketing {
       s"$fixtureKey|$baseName|part|${partCols.mkString(",")}")
     val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_p_${baseName}_$fp")
-    if (!new java.io.File(dir, "_SUCCESS").isFile)
+    atomicStage(dir)(tmp =>
       df.write.mode("overwrite").partitionBy(partCols: _*)
-        .parquet(dir.getPath)
+        .parquet(tmp.getPath))
     dir.getPath
   }
 
@@ -125,16 +125,15 @@ object Bucketing {
       s"${zCols.mkString(",")}|$bits|$numFiles")
     val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_pz_${baseName}_$fp")
-    if (!new java.io.File(dir, "_SUCCESS").isFile) {
+    atomicStage(dir) { tmp =>
       val src = df
       val vals = src.select(partCol).distinct().collect()
         .map(_.get(0).toString).sorted
       vals.foreach { v =>
         zorderWrite(src.filter(col(partCol) === v).drop(partCol),
-          new java.io.File(dir, s"$partCol=$v").getPath,
+          new java.io.File(tmp, s"$partCol=$v").getPath,
           zCols, bits, numFiles)
       }
-      new java.io.File(dir, "_SUCCESS").createNewFile()
     }
     dir.getPath
   }
@@ -360,6 +359,54 @@ object Bucketing {
   private def deleteRecursively(f: java.io.File): Unit = if (f.exists()) {
     if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
     f.delete(): Unit
+  }
+
+  /** Cross-JVM-safe staged-artifact publication: `build` writes into a
+    * fresh UUID-suffixed sibling, a `_SUCCESS` marker lands INSIDE it,
+    * and ONE atomic rename publishes the finished directory. Two JVMs
+    * staging the same artifact concurrently (a test suite and a
+    * Verify/Bench run share /tmp on one box; two executog hosts share
+    * a staging prefix on a cluster) each build privately — the loser's
+    * rename fails and its copy is discarded, so the published dir is
+    * always exactly one writer's complete output, never an interleaving
+    * of two jobs' files. The check-marker/rebuild contract is unchanged
+    * (`_SUCCESS` present ⇒ adopt); a torn non-atomic dir from a crashed
+    * older staging carries no marker and is cleared before the rename.
+    */
+  def atomicStage(dir: java.io.File, force: Boolean = false)(
+      build: java.io.File => Unit): Unit = {
+    if (!force && new java.io.File(dir, "_SUCCESS").isFile) return
+    val tmp = new java.io.File(dir.getParentFile,
+      dir.getName + ".stage-" +
+        java.util.UUID.randomUUID().toString.take(8))
+    try {
+      build(tmp)
+      // Spark dir writes create their own _SUCCESS; manual builders
+      // may not — the marker must exist BEFORE publication
+      val marker = new java.io.File(tmp, "_SUCCESS")
+      if (!marker.isFile) marker.createNewFile()
+      // `force` replaces a complete dir (the caller decided its
+      // content is superseded — e.g. a rebuilt catalog half must take
+      // its appended-batches half down with it); without force only a
+      // torn, markerless dir is cleared
+      if (dir.exists() &&
+          (force || !new java.io.File(dir, "_SUCCESS").isFile))
+        deleteRecursively(dir)
+      java.nio.file.Files.move(tmp.toPath, dir.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      ()
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException |
+           _: java.nio.file.FileSystemException
+          if new java.io.File(dir, "_SUCCESS").isFile =>
+        // another staging published first (equally fresh under force —
+        // both builders rebuilt from the same immutable fixture) —
+        // adopt theirs, drop ours
+        deleteRecursively(tmp)
+      case e: Throwable =>
+        deleteRecursively(tmp)
+        throw e
+    }
   }
 
   /** Drop `tableName` from the catalog AND clear any leftover warehouse

@@ -45,7 +45,7 @@ object ZoneMap {
       s"$fixtureKey|$baseName|zm1|$rangeCol|$bloomCol|$numFiles")
     val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_zm_${baseName}_$fp")
-    if (!new java.io.File(dir, "_SUCCESS").isFile) {
+    Bucketing.atomicStage(dir) { tmp =>
       graft.functions.GraftFunctions.register(spark)
       val src = df
       val head = src.agg(min(col(rangeCol)).cast("long"),
@@ -62,10 +62,10 @@ object ZoneMap {
           s"div ${span}L as int)"))
       data.repartition(col("zf"))
         .write.mode("overwrite").partitionBy("zf")
-        .parquet(new java.io.File(dir, "data").getPath)
+        .parquet(new java.io.File(tmp, "data").getPath)
       // Stats from the files AS WRITTEN (read-back, not the source
       // frame): the manifest must describe what a probe will read.
-      val back = spark.read.parquet(new java.io.File(dir, "data").getPath)
+      val back = spark.read.parquet(new java.io.File(tmp, "data").getPath)
       back.groupBy("zf")
         .agg(min(col(rangeCol)).cast("long").as("mn"),
           max(col(rangeCol)).cast("long").as("mx"),
@@ -73,8 +73,7 @@ object ZoneMap {
             .as("bloom"))
         .coalesce(1)
         .write.mode("overwrite")
-        .parquet(new java.io.File(dir, "zonemap").getPath)
-      new java.io.File(dir, "_SUCCESS").createNewFile()
+        .parquet(new java.io.File(tmp, "zonemap").getPath)
     }
     dir.getPath
   }

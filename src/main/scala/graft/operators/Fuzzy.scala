@@ -56,12 +56,15 @@ object Fuzzy {
     val base = strings.select(col(idCol).cast("long").as("id"),
       col(strCol).as("s"))
     // i = 0 keeps the string itself; i = 1..len deletes character i.
+    // persisted: the self-join consumes the variant frame twice, and
+    // re-evaluating the explode+md5 chain per side doubles the scan
     val variants = base
       .withColumn("v", explode(expr(
         "transform(sequence(0, length(s)), i -> if(i = 0, s, " +
           "concat(substring(s, 1, i - 1), substring(s, i + 1))))")))
       .select(col("id"), md5(col("v")).as("vd"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = variants.alias("a")
       .join(variants.alias("b"), "vd")
       .filter(col("a.id") < col("b.id"))
@@ -106,10 +109,19 @@ object Fuzzy {
                        tauDen: Int = 5): DataFrame = {
     require(tauNum > 0 && tauDen >= tauNum,
       s"need 0 < tau <= 1: $tauNum/$tauDen")
-    val sh = TextOps.withShingles(docs, n)
-      .select(col("doc_id"), explode(col("shingles")).as("g"))
-      .select(col("doc_id"), md5(col("g")).as("gd"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    // One tokenize+shingle+digest pass, persisted: four downstream
+    // consumers (sizes, frequency, postings, verify) would otherwise
+    // each re-evaluate the whole higher-order shingle chain (the
+    // Generate-re-evaluation pathology measured at 7× in
+    // Dedup.minhashSignatures — here it was 4× the corpus scan).
+    val arr = TextOps.withShingles(docs, n)
+      .select(col("doc_id"),
+        expr("transform(shingles, s -> md5(s))").as("gds"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = arr.select(col("doc_id"), explode(col("gds")).as("gd"))
+    // per-doc set size straight off the array — no aggregation shuffle
+    val sizes = arr.select(col("doc_id"),
+      size(col("gds")).cast("long").as("n_sh"))
     val freq = sh.groupBy("gd").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(asc("df"), asc("gd"))
@@ -126,12 +138,16 @@ object Fuzzy {
       .filter(col("a_id") =!= col("b_id"))
       .select("a_id", "b_id")
       .distinct()
+    // exact verify on candidates only: both digest SETS rebind by key
+    // and intersect per pair — `gds` is array_distinct by construction,
+    // so the intersection size IS the shared-distinct-shingle count
     val shared = cand
-      .join(sh.select(col("doc_id").as("a_id"), col("gd")), "a_id")
-      .join(sh.select(col("doc_id").as("b_id"), col("gd")),
-        Seq("b_id", "gd"))
-      .groupBy("a_id", "b_id")
-      .agg(count(lit(1)).as("n_shared"))
+      .join(arr.select(col("doc_id").as("a_id"), col("gds").as("gds_a")),
+        "a_id")
+      .join(arr.select(col("doc_id").as("b_id"), col("gds").as("gds_b")),
+        "b_id")
+      .withColumn("n_shared",
+        size(array_intersect(col("gds_a"), col("gds_b"))).cast("long"))
     shared
       .join(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("n_a")),
         "a_id")

@@ -276,6 +276,25 @@ object Pipeline {
     batches.take(version).foldLeft(base)(applyCdc(_, _, key, opCol))
   }
 
+  /** Replay a CDC log directory written by
+    * [[graft.streaming.EventStreams.cdcLogSink]] (immutable
+    * `batch=<epoch>/` segments) onto `base` with [[snapshotAt]]:
+    * segments apply in epoch order; `version` (default: all) bounds
+    * the prefix, so any historical snapshot stays readable. The
+    * directory listing is O(log length) driver work — the same
+    * bounded-manifest contract as the zone map — and each segment
+    * applies as one broadcast anti-join.
+    */
+  def replayLog(spark: org.apache.spark.sql.SparkSession, base: DataFrame,
+                logDir: String, key: String,
+                version: Int = Int.MaxValue): DataFrame = {
+    val segs = Option(new java.io.File(logDir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      .sortBy(f => f.getName.stripPrefix("batch=").toLong)
+    val take = math.min(version, segs.size)
+    snapshotAt(base, segs.map(f => spark.read.parquet(f.getPath)), take, key)
+  }
+
   /** Deterministic probability-proportional-to-size (Poisson/IPPS)
     * sampling targeting ~`targetDocs` draws: doc `i` with integer
     * weight `w_i` (token count) is kept with inclusion probability

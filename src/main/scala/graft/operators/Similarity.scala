@@ -625,13 +625,20 @@ object Similarity {
       learned.write.format("parquet").mode("overwrite")
         .saveAsTable(centTable)
       // assign off the PERSISTED centroids (exact double round-trip),
-      // so probe-time and staged assignments share one source of truth
+      // so probe-time and staged assignments share one source of truth.
+      // atomicStage publishes by rename (concurrent-JVM safe); FORCED:
+      // rebuilding the catalog half must also rebuild the directory
+      // half, because a surviving dir may carry ivfAppendOnce batches —
+      // the re-stage contract is that overwrite clears appends and
+      // markers together, keeping both halves in one consistent order.
       val cents = centroidList(spark.table(centTable))
-      v.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("dvec"), col("nv"),
-          sqrt(col("nv")).as("norm"), assignedCluster.as("cluster"))
-        .write.mode("overwrite").partitionBy("cluster")
-        .parquet(dir.getPath)
+      graft.engine.Bucketing.atomicStage(dir, force = true) { tmp =>
+        v.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("dvec"), col("nv"),
+            sqrt(col("nv")).as("norm"), assignedCluster.as("cluster"))
+          .write.mode("overwrite").partitionBy("cluster")
+          .parquet(tmp.getPath)
+      }
     }
     (centTable, dir.getPath)
   }

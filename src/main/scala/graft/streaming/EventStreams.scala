@@ -244,6 +244,31 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming CDC ingest — the write half of the q143 time-travel
+    * pair: every micro-batch of change rows (`op` ∈ {U, D} + payload)
+    * lands as an IMMUTABLE log segment `batch=<epoch>/`. The write per
+    * trigger is append-only at the log level but `overwrite` at the
+    * segment level, so a replayed epoch (failure/retry under Spark's
+    * epoch tracking) rewrites its own segment instead of duplicating
+    * it — exactly-once log growth without a transaction coordinator.
+    * [[graft.operators.Pipeline.replayLog]] folds the segments back
+    * into any version's snapshot; nothing here ever rewrites the base
+    * table, which is the property that makes CDC ingest O(batch) at a
+    * 100 TB base.
+    */
+  def cdcLogSink(changes: DataFrame, logDir: String,
+                 checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epoch: Long) =>
+        if (!batch.isEmpty)
+          batch.coalesce(1).write.mode("overwrite")
+            .parquet(s"$logDir/batch=$epoch")
+        ()
+      }
+      .start()
+
   /** Streaming twin of [[graft.operators.Dedup.decontaminate]]: flag
     * arriving documents that share any word n-gram with a fixed
     * benchmark — decontamination AT INGEST, before a contaminated doc

@@ -605,4 +605,37 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed == batch, s"streamed=$streamed batch=$batch")
     assert(streamed.map(_._1) == Set(1L, 2L, 3L))
   }
+
+  test("cdcLogSink + replayLog: streamed change batches replay to the " +
+    "same snapshots as the batch CDC path, every version readable") {
+    import graft.operators.Pipeline
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val in = MemoryStream[(Long, String, String)](spark)
+    val logDir = Files.createTempDirectory("graft-cdc-log").toString
+    val ck = Files.createTempDirectory("graft-cdc-ck").toString
+    val changes = in.toDF().toDF("doc_id", "text", "op")
+    val query = EventStreams.cdcLogSink(changes, logDir, ck)
+    in.addData((2L, "B2", "U"), (9L, "new", "U"))
+    query.processAllAvailable()
+    in.addData((1L, "", "D"), (9L, "new2", "U"))
+    query.processAllAvailable()
+    query.stop()
+    def snap(v: Int) = Pipeline.replayLog(spark, base, logDir, "doc_id", v)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    // version 1: first micro-batch only
+    assert(snap(1) == Seq((1L, "a"), (2L, "B2"), (3L, "c"), (9L, "new")))
+    // full log: delete applied, second upsert wins
+    assert(snap(Int.MaxValue) ==
+      Seq((2L, "B2"), (3L, "c"), (9L, "new2")))
+    // v1 unchanged after the log grew — time travel over the stream log
+    assert(snap(1) == Seq((1L, "a"), (2L, "B2"), (3L, "c"), (9L, "new")))
+    // equality with the all-batch path on the same change sets
+    val b1 = Seq((2L, "B2", "U"), (9L, "new", "U"))
+      .toDF("doc_id", "text", "op")
+    val b2 = Seq((1L, "", "D"), (9L, "new2", "U"))
+      .toDF("doc_id", "text", "op")
+    val direct = Pipeline.snapshotAt(base, Seq(b1, b2), 2, "doc_id")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(snap(Int.MaxValue) == direct)
+  }
 }
