@@ -246,7 +246,15 @@ object Explain {
         "candidate join keys on the PREFIX digests — the corpus's " +
         "rarest posting lists; the exact intersection count joins " +
         "only candidate pairs, so no all-pairs shape exists at any " +
-        "corpus size."))
+        "corpus size."),
+    "q145_pq_recall" ->
+      ("Product-quantization ADC: codebooks and per-query distance " +
+        "tables ride BroadcastExchanges (m·ksub rows — constant at " +
+        "any corpus size); the corpus side joins CODES against the " +
+        "broadcast tables — no per-pair vector arithmetic — and the " +
+        "fixed-order m-term sum happens in one partial-aggregated " +
+        "rollup; only the ground-truth audit arm touches raw " +
+        "vectors."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -741,4 +741,156 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
         col("rank"), col("qcos"))
   }
+
+  // ---- Product quantization (PQ) — the ANN COMPRESSION lever ----
+  //
+  // int8 quantization (quantizeInt8) shrinks vectors 4×; PQ shrinks
+  // them ~64× (m codebook ids per vector instead of `dim` floats —
+  // Jégou et al. 2011, the faiss IVF-PQ storage format). Search reads
+  // codes, not vectors: a query precomputes m per-subspace distance
+  // TABLES against the codebooks (m·ksub floats, broadcastable at any
+  // corpus size) and every corpus vector's approximate distance is m
+  // table lookups — asymmetric distance computation (ADC). Because L2
+  // decomposes over the orthogonal subspace split, ADC(q, x) is
+  // EXACTLY the L2 distance between q and x's reconstruction
+  // (SimilaritySpec pins it); the only error is quantization.
+  //
+  // Determinism contract: codebooks learn with the same fixed-point
+  // integer M-step as kmeansMStep (order-invariant long sums ⇒
+  // bitwise-identical codewords in both engines); assignment argmins
+  // are order-invariant (d2, c_id) struct minima; the ADC sum is a
+  // FIXED-ORDER m-term addition (conditional aggregation per
+  // subspace, never a float sum in shuffle order).
+
+  /** Per-subspace view of the corpus: (vec_id, j, sv, sn2) with
+    * `sv = dvec[j·subdim .. (j+1)·subdim)`. One codegen'd posexplode —
+    * m small rows per vector, no shuffle.
+    */
+  private def pqSubspaces(v: DataFrame, m: Int, dim: Int): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val subdim = dim / m
+    v.select(col("vec_id"), posexplode(array((0 until m).map(j =>
+        expr(s"slice(dvec, ${j * subdim + 1}, $subdim)")): _*))
+        .as(Seq("j", "sv")))
+      .withColumn("sn2", dot(col("sv"), col("sv"), subdim))
+  }
+
+  /** argmin codeword for an (sv, sn2) row against the per-j `cs`
+    * list — [[assignedCluster]]'s subspace twin.
+    */
+  private def pqNearest: Column =
+    expr("array_min(transform(cs, s -> struct(" +
+      "sn2 + s.cn2 - 2.0D * array_dot(sv, s.cv) AS d2, " +
+      "s.c_id AS c_id))).c_id")
+
+  /** Codebooks per j, folded into one broadcastable row each. */
+  private def pqBookList(codebooks: DataFrame): DataFrame =
+    codebooks.groupBy("j")
+      .agg(collect_list(struct(col("c_id"), col("cv"), col("cn2")))
+        .as("cs"))
+
+  /** Learn PQ codebooks: one Lloyd M-step per subspace, all m
+    * subspaces in ONE corpus scan (the posexplode fans each vector
+    * into its m slices; the M-step is a (j, cluster)-keyed
+    * fixed-point rollup of m·ksub rows). Seeds are the first `ksub`
+    * vectors' slices — deterministic, like kmeansMStep.
+    * Output: (j, c_id, cv, cn2).
+    */
+  def pqCodebooks(emb: DataFrame, m: Int = 4, ksub: Int = 8,
+                  dim: Int = DefaultDim): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val subdim = dim / m
+    val sub = pqSubspaces(dvecFrame(emb, dim), m, dim)
+    val seeds = sub.filter(col("vec_id") < ksub)
+      .select(col("j"), col("vec_id").as("c_id"), col("sv").as("cv"),
+        col("sn2").as("cn2"))
+    val asg = sub.join(broadcast(pqBookList(seeds)), "j")
+      .select(col("j"), pqNearest.as("cluster"), col("sv"))
+    val aggs = count(lit(1)).as("n") +:
+      (0 until subdim).map(i =>
+        sum(expr(s"bigint(floor(sv[$i] * 1048576.0d))")).as(s"_s$i"))
+    asg.groupBy("j", "cluster").agg(aggs.head, aggs.tail: _*)
+      .select(col("j"), col("cluster").as("c_id"),
+        array((0 until subdim).map(i =>
+          col(s"_s$i").cast("double") / col("n").cast("double") /
+            lit(1048576.0d)): _*).as("cv"))
+      .withColumn("cn2", dot(col("cv"), col("cv"), subdim))
+  }
+
+  /** Encode the corpus against learned codebooks: for every vector,
+    * the argmin codeword id per subspace — (vec_id, j, code). This IS
+    * the compressed representation: m small ints instead of `dim`
+    * floats, the ~64× storage cut that makes a 100 TB vector corpus
+    * RAM-resident at scan time.
+    */
+  def pqEncode(emb: DataFrame, codebooks: DataFrame, m: Int = 4,
+               dim: Int = DefaultDim): DataFrame =
+    pqSubspaces(dvecFrame(emb, dim), m, dim)
+      .join(broadcast(pqBookList(codebooks)), "j")
+      .select(col("vec_id"), col("j"), pqNearest.as("code"))
+
+  /** ADC top-k over PQ codes: learn books, encode the corpus, build
+    * each query's per-subspace distance table (|Q|·m·ksub rows — tiny,
+    * broadcast), and score every corpus vector as the FIXED-ORDER sum
+    * of its m table lookups. The corpus side touches only codes — no
+    * vector arithmetic per (query, vector) pair, which is the entire
+    * point of PQ at scale. Exhaustive over codes (faiss "PQ flat");
+    * compose with the staged IVF cells for the sublinear variant.
+    * Output: (q_id, neighbor_id, rank, ad2).
+    */
+  def pqAdcTopK(emb: DataFrame, queryPred: String, k: Int, m: Int = 4,
+                ksub: Int = 8, dim: Int = DefaultDim): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val books = pqCodebooks(emb, m, ksub, dim)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val codes = pqEncode(emb, books, m, dim)
+    val q = pqSubspaces(dvecFrame(emb.filter(expr(queryPred)), dim), m,
+        dim)
+      .select(col("vec_id").as("q_id"), col("j").as("qj"),
+        col("sv").as("qv"), col("sn2").as("qn2"))
+    val dt = q.join(books, col("qj") === col("j"))
+      .select(col("q_id"), col("qj"), col("c_id"),
+        (col("qn2") + col("cn2") -
+          lit(2.0) * dot(col("qv"), col("cv"), dim / m)).as("d"))
+    val joined = codes.join(broadcast(dt),
+        codes("j") === dt("qj") && codes("code") === dt("c_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), codes("j").as("j"), col("d"))
+    val dAggs = (0 until m).map(j =>
+      max(when(col("j") === j, col("d"))).as(s"_d$j"))
+    val summed = joined.groupBy("q_id", "vec_id")
+      .agg(dAggs.head, dAggs.tail: _*)
+      // fixed-order m-term sum — deterministic under any partitioning
+      .withColumn("ad2",
+        (0 until m).map(j => col(s"_d$j")).reduce(_ + _))
+    val w = Window.partitionBy("q_id").orderBy(asc("ad2"), asc("vec_id"))
+    summed.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        col("ad2"))
+  }
+
+  /** Exact L2 top-k — the ground-truth arm for PQ recall audits
+    * ([[bruteForceTopK]] ranks by cosine; ADC approximates L2, so its
+    * audit must compare against the same metric).
+    * Output: (q_id, neighbor_id, rank, d2).
+    */
+  def bruteForceTopKL2(emb: DataFrame, queryPred: String, k: Int,
+                       dim: Int = DefaultDim): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val n = dvecFrame(emb, dim)
+    val q = n.filter(expr(queryPred))
+      .select(col("vec_id").as("q_id"), col("dvec").as("q_vec"),
+        col("nv").as("q_n2"))
+    val scored = n.select(col("vec_id").as("neighbor_id"), col("dvec"),
+        col("nv"))
+      .join(broadcast(q), col("neighbor_id") =!= col("q_id"))
+      .withColumn("d2", col("q_n2") + col("nv") -
+        lit(2.0) * dot(col("q_vec"), col("dvec"), dim))
+    val w = Window.partitionBy("q_id").orderBy(asc("d2"),
+      asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "neighbor_id", "rank", "d2")
+  }
 }

@@ -544,6 +544,31 @@ object LlmSurface {
         .orderBy("a_id", "b_id")
     }),
 
+    // --- product quantization recall audit (q99's methodology on the
+    //     COMPRESSION lever): per-subspace codebooks learned with the
+    //     fixed-point Lloyd M-step, corpus encoded to m codeword ids
+    //     (~64x smaller than the float vectors), queries scored by
+    //     asymmetric distance computation — m table lookups summed in
+    //     FIXED order — and recall@10 measured against exact L2
+    //     ground truth. The recall number itself is cross-engine
+    //     exact (Similarity.pqAdcTopK / bruteForceTopKL2) ---
+    "q145_pq_recall" -> ((s, d) => {
+      val e = emb(s, d)
+      val exact = Similarity.bruteForceTopKL2(e, "vec_id < 20", 10)
+        .select("q_id", "neighbor_id")
+      val approx = Similarity.pqAdcTopK(e, "vec_id < 20", 10,
+          m = 16, ksub = 16)
+        .select("q_id", "neighbor_id")
+      val hits = exact.join(approx, Seq("q_id", "neighbor_id"))
+        .groupBy("q_id").agg(count(lit(1)).as("hits"))
+      e.filter(col("vec_id") < 20).select(col("vec_id").as("q_id"))
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"), coalesce(col("hits"), lit(0L)).as("hits"),
+          (coalesce(col("hits"), lit(0L)).cast("double") / lit(10.0d))
+            .as("recall"))
+        .orderBy("q_id")
+    }),
+
     // --- hive-partitioned layout, oracled: documents staged ONCE
     //     partitionBy(lang); an equality predicate on the partition
     //     column prunes whole directories at PLANNING time
@@ -1804,6 +1829,79 @@ object LlmSurface {
         |FROM pr p JOIN sz s ON p.a_id = s.doc_id
         |WHERE p.n_shared * 5 >= s.n_sh * 4
         |ORDER BY a_id, b_id""".stripMargin,
+
+    // q145: the full PQ chain reproduced — same subspace slices, same
+    // fixed-point per-(j, cluster) M-step (bitwise-equal codebooks),
+    // same order-invariant argmin encode, same fixed-order 4-term ADC
+    // sum — so approx AND exact top-10 sets match and recall is exact
+    "q145_pq_recall" ->
+      s"""WITH ev AS (SELECT vec_id,
+         |   list_transform(embedding, x -> x::DOUBLE) AS v
+         |  FROM embeddings),
+         | nv AS (SELECT vec_id, v, ${dkDot("v", "v")} AS n2 FROM ev),
+         | subn AS (SELECT vec_id, jj.j AS j,
+         |   v[jj.j*4+1 : jj.j*4+4] AS sv,
+         |   ${dkDot("v[jj.j*4+1 : jj.j*4+4]",
+                     "v[jj.j*4+1 : jj.j*4+4]")} AS sn2
+         |  FROM ev CROSS JOIN (SELECT unnest(range(0, 16)) AS j) jj),
+         | seeds AS (SELECT j, vec_id AS c_id, sv AS cv, sn2 AS cn2
+         |  FROM subn WHERE vec_id < 16),
+         | a0 AS (SELECT s.vec_id, s.j, c.c_id, row_number() OVER (
+         |    PARTITION BY s.vec_id, s.j
+         |    ORDER BY s.sn2 + c.cn2 - 2.0 * ${dkDot("s.sv", "c.cv")},
+         |      c.c_id) AS rn
+         |  FROM subn s JOIN seeds c ON s.j = c.j),
+         | asg AS (SELECT s.vec_id, s.j, a.c_id AS cluster, s.sv
+         |  FROM subn s JOIN a0 a
+         |    ON s.vec_id = a.vec_id AND s.j = a.j AND a.rn = 1),
+         | nct AS (SELECT j, cluster, count(*) AS n FROM asg
+         |  GROUP BY j, cluster),
+         | exf AS (SELECT j, cluster, idx.i AS i,
+         |   CAST(floor(sv[idx.i] * 1048576.0) AS BIGINT) AS fx
+         |  FROM asg CROSS JOIN (SELECT unnest(range(1, 5)) AS i) idx),
+         | sums AS (SELECT j, cluster, i, sum(fx) AS sfx FROM exf
+         |  GROUP BY j, cluster, i),
+         | books0 AS (SELECT s.j, s.cluster AS c_id,
+         |   list(CAST(sfx AS DOUBLE) / CAST(n AS DOUBLE) / 1048576.0
+         |        ORDER BY i) AS cv
+         |  FROM sums s JOIN nct t ON s.j = t.j AND s.cluster = t.cluster
+         |  GROUP BY s.j, s.cluster),
+         | books AS (SELECT j, c_id, cv, ${dkDot("cv", "cv")} AS cn2
+         |  FROM books0),
+         | e0 AS (SELECT s.vec_id, s.j, b.c_id, row_number() OVER (
+         |    PARTITION BY s.vec_id, s.j
+         |    ORDER BY s.sn2 + b.cn2 - 2.0 * ${dkDot("s.sv", "b.cv")},
+         |      b.c_id) AS rn
+         |  FROM subn s JOIN books b ON s.j = b.j),
+         | codes AS (SELECT vec_id, j, c_id AS code FROM e0 WHERE rn = 1),
+         | dt AS (SELECT q.vec_id AS q_id, q.j, b.c_id,
+         |   q.sn2 + b.cn2 - 2.0 * ${dkDot("q.sv", "b.cv")} AS d
+         |  FROM subn q JOIN books b ON q.j = b.j WHERE q.vec_id < 20),
+         | adc AS (SELECT d.q_id, c.vec_id, c.j, d.d
+         |  FROM codes c JOIN dt d ON c.j = d.j AND c.code = d.c_id
+         |  WHERE c.vec_id <> d.q_id),
+         | summed AS (SELECT q_id, vec_id,
+         |   ${(0 until 16).map(j =>
+              s"max(CASE WHEN j = $j THEN d END)").mkString("\n         |   + ")} AS ad2
+         |  FROM adc GROUP BY q_id, vec_id),
+         | approx AS (SELECT q_id, vec_id AS neighbor_id FROM summed
+         |  QUALIFY row_number() OVER (PARTITION BY q_id
+         |    ORDER BY ad2, vec_id) <= 10),
+         | exact AS (SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id
+         |  FROM nv a JOIN nv b
+         |    ON a.vec_id < 20 AND b.vec_id <> a.vec_id
+         |  QUALIFY row_number() OVER (PARTITION BY a.vec_id
+         |    ORDER BY a.n2 + b.n2 - 2.0 * ${dkDot("a.v", "b.v")},
+         |      b.vec_id) <= 10),
+         | hits AS (SELECT e.q_id, count(*) AS hits
+         |  FROM exact e JOIN approx x
+         |    ON e.q_id = x.q_id AND e.neighbor_id = x.neighbor_id
+         |  GROUP BY e.q_id)
+         |SELECT n.vec_id AS q_id, COALESCE(h.hits, 0) AS hits,
+         |  CAST(COALESCE(h.hits, 0) AS DOUBLE) / CAST(10 AS DOUBLE)
+         |    AS recall
+         |FROM nv n LEFT JOIN hits h ON n.vec_id = h.q_id
+         |WHERE n.vec_id < 20 ORDER BY q_id""".stripMargin,
 
     // q138: the partitioned+z-ordered copy must be a faithful
     // re-layout — same composed predicate on the plain table

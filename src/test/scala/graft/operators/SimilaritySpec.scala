@@ -308,4 +308,65 @@ class SimilaritySpec extends SparkSpec {
       members.filter(_._3).foreach(m => assert(m._4.isEmpty))
     }
   }
+
+  test("PQ: codes complete and seed-ranged; ADC is exactly the L2 " +
+    "distance to the reconstruction; learned books do not lose to " +
+    "the raw seed books") {
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val (m, ksub, dim) = (8, 8, 64)
+    val subdim = dim / m
+    val books = Similarity.pqCodebooks(e, m, ksub)
+    val bk = books.select("j", "c_id", "cv")
+      .as[(Int, Long, Seq[Double])].collect()
+    assert(bk.map(_._1).toSet == (0 until m).toSet)
+    assert(bk.forall(_._2 < ksub), "codeword ids come from the seeds")
+    assert(bk.forall(_._3.length == subdim))
+    val codes = Similarity.pqEncode(e, books, m)
+      .as[(Long, Int, Long)].collect()
+    val n = e.count()
+    assert(codes.length == n * m, "every (vector, subspace) coded once")
+    assert(codes.forall(c => c._3 >= 0 && c._3 < ksub))
+    // ADC identity: L2 decomposes over the subspace split, so the
+    // m-term table sum IS ||q - reconstruct(x)||² (up to float
+    // association across the m terms)
+    val vecs = e.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect()
+      .map { case (id, v) => id -> v.map(_.toDouble) }.toMap
+    val bookMap = bk.map { case (j, c, cv) => (j, c) -> cv }.toMap
+    val codeMap = codes.groupBy(_._1).map { case (id, cs) =>
+      id -> cs.sortBy(_._2).map(_._3)
+    }
+    def reconstruct(id: Long): Array[Double] =
+      (0 until m).flatMap(j => bookMap((j, codeMap(id)(j)))).toArray
+    val adc = Similarity.pqAdcTopK(e, "vec_id < 3", 5, m, ksub)
+      .select("q_id", "neighbor_id", "ad2")
+      .as[(Long, Long, Double)].collect()
+    assert(adc.nonEmpty)
+    adc.foreach { case (qId, nId, ad2) =>
+      val (q, r) = (vecs(qId), reconstruct(nId))
+      val d2 = q.indices.foldLeft(0.0) { (s, i) =>
+        val diff = q(i) - r(i); s + diff * diff
+      }
+      assert(math.abs(ad2 - d2) < 1e-9, s"q=$qId n=$nId $ad2 != $d2")
+    }
+    // Lloyd one-step guarantee per subspace: total quantization error
+    // with the learned books is no worse than with the raw seed
+    // slices (tiny epsilon for the 2^-20 fixed-point mean rounding)
+    def err(book: Map[(Int, Long), Seq[Double]]): Double =
+      vecs.values.map { v =>
+        (0 until m).map { j =>
+          val s = v.slice(j * subdim, (j + 1) * subdim)
+          book.collect { case ((`j`, _), cv) =>
+            s.indices.foldLeft(0.0) { (acc, i) =>
+              val d = s(i) - cv(i); acc + d * d
+            }
+          }.min
+        }.sum
+      }.sum
+    val seedBook = (for (j <- 0 until m; c <- 0L until ksub.toLong)
+      yield (j, c) -> vecs(c).slice(j * subdim, (j + 1) * subdim).toSeq
+    ).toMap
+    assert(err(bookMap) <= err(seedBook) + 1e-6,
+      "learned codebooks must not increase quantization error")
+  }
 }
