@@ -254,7 +254,14 @@ object Explain {
         "broadcast tables — no per-pair vector arithmetic — and the " +
         "fixed-order m-term sum happens in one partial-aggregated " +
         "rollup; only the ground-truth audit arm touches raw " +
-        "vectors."))
+        "vectors."),
+    "q146_ivfpq_recall" ->
+      ("IVF-PQ composed probe: the staged cluster-partitioned CODES " +
+        "read under `PartitionFilters: [cluster IN (...)]` — only the " +
+        "nprobe probed cells' compressed codes are scanned; ADC " +
+        "tables broadcast per query, candidates never touch raw " +
+        "vectors; the raw-embeddings scan in the plan belongs to the " +
+        "exact-L2 ground-truth audit arm alone."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

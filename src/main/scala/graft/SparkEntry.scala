@@ -45,9 +45,17 @@ object SparkEntry {
       Future(graft.engine.Bucketing.ensurePartitioned(spark, sfDir,
         graft.engine.Tables.table(spark, sfDir, "documents"),
         Seq("lang"), "docs")),
-      Future(graft.operators.Similarity.ensureIvfLearnedIndex(spark, sfDir,
-        graft.engine.Tables.table(spark, sfDir, "embeddings"),
-        "vec_id < 8")),
+      // sequential inside one future: ensurePqIndex derives from the
+      // IVF index and shares its catalog table — racing them in two
+      // threads would double-build the table
+      Future {
+        graft.operators.Similarity.ensureIvfLearnedIndex(spark, sfDir,
+          graft.engine.Tables.table(spark, sfDir, "embeddings"),
+          "vec_id < 8")
+        graft.operators.Similarity.ensurePqIndex(spark, sfDir,
+          graft.engine.Tables.table(spark, sfDir, "embeddings"),
+          "vec_id < 8")
+      },
       Future(graft.engine.Bucketing.ensurePartitionedZordered(spark, sfDir,
         graft.engine.Tables.table(spark, sfDir, "documents"),
         "lang", Seq("n_chars", "doc_id"), "docs")),

@@ -710,13 +710,7 @@ object Similarity {
     val (centTable, asgDir) =
       ensureIvfLearnedIndex(spark, fixtureKey, emb, centroidPred, dim)
     val cents = centroidList(spark.table(centTable))
-    // explicit schema: partition-value inference would type the small
-    // cluster ids INT, and the resulting cast in the probe's IN filter
-    // could defeat planning-time partition pruning
-    val asg = spark.read
-      .schema("vec_id BIGINT, dvec ARRAY<DOUBLE>, nv DOUBLE, " +
-        "norm DOUBLE, cluster BIGINT")
-      .parquet(asgDir)
+    val asg = readIvfIndex(spark, asgDir)
     val q = asg.filter(expr(queryPred))
       .select(col("vec_id").as("q_id"), col("dvec").as("qv"),
         col("norm").as("qn"), col("nv"))
@@ -799,8 +793,17 @@ object Similarity {
   def pqCodebooks(emb: DataFrame, m: Int = 4, ksub: Int = 8,
                   dim: Int = DefaultDim): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
+    pqCodebooksFrom(dvecFrame(emb, dim), m, ksub, dim)
+  }
+
+  /** [[pqCodebooks]] from an explicit (vec_id, dvec) frame — the
+    * staged-index path learns from the persisted `dvec` (bitwise the
+    * raw corpus values), never re-reading raw embeddings.
+    */
+  private def pqCodebooksFrom(v: DataFrame, m: Int, ksub: Int,
+                              dim: Int): DataFrame = {
     val subdim = dim / m
-    val sub = pqSubspaces(dvecFrame(emb, dim), m, dim)
+    val sub = pqSubspaces(v, m, dim)
     val seeds = sub.filter(col("vec_id") < ksub)
       .select(col("j"), col("vec_id").as("c_id"), col("sv").as("cv"),
         col("sn2").as("cn2"))
@@ -825,7 +828,11 @@ object Similarity {
     */
   def pqEncode(emb: DataFrame, codebooks: DataFrame, m: Int = 4,
                dim: Int = DefaultDim): DataFrame =
-    pqSubspaces(dvecFrame(emb, dim), m, dim)
+    pqEncodeFrom(dvecFrame(emb, dim), codebooks, m, dim)
+
+  private def pqEncodeFrom(v: DataFrame, codebooks: DataFrame, m: Int,
+                           dim: Int): DataFrame =
+    pqSubspaces(v, m, dim)
       .join(broadcast(pqBookList(codebooks)), "j")
       .select(col("vec_id"), col("j"), pqNearest.as("code"))
 
@@ -861,6 +868,132 @@ object Similarity {
     val summed = joined.groupBy("q_id", "vec_id")
       .agg(dAggs.head, dAggs.tail: _*)
       // fixed-order m-term sum — deterministic under any partitioning
+      .withColumn("ad2",
+        (0 until m).map(j => col(s"_d$j")).reduce(_ + _))
+    val w = Window.partitionBy("q_id").orderBy(asc("ad2"), asc("vec_id"))
+    summed.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        col("ad2"))
+  }
+
+  /** Staged-IVF index read with an explicit schema: partition-value
+    * inference would type the small cluster ids INT, and the
+    * resulting cast in a probe's IN filter could defeat planning-time
+    * partition pruning.
+    */
+  private def readIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                           asgDir: String): DataFrame =
+    spark.read
+      .schema("vec_id BIGINT, dvec ARRAY<DOUBLE>, nv DOUBLE, " +
+        "norm DOUBLE, cluster BIGINT")
+      .parquet(asgDir)
+
+  /** Stage the PQ half of the IVF-PQ index (faiss's on-disk shape):
+    * codebooks (an m·ksub-row table — constant size at any corpus)
+    * plus the corpus CODES written cluster-partitioned, both derived
+    * from the staged IVF index's persisted `dvec` (bitwise the raw
+    * values — raw embeddings are never re-read). Each artifact is
+    * fingerprint-keyed and publishes via [[graft.engine.Bucketing
+    * .atomicStage]]. Returns (booksDir, codesDir).
+    */
+  def ensurePqIndex(spark: org.apache.spark.sql.SparkSession,
+                    fixtureKey: String, emb: => DataFrame,
+                    centroidPred: String, m: Int = 16, ksub: Int = 16,
+                    dim: Int = DefaultDim): (String, String) = {
+    graft.functions.GraftFunctions.register(spark)
+    val (_, asgDir) =
+      ensureIvfLearnedIndex(spark, fixtureKey, emb, centroidPred, dim)
+    val fp = graft.engine.Bucketing.fingerprint8(
+      s"$fixtureKey|pq1|$centroidPred|$m|$ksub|$dim")
+    val booksDir = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_pq_books_$fp")
+    val codesDir = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_pq_codes_$fp")
+    graft.engine.Bucketing.atomicStage(booksDir) { t =>
+      pqCodebooksFrom(
+        readIvfIndex(spark, asgDir).select("vec_id", "dvec"),
+        m, ksub, dim)
+        .coalesce(1).write.mode("overwrite").parquet(t.getPath)
+    }
+    graft.engine.Bucketing.atomicStage(codesDir) { t =>
+      val books = spark.read.parquet(booksDir.getPath)
+      val asg = readIvfIndex(spark, asgDir)
+      // long (vec_id, j, code) → one codes ARRAY per vector, ordered
+      // by j (array_sort over (j, code) structs — collect_list order
+      // is arbitrary, the sort makes it deterministic)
+      pqEncodeFrom(asg.select("vec_id", "dvec"), books, m, dim)
+        .groupBy("vec_id")
+        .agg(expr("transform(array_sort(collect_list(struct(j, code)))," +
+          " p -> p.code)").as("codes"))
+        .join(asg.select("vec_id", "cluster"), "vec_id")
+        .write.mode("overwrite").partitionBy("cluster")
+        .parquet(t.getPath)
+    }
+    (booksDir.getPath, codesDir.getPath)
+  }
+
+  /** IVF-PQ probe — the composed faiss shape, query-many half: the
+    * coarse quantizer prunes to `nprobe` cells per query
+    * (planning-time partition filter on the CODES directory — the
+    * same staged posture as [[ivfTopKStaged]]), and candidates are
+    * scored by ADC over their codes: per-query distance tables
+    * broadcast, m table lookups summed in fixed order. No raw-vector
+    * arithmetic per candidate, no corpus assignment in the query
+    * path, and the scan reads compressed codes from probed cells
+    * only — sublinear reads of a ~16×-compressed index.
+    * Output: (q_id, neighbor_id, rank, ad2).
+    */
+  def ivfPqTopKStaged(spark: org.apache.spark.sql.SparkSession,
+                      fixtureKey: String, emb: => DataFrame,
+                      centroidPred: String, queryPred: String, k: Int,
+                      nprobe: Int = 1, m: Int = 16, ksub: Int = 16,
+                      dim: Int = DefaultDim): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1: $nprobe")
+    graft.functions.GraftFunctions.register(spark)
+    val (centTable, asgDir) =
+      ensureIvfLearnedIndex(spark, fixtureKey, emb, centroidPred, dim)
+    val (booksDir, codesDir) =
+      ensurePqIndex(spark, fixtureKey, emb, centroidPred, m, ksub, dim)
+    val books = spark.read.parquet(booksDir)
+    val cents = centroidList(spark.table(centTable))
+    // query rows from the staged index (no raw-embeddings scan); the
+    // probe list per query is the nprobe nearest learned centroids
+    val q0 = readIvfIndex(spark, asgDir).filter(expr(queryPred))
+      .select(col("vec_id"), col("dvec"), col("nv"))
+    val qprobe = q0.crossJoin(broadcast(cents))
+      .select(col("vec_id").as("q_id"),
+        expr("transform(slice(array_sort(transform(cs, s -> struct(" +
+          "nv + s.cn2 - 2.0D * array_dot(dvec, s.cv) AS d2, " +
+          s"s.c_id AS c_id))), 1, $nprobe), p -> p.c_id)").as("probes"))
+      .withColumn("cluster", explode(col("probes")))
+      .drop("probes")
+    val probedCells = qprobe.select("cluster").distinct()
+      .collect().map(_.getLong(0)).sorted
+    // per-query distance tables: |Q|·m·ksub rows, broadcastable at
+    // any corpus size
+    val dt = pqSubspaces(q0, m, dim)
+      .select(col("vec_id").as("dq_id"), col("j").as("qj"),
+        col("sv").as("qv"), col("sn2").as("qn2"))
+      .join(books, col("qj") === col("j"))
+      .select(col("dq_id"), col("qj"), col("c_id"),
+        (col("qn2") + col("cn2") -
+          lit(2.0) * dot(col("qv"), col("cv"), dim / m)).as("d"))
+    val cand = spark.read
+      .schema("vec_id BIGINT, codes ARRAY<BIGINT>, cluster BIGINT")
+      .parquet(codesDir)
+      .filter(col("cluster").isin(probedCells: _*))
+      .join(broadcast(qprobe), Seq("cluster"))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        posexplode(col("codes")).as(Seq("j", "code")))
+    val joined = cand.join(broadcast(dt),
+      col("q_id") === col("dq_id") && col("j") === col("qj") &&
+        col("code") === col("c_id"))
+    val dAggs = (0 until m).map(j =>
+      max(when(col("j") === j, col("d"))).as(s"_d$j"))
+    val summed = joined.groupBy("q_id", "vec_id")
+      .agg(dAggs.head, dAggs.tail: _*)
       .withColumn("ad2",
         (0 until m).map(j => col(s"_d$j")).reduce(_ + _))
     val w = Window.partitionBy("q_id").orderBy(asc("ad2"), asc("vec_id"))

@@ -369,4 +369,41 @@ class SimilaritySpec extends SparkSpec {
     assert(err(bookMap) <= err(seedBook) + 1e-6,
       "learned codebooks must not increase quantization error")
   }
+
+  test("staged IVF-PQ: probing every cell equals the exhaustive " +
+    "PQ-flat ranking bitwise; hits are monotone in nprobe") {
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val key = s"$sf001#spec-ivfpq"
+    val (m, ksub) = (8, 8)
+    def staged(nprobe: Int) =
+      Similarity.ivfPqTopKStaged(spark, key, e, "vec_id < 8",
+          "vec_id < 10", 10, nprobe, m, ksub)
+        .select("q_id", "neighbor_id", "rank", "ad2")
+        .as[(Long, Long, Long, Double)].collect()
+        .sortBy(t => (t._1, t._3)).toSeq
+    // 8 seed cells: nprobe=8 probes everything → identical to the
+    // exhaustive ADC scan (same books, same codes, same fixed-order
+    // sum — the cell pruning is the ONLY difference)
+    val flat = Similarity.pqAdcTopK(e, "vec_id < 10", 10, m, ksub)
+      .select("q_id", "neighbor_id", "rank", "ad2")
+      .as[(Long, Long, Long, Double)].collect()
+      .sortBy(t => (t._1, t._3)).toSeq
+    assert(staged(8) == flat,
+      "all-cells staged probe must equal PQ-flat bitwise")
+    // candidate-superset argument: growing nprobe can only improve
+    // the ADC distances of the returned list — the k-th best ad2 is
+    // non-increasing per query. (Exact-neighbor HIT counts are NOT
+    // monotone under an approximate scorer: a closer-by-ADC
+    // non-neighbor arriving with a new cell can displace a true
+    // neighbor — only the distances themselves carry the guarantee.)
+    val (s1, s2) = (staged(1), staged(2))
+    (0L until 10L).foreach { q =>
+      val w1 = s1.filter(_._1 == q).map(_._4)
+      val w2 = s2.filter(_._1 == q).map(_._4)
+      if (w1.size == 10 && w2.size == 10)
+        assert(w2.max <= w1.max + 1e-12,
+          s"q=$q: nprobe=2 worst ad2 ${w2.max} > nprobe=1 ${w1.max}")
+      assert(w2.size >= w1.size)
+    }
+  }
 }
