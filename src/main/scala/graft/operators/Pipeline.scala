@@ -276,6 +276,43 @@ object Pipeline {
     batches.take(version).foldLeft(base)(applyCdc(_, _, key, opCol))
   }
 
+  /** Incrementally maintain a per-group (count, sum) summary under ONE
+    * CDC batch — materialized-view upkeep, the query-side dividend of
+    * the [[applyCdc]] log: instead of re-aggregating the whole table
+    * after every batch, the summary absorbs a delta built from (a) the
+    * OLD rows of the batch's keys (subtract) and (b) the batch's
+    * upsert rows (add). Groups whose count reaches zero drop out,
+    * matching a from-scratch re-aggregation exactly (PipelineSpec +
+    * q147 pin `maintain(agg(base)) == agg(applyCdc(base))`).
+    *
+    * Scale shape: `oldAgg` is group-cardinality-sized and the batch is
+    * small — the only base-table touch is the semi join fetching the
+    * affected keys' old rows (broadcast of batch keys; with a
+    * key-bucketed or zone-mapped base layout that scan prunes to the
+    * touched files, the lakehouse MERGE read path). The 100 TB
+    * re-aggregation never happens. Works for any group-sum of
+    * subtractable aggregates; count/sum here — min/max would need the
+    * full group re-read on delete, which is exactly why production
+    * view maintenance restricts itself to abelian aggregates.
+    *
+    * Same batch-key precondition as [[applyCdc]] (unique, non-null).
+    */
+  def maintainAgg(oldAgg: DataFrame, base: DataFrame, batch: DataFrame,
+                  key: String, grp: String, v: String,
+                  opCol: String = "op"): DataFrame = {
+    val affectedOld = base
+      .join(broadcast(batch.select(key)), Seq(key), "left_semi")
+    val minus = affectedOld.groupBy(grp)
+      .agg((-count(lit(1))).as("n"), (-sum(col(v))).as("s"))
+    val plus = batch.filter(col(opCol) === "U").groupBy(grp)
+      .agg(count(lit(1)).as("n"), sum(col(v)).as("s"))
+    oldAgg.select(col(grp), col("n"), col("s"))
+      .unionByName(minus).unionByName(plus)
+      .groupBy(grp)
+      .agg(sum(col("n")).cast("long").as("n"), sum(col("s")).as("s"))
+      .filter(col("n") > 0)
+  }
+
   /** Replay a CDC log directory written by
     * [[graft.streaming.EventStreams.cdcLogSink]] (immutable
     * `batch=<epoch>/` segments) onto `base` with [[snapshotAt]]:

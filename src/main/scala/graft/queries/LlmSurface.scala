@@ -593,6 +593,30 @@ object LlmSurface {
         .orderBy("q_id")
     }),
 
+    // --- incremental aggregate maintenance (materialized-view upkeep,
+    //     the query-side dividend of the CDC log): a per-source
+    //     (count, sum_chars) summary absorbs one batch of
+    //     upserts/appends/deletes as a DELTA — old rows of affected
+    //     keys subtract, upserts add — instead of re-aggregating the
+    //     corpus; result must equal the from-scratch aggregation of
+    //     the merged table (Pipeline.maintainAgg) ---
+    "q147_incr_agg" -> ((s, d) => {
+      val base = docs(s, d).select("doc_id", "source", "n_chars")
+      val batch = base.filter(col("doc_id") % 11 === 3)
+          .withColumn("n_chars", col("n_chars") + lit(1000L))
+          .withColumn("op", lit("U"))
+        .unionByName(base.filter(col("doc_id") < 4)
+          .withColumn("doc_id", col("doc_id") + lit(5000000L))
+          .withColumn("op", lit("U")))
+        .unionByName(base.filter(col("doc_id") % 11 === 7)
+          .withColumn("op", lit("D")))
+      val oldAgg = base.groupBy("source")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("s"))
+      Pipeline.maintainAgg(oldAgg, base, batch, "doc_id", "source",
+          "n_chars")
+        .orderBy("source")
+    }),
+
     // --- hive-partitioned layout, oracled: documents staged ONCE
     //     partitionBy(lang); an equality predicate on the partition
     //     column prunes whole directories at PLANNING time
@@ -2035,6 +2059,25 @@ object LlmSurface {
          |    AS recall
          |FROM nv n LEFT JOIN hits h ON n.vec_id = h.q_id
          |WHERE n.vec_id < 20 ORDER BY q_id""".stripMargin,
+
+    // q147: the maintained summary must equal the from-scratch
+    // aggregation of the CDC-merged table — the oracle replays the
+    // same batch and aggregates directly
+    "q147_incr_agg" ->
+      """WITH base AS (SELECT doc_id, source, n_chars FROM documents),
+        | upd AS (SELECT doc_id, source, n_chars + 1000 AS n_chars
+        |          FROM base WHERE doc_id % 11 = 3
+        |         UNION ALL
+        |         SELECT doc_id + 5000000, source, n_chars
+        |          FROM base WHERE doc_id < 4),
+        | bk AS (SELECT doc_id FROM upd
+        |        UNION ALL
+        |        SELECT doc_id FROM base WHERE doc_id % 11 = 7),
+        | merged AS (SELECT doc_id, source, n_chars FROM base
+        |             WHERE doc_id NOT IN (SELECT doc_id FROM bk)
+        |            UNION ALL SELECT doc_id, source, n_chars FROM upd)
+        |SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS s
+        |FROM merged GROUP BY source ORDER BY source""".stripMargin,
 
     // q138: the partitioned+z-ordered copy must be a faithful
     // re-layout — same composed predicate on the plain table

@@ -1174,6 +1174,35 @@ object SqlSurface {
           "l_quantity")
     }),
 
+    // --- data-quality constraint audit (the dbt-test /
+    //     Great-Expectations capability): four row rules fused into
+    //     ONE lineitem scan, two key-uniqueness checks, two
+    //     referential-integrity anti joins — each emitting
+    //     (rule, n_violations, n_checked). The duplicate
+    //     (l_orderkey, l_linenumber) pairs in the fixture surface as
+    //     a real non-zero violation count (graft.operators.Quality) ---
+    "q148_quality_audit" -> ((s, d) => {
+      import graft.operators.Quality
+      Quality.audit(Seq(
+        Quality.rowRules(t(s, d, "lineitem"), Seq(
+          "lineitem.l_orderkey.not_null" -> col("l_orderkey").isNull,
+          "lineitem.l_quantity.range_1_50" ->
+            !col("l_quantity").between(1, 50),
+          "lineitem.l_returnflag.in_set" ->
+            !col("l_returnflag").isin("A", "N", "R"),
+          "lineitem.l_discount.range_0_0.1" ->
+            !col("l_discount").between(0.0, 0.1))),
+        Quality.uniqueKey(t(s, d, "orders"),
+          "orders.o_orderkey.unique", Seq("o_orderkey")),
+        Quality.uniqueKey(t(s, d, "lineitem"),
+          "lineitem.orderkey_linenumber.unique",
+          Seq("l_orderkey", "l_linenumber")),
+        Quality.refIntegrity(t(s, d, "lineitem"), t(s, d, "orders"),
+          "lineitem.l_orderkey.refs_orders", "l_orderkey", "o_orderkey"),
+        Quality.refIntegrity(t(s, d, "orders"), t(s, d, "customer"),
+          "orders.o_custkey.refs_customer", "o_custkey", "c_custkey")))
+    }),
+
     // --- layout tier, metadata-only aggregation: COUNT/MIN/MAX
     //     answered from parquet row-group FOOTER statistics — zero
     //     data pages decoded (PlanSpec asserts PushedAggregation).
@@ -2157,6 +2186,50 @@ object SqlSurface {
         | min(l_orderkey) AS min_orderkey, max(l_orderkey) AS max_orderkey,
         | min(l_partkey) AS min_partkey, max(l_partkey) AS max_partkey
         |FROM lineitem""".stripMargin,
+
+    // q148: each rule recomputed directly; LEFT JOIN IS NULL (not
+    // NOT IN) for the orphan counts so null-FK semantics match the
+    // anti join
+    "q148_quality_audit" ->
+      """SELECT * FROM (
+        | SELECT 'lineitem.l_orderkey.not_null' AS rule,
+        |  CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_violations,
+        |  count(*) AS n_checked FROM lineitem
+        | UNION ALL
+        | SELECT 'lineitem.l_quantity.range_1_50',
+        |  CAST(sum(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50)
+        |    THEN 1 ELSE 0 END) AS BIGINT), count(*) FROM lineitem
+        | UNION ALL
+        | SELECT 'lineitem.l_returnflag.in_set',
+        |  CAST(sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
+        |    THEN 1 ELSE 0 END) AS BIGINT), count(*) FROM lineitem
+        | UNION ALL
+        | SELECT 'lineitem.l_discount.range_0_0.1',
+        |  CAST(sum(CASE WHEN NOT (l_discount BETWEEN 0.0 AND 0.1)
+        |    THEN 1 ELSE 0 END) AS BIGINT), count(*) FROM lineitem
+        | UNION ALL
+        | SELECT 'orders.o_orderkey.unique',
+        |  count(*) - count(DISTINCT o_orderkey), count(*) FROM orders
+        | UNION ALL
+        | SELECT 'lineitem.orderkey_linenumber.unique',
+        |  count(*) - count(DISTINCT (l_orderkey, l_linenumber)),
+        |  count(*) FROM lineitem
+        | UNION ALL
+        | SELECT 'lineitem.l_orderkey.refs_orders',
+        |  (SELECT count(*) FROM lineitem l LEFT JOIN
+        |    (SELECT DISTINCT o_orderkey FROM orders) o
+        |    ON l.l_orderkey = o.o_orderkey
+        |   WHERE o.o_orderkey IS NULL),
+        |  count(*) FROM lineitem
+        | UNION ALL
+        | SELECT 'orders.o_custkey.refs_customer',
+        |  (SELECT count(*) FROM orders r LEFT JOIN
+        |    (SELECT DISTINCT c_custkey FROM customer) c
+        |    ON r.o_custkey = c.c_custkey
+        |   WHERE c.c_custkey IS NULL),
+        |  count(*) FROM orders)
+        |ORDER BY rule""".stripMargin,
 
     // q141: the zone-mapped copy + Bloom-pruned read must be lossless —
     // same point predicate on the plain table

@@ -333,6 +333,34 @@ object EventStreams {
       .select("click_id", "view_id", "user_id", "click_ts", "view_ts")
   }
 
+  /** [[intervalJoin]] with LEFT OUTER semantics: a click that sees no
+    * view inside its interval still emits — view columns null — but
+    * only once the WATERMARK proves no matching view can still
+    * arrive (the outer row is a negative claim; emitting it earlier
+    * could be contradicted by a late view). Same bounded-state
+    * posture as the inner join: both sides' state evicts at the
+    * watermark, so "no match" is decidable in finite state at any
+    * stream length — the streaming analogue of q06's outer-join
+    * semantics on the q63 interval shape.
+    */
+  def intervalJoinOuter(clicks: DataFrame, views: DataFrame,
+                        maxGapMinutes: Int = 10,
+                        watermark: String = "30 minutes"): DataFrame = {
+    val l = clicks.withWatermark("ts", watermark)
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val r = views.withWatermark("ts", watermark)
+      .select(col("event_id").as("view_id"),
+        col("user_id").as("v_user_id"), col("ts").as("view_ts"))
+    l.join(r,
+      col("user_id") === col("v_user_id") &&
+        col("view_ts") >= col("click_ts") &&
+        col("view_ts") <= col("click_ts") +
+          expr(s"INTERVAL $maxGapMinutes MINUTES"),
+      "left_outer")
+      .select("click_id", "view_id", "user_id", "click_ts", "view_ts")
+  }
+
   /** Streaming near-dup CANDIDATE detection — the streaming twin of
     * [[graft.operators.Dedup.incrementalNearDups]]: every arriving doc
     * is shingled and min-hashed PER ROW (scalar expressions, no

@@ -286,6 +286,28 @@ class PipelineSpec extends SparkSpec {
     intercept[IllegalArgumentException](snap(-1))
   }
 
+  test("maintainAgg equals the from-scratch aggregation, including a " +
+    "group vanishing entirely") {
+    val base = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 5L),
+      (4L, "c", 7L)).toDF("doc_id", "grp", "v")
+    val batch = Seq(
+      (2L, "a", 25L, "U"),  // update in place
+      (9L, "c", 3L, "U"),   // append
+      (3L, "b", 0L, "D"))   // delete the ONLY b row → group b vanishes
+      .toDF("doc_id", "grp", "v", "op")
+    val maintained = Pipeline
+      .maintainAgg(base.groupBy("grp")
+          .agg(count(lit(1)).as("n"), sum("v").as("s")),
+        base, batch, "doc_id", "grp", "v")
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    val recomputed = Pipeline.applyCdc(base, batch, "doc_id")
+      .groupBy("grp").agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(maintained == recomputed)
+    assert(!maintained.exists(_._1 == "b"), "emptied group must drop")
+    assert(maintained == Seq(("a", 2L, 35L), ("c", 2L, 10L)))
+  }
+
   test("contamination finds planted train/test n-gram overlap") {
     val train = Seq((1L, (1 to 20).map("t" + _).mkString(" ")),
       (2L, "unrelated train words only here padding pad pad pad")).toDF("doc_id", "text")

@@ -187,6 +187,36 @@ class EventStreamsSpec extends SparkSpec {
     assert(!pairs.contains((1L, 101L)) && !pairs.contains((1L, 102L)))
   }
 
+  test("stream-stream LEFT OUTER interval join: unmatched clicks emit " +
+    "null views only after the watermark closes their interval") {
+    val clicks = MemoryStream[Event](spark)
+    val views = MemoryStream[Event](spark)
+    val out = EventStreams.intervalJoinOuter(clicks.toDF(), views.toDF(),
+      maxGapMinutes = 10)
+    runToMemory(out.select("click_id", "view_id"), "ssjo",
+      OutputMode.Append) {
+      clicks.addData(
+        Event(1, ts(10), 7, "click", 0),  // will match view 100
+        Event(2, ts(10), 8, "click", 0))  // never matches
+      views.addData(Event(100, ts(12), 7, "view", 0))
+      // advance the watermark far past click_ts + gap on BOTH sides
+      // (the join watermark is the min across inputs) so the
+      // unmatched click's interval provably closed
+      clicks.addData(Event(3, ts(300), 9, "click", 0))
+      views.addData(Event(103, ts(300), 9, "view", 0))
+      clicks.addData(Event(4, ts(600), 9, "click", 0))
+      views.addData(Event(104, ts(600), 9, "view", 0))
+    }
+    val rows = spark.table("ssjo")
+      .as[(Long, Option[Long])].collect()
+    assert(rows.count(r => r._1 == 1L) == 1, s"got ${rows.toSeq}")
+    assert(rows.contains((1L, Some(100L))), "matched click keeps its view")
+    assert(rows.contains((2L, None)),
+      "unmatched click must emit with a null view after the watermark")
+    assert(!rows.contains((1L, None)),
+      "a matched click must not ALSO emit an outer null row")
+  }
+
   test("stream-stream interval join replay equals the batch twin (q63)") {
     import org.apache.spark.sql.functions.col
     // the REAL fixture through BOTH streaming sides — same operator
