@@ -418,6 +418,25 @@ class PlanSpec extends SparkSpec {
       s"probe re-scans the raw corpus:\n${p.take(1500)}")
   }
 
+  test("q146 probe path: IVF-PQ reads ONLY probed cells of the CODES " +
+    "directory and never touches raw vectors") {
+    val emb = graft.engine.Tables.table(spark, sf001, "embeddings")
+    val df = graft.operators.Similarity.ivfPqTopKStaged(spark, sf001,
+      emb, "vec_id < 8", "vec_id < 20", k = 10, nprobe = 2)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // candidates come from the staged cluster-partitioned CODES with
+    // a planning-time partition prune on the probed cells
+    assert(p.contains("graft_pq_codes_"),
+      s"probe does not read the staged codes:\n${p.take(1500)}")
+    assert("PartitionFilters: \\[cluster[#\\w]* IN".r.findFirstIn(p).nonEmpty,
+      s"probed cells not pruned at planning time:\n${p.take(1500)}")
+    // neither index-build nor per-candidate vector math in the query
+    // path: raw embeddings never scanned
+    assert(!p.contains("embeddings.parquet"),
+      s"probe re-scans the raw corpus:\n${p.take(1500)}")
+  }
+
   test("q134: merge/upsert anti-joins the update KEYS as a broadcast — " +
     "the base side never shuffles") {
     val df = SparkEntry.queries("q134_merge_upsert")(spark, sf001)
