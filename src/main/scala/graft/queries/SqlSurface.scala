@@ -1203,6 +1203,23 @@ object SqlSurface {
           "orders.o_custkey.refs_customer", "o_custkey", "c_custkey")))
     }),
 
+    // --- join-size estimation via CMS sketch inner product (the
+    //     AMS estimator an optimizer consults BEFORE committing to a
+    //     join strategy): sparse (d, c, n) sketches — bounded by the
+    //     sketch geometry, portable integer hashes — joined cell-wise,
+    //     min over rows; never underestimates by construction. The
+    //     estimate itself is exact integer arithmetic, so the oracle
+    //     reproduces it bitwise (graft.operators.JoinStats) ---
+    "q149_join_estimate" -> ((s, d) => {
+      import graft.operators.JoinStats
+      val li = t(s, d, "lineitem")
+      JoinStats.estimateReport("lineitem_self_partkey",
+          li, "l_partkey", li, "l_partkey")
+        .unionByName(JoinStats.estimateReport("lineitem_orders_orderkey",
+          li, "l_orderkey", t(s, d, "orders"), "o_orderkey"))
+        .orderBy("join_name")
+    }),
+
     // --- layout tier, metadata-only aggregation: COUNT/MIN/MAX
     //     answered from parquet row-group FOOTER statistics — zero
     //     data pages decoded (PlanSpec asserts PushedAggregation).
@@ -2230,6 +2247,57 @@ object SqlSurface {
         |   WHERE c.c_custkey IS NULL),
         |  count(*) FROM orders)
         |ORDER BY rule""".stripMargin,
+
+    // q149: the same portable permHash cells, the same cell-wise inner
+    // product, the same min-over-rows — integer-exact in both engines
+    "q149_join_estimate" ->
+      """WITH dd AS (SELECT unnest(range(0, 5)) AS d),
+        | cells_lp AS (SELECT dd.d AS d,
+        |   (((l_partkey % 2147483647)
+        |      * ((2654435761 * (dd.d + 1)) % 2147483647)
+        |     + ((2246822519 * (dd.d + 1)) % 2147483647))
+        |    % 2147483647) % 256 AS c,
+        |   count(*) AS n
+        |  FROM lineitem CROSS JOIN dd GROUP BY 1, 2),
+        | cells_lo AS (SELECT dd.d AS d,
+        |   (((l_orderkey % 2147483647)
+        |      * ((2654435761 * (dd.d + 1)) % 2147483647)
+        |     + ((2246822519 * (dd.d + 1)) % 2147483647))
+        |    % 2147483647) % 256 AS c,
+        |   count(*) AS n
+        |  FROM lineitem CROSS JOIN dd GROUP BY 1, 2),
+        | cells_oo AS (SELECT dd.d AS d,
+        |   (((o_orderkey % 2147483647)
+        |      * ((2654435761 * (dd.d + 1)) % 2147483647)
+        |     + ((2246822519 * (dd.d + 1)) % 2147483647))
+        |    % 2147483647) % 256 AS c,
+        |   count(*) AS n
+        |  FROM orders CROSS JOIN dd GROUP BY 1, 2),
+        | est_self AS (SELECT min(s) AS est FROM (
+        |   SELECT a.d, CAST(sum(a.n * b.n) AS BIGINT) AS s
+        |   FROM cells_lp a JOIN cells_lp b ON a.d = b.d AND a.c = b.c
+        |   GROUP BY a.d)),
+        | est_lo AS (SELECT min(s) AS est FROM (
+        |   SELECT a.d, CAST(sum(a.n * b.n) AS BIGINT) AS s
+        |   FROM cells_lo a JOIN cells_oo b ON a.d = b.d AND a.c = b.c
+        |   GROUP BY a.d)),
+        | ex_self AS (SELECT CAST(sum(n * n) AS BIGINT) AS ex FROM (
+        |   SELECT count(*) AS n FROM lineitem GROUP BY l_partkey)),
+        | ex_lo AS (SELECT CAST(sum(a.n * b.n) AS BIGINT) AS ex FROM
+        |   (SELECT l_orderkey AS k, count(*) AS n FROM lineitem
+        |    GROUP BY 1) a
+        |   JOIN (SELECT o_orderkey AS k, count(*) AS n FROM orders
+        |    GROUP BY 1) b ON a.k = b.k)
+        |SELECT * FROM (
+        | SELECT 'lineitem_orders_orderkey' AS join_name,
+        |   ex_lo.ex AS exact_size, est_lo.est AS est_size,
+        |   est_lo.est >= ex_lo.ex AS overestimates
+        | FROM ex_lo, est_lo
+        | UNION ALL
+        | SELECT 'lineitem_self_partkey', ex_self.ex, est_self.est,
+        |   est_self.est >= ex_self.ex
+        | FROM ex_self, est_self)
+        |ORDER BY join_name""".stripMargin,
 
     // q141: the zone-mapped copy + Bloom-pruned read must be lossless —
     // same point predicate on the plain table
