@@ -162,7 +162,32 @@ object Bucketing {
     * and the rewrite would drop the non-parquet files on the swap).
     */
   def compact(spark: SparkSession, dir: String,
-              targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+              targetBytes: Long = 128L * 1024 * 1024): (Int, Int) =
+    compactWith(spark, dir, targetBytes) { (df, nOut, tmp) =>
+      df.repartition(nOut).write.mode("overwrite").parquet(tmp)
+    }
+
+  /** [[compact]] preserving — or retrofitting — a z-order layout:
+    * plain compaction round-robins rows across output files, which
+    * DESTROYS the narrow per-file envelopes a clustered directory's
+    * scans depend on; this variant rewrites through [[zorderWrite]],
+    * so lake maintenance (many small files → few right-sized files)
+    * and clustering maintenance (fragmented envelopes → tight
+    * envelopes) are ONE pass instead of compact-then-recluster
+    * reading the data twice. Same guards and two-rename atomic swap
+    * as [[compact]].
+    */
+  def compactZordered(spark: SparkSession, dir: String,
+      cols: Seq[String], targetBytes: Long = 128L * 1024 * 1024,
+      bits: Int = 8): (Int, Int) =
+    compactWith(spark, dir, targetBytes) { (df, nOut, tmp) =>
+      zorderWrite(df, tmp, cols, bits, nOut)
+    }
+
+  private def compactWith(spark: SparkSession, dir: String,
+      targetBytes: Long)(
+      rewrite: (org.apache.spark.sql.DataFrame, Int, String) => Unit)
+      : (Int, Int) = {
     def parquetFiles(d: java.io.File): Array[java.io.File] =
       Option(d.listFiles()).getOrElse(Array.empty)
         .filter(f => f.isFile && f.getName.endsWith(".parquet"))
@@ -194,9 +219,7 @@ object Bucketing {
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val tmp = new java.io.File(dir.stripSuffix("/") + ".compact-tmp")
     val old = new java.io.File(dir.stripSuffix("/") + ".compact-old")
-    spark.read.parquet(dir)
-      .repartition(nOut)
-      .write.mode("overwrite").parquet(tmp.getPath)
+    rewrite(spark.read.parquet(dir), nOut, tmp.getPath)
     deleteRecursively(old) // leftover backup from an interrupted prior run
     require(d.renameTo(old), s"compaction swap: cannot move $dir aside")
     if (!tmp.renameTo(d)) {

@@ -1220,6 +1220,33 @@ object SqlSurface {
         .orderBy("join_name")
     }),
 
+    // --- clustered compaction (lake maintenance × layout, q131's
+    //     roundtrip with the z-order preserved): a 48-way fragmented
+    //     lineitem copy rewrites through zorderWrite in ONE pass —
+    //     defragment AND recluster together, where plain compact's
+    //     round-robin would destroy the envelopes. Read back under
+    //     q121's conjunctive predicate, hash-exact vs the plain
+    //     table; the post-compaction file count rides as an oracle
+    //     column (Bucketing.compactZordered) ---
+    "q150_clustered_compact" -> ((s, d) => {
+      val dir = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        "graft_zc_" + graft.engine.Bucketing.fingerprint8(d)).getPath
+      t(s, d, "lineitem").repartition(48)
+        .write.mode("overwrite").parquet(dir)
+      val (before, after) = graft.engine.Bucketing.compactZordered(
+        s, dir, Seq("l_partkey", "l_suppkey"), targetBytes = 1L << 30)
+      s.read.parquet(dir)
+        .filter(col("l_partkey").between(10, 40) &&
+          col("l_suppkey").between(1, 3))
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "l_quantity")
+        .withColumn("n_files_after", lit(after.toLong))
+        .withColumn("defragmented", lit(before > after))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "l_quantity")
+    }),
+
     // --- layout tier, metadata-only aggregation: COUNT/MIN/MAX
     //     answered from parquet row-group FOOTER statistics — zero
     //     data pages decoded (PlanSpec asserts PushedAggregation).
@@ -2298,6 +2325,17 @@ object SqlSurface {
         |   est_self.est >= ex_self.ex
         | FROM ex_self, est_self)
         |ORDER BY join_name""".stripMargin,
+
+    // q150: the clustered compaction roundtrip must be a faithful
+    // rewrite — same predicate on the plain table, file count pinned
+    "q150_clustered_compact" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        | l_quantity, CAST(1 AS BIGINT) AS n_files_after,
+        | TRUE AS defragmented
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 10 AND 40 AND l_suppkey BETWEEN 1 AND 3
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        | l_quantity""".stripMargin,
 
     // q141: the zone-mapped copy + Bloom-pruned read must be lossless —
     // same point predicate on the plain table

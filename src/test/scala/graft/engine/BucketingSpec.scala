@@ -57,6 +57,40 @@ class BucketingSpec extends SparkSpec {
     assert(after.toSeq == before.toSeq, "compaction changed the data")
   }
 
+  test("compactZordered defragments AND restores narrow envelopes in " +
+    "one pass, content identical") {
+    val dir = Files.createTempDirectory("zcompact").toString + "/t"
+    val li = spark.read.parquet(s"$sf001/lineitem.parquet")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    // fragment with a value-hash scatter: many files, full-range
+    // envelopes on every clustered column
+    li.repartition(40, col("l_orderkey"), col("l_partkey"),
+        col("l_quantity"))
+      .write.mode("overwrite").parquet(dir)
+    def sig(d: String): (Long, Long) =
+      spark.read.parquet(d)
+        .agg(sum(expr("pmod(xxhash64(l_orderkey, l_partkey, " +
+          "l_quantity), 1000000000037)")), count(lit(1)))
+        .as[(Long, Long)].head()
+    def meanEnvelope(d: String, c: String): Double =
+      spark.read.parquet(d)
+        .groupBy(input_file_name().as("f"))
+        .agg((max(col(c)) - min(col(c))).cast("double").as("w"))
+        .agg(avg("w")).as[Double].head()
+    val before = sig(dir)
+    val envBefore = meanEnvelope(dir, "l_partkey")
+    val bytes = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val (nBefore, nAfter) = Bucketing.compactZordered(spark, dir,
+      Seq("l_orderkey", "l_partkey"), targetBytes = bytes / 8)
+    assert(nBefore == 40 && nAfter < 12, s"$nBefore -> $nAfter")
+    assert(sig(dir) == before, "clustered compaction changed the data")
+    // plain compact would round-robin (envelopes stay full-range);
+    // the clustered rewrite must tighten them
+    assert(meanEnvelope(dir, "l_partkey") < envBefore * 0.75,
+      "clustering not restored by the compaction rewrite")
+  }
+
   test("compact refuses layouts it would corrupt") {
     import spark.implicits._
     // hive-partitioned: rewriting would fold the partition column into
