@@ -1247,6 +1247,32 @@ object SqlSurface {
           "l_quantity")
     }),
 
+    // --- windowed anomaly detection with EXACT-integer z-scores (the
+    //     observability tier): hourly event counts flagged when they
+    //     sit more than 2σ from the series mean — the z² > 4 test is
+    //     algebraically rearranged into pure int64 arithmetic
+    //     ((N·c − S)² > 4·(N·Sq − S²)), so the flags are bitwise
+    //     cross-engine with no float threshold anywhere. The series
+    //     stats ride as one broadcast row; at 100 TB the windowed
+    //     rollup is the only corpus-sized aggregation ---
+    "q151_anomaly_windows" -> ((s, d) => {
+      val w = t(s, d, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("w"))
+        .agg(count(lit(1)).as("n_events"))
+      val stats = w.agg(count(lit(1)).as("nw"), sum("n_events").as("s"),
+        sum(col("n_events") * col("n_events")).as("sq"))
+      w.crossJoin(broadcast(stats))
+        .withColumn("dev", col("nw") * col("n_events") - col("s"))
+        .withColumn("thresh",
+          lit(4L) * (col("nw") * col("sq") - col("s") * col("s")))
+        .select(col("w"), col("n_events"),
+          (col("dev") > 0 && col("dev") * col("dev") > col("thresh"))
+            .as("is_high"),
+          (col("dev") < 0 && col("dev") * col("dev") > col("thresh"))
+            .as("is_low"))
+        .orderBy("w")
+    }),
+
     // --- layout tier, metadata-only aggregation: COUNT/MIN/MAX
     //     answered from parquet row-group FOOTER statistics — zero
     //     data pages decoded (PlanSpec asserts PushedAggregation).
@@ -2336,6 +2362,22 @@ object SqlSurface {
         |WHERE l_partkey BETWEEN 10 AND 40 AND l_suppkey BETWEEN 1 AND 3
         |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey,
         | l_quantity""".stripMargin,
+
+    // q151: the same integer rearrangement of z² > 4 — no float
+    // threshold, flags bitwise identical
+    "q151_anomaly_windows" ->
+      """WITH w AS (SELECT date_trunc('hour', ts) AS w,
+        |   count(*) AS n_events FROM events GROUP BY 1),
+        | st AS (SELECT count(*) AS nw, CAST(sum(n_events) AS BIGINT) AS s,
+        |   CAST(sum(n_events * n_events) AS BIGINT) AS sq FROM w)
+        |SELECT w.w, w.n_events,
+        |  (nw * n_events - s) > 0 AND
+        |   (nw * n_events - s) * (nw * n_events - s)
+        |     > 4 * (nw * sq - s * s) AS is_high,
+        |  (nw * n_events - s) < 0 AND
+        |   (nw * n_events - s) * (nw * n_events - s)
+        |     > 4 * (nw * sq - s * s) AS is_low
+        |FROM w, st ORDER BY w""".stripMargin,
 
     // q141: the zone-mapped copy + Bloom-pruned read must be lossless —
     // same point predicate on the plain table
