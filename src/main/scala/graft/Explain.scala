@@ -261,7 +261,30 @@ object Explain {
         "nprobe probed cells' compressed codes are scanned; ADC " +
         "tables broadcast per query, candidates never touch raw " +
         "vectors; the raw-embeddings scan in the plan belongs to the " +
-        "exact-L2 ground-truth audit arm alone."))
+        "exact-L2 ground-truth audit arm alone."),
+    "q147_incr_agg" ->
+      ("Incremental aggregate maintenance: the only base-table touch " +
+        "is a BroadcastHashJoin LeftSemi fetching the batch keys' old " +
+        "rows (PlanSpec asserts it); the delta union re-aggregates " +
+        "group-cardinality-sized frames — the from-scratch corpus " +
+        "re-aggregation appears nowhere in the plan."),
+    "q148_quality_audit" ->
+      ("Data-quality audit: all four lineitem row rules fuse into ONE " +
+        "HashAggregate over ONE scan (PlanSpec counts the scans); " +
+        "uniqueness checks are partial-aggregated distinct counts, and " +
+        "the referential checks are anti joins whose only output is a " +
+        "count — no violation rows materialize anywhere."),
+    "q149_join_estimate" ->
+      ("CMS join-size estimation: each sketch is a map-side-combined " +
+        "HashAggregate collapsing the corpus to ≤ depth·width cells; " +
+        "the inner product joins two sketch-sized frames and the " +
+        "min-over-rows is a 5-row aggregate — the join being estimated " +
+        "is never executed."),
+    "q151_anomaly_windows" ->
+      ("Windowed anomaly flags: one partial-aggregated hourly rollup " +
+        "is the only corpus-sized shuffle; the series stats collapse " +
+        "to a 1-row broadcast and every flag is a codegen'd integer " +
+        "comparison — no float threshold, no second pass over events."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -437,6 +437,37 @@ class PlanSpec extends SparkSpec {
       s"probe re-scans the raw corpus:\n${p.take(1500)}")
   }
 
+  test("q147: incremental agg maintenance touches the base only " +
+    "through a broadcast semi join — no full re-aggregation join") {
+    val df = SparkEntry.queries("q147_incr_agg")(spark, sf001)
+    df.collect()
+    val full = df.queryExecution.executedPlan.toString
+    val p = full.split("== Initial Plan ==").head
+    // the affected-keys fetch is the broadcast LeftSemi; the batch
+    // keys broadcast, the base never hash-shuffles for it
+    assert(p.contains("LeftSemi"), p.take(1500))
+    assert("BroadcastHashJoin.*LeftSemi".r.findFirstIn(
+      p.replaceAll("\n", " ")).nonEmpty,
+      s"affected-keys fetch is not a broadcast semi join:\n${p.take(1500)}")
+  }
+
+  test("q148: all row rules over one table fuse into a single scan") {
+    import org.apache.spark.sql.functions.col
+    val li = graft.engine.Tables.table(spark, sf001, "lineitem")
+    val df = graft.operators.Quality.rowRules(li, Seq(
+      "a" -> col("l_orderkey").isNull,
+      "b" -> !col("l_quantity").between(1, 50),
+      "c" -> !col("l_returnflag").isin("A", "N", "R")))
+    df.collect()
+    // final AQE plan only — the executed-plan string repeats the tree
+    // under "== Initial Plan ==", which would double-count scans
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1,
+      s"3 row rules should share ONE scan, found $scans:\n${p.take(1200)}")
+  }
+
   test("q134: merge/upsert anti-joins the update KEYS as a broadcast — " +
     "the base side never shuffles") {
     val df = SparkEntry.queries("q134_merge_upsert")(spark, sf001)
