@@ -423,9 +423,14 @@ object LlmSurface {
     //     maintenance pass leaves behind, not a frame that claims
     //     success. ---
     "q131_compact_roundtrip" -> ((s, d) => {
+      // per-invocation working dir: the fragment→compact→read-back
+      // roundtrip REWRITES the directory, so two concurrent processes
+      // (a bench beside a verify) must not share one — unlike the
+      // staged artifacts, this is scratch space, not a cache
       val dir = new java.io.File(
         System.getProperty("java.io.tmpdir"),
-        "graft_compact_" + graft.engine.Bucketing.fingerprint8(d)).getPath
+        "graft_compact_" + graft.engine.Bucketing.fingerprint8(d) +
+          "_" + java.util.UUID.randomUUID().toString.take(8)).getPath
       docs(s, d).repartition(64).write.mode("overwrite").parquet(dir)
       val (before, after) =
         graft.engine.Bucketing.compact(s, dir, targetBytes = 1L << 30)

@@ -1229,9 +1229,13 @@ object SqlSurface {
     //     table; the post-compaction file count rides as an oracle
     //     column (Bucketing.compactZordered) ---
     "q150_clustered_compact" -> ((s, d) => {
+      // per-invocation scratch dir — see q131's note: roundtrip
+      // queries rewrite their directory and must not be shared
+      // across concurrent processes
       val dir = new java.io.File(
         System.getProperty("java.io.tmpdir"),
-        "graft_zc_" + graft.engine.Bucketing.fingerprint8(d)).getPath
+        "graft_zc_" + graft.engine.Bucketing.fingerprint8(d) +
+          "_" + java.util.UUID.randomUUID().toString.take(8)).getPath
       t(s, d, "lineitem").repartition(48)
         .write.mode("overwrite").parquet(dir)
       val (before, after) = graft.engine.Bucketing.compactZordered(
