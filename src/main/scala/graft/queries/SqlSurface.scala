@@ -1236,7 +1236,12 @@ object SqlSurface {
         System.getProperty("java.io.tmpdir"),
         "graft_zc_" + graft.engine.Bucketing.fingerprint8(d) +
           "_" + java.util.UUID.randomUUID().toString.take(8)).getPath
-      t(s, d, "lineitem").repartition(48)
+      // bounded roundtrip input: the demonstration needs a fragmented
+      // directory, not the whole fact table — the operator's scale
+      // behavior is BucketingSpec/SCALE.md territory, and an unbounded
+      // rewrite would make this the most expensive entry in the suite
+      t(s, d, "lineitem").filter(col("l_orderkey") <= 3000)
+        .repartition(48)
         .write.mode("overwrite").parquet(dir)
       val (before, after) = graft.engine.Bucketing.compactZordered(
         s, dir, Seq("l_partkey", "l_suppkey"), targetBytes = 1L << 30)
@@ -2363,7 +2368,8 @@ object SqlSurface {
         | l_quantity, CAST(1 AS BIGINT) AS n_files_after,
         | TRUE AS defragmented
         |FROM lineitem
-        |WHERE l_partkey BETWEEN 10 AND 40 AND l_suppkey BETWEEN 1 AND 3
+        |WHERE l_orderkey <= 3000
+        |  AND l_partkey BETWEEN 10 AND 40 AND l_suppkey BETWEEN 1 AND 3
         |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey,
         | l_quantity""".stripMargin,
 
