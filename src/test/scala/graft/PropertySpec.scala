@@ -135,4 +135,75 @@ class PropertySpec extends SparkSpec {
         assert(Dedup.exactDedup(kept).filter(col("is_dup")).count() == 0)
     }
   }
+
+  test("editDistancePairs equals the all-pairs quadratic on random " +
+    "short strings (deletion blocking is recall-1)") {
+    import graft.operators.Fuzzy
+    val shortWord = Gen.choose(3, 9)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')))
+      .map(_.mkString) // tiny alphabet → dense ed-1 neighborhoods
+    samples(Gen.listOfN(30, shortWord), 3).foreach { words =>
+      val df = words.distinct.zipWithIndex
+        .map { case (w, i) => (i.toLong, w) }.toDF("id", "s")
+      val got = Fuzzy.editDistancePairs(df, "id", "s")
+        .as[(Long, Long, Long)].collect().toSet
+      val a = df.select(col("id").as("ia"), col("s").as("sa"))
+      val b = df.select(col("id").as("ib"), col("s").as("sb"))
+      val exact = a.crossJoin(b)
+        .filter(col("ia") < col("ib") &&
+          levenshtein(col("sa"), col("sb")) <= 1)
+        .select(col("ia"), col("ib"),
+          levenshtein(col("sa"), col("sb")).cast("long"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == exact, s"words=$words")
+    }
+  }
+
+  test("snapshotAt is consistent under random CDC logs: last writer " +
+    "wins per key, deletes stick until re-upserted") {
+    import graft.operators.Pipeline
+    val op = Gen.oneOf("U", "D")
+    val entry = for {
+      k <- Gen.choose(0L, 9L); o <- op; v <- word
+    } yield (k, v, o)
+    samples(Gen.listOfN(12, entry), 4).foreach { log0 =>
+      // per-batch unique keys (the documented precondition): one
+      // batch per entry keeps it trivially true
+      val base = (0L to 4L).map(k => (k, s"base$k")).toDF("doc_id", "text")
+      val batches = log0.map(e => Seq(e).toDF("doc_id", "text", "op"))
+      val got = Pipeline.snapshotAt(base, batches, batches.size, "doc_id")
+        .as[(Long, String)].collect().toMap
+      // reference fold in plain Scala
+      val expected = log0.foldLeft(
+        (0L to 4L).map(k => k -> s"base$k").toMap) {
+        case (m, (k, v, "U")) => m + (k -> v)
+        case (m, (k, _, "D")) => m - k
+        case (m, _) => m
+      }
+      assert(got == expected, s"log=$log0")
+    }
+  }
+
+  test("maintainAgg equals recomputation for random single batches") {
+    import graft.operators.Pipeline
+    val entry = for {
+      k <- Gen.choose(0L, 9L); o <- Gen.oneOf("U", "D")
+      g <- Gen.oneOf("x", "y", "z"); v <- Gen.choose(1L, 100L)
+    } yield (k, g, v, o)
+    samples(Gen.listOfN(6, entry), 4).foreach { raw =>
+      val batchRows = raw.groupBy(_._1).map(_._2.head).toSeq // unique keys
+      val base = (0L to 7L).map(k =>
+        (k, Seq("x", "y", "z")((k % 3).toInt), k * 10 + 1))
+        .toDF("doc_id", "grp", "v")
+      val batch = batchRows.toDF("doc_id", "grp", "v", "op")
+      val maintained = Pipeline.maintainAgg(
+        base.groupBy("grp").agg(count(lit(1)).as("n"), sum("v").as("s")),
+        base, batch, "doc_id", "grp", "v")
+        .as[(String, Long, Long)].collect().toSet
+      val recomputed = Pipeline.applyCdc(base, batch, "doc_id")
+        .groupBy("grp").agg(count(lit(1)).as("n"), sum("v").as("s"))
+        .as[(String, Long, Long)].collect().toSet
+      assert(maintained == recomputed, s"batch=$batchRows")
+    }
+  }
 }
