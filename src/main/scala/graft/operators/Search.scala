@@ -26,6 +26,60 @@ object Search {
       .groupBy("term", "doc_id")
       .agg(count(lit(1)).as("tf"))
 
+  /** Fuzzy term search — the reference's Elasticsearch `fuzziness`
+    * capability (`/root/reference/api/controllers/elastic_controller.go:197-224`
+    * delegates matching to Lucene, whose fuzzy queries are per-segment
+    * Levenshtein automata): each query term expands to every
+    * vocabulary term within edit distance 1, and each (query term,
+    * matched term) pair returns its top-k documents by tf·idf.
+    *
+    * Resolution uses the SymSpell deletion-variant blocking from
+    * [[graft.operators.Fuzzy]], asymmetrically: the QUERY side's
+    * variants are a driver-side literal (|terms|·|term|+1 strings —
+    * query-bounded, never corpus-bounded), the VOCABULARY side
+    * explodes its variants once and probes the broadcast literal — so
+    * the vocabulary is never cross-joined with anything, and the
+    * exact `levenshtein` verify runs on candidates only. Per-pair
+    * scoring is a single mul/div chain (no cross-term float sums), so
+    * every emitted score is bitwise cross-engine even though the
+    * matched term set is data-dependent.
+    *
+    * Output: (q_term, term, dist, doc_id, tfidf, rank).
+    */
+  def fuzzySearch(docs: DataFrame, terms: Seq[String],
+                  k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val p = postings(docs)
+    val nDf = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val dfreq = p.groupBy("term").agg(count(lit(1)).as("doc_freq"))
+    def variants(s: String): Seq[String] =
+      s +: s.indices.map(i => s.take(i) + s.drop(i + 1))
+    val qv = terms.flatMap(t => variants(t).map(v => (t, v))).distinct
+      .toDF("q_term", "v")
+    val cand = p.select("term").distinct()
+      .withColumn("v", explode(expr(
+        "transform(sequence(0, length(term)), i -> if(i = 0, term, " +
+          "concat(substring(term, 1, i - 1), substring(term, i + 1))))")))
+      .join(broadcast(qv), "v")
+      .filter(levenshtein(col("term"), col("q_term")) <= 1)
+      .select("q_term", "term").distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_term", "term")
+      .orderBy(desc("tfidf"), asc("doc_id"))
+    cand.join(p, "term")
+      .join(dfreq, "term")
+      .crossJoin(broadcast(nDf))
+      .withColumn("tfidf", col("tf").cast("double") *
+        (col("n_docs") / col("doc_freq").cast("double")))
+      .withColumn("dist",
+        levenshtein(col("q_term"), col("term")).cast("long"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_term", "term", "dist", "doc_id", "tfidf", "rank")
+      .orderBy("q_term", "term", "rank")
+  }
+
   /** Inverted index: term → document frequency, total tf and the posting
     * list (doc-id-sorted for deterministic output).
     */

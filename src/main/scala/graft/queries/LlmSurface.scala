@@ -58,6 +58,18 @@ object LlmSurface {
     "q26_tfidf_search" -> ((s, d) =>
       Search.search(docs(s, d), searchTerms, 20)),
 
+    // --- fuzzy term search (ES `fuzziness` analogue): misspelled
+    //     query terms resolve to every vocabulary term within edit
+    //     distance 1 via asymmetric SymSpell blocking (query variants
+    //     are a broadcast literal, the vocabulary explodes once), and
+    //     each resolved pair returns its tf·idf top-5 docs. Per-pair
+    //     scoring is one mul/div chain — no cross-term float sums —
+    //     so the data-dependent match set stays oracle-exact
+    //     (Search.fuzzySearch) ---
+    "q152_fuzzy_search" -> ((s, d) =>
+      Search.fuzzySearch(docs(s, d), Seq("spqrk", "joinn", "vector"),
+        k = 5)),
+
     // --- exact phrase query (ES match_phrase analogue): one corpus
     //     tokenize into positional postings, then the single-shuffle
     //     anchor-count match (each posting proposes pos-offset anchors;
@@ -1038,6 +1050,31 @@ object LlmSurface {
     },
 
     "q105_phrase_search" -> phraseOracle,
+
+    // q152: resolution recomputed as the vocab×query quadratic (valid
+    // at oracle scale — the Spark side blocks on deletion variants),
+    // then the same single-division tf·idf per resolved pair
+    "q152_fuzzy_search" ->
+      """WITH p AS (SELECT term, doc_id, count(*)::BIGINT AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |        FROM documents) GROUP BY term, doc_id),
+        | dfreq AS (SELECT term, count(*)::BIGINT AS doc_freq FROM p
+        |  GROUP BY term),
+        | nd AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+        | vocab AS (SELECT DISTINCT term FROM p),
+        | q AS (SELECT unnest(['spqrk', 'joinn', 'vector']) AS q_term),
+        | cand AS (SELECT q.q_term, v.term FROM q JOIN vocab v
+        |  ON levenshtein(q.q_term, v.term) <= 1),
+        | scored AS (SELECT c.q_term, c.term,
+        |   CAST(levenshtein(c.q_term, c.term) AS BIGINT) AS dist,
+        |   p.doc_id,
+        |   p.tf::DOUBLE * (nd.n_docs / dfreq.doc_freq::DOUBLE) AS tfidf
+        |  FROM cand c JOIN p ON c.term = p.term
+        |  JOIN dfreq ON p.term = dfreq.term, nd)
+        |SELECT q_term, term, dist, doc_id, tfidf, rank FROM (
+        | SELECT *, row_number() OVER (PARTITION BY q_term, term
+        |   ORDER BY tfidf DESC, doc_id) AS rank FROM scored)
+        |WHERE rank <= 5 ORDER BY q_term, term, rank""".stripMargin,
 
     "q27_langid" -> {
       val scores = TextOps.langMarkers.map { case (lang, words) =>

@@ -108,4 +108,27 @@ class SearchSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got == expected)
   }
+
+  test("fuzzySearch resolves typos to every ed-1 vocab term, keeps " +
+    "exact matches at distance 0, and drops unresolvable terms") {
+    val d = Seq(
+      (1L, "spark joins the batch table"),
+      (2L, "spark spark sparks fly"),
+      (3L, "unrelated words entirely here"))
+      .toDF("doc_id", "text")
+    val out = Search.fuzzySearch(d,
+      Seq("spqrk", "sparks", "zzzzzz"), k = 5)
+      .select("q_term", "term", "dist", "doc_id")
+      .as[(String, String, Long, Long)].collect()
+    // 'spqrk' → 'spark' (substitution); docs 1 and 2 surface
+    assert(out.filter(r => r._1 == "spqrk" && r._2 == "spark")
+      .map(_._4).toSet == Set(1L, 2L))
+    // 'sparks' resolves BOTH ways: exact 'sparks' (dist 0) and the
+    // deletion-neighbor 'spark' (dist 1) — ES fuzzy semantics
+    val sparks = out.filter(_._1 == "sparks")
+    assert(sparks.exists(r => r._2 == "sparks" && r._3 == 0L))
+    assert(sparks.exists(r => r._2 == "spark" && r._3 == 1L))
+    // nothing within distance 1 of 'zzzzzz' → no rows, not an error
+    assert(!out.exists(_._1 == "zzzzzz"))
+  }
 }
