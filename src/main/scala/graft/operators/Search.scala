@@ -80,6 +80,40 @@ object Search {
       .orderBy("q_term", "term", "rank")
   }
 
+  /** Search-result highlighting — the ES `highlight` response feature
+    * (the reference's search results come back from Elasticsearch with
+    * Lucene-built snippets): for every document containing ANY query
+    * term, extract a ±`window`-token snippet around the FIRST
+    * occurrence and wrap each query term inside it in `[...]` markers.
+    * Pure per-row codegen'd array expressions — no shuffle, no UDF;
+    * the first-occurrence rule and fixed window make the snippet a
+    * deterministic function of the document, so it oracles exactly.
+    * Output: (doc_id, pos, n_hits, snippet); non-matching docs drop.
+    */
+  def highlight(docs: DataFrame, terms: Seq[String],
+                window: Int = 3): DataFrame = {
+    val arr = terms.map(t => s"'$t'").mkString(", ")
+    docs
+      .withColumn("toks", TextOps.tokens("text"))
+      // first occurrence of ANY term: min over per-term first
+      // positions (array_position is 1-based, 0 = absent)
+      .withColumn("pos", expr(
+        s"array_min(filter(transform(array($arr), " +
+          "t -> array_position(toks, t)), x -> x > 0))"))
+      .filter(col("pos").isNotNull)
+      .withColumn("lo", greatest(lit(1L), col("pos") - window))
+      .withColumn("snippet", expr(
+        s"concat_ws(' ', transform(slice(toks, int(lo), " +
+          s"${2 * window + 1}), " +
+          s"t -> if(array_contains(array($arr), t), " +
+          "concat('[', t, ']'), t)))"))
+      .withColumn("n_hits", expr(
+        s"bigint(size(filter(toks, t -> array_contains(array($arr), t))))"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("n_hits"), col("snippet"))
+      .orderBy("doc_id")
+  }
+
   /** Inverted index: term → document frequency, total tf and the posting
     * list (doc-id-sorted for deterministic output).
     */

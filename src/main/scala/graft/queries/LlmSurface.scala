@@ -70,6 +70,14 @@ object LlmSurface {
       Search.fuzzySearch(docs(s, d), Seq("spqrk", "joinn", "vector"),
         k = 5)),
 
+    // --- search-result highlighting (ES `highlight` analogue):
+    //     ±3-token snippet around the first query-term occurrence,
+    //     matched terms wrapped in [...] — per-row codegen'd array
+    //     expressions, no shuffle; deterministic first-occurrence
+    //     rule makes the snippet text oracle-exact (Search.highlight) ---
+    "q153_highlight" -> ((s, d) =>
+      Search.highlight(docs(s, d), searchTerms, window = 3)),
+
     // --- exact phrase query (ES match_phrase analogue): one corpus
     //     tokenize into positional postings, then the single-shuffle
     //     anchor-count match (each posting proposes pos-offset anchors;
@@ -1050,6 +1058,28 @@ object LlmSurface {
     },
 
     "q105_phrase_search" -> phraseOracle,
+
+    // q153: same first-occurrence-of-any-term rule (1-based
+    // list_position, min over terms), same clamped ±3 window, same
+    // bracket marking — snippet text byte-identical
+    "q153_highlight" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents),
+        | px AS (SELECT doc_id, toks,
+        |   list_min(list_filter(
+        |     [list_position(toks, 'spark'), list_position(toks, 'join'),
+        |      list_position(toks, 'vector')],
+        |     x -> x > 0)) AS pos
+        |  FROM t)
+        |SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+        |  CAST(len(list_filter(toks,
+        |    tk -> list_contains(['spark', 'join', 'vector'], tk)))
+        |   AS BIGINT) AS n_hits,
+        |  array_to_string(list_transform(
+        |    toks[greatest(1, pos - 3) : greatest(1, pos - 3) + 6],
+        |    tk -> CASE WHEN list_contains(['spark', 'join', 'vector'], tk)
+        |      THEN '[' || tk || ']' ELSE tk END), ' ') AS snippet
+        |FROM px WHERE pos IS NOT NULL ORDER BY doc_id""".stripMargin,
 
     // q152: resolution recomputed as the vocab×query quadratic (valid
     // at oracle scale — the Spark side blocks on deletion variants),

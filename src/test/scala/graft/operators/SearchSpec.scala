@@ -131,4 +131,24 @@ class SearchSpec extends SparkSpec {
     // nothing within distance 1 of 'zzzzzz' → no rows, not an error
     assert(!out.exists(_._1 == "zzzzzz"))
   }
+
+  test("highlight: first-occurrence window clamps at both ends, marks " +
+    "every query term inside it, and drops non-matching docs") {
+    val d = Seq(
+      (1L, "spark at the very start of this longer document here"),
+      (2L, "a b c d e f g h i spark"),            // match near the end
+      (3L, "x y z spark join w v u t"),           // two terms in window
+      (4L, "no matching words at all present"))
+      .toDF("doc_id", "text")
+    val out = Search.highlight(d, Seq("spark", "join"), window = 3)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // pos 1 → window clamps left: snippet starts at token 1
+    assert(out(1L) == ((1L, 1L, "[spark] at the very start of this")))
+    // match at the last token → window clamps right
+    assert(out(2L) == ((10L, 1L, "g h i [spark]")))
+    // both terms inside the window are marked; pos is the FIRST hit
+    assert(out(3L) == ((4L, 2L, "x y z [spark] [join] w v")))
+    assert(!out.contains(4L))
+  }
 }
