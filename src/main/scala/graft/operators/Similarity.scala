@@ -1003,6 +1003,50 @@ object Similarity {
         col("ad2"))
   }
 
+  /** Two-stage IVF-PQ serving — the standard production shape: the
+    * compressed index produces a `shortlist`-sized candidate set per
+    * query ([[ivfPqTopKStaged]] — cell-pruned reads, ADC scoring, no
+    * raw vectors), then ONLY the shortlist's exact vectors are
+    * fetched from the staged index by id (a bounded
+    * |queries|·shortlist id set — the scan pushes the IN filter) and
+    * re-ranked by exact L2. ADC quantization error affects WHICH
+    * candidates survive, never their final ORDER — re-ranking
+    * recovers most of the recall PQ compression gives up while the
+    * corpus-sized read stays compressed and cell-pruned.
+    * Output: (q_id, neighbor_id, rank, d2).
+    */
+  def ivfPqRerankTopK(spark: org.apache.spark.sql.SparkSession,
+                      fixtureKey: String, emb: => DataFrame,
+                      centroidPred: String, queryPred: String, k: Int,
+                      shortlist: Int, nprobe: Int = 1, m: Int = 16,
+                      ksub: Int = 16, dim: Int = DefaultDim): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val cand = ivfPqTopKStaged(spark, fixtureKey, emb, centroidPred,
+        queryPred, shortlist, nprobe, m, ksub, dim)
+      .select("q_id", "neighbor_id")
+    // bounded driver list: |queries| · shortlist ids, query-sized by
+    // construction (same class as the probed-cells collect)
+    val ids = cand.select("neighbor_id").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val (_, asgDir) =
+      ensureIvfLearnedIndex(spark, fixtureKey, emb, centroidPred, dim)
+    val idx = readIvfIndex(spark, asgDir)
+    val vecs = idx.filter(col("vec_id").isin(ids: _*))
+      .select(col("vec_id").as("neighbor_id"), col("dvec"), col("nv"))
+    val q = idx.filter(expr(queryPred))
+      .select(col("vec_id").as("q_id"), col("dvec").as("qv"),
+        col("nv").as("qn"))
+    val w = Window.partitionBy("q_id").orderBy(asc("d2"),
+      asc("neighbor_id"))
+    cand.join(vecs, "neighbor_id")
+      .join(broadcast(q), "q_id")
+      .withColumn("d2", col("qn") + col("nv") -
+        lit(2.0) * dot(col("qv"), col("dvec"), dim))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "neighbor_id", "rank", "d2")
+  }
+
   /** Exact L2 top-k — the ground-truth arm for PQ recall audits
     * ([[bruteForceTopK]] ranks by cosine; ADC approximates L2, so its
     * audit must compare against the same metric).

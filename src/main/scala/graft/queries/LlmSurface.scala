@@ -642,6 +642,29 @@ object LlmSurface {
         .orderBy("source")
     }),
 
+    // --- two-stage IVF-PQ serving (the production shape): ADC over
+    //     the compressed cell-pruned index produces a 50-candidate
+    //     shortlist per query, then ONLY those ids' exact vectors are
+    //     fetched (pushed IN filter on the staged index) and re-ranked
+    //     by exact L2 — compression decides WHO survives, never the
+    //     final order (Similarity.ivfPqRerankTopK) ---
+    "q154_ivfpq_rerank" -> ((s, d) => {
+      val e = emb(s, d)
+      val exact = Similarity.bruteForceTopKL2(e, "vec_id < 20", 10)
+        .select("q_id", "neighbor_id")
+      val approx = Similarity.ivfPqRerankTopK(s, d, e, "vec_id < 8",
+          "vec_id < 20", 10, shortlist = 50, nprobe = 2)
+        .select("q_id", "neighbor_id")
+      val hits = exact.join(approx, Seq("q_id", "neighbor_id"))
+        .groupBy("q_id").agg(count(lit(1)).as("hits"))
+      e.filter(col("vec_id") < 20).select(col("vec_id").as("q_id"))
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"), coalesce(col("hits"), lit(0L)).as("hits"),
+          (coalesce(col("hits"), lit(0L)).cast("double") / lit(10.0d))
+            .as("recall"))
+        .orderBy("q_id")
+    }),
+
     // --- hive-partitioned layout, oracled: documents staged ONCE
     //     partitionBy(lang); an equality predicate on the partition
     //     column prunes whole directories at PLANNING time
@@ -1023,6 +1046,98 @@ object LlmSurface {
       |         AND c.term = 'scan'
       |WHERE a.term = 'big'
       |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin
+
+  /** Shared DuckDB CTE chain of the IVF-PQ oracles (q146/q154):
+    * q129's learned-coarse-quantizer chain composed with q145's PQ
+    * chain, ending at the per-(query, candidate) fixed-order ADC
+    * sums (`summed`) plus the probe lists (`qp`).
+    */
+  private def ivfPqCtes: String =
+    s"""ev AS (SELECT vec_id,
+         |   list_transform(embedding, x -> x::DOUBLE) AS v
+         |  FROM embeddings),
+         | nv AS (SELECT vec_id, v, ${dkDot("v", "v")} AS n2 FROM ev),
+         | c0 AS (SELECT vec_id AS c_id, v AS cv, n2 AS cn2
+         |  FROM nv WHERE vec_id < 8),
+         | d0 AS (SELECT nv.vec_id, c0.c_id,
+         |   nv.n2 + c0.cn2 - 2.0 * ${dkDot("nv.v", "c0.cv")} AS d2
+         |  FROM nv, c0),
+         | a0 AS (SELECT vec_id, c_id, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY d2, c_id) AS rn FROM d0),
+         | asg0 AS (SELECT nv.vec_id, a0.c_id AS cluster, nv.v
+         |  FROM nv JOIN a0 ON nv.vec_id = a0.vec_id AND a0.rn = 1),
+         | n0 AS (SELECT cluster, count(*) AS n FROM asg0 GROUP BY cluster),
+         | ex AS (SELECT cluster, idx.i AS i,
+         |   CAST(floor(v[idx.i] * 1048576.0) AS BIGINT) AS fx
+         |  FROM asg0 CROSS JOIN
+         |    (SELECT unnest(range(1, 65)) AS i) idx),
+         | s0 AS (SELECT cluster, i, sum(fx) AS sfx
+         |  FROM ex GROUP BY cluster, i),
+         | c1 AS (SELECT s0.cluster AS c_id,
+         |   list(CAST(sfx AS DOUBLE) / CAST(n AS DOUBLE) / 1048576.0
+         |        ORDER BY i) AS cv
+         |  FROM s0 JOIN n0 ON s0.cluster = n0.cluster
+         |  GROUP BY s0.cluster),
+         | c1n AS (SELECT c_id, cv, ${dkDot("cv", "cv")} AS cn2 FROM c1),
+         | d1 AS (SELECT nv.vec_id, c1n.c_id,
+         |   nv.n2 + c1n.cn2 - 2.0 * ${dkDot("nv.v", "c1n.cv")} AS d2
+         |  FROM nv, c1n),
+         | a1 AS (SELECT vec_id, c_id, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY d2, c_id) AS rn FROM d1),
+         | cellasg AS (SELECT vec_id, c_id AS cluster FROM a1
+         |  WHERE rn = 1),
+         | qp AS (SELECT vec_id AS q_id, c_id AS cluster FROM a1
+         |  WHERE vec_id < 20 AND rn <= 2),
+         | subn AS (SELECT vec_id, jj.j AS j,
+         |   v[jj.j*4+1 : jj.j*4+4] AS sv,
+         |   ${dkDot("v[jj.j*4+1 : jj.j*4+4]",
+                     "v[jj.j*4+1 : jj.j*4+4]")} AS sn2
+         |  FROM ev CROSS JOIN (SELECT unnest(range(0, 16)) AS j) jj),
+         | seeds AS (SELECT j, vec_id AS c_id, sv AS cv, sn2 AS cn2
+         |  FROM subn WHERE vec_id < 16),
+         | pa AS (SELECT s.vec_id, s.j, c.c_id, row_number() OVER (
+         |    PARTITION BY s.vec_id, s.j
+         |    ORDER BY s.sn2 + c.cn2 - 2.0 * ${dkDot("s.sv", "c.cv")},
+         |      c.c_id) AS rn
+         |  FROM subn s JOIN seeds c ON s.j = c.j),
+         | pasg AS (SELECT s.vec_id, s.j, a.c_id AS cluster, s.sv
+         |  FROM subn s JOIN pa a
+         |    ON s.vec_id = a.vec_id AND s.j = a.j AND a.rn = 1),
+         | pnct AS (SELECT j, cluster, count(*) AS n FROM pasg
+         |  GROUP BY j, cluster),
+         | pexf AS (SELECT j, cluster, idx.i AS i,
+         |   CAST(floor(sv[idx.i] * 1048576.0) AS BIGINT) AS fx
+         |  FROM pasg CROSS JOIN (SELECT unnest(range(1, 5)) AS i) idx),
+         | psums AS (SELECT j, cluster, i, sum(fx) AS sfx FROM pexf
+         |  GROUP BY j, cluster, i),
+         | pbooks0 AS (SELECT s.j, s.cluster AS c_id,
+         |   list(CAST(sfx AS DOUBLE) / CAST(n AS DOUBLE) / 1048576.0
+         |        ORDER BY i) AS cv
+         |  FROM psums s JOIN pnct t ON s.j = t.j AND s.cluster = t.cluster
+         |  GROUP BY s.j, s.cluster),
+         | pbooks AS (SELECT j, c_id, cv, ${dkDot("cv", "cv")} AS cn2
+         |  FROM pbooks0),
+         | pe0 AS (SELECT s.vec_id, s.j, b.c_id, row_number() OVER (
+         |    PARTITION BY s.vec_id, s.j
+         |    ORDER BY s.sn2 + b.cn2 - 2.0 * ${dkDot("s.sv", "b.cv")},
+         |      b.c_id) AS rn
+         |  FROM subn s JOIN pbooks b ON s.j = b.j),
+         | codes AS (SELECT vec_id, j, c_id AS code FROM pe0 WHERE rn = 1),
+         | dt AS (SELECT q.vec_id AS q_id, q.j, b.c_id,
+         |   q.sn2 + b.cn2 - 2.0 * ${dkDot("q.sv", "b.cv")} AS d
+         |  FROM subn q JOIN pbooks b ON q.j = b.j WHERE q.vec_id < 20),
+         | cand AS (SELECT p.q_id, c.vec_id
+         |  FROM cellasg c JOIN qp p ON c.cluster = p.cluster
+         |  WHERE c.vec_id <> p.q_id),
+         | adc AS (SELECT n.q_id, n.vec_id, k.j, d.d
+         |  FROM cand n JOIN codes k ON n.vec_id = k.vec_id
+         |  JOIN dt d ON d.q_id = n.q_id AND d.j = k.j
+         |    AND d.c_id = k.code),
+         | summed AS (SELECT q_id, vec_id,
+         |   ${(0 until 16).map(j =>
+              s"max(CASE WHEN j = $j THEN d END)")
+              .mkString("\n         |   + ")} AS ad2
+         |  FROM adc GROUP BY q_id, vec_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q105b_phrase_indexed" -> phraseOracle,
@@ -2028,91 +2143,7 @@ object LlmSurface {
     // probed cells, scored by the same fixed-order ADC sum; exact arm
     // is full-vector L2, so the recall number is cross-engine exact
     "q146_ivfpq_recall" ->
-      s"""WITH ev AS (SELECT vec_id,
-         |   list_transform(embedding, x -> x::DOUBLE) AS v
-         |  FROM embeddings),
-         | nv AS (SELECT vec_id, v, ${dkDot("v", "v")} AS n2 FROM ev),
-         | c0 AS (SELECT vec_id AS c_id, v AS cv, n2 AS cn2
-         |  FROM nv WHERE vec_id < 8),
-         | d0 AS (SELECT nv.vec_id, c0.c_id,
-         |   nv.n2 + c0.cn2 - 2.0 * ${dkDot("nv.v", "c0.cv")} AS d2
-         |  FROM nv, c0),
-         | a0 AS (SELECT vec_id, c_id, row_number() OVER (
-         |    PARTITION BY vec_id ORDER BY d2, c_id) AS rn FROM d0),
-         | asg0 AS (SELECT nv.vec_id, a0.c_id AS cluster, nv.v
-         |  FROM nv JOIN a0 ON nv.vec_id = a0.vec_id AND a0.rn = 1),
-         | n0 AS (SELECT cluster, count(*) AS n FROM asg0 GROUP BY cluster),
-         | ex AS (SELECT cluster, idx.i AS i,
-         |   CAST(floor(v[idx.i] * 1048576.0) AS BIGINT) AS fx
-         |  FROM asg0 CROSS JOIN
-         |    (SELECT unnest(range(1, 65)) AS i) idx),
-         | s0 AS (SELECT cluster, i, sum(fx) AS sfx
-         |  FROM ex GROUP BY cluster, i),
-         | c1 AS (SELECT s0.cluster AS c_id,
-         |   list(CAST(sfx AS DOUBLE) / CAST(n AS DOUBLE) / 1048576.0
-         |        ORDER BY i) AS cv
-         |  FROM s0 JOIN n0 ON s0.cluster = n0.cluster
-         |  GROUP BY s0.cluster),
-         | c1n AS (SELECT c_id, cv, ${dkDot("cv", "cv")} AS cn2 FROM c1),
-         | d1 AS (SELECT nv.vec_id, c1n.c_id,
-         |   nv.n2 + c1n.cn2 - 2.0 * ${dkDot("nv.v", "c1n.cv")} AS d2
-         |  FROM nv, c1n),
-         | a1 AS (SELECT vec_id, c_id, row_number() OVER (
-         |    PARTITION BY vec_id ORDER BY d2, c_id) AS rn FROM d1),
-         | cellasg AS (SELECT vec_id, c_id AS cluster FROM a1
-         |  WHERE rn = 1),
-         | qp AS (SELECT vec_id AS q_id, c_id AS cluster FROM a1
-         |  WHERE vec_id < 20 AND rn <= 2),
-         | subn AS (SELECT vec_id, jj.j AS j,
-         |   v[jj.j*4+1 : jj.j*4+4] AS sv,
-         |   ${dkDot("v[jj.j*4+1 : jj.j*4+4]",
-                     "v[jj.j*4+1 : jj.j*4+4]")} AS sn2
-         |  FROM ev CROSS JOIN (SELECT unnest(range(0, 16)) AS j) jj),
-         | seeds AS (SELECT j, vec_id AS c_id, sv AS cv, sn2 AS cn2
-         |  FROM subn WHERE vec_id < 16),
-         | pa AS (SELECT s.vec_id, s.j, c.c_id, row_number() OVER (
-         |    PARTITION BY s.vec_id, s.j
-         |    ORDER BY s.sn2 + c.cn2 - 2.0 * ${dkDot("s.sv", "c.cv")},
-         |      c.c_id) AS rn
-         |  FROM subn s JOIN seeds c ON s.j = c.j),
-         | pasg AS (SELECT s.vec_id, s.j, a.c_id AS cluster, s.sv
-         |  FROM subn s JOIN pa a
-         |    ON s.vec_id = a.vec_id AND s.j = a.j AND a.rn = 1),
-         | pnct AS (SELECT j, cluster, count(*) AS n FROM pasg
-         |  GROUP BY j, cluster),
-         | pexf AS (SELECT j, cluster, idx.i AS i,
-         |   CAST(floor(sv[idx.i] * 1048576.0) AS BIGINT) AS fx
-         |  FROM pasg CROSS JOIN (SELECT unnest(range(1, 5)) AS i) idx),
-         | psums AS (SELECT j, cluster, i, sum(fx) AS sfx FROM pexf
-         |  GROUP BY j, cluster, i),
-         | pbooks0 AS (SELECT s.j, s.cluster AS c_id,
-         |   list(CAST(sfx AS DOUBLE) / CAST(n AS DOUBLE) / 1048576.0
-         |        ORDER BY i) AS cv
-         |  FROM psums s JOIN pnct t ON s.j = t.j AND s.cluster = t.cluster
-         |  GROUP BY s.j, s.cluster),
-         | pbooks AS (SELECT j, c_id, cv, ${dkDot("cv", "cv")} AS cn2
-         |  FROM pbooks0),
-         | pe0 AS (SELECT s.vec_id, s.j, b.c_id, row_number() OVER (
-         |    PARTITION BY s.vec_id, s.j
-         |    ORDER BY s.sn2 + b.cn2 - 2.0 * ${dkDot("s.sv", "b.cv")},
-         |      b.c_id) AS rn
-         |  FROM subn s JOIN pbooks b ON s.j = b.j),
-         | codes AS (SELECT vec_id, j, c_id AS code FROM pe0 WHERE rn = 1),
-         | dt AS (SELECT q.vec_id AS q_id, q.j, b.c_id,
-         |   q.sn2 + b.cn2 - 2.0 * ${dkDot("q.sv", "b.cv")} AS d
-         |  FROM subn q JOIN pbooks b ON q.j = b.j WHERE q.vec_id < 20),
-         | cand AS (SELECT p.q_id, c.vec_id
-         |  FROM cellasg c JOIN qp p ON c.cluster = p.cluster
-         |  WHERE c.vec_id <> p.q_id),
-         | adc AS (SELECT n.q_id, n.vec_id, k.j, d.d
-         |  FROM cand n JOIN codes k ON n.vec_id = k.vec_id
-         |  JOIN dt d ON d.q_id = n.q_id AND d.j = k.j
-         |    AND d.c_id = k.code),
-         | summed AS (SELECT q_id, vec_id,
-         |   ${(0 until 16).map(j =>
-              s"max(CASE WHEN j = $j THEN d END)")
-              .mkString("\n         |   + ")} AS ad2
-         |  FROM adc GROUP BY q_id, vec_id),
+      s"""WITH $ivfPqCtes,
          | approx AS (SELECT q_id, vec_id AS neighbor_id FROM summed
          |  QUALIFY row_number() OVER (PARTITION BY q_id
          |    ORDER BY ad2, vec_id) <= 10),
@@ -2124,6 +2155,37 @@ object LlmSurface {
          |      b.vec_id) <= 10),
          | hits AS (SELECT e.q_id, count(*) AS hits
          |  FROM exact e JOIN approx x
+         |    ON e.q_id = x.q_id AND e.neighbor_id = x.neighbor_id
+         |  GROUP BY e.q_id)
+         |SELECT n.vec_id AS q_id, COALESCE(h.hits, 0) AS hits,
+         |  CAST(COALESCE(h.hits, 0) AS DOUBLE) / CAST(10 AS DOUBLE)
+         |    AS recall
+         |FROM nv n LEFT JOIN hits h ON n.vec_id = h.q_id
+         |WHERE n.vec_id < 20 ORDER BY q_id""".stripMargin,
+
+    // q154: the same composed chain, shortlist 50 by ADC, exact-L2
+    // re-rank of the shortlist — compression picks candidates, the
+    // exact metric orders them
+    "q154_ivfpq_rerank" ->
+      s"""WITH $ivfPqCtes,
+         | short AS (SELECT q_id, vec_id FROM summed
+         |  QUALIFY row_number() OVER (PARTITION BY q_id
+         |    ORDER BY ad2, vec_id) <= 50),
+         | rr AS (SELECT s.q_id, s.vec_id AS neighbor_id
+         |  FROM short s
+         |  JOIN nv a ON a.vec_id = s.q_id
+         |  JOIN nv b ON b.vec_id = s.vec_id
+         |  QUALIFY row_number() OVER (PARTITION BY s.q_id
+         |    ORDER BY a.n2 + b.n2 - 2.0 * ${dkDot("a.v", "b.v")},
+         |      s.vec_id) <= 10),
+         | exact AS (SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id
+         |  FROM nv a JOIN nv b
+         |    ON a.vec_id < 20 AND b.vec_id <> a.vec_id
+         |  QUALIFY row_number() OVER (PARTITION BY a.vec_id
+         |    ORDER BY a.n2 + b.n2 - 2.0 * ${dkDot("a.v", "b.v")},
+         |      b.vec_id) <= 10),
+         | hits AS (SELECT e.q_id, count(*) AS hits
+         |  FROM exact e JOIN rr x
          |    ON e.q_id = x.q_id AND e.neighbor_id = x.neighbor_id
          |  GROUP BY e.q_id)
          |SELECT n.vec_id AS q_id, COALESCE(h.hits, 0) AS hits,

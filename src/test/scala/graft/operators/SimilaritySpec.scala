@@ -406,4 +406,32 @@ class SimilaritySpec extends SparkSpec {
       assert(w2.size >= w1.size)
     }
   }
+
+  test("IVF-PQ re-ranking: shortlist == k permutes the ADC set into " +
+    "exact-L2 order; all cells + full shortlist recovers exact " +
+    "search completely") {
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val key = s"$sf001#spec-ivfpq"
+    val (m, ksub) = (8, 8)
+    // same candidate SET as the ADC ranking, re-ordered by exact L2
+    val adcSet = Similarity.ivfPqTopKStaged(spark, key, e, "vec_id < 8",
+        "vec_id < 5", 10, nprobe = 2, m, ksub)
+      .select("q_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val rrSet = Similarity.ivfPqRerankTopK(spark, key, e, "vec_id < 8",
+        "vec_id < 5", 10, shortlist = 10, nprobe = 2, m, ksub)
+      .select("q_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    assert(rrSet == adcSet, "shortlist==k must keep the ADC set")
+    // probing everything with an unbounded shortlist IS exact search
+    val full = Similarity.ivfPqRerankTopK(spark, key, e, "vec_id < 8",
+        "vec_id < 5", 10, shortlist = 1000, nprobe = 8, m, ksub)
+      .select("q_id", "neighbor_id", "rank")
+      .as[(Long, Long, Long)].collect().sortBy(t => (t._1, t._3)).toSeq
+    val exact = Similarity.bruteForceTopKL2(e, "vec_id < 5", 10)
+      .select("q_id", "neighbor_id", "rank")
+      .as[(Long, Long, Long)].collect().sortBy(t => (t._1, t._3)).toSeq
+    assert(full == exact,
+      "all-cells + full shortlist must recover exact L2 search")
+  }
 }
