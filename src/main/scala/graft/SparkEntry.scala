@@ -60,7 +60,8 @@ object SparkEntry {
         graft.engine.Tables.table(spark, sfDir, "documents"),
         "lang", Seq("n_chars", "doc_id"), "docs")),
       Future(graft.queries.LlmSurface.ivfAppendStage(spark, sfDir)),
-      Future(SqlSurface.ensureZonemappedLineitem(spark, sfDir)))
+      Future(SqlSurface.ensureZonemappedLineitem(spark, sfDir)),
+      Future(SqlSurface.zonemapAppendStage(spark, sfDir)))
     writes.foreach(Await.result(_, Duration.Inf))
   }
 }

@@ -41,8 +41,9 @@ object ZoneMap {
       baseName: String, numFiles: Int = 16,
       bloomItems: Long = 100000L): String = {
     require(numFiles >= 1, s"numFiles must be >= 1: $numFiles")
+    // "zm2" = manifest-segment layout version (adds `layout/`)
     val fp = Bucketing.fingerprint8(
-      s"$fixtureKey|$baseName|zm1|$rangeCol|$bloomCol|$numFiles")
+      s"$fixtureKey|$baseName|zm2|$rangeCol|$bloomCol|$numFiles")
     val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_zm_${baseName}_$fp")
     Bucketing.atomicStage(dir) { tmp =>
@@ -54,28 +55,85 @@ object ZoneMap {
       require(mx - mn < Long.MaxValue / numFiles,
         s"$rangeCol span ${mx - mn} * $numFiles files overflows int64 " +
           "bucket math — raise the bucket width or use BigInt boundaries")
-      val span = mx - mn + 1
-      // exact integer bucket math (`div`, not `/` — Column./ is IEEE
-      // division, lossy past 2^53)
-      val data = src.withColumn("zf", expr(
-        s"cast(((cast($rangeCol as bigint) - ${mn}L) * ${numFiles}L) " +
-          s"div ${span}L as int)"))
-      data.repartition(col("zf"))
-        .write.mode("overwrite").partitionBy("zf")
-        .parquet(new java.io.File(tmp, "data").getPath)
-      // Stats from the files AS WRITTEN (read-back, not the source
-      // frame): the manifest must describe what a probe will read.
-      val back = spark.read.parquet(new java.io.File(tmp, "data").getPath)
-      back.groupBy("zf")
-        .agg(min(col(rangeCol)).cast("long").as("mn"),
-          max(col(rangeCol)).cast("long").as("mx"),
-          expr(s"graft_bloom_agg(xxhash64($bloomCol), ${bloomItems}L)")
-            .as("bloom"))
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(new java.io.File(tmp, "zonemap").getPath)
+      writeSegment(spark, tmp, src, rangeCol, bloomCol, mn, mx,
+        numFiles, bloomItems, segment = "zonemap")
+      // persist the bucket geometry so APPENDS route rows into the
+      // same units the base layout established
+      import spark.implicits._
+      Seq((mn, mx, numFiles, bloomItems))
+        .toDF("mn", "mx", "num_files", "bloom_items")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(new java.io.File(tmp, "layout").getPath)
     }
     dir.getPath
+  }
+
+  /** One data+manifest write: bucket rows by the FIXED geometry
+    * (values outside [mn, mx] clamp into the edge units — their
+    * segment stats still carry the true min/max, so pruning stays
+    * lossless), append the data files, and write this segment's
+    * per-unit manifest rows.
+    */
+  private def writeSegment(spark: SparkSession, root: java.io.File,
+      src: DataFrame, rangeCol: String, bloomCol: String, mn: Long,
+      mx: Long, numFiles: Int, bloomItems: Long,
+      segment: String): Unit = {
+    val span = mx - mn + 1
+    // exact integer bucket math (`div`, not `/` — Column./ is IEEE
+    // division, lossy past 2^53), clamped to the geometry
+    val data = src.withColumn("zf", expr(
+      s"int(greatest(0L, least(${numFiles - 1}L, " +
+        s"((cast($rangeCol as bigint) - ${mn}L) * ${numFiles}L) " +
+        s"div ${span}L)))"))
+    data.repartition(col("zf"))
+      .write.mode("append").partitionBy("zf")
+      .parquet(new java.io.File(root, "data").getPath)
+    // Stats from the segment's OWN rows: the manifest must describe
+    // what this append made readable.
+    data.groupBy("zf")
+      .agg(min(col(rangeCol)).cast("long").as("mn"),
+        max(col(rangeCol)).cast("long").as("mx"),
+        expr(s"graft_bloom_agg(xxhash64($bloomCol), ${bloomItems}L)")
+          .as("bloom"))
+      .coalesce(1)
+      .write.mode("overwrite")
+      .parquet(new java.io.File(root, segment).getPath)
+  }
+
+  /** Incremental zone-map upkeep — the ingest path that keeps the
+    * staged index fresh without a re-stage (the
+    * [[graft.operators.Similarity.ivfAppendOnce]] contract for the
+    * layout tier): `batch` rows route into the EXISTING bucket
+    * geometry (read from `layout/`) as appended data files, and the
+    * batch's per-unit stats land as a NEW manifest segment — the base
+    * manifest is never rewritten, exactly the Delta/Iceberg
+    * append-a-manifest-segment shape. [[zonemapScan]] consults every
+    * segment; a unit survives if ANY segment admits it, which keeps
+    * pruning lossless (a unit whose only match lives in the appended
+    * segment is admitted by that segment's row).
+    *
+    * Idempotent per `batchKey` via an in-dir marker that a re-stage's
+    * rebuild clears with the data. Cost is O(|batch|): the standing
+    * data files and manifest segments are never read or rewritten.
+    */
+  def appendOnce(spark: SparkSession, dir: String, batch: => DataFrame,
+                 rangeCol: String, bloomCol: String,
+                 batchKey: String): String = {
+    val root = new java.io.File(dir)
+    require(new java.io.File(root, "_SUCCESS").isFile,
+      s"appendOnce($dir): not a staged zone map")
+    val fp = Bucketing.fingerprint8(batchKey)
+    val marker = new java.io.File(root, s"_APPENDED_$fp")
+    if (!marker.isFile) {
+      graft.functions.GraftFunctions.register(spark)
+      val l = spark.read.parquet(s"$dir/layout").head()
+      writeSegment(spark, root, batch, rangeCol, bloomCol,
+        l.getAs[Long]("mn"), l.getAs[Long]("mx"),
+        l.getAs[Int]("num_files"), l.getAs[Long]("bloom_items"),
+        segment = s"zonemap_$fp")
+      marker.createNewFile()
+    }
+    dir
   }
 
   /** Probe the staged zone map under the conjunctive predicate
@@ -91,7 +149,12 @@ object ZoneMap {
   def zonemapScan(spark: SparkSession, dir: String, rangeCol: String,
       bloomCol: String, lo: Long, hi: Long,
       point: Long): (Seq[Int], DataFrame) = {
-    val stats = spark.read.parquet(s"$dir/zonemap")
+    // every manifest segment (base + appends) — an O(segments) driver
+    // listing, the same bounded-manifest contract as the stats read
+    val segs = Option(new java.io.File(dir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("zonemap"))
+      .map(_.getPath).sorted
+    val stats = spark.read.parquet(segs: _*)
     // The manifest consult happens ON THE DRIVER — the same place the
     // planner prunes partitions — over O(numFiles) rows. The Bloom
     // probe key is xxhash64(point), matching the hashing the build
@@ -110,7 +173,7 @@ object ZoneMap {
           .readFrom(new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
           .mightContainLong(hash)
       }
-      .map(_.getInt(0)).sorted.toSeq
+      .map(_.getInt(0)).distinct.sorted.toSeq
     val raw =
       if (survivors.isEmpty)
         // empty survivor set: keep the output schema without touching

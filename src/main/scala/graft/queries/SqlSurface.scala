@@ -86,6 +86,24 @@ object SqlSurface {
       rangeCol = "l_partkey", bloomCol = "l_orderkey", "lineitem")
   }
 
+  /** q155's ingest half (also staged up front): a DEDICATED zone map
+    * (`#append`-suffixed key, so q141's shared map never sees
+    * appended rows) plus one idempotent appended batch — order 777's
+    * rows shifted to orderkey 10000777, the deterministic stand-in
+    * for newly-ingested facts.
+    */
+  def zonemapAppendStage(s: SparkSession, d: String): String = {
+    val src = new java.io.File(s"$d/lineitem.parquet")
+    val dir = graft.engine.ZoneMap.ensureZonemapped(s,
+      s"$d|${src.lastModified}|${src.length}#append",
+      t(s, d, "lineitem"),
+      rangeCol = "l_partkey", bloomCol = "l_orderkey", "lineitem_app")
+    graft.engine.ZoneMap.appendOnce(s, dir,
+      t(s, d, "lineitem").filter(col("l_orderkey") === 777)
+        .withColumn("l_orderkey", col("l_orderkey") + lit(10000000L)),
+      "l_partkey", "l_orderkey", batchKey = "batch1")
+  }
+
   /** DuckDB twin of TextOps.bpeLoop: the merge-learning CTE chain,
     * unrolled through `rounds` rounds. Yields CTEs `wd, d0,
     * p1, w1, d1, …, p<r>, w<r>, d<r>` — `w<i>` is round i's winning
@@ -1282,6 +1300,26 @@ object SqlSurface {
         .orderBy("w")
     }),
 
+    // --- incremental zone-map upkeep (the layout tier's q140): a
+    //     batch appends into the staged map's EXISTING bucket geometry
+    //     with its own manifest SEGMENT — the base manifest is never
+    //     rewritten (the Delta append-a-segment shape). Point probes
+    //     on an appended key AND a base key both prune through the
+    //     multi-segment manifest; hash-exactness proves segment-union
+    //     pruning lossless (ZoneMap.appendOnce) ---
+    "q155_zonemap_append" -> ((s, d) => {
+      val dir = SqlSurface.zonemapAppendStage(s, d)
+      val (_, appended) = graft.engine.ZoneMap.zonemapScan(s, dir,
+        "l_partkey", "l_orderkey", 0L, Long.MaxValue, point = 10000777L)
+      val (_, base) = graft.engine.ZoneMap.zonemapScan(s, dir,
+        "l_partkey", "l_orderkey", 0L, Long.MaxValue, point = 777L)
+      appended.unionByName(base)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "l_quantity")
+    }),
+
     // --- layout tier, metadata-only aggregation: COUNT/MIN/MAX
     //     answered from parquet row-group FOOTER statistics — zero
     //     data pages decoded (PlanSpec asserts PushedAggregation).
@@ -2388,6 +2426,20 @@ object SqlSurface {
         |   (nw * n_events - s) * (nw * n_events - s)
         |     > 4 * (nw * sq - s * s) AS is_low
         |FROM w, st ORDER BY w""".stripMargin,
+
+    // q155: base rows ∪ the shifted appended batch — the multi-segment
+    // pruned read must be lossless for both point keys
+    "q155_zonemap_append" ->
+      """SELECT * FROM (
+        | SELECT l_orderkey + 10000000 AS l_orderkey, l_linenumber,
+        |  l_partkey, l_suppkey, l_quantity
+        | FROM lineitem WHERE l_orderkey = 777
+        | UNION ALL
+        | SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |  l_quantity
+        | FROM lineitem WHERE l_orderkey = 777)
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        | l_quantity""".stripMargin,
 
     // q141: the zone-mapped copy + Bloom-pruned read must be lossless —
     // same point predicate on the plain table

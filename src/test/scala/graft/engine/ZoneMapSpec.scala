@@ -45,6 +45,54 @@ class ZoneMapSpec extends SparkSpec {
     assert(dfAbsent.count() == 0)
   }
 
+  test("appendOnce: appended keys become probe-able through their own " +
+    "manifest segment, replay is a no-op, the base manifest never " +
+    "rewrites, and out-of-geometry values clamp losslessly") {
+    val src = new java.io.File(s"$sf001/lineitem.parquet")
+    // v2 = batch-content version: the staged dir and its append
+    // markers outlive the JVM, so a changed spec batch needs its own
+    // lineage
+    val key = s"$sf001|${src.lastModified}|${src.length}#spec-append-v2"
+    val adir = ZoneMap.ensureZonemapped(spark, key, plain,
+      "l_partkey", "l_orderkey", "lineitem_spec")
+    def census(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(adir)).map(f => f.getPath -> f.length()).toMap
+    }
+    val baseManifest = new java.io.File(adir, "zonemap").listFiles()
+      .map(f => f.getName -> f.length()).toMap
+    // batch: order 777 shifted, plus one row whose partkey sits ABOVE
+    // the staged geometry (clamps into the last unit)
+    val batch = plain.filter(col("l_orderkey") === 777)
+      .withColumn("l_orderkey", col("l_orderkey") + lit(5000000L))
+      .withColumn("l_partkey",
+        when(col("l_linenumber") === 3, lit(99999L))
+          .otherwise(col("l_partkey")))
+    ZoneMap.appendOnce(spark, adir, batch, "l_partkey", "l_orderkey",
+      "spec-b1")
+    val after = census()
+    ZoneMap.appendOnce(spark, adir, batch, "l_partkey", "l_orderkey",
+      "spec-b1")
+    assert(census() == after, "replayed append mutated the index")
+    assert(new java.io.File(adir, "zonemap").listFiles()
+      .map(f => f.getName -> f.length()).toMap == baseManifest,
+      "append rewrote the base manifest")
+    // the appended key resolves — including the clamped row
+    val (sv, df) = ZoneMap.zonemapScan(spark, adir,
+      "l_partkey", "l_orderkey", 0L, Long.MaxValue, point = 5000777L)
+    val got = df.select("l_orderkey", "l_linenumber", "l_partkey")
+      .as[(Long, Long, Long)].collect().toSet
+    val want = batch.select("l_orderkey", "l_linenumber", "l_partkey")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want, s"survivors=$sv")
+    assert(got.exists(_._3 == 99999L), "clamped row must be readable")
+    // base keys stay intact behind the appended segments
+    val (_, base777) = ZoneMap.zonemapScan(spark, adir,
+      "l_partkey", "l_orderkey", 0L, Long.MaxValue, point = 777L)
+    assert(rows(base777) == rows(plain.filter(col("l_orderkey") === 777)))
+  }
+
   test("the manifest is bounded by the layout: one stats row per " +
     "file unit") {
     val stats = spark.read.parquet(s"$dir/zonemap")
