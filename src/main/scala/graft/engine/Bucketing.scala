@@ -384,6 +384,10 @@ object Bucketing {
     f.delete(): Unit
   }
 
+  /** Recursive delete for staged-artifact maintenance (the
+    * [[graft.engine.ZoneMap.compactManifest]] fold path). */
+  def deleteTree(f: java.io.File): Unit = deleteRecursively(f)
+
   /** Cross-JVM-safe staged-artifact publication: `build` writes into a
     * fresh UUID-suffixed sibling, a `_SUCCESS` marker lands INSIDE it,
     * and ONE atomic rename publishes the finished directory. Two JVMs
@@ -410,14 +414,26 @@ object Bucketing {
       if (!marker.isFile) marker.createNewFile()
       // `force` replaces a complete dir (the caller decided its
       // content is superseded — e.g. a rebuilt catalog half must take
-      // its appended-batches half down with it); without force only a
-      // torn, markerless dir is cleared
-      if (dir.exists() &&
-          (force || !new java.io.File(dir, "_SUCCESS").isFile))
-        deleteRecursively(dir)
+      // its appended-batches half down with it). A COMPLETE published
+      // dir is renamed ASIDE first — two atomic renames, not
+      // delete-then-move — so a reader in another JVM mid-scan sees
+      // either the old complete dir or the new one, never a
+      // half-deleted tree (the compactZordered swap shape); only a
+      // torn, markerless dir is cleared in place.
+      var stale: Option[java.io.File] = None
+      if (dir.exists()) {
+        if (new java.io.File(dir, "_SUCCESS").isFile) {
+          val aside = new java.io.File(dir.getParentFile,
+            dir.getName + ".old-" +
+              java.util.UUID.randomUUID().toString.take(8))
+          java.nio.file.Files.move(dir.toPath, aside.toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          stale = Some(aside)
+        } else deleteRecursively(dir)
+      }
       java.nio.file.Files.move(tmp.toPath, dir.toPath,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      ()
+      stale.foreach(deleteRecursively)
     } catch {
       case _: java.nio.file.FileAlreadyExistsException |
            _: java.nio.file.FileSystemException

@@ -7,16 +7,35 @@ import org.apache.spark.sql.functions._
   * next to bucketing (join co-location), z-order (correlated
   * multi-column ranges) and hive partitioning (categorical pruning):
   * a ZONE MAP. The staged copy is range-bucketed into `numFiles`
-  * units by one column, and a separate tiny stats table records, PER
-  * FILE UNIT, the min/max of that column plus a Bloom filter over a
-  * SECOND, non-layout column. A probe consults the stats table first
+  * units by one column, and a separate tiny stats manifest records,
+  * PER FILE UNIT, the min/max of that column plus a Bloom filter over
+  * a SECOND, non-layout column. A probe consults the manifest first
   * and reads only the surviving units — file pruning the scan planner
   * cannot do itself, because the Bloom column's values are scattered
   * across the layout (parquet footer min/max on a scattered column
   * spans everything; a Bloom still answers point lookups).
   *
-  * This is exactly the Delta/Iceberg file-statistics manifest shape:
-  * the stats side is O(numFiles) — bounded by the LAYOUT, not the
+  * Layout (version `zm3`) is the Delta/Iceberg shape made literal:
+  * DATA FILES ARE IMMUTABLE AND INVISIBLE UNTIL A MANIFEST ROW
+  * REFERENCES THEM. Every manifest row carries (unit, min, max,
+  * bloom, file list); readers resolve data through manifests only,
+  * never by listing data directories. That one rule buys the three
+  * properties a shared 100 TB index needs:
+  *
+  *  - crash-safe appends: a batch's data files land first (orphaned
+  *    and unreadable if the writer dies), then ONE atomic rename
+  *    publishes the manifest segment that makes them visible;
+  *  - concurrent writers: two JVMs appending the same batch each
+  *    write private data files; only the one whose manifest rename
+  *    wins publishes — the loser's files stay orphaned (vacuum
+  *    fodder), never half-visible;
+  *  - manifest compaction: folding segments into one is a pure
+  *    manifest rewrite — data files never move — and because readers
+  *    de-duplicate by file path, a reader racing the compactor sees
+  *    either manifest generation (or briefly both) and always the
+  *    same file set.
+  *
+  * The manifest side is O(numFiles) — bounded by the LAYOUT, not the
   * data — so the probe's driver-side consult stays a constant-size
   * read at any corpus size (at 100 TB the manifest is thousands of
   * rows where the data is billions; reading it on the driver is the
@@ -32,18 +51,20 @@ object ZoneMap {
   /** Stage the zone-mapped copy of `df` AT MOST ONCE per (fixture,
     * layout): range-bucket rows by `rangeCol` into `numFiles` leaf
     * directories (exact integer boundaries — deterministic, no
-    * sampling), then write `_zonemap/` holding per-unit (min, max,
-    * bloom(xxhash64(`bloomCol`))). `_SUCCESS` lands only after BOTH
-    * writes, so a torn staging re-runs. Returns the staged root.
+    * sampling), with the base manifest `zonemap/` holding per-unit
+    * (min, max, bloom, file list). `_SUCCESS` lands only after BOTH
+    * writes (the whole root publishes by one rename), so a torn
+    * staging re-runs. Returns the staged root.
     */
   def ensureZonemapped(spark: SparkSession, fixtureKey: String,
       df: => DataFrame, rangeCol: String, bloomCol: String,
       baseName: String, numFiles: Int = 16,
       bloomItems: Long = 100000L): String = {
     require(numFiles >= 1, s"numFiles must be >= 1: $numFiles")
-    // "zm2" = manifest-segment layout version (adds `layout/`)
+    // "zm3" = manifest layout version: rows carry explicit file lists
+    // and the Bloom hashes cast($bloomCol as bigint) — see [[manifestFor]]
     val fp = Bucketing.fingerprint8(
-      s"$fixtureKey|$baseName|zm2|$rangeCol|$bloomCol|$numFiles")
+      s"$fixtureKey|$baseName|zm3|$rangeCol|$bloomCol|$numFiles")
     val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_zm_${baseName}_$fp")
     Bucketing.atomicStage(dir) { tmp =>
@@ -55,8 +76,10 @@ object ZoneMap {
       require(mx - mn < Long.MaxValue / numFiles,
         s"$rangeCol span ${mx - mn} * $numFiles files overflows int64 " +
           "bucket math — raise the bucket width or use BigInt boundaries")
-      writeSegment(spark, tmp, src, rangeCol, bloomCol, mn, mx,
-        numFiles, bloomItems, segment = "zonemap")
+      writeDataFiles(tmp, "data", src, rangeCol, mn, mx, numFiles)
+      manifestFor(spark, tmp, "data", rangeCol, bloomCol, bloomItems)
+        .write.mode("overwrite")
+        .parquet(new java.io.File(tmp, "zonemap").getPath)
       // persist the bucket geometry so APPENDS route rows into the
       // same units the base layout established
       import spark.implicits._
@@ -68,53 +91,84 @@ object ZoneMap {
     dir.getPath
   }
 
-  /** One data+manifest write: bucket rows by the FIXED geometry
-    * (values outside [mn, mx] clamp into the edge units — their
-    * segment stats still carry the true min/max, so pruning stays
-    * lossless), append the data files, and write this segment's
-    * per-unit manifest rows.
+  /** Land one batch's data files under `root/<dataRel>/zf=*`: rows
+    * bucket by the FIXED geometry (values outside [mn, mx] clamp into
+    * the edge units — their manifest stats still carry the true
+    * min/max, so pruning stays lossless). Write-only: nothing becomes
+    * readable until a manifest row references these files.
     */
-  private def writeSegment(spark: SparkSession, root: java.io.File,
-      src: DataFrame, rangeCol: String, bloomCol: String, mn: Long,
-      mx: Long, numFiles: Int, bloomItems: Long,
-      segment: String): Unit = {
+  private def writeDataFiles(root: java.io.File, dataRel: String,
+      src: DataFrame, rangeCol: String, mn: Long, mx: Long,
+      numFiles: Int): Unit = {
     val span = mx - mn + 1
     // exact integer bucket math (`div`, not `/` — Column./ is IEEE
     // division, lossy past 2^53), clamped to the geometry
-    val data = src.withColumn("zf", expr(
-      s"int(greatest(0L, least(${numFiles - 1}L, " +
-        s"((cast($rangeCol as bigint) - ${mn}L) * ${numFiles}L) " +
-        s"div ${span}L)))"))
-    data.repartition(col("zf"))
-      .write.mode("append").partitionBy("zf")
-      .parquet(new java.io.File(root, "data").getPath)
-    // Stats from the segment's OWN rows: the manifest must describe
-    // what this append made readable.
-    data.groupBy("zf")
+    src.withColumn("zf", expr(
+        s"int(greatest(0L, least(${numFiles - 1}L, " +
+          s"((cast($rangeCol as bigint) - ${mn}L) * ${numFiles}L) " +
+          s"div ${span}L)))"))
+      .repartition(col("zf"))
+      .write.mode("overwrite").partitionBy("zf")
+      .parquet(new java.io.File(root, dataRel).getPath)
+  }
+
+  /** Manifest rows for the files under `root/<dataRel>`: one row per
+    * unit with (zf, mn, mx, bloom, files) where `files` are
+    * root-relative paths. Stats come from re-reading the JUST-WRITTEN
+    * files (not the in-flight batch frame), so a manifest row
+    * describes exactly what its files hold. The Bloom hashes
+    * `xxhash64(cast(bloomCol AS BIGINT))` — the probe side hashes a
+    * Long literal, and Spark's xxhash64 hashes INT and BIGINT
+    * DIFFERENTLY, so without the cast an INT bloom column would
+    * silently produce false negatives (missing rows, not just missed
+    * pruning).
+    */
+  private def manifestFor(spark: SparkSession, root: java.io.File,
+      dataRel: String, rangeCol: String, bloomCol: String,
+      bloomItems: Long): DataFrame = {
+    import spark.implicits._
+    val dataDir = new java.io.File(root, dataRel)
+    val fileRows = Option(dataDir.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("zf="))
+      .flatMap { unit =>
+        val zf = unit.getName.stripPrefix("zf=").toInt
+        unit.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => (zf, s"$dataRel/${unit.getName}/${f.getName}"))
+      }
+    val files = fileRows.toDF("zf", "path")
+      .groupBy("zf").agg(sort_array(collect_list("path")).as("files"))
+    spark.read.parquet(dataDir.getPath)
+      .groupBy("zf")
       .agg(min(col(rangeCol)).cast("long").as("mn"),
         max(col(rangeCol)).cast("long").as("mx"),
-        expr(s"graft_bloom_agg(xxhash64($bloomCol), ${bloomItems}L)")
-          .as("bloom"))
+        expr(s"graft_bloom_agg(xxhash64(cast($bloomCol as bigint)), " +
+          s"${bloomItems}L)").as("bloom"))
+      .join(files, "zf")
       .coalesce(1)
-      .write.mode("overwrite")
-      .parquet(new java.io.File(root, segment).getPath)
   }
 
   /** Incremental zone-map upkeep — the ingest path that keeps the
     * staged index fresh without a re-stage (the
     * [[graft.operators.Similarity.ivfAppendOnce]] contract for the
     * layout tier): `batch` rows route into the EXISTING bucket
-    * geometry (read from `layout/`) as appended data files, and the
-    * batch's per-unit stats land as a NEW manifest segment — the base
+    * geometry (read from `layout/`) as NEW immutable data files, made
+    * visible by a NEW manifest segment `zonemap_<fp>/` — the base
     * manifest is never rewritten, exactly the Delta/Iceberg
     * append-a-manifest-segment shape. [[zonemapScan]] consults every
     * segment; a unit survives if ANY segment admits it, which keeps
     * pruning lossless (a unit whose only match lives in the appended
     * segment is admitted by that segment's row).
     *
-    * Idempotent per `batchKey` via an in-dir marker that a re-stage's
-    * rebuild clears with the data. Cost is O(|batch|): the standing
-    * data files and manifest segments are never read or rewritten.
+    * Crash- and cross-JVM-safe: the data files land under a
+    * per-attempt directory first (orphaned, hence invisible, if the
+    * writer dies — the Delta posture; a vacuum reclaims them), and the
+    * manifest segment publishes via [[Bucketing.atomicStage]]'s
+    * UUID-sibling + atomic-rename, so concurrent appenders of the
+    * same batch commit exactly one manifest. Idempotent per
+    * `batchKey`: a committed segment (or the `_APPENDED_<fp>` marker
+    * [[compactManifest]] leaves when it folds one away) makes replays
+    * no-ops. Cost is O(|batch|): standing data files and manifest
+    * segments are never read or rewritten.
     */
   def appendOnce(spark: SparkSession, dir: String, batch: => DataFrame,
                  rangeCol: String, bloomCol: String,
@@ -123,64 +177,123 @@ object ZoneMap {
     require(new java.io.File(root, "_SUCCESS").isFile,
       s"appendOnce($dir): not a staged zone map")
     val fp = Bucketing.fingerprint8(batchKey)
-    val marker = new java.io.File(root, s"_APPENDED_$fp")
-    if (!marker.isFile) {
+    val seg = new java.io.File(root, s"zonemap_$fp")
+    val folded = new java.io.File(root, s"_APPENDED_$fp")
+    if (!new java.io.File(seg, "_SUCCESS").isFile && !folded.isFile) {
       graft.functions.GraftFunctions.register(spark)
       val l = spark.read.parquet(s"$dir/layout").head()
-      writeSegment(spark, root, batch, rangeCol, bloomCol,
+      // per-attempt data dir: two JVMs appending the same batchKey
+      // write disjoint files; only the winning manifest's list is
+      // ever readable
+      val dataRel = s"data_${fp}_" +
+        java.util.UUID.randomUUID().toString.take(8)
+      writeDataFiles(root, dataRel, batch, rangeCol,
         l.getAs[Long]("mn"), l.getAs[Long]("mx"),
-        l.getAs[Int]("num_files"), l.getAs[Long]("bloom_items"),
-        segment = s"zonemap_$fp")
-      marker.createNewFile()
+        l.getAs[Int]("num_files"))
+      val manifest = manifestFor(spark, root, dataRel, rangeCol,
+        bloomCol, l.getAs[Long]("bloom_items"))
+      Bucketing.atomicStage(seg) { tmp =>
+        manifest.write.mode("overwrite").parquet(tmp.getPath)
+      }
     }
     dir
   }
 
+  /** Fold every manifest segment (base + appends + earlier foldings)
+    * into ONE — the Delta checkpoint shape, closing the O(batches)
+    * growth of per-append segments: the compacted manifest carries the
+    * union of all rows (file lists untouched — data never moves), and
+    * the folded segments are deleted after an `_APPENDED_<fp>` marker
+    * is left for each append segment so [[appendOnce]] replays stay
+    * no-ops. Readers de-duplicate by file path, so one racing this
+    * fold sees the old segments, the new one, or briefly both — always
+    * the same admitted file set (every interleaving of the
+    * publish-then-delete sequence is readable). Cost is O(manifest):
+    * the data tier is untouched at any scale. Returns the number of
+    * segments folded.
+    */
+  def compactManifest(spark: SparkSession, dir: String): Int = {
+    val root = new java.io.File(dir)
+    require(new java.io.File(root, "_SUCCESS").isFile,
+      s"compactManifest($dir): not a staged zone map")
+    val segs = manifestSegments(root)
+    if (segs.size <= 1) return segs.size
+    val rows = spark.read.parquet(segs.map(_.getPath): _*)
+    val out = new java.io.File(root, "zonemap_c" +
+      java.util.UUID.randomUUID().toString.take(8))
+    Bucketing.atomicStage(out) { tmp =>
+      rows.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+    }
+    segs.foreach { s =>
+      // preserve append idempotence across the fold: the segment dir
+      // WAS the replay marker
+      if (s.getName.startsWith("zonemap_") &&
+          !s.getName.startsWith("zonemap_c"))
+        new java.io.File(root,
+          s"_APPENDED_${s.getName.stripPrefix("zonemap_")}")
+          .createNewFile()
+      Bucketing.deleteTree(s)
+    }
+    segs.size
+  }
+
+  /** Committed manifest segments, oldest-name-first: the base
+    * `zonemap/` plus every `zonemap_<fp>/` append and `zonemap_c*`
+    * fold whose atomic publish completed (`_SUCCESS` present — a
+    * mid-rename or crashed segment never qualifies).
+    */
+  private def manifestSegments(root: java.io.File): Seq[java.io.File] =
+    Option(root.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("zonemap") &&
+        new java.io.File(f, "_SUCCESS").isFile)
+      .sortBy(_.getName)
+
   /** Probe the staged zone map under the conjunctive predicate
     * `rangeCol BETWEEN lo AND hi AND bloomCol = point`: consult the
-    * stats table (O(numFiles) rows — the bounded manifest read), keep
-    * units whose [min, max] overlaps the range AND whose Bloom admits
-    * the point (no false negatives ⇒ recall-1 pruning; a false
-    * positive only costs a read), then scan ONLY the surviving leaf
-    * directories with the exact residual filter on top. Returns the
-    * surviving unit ids (for the pruning assertion in PlanSpec) and
-    * the result frame.
+    * manifest (O(numFiles) rows per segment — the bounded manifest
+    * read), keep rows whose [min, max] overlaps the range AND whose
+    * Bloom admits the point (no false negatives ⇒ recall-1 pruning; a
+    * false positive only costs a read), then scan ONLY the surviving
+    * rows' data files with the exact residual filter on top. File
+    * paths de-duplicate across segments, so duplicated manifest rows
+    * (a reader racing [[compactManifest]]) never double-read. Returns
+    * the surviving unit ids (for the pruning assertion in PlanSpec)
+    * and the result frame.
     */
   def zonemapScan(spark: SparkSession, dir: String, rangeCol: String,
       bloomCol: String, lo: Long, hi: Long,
       point: Long): (Seq[Int], DataFrame) = {
-    // every manifest segment (base + appends) — an O(segments) driver
-    // listing, the same bounded-manifest contract as the stats read
-    val segs = Option(new java.io.File(dir).listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("zonemap"))
-      .map(_.getPath).sorted
-    val stats = spark.read.parquet(segs: _*)
+    val root = new java.io.File(dir)
+    val stats = spark.read.parquet(
+      manifestSegments(root).map(_.getPath): _*)
     // The manifest consult happens ON THE DRIVER — the same place the
     // planner prunes partitions — over O(numFiles) rows. The Bloom
-    // probe key is xxhash64(point), matching the hashing the build
-    // side fed into graft_bloom_agg. (The codegen'd might_contain
-    // expression requires a CONSTANT filter, so a per-manifest-row
-    // probe deserializes each sketch here instead.)
+    // probe key is xxhash64(cast(point as bigint)), matching the
+    // hashing the build side fed into graft_bloom_agg. (The codegen'd
+    // might_contain expression requires a CONSTANT filter, so a
+    // per-manifest-row probe deserializes each sketch here instead.)
     // seed 42 = the xxhash64() SQL function's fixed seed
     val hash = org.apache.spark.sql.catalyst.expressions
       .XxHash64(Seq(org.apache.spark.sql.catalyst.expressions
         .Literal(point)), 42L).eval().asInstanceOf[Long]
-    val survivors = stats
+    val admitted = stats
       .filter(col("mx") >= lo && col("mn") <= hi)
-      .select("zf", "bloom").collect()
+      .select("zf", "bloom", "files").collect()
       .filter { r =>
         org.apache.spark.util.sketch.BloomFilter
           .readFrom(new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
           .mightContainLong(hash)
       }
-      .map(_.getInt(0)).distinct.sorted.toSeq
+    val survivors = admitted.map(_.getInt(0)).distinct.sorted.toSeq
+    val files = admitted
+      .flatMap(_.getSeq[String](2)).distinct.sorted
     val raw =
-      if (survivors.isEmpty)
+      if (files.isEmpty)
         // empty survivor set: keep the output schema without touching
         // any data file beyond the footer of the root read
         spark.read.parquet(s"$dir/data").filter(lit(false))
       else
-        spark.read.parquet(survivors.map(z => s"$dir/data/zf=$z"): _*)
+        spark.read.parquet(files.map(p => s"$dir/$p"): _*)
     val out = raw.drop("zf")
       .filter(col(rangeCol).between(lo, hi) && col(bloomCol) === point)
     (survivors, out)

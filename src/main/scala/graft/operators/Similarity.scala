@@ -948,7 +948,22 @@ object Similarity {
                       fixtureKey: String, emb: => DataFrame,
                       centroidPred: String, queryPred: String, k: Int,
                       nprobe: Int = 1, m: Int = 16, ksub: Int = 16,
-                      dim: Int = DefaultDim): DataFrame = {
+                      dim: Int = DefaultDim): DataFrame =
+    ivfPqTopKStagedWithCells(spark, fixtureKey, emb, centroidPred,
+      queryPred, k, nprobe, m, ksub, dim)._1
+
+  /** [[ivfPqTopKStaged]] plus the probed-cell list it derived — the
+    * re-rank stage ([[ivfPqRerankTopK]]) reuses the cells to
+    * partition-prune its exact-vector fetch (every shortlist
+    * candidate provably lives in a probed cell), instead of
+    * recomputing the probe or scanning the whole staged index.
+    */
+  private def ivfPqTopKStagedWithCells(
+      spark: org.apache.spark.sql.SparkSession,
+      fixtureKey: String, emb: => DataFrame,
+      centroidPred: String, queryPred: String, k: Int,
+      nprobe: Int, m: Int, ksub: Int,
+      dim: Int): (DataFrame, Array[Long]) = {
     require(nprobe >= 1, s"nprobe must be >= 1: $nprobe")
     graft.functions.GraftFunctions.register(spark)
     val (centTable, asgDir) =
@@ -997,10 +1012,12 @@ object Similarity {
       .withColumn("ad2",
         (0 until m).map(j => col(s"_d$j")).reduce(_ + _))
     val w = Window.partitionBy("q_id").orderBy(asc("ad2"), asc("vec_id"))
-    summed.withColumn("rank", row_number().over(w).cast("long"))
+    val ranked = summed
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"),
         col("ad2"))
+    (ranked, probedCells)
   }
 
   /** Two-stage IVF-PQ serving — the standard production shape: the
@@ -1013,6 +1030,13 @@ object Similarity {
     * candidates survive, never their final ORDER — re-ranking
     * recovers most of the recall PQ compression gives up while the
     * corpus-sized read stays compressed and cell-pruned.
+    *
+    * The exact-vector fetch is cell-pruned too: every shortlist
+    * candidate provably lives in a probed cell (the ADC stage only
+    * scored probed cells), so the fetch reads the staged index with
+    * `cluster IN probedCells` — a planning-time partition filter
+    * (PlanSpec asserts it) — plus the `vec_id IN ids` pushdown, never
+    * the whole uncompressed index.
     * Output: (q_id, neighbor_id, rank, d2).
     */
   def ivfPqRerankTopK(spark: org.apache.spark.sql.SparkSession,
@@ -1021,9 +1045,10 @@ object Similarity {
                       shortlist: Int, nprobe: Int = 1, m: Int = 16,
                       ksub: Int = 16, dim: Int = DefaultDim): DataFrame = {
     require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
-    val cand = ivfPqTopKStaged(spark, fixtureKey, emb, centroidPred,
-        queryPred, shortlist, nprobe, m, ksub, dim)
-      .select("q_id", "neighbor_id")
+    val (candFull, probedCells) = ivfPqTopKStagedWithCells(spark,
+      fixtureKey, emb, centroidPred, queryPred, shortlist, nprobe, m,
+      ksub, dim)
+    val cand = candFull.select("q_id", "neighbor_id")
     // bounded driver list: |queries| · shortlist ids, query-sized by
     // construction (same class as the probed-cells collect)
     val ids = cand.select("neighbor_id").distinct()
@@ -1031,7 +1056,9 @@ object Similarity {
     val (_, asgDir) =
       ensureIvfLearnedIndex(spark, fixtureKey, emb, centroidPred, dim)
     val idx = readIvfIndex(spark, asgDir)
-    val vecs = idx.filter(col("vec_id").isin(ids: _*))
+    val vecs = idx
+      .filter(col("cluster").isin(probedCells: _*) &&
+        col("vec_id").isin(ids: _*))
       .select(col("vec_id").as("neighbor_id"), col("dvec"), col("nv"))
     val q = idx.filter(expr(queryPred))
       .select(col("vec_id").as("q_id"), col("dvec").as("qv"),

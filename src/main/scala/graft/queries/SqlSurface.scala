@@ -1277,21 +1277,28 @@ object SqlSurface {
     // --- windowed anomaly detection with EXACT-integer z-scores (the
     //     observability tier): hourly event counts flagged when they
     //     sit more than 2σ from the series mean — the z² > 4 test is
-    //     algebraically rearranged into pure int64 arithmetic
-    //     ((N·c − S)² > 4·(N·Sq − S²)), so the flags are bitwise
-    //     cross-engine with no float threshold anywhere. The series
-    //     stats ride as one broadcast row; at 100 TB the windowed
-    //     rollup is the only corpus-sized aggregation ---
+    //     algebraically rearranged into pure integer arithmetic
+    //     ((N·c − S)² > 4·(N·Sq − S²)) carried in DECIMAL(38,0)
+    //     (int64 would overflow silently at the corpus scale this
+    //     tier targets: S ~ 1e10 total events puts S² and dev² past
+    //     2^63, where Spark wraps and DuckDB raises — decimal keeps
+    //     the flags exact to 1e38, i.e. dev up to ~1e19), so the
+    //     flags are bitwise cross-engine with no float threshold
+    //     anywhere. The series stats ride as one broadcast row; at
+    //     100 TB the windowed rollup is the only corpus-sized
+    //     aggregation ---
     "q151_anomaly_windows" -> ((s, d) => {
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
       val w = t(s, d, "events")
         .groupBy(date_trunc("hour", col("ts")).as("w"))
         .agg(count(lit(1)).as("n_events"))
       val stats = w.agg(count(lit(1)).as("nw"), sum("n_events").as("s"),
         sum(col("n_events") * col("n_events")).as("sq"))
       w.crossJoin(broadcast(stats))
-        .withColumn("dev", col("nw") * col("n_events") - col("s"))
-        .withColumn("thresh",
-          lit(4L) * (col("nw") * col("sq") - col("s") * col("s")))
+        .withColumn("dev",
+          dec(col("nw")) * dec(col("n_events")) - dec(col("s")))
+        .withColumn("thresh", dec(lit(4L)) *
+          (dec(col("nw")) * dec(col("sq")) - dec(col("s")) * dec(col("s"))))
         .select(col("w"), col("n_events"),
           (col("dev") > 0 && col("dev") * col("dev") > col("thresh"))
             .as("is_high"),
@@ -2306,7 +2313,11 @@ object SqlSurface {
 
     // q148: each rule recomputed directly; LEFT JOIN IS NULL (not
     // NOT IN) for the orphan counts so null-FK semantics match the
-    // anti join
+    // anti join. The composite-key uniqueness count filters
+    // partial-null keys BEFORE the DISTINCT (mirroring
+    // Quality.uniqueKey, where a null key part is a violation —
+    // count(DISTINCT (a, b)) alone would count a (1, NULL) struct as
+    // a distinct valid key and diverge; QualitySpec pins the choice)
     "q148_quality_audit" ->
       """SELECT * FROM (
         | SELECT 'lineitem.l_orderkey.not_null' AS rule,
@@ -2330,7 +2341,10 @@ object SqlSurface {
         |  count(*) - count(DISTINCT o_orderkey), count(*) FROM orders
         | UNION ALL
         | SELECT 'lineitem.orderkey_linenumber.unique',
-        |  count(*) - count(DISTINCT (l_orderkey, l_linenumber)),
+        |  count(*) - (SELECT count(*) FROM
+        |    (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem
+        |     WHERE l_orderkey IS NOT NULL
+        |       AND l_linenumber IS NOT NULL)),
         |  count(*) FROM lineitem
         | UNION ALL
         | SELECT 'lineitem.l_orderkey.refs_orders',
@@ -2411,13 +2425,16 @@ object SqlSurface {
         |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey,
         | l_quantity""".stripMargin,
 
-    // q151: the same integer rearrangement of z² > 4 — no float
-    // threshold, flags bitwise identical
+    // q151: the same integer rearrangement of z² > 4 in 128-bit
+    // arithmetic (HUGEINT here, DECIMAL(38,0) on the Spark side — both
+    // exact far past the int64 range the corpus-scale sums exceed) —
+    // no float threshold, flags bitwise identical
     "q151_anomaly_windows" ->
       """WITH w AS (SELECT date_trunc('hour', ts) AS w,
         |   count(*) AS n_events FROM events GROUP BY 1),
-        | st AS (SELECT count(*) AS nw, CAST(sum(n_events) AS BIGINT) AS s,
-        |   CAST(sum(n_events * n_events) AS BIGINT) AS sq FROM w)
+        | st AS (SELECT CAST(count(*) AS HUGEINT) AS nw,
+        |   CAST(sum(n_events) AS HUGEINT) AS s,
+        |   CAST(sum(n_events * n_events) AS HUGEINT) AS sq FROM w)
         |SELECT w.w, w.n_events,
         |  (nw * n_events - s) > 0 AND
         |   (nw * n_events - s) * (nw * n_events - s)

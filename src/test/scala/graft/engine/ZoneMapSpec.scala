@@ -93,6 +93,63 @@ class ZoneMapSpec extends SparkSpec {
     assert(rows(base777) == rows(plain.filter(col("l_orderkey") === 777)))
   }
 
+  test("compactManifest folds every segment into one, probes admit " +
+    "the same rows, folded appends stay replay-proof, and appends " +
+    "after the fold still work") {
+    // fresh staged dir per run: compaction mutates the segment layout,
+    // so a memoized dir from an earlier JVM would start post-fold
+    val key = s"$sf001#spec-compact-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val cdir = ZoneMap.ensureZonemapped(spark, key, plain,
+      "l_partkey", "l_orderkey", "lineitem_cmp")
+    def shifted(order: Long, by: Long) =
+      plain.filter(col("l_orderkey") === order)
+        .withColumn("l_orderkey", col("l_orderkey") + lit(by))
+    ZoneMap.appendOnce(spark, cdir, shifted(777, 5000000L),
+      "l_partkey", "l_orderkey", "cmp-b1")
+    ZoneMap.appendOnce(spark, cdir, shifted(778, 6000000L),
+      "l_partkey", "l_orderkey", "cmp-b2")
+    def segCount = new java.io.File(cdir).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("zonemap"))
+    def probe(p: Long) = {
+      val (sv, df) = ZoneMap.zonemapScan(spark, cdir,
+        "l_partkey", "l_orderkey", 0L, Long.MaxValue, p)
+      (sv, rows(df))
+    }
+    val points = Seq(5000777L, 6000778L, 777L)
+    val before = points.map(probe)
+    assert(before.forall(_._2.nonEmpty), "probes must hit pre-fold")
+    assert(segCount == 3)
+    assert(ZoneMap.compactManifest(spark, cdir) == 3)
+    assert(segCount == 1, "fold must leave exactly one segment")
+    assert(points.map(probe) == before,
+      "fold changed an admitted unit set or result")
+    // a folded batch's replay is still a no-op (marker preserved)
+    ZoneMap.appendOnce(spark, cdir, shifted(777, 5000000L),
+      "l_partkey", "l_orderkey", "cmp-b1")
+    assert(segCount == 1, "replay of a folded batch re-appended")
+    // the index keeps accepting appends after the fold
+    ZoneMap.appendOnce(spark, cdir, shifted(779, 7000000L),
+      "l_partkey", "l_orderkey", "cmp-b3")
+    assert(probe(7000779L)._2 ==
+      rows(shifted(779, 7000000L)))
+    assert(probe(777L)._2 == before.last._2)
+  }
+
+  test("an INT bloom column prunes WITHOUT false negatives: build-" +
+    "side hashing casts to bigint to match the Long probe hash") {
+    import spark.implicits._
+    // bc is INT: before the cast fix, xxhash64(INT) != xxhash64(BIGINT)
+    // made every probe a silent false negative (missing rows)
+    val df = (0 until 200).map(i => (i.toLong, i)).toDF("rk", "bc")
+    val idir = ZoneMap.ensureZonemapped(spark, "spec-intbloom-v1", df,
+      rangeCol = "rk", bloomCol = "bc", "intbloom", numFiles = 4)
+    val (sv, out) = ZoneMap.zonemapScan(spark, idir, "rk", "bc",
+      0L, 300L, point = 57L)
+    assert(out.count() == 1, s"INT bloom key lost rows (survivors=$sv)")
+    assert(sv.nonEmpty && sv.size < 4, s"pruning shape off: $sv")
+  }
+
   test("the manifest is bounded by the layout: one stats row per " +
     "file unit") {
     val stats = spark.read.parquet(s"$dir/zonemap")

@@ -39,6 +39,23 @@ class QualitySpec extends SparkSpec {
     assert(clean == (("id.unique", 0L, 2L)))
   }
 
+  test("uniqueKey composite: a PARTIAL-null key is a violation (the " +
+    "q148 oracle filters partial nulls before its DISTINCT to match)") {
+    val comp = Seq(
+      (Some(1L), Some(1L)),
+      (Some(1L), Some(2L)),
+      (Some(1L), Some(2L)),  // dup composite key
+      (Some(3L), None),      // partial null — violation, NOT a key
+      (None, Some(4L)))      // partial null — violation
+      .toDF("a", "b")
+    val out = Quality.uniqueKey(comp, "ab.unique", Seq("a", "b"))
+      .as[(String, Long, Long)].collect().head
+    // 5 rows, 2 distinct fully-non-null keys → 3 violations: the dup
+    // plus BOTH partial-null rows (a struct-distinct count would have
+    // admitted (3, NULL) and (NULL, 4) as keys and reported only 1)
+    assert(out == (("ab.unique", 3L, 5L)))
+  }
+
   test("refIntegrity: orphans counted, null FK is an orphan") {
     val parent = Seq(1L, 2L).toDF("pk")
     val out = Quality.refIntegrity(rows, parent, "id.refs", "id", "pk")

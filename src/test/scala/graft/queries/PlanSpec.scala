@@ -437,6 +437,35 @@ class PlanSpec extends SparkSpec {
       s"probe re-scans the raw corpus:\n${p.take(1500)}")
   }
 
+  test("q154 re-rank fetch: exact shortlist vectors read ONLY from " +
+    "probed cells (PartitionFilters) with the vec_id IN pushdown — " +
+    "never an id-only scan of the whole staged index") {
+    val emb = graft.engine.Tables.table(spark, sf001, "embeddings")
+    val df = graft.operators.Similarity.ivfPqRerankTopK(spark, sf001,
+      emb, "vec_id < 8", "vec_id < 20", k = 10, shortlist = 30,
+      nprobe = 2)
+    df.collect()
+    // AQE wraps the plan in a leaf AdaptiveSparkPlanExec, so walk the
+    // finalized plan STRING: every FileScan prints as one line
+    // carrying its own DataFilters/PartitionFilters/Location
+    val scans = df.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("FileScan")).toSeq
+    // the fetch scan is the one pushing the shortlist-id IN filter;
+    // it must ALSO carry the probed-cell partition prune — the
+    // query-side reads of the same index push the query predicate
+    // instead and legitimately span cells
+    // >10 shortlist ids ⇒ Catalyst rewrites the IN to INSET
+    val fetch = scans.filter(s =>
+      s.contains("graft_ivf_asg_") &&
+        "vec_id[#\\w]* (IN \\(|INSET )".r.findFirstIn(s).nonEmpty)
+    assert(fetch.nonEmpty,
+      s"no shortlist fetch scan found:\n${scans.mkString("\n---\n").take(2000)}")
+    fetch.foreach(s =>
+      assert("PartitionFilters: \\[cluster[#\\w]* IN".r
+        .findFirstIn(s).nonEmpty,
+        s"re-rank fetch not cell-pruned:\n${s.take(1500)}"))
+  }
+
   test("q147: incremental agg maintenance touches the base only " +
     "through a broadcast semi join — no full re-aggregation join") {
     val df = SparkEntry.queries("q147_incr_agg")(spark, sf001)
