@@ -237,6 +237,54 @@ object ZoneMap {
     segs.size
   }
 
+  /** Reclaim orphaned data files — the vacuum half of the
+    * write-invisible-then-commit contract: a crashed appender, or the
+    * loser of a concurrent same-batch race, leaves data files that no
+    * committed manifest references. They are invisible to every scan
+    * ([[zonemapScan]] resolves files through manifests only), so
+    * deleting them can never change a result; they are pure disk
+    * waste. Walks each `data*` tree once (O(files) driver work, the
+    * same class as the manifest listing), deletes unreferenced
+    * `.parquet` files plus any data directory emptied by the sweep,
+    * and returns the number of files removed.
+    *
+    * The standard vacuum caveat applies: an append whose data is
+    * written but whose manifest has not COMMITTED yet looks orphaned —
+    * callers sequence vacuum against in-flight ingest (Delta's
+    * retention window is the production form of the same rule).
+    */
+  def vacuum(spark: SparkSession, dir: String): Int = {
+    val root = new java.io.File(dir)
+    require(new java.io.File(root, "_SUCCESS").isFile,
+      s"vacuum($dir): not a staged zone map")
+    val referenced = spark.read.parquet(
+        manifestSegments(root).map(_.getPath): _*)
+      .select("files").collect()
+      .flatMap(_.getSeq[String](0)).toSet
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+      else Seq(f)
+    val dataRoots = Option(root.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("data"))
+    var removed = 0
+    dataRoots.foreach { d =>
+      walk(d).foreach { f =>
+        val rel = root.toPath.relativize(f.toPath).toString
+        if (f.getName.endsWith(".parquet") && !referenced.contains(rel)) {
+          if (f.delete()) removed += 1
+        }
+      }
+      // a data tree left with NO parquet at all is a husk (fully
+      // orphaned append attempt) — remove it wholesale, except the
+      // base `data/` dir, which the empty-survivor scan path reads
+      // for its schema
+      if (d.getName != "data" &&
+          walk(d).forall(f => !f.getName.endsWith(".parquet")))
+        Bucketing.deleteTree(d)
+    }
+    removed
+  }
+
   /** Committed manifest segments, oldest-name-first: the base
     * `zonemap/` plus every `zonemap_<fp>/` append and `zonemap_c*`
     * fold whose atomic publish completed (`_SUCCESS` present — a

@@ -26,42 +26,85 @@ import org.apache.spark.sql.functions._
   */
 object Fuzzy {
 
-  /** All pairs of rows whose strings are within Levenshtein distance 1,
-    * found WITHOUT an all-pairs comparison: deletion-neighborhood
-    * blocking (the SymSpell scheme). Each string emits itself plus its
-    * |s| single-character-deletion variants; two strings at edit
-    * distance ≤ 1 provably share a variant —
+  /** SQL expr: the depth-1 deletion neighborhood of column `c` — the
+    * string itself (i = 0) plus its |c| single-character deletions. */
+  private[operators] def del1Expr(c: String): String =
+    s"transform(sequence(0, length($c)), i -> if(i = 0, $c, " +
+      s"concat(substring($c, 1, i - 1), substring($c, i + 1))))"
+
+  /** SQL expr: the depth-2-only deletions of column `c` (every i < j
+    * pair of positions removed). Guarded by the caller behind a length
+    * check — sequence(1, length(c) - 1) REVERSES below length 2
+    * (Spark sequences auto-step -1), so the expression must only
+    * evaluate on strings long enough to qualify for two edits anyway.
+    */
+  private[operators] def del2Expr(c: String): String =
+    s"flatten(transform(sequence(1, length($c) - 1), i -> " +
+      s"transform(sequence(i + 1, length($c)), j -> " +
+      s"concat(substring($c, 1, i - 1), substring($c, i + 1, j - i - 1), " +
+      s"substring($c, j + 1)))))"
+
+  /** SQL expr: the deletion neighborhood of column `c` at Lucene-AUTO
+    * depth — depth 1 always, depth 2 added only for strings of length
+    * ≥ `minLen2` (Lucene's AUTO fuzziness rule: terms under 6 chars
+    * allow at most one edit, so their depth-2 variants would only
+    * manufacture candidates the verify step rejects).
+    */
+  private[operators] def delAutoExpr(c: String, maxDist: Int,
+                                     minLen2: Int = 6): String =
+    if (maxDist <= 1) del1Expr(c)
+    else s"array_union(${del1Expr(c)}, if(length($c) >= $minLen2, " +
+      s"${del2Expr(c)}, cast(array() as array<string>)))"
+
+  /** All pairs of rows whose strings are within Levenshtein distance
+    * `maxDist` (1 or 2), found WITHOUT an all-pairs comparison:
+    * deletion-neighborhood blocking (the SymSpell scheme). Each string
+    * emits its deletion variants up to the allowed depth; two strings
+    * at edit distance ≤ d provably share a depth-≤d variant —
     *   substitution at i: deleting position i from both sides yields
     *     the same string;
     *   insertion/deletion: deleting the inserted character from the
     *     longer side yields the shorter side's identity variant;
-    *   equality: both identity variants match —
-    * so the blocking is RECALL-1 (FuzzySpec pins each case). Distance-2
-    * pairs can also collide (delete a different char from each side);
-    * the exact `levenshtein` verification filters them.
+    *   equality: both identity variants match;
+    *   and any 2-edit pair composes two of the above, one deletion
+    *     per edit per side (two subs → depth 2 both sides; sub+del →
+    *     depth 2 on the longer, 1 on the shorter; two dels → depth 2
+    *     on the longer, 0 on the shorter) —
+    * so the blocking is RECALL-1 at every allowed distance (FuzzySpec
+    * pins each edit shape). Farther pairs can also collide; the exact
+    * `levenshtein` verification filters them.
     *
-    * Scale shape: the explode is linear — |s|+1 digest rows per string
-    * (md5(variant) shuffles, never variant text), the self-join is
-    * keyed by those digests, and candidate groups are true near-dup
-    * clusters plus rare digest collisions, never the corpus. The exact
-    * verify runs only on candidates. No all-pairs product at any
-    * corpus size; intended for short strings (titles/names — the
-    * variant count is per-CHARACTER, so apply to a derived title
-    * column, not document bodies).
+    * Depth 2 follows Lucene's AUTO rule: only strings of length ≥ 6
+    * generate depth-2 variants, and a pair is allowed distance 2 only
+    * when BOTH sides have length ≥ 6 (otherwise 1). That bounds the
+    * variant blow-up — depth 2 is O(|s|²/2) per string — to the
+    * strings whose allowance can use it, and the recall argument
+    * stays airtight: a distance-2 pair under the both-≥6 allowance
+    * needs depth 2 only on sides of length ≥ 6 (two substitutions
+    * force equal lengths; insertions only lengthen).
+    *
+    * Scale shape: the explode is linear at depth 1 and
+    * length-squared at depth 2 (md5(variant) digests shuffle, never
+    * variant text), the self-join is keyed by those digests, and
+    * candidate groups are true near-dup clusters plus rare digest
+    * collisions, never the corpus. The exact verify runs only on
+    * candidates. No all-pairs product at any corpus size; intended
+    * for short strings (titles/names — the variant count is
+    * per-CHARACTER, so apply to a derived title column, not document
+    * bodies).
     *
     * Output: (id_a, id_b, dist) with id_a < id_b, one row per pair.
     */
   def editDistancePairs(strings: DataFrame, idCol: String,
-                        strCol: String): DataFrame = {
+                        strCol: String, maxDist: Int = 1): DataFrame = {
+    require(maxDist == 1 || maxDist == 2,
+      s"maxDist must be 1 or 2: $maxDist")
     val base = strings.select(col(idCol).cast("long").as("id"),
       col(strCol).as("s"))
-    // i = 0 keeps the string itself; i = 1..len deletes character i.
     // persisted: the self-join consumes the variant frame twice, and
     // re-evaluating the explode+md5 chain per side doubles the scan
     val variants = base
-      .withColumn("v", explode(expr(
-        "transform(sequence(0, length(s)), i -> if(i = 0, s, " +
-          "concat(substring(s, 1, i - 1), substring(s, i + 1))))")))
+      .withColumn("v", explode(expr(delAutoExpr("s", maxDist))))
       .select(col("id"), md5(col("v")).as("vd"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -74,7 +117,9 @@ object Fuzzy {
       .join(base.select(col("id").as("id_a"), col("s").as("s_a")), "id_a")
       .join(base.select(col("id").as("id_b"), col("s").as("s_b")), "id_b")
       .withColumn("dist", levenshtein(col("s_a"), col("s_b")).cast("long"))
-      .filter(col("dist") <= 1)
+      .filter(col("dist") <=
+        when(length(col("s_a")) >= 6 && length(col("s_b")) >= 6,
+          lit(maxDist)).otherwise(lit(1)))
       .select("id_a", "id_b", "dist")
   }
 

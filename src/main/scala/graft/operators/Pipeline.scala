@@ -325,11 +325,92 @@ object Pipeline {
   def replayLog(spark: org.apache.spark.sql.SparkSession, base: DataFrame,
                 logDir: String, key: String,
                 version: Int = Int.MaxValue): DataFrame = {
-    val segs = Option(new java.io.File(logDir).listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
-      .sortBy(f => f.getName.stripPrefix("batch=").toLong)
+    val segs = logSegments(logDir)
     val take = math.min(version, segs.size)
     snapshotAt(base, segs.map(f => spark.read.parquet(f.getPath)), take, key)
+  }
+
+  /** Epoch-ordered CDC log segment directories. */
+  private def logSegments(logDir: String): Seq[java.io.File] =
+    Option(new java.io.File(logDir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      .sortBy(f => f.getName.stripPrefix("batch=").toLong)
+
+  /** [[replayLog]] bounded by EPOCH id rather than segment count: the
+    * snapshot as of just before `epoch` wrote. This is the pre-batch
+    * view [[absorbSummaryBatch]] maintains against — bounding by id
+    * (not count) keeps a REPLAYED epoch from seeing its own crashed
+    * half-write as history.
+    */
+  def replayLogBefore(spark: org.apache.spark.sql.SparkSession,
+                      base: DataFrame, logDir: String, key: String,
+                      beforeEpoch: Long): DataFrame = {
+    val segs = logSegments(logDir)
+      .filter(_.getName.stripPrefix("batch=").toLong < beforeEpoch)
+    snapshotAt(base, segs.map(f => spark.read.parquet(f.getPath)),
+      segs.size, key)
+  }
+
+  /** One epoch of the streaming-lakehouse loop — the shared body of
+    * [[graft.streaming.EventStreams.maintainedSummarySink]] and its
+    * oracled batch twin (q158): the change batch lands as the
+    * immutable CDC log segment `batch=<epoch>/` AND is absorbed into
+    * the versioned summary `v=<epoch>/` via [[maintainAgg]] — the
+    * materialized view advances in O(|batch|) while the log keeps
+    * every snapshot readable.
+    *
+    * Exactly-once under epoch replays: both writes are per-epoch
+    * directory OVERWRITES, the pre-batch snapshot replays only
+    * segments with id < epoch, and the previous summary is the
+    * highest version < epoch — so a crashed epoch's half-writes are
+    * invisible to its retry, which reconstructs both directories
+    * bit-identically. Same batch-key preconditions as [[applyCdc]].
+    *
+    * Scale shape: the summary is group-cardinality-sized (its
+    * rewrite is cheap at any corpus size); the base table is touched
+    * only through [[maintainAgg]]'s broadcast semi join on the
+    * batch's keys — the replayed snapshot view is lazy lineage, never
+    * a materialization — so the 100 TB re-aggregation never happens.
+    */
+  def absorbSummaryBatch(batch: DataFrame, base: DataFrame,
+      logDir: String, summaryDir: String, key: String, grp: String,
+      v: String, epoch: Long): Unit = {
+    val spark = batch.sparkSession
+    val b = batch.persist()
+    b.coalesce(1).write.mode("overwrite")
+      .parquet(s"$logDir/batch=$epoch")
+    val pre = replayLogBefore(spark, base, logDir, key, epoch)
+    val oldAgg = latestSummaryBefore(spark, summaryDir, epoch)
+      .getOrElse(base.groupBy(grp)
+        .agg(count(lit(1)).as("n"), sum(col(v)).as("s")))
+    maintainAgg(oldAgg, pre, b, key, grp, v)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$summaryDir/v=$epoch")
+    b.unpersist()
+    ()
+  }
+
+  /** Summary versions present under `summaryDir`, ascending. */
+  def summaryVersions(summaryDir: String): Seq[Long] =
+    Option(new java.io.File(summaryDir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+      .map(_.getName.stripPrefix("v=").toLong).sorted
+
+  /** The latest committed summary strictly before `epoch`, if any. */
+  def latestSummaryBefore(spark: org.apache.spark.sql.SparkSession,
+      summaryDir: String, epoch: Long): Option[DataFrame] =
+    summaryVersions(summaryDir).filter(_ < epoch).lastOption
+      .map(e => spark.read.parquet(s"$summaryDir/v=$e"))
+
+  /** Read the maintained summary at `version` (default: latest). */
+  def readSummary(spark: org.apache.spark.sql.SparkSession,
+      summaryDir: String, version: Long = Long.MaxValue): DataFrame = {
+    val vs = summaryVersions(summaryDir)
+    require(vs.nonEmpty, s"no summary versions under $summaryDir")
+    val pick = vs.filter(_ <= version).lastOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"no summary version <= $version under $summaryDir"))
+    spark.read.parquet(s"$summaryDir/v=$pick")
   }
 
   /** Deterministic probability-proportional-to-size (Poisson/IPPS)

@@ -44,25 +44,42 @@ object Search {
     * every emitted score is bitwise cross-engine even though the
     * matched term set is data-dependent.
     *
+    * `maxDist = 2` is Lucene's AUTO fuzziness: a QUERY term of length
+    * ≥ 6 allows two edits, shorter terms one — and the vocabulary
+    * side generates depth-2 variants only for its own length-≥6
+    * terms, which is sufficient for recall 1 under that allowance:
+    * a 2-edit match with two substitutions forces equal lengths (both
+    * ≥ 6), insertions only lengthen the vocab term, and deletions
+    * are covered by depth ≤ 1 on the shorter side — so the only
+    * vocab terms that ever NEED depth 2 are themselves ≥ 6 chars
+    * (FuzzySpec pins every edit shape). The blow-up is bounded:
+    * depth 2 is O(|term|²/2) variants, applied only where the
+    * allowance can use it.
+    *
     * Output: (q_term, term, dist, doc_id, tfidf, rank).
     */
   def fuzzySearch(docs: DataFrame, terms: Seq[String],
-                  k: Int): DataFrame = {
+                  k: Int, maxDist: Int = 1): DataFrame = {
+    require(maxDist == 1 || maxDist == 2,
+      s"maxDist must be 1 or 2: $maxDist")
     val spark = docs.sparkSession
     import spark.implicits._
     val p = postings(docs)
     val nDf = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     val dfreq = p.groupBy("term").agg(count(lit(1)).as("doc_freq"))
-    def variants(s: String): Seq[String] =
+    def del1(s: String): Seq[String] =
       s +: s.indices.map(i => s.take(i) + s.drop(i + 1))
+    def variants(s: String): Seq[String] =
+      if (maxDist == 2 && s.length >= 6)
+        (del1(s) ++ del1(s).flatMap(del1)).distinct
+      else del1(s)
     val qv = terms.flatMap(t => variants(t).map(v => (t, v))).distinct
       .toDF("q_term", "v")
     val cand = p.select("term").distinct()
-      .withColumn("v", explode(expr(
-        "transform(sequence(0, length(term)), i -> if(i = 0, term, " +
-          "concat(substring(term, 1, i - 1), substring(term, i + 1))))")))
+      .withColumn("v", explode(expr(Fuzzy.delAutoExpr("term", maxDist))))
       .join(broadcast(qv), "v")
-      .filter(levenshtein(col("term"), col("q_term")) <= 1)
+      .filter(levenshtein(col("term"), col("q_term")) <=
+        when(length(col("q_term")) >= 6, lit(maxDist)).otherwise(lit(1)))
       .select("q_term", "term").distinct()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_term", "term")
@@ -293,6 +310,120 @@ object Search {
       .agg(sum("contrib").as("score"), count(lit(1)).as("n_terms_hit"))
       .orderBy(desc("score"), asc("doc_id"))
       .limit(k)
+  }
+
+  /** Single-term BM25 ranking with its cross-engine certificate — the
+    * production scorer ([[bm25]]'s k1/b saturation + `log` idf)
+    * promoted to the oracled surface. `log` output is not
+    * bit-portable (libm), so the certificate rides beside the score
+    * instead of the score itself: for ONE term the idf is a common
+    * positive factor and the BM25 order reduces to the order of
+    * `tf / (tf + k1·(1−b) + k1·b·dl/avgdl)` — which, at the default
+    * k1 = 1.2, b = 0.75 (= 3/10 and 9/10 rationals) and
+    * avgdl = totalLen/N, is EXACTLY the order of the integer ratio
+    *
+    *   tf / (10·totalLen·tf + 3·totalLen + 9·N·dl)
+    *
+    * `rank_key` is that ratio as one int64÷int64 double division —
+    * correctly rounded, hence monotone AND bit-identical in any IEEE
+    * engine (exact while 10·totalLen·tf < 2^53; a corpus past that
+    * re-scales the key) — so both engines derive the same total
+    * order. `rank` is the row_number under the PRODUCTION score
+    * (log idf and all); `rank_agrees` certifies it equals the
+    * rank_key order (ties in the exact ratio break by doc_id on both
+    * sides), and `score_in_bounds` pins 0 < score < idf·(k1+1) — the
+    * BM25 saturation bound. The oracle recomputes tf/dl/rank_key/rank
+    * exactly and states the certificates as literal TRUE (the
+    * q117/q125 sketch-tier contract shape).
+    *
+    * Scale shape: one postings build filtered to the term (at scale, a
+    * bucket-pruned [[writeIndex]] lookup), a 1-row stats broadcast,
+    * and a top-k sort of ONE term's posting list — the same
+    * total-order-of-scores any search engine's top-k heap computes.
+    * Output: (doc_id, tf, dl, rank, rank_key, rank_agrees,
+    * score_in_bounds) for rank <= k.
+    */
+  def bm25RankAudit(docs: DataFrame, term: String, k: Int,
+                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k1 == 1.2 && b == 0.75,
+      "the exact rank_key derivation hardcodes k1=1.2, b=0.75 " +
+        "(rationals 3/10, 9/10); generalize the integer key to change them")
+    val p = postings(docs).filter(col("term") === lit(term))
+    val lens = docs.select(col("doc_id"),
+      expr("bigint(size(split(text, ' ')))").as("dl"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      sum(expr("bigint(size(split(text, ' ')))")).as("total_len"))
+    val dfreq = p.agg(count(lit(1)).as("doc_freq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("score"), asc("doc_id"))
+    val wx = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("rank_key"), asc("doc_id"))
+    p.join(lens, "doc_id")
+      .crossJoin(broadcast(stats))
+      .crossJoin(broadcast(dfreq))
+      .withColumn("idf", expr(
+        "log((n_docs - doc_freq + 0.5) / (doc_freq + 0.5) + 1.0)"))
+      .withColumn("score", expr(
+        s"idf * (tf * ($k1 + 1.0)) / " +
+          s"(tf + $k1 * (1.0 - $b + $b * dl / (total_len / " +
+          "cast(n_docs as double))))"))
+      .withColumn("rank_key",
+        col("tf").cast("double") /
+          (lit(10L) * col("total_len") * col("tf") +
+            lit(3L) * col("total_len") +
+            lit(9L) * col("n_docs") * col("dl")).cast("double"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("rank_exact", row_number().over(wx).cast("long"))
+      .withColumn("rank_agrees", col("rank") === col("rank_exact"))
+      .withColumn("score_in_bounds",
+        col("score") > 0.0 && col("score") < col("idf") * (k1 + 1.0))
+      .filter(col("rank") <= k)
+      .select("doc_id", "tf", "dl", "rank", "rank_key", "rank_agrees",
+        "score_in_bounds")
+      .orderBy("rank")
+  }
+
+  /** Multi-term BM25 over EVERY matching document — the production
+    * scorer's multi-term path with its oracle-able projection: the
+    * matched doc set, per-doc hit counts and exact (tf-sum, dl) are
+    * engine-independent integers; the `log`-based score itself rides
+    * only through its saturation contract
+    * `0 < score < Σ_hit_terms idf·(k1+1)` (each term's contribution
+    * saturates below idf·(k1+1) as tf → ∞), stated by the oracle as
+    * literal TRUE. Rank properties of the score are SearchSpec
+    * territory ([[bm25]]).
+    * Output: (doc_id, n_terms_hit, total_tf, dl, score_in_bounds),
+    * doc-id ordered.
+    */
+  def bm25Matches(docs: DataFrame, terms: Seq[String],
+                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val p = postings(docs)
+    val lens = docs.select(col("doc_id"),
+      expr("bigint(size(split(text, ' ')))").as("dl"))
+    val stats = docs.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      avg(expr("size(split(text, ' '))")).as("avg_dl"))
+    val df_ = p.groupBy("term").agg(count(lit(1)).as("doc_freq"))
+    p.filter(col("term").isin(terms: _*))
+      .join(df_, "term")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", expr(
+        "log((n_docs - doc_freq + 0.5) / (doc_freq + 0.5) + 1.0)"))
+      .withColumn("contrib", expr(
+        s"idf * (tf * ($k1 + 1.0)) / " +
+          s"(tf + $k1 * (1.0 - $b + $b * dl / avg_dl))"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms_hit"),
+        sum("tf").as("total_tf"),
+        max(col("dl")).as("dl"),
+        sum("contrib").as("score"),
+        sum(col("idf") * (k1 + 1.0)).as("bound"))
+      .withColumn("score_in_bounds",
+        col("score") > 0.0 && col("score") < col("bound"))
+      .select("doc_id", "n_terms_hit", "total_tf", "dl",
+        "score_in_bounds")
+      .orderBy("doc_id")
   }
 
   def search(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {

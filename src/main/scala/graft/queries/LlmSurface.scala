@@ -70,6 +70,18 @@ object LlmSurface {
       Search.fuzzySearch(docs(s, d), Seq("spqrk", "joinn", "vector"),
         k = 5)),
 
+    // --- fuzziness AUTO (Lucene parity): query terms of length ≥ 6
+    //     allow TWO edits — "vectro" (transposition) and "cusotmer"
+    //     (transposition) resolve at distance 2 while the 4-char
+    //     "join" stays at one edit; same asymmetric SymSpell blocking
+    //     at deletion depth 2, depth-2 variants generated only for
+    //     length-6+ terms on both sides (the recall proof is in
+    //     Search.fuzzySearch's scaladoc; the oracle is the honest
+    //     vocab×query quadratic with the same allowance rule) ---
+    "q159_fuzzy_auto" -> ((s, d) =>
+      Search.fuzzySearch(docs(s, d), Seq("vectro", "cusotmer", "join"),
+        k = 5, maxDist = 2)),
+
     // --- search-result highlighting (ES `highlight` analogue):
     //     ±3-token snippet around the first query-term occurrence,
     //     matched terms wrapped in [...] — per-row codegen'd array
@@ -77,6 +89,25 @@ object LlmSurface {
     //     rule makes the snippet text oracle-exact (Search.highlight) ---
     "q153_highlight" -> ((s, d) =>
       Search.highlight(docs(s, d), searchTerms, window = 3)),
+
+    // --- BM25, the PRODUCTION scorer behind the reference's ES
+    //     search (k1/b saturation + log idf): single-term top-20 with
+    //     the cross-engine certificate — for one term the BM25 order
+    //     equals the order of an exact integer ratio (rank_key, one
+    //     int64÷int64 division — correctly rounded ⇒ monotone and
+    //     bit-identical), so the oracle reproduces the RANKING
+    //     exactly while the log-based score rides through its
+    //     literal-TRUE contracts (Search.bm25RankAudit) ---
+    "q156_bm25_rank" -> ((s, d) =>
+      Search.bm25RankAudit(docs(s, d), "data", k = 20)),
+
+    // --- BM25 multi-term path over every matching doc: exact
+    //     (n_terms_hit, total_tf, dl) per doc plus the saturation
+    //     contract 0 < score < Σ idf·(k1+1) as a literal-TRUE
+    //     boolean; rank properties live in SearchSpec
+    //     (Search.bm25Matches) ---
+    "q157_bm25_multi" -> ((s, d) =>
+      Search.bm25Matches(docs(s, d), searchTerms)),
 
     // --- exact phrase query (ES match_phrase analogue): one corpus
     //     tokenize into positional postings, then the single-shuffle
@@ -639,6 +670,59 @@ object LlmSurface {
         .agg(count(lit(1)).as("n"), sum("n_chars").as("s"))
       Pipeline.maintainAgg(oldAgg, base, batch, "doc_id", "source",
           "n_chars")
+        .orderBy("source")
+    }),
+
+    // --- streaming-lakehouse loop, batch twin (q143's log × q147's
+    //     maintenance, composed through the SAME per-epoch body the
+    //     streaming sink runs — Pipeline.absorbSummaryBatch): two CDC
+    //     batches land as log segments AND advance a versioned
+    //     (count, sum) summary; the final summary must equal the
+    //     from-scratch aggregation of the fully-replayed log, emitted
+    //     as a literal-TRUE certificate beside the exact counts.
+    //     At 100 TB the summary advances in O(batch) per epoch —
+    //     the corpus re-aggregation the certificate compares against
+    //     never runs in production (EventStreams.maintainedSummarySink
+    //     is the foreachBatch wrapper; EventStreamsSpec replays it) ---
+    "q158_summary_log" -> ((s, d) => {
+      import graft.operators.Pipeline
+      val base = docs(s, d).select("doc_id", "source", "n_chars")
+      // per-invocation scratch (q150's note: roundtrip state must not
+      // be shared across concurrent processes)
+      val scratch = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        "graft_sl_" + graft.engine.Bucketing.fingerprint8(d) +
+          "_" + java.util.UUID.randomUUID().toString.take(8))
+      val logDir = new java.io.File(scratch, "log").getPath
+      val sumDir = new java.io.File(scratch, "summary").getPath
+      val b1 = base.filter(col("doc_id") % 11 === 3)
+          .withColumn("n_chars", col("n_chars") + lit(1000L))
+          .withColumn("op", lit("U"))
+        .unionByName(base.filter(col("doc_id") < 4)
+          .withColumn("doc_id", col("doc_id") + lit(5000000L))
+          .withColumn("op", lit("U")))
+        .unionByName(base.filter(col("doc_id") % 11 === 7)
+          .withColumn("op", lit("D")))
+      val b2 = base.filter(col("doc_id") % 11 === 5)
+          .withColumn("n_chars", col("n_chars") + lit(500L))
+          .withColumn("op", lit("U"))
+        .unionByName(base.filter(col("doc_id") < 2)
+          .withColumn("doc_id", col("doc_id") + lit(6000000L))
+          .withColumn("op", lit("U")))
+        .unionByName(base.filter(col("doc_id") % 11 === 3)
+          .withColumn("op", lit("D")))
+      Pipeline.absorbSummaryBatch(b1, base, logDir, sumDir,
+        "doc_id", "source", "n_chars", epoch = 0L)
+      Pipeline.absorbSummaryBatch(b2, base, logDir, sumDir,
+        "doc_id", "source", "n_chars", epoch = 1L)
+      val replayed = Pipeline.replayLog(s, base, logDir, "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("rn"), sum("n_chars").as("rs"))
+      Pipeline.readSummary(s, sumDir)
+        .join(replayed, "source")
+        .select(col("source"), col("n"), col("s"),
+          (col("n") === col("rn") && col("s") === col("rs"))
+            .as("matches_replay"))
         .orderBy("source")
     }),
 
@@ -1210,6 +1294,73 @@ object LlmSurface {
         | q AS (SELECT unnest(['spqrk', 'joinn', 'vector']) AS q_term),
         | cand AS (SELECT q.q_term, v.term FROM q JOIN vocab v
         |  ON levenshtein(q.q_term, v.term) <= 1),
+        | scored AS (SELECT c.q_term, c.term,
+        |   CAST(levenshtein(c.q_term, c.term) AS BIGINT) AS dist,
+        |   p.doc_id,
+        |   p.tf::DOUBLE * (nd.n_docs / dfreq.doc_freq::DOUBLE) AS tfidf
+        |  FROM cand c JOIN p ON c.term = p.term
+        |  JOIN dfreq ON p.term = dfreq.term, nd)
+        |SELECT q_term, term, dist, doc_id, tfidf, rank FROM (
+        | SELECT *, row_number() OVER (PARTITION BY q_term, term
+        |   ORDER BY tfidf DESC, doc_id) AS rank FROM scored)
+        |WHERE rank <= 5 ORDER BY q_term, term, rank""".stripMargin,
+
+    // q156: the BM25 ranking reproduced through the exact integer
+    // ratio tf/(10·L·tf + 3·L + 9·N·dl) — same int64÷int64 double
+    // division (correctly rounded ⇒ bit-identical), same doc_id
+    // tie-break; the log-based score's certificates are literal TRUE
+    "q156_bm25_rank" ->
+      """WITH lens AS (SELECT doc_id,
+        |   len(string_split(text, ' '))::BIGINT AS dl FROM documents),
+        | p AS (SELECT doc_id, count(*)::BIGINT AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  WHERE tok = 'data' GROUP BY doc_id),
+        | st AS (SELECT count(*)::BIGINT AS n_docs,
+        |   CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_len
+        |  FROM documents),
+        | r AS (SELECT p.doc_id, tf, dl,
+        |   CAST(tf AS DOUBLE) /
+        |    CAST(10 * total_len * tf + 3 * total_len + 9 * n_docs * dl
+        |     AS DOUBLE) AS rank_key
+        |  FROM p JOIN lens USING (doc_id), st),
+        | k AS (SELECT doc_id, tf, dl, rank_key,
+        |   row_number() OVER (ORDER BY rank_key DESC, doc_id) AS rank
+        |  FROM r)
+        |SELECT doc_id, tf, dl, CAST(rank AS BIGINT) AS rank, rank_key,
+        | TRUE AS rank_agrees, TRUE AS score_in_bounds
+        |FROM k WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+    // q157: matched docs + exact integer columns; the multi-term
+    // score rides only through its saturation contract (literal TRUE)
+    "q157_bm25_multi" ->
+      """WITH lens AS (SELECT doc_id,
+        |   len(string_split(text, ' '))::BIGINT AS dl FROM documents),
+        | p AS (SELECT term, doc_id, count(*)::BIGINT AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |        FROM documents) GROUP BY term, doc_id)
+        |SELECT p.doc_id, count(*)::BIGINT AS n_terms_hit,
+        | CAST(sum(tf) AS BIGINT) AS total_tf,
+        | max(dl) AS dl,
+        | TRUE AS score_in_bounds
+        |FROM p JOIN lens USING (doc_id)
+        |WHERE term IN ('spark', 'join', 'vector')
+        |GROUP BY p.doc_id ORDER BY doc_id""".stripMargin,
+
+    // q159: q152's quadratic oracle under the Lucene-AUTO allowance —
+    // two edits for length-6+ query terms, one otherwise
+    "q159_fuzzy_auto" ->
+      """WITH p AS (SELECT term, doc_id, count(*)::BIGINT AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |        FROM documents) GROUP BY term, doc_id),
+        | dfreq AS (SELECT term, count(*)::BIGINT AS doc_freq FROM p
+        |  GROUP BY term),
+        | nd AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+        | vocab AS (SELECT DISTINCT term FROM p),
+        | q AS (SELECT unnest(['vectro', 'cusotmer', 'join']) AS q_term),
+        | cand AS (SELECT q.q_term, v.term FROM q JOIN vocab v
+        |  ON levenshtein(q.q_term, v.term) <=
+        |     CASE WHEN length(q.q_term) >= 6 THEN 2 ELSE 1 END),
         | scored AS (SELECT c.q_term, c.term,
         |   CAST(levenshtein(c.q_term, c.term) AS BIGINT) AS dist,
         |   p.doc_id,
@@ -2212,6 +2363,39 @@ object LlmSurface {
         |            UNION ALL SELECT doc_id, source, n_chars FROM upd)
         |SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS s
         |FROM merged GROUP BY source ORDER BY source""".stripMargin,
+
+    // q158: both CDC batches replayed in SQL (q147's merge shape,
+    // chained), then aggregated from scratch — the maintained summary
+    // must match it exactly, so the certificate is literal TRUE
+    "q158_summary_log" ->
+      """WITH base AS (SELECT doc_id, source, n_chars FROM documents),
+        | u1 AS (SELECT doc_id, source, n_chars + 1000 AS n_chars
+        |          FROM base WHERE doc_id % 11 = 3
+        |        UNION ALL
+        |        SELECT doc_id + 5000000, source, n_chars
+        |          FROM base WHERE doc_id < 4),
+        | k1 AS (SELECT doc_id FROM u1
+        |        UNION ALL
+        |        SELECT doc_id FROM base WHERE doc_id % 11 = 7),
+        | s1 AS (SELECT doc_id, source, n_chars FROM base
+        |         WHERE doc_id NOT IN (SELECT doc_id FROM k1)
+        |        UNION ALL
+        |        SELECT doc_id, source, n_chars FROM u1),
+        | u2 AS (SELECT doc_id, source, n_chars + 500 AS n_chars
+        |          FROM base WHERE doc_id % 11 = 5
+        |        UNION ALL
+        |        SELECT doc_id + 6000000, source, n_chars
+        |          FROM base WHERE doc_id < 2),
+        | k2 AS (SELECT doc_id FROM u2
+        |        UNION ALL
+        |        SELECT doc_id FROM base WHERE doc_id % 11 = 3),
+        | s2 AS (SELECT doc_id, source, n_chars FROM s1
+        |         WHERE doc_id NOT IN (SELECT doc_id FROM k2)
+        |        UNION ALL
+        |        SELECT doc_id, source, n_chars FROM u2)
+        |SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS s,
+        | TRUE AS matches_replay
+        |FROM s2 GROUP BY source ORDER BY source""".stripMargin,
 
     // q138: the partitioned+z-ordered copy must be a faithful
     // re-layout — same composed predicate on the plain table

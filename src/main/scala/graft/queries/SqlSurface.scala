@@ -1327,6 +1327,49 @@ object SqlSurface {
           "l_quantity")
     }),
 
+    // --- zone-map MANIFEST COMPACTION + VACUUM (the Delta
+    //     checkpoint/vacuum pair on the layout tier): a fresh map
+    //     takes two appended batches (three manifest segments), an
+    //     orphaned data file is planted (a crashed appender's
+    //     leftovers — invisible by construction), then the manifests
+    //     fold to ONE segment and vacuum reclaims exactly the orphan.
+    //     Probes on both appended keys and a base key stay lossless
+    //     through the fold — hash-exactness proves it; the fold/vacuum
+    //     counts ride as oracle columns (ZoneMap.compactManifest,
+    //     ZoneMap.vacuum) ---
+    "q160_zonemap_compact" -> ((s, d) => {
+      import graft.engine.ZoneMap
+      // per-invocation scratch staging: compaction mutates the
+      // segment layout, so this map is never shared (q150's note)
+      val key = d + "#compact-" +
+        java.util.UUID.randomUUID().toString.take(8)
+      val li = t(s, d, "lineitem")
+      val dir = ZoneMap.ensureZonemapped(s, key, li,
+        rangeCol = "l_partkey", bloomCol = "l_orderkey", "lineitem_cq")
+      def shifted(by: Long) = li.filter(col("l_orderkey") === 777)
+        .withColumn("l_orderkey", col("l_orderkey") + lit(by))
+      ZoneMap.appendOnce(s, dir, shifted(10000000L),
+        "l_partkey", "l_orderkey", "cq-b1")
+      ZoneMap.appendOnce(s, dir, shifted(11000000L),
+        "l_partkey", "l_orderkey", "cq-b2")
+      // a crashed appender's leftovers: data files no manifest
+      // references — invisible to scans, reclaimed by vacuum
+      shifted(12000000L).coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/data_orphan/zf=0")
+      val folded = ZoneMap.compactManifest(s, dir)
+      val removed = ZoneMap.vacuum(s, dir)
+      def probe(p: Long) = ZoneMap.zonemapScan(s, dir,
+        "l_partkey", "l_orderkey", 0L, Long.MaxValue, p)._2
+      probe(10000777L).unionByName(probe(11000777L))
+        .unionByName(probe(777L))
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "l_quantity")
+        .withColumn("n_segments_folded", lit(folded.toLong))
+        .withColumn("n_orphans_removed", lit(removed.toLong))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "l_quantity")
+    }),
+
     // --- layout tier, metadata-only aggregation: COUNT/MIN/MAX
     //     answered from parquet row-group FOOTER statistics — zero
     //     data pages decoded (PlanSpec asserts PushedAggregation).
@@ -2443,6 +2486,27 @@ object SqlSurface {
         |   (nw * n_events - s) * (nw * n_events - s)
         |     > 4 * (nw * sq - s * s) AS is_low
         |FROM w, st ORDER BY w""".stripMargin,
+
+    // q160: both appended keys and the base key must read losslessly
+    // THROUGH the manifest fold; 3 segments fold (base + 2 appends)
+    // and vacuum reclaims exactly the one planted orphan file
+    "q160_zonemap_compact" ->
+      """SELECT * FROM (
+        | SELECT l_orderkey + 10000000 AS l_orderkey, l_linenumber,
+        |  l_partkey, l_suppkey, l_quantity,
+        |  CAST(3 AS BIGINT) AS n_segments_folded,
+        |  CAST(1 AS BIGINT) AS n_orphans_removed
+        | FROM lineitem WHERE l_orderkey = 777
+        | UNION ALL
+        | SELECT l_orderkey + 11000000, l_linenumber, l_partkey,
+        |  l_suppkey, l_quantity, 3, 1
+        | FROM lineitem WHERE l_orderkey = 777
+        | UNION ALL
+        | SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |  l_quantity, 3, 1
+        | FROM lineitem WHERE l_orderkey = 777)
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        | l_quantity""".stripMargin,
 
     // q155: base rows ∪ the shifted appended batch — the multi-segment
     // pruned read must be lossless for both point keys

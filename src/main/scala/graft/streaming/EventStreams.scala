@@ -269,6 +269,40 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming maintained-summary sink — the FULL streaming-lakehouse
+    * loop, composing [[cdcLogSink]]'s exactly-once log growth with
+    * [[graft.operators.Pipeline.maintainAgg]]'s O(batch) view upkeep:
+    * every change micro-batch lands as an immutable `batch=<epoch>/`
+    * log segment AND advances a versioned per-group (count, sum)
+    * summary table `v=<epoch>/` — so downstream readers get (a) every
+    * historical snapshot via
+    * [[graft.operators.Pipeline.replayLog]], (b) a fresh materialized
+    * aggregate at every epoch WITHOUT a corpus re-aggregation, and
+    * (c) a summary history aligned with the log's versions.
+    *
+    * Exactly-once composition: Spark's epoch tracking re-delivers a
+    * failed micro-batch with the same epoch id, and
+    * [[graft.operators.Pipeline.absorbSummaryBatch]] makes the whole
+    * epoch an idempotent pair of directory overwrites whose inputs
+    * (log prefix, previous summary) are bounded by id < epoch —
+    * EventStreamsSpec pins streamed-summary ≡ from-scratch
+    * re-aggregation of the replayed log at EVERY version.
+    */
+  def maintainedSummarySink(changes: DataFrame, base: DataFrame,
+      logDir: String, summaryDir: String, checkpoint: String,
+      key: String, grp: String,
+      v: String): org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epoch: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.Pipeline.absorbSummaryBatch(batch.toDF(), base,
+            logDir, summaryDir, key, grp, v, epoch)
+        ()
+      }
+      .start()
+
   /** Streaming twin of [[graft.operators.Dedup.decontaminate]]: flag
     * arriving documents that share any word n-gram with a fixed
     * benchmark — decontamination AT INGEST, before a contaminated doc

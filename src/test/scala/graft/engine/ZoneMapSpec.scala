@@ -136,6 +136,33 @@ class ZoneMapSpec extends SparkSpec {
     assert(probe(777L)._2 == before.last._2)
   }
 
+  test("vacuum reclaims only unreferenced data files; probes and " +
+    "replays are unaffected; a second vacuum removes nothing") {
+    val key = s"$sf001#spec-vacuum-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val vdir = ZoneMap.ensureZonemapped(spark, key, plain,
+      "l_partkey", "l_orderkey", "lineitem_vac")
+    val batch = plain.filter(col("l_orderkey") === 777)
+      .withColumn("l_orderkey", col("l_orderkey") + lit(5000000L))
+    ZoneMap.appendOnce(spark, vdir, batch, "l_partkey", "l_orderkey",
+      "vac-b1")
+    // plant a crashed appender's leftovers: data no manifest commits
+    batch.coalesce(1).write.mode("overwrite")
+      .parquet(s"$vdir/data_orphan/zf=0")
+    def probe(p: Long) = rows(ZoneMap.zonemapScan(spark, vdir,
+      "l_partkey", "l_orderkey", 0L, Long.MaxValue, p)._2)
+    val before = (probe(777L), probe(5000777L))
+    assert(ZoneMap.vacuum(spark, vdir) == 1,
+      "exactly the planted orphan file must go")
+    assert(!new java.io.File(s"$vdir/data_orphan").exists(),
+      "fully-orphaned data tree must be swept")
+    assert((probe(777L), probe(5000777L)) == before,
+      "vacuum changed a scan result")
+    assert(ZoneMap.vacuum(spark, vdir) == 0, "vacuum must be idempotent")
+    // the appended batch's committed files survived the sweep
+    assert(probe(5000777L).nonEmpty)
+  }
+
   test("an INT bloom column prunes WITHOUT false negatives: build-" +
     "side hashing casts to bigint to match the Long probe hash") {
     import spark.implicits._

@@ -31,6 +31,59 @@ class FuzzySpec extends SparkSpec {
     assert(!out.exists(p => p._1 == 7L || p._2 == 7L), "unrelated clean")
   }
 
+  test("editDistancePairs maxDist=2 finds every 2-edit shape on " +
+    "length-6+ strings and applies the Lucene length rule") {
+    val strings = Seq(
+      (1L, "abcdefgh"),
+      (2L, "abdefh"),   // two deletions from 1 (c, g removed)
+      (3L, "xbcdefgx"), // two substitutions of 1 (ends swapped out)
+      (4L, "xbcdefg"),  // substitution + deletion vs 1
+      (5L, "vector"),
+      (6L, "vectro"),   // transposition = two substitutions, dist 2
+      (7L, "abcde"),
+      (8L, "axcdy"),    // dist 2 from 7 but BOTH sides are length 5
+      (9L, "abcdzzzz"), // dist 4 from 1 — blocked collisions must die
+      (10L, "abcdefgx")) // dist 1 from 1 — depth-1 behavior intact
+      .toDF("id", "s")
+    val out = Fuzzy.editDistancePairs(strings, "id", "s", maxDist = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out.contains((1L, 2L, 2L)), "two deletions / two insertions")
+    assert(out.contains((1L, 3L, 2L)), "two substitutions")
+    assert(out.contains((1L, 4L, 2L)), "substitution + deletion")
+    assert(out.contains((5L, 6L, 2L)), "transposition (as 2 subs)")
+    assert(out.contains((1L, 10L, 1L)), "distance-1 pair still found")
+    assert(!out.exists(p => p._1 == 7L && p._2 == 8L),
+      "length-5 sides must stay at allowance 1 (Lucene AUTO rule)")
+    assert(!out.exists(p => p._1 == 1L && p._2 == 9L), "dist-4 rejected")
+    // maxDist=1 run on the same corpus: no distance-2 pair leaks
+    val d1 = Fuzzy.editDistancePairs(strings, "id", "s")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(d1.forall(_._3 <= 1) && !d1.contains((1L, 2L, 2L)))
+  }
+
+  test("editDistancePairs maxDist=2 matches the all-pairs quadratic " +
+    "under the per-pair allowance (blocking is recall-1 at depth 2)") {
+    val titles = spark.read.parquet(s"$sf001/documents.parquet")
+      .limit(60)
+      .select(col("doc_id").as("id"),
+        expr("concat_ws(' ', slice(split(text, ' '), 1, 3))").as("s"))
+      .cache()
+    val blocked = Fuzzy.editDistancePairs(titles, "id", "s", maxDist = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    val a = titles.select(col("id").as("id_a"), col("s").as("s_a"))
+    val b = titles.select(col("id").as("id_b"), col("s").as("s_b"))
+    val exact = a.crossJoin(b)
+      .filter(col("id_a") < col("id_b") &&
+        levenshtein(col("s_a"), col("s_b")) <=
+          when(length(col("s_a")) >= 6 && length(col("s_b")) >= 6,
+            lit(2)).otherwise(lit(1)))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("s_a"), col("s_b")).cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(blocked == exact)
+    titles.unpersist()
+  }
+
   test("editDistancePairs matches the all-pairs quadratic on a " +
     "derived-title corpus (blocking is recall-1)") {
     val titles = spark.read.parquet(s"$sf001/documents.parquet")

@@ -66,6 +66,86 @@ class SearchSpec extends SparkSpec {
     assert(!scores.contains(4L))
   }
 
+  test("bm25 matches the hand-computed Robertson/Lucene formula") {
+    val out = Search.bm25(docs, Seq("spark"), k = 4)
+      .as[(Long, Double, Long)].collect().map(t => t._1 -> t._2).toMap
+    // N=4, df=2, idf = ln(1 + (4-2+0.5)/(2+0.5)) = ln 2; dl: 4,3;
+    // avgdl = (4+3+3+4)/4 = 3.5
+    val idf = math.log(2.0)
+    def s(tf: Double, dl: Double) =
+      idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / 3.5))
+    assert(math.abs(out(1L) - s(3, 4)) < 1e-9)
+    assert(math.abs(out(2L) - s(1, 3)) < 1e-9)
+    assert(!out.contains(3L) && !out.contains(4L))
+  }
+
+  test("bm25 rank properties: tf monotone, length-normalized, " +
+    "idf-weighted, saturating below idf*(k1+1)") {
+    // tf monotonicity at equal dl
+    val tfCorpus = Seq((1L, "x a b c"), (2L, "x x b c"), (3L, "x x x c"))
+      .toDF("doc_id", "text")
+    val tfOrder = Search.bm25(tfCorpus, Seq("x"), 3)
+      .as[(Long, Double, Long)].collect().map(_._1).toSeq
+    assert(tfOrder == Seq(3L, 2L, 1L), s"tf monotonicity broke: $tfOrder")
+    // length normalization at equal tf
+    val lenCorpus = Seq((1L, "x a"), (2L, "x a b c d e"))
+      .toDF("doc_id", "text")
+    val lenOrder = Search.bm25(lenCorpus, Seq("x"), 2)
+      .as[(Long, Double, Long)].collect().map(_._1).toSeq
+    assert(lenOrder == Seq(1L, 2L), s"length normalization broke: $lenOrder")
+    // idf: same tf and dl, rarer term outscores the common one
+    val idfCorpus = Seq((1L, "rare common"), (2L, "common pad2"),
+      (3L, "common pad3")).toDF("doc_id", "text")
+    val rareScore = Search.bm25(idfCorpus, Seq("rare"), 3)
+      .as[(Long, Double, Long)].collect().head._2
+    val commonScore = Search.bm25(idfCorpus, Seq("common"), 3)
+      .as[(Long, Double, Long)].collect()
+      .find(_._1 == 1L).get._2
+    assert(rareScore > commonScore,
+      s"idf weighting broke: rare=$rareScore common=$commonScore")
+    // saturation: even tf=50 stays strictly below idf*(k1+1)
+    val satCorpus = Seq((1L, Seq.fill(50)("x").mkString(" ")),
+      (2L, "y only here")).toDF("doc_id", "text")
+    val sat = Search.bm25(satCorpus, Seq("x"), 2)
+      .as[(Long, Double, Long)].collect().head._2
+    val bound = math.log(1.0 + (2 - 1 + 0.5) / 1.5) * 2.2
+    assert(sat > 0 && sat < bound, s"saturation bound broke: $sat !< $bound")
+  }
+
+  test("bm25RankAudit: production rank equals the exact-integer-ratio " +
+    "rank (certificates TRUE), ties break by doc_id on both paths") {
+    // docs 2 and 5 are (tf, dl)-identical → exact score tie
+    val corpus = Seq(
+      (1L, "x x x pad"),
+      (2L, "x pad pad pad"),
+      (3L, "x x pad pad pad pad pad pad"),
+      (4L, "pad only"),
+      (5L, "x pad pad pad"))
+      .toDF("doc_id", "text")
+    val out = Search.bm25RankAudit(corpus, "x", k = 10)
+      .as[(Long, Long, Long, Long, Double, Boolean, Boolean)].collect()
+    assert(out.length == 4, "doc 4 must not match")
+    assert(out.forall(_._6), "rank_agrees must certify on every row")
+    assert(out.forall(_._7), "score_in_bounds must certify on every row")
+    val byRank = out.sortBy(_._4).map(_._1).toSeq
+    // tf=3/dl=4 first; the (1, 4) tie orders 2 before 5 by doc_id;
+    // tf=2 at dl=8 loses to tf=1 at dl=4 here (length normalization)
+    assert(byRank.head == 1L && byRank.indexOf(2L) < byRank.indexOf(5L),
+      s"order: $byRank")
+  }
+
+  test("bm25Matches: exact matched set with hit counts; saturation " +
+    "contract certifies") {
+    val out = Search.bm25Matches(docs, Seq("spark", "rare"))
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    val hits = out.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(hits(1L) == ((1L, 3L, 4L)))  // spark×3 in 4 tokens
+    assert(hits(2L) == ((1L, 1L, 3L)))
+    assert(hits(3L) == ((1L, 1L, 3L)))  // rare×1
+    assert(out.forall(_._5), "saturation contract must certify")
+  }
+
   test("phraseSearch: counts in-order adjacent occurrences per doc") {
     val d = Seq(
       (1L, "a b c a b c"),   // phrase twice
@@ -130,6 +210,30 @@ class SearchSpec extends SparkSpec {
     assert(sparks.exists(r => r._2 == "spark" && r._3 == 1L))
     // nothing within distance 1 of 'zzzzzz' → no rows, not an error
     assert(!out.exists(_._1 == "zzzzzz"))
+  }
+
+  test("fuzzySearch maxDist=2: a 2-edit typo resolves for a length-6+ " +
+    "query term; short query terms keep allowance 1") {
+    val corpus = Seq(
+      (1L, "vector store ready"),
+      (2L, "vector db here"),
+      (3L, "join the tables"),
+      (4L, "jinx word pad"))  // lev(join, jinx) = 2 — must NOT match
+      .toDF("doc_id", "text")
+    val out = Search.fuzzySearch(corpus, Seq("vectro", "join"), k = 5,
+      maxDist = 2)
+      .as[(String, String, Long, Long, Double, Long)].collect()
+    val pairs = out.map(r => (r._1, r._2, r._3)).distinct.toSet
+    assert(pairs.contains(("vectro", "vector", 2L)),
+      s"ed-2 typo unresolved: $pairs")
+    assert(pairs.contains(("join", "join", 0L)))
+    assert(!pairs.exists(p => p._1 == "join" && p._2 == "jinx"),
+      "4-char query term must stay at one edit (Lucene AUTO)")
+    // depth-1 run on the same corpus: the ed-2 match must be absent
+    val d1 = Search.fuzzySearch(corpus, Seq("vectro", "join"), k = 5)
+      .as[(String, String, Long, Long, Double, Long)].collect()
+      .map(r => (r._1, r._2)).distinct.toSet
+    assert(!d1.contains(("vectro", "vector")))
   }
 
   test("highlight: first-occurrence window clamps at both ends, marks " +

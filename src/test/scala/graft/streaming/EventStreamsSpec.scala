@@ -636,6 +636,55 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed.map(_._1) == Set(1L, 2L, 3L))
   }
 
+  test("maintainedSummarySink: every summary version equals the " +
+    "from-scratch aggregation of the replayed log, and epoch replays " +
+    "are idempotent") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Pipeline
+    val base = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L))
+      .toDF("doc_id", "source", "n_chars")
+    val in = MemoryStream[(Long, String, Long, String)](spark)
+    val dir = Files.createTempDirectory("graft-msl").toString
+    val logDir = s"$dir/log"
+    val sumDir = s"$dir/sum"
+    val ck = Files.createTempDirectory("graft-msl-ck").toString
+    val changes = in.toDF().toDF("doc_id", "source", "n_chars", "op")
+    val q = EventStreams.maintainedSummarySink(changes, base, logDir,
+      sumDir, ck, "doc_id", "source", "n_chars")
+    in.addData((2L, "a", 25L, "U"), (9L, "b", 90L, "U"))
+    q.processAllAvailable()
+    in.addData((1L, "", 0L, "D"), (9L, "b", 95L, "U"),
+      (10L, "c", 100L, "U"))
+    q.processAllAvailable()
+    q.stop()
+    val vs = Pipeline.summaryVersions(sumDir)
+    assert(vs.size == 2, s"expected 2 summary versions, got $vs")
+    def aggOf(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("source")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("s"))
+        .as[(String, Long, Long)].collect().toSet
+    // replay-equality AT EVERY VERSION: the maintained summary is
+    // indistinguishable from re-aggregating that version's snapshot
+    vs.foreach { e =>
+      val want = aggOf(
+        Pipeline.replayLogBefore(spark, base, logDir, "doc_id", e + 1))
+      val got = Pipeline.readSummary(spark, sumDir, e)
+        .as[(String, Long, Long)].collect().toSet
+      assert(got == want, s"version $e: $got != $want")
+    }
+    val fin = Pipeline.readSummary(spark, sumDir)
+      .as[(String, Long, Long)].collect().toSet
+    assert(fin == Set(("a", 1L, 25L), ("b", 2L, 125L), ("c", 1L, 100L)))
+    // a re-delivered epoch (crash-retry) reconstructs, never doubles
+    val b2 = Seq((1L, "", 0L, "D"), (9L, "b", 95L, "U"),
+      (10L, "c", 100L, "U")).toDF("doc_id", "source", "n_chars", "op")
+    Pipeline.absorbSummaryBatch(b2, base, logDir, sumDir,
+      "doc_id", "source", "n_chars", vs.last)
+    assert(Pipeline.summaryVersions(sumDir) == vs)
+    assert(Pipeline.readSummary(spark, sumDir)
+      .as[(String, Long, Long)].collect().toSet == fin)
+  }
+
   test("cdcLogSink + replayLog: streamed change batches replay to the " +
     "same snapshots as the batch CDC path, every version readable") {
     import graft.operators.Pipeline
