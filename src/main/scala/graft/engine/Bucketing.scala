@@ -400,10 +400,17 @@ object Bucketing {
     * (`_SUCCESS` present ⇒ adopt); a torn non-atomic dir from a crashed
     * older staging carries no marker and is cleared before the rename.
     */
-  def atomicStage(dir: java.io.File, force: Boolean = false)(
+  def atomicStage(dir: java.io.File, force: Boolean = false,
+      stageParent: Option[java.io.File] = None)(
       build: java.io.File => Unit): Unit = {
     if (!force && new java.io.File(dir, "_SUCCESS").isFile) return
-    val tmp = new java.io.File(dir.getParentFile,
+    // `stageParent` relocates the in-flight build: a target living
+    // INSIDE a directory readers scan by listing (e.g. a `seg=<id>`
+    // subtree of a partition-discovered index) must stage somewhere
+    // those listings never look, or the half-built sibling becomes
+    // visible before its rename. Same filesystem required (the
+    // publish rename must stay atomic).
+    val tmp = new java.io.File(stageParent.getOrElse(dir.getParentFile),
       dir.getName + ".stage-" +
         java.util.UUID.randomUUID().toString.take(8))
     try {

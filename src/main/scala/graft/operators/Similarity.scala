@@ -611,8 +611,11 @@ object Similarity {
                             fixtureKey: String, emb: => DataFrame,
                             centroidPred: String,
                             dim: Int = DefaultDim): (String, String) = {
+    // "ivf2" = segmented index layout: every write (base + appends) is
+    // its own seg=<id>/cluster=*/ subtree, so appends publish by ONE
+    // atomic rename instead of mode("append") into the live dir
     val fp = graft.engine.Bucketing.fingerprint8(
-      s"$fixtureKey|ivf1|$centroidPred|$dim")
+      s"$fixtureKey|ivf2|$centroidPred|$dim")
     val centTable = s"graft_ivfc_$fp"
     val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_ivf_asg_$fp")
@@ -637,7 +640,7 @@ object Similarity {
           .select(col("vec_id"), col("dvec"), col("nv"),
             sqrt(col("nv")).as("norm"), assignedCluster.as("cluster"))
           .write.mode("overwrite").partitionBy("cluster")
-          .parquet(tmp.getPath)
+          .parquet(new java.io.File(tmp, "seg=base").getPath)
       }
     }
     (centTable, dir.getPath)
@@ -653,14 +656,19 @@ object Similarity {
     * re-stage, a separate, rarer event), so existing cell contents
     * and all previously-returned probe results stay valid.
     *
-    * Idempotent per `batchKey`: a marker file inside the index dir
-    * records a completed append, so replays (warm passes, retries,
-    * repeated query invocations) are no-ops — and a re-stage's
-    * `overwrite` clears the markers with the data, putting rebuild
-    * and re-append back in one consistent order.
+    * Crash- and cross-JVM-safe, idempotent per `batchKey`: the batch
+    * lands as its own `seg=<fp>` subtree (cluster dirs inside) published via
+    * [[graft.engine.Bucketing.atomicStage]]'s UUID-sibling +
+    * atomic-rename — a half-written append is never visible (the
+    * zone-map append contract), concurrent appenders of the same
+    * batch commit exactly one segment, and the committed segment IS
+    * the replay marker (warm passes, retries, repeated query
+    * invocations are no-ops). A re-stage's forced `overwrite` clears
+    * the segments with the base, putting rebuild and re-append back
+    * in one consistent order.
     *
     * Scale shape: cost is O(|batch|) — assign + one nShards-ish
-    * append write; the 100 TB standing index is never read, never
+    * segment write; the 100 TB standing index is never read, never
     * rewritten. Returns (centroid table, index directory).
     */
   def ivfAppendOnce(spark: org.apache.spark.sql.SparkSession,
@@ -670,16 +678,21 @@ object Similarity {
                     dim: Int = DefaultDim): (String, String) = {
     val (centTable, asgDir) =
       ensureIvfLearnedIndex(spark, fixtureKey, emb, centroidPred, dim)
-    val marker = new java.io.File(asgDir,
-      s"_APPENDED_${graft.engine.Bucketing.fingerprint8(batchKey)}")
-    if (!marker.isFile) {
+    val seg = new java.io.File(asgDir,
+      s"seg=${graft.engine.Bucketing.fingerprint8(batchKey)}")
+    if (!new java.io.File(seg, "_SUCCESS").isFile) {
       graft.functions.GraftFunctions.register(spark)
       val cents = centroidList(spark.table(centTable))
-      dvecFrame(batch, dim).crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("dvec"), col("nv"),
-          sqrt(col("nv")).as("norm"), assignedCluster.as("cluster"))
-        .write.mode("append").partitionBy("cluster").parquet(asgDir)
-      marker.createNewFile()
+      // stage OUTSIDE the index dir: a `seg=...stage-` sibling inside
+      // it would be swept up by partition discovery mid-build
+      graft.engine.Bucketing.atomicStage(seg,
+        stageParent = Some(new java.io.File(asgDir).getParentFile)) { tmp =>
+        dvecFrame(batch, dim).crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("dvec"), col("nv"),
+            sqrt(col("nv")).as("norm"), assignedCluster.as("cluster"))
+          .write.mode("overwrite").partitionBy("cluster")
+          .parquet(tmp.getPath)
+      }
     }
     (centTable, asgDir)
   }
@@ -884,10 +897,14 @@ object Similarity {
     */
   private def readIvfIndex(spark: org.apache.spark.sql.SparkSession,
                            asgDir: String): DataFrame =
+    // `seg` is the append-segment partition layer (atomic-commit
+    // bookkeeping, not data) — dropped here so every consumer sees
+    // the same logical index; `cluster` stays the pruning column
     spark.read
       .schema("vec_id BIGINT, dvec ARRAY<DOUBLE>, nv DOUBLE, " +
-        "norm DOUBLE, cluster BIGINT")
+        "norm DOUBLE, seg STRING, cluster BIGINT")
       .parquet(asgDir)
+      .drop("seg")
 
   /** Stage the PQ half of the IVF-PQ index (faiss's on-disk shape):
     * codebooks (an m·ksub-row table — constant size at any corpus)
