@@ -413,6 +413,115 @@ object Pipeline {
     spark.read.parquet(s"$summaryDir/v=$pick")
   }
 
+  /** The top-`k`-per-group view (by `v` DESC, `key` ASC — the
+    * deterministic tie-break [[maintainTopK]] and its oracle share).
+    * Output: (grp, key, v, rank). */
+  def topKView(base: DataFrame, key: String, grp: String, v: String,
+               k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(grp).orderBy(desc(v), asc(key))
+    base.select(col(grp), col(key), col(v))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Incrementally maintain a per-group TOP-K view under one CDC
+    * batch — the NON-ABELIAN counterpart of [[maintainAgg]]: a
+    * deleted or demoted member's replacement is not derivable from
+    * the view (rank k+1 was never materialized), so min/max/top-k
+    * maintenance fundamentally needs the base again. The honest
+    * production shape is re-read-affected-groups-only: groups touched
+    * by the batch (the upserts' groups plus the OLD groups of every
+    * batch key — an upsert can move a row across groups) recompute
+    * their top-k from the merged group contents; every other group's
+    * view rows pass through untouched. Equals the from-scratch view
+    * of the merged table exactly (PipelineSpec + q162 pin it).
+    *
+    * Scale shape: touched groups are batch-bounded, ride as
+    * broadcasts, and with a group-partitioned/bucketed base layout
+    * the group re-read is a pruned scan — the lakehouse MERGE read
+    * path; the view never recomputes the untouched 99.99% of groups.
+    * Same batch-key preconditions as [[applyCdc]].
+    */
+  def maintainTopK(oldView: DataFrame, base: DataFrame, batch: DataFrame,
+                   key: String, grp: String, v: String, k: Int,
+                   opCol: String = "op"): DataFrame = {
+    val touched = base
+      .join(broadcast(batch.select(key)), Seq(key), "left_semi")
+      .select(grp)
+      .unionByName(batch.filter(col(opCol) === "U").select(grp))
+      .distinct()
+    val untouched = oldView
+      .join(broadcast(touched), Seq(grp), "left_anti")
+    val merged = applyCdc(
+      base.join(broadcast(touched), Seq(grp), "left_semi")
+        .select(col(grp), col(key), col(v)),
+      batch.select(col(grp), col(key), col(v), col(opCol)),
+      key, opCol)
+    untouched.unionByName(topKView(merged, key, grp, v, k))
+  }
+
+  /** Re-base a CDC log — the CHECKPOINT lever [[snapshotAt]]'s
+    * scaladoc promises: materialize the current snapshot (base + all
+    * log segments) as a new base table on disk, then retire the
+    * folded segments, so future replays fold `O(new segments)`
+    * batches instead of the full history. Replay depth is what makes
+    * a long-lived CDC table slow — every lakehouse format periodically
+    * checkpoints for exactly this reason; at 100 TB the rebase is one
+    * full-table write (amortized over the hundreds of batches it
+    * retires), and the alternative — unbounded anti-join lineage — is
+    * the thing that stops scaling.
+    *
+    * Directory protocol under `rootDir`: `base/` (absent until the
+    * first rebase — `origBase` serves reads before that),
+    * `log/batch=<epoch>/` segments, and a `_REBASED_<epoch>` marker
+    * recording the highest epoch folded in. The new base publishes
+    * via [[graft.engine.Bucketing.atomicStage]]'s two-rename swap
+    * (readers see old or new, never half), the marker lands after it,
+    * and folded segments are deleted last — a crash between those
+    * steps only re-applies already-folded batches, which
+    * [[applyCdc]]'s anti-join semantics make IDEMPOTENT (re-upserting
+    * an already-upserted key, re-deleting an absent one: same
+    * snapshot). Returns the number of segments folded.
+    */
+  def rebaseLog(spark: org.apache.spark.sql.SparkSession,
+                origBase: DataFrame, rootDir: String,
+                key: String): Int = {
+    val baseDir = new java.io.File(rootDir, "base")
+    val logDir = new java.io.File(rootDir, "log").getPath
+    val segs = logSegments(logDir)
+    if (segs.isEmpty) return 0
+    val cur = currentBase(spark, origBase, rootDir)
+    val snapshot = snapshotAt(cur,
+      segs.map(f => spark.read.parquet(f.getPath)), segs.size, key)
+    val top = segs.last.getName.stripPrefix("batch=").toLong
+    graft.engine.Bucketing.atomicStage(baseDir, force = true) { tmp =>
+      snapshot.write.mode("overwrite").parquet(tmp.getPath)
+    }
+    new java.io.File(rootDir, s"_REBASED_$top").createNewFile()
+    segs.foreach(graft.engine.Bucketing.deleteTree)
+    segs.size
+  }
+
+  /** The current base of a re-basable log root: the last materialized
+    * checkpoint if one exists, the original table otherwise. */
+  def currentBase(spark: org.apache.spark.sql.SparkSession,
+                  origBase: DataFrame, rootDir: String): DataFrame = {
+    val baseDir = new java.io.File(rootDir, "base")
+    if (new java.io.File(baseDir, "_SUCCESS").isFile)
+      spark.read.parquet(baseDir.getPath)
+    else origBase
+  }
+
+  /** Snapshot of a re-basable log root: checkpoint (or original)
+    * base + every live log segment. Replay cost after a rebase is
+    * the segments written SINCE it — the whole point. */
+  def snapshotOf(spark: org.apache.spark.sql.SparkSession,
+                 origBase: DataFrame, rootDir: String,
+                 key: String): DataFrame =
+    replayLog(spark, currentBase(spark, origBase, rootDir),
+      new java.io.File(rootDir, "log").getPath, key)
+
   /** Deterministic probability-proportional-to-size (Poisson/IPPS)
     * sampling targeting ~`targetDocs` draws: doc `i` with integer
     * weight `w_i` (token count) is kept with inclusion probability

@@ -726,6 +726,78 @@ object LlmSurface {
         .orderBy("source")
     }),
 
+    // --- CDC log REBASE (the checkpoint lever q143's scaladoc
+    //     promises): two change batches land as log segments, the log
+    //     re-bases — snapshot materialized as the new base via the
+    //     two-rename swap, folded segments retired — and a THIRD
+    //     batch lands after it. The final snapshot reads checkpoint +
+    //     ONE live segment instead of a three-deep replay chain, yet
+    //     must hash-match the from-scratch three-batch chain; the
+    //     fold count and live-segment count ride as oracle columns
+    //     (Pipeline.rebaseLog / snapshotOf). At 100 TB this is what
+    //     bounds replay lineage — the one full-table write amortizes
+    //     over every batch it retires ---
+    "q161_log_rebase" -> ((s, d) => {
+      import graft.operators.Pipeline
+      val base = docs(s, d).select("doc_id", "text")
+      val root = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        "graft_rb_" + graft.engine.Bucketing.fingerprint8(d) +
+          "_" + java.util.UUID.randomUUID().toString.take(8)).getPath
+      def seg(df: org.apache.spark.sql.DataFrame, e: Int): Unit =
+        df.coalesce(1).write.mode("overwrite")
+          .parquet(s"$root/log/batch=$e")
+      seg(base.filter(col("doc_id") % 9 === 1)
+          .withColumn("text", concat(col("text"), lit(" v1")))
+          .withColumn("op", lit("U"))
+        .unionByName(base.filter(col("doc_id") < 3)
+          .withColumn("doc_id", col("doc_id") + lit(2000000L))
+          .withColumn("op", lit("U"))), 0)
+      seg(base.filter(col("doc_id") % 9 === 4)
+          .withColumn("text", concat(col("text"), lit(" v2")))
+          .withColumn("op", lit("U"))
+        .unionByName(base.filter(col("doc_id") % 9 === 7)
+          .withColumn("op", lit("D"))), 1)
+      val folded = Pipeline.rebaseLog(s, base, root, "doc_id")
+      seg(base.filter(col("doc_id") % 9 === 1)
+          .withColumn("op", lit("D"))
+        .unionByName(base.filter(col("doc_id") < 2)
+          .withColumn("doc_id", col("doc_id") + lit(3000000L))
+          .withColumn("op", lit("U"))), 2)
+      val live = Option(new java.io.File(s"$root/log").listFiles())
+        .toSeq.flatten.count(_.getName.startsWith("batch="))
+      Pipeline.snapshotOf(s, base, root, "doc_id")
+        .select(col("doc_id"), md5(col("text")).as("text_md5"))
+        .withColumn("n_folded", lit(folded.toLong))
+        .withColumn("n_live_segments", lit(live.toLong))
+        .orderBy("doc_id")
+    }),
+
+    // --- top-k view maintenance under CDC (the NON-ABELIAN
+    //     materialized view): per-source top-3 documents by n_chars
+    //     absorbs one batch of upserts/appends/deletes by re-reading
+    //     ONLY the touched groups (a demoted member's replacement was
+    //     never materialized — min/max/top-k maintenance needs the
+    //     base, the honest production contract); untouched groups'
+    //     view rows pass through. Must equal the from-scratch top-3
+    //     of the merged table (Pipeline.maintainTopK) ---
+    "q162_topk_view" -> ((s, d) => {
+      import graft.operators.Pipeline
+      val base = docs(s, d).select("doc_id", "source", "n_chars")
+      val batch = base.filter(col("doc_id") % 11 === 3)
+          .withColumn("n_chars", col("n_chars") + lit(1000L))
+          .withColumn("op", lit("U"))
+        .unionByName(base.filter(col("doc_id") < 4)
+          .withColumn("doc_id", col("doc_id") + lit(5000000L))
+          .withColumn("op", lit("U")))
+        .unionByName(base.filter(col("doc_id") % 11 === 7)
+          .withColumn("op", lit("D")))
+      Pipeline.maintainTopK(
+        Pipeline.topKView(base, "doc_id", "source", "n_chars", 3),
+        base, batch, "doc_id", "source", "n_chars", 3)
+        .orderBy("source", "rank")
+    }),
+
     // --- two-stage IVF-PQ serving (the production shape): ADC over
     //     the compressed cell-pruned index produces a 50-candidate
     //     shortlist per query, then ONLY those ids' exact vectors are
@@ -2396,6 +2468,58 @@ object LlmSurface {
         |SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS s,
         | TRUE AS matches_replay
         |FROM s2 GROUP BY source ORDER BY source""".stripMargin,
+
+    // q161: the three-batch chain replayed from scratch (q143's
+    // shape, extended one batch) — rebase + continue must be
+    // indistinguishable; 2 segments folded, 1 live after
+    "q161_log_rebase" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        | u1 AS (SELECT doc_id, text || ' v1' AS text FROM base
+        |         WHERE doc_id % 9 = 1
+        |        UNION ALL SELECT doc_id + 2000000, text FROM base
+        |         WHERE doc_id < 3),
+        | v1 AS (SELECT doc_id, text FROM base
+        |         WHERE doc_id NOT IN (SELECT doc_id FROM u1)
+        |        UNION ALL SELECT doc_id, text FROM u1),
+        | b2k AS (SELECT doc_id FROM base
+        |         WHERE doc_id % 9 = 4 OR doc_id % 9 = 7),
+        | v2 AS (SELECT doc_id, text FROM v1
+        |         WHERE doc_id NOT IN (SELECT doc_id FROM b2k)
+        |        UNION ALL SELECT doc_id, text || ' v2' FROM base
+        |         WHERE doc_id % 9 = 4),
+        | u3 AS (SELECT doc_id + 3000000 AS doc_id, text FROM base
+        |         WHERE doc_id < 2),
+        | b3k AS (SELECT doc_id FROM u3
+        |        UNION ALL SELECT doc_id FROM base WHERE doc_id % 9 = 1),
+        | v3 AS (SELECT doc_id, text FROM v2
+        |         WHERE doc_id NOT IN (SELECT doc_id FROM b3k)
+        |        UNION ALL SELECT doc_id, text FROM u3)
+        |SELECT doc_id, md5(text) AS text_md5,
+        | CAST(2 AS BIGINT) AS n_folded,
+        | CAST(1 AS BIGINT) AS n_live_segments
+        |FROM v3 ORDER BY doc_id""".stripMargin,
+
+    // q162: from-scratch top-3 per source of the merged table (q147's
+    // batch), same (n_chars DESC, doc_id ASC) tie-break
+    "q162_topk_view" ->
+      """WITH base AS (SELECT doc_id, source, n_chars FROM documents),
+        | upd AS (SELECT doc_id, source, n_chars + 1000 AS n_chars
+        |          FROM base WHERE doc_id % 11 = 3
+        |         UNION ALL
+        |         SELECT doc_id + 5000000, source, n_chars
+        |          FROM base WHERE doc_id < 4),
+        | bk AS (SELECT doc_id FROM upd
+        |        UNION ALL
+        |        SELECT doc_id FROM base WHERE doc_id % 11 = 7),
+        | merged AS (SELECT doc_id, source, n_chars FROM base
+        |             WHERE doc_id NOT IN (SELECT doc_id FROM bk)
+        |            UNION ALL SELECT doc_id, source, n_chars FROM upd)
+        |SELECT source, doc_id, n_chars, rank FROM (
+        | SELECT source, doc_id, n_chars,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY n_chars DESC, doc_id) AS rank
+        | FROM merged)
+        |WHERE rank <= 3 ORDER BY source, rank""".stripMargin,
 
     // q138: the partitioned+z-ordered copy must be a faithful
     // re-layout — same composed predicate on the plain table

@@ -308,6 +308,61 @@ class PipelineSpec extends SparkSpec {
     assert(maintained == Seq(("a", 2L, 35L), ("c", 2L, 10L)))
   }
 
+  test("maintainTopK equals the from-scratch top-k view — including " +
+    "a member deletion (k+1 promotion), a cross-group move, and an " +
+    "untouched group passing through") {
+    val base = Seq(
+      (1L, "a", 50L), (2L, "a", 40L), (3L, "a", 30L), (4L, "a", 20L),
+      (5L, "b", 90L), (6L, "b", 80L),
+      (7L, "c", 5L)).toDF("doc_id", "grp", "v")
+    val batch = Seq(
+      (1L, "a", 0L, "D"),   // delete a's rank-1 → lower ranks promote
+      (6L, "a", 85L, "U"),  // MOVE 6 from b to a (both groups touched)
+      (8L, "b", 70L, "U"))  // append into b
+      .toDF("doc_id", "grp", "v", "op")
+    val view = Pipeline.topKView(base, "doc_id", "grp", "v", 2)
+    val maintained = Pipeline
+      .maintainTopK(view, base, batch, "doc_id", "grp", "v", 2)
+      .as[(String, Long, Long, Long)].collect().sortBy(t => (t._1, t._4))
+      .toSeq
+    val recomputed = Pipeline
+      .topKView(Pipeline.applyCdc(base, batch, "doc_id"),
+        "doc_id", "grp", "v", 2)
+      .as[(String, Long, Long, Long)].collect().sortBy(t => (t._1, t._4))
+      .toSeq
+    assert(maintained == recomputed)
+    assert(maintained == Seq(
+      ("a", 6L, 85L, 1L), ("a", 2L, 40L, 2L),   // mover wins a
+      ("b", 5L, 90L, 1L), ("b", 8L, 70L, 2L),   // 6 left, 8 entered
+      ("c", 7L, 5L, 1L)))                       // untouched group intact
+  }
+
+  test("rebaseLog: snapshot identical across the checkpoint, replay " +
+    "depth resets, later batches land on the rebased base") {
+    import java.nio.file.Files
+    val base = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("doc_id", "t")
+    val root = Files.createTempDirectory("graft-rebase").toString
+    def seg(rows: Seq[(Long, String, String)], e: Int): Unit =
+      rows.toDF("doc_id", "t", "op").coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/log/batch=$e")
+    seg(Seq((2L, "Y2", "U"), (9L, "n", "U")), 0)
+    seg(Seq((1L, "", "D")), 1)
+    def snap() = Pipeline.snapshotOf(spark, base, root, "doc_id")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    val before = snap()
+    assert(Pipeline.rebaseLog(spark, base, root, "doc_id") == 2)
+    assert(snap() == before, "rebase changed the snapshot")
+    assert(!new java.io.File(s"$root/log/batch=0").exists(),
+      "folded segments must retire")
+    // replay after rebase folds ONLY the new segment
+    seg(Seq((9L, "n2", "U"), (3L, "", "D")), 2)
+    assert(snap() == Seq((2L, "Y2"), (9L, "n2")))
+    // an empty log re-bases to a no-op
+    assert(Pipeline.rebaseLog(spark, base, root, "doc_id") == 1)
+    assert(Pipeline.rebaseLog(spark, base, root, "doc_id") == 0)
+    assert(snap() == Seq((2L, "Y2"), (9L, "n2")))
+  }
+
   test("contamination finds planted train/test n-gram overlap") {
     val train = Seq((1L, (1 to 20).map("t" + _).mkString(" ")),
       (2L, "unrelated train words only here padding pad pad pad")).toDF("doc_id", "text")
