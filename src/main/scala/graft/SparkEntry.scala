@@ -39,6 +39,9 @@ object SparkEntry {
       Future(graft.operators.Search.ensurePositionalIndex(spark, sfDir,
         graft.engine.Tables.table(spark, sfDir, "documents"),
         numBuckets = 8)),
+      Future(graft.operators.Search.ensureBm25Index(spark, sfDir,
+        graft.engine.Tables.table(spark, sfDir, "documents"),
+        numBuckets = 8)),
       Future(SqlSurface.ensureBucketedLineitem(spark, sfDir)),
       Future(SqlSurface.ensureBucketedOrders(spark, sfDir)),
       Future(SqlSurface.ensureZorderedLineitem(spark, sfDir)),

@@ -413,6 +413,56 @@ object Pipeline {
     spark.read.parquet(s"$summaryDir/v=$pick")
   }
 
+  /** Retention for the versioned summary — the Delta `VACUUM` of this
+    * tier: keep the newest `keepLast` `v=<epoch>/` directories, delete
+    * the rest, return how many were removed. Without it
+    * [[absorbSummaryBatch]] grows one version per epoch FOREVER — the
+    * last unbounded-growth loop in the streaming-lakehouse composition
+    * (the log side already has [[rebaseLog]], the zone-map side
+    * `compactManifest`+`vacuum`).
+    *
+    * Contract: retention trades TIME TRAVEL for space — after pruning,
+    * [[readSummary]] at a pruned version fails loudly (its `require`)
+    * rather than silently serving a newer one. Maintenance stays
+    * correct because [[latestSummaryBefore]] only ever consults the
+    * HIGHEST version below the incoming epoch and pruning keeps the
+    * newest versions: any `keepLast >= 1` preserves the maintenance
+    * chain. Epoch-replay safety (the exactly-once argument in
+    * [[absorbSummaryBatch]]) needs the retry's predecessor version
+    * still present, so prune with `keepLast` covering the deepest
+    * possible replay — Spark replays at most the last unCommitted
+    * epoch, so `keepLast >= 2` is safe under single-writer streaming.
+    *
+    * Scale shape: one driver-side directory listing plus
+    * `O(removed)` deletes of group-cardinality-sized directories —
+    * never a data scan.
+    */
+  def pruneSummaries(summaryDir: String, keepLast: Int): Int = {
+    require(keepLast >= 1, s"keepLast must be >= 1: $keepLast")
+    val drop = summaryVersions(summaryDir).dropRight(keepLast)
+    drop.foreach { e =>
+      graft.engine.Bucketing.deleteTree(
+        new java.io.File(summaryDir, s"v=$e"))
+    }
+    drop.size
+  }
+
+  /** Retention for [[rebaseLog]]'s `_REBASED_<epoch>` markers: only
+    * the HIGHEST marker is load-bearing (it records the top epoch
+    * folded into the current checkpoint); older ones are retired
+    * lineage. Keeps the newest `keepLast`, returns how many were
+    * removed. Driver-side metadata only. */
+  def pruneRebaseMarkers(rootDir: String, keepLast: Int = 1): Int = {
+    require(keepLast >= 1, s"keepLast must be >= 1: $keepLast")
+    val marks = Option(new java.io.File(rootDir).listFiles())
+      .toSeq.flatten
+      .filter(f => f.isFile && f.getName.startsWith("_REBASED_"))
+      .sortBy(_.getName.stripPrefix("_REBASED_").toLong)
+    val drop = marks.dropRight(keepLast)
+    drop.foreach(_.delete())
+    drop.size
+  }
+
   /** The top-`k`-per-group view (by `v` DESC, `key` ASC — the
     * deterministic tie-break [[maintainTopK]] and its oracle share).
     * Output: (grp, key, v, rank). */

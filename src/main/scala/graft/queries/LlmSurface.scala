@@ -109,6 +109,21 @@ object LlmSurface {
     "q157_bm25_multi" -> ((s, d) =>
       Search.bm25Matches(docs(s, d), searchTerms)),
 
+    // --- BM25 served from the PERSISTED index (Lucene's on-disk
+    //     shape as catalog tables: term-bucketed postings with the
+    //     dl norm denormalized, a term dictionary, a 1-row stats
+    //     sidecar — staged once by SparkEntry.stage): q156's exact
+    //     integer-ratio rank certificate, but the corpus is not in
+    //     the plan at all — tf/dl come from the bucket-pruned
+    //     postings scan, df from the dictionary, (N, totalLen) from
+    //     the sidecar. The oracle recomputes from the raw table, so
+    //     a hash match certifies the index faithfully serves the
+    //     live ranking (Search.bm25RankAuditIndexed) ---
+    "q164_bm25_indexed" -> ((s, d) => {
+      val idx = Search.ensureBm25Index(s, d, docs(s, d), numBuckets = 8)
+      Search.bm25RankAuditIndexed(s, idx, "data", k = 20)
+    }),
+
     // --- exact phrase query (ES match_phrase analogue): one corpus
     //     tokenize into positional postings, then the single-shuffle
     //     anchor-count match (each posting proposes pos-offset anchors;
@@ -798,6 +813,71 @@ object LlmSurface {
         .orderBy("source", "rank")
     }),
 
+    // --- summary-version RETENTION (the Delta VACUUM of the
+    //     maintained-view tier — closes the streaming-lakehouse
+    //     loop's last unbounded-growth path): three epochs advance
+    //     the versioned summary, then pruneSummaries(keepLast=1)
+    //     reclaims the two superseded versions; the surviving latest
+    //     version must STILL equal the from-scratch aggregation of
+    //     the fully-replayed log (retention trades time travel for
+    //     space, never correctness), with the pruned/left counts
+    //     pinned as oracle columns (Pipeline.pruneSummaries) ---
+    "q163_summary_retention" -> ((s, d) => {
+      import graft.operators.Pipeline
+      val base = docs(s, d).select("doc_id", "source", "n_chars")
+      // per-invocation scratch (q150's note: roundtrip state must not
+      // be shared across concurrent processes)
+      val scratch = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        "graft_sr_" + graft.engine.Bucketing.fingerprint8(d) +
+          "_" + java.util.UUID.randomUUID().toString.take(8))
+      val logDir = new java.io.File(scratch, "log").getPath
+      val sumDir = new java.io.File(scratch, "summary").getPath
+      val b1 = base.filter(col("doc_id") % 11 === 3)
+          .withColumn("n_chars", col("n_chars") + lit(1000L))
+          .withColumn("op", lit("U"))
+        .unionByName(base.filter(col("doc_id") < 4)
+          .withColumn("doc_id", col("doc_id") + lit(5000000L))
+          .withColumn("op", lit("U")))
+        .unionByName(base.filter(col("doc_id") % 11 === 7)
+          .withColumn("op", lit("D")))
+      val b2 = base.filter(col("doc_id") % 11 === 5)
+          .withColumn("n_chars", col("n_chars") + lit(500L))
+          .withColumn("op", lit("U"))
+        .unionByName(base.filter(col("doc_id") < 2)
+          .withColumn("doc_id", col("doc_id") + lit(6000000L))
+          .withColumn("op", lit("U")))
+        .unionByName(base.filter(col("doc_id") % 11 === 3)
+          .withColumn("op", lit("D")))
+      val b3 = base.filter(col("doc_id") % 11 === 9)
+          .withColumn("n_chars", col("n_chars") + lit(250L))
+          .withColumn("op", lit("U"))
+        .unionByName(base.filter(col("doc_id") < 3)
+          .withColumn("doc_id", col("doc_id") + lit(7000000L))
+          .withColumn("op", lit("U")))
+        .unionByName(base.filter(col("doc_id") % 11 === 5)
+          .withColumn("op", lit("D")))
+      Pipeline.absorbSummaryBatch(b1, base, logDir, sumDir,
+        "doc_id", "source", "n_chars", epoch = 0L)
+      Pipeline.absorbSummaryBatch(b2, base, logDir, sumDir,
+        "doc_id", "source", "n_chars", epoch = 1L)
+      Pipeline.absorbSummaryBatch(b3, base, logDir, sumDir,
+        "doc_id", "source", "n_chars", epoch = 2L)
+      val pruned = Pipeline.pruneSummaries(sumDir, keepLast = 1)
+      val left = Pipeline.summaryVersions(sumDir).size
+      val replayed = Pipeline.replayLog(s, base, logDir, "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("rn"), sum("n_chars").as("rs"))
+      Pipeline.readSummary(s, sumDir)
+        .join(replayed, "source")
+        .select(col("source"), col("n"), col("s"),
+          (col("n") === col("rn") && col("s") === col("rs"))
+            .as("matches_replay"))
+        .withColumn("n_pruned", lit(pruned.toLong))
+        .withColumn("n_versions_left", lit(left.toLong))
+        .orderBy("source")
+    }),
+
     // --- two-stage IVF-PQ serving (the production shape): ADC over
     //     the compressed cell-pruned index produces a 50-candidate
     //     shortlist per query, then ONLY those ids' exact vectors are
@@ -1382,6 +1462,30 @@ object LlmSurface {
     // division (correctly rounded ⇒ bit-identical), same doc_id
     // tie-break; the log-based score's certificates are literal TRUE
     "q156_bm25_rank" ->
+      """WITH lens AS (SELECT doc_id,
+        |   len(string_split(text, ' '))::BIGINT AS dl FROM documents),
+        | p AS (SELECT doc_id, count(*)::BIGINT AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  WHERE tok = 'data' GROUP BY doc_id),
+        | st AS (SELECT count(*)::BIGINT AS n_docs,
+        |   CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_len
+        |  FROM documents),
+        | r AS (SELECT p.doc_id, tf, dl,
+        |   CAST(tf AS DOUBLE) /
+        |    CAST(10 * total_len * tf + 3 * total_len + 9 * n_docs * dl
+        |     AS DOUBLE) AS rank_key
+        |  FROM p JOIN lens USING (doc_id), st),
+        | k AS (SELECT doc_id, tf, dl, rank_key,
+        |   row_number() OVER (ORDER BY rank_key DESC, doc_id) AS rank
+        |  FROM r)
+        |SELECT doc_id, tf, dl, CAST(rank AS BIGINT) AS rank, rank_key,
+        | TRUE AS rank_agrees, TRUE AS score_in_bounds
+        |FROM k WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+    // q164: q156's certificate recomputed from the raw corpus — the
+    // index-served ranking must be indistinguishable from the live one
+    "q164_bm25_indexed" ->
       """WITH lens AS (SELECT doc_id,
         |   len(string_split(text, ' '))::BIGINT AS dl FROM documents),
         | p AS (SELECT doc_id, count(*)::BIGINT AS tf
@@ -2468,6 +2572,53 @@ object LlmSurface {
         |SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS s,
         | TRUE AS matches_replay
         |FROM s2 GROUP BY source ORDER BY source""".stripMargin,
+
+    // q163: q158's chain extended one batch, aggregated from scratch —
+    // the latest summary must still match after retention pruned the
+    // two superseded versions (2 pruned, 1 left)
+    "q163_summary_retention" ->
+      """WITH base AS (SELECT doc_id, source, n_chars FROM documents),
+        | u1 AS (SELECT doc_id, source, n_chars + 1000 AS n_chars
+        |          FROM base WHERE doc_id % 11 = 3
+        |        UNION ALL
+        |        SELECT doc_id + 5000000, source, n_chars
+        |          FROM base WHERE doc_id < 4),
+        | k1 AS (SELECT doc_id FROM u1
+        |        UNION ALL
+        |        SELECT doc_id FROM base WHERE doc_id % 11 = 7),
+        | s1 AS (SELECT doc_id, source, n_chars FROM base
+        |         WHERE doc_id NOT IN (SELECT doc_id FROM k1)
+        |        UNION ALL
+        |        SELECT doc_id, source, n_chars FROM u1),
+        | u2 AS (SELECT doc_id, source, n_chars + 500 AS n_chars
+        |          FROM base WHERE doc_id % 11 = 5
+        |        UNION ALL
+        |        SELECT doc_id + 6000000, source, n_chars
+        |          FROM base WHERE doc_id < 2),
+        | k2 AS (SELECT doc_id FROM u2
+        |        UNION ALL
+        |        SELECT doc_id FROM base WHERE doc_id % 11 = 3),
+        | s2 AS (SELECT doc_id, source, n_chars FROM s1
+        |         WHERE doc_id NOT IN (SELECT doc_id FROM k2)
+        |        UNION ALL
+        |        SELECT doc_id, source, n_chars FROM u2),
+        | u3 AS (SELECT doc_id, source, n_chars + 250 AS n_chars
+        |          FROM base WHERE doc_id % 11 = 9
+        |        UNION ALL
+        |        SELECT doc_id + 7000000, source, n_chars
+        |          FROM base WHERE doc_id < 3),
+        | k3 AS (SELECT doc_id FROM u3
+        |        UNION ALL
+        |        SELECT doc_id FROM base WHERE doc_id % 11 = 5),
+        | s3 AS (SELECT doc_id, source, n_chars FROM s2
+        |         WHERE doc_id NOT IN (SELECT doc_id FROM k3)
+        |        UNION ALL
+        |        SELECT doc_id, source, n_chars FROM u3)
+        |SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS s,
+        | TRUE AS matches_replay,
+        | CAST(2 AS BIGINT) AS n_pruned,
+        | CAST(1 AS BIGINT) AS n_versions_left
+        |FROM s3 GROUP BY source ORDER BY source""".stripMargin,
 
     // q161: the three-batch chain replayed from scratch (q143's
     // shape, extended one batch) — rebase + continue must be

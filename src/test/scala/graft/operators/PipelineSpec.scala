@@ -363,6 +363,61 @@ class PipelineSpec extends SparkSpec {
     assert(snap() == Seq((2L, "Y2"), (9L, "n2")))
   }
 
+  test("pruneSummaries keeps the newest versions, fails loudly at " +
+    "pruned ones, and maintenance continues off the survivor") {
+    import java.nio.file.Files
+    val base = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L))
+      .toDF("doc_id", "source", "n_chars")
+    val scratch = Files.createTempDirectory("graft-prune").toString
+    val logDir = s"$scratch/log"
+    val sumDir = s"$scratch/summary"
+    def absorb(rows: Seq[(Long, String, Long, String)], e: Long): Unit =
+      Pipeline.absorbSummaryBatch(
+        rows.toDF("doc_id", "source", "n_chars", "op"),
+        base, logDir, sumDir, "doc_id", "source", "n_chars", e)
+    absorb(Seq((2L, "a", 25L, "U")), 0L)
+    absorb(Seq((4L, "b", 40L, "U")), 1L)
+    absorb(Seq((1L, "", 0L, "D")), 2L)
+    assert(Pipeline.summaryVersions(sumDir) == Seq(0L, 1L, 2L))
+    val latest = Pipeline.readSummary(spark, sumDir)
+      .as[(String, Long, Long)].collect().toSet
+    assert(Pipeline.pruneSummaries(sumDir, keepLast = 2) == 1)
+    assert(Pipeline.summaryVersions(sumDir) == Seq(1L, 2L))
+    // the surviving latest is byte-for-byte the same frame
+    assert(Pipeline.readSummary(spark, sumDir)
+      .as[(String, Long, Long)].collect().toSet == latest)
+    // time travel to a pruned version fails loudly, never serves a
+    // newer version silently
+    intercept[IllegalArgumentException] {
+      Pipeline.readSummary(spark, sumDir, 0L)
+    }
+    // maintenance continues: the next epoch absorbs off version 2
+    absorb(Seq((5L, "c", 50L, "U")), 3L)
+    val want = Pipeline.replayLog(spark, base, logDir, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("s"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(Pipeline.readSummary(spark, sumDir)
+      .as[(String, Long, Long)].collect().toSet == want)
+    // pruning is idempotent at the same retention
+    assert(Pipeline.pruneSummaries(sumDir, keepLast = 3) == 0)
+    intercept[IllegalArgumentException] {
+      Pipeline.pruneSummaries(sumDir, keepLast = 0)
+    }
+  }
+
+  test("pruneRebaseMarkers retires all but the newest marker") {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft-marks").toString
+    Seq(0L, 5L, 9L).foreach(e =>
+      new java.io.File(root, s"_REBASED_$e").createNewFile())
+    assert(Pipeline.pruneRebaseMarkers(root) == 2)
+    val left = Option(new java.io.File(root).listFiles()).toSeq.flatten
+      .map(_.getName).filter(_.startsWith("_REBASED_"))
+    assert(left == Seq("_REBASED_9"))
+    assert(Pipeline.pruneRebaseMarkers(root) == 0)
+  }
+
   test("contamination finds planted train/test n-gram overlap") {
     val train = Seq((1L, (1 to 20).map("t" + _).mkString(" ")),
       (2L, "unrelated train words only here padding pad pad pad")).toDF("doc_id", "text")

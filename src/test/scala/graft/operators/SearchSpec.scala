@@ -146,6 +146,45 @@ class SearchSpec extends SparkSpec {
     assert(out.forall(_._5), "saturation contract must certify")
   }
 
+  test("bm25 indexed serving: topK and rank audit from the persisted " +
+    "index equal the ad-hoc corpus-scan paths exactly") {
+    val corpus = Seq(
+      (1L, "x x x pad"),
+      (2L, "x pad pad pad"),
+      (3L, "x x pad pad pad pad pad pad"),
+      (4L, "pad only y"),
+      (5L, "x pad pad pad"))
+      .toDF("doc_id", "text")
+    val base = "graft_bm25_spec_" + java.util.UUID.randomUUID()
+      .toString.take(8)
+    try {
+      Search.writeBm25Index(corpus, base, numBuckets = 4)
+      // the index never re-reads the corpus: stats/dict/postings agree
+      // with the live frames
+      val st = spark.table(s"${base}_stats")
+        .as[(Long, Long)].collect().head
+      assert(st == ((5L, 23L)), s"stats: $st")
+      val topIdx = Search.bm25TopKIndexed(spark, base,
+          Seq("x", "y"), k = 10)
+        .as[(Long, Double, Long)].collect().toSeq
+      val topAdHoc = Search.bm25(corpus, Seq("x", "y"), k = 10)
+        .as[(Long, Double, Long)].collect().toSeq
+      assert(topIdx == topAdHoc,
+        s"indexed/ad-hoc diverge:\n$topIdx\n$topAdHoc")
+      val audIdx = Search.bm25RankAuditIndexed(spark, base, "x", k = 10)
+        .as[(Long, Long, Long, Long, Double, Boolean, Boolean)]
+        .collect().toSeq
+      val audAdHoc = Search.bm25RankAudit(corpus, "x", k = 10)
+        .as[(Long, Long, Long, Long, Double, Boolean, Boolean)]
+        .collect().toSeq
+      assert(audIdx == audAdHoc,
+        s"audit indexed/ad-hoc diverge:\n$audIdx\n$audAdHoc")
+      assert(audIdx.forall(r => r._6 && r._7),
+        "certificates must hold on the indexed path")
+    } finally Seq("post", "dict", "stats").foreach(sfx =>
+      graft.engine.Bucketing.dropTableAndLocation(spark, s"${base}_$sfx"))
+  }
+
   test("phraseSearch: counts in-order adjacent occurrences per doc") {
     val d = Seq(
       (1L, "a b c a b c"),   // phrase twice

@@ -245,6 +245,28 @@ class PlanSpec extends SparkSpec {
       s"indexed phrase query re-tokenized the corpus:\n${p.take(1500)}")
   }
 
+  test("q164: indexed BM25 prunes the postings AND dictionary scans " +
+    "to the term's bucket; the corpus is not in the plan") {
+    val df = SparkEntry.queries("q164_bm25_indexed")(spark, sf001)
+    df.collect() // finalize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    val sels = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findAllMatchIn(p).toSeq
+    // postings + dictionary are both term-bucketed reads of ONE term
+    assert(sels.size >= 2,
+      s"expected 2 bucket-pruned scans, got ${sels.size}:\n${p.take(1500)}")
+    sels.foreach { m =>
+      assert(m.group(2).toInt == 8 && m.group(1).toInt <= 1,
+        s"expected <=1 of 8 buckets, got ${m.group(1)} of ${m.group(2)}")
+    }
+    // the corpus never enters the plan: no tokenize explode, no
+    // documents.parquet scan — tf/dl/df/stats all come from the index
+    assert(!p.contains("Generate"),
+      s"indexed BM25 re-tokenized the corpus:\n${p.take(1500)}")
+    assert(!p.contains("documents.parquet"),
+      s"indexed BM25 scanned the corpus:\n${p.take(1500)}")
+  }
+
   test("q105b: a staged invocation is probe-only — no index rebuild, " +
     "no documents scan") {
     // first invocation stages (or reuses) the fixture-keyed index
