@@ -388,6 +388,41 @@ object Bucketing {
     * [[graft.engine.ZoneMap.compactManifest]] fold path). */
   def deleteTree(f: java.io.File): Unit = deleteRecursively(f)
 
+  /** Reclaim crashed stagers' leftovers — the [[atomicStage]] sibling
+    * of [[graft.engine.ZoneMap.vacuum]]: a JVM that dies mid-build
+    * leaves a `<name>.stage-<uuid>` directory (a build that never
+    * renamed), and one that dies between the aside-rename and the
+    * deferred delete leaves `<name>.old-<uuid>` (a superseded complete
+    * dir). Both are invisible to readers by construction — this is
+    * pure space reclamation. Deletes directories under `parent` whose
+    * name starts with one of `prefixes` and carries a `.stage-` /
+    * `.old-` infix, but ONLY when nothing in the tree was modified in
+    * the last `olderThanMs`: a LIVE concurrent stager keeps writing
+    * into its tmp dir, refreshing mtimes, so an age threshold covering
+    * the longest plausible build keeps vacuum from pulling a
+    * directory out from under it — the Delta VACUUM retention
+    * argument. Returns the number of directories reclaimed.
+    * Driver-side listing walk; never a data scan.
+    */
+  def vacuumStaging(parent: java.io.File, prefixes: Seq[String],
+                    olderThanMs: Long = 3600L * 1000): Int = {
+    val now = System.currentTimeMillis()
+    def newestMtime(f: java.io.File): Long =
+      if (f.isDirectory)
+        (f.lastModified() +:
+          Option(f.listFiles()).toSeq.flatten.map(newestMtime)).max
+      else f.lastModified()
+    val orphans = Option(parent.listFiles()).toSeq.flatten.filter { f =>
+      f.isDirectory && {
+        val n = f.getName
+        (n.contains(".stage-") || n.contains(".old-")) &&
+          prefixes.exists(n.startsWith)
+      } && now - newestMtime(f) >= olderThanMs
+    }
+    orphans.foreach(deleteRecursively)
+    orphans.size
+  }
+
   /** Cross-JVM-safe staged-artifact publication: `build` writes into a
     * fresh UUID-suffixed sibling, a `_SUCCESS` marker lands INSIDE it,
     * and ONE atomic rename publishes the finished directory. Two JVMs

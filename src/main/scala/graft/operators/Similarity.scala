@@ -697,6 +697,25 @@ object Similarity {
     (centTable, asgDir)
   }
 
+  /** Reclaim crashed stagers' leftovers around the vector-index
+    * staging area — [[graft.engine.Bucketing.vacuumStaging]] scoped
+    * to this tier's directory families: the IVF index root
+    * (`graft_ivf_asg_*`), the PQ codebook/code dirs (`graft_pq_*`)
+    * and the per-batch `seg=<fp>` subtrees [[ivfAppendOnce]] stages
+    * BESIDE the index root (its `stageParent` override — which is
+    * exactly why a crashed appender's orphan lingers outside the
+    * root, invisible to the forced re-stage that clears everything
+    * inside it). Age-thresholded like the underlying vacuum so a
+    * live concurrent appender is never pulled down mid-build.
+    * Returns the number of directories reclaimed. */
+  def vacuumIndexStaging(
+      olderThanMs: Long = 3600L * 1000): Int =
+    graft.engine.Bucketing.vacuumStaging(
+      new java.io.File(System.getProperty("java.io.tmpdir")),
+      Seq("graft_ivf_asg_", "graft_pq_books_", "graft_pq_codes_",
+        "seg="),
+      olderThanMs)
+
   /** [[ivfTopKLearned]] against the STAGED index — the query-many half:
     * no corpus assignment happens here at all. The probe list is
     * computed for the query rows only (same (d2, c_id) order as

@@ -283,4 +283,36 @@ class BucketingSpec extends SparkSpec {
       Bucketing.zorderFrame(row, wide, bits = 1))
     assert(e.getMessage.contains("63"), e.getMessage)
   }
+
+  test("vacuumStaging reclaims aged stage/old orphans only — fresh " +
+    "builds, published dirs and foreign prefixes survive") {
+    val parent = Files.createTempDirectory("graft-vacstage").toFile
+    def mk(name: String, aged: Boolean): java.io.File = {
+      val d = new java.io.File(parent, name)
+      d.mkdirs()
+      val f = new java.io.File(d, "part-0.parquet")
+      f.createNewFile()
+      if (aged) {
+        val old = System.currentTimeMillis() - 10L * 3600 * 1000
+        f.setLastModified(old); d.setLastModified(old)
+      }
+      d
+    }
+    val crashedStage = mk("x.stage-aaaa1111", aged = true)
+    val crashedAside = mk("x.old-bbbb2222", aged = true)
+    val liveStage = mk("x.stage-cccc3333", aged = false)
+    val published = mk("x", aged = true)
+    val foreign = mk("y.stage-dddd4444", aged = true)
+    assert(Bucketing.vacuumStaging(parent, Seq("x")) == 2)
+    assert(!crashedStage.exists() && !crashedAside.exists())
+    assert(liveStage.exists(), "a live stager's fresh tmp must survive")
+    assert(published.exists(), "the published dir must survive")
+    assert(foreign.exists(), "other prefixes are out of scope")
+    // a second pass finds nothing; olderThanMs=0 then takes the rest
+    assert(Bucketing.vacuumStaging(parent, Seq("x")) == 0)
+    assert(Bucketing.vacuumStaging(parent, Seq("x", "y"),
+      olderThanMs = 0L) == 2)
+    assert(!liveStage.exists() && !foreign.exists())
+    assert(published.exists())
+  }
 }

@@ -434,4 +434,29 @@ class SimilaritySpec extends SparkSpec {
     assert(full == exact,
       "all-cells + full shortlist must recover exact L2 search")
   }
+
+  test("vacuumIndexStaging reclaims a crashed appender's aged seg " +
+    "stager, leaves fresh stagers and published roots alone") {
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    def plant(name: String, aged: Boolean): java.io.File = {
+      val d = new java.io.File(tmp, name)
+      d.mkdirs()
+      val f = new java.io.File(d, "part-0.parquet")
+      f.createNewFile()
+      if (aged) {
+        val old = System.currentTimeMillis() - 10L * 3600 * 1000
+        f.setLastModified(old); d.setLastModified(old)
+      }
+      d
+    }
+    // a crashed ivfAppendOnce leaves its seg stager OUTSIDE the index
+    // root (the stageParent override) — exactly what this reclaims
+    val crashed = plant("seg=deadbeef.stage-spec01", aged = true)
+    val live = plant("seg=deadbeef.stage-spec02", aged = false)
+    try {
+      assert(Similarity.vacuumIndexStaging() >= 1)
+      assert(!crashed.exists(), "aged orphan must be reclaimed")
+      assert(live.exists(), "fresh stager must survive the default age")
+    } finally graft.engine.Bucketing.deleteTree(live)
+  }
 }
