@@ -1,0 +1,300 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Segmented full-text index — Lucene's actual storage architecture
+  * (the engine under the reference's delegated Elasticsearch search:
+  * `/root/reference/api/controllers/elastic_controller.go:197-224`
+  * pushes documents into ES, and every ES shard IS a Lucene index of
+  * immutable segments + live-docs tombstones) rebuilt on Spark:
+  *
+  *  - each ingested batch lands as an IMMUTABLE segment
+  *    `seg=<fp>/tb=<bucket>/` of postings (term, doc_id, tf, dl),
+  *    hive-partitioned by a term-hash bucket so a query's literal
+  *    terms prune to their buckets at planning time across every
+  *    segment at once;
+  *  - deletes are TOMBSTONE segments `del=<fp>/` of doc_ids — Lucene's
+  *    live-docs bitmap: the postings of a deleted doc stay in place
+  *    until a merge, results just skip them;
+  *  - visibility is a single `_SEGMENTS` manifest committed by one
+  *    atomic rename (the Delta commit shape): data directories are
+  *    invisible until referenced, so a crashed writer leaves only an
+  *    orphan (reclaimed by [[vacuum]]), never a torn index;
+  *  - [[merge]] folds all live segments into one, APPLIES the
+  *    tombstones, and retires the olds — Lucene's segment merge.
+  *
+  * Scoring follows Lucene's statistics semantics EXACTLY: corpus
+  * stats (N, total length) come from the per-segment header rows
+  * written at ingest and df from the (still tombstone-bearing)
+  * postings — deleted documents keep counting toward N and df UNTIL A
+  * MERGE rewrites the segments (Lucene's IndexSearcher does the same:
+  * deletes affect hit lists immediately, stats only after merge).
+  * q165/q166 pin both phases against a DuckDB oracle.
+  *
+  * Scale shape: ingest is O(batch) — one postings write + one
+  * manifest rename, the standing index is never read or rewritten;
+  * a query reads only the queried terms' buckets of each live segment
+  * (planning-time `tb IN` partition filters) plus a driver-side
+  * O(segments) manifest parse; merge is the one full-index pass,
+  * amortized over every batch it retires. Segment count stays bounded
+  * by merge cadence, exactly Lucene's tiered-merge contract.
+  */
+object SegmentedIndex {
+
+  private val Seed = 42L // xxhash64() SQL function's fixed seed
+
+  /** The term's bucket, computed identically on the driver (literal
+    * term → partition filter) and in the ingest plan (column). */
+  private def termBucket(term: String, nBuckets: Int): Int = {
+    val h = org.apache.spark.sql.catalyst.expressions
+      .XxHash64(Seq(org.apache.spark.sql.catalyst.expressions
+        .Literal(org.apache.spark.unsafe.types.UTF8String.fromString(term),
+          org.apache.spark.sql.types.StringType)), Seed)
+      .eval().asInstanceOf[Long]
+    ((h % nBuckets) + nBuckets).toInt % nBuckets
+  }
+
+  private case class Seg(kind: String, name: String, nDocs: Long,
+                         totalLen: Long)
+
+  /** Parse the manifest: (nBuckets, live segments in commit order).
+    * O(segments) driver work — bounded by merge cadence, never by
+    * corpus size. */
+  private def readManifest(root: java.io.File): (Int, Seq[Seg]) = {
+    val f = new java.io.File(root, "_SEGMENTS")
+    require(f.isFile, s"no segmented index at $root")
+    val lines = java.nio.file.Files
+      .readAllLines(f.toPath).toArray(Array.empty[String]).toSeq
+    val nBuckets = lines.head.stripPrefix("nb=").toInt
+    (nBuckets, lines.tail.map { l =>
+      val Array(kind, name, nd, tl) = l.split(",")
+      Seg(kind, name, nd.toLong, tl.toLong)
+    })
+  }
+
+  /** Commit a new manifest generation: full rewrite, one atomic
+    * rename — readers see the previous generation or this one, never
+    * a prefix. */
+  private def writeManifest(root: java.io.File, nBuckets: Int,
+                            segs: Seq[Seg]): Unit = {
+    val tmp = new java.io.File(root, "_SEGMENTS.tmp-" +
+      java.util.UUID.randomUUID().toString.take(8))
+    val body = (s"nb=$nBuckets" +: segs.map(s =>
+      s"${s.kind},${s.name},${s.nDocs},${s.totalLen}")).mkString("\n")
+    java.nio.file.Files.writeString(tmp.toPath, body)
+    java.nio.file.Files.move(tmp.toPath,
+      new java.io.File(root, "_SEGMENTS").toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Postings of one batch with the partition bucket column. */
+  private def segPostings(docs: DataFrame, nBuckets: Int): DataFrame =
+    docs
+      .select(col("doc_id"),
+        expr("bigint(size(split(text, ' ')))").as("dl"),
+        explode(TextOps.tokens("text")).as("term"))
+      .groupBy("term", "doc_id", "dl")
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("tb", pmod(xxhash64(col("term")), lit(nBuckets))
+        .cast("int"))
+
+  /** Ingest one batch as an immutable segment. Idempotent per
+    * `batchKey` (the manifest membership check + the staged dir's
+    * marker make warm retries no-ops); crash-safe (data first,
+    * manifest rename second — a writer that dies mid-way leaves an
+    * invisible orphan). Single-writer appends, the streaming-sink
+    * model; concurrent SAME-batch appenders commit one segment. */
+  def append(spark: SparkSession, rootDir: String, docs: DataFrame,
+             batchKey: String, nBuckets: Int = 8): Unit = {
+    val root = new java.io.File(rootDir)
+    root.mkdirs()
+    val nb =
+      if (new java.io.File(root, "_SEGMENTS").isFile)
+        readManifest(root)._1
+      else nBuckets
+    val fp = graft.engine.Bucketing.fingerprint8("sx1|" + batchKey)
+    val name = s"seg=$fp"
+    val (_, segs) =
+      if (new java.io.File(root, "_SEGMENTS").isFile) readManifest(root)
+      else (nb, Seq.empty[Seg])
+    if (segs.exists(_.name == name)) return
+    val d = docs.persist()
+    val stats = d.agg(count(lit(1)).as("n"),
+      sum(expr("bigint(size(split(text, ' ')))")).as("tl"))
+      .collect().head
+    graft.engine.Bucketing.atomicStage(new java.io.File(root, name)) {
+      tmp =>
+        segPostings(d, nb).write.mode("overwrite")
+          .partitionBy("tb").parquet(tmp.getPath)
+    }
+    d.unpersist()
+    writeManifest(root, nb,
+      segs :+ Seg("seg", name, stats.getLong(0), stats.getLong(1)))
+  }
+
+  /** Tombstone a set of doc_ids — Lucene's live-docs delete: the
+    * postings stay until [[merge]]; queries skip the docs now, the
+    * statistics keep counting them (Lucene parity). Same idempotence
+    * and crash contract as [[append]]. */
+  def delete(spark: SparkSession, rootDir: String, docIds: DataFrame,
+             batchKey: String): Unit = {
+    val root = new java.io.File(rootDir)
+    val (nb, segs) = readManifest(root)
+    val fp = graft.engine.Bucketing.fingerprint8("sx1del|" + batchKey)
+    val name = s"del=$fp"
+    if (segs.exists(_.name == name)) return
+    val ids = docIds.select(col("doc_id").cast("long")).persist()
+    val n = ids.count()
+    graft.engine.Bucketing.atomicStage(new java.io.File(root, name)) {
+      tmp => ids.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+    }
+    ids.unpersist()
+    writeManifest(root, nb, segs :+ Seg("del", name, n, 0L))
+  }
+
+  /** The live postings of the queried terms only: every live
+    * segment's scan arrives with `tb IN (term buckets)` as a
+    * planning-time partition filter plus the term IN pushdown —
+    * per-query cost is the queried posting lists, never a segment
+    * scan. Tombstones NOT yet applied (callers choose the Lucene
+    * phase: df before, hits after). */
+  private def prunedPostings(spark: SparkSession, root: java.io.File,
+      segs: Seq[Seg], terms: Seq[String], nb: Int): DataFrame = {
+    val buckets = terms.map(termBucket(_, nb)).distinct
+    spark.read.option("basePath", root.getPath)
+      .parquet(segs.filter(_.kind == "seg")
+        .map(s => new java.io.File(root, s.name).getPath): _*)
+      .filter(col("tb").isin(buckets: _*) &&
+        col("term").isin(terms: _*))
+  }
+
+  /** Tombstoned ids across all delete segments (batch-bounded —
+    * rides as a broadcast into the anti join). */
+  private def tombstones(spark: SparkSession, root: java.io.File,
+                         segs: Seq[Seg]): Option[DataFrame] = {
+    val dels = segs.filter(_.kind == "del")
+    if (dels.isEmpty) None
+    else Some(spark.read.parquet(
+      dels.map(s => new java.io.File(root, s.name).getPath): _*))
+  }
+
+  /** Term search over the segmented index with Lucene's statistics
+    * semantics: N and df INCLUDE tombstoned documents (stats shift
+    * only at [[merge]]), the hit list EXCLUDES them immediately.
+    * Scoring is the exact tf·(N/df) surface ([[Search.search]]'s
+    * fixed-order pivoted sums — bit-identical across engines and
+    * shuffle orders). Output: (doc_id, score, n_terms_hit), top-k by
+    * (score desc, doc_id) — a TakeOrderedAndProject, never a global
+    * sort. */
+  def search(spark: SparkSession, rootDir: String, terms: Seq[String],
+             k: Int): DataFrame = {
+    val root = new java.io.File(rootDir)
+    val (nb, segs) = readManifest(root)
+    val nDocs = segs.filter(_.kind == "seg").map(_.nDocs).sum
+    val p = prunedPostings(spark, root, segs, terms, nb)
+    // df BEFORE tombstones — Lucene counts deleted docs' postings in
+    // its term statistics until a merge rewrites them
+    val dfreq = p.groupBy("term").agg(count(lit(1)).as("doc_freq"))
+    val live = tombstones(spark, root, segs) match {
+      case Some(dead) =>
+        p.join(broadcast(dead), Seq("doc_id"), "left_anti")
+      case None => p
+    }
+    val contribs = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === lit(t),
+        col("tf").cast("double") *
+          (lit(nDocs).cast("double") / col("doc_freq").cast("double")))
+        .otherwise(lit(0.0d))).as(s"c_$i")
+    }
+    val score = terms.indices.map(i => col(s"c_$i")).reduce(_ + _)
+    live.join(dfreq, "term")
+      .groupBy("doc_id")
+      .agg(contribs.head,
+        contribs.tail :+ count(lit(1)).as("n_terms_hit"): _*)
+      .withColumn("score", score)
+      .select(col("doc_id"), col("score"), col("n_terms_hit"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
+
+  /** Live segment/tombstone counts and the Lucene-phase corpus stats
+    * — (n_segments, n_tombstone_segments, n_docs_stat). */
+  def stats(rootDir: String): (Long, Long, Long) = {
+    val (_, segs) = readManifest(new java.io.File(rootDir))
+    (segs.count(_.kind == "seg").toLong,
+      segs.count(_.kind == "del").toLong,
+      segs.filter(_.kind == "seg").map(_.nDocs).sum)
+  }
+
+  /** Segment merge — Lucene's compaction: fold every live segment
+    * into one, APPLY the tombstones (their postings drop, and the
+    * corpus statistics finally shift), commit the single-segment
+    * manifest atomically, then retire the old directories. A crash
+    * after the commit leaves only unreferenced orphans ([[vacuum]]
+    * reclaims them); a reader races safely — it holds either the old
+    * generation's paths (still intact until the deletes that follow
+    * the commit) or the new one's. Returns
+    * (segments folded, tombstone segments applied). */
+  def merge(spark: SparkSession, rootDir: String): (Int, Int) = {
+    val root = new java.io.File(rootDir)
+    val (nb, segs) = readManifest(root)
+    val posts = segs.filter(_.kind == "seg")
+    val dels = segs.filter(_.kind == "del")
+    if (posts.size <= 1 && dels.isEmpty) return (0, 0)
+    val all = spark.read.option("basePath", root.getPath)
+      .parquet(posts.map(s => new java.io.File(root, s.name).getPath): _*)
+    val live = tombstones(spark, root, segs) match {
+      case Some(dead) =>
+        all.join(broadcast(dead), Seq("doc_id"), "left_anti")
+      case None => all
+    }
+    val fp = graft.engine.Bucketing.fingerprint8(
+      "sx1merge|" + segs.map(_.name).mkString("|"))
+    val name = s"seg=$fp"
+    val merged = live.persist()
+    // post-merge stats recomputed from the surviving postings: every
+    // doc holds >= 1 posting (tokenize never returns an empty array),
+    // so (doc_id, dl) pairs recover exact doc counts and lengths
+    val st = merged.select("doc_id", "dl").distinct()
+      .agg(count(lit(1)).as("n"), sum("dl").as("tl")).collect().head
+    graft.engine.Bucketing.atomicStage(new java.io.File(root, name)) {
+      tmp =>
+        merged.select("term", "doc_id", "dl", "tf", "tb")
+          .write.mode("overwrite").partitionBy("tb").parquet(tmp.getPath)
+    }
+    merged.unpersist()
+    writeManifest(root, nb,
+      Seq(Seg("seg", name, st.getLong(0), st.getLong(1))))
+    (posts ++ dels).foreach(s =>
+      graft.engine.Bucketing.deleteTree(new java.io.File(root, s.name)))
+    (posts.size, dels.size)
+  }
+
+  /** Reclaim unreferenced segment directories — crashed writers'
+    * orphans and retired generations whose deferred delete never ran.
+    * Age-thresholded like [[graft.engine.Bucketing.vacuumStaging]] so
+    * an in-flight writer's data (committed by the manifest rename
+    * that FOLLOWS its writes) is never pulled down first. Returns the
+    * number of directories reclaimed. */
+  def vacuum(rootDir: String, olderThanMs: Long = 3600L * 1000): Int = {
+    val root = new java.io.File(rootDir)
+    val (_, segs) = readManifest(root)
+    val liveNames = segs.map(_.name).toSet
+    val now = System.currentTimeMillis()
+    def newestMtime(f: java.io.File): Long =
+      if (f.isDirectory)
+        (f.lastModified() +:
+          Option(f.listFiles()).toSeq.flatten.map(newestMtime)).max
+      else f.lastModified()
+    val orphans = Option(root.listFiles()).toSeq.flatten.filter { f =>
+      f.isDirectory &&
+        (f.getName.startsWith("seg=") || f.getName.startsWith("del=")) &&
+        !liveNames.contains(f.getName) &&
+        now - newestMtime(f) >= olderThanMs
+    }
+    orphans.foreach(graft.engine.Bucketing.deleteTree)
+    orphans.size
+  }
+}

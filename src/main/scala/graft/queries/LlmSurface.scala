@@ -124,6 +124,67 @@ object LlmSurface {
       Search.bm25RankAuditIndexed(s, idx, "data", k = 20)
     }),
 
+    // --- SEGMENTED full-text index, pre-merge phase (Lucene's
+    //     segment + live-docs architecture — what actually sits under
+    //     every ES shard the reference writes to): two ingest batches
+    //     land as immutable term-hash-partitioned segments, a delete
+    //     batch lands as a TOMBSTONE segment, and the search shows
+    //     Lucene's exact statistics semantics — the hit list excludes
+    //     tombstoned docs immediately, while N and df still COUNT
+    //     them (stats shift only at merge). Segment/tombstone counts
+    //     and the stats-phase N ride as oracle columns
+    //     (SegmentedIndex.append/delete/search) ---
+    "q165_segmented_search" -> ((s, d) => {
+      import graft.operators.SegmentedIndex
+      val root = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        "graft_sx_" + graft.engine.Bucketing.fingerprint8(d) +
+          "_" + java.util.UUID.randomUUID().toString.take(8)).getPath
+      val dd = docs(s, d)
+      SegmentedIndex.append(s, root,
+        dd.filter(col("doc_id") % 5 =!= 0), "a")
+      SegmentedIndex.append(s, root,
+        dd.filter(col("doc_id") % 5 === 0), "b")
+      SegmentedIndex.delete(s, root,
+        dd.filter(col("doc_id") % 37 === 5).select("doc_id"), "d1")
+      val (nSeg, nDel, nStat) = SegmentedIndex.stats(root)
+      SegmentedIndex.search(s, root, searchTerms, k = 20)
+        .withColumn("n_segments", lit(nSeg))
+        .withColumn("n_tombstone_segments", lit(nDel))
+        .withColumn("n_docs_stat", lit(nStat))
+        .orderBy(desc("score"), asc("doc_id"))
+    }),
+
+    // --- segment MERGE (Lucene's compaction, the q165 state machine
+    //     one step further): fold both segments into one, APPLY the
+    //     tombstones — postings drop AND the corpus statistics
+    //     finally shift (N and df now exclude the deleted docs, so
+    //     scores change exactly as Lucene's do after a merge); the
+    //     fold/apply counts and the post-merge N are pinned
+    //     (SegmentedIndex.merge) ---
+    "q166_segment_merge" -> ((s, d) => {
+      import graft.operators.SegmentedIndex
+      val root = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        "graft_sm_" + graft.engine.Bucketing.fingerprint8(d) +
+          "_" + java.util.UUID.randomUUID().toString.take(8)).getPath
+      val dd = docs(s, d)
+      SegmentedIndex.append(s, root,
+        dd.filter(col("doc_id") % 5 =!= 0), "a")
+      SegmentedIndex.append(s, root,
+        dd.filter(col("doc_id") % 5 === 0), "b")
+      SegmentedIndex.delete(s, root,
+        dd.filter(col("doc_id") % 37 === 5).select("doc_id"), "d1")
+      val (folded, applied) = SegmentedIndex.merge(s, root)
+      val (nSeg, _, nStat) = SegmentedIndex.stats(root)
+      SegmentedIndex.search(s, root, searchTerms, k = 20)
+        .withColumn("n_folded", lit(folded.toLong))
+        .withColumn("n_dels_applied", lit(applied.toLong))
+        .withColumn("n_segments", lit(nSeg))
+        .withColumn("n_docs_stat", lit(nStat))
+        .orderBy(desc("score"), asc("doc_id"))
+    }),
+
     // --- exact phrase query (ES match_phrase analogue): one corpus
     //     tokenize into positional postings, then the single-shuffle
     //     anchor-count match (each posting proposes pos-offset anchors;
@@ -1522,6 +1583,62 @@ object LlmSurface {
         |FROM p JOIN lens USING (doc_id)
         |WHERE term IN ('spark', 'join', 'vector')
         |GROUP BY p.doc_id ORDER BY doc_id""".stripMargin,
+
+    // q165: Lucene statistics semantics pre-merge — N and df over ALL
+    // documents (tombstoned docs still count toward stats), the hit
+    // list excludes them; same fixed-order pivoted score as q26
+    "q165_segmented_search" -> {
+      val termList = searchTerms.map(t => s"'$t'").mkString(", ")
+      val contribs = searchTerms.map { t =>
+        s"sum(CASE WHEN term = '$t' THEN tf::DOUBLE * " +
+          "(n_docs / doc_freq::DOUBLE) ELSE 0.0::DOUBLE END)"
+      }
+      s"""WITH p AS (SELECT term, doc_id, count(*)::BIGINT AS tf
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |        FROM documents) GROUP BY term, doc_id),
+         | dfreq AS (SELECT term, count(*)::BIGINT AS doc_freq FROM p
+         |  GROUP BY term),
+         | nd AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+         | hits AS (SELECT doc_id, ${contribs.mkString(" + ")} AS score,
+         |   count(*) AS n_terms_hit
+         |  FROM p JOIN dfreq USING (term), nd
+         |  WHERE term IN ($termList) AND doc_id % 37 <> 5
+         |  GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20)
+         |SELECT doc_id, score, n_terms_hit,
+         | CAST(2 AS BIGINT) AS n_segments,
+         | CAST(1 AS BIGINT) AS n_tombstone_segments,
+         | (SELECT count(*) FROM documents)::BIGINT AS n_docs_stat
+         |FROM hits ORDER BY score DESC, doc_id""".stripMargin
+    },
+
+    // q166: post-merge — the tombstones applied, so N and df now run
+    // over the SURVIVING documents only; 2 segments folded, 1
+    // tombstone segment applied, 1 live segment after
+    "q166_segment_merge" -> {
+      val termList = searchTerms.map(t => s"'$t'").mkString(", ")
+      val contribs = searchTerms.map { t =>
+        s"sum(CASE WHEN term = '$t' THEN tf::DOUBLE * " +
+          "(n_docs / doc_freq::DOUBLE) ELSE 0.0::DOUBLE END)"
+      }
+      s"""WITH live AS (SELECT * FROM documents WHERE doc_id % 37 <> 5),
+         | p AS (SELECT term, doc_id, count(*)::BIGINT AS tf
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |        FROM live) GROUP BY term, doc_id),
+         | dfreq AS (SELECT term, count(*)::BIGINT AS doc_freq FROM p
+         |  GROUP BY term),
+         | nd AS (SELECT count(*)::DOUBLE AS n_docs FROM live),
+         | hits AS (SELECT doc_id, ${contribs.mkString(" + ")} AS score,
+         |   count(*) AS n_terms_hit
+         |  FROM p JOIN dfreq USING (term), nd
+         |  WHERE term IN ($termList)
+         |  GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20)
+         |SELECT doc_id, score, n_terms_hit,
+         | CAST(2 AS BIGINT) AS n_folded,
+         | CAST(1 AS BIGINT) AS n_dels_applied,
+         | CAST(1 AS BIGINT) AS n_segments,
+         | (SELECT count(*) FROM live)::BIGINT AS n_docs_stat
+         |FROM hits ORDER BY score DESC, doc_id""".stripMargin
+    },
 
     // q159: q152's quadratic oracle under the Lucene-AUTO allowance —
     // two edits for length-6+ query terms, one otherwise

@@ -1,0 +1,101 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SegmentedIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "x x y"),
+    (2L, "x z"),
+    (3L, "y y y z"),
+    (4L, "w only"))
+    .toDF("doc_id", "text")
+
+  private def freshIndex(): String = {
+    val root = Files.createTempDirectory("graft-sx").toString
+    SegmentedIndex.append(spark, root,
+      corpus.filter(col("doc_id") <= 2), "a", nBuckets = 4)
+    SegmentedIndex.append(spark, root,
+      corpus.filter(col("doc_id") > 2), "b")
+    root
+  }
+
+  test("append is idempotent per batch key; segments count once") {
+    val root = freshIndex()
+    SegmentedIndex.append(spark, root,
+      corpus.filter(col("doc_id") <= 2), "a")
+    assert(SegmentedIndex.stats(root) == ((2L, 0L, 4L)))
+  }
+
+  test("Lucene statistics semantics: tombstoned docs leave the hit " +
+    "list immediately but keep counting toward N and df until merge") {
+    val root = freshIndex()
+    SegmentedIndex.delete(spark, root, Seq(2L).toDF("doc_id"), "d1")
+    assert(SegmentedIndex.stats(root) == ((2L, 1L, 4L)))
+    val hits = SegmentedIndex.search(spark, root, Seq("x", "y"), 10)
+      .as[(Long, Double, Long)].collect().toSeq
+    // N=4, df(x)=2 (deleted doc 2 still counted), df(y)=2:
+    // doc1 = 2*(4/2) + 1*(4/2) = 6.0; doc3 = 3*(4/2) = 6.0; tie by id
+    assert(hits == Seq((1L, 6.0, 2L), (3L, 6.0, 1L)), hits.toString)
+  }
+
+  test("merge applies tombstones, shifts the statistics, folds to one " +
+    "segment, and retires the old directories") {
+    val root = freshIndex()
+    SegmentedIndex.delete(spark, root, Seq(2L).toDF("doc_id"), "d1")
+    assert(SegmentedIndex.merge(spark, root) == ((2, 1)))
+    // 3 surviving docs, total_len = 3 + 4 + 2
+    assert(SegmentedIndex.stats(root) == ((1L, 0L, 3L)))
+    val hits = SegmentedIndex.search(spark, root, Seq("x", "y"), 10)
+      .as[(Long, Double, Long)].collect().toSeq
+    // post-merge: N=3, df(x)=1, df(y)=2:
+    // doc1 = 2*(3/1) + 1*(3/2) = 7.5; doc3 = 3*(3/2) = 4.5
+    assert(hits == Seq((1L, 7.5, 2L), (3L, 4.5, 1L)), hits.toString)
+    // retired generations are gone; a further merge is a no-op
+    val segDirs = new java.io.File(root).listFiles()
+      .filter(f => f.getName.startsWith("seg=") ||
+        f.getName.startsWith("del="))
+    assert(segDirs.length == 1, segDirs.map(_.getName).mkString(","))
+    assert(SegmentedIndex.merge(spark, root) == ((0, 0)))
+    // append keeps working on the merged index
+    SegmentedIndex.append(spark, root,
+      Seq((9L, "x y z")).toDF("doc_id", "text"), "c")
+    assert(SegmentedIndex.stats(root) == ((2L, 0L, 4L)))
+  }
+
+  test("an unreferenced segment directory is invisible to search and " +
+    "reclaimed by vacuum once aged") {
+    val root = freshIndex()
+    val before = SegmentedIndex.search(spark, root, Seq("x"), 10)
+      .as[(Long, Double, Long)].collect().toSeq
+    // a crashed writer's orphan: data landed, manifest rename never ran
+    val orphan = new java.io.File(root, "seg=deadbeefcafe")
+    corpus.limit(1)
+      .select(col("doc_id"),
+        expr("bigint(size(split(text, ' ')))").as("dl"),
+        explode(split(col("text"), " ")).as("term"))
+      .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
+      .withColumn("tb", lit(0))
+      .write.partitionBy("tb").parquet(orphan.getPath)
+    assert(SegmentedIndex.search(spark, root, Seq("x"), 10)
+      .as[(Long, Double, Long)].collect().toSeq == before,
+      "orphan data must stay invisible")
+    assert(SegmentedIndex.stats(root) == ((2L, 0L, 4L)))
+    assert(SegmentedIndex.vacuum(root) == 0,
+      "a fresh orphan survives the age threshold")
+    def age(f: java.io.File): Unit = {
+      f.setLastModified(System.currentTimeMillis() - 10L * 3600 * 1000)
+      Option(f.listFiles()).toSeq.flatten.foreach(age)
+    }
+    age(orphan)
+    assert(SegmentedIndex.vacuum(root) == 1)
+    assert(!orphan.exists())
+    assert(SegmentedIndex.search(spark, root, Seq("x"), 10)
+      .as[(Long, Double, Long)].collect().toSeq == before)
+  }
+}

@@ -421,6 +421,20 @@ class PlanSpec extends SparkSpec {
         s"$flatRows — row-group skipping is not happening")
   }
 
+  test("q165: segmented-index search prunes every segment's scan to " +
+    "the query terms' buckets (PartitionFilters on tb) and the " +
+    "tombstone anti join is a broadcast") {
+    val df = SparkEntry.queries("q165_segmented_search")(spark, sf001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[.*tb[#\\w]* IN".r.findFirstIn(p).nonEmpty,
+      s"term buckets not pruned at planning time:\n${p.take(1500)}")
+    assert(!p.contains("documents.parquet"),
+      s"segmented search re-scanned the corpus:\n${p.take(1500)}")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"tombstone skip is not a broadcast anti join:\n${p.take(1500)}")
+  }
+
   test("q129 probe path: staged IVF reads ONLY probed cluster cells " +
     "(PartitionFilters) and never re-assigns the raw corpus") {
     val emb = graft.engine.Tables.table(spark, sf001, "embeddings")
