@@ -219,6 +219,63 @@ object SegmentedIndex {
       .limit(k)
   }
 
+  /** Single-term BM25 over the segmented index with its exact
+    * integer-ratio rank certificate — [[Search.bm25RankAudit]]'s
+    * contract served from the segment tier, under Lucene's statistics
+    * phases: N and totalLen come from the per-segment manifest
+    * headers and df from the still-tombstone-bearing postings (all of
+    * which COUNT deleted docs until a [[merge]]), while the ranked
+    * hit list excludes tombstoned docs immediately. tf and dl ride in
+    * the pruned postings rows; the corpus is never read. Output
+    * schema identical to [[Search.bm25RankAudit]]; the k1=1.2/b=0.75
+    * integer-key derivation is documented there.
+    */
+  def bm25RankAudit(spark: SparkSession, rootDir: String, term: String,
+                    k: Int, k1: Double = 1.2,
+                    b: Double = 0.75): DataFrame = {
+    require(k1 == 1.2 && b == 0.75,
+      "the exact rank_key derivation hardcodes k1=1.2, b=0.75 " +
+        "(rationals 3/10, 9/10); generalize the integer key to change them")
+    val root = new java.io.File(rootDir)
+    val (nb, segs) = readManifest(root)
+    val nDocs = segs.filter(_.kind == "seg").map(_.nDocs).sum
+    val totalLen = segs.filter(_.kind == "seg").map(_.totalLen).sum
+    val p = prunedPostings(spark, root, segs, Seq(term), nb)
+      .filter(col("term") === lit(term))
+    val dfreq = p.agg(count(lit(1)).as("doc_freq"))
+    val live = tombstones(spark, root, segs) match {
+      case Some(dead) =>
+        p.join(broadcast(dead), Seq("doc_id"), "left_anti")
+      case None => p
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("score"), asc("doc_id"))
+    val wx = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("rank_key"), asc("doc_id"))
+    live.crossJoin(broadcast(dfreq))
+      .withColumn("idf", expr(
+        s"log((cast(${nDocs}L as double) - doc_freq + 0.5) / " +
+          "(doc_freq + 0.5) + 1.0)"))
+      .withColumn("score", expr(
+        s"idf * (tf * ($k1 + 1.0)) / " +
+          s"(tf + $k1 * (1.0 - $b + $b * dl / (${totalLen}L / " +
+          s"cast(${nDocs}L as double))))"))
+      .withColumn("rank_key",
+        col("tf").cast("double") /
+          (lit(10L) * lit(totalLen) * col("tf") +
+            lit(3L) * lit(totalLen) +
+            lit(9L) * lit(nDocs) * col("dl")).cast("double"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("rank_exact", row_number().over(wx).cast("long"))
+      .withColumn("rank_agrees", col("rank") === col("rank_exact"))
+      .withColumn("score_in_bounds",
+        col("score") > 0.0 && col("score") < col("idf") * (k1 + 1.0))
+      .filter(col("rank") <= k)
+      .select("doc_id", "tf", "dl", "rank", "rank_key", "rank_agrees",
+        "score_in_bounds")
+      .orderBy("rank")
+  }
+
   /** Live segment/tombstone counts and the Lucene-phase corpus stats
     * — (n_segments, n_tombstone_segments, n_docs_stat). */
   def stats(rootDir: String): (Long, Long, Long) = {

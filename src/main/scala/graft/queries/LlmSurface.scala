@@ -155,6 +155,29 @@ object LlmSurface {
         .orderBy(desc("score"), asc("doc_id"))
     }),
 
+    // --- BM25 over the SEGMENTED index (q156's production scorer ×
+    //     q165's segment tier — what an ES shard actually computes):
+    //     N/totalLen from the manifest headers and df from the
+    //     postings, all still counting the tombstoned docs (Lucene's
+    //     pre-merge stats phase), while the ranked hits exclude them;
+    //     the exact integer-ratio rank certificate crosses engines
+    //     bit-identically (SegmentedIndex.bm25RankAudit) ---
+    "q167_segmented_bm25" -> ((s, d) => {
+      import graft.operators.SegmentedIndex
+      val root = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        "graft_sb_" + graft.engine.Bucketing.fingerprint8(d) +
+          "_" + java.util.UUID.randomUUID().toString.take(8)).getPath
+      val dd = docs(s, d)
+      SegmentedIndex.append(s, root,
+        dd.filter(col("doc_id") % 5 =!= 0), "a")
+      SegmentedIndex.append(s, root,
+        dd.filter(col("doc_id") % 5 === 0), "b")
+      SegmentedIndex.delete(s, root,
+        dd.filter(col("doc_id") % 37 === 5).select("doc_id"), "d1")
+      SegmentedIndex.bm25RankAudit(s, root, "data", k = 20)
+    }),
+
     // --- segment MERGE (Lucene's compaction, the q165 state machine
     //     one step further): fold both segments into one, APPLY the
     //     tombstones — postings drop AND the corpus statistics
@@ -1610,6 +1633,32 @@ object LlmSurface {
          | (SELECT count(*) FROM documents)::BIGINT AS n_docs_stat
          |FROM hits ORDER BY score DESC, doc_id""".stripMargin
     },
+
+    // q167: q156's exact rank-key oracle under Lucene's pre-merge
+    // stats phase — N/totalLen/df over ALL documents (tombstoned docs
+    // still counted), ranks over the surviving hits only
+    "q167_segmented_bm25" ->
+      """WITH lens AS (SELECT doc_id,
+        |   len(string_split(text, ' '))::BIGINT AS dl FROM documents),
+        | p AS (SELECT doc_id, count(*)::BIGINT AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  WHERE tok = 'data' GROUP BY doc_id),
+        | st AS (SELECT count(*)::BIGINT AS n_docs,
+        |   CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_len
+        |  FROM documents),
+        | r AS (SELECT p.doc_id, tf, dl,
+        |   CAST(tf AS DOUBLE) /
+        |    CAST(10 * total_len * tf + 3 * total_len + 9 * n_docs * dl
+        |     AS DOUBLE) AS rank_key
+        |  FROM p JOIN lens USING (doc_id), st
+        |  WHERE p.doc_id % 37 <> 5),
+        | k AS (SELECT doc_id, tf, dl, rank_key,
+        |   row_number() OVER (ORDER BY rank_key DESC, doc_id) AS rank
+        |  FROM r)
+        |SELECT doc_id, tf, dl, CAST(rank AS BIGINT) AS rank, rank_key,
+        | TRUE AS rank_agrees, TRUE AS score_in_bounds
+        |FROM k WHERE rank <= 20 ORDER BY rank""".stripMargin,
 
     // q166: post-merge — the tombstones applied, so N and df now run
     // over the SURVIVING documents only; 2 segments folded, 1

@@ -269,6 +269,38 @@ object EventStreams {
       }
       .start()
 
+  /** Near-real-time search ingestion — Elasticsearch's refresh model
+    * (the reference pushes documents into ES and they become
+    * searchable at the next refresh, which in Lucene terms is "the
+    * open segments so far"): every micro-batch of documents lands as
+    * ONE immutable [[graft.operators.SegmentedIndex]] segment, made
+    * visible by its atomic manifest commit — searches between
+    * triggers see exactly the segments committed so far, never a
+    * half-written batch.
+    *
+    * Exactly-once under Spark's epoch re-delivery: the segment is
+    * keyed by the epoch id, and [[graft.operators.SegmentedIndex
+    * .append]]'s manifest-membership check makes a replayed epoch a
+    * no-op (the crash window between data publish and manifest
+    * commit re-runs the rename onto the already-staged directory —
+    * same segment, committed once). The batch-twin contract is q165's
+    * append body — this is only the `foreachBatch` plumbing around
+    * it, exactly the [[maintainedSummarySink]] pattern.
+    */
+  def searchIndexSink(docs: DataFrame, rootDir: String,
+                      checkpoint: String,
+                      nBuckets: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epoch: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.SegmentedIndex.append(batch.sparkSession,
+            rootDir, batch.toDF(), s"epoch=$epoch", nBuckets)
+        ()
+      }
+      .start()
+
   /** Streaming maintained-summary sink — the FULL streaming-lakehouse
     * loop, composing [[cdcLogSink]]'s exactly-once log growth with
     * [[graft.operators.Pipeline.maintainAgg]]'s O(batch) view upkeep:

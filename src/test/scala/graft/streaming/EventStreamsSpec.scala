@@ -717,4 +717,38 @@ class EventStreamsSpec extends SparkSpec {
       .as[(Long, String)].collect().sortBy(_._1).toSeq
     assert(snap(Int.MaxValue) == direct)
   }
+
+  test("searchIndexSink: streamed batches build the same searchable " +
+    "index as batch appends; each trigger is one committed segment") {
+    import graft.operators.SegmentedIndex
+    val in = MemoryStream[(Long, String)](spark)
+    val root = Files.createTempDirectory("graft-sxs").toString + "/idx"
+    val ck = Files.createTempDirectory("graft-sxs-ck").toString
+    val q = EventStreams.searchIndexSink(
+      in.toDF().toDF("doc_id", "text"), root, ck, nBuckets = 4)
+    in.addData((1L, "x x y"), (2L, "x z"))
+    q.processAllAvailable()
+    // refresh semantics: the first trigger's docs are searchable NOW
+    assert(SegmentedIndex.stats(root)._1 == 1L)
+    val mid = SegmentedIndex.search(spark, root, Seq("x"), 10)
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(mid.map(_._1) == Seq(1L, 2L), mid.toString)
+    in.addData((3L, "y y y z"), (4L, "w only"))
+    q.processAllAvailable()
+    q.stop()
+    assert(SegmentedIndex.stats(root) == ((2L, 0L, 4L)))
+    // replay-equality: the streamed index answers exactly like a
+    // batch-built twin of the same two batches
+    val twin = Files.createTempDirectory("graft-sxt").toString + "/idx"
+    SegmentedIndex.append(spark, twin,
+      Seq((1L, "x x y"), (2L, "x z")).toDF("doc_id", "text"), "a",
+      nBuckets = 4)
+    SegmentedIndex.append(spark, twin,
+      Seq((3L, "y y y z"), (4L, "w only")).toDF("doc_id", "text"), "b")
+    val streamed = SegmentedIndex.search(spark, root, Seq("x", "y"), 10)
+      .as[(Long, Double, Long)].collect().toSeq
+    val batch = SegmentedIndex.search(spark, twin, Seq("x", "y"), 10)
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(streamed == batch, s"streamed $streamed != batch $batch")
+  }
 }
