@@ -136,7 +136,11 @@ object SegmentedIndex {
 
   /** Tombstone a set of doc_ids — Lucene's live-docs delete: the
     * postings stay until [[merge]]; queries skip the docs now, the
-    * statistics keep counting them (Lucene parity). Same idempotence
+    * statistics keep counting them (Lucene parity). A tombstone
+    * applies ONLY to segments committed BEFORE it in the manifest —
+    * Lucene's exact rule (a delete never affects documents added
+    * later), which is also what lets [[upsert]] commit
+    * delete-old + add-new in one manifest write. Same idempotence
     * and crash contract as [[append]]. */
   def delete(spark: SparkSession, rootDir: String, docIds: DataFrame,
              batchKey: String): Unit = {
@@ -152,6 +156,43 @@ object SegmentedIndex {
     }
     ids.unpersist()
     writeManifest(root, nb, segs :+ Seg("del", name, n, 0L))
+  }
+
+  /** Update documents — Elasticsearch's update model (delete the old
+    * version, index the new one), committed ATOMICALLY: the tombstone
+    * segment for the batch's doc_ids and the new postings segment are
+    * both staged first, then ONE manifest rename publishes both lines
+    * — readers see the old versions or the new, never an index with
+    * the delete but not the add. The tombstone line precedes the new
+    * segment's, so by the prefix rule it hits only the OLD versions;
+    * brand-new doc_ids in `docs` simply append. Idempotent per
+    * `batchKey`; O(batch) like [[append]]. */
+  def upsert(spark: SparkSession, rootDir: String, docs: DataFrame,
+             batchKey: String): Unit = {
+    val root = new java.io.File(rootDir)
+    val (nb, segs) = readManifest(root)
+    val segFp = graft.engine.Bucketing.fingerprint8("sx1|" + batchKey)
+    val segName = s"seg=$segFp"
+    if (segs.exists(_.name == segName)) return
+    val delFp = graft.engine.Bucketing
+      .fingerprint8("sx1del|upsert|" + batchKey)
+    val delName = s"del=$delFp"
+    val d = docs.persist()
+    val stats = d.agg(count(lit(1)).as("n"),
+      sum(expr("bigint(size(split(text, ' ')))")).as("tl"))
+      .collect().head
+    graft.engine.Bucketing.atomicStage(new java.io.File(root, delName)) {
+      tmp => d.select(col("doc_id").cast("long")).coalesce(1)
+        .write.mode("overwrite").parquet(tmp.getPath)
+    }
+    graft.engine.Bucketing.atomicStage(new java.io.File(root, segName)) {
+      tmp => segPostings(d, nb).write.mode("overwrite")
+        .partitionBy("tb").parquet(tmp.getPath)
+    }
+    d.unpersist()
+    writeManifest(root, nb,
+      segs :+ Seg("del", delName, stats.getLong(0), 0L)
+        :+ Seg("seg", segName, stats.getLong(0), stats.getLong(1)))
   }
 
   /** The live postings of the queried terms only: every live
@@ -170,14 +211,26 @@ object SegmentedIndex {
         col("term").isin(terms: _*))
   }
 
-  /** Tombstoned ids across all delete segments (batch-bounded —
-    * rides as a broadcast into the anti join). */
+  /** Tombstoned (doc_id, seg) pairs — each delete segment expanded
+    * against the postings segments committed BEFORE it in the
+    * manifest (the prefix rule: a delete never touches documents
+    * added later, which is what keeps [[upsert]]'s new versions
+    * alive). Batch-bounded × O(segments) rows — rides as a broadcast
+    * into the anti join on (doc_id, seg). */
   private def tombstones(spark: SparkSession, root: java.io.File,
                          segs: Seq[Seg]): Option[DataFrame] = {
-    val dels = segs.filter(_.kind == "del")
-    if (dels.isEmpty) None
-    else Some(spark.read.parquet(
-      dels.map(s => new java.io.File(root, s.name).getPath): _*))
+    val frames = segs.zipWithIndex
+      .filter(_._1.kind == "del")
+      .flatMap { case (del, i) =>
+        val applies = segs.take(i).filter(_.kind == "seg")
+          .map(_.name.stripPrefix("seg="))
+        if (applies.isEmpty) None
+        else Some(spark.read
+          .parquet(new java.io.File(root, del.name).getPath)
+          .withColumn("seg",
+            explode(array(applies.map(lit): _*))))
+      }
+    frames.reduceOption(_ unionByName _)
   }
 
   /** Term search over the segmented index with Lucene's statistics
@@ -199,7 +252,7 @@ object SegmentedIndex {
     val dfreq = p.groupBy("term").agg(count(lit(1)).as("doc_freq"))
     val live = tombstones(spark, root, segs) match {
       case Some(dead) =>
-        p.join(broadcast(dead), Seq("doc_id"), "left_anti")
+        p.join(broadcast(dead), Seq("doc_id", "seg"), "left_anti")
       case None => p
     }
     val contribs = terms.zipWithIndex.map { case (t, i) =>
@@ -245,7 +298,7 @@ object SegmentedIndex {
     val dfreq = p.agg(count(lit(1)).as("doc_freq"))
     val live = tombstones(spark, root, segs) match {
       case Some(dead) =>
-        p.join(broadcast(dead), Seq("doc_id"), "left_anti")
+        p.join(broadcast(dead), Seq("doc_id", "seg"), "left_anti")
       case None => p
     }
     val w = org.apache.spark.sql.expressions.Window
@@ -304,7 +357,7 @@ object SegmentedIndex {
       .parquet(posts.map(s => new java.io.File(root, s.name).getPath): _*)
     val live = tombstones(spark, root, segs) match {
       case Some(dead) =>
-        all.join(broadcast(dead), Seq("doc_id"), "left_anti")
+        all.join(broadcast(dead), Seq("doc_id", "seg"), "left_anti")
       case None => all
     }
     val fp = graft.engine.Bucketing.fingerprint8(

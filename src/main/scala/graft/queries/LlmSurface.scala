@@ -178,6 +178,40 @@ object LlmSurface {
       SegmentedIndex.bm25RankAudit(s, root, "data", k = 20)
     }),
 
+    // --- segmented-index UPSERT (ES's update model: delete the old
+    //     version, index the new — committed as ONE atomic manifest
+    //     write, so readers see old or new versions, never the delete
+    //     without the add): changed docs re-index with an extra
+    //     'spark' token, brand-new docs append, and the tombstone's
+    //     manifest-prefix scope keeps it off the new versions. The
+    //     stats phase is pure Lucene: N and df count OLD AND NEW
+    //     versions until a merge; hits carry the new tf
+    //     (SegmentedIndex.upsert) ---
+    "q168_index_upsert" -> ((s, d) => {
+      import graft.operators.SegmentedIndex
+      val root = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        "graft_su_" + graft.engine.Bucketing.fingerprint8(d) +
+          "_" + java.util.UUID.randomUUID().toString.take(8)).getPath
+      val dd = docs(s, d)
+      SegmentedIndex.append(s, root,
+        dd.filter(col("doc_id") % 5 =!= 0), "a")
+      SegmentedIndex.append(s, root,
+        dd.filter(col("doc_id") % 5 === 0), "b")
+      val changed = dd.filter(col("doc_id") % 7 === 3)
+        .withColumn("text", concat(col("text"), lit(" spark")))
+      val fresh = dd.filter(col("doc_id") < 3)
+        .withColumn("doc_id", col("doc_id") + lit(9000000L))
+      SegmentedIndex.upsert(s, root,
+        changed.unionByName(fresh).select("doc_id", "text"), "u1")
+      val (nSeg, nDel, nStat) = SegmentedIndex.stats(root)
+      SegmentedIndex.search(s, root, searchTerms, k = 20)
+        .withColumn("n_segments", lit(nSeg))
+        .withColumn("n_tombstone_segments", lit(nDel))
+        .withColumn("n_docs_stat", lit(nStat))
+        .orderBy(desc("score"), asc("doc_id"))
+    }),
+
     // --- segment MERGE (Lucene's compaction, the q165 state machine
     //     one step further): fold both segments into one, APPLY the
     //     tombstones — postings drop AND the corpus statistics
@@ -1659,6 +1693,43 @@ object LlmSurface {
         |SELECT doc_id, tf, dl, CAST(rank AS BIGINT) AS rank, rank_key,
         | TRUE AS rank_agrees, TRUE AS score_in_bounds
         |FROM k WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+    // q168: Lucene stats with live versioning — old AND new versions
+    // of an updated doc count toward N and df (v tags keep same-id
+    // versions distinct); the hit list carries only the new versions
+    // (prefix-scoped tombstone) plus the fresh appends
+    "q168_index_upsert" -> {
+      val termList = searchTerms.map(t => s"'$t'").mkString(", ")
+      val contribs = searchTerms.map { t =>
+        s"sum(CASE WHEN term = '$t' THEN tf::DOUBLE * " +
+          "(n_docs / doc_freq::DOUBLE) ELSE 0.0::DOUBLE END)"
+      }
+      s"""WITH up AS (SELECT doc_id, text || ' spark' AS text
+         |  FROM documents WHERE doc_id % 7 = 3),
+         | fresh AS (SELECT doc_id + 9000000 AS doc_id, text
+         |  FROM documents WHERE doc_id < 3),
+         | vers AS (SELECT doc_id, text, 0 AS v FROM documents
+         |  UNION ALL SELECT doc_id, text, 1 FROM up
+         |  UNION ALL SELECT doc_id, text, 2 FROM fresh),
+         | p AS (SELECT term, doc_id, v, count(*)::BIGINT AS tf
+         |  FROM (SELECT doc_id, v, unnest(string_split(text, ' ')) AS term
+         |        FROM vers) GROUP BY term, doc_id, v),
+         | dfreq AS (SELECT term, count(*)::BIGINT AS doc_freq FROM p
+         |  GROUP BY term),
+         | nd AS (SELECT count(*)::DOUBLE AS n_docs FROM vers),
+         | live AS (SELECT * FROM p
+         |  WHERE NOT (v = 0 AND doc_id % 7 = 3)),
+         | hits AS (SELECT doc_id, ${contribs.mkString(" + ")} AS score,
+         |   count(*) AS n_terms_hit
+         |  FROM live JOIN dfreq USING (term), nd
+         |  WHERE term IN ($termList)
+         |  GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20)
+         |SELECT doc_id, score, n_terms_hit,
+         | CAST(3 AS BIGINT) AS n_segments,
+         | CAST(1 AS BIGINT) AS n_tombstone_segments,
+         | (SELECT count(*) FROM vers)::BIGINT AS n_docs_stat
+         |FROM hits ORDER BY score DESC, doc_id""".stripMargin
+    },
 
     // q166: post-merge — the tombstones applied, so N and df now run
     // over the SURVIVING documents only; 2 segments folded, 1

@@ -68,6 +68,44 @@ class SegmentedIndexSpec extends SparkSpec {
     assert(SegmentedIndex.stats(root) == ((2L, 0L, 4L)))
   }
 
+  test("upsert replaces versions atomically; the prefix-scoped " +
+    "tombstone spares new versions, and a re-added doc resurfaces") {
+    val root = freshIndex()
+    // doc 2 re-indexed as "z z", doc 5 brand new — one manifest commit
+    SegmentedIndex.upsert(spark, root,
+      Seq((2L, "z z"), (5L, "x w")).toDF("doc_id", "text"), "u1")
+    SegmentedIndex.upsert(spark, root,
+      Seq((2L, "z z"), (5L, "x w")).toDF("doc_id", "text"), "u1")
+    assert(SegmentedIndex.stats(root) == ((3L, 1L, 6L)),
+      "idempotent upsert: one segment pair, N counts old AND new versions")
+    // df(x)=3 (doc1, doc2-OLD still counted, doc5), N=6: the old
+    // version of doc 2 is out of the hits, the new one has no x
+    val xs = SegmentedIndex.search(spark, root, Seq("x"), 10)
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(xs == Seq((1L, 4.0, 1L), (5L, 2.0, 1L)), xs.toString)
+    // the NEW version scores: df(z)=3 (doc2-old 'x z', doc3, doc2-new)
+    val zs = SegmentedIndex.search(spark, root, Seq("z"), 10)
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(zs == Seq((2L, 4.0, 1L), (3L, 2.0, 1L)), zs.toString)
+    // delete doc 3, then RE-ADD it: the tombstone applies only to
+    // segments before it (Lucene's rule), so the re-add resurfaces
+    SegmentedIndex.delete(spark, root, Seq(3L).toDF("doc_id"), "d3")
+    SegmentedIndex.append(spark, root,
+      Seq((3L, "z only")).toDF("doc_id", "text"), "c")
+    val zs2 = SegmentedIndex.search(spark, root, Seq("z"), 10)
+      .as[(Long, Double, Long)].collect().toSeq
+    // N=7, df(z)=4 (both doc2 versions, both doc3 versions)
+    assert(zs2 == Seq((2L, 3.5, 1L), (3L, 1.75, 1L)), zs2.toString)
+    // merge applies every tombstone to its scope: survivors are
+    // doc1, doc4, doc2-new, doc5, doc3-new
+    SegmentedIndex.merge(spark, root)
+    assert(SegmentedIndex.stats(root) == ((1L, 0L, 5L)))
+    val zs3 = SegmentedIndex.search(spark, root, Seq("z"), 10)
+      .as[(Long, Double, Long)].collect().toSeq
+    // post-merge: N=5, df(z)=2 → doc2 2*(5/2)=5.0, doc3 1*(5/2)=2.5
+    assert(zs3 == Seq((2L, 5.0, 1L), (3L, 2.5, 1L)), zs3.toString)
+  }
+
   test("an unreferenced segment directory is invisible to search and " +
     "reclaimed by vacuum once aged") {
     val root = freshIndex()
