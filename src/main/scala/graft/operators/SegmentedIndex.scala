@@ -349,19 +349,58 @@ object SegmentedIndex {
     * (segments folded, tombstone segments applied). */
   def merge(spark: SparkSession, rootDir: String): (Int, Int) = {
     val root = new java.io.File(rootDir)
+    val (_, segs) = readManifest(root)
+    mergePrefix(spark, root, segs.size)
+  }
+
+  /** Tiered merge — Lucene's TieredMergePolicy, simplified to one
+    * tier: a no-op while the live segment count stays within
+    * `maxSegments`; above it, fold the OLDEST manifest prefix down to
+    * the bound. Folding a prefix is exactly semantics-preserving
+    * under the prefix tombstone rule: every tombstone inside the
+    * prefix scopes only to prefix segments (fully absorbed by the
+    * fold), and every later tombstone follows the merged segment in
+    * the manifest, so it still applies to it. This is what bounds
+    * merge WRITE AMPLIFICATION under steady streaming ingest: each
+    * maybeMerge rewrites the oldest few batches, never the whole
+    * index; [[merge]] stays the full checkpoint. Returns
+    * (segments folded, tombstone segments applied). */
+  def maybeMerge(spark: SparkSession, rootDir: String,
+                 maxSegments: Int): (Int, Int) = {
+    require(maxSegments >= 1, s"maxSegments must be >= 1: $maxSegments")
+    val root = new java.io.File(rootDir)
+    val (_, segs) = readManifest(root)
+    val liveCount = segs.count(_.kind == "seg")
+    if (liveCount <= maxSegments) return (0, 0)
+    val toFold = liveCount - maxSegments + 1
+    // manifest prefix up to (and including) the toFold-th seg entry
+    val prefixEnd = segs.zipWithIndex.filter(_._1.kind == "seg")
+      .apply(toFold - 1)._2 + 1
+    mergePrefix(spark, root, prefixEnd)
+  }
+
+  /** Fold the first `prefixLen` manifest entries into one segment:
+    * read their postings, apply their tombstones (prefix-scoped, so
+    * all-in-prefix by construction), publish the fold, commit the
+    * manifest with the merged segment at the FRONT followed by the
+    * untouched remainder, then retire the folded directories. */
+  private def mergePrefix(spark: SparkSession, root: java.io.File,
+                          prefixLen: Int): (Int, Int) = {
     val (nb, segs) = readManifest(root)
-    val posts = segs.filter(_.kind == "seg")
-    val dels = segs.filter(_.kind == "del")
+    val prefix = segs.take(prefixLen)
+    val rest = segs.drop(prefixLen)
+    val posts = prefix.filter(_.kind == "seg")
+    val dels = prefix.filter(_.kind == "del")
     if (posts.size <= 1 && dels.isEmpty) return (0, 0)
     val all = spark.read.option("basePath", root.getPath)
       .parquet(posts.map(s => new java.io.File(root, s.name).getPath): _*)
-    val live = tombstones(spark, root, segs) match {
+    val live = tombstones(spark, root, prefix) match {
       case Some(dead) =>
         all.join(broadcast(dead), Seq("doc_id", "seg"), "left_anti")
       case None => all
     }
     val fp = graft.engine.Bucketing.fingerprint8(
-      "sx1merge|" + segs.map(_.name).mkString("|"))
+      "sx1merge|" + prefix.map(_.name).mkString("|"))
     val name = s"seg=$fp"
     val merged = live.persist()
     // post-merge stats recomputed from the surviving postings: every
@@ -376,7 +415,7 @@ object SegmentedIndex {
     }
     merged.unpersist()
     writeManifest(root, nb,
-      Seq(Seg("seg", name, st.getLong(0), st.getLong(1))))
+      Seg("seg", name, st.getLong(0), st.getLong(1)) +: rest)
     (posts ++ dels).foreach(s =>
       graft.engine.Bucketing.deleteTree(new java.io.File(root, s.name)))
     (posts.size, dels.size)

@@ -106,6 +106,38 @@ class SegmentedIndexSpec extends SparkSpec {
     assert(zs3 == Seq((2L, 5.0, 1L), (3L, 2.5, 1L)), zs3.toString)
   }
 
+  test("maybeMerge folds only the oldest prefix at the tier bound; " +
+    "tombstones after the fold still apply to the merged segment") {
+    val root = Files.createTempDirectory("graft-tier").toString
+    SegmentedIndex.append(spark, root,
+      Seq((1L, "x x y"), (2L, "x z")).toDF("doc_id", "text"), "a",
+      nBuckets = 4)
+    SegmentedIndex.append(spark, root,
+      Seq((3L, "y y y z")).toDF("doc_id", "text"), "b")
+    SegmentedIndex.delete(spark, root, Seq(2L).toDF("doc_id"), "d1")
+    SegmentedIndex.append(spark, root,
+      Seq((4L, "w only")).toDF("doc_id", "text"), "c")
+    SegmentedIndex.append(spark, root,
+      Seq((5L, "x w")).toDF("doc_id", "text"), "d")
+    // within the bound: no-op
+    assert(SegmentedIndex.maybeMerge(spark, root, 4) == ((0, 0)))
+    // above it: fold the oldest three segments plus the tombstone
+    // between them, leaving the newest segment untouched
+    assert(SegmentedIndex.maybeMerge(spark, root, 2) == ((3, 1)))
+    // folded delete finally shifts the stats: doc 2 gone from N
+    assert(SegmentedIndex.stats(root) == ((2L, 0L, 4L)))
+    val xs = SegmentedIndex.search(spark, root, Seq("x"), 10)
+      .as[(Long, Double, Long)].collect().toSeq
+    // N=4, df(x)=2 (docs 1, 5): doc1 2*(4/2)=4, doc5 1*(4/2)=2
+    assert(xs == Seq((1L, 4.0, 1L), (5L, 2.0, 1L)), xs.toString)
+    // a delete issued AFTER the fold still hides a doc that now
+    // lives in the merged segment
+    SegmentedIndex.delete(spark, root, Seq(1L).toDF("doc_id"), "d2")
+    val xs2 = SegmentedIndex.search(spark, root, Seq("x"), 10)
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(xs2 == Seq((5L, 2.0, 1L)), xs2.toString)
+  }
+
   test("an unreferenced segment directory is invisible to search and " +
     "reclaimed by vacuum once aged") {
     val root = freshIndex()
