@@ -236,8 +236,8 @@ object Search {
     * [[writePositionalIndex]] table). Output: one row per matching doc
     * with its occurrence count and first match position.
     */
-  private def phraseFromPostings(posts: DataFrame,
-                                 phrase: Seq[String]): DataFrame = {
+  private[operators] def phraseFromPostings(posts: DataFrame,
+                                            phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "phrase must have at least one term")
     val spark = posts.sparkSession
     import spark.implicits._

@@ -89,14 +89,21 @@ object SegmentedIndex {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** Postings of one batch with the partition bucket column. */
+  /** Postings of one batch with the partition bucket column. The
+    * per-occurrence POSITIONS ride inline as a sorted array — what
+    * Lucene stores in its postings lists when a field is indexed
+    * with positions — so the same segment family serves term, BM25
+    * AND exact-phrase queries; tf stays materialized beside them
+    * (it is `size(positions)`, but scoring reads it constantly). */
   private def segPostings(docs: DataFrame, nBuckets: Int): DataFrame =
     docs
       .select(col("doc_id"),
         expr("bigint(size(split(text, ' ')))").as("dl"),
-        explode(TextOps.tokens("text")).as("term"))
+        posexplode(TextOps.tokens("text")).as(Seq("pos", "term")))
       .groupBy("term", "doc_id", "dl")
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos").cast("long")))
+          .as("positions"))
       .withColumn("tb", pmod(xxhash64(col("term")), lit(nBuckets))
         .cast("int"))
 
@@ -114,7 +121,7 @@ object SegmentedIndex {
       if (new java.io.File(root, "_SEGMENTS").isFile)
         readManifest(root)._1
       else nBuckets
-    val fp = graft.engine.Bucketing.fingerprint8("sx1|" + batchKey)
+    val fp = graft.engine.Bucketing.fingerprint8("sx2|" + batchKey)
     val name = s"seg=$fp"
     val (_, segs) =
       if (new java.io.File(root, "_SEGMENTS").isFile) readManifest(root)
@@ -146,7 +153,7 @@ object SegmentedIndex {
              batchKey: String): Unit = {
     val root = new java.io.File(rootDir)
     val (nb, segs) = readManifest(root)
-    val fp = graft.engine.Bucketing.fingerprint8("sx1del|" + batchKey)
+    val fp = graft.engine.Bucketing.fingerprint8("sx2del|" + batchKey)
     val name = s"del=$fp"
     if (segs.exists(_.name == name)) return
     val ids = docIds.select(col("doc_id").cast("long")).persist()
@@ -171,11 +178,11 @@ object SegmentedIndex {
              batchKey: String): Unit = {
     val root = new java.io.File(rootDir)
     val (nb, segs) = readManifest(root)
-    val segFp = graft.engine.Bucketing.fingerprint8("sx1|" + batchKey)
+    val segFp = graft.engine.Bucketing.fingerprint8("sx2|" + batchKey)
     val segName = s"seg=$segFp"
     if (segs.exists(_.name == segName)) return
     val delFp = graft.engine.Bucketing
-      .fingerprint8("sx1del|upsert|" + batchKey)
+      .fingerprint8("sx2del|upsert|" + batchKey)
     val delName = s"del=$delFp"
     val d = docs.persist()
     val stats = d.agg(count(lit(1)).as("n"),
@@ -329,6 +336,32 @@ object SegmentedIndex {
       .orderBy("rank")
   }
 
+  /** Exact phrase search over the SEGMENTED index — the positional
+    * postings ride inline in the same segments the term and BM25
+    * queries read (Lucene's layout), so phrase queries work on the
+    * live, updatable index: the pruned per-term read (planning-time
+    * `tb IN` partition filters across every segment), the tombstone
+    * anti join (live-docs — a deleted doc's phrase hits vanish
+    * immediately), then [[Search.phraseFromPostings]]'s single-pass
+    * anchor-count core over the exploded positions. Output:
+    * (doc_id, n_occurrences, first_pos). */
+  def phraseSearch(spark: SparkSession, rootDir: String,
+                   phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    val root = new java.io.File(rootDir)
+    val (nb, segs) = readManifest(root)
+    val p = prunedPostings(spark, root, segs, phrase.distinct, nb)
+    val live = tombstones(spark, root, segs) match {
+      case Some(dead) =>
+        p.join(broadcast(dead), Seq("doc_id", "seg"), "left_anti")
+      case None => p
+    }
+    Search.phraseFromPostings(
+      live.select(col("doc_id"), col("term"),
+        explode(col("positions")).as("pos")),
+      phrase)
+  }
+
   /** Live segment/tombstone counts and the Lucene-phase corpus stats
     * — (n_segments, n_tombstone_segments, n_docs_stat). */
   def stats(rootDir: String): (Long, Long, Long) = {
@@ -400,7 +433,7 @@ object SegmentedIndex {
       case None => all
     }
     val fp = graft.engine.Bucketing.fingerprint8(
-      "sx1merge|" + prefix.map(_.name).mkString("|"))
+      "sx2merge|" + prefix.map(_.name).mkString("|"))
     val name = s"seg=$fp"
     val merged = live.persist()
     // post-merge stats recomputed from the surviving postings: every
@@ -410,7 +443,7 @@ object SegmentedIndex {
       .agg(count(lit(1)).as("n"), sum("dl").as("tl")).collect().head
     graft.engine.Bucketing.atomicStage(new java.io.File(root, name)) {
       tmp =>
-        merged.select("term", "doc_id", "dl", "tf", "tb")
+        merged.select("term", "doc_id", "dl", "tf", "positions", "tb")
           .write.mode("overwrite").partitionBy("tb").parquet(tmp.getPath)
     }
     merged.unpersist()

@@ -178,6 +178,30 @@ object LlmSurface {
       SegmentedIndex.bm25RankAudit(s, root, "data", k = 20)
     }),
 
+    // --- exact phrase search on the SEGMENTED index (q105's
+    //     match_phrase on the LIVE, updatable index — Lucene stores
+    //     positions inline in its postings lists, and so does the
+    //     segment tier, so one segment family serves term, BM25 and
+    //     phrase queries): pruned per-term reads across both
+    //     segments, live-docs anti join (a deleted doc's phrase hits
+    //     vanish immediately), anchor-count match
+    //     (SegmentedIndex.phraseSearch) ---
+    "q169_segmented_phrase" -> ((s, d) => {
+      import graft.operators.SegmentedIndex
+      val root = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        "graft_sp_" + graft.engine.Bucketing.fingerprint8(d) +
+          "_" + java.util.UUID.randomUUID().toString.take(8)).getPath
+      val dd = docs(s, d)
+      SegmentedIndex.append(s, root,
+        dd.filter(col("doc_id") % 5 =!= 0), "a")
+      SegmentedIndex.append(s, root,
+        dd.filter(col("doc_id") % 5 === 0), "b")
+      SegmentedIndex.delete(s, root,
+        dd.filter(col("doc_id") % 37 === 5).select("doc_id"), "d1")
+      SegmentedIndex.phraseSearch(s, root, Seq("big", "order", "scan"))
+    }),
+
     // --- segmented-index UPSERT (ES's update model: delete the old
     //     version, index the new — committed as ONE atomic manifest
     //     write, so readers see old or new versions, never the delete
@@ -1693,6 +1717,25 @@ object LlmSurface {
         |SELECT doc_id, tf, dl, CAST(rank AS BIGINT) AS rank, rank_key,
         | TRUE AS rank_agrees, TRUE AS score_in_bounds
         |FROM k WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+    // q169: q105's phrase oracle restricted to the live (untombstoned)
+    // documents — position arithmetic is unaffected by the stats
+    // phase, only membership is
+    "q169_segmented_phrase" ->
+      """WITH tp AS (SELECT doc_id, z[1] AS term, z[2] - 1 AS pos
+        |  FROM (SELECT doc_id, unnest(list_zip(toks,
+        |          list_transform(toks, (x, i) -> i::BIGINT))) AS z
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |              FROM documents WHERE doc_id % 37 <> 5)))
+        |SELECT a.doc_id, count(*) AS n_occurrences,
+        |  CAST(min(a.pos) AS BIGINT) AS first_pos
+        |FROM tp a
+        |JOIN tp b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |         AND b.term = 'order'
+        |JOIN tp c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+        |         AND c.term = 'scan'
+        |WHERE a.term = 'big'
+        |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin,
 
     // q168: Lucene stats with live versioning — old AND new versions
     // of an updated doc count toward N and df (v tags keep same-id

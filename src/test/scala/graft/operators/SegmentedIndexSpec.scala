@@ -106,6 +106,30 @@ class SegmentedIndexSpec extends SparkSpec {
     assert(zs3 == Seq((2L, 5.0, 1L), (3L, 2.5, 1L)), zs3.toString)
   }
 
+  test("phraseSearch works on the live index: counts occurrences " +
+    "across segments, a tombstoned doc's hits vanish, an upserted " +
+    "version's new positions serve") {
+    val root = Files.createTempDirectory("graft-sxp").toString
+    SegmentedIndex.append(spark, root,
+      Seq((1L, "a b c a b"), (2L, "a b only")).toDF("doc_id", "text"),
+      "a", nBuckets = 4)
+    SegmentedIndex.append(spark, root,
+      Seq((3L, "x a b y")).toDF("doc_id", "text"), "b")
+    def hits() = SegmentedIndex.phraseSearch(spark, root, Seq("a", "b"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(hits() == Seq((1L, 2L, 0L), (2L, 1L, 0L), (3L, 1L, 1L)))
+    SegmentedIndex.delete(spark, root, Seq(2L).toDF("doc_id"), "d1")
+    assert(hits() == Seq((1L, 2L, 0L), (3L, 1L, 1L)),
+      "a tombstoned doc's phrase hits must vanish immediately")
+    // upsert doc 3: phrase moves; old version's positions must not leak
+    SegmentedIndex.upsert(spark, root,
+      Seq((3L, "a b a b z")).toDF("doc_id", "text"), "u1")
+    assert(hits() == Seq((1L, 2L, 0L), (3L, 2L, 0L)))
+    // and the phrase survives a full merge unchanged
+    SegmentedIndex.merge(spark, root)
+    assert(hits() == Seq((1L, 2L, 0L), (3L, 2L, 0L)))
+  }
+
   test("maybeMerge folds only the oldest prefix at the tier bound; " +
     "tombstones after the fold still apply to the merged segment") {
     val root = Files.createTempDirectory("graft-tier").toString
