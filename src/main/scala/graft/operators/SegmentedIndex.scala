@@ -336,6 +336,77 @@ object SegmentedIndex {
       .orderBy("rank")
   }
 
+  /** Fuzzy term search over the SEGMENTED index — Lucene's fuzzy
+    * query shape exactly: pass 1 walks the TERM DICTIONARY (here: the
+    * distinct term column of every live segment — pre-tombstone, as
+    * Lucene's dictionary keeps deleted docs' terms until merge) with
+    * SymSpell deletion-variant blocking against the broadcast query
+    * variants, resolving the data-dependent matched-term set
+    * (query-bounded — it collects to the driver the way Lucene
+    * enumerates the automaton's matches); pass 2 reads ONLY the
+    * matched terms' postings, bucket-pruned at planning time with the
+    * now-literal term list. Lucene-AUTO allowance: query terms of
+    * length ≥ 6 allow two edits, shorter one ([[graft.operators
+    * .Fuzzy]] proves recall 1 for the blocking). Scoring is the exact
+    * tf·(N/df) per (q_term, term) with the usual stats phases: N and
+    * df count tombstoned docs, the ranked hits exclude them. Output:
+    * (q_term, term, dist, doc_id, tfidf, rank), rank ≤ k per pair. */
+  def fuzzySearch(spark: SparkSession, rootDir: String,
+                  terms: Seq[String], k: Int,
+                  maxDist: Int = 1): DataFrame = {
+    require(maxDist == 1 || maxDist == 2,
+      s"maxDist must be 1 or 2: $maxDist")
+    import spark.implicits._
+    val root = new java.io.File(rootDir)
+    val (nb, segs) = readManifest(root)
+    val nDocs = segs.filter(_.kind == "seg").map(_.nDocs).sum
+    val segPaths = segs.filter(_.kind == "seg")
+      .map(s => new java.io.File(root, s.name).getPath)
+    // pass 1: dictionary walk (term column only — column pruning
+    // makes this a vocabulary read, not a postings read)
+    val vocab = spark.read.option("basePath", root.getPath)
+      .parquet(segPaths: _*).select("term").distinct()
+    def del1(s: String): Seq[String] =
+      s +: s.indices.map(i => s.take(i) + s.drop(i + 1))
+    def variants(s: String): Seq[String] =
+      if (maxDist == 2 && s.length >= 6)
+        (del1(s) ++ del1(s).flatMap(del1)).distinct
+      else del1(s)
+    val qv = terms.flatMap(t => variants(t).map(v => (t, v))).distinct
+      .toDF("q_term", "v")
+    val cand = vocab
+      .withColumn("v", explode(expr(Fuzzy.delAutoExpr("term", maxDist))))
+      .join(broadcast(qv), "v")
+      .filter(levenshtein(col("term"), col("q_term")) <=
+        when(length(col("q_term")) >= 6, lit(maxDist)).otherwise(lit(1)))
+      .select("q_term", "term").distinct()
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val matched = cand.map(_._2).distinct
+    // pass 2: the matched terms are now literals — the postings read
+    // prunes to their buckets at planning time, like any term query
+    val p = prunedPostings(spark, root, segs, matched, nb)
+    val dfreq = p.groupBy("term").agg(count(lit(1)).as("doc_freq"))
+    val live = tombstones(spark, root, segs) match {
+      case Some(dead) =>
+        p.join(broadcast(dead), Seq("doc_id", "seg"), "left_anti")
+      case None => p
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_term", "term")
+      .orderBy(desc("tfidf"), asc("doc_id"))
+    live
+      .join(broadcast(cand.toDF("q_term", "term")), Seq("term"))
+      .join(dfreq, "term")
+      .withColumn("tfidf", col("tf").cast("double") *
+        (lit(nDocs).cast("double") / col("doc_freq").cast("double")))
+      .withColumn("dist",
+        levenshtein(col("q_term"), col("term")).cast("long"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_term", "term", "dist", "doc_id", "tfidf", "rank")
+      .orderBy("q_term", "term", "rank")
+  }
+
   /** Exact phrase search over the SEGMENTED index — the positional
     * postings ride inline in the same segments the term and BM25
     * queries read (Lucene's layout), so phrase queries work on the

@@ -178,6 +178,31 @@ object LlmSurface {
       SegmentedIndex.bm25RankAudit(s, root, "data", k = 20)
     }),
 
+    // --- fuzzy term search on the SEGMENTED index (q159's
+    //     Lucene-AUTO fuzziness against the live index — Lucene's
+    //     own two-pass shape: walk the term dictionary with SymSpell
+    //     variant blocking, then read ONLY the matched terms'
+    //     postings, bucket-pruned now that they're literals): the
+    //     dictionary keeps tombstoned docs' terms until merge (so a
+    //     match can resolve through them), stats count them, ranked
+    //     hits exclude them (SegmentedIndex.fuzzySearch) ---
+    "q170_segmented_fuzzy" -> ((s, d) => {
+      import graft.operators.SegmentedIndex
+      val root = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        "graft_sf_" + graft.engine.Bucketing.fingerprint8(d) +
+          "_" + java.util.UUID.randomUUID().toString.take(8)).getPath
+      val dd = docs(s, d)
+      SegmentedIndex.append(s, root,
+        dd.filter(col("doc_id") % 5 =!= 0), "a")
+      SegmentedIndex.append(s, root,
+        dd.filter(col("doc_id") % 5 === 0), "b")
+      SegmentedIndex.delete(s, root,
+        dd.filter(col("doc_id") % 37 === 5).select("doc_id"), "d1")
+      SegmentedIndex.fuzzySearch(s, root,
+        Seq("vectro", "cusotmer", "join"), k = 5, maxDist = 2)
+    }),
+
     // --- exact phrase search on the SEGMENTED index (q105's
     //     match_phrase on the LIVE, updatable index — Lucene stores
     //     positions inline in its postings lists, and so does the
@@ -1717,6 +1742,33 @@ object LlmSurface {
         |SELECT doc_id, tf, dl, CAST(rank AS BIGINT) AS rank, rank_key,
         | TRUE AS rank_agrees, TRUE AS score_in_bounds
         |FROM k WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+    // q170: q159's quadratic fuzzy oracle under Lucene stats phases —
+    // vocabulary, df and N over ALL documents (the dictionary keeps
+    // tombstoned docs' terms), scored hits over the live ones only
+    "q170_segmented_fuzzy" ->
+      """WITH p AS (SELECT term, doc_id, count(*)::BIGINT AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |        FROM documents) GROUP BY term, doc_id),
+        | dfreq AS (SELECT term, count(*)::BIGINT AS doc_freq FROM p
+        |  GROUP BY term),
+        | nd AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+        | vocab AS (SELECT DISTINCT term FROM p),
+        | q AS (SELECT unnest(['vectro', 'cusotmer', 'join']) AS q_term),
+        | cand AS (SELECT q.q_term, v.term FROM q JOIN vocab v
+        |  ON levenshtein(q.q_term, v.term) <=
+        |     CASE WHEN length(q.q_term) >= 6 THEN 2 ELSE 1 END),
+        | scored AS (SELECT c.q_term, c.term,
+        |   CAST(levenshtein(c.q_term, c.term) AS BIGINT) AS dist,
+        |   p.doc_id,
+        |   p.tf::DOUBLE * (nd.n_docs / dfreq.doc_freq::DOUBLE) AS tfidf
+        |  FROM cand c JOIN p ON c.term = p.term
+        |  JOIN dfreq ON p.term = dfreq.term, nd
+        |  WHERE p.doc_id % 37 <> 5)
+        |SELECT q_term, term, dist, doc_id, tfidf, rank FROM (
+        | SELECT *, row_number() OVER (PARTITION BY q_term, term
+        |   ORDER BY tfidf DESC, doc_id) AS rank FROM scored)
+        |WHERE rank <= 5 ORDER BY q_term, term, rank""".stripMargin,
 
     // q169: q105's phrase oracle restricted to the live (untombstoned)
     // documents — position arithmetic is unaffected by the stats

@@ -130,6 +130,39 @@ class SegmentedIndexSpec extends SparkSpec {
     assert(hits() == Seq((1L, 2L, 0L), (3L, 2L, 0L)))
   }
 
+  test("fuzzySearch resolves through the dictionary (tombstoned " +
+    "docs' terms included until merge) but ranks live hits only") {
+    val root = Files.createTempDirectory("graft-sxf").toString
+    SegmentedIndex.append(spark, root,
+      Seq((1L, "vector math"), (2L, "vectra brand")).toDF("doc_id", "text"),
+      "a", nBuckets = 4)
+    SegmentedIndex.append(spark, root,
+      Seq((3L, "vector vector here")).toDF("doc_id", "text"), "b")
+    SegmentedIndex.delete(spark, root, Seq(2L).toDF("doc_id"), "d1")
+    val out = SegmentedIndex.fuzzySearch(spark, root, Seq("vectro"),
+        k = 5, maxDist = 2)
+      .as[(String, String, Long, Long, Double, Long)].collect().toSeq
+    // 'vectra' resolves in the dictionary pass (doc 2's term survives
+    // the tombstone until merge) but carries no LIVE docs, so only
+    // 'vector' emits rows — and doc 2 itself never ranks
+    assert(out.map(_._2).distinct == Seq("vector"), out.toString)
+    assert(!out.exists(_._4 == 2L), "tombstoned doc must not rank")
+    // stats phase: N=3 (doc 2 counted), df(vector)=2 → doc3 tf2*(3/2)=3
+    val top = out.filter(_._2 == "vector").minBy(_._6)
+    assert(top._4 == 3L && top._5 == 3.0, top.toString)
+    // post-merge the stats shift: N=2, df(vector)=2 → doc3 tf2*(2/2)=2
+    SegmentedIndex.merge(spark, root)
+    val out2 = SegmentedIndex.fuzzySearch(spark, root, Seq("vectro"),
+        k = 5, maxDist = 2)
+      .as[(String, String, Long, Long, Double, Long)].collect().toSeq
+    assert(out2.map(_._2).distinct == Seq("vector"), out2.toString)
+    assert(out2.filter(_._2 == "vector").minBy(_._6)._5 == 2.0,
+      out2.toString)
+    // a query with no dictionary match returns empty, schema intact
+    assert(SegmentedIndex.fuzzySearch(spark, root, Seq("zzzzzz"),
+      k = 5, maxDist = 2).count() == 0L)
+  }
+
   test("maybeMerge folds only the oldest prefix at the tier bound; " +
     "tombstones after the fold still apply to the merged segment") {
     val root = Files.createTempDirectory("graft-tier").toString
