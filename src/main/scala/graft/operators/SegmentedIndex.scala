@@ -121,7 +121,7 @@ object SegmentedIndex {
       if (new java.io.File(root, "_SEGMENTS").isFile)
         readManifest(root)._1
       else nBuckets
-    val fp = graft.engine.Bucketing.fingerprint8("sx2|" + batchKey)
+    val fp = graft.engine.Bucketing.fingerprint8("sx3|" + batchKey)
     val name = s"seg=$fp"
     val (_, segs) =
       if (new java.io.File(root, "_SEGMENTS").isFile) readManifest(root)
@@ -135,10 +135,77 @@ object SegmentedIndex {
       tmp =>
         segPostings(d, nb).write.mode("overwrite")
           .partitionBy("tb").parquet(tmp.getPath)
+        writeStored(d, tmp)
     }
     d.unpersist()
     writeManifest(root, nb,
       segs :+ Seg("seg", name, stats.getLong(0), stats.getLong(1)))
+  }
+
+  /** Stored fields — ES's `_source` / Lucene's stored fields: the
+    * original (doc_id, text) rows ride INSIDE the segment under
+    * `_stored/` (the underscore prefix hides the subtree from the
+    * postings scans' file listing, so term queries never touch it),
+    * committed by the same manifest rename as the postings. [[fetch]]
+    * and [[highlight]] read them; nothing else does. */
+  private def writeStored(d: DataFrame, segTmp: java.io.File): Unit =
+    d.select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(new java.io.File(segTmp, "_stored").getPath)
+
+  /** The live segments' stored fields tagged with their segment fp —
+    * one explicit read per segment (the `_stored` subtree is hidden
+    * from partition discovery by design, so each is addressed
+    * directly). O(segments) plan nodes, bounded by merge cadence. */
+  private def storedFrame(spark: SparkSession, root: java.io.File,
+                          segs: Seq[Seg]): DataFrame =
+    segs.filter(_.kind == "seg").map { sg =>
+      spark.read.parquet(
+        new java.io.File(new java.io.File(root, sg.name), "_stored").getPath)
+        .withColumn("seg", lit(sg.name.stripPrefix("seg=")))
+    }.reduce(_ unionByName _)
+
+  /** GET by id — ES's document fetch, from the index's stored fields:
+    * live (tombstone-filtered) rows for the requested ids, the id
+    * filter pushed into every segment's stored read. Output:
+    * (doc_id, text), id-ordered. */
+  def fetch(spark: SparkSession, rootDir: String,
+            ids: Seq[Long]): DataFrame = {
+    val root = new java.io.File(rootDir)
+    val (_, segs) = readManifest(root)
+    val stored = storedFrame(spark, root, segs)
+      .filter(col("doc_id").isin(ids: _*))
+    val live = tombstones(spark, root, segs) match {
+      case Some(dead) =>
+        stored.join(broadcast(dead), Seq("doc_id", "seg"), "left_anti")
+      case None => stored
+    }
+    live.select("doc_id", "text").orderBy("doc_id")
+  }
+
+  /** Highlighting from the index — ES's actual flow: the QUERY phase
+    * ranks top-k doc ids from the postings ([[search]]), the FETCH
+    * phase pulls only those k documents' stored fields, and the
+    * snippet builder ([[Search.highlight]]'s codegen'd per-row array
+    * exprs) runs over the k fetched rows. The corpus is never read;
+    * the stored-field read is k-bounded. Output:
+    * (doc_id, pos, n_hits, snippet), id-ordered. */
+  def highlight(spark: SparkSession, rootDir: String,
+                terms: Seq[String], k: Int,
+                window: Int = 3): DataFrame = {
+    val root = new java.io.File(rootDir)
+    val (_, segs) = readManifest(root)
+    val top = search(spark, rootDir, terms, k).select("doc_id")
+    val stored = storedFrame(spark, root, segs)
+    val live = tombstones(spark, root, segs) match {
+      case Some(dead) =>
+        stored.join(broadcast(dead), Seq("doc_id", "seg"), "left_anti")
+      case None => stored
+    }
+    Search.highlight(
+      live.join(broadcast(top), Seq("doc_id"), "left_semi")
+        .select("doc_id", "text"),
+      terms, window)
   }
 
   /** Tombstone a set of doc_ids — Lucene's live-docs delete: the
@@ -153,7 +220,7 @@ object SegmentedIndex {
              batchKey: String): Unit = {
     val root = new java.io.File(rootDir)
     val (nb, segs) = readManifest(root)
-    val fp = graft.engine.Bucketing.fingerprint8("sx2del|" + batchKey)
+    val fp = graft.engine.Bucketing.fingerprint8("sx3del|" + batchKey)
     val name = s"del=$fp"
     if (segs.exists(_.name == name)) return
     val ids = docIds.select(col("doc_id").cast("long")).persist()
@@ -178,11 +245,11 @@ object SegmentedIndex {
              batchKey: String): Unit = {
     val root = new java.io.File(rootDir)
     val (nb, segs) = readManifest(root)
-    val segFp = graft.engine.Bucketing.fingerprint8("sx2|" + batchKey)
+    val segFp = graft.engine.Bucketing.fingerprint8("sx3|" + batchKey)
     val segName = s"seg=$segFp"
     if (segs.exists(_.name == segName)) return
     val delFp = graft.engine.Bucketing
-      .fingerprint8("sx2del|upsert|" + batchKey)
+      .fingerprint8("sx3del|upsert|" + batchKey)
     val delName = s"del=$delFp"
     val d = docs.persist()
     val stats = d.agg(count(lit(1)).as("n"),
@@ -193,8 +260,10 @@ object SegmentedIndex {
         .write.mode("overwrite").parquet(tmp.getPath)
     }
     graft.engine.Bucketing.atomicStage(new java.io.File(root, segName)) {
-      tmp => segPostings(d, nb).write.mode("overwrite")
-        .partitionBy("tb").parquet(tmp.getPath)
+      tmp =>
+        segPostings(d, nb).write.mode("overwrite")
+          .partitionBy("tb").parquet(tmp.getPath)
+        writeStored(d, tmp)
     }
     d.unpersist()
     writeManifest(root, nb,
@@ -504,7 +573,7 @@ object SegmentedIndex {
       case None => all
     }
     val fp = graft.engine.Bucketing.fingerprint8(
-      "sx2merge|" + prefix.map(_.name).mkString("|"))
+      "sx3merge|" + prefix.map(_.name).mkString("|"))
     val name = s"seg=$fp"
     val merged = live.persist()
     // post-merge stats recomputed from the surviving postings: every
@@ -512,10 +581,17 @@ object SegmentedIndex {
     // so (doc_id, dl) pairs recover exact doc counts and lengths
     val st = merged.select("doc_id", "dl").distinct()
       .agg(count(lit(1)).as("n"), sum("dl").as("tl")).collect().head
+    val storedAll = storedFrame(spark, root, prefix)
+    val storedLive = tombstones(spark, root, prefix) match {
+      case Some(dead) =>
+        storedAll.join(broadcast(dead), Seq("doc_id", "seg"), "left_anti")
+      case None => storedAll
+    }
     graft.engine.Bucketing.atomicStage(new java.io.File(root, name)) {
       tmp =>
         merged.select("term", "doc_id", "dl", "tf", "positions", "tb")
           .write.mode("overwrite").partitionBy("tb").parquet(tmp.getPath)
+        writeStored(storedLive, tmp)
     }
     merged.unpersist()
     writeManifest(root, nb,

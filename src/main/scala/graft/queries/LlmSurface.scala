@@ -227,6 +227,55 @@ object LlmSurface {
       SegmentedIndex.phraseSearch(s, root, Seq("big", "order", "scan"))
     }),
 
+    // --- highlighting from the SEGMENTED index (ES's actual
+    //     three-phase flow: QUERY ranks ids from the postings, FETCH
+    //     pulls only those documents' STORED FIELDS — the `_source`
+    //     this tier now keeps inside each segment, hidden from the
+    //     postings scans — and the snippet builder runs over the
+    //     fetched rows; the corpus is never read): q153's snippet
+    //     semantics over the live docs (SegmentedIndex.highlight) ---
+    "q171_segmented_highlight" -> ((s, d) => {
+      import graft.operators.SegmentedIndex
+      val root = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        "graft_sh_" + graft.engine.Bucketing.fingerprint8(d) +
+          "_" + java.util.UUID.randomUUID().toString.take(8)).getPath
+      val dd = docs(s, d)
+      SegmentedIndex.append(s, root,
+        dd.filter(col("doc_id") % 5 =!= 0), "a")
+      SegmentedIndex.append(s, root,
+        dd.filter(col("doc_id") % 5 === 0), "b")
+      SegmentedIndex.delete(s, root,
+        dd.filter(col("doc_id") % 37 === 5).select("doc_id"), "d1")
+      SegmentedIndex.highlight(s, root, searchTerms, k = 100000,
+        window = 3)
+    }),
+
+    // --- document GET from the SEGMENTED index (ES's fetch-by-id
+    //     against `_source`): live rows only — a tombstoned id
+    //     returns nothing, an upserted id returns the NEW text (the
+    //     prefix-scoped tombstone hides the old version's stored
+    //     fields too) (SegmentedIndex.fetch) ---
+    "q172_segmented_fetch" -> ((s, d) => {
+      import graft.operators.SegmentedIndex
+      val root = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        "graft_sg_" + graft.engine.Bucketing.fingerprint8(d) +
+          "_" + java.util.UUID.randomUUID().toString.take(8)).getPath
+      val dd = docs(s, d)
+      SegmentedIndex.append(s, root,
+        dd.filter(col("doc_id") % 5 =!= 0), "a")
+      SegmentedIndex.append(s, root,
+        dd.filter(col("doc_id") % 5 === 0), "b")
+      SegmentedIndex.delete(s, root,
+        dd.filter(col("doc_id") % 37 === 5).select("doc_id"), "d1")
+      SegmentedIndex.upsert(s, root,
+        dd.filter(col("doc_id") === 1)
+          .withColumn("text", concat(col("text"), lit(" updated")))
+          .select("doc_id", "text"), "u1")
+      SegmentedIndex.fetch(s, root, Seq(1L, 5L, 7L, 42L, 100L))
+    }),
+
     // --- segmented-index UPSERT (ES's update model: delete the old
     //     version, index the new — committed as ONE atomic manifest
     //     write, so readers see old or new versions, never the delete
@@ -1742,6 +1791,38 @@ object LlmSurface {
         |SELECT doc_id, tf, dl, CAST(rank AS BIGINT) AS rank, rank_key,
         | TRUE AS rank_agrees, TRUE AS score_in_bounds
         |FROM k WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+    // q171: q153's snippet semantics over the live documents only —
+    // the index-served query→fetch→highlight pipeline must be
+    // indistinguishable from highlighting the raw live corpus
+    "q171_segmented_highlight" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE doc_id % 37 <> 5),
+        | px AS (SELECT doc_id, toks,
+        |   list_min(list_filter(
+        |     [list_position(toks, 'spark'), list_position(toks, 'join'),
+        |      list_position(toks, 'vector')],
+        |     x -> x > 0)) AS pos
+        |  FROM t)
+        |SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+        |  CAST(len(list_filter(toks,
+        |    tk -> list_contains(['spark', 'join', 'vector'], tk)))
+        |   AS BIGINT) AS n_hits,
+        |  array_to_string(list_transform(
+        |    toks[greatest(1, pos - 3) : greatest(1, pos - 3) + 6],
+        |    tk -> CASE WHEN list_contains(['spark', 'join', 'vector'], tk)
+        |      THEN '[' || tk || ']' ELSE tk END), ' ') AS snippet
+        |FROM px WHERE pos IS NOT NULL ORDER BY doc_id""".stripMargin,
+
+    // q172: GET-by-id against the live index — tombstoned ids (5, 42)
+    // return nothing, the upserted id 1 returns its NEW text
+    "q172_segmented_fetch" ->
+      """SELECT doc_id,
+        | CASE WHEN doc_id = 1 THEN text || ' updated' ELSE text END
+        |  AS text
+        |FROM documents
+        |WHERE doc_id IN (1, 5, 7, 42, 100) AND doc_id % 37 <> 5
+        |ORDER BY doc_id""".stripMargin,
 
     // q170: q159's quadratic fuzzy oracle under Lucene stats phases —
     // vocabulary, df and N over ALL documents (the dictionary keeps

@@ -195,6 +195,33 @@ class SegmentedIndexSpec extends SparkSpec {
     assert(xs2 == Seq((5L, 2.0, 1L)), xs2.toString)
   }
 
+  test("stored fields: fetch returns live versions only and survives " +
+    "merge; highlight runs query->fetch->snippet off the index") {
+    val root = freshIndex()
+    SegmentedIndex.delete(spark, root, Seq(2L).toDF("doc_id"), "d1")
+    SegmentedIndex.upsert(spark, root,
+      Seq((3L, "y moved here")).toDF("doc_id", "text"), "u1")
+    def got() = SegmentedIndex.fetch(spark, root, Seq(1L, 2L, 3L, 4L))
+      .as[(Long, String)].collect().toSeq
+    // doc 2 tombstoned, doc 3 serves its NEW text
+    assert(got() == Seq((1L, "x x y"), (3L, "y moved here"),
+      (4L, "w only")), got().toString)
+    val hl = SegmentedIndex.highlight(spark, root, Seq("y"), k = 10,
+        window = 1)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    // window 1 → 3-token snippets: doc1 'x x y' clamps at the end
+    // ('x [y]'), doc3's new text starts at its first token
+    assert(hl == Seq((1L, 3L, 1L, "x [y]"),
+      (3L, 1L, 1L, "[y] moved here")), hl.toString)
+    // the postings scans never touch the hidden _stored subtree
+    val p = SegmentedIndex.search(spark, root, Seq("y"), 10)
+    p.collect()
+    assert(!p.queryExecution.executedPlan.toString.contains("_stored"))
+    SegmentedIndex.merge(spark, root)
+    assert(got() == Seq((1L, "x x y"), (3L, "y moved here"),
+      (4L, "w only")), "stored fields must fold through the merge")
+  }
+
   test("an unreferenced segment directory is invisible to search and " +
     "reclaimed by vacuum once aged") {
     val root = freshIndex()
