@@ -106,6 +106,13 @@ object SegmentedIndex {
           .as("positions"))
       .withColumn("tb", pmod(xxhash64(col("term")), lit(nBuckets))
         .cast("int"))
+      // one write task per bucket: without this, every shuffle
+      // partition writes into every tb directory — up to
+      // (shuffle.partitions × nBuckets) tiny files PER SEGMENT, which
+      // bloats both the ingest and every later pruned read's file
+      // listing. Per-batch segments are batch-sized; nBuckets tasks
+      // is the right parallelism for them.
+      .repartition(nBuckets, col("tb"))
 
   /** Ingest one batch as an immutable segment. Idempotent per
     * `batchKey` (the manifest membership check + the staged dir's
@@ -590,6 +597,7 @@ object SegmentedIndex {
     graft.engine.Bucketing.atomicStage(new java.io.File(root, name)) {
       tmp =>
         merged.select("term", "doc_id", "dl", "tf", "positions", "tb")
+          .repartition(nb, col("tb")) // one write task per bucket
           .write.mode("overwrite").partitionBy("tb").parquet(tmp.getPath)
         writeStored(storedLive, tmp)
     }

