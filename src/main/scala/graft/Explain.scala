@@ -284,7 +284,103 @@ object Explain {
       ("Windowed anomaly flags: one partial-aggregated hourly rollup " +
         "is the only corpus-sized shuffle; the series stats collapse " +
         "to a 1-row broadcast and every flag is a codegen'd integer " +
-        "comparison — no float threshold, no second pass over events."))
+        "comparison — no float threshold (the test runs in " +
+        "DECIMAL(38,0), exact far past int64), no second pass over " +
+        "events."),
+    "q154_ivfpq_rerank" ->
+      ("Two-stage IVF-PQ serving: the ADC stage reads compressed " +
+        "codes under `PartitionFilters: [cluster IN …]`, and the " +
+        "exact-vector re-rank fetch carries the SAME probed-cell " +
+        "partition filter plus the shortlist-id pushdown — the " +
+        "uncompressed staged index is never scanned whole in either " +
+        "stage (PlanSpec pins the fetch scan's filters)."),
+    "q156_bm25_rank" ->
+      ("BM25 production scoring: one postings build filtered to the " +
+        "query term, document stats and frequency collapse to 1-row " +
+        "broadcasts, and both rankings (log-idf score and the exact " +
+        "integer-ratio certificate) are windows over ONE term's " +
+        "posting list — the corpus is tokenized once and never " +
+        "re-shuffled for scoring."),
+    "q158_summary_log" ->
+      ("Streaming-lakehouse loop, batch twin: each epoch's summary " +
+        "advance touches the base only through the batch-key " +
+        "broadcast semi join inside maintainAgg; the final " +
+        "certificate join compares the group-cardinality-sized " +
+        "summary against the replayed log's aggregation — the " +
+        "corpus-sized re-aggregation exists only in the certificate " +
+        "arm, never in the maintenance path."),
+    "q160_zonemap_compact" ->
+      ("Zone-map manifest fold + vacuum: compaction reads O(manifest) " +
+        "rows and rewrites ONE segment — no data file moves; the " +
+        "probes after the fold still resolve through manifest rows " +
+        "to explicit file lists, and vacuum's reclaim is a driver " +
+        "listing walk, never a data scan."),
+    "q161_log_rebase" ->
+      ("CDC log rebase: the post-checkpoint snapshot plan folds the " +
+        "materialized base with ONE LeftAnti broadcast join (the " +
+        "single live segment) instead of the three-deep replay " +
+        "chain — replay depth is reset by the checkpoint, which is " +
+        "the entire point of the lever."),
+    "q162_topk_view" ->
+      ("Top-k view maintenance: touched groups (batch-bounded) ride " +
+        "broadcasts into a LeftSemi pruned base read; the rank window " +
+        "runs over the touched groups' merged rows only, and " +
+        "untouched view rows pass through an anti join without ever " +
+        "being re-ranked."),
+    "q163_summary_retention" ->
+      ("Summary retention: pruning is driver-side directory metadata — " +
+        "the maintenance plan is unchanged (batch-key broadcast semi " +
+        "joins, O(batch) per epoch), and the certificate arm is the " +
+        "only place the replayed re-aggregation exists."),
+    "q164_bm25_indexed" ->
+      ("Index-served BM25: postings AND the term dictionary are " +
+        "bucket-pruned to the query term's bucket (two " +
+        "SelectedBucketsCount scans), stats ride a 1-row broadcast — " +
+        "the corpus is absent from the plan; per-query cost is the " +
+        "queried posting list, a search engine's."),
+    "q165_segmented_search" ->
+      ("Segmented search: every live segment's scan arrives with " +
+        "PartitionFilters [tb IN …] (the query terms' hash buckets) " +
+        "plus the term IN pushdown; tombstones skip via one broadcast " +
+        "anti join; df is an agg over rows already read. Ingest cost " +
+        "never appears — segments are immutable, visibility is one " +
+        "manifest rename."),
+    "q166_segment_merge" ->
+      ("Segment merge: the one full-index pass this tier ever takes, " +
+        "amortized over every batch it retires — postings re-read " +
+        "once, tombstones applied via broadcast anti join, stats " +
+        "recomputed from surviving (doc, dl) pairs, then a single " +
+        "atomic manifest swap retires the old generation."),
+    "q167_segmented_bm25" ->
+      ("Segmented BM25: stats come from manifest headers (driver-side " +
+        "O(segments)), df from the bucket-pruned postings read — the " +
+        "ranked window runs over ONE term's posting list under " +
+        "Lucene's pre-merge statistics phase."),
+    "q168_index_upsert" ->
+      ("Atomic upsert: delete-old + index-new commits as ONE manifest " +
+        "rename; the prefix-scoped tombstone expansion is " +
+        "batch-bounded and rides a broadcast anti join — no version " +
+        "column, no cross-segment coordination, O(batch) forever."),
+    "q169_segmented_phrase" ->
+      ("Phrase on the live index: positions ride INLINE in the " +
+        "pruned per-term postings read (PartitionFilters [tb IN …]); " +
+        "the anchor-count core needs one shuffle of the phrase " +
+        "terms' postings — never a k-way self-join, never the corpus."),
+    "q170_segmented_fuzzy" ->
+      ("Fuzzy via the dictionary: pass 1 walks the column-pruned " +
+        "term dictionary with SymSpell blocking (query-bounded " +
+        "collect, Lucene's automaton walk); pass 2 is an ordinary " +
+        "bucket-pruned term query with the matches as literals."),
+    "q171_segmented_highlight" ->
+      ("ES's three-phase highlight: query ranks ids from pruned " +
+        "postings, fetch pulls ONLY those documents' stored fields " +
+        "(the _stored subtree is invisible to postings scans), " +
+        "snippets build as per-row codegen'd array exprs."),
+    "q172_segmented_fetch" ->
+      ("GET by id from stored fields: the id IN filter pushes into " +
+        "every segment's k-bounded _stored read; live-docs filtering " +
+        "is the same broadcast anti join as search — the old version " +
+        "of an upserted doc is invisible by the prefix rule."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -22,7 +22,8 @@ import org.apache.spark.sql.functions._
   *    invisible until referenced, so a crashed writer leaves only an
   *    orphan (reclaimed by [[vacuum]]), never a torn index;
   *  - [[merge]] folds all live segments into one, APPLIES the
-  *    tombstones, and retires the olds — Lucene's segment merge.
+  *    tombstones, and supersedes the olds — Lucene's segment merge
+  *    ([[vacuum]] reclaims the retired directories once aged).
   *
   * Scoring follows Lucene's statistics semantics EXACTLY: corpus
   * stats (N, total length) come from the per-segment header rows
@@ -521,11 +522,11 @@ object SegmentedIndex {
   /** Segment merge — Lucene's compaction: fold every live segment
     * into one, APPLY the tombstones (their postings drop, and the
     * corpus statistics finally shift), commit the single-segment
-    * manifest atomically, then retire the old directories. A crash
-    * after the commit leaves only unreferenced orphans ([[vacuum]]
-    * reclaims them); a reader races safely — it holds either the old
-    * generation's paths (still intact until the deletes that follow
-    * the commit) or the new one's. Returns
+    * manifest atomically. The superseded directories stay on disk —
+    * a reader that loaded the previous manifest generation may still
+    * be mid-scan of them, so reclaiming is [[vacuum]]'s
+    * age-thresholded job, never the merge's (the Delta model: the
+    * commit flips visibility, vacuum reclaims space later). Returns
     * (segments folded, tombstone segments applied). */
   def merge(spark: SparkSession, rootDir: String): (Int, Int) = {
     val root = new java.io.File(rootDir)
@@ -604,8 +605,13 @@ object SegmentedIndex {
     merged.unpersist()
     writeManifest(root, nb,
       Seg("seg", name, st.getLong(0), st.getLong(1)) +: rest)
-    (posts ++ dels).foreach(s =>
-      graft.engine.Bucketing.deleteTree(new java.io.File(root, s.name)))
+    // retirement is [[vacuum]]'s job, NOT the merge's: a reader that
+    // loaded the previous manifest generation an instant before this
+    // commit may still be mid-scan of the folded directories —
+    // deleting them here would fail it with file-not-found. The
+    // Delta model: the commit flips visibility, the age-thresholded
+    // vacuum reclaims space once no plausible reader holds the old
+    // generation.
     (posts.size, dels.size)
   }
 

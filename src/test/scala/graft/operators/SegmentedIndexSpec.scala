@@ -56,11 +56,14 @@ class SegmentedIndexSpec extends SparkSpec {
     // post-merge: N=3, df(x)=1, df(y)=2:
     // doc1 = 2*(3/1) + 1*(3/2) = 7.5; doc3 = 3*(3/2) = 4.5
     assert(hits == Seq((1L, 7.5, 2L), (3L, 4.5, 1L)), hits.toString)
-    // retired generations are gone; a further merge is a no-op
-    val segDirs = new java.io.File(root).listFiles()
+    // superseded dirs STAY until vacuum (a reader on the previous
+    // manifest generation may still be mid-scan); vacuum reclaims
+    def segDirs() = new java.io.File(root).listFiles()
       .filter(f => f.getName.startsWith("seg=") ||
         f.getName.startsWith("del="))
-    assert(segDirs.length == 1, segDirs.map(_.getName).mkString(","))
+    assert(segDirs().length == 4, segDirs().map(_.getName).mkString(","))
+    assert(SegmentedIndex.vacuum(root, olderThanMs = 0L) == 3)
+    assert(segDirs().length == 1, segDirs().map(_.getName).mkString(","))
     assert(SegmentedIndex.merge(spark, root) == ((0, 0)))
     // append keeps working on the merged index
     SegmentedIndex.append(spark, root,
