@@ -390,6 +390,41 @@ object Pipeline {
     ()
   }
 
+  /** One epoch of the NON-ABELIAN streaming-lakehouse loop — the
+    * top-k sibling of [[absorbSummaryBatch]] and the shared body of
+    * [[graft.streaming.EventStreams.maintainedTopKSink]] and its
+    * oracled batch twin (q173): the change batch lands as the
+    * immutable log segment `batch=<epoch>/` AND advances a versioned
+    * per-group top-`k` view `v=<epoch>/` via [[maintainTopK]] —
+    * touched groups re-read from the pre-batch snapshot (the honest
+    * non-abelian contract: a demoted member's replacement was never
+    * materialized), untouched groups pass through.
+    *
+    * Exactly-once under epoch replays for the same reason as the
+    * summary sibling: both writes are per-epoch directory overwrites
+    * whose inputs (log prefix, previous view) are bounded by
+    * id < epoch, so a crashed epoch's half-writes are invisible to
+    * its retry. Scale shape: the view is (groups × k)-sized; the
+    * base is touched only through the batch-bounded touched-group
+    * semi join inside [[maintainTopK]].
+    */
+  def absorbTopKBatch(batch: DataFrame, base: DataFrame,
+      logDir: String, viewDir: String, key: String, grp: String,
+      v: String, k: Int, epoch: Long): Unit = {
+    val spark = batch.sparkSession
+    val b = batch.persist()
+    b.coalesce(1).write.mode("overwrite")
+      .parquet(s"$logDir/batch=$epoch")
+    val pre = replayLogBefore(spark, base, logDir, key, epoch)
+    val oldView = latestSummaryBefore(spark, viewDir, epoch)
+      .getOrElse(topKView(pre, key, grp, v, k))
+    maintainTopK(oldView, pre, b, key, grp, v, k)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$viewDir/v=$epoch")
+    b.unpersist()
+    ()
+  }
+
   /** Summary versions present under `summaryDir`, ascending. */
   def summaryVersions(summaryDir: String): Seq[Long] =
     Option(new java.io.File(summaryDir).listFiles()).toSeq.flatten

@@ -1061,6 +1061,58 @@ object LlmSurface {
         .orderBy("source", "rank")
     }),
 
+    // --- streaming-lakehouse loop, NON-ABELIAN twin (q162's top-k
+    //     maintenance × q143's log, composed through the SAME
+    //     per-epoch body the streaming sink runs —
+    //     Pipeline.absorbTopKBatch): two CDC batches land as log
+    //     segments AND advance a versioned per-source top-3 view;
+    //     the final view must equal the from-scratch top-3 of the
+    //     fully-replayed log, certificate literal-TRUE
+    //     (EventStreams.maintainedTopKSink is the foreachBatch
+    //     wrapper; EventStreamsSpec replays it) ---
+    "q173_topk_log" -> ((s, d) => {
+      import graft.operators.Pipeline
+      val base = docs(s, d).select("doc_id", "source", "n_chars")
+      val scratch = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        "graft_tl_" + graft.engine.Bucketing.fingerprint8(d) +
+          "_" + java.util.UUID.randomUUID().toString.take(8))
+      val logDir = new java.io.File(scratch, "log").getPath
+      val viewDir = new java.io.File(scratch, "view").getPath
+      val b1 = base.filter(col("doc_id") % 11 === 3)
+          .withColumn("n_chars", col("n_chars") + lit(1000L))
+          .withColumn("op", lit("U"))
+        .unionByName(base.filter(col("doc_id") < 4)
+          .withColumn("doc_id", col("doc_id") + lit(5000000L))
+          .withColumn("op", lit("U")))
+        .unionByName(base.filter(col("doc_id") % 11 === 7)
+          .withColumn("op", lit("D")))
+      val b2 = base.filter(col("doc_id") % 11 === 5)
+          .withColumn("n_chars", col("n_chars") + lit(500L))
+          .withColumn("op", lit("U"))
+        .unionByName(base.filter(col("doc_id") < 2)
+          .withColumn("doc_id", col("doc_id") + lit(6000000L))
+          .withColumn("op", lit("U")))
+        .unionByName(base.filter(col("doc_id") % 11 === 3)
+          .withColumn("op", lit("D")))
+      Pipeline.absorbTopKBatch(b1, base, logDir, viewDir,
+        "doc_id", "source", "n_chars", k = 3, epoch = 0L)
+      Pipeline.absorbTopKBatch(b2, base, logDir, viewDir,
+        "doc_id", "source", "n_chars", k = 3, epoch = 1L)
+      val recomputed = Pipeline.topKView(
+        Pipeline.replayLog(s, base, logDir, "doc_id"),
+        "doc_id", "source", "n_chars", 3)
+        .select(col("source").as("r_source"), col("doc_id").as("r_doc"),
+          col("n_chars").as("r_n"), col("rank").as("r_rank"))
+      Pipeline.readSummary(s, viewDir)
+        .join(recomputed,
+          col("source") === col("r_source") && col("rank") === col("r_rank"))
+        .select(col("source"), col("rank"), col("doc_id"), col("n_chars"),
+          (col("doc_id") === col("r_doc") && col("n_chars") === col("r_n"))
+            .as("matches_replay"))
+        .orderBy("source", "rank")
+    }),
+
     // --- summary-version RETENTION (the Delta VACUUM of the
     //     maintained-view tier — closes the streaming-lakehouse
     //     loop's last unbounded-growth path): three epochs advance
@@ -3017,6 +3069,43 @@ object LlmSurface {
         |SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS s,
         | TRUE AS matches_replay
         |FROM s2 GROUP BY source ORDER BY source""".stripMargin,
+
+    // q173: q158's two-batch merge chain, then the from-scratch top-3
+    // per source (same n_chars DESC, doc_id tie-break as topKView) —
+    // the maintained view must match it exactly
+    "q173_topk_log" ->
+      """WITH base AS (SELECT doc_id, source, n_chars FROM documents),
+        | u1 AS (SELECT doc_id, source, n_chars + 1000 AS n_chars
+        |          FROM base WHERE doc_id % 11 = 3
+        |        UNION ALL
+        |        SELECT doc_id + 5000000, source, n_chars
+        |          FROM base WHERE doc_id < 4),
+        | k1 AS (SELECT doc_id FROM u1
+        |        UNION ALL
+        |        SELECT doc_id FROM base WHERE doc_id % 11 = 7),
+        | s1 AS (SELECT doc_id, source, n_chars FROM base
+        |         WHERE doc_id NOT IN (SELECT doc_id FROM k1)
+        |        UNION ALL
+        |        SELECT doc_id, source, n_chars FROM u1),
+        | u2 AS (SELECT doc_id, source, n_chars + 500 AS n_chars
+        |          FROM base WHERE doc_id % 11 = 5
+        |        UNION ALL
+        |        SELECT doc_id + 6000000, source, n_chars
+        |          FROM base WHERE doc_id < 2),
+        | k2 AS (SELECT doc_id FROM u2
+        |        UNION ALL
+        |        SELECT doc_id FROM base WHERE doc_id % 11 = 3),
+        | s2 AS (SELECT doc_id, source, n_chars FROM s1
+        |         WHERE doc_id NOT IN (SELECT doc_id FROM k2)
+        |        UNION ALL
+        |        SELECT doc_id, source, n_chars FROM u2),
+        | ranked AS (SELECT source, doc_id, n_chars,
+        |   row_number() OVER (PARTITION BY source
+        |     ORDER BY n_chars DESC, doc_id) AS rank
+        |  FROM s2)
+        |SELECT source, CAST(rank AS BIGINT) AS rank, doc_id, n_chars,
+        | TRUE AS matches_replay
+        |FROM ranked WHERE rank <= 3 ORDER BY source, rank""".stripMargin,
 
     // q163: q158's chain extended one batch, aggregated from scratch —
     // the latest summary must still match after retention pruned the

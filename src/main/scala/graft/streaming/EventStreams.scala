@@ -301,6 +301,31 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming maintained TOP-K view sink — the NON-ABELIAN twin of
+    * [[maintainedSummarySink]]: every change micro-batch lands as an
+    * immutable log segment AND advances a versioned per-group top-`k`
+    * view through [[graft.operators.Pipeline.absorbTopKBatch]]'s
+    * shared per-epoch body (touched groups re-read from the pre-batch
+    * snapshot — min/max/top-k cannot absorb deletes from the view
+    * alone — untouched groups pass through). Same exactly-once
+    * argument as the summary sink: per-epoch overwrites whose inputs
+    * are bounded by id < epoch. q173 is the oracled batch twin.
+    */
+  def maintainedTopKSink(changes: DataFrame, base: DataFrame,
+      logDir: String, viewDir: String, checkpoint: String,
+      key: String, grp: String, v: String,
+      k: Int): org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epoch: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.Pipeline.absorbTopKBatch(batch.toDF(), base,
+            logDir, viewDir, key, grp, v, k, epoch)
+        ()
+      }
+      .start()
+
   /** Streaming maintained-summary sink — the FULL streaming-lakehouse
     * loop, composing [[cdcLogSink]]'s exactly-once log growth with
     * [[graft.operators.Pipeline.maintainAgg]]'s O(batch) view upkeep:

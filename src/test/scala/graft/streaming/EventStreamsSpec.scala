@@ -718,6 +718,53 @@ class EventStreamsSpec extends SparkSpec {
     assert(snap(Int.MaxValue) == direct)
   }
 
+  test("maintainedTopKSink: every view version equals the from-scratch " +
+    "top-k of the replayed log; epoch replays are idempotent") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Pipeline
+    val base = Seq((1L, "a", 50L), (2L, "a", 40L), (3L, "a", 30L),
+      (4L, "a", 20L), (5L, "b", 90L), (6L, "b", 80L))
+      .toDF("doc_id", "source", "n_chars")
+    val in = MemoryStream[(Long, String, Long, String)](spark)
+    val dir = Files.createTempDirectory("graft-tks").toString
+    val logDir = s"$dir/log"
+    val viewDir = s"$dir/view"
+    val ck = Files.createTempDirectory("graft-tks-ck").toString
+    val q = EventStreams.maintainedTopKSink(
+      in.toDF().toDF("doc_id", "source", "n_chars", "op"),
+      base, logDir, viewDir, ck, "doc_id", "source", "n_chars", k = 2)
+    in.addData((1L, "a", 0L, "D"), (7L, "b", 85L, "U"))
+    q.processAllAvailable()
+    in.addData((6L, "a", 95L, "U"), (8L, "c", 5L, "U"))
+    q.processAllAvailable()
+    q.stop()
+    val vs = Pipeline.summaryVersions(viewDir)
+    assert(vs.size == 2, s"expected 2 view versions, got $vs")
+    def viewOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("source", "doc_id", "n_chars", "rank")
+        .as[(String, Long, Long, Long)].collect().toSet
+    vs.foreach { e =>
+      val want = viewOf(Pipeline.topKView(
+        Pipeline.replayLogBefore(spark, base, logDir, "doc_id", e + 1),
+        "doc_id", "source", "n_chars", 2))
+      val got = viewOf(Pipeline.readSummary(spark, viewDir, e))
+      assert(got == want, s"version $e: $got != $want")
+    }
+    // the k+1 promotion actually happened: doc 1's delete promoted
+    // doc 3 into a's top-2 at version 0, then the doc-6 move (b->a)
+    // reshaped both groups at version 1
+    val fin = viewOf(Pipeline.readSummary(spark, viewDir))
+    assert(fin == Set(("a", 6L, 95L, 1L), ("a", 2L, 40L, 2L),
+      ("b", 5L, 90L, 1L), ("b", 7L, 85L, 2L), ("c", 8L, 5L, 1L)), fin)
+    // a re-delivered epoch reconstructs, never diverges
+    Pipeline.absorbTopKBatch(
+      Seq((6L, "a", 95L, "U"), (8L, "c", 5L, "U"))
+        .toDF("doc_id", "source", "n_chars", "op"),
+      base, logDir, viewDir, "doc_id", "source", "n_chars", 2, vs.last)
+    assert(viewOf(Pipeline.readSummary(spark, viewDir)) == fin)
+    assert(Pipeline.summaryVersions(viewDir) == vs)
+  }
+
   test("searchIndexSink: streamed batches build the same searchable " +
     "index as batch appends; each trigger is one committed segment") {
     import graft.operators.SegmentedIndex
