@@ -615,6 +615,47 @@ object SegmentedIndex {
     (posts.size, dels.size)
   }
 
+  /** Snapshot — ES's repository snapshot, structurally: copy every
+    * manifest-referenced directory to `destDir`, then commit the
+    * manifest there by the same atomic rename (data first, manifest
+    * last — a crashed snapshot leaves the destination readable at its
+    * previous generation). INCREMENTAL exactly the way ES snapshots
+    * are: segments are immutable and content-addressed by name, so a
+    * directory already present in the destination is skipped — a
+    * re-snapshot after N new batches copies N directories, never the
+    * index. The destination IS a working index (the manifest is
+    * self-contained), so restore = read it; orphans and retired
+    * generations are excluded by construction (only referenced names
+    * copy). Returns the number of directories copied. At 100 TB this
+    * file list is exactly what an object-store copy service takes.
+    */
+  def snapshot(rootDir: String, destDir: String): Int = {
+    val root = new java.io.File(rootDir)
+    val (nb, segs) = readManifest(root)
+    val dest = new java.io.File(destDir)
+    dest.mkdirs()
+    var copied = 0
+    segs.foreach { sg =>
+      val to = new java.io.File(dest, sg.name)
+      if (!to.exists()) {
+        copyTree(new java.io.File(root, sg.name), to)
+        copied += 1
+      }
+    }
+    writeManifest(dest, nb, segs)
+    copied
+  }
+
+  private def copyTree(from: java.io.File, to: java.io.File): Unit = {
+    if (from.isDirectory) {
+      to.mkdirs()
+      Option(from.listFiles()).toSeq.flatten
+        .foreach(f => copyTree(f, new java.io.File(to, f.getName)))
+    } else
+      java.nio.file.Files.copy(from.toPath, to.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** Reclaim unreferenced segment directories — crashed writers'
     * orphans and retired generations whose deferred delete never ran.
     * Age-thresholded like [[graft.engine.Bucketing.vacuumStaging]] so

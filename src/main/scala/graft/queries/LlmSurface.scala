@@ -243,6 +243,43 @@ object LlmSurface {
       SegmentedIndex.phraseSearch(s, root, Seq("big", "order", "scan"))
     }),
 
+    // --- index SNAPSHOT (ES's repository snapshot, structurally:
+    //     copy the manifest-referenced directories, commit the
+    //     manifest last by the same atomic rename; INCREMENTAL by
+    //     segment immutability — a re-snapshot copies only the new
+    //     directories): the first snapshot isolates against the
+    //     later delete (the destination is a working index frozen at
+    //     its generation), the second carries the delete over at the
+    //     cost of ONE directory; copy counts pinned
+    //     (SegmentedIndex.snapshot) ---
+    "q174_index_snapshot" -> ((s, d) => {
+      import graft.operators.SegmentedIndex
+      val scratch = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        "graft_ss_" + graft.engine.Bucketing.fingerprint8(d) +
+          "_" + java.util.UUID.randomUUID().toString.take(8))
+      val root = new java.io.File(scratch, "idx").getPath
+      val snap = new java.io.File(scratch, "snap").getPath
+      // bounded roundtrip corpus (q150's rule)
+      val dd = docs(s, d).filter(col("doc_id") < 150)
+      SegmentedIndex.append(s, root,
+        dd.filter(col("doc_id") % 5 =!= 0), "a")
+      SegmentedIndex.append(s, root,
+        dd.filter(col("doc_id") % 5 === 0), "b")
+      val copied1 = SegmentedIndex.snapshot(root, snap)
+      SegmentedIndex.delete(s, root,
+        dd.filter(col("doc_id") % 37 === 5).select("doc_id"), "d1")
+      // the frozen snapshot still serves the PRE-delete results
+      val frozen = SegmentedIndex.search(s, snap, searchTerms, k = 20)
+        .count()
+      val copied2 = SegmentedIndex.snapshot(root, snap)
+      SegmentedIndex.search(s, snap, searchTerms, k = 20)
+        .withColumn("n_copied_first", lit(copied1.toLong))
+        .withColumn("n_copied_incremental", lit(copied2.toLong))
+        .withColumn("n_hits_frozen", lit(frozen))
+        .orderBy(desc("score"), asc("doc_id"))
+    }),
+
     // --- highlighting from the SEGMENTED index (ES's actual
     //     three-phase flow: QUERY ranks ids from the postings, FETCH
     //     pulls only those documents' STORED FIELDS — the `_source`
@@ -1875,6 +1912,38 @@ object LlmSurface {
         |SELECT doc_id, tf, dl, CAST(rank AS BIGINT) AS rank, rank_key,
         | TRUE AS rank_agrees, TRUE AS score_in_bounds
         |FROM k WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+    // q174: after the incremental snapshot the destination equals the
+    // mutated index (q165's oracle shape); the frozen-phase hit count
+    // and the 2-then-1 copy counts pin the isolation and the
+    // incrementality
+    "q174_index_snapshot" -> {
+      val termList = searchTerms.map(t => s"'$t'").mkString(", ")
+      val contribs = searchTerms.map { t =>
+        s"sum(CASE WHEN term = '$t' THEN tf::DOUBLE * " +
+          "(n_docs / doc_freq::DOUBLE) ELSE 0.0::DOUBLE END)"
+      }
+      s"""WITH p AS (SELECT term, doc_id, count(*)::BIGINT AS tf
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |        FROM (SELECT * FROM documents WHERE doc_id < 150))
+         |  GROUP BY term, doc_id),
+         | dfreq AS (SELECT term, count(*)::BIGINT AS doc_freq FROM p
+         |  GROUP BY term),
+         | nd AS (SELECT count(*)::DOUBLE AS n_docs
+         |  FROM (SELECT * FROM documents WHERE doc_id < 150)),
+         | frozen AS (SELECT LEAST(20, count(DISTINCT doc_id)) AS n
+         |  FROM p WHERE term IN ($termList)),
+         | hits AS (SELECT doc_id, ${contribs.mkString(" + ")} AS score,
+         |   count(*) AS n_terms_hit
+         |  FROM p JOIN dfreq USING (term), nd
+         |  WHERE term IN ($termList) AND doc_id % 37 <> 5
+         |  GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20)
+         |SELECT doc_id, score, n_terms_hit,
+         | CAST(2 AS BIGINT) AS n_copied_first,
+         | CAST(1 AS BIGINT) AS n_copied_incremental,
+         | CAST(frozen.n AS BIGINT) AS n_hits_frozen
+         |FROM hits, frozen ORDER BY score DESC, doc_id""".stripMargin
+    },
 
     // q171: q153's snippet semantics over the live documents only —
     // the index-served query→fetch→highlight pipeline must be

@@ -225,6 +225,30 @@ class SegmentedIndexSpec extends SparkSpec {
       (4L, "w only")), "stored fields must fold through the merge")
   }
 
+  test("snapshot freezes a generation, re-snapshot is incremental, " +
+    "and the destination is a fully working index") {
+    val root = freshIndex()
+    val snap = Files.createTempDirectory("graft-snap").toString + "/s"
+    assert(SegmentedIndex.snapshot(root, snap) == 2)
+    SegmentedIndex.delete(spark, root, Seq(2L).toDF("doc_id"), "d1")
+    // the frozen generation still sees doc 2
+    val frozen = SegmentedIndex.search(spark, snap, Seq("x"), 10)
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(frozen.map(_._1) == Seq(1L, 2L), frozen.toString)
+    // incremental: only the tombstone segment copies over
+    assert(SegmentedIndex.snapshot(root, snap) == 1)
+    assert(SegmentedIndex.search(spark, snap, Seq("x"), 10)
+      .as[(Long, Double, Long)].collect().map(_._1).toSeq == Seq(1L))
+    // the snapshot is a full index: fetch and phrase work there too
+    assert(SegmentedIndex.fetch(spark, snap, Seq(1L, 2L))
+      .as[(Long, String)].collect().toSeq == Seq((1L, "x x y")))
+    // and it stays isolated: mutating the snapshot never touches the
+    // source
+    SegmentedIndex.delete(spark, snap, Seq(1L).toDF("doc_id"), "dz")
+    assert(SegmentedIndex.search(spark, root, Seq("x"), 10)
+      .as[(Long, Double, Long)].collect().map(_._1).toSeq == Seq(1L))
+  }
+
   test("an unreferenced segment directory is invisible to search and " +
     "reclaimed by vacuum once aged") {
     val root = freshIndex()
