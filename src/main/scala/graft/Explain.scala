@@ -380,7 +380,19 @@ object Explain {
       ("GET by id from stored fields: the id IN filter pushes into " +
         "every segment's k-bounded _stored read; live-docs filtering " +
         "is the same broadcast anti join as search — the old version " +
-        "of an upserted doc is invisible by the prefix rule."))
+        "of an upserted doc is invisible by the prefix rule."),
+    "q173_topk_log" ->
+      ("Non-abelian streaming-lakehouse loop, batch twin: each epoch " +
+        "advances the top-k view by re-reading ONLY the touched " +
+        "groups (batch-bounded broadcasts into semi-joined base " +
+        "reads); the from-scratch ranking exists only in the " +
+        "certificate arm, never in the maintenance path."),
+    "q174_index_snapshot" ->
+      ("Incremental snapshot: driver-side manifest-referenced copies " +
+        "(2 then 1 directories — segment immutability IS the " +
+        "incrementality), data first, destination manifest committed " +
+        "last; the query plan itself is an ordinary pruned search of " +
+        "the destination index."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -206,4 +206,30 @@ class PropertySpec extends SparkSpec {
       assert(maintained == recomputed, s"batch=$batchRows")
     }
   }
+
+  test("segmented index: any batch split of a random corpus answers " +
+    "term search exactly like the ad-hoc corpus scan") {
+    import graft.operators.{Search, SegmentedIndex}
+    samples(Gen.zip(Gen.listOfN(8, text), Gen.choose(1, 7)), 3)
+      .foreach { case (texts, cut) =>
+        val docs = texts.zipWithIndex
+          .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-prop-sx").toString
+        SegmentedIndex.append(spark, root,
+          docs.filter(col("doc_id") < cut), "a", nBuckets = 4)
+        SegmentedIndex.append(spark, root,
+          docs.filter(col("doc_id") >= cut), "b")
+        // query the three globally most frequent words of this corpus
+        val terms = texts.flatMap(_.split(" "))
+          .groupBy(identity).toSeq
+          .sortBy { case (w, o) => (-o.size, w) }.take(3).map(_._1)
+        val got = SegmentedIndex.search(spark, root, terms, 100)
+          .as[(Long, Double, Long)].collect().toSeq
+        val want = Search.search(docs, terms, 100)
+          .as[(Long, Double, Long)].collect().toSeq
+        assert(got == want,
+          s"cut=$cut terms=$terms\ngot= $got\nwant=$want")
+      }
+  }
 }
