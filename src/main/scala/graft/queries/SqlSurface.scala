@@ -1343,7 +1343,11 @@ object SqlSurface {
       // segment layout, so this map is never shared (q150's note)
       val key = d + "#compact-" +
         java.util.UUID.randomUUID().toString.take(8)
-      val li = t(s, d, "lineitem")
+      // bounded roundtrip input (q150's rule): the demonstration needs
+      // a stageable map containing the probed orders, not the whole
+      // fact table — an unbounded per-invocation stage was the most
+      // expensive entry in the r10 bench (4.4 s at sf0.1)
+      val li = t(s, d, "lineitem").filter(col("l_orderkey") <= 3000)
       val dir = ZoneMap.ensureZonemapped(s, key, li,
         rangeCol = "l_partkey", bloomCol = "l_orderkey", "lineitem_cq")
       def shifted(by: Long) = li.filter(col("l_orderkey") === 777)
