@@ -129,7 +129,7 @@ object SegmentedIndex {
       if (new java.io.File(root, "_SEGMENTS").isFile)
         readManifest(root)._1
       else nBuckets
-    val fp = graft.engine.Bucketing.fingerprint8("sx3|" + batchKey)
+    val fp = graft.engine.Bucketing.fingerprint8("sx4|" + batchKey)
     val name = s"seg=$fp"
     val (_, segs) =
       if (new java.io.File(root, "_SEGMENTS").isFile) readManifest(root)
@@ -144,11 +144,37 @@ object SegmentedIndex {
         segPostings(d, nb).write.mode("overwrite")
           .partitionBy("tb").parquet(tmp.getPath)
         writeStored(d, tmp)
+        writeDict(d.sparkSession, tmp)
     }
     d.unpersist()
     writeManifest(root, nb,
       segs :+ Seg("seg", name, stats.getLong(0), stats.getLong(1)))
   }
+
+  /** Per-segment TERM DICTIONARY — Lucene's terms index: (term,
+    * doc_freq) under `_dict/`, derived by reading the segment's
+    * just-written postings back (one tokenize per batch, ever). The
+    * dictionary is VOCABULARY-sized, so [[fuzzySearch]]'s pass-1 walk
+    * reads it instead of distinct-ing the corpus-sized postings —
+    * at 100 TB that is the difference between scanning the corpus
+    * and scanning the vocabulary. Summed per-segment doc_freq equals
+    * the stats-phase df (tombstoned docs included), same as the
+    * postings aggregation the scorers use. */
+  private def writeDict(spark: SparkSession,
+                        segTmp: java.io.File): Unit =
+    spark.read.parquet(segTmp.getPath)
+      .groupBy("term").agg(count(lit(1)).as("doc_freq"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(new java.io.File(segTmp, "_dict").getPath)
+
+  /** The live segments' dictionaries unioned (term, doc_freq, seg).
+    * Vocabulary-sized per segment. */
+  private def dictFrame(spark: SparkSession, root: java.io.File,
+                        segs: Seq[Seg]): DataFrame =
+    segs.filter(_.kind == "seg").map { sg =>
+      spark.read.parquet(
+        new java.io.File(new java.io.File(root, sg.name), "_dict").getPath)
+    }.reduce(_ unionByName _)
 
   /** Stored fields — ES's `_source` / Lucene's stored fields: the
     * original (doc_id, text) rows ride INSIDE the segment under
@@ -228,7 +254,7 @@ object SegmentedIndex {
              batchKey: String): Unit = {
     val root = new java.io.File(rootDir)
     val (nb, segs) = readManifest(root)
-    val fp = graft.engine.Bucketing.fingerprint8("sx3del|" + batchKey)
+    val fp = graft.engine.Bucketing.fingerprint8("sx4del|" + batchKey)
     val name = s"del=$fp"
     if (segs.exists(_.name == name)) return
     val ids = docIds.select(col("doc_id").cast("long")).persist()
@@ -253,11 +279,11 @@ object SegmentedIndex {
              batchKey: String): Unit = {
     val root = new java.io.File(rootDir)
     val (nb, segs) = readManifest(root)
-    val segFp = graft.engine.Bucketing.fingerprint8("sx3|" + batchKey)
+    val segFp = graft.engine.Bucketing.fingerprint8("sx4|" + batchKey)
     val segName = s"seg=$segFp"
     if (segs.exists(_.name == segName)) return
     val delFp = graft.engine.Bucketing
-      .fingerprint8("sx3del|upsert|" + batchKey)
+      .fingerprint8("sx4del|upsert|" + batchKey)
     val delName = s"del=$delFp"
     val d = docs.persist()
     val stats = d.agg(count(lit(1)).as("n"),
@@ -272,6 +298,7 @@ object SegmentedIndex {
         segPostings(d, nb).write.mode("overwrite")
           .partitionBy("tb").parquet(tmp.getPath)
         writeStored(d, tmp)
+        writeDict(d.sparkSession, tmp)
     }
     d.unpersist()
     writeManifest(root, nb,
@@ -437,12 +464,10 @@ object SegmentedIndex {
     val root = new java.io.File(rootDir)
     val (nb, segs) = readManifest(root)
     val nDocs = segs.filter(_.kind == "seg").map(_.nDocs).sum
-    val segPaths = segs.filter(_.kind == "seg")
-      .map(s => new java.io.File(root, s.name).getPath)
-    // pass 1: dictionary walk (term column only — column pruning
-    // makes this a vocabulary read, not a postings read)
-    val vocab = spark.read.option("basePath", root.getPath)
-      .parquet(segPaths: _*).select("term").distinct()
+    // pass 1: dictionary walk over the per-segment TERM DICTIONARIES
+    // — a vocabulary-sized read (Lucene's terms index), never the
+    // corpus-sized postings
+    val vocab = dictFrame(spark, root, segs).select("term").distinct()
     def del1(s: String): Seq[String] =
       s +: s.indices.map(i => s.take(i) + s.drop(i + 1))
     def variants(s: String): Seq[String] =
@@ -581,7 +606,7 @@ object SegmentedIndex {
       case None => all
     }
     val fp = graft.engine.Bucketing.fingerprint8(
-      "sx3merge|" + prefix.map(_.name).mkString("|"))
+      "sx4merge|" + prefix.map(_.name).mkString("|"))
     val name = s"seg=$fp"
     val merged = live.persist()
     // post-merge stats recomputed from the surviving postings: every
@@ -601,6 +626,7 @@ object SegmentedIndex {
           .repartition(nb, col("tb")) // one write task per bucket
           .write.mode("overwrite").partitionBy("tb").parquet(tmp.getPath)
         writeStored(storedLive, tmp)
+        writeDict(spark, tmp)
     }
     merged.unpersist()
     writeManifest(root, nb,
