@@ -699,9 +699,11 @@ object SegmentedIndex {
           Option(f.listFiles()).toSeq.flatten.map(newestMtime)).max
       else f.lastModified()
     val orphans = Option(root.listFiles()).toSeq.flatten.filter { f =>
-      f.isDirectory &&
+      (f.isDirectory &&
         (f.getName.startsWith("seg=") || f.getName.startsWith("del=")) &&
-        !liveNames.contains(f.getName) &&
+        !liveNames.contains(f.getName) ||
+        // a crashed writeManifest's un-renamed temp commit file
+        f.isFile && f.getName.startsWith("_SEGMENTS.tmp-")) &&
         now - newestMtime(f) >= olderThanMs
     }
     orphans.foreach(graft.engine.Bucketing.deleteTree)

@@ -273,9 +273,14 @@ class SegmentedIndexSpec extends SparkSpec {
       f.setLastModified(System.currentTimeMillis() - 10L * 3600 * 1000)
       Option(f.listFiles()).toSeq.flatten.foreach(age)
     }
+    // a crashed writeManifest's temp commit file is reclaimed too
+    val tmpManifest = new java.io.File(root, "_SEGMENTS.tmp-dead")
+    tmpManifest.createNewFile()
+    tmpManifest.setLastModified(
+      System.currentTimeMillis() - 10L * 3600 * 1000)
     age(orphan)
-    assert(SegmentedIndex.vacuum(root) == 1)
-    assert(!orphan.exists())
+    assert(SegmentedIndex.vacuum(root) == 2)
+    assert(!orphan.exists() && !tmpManifest.exists())
     assert(SegmentedIndex.search(spark, root, Seq("x"), 10)
       .as[(Long, Double, Long)].collect().toSeq == before)
   }
