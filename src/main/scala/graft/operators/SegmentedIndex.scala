@@ -383,6 +383,50 @@ object SegmentedIndex {
       .limit(k)
   }
 
+  /** Multi-term BM25 top-k over the segmented index — the production
+    * serving path under Lucene's statistics phases: N and avg_dl from
+    * the manifest headers, df aggregated from the (still
+    * tombstone-bearing) pruned postings, per-doc saturated
+    * contributions summed over the LIVE postings only, then a
+    * TakeOrderedAndProject top-k. Scores are bit-identical to the
+    * ad-hoc [[Search.bm25]] on an equivalent corpus (the spec pins a
+    * one-segment index against it); the `log` idf keeps this off the
+    * DuckDB-hash surface, like every bm25 scorer — the segment tier's
+    * oracled BM25 entry is the single-term rank certificate
+    * ([[bm25RankAudit]], q167). Output: (doc_id, score, n_terms_hit).
+    */
+  def bm25TopK(spark: SparkSession, rootDir: String,
+               terms: Seq[String], k: Int, k1: Double = 1.2,
+               b: Double = 0.75): DataFrame = {
+    val root = new java.io.File(rootDir)
+    val (nb, segs) = readManifest(root)
+    val nDocs = segs.filter(_.kind == "seg").map(_.nDocs).sum
+    val totalLen = segs.filter(_.kind == "seg").map(_.totalLen).sum
+    val p = prunedPostings(spark, root, segs, terms, nb)
+      .filter(col("term").isin(terms: _*))
+    val dfreq = p.groupBy("term").agg(count(lit(1)).as("doc_freq"))
+    val live = tombstones(spark, root, segs) match {
+      case Some(dead) =>
+        p.join(broadcast(dead), Seq("doc_id", "seg"), "left_anti")
+      case None => p
+    }
+    live.join(dfreq, "term")
+      .withColumn("avg_dl",
+        lit(totalLen).cast("double") / lit(nDocs).cast("double"))
+      // cast to double FIRST — the decimal-literal pitfall documented
+      // at [[Search.bm25TopKIndexed]]
+      .withColumn("idf", expr(
+        s"log((cast(${nDocs}L as double) - doc_freq + 0.5) / " +
+          "(doc_freq + 0.5) + 1.0)"))
+      .withColumn("contrib", expr(
+        s"idf * (tf * ($k1 + 1.0)) / " +
+          s"(tf + $k1 * (1.0 - $b + $b * dl / avg_dl))"))
+      .groupBy("doc_id")
+      .agg(sum("contrib").as("score"), count(lit(1)).as("n_terms_hit"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
+
   /** Single-term BM25 over the segmented index with its exact
     * integer-ratio rank certificate — [[Search.bm25RankAudit]]'s
     * contract served from the segment tier, under Lucene's statistics

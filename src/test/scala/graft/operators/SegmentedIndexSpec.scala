@@ -198,6 +198,31 @@ class SegmentedIndexSpec extends SparkSpec {
     assert(xs2 == Seq((5L, 2.0, 1L)), xs2.toString)
   }
 
+  test("bm25TopK on a one-segment index equals the ad-hoc scorer " +
+    "bitwise; a tombstone drops the doc but not the stats") {
+    val corpus = Seq(
+      (1L, "x x x pad"),
+      (2L, "x pad pad pad"),
+      (3L, "x x pad pad pad pad pad pad"),
+      (4L, "pad only y"),
+      (5L, "x pad pad pad"))
+      .toDF("doc_id", "text")
+    val root = Files.createTempDirectory("graft-sxb").toString
+    SegmentedIndex.append(spark, root, corpus, "a", nBuckets = 4)
+    val got = SegmentedIndex.bm25TopK(spark, root, Seq("x", "y"), 10)
+      .as[(Long, Double, Long)].collect().toSeq
+    val want = Search.bm25(corpus, Seq("x", "y"), 10)
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(got == want, s"\ngot= $got\nwant=$want")
+    // Lucene phase: deleting doc 2 removes it from the hits but the
+    // remaining docs' scores DO NOT change (N, avg_dl, df all still
+    // count it until merge)
+    SegmentedIndex.delete(spark, root, Seq(2L).toDF("doc_id"), "d1")
+    val after = SegmentedIndex.bm25TopK(spark, root, Seq("x", "y"), 10)
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(after == want.filterNot(_._1 == 2L), s"\n$after\nvs\n$want")
+  }
+
   test("stored fields: fetch returns live versions only and survives " +
     "merge; highlight runs query->fetch->snippet off the index") {
     val root = freshIndex()
