@@ -219,22 +219,36 @@ object ZoneMap {
     val segs = manifestSegments(root)
     if (segs.size <= 1) return segs.size
     val rows = spark.read.parquet(segs.map(_.getPath): _*)
-    val out = new java.io.File(root, "zonemap_c" +
+    // fold-segment names carry a character that can NEVER appear in a
+    // hex fingerprint ('-'): an append segment is zonemap_<8 hex> and
+    // the marker decision below matches that pattern EXACTLY, so a
+    // batch whose fingerprint happens to start with any given letter
+    // can never be misclassified as a fold (and silently lose its
+    // replay marker before its directory is deleted)
+    val out = new java.io.File(root, "zonemap_fold-" +
       java.util.UUID.randomUUID().toString.take(8))
     Bucketing.atomicStage(out) { tmp =>
       rows.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
     }
     segs.foreach { s =>
       // preserve append idempotence across the fold: the segment dir
-      // WAS the replay marker
-      if (s.getName.startsWith("zonemap_") &&
-          !s.getName.startsWith("zonemap_c"))
-        new java.io.File(root,
-          s"_APPENDED_${s.getName.stripPrefix("zonemap_")}")
-          .createNewFile()
+      // WAS the replay marker — exact-pattern match, see [[appendOnce]]
+      appendFp(s.getName).foreach(fp =>
+        new java.io.File(root, s"_APPENDED_$fp").createNewFile())
       Bucketing.deleteTree(s)
     }
     segs.size
+  }
+
+  /** The batch fingerprint IFF `name` is an APPEND segment
+    * (`zonemap_` + exactly 8 hex chars) — base `zonemap` and
+    * `zonemap_fold-*` segments yield None. */
+  private def appendFp(name: String): Option[String] = {
+    val fp = name.stripPrefix("zonemap_")
+    if (name.startsWith("zonemap_") && fp.length == 8 &&
+        fp.forall(c => c.isDigit || (c >= 'a' && c <= 'f')))
+      Some(fp)
+    else None
   }
 
   /** Reclaim orphaned data files — the vacuum half of the

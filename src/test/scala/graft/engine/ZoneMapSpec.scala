@@ -177,6 +177,40 @@ class ZoneMapSpec extends SparkSpec {
     assert(sv.nonEmpty && sv.size < 4, s"pruning shape off: $sv")
   }
 
+  test("a fold preserves the replay marker of an append whose " +
+    "fingerprint starts with 'c' — the fold-name/fingerprint " +
+    "collision regression") {
+    // find a batchKey whose MD5-prefix fingerprint starts with 'c':
+    // before the exact-pattern marker rule, compactManifest classified
+    // its segment as a fold (zonemap_c*), left no _APPENDED_ marker,
+    // and a replay silently re-appended the batch (duplicated rows)
+    val cKey = Iterator.from(0).map(i => s"cfp-batch-$i")
+      .find(k => Bucketing.fingerprint8(k).startsWith("c")).get
+    val key = s"$sf001#spec-cfp-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val cdir = ZoneMap.ensureZonemapped(spark, key, plain,
+      "l_partkey", "l_orderkey", "lineitem_cfp")
+    val batch = plain.filter(col("l_orderkey") === 777)
+      .withColumn("l_orderkey", col("l_orderkey") + lit(5000000L))
+    ZoneMap.appendOnce(spark, cdir, batch, "l_partkey", "l_orderkey",
+      cKey)
+    def probe() = rows(ZoneMap.zonemapScan(spark, cdir,
+      "l_partkey", "l_orderkey", 0L, Long.MaxValue, 5000777L)._2)
+    val before = probe()
+    assert(before.nonEmpty)
+    assert(ZoneMap.compactManifest(spark, cdir) == 2)
+    assert(new java.io.File(cdir,
+      s"_APPENDED_${Bucketing.fingerprint8(cKey)}").isFile,
+      "fold must leave the replay marker for a 'c'-fingerprint append")
+    // the replay must be a no-op — no duplicated rows
+    ZoneMap.appendOnce(spark, cdir, batch, "l_partkey", "l_orderkey",
+      cKey)
+    assert(probe() == before, "replay after fold duplicated the batch")
+    val folds = new java.io.File(cdir).listFiles()
+      .count(_.getName.startsWith("zonemap_fold-"))
+    assert(folds == 1, "fold segment must carry the fold- name")
+  }
+
   test("the manifest is bounded by the layout: one stats row per " +
     "file unit") {
     val stats = spark.read.parquet(s"$dir/zonemap")
