@@ -351,91 +351,264 @@ object Pipeline {
       segs.size, key)
   }
 
+  // ------------------------------------------------------------------
+  // The versioned maintained-view STORE — hash-bucketed, rewrite-only-
+  // touched-buckets (the Delta/Materialize shape). A version is NOT a
+  // full materialization: it is a tiny manifest `_VERSIONS/v=<epoch>`
+  // mapping each of `nb` group-hash buckets to the epoch whose
+  // immutable `delta/e=<thatEpoch>/gb=<bucket>/` directory holds that
+  // bucket's current rows. An epoch rewrites ONLY the buckets
+  // containing groups its batch touched (batch-bounded) and carries
+  // every other bucket forward BY REFERENCE — the manifest line just
+  // repeats the previous content epoch. At 100 TB group cardinalities
+  // (10^8-10^9 per-user summaries) this is what makes the view store
+  // writable: per epoch the store writes O(|batch| worth of buckets)
+  // in parallel tasks, never the full group-cardinality summary
+  // through one serialization point.
+  // ------------------------------------------------------------------
+
+  private val VersionsRel = "_VERSIONS"
+
+  /** The group's store bucket — computed as a COLUMN everywhere (one
+    * hash definition; no driver/executor mismatch possible). */
+  private def bucketCol(grp: String, nb: Int) =
+    pmod(xxhash64(col(grp)), lit(nb)).cast("int")
+
+  /** Write `df`'s buckets as the immutable epoch delta
+    * `delta/e=<epoch>/gb=<bucket>/`: one write task per bucket
+    * (parallel in the bucket count — the `coalesce(1)` this store
+    * exists to avoid), whole-directory overwrite so an epoch REPLAY
+    * reconstructs it bit-identically. */
+  private def writeEpochBuckets(df: DataFrame, storeDir: String,
+      epoch: Long, grp: String, nb: Int): Unit =
+    df.withColumn("gb", bucketCol(grp, nb))
+      .repartition(nb, col("gb"))
+      .write.mode("overwrite").partitionBy("gb")
+      .parquet(s"$storeDir/delta/e=$epoch")
+
+  /** Commit version `epoch`: one atomic manifest rename (REPLACE, so
+    * a replayed epoch re-commits idempotently). Readers see a version
+    * only once its manifest exists — a crash after the delta write
+    * but before this rename leaves an invisible orphan delta. */
+  private def commitVersion(storeDir: String, epoch: Long, nb: Int,
+      map: Map[Int, Long]): Unit = {
+    val vd = new java.io.File(storeDir, VersionsRel)
+    vd.mkdirs()
+    val tmp = new java.io.File(vd, s".tmp-$epoch-" +
+      java.util.UUID.randomUUID().toString.take(8))
+    val body = (s"nb=$nb" +: map.toSeq.sortBy(_._1)
+      .map { case (b, ce) => s"$b,$ce" }).mkString("\n")
+    java.nio.file.Files.writeString(tmp.toPath, body)
+    java.nio.file.Files.move(tmp.toPath,
+      new java.io.File(vd, s"v=$epoch").toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Parse version `epoch`'s manifest: (nb, bucket → content epoch). */
+  private def readVersionManifest(storeDir: String,
+      epoch: Long): (Int, Map[Int, Long]) = {
+    val f = new java.io.File(storeDir, s"$VersionsRel/v=$epoch")
+    val lines = java.nio.file.Files.readAllLines(f.toPath)
+      .toArray(Array.empty[String]).toSeq
+    (lines.head.stripPrefix("nb=").toInt,
+      lines.tail.map { l =>
+        val Array(b, ce) = l.split(",")
+        b.toInt -> ce.toLong
+      }.toMap)
+  }
+
+  /** Read the store at one committed version: the manifest's bucket →
+    * content-epoch map resolves to O(nb) immutable bucket directories
+    * (a bucket whose content is empty wrote no directory — skipped).
+    * O(nb) plan nodes, never a listing of the data tier. */
+  private def readStore(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String, epoch: Long): DataFrame = {
+    val (_, map) = readVersionManifest(storeDir, epoch)
+    val frames = map.toSeq.sortBy(_._1).flatMap { case (b, ce) =>
+      val d = new java.io.File(storeDir, s"delta/e=$ce/gb=$b")
+      if (d.isDirectory) Some(spark.read.parquet(d.getPath)) else None
+    }
+    require(frames.nonEmpty,
+      s"store at $storeDir v=$epoch holds no rows in any bucket")
+    frames.reduce(_ unionByName _)
+  }
+
+  /** The store buckets containing groups `batch` touches: the OLD
+    * groups of the batch's keys (fetched through the same broadcast
+    * semi join [[maintainAgg]]/[[maintainTopK]] run) plus the upsert
+    * rows' groups. Batch-bounded — the collect returns at most `nb`
+    * ints. */
+  private def touchedBuckets(pre: DataFrame, batch: DataFrame,
+      key: String, grp: String, nb: Int,
+      opCol: String = "op"): Set[Int] =
+    pre.join(broadcast(batch.select(key)), Seq(key), "left_semi")
+      .select(grp)
+      .unionByName(batch.filter(col(opCol) === "U").select(grp))
+      .select(bucketCol(grp, nb).as("gb")).distinct()
+      .collect().map(_.getInt(0)).toSet
+
   /** One epoch of the streaming-lakehouse loop — the shared body of
     * [[graft.streaming.EventStreams.maintainedSummarySink]] and its
     * oracled batch twin (q158): the change batch lands as the
     * immutable CDC log segment `batch=<epoch>/` AND is absorbed into
-    * the versioned summary `v=<epoch>/` via [[maintainAgg]] — the
+    * the bucketed versioned summary store via [[maintainAgg]] — the
     * materialized view advances in O(|batch|) while the log keeps
     * every snapshot readable.
     *
-    * Exactly-once under epoch replays: both writes are per-epoch
-    * directory OVERWRITES, the pre-batch snapshot replays only
-    * segments with id < epoch, and the previous summary is the
-    * highest version < epoch — so a crashed epoch's half-writes are
-    * invisible to its retry, which reconstructs both directories
-    * bit-identically. Same batch-key preconditions as [[applyCdc]].
+    * Per epoch the store rewrites ONLY the buckets containing touched
+    * groups (every group [[maintainAgg]]'s minus/plus sides can
+    * change hashes into one of them, so restricting the old summary
+    * to those buckets is exact — untouched buckets' rows are
+    * bit-identical and carry forward by manifest reference), in
+    * parallel bucket-count tasks. `nBuckets` sizes the store to the
+    * GROUP cardinality (8 covers test fixtures; thousands at 10^9
+    * groups — each bucket stays one task's worth of rows).
     *
-    * Scale shape: the summary is group-cardinality-sized (its
-    * rewrite is cheap at any corpus size); the base table is touched
-    * only through [[maintainAgg]]'s broadcast semi join on the
-    * batch's keys — the replayed snapshot view is lazy lineage, never
-    * a materialization — so the 100 TB re-aggregation never happens.
+    * Exactly-once under epoch replays: the log segment and the epoch
+    * delta are per-epoch directory OVERWRITES, the manifest commit an
+    * atomic REPLACE rename, the pre-batch snapshot replays only
+    * segments with id < epoch, and the previous summary is the
+    * highest committed version < epoch — so a crashed epoch's
+    * half-writes are invisible to its retry, which reconstructs
+    * delta and manifest bit-identically. Same batch-key
+    * preconditions as [[applyCdc]].
+    *
+    * Scale shape: the base table is touched only through the
+    * batch-key broadcast semi joins (old-group lookup + delta build)
+    * — the replayed snapshot view is lazy lineage, never a
+    * materialization — so the 100 TB re-aggregation never happens,
+    * and no group-cardinality-sized frame ever crosses one task.
     */
   def absorbSummaryBatch(batch: DataFrame, base: DataFrame,
       logDir: String, summaryDir: String, key: String, grp: String,
-      v: String, epoch: Long): Unit = {
+      v: String, epoch: Long, nBuckets: Int = 8): Unit = {
     val spark = batch.sparkSession
     val b = batch.persist()
     b.coalesce(1).write.mode("overwrite")
       .parquet(s"$logDir/batch=$epoch")
     val pre = replayLogBefore(spark, base, logDir, key, epoch)
-    val oldAgg = latestSummaryBefore(spark, summaryDir, epoch)
-      .getOrElse(base.groupBy(grp)
-        .agg(count(lit(1)).as("n"), sum(col(v)).as("s")))
-    maintainAgg(oldAgg, pre, b, key, grp, v)
-      .coalesce(1).write.mode("overwrite")
-      .parquet(s"$summaryDir/v=$epoch")
+    summaryVersions(summaryDir).filter(_ < epoch).lastOption match {
+      case None =>
+        // bootstrap: the full summary, every bucket written once
+        val full = maintainAgg(
+          base.groupBy(grp)
+            .agg(count(lit(1)).as("n"), sum(col(v)).as("s")),
+          pre, b, key, grp, v)
+        writeEpochBuckets(full, summaryDir, epoch, grp, nBuckets)
+        commitVersion(summaryDir, epoch, nBuckets,
+          (0 until nBuckets).map(_ -> epoch).toMap)
+      case Some(prevE) =>
+        val (nb, prevMap) = readVersionManifest(summaryDir, prevE)
+        val touched = touchedBuckets(pre, b, key, grp, nb)
+        if (touched.nonEmpty) {
+          val oldTouched = readStoreBuckets(spark, summaryDir,
+            prevMap.filter(kv => touched(kv._1)))
+          writeEpochBuckets(
+            maintainAgg(oldTouched, pre, b, key, grp, v),
+            summaryDir, epoch, grp, nb)
+        }
+        commitVersion(summaryDir, epoch, nb,
+          prevMap ++ touched.map(_ -> epoch))
+    }
     b.unpersist()
     ()
+  }
+
+  /** The union of specific (bucket → content epoch) directories —
+    * the restricted old-view read behind touched-bucket maintenance.
+    * Empty selection (or all-empty buckets) yields an empty frame
+    * shaped by a sibling bucket; a store with no rows at all cannot
+    * arise here (the bootstrap epoch writes first). */
+  private def readStoreBuckets(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String, sel: Map[Int, Long]): DataFrame = {
+    val frames = sel.toSeq.sortBy(_._1).flatMap { case (b, ce) =>
+      val d = new java.io.File(storeDir, s"delta/e=$ce/gb=$b")
+      if (d.isDirectory) Some(spark.read.parquet(d.getPath)) else None
+    }
+    frames.reduceOption(_ unionByName _).getOrElse {
+      // every selected bucket is empty: borrow any existing bucket
+      // directory for the schema and filter it to nothing
+      val any = Option(new java.io.File(storeDir, "delta").listFiles())
+        .toSeq.flatten.filter(_.isDirectory)
+        .flatMap(e => Option(e.listFiles()).toSeq.flatten)
+        .find(d => d.isDirectory && d.getName.startsWith("gb="))
+        .getOrElse(throw new IllegalStateException(
+          s"store at $storeDir has no bucket directories"))
+      spark.read.parquet(any.getPath).filter(lit(false))
+    }
   }
 
   /** One epoch of the NON-ABELIAN streaming-lakehouse loop — the
     * top-k sibling of [[absorbSummaryBatch]] and the shared body of
     * [[graft.streaming.EventStreams.maintainedTopKSink]] and its
     * oracled batch twin (q173): the change batch lands as the
-    * immutable log segment `batch=<epoch>/` AND advances a versioned
-    * per-group top-`k` view `v=<epoch>/` via [[maintainTopK]] —
-    * touched groups re-read from the pre-batch snapshot (the honest
-    * non-abelian contract: a demoted member's replacement was never
-    * materialized), untouched groups pass through.
+    * immutable log segment `batch=<epoch>/` AND advances the
+    * bucketed versioned per-group top-`k` view store via
+    * [[maintainTopK]] — touched groups re-read from the pre-batch
+    * snapshot (the honest non-abelian contract: a demoted member's
+    * replacement was never materialized), untouched groups pass
+    * through, and only the BUCKETS containing touched groups are
+    * rewritten (untouched buckets carry forward by manifest
+    * reference — restricting the old view to touched buckets is
+    * exact because [[maintainTopK]] only changes touched groups'
+    * rows, all of which hash into touched buckets).
     *
     * Exactly-once under epoch replays for the same reason as the
-    * summary sibling: both writes are per-epoch directory overwrites
-    * whose inputs (log prefix, previous view) are bounded by
-    * id < epoch, so a crashed epoch's half-writes are invisible to
-    * its retry. Scale shape: the view is (groups × k)-sized; the
+    * summary sibling: log segment and epoch delta are per-epoch
+    * overwrites, the manifest commit an atomic REPLACE rename, and
+    * both inputs (log prefix, previous committed version) are
+    * bounded by id < epoch. Scale shape: the view is
+    * (groups × k)-sized but never materializes through one task; the
     * base is touched only through the batch-bounded touched-group
-    * semi join inside [[maintainTopK]].
+    * semi joins.
     */
   def absorbTopKBatch(batch: DataFrame, base: DataFrame,
       logDir: String, viewDir: String, key: String, grp: String,
-      v: String, k: Int, epoch: Long): Unit = {
+      v: String, k: Int, epoch: Long, nBuckets: Int = 8): Unit = {
     val spark = batch.sparkSession
     val b = batch.persist()
     b.coalesce(1).write.mode("overwrite")
       .parquet(s"$logDir/batch=$epoch")
     val pre = replayLogBefore(spark, base, logDir, key, epoch)
-    val oldView = latestSummaryBefore(spark, viewDir, epoch)
-      .getOrElse(topKView(pre, key, grp, v, k))
-    maintainTopK(oldView, pre, b, key, grp, v, k)
-      .coalesce(1).write.mode("overwrite")
-      .parquet(s"$viewDir/v=$epoch")
+    summaryVersions(viewDir).filter(_ < epoch).lastOption match {
+      case None =>
+        val full = maintainTopK(topKView(pre, key, grp, v, k),
+          pre, b, key, grp, v, k)
+        writeEpochBuckets(full, viewDir, epoch, grp, nBuckets)
+        commitVersion(viewDir, epoch, nBuckets,
+          (0 until nBuckets).map(_ -> epoch).toMap)
+      case Some(prevE) =>
+        val (nb, prevMap) = readVersionManifest(viewDir, prevE)
+        val touched = touchedBuckets(pre, b, key, grp, nb)
+        if (touched.nonEmpty) {
+          val oldTouched = readStoreBuckets(spark, viewDir,
+            prevMap.filter(kv => touched(kv._1)))
+          writeEpochBuckets(
+            maintainTopK(oldTouched, pre, b, key, grp, v, k),
+            viewDir, epoch, grp, nb)
+        }
+        commitVersion(viewDir, epoch, nb,
+          prevMap ++ touched.map(_ -> epoch))
+    }
     b.unpersist()
     ()
   }
 
-  /** Summary versions present under `summaryDir`, ascending. */
+  /** Committed store versions under `summaryDir`, ascending — the
+    * manifest listing (O(versions) driver work; [[pruneSummaries]]
+    * bounds it). */
   def summaryVersions(summaryDir: String): Seq[Long] =
-    Option(new java.io.File(summaryDir).listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+    Option(new java.io.File(summaryDir, VersionsRel).listFiles())
+      .toSeq.flatten
+      .filter(f => f.isFile && f.getName.startsWith("v="))
       .map(_.getName.stripPrefix("v=").toLong).sorted
 
   /** The latest committed summary strictly before `epoch`, if any. */
   def latestSummaryBefore(spark: org.apache.spark.sql.SparkSession,
       summaryDir: String, epoch: Long): Option[DataFrame] =
     summaryVersions(summaryDir).filter(_ < epoch).lastOption
-      .map(e => spark.read.parquet(s"$summaryDir/v=$e"))
+      .map(e => readStore(spark, summaryDir, e))
 
   /** Read the maintained summary at `version` (default: latest). */
   def readSummary(spark: org.apache.spark.sql.SparkSession,
@@ -445,12 +618,15 @@ object Pipeline {
     val pick = vs.filter(_ <= version).lastOption.getOrElse(
       throw new IllegalArgumentException(
         s"no summary version <= $version under $summaryDir"))
-    spark.read.parquet(s"$summaryDir/v=$pick")
+    readStore(spark, summaryDir, pick)
   }
 
-  /** Retention for the versioned summary — the Delta `VACUUM` of this
-    * tier: keep the newest `keepLast` `v=<epoch>/` directories, delete
-    * the rest, return how many were removed. Without it
+  /** Retention for the versioned summary store — the Delta `VACUUM`
+    * of this tier: keep the newest `keepLast` version MANIFESTS,
+    * delete the rest, then reclaim the bucket directories no
+    * surviving manifest references (buckets are SHARED across
+    * versions by reference, so this is per-bucket reference
+    * counting). Returns how many versions were pruned. Without it
     * [[absorbSummaryBatch]] grows one version per epoch FOREVER — the
     * last unbounded-growth loop in the streaming-lakehouse composition
     * (the log side already has [[rebaseLog]], the zone-map side
@@ -468,17 +644,44 @@ object Pipeline {
     * possible replay — Spark replays at most the last unCommitted
     * epoch, so `keepLast >= 2` is safe under single-writer streaming.
     *
-    * Scale shape: one driver-side directory listing plus
-    * `O(removed)` deletes of group-cardinality-sized directories —
-    * never a data scan.
+    * Scale shape: one driver-side manifest listing plus `O(epoch
+    * dirs × buckets)` existence checks and unreferenced-bucket
+    * deletes — metadata work bounded by retention, never a data scan.
     */
   def pruneSummaries(summaryDir: String, keepLast: Int): Int = {
     require(keepLast >= 1, s"keepLast must be >= 1: $keepLast")
-    val drop = summaryVersions(summaryDir).dropRight(keepLast)
+    val vs = summaryVersions(summaryDir)
+    val drop = vs.dropRight(keepLast)
+    // retire manifests first: a pruned version becomes unreadable
+    // atomically, before any data it exclusively references goes
     drop.foreach { e =>
-      graft.engine.Bucketing.deleteTree(
-        new java.io.File(summaryDir, s"v=$e"))
+      new java.io.File(summaryDir, s"$VersionsRel/v=$e").delete()
     }
+    // then reclaim bucket directories no SURVIVING manifest references
+    // (untouched buckets are shared across versions by reference, so
+    // reclamation is per-bucket reference counting, never per-version)
+    val referenced: Set[(Long, Int)] = vs.takeRight(keepLast)
+      .flatMap { e =>
+        readVersionManifest(summaryDir, e)._2.toSeq
+          .map { case (b, ce) => (ce, b) }
+      }.toSet
+    val deltaRoot = new java.io.File(summaryDir, "delta")
+    Option(deltaRoot.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("e="))
+      .foreach { ed =>
+        val ce = ed.getName.stripPrefix("e=").toLong
+        Option(ed.listFiles()).toSeq.flatten
+          .filter(d => d.isDirectory && d.getName.startsWith("gb="))
+          .foreach { bd =>
+            val b = bd.getName.stripPrefix("gb=").toInt
+            if (!referenced((ce, b)))
+              graft.engine.Bucketing.deleteTree(bd)
+          }
+        // an epoch dir left with no referenced bucket is a husk
+        if (!Option(ed.listFiles()).toSeq.flatten
+            .exists(d => d.isDirectory && d.getName.startsWith("gb=")))
+          graft.engine.Bucketing.deleteTree(ed)
+      }
     drop.size
   }
 

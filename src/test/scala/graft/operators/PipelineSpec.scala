@@ -406,6 +406,94 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("the versioned view store rewrites ONLY the buckets an epoch " +
+    "touches: a one-group batch writes one bucket directory, " +
+    "untouched buckets carry forward by manifest reference") {
+    import java.nio.file.Files
+    val base = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L),
+      (4L, "c", 7L), (5L, "d", 9L), (6L, "e", 11L))
+      .toDF("doc_id", "source", "n_chars")
+    val scratch = Files.createTempDirectory("graft-buckets").toString
+    val logDir = s"$scratch/log"
+    val sumDir = s"$scratch/summary"
+    def gbDirs(e: Long): Seq[String] =
+      Option(new java.io.File(sumDir, s"delta/e=$e").listFiles())
+        .toSeq.flatten.filter(f => f.isDirectory &&
+          f.getName.startsWith("gb=")).map(_.getName).sorted
+    // epoch 0 bootstraps the full store
+    Pipeline.absorbSummaryBatch(
+      Seq((2L, "a", 25L, "U")).toDF("doc_id", "source", "n_chars", "op"),
+      base, logDir, sumDir, "doc_id", "source", "n_chars", 0L)
+    val boot = gbDirs(0L)
+    assert(boot.nonEmpty)
+    // epoch 1 touches ONE group → exactly ONE bucket directory written
+    Pipeline.absorbSummaryBatch(
+      Seq((3L, "b", 35L, "U")).toDF("doc_id", "source", "n_chars", "op"),
+      base, logDir, sumDir, "doc_id", "source", "n_chars", 1L)
+    assert(gbDirs(1L).size == 1,
+      s"one-group epoch rewrote ${gbDirs(1L)} — must be one bucket")
+    // the untouched buckets' data directories were NOT rewritten:
+    // epoch 0's bucket dirs are all still present and the epoch-1
+    // manifest must reference epoch 0 for every untouched bucket
+    assert(gbDirs(0L) == boot)
+    val manifest = Files.readAllLines(new java.io.File(
+      sumDir, "_VERSIONS/v=1").toPath)
+    val remapped = manifest.toArray(Array.empty[String]).toSeq.tail
+      .map(_.split(",")).count(_.apply(1) == "1")
+    assert(remapped == 1, s"manifest remapped $remapped buckets")
+    // and the composed view still equals the from-scratch replay
+    val got = Pipeline.readSummary(spark, sumDir)
+      .as[(String, Long, Long)].collect().toSet
+    val want = Pipeline.replayLog(spark, base, logDir, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("s"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == want)
+    // version 0 re-read AFTER version 1 exists is unchanged (time
+    // travel through shared bucket references)
+    val v0want = base.groupBy("source")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("s"))
+      .as[(String, Long, Long)].collect().toSet
+      .map((t: (String, Long, Long)) =>
+        if (t._1 == "a") (t._1, t._2, t._3 + 5L) else t)
+    assert(Pipeline.readSummary(spark, sumDir, 0L)
+      .as[(String, Long, Long)].collect().toSet == v0want)
+  }
+
+  test("the top-k view store shares the bucket protocol: a one-group " +
+    "epoch rewrites one bucket and the composed view matches the " +
+    "from-scratch top-k of the replayed log") {
+    import java.nio.file.Files
+    val base = Seq(
+      (1L, "a", 50L), (2L, "a", 40L), (3L, "a", 30L),
+      (5L, "b", 90L), (6L, "b", 80L), (7L, "c", 5L))
+      .toDF("doc_id", "source", "n_chars")
+    val scratch = Files.createTempDirectory("graft-tkbuckets").toString
+    val logDir = s"$scratch/log"
+    val viewDir = s"$scratch/view"
+    def gbDirs(e: Long): Seq[String] =
+      Option(new java.io.File(viewDir, s"delta/e=$e").listFiles())
+        .toSeq.flatten.filter(f => f.isDirectory &&
+          f.getName.startsWith("gb=")).map(_.getName).sorted
+    Pipeline.absorbTopKBatch(
+      Seq((2L, "a", 45L, "U")).toDF("doc_id", "source", "n_chars", "op"),
+      base, logDir, viewDir, "doc_id", "source", "n_chars", 2, 0L)
+    Pipeline.absorbTopKBatch(
+      Seq((8L, "c", 70L, "U")).toDF("doc_id", "source", "n_chars", "op"),
+      base, logDir, viewDir, "doc_id", "source", "n_chars", 2, 1L)
+    assert(gbDirs(1L).size == 1,
+      s"one-group epoch rewrote ${gbDirs(1L)} — must be one bucket")
+    val got = Pipeline.readSummary(spark, viewDir)
+      .as[(String, Long, Long, Long)].collect()
+      .sortBy(t => (t._1, t._4)).toSeq
+    val want = Pipeline.topKView(
+      Pipeline.replayLog(spark, base, logDir, "doc_id"),
+      "doc_id", "source", "n_chars", 2)
+      .as[(String, Long, Long, Long)].collect()
+      .sortBy(t => (t._1, t._4)).toSeq
+    assert(got == want)
+  }
+
   test("pruneRebaseMarkers retires all but the newest marker") {
     import java.nio.file.Files
     val root = Files.createTempDirectory("graft-marks").toString
