@@ -468,16 +468,17 @@ object Bucketing {
           val aside = new java.io.File(dir.getParentFile,
             dir.getName + ".old-" +
               java.util.UUID.randomUUID().toString.take(8))
-          java.nio.file.Files.move(dir.toPath, aside.toPath,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          Fs.renameNoReplace(dir, aside)
           stale = Some(aside)
         } else deleteRecursively(dir)
       }
-      java.nio.file.Files.move(tmp.toPath, dir.toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      // the publish itself goes through the portable commit seam
+      // ([[Fs]]): HDFS-atomic, conditional-put on object stores
+      Fs.renameNoReplace(tmp, dir)
       stale.foreach(deleteRecursively)
     } catch {
-      case _: java.nio.file.FileAlreadyExistsException |
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+           _: java.nio.file.FileAlreadyExistsException |
            _: java.nio.file.FileSystemException
           if new java.io.File(dir, "_SUCCESS").isFile =>
         // another staging published first (equally fresh under force —

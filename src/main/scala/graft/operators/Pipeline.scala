@@ -399,10 +399,11 @@ object Pipeline {
     val body = (s"nb=$nb" +: map.toSeq.sortBy(_._1)
       .map { case (b, ce) => s"$b,$ce" }).mkString("\n")
     java.nio.file.Files.writeString(tmp.toPath, body)
-    java.nio.file.Files.move(tmp.toPath,
-      new java.io.File(vd, s"v=$epoch").toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // REPLACE is safe here and only here: the sole way v=<epoch> can
+    // already exist is this same epoch's crashed/replayed attempt,
+    // whose inputs (log prefix, previous version) are bounded by
+    // id < epoch — so both commits carry identical bytes
+    graft.engine.Fs.renameReplace(tmp, new java.io.File(vd, s"v=$epoch"))
   }
 
   /** Parse version `epoch`'s manifest: (nb, bucket → content epoch). */

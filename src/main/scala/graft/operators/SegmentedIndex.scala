@@ -17,10 +17,15 @@ import org.apache.spark.sql.functions._
   *  - deletes are TOMBSTONE segments `del=<fp>/` of doc_ids — Lucene's
   *    live-docs bitmap: the postings of a deleted doc stay in place
   *    until a merge, results just skip them;
-  *  - visibility is a single `_SEGMENTS` manifest committed by one
-  *    atomic rename (the Delta commit shape): data directories are
+  *  - visibility is a manifest committed as a monotonically numbered
+  *    GENERATION (`_SEGMENTS.g<n>`) by one create-exclusive atomic
+  *    rename (the Delta commit-log shape): data directories are
   *    invisible until referenced, so a crashed writer leaves only an
-  *    orphan (reclaimed by [[vacuum]]), never a torn index;
+  *    orphan (reclaimed by [[vacuum]]), never a torn index — and two
+  *    racing manifest writers (a streaming append vs a maintenance
+  *    merge) collide on the generation number, so the loser FAILS
+  *    LOUDLY and re-reads instead of silently dropping the winner's
+  *    committed segment;
   *  - [[merge]] folds all live segments into one, APPLIES the
   *    tombstones, and supersedes the olds — Lucene's segment merge
   *    ([[vacuum]] reclaims the retired directories once aged).
@@ -59,35 +64,73 @@ object SegmentedIndex {
   private case class Seg(kind: String, name: String, nDocs: Long,
                          totalLen: Long)
 
-  /** Parse the manifest: (nBuckets, live segments in commit order).
-    * O(segments) driver work — bounded by merge cadence, never by
-    * corpus size. */
-  private def readManifest(root: java.io.File): (Int, Seq[Seg]) = {
-    val f = new java.io.File(root, "_SEGMENTS")
-    require(f.isFile, s"no segmented index at $root")
+  /** How many superseded manifest generations [[writeManifest]] keeps
+    * behind the newest before pruning them — covers any reader that
+    * listed generations an instant before a burst of commits. */
+  private val KeepGenerations = 8
+
+  /** Committed manifest generation files `_SEGMENTS.g<n>`, ascending
+    * by generation. */
+  private def manifestGens(
+      root: java.io.File): Seq[(Long, java.io.File)] =
+    Option(root.listFiles()).toSeq.flatten
+      .filter(f => f.isFile && f.getName.startsWith("_SEGMENTS.g"))
+      .map(f => (f.getName.stripPrefix("_SEGMENTS.g").toLong, f))
+      .sortBy(_._1)
+
+  private def hasManifest(root: java.io.File): Boolean =
+    manifestGens(root).nonEmpty
+
+  /** Parse the NEWEST manifest generation: (nBuckets, live segments
+    * in commit order, generation). O(segments) driver work — bounded
+    * by merge cadence, never by corpus size. */
+  private def readManifest(root: java.io.File): (Int, Seq[Seg], Long) = {
+    val gens = manifestGens(root)
+    require(gens.nonEmpty, s"no segmented index at $root")
+    val (gen, f) = gens.last
     val lines = java.nio.file.Files
       .readAllLines(f.toPath).toArray(Array.empty[String]).toSeq
     val nBuckets = lines.head.stripPrefix("nb=").toInt
     (nBuckets, lines.tail.map { l =>
       val Array(kind, name, nd, tl) = l.split(",")
       Seg(kind, name, nd.toLong, tl.toLong)
-    })
+    }, gen)
   }
 
-  /** Commit a new manifest generation: full rewrite, one atomic
-    * rename — readers see the previous generation or this one, never
-    * a prefix. */
+  /** Commit manifest generation `prevGen + 1`: full rewrite, ONE
+    * create-exclusive atomic rename through the portable seam
+    * ([[graft.engine.Fs.renameNoReplace]]). Readers see the previous
+    * generation or this one, never a prefix — and a writer racing
+    * another manifest-writing operation (streaming append vs a
+    * maintenance merge/vacuum job) FAILS LOUDLY with
+    * FileAlreadyExistsException instead of silently dropping the
+    * winner's committed segment from the manifest: the loser re-reads
+    * the new generation and redoes its read-modify-write. Superseded
+    * generation files beyond [[KeepGenerations]] are pruned here
+    * (tiny, but otherwise one file per commit forever). */
   private def writeManifest(root: java.io.File, nBuckets: Int,
-                            segs: Seq[Seg]): Unit = {
+                            segs: Seq[Seg], prevGen: Long): Unit = {
     val tmp = new java.io.File(root, "_SEGMENTS.tmp-" +
       java.util.UUID.randomUUID().toString.take(8))
     val body = (s"nb=$nBuckets" +: segs.map(s =>
       s"${s.kind},${s.name},${s.nDocs},${s.totalLen}")).mkString("\n")
     java.nio.file.Files.writeString(tmp.toPath, body)
-    java.nio.file.Files.move(tmp.toPath,
-      new java.io.File(root, "_SEGMENTS").toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    graft.engine.Fs.renameNoReplace(tmp,
+      new java.io.File(root, f"_SEGMENTS.g${prevGen + 1}%013d"))
+    manifestGens(root).dropRight(KeepGenerations)
+      .foreach(_._2.delete())
+  }
+
+  /** TEST SEAM for the lost-update contract: replay a writer whose
+    * read-modify-write was overtaken — it re-commits the CURRENT
+    * manifest body against a STALE predecessor generation, which must
+    * collide on the create-exclusive rename and throw, never silently
+    * replace the winner. (The interleaving cannot be produced through
+    * the public API without a real concurrent writer.) */
+  private[operators] def commitStaleManifestForTest(root: java.io.File,
+      stalePrevGen: Long): Unit = {
+    val (nb, segs, _) = readManifest(root)
+    writeManifest(root, nb, segs, stalePrevGen)
   }
 
   /** Postings of one batch with the partition bucket column. The
@@ -98,7 +141,7 @@ object SegmentedIndex {
     * (it is `size(positions)`, but scoring reads it constantly). */
   private def segPostings(docs: DataFrame, nBuckets: Int): DataFrame =
     docs
-      .select(col("doc_id"),
+      .select(col("doc_id").cast("long").as("doc_id"),
         expr("bigint(size(split(text, ' ')))").as("dl"),
         posexplode(TextOps.tokens("text")).as(Seq("pos", "term")))
       .groupBy("term", "doc_id", "dl")
@@ -125,15 +168,11 @@ object SegmentedIndex {
              batchKey: String, nBuckets: Int = 8): Unit = {
     val root = new java.io.File(rootDir)
     root.mkdirs()
-    val nb =
-      if (new java.io.File(root, "_SEGMENTS").isFile)
-        readManifest(root)._1
-      else nBuckets
+    val (nb, segs, gen) =
+      if (hasManifest(root)) readManifest(root)
+      else (nBuckets, Seq.empty[Seg], 0L)
     val fp = graft.engine.Bucketing.fingerprint8("sx4|" + batchKey)
     val name = s"seg=$fp"
-    val (_, segs) =
-      if (new java.io.File(root, "_SEGMENTS").isFile) readManifest(root)
-      else (nb, Seq.empty[Seg])
     if (segs.exists(_.name == name)) return
     val d = docs.persist()
     val stats = d.agg(count(lit(1)).as("n"),
@@ -143,12 +182,12 @@ object SegmentedIndex {
       tmp =>
         segPostings(d, nb).write.mode("overwrite")
           .partitionBy("tb").parquet(tmp.getPath)
-        writeStored(d, tmp)
-        writeDict(d.sparkSession, tmp)
+        writeStored(d, tmp, nb)
+        writeDict(d.sparkSession, tmp, nb)
     }
     d.unpersist()
     writeManifest(root, nb,
-      segs :+ Seg("seg", name, stats.getLong(0), stats.getLong(1)))
+      segs :+ Seg("seg", name, stats.getLong(0), stats.getLong(1)), gen)
   }
 
   /** Per-segment TERM DICTIONARY — Lucene's terms index: (term,
@@ -160,11 +199,16 @@ object SegmentedIndex {
     * and scanning the vocabulary. Summed per-segment doc_freq equals
     * the stats-phase df (tombstoned docs included), same as the
     * postings aggregation the scorers use. */
-  private def writeDict(spark: SparkSession,
-                        segTmp: java.io.File): Unit =
+  private def writeDict(spark: SparkSession, segTmp: java.io.File,
+                        nTasks: Int): Unit =
     spark.read.parquet(segTmp.getPath)
       .groupBy("term").agg(count(lit(1)).as("doc_freq"))
-      .coalesce(1).write.mode("overwrite")
+      // ranged + sorted: bulk initial builds parallelize across
+      // nTasks writers instead of one task, and the term-ordered
+      // row groups give the dictionary walk tight footer stats
+      .repartitionByRange(nTasks, col("term"))
+      .sortWithinPartitions("term")
+      .write.mode("overwrite")
       .parquet(new java.io.File(segTmp, "_dict").getPath)
 
   /** The live segments' dictionaries unioned (term, doc_freq, seg).
@@ -182,9 +226,18 @@ object SegmentedIndex {
     * postings scans' file listing, so term queries never touch it),
     * committed by the same manifest rename as the postings. [[fetch]]
     * and [[highlight]] read them; nothing else does. */
-  private def writeStored(d: DataFrame, segTmp: java.io.File): Unit =
+  private def writeStored(d: DataFrame, segTmp: java.io.File,
+                          nTasks: Int): Unit =
     d.select(col("doc_id").cast("long").as("doc_id"), col("text"))
-      .coalesce(1).write.mode("overwrite")
+      // ranged + doc_id-sorted (replacing a coalesce(1)): a BULK
+      // initial build writes through nTasks parallel tasks instead
+      // of serializing every stored field through one, and the
+      // sorted row groups give [[fetch]]'s `doc_id IN` pushdown
+      // footer-stat pruning — for micro-batch streaming segments the
+      // few small files per segment are still Lucene's own shape
+      .repartitionByRange(nTasks, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .write.mode("overwrite")
       .parquet(new java.io.File(segTmp, "_stored").getPath)
 
   /** The live segments' stored fields tagged with their segment fp —
@@ -206,7 +259,7 @@ object SegmentedIndex {
   def fetch(spark: SparkSession, rootDir: String,
             ids: Seq[Long]): DataFrame = {
     val root = new java.io.File(rootDir)
-    val (_, segs) = readManifest(root)
+    val (_, segs, _) = readManifest(root)
     val stored = storedFrame(spark, root, segs)
       .filter(col("doc_id").isin(ids: _*))
     val live = tombstones(spark, root, segs) match {
@@ -228,7 +281,7 @@ object SegmentedIndex {
                 terms: Seq[String], k: Int,
                 window: Int = 3): DataFrame = {
     val root = new java.io.File(rootDir)
-    val (_, segs) = readManifest(root)
+    val (_, segs, _) = readManifest(root)
     val top = search(spark, rootDir, terms, k).select("doc_id")
     val stored = storedFrame(spark, root, segs)
     val live = tombstones(spark, root, segs) match {
@@ -253,7 +306,7 @@ object SegmentedIndex {
   def delete(spark: SparkSession, rootDir: String, docIds: DataFrame,
              batchKey: String): Unit = {
     val root = new java.io.File(rootDir)
-    val (nb, segs) = readManifest(root)
+    val (nb, segs, gen) = readManifest(root)
     val fp = graft.engine.Bucketing.fingerprint8("sx4del|" + batchKey)
     val name = s"del=$fp"
     if (segs.exists(_.name == name)) return
@@ -263,7 +316,7 @@ object SegmentedIndex {
       tmp => ids.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
     }
     ids.unpersist()
-    writeManifest(root, nb, segs :+ Seg("del", name, n, 0L))
+    writeManifest(root, nb, segs :+ Seg("del", name, n, 0L), gen)
   }
 
   /** Update documents — Elasticsearch's update model (delete the old
@@ -278,7 +331,7 @@ object SegmentedIndex {
   def upsert(spark: SparkSession, rootDir: String, docs: DataFrame,
              batchKey: String): Unit = {
     val root = new java.io.File(rootDir)
-    val (nb, segs) = readManifest(root)
+    val (nb, segs, gen) = readManifest(root)
     val segFp = graft.engine.Bucketing.fingerprint8("sx4|" + batchKey)
     val segName = s"seg=$segFp"
     if (segs.exists(_.name == segName)) return
@@ -297,14 +350,48 @@ object SegmentedIndex {
       tmp =>
         segPostings(d, nb).write.mode("overwrite")
           .partitionBy("tb").parquet(tmp.getPath)
-        writeStored(d, tmp)
-        writeDict(d.sparkSession, tmp)
+        writeStored(d, tmp, nb)
+        writeDict(d.sparkSession, tmp, nb)
     }
     d.unpersist()
     writeManifest(root, nb,
       segs :+ Seg("del", delName, stats.getLong(0), 0L)
-        :+ Seg("seg", segName, stats.getLong(0), stats.getLong(1)))
+        :+ Seg("seg", segName, stats.getLong(0), stats.getLong(1)), gen)
   }
+
+  /** The postings schema, stated EXPLICITLY on every multi-segment
+    * read: the `seg=<fingerprint>` directory names are Hive partition
+    * values, and letting type inference loose on them invites an
+    * all-numeric or scientific-notation-looking fingerprint set
+    * (`12e34567`) to be inferred NUMERIC — value coercion against the
+    * manifest's string segment names would then mismatch and silently
+    * mis-apply tombstones. The same rule
+    * [[Similarity.readIvfIndex]] already follows. */
+  private val PostingsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("term",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("dl",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("tf",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("positions",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType)),
+    org.apache.spark.sql.types.StructField("tb",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("seg",
+      org.apache.spark.sql.types.StringType)))
+
+  /** All postings of the given segments, explicit-schema, with the
+    * (seg, tb) partition columns. */
+  private def segmentsRead(spark: SparkSession, root: java.io.File,
+      segs: Seq[Seg]): DataFrame =
+    spark.read.option("basePath", root.getPath)
+      .schema(PostingsSchema)
+      .parquet(segs.filter(_.kind == "seg")
+        .map(s => new java.io.File(root, s.name).getPath): _*)
 
   /** The live postings of the queried terms only: every live
     * segment's scan arrives with `tb IN (term buckets)` as a
@@ -315,9 +402,7 @@ object SegmentedIndex {
   private def prunedPostings(spark: SparkSession, root: java.io.File,
       segs: Seq[Seg], terms: Seq[String], nb: Int): DataFrame = {
     val buckets = terms.map(termBucket(_, nb)).distinct
-    spark.read.option("basePath", root.getPath)
-      .parquet(segs.filter(_.kind == "seg")
-        .map(s => new java.io.File(root, s.name).getPath): _*)
+    segmentsRead(spark, root, segs)
       .filter(col("tb").isin(buckets: _*) &&
         col("term").isin(terms: _*))
   }
@@ -355,7 +440,7 @@ object SegmentedIndex {
   def search(spark: SparkSession, rootDir: String, terms: Seq[String],
              k: Int): DataFrame = {
     val root = new java.io.File(rootDir)
-    val (nb, segs) = readManifest(root)
+    val (nb, segs, gen) = readManifest(root)
     val nDocs = segs.filter(_.kind == "seg").map(_.nDocs).sum
     val p = prunedPostings(spark, root, segs, terms, nb)
     // df BEFORE tombstones — Lucene counts deleted docs' postings in
@@ -399,7 +484,7 @@ object SegmentedIndex {
                terms: Seq[String], k: Int, k1: Double = 1.2,
                b: Double = 0.75): DataFrame = {
     val root = new java.io.File(rootDir)
-    val (nb, segs) = readManifest(root)
+    val (nb, segs, gen) = readManifest(root)
     val nDocs = segs.filter(_.kind == "seg").map(_.nDocs).sum
     val totalLen = segs.filter(_.kind == "seg").map(_.totalLen).sum
     val p = prunedPostings(spark, root, segs, terms, nb)
@@ -445,7 +530,7 @@ object SegmentedIndex {
       "the exact rank_key derivation hardcodes k1=1.2, b=0.75 " +
         "(rationals 3/10, 9/10); generalize the integer key to change them")
     val root = new java.io.File(rootDir)
-    val (nb, segs) = readManifest(root)
+    val (nb, segs, gen) = readManifest(root)
     val nDocs = segs.filter(_.kind == "seg").map(_.nDocs).sum
     val totalLen = segs.filter(_.kind == "seg").map(_.totalLen).sum
     val p = prunedPostings(spark, root, segs, Seq(term), nb)
@@ -506,7 +591,7 @@ object SegmentedIndex {
       s"maxDist must be 1 or 2: $maxDist")
     import spark.implicits._
     val root = new java.io.File(rootDir)
-    val (nb, segs) = readManifest(root)
+    val (nb, segs, gen) = readManifest(root)
     val nDocs = segs.filter(_.kind == "seg").map(_.nDocs).sum
     // pass 1: dictionary walk over the per-segment TERM DICTIONARIES
     // — a vocabulary-sized read (Lucene's terms index), never the
@@ -566,7 +651,7 @@ object SegmentedIndex {
                    phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "phrase must have at least one term")
     val root = new java.io.File(rootDir)
-    val (nb, segs) = readManifest(root)
+    val (nb, segs, gen) = readManifest(root)
     val p = prunedPostings(spark, root, segs, phrase.distinct, nb)
     val live = tombstones(spark, root, segs) match {
       case Some(dead) =>
@@ -582,7 +667,7 @@ object SegmentedIndex {
   /** Live segment/tombstone counts and the Lucene-phase corpus stats
     * — (n_segments, n_tombstone_segments, n_docs_stat). */
   def stats(rootDir: String): (Long, Long, Long) = {
-    val (_, segs) = readManifest(new java.io.File(rootDir))
+    val (_, segs, _) = readManifest(new java.io.File(rootDir))
     (segs.count(_.kind == "seg").toLong,
       segs.count(_.kind == "del").toLong,
       segs.filter(_.kind == "seg").map(_.nDocs).sum)
@@ -599,34 +684,95 @@ object SegmentedIndex {
     * (segments folded, tombstone segments applied). */
   def merge(spark: SparkSession, rootDir: String): (Int, Int) = {
     val root = new java.io.File(rootDir)
-    val (_, segs) = readManifest(root)
+    val (_, segs, _) = readManifest(root)
     mergePrefix(spark, root, segs.size)
   }
 
   /** Tiered merge — Lucene's TieredMergePolicy, simplified to one
     * tier: a no-op while the live segment count stays within
-    * `maxSegments`; above it, fold the OLDEST manifest prefix down to
-    * the bound. Folding a prefix is exactly semantics-preserving
-    * under the prefix tombstone rule: every tombstone inside the
-    * prefix scopes only to prefix segments (fully absorbed by the
-    * fold), and every later tombstone follows the merged segment in
-    * the manifest, so it still applies to it. This is what bounds
-    * merge WRITE AMPLIFICATION under steady streaming ingest: each
-    * maybeMerge rewrites the oldest few batches, never the whole
-    * index; [[merge]] stays the full checkpoint. Returns
-    * (segments folded, tombstone segments applied). */
+    * `maxSegments`; above it, fold segments down to the bound,
+    * picking the CHEAPEST fold the tombstone rule allows —
+    * SMALLEST-first, like Lucene, so steady mixed ingest (one big
+    * bulk + many tiny streaming batches) folds the tiny segments
+    * over and over and never rewrites the big one. Selection:
+    *
+    *  - candidates are CONTIGUOUS runs of `toFold` seg entries with
+    *    no del entry between them. Folding such a run into one
+    *    segment AT ITS MANIFEST POSITION, WITHOUT applying any
+    *    tombstones, is exactly semantics-preserving: a del before
+    *    the run never applied to its members and still doesn't; a
+    *    del after the run applied to every member and still does —
+    *    [[tombstones]] expands it against the merged name, whose
+    *    postings are the union of the members'. Stats are the
+    *    member sums (deleted docs keep counting — the Lucene phase);
+    *  - among candidates, fold the one with the smallest total
+    *    token length (write cost);
+    *  - if dels interleave every window, fall back to folding the
+    *    OLDEST PREFIX, which ABSORBS its prefix-scoped tombstones
+    *    (every tombstone in the prefix scopes only to prefix
+    *    segments; every later one follows the merged segment and
+    *    still applies to it).
+    *
+    * This is what bounds merge WRITE AMPLIFICATION under streaming
+    * ingest: each maybeMerge rewrites the cheapest few batches,
+    * never the whole index; [[merge]] stays the full checkpoint.
+    * Returns (segments folded, tombstone segments applied). */
   def maybeMerge(spark: SparkSession, rootDir: String,
                  maxSegments: Int): (Int, Int) = {
     require(maxSegments >= 1, s"maxSegments must be >= 1: $maxSegments")
     val root = new java.io.File(rootDir)
-    val (_, segs) = readManifest(root)
+    val (_, segs, _) = readManifest(root)
     val liveCount = segs.count(_.kind == "seg")
     if (liveCount <= maxSegments) return (0, 0)
     val toFold = liveCount - maxSegments + 1
-    // manifest prefix up to (and including) the toFold-th seg entry
-    val prefixEnd = segs.zipWithIndex.filter(_._1.kind == "seg")
-      .apply(toFold - 1)._2 + 1
-    mergePrefix(spark, root, prefixEnd)
+    // del-free contiguous windows of toFold manifest entries, scored
+    // by total token length — O(segments²) driver arithmetic over a
+    // merge-bounded list
+    val windows = segs.indices
+      .filter(i => i + toFold <= segs.size &&
+        segs.slice(i, i + toFold).forall(_.kind == "seg"))
+    if (windows.nonEmpty) {
+      val best = windows.minBy(i =>
+        (segs.slice(i, i + toFold).map(_.totalLen).sum, i))
+      mergeRun(spark, root, best, toFold)
+    } else {
+      // every window is del-broken: fold the oldest prefix (absorbs
+      // its prefix-scoped tombstones)
+      val prefixEnd = segs.zipWithIndex.filter(_._1.kind == "seg")
+        .apply(toFold - 1)._2 + 1
+      mergePrefix(spark, root, prefixEnd)
+    }
+  }
+
+  /** Fold the del-free run `segs[start, start+len)` into one segment
+    * at the same manifest position, WITHOUT applying tombstones (the
+    * correctness argument is in [[maybeMerge]]). Postings, stored
+    * fields and dictionaries union; stats are member sums. */
+  private def mergeRun(spark: SparkSession, root: java.io.File,
+                       start: Int, len: Int): (Int, Int) = {
+    val (nb, segs, gen) = readManifest(root)
+    val run = segs.slice(start, start + len)
+    require(run.forall(_.kind == "seg"), s"run at $start is not del-free")
+    if (run.size <= 1) return (0, 0)
+    val fp = graft.engine.Bucketing.fingerprint8(
+      "sx4merge|" + run.map(_.name).mkString("|"))
+    val name = s"seg=$fp"
+    val all = segmentsRead(spark, root, run)
+    graft.engine.Bucketing.atomicStage(new java.io.File(root, name)) {
+      tmp =>
+        all.select("term", "doc_id", "dl", "tf", "positions", "tb")
+          .repartition(nb, col("tb")) // one write task per bucket
+          .write.mode("overwrite").partitionBy("tb").parquet(tmp.getPath)
+        writeStored(storedFrame(spark, root, run), tmp, nb)
+        writeDict(spark, tmp, nb)
+    }
+    writeManifest(root, nb,
+      segs.take(start) ++
+        Seq(Seg("seg", name, run.map(_.nDocs).sum,
+          run.map(_.totalLen).sum)) ++
+        segs.drop(start + len), gen)
+    // retirement stays vacuum's job (see [[mergePrefix]])
+    (run.size, 0)
   }
 
   /** Fold the first `prefixLen` manifest entries into one segment:
@@ -636,14 +782,13 @@ object SegmentedIndex {
     * untouched remainder, then retire the folded directories. */
   private def mergePrefix(spark: SparkSession, root: java.io.File,
                           prefixLen: Int): (Int, Int) = {
-    val (nb, segs) = readManifest(root)
+    val (nb, segs, gen) = readManifest(root)
     val prefix = segs.take(prefixLen)
     val rest = segs.drop(prefixLen)
     val posts = prefix.filter(_.kind == "seg")
     val dels = prefix.filter(_.kind == "del")
     if (posts.size <= 1 && dels.isEmpty) return (0, 0)
-    val all = spark.read.option("basePath", root.getPath)
-      .parquet(posts.map(s => new java.io.File(root, s.name).getPath): _*)
+    val all = segmentsRead(spark, root, posts)
     val live = tombstones(spark, root, prefix) match {
       case Some(dead) =>
         all.join(broadcast(dead), Seq("doc_id", "seg"), "left_anti")
@@ -669,12 +814,12 @@ object SegmentedIndex {
         merged.select("term", "doc_id", "dl", "tf", "positions", "tb")
           .repartition(nb, col("tb")) // one write task per bucket
           .write.mode("overwrite").partitionBy("tb").parquet(tmp.getPath)
-        writeStored(storedLive, tmp)
-        writeDict(spark, tmp)
+        writeStored(storedLive, tmp, nb)
+        writeDict(spark, tmp, nb)
     }
     merged.unpersist()
     writeManifest(root, nb,
-      Seg("seg", name, st.getLong(0), st.getLong(1)) +: rest)
+      Seg("seg", name, st.getLong(0), st.getLong(1)) +: rest, gen)
     // retirement is [[vacuum]]'s job, NOT the merge's: a reader that
     // loaded the previous manifest generation an instant before this
     // commit may still be mid-scan of the folded directories —
@@ -691,9 +836,13 @@ object SegmentedIndex {
     * last — a crashed snapshot leaves the destination readable at its
     * previous generation). INCREMENTAL exactly the way ES snapshots
     * are: segments are immutable and content-addressed by name, so a
-    * directory already present in the destination is skipped — a
-    * re-snapshot after N new batches copies N directories, never the
-    * index. The destination IS a working index (the manifest is
+    * directory already COMPLETE in the destination (its `_SUCCESS`
+    * marker present) is skipped — a re-snapshot after N new batches
+    * copies N directories, never the index. Each copy lands in a
+    * temp-named sibling and publishes by ONE atomic rename, so a
+    * snapshot that crashes mid-copy leaves an invisible temp (vacuum
+    * fodder at the destination), never a torn segment a retry would
+    * silently adopt into its committed manifest. The destination IS a working index (the manifest is
     * self-contained), so restore = read it; orphans and retired
     * generations are excluded by construction (only referenced names
     * copy). Returns the number of directories copied. At 100 TB this
@@ -701,18 +850,31 @@ object SegmentedIndex {
     */
   def snapshot(rootDir: String, destDir: String): Int = {
     val root = new java.io.File(rootDir)
-    val (nb, segs) = readManifest(root)
+    val (nb, segs, _) = readManifest(root)
     val dest = new java.io.File(destDir)
     dest.mkdirs()
     var copied = 0
     segs.foreach { sg =>
       val to = new java.io.File(dest, sg.name)
-      if (!to.exists()) {
-        copyTree(new java.io.File(root, sg.name), to)
+      // "already present" means COMPLETE — the _SUCCESS marker the
+      // atomic publish below guarantees. A markerless destination
+      // dir is a torn copy from a crashed snapshot: replace it
+      // instead of silently committing a manifest that references it
+      if (!new java.io.File(to, "_SUCCESS").isFile) {
+        if (to.exists()) graft.engine.Bucketing.deleteTree(to)
+        val tmp = new java.io.File(dest, sg.name + ".snap-" +
+          java.util.UUID.randomUUID().toString.take(8))
+        copyTree(new java.io.File(root, sg.name), tmp)
+        // source segments carry _SUCCESS from their own staging;
+        // guarantee it on the copy regardless
+        new java.io.File(tmp, "_SUCCESS").createNewFile()
+        graft.engine.Fs.renameNoReplace(tmp, to)
         copied += 1
       }
     }
-    writeManifest(dest, nb, segs)
+    // the destination manifest advances its OWN generation chain
+    val destGen = if (hasManifest(dest)) readManifest(dest)._3 else 0L
+    writeManifest(dest, nb, segs, destGen)
     copied
   }
 
@@ -734,7 +896,7 @@ object SegmentedIndex {
     * number of directories reclaimed. */
   def vacuum(rootDir: String, olderThanMs: Long = 3600L * 1000): Int = {
     val root = new java.io.File(rootDir)
-    val (_, segs) = readManifest(root)
+    val (_, segs, _) = readManifest(root)
     val liveNames = segs.map(_.name).toSet
     val now = System.currentTimeMillis()
     def newestMtime(f: java.io.File): Long =

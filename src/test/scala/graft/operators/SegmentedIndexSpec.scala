@@ -198,6 +198,144 @@ class SegmentedIndexSpec extends SparkSpec {
     assert(xs2 == Seq((5L, 2.0, 1L)), xs2.toString)
   }
 
+  test("maybeMerge is size-aware: tiny streaming segments fold, the " +
+    "big bulk segment is NOT rewritten — the write-amplification " +
+    "scenario") {
+    val root = Files.createTempDirectory("graft-sizetier").toString
+    val big = (1L to 100L).map(i => (i, s"bulk doc number$i x"))
+      .toDF("doc_id", "text")
+    SegmentedIndex.append(spark, root, big, "bulk", nBuckets = 4)
+    SegmentedIndex.append(spark, root,
+      Seq((101L, "x tiny1")).toDF("doc_id", "text"), "t1")
+    SegmentedIndex.append(spark, root,
+      Seq((102L, "x tiny2")).toDF("doc_id", "text"), "t2")
+    SegmentedIndex.append(spark, root,
+      Seq((103L, "x tiny3")).toDF("doc_id", "text"), "t3")
+    val bigName = {
+      val fp = graft.engine.Bucketing.fingerprint8("sx4|bulk")
+      s"seg=$fp"
+    }
+    val bigMtime = new java.io.File(root, bigName).lastModified()
+    val before = SegmentedIndex.search(spark, root, Seq("x"), 200)
+      .as[(Long, Double, Long)].collect().toSet
+    // 4 live segments, bound 2 → fold 3: the del-free window with the
+    // smallest total length is (t1, t2, t3), never one including bulk
+    assert(SegmentedIndex.maybeMerge(spark, root, 2) == ((3, 0)))
+    assert(new java.io.File(root, bigName).isDirectory &&
+      new java.io.File(root, bigName).lastModified() == bigMtime,
+      "the big bulk segment must not be rewritten")
+    assert(SegmentedIndex.stats(root) == ((2L, 0L, 103L)))
+    assert(SegmentedIndex.search(spark, root, Seq("x"), 200)
+      .as[(Long, Double, Long)].collect().toSet == before,
+      "size-aware fold changed search results")
+    // a tombstone issued after the fold still applies to the merged
+    // tiny segment AND to the untouched big one
+    SegmentedIndex.delete(spark, root,
+      Seq(101L, 5L).toDF("doc_id"), "dz")
+    val ids = SegmentedIndex.search(spark, root, Seq("x"), 200)
+      .as[(Long, Double, Long)].collect().map(_._1).toSet
+    assert(!ids.contains(101L) && !ids.contains(5L))
+  }
+
+  test("a tombstone BETWEEN tiny segments blocks the window and the " +
+    "fold falls back to the absorbing prefix") {
+    val root = Files.createTempDirectory("graft-tierdel").toString
+    SegmentedIndex.append(spark, root,
+      Seq((1L, "x a")).toDF("doc_id", "text"), "s1", nBuckets = 4)
+    SegmentedIndex.delete(spark, root, Seq(1L).toDF("doc_id"), "d1")
+    SegmentedIndex.append(spark, root,
+      Seq((2L, "x b")).toDF("doc_id", "text"), "s2")
+    SegmentedIndex.delete(spark, root, Seq(2L).toDF("doc_id"), "d2")
+    SegmentedIndex.append(spark, root,
+      Seq((3L, "x c")).toDF("doc_id", "text"), "s3")
+    // fold 2 of 3: no del-free window of 2 exists → prefix fold
+    // absorbs (s1, d1, s2); d2 stays in the manifest AFTER the merged
+    // segment, so it still tombstones doc 2 (now inside the fold)
+    assert(SegmentedIndex.maybeMerge(spark, root, 2) == ((2, 1)))
+    assert(SegmentedIndex.stats(root) == ((2L, 1L, 2L)))
+    assert(SegmentedIndex.search(spark, root, Seq("x"), 10)
+      .as[(Long, Double, Long)].collect().map(_._1).toSeq == Seq(3L))
+  }
+
+  test("manifest generations are create-exclusive and pruned: commits " +
+    "advance g<n>, a planted colliding generation fails the writer " +
+    "LOUDLY, and only the newest 8 generations survive") {
+    val root = Files.createTempDirectory("graft-gens").toString
+    (1 to 10).foreach { i =>
+      SegmentedIndex.append(spark, root,
+        Seq((i.toLong, s"doc $i x")).toDF("doc_id", "text"), s"b$i",
+        nBuckets = 4)
+    }
+    val gens = new java.io.File(root).listFiles()
+      .filter(_.getName.startsWith("_SEGMENTS.g")).map(_.getName).sorted
+    assert(gens.length == 8, s"expected 8 kept generations: ${gens.toSeq}")
+    assert(gens.last.endsWith("10"), gens.last)
+    assert(SegmentedIndex.stats(root)._1 == 10L,
+      "newest generation must list all ten segments")
+    // the lost-update window: a writer whose read-modify-write was
+    // overtaken (its prevGen is stale because another writer committed
+    // first) collides on the generation number and fails LOUDLY —
+    // never silently replacing the winner's manifest
+    intercept[org.apache.hadoop.fs.FileAlreadyExistsException] {
+      SegmentedIndex.commitStaleManifestForTest(
+        new java.io.File(root), stalePrevGen = 9L)
+    }
+    assert(SegmentedIndex.stats(root)._1 == 10L,
+      "the loser's failed commit must leave the winner's intact")
+  }
+
+  test("fetch pushes the id filter into the doc_id-sorted stored " +
+    "files: the stored scan outputs only the requested rows, never " +
+    "the segment") {
+    val root = Files.createTempDirectory("graft-fetchpush").toString
+    val docs = (1L to 200L).map(i => (i, s"stored doc number$i"))
+      .toDF("doc_id", "text")
+    SegmentedIndex.append(spark, root, docs, "bulk", nBuckets = 4)
+    val out = SegmentedIndex.fetch(spark, root, Seq(7L, 143L))
+    assert(out.as[(Long, String)].collect().toSeq ==
+      Seq((7L, "stored doc number7"), (143L, "stored doc number143")))
+    // the executed stored-field scan returned 2 rows, not 200: the
+    // IN filter reached the parquet reader (sorted row groups make
+    // the skip a footer-stat prune at real sizes). AQE wraps the
+    // finalized plan — unwrap before collecting scan metrics.
+    val plan = out.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive
+          .AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scans = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metrics("numOutputRows").value
+    }
+    assert(scans.nonEmpty && scans.max <= 2L,
+      s"stored scan read ${scans.toSeq} rows — pushdown lost")
+  }
+
+  test("snapshot replaces a TORN destination segment instead of " +
+    "adopting it — the crashed-copy regression") {
+    val root = freshIndex()
+    val dest = Files.createTempDirectory("graft-snaptorn").toString + "/s"
+    // plant a crashed snapshot's torn copy: segment dir exists,
+    // partial content, NO _SUCCESS marker
+    val segName = {
+      val fp = graft.engine.Bucketing.fingerprint8("sx4|a")
+      s"seg=$fp"
+    }
+    val torn = new java.io.File(dest, segName)
+    torn.mkdirs()
+    Files.writeString(new java.io.File(torn, "garbage").toPath, "torn")
+    assert(SegmentedIndex.snapshot(root, dest) == 2,
+      "the torn segment must be re-copied, not skipped")
+    assert(!new java.io.File(torn, "garbage").exists(),
+      "torn content must be replaced by the complete copy")
+    assert(new java.io.File(torn, "_SUCCESS").isFile)
+    val got = SegmentedIndex.search(spark, dest, Seq("x"), 10)
+      .as[(Long, Double, Long)].collect().map(_._1).toSeq
+    assert(got == Seq(1L, 2L), got.toString)
+    // and the re-snapshot now skips both complete segments
+    assert(SegmentedIndex.snapshot(root, dest) == 0)
+  }
+
   test("bm25TopK on a one-segment index equals the ad-hoc scorer " +
     "bitwise; a tombstone drops the doc but not the stats") {
     val corpus = Seq(
