@@ -940,8 +940,10 @@ object Similarity {
     graft.functions.GraftFunctions.register(spark)
     val (_, asgDir) =
       ensureIvfLearnedIndex(spark, fixtureKey, emb, centroidPred, dim)
+    // "pq2" = codes live in `seg=<id>` subtrees (base + appended
+    // batches), the same atomic-segment layout as the raw IVF index
     val fp = graft.engine.Bucketing.fingerprint8(
-      s"$fixtureKey|pq1|$centroidPred|$m|$ksub|$dim")
+      s"$fixtureKey|pq2|$centroidPred|$m|$ksub|$dim")
     val booksDir = new java.io.File(
       System.getProperty("java.io.tmpdir"), s"graft_pq_books_$fp")
     val codesDir = new java.io.File(
@@ -964,9 +966,84 @@ object Similarity {
           " p -> p.code)").as("codes"))
         .join(asg.select("vec_id", "cluster"), "vec_id")
         .write.mode("overwrite").partitionBy("cluster")
-        .parquet(t.getPath)
+        .parquet(new java.io.File(t, "seg=base").getPath)
     }
     (booksDir.getPath, codesDir.getPath)
+  }
+
+  /** Staged-PQ codes read with an explicit schema — the same
+    * inference-proofing as [[readIvfIndex]]; the `seg` commit
+    * bookkeeping layer drops, `cluster` stays the pruning column. */
+  private def readPqCodes(spark: org.apache.spark.sql.SparkSession,
+                          codesDir: String): DataFrame =
+    spark.read
+      .schema("vec_id BIGINT, codes ARRAY<BIGINT>, seg STRING, " +
+        "cluster BIGINT")
+      .parquet(codesDir)
+      .drop("seg")
+
+  /** Incremental PQ-code upkeep — [[ivfAppendOnce]]'s compressed
+    * twin, closing the staleness gap where ADC/re-rank serving could
+    * not see appended vectors until a full PQ re-stage: `batch` rows
+    * are assigned against the PERSISTED centroids (the same frozen
+    * coarse quantizer [[ivfAppendOnce]] uses) and encoded against the
+    * FROZEN published codebooks — codebooks never move on append,
+    * exactly the faiss contract (re-learning them is a re-stage, a
+    * rarer separate event), so every previously-returned ADC score
+    * stays valid and the appended vectors are scored precisely as a
+    * from-scratch ENCODE against the same books would score them.
+    *
+    * The codes land as an atomic `seg=<fp>` subtree inside the codes
+    * directory (cluster dirs inside), published via
+    * [[graft.engine.Bucketing.atomicStage]] staged OUTSIDE the root —
+    * the committed segment IS the replay marker, so warm retries and
+    * repeated query invocations are no-ops; a crashed appender leaves
+    * an invisible orphan ([[vacuumIndexStaging]] fodder).
+    *
+    * Ordering contract (documented, enforced by callers): stage the
+    * PQ index BEFORE appending raw batches to a fresh fixture, or the
+    * base codes will already contain the batch — harmless for ADC
+    * scoring (duplicate (vec_id, j) rows carry identical codes and
+    * the per-j MAX lookup is idempotent) but wasteful. Scale shape:
+    * O(|batch|) — encode + one segment write; the standing codes are
+    * never read or rewritten. Returns (booksDir, codesDir).
+    */
+  def pqAppendOnce(spark: org.apache.spark.sql.SparkSession,
+                   fixtureKey: String, emb: => DataFrame,
+                   centroidPred: String, batch: => DataFrame,
+                   batchKey: String, m: Int = 16, ksub: Int = 16,
+                   dim: Int = DefaultDim): (String, String) = {
+    val (booksDir, codesDir) =
+      ensurePqIndex(spark, fixtureKey, emb, centroidPred, m, ksub, dim)
+    val seg = new java.io.File(codesDir,
+      s"seg=${graft.engine.Bucketing.fingerprint8(batchKey)}")
+    if (!new java.io.File(seg, "_SUCCESS").isFile) {
+      graft.functions.GraftFunctions.register(spark)
+      val (centTable, _) =
+        ensureIvfLearnedIndex(spark, fixtureKey, emb, centroidPred, dim)
+      val cents = centroidList(spark.table(centTable))
+      val books = spark.read.parquet(booksDir)
+      val assigned = dvecFrame(batch, dim)
+        .crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("dvec"), assignedCluster.as("cluster"))
+        .persist()
+      // stage OUTSIDE the codes dir (partition discovery must never
+      // see the half-built sibling) — the ivfAppendOnce posture
+      graft.engine.Bucketing.atomicStage(seg,
+        stageParent = Some(new java.io.File(codesDir).getParentFile)) {
+        tmp =>
+          pqEncodeFrom(assigned.select("vec_id", "dvec"), books, m, dim)
+            .groupBy("vec_id")
+            .agg(expr("transform(array_sort(collect_list(" +
+              "struct(j, code))), p -> p.code)").as("codes"))
+            .join(assigned.select("vec_id", "cluster"), "vec_id")
+            .write.mode("overwrite").partitionBy("cluster")
+            .parquet(tmp.getPath)
+      }
+      assigned.unpersist()
+      ()
+    }
+    (booksDir, codesDir)
   }
 
   /** IVF-PQ probe — the composed faiss shape, query-many half: the
@@ -1030,9 +1107,7 @@ object Similarity {
       .select(col("dq_id"), col("qj"), col("c_id"),
         (col("qn2") + col("cn2") -
           lit(2.0) * dot(col("qv"), col("cv"), dim / m)).as("d"))
-    val cand = spark.read
-      .schema("vec_id BIGINT, codes ARRAY<BIGINT>, cluster BIGINT")
-      .parquet(codesDir)
+    val cand = readPqCodes(spark, codesDir)
       .filter(col("cluster").isin(probedCells: _*))
       .join(broadcast(qprobe), Seq("cluster"))
       .where(col("vec_id") =!= col("q_id"))

@@ -949,6 +949,39 @@ object LlmSurface {
         .orderBy("q_id")
     }),
 
+    // --- incremental PQ-code upkeep (q140's append contract on the
+    //     COMPRESSED tier): the PQ index stages from the BASE corpus
+    //     (books + codes), then a batch of 20 "new" vectors (fixture
+    //     rows with ids shifted by 1e6) appends BOTH halves — raw
+    //     vectors into the IVF index (ivfAppendOnce) and codes
+    //     encoded against the FROZEN published codebooks into an
+    //     atomic seg= subtree of the codes directory (pqAppendOnce).
+    //     The IVF-PQ probe then serves top-10 over base ∪ appended
+    //     with appended copies surfacing (is_appended pins them) —
+    //     the oracle re-derives the whole chain with books learned
+    //     from the base only and codes over the union, so ranks are
+    //     cross-engine exact. Before pqAppendOnce existed, ADC
+    //     serving could not see appended vectors until a full PQ
+    //     re-stage. Isolated fixture key: q146/q154's shared index
+    //     stays append-free ---
+    "q175_pq_append" -> ((s, d) => {
+      val fk = s"$d#pqappend"
+      // ordering contract: PQ stages off the BASE index, then the
+      // appends land on both tiers (idempotent per batchKey)
+      Similarity.ensurePqIndex(s, fk, emb(s, d), "vec_id < 8")
+      def batch = emb(s, d).filter(col("vec_id") < 20)
+        .withColumn("vec_id", col("vec_id") + lit(1000000L))
+      Similarity.ivfAppendOnce(s, fk, emb(s, d), "vec_id < 8",
+        batch, batchKey = "pq-batch1")
+      Similarity.pqAppendOnce(s, fk, emb(s, d), "vec_id < 8",
+        batch, batchKey = "pq-batch1")
+      Similarity.ivfPqTopKStaged(s, fk, emb(s, d), "vec_id < 8",
+          "vec_id < 20", k = 10, nprobe = 2)
+        .select(col("q_id"), col("neighbor_id"), col("rank"),
+          (col("neighbor_id") >= 1000000L).as("is_appended"))
+        .orderBy("q_id", "rank")
+    }),
+
     // --- incremental aggregate maintenance (materialized-view upkeep,
     //     the query-side dividend of the CDC log): a per-source
     //     (count, sum_chars) summary absorbs one batch of
@@ -1625,7 +1658,10 @@ object LlmSurface {
     * chain, ending at the per-(query, candidate) fixed-order ADC
     * sums (`summed`) plus the probe lists (`qp`).
     */
-  private def ivfPqCtes: String =
+  /** The staged IVF-PQ derivation up to the per-query distance tables
+    * (`dt`) — shared by the q146/q154 serving oracles and q175's
+    * append variant, which swaps in union-corpus candidates/codes. */
+  private def ivfPqCoreCtes: String =
     s"""ev AS (SELECT vec_id,
          |   list_transform(embedding, x -> x::DOUBLE) AS v
          |  FROM embeddings),
@@ -1698,19 +1734,23 @@ object LlmSurface {
          | codes AS (SELECT vec_id, j, c_id AS code FROM pe0 WHERE rn = 1),
          | dt AS (SELECT q.vec_id AS q_id, q.j, b.c_id,
          |   q.sn2 + b.cn2 - 2.0 * ${dkDot("q.sv", "b.cv")} AS d
-         |  FROM subn q JOIN pbooks b ON q.j = b.j WHERE q.vec_id < 20),
-         | cand AS (SELECT p.q_id, c.vec_id
-         |  FROM cellasg c JOIN qp p ON c.cluster = p.cluster
-         |  WHERE c.vec_id <> p.q_id),
-         | adc AS (SELECT n.q_id, n.vec_id, k.j, d.d
-         |  FROM cand n JOIN codes k ON n.vec_id = k.vec_id
-         |  JOIN dt d ON d.q_id = n.q_id AND d.j = k.j
-         |    AND d.c_id = k.code),
-         | summed AS (SELECT q_id, vec_id,
-         |   ${(0 until 16).map(j =>
-              s"max(CASE WHEN j = $j THEN d END)")
-              .mkString("\n         |   + ")} AS ad2
-         |  FROM adc GROUP BY q_id, vec_id)""".stripMargin
+         |  FROM subn q JOIN pbooks b ON q.j = b.j WHERE q.vec_id < 20)"""
+      .stripMargin
+
+  private def ivfPqCtes: String =
+    s"""$ivfPqCoreCtes,
+       | cand AS (SELECT p.q_id, c.vec_id
+       |  FROM cellasg c JOIN qp p ON c.cluster = p.cluster
+       |  WHERE c.vec_id <> p.q_id),
+       | adc AS (SELECT n.q_id, n.vec_id, k.j, d.d
+       |  FROM cand n JOIN codes k ON n.vec_id = k.vec_id
+       |  JOIN dt d ON d.q_id = n.q_id AND d.j = k.j
+       |    AND d.c_id = k.code),
+       | summed AS (SELECT q_id, vec_id,
+       |   ${(0 until 16).map(j =>
+            s"max(CASE WHEN j = $j THEN d END)")
+            .mkString("\n       |   + ")} AS ad2
+       |  FROM adc GROUP BY q_id, vec_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q105b_phrase_indexed" -> phraseOracle,
@@ -3055,6 +3095,57 @@ object LlmSurface {
          |    AS recall
          |FROM nv n LEFT JOIN hits h ON n.vec_id = h.q_id
          |WHERE n.vec_id < 20 ORDER BY q_id""".stripMargin,
+
+    // q175: the composed chain with an APPENDED batch — centroids and
+    // codebooks learned from the BASE corpus only (frozen on append,
+    // the faiss contract), cluster assignment and codes over
+    // base ∪ batch, serving ranks cross-engine exact
+    "q175_pq_append" ->
+      s"""WITH $ivfPqCoreCtes,
+         | evb AS (SELECT vec_id, v FROM ev
+         |  UNION ALL
+         |  SELECT vec_id + 1000000 AS vec_id, v FROM ev
+         |   WHERE vec_id < 20),
+         | nvb AS (SELECT vec_id, v, ${dkDot("v", "v")} AS n2 FROM evb),
+         | d1b AS (SELECT nvb.vec_id, c1n.c_id,
+         |   nvb.n2 + c1n.cn2 - 2.0 * ${dkDot("nvb.v", "c1n.cv")} AS d2
+         |  FROM nvb, c1n),
+         | a1b AS (SELECT vec_id, c_id, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY d2, c_id) AS rn FROM d1b),
+         | cellasgb AS (SELECT vec_id, c_id AS cluster FROM a1b
+         |  WHERE rn = 1),
+         | subnb AS (SELECT vec_id, jj.j AS j,
+         |   v[jj.j*4+1 : jj.j*4+4] AS sv,
+         |   ${dkDot("v[jj.j*4+1 : jj.j*4+4]",
+                     "v[jj.j*4+1 : jj.j*4+4]")} AS sn2
+         |  FROM evb CROSS JOIN (SELECT unnest(range(0, 16)) AS j) jj),
+         | pe0b AS (SELECT s.vec_id, s.j, b.c_id, row_number() OVER (
+         |    PARTITION BY s.vec_id, s.j
+         |    ORDER BY s.sn2 + b.cn2 - 2.0 * ${dkDot("s.sv", "b.cv")},
+         |      b.c_id) AS rn
+         |  FROM subnb s JOIN pbooks b ON s.j = b.j),
+         | codesb AS (SELECT vec_id, j, c_id AS code FROM pe0b
+         |  WHERE rn = 1),
+         | candb AS (SELECT p.q_id, c.vec_id
+         |  FROM cellasgb c JOIN qp p ON c.cluster = p.cluster
+         |  WHERE c.vec_id <> p.q_id),
+         | adcb AS (SELECT n.q_id, n.vec_id, k.j, d.d
+         |  FROM candb n JOIN codesb k ON n.vec_id = k.vec_id
+         |  JOIN dt d ON d.q_id = n.q_id AND d.j = k.j
+         |    AND d.c_id = k.code),
+         | summedb AS (SELECT q_id, vec_id,
+         |   ${(0 until 16).map(j =>
+              s"max(CASE WHEN j = $j THEN d END)")
+              .mkString("\n         |   + ")} AS ad2
+         |  FROM adcb GROUP BY q_id, vec_id),
+         | ranked AS (SELECT q_id, vec_id AS neighbor_id,
+         |   row_number() OVER (PARTITION BY q_id
+         |     ORDER BY ad2, vec_id) AS rank
+         |  FROM summedb)
+         |SELECT q_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+         |  neighbor_id >= 1000000 AS is_appended
+         |FROM ranked WHERE rank <= 10
+         |ORDER BY q_id, rank""".stripMargin,
 
     // q154: the same composed chain, shortlist 50 by ADC, exact-L2
     // re-rank of the shortlist — compression picks candidates, the

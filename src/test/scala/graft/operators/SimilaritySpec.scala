@@ -282,6 +282,51 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("pqAppendOnce: appended codes serve through the staged IVF-PQ " +
+    "probe, replay is a no-op, and the published codebooks never " +
+    "move — encode-against-frozen-books") {
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val key = s"$sf001#spec-pqappend"
+    // stage the PQ index off the BASE corpus first (the documented
+    // ordering contract), then append both tiers
+    val (booksDir, codesDir) =
+      Similarity.ensurePqIndex(spark, key, e, "vec_id < 8")
+    def census(dir: String): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir)).map(f => f.getPath -> f.length()).toMap
+    }
+    val booksBefore = census(booksDir)
+    val batch = e.filter(expr("vec_id < 5"))
+      .withColumn("vec_id",
+        org.apache.spark.sql.functions.col("vec_id") +
+          org.apache.spark.sql.functions.lit(1000000L))
+    Similarity.ivfAppendOnce(spark, key, e, "vec_id < 8", batch, "pb1")
+    Similarity.pqAppendOnce(spark, key, e, "vec_id < 8", batch, "pb1")
+    val codesAfter = census(codesDir)
+    assert(new java.io.File(codesDir).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("seg=")) == 2,
+      "codes dir must hold seg=base plus one appended segment")
+    // replay: byte-identical index, untouched books
+    Similarity.pqAppendOnce(spark, key, e, "vec_id < 8", batch, "pb1")
+    assert(census(codesDir) == codesAfter,
+      "replayed pqAppendOnce mutated the codes")
+    assert(census(booksDir) == booksBefore,
+      "append mutated the published codebooks — they must be frozen")
+    // the probe now sees the appended vectors: an appended exact copy
+    // of a query carries the query's OWN codes, so its ADC distance
+    // is the minimal self-quantization error — rank 1
+    val got = Similarity.ivfPqTopKStaged(spark, key, e, "vec_id < 8",
+        "vec_id < 5", k = 10, nprobe = 2)
+      .select("q_id", "neighbor_id", "rank")
+      .as[(Long, Long, Long)].collect()
+    (0L until 5L).foreach { q =>
+      val r1 = got.find(t => t._1 == q && t._3 == 1L)
+      assert(r1.exists(_._2 == q + 1000000L),
+        s"q=$q rank-1 is ${r1.map(_._2)}, expected copy ${q + 1000000L}")
+    }
+  }
+
   test("semanticDedupCentroids with learned centroids keeps the " +
     "pairwise-below-threshold invariant per cluster") {
     val e = spark.read.parquet(s"$sf001/embeddings.parquet")
