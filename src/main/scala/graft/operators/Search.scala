@@ -389,6 +389,108 @@ object Search {
       .orderBy("rank")
   }
 
+  /** TWO-term BM25 ranking with an exact cross-engine rank
+    * certificate — [[bm25RankAudit]]'s contract extended to the
+    * multi-term sum, putting the full production scorer's ORDER on
+    * the oracle surface (q157 pins matched sets and saturation
+    * bounds; this pins the ranking itself for ≥ 2 terms).
+    *
+    * The `log` idf blocks a rational order key for arbitrary term
+    * pairs (the sum idf_a·K_a + idf_b·K_b is transcendental), so the
+    * pair is chosen FROM THE DATA with EQUAL document frequencies —
+    * the largest df shared by ≥ 2 terms, its two lexicographically
+    * smallest terms (deterministic, SQL-expressible; the chosen terms
+    * ride in the output so the oracle verifies the selection too).
+    * Equal df ⇒ equal idf > 0 ⇒ the two-term BM25 order is the order
+    * of `K_a + K_b` with `K_t = tf_t / (tf_t + k1·(1−b+b·dl/avgdl))`
+    * — at k1 = 1.2, b = 0.75 and avgdl = totalLen/N exactly
+    * `10L·tf_t / D_t` with `D_t = 10L·tf_t + 3L + 9N·dl` (q156's
+    * derivation), so over the common denominator, dropping the
+    * constant positive factor `10L`:
+    *
+    *   rank_key = (tf_a·D_b + tf_b·D_a) / (D_a·D_b)
+    *
+    * — one int64÷int64 double division of exact integers, monotone
+    * and bit-identical in any IEEE engine while `D_a·D_b < 2^53`
+    * (fixture maxima leave ~5× headroom at sf0.1; a corpus past that
+    * re-scales the key). A doc matching only one term enters with
+    * the other tf = 0 — `K = 0`, exactly the production scorer's
+    * missing-term contribution, so partial matches certify too.
+    * `rank` is the row_number under the PRODUCTION score (log idf
+    * and all, summed per matched term); `rank_agrees` certifies it
+    * equals the rank_key order; `score_in_bounds` pins
+    * `0 < score < 2·idf·(k1+1)` (two saturating contributions).
+    *
+    * Scale shape: the pair selection is a vocabulary-sized window +
+    * 1-row broadcast (audit-only work); scoring reads two posting
+    * lists and top-k's them — the serving cost shape of any two-term
+    * query. Output: (doc_id, term_a, term_b, tf_a, tf_b, dl, rank,
+    * rank_key, rank_agrees, score_in_bounds) for rank <= k.
+    */
+  def bm25PairRankAudit(docs: DataFrame, k: Int, k1: Double = 1.2,
+                        b: Double = 0.75): DataFrame = {
+    require(k1 == 1.2 && b == 0.75,
+      "the exact rank_key derivation hardcodes k1=1.2, b=0.75 " +
+        "(rationals 3/10, 9/10); generalize the integer key to change them")
+    val p = postings(docs)
+    val lens = docs.select(col("doc_id"),
+      expr("bigint(size(split(text, ' ')))").as("dl"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      sum(expr("bigint(size(split(text, ' ')))")).as("total_len"))
+    val dfreq = p.groupBy("term").agg(count(lit(1)).as("doc_freq"))
+    // deterministic equal-df pair: largest df shared by >= 2 terms,
+    // two lexicographically smallest terms there (vocabulary-sized)
+    val shared = dfreq.withColumn("nshare",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_freq")))
+      .filter(col("nshare") >= 2)
+    val dstar = shared.agg(max("doc_freq").as("dstar"))
+    val pair = shared.join(broadcast(dstar),
+        col("doc_freq") === col("dstar"))
+      .orderBy("term").limit(2)
+      .agg(min("term").as("term_a"), max("term").as("term_b"),
+        max("doc_freq").as("doc_freq"))
+    val tfp = p.crossJoin(broadcast(pair))
+      .filter(col("term") === col("term_a") ||
+        col("term") === col("term_b"))
+      .groupBy("doc_id", "term_a", "term_b", "doc_freq")
+      .agg(sum(when(col("term") === col("term_a"), col("tf"))
+          .otherwise(lit(0L))).as("tf_a"),
+        sum(when(col("term") === col("term_b"), col("tf"))
+          .otherwise(lit(0L))).as("tf_b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("score"), asc("doc_id"))
+    val wx = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("rank_key"), asc("doc_id"))
+    def contrib(tf: String): String =
+      s"idf * ($tf * ($k1 + 1.0)) / ($tf + $k1 * (1.0 - $b + " +
+        s"$b * dl / (total_len / cast(n_docs as double))))"
+    tfp.join(lens, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", expr(
+        "log((cast(n_docs as double) - doc_freq + 0.5) / " +
+          "(doc_freq + 0.5) + 1.0)"))
+      .withColumn("score",
+        expr(contrib("tf_a")) + expr(contrib("tf_b")))
+      .withColumn("da", lit(10L) * col("total_len") * col("tf_a") +
+        lit(3L) * col("total_len") + lit(9L) * col("n_docs") * col("dl"))
+      .withColumn("db", lit(10L) * col("total_len") * col("tf_b") +
+        lit(3L) * col("total_len") + lit(9L) * col("n_docs") * col("dl"))
+      .withColumn("rank_key",
+        (col("tf_a") * col("db") + col("tf_b") * col("da"))
+          .cast("double") / (col("da") * col("db")).cast("double"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("rank_exact", row_number().over(wx).cast("long"))
+      .withColumn("rank_agrees", col("rank") === col("rank_exact"))
+      .withColumn("score_in_bounds",
+        col("score") > 0.0 &&
+          col("score") < lit(2.0) * col("idf") * (k1 + 1.0))
+      .filter(col("rank") <= k)
+      .select("doc_id", "term_a", "term_b", "tf_a", "tf_b", "dl",
+        "rank", "rank_key", "rank_agrees", "score_in_bounds")
+      .orderBy("rank")
+  }
+
   /** Multi-term BM25 over EVERY matching document — the production
     * scorer's multi-term path with its oracle-able projection: the
     * matched doc set, per-doc hit counts and exact (tf-sum, dl) are

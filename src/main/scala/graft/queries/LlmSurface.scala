@@ -109,6 +109,18 @@ object LlmSurface {
     "q157_bm25_multi" -> ((s, d) =>
       Search.bm25Matches(docs(s, d), searchTerms)),
 
+    // --- the MULTI-TERM BM25 rank certificate (closing q157's gap:
+    //     matched sets and saturation bounds were oracled, the
+    //     multi-term ORDER itself was spec-only): a data-chosen
+    //     EQUAL-df term pair makes the two-term production ranking
+    //     reduce to the exact integer-ratio key
+    //     (tf_a·D_b + tf_b·D_a)/(D_a·D_b) over the common
+    //     denominator — rank_agrees literal-TRUE for a genuinely
+    //     multi-term score, partial matches included
+    //     (Search.bm25PairRankAudit) ---
+    "q176_bm25_pair_rank" -> ((s, d) =>
+      Search.bm25PairRankAudit(docs(s, d), k = 20)),
+
     // --- BM25 served from the PERSISTED index (Lucene's on-disk
     //     shape as catalog tables: term-bucketed postings with the
     //     dl norm denormalized, a term dictionary, a 1-row stats
@@ -1857,6 +1869,52 @@ object LlmSurface {
         |   row_number() OVER (ORDER BY rank_key DESC, doc_id) AS rank
         |  FROM r)
         |SELECT doc_id, tf, dl, CAST(rank AS BIGINT) AS rank, rank_key,
+        | TRUE AS rank_agrees, TRUE AS score_in_bounds
+        |FROM k WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+    // q176: the TWO-term ranking reproduced through the exact pair
+    // key (tf_a·D_b + tf_b·D_a)/(D_a·D_b) — equal-df pair chosen by
+    // the same deterministic rule (largest shared df, two smallest
+    // terms), same int64 arithmetic and doc_id tie-break; the
+    // log-based score's certificates are literal TRUE
+    "q176_bm25_pair_rank" ->
+      """WITH lens AS (SELECT doc_id,
+        |   len(string_split(text, ' '))::BIGINT AS dl FROM documents),
+        | p AS (SELECT term, doc_id, count(*)::BIGINT AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |        FROM documents) GROUP BY term, doc_id),
+        | st AS (SELECT count(*)::BIGINT AS n_docs,
+        |   CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_len
+        |  FROM documents),
+        | dfreq AS (SELECT term, count(*)::BIGINT AS doc_freq
+        |  FROM p GROUP BY term),
+        | dstar AS (SELECT max(doc_freq) AS dstar
+        |  FROM (SELECT doc_freq FROM dfreq
+        |        GROUP BY doc_freq HAVING count(*) >= 2)),
+        | pairt AS (SELECT term FROM dfreq, dstar
+        |  WHERE doc_freq = dstar ORDER BY term LIMIT 2),
+        | pr AS (SELECT min(term) AS term_a, max(term) AS term_b
+        |  FROM pairt),
+        | tfp AS (SELECT doc_id,
+        |   CAST(sum(CASE WHEN term = term_a THEN tf ELSE 0 END)
+        |     AS BIGINT) AS tf_a,
+        |   CAST(sum(CASE WHEN term = term_b THEN tf ELSE 0 END)
+        |     AS BIGINT) AS tf_b
+        |  FROM p, pr WHERE term = term_a OR term = term_b
+        |  GROUP BY doc_id),
+        | r AS (SELECT t.doc_id, pr.term_a, pr.term_b, tf_a, tf_b, dl,
+        |   10 * total_len * tf_a + 3 * total_len + 9 * n_docs * dl
+        |     AS da,
+        |   10 * total_len * tf_b + 3 * total_len + 9 * n_docs * dl
+        |     AS db
+        |  FROM tfp t JOIN lens USING (doc_id), st, pr),
+        | ky AS (SELECT *, CAST(tf_a * db + tf_b * da AS DOUBLE) /
+        |    CAST(da * db AS DOUBLE) AS rank_key FROM r),
+        | k AS (SELECT doc_id, term_a, term_b, tf_a, tf_b, dl, rank_key,
+        |   row_number() OVER (ORDER BY rank_key DESC, doc_id) AS rank
+        |  FROM ky)
+        |SELECT doc_id, term_a, term_b, tf_a, tf_b, dl,
+        | CAST(rank AS BIGINT) AS rank, rank_key,
         | TRUE AS rank_agrees, TRUE AS score_in_bounds
         |FROM k WHERE rank <= 20 ORDER BY rank""".stripMargin,
 

@@ -134,6 +134,36 @@ class SearchSpec extends SparkSpec {
       s"order: $byRank")
   }
 
+  test("bm25PairRankAudit: the equal-df pair is chosen by the " +
+    "deterministic rule, the audit order equals bm25()'s production " +
+    "top-k on the same two terms, and partial matches certify") {
+    // dfs: aa=3 (1,2,4), bb=3 (1,3,4), x=2, y=2, z=2 → the largest
+    // shared df is 3, its two smallest terms are (aa, bb)
+    val corpus = Seq(
+      (1L, "aa bb x"),
+      (2L, "aa aa y y"),
+      (3L, "bb z"),
+      (4L, "aa bb bb"),
+      (5L, "x y z"))
+      .toDF("doc_id", "text")
+    val out = Search.bm25PairRankAudit(corpus, k = 10)
+      .as[(Long, String, String, Long, Long, Long, Long, Double,
+        Boolean, Boolean)].collect()
+    assert(out.forall(r => r._2 == "aa" && r._3 == "bb"),
+      s"pair selection off: ${out.headOption.map(r => (r._2, r._3))}")
+    // matched docs = union of the two posting lists (partial matches
+    // 2 and 3 included), never doc 5
+    assert(out.map(_._1).toSet == Set(1L, 2L, 3L, 4L))
+    assert(out.forall(_._9), "rank_agrees must certify on every row")
+    assert(out.forall(_._10), "score_in_bounds must certify")
+    // the audit's rank order IS the production scorer's order
+    val byRank = out.sortBy(_._7).map(_._1).toSeq
+    val prod = Search.bm25(corpus, Seq("aa", "bb"), 10)
+      .as[(Long, Double, Long)].collect().map(_._1).toSeq
+    assert(byRank == prod,
+      s"audit order $byRank != production order $prod")
+  }
+
   test("bm25Matches: exact matched set with hit counts; saturation " +
     "contract certifies") {
     val out = Search.bm25Matches(docs, Seq("spark", "rare"))
