@@ -392,7 +392,21 @@ object Explain {
         "(2 then 1 directories — segment immutability IS the " +
         "incrementality), data first, destination manifest committed " +
         "last; the query plan itself is an ordinary pruned search of " +
-        "the destination index."))
+        "the destination index."),
+    "q175_pq_append" ->
+      ("Incremental PQ upkeep: the probe reads compressed codes from " +
+        "base AND appended seg= subtrees under the same " +
+        "`PartitionFilters: [cluster IN …]` prune; appended codes were " +
+        "encoded against the FROZEN published codebooks (O(batch) " +
+        "ingest — the standing codes never rewrite), so serving sees " +
+        "new vectors without a re-stage."),
+    "q176_bm25_pair_rank" ->
+      ("Multi-term BM25 certificate: the equal-df pair selection is a " +
+        "vocabulary-sized window + 1-row broadcast; scoring reads the " +
+        "two posting lists once, both rankings (log-idf production sum " +
+        "and the exact pair-ratio key) are windows over the matched " +
+        "union — the corpus tokenizes once, and the certificate adds " +
+        "no second scan."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

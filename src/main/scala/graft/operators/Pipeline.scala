@@ -616,10 +616,50 @@ object Pipeline {
       summaryDir: String, version: Long = Long.MaxValue): DataFrame = {
     val vs = summaryVersions(summaryDir)
     require(vs.nonEmpty, s"no summary versions under $summaryDir")
-    val pick = vs.filter(_ <= version).lastOption.getOrElse(
-      throw new IllegalArgumentException(
+    readStore(spark, summaryDir, pickVersion(summaryDir, version))
+  }
+
+  private def pickVersion(summaryDir: String, version: Long): Long =
+    summaryVersions(summaryDir).filter(_ <= version).lastOption
+      .getOrElse(throw new IllegalArgumentException(
         s"no summary version <= $version under $summaryDir"))
-    readStore(spark, summaryDir, pick)
+
+  /** POINT LOOKUP into the versioned view store — the serving read
+    * ("this user's summary, now") the bucketed layout exists to make
+    * cheap: hash the requested group literals with the same xxhash64
+    * the writer used, resolve the version manifest, and read ONLY the
+    * buckets those groups live in, with the group filter pushed into
+    * the bucket scan. At 10^9 groups and a few thousand buckets a
+    * lookup reads a few thousandths of the store — O(|groups| ·
+    * bucket size), never the view. Groups are STRING literals (the
+    * store hashes the raw group column; a non-string group column
+    * would hash these literals differently — extend the literal
+    * bucket evaluation to other types before passing them).
+    */
+  def readSummaryGroups(spark: org.apache.spark.sql.SparkSession,
+      summaryDir: String, grp: String, groups: Seq[String],
+      version: Long = Long.MaxValue): DataFrame = {
+    require(groups.nonEmpty, "readSummaryGroups needs group literals")
+    require(summaryVersions(summaryDir).nonEmpty,
+      s"no summary versions under $summaryDir")
+    val pick = pickVersion(summaryDir, version)
+    val (nb, map) = readVersionManifest(summaryDir, pick)
+    val wanted = groups.map(g => literalBucket(g, nb)).toSet
+    readStoreBuckets(spark, summaryDir,
+        map.filter(kv => wanted(kv._1)))
+      .filter(col(grp).isin(groups: _*))
+  }
+
+  /** The store bucket of one group LITERAL, via the identical
+    * Catalyst xxhash64 (seed 42) [[bucketCol]] plans — one hash
+    * definition on both sides, no driver/executor divergence. */
+  private def literalBucket(g: String, nb: Int): Int = {
+    val h = org.apache.spark.sql.catalyst.expressions
+      .XxHash64(Seq(org.apache.spark.sql.catalyst.expressions
+        .Literal(org.apache.spark.unsafe.types.UTF8String.fromString(g),
+          org.apache.spark.sql.types.StringType)), 42L)
+      .eval().asInstanceOf[Long]
+    ((h % nb) + nb).toInt % nb
   }
 
   /** Retention for the versioned summary store — the Delta `VACUUM`

@@ -1118,6 +1118,47 @@ object LlmSurface {
         .orderBy("doc_id")
     }),
 
+    // --- POINT LOOKUP into the bucketed view store (the serving
+    //     read the layout exists for): two epochs advance the
+    //     versioned summary, then two groups' rows are fetched by
+    //     hashing the group literals to their buckets and reading
+    //     ONLY those bucket directories — O(|groups| · bucket size),
+    //     never the view; must equal the replayed-log aggregation
+    //     filtered to the same groups (Pipeline.readSummaryGroups) ---
+    "q177_summary_lookup" -> ((s, d) => {
+      import graft.operators.Pipeline
+      val base = docs(s, d).select("doc_id", "source", "n_chars")
+      val scratch = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        "graft_pl_" + graft.engine.Bucketing.fingerprint8(d) +
+          "_" + java.util.UUID.randomUUID().toString.take(8))
+      val logDir = new java.io.File(scratch, "log").getPath
+      val sumDir = new java.io.File(scratch, "summary").getPath
+      val b1 = base.filter(col("doc_id") % 11 === 3)
+          .withColumn("n_chars", col("n_chars") + lit(1000L))
+          .withColumn("op", lit("U"))
+        .unionByName(base.filter(col("doc_id") < 4)
+          .withColumn("doc_id", col("doc_id") + lit(5000000L))
+          .withColumn("op", lit("U")))
+        .unionByName(base.filter(col("doc_id") % 11 === 7)
+          .withColumn("op", lit("D")))
+      val b2 = base.filter(col("doc_id") % 11 === 5)
+          .withColumn("n_chars", col("n_chars") + lit(500L))
+          .withColumn("op", lit("U"))
+        .unionByName(base.filter(col("doc_id") < 2)
+          .withColumn("doc_id", col("doc_id") + lit(6000000L))
+          .withColumn("op", lit("U")))
+        .unionByName(base.filter(col("doc_id") % 11 === 3)
+          .withColumn("op", lit("D")))
+      Pipeline.absorbSummaryBatch(b1, base, logDir, sumDir,
+        "doc_id", "source", "n_chars", epoch = 0L)
+      Pipeline.absorbSummaryBatch(b2, base, logDir, sumDir,
+        "doc_id", "source", "n_chars", epoch = 1L)
+      Pipeline.readSummaryGroups(s, sumDir, "source",
+          Seq("src3", "src17"))
+        .orderBy("source")
+    }),
+
     // --- top-k view maintenance under CDC (the NON-ABELIAN
     //     materialized view): per-source top-3 documents by n_chars
     //     absorbs one batch of upserts/appends/deletes by re-reading
@@ -3287,6 +3328,39 @@ object LlmSurface {
         |SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS s,
         | TRUE AS matches_replay
         |FROM s2 GROUP BY source ORDER BY source""".stripMargin,
+
+    // q177: q158's two-batch merge chain, aggregated and filtered to
+    // the two looked-up groups — the bucket-pruned point lookup must
+    // serve exactly the replayed truth for them
+    "q177_summary_lookup" ->
+      """WITH base AS (SELECT doc_id, source, n_chars FROM documents),
+        | u1 AS (SELECT doc_id, source, n_chars + 1000 AS n_chars
+        |          FROM base WHERE doc_id % 11 = 3
+        |        UNION ALL
+        |        SELECT doc_id + 5000000, source, n_chars
+        |          FROM base WHERE doc_id < 4),
+        | k1 AS (SELECT doc_id FROM u1
+        |        UNION ALL
+        |        SELECT doc_id FROM base WHERE doc_id % 11 = 7),
+        | s1 AS (SELECT doc_id, source, n_chars FROM base
+        |         WHERE doc_id NOT IN (SELECT doc_id FROM k1)
+        |        UNION ALL
+        |        SELECT doc_id, source, n_chars FROM u1),
+        | u2 AS (SELECT doc_id, source, n_chars + 500 AS n_chars
+        |          FROM base WHERE doc_id % 11 = 5
+        |        UNION ALL
+        |        SELECT doc_id + 6000000, source, n_chars
+        |          FROM base WHERE doc_id < 2),
+        | k2 AS (SELECT doc_id FROM u2
+        |        UNION ALL
+        |        SELECT doc_id FROM base WHERE doc_id % 11 = 3),
+        | s2 AS (SELECT doc_id, source, n_chars FROM s1
+        |         WHERE doc_id NOT IN (SELECT doc_id FROM k2)
+        |        UNION ALL
+        |        SELECT doc_id, source, n_chars FROM u2)
+        |SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS s
+        |FROM s2 WHERE source IN ('src3', 'src17')
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     // q173: q158's two-batch merge chain, then the from-scratch top-3
     // per source (same n_chars DESC, doc_id tie-break as topKView) —

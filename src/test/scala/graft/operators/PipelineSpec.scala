@@ -494,6 +494,38 @@ class PipelineSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("readSummaryGroups is a bucket-pruned point lookup: only the " +
+    "looked-up group's bucket directory is scanned and the rows " +
+    "equal the full read filtered") {
+    import java.nio.file.Files
+    val base = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L),
+      (4L, "c", 7L), (5L, "d", 9L), (6L, "e", 11L), (7L, "f", 13L))
+      .toDF("doc_id", "source", "n_chars")
+    val scratch = Files.createTempDirectory("graft-lookup").toString
+    val logDir = s"$scratch/log"
+    val sumDir = s"$scratch/summary"
+    Pipeline.absorbSummaryBatch(
+      Seq((2L, "a", 25L, "U")).toDF("doc_id", "source", "n_chars", "op"),
+      base, logDir, sumDir, "doc_id", "source", "n_chars", 0L)
+    val out = Pipeline.readSummaryGroups(spark, sumDir, "source",
+      Seq("a"))
+    val files = out.inputFiles
+    assert(files.nonEmpty)
+    val bucketDirs = files.map(_.replaceAll("/[^/]*$", "")).toSet
+    assert(bucketDirs.size == 1,
+      s"one-group lookup scanned ${bucketDirs.size} bucket dirs: " +
+        bucketDirs.mkString(", "))
+    val got = out.as[(String, Long, Long)].collect().toSeq
+    val want = Pipeline.readSummary(spark, sumDir)
+      .filter(col("source") === "a")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == want && got == Seq(("a", 2L, 35L)))
+    // an absent group resolves through its bucket to zero rows,
+    // never an error
+    assert(Pipeline.readSummaryGroups(spark, sumDir, "source",
+      Seq("zz-missing")).count() == 0L)
+  }
+
   test("pruneRebaseMarkers retires all but the newest marker") {
     import java.nio.file.Files
     val root = Files.createTempDirectory("graft-marks").toString
