@@ -286,17 +286,38 @@ object EventStreams {
     * same segment, committed once). The batch-twin contract is q165's
     * append body — this is only the `foreachBatch` plumbing around
     * it, exactly the [[maintainedSummarySink]] pattern.
+    *
+    * `maxSegments > 0` folds ES's merge scheduler into the loop: after
+    * each epoch's append, [[graft.operators.SegmentedIndex
+    * .maybeMerge]] runs at that tier bound — the size-aware fold that
+    * rewrites the CHEAPEST contiguous batches, so a long-running
+    * stream's segment count (and with it every query's per-segment
+    * plan fan-out and the manifest parse) stays bounded instead of
+    * growing one segment per trigger forever. Running the merge
+    * INSIDE `foreachBatch` keeps the single-manifest-writer contract
+    * by construction (appends and merges serialize on the same
+    * thread; a racing external writer would trip the generation
+    * collision loudly). Exactly-once survives because a merge is
+    * ALWAYS semantics-preserving: a crash between append-commit and
+    * merge replays the epoch as a no-op append, and the re-run merge
+    * adopts its own staged fold (same run members → same
+    * fingerprint) or simply folds later — query results are
+    * identical in every interleaving.
     */
   def searchIndexSink(docs: DataFrame, rootDir: String,
-                      checkpoint: String,
-                      nBuckets: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
+                      checkpoint: String, nBuckets: Int = 8,
+                      maxSegments: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epoch: Long) =>
-        if (!batch.isEmpty)
+        if (!batch.isEmpty) {
           graft.operators.SegmentedIndex.append(batch.sparkSession,
             rootDir, batch.toDF(), s"epoch=$epoch", nBuckets)
+          if (maxSegments > 0)
+            graft.operators.SegmentedIndex.maybeMerge(
+              batch.sparkSession, rootDir, maxSegments)
+        }
         ()
       }
       .start()
@@ -310,18 +331,23 @@ object EventStreams {
     * alone — untouched groups pass through). Same exactly-once
     * argument as the summary sink: per-epoch overwrites whose inputs
     * are bounded by id < epoch. q173 is the oracled batch twin.
+    * `keepLast >= 2` additionally folds retention into the loop —
+    * see [[maintainedSummarySink]]'s note.
     */
   def maintainedTopKSink(changes: DataFrame, base: DataFrame,
       logDir: String, viewDir: String, checkpoint: String,
       key: String, grp: String, v: String,
-      k: Int): org.apache.spark.sql.streaming.StreamingQuery =
+      k: Int, keepLast: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
     changes.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epoch: Long) =>
-        if (!batch.isEmpty)
+        if (!batch.isEmpty) {
           graft.operators.Pipeline.absorbTopKBatch(batch.toDF(), base,
             logDir, viewDir, key, grp, v, k, epoch)
+          if (keepLast > 0)
+            graft.operators.Pipeline.pruneSummaries(viewDir, keepLast)
+        }
         ()
       }
       .start()
@@ -344,18 +370,34 @@ object EventStreams {
     * (log prefix, previous summary) are bounded by id < epoch —
     * EventStreamsSpec pins streamed-summary ≡ from-scratch
     * re-aggregation of the replayed log at EVERY version.
+    *
+    * `keepLast > 0` folds RETENTION into the loop (the
+    * [[searchIndexSink]] merge-cadence pattern on the view tier):
+    * after each epoch's absorb, [[graft.operators.Pipeline
+    * .pruneSummaries]] keeps the newest `keepLast` version manifests
+    * and reference-counts the shared bucket directories — a
+    * long-running stream's version count stays bounded instead of
+    * growing one manifest per trigger forever. `keepLast >= 2` is
+    * required for epoch-replay safety (the retry of the one possibly
+    * uncommitted epoch needs its predecessor version, see
+    * [[graft.operators.Pipeline.pruneSummaries]]); running it inside
+    * `foreachBatch` keeps pruning serialized with absorbs — the
+    * single-writer posture this tier already assumes.
     */
   def maintainedSummarySink(changes: DataFrame, base: DataFrame,
       logDir: String, summaryDir: String, checkpoint: String,
-      key: String, grp: String,
-      v: String): org.apache.spark.sql.streaming.StreamingQuery =
+      key: String, grp: String, v: String,
+      keepLast: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
     changes.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epoch: Long) =>
-        if (!batch.isEmpty)
+        if (!batch.isEmpty) {
           graft.operators.Pipeline.absorbSummaryBatch(batch.toDF(), base,
             logDir, summaryDir, key, grp, v, epoch)
+          if (keepLast > 0)
+            graft.operators.Pipeline.pruneSummaries(summaryDir, keepLast)
+        }
         ()
       }
       .start()

@@ -685,6 +685,40 @@ class EventStreamsSpec extends SparkSpec {
       .as[(String, Long, Long)].collect().toSet == fin)
   }
 
+  test("maintainedSummarySink with retention cadence: the version " +
+    "count stays at keepLast across triggers and the surviving " +
+    "summary still equals the fully-replayed truth") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Pipeline
+    val base = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L))
+      .toDF("doc_id", "source", "n_chars")
+    val in = MemoryStream[(Long, String, Long, String)](spark)
+    val dir = Files.createTempDirectory("graft-mslr").toString
+    val logDir = s"$dir/log"
+    val sumDir = s"$dir/sum"
+    val ck = Files.createTempDirectory("graft-mslr-ck").toString
+    val changes = in.toDF().toDF("doc_id", "source", "n_chars", "op")
+    val q = EventStreams.maintainedSummarySink(changes, base, logDir,
+      sumDir, ck, "doc_id", "source", "n_chars", keepLast = 2)
+    (1 to 4).foreach { i =>
+      in.addData((100L + i, s"g$i", 10L * i, "U"))
+      q.processAllAvailable()
+      assert(Pipeline.summaryVersions(sumDir).size <= 2,
+        s"retention cadence failed after trigger $i")
+    }
+    q.stop()
+    val want = Pipeline.replayLog(spark, base, logDir, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("s"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(Pipeline.readSummary(spark, sumDir)
+      .as[(String, Long, Long)].collect().toSet == want)
+    // pruned versions fail loudly, never serve a newer one silently
+    intercept[IllegalArgumentException] {
+      Pipeline.readSummary(spark, sumDir, 0L)
+    }
+  }
+
   test("cdcLogSink + replayLog: streamed change batches replay to the " +
     "same snapshots as the batch CDC path, every version readable") {
     import graft.operators.Pipeline
@@ -797,5 +831,29 @@ class EventStreamsSpec extends SparkSpec {
     val batch = SegmentedIndex.search(spark, twin, Seq("x", "y"), 10)
       .as[(Long, Double, Long)].collect().toSeq
     assert(streamed == batch, s"streamed $streamed != batch $batch")
+  }
+
+  test("searchIndexSink with a merge tier: the live segment count " +
+    "stays at the bound across many triggers and searches keep " +
+    "answering (ES's refresh + merge scheduler in one loop)") {
+    import graft.operators.SegmentedIndex
+    val in = MemoryStream[(Long, String)](spark)
+    val root = Files.createTempDirectory("graft-sxm").toString + "/idx"
+    val ck = Files.createTempDirectory("graft-sxm-ck").toString
+    val q = EventStreams.searchIndexSink(
+      in.toDF().toDF("doc_id", "text"), root, ck, nBuckets = 4,
+      maxSegments = 2)
+    (1 to 5).foreach { i =>
+      in.addData((i.toLong, s"x doc$i"))
+      q.processAllAvailable()
+      assert(SegmentedIndex.stats(root)._1 <= 2L,
+        s"segment count exceeded the tier bound after trigger $i")
+    }
+    q.stop()
+    // every streamed doc is searchable after the folds, stats exact
+    assert(SegmentedIndex.stats(root)._3 == 5L)
+    val hits = SegmentedIndex.search(spark, root, Seq("x"), 10)
+      .as[(Long, Double, Long)].collect().map(_._1).toSeq
+    assert(hits == (1L to 5L), hits.toString)
   }
 }
