@@ -435,16 +435,14 @@ object Pipeline {
     frames.reduce(_ unionByName _)
   }
 
-  /** The store buckets containing groups `batch` touches: the OLD
-    * groups of the batch's keys (fetched through the same broadcast
-    * semi join [[maintainAgg]]/[[maintainTopK]] run) plus the upsert
-    * rows' groups. Batch-bounded — the collect returns at most `nb`
-    * ints. */
-  private def touchedBuckets(pre: DataFrame, batch: DataFrame,
-      key: String, grp: String, nb: Int,
-      opCol: String = "op"): Set[Int] =
-    pre.join(broadcast(batch.select(key)), Seq(key), "left_semi")
-      .select(grp)
+  /** The store buckets containing the touched groups — the OLD groups
+    * of the batch's keys (`affectedOld`, the one pruned base read the
+    * epoch pays, persisted by the caller and reused for the delta)
+    * plus the upsert rows' groups. Batch-bounded — the collect
+    * returns at most `nb` ints. */
+  private def touchedBuckets(affectedOld: DataFrame, batch: DataFrame,
+      grp: String, nb: Int, opCol: String = "op"): Set[Int] =
+    affectedOld.select(grp)
       .unionByName(batch.filter(col(opCol) === "U").select(grp))
       .select(bucketCol(grp, nb).as("gb")).distinct()
       .collect().map(_.getInt(0)).toSet
@@ -501,14 +499,28 @@ object Pipeline {
           (0 until nBuckets).map(_ -> epoch).toMap)
       case Some(prevE) =>
         val (nb, prevMap) = readVersionManifest(summaryDir, prevE)
-        val touched = touchedBuckets(pre, b, key, grp, nb)
+        // the ONE pruned base read of the epoch: the batch keys' old
+        // rows, persisted and reused for BOTH the touched-bucket set
+        // and the maintenance delta ([[maintainAgg]]'s minus side)
+        val affectedOld = pre
+          .join(broadcast(b.select(key)), Seq(key), "left_semi")
+          .persist()
+        val touched = touchedBuckets(affectedOld, b, grp, nb)
         if (touched.nonEmpty) {
           val oldTouched = readStoreBuckets(spark, summaryDir,
             prevMap.filter(kv => touched(kv._1)))
-          writeEpochBuckets(
-            maintainAgg(oldTouched, pre, b, key, grp, v),
-            summaryDir, epoch, grp, nb)
+          val minus = affectedOld.groupBy(grp)
+            .agg((-count(lit(1))).as("n"), (-sum(col(v))).as("s"))
+          val plus = b.filter(col("op") === "U").groupBy(grp)
+            .agg(count(lit(1)).as("n"), sum(col(v)).as("s"))
+          val newTouched = oldTouched.select(col(grp), col("n"), col("s"))
+            .unionByName(minus).unionByName(plus)
+            .groupBy(grp)
+            .agg(sum(col("n")).cast("long").as("n"), sum(col("s")).as("s"))
+            .filter(col("n") > 0)
+          writeEpochBuckets(newTouched, summaryDir, epoch, grp, nb)
         }
+        affectedOld.unpersist()
         commitVersion(summaryDir, epoch, nb,
           prevMap ++ touched.map(_ -> epoch))
     }
@@ -581,14 +593,33 @@ object Pipeline {
           (0 until nBuckets).map(_ -> epoch).toMap)
       case Some(prevE) =>
         val (nb, prevMap) = readVersionManifest(viewDir, prevE)
-        val touched = touchedBuckets(pre, b, key, grp, nb)
+        // one pruned base read resolves the touched GROUPS (persisted:
+        // it feeds the bucket set, the pass-through anti join and the
+        // merged-group re-read — [[maintainTopK]]'s exact shape, the
+        // re-read being the honest non-abelian contract)
+        val touchedGroups = pre
+          .join(broadcast(b.select(key)), Seq(key), "left_semi")
+          .select(grp)
+          .unionByName(b.filter(col("op") === "U").select(grp))
+          .distinct().persist()
+        val touched = touchedGroups
+          .select(bucketCol(grp, nb).as("gb")).distinct()
+          .collect().map(_.getInt(0)).toSet
         if (touched.nonEmpty) {
           val oldTouched = readStoreBuckets(spark, viewDir,
             prevMap.filter(kv => touched(kv._1)))
+          val untouched = oldTouched
+            .join(broadcast(touchedGroups), Seq(grp), "left_anti")
+          val merged = applyCdc(
+            pre.join(broadcast(touchedGroups), Seq(grp), "left_semi")
+              .select(col(grp), col(key), col(v)),
+            b.select(col(grp), col(key), col(v), col("op")),
+            key)
           writeEpochBuckets(
-            maintainTopK(oldTouched, pre, b, key, grp, v, k),
+            untouched.unionByName(topKView(merged, key, grp, v, k)),
             viewDir, epoch, grp, nb)
         }
+        touchedGroups.unpersist()
         commitVersion(viewDir, epoch, nb,
           prevMap ++ touched.map(_ -> epoch))
     }
