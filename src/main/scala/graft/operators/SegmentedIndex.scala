@@ -202,7 +202,12 @@ object SegmentedIndex {
   private def writeDict(spark: SparkSession, segTmp: java.io.File,
                         nTasks: Int): Unit =
     spark.read.parquet(segTmp.getPath)
-      .groupBy("term").agg(count(lit(1)).as("doc_freq"))
+      // max_tf is the per-term IMPACT BOUND Lucene stores beside its
+      // postings (block max impacts): [[maxScoreSearch]]'s pruning
+      // derives each term's score ceiling from it without reading a
+      // single posting
+      .groupBy("term").agg(count(lit(1)).as("doc_freq"),
+        max(col("tf")).as("max_tf"))
       // ranged + sorted: bulk initial builds parallelize across
       // nTasks writers instead of one task, and the term-ordered
       // row groups give the dictionary walk tight footer stats
@@ -451,6 +456,16 @@ object SegmentedIndex {
         p.join(broadcast(dead), Seq("doc_id", "seg"), "left_anti")
       case None => p
     }
+    scoreLive(live, dfreq, terms, nDocs)
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
+
+  /** The exact tf·(N/df) per-doc scoring shared by [[search]] and
+    * [[maxScoreSearch]]: fixed-order pivoted sums — bit-identical
+    * across engines and shuffle orders. */
+  private def scoreLive(live: DataFrame, dfreq: DataFrame,
+                        terms: Seq[String], nDocs: Long): DataFrame = {
     val contribs = terms.zipWithIndex.map { case (t, i) =>
       sum(when(col("term") === lit(t),
         col("tf").cast("double") *
@@ -464,8 +479,110 @@ object SegmentedIndex {
         contribs.tail :+ count(lit(1)).as("n_terms_hit"): _*)
       .withColumn("score", score)
       .select(col("doc_id"), col("score"), col("n_terms_hit"))
+  }
+
+  /** Top-k term search with MAXSCORE dynamic pruning — Lucene's
+    * other serving-side half (WAND/MaxScore: Lucene keeps per-block
+    * max impacts beside its postings and skips documents that cannot
+    * reach the current threshold), adapted to the batch two-phase
+    * shape, EXACT by construction:
+    *
+    *  1. per-term score CEILINGS come from the dictionary alone
+    *     (`ub_t = max_tf_t · N/df_t` — no posting read), a
+    *     query-bounded collect like Lucene's terms-index lookup;
+    *  2. phase 1 fully scores only the HIGHEST-ceiling term's
+    *     documents; the k-th score there is a certified LOWER bound
+    *     `θ` on the final k-th score (adding candidates only raises
+    *     a top-k threshold);
+    *  3. terms are split driver-side: the maximal low-ceiling set
+    *     whose summed ceilings stay below `θ` (with a 1e-9 relative
+    *     slack absorbing double rounding — ceilings err CONSERVATIVE)
+    *     is NON-ESSENTIAL; a document matching no essential term has
+    *     score ≤ that sum < θ and provably cannot enter the top-k
+    *     (strict inequality ⇒ it cannot even tie), so
+    *  4. phase 2 scores only documents matching ≥ 1 essential term —
+    *     the common-terms-only documents (the overwhelming majority
+    *     under a Zipfian vocabulary when the query mixes rare and
+    *     common terms) are never aggregated or ranked.
+    *
+    * The highest-ceiling term is always essential (its achieved `θ`
+    * cannot exceed the all-term ceiling sum), so phase 2's candidates
+    * cover phase 1's; with no threshold (fewer than k phase-1 docs)
+    * every term is essential and the search degrades to [[search]]'s
+    * exhaustive plan. Results are EXACTLY [[search]]'s — same exact
+    * arithmetic, same (score desc, doc_id) order — so the DuckDB
+    * oracle for the exhaustive ranking certifies the pruned path
+    * end-to-end (q178). Statistics follow the usual Lucene phases
+    * (df/N pre-tombstone, hits post-tombstone).
+    *
+    * Scale shape: the dictionary consult is vocabulary-bounded, phase
+    * 1 reads one posting list (+ the candidates' rows of the others,
+    * semi-joined), phase 2 reads the essential lists and only their
+    * documents' postings — a query mixing one rare term with common
+    * ones goes from scoring every common-term document to scoring the
+    * rare list's neighborhood, which is why every production engine
+    * runs this. Output: (doc_id, score, n_terms_hit), top-k.
+    */
+  def maxScoreSearch(spark: SparkSession, rootDir: String,
+                     terms: Seq[String], k: Int): DataFrame =
+    maxScoreSearchWithPlan(spark, rootDir, terms, k)._1
+
+  /** [[maxScoreSearch]] plus its pruning decision — (result,
+    * essential terms, θ) — so specs can assert the split, which is
+    * invisible in the (provably identical) output. */
+  private[operators] def maxScoreSearchWithPlan(spark: SparkSession,
+      rootDir: String, terms: Seq[String],
+      k: Int): (DataFrame, Seq[String], Double) = {
+    require(terms.nonEmpty, "maxScoreSearch needs at least one term")
+    val root = new java.io.File(rootDir)
+    val (nb, segs, _) = readManifest(root)
+    val nDocs = segs.filter(_.kind == "seg").map(_.nDocs).sum
+    // dictionary consult: (df, max_tf) per present query term
+    val stats = dictFrame(spark, root, segs)
+      .filter(col("term").isin(terms: _*))
+      .groupBy("term").agg(sum("doc_freq").as("df"),
+        max("max_tf").as("mtf"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    if (stats.isEmpty)
+      return (search(spark, rootDir, terms, k), Seq.empty,
+        Double.NegativeInfinity)
+    val ub = stats.map { case (t, df, mtf) =>
+      t -> mtf.toDouble * (nDocs.toDouble / df.toDouble) }.toMap
+    val present = stats.map(_._1).toSeq.sorted
+    val topTerm = present.maxBy(t => (ub(t), t))
+    val p = prunedPostings(spark, root, segs, present, nb)
+    val dfreq = p.groupBy("term").agg(count(lit(1)).as("doc_freq"))
+    val live = tombstones(spark, root, segs) match {
+      case Some(dead) =>
+        p.join(broadcast(dead), Seq("doc_id", "seg"), "left_anti")
+      case None => p
+    }
+    // phase 1: the top-ceiling term's docs, fully scored → θ
+    val cand1 = live.filter(col("term") === lit(topTerm))
+      .select("doc_id").distinct()
+    val kth = scoreLive(live.join(cand1, Seq("doc_id"), "left_semi"),
+        dfreq, terms, nDocs)
+      .orderBy(desc("score"), asc("doc_id")).limit(k)
+      .agg(min("score").as("kth"), count(lit(1)).as("n"))
+      .collect().head
+    val theta =
+      if (kth.getLong(1) < k) Double.NegativeInfinity
+      else kth.getDouble(0)
+    // essential split (driver math over the query's terms)
+    var acc = 0.0
+    val nonEss = scala.collection.mutable.Set[String]()
+    present.sortBy(t => (ub(t), t)).foreach { t =>
+      if ((acc + ub(t)) * (1 + 1e-9) < theta) { acc += ub(t); nonEss += t }
+    }
+    val essential = present.filterNot(nonEss)
+    // phase 2: only documents matching an essential term are scored
+    val cand = live.filter(col("term").isin(essential: _*))
+      .select("doc_id").distinct()
+    (scoreLive(live.join(cand, Seq("doc_id"), "left_semi"),
+        dfreq, terms, nDocs)
       .orderBy(desc("score"), asc("doc_id"))
-      .limit(k)
+      .limit(k), essential, theta)
   }
 
   /** Multi-term BM25 top-k over the segmented index — the production

@@ -146,6 +146,27 @@ object LlmSurface {
     //     them (stats shift only at merge). Segment/tombstone counts
     //     and the stats-phase N ride as oracle columns
     //     (SegmentedIndex.append/delete/search) ---
+    // --- MAXSCORE dynamic pruning on the segmented index (Lucene's
+    //     WAND/MaxScore serving optimization, batch two-phase form):
+    //     per-term score ceilings from the dictionary's max_tf
+    //     impacts, phase-1 threshold from the top-ceiling term's
+    //     list, then only documents matching an essential term are
+    //     scored. PROVABLY exact — the oracle is the plain exhaustive
+    //     tf·(N/df) ranking, so a hash match certifies the pruned
+    //     path end-to-end (SegmentedIndex.maxScoreSearch; the
+    //     skew-corpus pruning proof lives in SegmentedIndexSpec) ---
+    "q178_maxscore" -> ((s, d) => {
+      import graft.operators.SegmentedIndex
+      val root = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        "graft_mx_" + graft.engine.Bucketing.fingerprint8(d) +
+          "_" + java.util.UUID.randomUUID().toString.take(8)).getPath
+      // bounded roundtrip corpus (q150's rule)
+      val dd = docs(s, d).filter(col("doc_id") < 150)
+      SegmentedIndex.append(s, root, dd, "a")
+      SegmentedIndex.maxScoreSearch(s, root, searchTerms, 20)
+    }),
+
     "q165_segmented_search" -> ((s, d) => {
       import graft.operators.SegmentedIndex
       val root = new java.io.File(
@@ -1831,6 +1852,28 @@ object LlmSurface {
          |        FROM documents) GROUP BY term, doc_id),
          | dfreq AS (SELECT term, count(*)::BIGINT AS doc_freq FROM p GROUP BY term),
          | nd AS (SELECT count(*)::DOUBLE AS n_docs FROM documents)
+         |SELECT doc_id, ${contribs.mkString(" + ")} AS score,
+         |  count(*) AS n_terms_hit
+         |FROM p JOIN dfreq USING (term), nd
+         |WHERE term IN ($termList)
+         |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+    },
+
+    // q178: the exhaustive exact ranking over the same bounded corpus
+    // — MaxScore pruning is lossless by proof, so the pruned path must
+    // hash-match the plain top-k
+    "q178_maxscore" -> {
+      val terms = searchTerms
+      val termList = terms.map(t => s"'$t'").mkString(", ")
+      val contribs = terms.map { t =>
+        s"sum(CASE WHEN term = '$t' THEN tf::DOUBLE * (n_docs / doc_freq::DOUBLE) ELSE 0.0::DOUBLE END)"
+      }
+      s"""WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+         | p AS (SELECT term, doc_id, count(*)::BIGINT AS tf
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |        FROM d) GROUP BY term, doc_id),
+         | dfreq AS (SELECT term, count(*)::BIGINT AS doc_freq FROM p GROUP BY term),
+         | nd AS (SELECT count(*)::DOUBLE AS n_docs FROM d)
          |SELECT doc_id, ${contribs.mkString(" + ")} AS score,
          |  count(*) AS n_terms_hit
          |FROM p JOIN dfreq USING (term), nd

@@ -336,6 +336,45 @@ class SegmentedIndexSpec extends SparkSpec {
     assert(SegmentedIndex.snapshot(root, dest) == 0)
   }
 
+  test("maxScoreSearch: exact results equal the exhaustive scorer " +
+    "on every query shape, and on a skewed corpus the common term " +
+    "is provably non-essential (its docs are never scored)") {
+    // rare term in 2 docs (huge N/df ceiling), common filler term in
+    // every doc (ceiling ~1·N/N): docs matching ONLY the filler can
+    // never reach the rare-term docs' scores
+    val root = Files.createTempDirectory("graft-maxscore").toString
+    val docs = (Seq(
+      (1L, "rare filler filler"),
+      (2L, "rare rare filler"))
+      ++ (3L to 40L).map(i => (i, "filler filler filler")))
+      .toDF("doc_id", "text")
+    SegmentedIndex.append(spark, root, docs, "ms", nBuckets = 4)
+    def exhaustive(ts: Seq[String], k: Int) =
+      SegmentedIndex.search(spark, root, ts, k)
+        .as[(Long, Double, Long)].collect().toSeq
+    def pruned(ts: Seq[String], k: Int) =
+      SegmentedIndex.maxScoreSearchWithPlan(spark, root, ts, k)
+    // the pruning decision: filler drops out of the essential set
+    val (out, essential, theta) = pruned(Seq("rare", "filler"), 2)
+    assert(theta > 0.0)
+    assert(essential == Seq("rare"),
+      s"essential=$essential — filler must be non-essential")
+    assert(out.as[(Long, Double, Long)].collect().toSeq ==
+      exhaustive(Seq("rare", "filler"), 2))
+    // no-threshold degradation (k > matching docs): all essential
+    val (out2, ess2, _) = pruned(Seq("rare", "filler"), 100)
+    assert(ess2.toSet == Set("rare", "filler"))
+    assert(out2.as[(Long, Double, Long)].collect().toSeq ==
+      exhaustive(Seq("rare", "filler"), 100))
+    // absent terms fall back to the exhaustive path
+    assert(pruned(Seq("zzz-missing"), 5)._1.count() == 0L)
+    // tombstones: stats phases identical to search()
+    SegmentedIndex.delete(spark, root, Seq(2L).toDF("doc_id"), "d1")
+    assert(pruned(Seq("rare", "filler"), 3)._1
+      .as[(Long, Double, Long)].collect().toSeq ==
+      exhaustive(Seq("rare", "filler"), 3))
+  }
+
   test("bm25TopK on a one-segment index equals the ad-hoc scorer " +
     "bitwise; a tombstone drops the doc but not the stats") {
     val corpus = Seq(
