@@ -226,14 +226,19 @@ object SegmentedIndex {
     }.reduce(_ unionByName _)
 
   /** Stored fields — ES's `_source` / Lucene's stored fields: the
-    * original (doc_id, text) rows ride INSIDE the segment under
-    * `_stored/` (the underscore prefix hides the subtree from the
-    * postings scans' file listing, so term queries never touch it),
-    * committed by the same manifest rename as the postings. [[fetch]]
-    * and [[highlight]] read them; nothing else does. */
+    * original document rows — ALL their columns — ride INSIDE the
+    * segment under `_stored/` (the underscore prefix hides the
+    * subtree from the postings scans' file listing, so term queries
+    * never touch it), committed by the same manifest rename as the
+    * postings. [[fetch]]/[[highlight]] read (doc_id, text);
+    * [[facet]] reads (doc_id, one metadata column) — and because the
+    * store is PARQUET, that single-column read IS the doc-values
+    * behavior ES builds a separate columnar store for: the text and
+    * every other field never leave disk. Schema must stay consistent
+    * across a segment family (the per-index ES mapping contract). */
   private def writeStored(d: DataFrame, segTmp: java.io.File,
                           nTasks: Int): Unit =
-    d.select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    d.withColumn("doc_id", col("doc_id").cast("long"))
       // ranged + doc_id-sorted (replacing a coalesce(1)): a BULK
       // initial build writes through nTasks parallel tasks instead
       // of serializing every stored field through one, and the
@@ -255,7 +260,11 @@ object SegmentedIndex {
       spark.read.parquet(
         new java.io.File(new java.io.File(root, sg.name), "_stored").getPath)
         .withColumn("seg", lit(sg.name.stripPrefix("seg=")))
-    }.reduce(_ unionByName _)
+      // allowMissingColumns: documents are SPARSE (ES's mapping
+      // contract — a document need not contain every mapped field),
+      // so a batch that carried fewer columns reads back with nulls
+      // in the others instead of failing the union
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
 
   /** GET by id — ES's document fetch, from the index's stored fields:
     * live (tombstone-filtered) rows for the requested ids, the id
@@ -298,6 +307,51 @@ object SegmentedIndex {
       live.join(broadcast(top), Seq("doc_id"), "left_semi")
         .select("doc_id", "text"),
       terms, window)
+  }
+
+  /** Terms AGGREGATION over a query's full hit set — ES's
+    * `aggs: { terms: { field } }`, the other half of every search
+    * request: documents matching ANY query term (live — tombstoned
+    * docs excluded immediately, like hit lists) are bucketed by a
+    * stored metadata column and counted, top-`kBuckets` by
+    * (doc_count desc, value asc). The aggregation runs over the FULL
+    * hit set, not the top-k page — exactly ES's semantics.
+    *
+    * The field values read COLUMN-PRUNED from the `_stored/` parquet
+    * (doc_id + the one field — parquet's columnar layout IS the
+    * doc-values store ES builds separately; text never leaves disk),
+    * and the hit set comes from the bucket-pruned postings, so the
+    * cost is the queried posting lists + one column of the matched
+    * documents. `count_distinct` on doc_id keeps a doc counted once
+    * even if (contrary to the upsert contract) two live versions
+    * exist. Output: (value, doc_count). */
+  def facet(spark: SparkSession, rootDir: String, terms: Seq[String],
+            field: String, kBuckets: Int): DataFrame = {
+    require(terms.nonEmpty, "facet needs at least one query term")
+    val root = new java.io.File(rootDir)
+    val (nb, segs, _) = readManifest(root)
+    val p = prunedPostings(spark, root, segs, terms, nb)
+    val dead = tombstones(spark, root, segs)
+    val hits = (dead match {
+      case Some(d) =>
+        p.join(broadcast(d), Seq("doc_id", "seg"), "left_anti")
+      case None => p
+    }).select("doc_id").distinct()
+    val stored = storedFrame(spark, root, segs)
+      .select(col("doc_id"), col(field).as("value"), col("seg"))
+      // ES terms aggs ignore documents missing the field (sparse
+      // mapping — a segment written without this column reads null)
+      .filter(col("value").isNotNull)
+    val liveStored = dead match {
+      case Some(d) =>
+        stored.join(broadcast(d), Seq("doc_id", "seg"), "left_anti")
+      case None => stored
+    }
+    liveStored.join(hits, Seq("doc_id"), "left_semi")
+      .groupBy("value")
+      .agg(countDistinct(col("doc_id")).as("doc_count"))
+      .orderBy(desc("doc_count"), asc("value"))
+      .limit(kBuckets)
   }
 
   /** Tombstone a set of doc_ids — Lucene's live-docs delete: the
@@ -880,7 +934,7 @@ object SegmentedIndex {
         all.select("term", "doc_id", "dl", "tf", "positions", "tb")
           .repartition(nb, col("tb")) // one write task per bucket
           .write.mode("overwrite").partitionBy("tb").parquet(tmp.getPath)
-        writeStored(storedFrame(spark, root, run), tmp, nb)
+        writeStored(storedFrame(spark, root, run).drop("seg"), tmp, nb)
         writeDict(spark, tmp, nb)
     }
     writeManifest(root, nb,
@@ -931,7 +985,7 @@ object SegmentedIndex {
         merged.select("term", "doc_id", "dl", "tf", "positions", "tb")
           .repartition(nb, col("tb")) // one write task per bucket
           .write.mode("overwrite").partitionBy("tb").parquet(tmp.getPath)
-        writeStored(storedLive, tmp, nb)
+        writeStored(storedLive.drop("seg"), tmp, nb)
         writeDict(spark, tmp, nb)
     }
     merged.unpersist()

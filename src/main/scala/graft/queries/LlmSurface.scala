@@ -167,6 +167,27 @@ object LlmSurface {
       SegmentedIndex.maxScoreSearch(s, root, searchTerms, 20)
     }),
 
+    // --- terms AGGREGATION from the index (ES `aggs.terms`, the
+    //     other half of every search request): documents matching any
+    //     query term bucket by their stored `source` field and count,
+    //     over the FULL hit set (not the top-k page). Field values
+    //     read column-pruned from the stored-fields parquet — the
+    //     doc-values behavior ES builds a separate columnar store
+    //     for; the corpus is never scanned
+    //     (SegmentedIndex.facet) ---
+    "q179_facet" -> ((s, d) => {
+      import graft.operators.SegmentedIndex
+      val root = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        "graft_fc_" + graft.engine.Bucketing.fingerprint8(d) +
+          "_" + java.util.UUID.randomUUID().toString.take(8)).getPath
+      // bounded roundtrip corpus (q150's rule)
+      val dd = docs(s, d).filter(col("doc_id") < 150)
+      SegmentedIndex.append(s, root, dd, "a")
+      SegmentedIndex.facet(s, root, searchTerms, "source",
+        kBuckets = 10)
+    }),
+
     "q165_segmented_search" -> ((s, d) => {
       import graft.operators.SegmentedIndex
       val root = new java.io.File(
@@ -1879,6 +1900,21 @@ object LlmSurface {
          |FROM p JOIN dfreq USING (term), nd
          |WHERE term IN ($termList)
          |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+    },
+
+    // q179: the same full-hit-set terms aggregation computed from the
+    // raw corpus — exact integer counts, ES's aggregation semantics
+    "q179_facet" -> {
+      val termList = searchTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+         | p AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |       FROM d),
+         | hits AS (SELECT DISTINCT doc_id FROM p
+         |          WHERE term IN ($termList))
+         |SELECT source AS value, count(DISTINCT d.doc_id) AS doc_count
+         |FROM d JOIN hits USING (doc_id)
+         |GROUP BY source ORDER BY doc_count DESC, value LIMIT 10"""
+        .stripMargin
     },
 
     "q105_phrase_search" -> phraseOracle,

@@ -427,6 +427,39 @@ class SegmentedIndexSpec extends SparkSpec {
       (4L, "w only")), "stored fields must fold through the merge")
   }
 
+  test("facet: full-hit-set terms aggregation over stored metadata — " +
+    "tombstoned docs drop immediately, an upserted doc counts under " +
+    "its NEW field value, and the count survives merge") {
+    val root = Files.createTempDirectory("graft-facet").toString
+    val d1 = Seq(
+      (1L, "x x y", "news"),
+      (2L, "x z", "blog"),
+      (3L, "y y z", "news"))
+      .toDF("doc_id", "text", "cat")
+    val d2 = Seq(
+      (4L, "x w", "wiki"),
+      (5L, "pad only", "news"))
+      .toDF("doc_id", "text", "cat")
+    SegmentedIndex.append(spark, root, d1, "a", nBuckets = 4)
+    SegmentedIndex.append(spark, root, d2, "b")
+    def got() = SegmentedIndex.facet(spark, root, Seq("x"), "cat", 10)
+      .as[(String, Long)].collect().toSeq
+    // docs matching 'x': 1 (news), 2 (blog), 4 (wiki); doc 5 matches
+    // nothing — the aggregation runs over the HIT set only
+    assert(got() == Seq(("blog", 1L), ("news", 1L), ("wiki", 1L)))
+    SegmentedIndex.delete(spark, root, Seq(2L).toDF("doc_id"), "d1")
+    assert(got() == Seq(("news", 1L), ("wiki", 1L)),
+      "tombstoned doc must leave the aggregation immediately")
+    // upsert moves doc 4 to a new category AND keeps it matching
+    SegmentedIndex.upsert(spark, root,
+      Seq((4L, "x moved", "news")).toDF("doc_id", "text", "cat"), "u1")
+    assert(got() == Seq(("news", 2L)),
+      "upserted doc must count under its new field value only")
+    SegmentedIndex.merge(spark, root)
+    assert(got() == Seq(("news", 2L)),
+      "facet must survive the merge fold")
+  }
+
   test("snapshot freezes a generation, re-snapshot is incremental, " +
     "and the destination is a fully working index") {
     val root = freshIndex()
