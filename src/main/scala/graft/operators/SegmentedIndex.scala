@@ -326,8 +326,55 @@ object SegmentedIndex {
     * even if (contrary to the upsert contract) two live versions
     * exist. Output: (value, doc_count). */
   def facet(spark: SparkSession, rootDir: String, terms: Seq[String],
-            field: String, kBuckets: Int): DataFrame = {
-    require(terms.nonEmpty, "facet needs at least one query term")
+            field: String, kBuckets: Int): DataFrame =
+    hitFieldValues(spark, rootDir, terms, field)
+      .groupBy("value")
+      .agg(countDistinct(col("doc_id")).as("doc_count"))
+      .orderBy(desc("doc_count"), asc("value"))
+      .limit(kBuckets)
+
+  /** Histogram aggregation over a query's full hit set — ES's
+    * `aggs: { histogram: { field, interval } }` with its default
+    * `min_doc_count: 0` semantics: matched live documents bucket by
+    * `floor(value / interval) · interval`, and EVERY interval between
+    * the lowest and highest occupied bucket appears in the output,
+    * empty ones with doc_count 0 (the gap-filling that makes ES
+    * histograms chartable directly). The bounds row and the bucket
+    * sequence are single-row frames — the fill is O(range/interval),
+    * never a driver loop; the field values read column-pruned from
+    * the stored parquet like [[facet]]. Output: (bucket, doc_count),
+    * bucket-ascending. */
+  def histogramFacet(spark: SparkSession, rootDir: String,
+                     terms: Seq[String], field: String,
+                     interval: Long): DataFrame = {
+    require(interval > 0, s"interval must be positive: $interval")
+    val counts = hitFieldValues(spark, rootDir, terms, field)
+      .withColumn("bucket",
+        floor(col("value").cast("double") / interval).cast("long") *
+          interval)
+      .groupBy("bucket")
+      .agg(countDistinct(col("doc_id")).as("doc_count"))
+    val buckets = counts
+      .agg(min("bucket").as("lo"), max("bucket").as("hi"))
+      .filter(col("lo").isNotNull)
+      .select(explode(
+        sequence(col("lo"), col("hi"), lit(interval))).as("bucket"))
+    buckets.join(counts, Seq("bucket"), "left")
+      .na.fill(0L, Seq("doc_count"))
+      .orderBy("bucket")
+  }
+
+  /** The (doc_id, value) pairs feeding an aggregation: live documents
+    * matching ANY query term (tombstoned docs excluded immediately,
+    * like hit lists), paired with one stored metadata column — read
+    * COLUMN-PRUNED from `_stored/` (parquet's columnar layout IS the
+    * doc-values store ES builds separately; text never leaves disk).
+    * Documents missing the field are excluded (ES aggs ignore them —
+    * sparse mapping, a segment written without the column reads
+    * null). */
+  private def hitFieldValues(spark: SparkSession, rootDir: String,
+      terms: Seq[String], field: String): DataFrame = {
+    require(terms.nonEmpty, "aggregations need at least one query term")
     val root = new java.io.File(rootDir)
     val (nb, segs, _) = readManifest(root)
     val p = prunedPostings(spark, root, segs, terms, nb)
@@ -339,8 +386,6 @@ object SegmentedIndex {
     }).select("doc_id").distinct()
     val stored = storedFrame(spark, root, segs)
       .select(col("doc_id"), col(field).as("value"), col("seg"))
-      // ES terms aggs ignore documents missing the field (sparse
-      // mapping — a segment written without this column reads null)
       .filter(col("value").isNotNull)
     val liveStored = dead match {
       case Some(d) =>
@@ -348,10 +393,7 @@ object SegmentedIndex {
       case None => stored
     }
     liveStored.join(hits, Seq("doc_id"), "left_semi")
-      .groupBy("value")
-      .agg(countDistinct(col("doc_id")).as("doc_count"))
-      .orderBy(desc("doc_count"), asc("value"))
-      .limit(kBuckets)
+      .select("doc_id", "value")
   }
 
   /** Tombstone a set of doc_ids — Lucene's live-docs delete: the
@@ -515,11 +557,13 @@ object SegmentedIndex {
       .limit(k)
   }
 
-  /** The exact tf·(N/df) per-doc scoring shared by [[search]] and
-    * [[maxScoreSearch]]: fixed-order pivoted sums — bit-identical
-    * across engines and shuffle orders. */
+  /** The exact tf·(N/df) scoring shared by [[search]],
+    * [[maxScoreSearch]] and [[multiSearch]]: fixed-order pivoted sums
+    * — bit-identical across engines and shuffle orders. Grouping keys
+    * default to the doc id; the federated path adds the index name. */
   private def scoreLive(live: DataFrame, dfreq: DataFrame,
-                        terms: Seq[String], nDocs: Long): DataFrame = {
+                        terms: Seq[String], nDocs: Long,
+                        keys: Seq[String] = Seq("doc_id")): DataFrame = {
     val contribs = terms.zipWithIndex.map { case (t, i) =>
       sum(when(col("term") === lit(t),
         col("tf").cast("double") *
@@ -528,11 +572,117 @@ object SegmentedIndex {
     }
     val score = terms.indices.map(i => col(s"c_$i")).reduce(_ + _)
     live.join(dfreq, "term")
-      .groupBy("doc_id")
+      .groupBy(keys.map(col): _*)
       .agg(contribs.head,
         contribs.tail :+ count(lit(1)).as("n_terms_hit"): _*)
       .withColumn("score", score)
-      .select(col("doc_id"), col("score"), col("n_terms_hit"))
+      .select(keys.map(col) :+ col("score") :+ col("n_terms_hit"): _*)
+  }
+
+  /** Boolean query over the segmented index — ES's `bool` query with
+    * term clauses, the composition every real search request uses:
+    *
+    *   - `must`: every term REQUIRED (a conjunction); each matched
+    *     clause contributes to the score;
+    *   - `should`: optional; matching terms add score; when `must`
+    *     is empty at least one should-term must match (ES's
+    *     `minimum_should_match = 1` default for a should-only bool);
+    *   - `mustNot`: pure filter — a matching doc is excluded and the
+    *     clause never contributes score (ES runs must_not in filter
+    *     context, score 0).
+    *
+    * Scoring is [[search]]'s exact tf·(N/df) per matched scoring
+    * clause under the usual Lucene statistics phases (df and N count
+    * tombstoned docs until merge; hit lists exclude them
+    * immediately), which keeps the full composition on the DuckDB
+    * oracle surface. All clause sets read bucket-pruned postings of
+    * just their terms (one shared scan); the conjunction is a
+    * distinct-term count, the exclusion an anti join — candidate
+    * frames stay distributed, nothing collects. Output: (doc_id,
+    * score, n_terms_hit), top-k by (score desc, doc_id). */
+  def boolSearch(spark: SparkSession, rootDir: String,
+                 must: Seq[String], should: Seq[String] = Seq.empty,
+                 mustNot: Seq[String] = Seq.empty,
+                 k: Int = 10): DataFrame = {
+    require(must.nonEmpty || should.nonEmpty,
+      "boolSearch needs at least one scoring clause (must or should)")
+    val scoring = (must ++ should).distinct
+    val root = new java.io.File(rootDir)
+    val (nb, segs, _) = readManifest(root)
+    val nDocs = segs.filter(_.kind == "seg").map(_.nDocs).sum
+    val p = prunedPostings(spark, root, segs,
+      (scoring ++ mustNot).distinct, nb)
+    // df BEFORE tombstones (Lucene's stats phase), scoring terms only
+    val dfreq = p.filter(col("term").isin(scoring: _*))
+      .groupBy("term").agg(count(lit(1)).as("doc_freq"))
+    val live = tombstones(spark, root, segs) match {
+      case Some(dead) =>
+        p.join(broadcast(dead), Seq("doc_id", "seg"), "left_anti")
+      case None => p
+    }
+    // candidates: all-of-must, else any-of-should
+    val cand0 =
+      if (must.nonEmpty)
+        live.filter(col("term").isin(must.distinct: _*))
+          .groupBy("doc_id")
+          .agg(countDistinct(col("term")).as("nm"))
+          .filter(col("nm") === lit(must.distinct.size.toLong))
+          .select("doc_id")
+      else
+        live.filter(col("term").isin(should.distinct: _*))
+          .select("doc_id").distinct()
+    val cand =
+      if (mustNot.isEmpty) cand0
+      else cand0.join(
+        live.filter(col("term").isin(mustNot.distinct: _*))
+          .select("doc_id").distinct(),
+        Seq("doc_id"), "left_anti")
+    scoreLive(live.filter(col("term").isin(scoring: _*))
+        .join(cand, Seq("doc_id"), "left_semi"),
+      dfreq, scoring, nDocs)
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
+
+  /** Federated search across several indices — ES's multi-index
+    * request (`GET /idx1,idx2/_search`) under `dfs_query_then_fetch`
+    * statistics: document frequencies and N are GLOBAL sums over all
+    * queried indices, so a document scores identically wherever it is
+    * indexed and the federation is provably lossless — searching two
+    * indices holding a corpus split equals searching one index
+    * holding the whole corpus (the property the oracle pins). Each
+    * index keeps its own bucket count, manifest, and tombstones
+    * (applied only to its own segments, per the usual phases: df/N
+    * pre-tombstone, hits post). Per-index postings arrive
+    * bucket-pruned; the union is queried-lists-sized. Output:
+    * (idx, doc_id, score, n_terms_hit), top-k by
+    * (score desc, idx, doc_id) — ids are namespaced by index, ES's
+    * (_index, _id) identity. */
+  def multiSearch(spark: SparkSession, indices: Seq[(String, String)],
+                  terms: Seq[String], k: Int): DataFrame = {
+    require(indices.nonEmpty, "multiSearch needs at least one index")
+    require(indices.map(_._1).distinct.size == indices.size,
+      "index names must be unique")
+    val perIndex = indices.map { case (name, rootDir) =>
+      val root = new java.io.File(rootDir)
+      val (nb, segs, _) = readManifest(root)
+      val nDocs = segs.filter(_.kind == "seg").map(_.nDocs).sum
+      val p = prunedPostings(spark, root, segs, terms, nb)
+      val live = tombstones(spark, root, segs) match {
+        case Some(dead) =>
+          p.join(broadcast(dead), Seq("doc_id", "seg"), "left_anti")
+        case None => p
+      }
+      (nDocs, p, live.withColumn("idx", lit(name)))
+    }
+    val nTotal = perIndex.map(_._1).sum
+    val dfreq = perIndex.map(_._2).reduce(_ unionByName _)
+      .groupBy("term").agg(count(lit(1)).as("doc_freq"))
+    val liveAll = perIndex.map(_._3).reduce(_ unionByName _)
+    scoreLive(liveAll, dfreq, terms, nTotal,
+      keys = Seq("idx", "doc_id"))
+      .orderBy(desc("score"), asc("idx"), asc("doc_id"))
+      .limit(k)
   }
 
   /** Top-k term search with MAXSCORE dynamic pruning — Lucene's

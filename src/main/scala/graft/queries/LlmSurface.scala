@@ -188,6 +188,77 @@ object LlmSurface {
         kBuckets = 10)
     }),
 
+    // --- histogram aggregation from the index (ES `aggs.histogram`
+    //     with its default min_doc_count=0 gap-filling): matched live
+    //     docs bucket by floor(n_chars/50)·50, every interval between
+    //     the occupied bounds appears, empty ones at zero; field
+    //     values column-pruned from the stored parquet
+    //     (SegmentedIndex.histogramFacet) ---
+    "q181_histogram_facet" -> ((s, d) => {
+      import graft.operators.SegmentedIndex
+      val root = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        "graft_hf_" + graft.engine.Bucketing.fingerprint8(d) +
+          "_" + java.util.UUID.randomUUID().toString.take(8)).getPath
+      // bounded roundtrip corpus (q150's rule)
+      val dd = docs(s, d).filter(col("doc_id") < 150)
+      SegmentedIndex.append(s, root, dd, "a")
+      SegmentedIndex.histogramFacet(s, root, searchTerms, "n_chars",
+        interval = 50L)
+    }),
+
+    // --- federated multi-index search (ES `GET /idx1,idx2/_search`
+    //     under dfs_query_then_fetch): the corpus splits across two
+    //     independent indices (own bucket counts, manifests,
+    //     per-index tombstones), and GLOBAL df/N statistics make the
+    //     federation lossless — the ranking equals one combined index
+    //     (SegmentedIndex.multiSearch) ---
+    "q182_multi_index_search" -> ((s, d) => {
+      import graft.operators.SegmentedIndex
+      val stem = "graft_mi_" + graft.engine.Bucketing.fingerprint8(d) +
+        "_" + java.util.UUID.randomUUID().toString.take(8)
+      val left = new java.io.File(
+        System.getProperty("java.io.tmpdir"), stem + "_l").getPath
+      val right = new java.io.File(
+        System.getProperty("java.io.tmpdir"), stem + "_r").getPath
+      // bounded roundtrip corpus (q150's rule), split across indices
+      val dd = docs(s, d).filter(col("doc_id") < 150)
+      val dl = dd.filter(col("doc_id") < 75)
+      val dr = dd.filter(col("doc_id") >= 75)
+      SegmentedIndex.append(s, left, dl, "a", nBuckets = 8)
+      SegmentedIndex.append(s, right, dr, "a", nBuckets = 4)
+      SegmentedIndex.delete(s, left,
+        dl.filter(col("doc_id") % 37 === 5).select("doc_id"), "d1")
+      SegmentedIndex.delete(s, right,
+        dr.filter(col("doc_id") % 37 === 5).select("doc_id"), "d1")
+      SegmentedIndex.multiSearch(s,
+        Seq("left" -> left, "right" -> right), searchTerms, k = 20)
+    }),
+
+    // --- boolean query from the index (ES's `bool` — the composition
+    //     every real search request uses): must is a conjunction (all
+    //     terms required, each scoring), should only boosts, must_not
+    //     filters without scoring; exact tf·(N/df) scoring under
+    //     Lucene's stats phases keeps the whole composition on the
+    //     DuckDB oracle surface (SegmentedIndex.boolSearch) ---
+    "q180_bool_search" -> ((s, d) => {
+      import graft.operators.SegmentedIndex
+      val root = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        "graft_bq_" + graft.engine.Bucketing.fingerprint8(d) +
+          "_" + java.util.UUID.randomUUID().toString.take(8)).getPath
+      // bounded roundtrip corpus (q150's rule)
+      val dd = docs(s, d).filter(col("doc_id") < 150)
+      SegmentedIndex.append(s, root,
+        dd.filter(col("doc_id") % 5 =!= 0), "a")
+      SegmentedIndex.append(s, root,
+        dd.filter(col("doc_id") % 5 === 0), "b")
+      SegmentedIndex.delete(s, root,
+        dd.filter(col("doc_id") % 37 === 5).select("doc_id"), "d1")
+      SegmentedIndex.boolSearch(s, root, must = Seq("spark", "data"),
+        should = Seq("vector"), mustNot = Seq("join"), k = 20)
+    }),
+
     "q165_segmented_search" -> ((s, d) => {
       import graft.operators.SegmentedIndex
       val root = new java.io.File(
@@ -2081,6 +2152,83 @@ object LlmSurface {
     // q165: Lucene statistics semantics pre-merge — N and df over ALL
     // documents (tombstoned docs still count toward stats), the hit
     // list excludes them; same fixed-order pivoted score as q26
+    // q182: the losslessness property IS the oracle — global-stats
+    // federated ranking over the split indices must equal q165's
+    // single-corpus ranking, docs tagged by which index holds them
+    "q182_multi_index_search" -> {
+      val termList = searchTerms.map(t => s"'$t'").mkString(", ")
+      val contribs = searchTerms.map { t =>
+        s"sum(CASE WHEN term = '$t' THEN tf::DOUBLE * " +
+          "(n_docs / doc_freq::DOUBLE) ELSE 0.0::DOUBLE END)"
+      }
+      s"""WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+         | p AS (SELECT term, doc_id, count(*)::BIGINT AS tf
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |        FROM d) GROUP BY term, doc_id),
+         | dfreq AS (SELECT term, count(*)::BIGINT AS doc_freq FROM p
+         |  GROUP BY term),
+         | nd AS (SELECT count(*)::DOUBLE AS n_docs FROM d)
+         |SELECT CASE WHEN doc_id < 75 THEN 'left' ELSE 'right' END
+         |   AS idx,
+         | doc_id, ${contribs.mkString(" + ")} AS score,
+         | count(*) AS n_terms_hit
+         |FROM p JOIN dfreq USING (term), nd
+         |WHERE term IN ($termList) AND doc_id % 37 <> 5
+         |GROUP BY idx, doc_id
+         |ORDER BY score DESC, idx, doc_id LIMIT 20""".stripMargin
+    },
+
+    // q181: the same gap-filled histogram from the raw corpus —
+    // occupied-bounds range via generate_series, zeros coalesced
+    "q181_histogram_facet" -> {
+      val termList = searchTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+         | p AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |       FROM d),
+         | hits AS (SELECT DISTINCT doc_id FROM p
+         |          WHERE term IN ($termList)),
+         | c AS (SELECT (n_chars // 50) * 50 AS bucket,
+         |   count(DISTINCT d.doc_id)::BIGINT AS doc_count
+         |  FROM d JOIN hits USING (doc_id) GROUP BY 1),
+         | b AS (SELECT unnest(generate_series(
+         |   (SELECT min(bucket) FROM c), (SELECT max(bucket) FROM c),
+         |   50)) AS bucket)
+         |SELECT bucket, coalesce(doc_count, 0)::BIGINT AS doc_count
+         |FROM b LEFT JOIN c USING (bucket) ORDER BY bucket"""
+        .stripMargin
+    },
+
+    // q180: ES bool semantics replayed in SQL — candidates must carry
+    // BOTH must terms (live rows), none of the must_not term; scoring
+    // sums the matched must+should contributions in the same fixed
+    // clause order, df/N over ALL postings (pre-merge stats phase)
+    "q180_bool_search" -> {
+      val scoring = Seq("spark", "data", "vector")
+      val contribs = scoring.map { t =>
+        s"sum(CASE WHEN term = '$t' THEN tf::DOUBLE * " +
+          "(n_docs / doc_freq::DOUBLE) ELSE 0.0::DOUBLE END)"
+      }
+      s"""WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+         | p AS (SELECT term, doc_id, count(*)::BIGINT AS tf
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |        FROM d) GROUP BY term, doc_id),
+         | dfreq AS (SELECT term, count(*)::BIGINT AS doc_freq FROM p
+         |  GROUP BY term),
+         | nd AS (SELECT count(*)::DOUBLE AS n_docs FROM d),
+         | liv AS (SELECT * FROM p WHERE doc_id % 37 <> 5),
+         | cand AS (
+         |  SELECT doc_id FROM liv WHERE term IN ('spark', 'data')
+         |  GROUP BY doc_id HAVING count(DISTINCT term) = 2
+         |  EXCEPT
+         |  SELECT doc_id FROM liv WHERE term = 'join')
+         |SELECT doc_id, ${contribs.mkString(" + ")} AS score,
+         | count(*) AS n_terms_hit
+         |FROM liv JOIN dfreq USING (term) JOIN cand USING (doc_id), nd
+         |WHERE term IN ('spark', 'data', 'vector')
+         |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20"""
+        .stripMargin
+    },
+
     "q165_segmented_search" -> {
       val termList = searchTerms.map(t => s"'$t'").mkString(", ")
       val contribs = searchTerms.map { t =>

@@ -460,6 +460,116 @@ class SegmentedIndexSpec extends SparkSpec {
       "facet must survive the merge fold")
   }
 
+  test("multiSearch: global dfs stats make federation lossless — " +
+    "split indices rank exactly like one combined index; tombstones " +
+    "stay per-index; ids namespace by index") {
+    val l = Files.createTempDirectory("graft-ml").toString
+    val r = Files.createTempDirectory("graft-mr").toString
+    val all = Files.createTempDirectory("graft-ma").toString
+    val dl = Seq(
+      (1L, "spark data"),
+      (2L, "spark join"),
+      (3L, "data data vector")).toDF("doc_id", "text")
+    val dr = Seq(
+      (4L, "spark vector"),
+      (5L, "join only")).toDF("doc_id", "text")
+    SegmentedIndex.append(spark, l, dl, "a", nBuckets = 4)
+    SegmentedIndex.append(spark, r, dr, "a", nBuckets = 8)
+    SegmentedIndex.append(spark, all, dl.unionByName(dr), "a",
+      nBuckets = 4)
+    val q = Seq("spark", "vector")
+    val fed = SegmentedIndex.multiSearch(spark,
+      Seq("left" -> l, "right" -> r), q, 10)
+    val mono = SegmentedIndex.search(spark, all, q, 10)
+    assert(fed.select("doc_id", "score", "n_terms_hit").collect()
+      .toSet == mono.collect().toSet,
+      "federated scores must equal the combined single index bitwise")
+    // a tombstone in one index never touches the other's documents
+    SegmentedIndex.delete(spark, r, Seq(4L).toDF("doc_id"), "d1")
+    val fed2 = SegmentedIndex.multiSearch(spark,
+      Seq("left" -> l, "right" -> r), q, 10)
+    assert(fed2.select("doc_id").as[Long].collect().toSet ==
+      Set(1L, 2L, 3L),
+      "the right-index tombstone must drop doc 4 and nothing else")
+    // the same doc_id in two indices is two documents — ES's
+    // (_index, _id) identity
+    SegmentedIndex.append(spark, r,
+      Seq((1L, "spark spark spark")).toDF("doc_id", "text"), "b")
+    val fed3 = SegmentedIndex.multiSearch(spark,
+      Seq("left" -> l, "right" -> r), q, 10)
+    assert(fed3.select("idx", "doc_id").as[(String, Long)].collect()
+      .toSet.count(_._2 == 1L) == 2,
+      "doc_id 1 must appear namespaced under both indices")
+  }
+
+  test("histogramFacet: buckets confine to the hit set and empty " +
+    "intervals between the occupied bounds fill with zero " +
+    "(ES min_doc_count=0); a tombstone shrinks the range") {
+    val root = Files.createTempDirectory("graft-hist").toString
+    val d = Seq(
+      (1L, "x a", 5L),
+      (2L, "x b", 12L),
+      (3L, "x c", 97L),
+      (4L, "y far", 55L))
+      .toDF("doc_id", "text", "n")
+    SegmentedIndex.append(spark, root, d, "a", nBuckets = 4)
+    def got() = SegmentedIndex
+      .histogramFacet(spark, root, Seq("x"), "n", interval = 20L)
+      .as[(Long, Long)].collect().toSeq
+    // hits 1,2,3 — doc 4 (bucket 40) matches nothing and must not
+    // appear; gaps 20..60 fill with zeros
+    assert(got() == Seq((0L, 2L), (20L, 0L), (40L, 0L), (60L, 0L),
+      (80L, 1L)))
+    SegmentedIndex.delete(spark, root, Seq(3L).toDF("doc_id"), "d1")
+    assert(got() == Seq((0L, 2L)),
+      "the tombstoned doc must leave and the fill range must shrink")
+  }
+
+  test("boolSearch: must is a conjunction, should only boosts, " +
+    "mustNot filters without scoring; a should-only bool equals " +
+    "plain search (minimum_should_match=1); tombstone and upsert " +
+    "flow through") {
+    val root = Files.createTempDirectory("graft-bool").toString
+    val d1 = Seq(
+      (1L, "spark data x"),
+      (2L, "spark data join"),
+      (3L, "spark only"),
+      (4L, "data vector")).toDF("doc_id", "text")
+    val d2 = Seq((5L, "spark data vector")).toDF("doc_id", "text")
+    SegmentedIndex.append(spark, root, d1, "a", nBuckets = 4)
+    SegmentedIndex.append(spark, root, d2, "b")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").as[Long].collect().toSeq
+    val r = SegmentedIndex.boolSearch(spark, root,
+      must = Seq("spark", "data"), should = Seq("vector"),
+      mustNot = Seq("join"), k = 10)
+    // doc 2 matches both must terms but is excluded by must_not;
+    // docs 3 and 4 each miss one must term; doc 5 outranks doc 1 on
+    // the should boost alone
+    assert(ids(r) == Seq(5L, 1L))
+    assert(r.select("n_terms_hit").as[Long].collect().toSeq ==
+      Seq(3L, 2L), "should clause must count as a scoring match")
+    // should-only bool: at least one should term must match, and the
+    // result is exactly the plain multi-term search
+    val so = SegmentedIndex.boolSearch(spark, root, Seq.empty,
+      should = Seq("vector", "join"), k = 10)
+    assert(ids(so).sorted == Seq(2L, 4L, 5L))
+    val se = SegmentedIndex.search(spark, root,
+      Seq("vector", "join"), 10)
+    assert(so.collect().toSeq == se.collect().toSeq,
+      "a should-only bool is the plain disjunctive search")
+    SegmentedIndex.delete(spark, root, Seq(5L).toDF("doc_id"), "d1")
+    assert(ids(SegmentedIndex.boolSearch(spark, root,
+      Seq("spark", "data"), Seq("vector"), Seq("join"), 10)) ==
+      Seq(1L), "tombstoned doc must leave the bool hits immediately")
+    // upsert drops doc 2's 'join': the new version passes must_not
+    SegmentedIndex.upsert(spark, root,
+      Seq((2L, "spark data fresh")).toDF("doc_id", "text"), "u1")
+    assert(ids(SegmentedIndex.boolSearch(spark, root,
+      Seq("spark", "data"), Seq("vector"), Seq("join"), 10)).sorted ==
+      Seq(1L, 2L), "the upserted version must be filtered on ITS terms")
+  }
+
   test("snapshot freezes a generation, re-snapshot is incremental, " +
     "and the destination is a fully working index") {
     val root = freshIndex()
