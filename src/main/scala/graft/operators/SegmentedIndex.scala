@@ -364,6 +364,27 @@ object SegmentedIndex {
       .orderBy("bucket")
   }
 
+  /** Field-sorted search — ES's `sort: [{ field: order }]`, the
+    * list-by-date request every search UI makes: the FULL live hit
+    * set of the query terms orders by a stored doc-values column
+    * instead of relevance, doc_id the tiebreaker (ES's `_id`). The
+    * field values read column-pruned from `_stored/` ([[facet]]'s
+    * doc-values path — text never leaves disk) and the sort is a
+    * TakeOrderedAndProject top-k, never a full sort. Documents
+    * missing the field sort LAST in either direction (ES's
+    * `missing: _last` default). Output: (doc_id, sort_value). */
+  def sortedSearch(spark: SparkSession, rootDir: String,
+                   terms: Seq[String], field: String, k: Int,
+                   ascending: Boolean = true): DataFrame = {
+    val v = hitFieldValues(spark, rootDir, terms, field,
+      keepMissing = true)
+    val ord =
+      if (ascending) col("value").asc_nulls_last
+      else col("value").desc_nulls_last
+    v.orderBy(ord, asc("doc_id")).limit(k)
+      .withColumnRenamed("value", "sort_value")
+  }
+
   /** The (doc_id, value) pairs feeding an aggregation: live documents
     * matching ANY query term (tombstoned docs excluded immediately,
     * like hit lists), paired with one stored metadata column — read
@@ -373,7 +394,8 @@ object SegmentedIndex {
     * sparse mapping, a segment written without the column reads
     * null). */
   private def hitFieldValues(spark: SparkSession, rootDir: String,
-      terms: Seq[String], field: String): DataFrame = {
+      terms: Seq[String], field: String,
+      keepMissing: Boolean = false): DataFrame = {
     require(terms.nonEmpty, "aggregations need at least one query term")
     val root = new java.io.File(rootDir)
     val (nb, segs, _) = readManifest(root)
@@ -384,9 +406,13 @@ object SegmentedIndex {
         p.join(broadcast(d), Seq("doc_id", "seg"), "left_anti")
       case None => p
     }).select("doc_id").distinct()
-    val stored = storedFrame(spark, root, segs)
+    val withVal = storedFrame(spark, root, segs)
       .select(col("doc_id"), col(field).as("value"), col("seg"))
-      .filter(col("value").isNotNull)
+    // aggregations drop documents missing the field (ES's rule);
+    // field sorts keep them — they order last instead
+    val stored =
+      if (keepMissing) withVal
+      else withVal.filter(col("value").isNotNull)
     val liveStored = dead match {
       case Some(d) =>
         stored.join(broadcast(d), Seq("doc_id", "seg"), "left_anti")
@@ -539,9 +565,38 @@ object SegmentedIndex {
     * (score desc, doc_id) — a TakeOrderedAndProject, never a global
     * sort. */
   def search(spark: SparkSession, rootDir: String, terms: Seq[String],
-             k: Int): DataFrame = {
+             k: Int): DataFrame =
+    scoredHits(spark, rootDir, terms)
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+
+  /** Deep pagination — ES's `search_after`: the cursor is the LAST
+    * row of the previous page under the total (score desc, doc_id)
+    * order (doc_id is ES's mandated `_id` tiebreaker, which makes the
+    * sort total and the cursor unambiguous), and the next page is the
+    * top-k of the rows STRICTLY after it. Each page is an independent
+    * top-k (TakeOrderedAndProject) over the pruned posting lists —
+    * nothing accumulates with page depth, which is exactly why ES
+    * deprecates `from + size` deep paging in favor of this. Scores
+    * are [[scoreLive]]'s order-fixed exact arithmetic, so the cursor
+    * score compares bit-identically across pages. Schema of
+    * [[search]]. */
+  def searchAfter(spark: SparkSession, rootDir: String,
+                  terms: Seq[String], k: Int, afterScore: Double,
+                  afterDocId: Long): DataFrame =
+    scoredHits(spark, rootDir, terms)
+      .filter(col("score") < lit(afterScore) ||
+        (col("score") === lit(afterScore) &&
+          col("doc_id") > lit(afterDocId)))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+
+  /** Every live hit of the query terms, scored but unranked — the
+    * frame [[search]] and [[searchAfter]] page over. */
+  private def scoredHits(spark: SparkSession, rootDir: String,
+                         terms: Seq[String]): DataFrame = {
     val root = new java.io.File(rootDir)
-    val (nb, segs, gen) = readManifest(root)
+    val (nb, segs, _) = readManifest(root)
     val nDocs = segs.filter(_.kind == "seg").map(_.nDocs).sum
     val p = prunedPostings(spark, root, segs, terms, nb)
     // df BEFORE tombstones — Lucene counts deleted docs' postings in
@@ -553,8 +608,6 @@ object SegmentedIndex {
       case None => p
     }
     scoreLive(live, dfreq, terms, nDocs)
-      .orderBy(desc("score"), asc("doc_id"))
-      .limit(k)
   }
 
   /** The exact tf·(N/df) scoring shared by [[search]],
@@ -888,6 +941,48 @@ object SegmentedIndex {
       .select("doc_id", "tf", "dl", "rank", "rank_key", "rank_agrees",
         "score_in_bounds")
       .orderBy("rank")
+  }
+
+  /** Prefix query — ES's `prefix` (Lucene's multi-term query in its
+    * default CONSTANT-SCORE rewrite): pass 1 walks the
+    * vocabulary-sized per-segment term dictionaries for terms
+    * starting with the prefix (Lucene's terms-index automaton walk —
+    * the matched set is query-bounded and collects to the driver the
+    * way Lucene enumerates automaton matches, exactly
+    * [[fuzzySearch]]'s pass 1), pass 2 reads ONLY the matched terms'
+    * postings, bucket-pruned at planning time with the now-literal
+    * term list. Every matching live document scores 1.0 regardless
+    * of tf/df — Lucene rewrites multi-term queries constant-score
+    * precisely so documents carrying many rare expansions don't
+    * dominate. The dictionary keeps tombstoned docs' terms until
+    * merge (Lucene parity) but the hit list excludes those docs
+    * immediately. Output: (doc_id, score, n_terms_matched),
+    * doc_id-ordered, first k. */
+  def prefixSearch(spark: SparkSession, rootDir: String,
+                   prefix: String, k: Int): DataFrame = {
+    require(prefix.nonEmpty, "prefixSearch needs a non-empty prefix")
+    import spark.implicits._
+    val root = new java.io.File(rootDir)
+    val (nb, segs, _) = readManifest(root)
+    val matched = dictFrame(spark, root, segs)
+      .filter(col("term").startsWith(prefix))
+      .select("term").distinct()
+      .as[String].collect().toSeq.sorted
+    if (matched.isEmpty)
+      return Seq.empty[(Long, Double, Long)]
+        .toDF("doc_id", "score", "n_terms_matched")
+    val p = prunedPostings(spark, root, segs, matched, nb)
+    val live = tombstones(spark, root, segs) match {
+      case Some(dead) =>
+        p.join(broadcast(dead), Seq("doc_id", "seg"), "left_anti")
+      case None => p
+    }
+    live.groupBy("doc_id")
+      .agg(countDistinct(col("term")).as("n_terms_matched"))
+      .withColumn("score", lit(1.0d))
+      .select("doc_id", "score", "n_terms_matched")
+      .orderBy("doc_id")
+      .limit(k)
   }
 
   /** Fuzzy term search over the SEGMENTED index — Lucene's fuzzy

@@ -207,6 +207,73 @@ object LlmSurface {
         interval = 50L)
     }),
 
+    // --- deep pagination (ES `search_after`): page 1's last row is
+    //     the cursor (score + the mandated doc_id tiebreaker makes
+    //     the sort total), page 2 is the top-k strictly after it —
+    //     each page an independent TakeOrderedAndProject, nothing
+    //     accumulating with depth, which is why ES deprecates
+    //     from+size deep paging (SegmentedIndex.searchAfter) ---
+    "q183_search_after" -> ((s, d) => {
+      import graft.operators.SegmentedIndex
+      val root = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        "graft_sa_" + graft.engine.Bucketing.fingerprint8(d) +
+          "_" + java.util.UUID.randomUUID().toString.take(8)).getPath
+      // bounded roundtrip corpus (q150's rule)
+      val dd = docs(s, d).filter(col("doc_id") < 150)
+      SegmentedIndex.append(s, root,
+        dd.filter(col("doc_id") % 5 =!= 0), "a")
+      SegmentedIndex.append(s, root,
+        dd.filter(col("doc_id") % 5 === 0), "b")
+      SegmentedIndex.delete(s, root,
+        dd.filter(col("doc_id") % 37 === 5).select("doc_id"), "d1")
+      // the cursor is the client-held last row of page 1 (k-bounded)
+      val cursor = SegmentedIndex.search(s, root, searchTerms, k = 20)
+        .collect().last
+      SegmentedIndex.searchAfter(s, root, searchTerms, k = 20,
+        afterScore = cursor.getDouble(1), afterDocId = cursor.getLong(0))
+    }),
+
+    // --- prefix query (ES `prefix`, Lucene's multi-term query in its
+    //     default constant-score rewrite): the dictionary walk
+    //     expands the prefix to its matched terms (vocabulary-sized
+    //     pass 1), only those terms' postings read (bucket-pruned
+    //     pass 2), every matching live doc scores 1.0
+    //     (SegmentedIndex.prefixSearch) ---
+    "q184_prefix_search" -> ((s, d) => {
+      import graft.operators.SegmentedIndex
+      val root = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        "graft_px_" + graft.engine.Bucketing.fingerprint8(d) +
+          "_" + java.util.UUID.randomUUID().toString.take(8)).getPath
+      // bounded roundtrip corpus (q150's rule)
+      val dd = docs(s, d).filter(col("doc_id") < 150)
+      SegmentedIndex.append(s, root, dd, "a")
+      SegmentedIndex.delete(s, root,
+        dd.filter(col("doc_id") % 37 === 5).select("doc_id"), "d1")
+      SegmentedIndex.prefixSearch(s, root, "dat", k = 50)
+    }),
+
+    // --- field-sorted search (ES `sort: [{field: desc}]` — the
+    //     list-by-date request every search UI makes): the full live
+    //     hit set orders by a stored doc-values column, read
+    //     column-pruned from the stored parquet; TakeOrderedAndProject
+    //     top-k, never a full sort (SegmentedIndex.sortedSearch) ---
+    "q185_sorted_search" -> ((s, d) => {
+      import graft.operators.SegmentedIndex
+      val root = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        "graft_st_" + graft.engine.Bucketing.fingerprint8(d) +
+          "_" + java.util.UUID.randomUUID().toString.take(8)).getPath
+      // bounded roundtrip corpus (q150's rule)
+      val dd = docs(s, d).filter(col("doc_id") < 150)
+      SegmentedIndex.append(s, root, dd, "a")
+      SegmentedIndex.delete(s, root,
+        dd.filter(col("doc_id") % 37 === 5).select("doc_id"), "d1")
+      SegmentedIndex.sortedSearch(s, root, searchTerms, "n_chars",
+        k = 20, ascending = false)
+    }),
+
     // --- federated multi-index search (ES `GET /idx1,idx2/_search`
     //     under dfs_query_then_fetch): the corpus splits across two
     //     independent indices (own bucket counts, manifests,
@@ -2152,6 +2219,58 @@ object LlmSurface {
     // q165: Lucene statistics semantics pre-merge — N and df over ALL
     // documents (tombstoned docs still count toward stats), the hit
     // list excludes them; same fixed-order pivoted score as q26
+    // q183: page 2 is exactly ranks 21–40 of the total
+    // (score desc, doc_id) order — the paging-correctness oracle
+    "q183_search_after" -> {
+      val termList = searchTerms.map(t => s"'$t'").mkString(", ")
+      val contribs = searchTerms.map { t =>
+        s"sum(CASE WHEN term = '$t' THEN tf::DOUBLE * " +
+          "(n_docs / doc_freq::DOUBLE) ELSE 0.0::DOUBLE END)"
+      }
+      s"""WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+         | p AS (SELECT term, doc_id, count(*)::BIGINT AS tf
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |        FROM d) GROUP BY term, doc_id),
+         | dfreq AS (SELECT term, count(*)::BIGINT AS doc_freq FROM p
+         |  GROUP BY term),
+         | nd AS (SELECT count(*)::DOUBLE AS n_docs FROM d),
+         | hits AS (SELECT doc_id, ${contribs.mkString(" + ")} AS score,
+         |   count(*) AS n_terms_hit
+         |  FROM p JOIN dfreq USING (term), nd
+         |  WHERE term IN ($termList) AND doc_id % 37 <> 5
+         |  GROUP BY doc_id),
+         | rn AS (SELECT *, row_number() OVER
+         |   (ORDER BY score DESC, doc_id) AS r FROM hits)
+         |SELECT doc_id, score, n_terms_hit FROM rn
+         |WHERE r BETWEEN 21 AND 40
+         |ORDER BY score DESC, doc_id""".stripMargin
+    },
+
+    // q184: constant-score prefix expansion — per live doc, how many
+    // DISTINCT tokens start with the prefix; 'nodata' must not match
+    "q184_prefix_search" ->
+      """WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+        | p AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |       FROM d)
+        |SELECT doc_id, 1.0::DOUBLE AS score,
+        | count(DISTINCT term)::BIGINT AS n_terms_matched
+        |FROM p WHERE term LIKE 'dat%' AND doc_id % 37 <> 5
+        |GROUP BY doc_id ORDER BY doc_id LIMIT 50""".stripMargin,
+
+    // q185: the hit set ordered by the stored numeric field, missing
+    // values last (none in the fixture), doc_id the tiebreaker
+    "q185_sorted_search" -> {
+      val termList = searchTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+         | p AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |       FROM d),
+         | hits AS (SELECT DISTINCT doc_id FROM p
+         |          WHERE term IN ($termList) AND doc_id % 37 <> 5)
+         |SELECT doc_id, n_chars AS sort_value
+         |FROM d JOIN hits USING (doc_id)
+         |ORDER BY sort_value DESC, doc_id LIMIT 20""".stripMargin
+    },
+
     // q182: the losslessness property IS the oracle — global-stats
     // federated ranking over the split indices must equal q165's
     // single-corpus ranking, docs tagged by which index holds them

@@ -460,6 +460,74 @@ class SegmentedIndexSpec extends SparkSpec {
       "facet must survive the merge fold")
   }
 
+  test("searchAfter: pages concatenate to the full ranking with no " +
+    "overlap or skip, across a score tie (the doc_id tiebreaker)") {
+    val root = Files.createTempDirectory("graft-sa").toString
+    val d = Seq(
+      (1L, "spark spark"),
+      (2L, "spark"),
+      (3L, "spark"),
+      (4L, "spark vector"),
+      (5L, "vector vector")).toDF("doc_id", "text")
+    SegmentedIndex.append(spark, root, d, "a", nBuckets = 4)
+    val q = Seq("spark", "vector")
+    val full = SegmentedIndex.search(spark, root, q, 10).collect().toSeq
+    assert(full.map(_.getLong(0)) == Seq(5L, 4L, 1L, 2L, 3L))
+    // page through with k=2: the 2/3 tie (equal scores) spans pages
+    var pages = Seq(SegmentedIndex.search(spark, root, q, 2)
+      .collect().toSeq)
+    var last = pages.last.last
+    while (pages.last.nonEmpty) {
+      pages = pages :+ SegmentedIndex.searchAfter(spark, root, q, 2,
+        last.getDouble(1), last.getLong(0)).collect().toSeq
+      if (pages.last.nonEmpty) last = pages.last.last
+    }
+    assert(pages.flatten == full,
+      "page concatenation must equal the one-shot ranking exactly")
+    assert(pages.map(_.size) == Seq(2, 2, 1, 0))
+  }
+
+  test("prefixSearch: constant-score dictionary expansion — matched " +
+    "term count per doc, token prefixes only, tombstones drop docs, " +
+    "no match returns an empty typed frame") {
+    val root = Files.createTempDirectory("graft-px").toString
+    val d = Seq(
+      (1L, "data database x"),
+      (2L, "datum y"),
+      (3L, "nodata z")).toDF("doc_id", "text")
+    SegmentedIndex.append(spark, root, d, "a", nBuckets = 4)
+    def got() = SegmentedIndex.prefixSearch(spark, root, "dat", 10)
+      .as[(Long, Double, Long)].collect().toSeq
+    // 'nodata' does not START with 'dat' — doc 3 must not match
+    assert(got() == Seq((1L, 1.0, 2L), (2L, 1.0, 1L)))
+    SegmentedIndex.delete(spark, root, Seq(2L).toDF("doc_id"), "d1")
+    assert(got() == Seq((1L, 1.0, 2L)))
+    val none = SegmentedIndex.prefixSearch(spark, root, "zzz", 10)
+    assert(none.columns.toSeq ==
+      Seq("doc_id", "score", "n_terms_matched") && none.count() == 0)
+  }
+
+  test("sortedSearch: field sort over the hit set — both directions, " +
+    "missing field sorts last, non-matching docs never appear") {
+    val root = Files.createTempDirectory("graft-ss").toString
+    val d = Seq(
+      (1L, "x a", Some(30L)),
+      (2L, "x b", Some(10L)),
+      (3L, "x c", None),
+      (4L, "y d", Some(5L))).toDF("doc_id", "text", "n")
+    SegmentedIndex.append(spark, root, d, "a", nBuckets = 4)
+    def got(asc: Boolean) = SegmentedIndex
+      .sortedSearch(spark, root, Seq("x"), "n", 10, ascending = asc)
+      .as[(Long, Option[Long])].collect().toSeq
+    assert(got(asc = true) ==
+      Seq((2L, Some(10L)), (1L, Some(30L)), (3L, None)))
+    assert(got(asc = false) ==
+      Seq((1L, Some(30L)), (2L, Some(10L)), (3L, None)),
+      "missing must sort last in BOTH directions (ES missing:_last)")
+    SegmentedIndex.delete(spark, root, Seq(1L).toDF("doc_id"), "d1")
+    assert(got(asc = true) == Seq((2L, Some(10L)), (3L, None)))
+  }
+
   test("multiSearch: global dfs stats make federation lossless — " +
     "split indices rank exactly like one combined index; tombstones " +
     "stay per-index; ids namespace by index") {
