@@ -385,6 +385,68 @@ object SegmentedIndex {
       .withColumnRenamed("value", "sort_value")
   }
 
+  /** Significant-terms aggregation — ES's `significant_terms`, the
+    * "what is unusual about these results" agg: terms OVERREPRESENTED
+    * in the query's hit set (foreground) relative to the whole index
+    * (background), scored with ES's JLH heuristic
+    * `(fg% − bg%) · (fg% / bg%)` and gated by its
+    * `min_doc_count` default of 3 foreground docs; only positive
+    * scores (actually overrepresented terms) surface. Statistics
+    * phases: background df comes from the term DICTIONARIES
+    * (pre-tombstone, Lucene's phase — vocabulary-sized), the hit set
+    * and foreground counts from live rows only.
+    *
+    * Cost shape, stated honestly: the foreground pass must read the
+    * HIT DOCS' full term lists, so this is the one search-side
+    * operation that scans postings un-pruned by term (column-pruned
+    * to (term, doc_id, seg), row-pruned by the hit semi join) — the
+    * same cost ES warns about for this agg and samples around; run
+    * it on sampled or filtered hit sets at 100 TB. The foreground
+    * size rides as a broadcast 1-row frame, never a collect. Output:
+    * (term, fg_count, bg_count, score), top-k by (score desc, term).
+    */
+  def significantTerms(spark: SparkSession, rootDir: String,
+                       terms: Seq[String], kTerms: Int,
+                       minDocCount: Long = 3L): DataFrame = {
+    require(terms.nonEmpty, "significantTerms needs query terms")
+    val root = new java.io.File(rootDir)
+    val (nb, segs, _) = readManifest(root)
+    val nDocs = segs.filter(_.kind == "seg").map(_.nDocs).sum
+    val p = prunedPostings(spark, root, segs, terms, nb)
+    val dead = tombstones(spark, root, segs)
+    val hits = (dead match {
+      case Some(d) =>
+        p.join(broadcast(d), Seq("doc_id", "seg"), "left_anti")
+      case None => p
+    }).select("doc_id").distinct()
+    val allLive = (dead match {
+      case Some(d) => segmentsRead(spark, root, segs)
+        .select("term", "doc_id", "seg")
+        .join(broadcast(d), Seq("doc_id", "seg"), "left_anti")
+      case None => segmentsRead(spark, root, segs)
+        .select("term", "doc_id", "seg")
+    })
+    val fg = allLive.join(hits, Seq("doc_id"), "left_semi")
+      .groupBy("term")
+      .agg(countDistinct(col("doc_id")).as("fg_count"))
+    val bg = dictFrame(spark, root, segs)
+      .groupBy("term").agg(sum("doc_freq").as("bg_count"))
+    fg.join(bg, "term")
+      .crossJoin(broadcast(
+        hits.agg(count(lit(1)).cast("double").as("fcnt"))))
+      .withColumn("fgp",
+        col("fg_count").cast("double") / col("fcnt"))
+      .withColumn("bgp",
+        col("bg_count").cast("double") / lit(nDocs).cast("double"))
+      .withColumn("score",
+        (col("fgp") - col("bgp")) * (col("fgp") / col("bgp")))
+      .filter(col("fg_count") >= lit(minDocCount) &&
+        col("score") > lit(0.0d))
+      .select("term", "fg_count", "bg_count", "score")
+      .orderBy(desc("score"), asc("term"))
+      .limit(kTerms)
+  }
+
   /** The (doc_id, value) pairs feeding an aggregation: live documents
     * matching ANY query term (tombstoned docs excluded immediately,
     * like hit lists), paired with one stored metadata column — read
@@ -642,7 +704,14 @@ object SegmentedIndex {
     *     `minimum_should_match = 1` default for a should-only bool);
     *   - `mustNot`: pure filter — a matching doc is excluded and the
     *     clause never contributes score (ES runs must_not in filter
-    *     context, score 0).
+    *     context, score 0);
+    *   - `rangeFilter`: ES's `bool.filter` with a `range` clause — an
+    *     inclusive bound on a STORED doc-values field, constraining
+    *     without scoring (filter context never touches df or the
+    *     score). The field reads column-pruned from `_stored/` with
+    *     the range predicate pushed into the parquet scan, LIVE rows
+    *     only — an upserted document is judged on its NEW field value
+    *     even while the old version's stored row awaits merge.
     *
     * Scoring is [[search]]'s exact tf·(N/df) per matched scoring
     * clause under the usual Lucene statistics phases (df and N count
@@ -656,7 +725,9 @@ object SegmentedIndex {
   def boolSearch(spark: SparkSession, rootDir: String,
                  must: Seq[String], should: Seq[String] = Seq.empty,
                  mustNot: Seq[String] = Seq.empty,
-                 k: Int = 10): DataFrame = {
+                 k: Int = 10,
+                 rangeFilter: Option[(String, Long, Long)] = None)
+      : DataFrame = {
     require(must.nonEmpty || should.nonEmpty,
       "boolSearch needs at least one scoring clause (must or should)")
     val scoring = (must ++ should).distinct
@@ -668,9 +739,10 @@ object SegmentedIndex {
     // df BEFORE tombstones (Lucene's stats phase), scoring terms only
     val dfreq = p.filter(col("term").isin(scoring: _*))
       .groupBy("term").agg(count(lit(1)).as("doc_freq"))
-    val live = tombstones(spark, root, segs) match {
-      case Some(dead) =>
-        p.join(broadcast(dead), Seq("doc_id", "seg"), "left_anti")
+    val dead = tombstones(spark, root, segs)
+    val live = dead match {
+      case Some(dd) =>
+        p.join(broadcast(dd), Seq("doc_id", "seg"), "left_anti")
       case None => p
     }
     // candidates: all-of-must, else any-of-should
@@ -684,12 +756,27 @@ object SegmentedIndex {
       else
         live.filter(col("term").isin(should.distinct: _*))
           .select("doc_id").distinct()
-    val cand =
+    val cand1 =
       if (mustNot.isEmpty) cand0
       else cand0.join(
         live.filter(col("term").isin(mustNot.distinct: _*))
           .select("doc_id").distinct(),
         Seq("doc_id"), "left_anti")
+    val cand = rangeFilter match {
+      case Some((field, lo, hi)) =>
+        val vals = storedFrame(spark, root, segs)
+          .select(col("doc_id"), col(field).as("rv"), col("seg"))
+          .filter(col("rv").between(lo, hi))
+        // live stored rows only: an upserted doc must be judged on
+        // its NEW value, not the dead version's still-on-disk row
+        val liveVals = dead match {
+          case Some(dd) =>
+            vals.join(broadcast(dd), Seq("doc_id", "seg"), "left_anti")
+          case None => vals
+        }
+        cand1.join(liveVals.select("doc_id"), Seq("doc_id"), "left_semi")
+      case None => cand1
+    }
     scoreLive(live.filter(col("term").isin(scoring: _*))
         .join(cand, Seq("doc_id"), "left_semi"),
       dfreq, scoring, nDocs)

@@ -207,6 +207,48 @@ object LlmSurface {
         interval = 50L)
     }),
 
+    // --- significant-terms aggregation (ES `significant_terms` —
+    //     "what is unusual about these results"): terms
+    //     overrepresented in the hit set vs the whole index, JLH
+    //     scored, min_doc_count=3 gate; background df from the
+    //     vocabulary-sized dictionaries, foreground from the hit
+    //     docs' live term lists (SegmentedIndex.significantTerms) ---
+    "q186_significant_terms" -> ((s, d) => {
+      import graft.operators.SegmentedIndex
+      val root = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        "graft_sg2_" + graft.engine.Bucketing.fingerprint8(d) +
+          "_" + java.util.UUID.randomUUID().toString.take(8)).getPath
+      // bounded roundtrip corpus (q150's rule)
+      val dd = docs(s, d).filter(col("doc_id") < 150)
+      SegmentedIndex.append(s, root, dd, "a")
+      SegmentedIndex.delete(s, root,
+        dd.filter(col("doc_id") % 37 === 5).select("doc_id"), "d1")
+      SegmentedIndex.significantTerms(s, root, searchTerms, kTerms = 20)
+    }),
+
+    // --- bool query with a filter-context RANGE clause (ES
+    //     `bool.filter: {range}` — scoring and filtering separated
+    //     exactly as ES separates them): the range constrains on the
+    //     stored doc-values column, pushed into the parquet scan,
+    //     and never touches df or the score
+    //     (SegmentedIndex.boolSearch rangeFilter) ---
+    "q187_bool_range_filter" -> ((s, d) => {
+      import graft.operators.SegmentedIndex
+      val root = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        "graft_br_" + graft.engine.Bucketing.fingerprint8(d) +
+          "_" + java.util.UUID.randomUUID().toString.take(8)).getPath
+      // bounded roundtrip corpus (q150's rule)
+      val dd = docs(s, d).filter(col("doc_id") < 150)
+      SegmentedIndex.append(s, root, dd, "a")
+      SegmentedIndex.delete(s, root,
+        dd.filter(col("doc_id") % 37 === 5).select("doc_id"), "d1")
+      SegmentedIndex.boolSearch(s, root, must = Seq("spark", "data"),
+        should = Seq("vector"), mustNot = Seq("join"), k = 20,
+        rangeFilter = Some(("n_chars", 100L, 400L)))
+    }),
+
     // --- deep pagination (ES `search_after`): page 1's last row is
     //     the cursor (score + the mandated doc_id tiebreaker makes
     //     the sort total), page 2 is the top-k strictly after it —
@@ -2219,6 +2261,68 @@ object LlmSurface {
     // q165: Lucene statistics semantics pre-merge — N and df over ALL
     // documents (tombstoned docs still count toward stats), the hit
     // list excludes them; same fixed-order pivoted score as q26
+    // q186: JLH replayed — fg over the live hit docs' term lists,
+    // bg over ALL (doc,term) pairs (the pre-merge dictionary phase),
+    // identical expression tree so the doubles cross engines bitwise
+    "q186_significant_terms" -> {
+      val termList = searchTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+         | pr AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |        FROM d),
+         | p AS (SELECT DISTINCT doc_id, term FROM pr),
+         | liv AS (SELECT * FROM p WHERE doc_id % 37 <> 5),
+         | hits AS (SELECT DISTINCT doc_id FROM liv
+         |          WHERE term IN ($termList)),
+         | f AS (SELECT count(*)::DOUBLE AS fcnt FROM hits),
+         | nd AS (SELECT count(*)::DOUBLE AS n_docs FROM d),
+         | fg AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS fg_count
+         |  FROM liv JOIN hits USING (doc_id) GROUP BY term),
+         | bg AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS bg_count
+         |  FROM p GROUP BY term),
+         | s AS (SELECT term, fg_count, bg_count,
+         |   (fg_count::DOUBLE / fcnt - bg_count::DOUBLE / n_docs) *
+         |   ((fg_count::DOUBLE / fcnt) / (bg_count::DOUBLE / n_docs))
+         |     AS score
+         |  FROM fg JOIN bg USING (term), f, nd)
+         |SELECT term, fg_count, bg_count, score FROM s
+         |WHERE fg_count >= 3 AND score > 0.0
+         |ORDER BY score DESC, term LIMIT 20""".stripMargin
+    },
+
+    // q187: q180's bool with the range constraint intersected into
+    // the candidates — scores identical to the unfiltered bool
+    "q187_bool_range_filter" -> {
+      val scoring = Seq("spark", "data", "vector")
+      val contribs = scoring.map { t =>
+        s"sum(CASE WHEN term = '$t' THEN tf::DOUBLE * " +
+          "(n_docs / doc_freq::DOUBLE) ELSE 0.0::DOUBLE END)"
+      }
+      s"""WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+         | p AS (SELECT term, doc_id, count(*)::BIGINT AS tf
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |        FROM d) GROUP BY term, doc_id),
+         | dfreq AS (SELECT term, count(*)::BIGINT AS doc_freq FROM p
+         |  GROUP BY term),
+         | nd AS (SELECT count(*)::DOUBLE AS n_docs FROM d),
+         | liv AS (SELECT * FROM p WHERE doc_id % 37 <> 5),
+         | cand0 AS (
+         |  SELECT doc_id FROM liv WHERE term IN ('spark', 'data')
+         |  GROUP BY doc_id HAVING count(DISTINCT term) = 2
+         |  EXCEPT
+         |  SELECT doc_id FROM liv WHERE term = 'join'),
+         | cand AS (
+         |  SELECT doc_id FROM cand0
+         |  INTERSECT
+         |  SELECT doc_id FROM d
+         |  WHERE n_chars BETWEEN 100 AND 400 AND doc_id % 37 <> 5)
+         |SELECT doc_id, ${contribs.mkString(" + ")} AS score,
+         | count(*) AS n_terms_hit
+         |FROM liv JOIN dfreq USING (term) JOIN cand USING (doc_id), nd
+         |WHERE term IN ('spark', 'data', 'vector')
+         |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20"""
+        .stripMargin
+    },
+
     // q183: page 2 is exactly ranks 21–40 of the total
     // (score desc, doc_id) order — the paging-correctness oracle
     "q183_search_after" -> {

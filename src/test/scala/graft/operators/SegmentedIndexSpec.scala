@@ -460,6 +460,67 @@ class SegmentedIndexSpec extends SparkSpec {
       "facet must survive the merge fold")
   }
 
+  test("significantTerms: JLH overrepresentation vs the background " +
+    "dictionary — flat terms score zero and vanish, min_doc_count " +
+    "gates, and a tombstone moves ONLY the foreground (bg stays " +
+    "pre-merge)") {
+    val root = Files.createTempDirectory("graft-sig").toString
+    val d = (Seq(
+      (1L, "err disk common"),
+      (2L, "err disk common"),
+      (3L, "err disk common"),
+      (4L, "err common")) ++
+      (5L to 10L).map(i => (i, s"common x$i"))).toDF("doc_id", "text")
+    SegmentedIndex.append(spark, root, d, "a", nBuckets = 4)
+    def got(minDc: Long = 3L) = SegmentedIndex
+      .significantTerms(spark, root, Seq("err"), 10, minDc)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    val r = got()
+    // 'common' is in every doc: fg% == bg% -> score 0, excluded;
+    // 'err' (fg 4/4 vs bg 4/10) outranks 'disk' (3/4 vs 3/10)
+    assert(r.map(x => (x._1, x._2, x._3)) ==
+      Seq(("err", 4L, 4L), ("disk", 3L, 3L)))
+    assert(r(0)._4 > r(1)._4 && r(1)._4 > 0.0)
+    assert(math.abs(r(1)._4 - 1.125) < 1e-12)
+    assert(got(minDc = 4L).map(_._1) == Seq("err"),
+      "min_doc_count must gate on FOREGROUND count")
+    // tombstone doc 4: foreground shrinks to the three disk docs but
+    // the background df stays pre-merge — 'disk' (fg 3/3 vs bg 3/10)
+    // now outranks 'err' (3/3 vs bg 4/10)
+    SegmentedIndex.delete(spark, root, Seq(4L).toDF("doc_id"), "d1")
+    assert(got().map(_._1) == Seq("disk", "err"))
+  }
+
+  test("boolSearch rangeFilter: filter context constrains on the " +
+    "stored field without touching scores, and an upserted doc is " +
+    "judged on its NEW value") {
+    val root = Files.createTempDirectory("graft-rf").toString
+    val d = Seq(
+      (1L, "spark a", 10L),
+      (2L, "spark b", 50L),
+      (3L, "spark c", 99L)).toDF("doc_id", "text", "n")
+    SegmentedIndex.append(spark, root, d, "a", nBuckets = 4)
+    def ids(lo: Long, hi: Long) = SegmentedIndex.boolSearch(spark,
+      root, Seq("spark"), k = 10, rangeFilter = Some(("n", lo, hi)))
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids(40L, 100L) == Set(2L, 3L))
+    // the filter must not change scores: compare vs unfiltered
+    val unf = SegmentedIndex.boolSearch(spark, root, Seq("spark"),
+      k = 10).select("doc_id", "score").as[(Long, Double)]
+      .collect().toMap
+    val fil = SegmentedIndex.boolSearch(spark, root, Seq("spark"),
+      k = 10, rangeFilter = Some(("n", 40L, 100L)))
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    assert(fil.forall { case (id, s) => unf(id) == s },
+      "filter context must never touch the score")
+    // upsert moves doc 2's field OUT of range: the dead version's
+    // stored row (50) must not qualify it
+    SegmentedIndex.upsert(spark, root,
+      Seq((2L, "spark b2", 5L)).toDF("doc_id", "text", "n"), "u1")
+    assert(ids(40L, 100L) == Set(3L))
+    assert(ids(0L, 100L) == Set(1L, 2L, 3L))
+  }
+
   test("searchAfter: pages concatenate to the full ranking with no " +
     "overlap or skip, across a score tie (the doc_id tiebreaker)") {
     val root = Files.createTempDirectory("graft-sa").toString
