@@ -621,6 +621,37 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(1500))
   }
 
+  test("q179: the facet's stored-field read is the doc-values path — " +
+    "column-pruned to (doc_id, field), text never leaves disk; " +
+    "postings stay bucket-pruned") {
+    val df = SparkEntry.queries("q179_facet")(spark, sf001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // SOME scan reads exactly the doc_id+source columns of the stored
+    // parquet — the text column must be pruned out of it
+    assert(p.linesIterator.exists(l => l.contains("ReadSchema") &&
+      l.contains("source") && !l.contains("text")),
+      s"stored read is not column-pruned to the facet field:\n${p.take(2000)}")
+    assert("PartitionFilters: \\[.*tb[#\\w]* IN".r.findFirstIn(p).nonEmpty,
+      s"postings not bucket-pruned:\n${p.take(1500)}")
+    assert(!p.contains("documents.parquet"),
+      s"facet re-scanned the corpus:\n${p.take(1500)}")
+  }
+
+  test("q185: field-sorted search is a TakeOrderedAndProject over a " +
+    "column-pruned stored read — never a full sort, text untouched") {
+    val df = SparkEntry.queries("q185_sorted_search")(spark, sf001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"field sort is not a top-k:\n${p.take(1500)}")
+    assert(p.linesIterator.exists(l => l.contains("ReadSchema") &&
+      l.contains("n_chars") && !l.contains("text")),
+      s"sort-field read is not column-pruned:\n${p.take(2000)}")
+    assert(!p.contains("documents.parquet"),
+      s"sorted search re-scanned the corpus:\n${p.take(1500)}")
+  }
+
   test("q123: corpus gram stream reaches the broadcast probe unshuffled") {
     val df = SparkEntry.queries("q123_decontaminate")(spark, sf001)
     df.collect() // finalize the adaptive plan
