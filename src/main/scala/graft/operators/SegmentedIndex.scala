@@ -484,6 +484,61 @@ object SegmentedIndex {
       .select("doc_id", "value")
   }
 
+  /** Reindex — ES's `_reindex`: reads the source index's LIVE
+    * `_source` rows (the stored fields — exactly what ES reindexes;
+    * the postings are never copied) and builds a FRESH index at
+    * `dstDir`, re-analyzing the text the way ES re-runs the analyzer,
+    * under a possibly different bucket count. Tombstones do NOT
+    * travel: deleted docs aren't copied, so the destination starts at
+    * post-merge statistics — after a [[merge]] of the source, the two
+    * indices rank bit-identically (the spec pins this). Idempotent
+    * per destination through [[append]]'s batch-key replay guard.
+    * Compose with [[setAlias]] for ES's zero-downtime swap: build the
+    * destination, verify it, flip the alias. */
+  def reindex(spark: SparkSession, srcDir: String, dstDir: String,
+              nBuckets: Int = 8): Unit = {
+    val root = new java.io.File(srcDir)
+    val (_, segs, _) = readManifest(root)
+    val stored = storedFrame(spark, root, segs)
+    val live = tombstones(spark, root, segs) match {
+      case Some(dead) =>
+        stored.join(broadcast(dead), Seq("doc_id", "seg"), "left_anti")
+      case None => stored
+    }
+    append(spark, dstDir, live.drop("seg"), "reindex", nBuckets)
+  }
+
+  /** Point an index ALIAS at a target root — ES's `_aliases` action
+    * with the atomic-swap contract that makes zero-downtime reindex
+    * work: the alias is ONE small file holding the target root,
+    * replaced by ONE atomic rename through the portable commit seam —
+    * a reader resolves the old target or the new, never a torn
+    * pointer. (This is the pointer-swap use of
+    * [[graft.engine.Fs.renameReplace]]: last-writer-wins is the
+    * DESIRED semantic for an alias flip, unlike manifest commits
+    * where it would lose data.) */
+  def setAlias(aliasPath: String, targetRoot: String): Unit = {
+    val alias = new java.io.File(aliasPath)
+    Option(alias.getParentFile).foreach(_.mkdirs())
+    val tmp = new java.io.File(alias.getParentFile,
+      "." + alias.getName + ".tmp-" +
+        java.util.UUID.randomUUID().toString.take(8))
+    java.nio.file.Files.write(tmp.toPath,
+      targetRoot.getBytes("UTF-8"))
+    graft.engine.Fs.renameReplace(tmp, alias)
+  }
+
+  /** Resolve an alias to its current target root. */
+  def resolveAlias(aliasPath: String): String =
+    new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(aliasPath).toPath), "UTF-8").trim
+
+  /** Search through an alias — ES's search-on-alias, the read side of
+    * the zero-downtime swap. */
+  def searchAlias(spark: SparkSession, aliasPath: String,
+                  terms: Seq[String], k: Int): DataFrame =
+    search(spark, resolveAlias(aliasPath), terms, k)
+
   /** Tombstone a set of doc_ids — Lucene's live-docs delete: the
     * postings stay until [[merge]]; queries skip the docs now, the
     * statistics keep counting them (Lucene parity). A tombstone

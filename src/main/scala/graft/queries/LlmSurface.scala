@@ -207,6 +207,33 @@ object LlmSurface {
         interval = 50L)
     }),
 
+    // --- reindex + alias flip (ES `_reindex` and `_aliases` — the
+    //     zero-downtime rebuild workflow): live _source rows re-analyze
+    //     into a fresh index under a new bucket count, tombstones
+    //     don't travel (the destination starts at post-merge stats),
+    //     and the search runs THROUGH the atomically flipped alias
+    //     (SegmentedIndex.reindex/setAlias/searchAlias) ---
+    "q188_reindex_alias" -> ((s, d) => {
+      import graft.operators.SegmentedIndex
+      val stem = "graft_ri_" + graft.engine.Bucketing.fingerprint8(d) +
+        "_" + java.util.UUID.randomUUID().toString.take(8)
+      val v1 = new java.io.File(
+        System.getProperty("java.io.tmpdir"), stem + "_v1").getPath
+      val v2 = new java.io.File(
+        System.getProperty("java.io.tmpdir"), stem + "_v2").getPath
+      val alias = new java.io.File(
+        System.getProperty("java.io.tmpdir"), stem + "_alias").getPath
+      // bounded roundtrip corpus (q150's rule)
+      val dd = docs(s, d).filter(col("doc_id") < 150)
+      SegmentedIndex.append(s, v1, dd, "a")
+      SegmentedIndex.delete(s, v1,
+        dd.filter(col("doc_id") % 37 === 5).select("doc_id"), "d1")
+      SegmentedIndex.setAlias(alias, v1)
+      SegmentedIndex.reindex(s, v1, v2, nBuckets = 4)
+      SegmentedIndex.setAlias(alias, v2)
+      SegmentedIndex.searchAlias(s, alias, searchTerms, k = 20)
+    }),
+
     // --- significant-terms aggregation (ES `significant_terms` —
     //     "what is unusual about these results"): terms
     //     overrepresented in the hit set vs the whole index, JLH
@@ -2261,6 +2288,31 @@ object LlmSurface {
     // q165: Lucene statistics semantics pre-merge — N and df over ALL
     // documents (tombstoned docs still count toward stats), the hit
     // list excludes them; same fixed-order pivoted score as q26
+    // q188: after reindex the statistics are POST-merge — N and df
+    // over the live (non-deleted) docs only, unlike q165's pre-merge
+    // phase; scores otherwise the same exact tf·(N/df) arithmetic
+    "q188_reindex_alias" -> {
+      val termList = searchTerms.map(t => s"'$t'").mkString(", ")
+      val contribs = searchTerms.map { t =>
+        s"sum(CASE WHEN term = '$t' THEN tf::DOUBLE * " +
+          "(n_docs / doc_freq::DOUBLE) ELSE 0.0::DOUBLE END)"
+      }
+      s"""WITH d AS (SELECT * FROM documents
+         |           WHERE doc_id < 150 AND doc_id % 37 <> 5),
+         | p AS (SELECT term, doc_id, count(*)::BIGINT AS tf
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |        FROM d) GROUP BY term, doc_id),
+         | dfreq AS (SELECT term, count(*)::BIGINT AS doc_freq FROM p
+         |  GROUP BY term),
+         | nd AS (SELECT count(*)::DOUBLE AS n_docs FROM d)
+         |SELECT doc_id, ${contribs.mkString(" + ")} AS score,
+         | count(*) AS n_terms_hit
+         |FROM p JOIN dfreq USING (term), nd
+         |WHERE term IN ($termList)
+         |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20"""
+        .stripMargin
+    },
+
     // q186: JLH replayed — fg over the live hit docs' term lists,
     // bg over ALL (doc,term) pairs (the pre-merge dictionary phase),
     // identical expression tree so the doubles cross engines bitwise

@@ -460,6 +460,47 @@ class SegmentedIndexSpec extends SparkSpec {
       "facet must survive the merge fold")
   }
 
+  test("reindex copies live _source only (destination starts at " +
+    "post-merge stats — bitwise equal to a merged source) and the " +
+    "alias flip is an atomic pointer swap") {
+    val v1 = Files.createTempDirectory("graft-ri1").toString
+    val v2 = Files.createTempDirectory("graft-ri2").toString + "/idx"
+    val alias = Files.createTempDirectory("graft-al").toString + "/a"
+    val d = Seq(
+      (1L, "spark data"),
+      (2L, "spark join"),
+      (3L, "data vector"),
+      (4L, "spark vector vector")).toDF("doc_id", "text")
+    SegmentedIndex.append(spark, v1, d, "a", nBuckets = 4)
+    SegmentedIndex.delete(spark, v1, Seq(2L).toDF("doc_id"), "d1")
+    SegmentedIndex.upsert(spark, v1,
+      Seq((3L, "data data spark")).toDF("doc_id", "text"), "u1")
+    SegmentedIndex.reindex(spark, v1, v2, nBuckets = 8)
+    val q = Seq("spark", "vector")
+    // alias points at v1: pre-merge statistics serve
+    SegmentedIndex.setAlias(alias, v1)
+    assert(SegmentedIndex.searchAlias(spark, alias, q, 10)
+      .collect().toSeq ==
+      SegmentedIndex.search(spark, v1, q, 10).collect().toSeq)
+    // flip to v2: the swap is one pointer replace
+    SegmentedIndex.setAlias(alias, v2)
+    assert(SegmentedIndex.resolveAlias(alias) == v2)
+    assert(SegmentedIndex.searchAlias(spark, alias, q, 10)
+      .collect().toSeq ==
+      SegmentedIndex.search(spark, v2, q, 10).collect().toSeq)
+    // the destination ranks bit-identically to a MERGED source:
+    // reindex drops tombstones and re-derives stats, exactly merge's
+    // stats shift
+    SegmentedIndex.merge(spark, v1)
+    assert(SegmentedIndex.search(spark, v2, q, 10).collect().toSeq ==
+      SegmentedIndex.search(spark, v1, q, 10).collect().toSeq,
+      "reindexed destination must equal the merged source bitwise")
+    // reindex replay is a no-op (append's batch-key guard)
+    SegmentedIndex.reindex(spark, v1, v2, nBuckets = 8)
+    assert(SegmentedIndex.stats(v2)._1 == 1L,
+      "a reindex replay must not add segments")
+  }
+
   test("significantTerms: JLH overrepresentation vs the background " +
     "dictionary — flat terms score zero and vanish, min_doc_count " +
     "gates, and a tombstone moves ONLY the foreground (bg stays " +
