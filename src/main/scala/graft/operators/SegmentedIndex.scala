@@ -88,14 +88,37 @@ object SegmentedIndex {
     val gens = manifestGens(root)
     require(gens.nonEmpty, s"no segmented index at $root")
     val (gen, f) = gens.last
+    val (nb, segs) = parseManifest(f)
+    (nb, segs, gen)
+  }
+
+  private def parseManifest(f: java.io.File): (Int, Seq[Seg]) = {
     val lines = java.nio.file.Files
       .readAllLines(f.toPath).toArray(Array.empty[String]).toSeq
     val nBuckets = lines.head.stripPrefix("nb=").toInt
     (nBuckets, lines.tail.map { l =>
       val Array(kind, name, nd, tl) = l.split(",")
       Seg(kind, name, nd.toLong, tl.toLong)
-    }, gen)
+    })
   }
+
+  /** Parse a SPECIFIC retained manifest generation — the reader-side
+    * pin behind [[searchAt]]. Fails loudly once the generation has
+    * been pruned (more than [[KeepGenerations]] commits behind). */
+  private def readManifestAt(root: java.io.File,
+                             gen: Long): (Int, Seq[Seg]) = {
+    val f = manifestGens(root).find(_._1 == gen).map(_._2)
+      .getOrElse(throw new IllegalArgumentException(
+        s"manifest generation $gen is not retained at $root " +
+          s"(retained: ${manifestGens(root).map(_._1).mkString(",")})"))
+    parseManifest(f)
+  }
+
+  /** The retained manifest generations, ascending — ES's open PIT
+    * handles, structurally: each is a complete immutable view of the
+    * index that [[searchAt]] can serve. */
+  def generations(rootDir: String): Seq[Long] =
+    manifestGens(new java.io.File(rootDir)).map(_._1)
 
   /** Commit manifest generation `prevGen + 1`: full rewrite, ONE
     * create-exclusive atomic rename through the portable seam
@@ -282,6 +305,31 @@ object SegmentedIndex {
       case None => stored
     }
     live.select("doc_id", "text").orderBy("doc_id")
+  }
+
+  /** Term vectors — ES's `_termvectors`: one LIVE document's terms
+    * with their frequencies and positions, read from the index (the
+    * positional postings double as Lucene's term vectors in this
+    * layout — no separate per-doc file). Cost stated honestly: the
+    * postings are TERM-bucketed, so a by-doc read cannot partition-
+    * prune; the doc_id predicate pushes into the parquet scans
+    * (footer/row-group stats — the doc-id-sorted write gives them
+    * teeth) but worst case it is O(index postings footprint), which
+    * is exactly why Lucene offers a dedicated stored term-vector
+    * format when this API is hot. A tombstoned or absent doc returns
+    * 0 rows. Output: (term, tf, positions), term-ascending. */
+  def termVectors(spark: SparkSession, rootDir: String,
+                  docId: Long): DataFrame = {
+    val root = new java.io.File(rootDir)
+    val (_, segs, _) = readManifest(root)
+    val p = segmentsRead(spark, root, segs)
+      .filter(col("doc_id") === lit(docId))
+    val live = tombstones(spark, root, segs) match {
+      case Some(dead) =>
+        p.join(broadcast(dead), Seq("doc_id", "seg"), "left_anti")
+      case None => p
+    }
+    live.select("term", "tf", "positions").orderBy("term")
   }
 
   /** Highlighting from the index — ES's actual flow: the QUERY phase
@@ -563,6 +611,29 @@ object SegmentedIndex {
     writeManifest(root, nb, segs :+ Seg("del", name, n, 0L), gen)
   }
 
+  /** Delete-by-query — ES's `_delete_by_query`: tombstone every LIVE
+    * document matching ANY of the query terms, committed as ONE
+    * manifest write. Pure composition of the existing pieces — the
+    * bucket-pruned live hit set feeds [[delete]] — so it inherits
+    * the idempotence (per batchKey), the prefix-scope rule (docs
+    * added AFTER this commit are untouched even if they match), and
+    * the statistics phases (df/N keep counting the deleted docs until
+    * [[merge]], hit lists drop them immediately). The hit-id frame is
+    * query-result-sized and never collects. */
+  def deleteByQuery(spark: SparkSession, rootDir: String,
+                    terms: Seq[String], batchKey: String): Unit = {
+    require(terms.nonEmpty, "deleteByQuery needs at least one term")
+    val root = new java.io.File(rootDir)
+    val (nb, segs, _) = readManifest(root)
+    val p = prunedPostings(spark, root, segs, terms, nb)
+    val hits = (tombstones(spark, root, segs) match {
+      case Some(dead) =>
+        p.join(broadcast(dead), Seq("doc_id", "seg"), "left_anti")
+      case None => p
+    }).select("doc_id").distinct()
+    delete(spark, rootDir, hits, batchKey)
+  }
+
   /** Update documents — Elasticsearch's update model (delete the old
     * version, index the new one), committed ATOMICALLY: the tombstone
     * segment for the batch's doc_ids and the new postings segment are
@@ -708,12 +779,38 @@ object SegmentedIndex {
       .orderBy(desc("score"), asc("doc_id"))
       .limit(k)
 
+  /** Point-in-time search — ES's PIT / Lucene's pinned IndexReader:
+    * serve a query against the index EXACTLY as it was at a retained
+    * manifest generation; appends, deletes, upserts and merges
+    * committed after it are invisible. Segment immutability is what
+    * makes this free — a superseded generation's directories are
+    * still on disk (vacuum is age-thresholded and retirement is
+    * deferred, the same contract that keeps in-flight readers safe),
+    * so pinning a view costs one manifest parse. Retention window =
+    * the newest [[KeepGenerations]] commits; a pruned generation
+    * fails loudly. Schema and semantics of [[search]]. */
+  def searchAt(spark: SparkSession, rootDir: String, gen: Long,
+               terms: Seq[String], k: Int): DataFrame = {
+    val root = new java.io.File(rootDir)
+    val (nb, segs) = readManifestAt(root, gen)
+    scoredHitsFor(spark, root, nb, segs, terms)
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
+
   /** Every live hit of the query terms, scored but unranked — the
     * frame [[search]] and [[searchAfter]] page over. */
   private def scoredHits(spark: SparkSession, rootDir: String,
                          terms: Seq[String]): DataFrame = {
     val root = new java.io.File(rootDir)
     val (nb, segs, _) = readManifest(root)
+    scoredHitsFor(spark, root, nb, segs, terms)
+  }
+
+  /** [[scoredHits]] against an explicit (possibly pinned) manifest
+    * view. */
+  private def scoredHitsFor(spark: SparkSession, root: java.io.File,
+      nb: Int, segs: Seq[Seg], terms: Seq[String]): DataFrame = {
     val nDocs = segs.filter(_.kind == "seg").map(_.nDocs).sum
     val p = prunedPostings(spark, root, segs, terms, nb)
     // df BEFORE tombstones — Lucene counts deleted docs' postings in

@@ -207,6 +207,65 @@ object LlmSurface {
         interval = 50L)
     }),
 
+    // --- point-in-time search (ES PIT / Lucene's pinned
+    //     IndexReader): a retained manifest generation is a frozen
+    //     view — the search pinned BEFORE the delete still sees every
+    //     document, because segments are immutable and retirement is
+    //     vacuum-deferred (SegmentedIndex.searchAt) ---
+    "q189_pit_search" -> ((s, d) => {
+      import graft.operators.SegmentedIndex
+      val root = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        "graft_pit_" + graft.engine.Bucketing.fingerprint8(d) +
+          "_" + java.util.UUID.randomUUID().toString.take(8)).getPath
+      // bounded roundtrip corpus (q150's rule)
+      val dd = docs(s, d).filter(col("doc_id") < 150)
+      SegmentedIndex.append(s, root, dd, "a")
+      val pin = SegmentedIndex.generations(root).last
+      SegmentedIndex.delete(s, root,
+        dd.filter(col("doc_id") % 37 === 5).select("doc_id"), "d1")
+      SegmentedIndex.searchAt(s, root, pin, searchTerms, k = 20)
+    }),
+
+    // --- term vectors (ES `_termvectors`): one live document's
+    //     term/tf/positions straight from the positional postings —
+    //     Lucene's term-vector read off this layout; positions
+    //     surfaced as a comma-joined string (the driver compare
+    //     cannot sort array cells) (SegmentedIndex.termVectors) ---
+    "q190_term_vectors" -> ((s, d) => {
+      import graft.operators.SegmentedIndex
+      val root = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        "graft_tv_" + graft.engine.Bucketing.fingerprint8(d) +
+          "_" + java.util.UUID.randomUUID().toString.take(8)).getPath
+      // bounded roundtrip corpus (q150's rule)
+      val dd = docs(s, d).filter(col("doc_id") < 150)
+      SegmentedIndex.append(s, root, dd, "a")
+      SegmentedIndex.delete(s, root,
+        dd.filter(col("doc_id") % 37 === 5).select("doc_id"), "d1")
+      SegmentedIndex.termVectors(s, root, docId = 7L)
+        .withColumn("positions", array_join(
+          expr("transform(positions, x -> cast(x as string))"), ","))
+    }),
+
+    // --- delete-by-query (ES `_delete_by_query`): tombstone the
+    //     live hit set of a term query in one manifest commit; the
+    //     statistics keep counting the deleted docs until merge
+    //     while the hit lists drop them immediately
+    //     (SegmentedIndex.deleteByQuery) ---
+    "q191_delete_by_query" -> ((s, d) => {
+      import graft.operators.SegmentedIndex
+      val root = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        "graft_dbq_" + graft.engine.Bucketing.fingerprint8(d) +
+          "_" + java.util.UUID.randomUUID().toString.take(8)).getPath
+      // bounded roundtrip corpus (q150's rule)
+      val dd = docs(s, d).filter(col("doc_id") < 150)
+      SegmentedIndex.append(s, root, dd, "a")
+      SegmentedIndex.deleteByQuery(s, root, Seq("join"), "dq1")
+      SegmentedIndex.search(s, root, Seq("spark", "vector"), k = 20)
+    }),
+
     // --- reindex + alias flip (ES `_reindex` and `_aliases` — the
     //     zero-downtime rebuild workflow): live _source rows re-analyze
     //     into a fresh index under a new bucket count, tombstones
@@ -2288,6 +2347,64 @@ object LlmSurface {
     // q165: Lucene statistics semantics pre-merge — N and df over ALL
     // documents (tombstoned docs still count toward stats), the hit
     // list excludes them; same fixed-order pivoted score as q26
+    // q189: the pinned pre-delete view — q165's ranking WITHOUT the
+    // tombstone filter (every doc live at the pinned generation)
+    "q189_pit_search" -> {
+      val termList = searchTerms.map(t => s"'$t'").mkString(", ")
+      val contribs = searchTerms.map { t =>
+        s"sum(CASE WHEN term = '$t' THEN tf::DOUBLE * " +
+          "(n_docs / doc_freq::DOUBLE) ELSE 0.0::DOUBLE END)"
+      }
+      s"""WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+         | p AS (SELECT term, doc_id, count(*)::BIGINT AS tf
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |        FROM d) GROUP BY term, doc_id),
+         | dfreq AS (SELECT term, count(*)::BIGINT AS doc_freq FROM p
+         |  GROUP BY term),
+         | nd AS (SELECT count(*)::DOUBLE AS n_docs FROM d)
+         |SELECT doc_id, ${contribs.mkString(" + ")} AS score,
+         | count(*) AS n_terms_hit
+         |FROM p JOIN dfreq USING (term), nd
+         |WHERE term IN ($termList)
+         |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20"""
+        .stripMargin
+    },
+
+    // q190: doc 7's term/tf/0-based-position vectors from the raw
+    // text — positions comma-joined (array cells break the compare)
+    "q190_term_vectors" ->
+      """WITH d AS (SELECT * FROM documents WHERE doc_id = 7),
+        | t AS (SELECT unnest(string_split(text, ' ')) AS term,
+        |        generate_subscripts(string_split(text, ' '), 1) AS ord
+        |       FROM d)
+        |SELECT term, count(*)::BIGINT AS tf,
+        | array_to_string(list_sort(list(ord - 1)), ',') AS positions
+        |FROM t GROUP BY term ORDER BY term""".stripMargin,
+
+    // q191: hits exclude every doc containing 'join' (the
+    // delete-by-query victims) while df/N still count them pre-merge
+    "q191_delete_by_query" -> {
+      val contribs = Seq("spark", "vector").map { t =>
+        s"sum(CASE WHEN term = '$t' THEN tf::DOUBLE * " +
+          "(n_docs / doc_freq::DOUBLE) ELSE 0.0::DOUBLE END)"
+      }
+      s"""WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+         | p AS (SELECT term, doc_id, count(*)::BIGINT AS tf
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |        FROM d) GROUP BY term, doc_id),
+         | dfreq AS (SELECT term, count(*)::BIGINT AS doc_freq FROM p
+         |  GROUP BY term),
+         | nd AS (SELECT count(*)::DOUBLE AS n_docs FROM d),
+         | del AS (SELECT DISTINCT doc_id FROM p WHERE term = 'join')
+         |SELECT doc_id, ${contribs.mkString(" + ")} AS score,
+         | count(*) AS n_terms_hit
+         |FROM p JOIN dfreq USING (term), nd
+         |WHERE term IN ('spark', 'vector')
+         |  AND doc_id NOT IN (SELECT doc_id FROM del)
+         |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20"""
+        .stripMargin
+    },
+
     // q188: after reindex the statistics are POST-merge — N and df
     // over the live (non-deleted) docs only, unlike q165's pre-merge
     // phase; scores otherwise the same exact tf·(N/df) arithmetic

@@ -460,6 +460,91 @@ class SegmentedIndexSpec extends SparkSpec {
       "facet must survive the merge fold")
   }
 
+  test("searchAt: a pinned generation is a frozen view — later " +
+    "deletes/appends/merges invisible; pruned generations fail " +
+    "loudly") {
+    val root = Files.createTempDirectory("graft-pit").toString
+    val d1 = Seq(
+      (1L, "spark data"),
+      (2L, "spark vector"),
+      (3L, "data only")).toDF("doc_id", "text")
+    SegmentedIndex.append(spark, root, d1, "a", nBuckets = 4)
+    val g1 = SegmentedIndex.generations(root).last
+    val q = Seq("spark", "vector")
+    val frozen = SegmentedIndex.searchAt(spark, root, g1, q, 10)
+      .collect().toSeq
+    assert(frozen ==
+      SegmentedIndex.search(spark, root, q, 10).collect().toSeq)
+    SegmentedIndex.delete(spark, root, Seq(1L).toDF("doc_id"), "d1")
+    SegmentedIndex.append(spark, root,
+      Seq((4L, "spark new")).toDF("doc_id", "text"), "b")
+    val g3 = SegmentedIndex.generations(root).last
+    // the pin still serves the ORIGINAL view bitwise
+    assert(SegmentedIndex.searchAt(spark, root, g1, q, 10)
+      .collect().toSeq == frozen,
+      "the pinned generation must not see later mutations")
+    assert(SegmentedIndex.searchAt(spark, root, g3, q, 10)
+      .collect().toSeq ==
+      SegmentedIndex.search(spark, root, q, 10).collect().toSeq)
+    // a merge supersedes the manifest but retires nothing (vacuum is
+    // age-thresholded) — the pre-merge pin keeps serving
+    val preMerge = SegmentedIndex.searchAt(spark, root, g3, q, 10)
+      .collect().toSeq
+    SegmentedIndex.merge(spark, root)
+    assert(SegmentedIndex.searchAt(spark, root, g3, q, 10)
+      .collect().toSeq == preMerge)
+    intercept[IllegalArgumentException] {
+      SegmentedIndex.searchAt(spark, root, 999L, q, 10).collect()
+    }
+  }
+
+  test("termVectors: per-doc term/tf/positions from the positional " +
+    "postings — upsert serves the NEW version, tombstoned and " +
+    "absent docs return empty") {
+    val root = Files.createTempDirectory("graft-tv").toString
+    val d = Seq(
+      (1L, "a b a c a b"),
+      (2L, "z z")).toDF("doc_id", "text")
+    SegmentedIndex.append(spark, root, d, "a", nBuckets = 4)
+    def tv(id: Long) = SegmentedIndex.termVectors(spark, root, id)
+      .as[(String, Long, Seq[Long])].collect().toSeq
+    assert(tv(1L) == Seq(("a", 3L, Seq(0L, 2L, 4L)),
+      ("b", 2L, Seq(1L, 5L)), ("c", 1L, Seq(3L))))
+    SegmentedIndex.upsert(spark, root,
+      Seq((2L, "y z")).toDF("doc_id", "text"), "u1")
+    assert(tv(2L) == Seq(("y", 1L, Seq(0L)), ("z", 1L, Seq(1L))),
+      "an upserted doc's vectors must come from the NEW version only")
+    SegmentedIndex.delete(spark, root, Seq(1L).toDF("doc_id"), "d1")
+    assert(tv(1L).isEmpty && tv(99L).isEmpty)
+  }
+
+  test("deleteByQuery: tombstones the live hit set in one commit — " +
+    "prefix scope spares later docs, stats stay pre-merge, replay " +
+    "is a no-op") {
+    val root = Files.createTempDirectory("graft-dbq").toString
+    val d = Seq(
+      (1L, "spark x"),
+      (2L, "join y"),
+      (3L, "join spark"),
+      (4L, "quiet")).toDF("doc_id", "text")
+    SegmentedIndex.append(spark, root, d, "a", nBuckets = 4)
+    SegmentedIndex.deleteByQuery(spark, root, Seq("join"), "dq1")
+    val r = SegmentedIndex.search(spark, root, Seq("spark"), 10)
+      .collect().toSeq
+    assert(r.map(_.getLong(0)) == Seq(1L))
+    // stats phase: N=4 and df(spark)=2 still count the deleted docs
+    assert(r.head.getDouble(1) == 2.0)
+    // a doc added AFTER the delete-by-query matches but survives
+    SegmentedIndex.append(spark, root,
+      Seq((5L, "join new")).toDF("doc_id", "text"), "b")
+    def joinIds() = SegmentedIndex.search(spark, root, Seq("join"), 10)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(joinIds() == Seq(5L),
+      "the prefix scope must spare documents added after the commit")
+    SegmentedIndex.deleteByQuery(spark, root, Seq("join"), "dq1")
+    assert(joinIds() == Seq(5L), "a batchKey replay must be a no-op")
+  }
+
   test("reindex copies live _source only (destination starts at " +
     "post-merge stats — bitwise equal to a merged source) and the " +
     "alias flip is an atomic pointer swap") {
