@@ -63,6 +63,9 @@ object SparkEntry {
         graft.engine.Tables.table(spark, sfDir, "documents"),
         "lang", Seq("n_chars", "doc_id"), "docs")),
       Future(graft.queries.LlmSurface.ivfAppendStage(spark, sfDir)),
+      // sequential inside one future: all three roots commit via
+      // single-writer manifest generations
+      Future(graft.queries.LlmSurface.segIndexStage(spark, sfDir)),
       Future(SqlSurface.ensureZonemappedLineitem(spark, sfDir)),
       Future(SqlSurface.zonemapAppendStage(spark, sfDir)))
     writes.foreach(Await.result(_, Duration.Inf))
