@@ -83,6 +83,23 @@ object LlmSurface {
     ()
   }
 
+  /** A private MUTABLE clone of the staged index for the MUTATING
+    * roundtrips (merge, upsert-fetch, delete-by-query): one
+    * [[SegmentedIndex.snapshot]] — driver-side copies of the bounded
+    * segment directories, far cheaper than re-tokenizing the corpus —
+    * into a per-invocation root the mutation can own without touching
+    * the shared artifact. */
+  private def segIndexClone(s: SparkSession, d: String,
+                            tag: String): String = {
+    val src = segIndexDir(s, d)
+    val dst = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      "graft_segclone_" + tag + "_" +
+        java.util.UUID.randomUUID().toString.take(8)).getPath
+    SegmentedIndex.snapshot(src, dst)
+    dst
+  }
+
   /** q140's ingest half, also invoked from `SparkEntry.stage`: a
     * dedicated staged IVF index (fixture key suffixed `#append`, so
     * q129/q132's shared index never sees appended rows) plus one
@@ -275,14 +292,9 @@ object LlmSurface {
     //     while the hit lists drop them immediately
     //     (SegmentedIndex.deleteByQuery) ---
     "q191_delete_by_query" -> ((s, d) => {
-      import graft.operators.SegmentedIndex
-      val root = new java.io.File(
-        System.getProperty("java.io.tmpdir"),
-        "graft_dbq_" + graft.engine.Bucketing.fingerprint8(d) +
-          "_" + java.util.UUID.randomUUID().toString.take(8)).getPath
-      // bounded roundtrip corpus (q150's rule)
-      val dd = docs(s, d).filter(col("doc_id") < 150)
-      SegmentedIndex.append(s, root, dd, "a")
+      // mutable CLONE of the staged index (its d1 tombstones ride
+      // along — the oracle excludes both victim sets)
+      val root = segIndexClone(s, d, "dbq")
       SegmentedIndex.deleteByQuery(s, root, Seq("join"), "dq1")
       SegmentedIndex.search(s, root, Seq("spark", "vector"), k = 20)
     }),
@@ -294,20 +306,15 @@ object LlmSurface {
     //     and the search runs THROUGH the atomically flipped alias
     //     (SegmentedIndex.reindex/setAlias/searchAlias) ---
     "q188_reindex_alias" -> ((s, d) => {
-      import graft.operators.SegmentedIndex
+      // reindex reads the STAGED index without mutating it — only
+      // the destination and the alias are per-invocation
       val stem = "graft_ri_" + graft.engine.Bucketing.fingerprint8(d) +
         "_" + java.util.UUID.randomUUID().toString.take(8)
-      val v1 = new java.io.File(
-        System.getProperty("java.io.tmpdir"), stem + "_v1").getPath
+      val v1 = segIndexDir(s, d)
       val v2 = new java.io.File(
         System.getProperty("java.io.tmpdir"), stem + "_v2").getPath
       val alias = new java.io.File(
         System.getProperty("java.io.tmpdir"), stem + "_alias").getPath
-      // bounded roundtrip corpus (q150's rule)
-      val dd = docs(s, d).filter(col("doc_id") < 150)
-      SegmentedIndex.append(s, v1, dd, "a")
-      SegmentedIndex.delete(s, v1,
-        dd.filter(col("doc_id") % 37 === 5).select("doc_id"), "d1")
       SegmentedIndex.setAlias(alias, v1)
       SegmentedIndex.reindex(s, v1, v2, nBuckets = 4)
       SegmentedIndex.setAlias(alias, v2)
@@ -506,22 +513,9 @@ object LlmSurface {
     //     prefix-scoped tombstone hides the old version's stored
     //     fields too) (SegmentedIndex.fetch) ---
     "q172_segmented_fetch" -> ((s, d) => {
-      import graft.operators.SegmentedIndex
-      val root = new java.io.File(
-        System.getProperty("java.io.tmpdir"),
-        "graft_sg_" + graft.engine.Bucketing.fingerprint8(d) +
-          "_" + java.util.UUID.randomUUID().toString.take(8)).getPath
-      // bounded roundtrip corpus (q150's rule): the lifecycle
-      // demonstration needs a representative document set, not the
-      // whole fixture — unbounded per-invocation index builds were
-      // the most expensive bench entries
+      // mutable CLONE of the staged index — the upsert owns the copy
+      val root = segIndexClone(s, d, "sg")
       val dd = docs(s, d).filter(col("doc_id") < 150)
-      SegmentedIndex.append(s, root,
-        dd.filter(col("doc_id") % 5 =!= 0), "a")
-      SegmentedIndex.append(s, root,
-        dd.filter(col("doc_id") % 5 === 0), "b")
-      SegmentedIndex.delete(s, root,
-        dd.filter(col("doc_id") % 37 === 5).select("doc_id"), "d1")
       SegmentedIndex.upsert(s, root,
         dd.filter(col("doc_id") === 1)
           .withColumn("text", concat(col("text"), lit(" updated")))
@@ -575,22 +569,9 @@ object LlmSurface {
     //     fold/apply counts and the post-merge N are pinned
     //     (SegmentedIndex.merge) ---
     "q166_segment_merge" -> ((s, d) => {
-      import graft.operators.SegmentedIndex
-      val root = new java.io.File(
-        System.getProperty("java.io.tmpdir"),
-        "graft_sm_" + graft.engine.Bucketing.fingerprint8(d) +
-          "_" + java.util.UUID.randomUUID().toString.take(8)).getPath
-      // bounded roundtrip corpus (q150's rule): the lifecycle
-      // demonstration needs a representative document set, not the
-      // whole fixture — unbounded per-invocation index builds were
-      // the most expensive bench entries
-      val dd = docs(s, d).filter(col("doc_id") < 150)
-      SegmentedIndex.append(s, root,
-        dd.filter(col("doc_id") % 5 =!= 0), "a")
-      SegmentedIndex.append(s, root,
-        dd.filter(col("doc_id") % 5 === 0), "b")
-      SegmentedIndex.delete(s, root,
-        dd.filter(col("doc_id") % 37 === 5).select("doc_id"), "d1")
+      // mutable CLONE of the staged index (same 2-segment +
+      // 1-tombstone lifecycle) — the merge owns the copy
+      val root = segIndexClone(s, d, "sm")
       val (folded, applied) = SegmentedIndex.merge(s, root)
       val (nSeg, _, nStat) = SegmentedIndex.stats(root)
       SegmentedIndex.search(s, root, searchTerms, k = 20)
@@ -2274,6 +2255,7 @@ object LlmSurface {
          |FROM p JOIN dfreq USING (term), nd
          |WHERE term IN ('spark', 'vector')
          |  AND doc_id NOT IN (SELECT doc_id FROM del)
+         |  AND doc_id % 37 <> 5
          |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20"""
         .stripMargin
     },
