@@ -433,6 +433,23 @@ object SegmentedIndex {
       .withColumnRenamed("value", "sort_value")
   }
 
+  /** Stats aggregation — ES's `aggs: { stats: { field } }`: count,
+    * min, max, sum and avg of a stored numeric field over the query's
+    * FULL live hit set, the field read column-pruned from `_stored/`
+    * ([[facet]]'s doc-values path). One partial+final aggregation to
+    * a single row; avg is sum/count in double, exactly the division
+    * ES returns. Docs missing the field are ignored (ES's rule).
+    * Output: (n_docs, vmin, vmax, vsum, vavg), 1 row. */
+  def statsFacet(spark: SparkSession, rootDir: String,
+                 terms: Seq[String], field: String): DataFrame =
+    hitFieldValues(spark, rootDir, terms, field)
+      .agg(count(lit(1)).as("n_docs"),
+        min("value").as("vmin"),
+        max("value").as("vmax"),
+        sum("value").as("vsum"))
+      .withColumn("vavg",
+        col("vsum").cast("double") / col("n_docs").cast("double"))
+
   /** Significant-terms aggregation — ES's `significant_terms`, the
     * "what is unusual about these results" agg: terms OVERREPRESENTED
     * in the query's hit set (foreground) relative to the whole index

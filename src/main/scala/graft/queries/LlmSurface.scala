@@ -321,6 +321,15 @@ object LlmSurface {
       SegmentedIndex.searchAlias(s, alias, searchTerms, k = 20)
     }),
 
+    // --- stats aggregation (ES `aggs.stats`): count/min/max/sum/avg
+    //     of a stored numeric field over the full live hit set —
+    //     column-pruned doc-values read, one partial+final agg to a
+    //     single row (SegmentedIndex.statsFacet) ---
+    "q192_stats_facet" -> ((s, d) =>
+      // probe-only against the STAGED index (segIndexDir)
+      SegmentedIndex.statsFacet(s, segIndexDir(s, d), searchTerms,
+        "n_chars")),
+
     // --- significant-terms aggregation (ES `significant_terms` —
     //     "what is unusual about these results"): terms
     //     overrepresented in the hit set vs the whole index, JLH
@@ -2283,6 +2292,23 @@ object LlmSurface {
          |WHERE term IN ($termList)
          |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20"""
         .stripMargin
+    },
+
+    // q192: the same single-row stats over the live hit set; sum
+    // cast to BIGINT (DuckDB sums integers to HUGEINT), avg the
+    // identical double division
+    "q192_stats_facet" -> {
+      val termList = searchTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+         | p AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |       FROM d),
+         | hits AS (SELECT DISTINCT doc_id FROM p
+         |          WHERE term IN ($termList) AND doc_id % 37 <> 5)
+         |SELECT count(*)::BIGINT AS n_docs,
+         | min(n_chars) AS vmin, max(n_chars) AS vmax,
+         | sum(n_chars)::BIGINT AS vsum,
+         | sum(n_chars)::DOUBLE / count(*)::DOUBLE AS vavg
+         |FROM d JOIN hits USING (doc_id)""".stripMargin
     },
 
     // q186: JLH replayed — fg over the live hit docs' term lists,

@@ -586,6 +586,25 @@ class SegmentedIndexSpec extends SparkSpec {
       "a reindex replay must not add segments")
   }
 
+  test("statsFacet: single-row count/min/max/sum/avg over the live " +
+    "hit set — tombstones move the stats immediately, missing " +
+    "fields are ignored") {
+    val root = Files.createTempDirectory("graft-stf").toString
+    val d = Seq(
+      (1L, "x a", Some(10L)),
+      (2L, "x b", Some(30L)),
+      (3L, "x c", None),
+      (4L, "y d", Some(99L))).toDF("doc_id", "text", "n")
+    SegmentedIndex.append(spark, root, d, "a", nBuckets = 4)
+    def got() = SegmentedIndex
+      .statsFacet(spark, root, Seq("x"), "n")
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    // doc 3 matches but has no field; doc 4 has a field but no match
+    assert(got() == ((2L, 10L, 30L, 40L, 20.0)))
+    SegmentedIndex.delete(spark, root, Seq(2L).toDF("doc_id"), "d1")
+    assert(got() == ((1L, 10L, 10L, 10L, 10.0)))
+  }
+
   test("significantTerms: JLH overrepresentation vs the background " +
     "dictionary — flat terms score zero and vanish, min_doc_count " +
     "gates, and a tombstone moves ONLY the foreground (bg stays " +

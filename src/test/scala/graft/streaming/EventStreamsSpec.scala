@@ -833,6 +833,38 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed == batch, s"streamed $streamed != batch $batch")
   }
 
+  test("streamed index serves the aggregation and bool surface: " +
+    "facet, stats and bool queries over streamed segments equal the " +
+    "batch-built twin") {
+    import graft.operators.SegmentedIndex
+    val in = MemoryStream[(Long, String, String, Long)](spark)
+    val root = Files.createTempDirectory("graft-sxa").toString + "/idx"
+    val ck = Files.createTempDirectory("graft-sxa-ck").toString
+    val q = EventStreams.searchIndexSink(
+      in.toDF().toDF("doc_id", "text", "cat", "n"), root, ck,
+      nBuckets = 4)
+    in.addData((1L, "x x y", "news", 10L), (2L, "x z", "blog", 20L))
+    q.processAllAvailable()
+    in.addData((3L, "y z", "news", 40L))
+    q.processAllAvailable()
+    q.stop()
+    val twin = Files.createTempDirectory("graft-sxb").toString + "/idx"
+    SegmentedIndex.append(spark, twin,
+      Seq((1L, "x x y", "news", 10L), (2L, "x z", "blog", 20L))
+        .toDF("doc_id", "text", "cat", "n"), "a", nBuckets = 4)
+    SegmentedIndex.append(spark, twin,
+      Seq((3L, "y z", "news", 40L))
+        .toDF("doc_id", "text", "cat", "n"), "b")
+    def eq(f: String => org.apache.spark.sql.DataFrame): Unit =
+      assert(f(root).collect().toSeq == f(twin).collect().toSeq)
+    eq(SegmentedIndex.facet(spark, _, Seq("x", "y"), "cat", 10))
+    eq(SegmentedIndex.statsFacet(spark, _, Seq("x", "y"), "n"))
+    eq(SegmentedIndex.boolSearch(spark, _, must = Seq("x"),
+      mustNot = Seq("z"), k = 10))
+    eq(SegmentedIndex.sortedSearch(spark, _, Seq("x", "y"), "n", 10,
+      ascending = false))
+  }
+
   test("searchIndexSink with a merge tier: the live segment count " +
     "stays at the bound across many triggers and searches keep " +
     "answering (ES's refresh + merge scheduler in one loop)") {
