@@ -522,7 +522,18 @@ object SegmentedIndex {
     * null). */
   private def hitFieldValues(spark: SparkSession, rootDir: String,
       terms: Seq[String], field: String,
-      keepMissing: Boolean = false): DataFrame = {
+      keepMissing: Boolean = false): DataFrame =
+    hitFields(spark, rootDir, terms, Seq(field -> "value"),
+      requireNonNull = if (keepMissing) Seq.empty else Seq("value"))
+
+  /** The live hit docs paired with SEVERAL stored columns (renamed
+    * per the mapping), the multi-field doc-values read behind
+    * [[facetStats]] — still one column-pruned `_stored/` scan.
+    * `requireNonNull` names output columns whose null rows drop
+    * (ES's missing-field exclusion, applied per aggregation role). */
+  private def hitFields(spark: SparkSession, rootDir: String,
+      terms: Seq[String], fields: Seq[(String, String)],
+      requireNonNull: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "aggregations need at least one query term")
     val root = new java.io.File(rootDir)
     val (nb, segs, _) = readManifest(root)
@@ -533,21 +544,49 @@ object SegmentedIndex {
         p.join(broadcast(d), Seq("doc_id", "seg"), "left_anti")
       case None => p
     }).select("doc_id").distinct()
-    val withVal = storedFrame(spark, root, segs)
-      .select(col("doc_id"), col(field).as("value"), col("seg"))
-    // aggregations drop documents missing the field (ES's rule);
-    // field sorts keep them — they order last instead
-    val stored =
-      if (keepMissing) withVal
-      else withVal.filter(col("value").isNotNull)
+    val withVals = storedFrame(spark, root, segs)
+      .select(col("doc_id") +:
+        fields.map { case (f, as) => col(f).as(as) } :+ col("seg"): _*)
+    val stored = requireNonNull.foldLeft(withVals) { (df, c) =>
+      df.filter(col(c).isNotNull)
+    }
     val liveStored = dead match {
       case Some(d) =>
         stored.join(broadcast(d), Seq("doc_id", "seg"), "left_anti")
       case None => stored
     }
     liveStored.join(hits, Seq("doc_id"), "left_semi")
-      .select("doc_id", "value")
+      .select(col("doc_id") +: fields.map(f => col(f._2)): _*)
   }
+
+  /** Sub-aggregation — ES's nested
+    * `aggs: { terms: { bucketField }, aggs: { stats: { statField } } }`,
+    * the group-and-describe request every analytics dashboard makes:
+    * the live hit set buckets by one stored field and each bucket
+    * carries the stats of another. One column-pruned stored read
+    * feeds both roles; ES's missing-field rules apply per role (a doc
+    * missing the BUCKET field leaves the aggregation; a doc missing
+    * only the STAT field still counts in its bucket, its absent value
+    * ignored by the stats — hence avg divides by the VALUE count).
+    * Output: (value, doc_count, vmin, vmax, vsum, vavg), top-k
+    * buckets by (doc_count desc, value). */
+  def facetStats(spark: SparkSession, rootDir: String,
+                 terms: Seq[String], bucketField: String,
+                 statField: String, kBuckets: Int): DataFrame =
+    hitFields(spark, rootDir, terms,
+      Seq(bucketField -> "value", statField -> "sv"),
+      requireNonNull = Seq("value"))
+      .groupBy("value")
+      .agg(countDistinct(col("doc_id")).as("doc_count"),
+        min("sv").as("vmin"),
+        max("sv").as("vmax"),
+        sum("sv").as("vsum"),
+        count(col("sv")).as("n_vals"))
+      .withColumn("vavg",
+        col("vsum").cast("double") / col("n_vals").cast("double"))
+      .select("value", "doc_count", "vmin", "vmax", "vsum", "vavg")
+      .orderBy(desc("doc_count"), asc("value"))
+      .limit(kBuckets)
 
   /** Reindex — ES's `_reindex`: reads the source index's LIVE
     * `_source` rows (the stored fields — exactly what ES reindexes;

@@ -321,6 +321,17 @@ object LlmSurface {
       SegmentedIndex.searchAlias(s, alias, searchTerms, k = 20)
     }),
 
+    // --- nested sub-aggregation (ES `aggs.terms` + inner
+    //     `aggs.stats` — group-and-describe): the hit set buckets by
+    //     `source` and each bucket carries n_chars stats; one
+    //     column-pruned stored read feeds both roles
+    //     (SegmentedIndex.facetStats) ---
+    "q193_facet_stats" -> ((s, d) =>
+      // probe-only against the STAGED index (segIndexDir)
+      SegmentedIndex.facetStats(s, segIndexDir(s, d), searchTerms,
+        bucketField = "source", statField = "n_chars",
+        kBuckets = 10)),
+
     // --- stats aggregation (ES `aggs.stats`): count/min/max/sum/avg
     //     of a stored numeric field over the full live hit set —
     //     column-pruned doc-values read, one partial+final agg to a
@@ -2291,6 +2302,25 @@ object LlmSurface {
          |FROM p JOIN dfreq USING (term), nd
          |WHERE term IN ($termList)
          |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20"""
+        .stripMargin
+    },
+
+    // q193: the nested terms+stats agg replayed — per-source buckets
+    // of the live hit set with n_chars stats, avg over value count
+    "q193_facet_stats" -> {
+      val termList = searchTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+         | p AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |       FROM d),
+         | hits AS (SELECT DISTINCT doc_id FROM p
+         |          WHERE term IN ($termList) AND doc_id % 37 <> 5)
+         |SELECT source AS value,
+         | count(DISTINCT d.doc_id) AS doc_count,
+         | min(n_chars) AS vmin, max(n_chars) AS vmax,
+         | sum(n_chars)::BIGINT AS vsum,
+         | sum(n_chars)::DOUBLE / count(n_chars)::DOUBLE AS vavg
+         |FROM d JOIN hits USING (doc_id)
+         |GROUP BY source ORDER BY doc_count DESC, value LIMIT 10"""
         .stripMargin
     },
 

@@ -232,4 +232,35 @@ class PropertySpec extends SparkSpec {
           s"cut=$cut terms=$terms\ngot= $got\nwant=$want")
       }
   }
+
+  test("search_after paging: for any random corpus and page size, " +
+    "the page concatenation equals the one-shot ranking with no " +
+    "overlap or skip") {
+    import graft.operators.SegmentedIndex
+    samples(Gen.zip(Gen.listOfN(10, text), Gen.choose(1, 4)), 3)
+      .foreach { case (texts, pageSize) =>
+        val docs = texts.zipWithIndex
+          .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-prop-sa").toString
+        SegmentedIndex.append(spark, root, docs, "a", nBuckets = 4)
+        val terms = texts.flatMap(_.split(" "))
+          .groupBy(identity).toSeq
+          .sortBy { case (w, o) => (-o.size, w) }.take(3).map(_._1)
+        val full = SegmentedIndex.search(spark, root, terms, 1000)
+          .as[(Long, Double, Long)].collect().toSeq
+        var pages = Seq(SegmentedIndex
+          .search(spark, root, terms, pageSize)
+          .as[(Long, Double, Long)].collect().toSeq)
+        while (pages.last.size == pageSize) {
+          val cur = pages.last.last
+          pages = pages :+ SegmentedIndex
+            .searchAfter(spark, root, terms, pageSize, cur._2, cur._1)
+            .as[(Long, Double, Long)].collect().toSeq
+        }
+        assert(pages.flatten == full,
+          s"pageSize=$pageSize terms=$terms\n" +
+            s"pages=${pages.flatten}\nfull= $full")
+      }
+  }
 }

@@ -586,6 +586,33 @@ class SegmentedIndexSpec extends SparkSpec {
       "a reindex replay must not add segments")
   }
 
+  test("facetStats: nested terms+stats — per-role missing-field " +
+    "rules (no bucket field drops the doc, no stat field keeps it " +
+    "with empty stats), avg divides by the VALUE count") {
+    val root = Files.createTempDirectory("graft-fst").toString
+    val d = Seq(
+      (1L, "x a", Option("news"), Option(10L)),
+      (2L, "x b", Option("news"), Option.empty[Long]),
+      (3L, "x c", Option("blog"), Option(30L)),
+      (4L, "x d", Option.empty[String], Option(99L)))
+      .toDF("doc_id", "text", "cat", "n")
+    SegmentedIndex.append(spark, root, d, "a", nBuckets = 4)
+    def got() = SegmentedIndex
+      .facetStats(spark, root, Seq("x"), "cat", "n", 10)
+      .as[(String, Long, Option[Long], Option[Long], Option[Long],
+        Option[Double])].collect().toSeq
+    // doc 4 has no bucket field -> gone; doc 2 counts in news but
+    // contributes no value, so news' avg is 10/1 not 10/2
+    assert(got() == Seq(
+      ("news", 2L, Some(10L), Some(10L), Some(10L), Some(10.0)),
+      ("blog", 1L, Some(30L), Some(30L), Some(30L), Some(30.0))))
+    SegmentedIndex.delete(spark, root, Seq(1L).toDF("doc_id"), "d1")
+    assert(got() == Seq(
+      ("blog", 1L, Some(30L), Some(30L), Some(30L), Some(30.0)),
+      ("news", 1L, None, None, None, None)),
+      "a value-less bucket must survive with empty stats")
+  }
+
   test("statsFacet: single-row count/min/max/sum/avg over the live " +
     "hit set — tombstones move the stats immediately, missing " +
     "fields are ignored") {
