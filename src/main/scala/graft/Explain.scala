@@ -406,7 +406,49 @@ object Explain {
         "two posting lists once, both rankings (log-idf production sum " +
         "and the exact pair-ratio key) are windows over the matched " +
         "union — the corpus tokenizes once, and the certificate adds " +
-        "no second scan."))
+        "no second scan."),
+    "q179_facet" ->
+      ("Terms aggregation from the index: the hit set comes from " +
+        "bucket-pruned postings (`PartitionFilters: [tb IN …]`) and " +
+        "the field values from a COLUMN-PRUNED stored read (ReadSchema " +
+        "carries doc_id+source only — parquet's columnar layout IS " +
+        "ES's doc-values store; text never leaves disk). The corpus " +
+        "is absent from the plan; probe-only against the staged index."),
+    "q180_bool_search" ->
+      ("ES bool query: one shared pruned postings scan feeds the must " +
+        "conjunction (distinct-term count), the must_not exclusion " +
+        "(anti join) and the scoring pass; candidates stay " +
+        "distributed as semi joins; TakeOrderedAndProject top-k."),
+    "q182_multi_index_search" ->
+      ("Federated dfs_query_then_fetch: per-index bucket-pruned scans " +
+        "union into ONE global df aggregation and one scoring pass — " +
+        "federation adds no extra shuffle over the single-index plan, " +
+        "which is what makes the lossless-stats contract free."),
+    "q183_search_after" ->
+      ("Deep paging: the cursor predicate filters BEFORE the top-k, " +
+        "so every page is an independent TakeOrderedAndProject over " +
+        "the pruned posting lists — no accumulation with page depth " +
+        "(the reason ES deprecates from+size)."),
+    "q185_sorted_search" ->
+      ("Field sort: hit ids semi-join a column-pruned stored read " +
+        "(ReadSchema doc_id+n_chars) and TakeOrderedAndProject takes " +
+        "the top-k — never a global sort, text never read."),
+    "q186_significant_terms" ->
+      ("Significant terms: background df is a vocabulary-sized " +
+        "dictionary aggregation; the foreground pass is the one " +
+        "honest term-unpruned postings read (column-pruned, " +
+        "hit-semi-joined) — ES documents the same cost and samples " +
+        "around it at scale."),
+    "q189_pit_search" ->
+      ("Point-in-time: the pinned manifest generation resolves " +
+        "driver-side to the SAME pruned-scan plan as a live search — " +
+        "pinning a view costs one manifest parse, no plan change; " +
+        "segment immutability does the rest."),
+    "q193_facet_stats" ->
+      ("Nested terms+stats: ONE stored read (ReadSchema doc_id+" +
+        "source+n_chars) feeds both the bucket and the stat role; " +
+        "partial+final aggregation, top-k buckets by " +
+        "TakeOrderedAndProject."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
