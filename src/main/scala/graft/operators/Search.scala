@@ -712,4 +712,43 @@ object Search {
         "score_in_bounds")
       .orderBy("rank")
   }
+
+  /** Reciprocal-rank fusion — Elasticsearch 8's `rrf` retriever
+    * (Cormack & Clarke), THE standard way to hybridize a lexical and
+    * a dense ranking: each input ranking contributes
+    * `1 / (kRrf + rank)` for the documents it ranked (absent docs
+    * contribute nothing), ranks are row_numbers under that ranking's
+    * own (score desc, id) total order, and the fused list orders by
+    * the summed contribution. Purely RANK-based — no score
+    * calibration between heterogeneous rankers, which is exactly why
+    * ES adopted it for BM25 + kNN hybrid search.
+    *
+    * Inputs are (frame, idCol, scoreCol) triples; each frame is an
+    * already-computed top-k (bounded), so the global rank windows run
+    * over k-sized frames, not the corpus. With TWO rankers the fused
+    * score sums ≤ 2 doubles — commutative, so shuffle order cannot
+    * change a bit (the oracle leans on this); with ≥ 3 the float sum
+    * order is unpinned and only the rank order is contractual.
+    * Output: (doc_id, rrf_score, n_rankers), top-k by
+    * (rrf_score desc, doc_id). */
+  def rrfFuse(rankings: Seq[(DataFrame, String, String)],
+              kRrf: Int = 60, k: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    val ranked = rankings.map { case (df, idCol, scoreCol) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(desc(scoreCol), asc("doc_id"))
+      df.select(col(idCol).cast("long").as("doc_id"), col(scoreCol))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .select(col("doc_id"),
+          (lit(1.0d) /
+            (lit(kRrf).cast("double") + col("rank").cast("double")))
+            .as("contrib"))
+    }
+    ranked.reduce(_ unionByName _)
+      .groupBy("doc_id")
+      .agg(sum("contrib").as("rrf_score"),
+        count(lit(1)).as("n_rankers"))
+      .orderBy(desc("rrf_score"), asc("doc_id"))
+      .limit(k)
+  }
 }

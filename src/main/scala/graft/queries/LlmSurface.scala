@@ -321,6 +321,22 @@ object LlmSurface {
       SegmentedIndex.searchAlias(s, alias, searchTerms, k = 20)
     }),
 
+    // --- HYBRID search via reciprocal-rank fusion (ES 8's `rrf`
+    //     retriever — the standard BM25+kNN hybrid): the lexical
+    //     top-20 from the staged segmented index fuses with the dense
+    //     cosine top-20 from the embeddings by 1/(60+rank) — purely
+    //     rank-based, no score calibration between the heterogeneous
+    //     rankers (Search.rrfFuse) ---
+    "q194_hybrid_rrf" -> ((s, d) => {
+      val lex = SegmentedIndex.search(s, segIndexDir(s, d),
+        searchTerms, 20)
+      val dense = Similarity
+        .bruteForceTopK(emb(s, d), "vec_id = 3", k = 20)
+        .select("neighbor_id", "cos")
+      Search.rrfFuse(Seq((lex, "doc_id", "score"),
+        (dense, "neighbor_id", "cos")), kRrf = 60, k = 20)
+    }),
+
     // --- nested sub-aggregation (ES `aggs.terms` + inner
     //     `aggs.stats` — group-and-describe): the hit set buckets by
     //     `source` and each bucket carries n_chars stats; one
@@ -2303,6 +2319,49 @@ object LlmSurface {
          |WHERE term IN ($termList)
          |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20"""
         .stripMargin
+    },
+
+    // q194: RRF replayed — integer ranks from both rankings (the
+    // lexical exact-score order and the fold-exact cosine order),
+    // fused contributions 1/(60+rank); a two-addend double sum is
+    // commutative, so the fused scores cross engines bitwise
+    "q194_hybrid_rrf" -> {
+      val termList = searchTerms.map(t => s"'$t'").mkString(", ")
+      val contribs = searchTerms.map { t =>
+        s"sum(CASE WHEN term = '$t' THEN tf::DOUBLE * " +
+          "(n_docs / doc_freq::DOUBLE) ELSE 0.0::DOUBLE END)"
+      }
+      s"""WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+         | p AS (SELECT term, doc_id, count(*)::BIGINT AS tf
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |        FROM d) GROUP BY term, doc_id),
+         | dfreq AS (SELECT term, count(*)::BIGINT AS doc_freq FROM p
+         |  GROUP BY term),
+         | nd AS (SELECT count(*)::DOUBLE AS n_docs FROM d),
+         | hits AS (SELECT doc_id, ${contribs.mkString(" + ")} AS score
+         |  FROM p JOIN dfreq USING (term), nd
+         |  WHERE term IN ($termList) AND doc_id % 37 <> 5
+         |  GROUP BY doc_id),
+         | lex AS (SELECT doc_id, row_number() OVER
+         |   (ORDER BY score DESC, doc_id)::BIGINT AS r
+         |  FROM hits QUALIFY r <= 20),
+         | $dkNormed,
+         | dense AS (SELECT c.vec_id AS doc_id,
+         |   row_number() OVER (ORDER BY
+         |     ${dkDot("q.v", "c.v")} / (q.nrm * c.nrm) DESC,
+         |     c.vec_id ASC)::BIGINT AS r
+         |  FROM normed q JOIN normed c
+         |   ON q.vec_id = 3 AND c.vec_id != q.vec_id
+         |  QUALIFY r <= 20),
+         | uni AS (
+         |  SELECT doc_id, 1.0::DOUBLE / (60 + r)::DOUBLE AS contrib
+         |  FROM lex
+         |  UNION ALL
+         |  SELECT doc_id, 1.0::DOUBLE / (60 + r)::DOUBLE FROM dense)
+         |SELECT doc_id, sum(contrib) AS rrf_score,
+         | count(*) AS n_rankers
+         |FROM uni GROUP BY doc_id
+         |ORDER BY rrf_score DESC, doc_id LIMIT 20""".stripMargin
     },
 
     // q193: the nested terms+stats agg replayed — per-source buckets

@@ -324,4 +324,23 @@ class SearchSpec extends SparkSpec {
     assert(out(3L) == ((4L, 2L, "x y z [spark] [join] w v")))
     assert(!out.contains(4L))
   }
+
+  test("rrfFuse: rank-based fusion — overlap outranks either single " +
+    "ranker's exclusives, absent docs contribute nothing, a single " +
+    "ranker passes through in its own order") {
+    val a = Seq((1L, 3.0), (2L, 2.0), (3L, 1.0)).toDF("doc_id", "s")
+    val b = Seq((2L, 9.9), (3L, 5.0), (4L, 1.1)).toDF("id", "cos")
+    val fused = Search.rrfFuse(
+      Seq((a, "doc_id", "s"), (b, "id", "cos")), kRrf = 60, k = 10)
+      .as[(Long, Double, Long)].collect().toSeq
+    // ranks: a: 1->1, 2->2, 3->3; b: 2->1, 3->2, 4->3
+    assert(fused.map(_._1) == Seq(2L, 3L, 1L, 4L))
+    assert(fused.map(_._3) == Seq(2L, 2L, 1L, 1L))
+    assert(fused.head._2 == 1.0 / 62 + 1.0 / 61)
+    assert(fused.last._2 == 1.0 / 63)
+    // single-ranker fusion preserves the ranking's own order
+    val solo = Search.rrfFuse(Seq((a, "doc_id", "s")), 60, 10)
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(solo.map(_._1) == Seq(1L, 2L, 3L))
+  }
 }
