@@ -242,11 +242,19 @@ object SegmentedIndex {
   /** The live segments' dictionaries unioned (term, doc_freq, seg).
     * Vocabulary-sized per segment. */
   private def dictFrame(spark: SparkSession, root: java.io.File,
-                        segs: Seq[Seg]): DataFrame =
-    segs.filter(_.kind == "seg").map { sg =>
+                        segs: Seq[Seg]): DataFrame = {
+    val live = segs.filter(_.kind == "seg")
+    if (live.isEmpty) {
+      // empty index (fresh rollover target): vocabulary is empty
+      import spark.implicits._
+      return Seq.empty[(String, Long, Long)]
+        .toDF("term", "doc_freq", "max_tf")
+    }
+    live.map { sg =>
       spark.read.parquet(
         new java.io.File(new java.io.File(root, sg.name), "_dict").getPath)
     }.reduce(_ unionByName _)
+  }
 
   /** Stored fields — ES's `_source` / Lucene's stored fields: the
     * original document rows — ALL their columns — ride INSIDE the
@@ -612,6 +620,64 @@ object SegmentedIndex {
     append(spark, dstDir, live.drop("seg"), "reindex", nBuckets)
   }
 
+  /** Create an EMPTY index — ES's create-index API: a manifest with
+    * no segments, committed by the usual generation rename. Searches
+    * answer zero hits; appends adopt the configured bucket count.
+    * Idempotent — an existing index is left untouched. */
+  def createIndex(rootDir: String, nBuckets: Int = 8): Unit = {
+    val root = new java.io.File(rootDir)
+    root.mkdirs()
+    if (!hasManifest(root)) writeManifest(root, nBuckets, Seq.empty, 0L)
+  }
+
+  /** Rollover — ES's `_rollover`, the first step of every index
+    * lifecycle policy: when the WRITE alias's current index holds at
+    * least `maxDocs` documents (a manifest-header stat — one O(1)
+    * driver read, no data touched), create the NEXT index of the
+    * family (`<stem>-NNNNNN` + 1, same bucket count) and atomically
+    * flip the alias to it; ingest keeps appending through the alias
+    * and lands in the fresh index, while the sealed indices stay
+    * immutable and searchable through [[searchFamily]] (ES's read
+    * alias over the rolled family). Returns whether it rolled. */
+  def rollover(aliasPath: String, maxDocs: Long): Boolean = {
+    val cur = resolveAlias(aliasPath)
+    val (stem, n) = splitFamily(cur)
+    val root = new java.io.File(cur)
+    val (nb, segs, _) = readManifest(root)
+    if (segs.filter(_.kind == "seg").map(_.nDocs).sum < maxDocs)
+      return false
+    val next = f"$stem-${n + 1}%06d"
+    createIndex(next, nb)
+    setAlias(aliasPath, next)
+    true
+  }
+
+  private def splitFamily(path: String): (String, Long) = {
+    val m = "^(.*)-(\\d{6})$".r
+    path match {
+      case m(stem, n) => (stem, n.toLong)
+      case _ => throw new IllegalArgumentException(
+        s"rollover needs a family-named index (<stem>-NNNNNN): $path")
+    }
+  }
+
+  /** The alias's index FAMILY — every `<stem>-NNNNNN` up to the
+    * current write index, named by its zero-padded ordinal (the
+    * deterministic identity [[searchFamily]] reports as `idx`). */
+  def familyRoots(aliasPath: String): Seq[(String, String)] = {
+    val (stem, n) = splitFamily(resolveAlias(aliasPath))
+    (1L to n).map(i => f"$i%06d" -> f"$stem-$i%06d")
+      .filter { case (_, p) => hasManifest(new java.io.File(p)) }
+  }
+
+  /** Search the whole rolled family through the alias — ES's read
+    * alias over `<stem>-*`: [[multiSearch]]'s global
+    * dfs_query_then_fetch statistics over every family member, so
+    * the rollover seam is invisible to relevance. */
+  def searchFamily(spark: SparkSession, aliasPath: String,
+                   terms: Seq[String], k: Int): DataFrame =
+    multiSearch(spark, familyRoots(aliasPath), terms, k)
+
   /** Point an index ALIAS at a target root — ES's `_aliases` action
     * with the atomic-swap contract that makes zero-downtime reindex
     * work: the alias is ONE small file holding the target root,
@@ -756,13 +822,23 @@ object SegmentedIndex {
       org.apache.spark.sql.types.StringType)))
 
   /** All postings of the given segments, explicit-schema, with the
-    * (seg, tb) partition columns. */
+    * (seg, tb) partition columns. An EMPTY index (a freshly
+    * [[createIndex]]-ed rollover target before its first append)
+    * reads as an empty frame of the same schema — every query
+    * degrades to zero hits instead of a zero-path scan error. */
   private def segmentsRead(spark: SparkSession, root: java.io.File,
-      segs: Seq[Seg]): DataFrame =
-    spark.read.option("basePath", root.getPath)
-      .schema(PostingsSchema)
-      .parquet(segs.filter(_.kind == "seg")
-        .map(s => new java.io.File(root, s.name).getPath): _*)
+      segs: Seq[Seg]): DataFrame = {
+    val paths = segs.filter(_.kind == "seg")
+      .map(s => new java.io.File(root, s.name).getPath)
+    if (paths.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        PostingsSchema)
+    else
+      spark.read.option("basePath", root.getPath)
+        .schema(PostingsSchema)
+        .parquet(paths: _*)
+  }
 
   /** The live postings of the queried terms only: every live
     * segment's scan arrives with `tb IN (term buckets)` as a
@@ -1256,11 +1332,42 @@ object SegmentedIndex {
   def prefixSearch(spark: SparkSession, rootDir: String,
                    prefix: String, k: Int): DataFrame = {
     require(prefix.nonEmpty, "prefixSearch needs a non-empty prefix")
+    constantScoreDictSearch(spark, rootDir,
+      _.filter(col("term").startsWith(prefix)), k)
+  }
+
+  /** Wildcard query — ES's `wildcard` (`*` any sequence, `?` exactly
+    * one char), Lucene's multi-term automaton in its constant-score
+    * rewrite: the pattern compiles to an anchored regex (every other
+    * char taken LITERALLY — regex metacharacters escaped), pass 1
+    * filters the vocabulary-sized dictionaries, pass 2 reads only the
+    * matched terms' postings bucket-pruned — [[prefixSearch]]'s exact
+    * shape with a richer automaton. Leading-`*` patterns work but
+    * walk the whole dictionary, ES's own documented caveat. */
+  def wildcardSearch(spark: SparkSession, rootDir: String,
+                     pattern: String, k: Int): DataFrame = {
+    require(pattern.nonEmpty, "wildcardSearch needs a pattern")
+    val rx = "^" + pattern.flatMap {
+      case '*' => ".*"
+      case '?' => "."
+      case c if "\\.[]{}()^$|+".contains(c) => "\\" + c
+      case c => c.toString
+    } + "$"
+    constantScoreDictSearch(spark, rootDir,
+      _.filter(col("term").rlike(rx)), k)
+  }
+
+  /** The shared constant-score multi-term tail: expand the term set
+    * through the dictionary walk (query-bounded collect — Lucene's
+    * automaton enumeration), read only those terms' postings
+    * bucket-pruned, score every matching live doc 1.0. */
+  private def constantScoreDictSearch(spark: SparkSession,
+      rootDir: String, termFilter: DataFrame => DataFrame,
+      k: Int): DataFrame = {
     import spark.implicits._
     val root = new java.io.File(rootDir)
     val (nb, segs, _) = readManifest(root)
-    val matched = dictFrame(spark, root, segs)
-      .filter(col("term").startsWith(prefix))
+    val matched = termFilter(dictFrame(spark, root, segs))
       .select("term").distinct()
       .as[String].collect().toSeq.sorted
     if (matched.isEmpty)

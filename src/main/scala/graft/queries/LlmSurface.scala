@@ -321,6 +321,41 @@ object LlmSurface {
       SegmentedIndex.searchAlias(s, alias, searchTerms, k = 20)
     }),
 
+    // --- wildcard query (ES `wildcard`, Lucene's multi-term
+    //     automaton in constant-score rewrite): `?` exactly one char,
+    //     `*` any run, everything else literal; dictionary-walk
+    //     expansion then bucket-pruned postings
+    //     (SegmentedIndex.wildcardSearch) ---
+    "q195_wildcard_search" -> ((s, d) =>
+      // probe-only against the STAGED index (segIndexDir)
+      SegmentedIndex.wildcardSearch(s, segIndexDir(s, d), "d?ta*",
+        k = 50)),
+
+    // --- index ROLLOVER (ES `_rollover`, the first step of every
+    //     ILM policy): the write alias flips to a fresh family index
+    //     at the doc threshold (an O(1) manifest-header check),
+    //     sealed indices stay immutable, and the family search's
+    //     global dfs stats make the seam invisible to relevance
+    //     (SegmentedIndex.rollover/searchFamily) ---
+    "q196_rollover_family" -> ((s, d) => {
+      val dir = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        "graft_ro_" + graft.engine.Bucketing.fingerprint8(d) +
+          "_" + java.util.UUID.randomUUID().toString.take(8)).getPath
+      val stem = dir + "/logs"
+      val alias = dir + "/write-alias"
+      SegmentedIndex.createIndex(stem + "-000001")
+      SegmentedIndex.setAlias(alias, stem + "-000001")
+      // bounded roundtrip corpus (q150's rule), fed through the alias
+      val dd = docs(s, d).filter(col("doc_id") < 150)
+      SegmentedIndex.append(s, SegmentedIndex.resolveAlias(alias),
+        dd.filter(col("doc_id") < 100), "a")
+      SegmentedIndex.rollover(alias, maxDocs = 50L)
+      SegmentedIndex.append(s, SegmentedIndex.resolveAlias(alias),
+        dd.filter(col("doc_id") >= 100), "b")
+      SegmentedIndex.searchFamily(s, alias, searchTerms, k = 20)
+    }),
+
     // --- HYBRID search via reciprocal-rank fusion (ES 8's `rrf`
     //     retriever — the standard BM25+kNN hybrid): the lexical
     //     top-20 from the staged segmented index fuses with the dense
@@ -2319,6 +2354,43 @@ object LlmSurface {
          |WHERE term IN ($termList)
          |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20"""
         .stripMargin
+    },
+
+    // q195: the wildcard 'd?ta*' as the anchored regex ^d.ta.*$ over
+    // per-doc distinct tokens, live docs only, constant score
+    "q195_wildcard_search" ->
+      """WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+        | p AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |       FROM d)
+        |SELECT doc_id, 1.0::DOUBLE AS score,
+        | count(DISTINCT term)::BIGINT AS n_terms_matched
+        |FROM p
+        |WHERE regexp_matches(term, '^d.ta.*$') AND doc_id % 37 <> 5
+        |GROUP BY doc_id ORDER BY doc_id LIMIT 50""".stripMargin,
+
+    // q196: the rolled family ranks exactly like one corpus under
+    // global stats; idx is the family ordinal by ingestion split
+    "q196_rollover_family" -> {
+      val termList = searchTerms.map(t => s"'$t'").mkString(", ")
+      val contribs = searchTerms.map { t =>
+        s"sum(CASE WHEN term = '$t' THEN tf::DOUBLE * " +
+          "(n_docs / doc_freq::DOUBLE) ELSE 0.0::DOUBLE END)"
+      }
+      s"""WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+         | p AS (SELECT term, doc_id, count(*)::BIGINT AS tf
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |        FROM d) GROUP BY term, doc_id),
+         | dfreq AS (SELECT term, count(*)::BIGINT AS doc_freq FROM p
+         |  GROUP BY term),
+         | nd AS (SELECT count(*)::DOUBLE AS n_docs FROM d)
+         |SELECT CASE WHEN doc_id < 100 THEN '000001'
+         |   ELSE '000002' END AS idx,
+         | doc_id, ${contribs.mkString(" + ")} AS score,
+         | count(*) AS n_terms_hit
+         |FROM p JOIN dfreq USING (term), nd
+         |WHERE term IN ($termList)
+         |GROUP BY idx, doc_id
+         |ORDER BY score DESC, idx, doc_id LIMIT 20""".stripMargin
     },
 
     // q194: RRF replayed — integer ranks from both rankings (the

@@ -545,6 +545,70 @@ class SegmentedIndexSpec extends SparkSpec {
     assert(joinIds() == Seq(5L), "a batchKey replay must be a no-op")
   }
 
+  test("wildcardSearch: ? is exactly one char, * any run, other " +
+    "chars literal (regex metachars escaped); tombstones apply") {
+    val root = Files.createTempDirectory("graft-wc").toString
+    val d = Seq(
+      (1L, "data dxta x"),
+      (2L, "dta y"),
+      (3L, "delta z"),
+      (4L, "a+b c")).toDF("doc_id", "text")
+    SegmentedIndex.append(spark, root, d, "a", nBuckets = 4)
+    def got(p: String) = SegmentedIndex
+      .wildcardSearch(spark, root, p, 10)
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(got("d?ta") == Seq((1L, 1.0, 2L)),
+      "? must match exactly one character")
+    assert(got("d*ta") ==
+      Seq((1L, 1.0, 2L), (2L, 1.0, 1L), (3L, 1.0, 1L)))
+    assert(got("a+b") == Seq((4L, 1.0, 1L)),
+      "regex metacharacters in the pattern must be literal")
+    SegmentedIndex.delete(spark, root, Seq(2L).toDF("doc_id"), "d1")
+    assert(got("d*ta") == Seq((1L, 1.0, 2L), (3L, 1.0, 1L)))
+  }
+
+  test("rollover: the write alias flips to a fresh family index at " +
+    "the doc threshold, sealed indices stay searchable, and " +
+    "searchFamily's global stats make the seam invisible") {
+    val dir = Files.createTempDirectory("graft-ro").toString
+    val stem = dir + "/logs"
+    val alias = dir + "/write-alias"
+    SegmentedIndex.createIndex(stem + "-000001", nBuckets = 4)
+    SegmentedIndex.setAlias(alias, stem + "-000001")
+    val d1 = Seq(
+      (1L, "spark data"),
+      (2L, "spark vector"),
+      (3L, "data only")).toDF("doc_id", "text")
+    SegmentedIndex.append(spark,
+      SegmentedIndex.resolveAlias(alias), d1, "a")
+    assert(!SegmentedIndex.rollover(alias, maxDocs = 5L),
+      "below the threshold the alias must not move")
+    assert(SegmentedIndex.resolveAlias(alias) == stem + "-000001")
+    assert(SegmentedIndex.rollover(alias, maxDocs = 3L))
+    assert(SegmentedIndex.resolveAlias(alias) == stem + "-000002")
+    // the fresh write index is empty but searchable
+    assert(SegmentedIndex.search(spark,
+      SegmentedIndex.resolveAlias(alias), Seq("spark"), 10)
+      .count() == 0L)
+    // ingest continues through the alias into the new index
+    SegmentedIndex.append(spark, SegmentedIndex.resolveAlias(alias),
+      Seq((4L, "spark new")).toDF("doc_id", "text"), "b")
+    // the family search equals ONE combined index (global stats)
+    val all = Files.createTempDirectory("graft-roc").toString
+    SegmentedIndex.append(spark, all,
+      d1.unionByName(Seq((4L, "spark new")).toDF("doc_id", "text")),
+      "a", nBuckets = 4)
+    val fam = SegmentedIndex.searchFamily(spark, alias,
+      Seq("spark", "vector"), 10)
+    assert(fam.select("doc_id", "score", "n_terms_hit").collect()
+      .toSet ==
+      SegmentedIndex.search(spark, all, Seq("spark", "vector"), 10)
+        .collect().toSet,
+      "the rollover seam must be invisible to relevance")
+    assert(fam.select("idx").as[String].collect().toSet ==
+      Set("000001", "000002"))
+  }
+
   test("reindex copies live _source only (destination starts at " +
     "post-merge stats — bitwise equal to a merged source) and the " +
     "alias flip is an atomic pointer swap") {
