@@ -1482,6 +1482,61 @@ object SegmentedIndex {
       phrase)
   }
 
+  /** Phrase-prefix query — ES's `match_phrase_prefix`, THE
+    * autocomplete query (search-as-you-type matches "big or" against
+    * "big order"): the leading positions match their terms exactly
+    * and the LAST position matches ANY dictionary term starting with
+    * the prefix, capped at `maxExpansions` smallest terms (ES's
+    * default cap of 50, in term-dictionary order). Pass 1 expands
+    * through the vocabulary-sized dictionaries; pass 2 runs the
+    * anchor-count match over only the involved terms' bucket-pruned
+    * postings. The correctness argument is [[Search
+    * .phraseFromPostings]]'s: one term per position means each
+    * (anchor, offset) pair gets at most one row, so `count == k` IS
+    * "every offset matched" — and since two expansions can never
+    * occupy the same position, an occurrence counts once no matter
+    * how many expansions exist. Output: (doc_id, n_occurrences,
+    * first_pos), id-ordered — [[phraseSearch]]'s schema. */
+  def phrasePrefixSearch(spark: SparkSession, rootDir: String,
+      leading: Seq[String], prefix: String,
+      maxExpansions: Int = 50): DataFrame = {
+    require(prefix.nonEmpty, "needs a non-empty trailing prefix")
+    import spark.implicits._
+    val root = new java.io.File(rootDir)
+    val (nb, segs, _) = readManifest(root)
+    val expanded = dictFrame(spark, root, segs)
+      .filter(col("term").startsWith(prefix))
+      .select("term").distinct()
+      .as[String].collect().toSeq.sorted.take(maxExpansions)
+    if (expanded.isEmpty)
+      return Seq.empty[(Long, Long, Long)]
+        .toDF("doc_id", "n_occurrences", "first_pos")
+    val all = (leading ++ expanded).distinct
+    val p = prunedPostings(spark, root, segs, all, nb)
+    val live = tombstones(spark, root, segs) match {
+      case Some(dead) =>
+        p.join(broadcast(dead), Seq("doc_id", "seg"), "left_anti")
+      case None => p
+    }
+    val k = leading.size + 1
+    val offsets = (leading.zipWithIndex
+      .map { case (t, i) => (t, i.toLong) } ++
+      expanded.map(t => (t, (k - 1).toLong)))
+      .toDF("term", "off")
+    live.select(col("doc_id"), col("term"),
+        explode(col("positions")).as("pos"))
+      .join(broadcast(offsets), "term")
+      .select(col("doc_id"), (col("pos") - col("off")).as("anchor"))
+      .filter(col("anchor") >= 0)
+      .groupBy("doc_id", "anchor")
+      .agg(count(lit(1)).as("n_hit"))
+      .filter(col("n_hit") === lit(k.toLong))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_occurrences"),
+        min("anchor").as("first_pos"))
+      .orderBy("doc_id")
+  }
+
   /** Live segment/tombstone counts and the Lucene-phase corpus stats
     * — (n_segments, n_tombstone_segments, n_docs_stat). */
   def stats(rootDir: String): (Long, Long, Long) = {

@@ -321,6 +321,18 @@ object LlmSurface {
       SegmentedIndex.searchAlias(s, alias, searchTerms, k = 20)
     }),
 
+    // --- phrase-prefix query (ES `match_phrase_prefix` — THE
+    //     autocomplete query): leading positions exact, the last
+    //     position any dictionary term starting with the prefix
+    //     (max_expansions=50, smallest-first — ES's cap); expansion
+    //     walks the vocabulary-sized dictionaries, the anchor-count
+    //     match reads bucket-pruned postings
+    //     (SegmentedIndex.phrasePrefixSearch) ---
+    "q197_phrase_prefix" -> ((s, d) =>
+      // probe-only against the STAGED index (segIndexDir)
+      SegmentedIndex.phrasePrefixSearch(s, segIndexDir(s, d),
+        leading = Seq("big"), prefix = "or")),
+
     // --- wildcard query (ES `wildcard`, Lucene's multi-term
     //     automaton in constant-score rewrite): `?` exactly one char,
     //     `*` any run, everything else literal; dictionary-walk
@@ -2355,6 +2367,29 @@ object LlmSurface {
          |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20"""
         .stripMargin
     },
+
+    // q197: 'big or*' replayed — expansion over the PRE-tombstone
+    // vocabulary (LIKE 'or%', smallest 50), anchors over live docs,
+    // HAVING count = 2 is the all-offsets-matched test
+    "q197_phrase_prefix" ->
+      """WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+        | pos AS (SELECT doc_id,
+        |   unnest(string_split(text, ' ')) AS term,
+        |   generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+        |  FROM d),
+        | exp AS (SELECT term FROM
+        |   (SELECT DISTINCT term FROM pos WHERE term LIKE 'or%')
+        |  ORDER BY term LIMIT 50),
+        | offs AS (SELECT 'big' AS term, 0::BIGINT AS off
+        |  UNION ALL SELECT term, 1::BIGINT FROM exp),
+        | m AS (SELECT p.doc_id, p.pos - o.off AS anchor
+        |  FROM pos p JOIN offs o USING (term)
+        |  WHERE p.pos - o.off >= 0 AND p.doc_id % 37 <> 5),
+        | a AS (SELECT doc_id, anchor FROM m
+        |  GROUP BY doc_id, anchor HAVING count(*) = 2)
+        |SELECT doc_id, count(*) AS n_occurrences,
+        | min(anchor) AS first_pos
+        |FROM a GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // q195: the wildcard 'd?ta*' as the anchored regex ^d.ta.*$ over
     // per-doc distinct tokens, live docs only, constant score

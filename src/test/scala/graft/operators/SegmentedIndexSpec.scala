@@ -545,6 +545,32 @@ class SegmentedIndexSpec extends SparkSpec {
     assert(joinIds() == Seq(5L), "a batchKey replay must be a no-op")
   }
 
+  test("phrasePrefixSearch: the last position matches any expansion " +
+    "(counted once), leading positions exactly; maxExpansions caps " +
+    "smallest-first; tombstones drop docs") {
+    val root = Files.createTempDirectory("graft-pp").toString
+    val d = Seq(
+      (1L, "big order now"),
+      (2L, "big organ"),
+      (3L, "order big"),
+      (4L, "big big order"),
+      (5L, "small order")).toDF("doc_id", "text")
+    SegmentedIndex.append(spark, root, d, "a", nBuckets = 4)
+    def got(maxExp: Int = 50) = SegmentedIndex
+      .phrasePrefixSearch(spark, root, Seq("big"), "or", maxExp)
+      .as[(Long, Long, Long)].collect().toSeq
+    // 'big or*': docs 1 (big order), 2 (big organ), 4 (big order at
+    // anchor 1); doc 3 has the wrong order, doc 5 the wrong lead
+    assert(got() == Seq((1L, 1L, 0L), (2L, 1L, 0L), (4L, 1L, 1L)))
+    // cap at 1 expansion: smallest-first keeps 'order', drops 'organ'
+    assert(got(maxExp = 1) == Seq((1L, 1L, 0L), (4L, 1L, 1L)))
+    SegmentedIndex.delete(spark, root, Seq(1L).toDF("doc_id"), "d1")
+    assert(got() == Seq((2L, 1L, 0L), (4L, 1L, 1L)))
+    // no expansion in the vocabulary -> empty typed frame
+    assert(SegmentedIndex
+      .phrasePrefixSearch(spark, root, Seq("big"), "zz").count() == 0)
+  }
+
   test("wildcardSearch: ? is exactly one char, * any run, other " +
     "chars literal (regex metachars escaped); tombstones apply") {
     val root = Files.createTempDirectory("graft-wc").toString
