@@ -616,20 +616,11 @@ object LlmSurface {
     //     versions until a merge; hits carry the new tf
     //     (SegmentedIndex.upsert) ---
     "q168_index_upsert" -> ((s, d) => {
-      import graft.operators.SegmentedIndex
-      val root = new java.io.File(
-        System.getProperty("java.io.tmpdir"),
-        "graft_su_" + graft.engine.Bucketing.fingerprint8(d) +
-          "_" + java.util.UUID.randomUUID().toString.take(8)).getPath
-      // bounded roundtrip corpus (q150's rule): the lifecycle
-      // demonstration needs a representative document set, not the
-      // whole fixture — unbounded per-invocation index builds were
-      // the most expensive bench entries
+      // mutable CLONE of the staged index (its d1 tombstones ride
+      // along — the oracle's live set excludes both victim groups,
+      // which cannot overlap in this range) — the upsert owns the copy
+      val root = segIndexClone(s, d, "su")
       val dd = docs(s, d).filter(col("doc_id") < 150)
-      SegmentedIndex.append(s, root,
-        dd.filter(col("doc_id") % 5 =!= 0), "a")
-      SegmentedIndex.append(s, root,
-        dd.filter(col("doc_id") % 5 === 0), "b")
       val changed = dd.filter(col("doc_id") % 7 === 3)
         .withColumn("text", concat(col("text"), lit(" spark")))
       val fresh = dd.filter(col("doc_id") < 3)
@@ -2882,7 +2873,8 @@ object LlmSurface {
          |  GROUP BY term),
          | nd AS (SELECT count(*)::DOUBLE AS n_docs FROM vers),
          | live AS (SELECT * FROM p
-         |  WHERE NOT (v = 0 AND doc_id % 7 = 3)),
+         |  WHERE NOT (v = 0
+         |             AND (doc_id % 7 = 3 OR doc_id % 37 = 5))),
          | hits AS (SELECT doc_id, ${contribs.mkString(" + ")} AS score,
          |   count(*) AS n_terms_hit
          |  FROM live JOIN dfreq USING (term), nd
@@ -2890,7 +2882,7 @@ object LlmSurface {
          |  GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20)
          |SELECT doc_id, score, n_terms_hit,
          | CAST(3 AS BIGINT) AS n_segments,
-         | CAST(1 AS BIGINT) AS n_tombstone_segments,
+         | CAST(2 AS BIGINT) AS n_tombstone_segments,
          | (SELECT count(*) FROM vers)::BIGINT AS n_docs_stat
          |FROM hits ORDER BY score DESC, doc_id""".stripMargin
     },
