@@ -930,6 +930,58 @@ object SegmentedIndex {
       .limit(k)
   }
 
+  /** Field collapsing — ES's `collapse`: the ranked hit list keeps
+    * only the TOP-SCORED hit per value of a stored field (the
+    * one-result-per-domain dedup every search UI applies), the final
+    * top-k taken AFTER collapsing, ordered by the representatives'
+    * scores. Field values read column-pruned from `_stored/` (the
+    * doc-values path); documents missing the field collapse into one
+    * null group (ES's null treatment). Output: (doc_id, score,
+    * group_value), top-k by (score desc, doc_id). */
+  def collapseSearch(spark: SparkSession, rootDir: String,
+                     terms: Seq[String], field: String,
+                     k: Int): DataFrame = {
+    val scored = scoredHits(spark, rootDir, terms)
+    val vals = hitFields(spark, rootDir, terms,
+      Seq(field -> "group_value"), requireNonNull = Seq.empty)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("group_value")
+      .orderBy(desc("score"), asc("doc_id"))
+    scored.join(vals, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("doc_id", "score", "group_value")
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
+
+  /** Score explanation — ES's `_explain` API: WHY one live document
+    * got its score — the per-term contribution breakdown of
+    * [[search]]'s exact scorer (tf, df, and tf·N/df per matched
+    * query term, under the usual Lucene phases: df/N pre-tombstone).
+    * A tombstoned or non-matching doc explains to zero rows, exactly
+    * ES's `matched: false`. Cost: the queried posting lists, like
+    * any search. Output: (term, tf, doc_freq, contrib), term-asc. */
+  def explainScore(spark: SparkSession, rootDir: String, docId: Long,
+                   terms: Seq[String]): DataFrame = {
+    val root = new java.io.File(rootDir)
+    val (nb, segs, _) = readManifest(root)
+    val nDocs = segs.filter(_.kind == "seg").map(_.nDocs).sum
+    val p = prunedPostings(spark, root, segs, terms, nb)
+    val dfreq = p.groupBy("term").agg(count(lit(1)).as("doc_freq"))
+    val live = tombstones(spark, root, segs) match {
+      case Some(dead) =>
+        p.join(broadcast(dead), Seq("doc_id", "seg"), "left_anti")
+      case None => p
+    }
+    live.filter(col("doc_id") === lit(docId))
+      .join(dfreq, "term")
+      .withColumn("contrib", col("tf").cast("double") *
+        (lit(nDocs).cast("double") / col("doc_freq").cast("double")))
+      .select("term", "tf", "doc_freq", "contrib")
+      .orderBy("term")
+  }
+
   /** Every live hit of the query terms, scored but unranked — the
     * frame [[search]] and [[searchAfter]] page over. */
   private def scoredHits(spark: SparkSession, rootDir: String,

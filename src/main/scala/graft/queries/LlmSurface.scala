@@ -321,6 +321,25 @@ object LlmSurface {
       SegmentedIndex.searchAlias(s, alias, searchTerms, k = 20)
     }),
 
+    // --- field collapsing (ES `collapse` — one result per domain in
+    //     every search UI): the ranked hits keep only the top-scored
+    //     representative per stored `source` value, top-k AFTER the
+    //     collapse (SegmentedIndex.collapseSearch) ---
+    "q198_collapse_search" -> ((s, d) =>
+      // probe-only against the STAGED index (segIndexDir)
+      SegmentedIndex.collapseSearch(s, segIndexDir(s, d), searchTerms,
+        "source", k = 20)),
+
+    // --- score explanation (ES `_explain`): one live document's
+    //     score decomposed into per-term tf·(N/df) contributions
+    //     under the Lucene stats phases; a tombstoned doc explains
+    //     to zero rows (matched: false)
+    //     (SegmentedIndex.explainScore) ---
+    "q199_explain_score" -> ((s, d) =>
+      // probe-only against the STAGED index (segIndexDir)
+      SegmentedIndex.explainScore(s, segIndexDir(s, d), docId = 7L,
+        searchTerms)),
+
     // --- phrase-prefix query (ES `match_phrase_prefix` — THE
     //     autocomplete query): leading positions exact, the last
     //     position any dictionary term starting with the prefix
@@ -2357,6 +2376,51 @@ object LlmSurface {
          |WHERE term IN ($termList)
          |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20"""
         .stripMargin
+    },
+
+    // q198: collapse replayed — best (score desc, doc_id) row per
+    // source via a partitioned row_number, global order afterwards
+    "q198_collapse_search" -> {
+      val termList = searchTerms.map(t => s"'$t'").mkString(", ")
+      val contribs = searchTerms.map { t =>
+        s"sum(CASE WHEN term = '$t' THEN tf::DOUBLE * " +
+          "(n_docs / doc_freq::DOUBLE) ELSE 0.0::DOUBLE END)"
+      }
+      s"""WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+         | p AS (SELECT term, doc_id, count(*)::BIGINT AS tf
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |        FROM d) GROUP BY term, doc_id),
+         | dfreq AS (SELECT term, count(*)::BIGINT AS doc_freq FROM p
+         |  GROUP BY term),
+         | nd AS (SELECT count(*)::DOUBLE AS n_docs FROM d),
+         | hits AS (SELECT doc_id, ${contribs.mkString(" + ")} AS score
+         |  FROM p JOIN dfreq USING (term), nd
+         |  WHERE term IN ($termList) AND doc_id % 37 <> 5
+         |  GROUP BY doc_id),
+         | v AS (SELECT h.doc_id, h.score, d.source AS group_value
+         |  FROM hits h JOIN d USING (doc_id)),
+         | c AS (SELECT *, row_number() OVER
+         |   (PARTITION BY group_value ORDER BY score DESC, doc_id)
+         |     AS rn FROM v)
+         |SELECT doc_id, score, group_value FROM c WHERE rn = 1
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+    },
+
+    // q199: doc 7's per-term breakdown — tf and pre-tombstone df/N
+    "q199_explain_score" -> {
+      val termList = searchTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+         | p AS (SELECT term, doc_id, count(*)::BIGINT AS tf
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |        FROM d) GROUP BY term, doc_id),
+         | dfreq AS (SELECT term, count(*)::BIGINT AS doc_freq FROM p
+         |  GROUP BY term),
+         | nd AS (SELECT count(*)::DOUBLE AS n_docs FROM d)
+         |SELECT term, tf, doc_freq,
+         | tf::DOUBLE * (n_docs / doc_freq::DOUBLE) AS contrib
+         |FROM p JOIN dfreq USING (term), nd
+         |WHERE doc_id = 7 AND term IN ($termList)
+         |ORDER BY term""".stripMargin
     },
 
     // q197: 'big or*' replayed — expansion over the PRE-tombstone

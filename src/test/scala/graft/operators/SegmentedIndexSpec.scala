@@ -545,6 +545,38 @@ class SegmentedIndexSpec extends SparkSpec {
     assert(joinIds() == Seq(5L), "a batchKey replay must be a no-op")
   }
 
+  test("collapseSearch: one representative per field value (the " +
+    "top-scored), missing field is one null group, k applies after " +
+    "collapsing; explainScore breaks a doc's score into per-term " +
+    "contributions that sum to it") {
+    val root = Files.createTempDirectory("graft-cl").toString
+    val d = Seq(
+      (1L, "x x", Option("a")),
+      (2L, "x", Option("a")),
+      (3L, "x", Option("b")),
+      (4L, "x x x", Option.empty[String]),
+      (5L, "x", Option.empty[String])).toDF("doc_id", "text", "g")
+    SegmentedIndex.append(spark, root, d, "a", nBuckets = 4)
+    val r = SegmentedIndex.collapseSearch(spark, root, Seq("x"), "g", 10)
+      .as[(Long, Double, Option[String])].collect().toSeq
+    // group a -> doc 1 (tf 2 beats doc 2); b -> doc 3; null -> doc 4
+    assert(r.map(x => (x._1, x._3)) ==
+      Seq((4L, None), (1L, Some("a")), (3L, Some("b"))))
+    // explain: doc 1's score decomposes into its single-term contrib
+    val ex = SegmentedIndex.explainScore(spark, root, 1L, Seq("x"))
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(ex == Seq(("x", 2L, 5L, 2.0 * (5.0 / 5.0))))
+    val score1 = SegmentedIndex.search(spark, root, Seq("x"), 10)
+      .filter(col("doc_id") === 1L).select("score")
+      .as[Double].collect().head
+    assert(ex.map(_._4).sum == score1,
+      "the explanation must sum to the served score exactly")
+    // tombstoned doc explains to zero rows (ES matched: false)
+    SegmentedIndex.delete(spark, root, Seq(1L).toDF("doc_id"), "d1")
+    assert(SegmentedIndex.explainScore(spark, root, 1L, Seq("x"))
+      .count() == 0)
+  }
+
   test("phrasePrefixSearch: the last position matches any expansion " +
     "(counted once), leading positions exactly; maxExpansions caps " +
     "smallest-first; tombstones drop docs") {
