@@ -458,6 +458,30 @@ object SegmentedIndex {
       .withColumn("vavg",
         col("vsum").cast("double") / col("n_docs").cast("double"))
 
+  /** Terms aggregation across SEVERAL indices — ES aggregations on a
+    * multi-index request (`GET /idx1,idx2/_search` with `aggs`), the
+    * read that makes [[rollover]] families usable for analytics: each
+    * index contributes its live hit docs' field values (the usual
+    * column-pruned doc-values read, per-index tombstones), documents
+    * count once per (index, id) identity, and — because a document
+    * lives in exactly one index of a family — a corpus split across
+    * indices aggregates EXACTLY like one combined index (the oracle
+    * pins this, the agg-side twin of [[multiSearch]]'s lossless-stats
+    * contract). Output: (value, doc_count), top-k. */
+  def multiFacet(spark: SparkSession, indices: Seq[(String, String)],
+                 terms: Seq[String], field: String,
+                 kBuckets: Int): DataFrame = {
+    require(indices.nonEmpty, "multiFacet needs at least one index")
+    indices.map { case (name, root) =>
+      hitFieldValues(spark, root, terms, field)
+        .withColumn("idx", lit(name))
+    }.reduce(_ unionByName _)
+      .groupBy("value")
+      .agg(countDistinct(col("idx"), col("doc_id")).as("doc_count"))
+      .orderBy(desc("doc_count"), asc("value"))
+      .limit(kBuckets)
+  }
+
   /** Significant-terms aggregation — ES's `significant_terms`, the
     * "what is unusual about these results" agg: terms OVERREPRESENTED
     * in the query's hit set (foreground) relative to the whole index

@@ -321,6 +321,19 @@ object LlmSurface {
       SegmentedIndex.searchAlias(s, alias, searchTerms, k = 20)
     }),
 
+    // --- multi-index aggregation (ES `aggs` on a multi-index
+    //     request — the read that makes rollover families usable for
+    //     analytics): the corpus-split pair aggregates exactly like
+    //     one combined index, docs counted once per (_index,_id)
+    //     (SegmentedIndex.multiFacet) ---
+    "q200_multi_index_facet" -> ((s, d) => {
+      // probe-only against the STAGED corpus-split index pair
+      val (left, right) = segIndexPairDirs(s, d)
+      SegmentedIndex.multiFacet(s,
+        Seq("left" -> left, "right" -> right), searchTerms, "source",
+        kBuckets = 10)
+    }),
+
     // --- field collapsing (ES `collapse` — one result per domain in
     //     every search UI): the ranked hits keep only the top-scored
     //     representative per stored `source` value, top-k AFTER the
@@ -2375,6 +2388,21 @@ object LlmSurface {
          |FROM p JOIN dfreq USING (term), nd
          |WHERE term IN ($termList)
          |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20"""
+        .stripMargin
+    },
+
+    // q200: the losslessness statement on the AGG side — the split
+    // pair's facet equals q179's whole-corpus facet verbatim
+    "q200_multi_index_facet" -> {
+      val termList = searchTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+         | p AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |       FROM d),
+         | hits AS (SELECT DISTINCT doc_id FROM p
+         |          WHERE term IN ($termList) AND doc_id % 37 <> 5)
+         |SELECT source AS value, count(DISTINCT d.doc_id) AS doc_count
+         |FROM d JOIN hits USING (doc_id)
+         |GROUP BY source ORDER BY doc_count DESC, value LIMIT 10"""
         .stripMargin
     },
 

@@ -545,6 +545,34 @@ class SegmentedIndexSpec extends SparkSpec {
     assert(joinIds() == Seq(5L), "a batchKey replay must be a no-op")
   }
 
+  test("multiFacet: aggregation across a corpus split equals the " +
+    "combined single index; per-index tombstones apply; the same " +
+    "doc_id in two indices counts twice (the (_index,_id) identity)") {
+    val l = Files.createTempDirectory("graft-mfl").toString
+    val r = Files.createTempDirectory("graft-mfr").toString
+    val all = Files.createTempDirectory("graft-mfa").toString
+    val dl = Seq((1L, "x a", "news"), (2L, "x b", "blog"))
+      .toDF("doc_id", "text", "cat")
+    val dr = Seq((3L, "x c", "news"), (4L, "y d", "news"))
+      .toDF("doc_id", "text", "cat")
+    SegmentedIndex.append(spark, l, dl, "a", nBuckets = 4)
+    SegmentedIndex.append(spark, r, dr, "a", nBuckets = 8)
+    SegmentedIndex.append(spark, all, dl.unionByName(dr), "a",
+      nBuckets = 4)
+    def fed() = SegmentedIndex.multiFacet(spark,
+      Seq("l" -> l, "r" -> r), Seq("x"), "cat", 10)
+      .as[(String, Long)].collect().toSeq
+    assert(fed() == SegmentedIndex.facet(spark, all, Seq("x"), "cat", 10)
+      .as[(String, Long)].collect().toSeq,
+      "the split must aggregate exactly like the combined index")
+    SegmentedIndex.delete(spark, r, Seq(3L).toDF("doc_id"), "d1")
+    assert(fed() == Seq(("blog", 1L), ("news", 1L)))
+    // same id in both indices = two documents
+    SegmentedIndex.append(spark, r,
+      Seq((1L, "x dup", "blog")).toDF("doc_id", "text", "cat"), "b")
+    assert(fed() == Seq(("blog", 2L), ("news", 1L)))
+  }
+
   test("collapseSearch: one representative per field value (the " +
     "top-scored), missing field is one null group, k applies after " +
     "collapsing; explainScore breaks a doc's score into per-term " +
