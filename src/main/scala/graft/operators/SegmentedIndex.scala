@@ -1433,6 +1433,27 @@ object SegmentedIndex {
       _.filter(col("term").rlike(rx)), k)
   }
 
+  /** Terms enumeration — ES's `_terms_enum` API (field-value
+    * autocomplete): the first `k` vocabulary terms with the given
+    * prefix, in term order, each with its document frequency. Runs
+    * ENTIRELY on the vocabulary-sized per-segment dictionaries —
+    * postings are never read, the corpus never scanned. Dictionary
+    * semantics are Lucene's: tombstoned docs' terms keep appearing
+    * (and counting toward df) until a merge rewrites them — exactly
+    * what ES documents for this API ("terms are gathered from the
+    * index, deleted documents may still influence it").
+    * Output: (term, doc_freq), term-ascending, first k. */
+  def termsEnum(spark: SparkSession, rootDir: String, prefix: String,
+                k: Int): DataFrame = {
+    val root = new java.io.File(rootDir)
+    val (_, segs, _) = readManifest(root)
+    dictFrame(spark, root, segs)
+      .filter(col("term").startsWith(prefix))
+      .groupBy("term").agg(sum("doc_freq").as("doc_freq"))
+      .orderBy("term")
+      .limit(k)
+  }
+
   /** The shared constant-score multi-term tail: expand the term set
     * through the dictionary walk (query-bounded collect — Lucene's
     * automaton enumeration), read only those terms' postings

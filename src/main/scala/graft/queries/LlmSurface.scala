@@ -321,6 +321,16 @@ object LlmSurface {
       SegmentedIndex.searchAlias(s, alias, searchTerms, k = 20)
     }),
 
+    // --- terms enumeration (ES `_terms_enum` — field-value
+    //     autocomplete): the first k vocabulary terms with the
+    //     prefix, each with df, ENTIRELY from the vocabulary-sized
+    //     dictionaries — postings never read, corpus never scanned;
+    //     dictionary semantics (tombstoned docs still count, ES's
+    //     own documented caveat) (SegmentedIndex.termsEnum) ---
+    "q201_terms_enum" -> ((s, d) =>
+      // probe-only against the STAGED index (segIndexDir)
+      SegmentedIndex.termsEnum(s, segIndexDir(s, d), "dat", k = 20)),
+
     // --- multi-index aggregation (ES `aggs` on a multi-index
     //     request — the read that makes rollover families usable for
     //     analytics): the corpus-split pair aggregates exactly like
@@ -2390,6 +2400,17 @@ object LlmSurface {
          |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20"""
         .stripMargin
     },
+
+    // q201: the dictionary walk replayed — per-term DISTINCT doc
+    // counts over ALL docs (pre-tombstone, the dictionary phase)
+    "q201_terms_enum" ->
+      """WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+        | p AS (SELECT DISTINCT doc_id, term FROM
+        |   (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |    FROM d))
+        |SELECT term, count(*)::BIGINT AS doc_freq FROM p
+        |WHERE term LIKE 'dat%'
+        |GROUP BY term ORDER BY term LIMIT 20""".stripMargin,
 
     // q200: the losslessness statement on the AGG side — the split
     // pair's facet equals q179's whole-corpus facet verbatim

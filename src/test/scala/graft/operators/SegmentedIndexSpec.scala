@@ -545,6 +545,28 @@ class SegmentedIndexSpec extends SparkSpec {
     assert(joinIds() == Seq(5L), "a batchKey replay must be a no-op")
   }
 
+  test("termsEnum: prefix-ordered vocabulary walk with df — " +
+    "tombstoned docs keep counting until merge (dictionary " +
+    "semantics), the merge shifts them out") {
+    val root = Files.createTempDirectory("graft-te").toString
+    val d = Seq(
+      (1L, "data x"),
+      (2L, "data database"),
+      (3L, "datum y")).toDF("doc_id", "text")
+    SegmentedIndex.append(spark, root, d, "a", nBuckets = 4)
+    def got() = SegmentedIndex.termsEnum(spark, root, "dat", 10)
+      .as[(String, Long)].collect().toSeq
+    assert(got() == Seq(("data", 2L), ("database", 1L), ("datum", 1L)))
+    SegmentedIndex.delete(spark, root, Seq(2L).toDF("doc_id"), "d1")
+    assert(got() == Seq(("data", 2L), ("database", 1L), ("datum", 1L)),
+      "the dictionary keeps tombstoned docs' terms until merge")
+    SegmentedIndex.merge(spark, root)
+    assert(got() == Seq(("data", 1L), ("datum", 1L)),
+      "the merge must rewrite the dictionary")
+    assert(SegmentedIndex.termsEnum(spark, root, "dat", 1)
+      .as[(String, Long)].collect().toSeq == Seq(("data", 1L)))
+  }
+
   test("multiFacet: aggregation across a corpus split equals the " +
     "combined single index; per-index tombstones apply; the same " +
     "doc_id in two indices counts twice (the (_index,_id) identity)") {

@@ -652,6 +652,19 @@ class PlanSpec extends SparkSpec {
       s"sorted search re-scanned the corpus:\n${p.take(1500)}")
   }
 
+  test("q182: federated search keeps every per-index scan " +
+    "bucket-pruned and adds no corpus scan — federation costs no " +
+    "extra read") {
+    val df = SparkEntry.queries("q182_multi_index_search")(spark, sf001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[.*tb[#\\w]* IN".r
+      .findAllIn(p).size >= 2,
+      s"both indices' scans must carry tb partition filters:\n${p.take(2000)}")
+    assert(!p.contains("documents.parquet"),
+      s"federated search re-scanned the corpus:\n${p.take(1500)}")
+  }
+
   test("q123: corpus gram stream reaches the broadcast probe unshuffled") {
     val df = SparkEntry.queries("q123_decontaminate")(spark, sf001)
     df.collect() // finalize the adaptive plan
