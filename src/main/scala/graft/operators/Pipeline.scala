@@ -714,7 +714,16 @@ object Pipeline {
     * [[absorbSummaryBatch]]) needs the retry's predecessor version
     * still present, so prune with `keepLast` covering the deepest
     * possible replay — Spark replays at most the last unCommitted
-    * epoch, so `keepLast >= 2` is safe under single-writer streaming.
+    * epoch, so `keepLast >= 2` is safe under single-writer streaming
+    * (the [[graft.streaming.EventStreams]] sinks ENFORCE that floor
+    * before enabling pruning; a replay with `keepLast = 1` would fall
+    * into the bootstrap path and re-commit the epoch with DIFFERENT
+    * bytes, breaking the identical-bytes REPLACE argument). A BATCH
+    * caller whose absorbs have all returned has no replayable epoch,
+    * so `keepLast = 1` stays legitimate there (q163's roundtrip).
+    * Delta directories of epochs STRICTLY NEWER than the newest
+    * committed version are never swept — they belong to an in-flight
+    * or replayable absorb whose manifest commit hasn't landed.
     *
     * Scale shape: one driver-side manifest listing plus `O(epoch
     * dirs × buckets)` existence checks and unreferenced-bucket
@@ -723,6 +732,9 @@ object Pipeline {
   def pruneSummaries(summaryDir: String, keepLast: Int): Int = {
     require(keepLast >= 1, s"keepLast must be >= 1: $keepLast")
     val vs = summaryVersions(summaryDir)
+    if (vs.isEmpty) return 0 // nothing committed: every delta dir
+    // belongs to an in-flight (or crashed-and-replayable) first epoch
+    val newestCommitted = vs.last
     val drop = vs.dropRight(keepLast)
     // retire manifests first: a pruned version becomes unreadable
     // atomically, before any data it exclusively references goes
@@ -740,6 +752,15 @@ object Pipeline {
     val deltaRoot = new java.io.File(summaryDir, "delta")
     Option(deltaRoot.listFiles()).toSeq.flatten
       .filter(f => f.isDirectory && f.getName.startsWith("e="))
+      // epochs STRICTLY newer than the newest committed manifest are
+      // an in-flight (or replayable) absorb's staged delta — its
+      // manifest commit hasn't happened yet, so "unreferenced" does
+      // not mean dead. Skipping them closes the race where a prune
+      // running beside an in-flight absorb deletes the new epoch's
+      // buckets and the subsequent commit silently references missing
+      // dirs (readStoreBuckets skips absent dirs — rows would vanish
+      // without error).
+      .filter(_.getName.stripPrefix("e=").toLong <= newestCommitted)
       .foreach { ed =>
         val ce = ed.getName.stripPrefix("e=").toLong
         Option(ed.listFiles()).toSeq.flatten

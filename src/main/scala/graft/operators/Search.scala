@@ -19,6 +19,12 @@ import org.apache.spark.sql.functions._
   */
 object Search {
 
+  /** The double-exactness envelope for the integer rank-key audits:
+    * every integer at or beyond 2^53 stops being exactly
+    * representable, so a rank certificate built on larger values
+    * fails loudly instead of certifying rounded ordering. */
+  private[operators] val TwoTo53: Double = 9007199254740992.0d
+
   /** Postings: one row per (term, doc) with the term frequency. */
   def postings(docs: DataFrame): DataFrame =
     docs
@@ -472,13 +478,38 @@ object Search {
           "(doc_freq + 0.5) + 1.0)"))
       .withColumn("score",
         expr(contrib("tf_a")) + expr(contrib("tf_b")))
-      .withColumn("da", lit(10L) * col("total_len") * col("tf_a") +
-        lit(3L) * col("total_len") + lit(9L) * col("n_docs") * col("dl"))
-      .withColumn("db", lit(10L) * col("total_len") * col("tf_b") +
-        lit(3L) * col("total_len") + lit(9L) * col("n_docs") * col("dl"))
+      // da/db and the rank_key numerator are computed in DOUBLE, not
+      // Long: a double product/sum of exact integers is correctly
+      // rounded at any magnitude (identical bits to the Long path
+      // inside the 2^53 envelope, and degrades GRACEFULLY beyond),
+      // whereas the Long multiply would silently WRAP at 2^63 and
+      // certify a garbage ordering. The exact-ordering derivation
+      // itself still needs the integers exact, so an input outside
+      // the 2^53 envelope fails the audit LOUDLY (raise_error) rather
+      // than emitting a certificate the arithmetic can't back.
+      .withColumn("da",
+        lit(10.0d) * col("total_len").cast("double") *
+          col("tf_a").cast("double") +
+          lit(3.0d) * col("total_len").cast("double") +
+          lit(9.0d) * col("n_docs").cast("double") *
+            col("dl").cast("double"))
+      .withColumn("db",
+        lit(10.0d) * col("total_len").cast("double") *
+          col("tf_b").cast("double") +
+          lit(3.0d) * col("total_len").cast("double") +
+          lit(9.0d) * col("n_docs").cast("double") *
+            col("dl").cast("double"))
+      .withColumn("rank_num",
+        col("tf_a").cast("double") * col("db") +
+          col("tf_b").cast("double") * col("da"))
       .withColumn("rank_key",
-        (col("tf_a") * col("db") + col("tf_b") * col("da"))
-          .cast("double") / (col("da") * col("db")).cast("double"))
+        when(col("da") >= lit(TwoTo53) || col("db") >= lit(TwoTo53) ||
+          col("rank_num") >= lit(TwoTo53),
+          expr("raise_error('bm25PairRankAudit: integer rank-key " +
+            "envelope exceeded (>= 2^53) — the exact-ordering " +
+            "certificate cannot hold at this corpus scale')")
+            .cast("double"))
+          .otherwise(col("rank_num") / (col("da") * col("db"))))
       .withColumn("rank", row_number().over(w).cast("long"))
       .withColumn("rank_exact", row_number().over(wx).cast("long"))
       .withColumn("rank_agrees", col("rank") === col("rank_exact"))

@@ -1374,11 +1374,22 @@ object SegmentedIndex {
         s"idf * (tf * ($k1 + 1.0)) / " +
           s"(tf + $k1 * (1.0 - $b + $b * dl / (${totalLen}L / " +
           s"cast(${nDocs}L as double))))"))
+      // the denominator is computed in DOUBLE, not Long — correctly
+      // rounded at any magnitude (bit-identical inside the 2^53
+      // envelope) where the Long sum would silently wrap at 2^63 —
+      // and an input beyond the exact-integer envelope fails the
+      // audit LOUDLY ([[Search.bm25PairRankAudit]]'s contract).
+      .withColumn("rank_den",
+        lit(10.0d) * lit(totalLen.toDouble) * col("tf").cast("double") +
+          lit(3.0d) * lit(totalLen.toDouble) +
+          lit(9.0d) * lit(nDocs.toDouble) * col("dl").cast("double"))
       .withColumn("rank_key",
-        col("tf").cast("double") /
-          (lit(10L) * lit(totalLen) * col("tf") +
-            lit(3L) * lit(totalLen) +
-            lit(9L) * lit(nDocs) * col("dl")).cast("double"))
+        when(col("rank_den") >= lit(Search.TwoTo53),
+          expr("raise_error('bm25RankAudit: integer rank-key " +
+            "envelope exceeded (>= 2^53) — the exact-ordering " +
+            "certificate cannot hold at this corpus scale')")
+            .cast("double"))
+          .otherwise(col("tf").cast("double") / col("rank_den")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .withColumn("rank_exact", row_number().over(wx).cast("long"))
       .withColumn("rank_agrees", col("rank") === col("rank_exact"))
@@ -1406,10 +1417,12 @@ object SegmentedIndex {
     * immediately. Output: (doc_id, score, n_terms_matched),
     * doc_id-ordered, first k. */
   def prefixSearch(spark: SparkSession, rootDir: String,
-                   prefix: String, k: Int): DataFrame = {
+                   prefix: String, k: Int,
+                   maxExpansions: Int = DefaultMaxDictExpansions)
+      : DataFrame = {
     require(prefix.nonEmpty, "prefixSearch needs a non-empty prefix")
     constantScoreDictSearch(spark, rootDir,
-      _.filter(col("term").startsWith(prefix)), k)
+      _.filter(col("term").startsWith(prefix)), k, maxExpansions)
   }
 
   /** Wildcard query — ES's `wildcard` (`*` any sequence, `?` exactly
@@ -1421,7 +1434,9 @@ object SegmentedIndex {
     * shape with a richer automaton. Leading-`*` patterns work but
     * walk the whole dictionary, ES's own documented caveat. */
   def wildcardSearch(spark: SparkSession, rootDir: String,
-                     pattern: String, k: Int): DataFrame = {
+                     pattern: String, k: Int,
+                     maxExpansions: Int = DefaultMaxDictExpansions)
+      : DataFrame = {
     require(pattern.nonEmpty, "wildcardSearch needs a pattern")
     val rx = "^" + pattern.flatMap {
       case '*' => ".*"
@@ -1430,7 +1445,7 @@ object SegmentedIndex {
       case c => c.toString
     } + "$"
     constantScoreDictSearch(spark, rootDir,
-      _.filter(col("term").rlike(rx)), k)
+      _.filter(col("term").rlike(rx)), k, maxExpansions)
   }
 
   /** Terms enumeration — ES's `_terms_enum` API (field-value
@@ -1454,26 +1469,61 @@ object SegmentedIndex {
       .limit(k)
   }
 
+  /** Default expansion cap for the constant-score dictionary-walk
+    * queries — ES's `indices.query.bool.max_clause_count` posture:
+    * the driver-side term collect is BOUNDED regardless of what the
+    * automaton matches in the vocabulary. */
+  val DefaultMaxDictExpansions: Int = 1024
+
   /** The shared constant-score multi-term tail: expand the term set
-    * through the dictionary walk (query-bounded collect — Lucene's
-    * automaton enumeration), read only those terms' postings
-    * bucket-pruned, score every matching live doc 1.0. */
+    * through the dictionary walk, read only those terms' postings
+    * bucket-pruned, score every matching live doc 1.0.
+    *
+    * The driver-side collect is CAPPED INSIDE THE PLAN — at most
+    * `maxExpansions + 1` terms ever reach the driver (an
+    * `orderBy(term).limit` before the collect, ES's
+    * `max_clause_count` contract; a `prefix("a")` or
+    * `wildcard("*x*")` over a 10^8-term vocabulary can no longer pull
+    * a vocabulary-fraction string array into the driver). When the
+    * automaton matches MORE than the cap, the search does not fail
+    * and does not truncate: it falls back to a DISTRIBUTED term
+    * semi-join — the matched-term frame joins the postings on `term`
+    * without ever leaving the cluster (Lucene's own
+    * CONSTANT_SCORE_REWRITE builds a bitset with no clause limit for
+    * exactly this case). The fallback trades the planning-time `tb`
+    * partition pruning for an un-collected term set — the right trade
+    * precisely when the matched set is too big to enumerate. */
   private def constantScoreDictSearch(spark: SparkSession,
       rootDir: String, termFilter: DataFrame => DataFrame,
-      k: Int): DataFrame = {
+      k: Int, maxExpansions: Int): DataFrame = {
     import spark.implicits._
+    require(maxExpansions >= 1,
+      s"maxExpansions must be >= 1: $maxExpansions")
     val root = new java.io.File(rootDir)
     val (nb, segs, _) = readManifest(root)
-    val matched = termFilter(dictFrame(spark, root, segs))
+    val matchedDf = termFilter(dictFrame(spark, root, segs))
       .select("term").distinct()
+    // the cap lives in the plan: the collect is <= maxExpansions + 1
+    // strings by construction (the +1 only detects overflow)
+    val matched = matchedDf
+      .orderBy("term").limit(maxExpansions + 1)
       .as[String].collect().toSeq.sorted
     if (matched.isEmpty)
       return Seq.empty[(Long, Double, Long)]
         .toDF("doc_id", "score", "n_terms_matched")
-    val p = prunedPostings(spark, root, segs, matched, nb)
+    val p =
+      if (matched.size <= maxExpansions)
+        // enumerable set: literal terms, planning-time bucket pruning
+        prunedPostings(spark, root, segs, matched, nb)
+      else
+        // too many matches to enumerate: distributed semi-join — the
+        // matched set stays on the cluster (recompute per segment scan
+        // is one dictionary read, vocabulary-sized like pass 1)
+        segmentsRead(spark, root, segs)
+          .join(matchedDf, Seq("term"), "left_semi")
     val live = tombstones(spark, root, segs) match {
       case Some(dead) =>
-        p.join(broadcast(dead), Seq("doc_id", "seg"), "left_anti")
+        p.join(dead, Seq("doc_id", "seg"), "left_anti")
       case None => p
     }
     live.groupBy("doc_id")
@@ -1601,10 +1651,14 @@ object SegmentedIndex {
     import spark.implicits._
     val root = new java.io.File(rootDir)
     val (nb, segs, _) = readManifest(root)
+    // the ES cap (max_expansions, smallest terms first) applies
+    // INSIDE the plan — the collect is bounded by construction, never
+    // a vocabulary-fraction driver pull capped after the fact
     val expanded = dictFrame(spark, root, segs)
       .filter(col("term").startsWith(prefix))
       .select("term").distinct()
-      .as[String].collect().toSeq.sorted.take(maxExpansions)
+      .orderBy("term").limit(maxExpansions)
+      .as[String].collect().toSeq.sorted
     if (expanded.isEmpty)
       return Seq.empty[(Long, Long, Long)]
         .toDF("doc_id", "n_occurrences", "first_pos")
@@ -1862,12 +1916,22 @@ object SegmentedIndex {
     * orphans and retired generations whose deferred delete never ran.
     * Age-thresholded like [[graft.engine.Bucketing.vacuumStaging]] so
     * an in-flight writer's data (committed by the manifest rename
-    * that FOLLOWS its writes) is never pulled down first. Returns the
-    * number of directories reclaimed. */
+    * that FOLLOWS its writes) is never pulled down first. "Live"
+    * means referenced by ANY retained manifest generation, not just
+    * the newest: [[searchAt]] serves point-in-time reads at every
+    * generation within [[KeepGenerations]], so a directory only a
+    * RETAINED older generation references must stay readable until
+    * that generation itself is pruned ([[writeManifest]] retires
+    * generation files; only then do their exclusive directories
+    * become vacuum fodder). Returns the number of directories
+    * reclaimed. */
   def vacuum(rootDir: String, olderThanMs: Long = 3600L * 1000): Int = {
     val root = new java.io.File(rootDir)
-    val (_, segs, _) = readManifest(root)
-    val liveNames = segs.map(_.name).toSet
+    val gens = manifestGens(root)
+    require(gens.nonEmpty, s"no segmented index at $root")
+    val liveNames = gens
+      .flatMap { case (_, f) => parseManifest(f)._2.map(_.name) }
+      .toSet
     val now = System.currentTimeMillis()
     def newestMtime(f: java.io.File): Long =
       if (f.isDirectory)

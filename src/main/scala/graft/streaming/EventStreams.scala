@@ -337,7 +337,11 @@ object EventStreams {
   def maintainedTopKSink(changes: DataFrame, base: DataFrame,
       logDir: String, viewDir: String, checkpoint: String,
       key: String, grp: String, v: String,
-      k: Int, keepLast: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
+      k: Int, keepLast: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(keepLast == 0 || keepLast >= 2,
+      s"streaming retention needs keepLast >= 2 (epoch-replay safety" +
+        s" — the retried epoch's predecessor version must survive the" +
+        s" prune): $keepLast")
     changes.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)
@@ -351,6 +355,7 @@ object EventStreams {
         ()
       }
       .start()
+  }
 
   /** Streaming maintained-summary sink — the FULL streaming-lakehouse
     * loop, composing [[cdcLogSink]]'s exactly-once log growth with
@@ -387,7 +392,11 @@ object EventStreams {
   def maintainedSummarySink(changes: DataFrame, base: DataFrame,
       logDir: String, summaryDir: String, checkpoint: String,
       key: String, grp: String, v: String,
-      keepLast: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
+      keepLast: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(keepLast == 0 || keepLast >= 2,
+      s"streaming retention needs keepLast >= 2 (epoch-replay safety" +
+        s" — the retried epoch's predecessor version must survive the" +
+        s" prune): $keepLast")
     changes.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)
@@ -401,6 +410,7 @@ object EventStreams {
         ()
       }
       .start()
+  }
 
   /** Streaming twin of [[graft.operators.Dedup.decontaminate]]: flag
     * arriving documents that share any word n-gram with a fixed
