@@ -751,7 +751,11 @@ object Pipeline {
       }.toSet
     val deltaRoot = new java.io.File(summaryDir, "delta")
     Option(deltaRoot.listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("e="))
+      // foreign (non-numeric) dirs are tolerated, like everywhere
+      // else in this store's listings — never parsed, never swept
+      .filter(f => f.isDirectory && f.getName.startsWith("e=") &&
+        f.getName.stripPrefix("e=").nonEmpty &&
+        f.getName.stripPrefix("e=").forall(_.isDigit))
       // epochs STRICTLY newer than the newest committed manifest are
       // an in-flight (or replayable) absorb's staged delta — its
       // manifest commit hasn't happened yet, so "unreferenced" does

@@ -502,11 +502,19 @@ object Search {
       .withColumn("rank_num",
         col("tf_a").cast("double") * col("db") +
           col("tf_b").cast("double") * col("da"))
+      // the envelope guard sits on the PRODUCT da*db — the quantity
+      // the derivation actually bounds (line ~420): for da*db in
+      // [2^53, 2^106) — reachable long before any single factor hits
+      // 2^53 — the denominator would round and the key would no
+      // longer be monotone with the exact rational order. The product
+      // check SUBSUMES the per-factor and numerator ones: da, db >= 3
+      // (3·total_len with total_len >= 1), so da*db < 2^53 forces
+      // each factor < 2^53, and rank_num = tf_a·db + tf_b·da <=
+      // (da/10)·db/total_len + (db/10)·da/total_len < da·db.
       .withColumn("rank_key",
-        when(col("da") >= lit(TwoTo53) || col("db") >= lit(TwoTo53) ||
-          col("rank_num") >= lit(TwoTo53),
+        when(col("da") * col("db") >= lit(TwoTo53),
           expr("raise_error('bm25PairRankAudit: integer rank-key " +
-            "envelope exceeded (>= 2^53) — the exact-ordering " +
+            "envelope exceeded (da*db >= 2^53) — the exact-ordering " +
             "certificate cannot hold at this corpus scale')")
             .cast("double"))
           .otherwise(col("rank_num") / (col("da") * col("db"))))

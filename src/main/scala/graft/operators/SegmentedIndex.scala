@@ -120,6 +120,31 @@ object SegmentedIndex {
   def generations(rootDir: String): Seq[Long] =
     manifestGens(new java.io.File(rootDir)).map(_._1)
 
+  /** Retire superseded manifest generations — ES's close-PIT /
+    * Lucene's IndexDeletionPolicy release: drop every generation file
+    * except the newest `keep`, optionally only those older than
+    * `olderThanMs` (an age-based keep-alive, ES's PIT `keep_alive`).
+    * This is what makes post-merge space reclaim REACHABLE: [[vacuum]]
+    * keeps a directory alive while ANY retained generation references
+    * it (the [[searchAt]] PIT contract), so a merge's superseded
+    * segments stay on disk until the pre-merge generations are retired
+    * — either by [[writeManifest]]'s rolling [[KeepGenerations]]
+    * window as commits accrue, or EXPLICITLY here when a
+    * low-commit-rate index shouldn't defer reclaim indefinitely.
+    * Returns the number of generation files retired. */
+  def retireGenerations(rootDir: String, keep: Int = 1,
+                        olderThanMs: Long = 0L): Int = {
+    require(keep >= 1, s"must keep at least the newest generation: $keep")
+    val root = new java.io.File(rootDir)
+    val gens = manifestGens(root)
+    require(gens.nonEmpty, s"no segmented index at $root")
+    val now = System.currentTimeMillis()
+    val victims = gens.dropRight(keep)
+      .filter { case (_, f) => now - f.lastModified() >= olderThanMs }
+    victims.foreach(_._2.delete())
+    victims.size
+  }
+
   /** Commit manifest generation `prevGen + 1`: full rewrite, ONE
     * create-exclusive atomic rename through the portable seam
     * ([[graft.engine.Fs.renameNoReplace]]). Readers see the previous
@@ -309,7 +334,7 @@ object SegmentedIndex {
       .filter(col("doc_id").isin(ids: _*))
     val live = tombstones(spark, root, segs) match {
       case Some(dead) =>
-        stored.join(broadcast(dead), Seq("doc_id", "seg"), "left_anti")
+        stored.join(dead, Seq("doc_id", "seg"), "left_anti")
       case None => stored
     }
     live.select("doc_id", "text").orderBy("doc_id")
@@ -334,7 +359,7 @@ object SegmentedIndex {
       .filter(col("doc_id") === lit(docId))
     val live = tombstones(spark, root, segs) match {
       case Some(dead) =>
-        p.join(broadcast(dead), Seq("doc_id", "seg"), "left_anti")
+        p.join(dead, Seq("doc_id", "seg"), "left_anti")
       case None => p
     }
     live.select("term", "tf", "positions").orderBy("term")
@@ -356,7 +381,7 @@ object SegmentedIndex {
     val stored = storedFrame(spark, root, segs)
     val live = tombstones(spark, root, segs) match {
       case Some(dead) =>
-        stored.join(broadcast(dead), Seq("doc_id", "seg"), "left_anti")
+        stored.join(dead, Seq("doc_id", "seg"), "left_anti")
       case None => stored
     }
     Search.highlight(
@@ -513,13 +538,13 @@ object SegmentedIndex {
     val dead = tombstones(spark, root, segs)
     val hits = (dead match {
       case Some(d) =>
-        p.join(broadcast(d), Seq("doc_id", "seg"), "left_anti")
+        p.join(d, Seq("doc_id", "seg"), "left_anti")
       case None => p
     }).select("doc_id").distinct()
     val allLive = (dead match {
       case Some(d) => segmentsRead(spark, root, segs)
         .select("term", "doc_id", "seg")
-        .join(broadcast(d), Seq("doc_id", "seg"), "left_anti")
+        .join(d, Seq("doc_id", "seg"), "left_anti")
       case None => segmentsRead(spark, root, segs)
         .select("term", "doc_id", "seg")
     })
@@ -573,7 +598,7 @@ object SegmentedIndex {
     val dead = tombstones(spark, root, segs)
     val hits = (dead match {
       case Some(d) =>
-        p.join(broadcast(d), Seq("doc_id", "seg"), "left_anti")
+        p.join(d, Seq("doc_id", "seg"), "left_anti")
       case None => p
     }).select("doc_id").distinct()
     val withVals = storedFrame(spark, root, segs)
@@ -584,7 +609,7 @@ object SegmentedIndex {
     }
     val liveStored = dead match {
       case Some(d) =>
-        stored.join(broadcast(d), Seq("doc_id", "seg"), "left_anti")
+        stored.join(d, Seq("doc_id", "seg"), "left_anti")
       case None => stored
     }
     liveStored.join(hits, Seq("doc_id"), "left_semi")
@@ -638,7 +663,7 @@ object SegmentedIndex {
     val stored = storedFrame(spark, root, segs)
     val live = tombstones(spark, root, segs) match {
       case Some(dead) =>
-        stored.join(broadcast(dead), Seq("doc_id", "seg"), "left_anti")
+        stored.join(dead, Seq("doc_id", "seg"), "left_anti")
       case None => stored
     }
     append(spark, dstDir, live.drop("seg"), "reindex", nBuckets)
@@ -742,7 +767,27 @@ object SegmentedIndex {
     * delete-old + add-new in one manifest write. Same idempotence
     * and crash contract as [[append]]. */
   def delete(spark: SparkSession, rootDir: String, docIds: DataFrame,
-             batchKey: String): Unit = {
+             batchKey: String): Unit =
+    deleteWithLayout(spark, rootDir, docIds, batchKey,
+      TombstoneRowsPerFile)
+
+  /** Rows per tombstone parquet file — the victim-set write scales
+    * out with the delete's size instead of funneling through one
+    * task: a 4-doc interactive delete stays one file, a common-term
+    * [[deleteByQuery]] whose victims are a corpus fraction lands as
+    * ceil(n / this) doc-id-hash-bucketed files written in parallel
+    * (capped at 256 — tombstone files are id-only and tiny). */
+  private[operators] val TombstoneRowsPerFile: Long = 1L << 20
+
+  private[operators] def tombstoneParts(n: Long, rowsPerFile: Long): Int =
+    math.max(1L, math.min(256L,
+      (n + rowsPerFile - 1) / math.max(1L, rowsPerFile))).toInt
+
+  /** [[delete]] with an explicit file-layout knob — the test seam
+    * proving a large victim set lands as multiple files. */
+  private[operators] def deleteWithLayout(spark: SparkSession,
+      rootDir: String, docIds: DataFrame, batchKey: String,
+      rowsPerFile: Long): Unit = {
     val root = new java.io.File(rootDir)
     val (nb, segs, gen) = readManifest(root)
     val fp = graft.engine.Bucketing.fingerprint8("sx4del|" + batchKey)
@@ -751,7 +796,9 @@ object SegmentedIndex {
     val ids = docIds.select(col("doc_id").cast("long")).persist()
     val n = ids.count()
     graft.engine.Bucketing.atomicStage(new java.io.File(root, name)) {
-      tmp => ids.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+      tmp => ids.repartition(tombstoneParts(n, rowsPerFile),
+          col("doc_id"))
+        .write.mode("overwrite").parquet(tmp.getPath)
     }
     ids.unpersist()
     writeManifest(root, nb, segs :+ Seg("del", name, n, 0L), gen)
@@ -774,7 +821,7 @@ object SegmentedIndex {
     val p = prunedPostings(spark, root, segs, terms, nb)
     val hits = (tombstones(spark, root, segs) match {
       case Some(dead) =>
-        p.join(broadcast(dead), Seq("doc_id", "seg"), "left_anti")
+        p.join(dead, Seq("doc_id", "seg"), "left_anti")
       case None => p
     }).select("doc_id").distinct()
     delete(spark, rootDir, hits, batchKey)
@@ -804,7 +851,9 @@ object SegmentedIndex {
       sum(expr("bigint(size(split(text, ' ')))")).as("tl"))
       .collect().head
     graft.engine.Bucketing.atomicStage(new java.io.File(root, delName)) {
-      tmp => d.select(col("doc_id").cast("long")).coalesce(1)
+      tmp => d.select(col("doc_id").cast("long"))
+        .repartition(tombstoneParts(stats.getLong(0),
+          TombstoneRowsPerFile), col("doc_id"))
         .write.mode("overwrite").parquet(tmp.getPath)
     }
     graft.engine.Bucketing.atomicStage(new java.io.File(root, segName)) {
@@ -878,16 +927,34 @@ object SegmentedIndex {
         col("term").isin(terms: _*))
   }
 
+  /** Expanded tombstone rows above which [[tombstones]] drops its
+    * broadcast hint and lets AQE pick the anti-join strategy — sized
+    * so the build side stays well under Spark's 8 GB broadcast
+    * ceiling (16 bytes/row plus overhead at 4M rows is tens of MB).
+    * Overridable per session via `graft.tombstones.broadcastMaxRows`
+    * (also the test seam for the over-threshold plan). */
+  private val BroadcastTombstoneRowsDefault = 4L * 1000 * 1000
+
   /** Tombstoned (doc_id, seg) pairs — each delete segment expanded
     * against the postings segments committed BEFORE it in the
     * manifest (the prefix rule: a delete never touches documents
     * added later, which is what keeps [[upsert]]'s new versions
-    * alive). Batch-bounded × O(segments) rows — rides as a broadcast
-    * into the anti join on (doc_id, seg). */
+    * alive). Batch-bounded × O(segments) rows.
+    *
+    * The broadcast hint for the downstream (doc_id, seg) anti joins
+    * is decided HERE, gated on the MANIFEST's tombstone accounting
+    * (each del line's recorded row count × the postings segments it
+    * applies to is exactly the expanded build-side cardinality — no
+    * data is read to decide): a handful of interactive deletes ride
+    * as a tiny broadcast into every query, while a common-term
+    * delete-by-query whose victim set is a corpus fraction must NOT
+    * be forced through the 8 GB broadcast ceiling — above the
+    * threshold the hint is dropped and AQE plans the join from
+    * runtime statistics. */
   private def tombstones(spark: SparkSession, root: java.io.File,
                          segs: Seq[Seg]): Option[DataFrame] = {
-    val frames = segs.zipWithIndex
-      .filter(_._1.kind == "del")
+    val dels = segs.zipWithIndex.filter(_._1.kind == "del")
+    val frames = dels
       .flatMap { case (del, i) =>
         val applies = segs.take(i).filter(_.kind == "seg")
           .map(_.name.stripPrefix("seg="))
@@ -897,7 +964,14 @@ object SegmentedIndex {
           .withColumn("seg",
             explode(array(applies.map(lit): _*))))
       }
+    val expandedRows = dels.map { case (del, i) =>
+      del.nDocs * segs.take(i).count(_.kind == "seg")
+    }.sum
+    val maxRows = spark.conf
+      .getOption("graft.tombstones.broadcastMaxRows").map(_.toLong)
+      .getOrElse(BroadcastTombstoneRowsDefault)
     frames.reduceOption(_ unionByName _)
+      .map(f => if (expandedRows <= maxRows) broadcast(f) else f)
   }
 
   /** Term search over the segmented index with Lucene's statistics
@@ -995,7 +1069,7 @@ object SegmentedIndex {
     val dfreq = p.groupBy("term").agg(count(lit(1)).as("doc_freq"))
     val live = tombstones(spark, root, segs) match {
       case Some(dead) =>
-        p.join(broadcast(dead), Seq("doc_id", "seg"), "left_anti")
+        p.join(dead, Seq("doc_id", "seg"), "left_anti")
       case None => p
     }
     live.filter(col("doc_id") === lit(docId))
@@ -1026,7 +1100,7 @@ object SegmentedIndex {
     val dfreq = p.groupBy("term").agg(count(lit(1)).as("doc_freq"))
     val live = tombstones(spark, root, segs) match {
       case Some(dead) =>
-        p.join(broadcast(dead), Seq("doc_id", "seg"), "left_anti")
+        p.join(dead, Seq("doc_id", "seg"), "left_anti")
       case None => p
     }
     scoreLive(live, dfreq, terms, nDocs)
@@ -1102,7 +1176,7 @@ object SegmentedIndex {
     val dead = tombstones(spark, root, segs)
     val live = dead match {
       case Some(dd) =>
-        p.join(broadcast(dd), Seq("doc_id", "seg"), "left_anti")
+        p.join(dd, Seq("doc_id", "seg"), "left_anti")
       case None => p
     }
     // candidates: all-of-must, else any-of-should
@@ -1131,7 +1205,7 @@ object SegmentedIndex {
         // its NEW value, not the dead version's still-on-disk row
         val liveVals = dead match {
           case Some(dd) =>
-            vals.join(broadcast(dd), Seq("doc_id", "seg"), "left_anti")
+            vals.join(dd, Seq("doc_id", "seg"), "left_anti")
           case None => vals
         }
         cand1.join(liveVals.select("doc_id"), Seq("doc_id"), "left_semi")
@@ -1170,7 +1244,7 @@ object SegmentedIndex {
       val p = prunedPostings(spark, root, segs, terms, nb)
       val live = tombstones(spark, root, segs) match {
         case Some(dead) =>
-          p.join(broadcast(dead), Seq("doc_id", "seg"), "left_anti")
+          p.join(dead, Seq("doc_id", "seg"), "left_anti")
         case None => p
       }
       (nDocs, p, live.withColumn("idx", lit(name)))
@@ -1259,7 +1333,7 @@ object SegmentedIndex {
     val dfreq = p.groupBy("term").agg(count(lit(1)).as("doc_freq"))
     val live = tombstones(spark, root, segs) match {
       case Some(dead) =>
-        p.join(broadcast(dead), Seq("doc_id", "seg"), "left_anti")
+        p.join(dead, Seq("doc_id", "seg"), "left_anti")
       case None => p
     }
     // phase 1: the top-ceiling term's docs, fully scored → θ
@@ -1313,7 +1387,7 @@ object SegmentedIndex {
     val dfreq = p.groupBy("term").agg(count(lit(1)).as("doc_freq"))
     val live = tombstones(spark, root, segs) match {
       case Some(dead) =>
-        p.join(broadcast(dead), Seq("doc_id", "seg"), "left_anti")
+        p.join(dead, Seq("doc_id", "seg"), "left_anti")
       case None => p
     }
     live.join(dfreq, "term")
@@ -1359,7 +1433,7 @@ object SegmentedIndex {
     val dfreq = p.agg(count(lit(1)).as("doc_freq"))
     val live = tombstones(spark, root, segs) match {
       case Some(dead) =>
-        p.join(broadcast(dead), Seq("doc_id", "seg"), "left_anti")
+        p.join(dead, Seq("doc_id", "seg"), "left_anti")
       case None => p
     }
     val w = org.apache.spark.sql.expressions.Window
@@ -1584,7 +1658,7 @@ object SegmentedIndex {
     val dfreq = p.groupBy("term").agg(count(lit(1)).as("doc_freq"))
     val live = tombstones(spark, root, segs) match {
       case Some(dead) =>
-        p.join(broadcast(dead), Seq("doc_id", "seg"), "left_anti")
+        p.join(dead, Seq("doc_id", "seg"), "left_anti")
       case None => p
     }
     val w = org.apache.spark.sql.expressions.Window
@@ -1620,7 +1694,7 @@ object SegmentedIndex {
     val p = prunedPostings(spark, root, segs, phrase.distinct, nb)
     val live = tombstones(spark, root, segs) match {
       case Some(dead) =>
-        p.join(broadcast(dead), Seq("doc_id", "seg"), "left_anti")
+        p.join(dead, Seq("doc_id", "seg"), "left_anti")
       case None => p
     }
     Search.phraseFromPostings(
@@ -1666,7 +1740,7 @@ object SegmentedIndex {
     val p = prunedPostings(spark, root, segs, all, nb)
     val live = tombstones(spark, root, segs) match {
       case Some(dead) =>
-        p.join(broadcast(dead), Seq("doc_id", "seg"), "left_anti")
+        p.join(dead, Seq("doc_id", "seg"), "left_anti")
       case None => p
     }
     val k = leading.size + 1
@@ -1815,7 +1889,7 @@ object SegmentedIndex {
     val all = segmentsRead(spark, root, posts)
     val live = tombstones(spark, root, prefix) match {
       case Some(dead) =>
-        all.join(broadcast(dead), Seq("doc_id", "seg"), "left_anti")
+        all.join(dead, Seq("doc_id", "seg"), "left_anti")
       case None => all
     }
     val fp = graft.engine.Bucketing.fingerprint8(
@@ -1830,7 +1904,7 @@ object SegmentedIndex {
     val storedAll = storedFrame(spark, root, prefix)
     val storedLive = tombstones(spark, root, prefix) match {
       case Some(dead) =>
-        storedAll.join(broadcast(dead), Seq("doc_id", "seg"), "left_anti")
+        storedAll.join(dead, Seq("doc_id", "seg"), "left_anti")
       case None => storedAll
     }
     graft.engine.Bucketing.atomicStage(new java.io.File(root, name)) {

@@ -406,6 +406,54 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("pruneSummaries spares an in-flight absorb's staged delta " +
+    "(epochs newer than the newest committed manifest), tolerates " +
+    "foreign dirs, and no-ops on an empty store") {
+    import java.nio.file.Files
+    val base = Seq((1L, "a", 10L), (2L, "b", 20L))
+      .toDF("doc_id", "source", "n_chars")
+    val scratch = Files.createTempDirectory("graft-prace").toString
+    val logDir = s"$scratch/log"
+    val sumDir = s"$scratch/summary"
+    def absorb(rows: Seq[(Long, String, Long, String)], e: Long): Unit =
+      Pipeline.absorbSummaryBatch(
+        rows.toDF("doc_id", "source", "n_chars", "op"),
+        base, logDir, sumDir, "doc_id", "source", "n_chars", e)
+    // empty store: every delta dir belongs to a replayable first
+    // epoch — prune must return 0 and sweep NOTHING
+    val early = new java.io.File(s"$sumDir/delta/e=0/gb=1")
+    early.mkdirs()
+    assert(Pipeline.pruneSummaries(sumDir, keepLast = 1) == 0)
+    assert(early.exists(), "an uncommitted first epoch was swept")
+    graft.engine.Bucketing.deleteTree(
+      new java.io.File(s"$sumDir/delta/e=0"))
+    absorb(Seq((1L, "a", 15L, "U")), 0L)
+    absorb(Seq((3L, "c", 30L, "U")), 1L)
+    // plant an IN-FLIGHT absorb's staged delta (manifest not yet
+    // committed) and a foreign dir beside the real epochs
+    val staged = new java.io.File(s"$sumDir/delta/e=9/gb=0")
+    staged.mkdirs()
+    Files.writeString(
+      new java.io.File(staged, "part-00000").toPath, "staged")
+    val foreign = new java.io.File(s"$sumDir/delta/e=notanepoch")
+    foreign.mkdirs()
+    val before = Pipeline.readSummary(spark, sumDir)
+      .as[(String, Long, Long)].collect().toSet
+    assert(Pipeline.pruneSummaries(sumDir, keepLast = 1) == 1)
+    assert(staged.exists(),
+      "prune swept an in-flight epoch's staged buckets — the race " +
+        "its epoch guard exists to close")
+    assert(foreign.exists(), "foreign dirs must be tolerated")
+    assert(Pipeline.readSummary(spark, sumDir)
+      .as[(String, Long, Long)].collect().toSet == before)
+    // the in-flight absorb now COMMITS — its staged data serves
+    absorb(Seq((9L, "z", 90L, "U")), 9L)
+    assert(Pipeline.summaryVersions(sumDir).last == 9L)
+    assert(Pipeline.readSummary(spark, sumDir)
+      .as[(String, Long, Long)].collect().toSet
+      .exists(_._1 == "z"), "the committed absorb must serve")
+  }
+
   test("the versioned view store rewrites ONLY the buckets an epoch " +
     "touches: a one-group batch writes one bucket directory, " +
     "untouched buckets carry forward by manifest reference") {

@@ -164,6 +164,28 @@ class SearchSpec extends SparkSpec {
       s"audit order $byRank != production order $prod")
   }
 
+  test("bm25PairRankAudit fails LOUDLY outside the 2^53 exactness " +
+    "envelope — and on the da*db PRODUCT, which overflows long " +
+    "before any single factor does") {
+    // two 500k-token docs: total_len = 1e6, tf(aa)=tf(ab)=10 →
+    // da ≈ db ≈ 1.12e8 (each far below 2^53 ≈ 9.0e15) while
+    // da·db ≈ 1.26e16 > 2^53 — a per-factor guard would PASS this
+    // frame and certify a rounded (non-exact) ordering
+    val filler = ("zz " * 499980).trim
+    val hot = ("aa " * 10) + ("ab " * 10)
+    val corpus = Seq(
+      (1L, hot + filler),
+      (2L, hot + filler)).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Search.bm25PairRankAudit(corpus, k = 10).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("envelope exceeded")),
+      s"expected the 2^53 raise_error, got: ${messages(e)}")
+  }
+
   test("bm25Matches: exact matched set with hit counts; saturation " +
     "contract certifies") {
     val out = Search.bm25Matches(docs, Seq("spark", "rare"))

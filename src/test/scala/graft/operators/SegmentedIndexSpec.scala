@@ -56,12 +56,19 @@ class SegmentedIndexSpec extends SparkSpec {
     // post-merge: N=3, df(x)=1, df(y)=2:
     // doc1 = 2*(3/1) + 1*(3/2) = 7.5; doc3 = 3*(3/2) = 4.5
     assert(hits == Seq((1L, 7.5, 2L), (3L, 4.5, 1L)), hits.toString)
-    // superseded dirs STAY until vacuum (a reader on the previous
-    // manifest generation may still be mid-scan); vacuum reclaims
+    // superseded dirs STAY until their generations retire: vacuum
+    // keeps anything a RETAINED manifest generation references (the
+    // searchAt PIT contract), so right after the merge it reclaims
+    // NOTHING — the pre-merge generations still pin the old dirs
     def segDirs() = new java.io.File(root).listFiles()
       .filter(f => f.getName.startsWith("seg=") ||
         f.getName.startsWith("del="))
     assert(segDirs().length == 4, segDirs().map(_.getName).mkString(","))
+    assert(SegmentedIndex.vacuum(root, olderThanMs = 0L) == 0,
+      "vacuum must not reclaim dirs a retained generation references")
+    // explicit retirement makes reclaim reachable: only the newest
+    // (post-merge) generation survives, then vacuum retires the olds
+    assert(SegmentedIndex.retireGenerations(root, keep = 1) == 3)
     assert(SegmentedIndex.vacuum(root, olderThanMs = 0L) == 3)
     assert(segDirs().length == 1, segDirs().map(_.getName).mkString(","))
     assert(SegmentedIndex.merge(spark, root) == ((0, 0)))
@@ -653,6 +660,98 @@ class SegmentedIndexSpec extends SparkSpec {
       .phrasePrefixSearch(spark, root, Seq("big"), "zz").count() == 0)
   }
 
+  test("constant-score dictionary walks: the over-cap DISTRIBUTED " +
+    "semi-join fallback returns exactly the enumerable path's " +
+    "results, and the plan proves which path ran") {
+    val root = Files.createTempDirectory("graft-cap").toString
+    // 6 distinct 'da*' terms — far above a cap of 2, far below the
+    // default cap
+    val d = Seq(
+      (1L, "dab dac x"),
+      (2L, "dad dae"),
+      (3L, "daf dag dab"),
+      (4L, "nope only")).toDF("doc_id", "text")
+    SegmentedIndex.append(spark, root, d, "a", nBuckets = 4)
+    SegmentedIndex.delete(spark, root, Seq(2L).toDF("doc_id"), "d1")
+    def run(maxExp: Int) =
+      SegmentedIndex.prefixSearch(spark, root, "da", 10, maxExp)
+    val reference = run(1024) // enumerable: 6 terms <= 1024
+    val fallback = run(2)     // over-cap: 6 terms > 2 -> semi-join
+    assert(fallback.as[(Long, Double, Long)].collect().toSeq ==
+      reference.as[(Long, Double, Long)].collect().toSeq,
+      "the fallback must equal the uncapped computation exactly")
+    assert(reference.collect().nonEmpty)
+    // the fallback plan carries the distributed LeftSemi; the
+    // enumerable plan resolves to literal terms (no semi join)
+    assert(fallback.queryExecution.optimizedPlan.toString
+      .contains("LeftSemi"), "over-cap must take the semi-join path")
+    assert(!reference.queryExecution.optimizedPlan.toString
+      .contains("LeftSemi"), "enumerable must take the literal path")
+    // wildcard rides the same tail: same equality under the same cap
+    val wRef = SegmentedIndex.wildcardSearch(spark, root, "da?", 10)
+      .as[(Long, Double, Long)].collect().toSeq
+    val wFb = SegmentedIndex.wildcardSearch(spark, root, "da?", 10,
+      maxExpansions = 2).as[(Long, Double, Long)].collect().toSeq
+    assert(wFb == wRef)
+  }
+
+  test("tombstone layout scales with the victim set: a large delete " +
+    "lands as multiple doc-id-hash-bucketed files, never one task's " +
+    "file — and queries serve identically") {
+    val root = Files.createTempDirectory("graft-tbl").toString
+    val docs = (1L to 60L).map(i => (i, s"x doc number$i"))
+      .toDF("doc_id", "text")
+    SegmentedIndex.append(spark, root, docs, "bulk", nBuckets = 4)
+    // the partition-count rule itself: 1 file for small sets, scaling
+    // capped at 256
+    assert(SegmentedIndex.tombstoneParts(4L,
+      SegmentedIndex.TombstoneRowsPerFile) == 1)
+    assert(SegmentedIndex.tombstoneParts(5L * 1024 * 1024,
+      SegmentedIndex.TombstoneRowsPerFile) == 5)
+    assert(SegmentedIndex.tombstoneParts(Long.MaxValue / 4,
+      SegmentedIndex.TombstoneRowsPerFile) == 256)
+    // a victim set 5x the per-file bound lands as >1 parquet file
+    SegmentedIndex.deleteWithLayout(spark, root,
+      (1L to 50L).toDF("doc_id"), "big", rowsPerFile = 10L)
+    val delDir = new java.io.File(root).listFiles()
+      .filter(_.getName.startsWith("del=")).head
+    val files = delDir.listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(files == 5, s"expected 5 tombstone files, got $files")
+    val ids = SegmentedIndex.search(spark, root, Seq("x"), 100)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids == (51L to 60L).toSet,
+      "the multi-file tombstone must apply exactly")
+  }
+
+  test("the tombstone anti-join broadcast hint is GATED on the " +
+    "manifest's victim accounting: small delete rides as a " +
+    "broadcast, above-threshold the hint drops — results identical") {
+    val root = Files.createTempDirectory("graft-tbg").toString
+    val docs = (1L to 30L).map(i => (i, s"x doc number$i"))
+      .toDF("doc_id", "text")
+    SegmentedIndex.append(spark, root, docs, "bulk", nBuckets = 4)
+    SegmentedIndex.delete(spark, root, (1L to 10L).toDF("doc_id"), "d1")
+    def planOf() = {
+      val q = SegmentedIndex.search(spark, root, Seq("x"), 100)
+      q.collect()
+      q.queryExecution.executedPlan.toString
+    }
+    val want = SegmentedIndex.search(spark, root, Seq("x"), 100)
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(planOf().contains("BroadcastHashJoin"),
+      "a 10-row tombstone set must ride as a broadcast anti join")
+    spark.conf.set("graft.tombstones.broadcastMaxRows", "5")
+    try {
+      assert(!planOf().contains("BroadcastHashJoin"),
+        "above the threshold the broadcast hint must drop")
+      assert(SegmentedIndex.search(spark, root, Seq("x"), 100)
+        .as[(Long, Double, Long)].collect().toSeq == want,
+        "the gate must never change results")
+    } finally
+      spark.conf.unset("graft.tombstones.broadcastMaxRows")
+  }
+
   test("wildcardSearch: ? is exactly one char, * any run, other " +
     "chars literal (regex metachars escaped); tombstones apply") {
     val root = Files.createTempDirectory("graft-wc").toString
@@ -1065,6 +1164,36 @@ class SegmentedIndexSpec extends SparkSpec {
     SegmentedIndex.delete(spark, snap, Seq(1L).toDF("doc_id"), "dz")
     assert(SegmentedIndex.search(spark, root, Seq("x"), 10)
       .as[(Long, Double, Long)].collect().map(_._1).toSeq == Seq(1L))
+  }
+
+  test("PIT liveness: vacuum never reclaims a directory only an older " +
+    "RETAINED generation references — searchAt keeps serving there — " +
+    "and retirement is the one path that frees it") {
+    val root = freshIndex()
+    val q = Seq("x", "y")
+    val preMergeGen = SegmentedIndex.generations(root).last
+    val preMerge = SegmentedIndex.searchAt(spark, root, preMergeGen, q, 10)
+      .collect().toSeq
+    SegmentedIndex.merge(spark, root)
+    // the pre-merge segments are referenced ONLY by preMergeGen now;
+    // an aggressive vacuum must still spare them
+    assert(SegmentedIndex.vacuum(root, olderThanMs = 0L) == 0,
+      "vacuum reclaimed a dir a retained generation still references")
+    assert(SegmentedIndex.searchAt(spark, root, preMergeGen, q, 10)
+      .collect().toSeq == preMerge,
+      "the pinned pre-merge view must survive an aggressive vacuum")
+    // age-gated retirement: a keep-alive window longer than the test
+    // retires nothing; dropping it retires the two pre-merge gens
+    assert(SegmentedIndex.retireGenerations(root, keep = 1,
+      olderThanMs = 3600L * 1000) == 0)
+    assert(SegmentedIndex.retireGenerations(root, keep = 1) == 2)
+    assert(SegmentedIndex.vacuum(root, olderThanMs = 0L) == 2)
+    // the retired generation now fails loudly (the PIT expired)
+    intercept[IllegalArgumentException] {
+      SegmentedIndex.searchAt(spark, root, preMergeGen, q, 10).collect()
+    }
+    // the live view is untouched throughout
+    assert(SegmentedIndex.search(spark, root, q, 10).count() > 0)
   }
 
   test("an unreferenced segment directory is invisible to search and " +

@@ -719,6 +719,30 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("maintained-view sinks REFUSE keepLast = 1: an epoch replay " +
+    "needs its predecessor version to survive the prune, so the " +
+    "floor is 2 (0 = retention off stays allowed)") {
+    import graft.operators.Pipeline
+    val dir = Files.createTempDirectory("graft-floor").toString
+    val base = Seq((1L, "a", 10L)).toDF("doc_id", "source", "n_chars")
+    val changes = Seq.empty[(Long, String, Long, String)]
+      .toDF("doc_id", "source", "n_chars", "op")
+    intercept[IllegalArgumentException] {
+      EventStreams.maintainedSummarySink(changes, base, s"$dir/l1",
+        s"$dir/s1", s"$dir/ck1", "doc_id", "source", "n_chars",
+        keepLast = 1)
+    }
+    intercept[IllegalArgumentException] {
+      EventStreams.maintainedTopKSink(changes, base, s"$dir/l2",
+        s"$dir/s2", s"$dir/ck2", "doc_id", "source", "n_chars",
+        k = 3, keepLast = 1)
+    }
+    // the batch-side prune keeps its own floor at 1 (no replay there)
+    intercept[IllegalArgumentException] {
+      Pipeline.pruneSummaries(s"$dir/nowhere", keepLast = 0)
+    }
+  }
+
   test("cdcLogSink + replayLog: streamed change batches replay to the " +
     "same snapshots as the batch CDC path, every version readable") {
     import graft.operators.Pipeline
