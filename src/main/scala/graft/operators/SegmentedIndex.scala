@@ -96,11 +96,40 @@ object SegmentedIndex {
     val lines = java.nio.file.Files
       .readAllLines(f.toPath).toArray(Array.empty[String]).toSeq
     val nBuckets = lines.head.stripPrefix("nb=").toInt
-    (nBuckets, lines.tail.map { l =>
+    (nBuckets, lines.tail.filterNot(_.startsWith("an=")).map { l =>
       val Array(kind, name, nd, tl) = l.split(",")
       Seg(kind, name, nd.toLong, tl.toLong)
     })
   }
+
+  /** The index's ANALYZER name from the newest manifest generation's
+    * `an=` header — an index-creation-time property (every segment is
+    * analyzed identically; [[reindex]] is the migration path, exactly
+    * ES's analyzer-change recipe). A pre-analyzer manifest reads as
+    * whitespace — the chain those indexes were built with. */
+  private def analyzerNameOf(root: java.io.File): String = {
+    val gens = manifestGens(root)
+    if (gens.isEmpty) return Analyzer.Whitespace.name
+    java.nio.file.Files.readAllLines(gens.last._2.toPath)
+      .toArray(Array.empty[String]).toSeq
+      .find(_.startsWith("an=")).map(_.stripPrefix("an="))
+      .getOrElse(Analyzer.Whitespace.name)
+  }
+
+  private def readAnalyzer(root: java.io.File): Analyzer.Chain =
+    Analyzer.byName(analyzerNameOf(root))
+
+  /** The index's analyzer name — public so callers can introspect
+    * (ES's `GET /idx/_settings` analyzer readback). */
+  def analyzerOf(rootDir: String): String =
+    analyzerNameOf(new java.io.File(rootDir))
+
+  /** QUERY-SIDE analysis: search literals run through the index's own
+    * chain before touching the postings (ES analyzes match-query input
+    * with the field's analyzer) — stopword query terms drop, case
+    * folds, stems align with the indexed vocabulary. */
+  private def qTerms(root: java.io.File, terms: Seq[String]): Seq[String] =
+    Analyzer.queryTerms(readAnalyzer(root), terms)
 
   /** Parse a SPECIFIC retained manifest generation — the reader-side
     * pin behind [[searchAt]]. Fails loudly once the generation has
@@ -157,10 +186,14 @@ object SegmentedIndex {
     * generation files beyond [[KeepGenerations]] are pruned here
     * (tiny, but otherwise one file per commit forever). */
   private def writeManifest(root: java.io.File, nBuckets: Int,
-                            segs: Seq[Seg], prevGen: Long): Unit = {
+                            segs: Seq[Seg], prevGen: Long,
+                            an: Option[String] = None): Unit = {
+    // the analyzer header travels with every commit: explicit at
+    // index creation, preserved from the previous generation after
+    val anName = an.getOrElse(analyzerNameOf(root))
     val tmp = new java.io.File(root, "_SEGMENTS.tmp-" +
       java.util.UUID.randomUUID().toString.take(8))
-    val body = (s"nb=$nBuckets" +: segs.map(s =>
+    val body = (s"nb=$nBuckets" +: s"an=$anName" +: segs.map(s =>
       s"${s.kind},${s.name},${s.nDocs},${s.totalLen}")).mkString("\n")
     java.nio.file.Files.writeString(tmp.toPath, body)
     graft.engine.Fs.renameNoReplace(tmp,
@@ -187,11 +220,14 @@ object SegmentedIndex {
     * with positions — so the same segment family serves term, BM25
     * AND exact-phrase queries; tf stays materialized beside them
     * (it is `size(positions)`, but scoring reads it constantly). */
-  private def segPostings(docs: DataFrame, nBuckets: Int): DataFrame =
+  private def segPostings(docs: DataFrame, nBuckets: Int,
+                          an: Analyzer.Chain): DataFrame =
     docs
       .select(col("doc_id").cast("long").as("doc_id"),
-        expr("bigint(size(split(text, ' ')))").as("dl"),
-        posexplode(TextOps.tokens("text")).as(Seq("pos", "term")))
+        Analyzer.dl(an, "text").as("dl"),
+        explode(Analyzer.posTerms(an, "text")).as("pt"))
+      .select(col("doc_id"), col("dl"),
+        col("pt.pos").as("pos"), col("pt.term").as("term"))
       .groupBy("term", "doc_id", "dl")
       .agg(count(lit(1)).as("tf"),
         sort_array(collect_list(col("pos").cast("long")))
@@ -213,9 +249,16 @@ object SegmentedIndex {
     * invisible orphan). Single-writer appends, the streaming-sink
     * model; concurrent SAME-batch appenders commit one segment. */
   def append(spark: SparkSession, rootDir: String, docs: DataFrame,
-             batchKey: String, nBuckets: Int = 8): Unit = {
+             batchKey: String, nBuckets: Int = 8,
+             analyzer: String = Analyzer.Whitespace.name): Unit = {
     val root = new java.io.File(rootDir)
     root.mkdirs()
+    // an EXISTING index's analyzer always wins — all segments of an
+    // index are analyzed identically (the ES mapping contract); the
+    // parameter only takes effect on first commit
+    val anName =
+      if (hasManifest(root)) analyzerNameOf(root) else analyzer
+    val an = Analyzer.byName(anName)
     val (nb, segs, gen) =
       if (hasManifest(root)) readManifest(root)
       else (nBuckets, Seq.empty[Seg], 0L)
@@ -224,18 +267,19 @@ object SegmentedIndex {
     if (segs.exists(_.name == name)) return
     val d = docs.persist()
     val stats = d.agg(count(lit(1)).as("n"),
-      sum(expr("bigint(size(split(text, ' ')))")).as("tl"))
+      sum(Analyzer.dl(an, "text")).as("tl"))
       .collect().head
     graft.engine.Bucketing.atomicStage(new java.io.File(root, name)) {
       tmp =>
-        segPostings(d, nb).write.mode("overwrite")
+        segPostings(d, nb, an).write.mode("overwrite")
           .partitionBy("tb").parquet(tmp.getPath)
         writeStored(d, tmp, nb)
         writeDict(d.sparkSession, tmp, nb)
     }
     d.unpersist()
     writeManifest(root, nb,
-      segs :+ Seg("seg", name, stats.getLong(0), stats.getLong(1)), gen)
+      segs :+ Seg("seg", name, stats.getLong(0), stats.getLong(1)), gen,
+      Some(anName))
   }
 
   /** Per-segment TERM DICTIONARY — Lucene's terms index: (term,
@@ -247,9 +291,15 @@ object SegmentedIndex {
     * and scanning the vocabulary. Summed per-segment doc_freq equals
     * the stats-phase df (tombstoned docs included), same as the
     * postings aggregation the scorers use. */
+  /** Doc-id range covered by one impact block — Lucene's postings
+    * block granularity (its BlockTreeTermsWriter packs 128 docs per
+    * block and stores a max impact per block). */
+  private[operators] val ImpactBlockSize: Long = 128L
+
   private def writeDict(spark: SparkSession, segTmp: java.io.File,
-                        nTasks: Int): Unit =
-    spark.read.parquet(segTmp.getPath)
+                        nTasks: Int): Unit = {
+    val posts = spark.read.parquet(segTmp.getPath)
+    posts
       // max_tf is the per-term IMPACT BOUND Lucene stores beside its
       // postings (block max impacts): [[maxScoreSearch]]'s pruning
       // derives each term's score ceiling from it without reading a
@@ -263,6 +313,40 @@ object SegmentedIndex {
       .sortWithinPartitions("term")
       .write.mode("overwrite")
       .parquet(new java.io.File(segTmp, "_dict").getPath)
+    // PER-BLOCK max impacts — Lucene's block-max metadata, the finer
+    // tier under the dictionary's per-term ceiling: (term, blk,
+    // max_tf) for blk = doc_id / ImpactBlockSize. Sized as postings /
+    // ImpactBlockSize, far under the postings themselves;
+    // [[maxScoreSearchWithPlan]] uses it to drop candidate docs whose
+    // BLOCK ceilings cannot reach θ even when their terms' global
+    // ceilings can
+    posts
+      .groupBy(col("term"),
+        floor(col("doc_id") / lit(ImpactBlockSize)).cast("long")
+          .as("blk"))
+      .agg(max(col("tf")).as("max_tf"))
+      .repartitionByRange(nTasks, col("term"))
+      .sortWithinPartitions("term", "blk")
+      .write.mode("overwrite")
+      .parquet(new java.io.File(segTmp, "_impacts").getPath)
+  }
+
+  /** The live segments' PER-BLOCK max impacts unioned (term, blk,
+    * max_tf), folded to the cross-segment max per (term, blk). None
+    * when any live segment predates the impacts tier (written by an
+    * older layout) — the caller skips block refinement, a pure
+    * optimization, and exactness is untouched. */
+  private def impactsFrame(spark: SparkSession, root: java.io.File,
+                           segs: Seq[Seg]): Option[DataFrame] = {
+    val live = segs.filter(_.kind == "seg")
+    if (live.isEmpty) return None
+    val dirs = live.map(sg =>
+      new java.io.File(new java.io.File(root, sg.name), "_impacts"))
+    if (!dirs.forall(_.isDirectory)) return None
+    Some(dirs.map(d => spark.read.parquet(d.getPath))
+      .reduce(_ unionByName _)
+      .groupBy("term", "blk").agg(max("max_tf").as("max_tf")))
+  }
 
   /** The live segments' dictionaries unioned (term, doc_freq, seg).
     * Vocabulary-sized per segment. */
@@ -378,6 +462,12 @@ object SegmentedIndex {
     val root = new java.io.File(rootDir)
     val (_, segs, _) = readManifest(root)
     val top = search(spark, rootDir, terms, k).select("doc_id")
+    // the snippet marker compares RAW text tokens against the
+    // analyzed query terms: exact under the whitespace chain; under a
+    // stemming chain it marks tokens equal to the stem (ES's
+    // plain highlighter re-analyzes instead — a documented
+    // simplification)
+    val hlTerms = qTerms(root, terms)
     val stored = storedFrame(spark, root, segs)
     val live = tombstones(spark, root, segs) match {
       case Some(dead) =>
@@ -387,7 +477,7 @@ object SegmentedIndex {
     Search.highlight(
       live.join(broadcast(top), Seq("doc_id"), "left_semi")
         .select("doc_id", "text"),
-      terms, window)
+      hlTerms, window)
   }
 
   /** Terms AGGREGATION over a query's full hit set — ES's
@@ -408,11 +498,7 @@ object SegmentedIndex {
     * exist. Output: (value, doc_count). */
   def facet(spark: SparkSession, rootDir: String, terms: Seq[String],
             field: String, kBuckets: Int): DataFrame =
-    hitFieldValues(spark, rootDir, terms, field)
-      .groupBy("value")
-      .agg(countDistinct(col("doc_id")).as("doc_count"))
-      .orderBy(desc("doc_count"), asc("value"))
-      .limit(kBuckets)
+    multiFacet(spark, Seq("" -> rootDir), terms, field, kBuckets)
 
   /** Histogram aggregation over a query's full hit set — ES's
     * `aggs: { histogram: { field, interval } }` with its default
@@ -427,14 +513,25 @@ object SegmentedIndex {
     * bucket-ascending. */
   def histogramFacet(spark: SparkSession, rootDir: String,
                      terms: Seq[String], field: String,
-                     interval: Long): DataFrame = {
+                     interval: Long): DataFrame =
+    multiHistogramFacet(spark, Seq("" -> rootDir), terms, field,
+      interval)
+
+  /** [[histogramFacet]] across several indices — the multi-index agg
+    * contract of [[multiFacet]] on the histogram shape: per-index
+    * live hit docs bucket together, gap-fill spans the COMBINED
+    * occupied range, docs count once per (_index, _id). */
+  def multiHistogramFacet(spark: SparkSession,
+                          indices: Seq[(String, String)],
+                          terms: Seq[String], field: String,
+                          interval: Long): DataFrame = {
     require(interval > 0, s"interval must be positive: $interval")
-    val counts = hitFieldValues(spark, rootDir, terms, field)
+    val counts = unionHitFieldValues(spark, indices, terms, field)
       .withColumn("bucket",
         floor(col("value").cast("double") / interval).cast("long") *
           interval)
       .groupBy("bucket")
-      .agg(countDistinct(col("doc_id")).as("doc_count"))
+      .agg(countDistinct(col("idx"), col("doc_id")).as("doc_count"))
     val buckets = counts
       .agg(min("bucket").as("lo"), max("bucket").as("hi"))
       .filter(col("lo").isNotNull)
@@ -475,7 +572,16 @@ object SegmentedIndex {
     * Output: (n_docs, vmin, vmax, vsum, vavg), 1 row. */
   def statsFacet(spark: SparkSession, rootDir: String,
                  terms: Seq[String], field: String): DataFrame =
-    hitFieldValues(spark, rootDir, terms, field)
+    multiStatsFacet(spark, Seq("" -> rootDir), terms, field)
+
+  /** [[statsFacet]] across several indices — one stats row over the
+    * union of the per-index live hit sets (each doc counts once under
+    * its (_index, _id) identity, so a corpus split across a rollover
+    * family aggregates exactly like one combined index). */
+  def multiStatsFacet(spark: SparkSession,
+                      indices: Seq[(String, String)],
+                      terms: Seq[String], field: String): DataFrame =
+    unionHitFieldValues(spark, indices, terms, field)
       .agg(count(lit(1)).as("n_docs"),
         min("value").as("vmin"),
         max("value").as("vmax"),
@@ -495,16 +601,24 @@ object SegmentedIndex {
     * contract). Output: (value, doc_count), top-k. */
   def multiFacet(spark: SparkSession, indices: Seq[(String, String)],
                  terms: Seq[String], field: String,
-                 kBuckets: Int): DataFrame = {
-    require(indices.nonEmpty, "multiFacet needs at least one index")
-    indices.map { case (name, root) =>
-      hitFieldValues(spark, root, terms, field)
-        .withColumn("idx", lit(name))
-    }.reduce(_ unionByName _)
+                 kBuckets: Int): DataFrame =
+    unionHitFieldValues(spark, indices, terms, field)
       .groupBy("value")
       .agg(countDistinct(col("idx"), col("doc_id")).as("doc_count"))
       .orderBy(desc("doc_count"), asc("value"))
       .limit(kBuckets)
+
+  /** The per-index (idx, doc_id, value) aggregation feeds unioned —
+    * the shared body of every multi-index/family aggregation. Each
+    * index analyzes, prunes and tombstones with ITS OWN manifest. */
+  private def unionHitFieldValues(spark: SparkSession,
+      indices: Seq[(String, String)], terms: Seq[String],
+      field: String): DataFrame = {
+    require(indices.nonEmpty, "need at least one index")
+    indices.map { case (name, root) =>
+      hitFieldValues(spark, root, terms, field)
+        .withColumn("idx", lit(name))
+    }.reduce(_ unionByName _)
   }
 
   /** Significant-terms aggregation — ES's `significant_terms`, the
@@ -529,37 +643,56 @@ object SegmentedIndex {
     */
   def significantTerms(spark: SparkSession, rootDir: String,
                        terms: Seq[String], kTerms: Int,
-                       minDocCount: Long = 3L): DataFrame = {
+                       minDocCount: Long = 3L): DataFrame =
+    multiSignificantTerms(spark, Seq("" -> rootDir), terms, kTerms,
+      minDocCount)
+
+  /** [[significantTerms]] across several indices: foreground counts
+    * under the (_index, _id) identity, background df the SUM of the
+    * per-index dictionaries, N the family total — so a corpus split
+    * across indices scores exactly like one combined index. */
+  def multiSignificantTerms(spark: SparkSession,
+                            indices: Seq[(String, String)],
+                            terms: Seq[String], kTerms: Int,
+                            minDocCount: Long = 3L): DataFrame = {
     require(terms.nonEmpty, "significantTerms needs query terms")
-    val root = new java.io.File(rootDir)
-    val (nb, segs, _) = readManifest(root)
-    val nDocs = segs.filter(_.kind == "seg").map(_.nDocs).sum
-    val p = prunedPostings(spark, root, segs, terms, nb)
-    val dead = tombstones(spark, root, segs)
-    val hits = (dead match {
-      case Some(d) =>
-        p.join(d, Seq("doc_id", "seg"), "left_anti")
-      case None => p
-    }).select("doc_id").distinct()
-    val allLive = (dead match {
-      case Some(d) => segmentsRead(spark, root, segs)
-        .select("term", "doc_id", "seg")
-        .join(d, Seq("doc_id", "seg"), "left_anti")
-      case None => segmentsRead(spark, root, segs)
-        .select("term", "doc_id", "seg")
-    })
-    val fg = allLive.join(hits, Seq("doc_id"), "left_semi")
+    require(indices.nonEmpty, "need at least one index")
+    val perIndex = indices.map { case (name, rootDir) =>
+      val root = new java.io.File(rootDir)
+      val (nb, segs, _) = readManifest(root)
+      val nDocs = segs.filter(_.kind == "seg").map(_.nDocs).sum
+      val p = prunedPostings(spark, root, segs, qTerms(root, terms), nb)
+      val dead = tombstones(spark, root, segs)
+      val hits = (dead match {
+        case Some(d) =>
+          p.join(d, Seq("doc_id", "seg"), "left_anti")
+        case None => p
+      }).select("doc_id").distinct().withColumn("idx", lit(name))
+      val allLive = (dead match {
+        case Some(d) => segmentsRead(spark, root, segs)
+          .select("term", "doc_id", "seg")
+          .join(d, Seq("doc_id", "seg"), "left_anti")
+        case None => segmentsRead(spark, root, segs)
+          .select("term", "doc_id", "seg")
+      }).withColumn("idx", lit(name))
+      (nDocs, hits, allLive, dictFrame(spark, root, segs))
+    }
+    val nTotal = perIndex.map(_._1).sum
+    val hitsAll = perIndex.map(_._2).reduce(_ unionByName _)
+    val fg = perIndex.map { case (_, hits, allLive, _) =>
+      allLive.join(hits.drop("idx"), Seq("doc_id"), "left_semi")
+    }.reduce(_ unionByName _)
       .groupBy("term")
-      .agg(countDistinct(col("doc_id")).as("fg_count"))
-    val bg = dictFrame(spark, root, segs)
+      .agg(countDistinct(col("idx"), col("doc_id")).as("fg_count"))
+    val bg = perIndex.map(_._4).reduce(_ unionByName _)
       .groupBy("term").agg(sum("doc_freq").as("bg_count"))
     fg.join(bg, "term")
       .crossJoin(broadcast(
-        hits.agg(count(lit(1)).cast("double").as("fcnt"))))
+        hitsAll.agg(count(lit(1)).cast("double").as("fcnt"))))
       .withColumn("fgp",
         col("fg_count").cast("double") / col("fcnt"))
       .withColumn("bgp",
-        col("bg_count").cast("double") / lit(nDocs).cast("double"))
+        col("bg_count").cast("double") / lit(nTotal).cast("double"))
       .withColumn("score",
         (col("fgp") - col("bgp")) * (col("fgp") / col("bgp")))
       .filter(col("fg_count") >= lit(minDocCount) &&
@@ -594,7 +727,7 @@ object SegmentedIndex {
     require(terms.nonEmpty, "aggregations need at least one query term")
     val root = new java.io.File(rootDir)
     val (nb, segs, _) = readManifest(root)
-    val p = prunedPostings(spark, root, segs, terms, nb)
+    val p = prunedPostings(spark, root, segs, qTerms(root, terms), nb)
     val dead = tombstones(spark, root, segs)
     val hits = (dead match {
       case Some(d) =>
@@ -630,11 +763,25 @@ object SegmentedIndex {
   def facetStats(spark: SparkSession, rootDir: String,
                  terms: Seq[String], bucketField: String,
                  statField: String, kBuckets: Int): DataFrame =
-    hitFields(spark, rootDir, terms,
-      Seq(bucketField -> "value", statField -> "sv"),
-      requireNonNull = Seq("value"))
+    multiFacetStats(spark, Seq("" -> rootDir), terms, bucketField,
+      statField, kBuckets)
+
+  /** [[facetStats]] across several indices — the nested terms+stats
+    * agg under the (_index, _id) identity; per-role missing-field
+    * rules unchanged. */
+  def multiFacetStats(spark: SparkSession,
+                      indices: Seq[(String, String)],
+                      terms: Seq[String], bucketField: String,
+                      statField: String, kBuckets: Int): DataFrame = {
+    require(indices.nonEmpty, "need at least one index")
+    indices.map { case (name, root) =>
+      hitFields(spark, root, terms,
+        Seq(bucketField -> "value", statField -> "sv"),
+        requireNonNull = Seq("value"))
+        .withColumn("idx", lit(name))
+    }.reduce(_ unionByName _)
       .groupBy("value")
-      .agg(countDistinct(col("doc_id")).as("doc_count"),
+      .agg(countDistinct(col("idx"), col("doc_id")).as("doc_count"),
         min("sv").as("vmin"),
         max("sv").as("vmax"),
         sum("sv").as("vsum"),
@@ -644,6 +791,46 @@ object SegmentedIndex {
       .select("value", "doc_count", "vmin", "vmax", "vsum", "vavg")
       .orderBy(desc("doc_count"), asc("value"))
       .limit(kBuckets)
+  }
+
+  /** Family-wide aggregations — every facet family routed through
+    * [[familyRoots]] the way [[searchFamily]] already routes search:
+    * analytics over a rolled index family without manual fan-out
+    * (ES's `GET /<stem>-star/_search` with `aggs`). Because a document
+    * lives in exactly one family member, each aggregation equals the
+    * same aggregation over one combined index (the oracle pins
+    * [[familyStatsFacet]]; the others share the (_index, _id)
+    * identity argument of [[multiFacet]]). */
+  def familyFacet(spark: SparkSession, aliasPath: String,
+                  terms: Seq[String], field: String,
+                  kBuckets: Int): DataFrame =
+    multiFacet(spark, familyRoots(aliasPath), terms, field, kBuckets)
+
+  /** See [[familyFacet]]. */
+  def familyStatsFacet(spark: SparkSession, aliasPath: String,
+                       terms: Seq[String], field: String): DataFrame =
+    multiStatsFacet(spark, familyRoots(aliasPath), terms, field)
+
+  /** See [[familyFacet]]. */
+  def familyHistogramFacet(spark: SparkSession, aliasPath: String,
+                           terms: Seq[String], field: String,
+                           interval: Long): DataFrame =
+    multiHistogramFacet(spark, familyRoots(aliasPath), terms, field,
+      interval)
+
+  /** See [[familyFacet]]. */
+  def familyFacetStats(spark: SparkSession, aliasPath: String,
+                       terms: Seq[String], bucketField: String,
+                       statField: String, kBuckets: Int): DataFrame =
+    multiFacetStats(spark, familyRoots(aliasPath), terms, bucketField,
+      statField, kBuckets)
+
+  /** See [[familyFacet]]. */
+  def familySignificantTerms(spark: SparkSession, aliasPath: String,
+                             terms: Seq[String], kTerms: Int,
+                             minDocCount: Long = 3L): DataFrame =
+    multiSignificantTerms(spark, familyRoots(aliasPath), terms,
+      kTerms, minDocCount)
 
   /** Reindex — ES's `_reindex`: reads the source index's LIVE
     * `_source` rows (the stored fields — exactly what ES reindexes;
@@ -657,7 +844,8 @@ object SegmentedIndex {
     * Compose with [[setAlias]] for ES's zero-downtime swap: build the
     * destination, verify it, flip the alias. */
   def reindex(spark: SparkSession, srcDir: String, dstDir: String,
-              nBuckets: Int = 8): Unit = {
+              nBuckets: Int = 8,
+              analyzer: Option[String] = None): Unit = {
     val root = new java.io.File(srcDir)
     val (_, segs, _) = readManifest(root)
     val stored = storedFrame(spark, root, segs)
@@ -666,6 +854,11 @@ object SegmentedIndex {
         stored.join(dead, Seq("doc_id", "seg"), "left_anti")
       case None => stored
     }
+    // the destination's chain: the migration parameter, else the
+    // source's — committed first so a pre-existing destination's own
+    // chain wins inside append (the ES mapping contract)
+    createIndex(dstDir, nBuckets,
+      analyzer.getOrElse(analyzerNameOf(root)))
     append(spark, dstDir, live.drop("seg"), "reindex", nBuckets)
   }
 
@@ -673,10 +866,13 @@ object SegmentedIndex {
     * no segments, committed by the usual generation rename. Searches
     * answer zero hits; appends adopt the configured bucket count.
     * Idempotent — an existing index is left untouched. */
-  def createIndex(rootDir: String, nBuckets: Int = 8): Unit = {
+  def createIndex(rootDir: String, nBuckets: Int = 8,
+                  analyzer: String = Analyzer.Whitespace.name): Unit = {
     val root = new java.io.File(rootDir)
     root.mkdirs()
-    if (!hasManifest(root)) writeManifest(root, nBuckets, Seq.empty, 0L)
+    Analyzer.byName(analyzer) // fail loudly before committing
+    if (!hasManifest(root))
+      writeManifest(root, nBuckets, Seq.empty, 0L, Some(analyzer))
   }
 
   /** Rollover — ES's `_rollover`, the first step of every index
@@ -696,7 +892,8 @@ object SegmentedIndex {
     if (segs.filter(_.kind == "seg").map(_.nDocs).sum < maxDocs)
       return false
     val next = f"$stem-${n + 1}%06d"
-    createIndex(next, nb)
+    // the fresh family member inherits bucket count AND analyzer
+    createIndex(next, nb, analyzerNameOf(root))
     setAlias(aliasPath, next)
     true
   }
@@ -818,7 +1015,7 @@ object SegmentedIndex {
     require(terms.nonEmpty, "deleteByQuery needs at least one term")
     val root = new java.io.File(rootDir)
     val (nb, segs, _) = readManifest(root)
-    val p = prunedPostings(spark, root, segs, terms, nb)
+    val p = prunedPostings(spark, root, segs, qTerms(root, terms), nb)
     val hits = (tombstones(spark, root, segs) match {
       case Some(dead) =>
         p.join(dead, Seq("doc_id", "seg"), "left_anti")
@@ -846,9 +1043,10 @@ object SegmentedIndex {
     val delFp = graft.engine.Bucketing
       .fingerprint8("sx4del|upsert|" + batchKey)
     val delName = s"del=$delFp"
+    val an = readAnalyzer(root)
     val d = docs.persist()
     val stats = d.agg(count(lit(1)).as("n"),
-      sum(expr("bigint(size(split(text, ' ')))")).as("tl"))
+      sum(Analyzer.dl(an, "text")).as("tl"))
       .collect().head
     graft.engine.Bucketing.atomicStage(new java.io.File(root, delName)) {
       tmp => d.select(col("doc_id").cast("long"))
@@ -858,7 +1056,7 @@ object SegmentedIndex {
     }
     graft.engine.Bucketing.atomicStage(new java.io.File(root, segName)) {
       tmp =>
-        segPostings(d, nb).write.mode("overwrite")
+        segPostings(d, nb, an).write.mode("overwrite")
           .partitionBy("tb").parquet(tmp.getPath)
         writeStored(d, tmp, nb)
         writeDict(d.sparkSession, tmp, nb)
@@ -1023,7 +1221,7 @@ object SegmentedIndex {
                terms: Seq[String], k: Int): DataFrame = {
     val root = new java.io.File(rootDir)
     val (nb, segs) = readManifestAt(root, gen)
-    scoredHitsFor(spark, root, nb, segs, terms)
+    scoredHitsFor(spark, root, nb, segs, qTerms(root, terms))
       .orderBy(desc("score"), asc("doc_id"))
       .limit(k)
   }
@@ -1065,7 +1263,7 @@ object SegmentedIndex {
     val root = new java.io.File(rootDir)
     val (nb, segs, _) = readManifest(root)
     val nDocs = segs.filter(_.kind == "seg").map(_.nDocs).sum
-    val p = prunedPostings(spark, root, segs, terms, nb)
+    val p = prunedPostings(spark, root, segs, qTerms(root, terms), nb)
     val dfreq = p.groupBy("term").agg(count(lit(1)).as("doc_freq"))
     val live = tombstones(spark, root, segs) match {
       case Some(dead) =>
@@ -1086,13 +1284,20 @@ object SegmentedIndex {
                          terms: Seq[String]): DataFrame = {
     val root = new java.io.File(rootDir)
     val (nb, segs, _) = readManifest(root)
-    scoredHitsFor(spark, root, nb, segs, terms)
+    scoredHitsFor(spark, root, nb, segs, qTerms(root, terms))
   }
 
   /** [[scoredHits]] against an explicit (possibly pinned) manifest
     * view. */
   private def scoredHitsFor(spark: SparkSession, root: java.io.File,
       nb: Int, segs: Seq[Seg], terms: Seq[String]): DataFrame = {
+    if (terms.isEmpty) {
+      // a query that ANALYZES to nothing (all stopwords) matches
+      // nothing — ES's zero_terms_query:none default
+      import spark.implicits._
+      return Seq.empty[(Long, Double, Long)]
+        .toDF("doc_id", "score", "n_terms_hit")
+    }
     val nDocs = segs.filter(_.kind == "seg").map(_.nDocs).sum
     val p = prunedPostings(spark, root, segs, terms, nb)
     // df BEFORE tombstones — Lucene counts deleted docs' postings in
@@ -1164,12 +1369,24 @@ object SegmentedIndex {
       : DataFrame = {
     require(must.nonEmpty || should.nonEmpty,
       "boolSearch needs at least one scoring clause (must or should)")
-    val scoring = (must ++ should).distinct
     val root = new java.io.File(rootDir)
+    val an = readAnalyzer(root)
+    // each clause analyzes independently (ES analyzes every match
+    // clause with the field's analyzer); a clause whose terms are all
+    // stopwords simply vanishes — ES's zero_terms_query:none
+    val must2 = Analyzer.queryTerms(an, must)
+    val should2 = Analyzer.queryTerms(an, should)
+    val mustNot2 = Analyzer.queryTerms(an, mustNot)
+    val scoring = (must2 ++ should2).distinct
+    if (scoring.isEmpty) {
+      import spark.implicits._
+      return Seq.empty[(Long, Double, Long)]
+        .toDF("doc_id", "score", "n_terms_hit")
+    }
     val (nb, segs, _) = readManifest(root)
     val nDocs = segs.filter(_.kind == "seg").map(_.nDocs).sum
     val p = prunedPostings(spark, root, segs,
-      (scoring ++ mustNot).distinct, nb)
+      (scoring ++ mustNot2).distinct, nb)
     // df BEFORE tombstones (Lucene's stats phase), scoring terms only
     val dfreq = p.filter(col("term").isin(scoring: _*))
       .groupBy("term").agg(count(lit(1)).as("doc_freq"))
@@ -1181,19 +1398,19 @@ object SegmentedIndex {
     }
     // candidates: all-of-must, else any-of-should
     val cand0 =
-      if (must.nonEmpty)
-        live.filter(col("term").isin(must.distinct: _*))
+      if (must2.nonEmpty)
+        live.filter(col("term").isin(must2: _*))
           .groupBy("doc_id")
           .agg(countDistinct(col("term")).as("nm"))
-          .filter(col("nm") === lit(must.distinct.size.toLong))
+          .filter(col("nm") === lit(must2.size.toLong))
           .select("doc_id")
       else
-        live.filter(col("term").isin(should.distinct: _*))
+        live.filter(col("term").isin(should2: _*))
           .select("doc_id").distinct()
     val cand1 =
-      if (mustNot.isEmpty) cand0
+      if (mustNot2.isEmpty) cand0
       else cand0.join(
-        live.filter(col("term").isin(mustNot.distinct: _*))
+        live.filter(col("term").isin(mustNot2: _*))
           .select("doc_id").distinct(),
         Seq("doc_id"), "left_anti")
     val cand = rangeFilter match {
@@ -1237,11 +1454,15 @@ object SegmentedIndex {
     require(indices.nonEmpty, "multiSearch needs at least one index")
     require(indices.map(_._1).distinct.size == indices.size,
       "index names must be unique")
+    // federation analyzes with the FIRST index's chain — the lossless
+    // global-stats contract presumes a uniform analyzer across the
+    // federated indices (a rollover family always satisfies this)
+    val qs = qTerms(new java.io.File(indices.head._2), terms)
     val perIndex = indices.map { case (name, rootDir) =>
       val root = new java.io.File(rootDir)
       val (nb, segs, _) = readManifest(root)
       val nDocs = segs.filter(_.kind == "seg").map(_.nDocs).sum
-      val p = prunedPostings(spark, root, segs, terms, nb)
+      val p = prunedPostings(spark, root, segs, qs, nb)
       val live = tombstones(spark, root, segs) match {
         case Some(dead) =>
           p.join(dead, Seq("doc_id", "seg"), "left_anti")
@@ -1253,7 +1474,7 @@ object SegmentedIndex {
     val dfreq = perIndex.map(_._2).reduce(_ unionByName _)
       .groupBy("term").agg(count(lit(1)).as("doc_freq"))
     val liveAll = perIndex.map(_._3).reduce(_ unionByName _)
-    scoreLive(liveAll, dfreq, terms, nTotal,
+    scoreLive(liveAll, dfreq, qs, nTotal,
       keys = Seq("idx", "doc_id"))
       .orderBy(desc("score"), asc("idx"), asc("doc_id"))
       .limit(k)
@@ -1310,21 +1531,25 @@ object SegmentedIndex {
     * invisible in the (provably identical) output. */
   private[operators] def maxScoreSearchWithPlan(spark: SparkSession,
       rootDir: String, terms: Seq[String],
-      k: Int): (DataFrame, Seq[String], Double) = {
+      k: Int): (DataFrame, Seq[String], Double, () => Long) = {
     require(terms.nonEmpty, "maxScoreSearch needs at least one term")
+    import spark.implicits._
     val root = new java.io.File(rootDir)
+    val qs = qTerms(root, terms)
     val (nb, segs, _) = readManifest(root)
     val nDocs = segs.filter(_.kind == "seg").map(_.nDocs).sum
     // dictionary consult: (df, max_tf) per present query term
     val stats = dictFrame(spark, root, segs)
-      .filter(col("term").isin(terms: _*))
+      .filter(col("term").isin(qs: _*))
       .groupBy("term").agg(sum("doc_freq").as("df"),
         max("max_tf").as("mtf"))
       .collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-    if (stats.isEmpty)
-      return (search(spark, rootDir, terms, k), Seq.empty,
-        Double.NegativeInfinity)
+    if (stats.isEmpty) {
+      val out = search(spark, rootDir, terms, k)
+      return (out, Seq.empty, Double.NegativeInfinity,
+        () => out.count())
+    }
     val ub = stats.map { case (t, df, mtf) =>
       t -> mtf.toDouble * (nDocs.toDouble / df.toDouble) }.toMap
     val present = stats.map(_._1).toSeq.sorted
@@ -1340,7 +1565,7 @@ object SegmentedIndex {
     val cand1 = live.filter(col("term") === lit(topTerm))
       .select("doc_id").distinct()
     val kth = scoreLive(live.join(cand1, Seq("doc_id"), "left_semi"),
-        dfreq, terms, nDocs)
+        dfreq, qs, nDocs)
       .orderBy(desc("score"), asc("doc_id")).limit(k)
       .agg(min("score").as("kth"), count(lit(1)).as("n"))
       .collect().head
@@ -1357,10 +1582,37 @@ object SegmentedIndex {
     // phase 2: only documents matching an essential term are scored
     val cand = live.filter(col("term").isin(essential: _*))
       .select("doc_id").distinct()
-    (scoreLive(live.join(cand, Seq("doc_id"), "left_semi"),
-        dfreq, terms, nDocs)
+    // BLOCK-MAX refinement (Lucene's block-max MaxScore tier): a
+    // candidate in block b has score ≤ Σ_t bmax(t,b)·N/df(t) summed
+    // over the query terms WITH POSTINGS IN b (terms absent from the
+    // block contribute exactly 0, so the sum is a certified ceiling,
+    // strictly tighter than the per-term one) — a block whose ceiling
+    // cannot reach θ drops all its candidates before any aggregation.
+    // The impacts read is query-terms-sized; None (a pre-impacts
+    // segment layout) skips the refinement, exactness untouched.
+    val cand2 = impactsFrame(spark, root, segs) match {
+      case Some(imp) if theta > Double.NegativeInfinity =>
+        val dfs = stats.toSeq.map { case (t, df, _) => (t, df) }
+          .toDF("term", "df")
+        val keepBlocks = imp.filter(col("term").isin(present: _*))
+          .join(broadcast(dfs), "term")
+          .withColumn("ub", col("max_tf").cast("double") *
+            (lit(nDocs).cast("double") / col("df").cast("double")))
+          .groupBy("blk").agg(sum("ub").as("bsum"))
+          // the same conservative slack as the essential split: keep
+          // unless the ceiling is STRICTLY below θ beyond rounding
+          .filter(col("bsum") * lit(1 + 1e-9) >= lit(theta))
+          .select("blk")
+        cand.withColumn("blk",
+          floor(col("doc_id") / lit(ImpactBlockSize)).cast("long"))
+          .join(broadcast(keepBlocks), Seq("blk"), "left_semi")
+          .select("doc_id")
+      case _ => cand
+    }
+    (scoreLive(live.join(cand2, Seq("doc_id"), "left_semi"),
+        dfreq, qs, nDocs)
       .orderBy(desc("score"), asc("doc_id"))
-      .limit(k), essential, theta)
+      .limit(k), essential, theta, () => cand2.count())
   }
 
   /** Multi-term BM25 top-k over the segmented index — the production
@@ -1379,11 +1631,12 @@ object SegmentedIndex {
                terms: Seq[String], k: Int, k1: Double = 1.2,
                b: Double = 0.75): DataFrame = {
     val root = new java.io.File(rootDir)
+    val qs = qTerms(root, terms)
     val (nb, segs, gen) = readManifest(root)
     val nDocs = segs.filter(_.kind == "seg").map(_.nDocs).sum
     val totalLen = segs.filter(_.kind == "seg").map(_.totalLen).sum
-    val p = prunedPostings(spark, root, segs, terms, nb)
-      .filter(col("term").isin(terms: _*))
+    val p = prunedPostings(spark, root, segs, qs, nb)
+      .filter(col("term").isin(qs: _*))
     val dfreq = p.groupBy("term").agg(count(lit(1)).as("doc_freq"))
     val live = tombstones(spark, root, segs) match {
       case Some(dead) =>
@@ -1425,11 +1678,15 @@ object SegmentedIndex {
       "the exact rank_key derivation hardcodes k1=1.2, b=0.75 " +
         "(rationals 3/10, 9/10); generalize the integer key to change them")
     val root = new java.io.File(rootDir)
+    val qs = qTerms(root, Seq(term))
+    require(qs.nonEmpty,
+      s"'$term' analyzes to no term under the index's analyzer")
+    val qt = qs.head
     val (nb, segs, gen) = readManifest(root)
     val nDocs = segs.filter(_.kind == "seg").map(_.nDocs).sum
     val totalLen = segs.filter(_.kind == "seg").map(_.totalLen).sum
-    val p = prunedPostings(spark, root, segs, Seq(term), nb)
-      .filter(col("term") === lit(term))
+    val p = prunedPostings(spark, root, segs, Seq(qt), nb)
+      .filter(col("term") === lit(qt))
     val dfreq = p.agg(count(lit(1)).as("doc_freq"))
     val live = tombstones(spark, root, segs) match {
       case Some(dead) =>
@@ -1495,8 +1752,10 @@ object SegmentedIndex {
                    maxExpansions: Int = DefaultMaxDictExpansions)
       : DataFrame = {
     require(prefix.nonEmpty, "prefixSearch needs a non-empty prefix")
+    val px = Analyzer.normalize(
+      readAnalyzer(new java.io.File(rootDir)), prefix)
     constantScoreDictSearch(spark, rootDir,
-      _.filter(col("term").startsWith(prefix)), k, maxExpansions)
+      _.filter(col("term").startsWith(px)), k, maxExpansions)
   }
 
   /** Wildcard query — ES's `wildcard` (`*` any sequence, `?` exactly
@@ -1512,7 +1771,9 @@ object SegmentedIndex {
                      maxExpansions: Int = DefaultMaxDictExpansions)
       : DataFrame = {
     require(pattern.nonEmpty, "wildcardSearch needs a pattern")
-    val rx = "^" + pattern.flatMap {
+    val pat = Analyzer.normalize(
+      readAnalyzer(new java.io.File(rootDir)), pattern)
+    val rx = "^" + pat.flatMap {
       case '*' => ".*"
       case '?' => "."
       case c if "\\.[]{}()^$|+".contains(c) => "\\" + c
@@ -1536,8 +1797,10 @@ object SegmentedIndex {
                 k: Int): DataFrame = {
     val root = new java.io.File(rootDir)
     val (_, segs, _) = readManifest(root)
+    // multi-term queries NORMALIZE (lowercase), never stem — Lucene
+    val px = Analyzer.normalize(readAnalyzer(root), prefix)
     dictFrame(spark, root, segs)
-      .filter(col("term").startsWith(prefix))
+      .filter(col("term").startsWith(px))
       .groupBy("term").agg(sum("doc_freq").as("doc_freq"))
       .orderBy("term")
       .limit(k)
@@ -1630,6 +1893,10 @@ object SegmentedIndex {
       s"maxDist must be 1 or 2: $maxDist")
     import spark.implicits._
     val root = new java.io.File(rootDir)
+    // fuzzy is a multi-term query: NORMALIZE the literals (lowercase),
+    // never stem — Lucene's fuzzy rewrites against the raw dictionary
+    val an0 = readAnalyzer(root)
+    val qn = terms.map(Analyzer.normalize(an0, _)).distinct
     val (nb, segs, gen) = readManifest(root)
     val nDocs = segs.filter(_.kind == "seg").map(_.nDocs).sum
     // pass 1: dictionary walk over the per-segment TERM DICTIONARIES
@@ -1642,7 +1909,7 @@ object SegmentedIndex {
       if (maxDist == 2 && s.length >= 6)
         (del1(s) ++ del1(s).flatMap(del1)).distinct
       else del1(s)
-    val qv = terms.flatMap(t => variants(t).map(v => (t, v))).distinct
+    val qv = qn.flatMap(t => variants(t).map(v => (t, v))).distinct
       .toDF("q_term", "v")
     val cand = vocab
       .withColumn("v", explode(expr(Fuzzy.delAutoExpr("term", maxDist))))
@@ -1689,18 +1956,46 @@ object SegmentedIndex {
   def phraseSearch(spark: SparkSession, rootDir: String,
                    phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "phrase must have at least one term")
+    import spark.implicits._
     val root = new java.io.File(rootDir)
     val (nb, segs, gen) = readManifest(root)
-    val p = prunedPostings(spark, root, segs, phrase.distinct, nb)
+    // the query phrase analyzes with the index's chain, POSITIONS
+    // INCLUDED: a stopword inside the phrase leaves a GAP the match
+    // must respect — ES's match_phrase under the english analyzer
+    // ("the big apple" matches "big the apple"? no — big@1, apple@2
+    // after the stopword consumed position 0). Whitespace chain
+    // analyzes to dense offsets — the pre-analyzer behavior exactly.
+    val offsets = Analyzer
+      .analyzeText(readAnalyzer(root), phrase.mkString(" "))
+      .map { case (pos, t) => (t, pos) }
+    if (offsets.isEmpty)
+      return Seq.empty[(Long, Long, Long)]
+        .toDF("doc_id", "n_occurrences", "first_pos")
+    val terms = offsets.map(_._1).distinct
+    val p = prunedPostings(spark, root, segs, terms, nb)
     val live = tombstones(spark, root, segs) match {
       case Some(dead) =>
         p.join(dead, Seq("doc_id", "seg"), "left_anti")
       case None => p
     }
-    Search.phraseFromPostings(
-      live.select(col("doc_id"), col("term"),
-        explode(col("positions")).as("pos")),
-      phrase)
+    // the anchor-count core generalized to explicit (term, off)
+    // pairs: one term per position means each pair contributes at
+    // most one row per (doc, anchor), so count == |pairs| IS "every
+    // offset matched" — Search.phraseFromPostings' exact argument
+    val k = offsets.size
+    val offDf = offsets.toDF("term", "off")
+    live.select(col("doc_id"), col("term"),
+        explode(col("positions")).as("pos"))
+      .join(broadcast(offDf), "term")
+      .select(col("doc_id"), (col("pos") - col("off")).as("anchor"))
+      .filter(col("anchor") >= 0)
+      .groupBy("doc_id", "anchor")
+      .agg(count(lit(1)).as("n_hit"))
+      .filter(col("n_hit") === lit(k.toLong))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_occurrences"),
+        min("anchor").as("first_pos"))
+      .orderBy("doc_id")
   }
 
   /** Phrase-prefix query — ES's `match_phrase_prefix`, THE
@@ -1724,29 +2019,41 @@ object SegmentedIndex {
     require(prefix.nonEmpty, "needs a non-empty trailing prefix")
     import spark.implicits._
     val root = new java.io.File(rootDir)
+    val an = readAnalyzer(root)
     val (nb, segs, _) = readManifest(root)
+    // the leading terms analyze WITH positions (stopword gaps kept,
+    // like phraseSearch); the trailing prefix only NORMALIZES
+    // (multi-term queries are never stemmed), and its slot is the raw
+    // token position AFTER the leading text — gaps included
+    val leadOffsets = Analyzer.analyzeText(an, leading.mkString(" "))
+      .map { case (pos, t) => (t, pos) }
+    val prefixOff: Long =
+      if (leading.isEmpty) 0L
+      else (if (an == Analyzer.Whitespace) leading.size
+      else Analyzer.normalize(an, leading.mkString(" "))
+        .split(an.splitRx, -1).length).toLong
+    val px = Analyzer.normalize(an, prefix)
     // the ES cap (max_expansions, smallest terms first) applies
     // INSIDE the plan — the collect is bounded by construction, never
     // a vocabulary-fraction driver pull capped after the fact
     val expanded = dictFrame(spark, root, segs)
-      .filter(col("term").startsWith(prefix))
+      .filter(col("term").startsWith(px))
       .select("term").distinct()
       .orderBy("term").limit(maxExpansions)
       .as[String].collect().toSeq.sorted
     if (expanded.isEmpty)
       return Seq.empty[(Long, Long, Long)]
         .toDF("doc_id", "n_occurrences", "first_pos")
-    val all = (leading ++ expanded).distinct
+    val all = (leadOffsets.map(_._1) ++ expanded).distinct
     val p = prunedPostings(spark, root, segs, all, nb)
     val live = tombstones(spark, root, segs) match {
       case Some(dead) =>
         p.join(dead, Seq("doc_id", "seg"), "left_anti")
       case None => p
     }
-    val k = leading.size + 1
-    val offsets = (leading.zipWithIndex
-      .map { case (t, i) => (t, i.toLong) } ++
-      expanded.map(t => (t, (k - 1).toLong)))
+    val k = leadOffsets.size + 1
+    val offsets = (leadOffsets ++
+      expanded.map(t => (t, prefixOff)))
       .toDF("term", "off")
     live.select(col("doc_id"), col("term"),
         explode(col("positions")).as("pos"))
@@ -1970,9 +2277,10 @@ object SegmentedIndex {
         copied += 1
       }
     }
-    // the destination manifest advances its OWN generation chain
+    // the destination manifest advances its OWN generation chain but
+    // carries the SOURCE's analyzer (the snapshot is the same index)
     val destGen = if (hasManifest(dest)) readManifest(dest)._3 else 0L
-    writeManifest(dest, nb, segs, destGen)
+    writeManifest(dest, nb, segs, destGen, Some(analyzerNameOf(root)))
     copied
   }
 

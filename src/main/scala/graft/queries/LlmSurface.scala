@@ -43,7 +43,7 @@ object LlmSurface {
   def segIndexDir(s: SparkSession, d: String): String = {
     val root = new java.io.File(
       System.getProperty("java.io.tmpdir"),
-      "graft_segidx_sx4a_" +
+      "graft_segidx_sx5a_" +
         graft.engine.Bucketing.fingerprint8(d)).getPath
     val dd = docs(s, d).filter(col("doc_id") < 150)
     SegmentedIndex.append(s, root,
@@ -61,7 +61,7 @@ object LlmSurface {
   def segIndexPairDirs(s: SparkSession, d: String): (String, String) = {
     val stem = new java.io.File(
       System.getProperty("java.io.tmpdir"),
-      "graft_segidx_sx4a_" +
+      "graft_segidx_sx5a_" +
         graft.engine.Bucketing.fingerprint8(d)).getPath
     val dd = docs(s, d).filter(col("doc_id") < 150)
     val dl = dd.filter(col("doc_id") < 75)
@@ -75,11 +75,127 @@ object LlmSurface {
     (stem + "_l", stem + "_r")
   }
 
+  /** The staged ENGLISH-analyzed segmented index — [[segIndexDir]]'s
+    * exact lifecycle (two appends + one tombstone batch, same bounded
+    * corpus and `% 37` live-set rule) under the `english` analyzer
+    * chain (lowercase + Lucene stopwords + light stemmer), the
+    * fidelity tier matching what the ES the reference writes to does
+    * to every text field. Probe-only queries q202/q204 read it; the
+    * oracles mirror the chain in DuckDB SQL
+    * ([[graft.operators.Analyzer.stemSql]] is dialect-shared). */
+  def segIndexEnDir(s: SparkSession, d: String): String = {
+    val root = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      "graft_segidx_en_sx5a_" +
+        graft.engine.Bucketing.fingerprint8(d)).getPath
+    val dd = docs(s, d).filter(col("doc_id") < 150)
+    SegmentedIndex.append(s, root,
+      dd.filter(col("doc_id") % 5 =!= 0), "a", analyzer = "english")
+    SegmentedIndex.append(s, root,
+      dd.filter(col("doc_id") % 5 === 0), "b")
+    SegmentedIndex.delete(s, root,
+      dd.filter(col("doc_id") % 37 === 5).select("doc_id"), "d1")
+    root
+  }
+
+  /** The three CDC change batches every maintained-view roundtrip
+    * feeds — factored so the staged chain and the per-query oracles
+    * derive from ONE definition. */
+  private def chainBatch(base: DataFrame, i: Int): DataFrame = i match {
+    case 1 => base.filter(col("doc_id") % 11 === 3)
+        .withColumn("n_chars", col("n_chars") + lit(1000L))
+        .withColumn("op", lit("U"))
+      .unionByName(base.filter(col("doc_id") < 4)
+        .withColumn("doc_id", col("doc_id") + lit(5000000L))
+        .withColumn("op", lit("U")))
+      .unionByName(base.filter(col("doc_id") % 11 === 7)
+        .withColumn("op", lit("D")))
+    case 2 => base.filter(col("doc_id") % 11 === 5)
+        .withColumn("n_chars", col("n_chars") + lit(500L))
+        .withColumn("op", lit("U"))
+      .unionByName(base.filter(col("doc_id") < 2)
+        .withColumn("doc_id", col("doc_id") + lit(6000000L))
+        .withColumn("op", lit("U")))
+      .unionByName(base.filter(col("doc_id") % 11 === 3)
+        .withColumn("op", lit("D")))
+    case 3 => base.filter(col("doc_id") % 11 === 9)
+        .withColumn("n_chars", col("n_chars") + lit(250L))
+        .withColumn("op", lit("U"))
+      .unionByName(base.filter(col("doc_id") < 3)
+        .withColumn("doc_id", col("doc_id") + lit(7000000L))
+        .withColumn("op", lit("U")))
+      .unionByName(base.filter(col("doc_id") % 11 === 5)
+        .withColumn("op", lit("D")))
+  }
+
+  /** The STAGED maintained-view chain for a fixture — the write-once
+    * half of the q158/q163/q173/q177 roundtrips, mirroring
+    * [[segIndexDir]]'s posture: one shared 3-epoch summary chain +
+    * 2-epoch top-k chain instead of a per-invocation rebuild (the
+    * absorbs were the three slowest bench entries, rebuilt on every
+    * run). Probe queries pin their ORIGINAL semantics through the
+    * store's version parameter (q158/q177 read AT version 1 —
+    * time-travel is the layout's own feature); the one MUTATING
+    * query (q163's prune) clones the summary store driver-side
+    * first. Concurrency-safe: the chain builds in a temp sibling and
+    * publishes by ONE atomic rename, losers discard; a torn root
+    * (no `_COMPLETE`) is replaced, never adopted. Returns
+    * (logDir, summaryDir, viewLogDir, viewDir). */
+  def summaryChainDirs(s: SparkSession,
+                       d: String): (String, String, String, String) = {
+    val root = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      "graft_vchain_sx5a_" + graft.engine.Bucketing.fingerprint8(d))
+    if (!new java.io.File(root, "_COMPLETE").isFile) {
+      if (root.exists()) graft.engine.Bucketing.deleteTree(root)
+      val tmp = new java.io.File(root.getParentFile,
+        root.getName + ".tmp-" +
+          java.util.UUID.randomUUID().toString.take(8))
+      val base = docs(s, d).select("doc_id", "source", "n_chars")
+      val log = new java.io.File(tmp, "log").getPath
+      val sum = new java.io.File(tmp, "summary").getPath
+      val logv = new java.io.File(tmp, "logv").getPath
+      val view = new java.io.File(tmp, "view").getPath
+      (1 to 3).foreach { i =>
+        Pipeline.absorbSummaryBatch(chainBatch(base, i), base, log,
+          sum, "doc_id", "source", "n_chars", epoch = (i - 1).toLong)
+      }
+      (1 to 2).foreach { i =>
+        Pipeline.absorbTopKBatch(chainBatch(base, i), base, logv,
+          view, "doc_id", "source", "n_chars", k = 3,
+          epoch = (i - 1).toLong)
+      }
+      java.nio.file.Files.createFile(
+        new java.io.File(tmp, "_COMPLETE").toPath)
+      try graft.engine.Fs.renameNoReplace(tmp, root)
+      catch { case _: Throwable =>
+        graft.engine.Bucketing.deleteTree(tmp) // another builder won
+      }
+    }
+    (new java.io.File(root, "log").getPath,
+      new java.io.File(root, "summary").getPath,
+      new java.io.File(root, "logv").getPath,
+      new java.io.File(root, "view").getPath)
+  }
+
+  private def copyDirTree(from: java.io.File,
+                          to: java.io.File): Unit = {
+    if (from.isDirectory) {
+      to.mkdirs()
+      Option(from.listFiles()).toSeq.flatten
+        .foreach(f => copyDirTree(f, new java.io.File(to, f.getName)))
+    } else
+      java.nio.file.Files.copy(from.toPath, to.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** Stage hook for `SparkEntry.stage`: build the shared segment
     * indexes up front so query entries measure probe cost only. */
   def segIndexStage(s: SparkSession, d: String): Unit = {
     segIndexDir(s, d)
     segIndexPairDirs(s, d)
+    segIndexEnDir(s, d)
+    summaryChainDirs(s, d)
     ()
   }
 
@@ -330,6 +446,77 @@ object LlmSurface {
     "q201_terms_enum" -> ((s, d) =>
       // probe-only against the STAGED index (segIndexDir)
       SegmentedIndex.termsEnum(s, segIndexDir(s, d), "dat", k = 20)),
+
+    // --- ANALYZED search (the ES `standard`/`english` analyzer tier
+    //     — the fidelity gap closed: the ES the reference writes to
+    //     lowercases, strips punctuation and can stem/stop, so
+    //     "SPARK" and "spark" are ONE term there): query literals
+    //     analyze with the index's chain — case folds, 'the' drops
+    //     as a stopword, 'Joins' stems onto the indexed 'join' —
+    //     against the staged english-analyzed index; the oracle
+    //     mirrors the whole chain in DuckDB SQL, the stemmer CASE
+    //     shared verbatim between dialects (Analyzer.stemSql)
+    //     (SegmentedIndex.search + Analyzer) ---
+    "q202_analyzed_search" -> ((s, d) =>
+      // probe-only against the STAGED english index (segIndexEnDir)
+      SegmentedIndex.search(s, segIndexEnDir(s, d),
+        Seq("SPARK", "the", "Joins", "vector"), k = 20)),
+
+    // --- analyzer MIGRATION (ES's reindex-to-change-analyzer recipe,
+    //     the only way to change a field's analyzer there too): the
+    //     whitespace staged index reindexes into a fresh english
+    //     destination — live _source re-analyzed under the new chain,
+    //     tombstones dropped — and serving equals a from-scratch
+    //     english index over the live docs (the oracle computes
+    //     exactly that) (SegmentedIndex.reindex + Analyzer) ---
+    "q203_analyzer_reindex" -> ((s, d) => {
+      val dst = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        "graft_segidx_enrx_sx5a_" +
+          graft.engine.Bucketing.fingerprint8(d)).getPath
+      // source is the SHARED staged index — reindex only reads it
+      SegmentedIndex.reindex(s, segIndexDir(s, d), dst, nBuckets = 8,
+        analyzer = Some("english"))
+      SegmentedIndex.search(s, dst,
+        Seq("SPARK", "the", "Joins", "vector"), k = 20)
+    }),
+
+    // --- analyzed PHRASE with a stopword position gap (ES
+    //     match_phrase under the english analyzer): the query
+    //     'Sparks the Line' analyzes to spark@0, line@2 — 'the'
+    //     consumed position 1 — so only documents with exactly one
+    //     token between spark and line match; the oracle replays the
+    //     positional analysis in SQL (unnest + generate_subscripts)
+    //     (SegmentedIndex.phraseSearch + Analyzer) ---
+    "q204_analyzed_phrase" -> ((s, d) =>
+      // probe-only against the STAGED english index (segIndexEnDir)
+      SegmentedIndex.phraseSearch(s, segIndexEnDir(s, d),
+        Seq("Sparks", "the", "Line"))),
+
+    // --- FAMILY-WIDE aggregation (ES `aggs` on `GET /<stem>-*` —
+    //     analytics over a rolled index family without manual
+    //     fan-out): the q196 rollover family's stats aggregation
+    //     routes through familyRoots like searchFamily already does
+    //     for search, and equals the same stats over one combined
+    //     index — the oracle computes exactly that
+    //     (SegmentedIndex.familyStatsFacet) ---
+    "q205_family_stats" -> ((s, d) => {
+      val dir = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        "graft_rofs_" + graft.engine.Bucketing.fingerprint8(d) +
+          "_" + java.util.UUID.randomUUID().toString.take(8)).getPath
+      val stem = dir + "/logs"
+      val alias = dir + "/write-alias"
+      SegmentedIndex.createIndex(stem + "-000001")
+      SegmentedIndex.setAlias(alias, stem + "-000001")
+      val dd = docs(s, d).filter(col("doc_id") < 150)
+      SegmentedIndex.append(s, SegmentedIndex.resolveAlias(alias),
+        dd.filter(col("doc_id") < 100), "a")
+      SegmentedIndex.rollover(alias, maxDocs = 50L)
+      SegmentedIndex.append(s, SegmentedIndex.resolveAlias(alias),
+        dd.filter(col("doc_id") >= 100), "b")
+      SegmentedIndex.familyStatsFacet(s, alias, searchTerms, "n_chars")
+    }),
 
     // --- multi-index aggregation (ES `aggs` on a multi-index
     //     request — the read that makes rollover families usable for
@@ -1309,38 +1496,16 @@ object LlmSurface {
     "q158_summary_log" -> ((s, d) => {
       import graft.operators.Pipeline
       val base = docs(s, d).select("doc_id", "source", "n_chars")
-      // per-invocation scratch (q150's note: roundtrip state must not
-      // be shared across concurrent processes)
-      val scratch = new java.io.File(
-        System.getProperty("java.io.tmpdir"),
-        "graft_sl_" + graft.engine.Bucketing.fingerprint8(d) +
-          "_" + java.util.UUID.randomUUID().toString.take(8))
-      val logDir = new java.io.File(scratch, "log").getPath
-      val sumDir = new java.io.File(scratch, "summary").getPath
-      val b1 = base.filter(col("doc_id") % 11 === 3)
-          .withColumn("n_chars", col("n_chars") + lit(1000L))
-          .withColumn("op", lit("U"))
-        .unionByName(base.filter(col("doc_id") < 4)
-          .withColumn("doc_id", col("doc_id") + lit(5000000L))
-          .withColumn("op", lit("U")))
-        .unionByName(base.filter(col("doc_id") % 11 === 7)
-          .withColumn("op", lit("D")))
-      val b2 = base.filter(col("doc_id") % 11 === 5)
-          .withColumn("n_chars", col("n_chars") + lit(500L))
-          .withColumn("op", lit("U"))
-        .unionByName(base.filter(col("doc_id") < 2)
-          .withColumn("doc_id", col("doc_id") + lit(6000000L))
-          .withColumn("op", lit("U")))
-        .unionByName(base.filter(col("doc_id") % 11 === 3)
-          .withColumn("op", lit("D")))
-      Pipeline.absorbSummaryBatch(b1, base, logDir, sumDir,
-        "doc_id", "source", "n_chars", epoch = 0L)
-      Pipeline.absorbSummaryBatch(b2, base, logDir, sumDir,
-        "doc_id", "source", "n_chars", epoch = 1L)
-      val replayed = Pipeline.replayLog(s, base, logDir, "doc_id")
+      // probe-only against the STAGED chain (summaryChainDirs):
+      // version 1 of the shared 3-epoch store IS the 2-epoch summary
+      // this entry always pinned — reading it through the version
+      // parameter exercises the store's time travel on the way
+      val (logDir, sumDir, _, _) = summaryChainDirs(s, d)
+      val replayed = Pipeline.replayLog(s, base, logDir, "doc_id",
+          version = 2)
         .groupBy("source")
         .agg(count(lit(1)).as("rn"), sum("n_chars").as("rs"))
-      Pipeline.readSummary(s, sumDir)
+      Pipeline.readSummary(s, sumDir, version = 1L)
         .join(replayed, "source")
         .select(col("source"), col("n"), col("s"),
           (col("n") === col("rn") && col("s") === col("rs"))
@@ -1404,35 +1569,12 @@ object LlmSurface {
     //     filtered to the same groups (Pipeline.readSummaryGroups) ---
     "q177_summary_lookup" -> ((s, d) => {
       import graft.operators.Pipeline
-      val base = docs(s, d).select("doc_id", "source", "n_chars")
-      val scratch = new java.io.File(
-        System.getProperty("java.io.tmpdir"),
-        "graft_pl_" + graft.engine.Bucketing.fingerprint8(d) +
-          "_" + java.util.UUID.randomUUID().toString.take(8))
-      val logDir = new java.io.File(scratch, "log").getPath
-      val sumDir = new java.io.File(scratch, "summary").getPath
-      val b1 = base.filter(col("doc_id") % 11 === 3)
-          .withColumn("n_chars", col("n_chars") + lit(1000L))
-          .withColumn("op", lit("U"))
-        .unionByName(base.filter(col("doc_id") < 4)
-          .withColumn("doc_id", col("doc_id") + lit(5000000L))
-          .withColumn("op", lit("U")))
-        .unionByName(base.filter(col("doc_id") % 11 === 7)
-          .withColumn("op", lit("D")))
-      val b2 = base.filter(col("doc_id") % 11 === 5)
-          .withColumn("n_chars", col("n_chars") + lit(500L))
-          .withColumn("op", lit("U"))
-        .unionByName(base.filter(col("doc_id") < 2)
-          .withColumn("doc_id", col("doc_id") + lit(6000000L))
-          .withColumn("op", lit("U")))
-        .unionByName(base.filter(col("doc_id") % 11 === 3)
-          .withColumn("op", lit("D")))
-      Pipeline.absorbSummaryBatch(b1, base, logDir, sumDir,
-        "doc_id", "source", "n_chars", epoch = 0L)
-      Pipeline.absorbSummaryBatch(b2, base, logDir, sumDir,
-        "doc_id", "source", "n_chars", epoch = 1L)
+      // probe-only against the STAGED chain: the point lookup reads
+      // version 1 (the 2-epoch view this entry always pinned) — the
+      // version-pinned bucket read is ES's preference-pinned GET
+      val (_, sumDir, _, _) = summaryChainDirs(s, d)
       Pipeline.readSummaryGroups(s, sumDir, "source",
-          Seq("src3", "src17"))
+          Seq("src3", "src17"), version = 1L)
         .orderBy("source")
     }),
 
@@ -1473,32 +1615,8 @@ object LlmSurface {
     "q173_topk_log" -> ((s, d) => {
       import graft.operators.Pipeline
       val base = docs(s, d).select("doc_id", "source", "n_chars")
-      val scratch = new java.io.File(
-        System.getProperty("java.io.tmpdir"),
-        "graft_tl_" + graft.engine.Bucketing.fingerprint8(d) +
-          "_" + java.util.UUID.randomUUID().toString.take(8))
-      val logDir = new java.io.File(scratch, "log").getPath
-      val viewDir = new java.io.File(scratch, "view").getPath
-      val b1 = base.filter(col("doc_id") % 11 === 3)
-          .withColumn("n_chars", col("n_chars") + lit(1000L))
-          .withColumn("op", lit("U"))
-        .unionByName(base.filter(col("doc_id") < 4)
-          .withColumn("doc_id", col("doc_id") + lit(5000000L))
-          .withColumn("op", lit("U")))
-        .unionByName(base.filter(col("doc_id") % 11 === 7)
-          .withColumn("op", lit("D")))
-      val b2 = base.filter(col("doc_id") % 11 === 5)
-          .withColumn("n_chars", col("n_chars") + lit(500L))
-          .withColumn("op", lit("U"))
-        .unionByName(base.filter(col("doc_id") < 2)
-          .withColumn("doc_id", col("doc_id") + lit(6000000L))
-          .withColumn("op", lit("U")))
-        .unionByName(base.filter(col("doc_id") % 11 === 3)
-          .withColumn("op", lit("D")))
-      Pipeline.absorbTopKBatch(b1, base, logDir, viewDir,
-        "doc_id", "source", "n_chars", k = 3, epoch = 0L)
-      Pipeline.absorbTopKBatch(b2, base, logDir, viewDir,
-        "doc_id", "source", "n_chars", k = 3, epoch = 1L)
+      // probe-only against the STAGED chain's 2-epoch top-k tier
+      val (_, _, logDir, viewDir) = summaryChainDirs(s, d)
       val recomputed = Pipeline.topKView(
         Pipeline.replayLog(s, base, logDir, "doc_id"),
         "doc_id", "source", "n_chars", 3)
@@ -1525,44 +1643,16 @@ object LlmSurface {
     "q163_summary_retention" -> ((s, d) => {
       import graft.operators.Pipeline
       val base = docs(s, d).select("doc_id", "source", "n_chars")
-      // per-invocation scratch (q150's note: roundtrip state must not
-      // be shared across concurrent processes)
-      val scratch = new java.io.File(
+      // the prune MUTATES, so it runs on a per-invocation driver-side
+      // CLONE of the staged 3-epoch store (copying the bounded bucket
+      // dirs is far cheaper than re-running three absorbs); the log
+      // is read-only and shared
+      val (logDir, stagedSum, _, _) = summaryChainDirs(s, d)
+      val sumDir = new java.io.File(
         System.getProperty("java.io.tmpdir"),
         "graft_sr_" + graft.engine.Bucketing.fingerprint8(d) +
-          "_" + java.util.UUID.randomUUID().toString.take(8))
-      val logDir = new java.io.File(scratch, "log").getPath
-      val sumDir = new java.io.File(scratch, "summary").getPath
-      val b1 = base.filter(col("doc_id") % 11 === 3)
-          .withColumn("n_chars", col("n_chars") + lit(1000L))
-          .withColumn("op", lit("U"))
-        .unionByName(base.filter(col("doc_id") < 4)
-          .withColumn("doc_id", col("doc_id") + lit(5000000L))
-          .withColumn("op", lit("U")))
-        .unionByName(base.filter(col("doc_id") % 11 === 7)
-          .withColumn("op", lit("D")))
-      val b2 = base.filter(col("doc_id") % 11 === 5)
-          .withColumn("n_chars", col("n_chars") + lit(500L))
-          .withColumn("op", lit("U"))
-        .unionByName(base.filter(col("doc_id") < 2)
-          .withColumn("doc_id", col("doc_id") + lit(6000000L))
-          .withColumn("op", lit("U")))
-        .unionByName(base.filter(col("doc_id") % 11 === 3)
-          .withColumn("op", lit("D")))
-      val b3 = base.filter(col("doc_id") % 11 === 9)
-          .withColumn("n_chars", col("n_chars") + lit(250L))
-          .withColumn("op", lit("U"))
-        .unionByName(base.filter(col("doc_id") < 3)
-          .withColumn("doc_id", col("doc_id") + lit(7000000L))
-          .withColumn("op", lit("U")))
-        .unionByName(base.filter(col("doc_id") % 11 === 5)
-          .withColumn("op", lit("D")))
-      Pipeline.absorbSummaryBatch(b1, base, logDir, sumDir,
-        "doc_id", "source", "n_chars", epoch = 0L)
-      Pipeline.absorbSummaryBatch(b2, base, logDir, sumDir,
-        "doc_id", "source", "n_chars", epoch = 1L)
-      Pipeline.absorbSummaryBatch(b3, base, logDir, sumDir,
-        "doc_id", "source", "n_chars", epoch = 2L)
+          "_" + java.util.UUID.randomUUID().toString.take(8)).getPath
+      copyDirTree(new java.io.File(stagedSum), new java.io.File(sumDir))
       val pruned = Pipeline.pruneSummaries(sumDir, keepLast = 1)
       val left = Pipeline.summaryVersions(sumDir).size
       val replayed = Pipeline.replayLog(s, base, logDir, "doc_id")
@@ -2411,6 +2501,124 @@ object LlmSurface {
         |SELECT term, count(*)::BIGINT AS doc_freq FROM p
         |WHERE term LIKE 'dat%'
         |GROUP BY term ORDER BY term LIMIT 20""".stripMargin,
+
+    // q202: the whole english analyzer chain replayed in DuckDB —
+    // lowercase + regex split + stopword filter + the SHARED stemmer
+    // CASE (Analyzer.stemSql, dialect-portable by construction), then
+    // q165's scoring shape over the analyzed postings. The query
+    // literals ('SPARK', 'the', 'Joins', 'vector') analyze to
+    // (spark, join, vector) — pinned here as literals
+    "q202_analyzed_search" -> {
+      val anTerms = Seq("spark", "join", "vector")
+      val termList = anTerms.map(t => s"'$t'").mkString(", ")
+      val contribs = anTerms.map { t =>
+        s"sum(CASE WHEN term = '$t' THEN tf::DOUBLE * " +
+          "(n_docs / doc_freq::DOUBLE) ELSE 0.0::DOUBLE END)"
+      }
+      val stops = graft.operators.Analyzer.EnglishStopwords
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+         | toks AS (SELECT doc_id,
+         |   unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+         |   FROM d),
+         | an AS (SELECT doc_id, term FROM
+         |   (SELECT doc_id, ${graft.operators.Analyzer.stemSql("tok")}
+         |      AS term FROM toks)
+         |   WHERE term <> '' AND term NOT IN ($stops)),
+         | p AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM an
+         |   GROUP BY term, doc_id),
+         | dfreq AS (SELECT term, count(*)::BIGINT AS doc_freq FROM p
+         |   GROUP BY term),
+         | nd AS (SELECT count(*)::DOUBLE AS n_docs FROM d)
+         |SELECT doc_id, ${contribs.mkString(" + ")} AS score,
+         | count(*) AS n_terms_hit
+         |FROM p JOIN dfreq USING (term), nd
+         |WHERE term IN ($termList) AND doc_id % 37 <> 5
+         |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20"""
+        .stripMargin
+    },
+
+    // q203: the migrated destination equals a from-scratch english
+    // index over the LIVE docs — post-merge statistics (reindex drops
+    // tombstones), so the oracle's corpus is the live set itself
+    "q203_analyzer_reindex" -> {
+      val anTerms = Seq("spark", "join", "vector")
+      val termList = anTerms.map(t => s"'$t'").mkString(", ")
+      val contribs = anTerms.map { t =>
+        s"sum(CASE WHEN term = '$t' THEN tf::DOUBLE * " +
+          "(n_docs / doc_freq::DOUBLE) ELSE 0.0::DOUBLE END)"
+      }
+      val stops = graft.operators.Analyzer.EnglishStopwords
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH d AS (SELECT * FROM documents
+         |   WHERE doc_id < 150 AND doc_id % 37 <> 5),
+         | toks AS (SELECT doc_id,
+         |   unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+         |   FROM d),
+         | an AS (SELECT doc_id, term FROM
+         |   (SELECT doc_id, ${graft.operators.Analyzer.stemSql("tok")}
+         |      AS term FROM toks)
+         |   WHERE term <> '' AND term NOT IN ($stops)),
+         | p AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM an
+         |   GROUP BY term, doc_id),
+         | dfreq AS (SELECT term, count(*)::BIGINT AS doc_freq FROM p
+         |   GROUP BY term),
+         | nd AS (SELECT count(*)::DOUBLE AS n_docs FROM d)
+         |SELECT doc_id, ${contribs.mkString(" + ")} AS score,
+         | count(*) AS n_terms_hit
+         |FROM p JOIN dfreq USING (term), nd
+         |WHERE term IN ($termList)
+         |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20"""
+        .stripMargin
+    },
+
+    // q204: the positional analysis replayed — unnest +
+    // generate_subscripts recover (pos, tok) with stopword GAPS
+    // (filtered tokens keep consuming positions), then the
+    // anchor-count phrase core on offsets spark@0, line@2 (the
+    // query's analyzed form — 'the' consumed position 1)
+    "q204_analyzed_phrase" -> {
+      val stops = graft.operators.Analyzer.EnglishStopwords
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+         | toks AS (SELECT doc_id, unnest(l) AS tok,
+         |   generate_subscripts(l, 1) - 1 AS pos
+         |   FROM (SELECT doc_id,
+         |     string_split_regex(lower(text), '[^a-z0-9]+') AS l
+         |     FROM d)),
+         | an AS (SELECT doc_id, pos, term FROM
+         |   (SELECT doc_id, pos,
+         |      ${graft.operators.Analyzer.stemSql("tok")} AS term
+         |    FROM toks)
+         |   WHERE term <> '' AND term NOT IN ($stops)),
+         | offs AS (SELECT * FROM (VALUES ('spark', 0), ('line', 2))
+         |   AS t(term, off)),
+         | anch AS (SELECT doc_id, pos - off AS anchor
+         |   FROM an JOIN offs USING (term)
+         |   WHERE pos - off >= 0 AND doc_id % 37 <> 5),
+         | m AS (SELECT doc_id, anchor FROM anch
+         |   GROUP BY doc_id, anchor HAVING count(*) = 2)
+         |SELECT doc_id, count(*)::BIGINT AS n_occurrences,
+         | min(anchor)::BIGINT AS first_pos
+         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    // q205: the family-agg losslessness statement — the rolled
+    // family's stats equal q192's shape over the combined corpus
+    // (the family carries no tombstones, so no live filter)
+    "q205_family_stats" -> {
+      val termList = searchTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+         | p AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |       FROM d),
+         | hits AS (SELECT DISTINCT doc_id FROM p
+         |          WHERE term IN ($termList))
+         |SELECT count(*)::BIGINT AS n_docs,
+         | min(n_chars) AS vmin, max(n_chars) AS vmax,
+         | sum(n_chars)::BIGINT AS vsum,
+         | sum(n_chars)::DOUBLE / count(*)::DOUBLE AS vavg
+         |FROM d JOIN hits USING (doc_id)""".stripMargin
+    },
 
     // q200: the losslessness statement on the AGG side — the split
     // pair's facet equals q179's whole-corpus facet verbatim

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The analyzer's three mirrors must agree; this spec pins the COLUMN
+  * mirror against the DRIVER mirror token for token and position for
+  * position over adversarial text (the DuckDB oracle mirror is pinned
+  * by q202+'s hash-exact correctness rows). */
+class AnalyzerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val nasty = Seq(
+    "The Quick-Brown FOX, jumps; over 2 lazy dogs!!",
+    "running RUNNING ruNNing",
+    "cities ladies bodies ties s is us ss",
+    "masses classes address bus status analysis",
+    "wanted tested bed red fed branded",
+    "a an and are as at be but by for if in into is it",
+    "  leading and trailing  ",
+    "",
+    "no-stopwords-here-at-all",
+    "number9 x2 3d 42")
+
+  test("column mirror == driver mirror: terms AND positions, every " +
+    "chain, adversarial text") {
+    for (chain <- Seq(Analyzer.Whitespace, Analyzer.Standard,
+      Analyzer.English)) {
+      val got = nasty.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+        .select(col("doc_id"),
+          Analyzer.posTerms(chain, "text").as("pt"))
+        .as[(Long, Seq[(Long, String)])]
+        .collect().toMap
+      nasty.zipWithIndex.foreach { case (t, i) =>
+        assert(got(i.toLong) == Analyzer.analyzeText(chain, t),
+          s"chain=${chain.name} text='$t'")
+      }
+    }
+  }
+
+  test("the whitespace chain is bit-compatible with the pre-analyzer " +
+    "pipeline: posexplode(split(text, ' ')) exactly, empties included") {
+    val df = nasty.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val old = df.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+      .select(col("doc_id"), col("pos").cast("long"), col("term"))
+      .collect().toSeq
+    val neu = df.select(col("doc_id"),
+        explode(Analyzer.posTerms(Analyzer.Whitespace, "text")).as("pt"))
+      .select(col("doc_id"), col("pt.pos"), col("pt.term"))
+      .collect().toSeq
+    assert(neu == old)
+    // and dl == size(split(text, ' ')) — the pre-analyzer length
+    assert(df.select(Analyzer.dl(Analyzer.Whitespace, "text"))
+      .as[Long].collect().toSeq ==
+      df.select(expr("bigint(size(split(text, ' ')))"))
+        .as[Long].collect().toSeq)
+  }
+
+  test("stemmer rules: first-match-wins, guards exact") {
+    val cases = Seq(
+      "cities" -> "city", "ladies" -> "lady", "ties" -> "tie",
+      "running" -> "runn", "sing" -> "sing", "string" -> "str",
+      "wanted" -> "want", "bed" -> "bed", "red" -> "red",
+      "dogs" -> "dog", "mass" -> "mass", "bus" -> "bus",
+      "analysis" -> "analysis", "cats" -> "cat", "is" -> "is",
+      "as" -> "as", "gas" -> "gas")
+    cases.foreach { case (in, want) =>
+      assert(Analyzer.stemScala(in) == want, s"stem($in)")
+    }
+    // and the SQL mirror says the same thing
+    val got = cases.map(_._1).toDF("t")
+      .select(expr(Analyzer.stemSql("t"))).as[String].collect().toSeq
+    assert(got == cases.map(_._2))
+  }
+
+  test("queryTerms analyzes, drops stopwords, dedups; normalize " +
+    "lowercases only; byName fails loudly on unknown chains") {
+    val en = Analyzer.English
+    assert(Analyzer.queryTerms(en, Seq("The", "Running", "DOGS",
+      "dogs", "and")) == Seq("runn", "dog"))
+    assert(Analyzer.queryTerms(Analyzer.Whitespace,
+      Seq("The", "DOGS")) == Seq("The", "DOGS"))
+    assert(Analyzer.normalize(en, "RuNN*") == "runn*")
+    assert(Analyzer.normalize(Analyzer.Whitespace, "RuNN*") == "RuNN*")
+    intercept[IllegalArgumentException] {
+      Analyzer.byName("porter2")
+    }
+  }
+}

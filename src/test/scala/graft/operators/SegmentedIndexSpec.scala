@@ -362,14 +362,14 @@ class SegmentedIndexSpec extends SparkSpec {
     def pruned(ts: Seq[String], k: Int) =
       SegmentedIndex.maxScoreSearchWithPlan(spark, root, ts, k)
     // the pruning decision: filler drops out of the essential set
-    val (out, essential, theta) = pruned(Seq("rare", "filler"), 2)
+    val (out, essential, theta, _) = pruned(Seq("rare", "filler"), 2)
     assert(theta > 0.0)
     assert(essential == Seq("rare"),
       s"essential=$essential — filler must be non-essential")
     assert(out.as[(Long, Double, Long)].collect().toSeq ==
       exhaustive(Seq("rare", "filler"), 2))
     // no-threshold degradation (k > matching docs): all essential
-    val (out2, ess2, _) = pruned(Seq("rare", "filler"), 100)
+    val (out2, ess2, _, _) = pruned(Seq("rare", "filler"), 100)
     assert(ess2.toSet == Set("rare", "filler"))
     assert(out2.as[(Long, Double, Long)].collect().toSeq ==
       exhaustive(Seq("rare", "filler"), 100))
@@ -380,6 +380,36 @@ class SegmentedIndexSpec extends SparkSpec {
     assert(pruned(Seq("rare", "filler"), 3)._1
       .as[(Long, Double, Long)].collect().toSeq ==
       exhaustive(Seq("rare", "filler"), 3))
+  }
+
+  test("block-max impacts: on a block-skewed corpus the refinement " +
+    "scores strictly fewer docs than the essential split alone — " +
+    "results still exactly the exhaustive scorer's") {
+    // 'bb' is essential (its phase-1 θ comes from its own hot block:
+    // three tf-3 docs in block 0), so the TERM-level split keeps all
+    // 500 bb docs as candidates; but every other bb block holds only
+    // tf-1 docs whose block ceiling 1·(700/500)=1.4 sits far below
+    // θ=4.2, and the aa blocks' ceiling 3.5 also misses it — the
+    // BLOCK tier must cut the 500 candidates to the hot block's 3
+    val root = Files.createTempDirectory("graft-bmw").toString
+    val docs = (Seq(10L, 11L, 12L).map(i => (i, "bb bb bb"))
+      ++ (200L to 399L).map(i => (i, "aa"))
+      ++ (1000L to 1496L).map(i => (i, "bb")))
+      .toDF("doc_id", "text")
+    SegmentedIndex.append(spark, root, docs, "bm", nBuckets = 4)
+    val (out, essential, theta, scored) = SegmentedIndex
+      .maxScoreSearchWithPlan(spark, root, Seq("aa", "bb"), 3)
+    val exhaustive = SegmentedIndex
+      .search(spark, root, Seq("aa", "bb"), 3)
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(out.as[(Long, Double, Long)].collect().toSeq == exhaustive)
+    assert(exhaustive.map(_._1) == Seq(10L, 11L, 12L))
+    assert(theta > 0.0)
+    assert(essential == Seq("bb"),
+      s"essential=$essential — aa must be non-essential, bb essential")
+    val n = scored()
+    assert(n == 3L, s"block refinement scored $n docs — the 497 tf-1 " +
+      "bb docs' blocks must all be skipped")
   }
 
   test("bm25TopK on a one-segment index equals the ad-hoc scorer " +
@@ -574,6 +604,57 @@ class SegmentedIndexSpec extends SparkSpec {
       .as[(String, Long)].collect().toSeq == Seq(("data", 1L)))
   }
 
+  test("family-wide aggregations: stats/histogram/facetStats/" +
+    "significant-terms over a rolled family equal the combined " +
+    "single index — the rollover seam invisible to analytics") {
+    val dir = Files.createTempDirectory("graft-famagg").toString
+    val stem = dir + "/logs"
+    val alias = dir + "/write-alias"
+    SegmentedIndex.createIndex(stem + "-000001", nBuckets = 4)
+    SegmentedIndex.setAlias(alias, stem + "-000001")
+    val d = Seq(
+      (1L, "x a", "news", 10L),
+      (2L, "x b", "blog", 50L),
+      (3L, "y c", "news", 30L),
+      (4L, "x d", "news", 70L),
+      (5L, "x e", "wiki", 90L))
+      .toDF("doc_id", "text", "cat", "n")
+    SegmentedIndex.append(spark,
+      SegmentedIndex.resolveAlias(alias), d.filter(col("doc_id") <= 3),
+      "a")
+    assert(SegmentedIndex.rollover(alias, maxDocs = 3L))
+    SegmentedIndex.append(spark,
+      SegmentedIndex.resolveAlias(alias), d.filter(col("doc_id") > 3),
+      "b")
+    val all = Files.createTempDirectory("graft-famall").toString
+    SegmentedIndex.append(spark, all, d, "a", nBuckets = 4)
+    val q = Seq("x")
+    assert(SegmentedIndex.familyStatsFacet(spark, alias, q, "n")
+      .collect().toSeq ==
+      SegmentedIndex.statsFacet(spark, all, q, "n").collect().toSeq)
+    assert(SegmentedIndex.familyHistogramFacet(spark, alias, q, "n",
+      interval = 20L).collect().toSeq ==
+      SegmentedIndex.histogramFacet(spark, all, q, "n", 20L)
+        .collect().toSeq)
+    assert(SegmentedIndex.familyFacet(spark, alias, q, "cat", 10)
+      .collect().toSeq ==
+      SegmentedIndex.facet(spark, all, q, "cat", 10).collect().toSeq)
+    assert(SegmentedIndex.familyFacetStats(spark, alias, q, "cat", "n",
+      10).collect().toSeq ==
+      SegmentedIndex.facetStats(spark, all, q, "cat", "n", 10)
+        .collect().toSeq)
+    assert(SegmentedIndex.familySignificantTerms(spark, alias, q, 10,
+      minDocCount = 1L).collect().toSeq ==
+      SegmentedIndex.significantTerms(spark, all, q, 10, 1L)
+        .collect().toSeq)
+    // a tombstone in ONE family member flows through every family agg
+    SegmentedIndex.delete(spark, stem + "-000002",
+      Seq(5L).toDF("doc_id"), "dz")
+    assert(SegmentedIndex.familyStatsFacet(spark, alias, q, "n")
+      .as[(Long, Long, Long, Long, Double)].collect().head ==
+      ((3L, 10L, 70L, 130L, 130.0 / 3.0)))
+  }
+
   test("multiFacet: aggregation across a corpus split equals the " +
     "combined single index; per-index tombstones apply; the same " +
     "doc_id in two indices counts twice (the (_index,_id) identity)") {
@@ -732,18 +813,19 @@ class SegmentedIndexSpec extends SparkSpec {
       .toDF("doc_id", "text")
     SegmentedIndex.append(spark, root, docs, "bulk", nBuckets = 4)
     SegmentedIndex.delete(spark, root, (1L to 10L).toDF("doc_id"), "d1")
-    def planOf() = {
-      val q = SegmentedIndex.search(spark, root, Seq("x"), 100)
-      q.collect()
-      q.queryExecution.executedPlan.toString
-    }
+    // the gate decides the HINT (what the engine asks for), so assert
+    // on the optimized logical plan — at fixture scale AQE would
+    // broadcast a 10-row side with or without it
+    def hinted() = SegmentedIndex.search(spark, root, Seq("x"), 100)
+      .queryExecution.optimizedPlan.toString
+      .contains("strategy=broadcast")
     val want = SegmentedIndex.search(spark, root, Seq("x"), 100)
       .as[(Long, Double, Long)].collect().toSeq
-    assert(planOf().contains("BroadcastHashJoin"),
-      "a 10-row tombstone set must ride as a broadcast anti join")
+    assert(hinted(),
+      "a 10-row tombstone set must carry the broadcast hint")
     spark.conf.set("graft.tombstones.broadcastMaxRows", "5")
     try {
-      assert(!planOf().contains("BroadcastHashJoin"),
+      assert(!hinted(),
         "above the threshold the broadcast hint must drop")
       assert(SegmentedIndex.search(spark, root, Seq("x"), 100)
         .as[(Long, Double, Long)].collect().toSeq == want,
