@@ -448,7 +448,39 @@ object Explain {
       ("Nested terms+stats: ONE stored read (ReadSchema doc_id+" +
         "source+n_chars) feeds both the bucket and the stat role; " +
         "partial+final aggregation, top-k buckets by " +
-        "TakeOrderedAndProject."))
+        "TakeOrderedAndProject."),
+    "q184_prefix_search" ->
+      ("Constant-score dictionary walk with the collect CAPPED IN THE " +
+        "PLAN (r12): the expansion is a vocabulary-sized dictionary " +
+        "scan under orderBy(term).limit(cap+1) — a TakeOrderedAndProject" +
+        ", never an unbounded driver pull; the matched literals then " +
+        "prune the postings scan (`PartitionFilters: [tb IN …]`, " +
+        "`PushedFilters: [In(term, …)]`). Over-cap queries switch to " +
+        "a distributed LeftSemi on term (not in this plan — the " +
+        "fixture vocabulary is under the cap)."),
+    "q195_wildcard_search" ->
+      ("Wildcard automaton over the dictionary: same capped two-pass " +
+        "shape as q184 with an anchored-regex filter in pass 1; " +
+        "pass 2's scan shows the matched terms as literal pushdowns."),
+    "q197_phrase_prefix" ->
+      ("match_phrase_prefix: the ES max_expansions=50 cap rides " +
+        "INSIDE the plan (orderBy(term).limit), the anchor-count " +
+        "match reads only the involved terms' bucket-pruned postings " +
+        "with the (term, off) table as a broadcast."),
+    "q202_analyzed_search" ->
+      ("The english analyzer chain at ingest is pure codegen'd SQL " +
+        "functions (split/transform/filter inside WholeStageCodegen — " +
+        "no UDF anywhere); at query time the terms analyzed " +
+        "driver-side arrive as literals, so the postings scan still " +
+        "shows `PartitionFilters: [tb IN …]` + term IN pushdown — " +
+        "analysis costs the serving path nothing."),
+    "q178_maxscore" ->
+      ("MaxScore with BLOCK-MAX refinement (r13): the dictionary " +
+        "consult and the per-block impacts read are both " +
+        "query-terms-sized; candidates join a broadcast kept-blocks " +
+        "list on blk = doc_id/128 before any aggregation — documents " +
+        "in blocks whose ceiling cannot reach θ never reach the " +
+        "scorer."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

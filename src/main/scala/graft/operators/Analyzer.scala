@@ -176,4 +176,23 @@ object Analyzer {
     * `running`, which stemming the PATTERN would break. */
   def normalize(c: Chain, s: String): String =
     if (c.lowercase) s.toLowerCase else s
+
+  /** The PER-TOKEN analyzed form as a SQL fragment over the
+    * expression `t` (lowercase + stem, NO stopword filter) — what a
+    * position-aligned highlighter applies to each display token to
+    * decide whether it matches an analyzed query term. */
+  def termSql(c: Chain, t: String): String = {
+    val lowered = if (c.lowercase) s"lower($t)" else t
+    if (c.stem) stemSql(lowered) else lowered
+  }
+
+  /** CASE-PRESERVING display split regex, position-aligned with the
+    * chain's own split: lowercasing maps [A-Z] into [a-z] and leaves
+    * every other character fixed (ASCII scope), so
+    * `split(text, rawSplitRx)` and `split(lower(text), splitRx)`
+    * produce equal-length arrays with `lower(raw[i]) == lowered[i]`
+    * — the alignment a highlighter needs to mark ORIGINAL tokens at
+    * analyzed match positions. */
+  def rawSplitRx(c: Chain): String =
+    if (c == Whitespace) " " else c.splitRx.replace("a-z", "a-zA-Z")
 }

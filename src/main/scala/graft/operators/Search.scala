@@ -790,4 +790,43 @@ object Search {
       .orderBy(desc("rrf_score"), asc("doc_id"))
       .limit(k)
   }
+
+  /** Percolation — ES's percolator, search REVERSED: queries are
+    * registered up front and each incoming document reports which
+    * registered queries it matches (the alerting/routing/
+    * saved-search primitive). `queries` is (query_id, qtext); a
+    * document matches when EVERY analyzed term of the query's text
+    * appears in the document's analyzed term set (ES's `match` with
+    * `operator: and` — the alerting default; an all-stopword query
+    * matches nothing, zero_terms_query:none).
+    *
+    * Scale shape: both sides tokenize once (codegen'd analyzer SQL),
+    * distinct to (id, term), and meet in ONE equi-join on `term` —
+    * batch×registry only through shared vocabulary, never a cross
+    * product; the conjunction check is a count aggregation against
+    * the query's term count. At 10^5 registered alerts over a
+    * streaming batch this is a broadcast-sized build side. Output:
+    * (doc_id, query_id), both ascending. */
+  def percolate(docs: DataFrame, queries: DataFrame,
+                an: Analyzer.Chain = Analyzer.Whitespace): DataFrame = {
+    val qTerms = queries
+      .select(col("query_id"),
+        explode(Analyzer.posTerms(an, "qtext")).as("pt"))
+      .select(col("query_id"), col("pt.term").as("term"))
+      .distinct()
+    val qSizes = qTerms.groupBy("query_id")
+      .agg(count(lit(1)).as("n_q_terms"))
+    val docTerms = docs
+      .select(col("doc_id"),
+        explode(Analyzer.posTerms(an, "text")).as("pt"))
+      .select(col("doc_id"), col("pt.term").as("term"))
+      .distinct()
+    docTerms.join(qTerms, "term")
+      .groupBy("doc_id", "query_id")
+      .agg(count(lit(1)).as("n_hit"))
+      .join(qSizes, "query_id")
+      .filter(col("n_hit") === col("n_q_terms"))
+      .select("doc_id", "query_id")
+      .orderBy("doc_id", "query_id")
+  }
 }

@@ -480,6 +480,59 @@ object SegmentedIndex {
       hlTerms, window)
   }
 
+  /** ANALYZED highlighting — ES's unified highlighter behavior on an
+    * analyzed index: a display token is marked when its ANALYZED form
+    * equals an analyzed query term, so the query `run` marks the
+    * original-case token `Running` exactly as ES does (the raw-token
+    * marker of [[highlight]] would miss it). The display tokens come
+    * from the CASE-PRESERVING split ([[Analyzer.rawSplitRx]] —
+    * position-aligned with the chain's own split by construction),
+    * and the per-token analysis is the same codegen'd SQL the ingest
+    * runs, applied to the k fetched rows only. On a whitespace index
+    * this is bit-identical to [[highlight]] (the spec pins it).
+    * Output: (doc_id, pos, n_hits, snippet) — [[Search.highlight]]'s
+    * schema and window semantics (pos 1-based first hit, snippet the
+    * ±window tokens with hits bracketed, n_hits doc-wide). */
+  def highlightPositional(spark: SparkSession, rootDir: String,
+                          terms: Seq[String], k: Int,
+                          window: Int = 3): DataFrame = {
+    import spark.implicits._
+    val root = new java.io.File(rootDir)
+    val an = readAnalyzer(root)
+    val qs = qTerms(root, terms)
+    if (qs.isEmpty)
+      return Seq.empty[(Long, Long, Long, String)]
+        .toDF("doc_id", "pos", "n_hits", "snippet")
+    val (_, segs, _) = readManifest(root)
+    val top = search(spark, rootDir, terms, k).select("doc_id")
+    val stored = storedFrame(spark, root, segs)
+    val live = tombstones(spark, root, segs) match {
+      case Some(dead) =>
+        stored.join(dead, Seq("doc_id", "seg"), "left_anti")
+      case None => stored
+    }
+    val arr = qs.map(t => s"'$t'").mkString(", ")
+    val w = 2 * window + 1
+    live.join(broadcast(top), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("text"))
+      .withColumn("toks",
+        expr(s"split(text, '${Analyzer.rawSplitRx(an)}')"))
+      .withColumn("marks", expr(
+        s"transform(toks, t -> array_contains(array($arr), " +
+          s"${Analyzer.termSql(an, "t")}))"))
+      .withColumn("pos", expr("bigint(array_position(marks, true))"))
+      .filter(col("pos") > 0)
+      .withColumn("lo", greatest(lit(1L), col("pos") - window))
+      .withColumn("snippet", expr(
+        s"concat_ws(' ', zip_with(slice(toks, int(lo), $w), " +
+          s"slice(marks, int(lo), $w), " +
+          "(t, m) -> if(m, concat('[', t, ']'), t)))"))
+      .withColumn("n_hits",
+        expr("bigint(size(filter(marks, m -> m)))"))
+      .select("doc_id", "pos", "n_hits", "snippet")
+      .orderBy("doc_id")
+  }
+
   /** Terms AGGREGATION over a query's full hit set — ES's
     * `aggs: { terms: { field } }`, the other half of every search
     * request: documents matching ANY query term (live — tombstoned
@@ -747,6 +800,157 @@ object SegmentedIndex {
     }
     liveStored.join(hits, Seq("doc_id"), "left_semi")
       .select(col("doc_id") +: fields.map(f => col(f._2)): _*)
+  }
+
+  /** More-like-this — ES's `more_like_this` query, the related-items
+    * read every content site serves: the INPUT DOCUMENT's own terms,
+    * ranked by tf·idf within it, become the query (ES's exact
+    * algorithm: pick the doc's `max_query_terms` most interesting
+    * terms gated by `min_doc_freq`, then run them as a disjunction,
+    * excluding the document itself).
+    *
+    * Term selection is IN-PLAN bounded (orderBy + limit before the
+    * collect — at most `maxQueryTerms` strings reach the driver, the
+    * dictionary-walk posture) and the selected terms feed the scorer
+    * as literals, so the serving read is the usual bucket-pruned
+    * posting lists. The selected terms are ALREADY index vocabulary —
+    * they bypass query-side analysis (re-stemming a stemmed term is
+    * not an identity; ES's MLT builds term queries for the same
+    * reason).
+    *
+    * The ranking key is EXACT-INTEGER (the rank-certificate pattern):
+    * score_key = Σ_t tf_t · (N·D/df_t) with D = Π df over the
+    * selected terms — each weight N·D/df_t is an exact integer (df_t
+    * divides D), addends stay far under 2^53 at the bounded corpus,
+    * and integer sums are order-free, which is what keeps a
+    * data-dependent term set on the DuckDB-hash oracle surface
+    * (a per-term fixed-order double pivot needs literal terms).
+    * Output: (doc_id, score_key, n_terms_hit), top-k by
+    * (score_key desc, doc_id). */
+  def moreLikeThis(spark: SparkSession, rootDir: String, docId: Long,
+                   k: Int, maxQueryTerms: Int = 5,
+                   minDocFreq: Long = 2L): DataFrame = {
+    import spark.implicits._
+    val root = new java.io.File(rootDir)
+    val (nb, segs, _) = readManifest(root)
+    val nDocs = segs.filter(_.kind == "seg").map(_.nDocs).sum
+    // the doc's live term vector, joined to the dictionary df
+    // (pre-tombstone, the stats phase); selection collects at most
+    // maxQueryTerms rows BY CONSTRUCTION
+    val tv = termVectors(spark, root.getPath, docId)
+      .select(col("term"), col("tf"))
+    val dfreq = dictFrame(spark, root, segs)
+      .groupBy("term").agg(sum("doc_freq").as("df"))
+    val selected = tv.join(dfreq, "term")
+      .filter(col("df") >= lit(minDocFreq))
+      .orderBy((col("tf").cast("double") *
+        (lit(nDocs).cast("double") / col("df").cast("double"))).desc,
+        col("term").asc)
+      .limit(maxQueryTerms)
+      .select("term", "df")
+      .as[(String, Long)].collect().toSeq
+    if (selected.isEmpty)
+      return Seq.empty[(Long, Long, Long)]
+        .toDF("doc_id", "score_key", "n_terms_hit")
+    val dProd = selected.map(_._2).product
+    val weights = selected.map { case (t, df) =>
+      (t, nDocs * dProd / df) }.toDF("term", "w")
+    val p = prunedPostings(spark, root, segs, selected.map(_._1), nb)
+    val live = tombstones(spark, root, segs) match {
+      case Some(dead) =>
+        p.join(dead, Seq("doc_id", "seg"), "left_anti")
+      case None => p
+    }
+    live.filter(col("doc_id") =!= lit(docId))
+      .join(broadcast(weights), "term")
+      .groupBy("doc_id")
+      .agg(sum(col("tf") * col("w")).as("score_key"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy(desc("score_key"), asc("doc_id"))
+      .limit(k)
+  }
+
+  /** Term suggester — ES's `suggest.term` (the "did you mean"):
+    * dictionary terms within the Lucene-AUTO edit allowance of the
+    * NORMALIZED input (≤ 2 edits for inputs of length ≥ 6, else 1 —
+    * [[fuzzySearch]]'s exact allowance, with [[graft.operators
+    * .Fuzzy]]'s recall-1 SymSpell blocking so the walk reads the
+    * vocabulary-sized dictionaries, never a cross product), ranked
+    * the way ES ranks suggestions: distance ascending, then document
+    * frequency descending (dictionary phase — tombstoned docs count
+    * until merge, ES's own suggester caveat), then term. Output:
+    * (term, dist, doc_freq), first k. */
+  def termSuggest(spark: SparkSession, rootDir: String, input: String,
+                  k: Int, maxDist: Int = 2): DataFrame = {
+    require(maxDist == 1 || maxDist == 2,
+      s"maxDist must be 1 or 2: $maxDist")
+    import spark.implicits._
+    val root = new java.io.File(rootDir)
+    val (_, segs, _) = readManifest(root)
+    val q = Analyzer.normalize(readAnalyzer(root), input)
+    def del1(s: String): Seq[String] =
+      s +: s.indices.map(i => s.take(i) + s.drop(i + 1))
+    val variants =
+      (if (maxDist == 2 && q.length >= 6)
+        (del1(q) ++ del1(q).flatMap(del1)).distinct
+      else del1(q)).toDF("v")
+    val allow =
+      if (q.length >= 6) math.min(maxDist, 2) else 1
+    dictFrame(spark, root, segs)
+      .groupBy("term").agg(sum("doc_freq").as("doc_freq"))
+      .withColumn("v", explode(expr(Fuzzy.delAutoExpr("term", maxDist))))
+      .join(broadcast(variants), "v")
+      .withColumn("dist", levenshtein(col("term"), lit(q)).cast("long"))
+      .filter(col("dist") <= lit(allow.toLong))
+      .select("term", "dist", "doc_freq").distinct()
+      .orderBy(asc("dist"), desc("doc_freq"), asc("term"))
+      .limit(k)
+  }
+
+  /** Range aggregation — ES's `aggs.range` with explicit bounds:
+    * every REQUESTED range appears in the output (zero-count ranges
+    * included — ES returns all requested buckets), `from` inclusive,
+    * `to` exclusive (ES's rule), over the live hit set's stored
+    * field. The bounds ride as a broadcast literal frame into a
+    * range-condition join — O(hits × |ranges|) comparisons, never a
+    * shuffle by range. Output: (range_from, range_to, doc_count),
+    * from-ascending. */
+  def rangeFacet(spark: SparkSession, rootDir: String,
+                 terms: Seq[String], field: String,
+                 ranges: Seq[(Long, Long)]): DataFrame = {
+    require(ranges.nonEmpty, "rangeFacet needs at least one range")
+    import spark.implicits._
+    val bounds = ranges.toDF("range_from", "range_to")
+    val vals = hitFieldValues(spark, rootDir, terms, field)
+    bounds.join(vals,
+        col("value") >= col("range_from") &&
+          col("value") < col("range_to"), "left")
+      .groupBy("range_from", "range_to")
+      .agg(count(col("doc_id")).as("doc_count"))
+      .orderBy("range_from", "range_to")
+  }
+
+  /** Top-hits sub-aggregation — ES's `aggs.terms` + `top_hits`, the
+    * "best N per category" read: the live hit set buckets by a
+    * stored field and each bucket keeps its `perBucket` TOP-SCORED
+    * documents under the (score desc, doc_id) total order — a
+    * partitioned window over the scored hits joined to the
+    * column-pruned doc-values read, never a per-bucket query
+    * fan-out. Documents missing the field drop (ES's bucket rule).
+    * Output: (value, doc_id, score, rank), (value asc, rank). */
+  def topHitsFacet(spark: SparkSession, rootDir: String,
+                   terms: Seq[String], field: String,
+                   perBucket: Int): DataFrame = {
+    val scored = scoredHits(spark, rootDir, terms)
+    val vals = hitFieldValues(spark, rootDir, terms, field)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("value")
+      .orderBy(desc("score"), asc("doc_id"))
+    scored.join(vals, "doc_id")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= perBucket)
+      .select("value", "doc_id", "score", "rank")
+      .orderBy(asc("value"), asc("rank"))
   }
 
   /** Sub-aggregation — ES's nested

@@ -518,6 +518,79 @@ object LlmSurface {
       SegmentedIndex.familyStatsFacet(s, alias, searchTerms, "n_chars")
     }),
 
+    // --- more-like-this (ES `more_like_this` — the related-items
+    //     read): the input doc's own top tf·idf terms (in-plan
+    //     bounded selection, min_doc_freq gate) become the query,
+    //     the doc itself excluded; exact-integer rank key keeps the
+    //     data-dependent term set on the oracle surface
+    //     (SegmentedIndex.moreLikeThis) ---
+    "q206_more_like_this" -> ((s, d) =>
+      // probe-only against the STAGED index (segIndexDir)
+      SegmentedIndex.moreLikeThis(s, segIndexDir(s, d), docId = 7L,
+        k = 20)),
+
+    // --- term suggester (ES `suggest.term` — "did you mean"):
+    //     dictionary terms within the Lucene-AUTO edit allowance of
+    //     the input, SymSpell-blocked (recall-1), ranked distance
+    //     asc, df desc, term asc — df in the dictionary phase
+    //     (tombstoned docs count until merge, ES's documented
+    //     suggester caveat) (SegmentedIndex.termSuggest) ---
+    "q207_term_suggest" -> ((s, d) =>
+      // probe-only against the STAGED index (segIndexDir)
+      SegmentedIndex.termSuggest(s, segIndexDir(s, d), "vectro",
+        k = 5)),
+
+    // --- range aggregation (ES `aggs.range` with explicit bounds):
+    //     every REQUESTED range in the output — zero-count ranges
+    //     included (ES returns all requested buckets), from
+    //     inclusive / to exclusive, over the live hit set
+    //     (SegmentedIndex.rangeFacet) ---
+    "q208_range_agg" -> ((s, d) =>
+      // probe-only against the STAGED index (segIndexDir)
+      SegmentedIndex.rangeFacet(s, segIndexDir(s, d), searchTerms,
+        "n_chars", Seq((0L, 100L), (100L, 200L), (200L, 300L),
+          (300L, 100000L), (100000L, 200000L)))),
+
+    // --- percolation (ES percolator — search REVERSED: registered
+    //     queries, incoming documents report which they match; the
+    //     alerting/saved-search primitive): conjunction semantics
+    //     (match with operator:and), one term equi-join — batch ×
+    //     registry only through shared vocabulary (Search.percolate)
+    //     ---
+    "q209_percolate" -> ((s, d) => {
+      import s.implicits._
+      val registered = Seq(
+        (1L, "spark join"),
+        (2L, "vector"),
+        (3L, "spark nosuchterm"),
+        (4L, "the a")).toDF("query_id", "qtext")
+      Search.percolate(
+        docs(s, d).filter(col("doc_id") < 150)
+          .select("doc_id", "text"),
+        registered)
+    }),
+
+    // --- ANALYZED highlighting (ES's unified highlighter on an
+    //     analyzed index): a display token marks when its ANALYZED
+    //     form equals an analyzed query term — 'Joins' in the query
+    //     stems onto the corpus token 'join', case preserved in the
+    //     snippet; k covers every live hit so the oracle replays the
+    //     full hit set (SegmentedIndex.highlightPositional) ---
+    "q211_analyzed_highlight" -> ((s, d) =>
+      // probe-only against the STAGED english index (segIndexEnDir)
+      SegmentedIndex.highlightPositional(s, segIndexEnDir(s, d),
+        Seq("SPARK", "Joins", "vector"), k = 500)),
+
+    // --- top-hits sub-aggregation (ES `aggs.terms` + `top_hits` —
+    //     "best N per category"): per-source top-2 scored hits via
+    //     ONE partitioned window over the scored hit set joined to
+    //     the doc-values read, never a per-bucket query fan-out
+    //     (SegmentedIndex.topHitsFacet) ---
+    "q210_top_hits" -> ((s, d) =>
+      // probe-only against the STAGED index (segIndexDir)
+      SegmentedIndex.topHitsFacet(s, segIndexDir(s, d), searchTerms,
+        "source", perBucket = 2)),
+
     // --- multi-index aggregation (ES `aggs` on a multi-index
     //     request — the read that makes rollover families usable for
     //     analytics): the corpus-split pair aggregates exactly like
@@ -2601,6 +2674,153 @@ object LlmSurface {
          |SELECT doc_id, count(*)::BIGINT AS n_occurrences,
          | min(anchor)::BIGINT AS first_pos
          |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    // q206: MLT replayed — doc 7's term vector joins the
+    // pre-tombstone df, top-5 by tf·(N/df) (df ≥ 2), and the exact
+    // integer rank key Σ tf·(N·D/df) over the selected terms (D =
+    // Π df — every weight an exact integer, integer sums order-free,
+    // which is what keeps the data-dependent term set hash-exact)
+    "q206_more_like_this" ->
+      """WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+        | p AS (SELECT term, doc_id, count(*)::BIGINT AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |        FROM d) GROUP BY term, doc_id),
+        | dfreq AS (SELECT term, count(*)::BIGINT AS df FROM p
+        |   GROUP BY term),
+        | nd AS (SELECT count(*)::BIGINT AS n_docs FROM d),
+        | tv AS (SELECT term, tf FROM p WHERE doc_id = 7),
+        | sel AS (SELECT term, df FROM tv JOIN dfreq USING (term), nd
+        |   WHERE df >= 2
+        |   ORDER BY tf::DOUBLE * (n_docs::DOUBLE / df::DOUBLE) DESC,
+        |     term LIMIT 5),
+        | dp AS (SELECT CAST(product(df::DOUBLE) AS BIGINT) AS dprod
+        |   FROM sel),
+        | w AS (SELECT term,
+        |   ((SELECT n_docs FROM nd) * (SELECT dprod FROM dp)) // df
+        |     AS w FROM sel)
+        |SELECT doc_id, sum(tf * w)::BIGINT AS score_key,
+        | count(*) AS n_terms_hit
+        |FROM p JOIN w USING (term)
+        |WHERE doc_id <> 7 AND doc_id % 37 <> 5
+        |GROUP BY doc_id ORDER BY score_key DESC, doc_id LIMIT 20"""
+        .stripMargin,
+
+    // q207: the suggester replayed as a FULL-SCAN levenshtein filter
+    // — the engine's SymSpell blocking is recall-1 (Fuzzy's proof),
+    // so the pruned walk must equal the exhaustive scan exactly
+    "q207_term_suggest" ->
+      """WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+        | dict AS (SELECT term, count(*)::BIGINT AS doc_freq FROM
+        |   (SELECT DISTINCT doc_id, term FROM
+        |     (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |      FROM d)) GROUP BY term)
+        |SELECT term, levenshtein(term, 'vectro')::BIGINT AS dist,
+        | doc_freq
+        |FROM dict WHERE levenshtein(term, 'vectro') <= 2
+        |ORDER BY dist, doc_freq DESC, term LIMIT 5""".stripMargin,
+
+    // q208: all requested ranges appear (zero-count included), from
+    // inclusive / to exclusive, over the live hit set
+    "q208_range_agg" -> {
+      val termList = searchTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+         | p AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |       FROM d),
+         | hits AS (SELECT DISTINCT doc_id FROM p
+         |          WHERE term IN ($termList) AND doc_id % 37 <> 5),
+         | v AS (SELECT d.doc_id, n_chars AS value
+         |       FROM d JOIN hits USING (doc_id)),
+         | r AS (SELECT * FROM (VALUES (0, 100), (100, 200),
+         |   (200, 300), (300, 100000), (100000, 200000))
+         |   AS t(range_from, range_to))
+         |SELECT range_from::BIGINT AS range_from,
+         | range_to::BIGINT AS range_to,
+         | count(v.doc_id)::BIGINT AS doc_count
+         |FROM r LEFT JOIN v
+         | ON value >= range_from AND value < range_to
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+
+    // q209: the percolator replayed — distinct (doc, term) × distinct
+    // (query, term) meet on term, conjunction = full term-count match
+    "q209_percolate" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |   WHERE doc_id < 150),
+        | dt AS (SELECT DISTINCT doc_id, term FROM
+        |   (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |    FROM d)),
+        | q AS (SELECT * FROM (VALUES (1, 'spark join'), (2, 'vector'),
+        |   (3, 'spark nosuchterm'), (4, 'the a'))
+        |   AS t(query_id, qtext)),
+        | qt AS (SELECT DISTINCT query_id, term FROM
+        |   (SELECT query_id, unnest(string_split(qtext, ' ')) AS term
+        |    FROM q)),
+        | qs AS (SELECT query_id, count(*)::BIGINT AS nq FROM qt
+        |   GROUP BY query_id),
+        | m AS (SELECT doc_id, query_id, count(*)::BIGINT AS nh
+        |   FROM dt JOIN qt USING (term) GROUP BY doc_id, query_id)
+        |SELECT doc_id, query_id::BIGINT AS query_id
+        |FROM m JOIN qs USING (query_id) WHERE nh = nq
+        |ORDER BY doc_id, query_id""".stripMargin,
+
+    // q211: the positional highlighter replayed — case-preserving
+    // tokens with subscripts, per-token analyzed form via the SHARED
+    // stemmer CASE, window rows re-assembled with an ordered
+    // string_agg; marks are analyzed-term membership
+    "q211_analyzed_highlight" -> {
+      val stem = graft.operators.Analyzer.stemSql("lower(tok)")
+      s"""WITH d AS (SELECT doc_id, text FROM documents
+         |   WHERE doc_id < 150 AND doc_id % 37 <> 5),
+         | toks AS (SELECT doc_id, unnest(l) AS tok,
+         |   generate_subscripts(l, 1) AS pos
+         |   FROM (SELECT doc_id,
+         |     string_split_regex(text, '[^a-zA-Z0-9]+') AS l FROM d)),
+         | an AS (SELECT doc_id, pos, tok,
+         |   ($stem IN ('spark', 'join', 'vector')) AS m FROM toks),
+         | firsts AS (SELECT doc_id, min(pos)::BIGINT AS pos FROM an
+         |   WHERE m GROUP BY doc_id),
+         | win AS (SELECT a.doc_id, a.pos AS tpos, a.tok, a.m
+         |   FROM an a JOIN firsts f USING (doc_id)
+         |   WHERE a.pos >= greatest(1, f.pos - 3)
+         |     AND a.pos < greatest(1, f.pos - 3) + 7),
+         | sn AS (SELECT doc_id, string_agg(
+         |     CASE WHEN m THEN '[' || tok || ']' ELSE tok END, ' '
+         |     ORDER BY tpos) AS snippet
+         |   FROM win GROUP BY doc_id),
+         | nh AS (SELECT doc_id, count(*)::BIGINT AS n_hits FROM an
+         |   WHERE m GROUP BY doc_id)
+         |SELECT doc_id, pos, n_hits, snippet
+         |FROM firsts JOIN nh USING (doc_id) JOIN sn USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    // q210: top-hits replayed — the fixed-order scored hit set under
+    // a per-source row_number window, rank <= 2
+    "q210_top_hits" -> {
+      val termList = searchTerms.map(t => s"'$t'").mkString(", ")
+      val contribs = searchTerms.map { t =>
+        s"sum(CASE WHEN term = '$t' THEN tf::DOUBLE * " +
+          "(n_docs / doc_freq::DOUBLE) ELSE 0.0::DOUBLE END)"
+      }
+      s"""WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+         | p AS (SELECT term, doc_id, count(*)::BIGINT AS tf
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |        FROM d) GROUP BY term, doc_id),
+         | dfreq AS (SELECT term, count(*)::BIGINT AS doc_freq FROM p
+         |  GROUP BY term),
+         | nd AS (SELECT count(*)::DOUBLE AS n_docs FROM d),
+         | sc AS (SELECT doc_id, ${contribs.mkString(" + ")} AS score
+         |  FROM p JOIN dfreq USING (term), nd
+         |  WHERE term IN ($termList) AND doc_id % 37 <> 5
+         |  GROUP BY doc_id),
+         | j AS (SELECT source AS value, sc.doc_id, score
+         |  FROM sc JOIN d USING (doc_id) WHERE source IS NOT NULL),
+         | r AS (SELECT value, doc_id, score, row_number() OVER
+         |   (PARTITION BY value ORDER BY score DESC, doc_id) AS rank
+         |  FROM j)
+         |SELECT value, doc_id, score, rank::BIGINT AS rank FROM r
+         |WHERE rank <= 2 ORDER BY value, rank""".stripMargin
     },
 
     // q205: the family-agg losslessness statement — the rolled

@@ -132,6 +132,37 @@ class AnalyzedIndexSpec extends SparkSpec {
       SegmentedIndex.search(spark, dst, q, 10).collect().toSeq)
   }
 
+  test("highlightPositional: marks ORIGINAL-case tokens whose " +
+    "analyzed form matches an analyzed query term (ES's unified " +
+    "highlighter); bit-identical to the raw-token highlighter on a " +
+    "whitespace index") {
+    val root = Files.createTempDirectory("graft-hlp").toString
+    val d = Seq(
+      (1L, "The Running Dogs are here"),
+      (2L, "a dog runs FAST today"),
+      (3L, "nothing to see")).toDF("doc_id", "text")
+    SegmentedIndex.append(spark, root, d, "a", nBuckets = 4,
+      analyzer = "english")
+    val r = SegmentedIndex.highlightPositional(spark, root,
+      Seq("dogs", "Runs"), k = 10, window = 1)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    // doc 1: 'Running' analyzes to 'runn' (no match for 'run');
+    // 'Dogs' → 'dog' matches — first hit at token 3 (1-based),
+    // case preserved in the snippet
+    // doc 2: 'dog' and 'runs' both match, first hit at token 2
+    assert(r == Seq(
+      (1L, 3L, 1L, "Running [Dogs] are"),
+      (2L, 2L, 2L, "a [dog] [runs]")), r.toString)
+    // whitespace index: positional ≡ the raw-token highlighter
+    val ws = Files.createTempDirectory("graft-hlpw").toString
+    SegmentedIndex.append(spark, ws, d, "a", nBuckets = 4)
+    assert(SegmentedIndex.highlightPositional(spark, ws,
+      Seq("dog", "FAST"), k = 10).collect().toSeq ==
+      SegmentedIndex.highlight(spark, ws,
+        Seq("dog", "FAST"), k = 10).collect().toSeq,
+      "whitespace positional highlighting must equal the raw marker")
+  }
+
   test("analyzed facet/bool/delete-by-query: hit sets analyze, " +
     "stored metadata unaffected; upsert re-analyzes the new text") {
     val root = Files.createTempDirectory("graft-anb").toString

@@ -347,6 +347,34 @@ class SearchSpec extends SparkSpec {
     assert(!out.contains(4L))
   }
 
+  test("percolate: conjunction semantics per registered query, " +
+    "duplicate terms count once, all-stopword queries match nothing " +
+    "under an analyzing chain, analyzed matching folds case") {
+    val docsDf = Seq(
+      (1L, "spark join fast"),
+      (2L, "spark only"),
+      (3L, "join spark join"),
+      (4L, "Spark Capital")).toDF("doc_id", "text")
+    val regs = Seq(
+      (10L, "spark join"),
+      (20L, "spark"),
+      (30L, "spark missingterm"),
+      (40L, "join join")).toDF("query_id", "qtext")
+    val r = Search.percolate(docsDf, regs)
+      .as[(Long, Long)].collect().toSeq
+    // ws chain: case-sensitive; q40's duplicate term needs ONE join
+    assert(r == Seq((1L, 10L), (1L, 20L), (1L, 40L), (2L, 20L),
+      (3L, 10L), (3L, 20L), (3L, 40L)), r.toString)
+    // english chain: case folds ('Spark' matches), stopword-only
+    // queries match nothing
+    val regs2 = Seq((1L, "SPARK"), (2L, "the a")).toDF("query_id",
+      "qtext")
+    val r2 = Search.percolate(docsDf, regs2, Analyzer.English)
+      .as[(Long, Long)].collect().toSeq
+    assert(r2 == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L)),
+      r2.toString)
+  }
+
   test("rrfFuse: rank-based fusion — overlap outranks either single " +
     "ranker's exclusives, absent docs contribute nothing, a single " +
     "ranker passes through in its own order") {

@@ -655,6 +655,98 @@ class SegmentedIndexSpec extends SparkSpec {
       ((3L, 10L, 70L, 130L, 130.0 / 3.0)))
   }
 
+  test("moreLikeThis: the input doc's top tf·idf terms become the " +
+    "query (min_doc_freq gates, the doc itself excluded), tombstones " +
+    "drop hits, and the integer rank key orders like tf·N/df") {
+    val root = Files.createTempDirectory("graft-mlt").toString
+    val d = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta x"),
+      (3L, "alpha y y"),
+      (4L, "beta beta z"),
+      (5L, "unrelated only")).toDF("doc_id", "text")
+    SegmentedIndex.append(spark, root, d, "a", nBuckets = 4)
+    // doc 1's terms: alpha df3, beta df3, gamma df1 (gated by
+    // min_doc_freq=2) → query {alpha, beta}; doc 2 matches both
+    val r = SegmentedIndex.moreLikeThis(spark, root, 1L, k = 10,
+      maxQueryTerms = 5, minDocFreq = 2L)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(r.map(_._1) == Seq(2L, 4L, 3L), r.toString)
+    assert(!r.exists(_._1 == 1L), "the input doc must be excluded")
+    assert(r.head._3 == 2L, "doc 2 must match both query terms")
+    // integer key orders like the rational: doc4 (beta tf2) beats
+    // doc3 (alpha tf1) because the weights are equal (df 3 == 3)
+    assert(r(1)._1 == 4L && r(1)._2 > r(2)._2)
+    SegmentedIndex.delete(spark, root, Seq(2L).toDF("doc_id"), "d1")
+    assert(SegmentedIndex.moreLikeThis(spark, root, 1L, k = 10)
+      .as[(Long, Long, Long)].collect().map(_._1).toSeq ==
+      Seq(4L, 3L), "the tombstoned doc must leave the hits")
+    // a doc whose every term misses the df gate suggests nothing
+    assert(SegmentedIndex.moreLikeThis(spark, root, 5L, k = 10,
+      minDocFreq = 2L).count() == 0)
+  }
+
+  test("termSuggest: dictionary suggestions within the AUTO edit " +
+    "allowance, ranked (dist, df desc, term); the input itself " +
+    "ranks first when present") {
+    val root = Files.createTempDirectory("graft-sug").toString
+    val d = Seq(
+      (1L, "vector vectra victor"),
+      (2L, "vector math"),
+      (3L, "victory lap")).toDF("doc_id", "text")
+    SegmentedIndex.append(spark, root, d, "a", nBuckets = 4)
+    val r = SegmentedIndex.termSuggest(spark, root, "vectro", k = 5)
+      .as[(String, Long, Long)].collect().toSeq
+    // vectra is ONE substitution away; vector needs two (the r/o
+    // swap — plain levenshtein has no transposition op); victor is
+    // three and must be excluded by the allowance
+    assert(r == Seq(("vectra", 1L, 1L), ("vector", 2L, 2L)),
+      r.toString)
+    // an exact dictionary hit ranks first at distance 0
+    val r2 = SegmentedIndex.termSuggest(spark, root, "vector", k = 3)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(r2.head == (("vector", 0L, 2L)), r2.toString)
+  }
+
+  test("rangeFacet: every requested range appears (zero-count " +
+    "included), from inclusive / to exclusive, tombstones drop") {
+    val root = Files.createTempDirectory("graft-rng").toString
+    val d = Seq(
+      (1L, "x a", 5L),
+      (2L, "x b", 10L),
+      (3L, "x c", 25L),
+      (4L, "y d", 15L)).toDF("doc_id", "text", "n")
+    SegmentedIndex.append(spark, root, d, "a", nBuckets = 4)
+    def got() = SegmentedIndex.rangeFacet(spark, root, Seq("x"), "n",
+      Seq((0L, 10L), (10L, 20L), (20L, 30L), (30L, 40L)))
+      .as[(Long, Long, Long)].collect().toSeq
+    // doc 2 (n=10) falls in [10,20) — the inclusive-from rule; doc 4
+    // matches nothing; [30,40) stays at zero
+    assert(got() == Seq((0L, 10L, 1L), (10L, 20L, 1L),
+      (20L, 30L, 1L), (30L, 40L, 0L)))
+    SegmentedIndex.delete(spark, root, Seq(3L).toDF("doc_id"), "d1")
+    assert(got() == Seq((0L, 10L, 1L), (10L, 20L, 1L),
+      (20L, 30L, 0L), (30L, 40L, 0L)))
+  }
+
+  test("topHitsFacet: per-bucket top-scored hits under the total " +
+    "order, rank caps per bucket, missing-field docs drop") {
+    val root = Files.createTempDirectory("graft-th").toString
+    val d = Seq(
+      (1L, "x x x", Option("a")),
+      (2L, "x x", Option("a")),
+      (3L, "x", Option("a")),
+      (4L, "x x", Option("b")),
+      (5L, "x", Option.empty[String])).toDF("doc_id", "text", "g")
+    SegmentedIndex.append(spark, root, d, "a", nBuckets = 4)
+    val r = SegmentedIndex.topHitsFacet(spark, root, Seq("x"), "g",
+      perBucket = 2)
+      .as[(String, Long, Double, Long)].collect().toSeq
+    assert(r.map(x => (x._1, x._2, x._4)) == Seq(
+      ("a", 1L, 1L), ("a", 2L, 2L), ("b", 4L, 1L)),
+      s"$r — doc 3 must be cut by the per-bucket cap, doc 5 dropped")
+  }
+
   test("multiFacet: aggregation across a corpus split equals the " +
     "combined single index; per-index tombstones apply; the same " +
     "doc_id in two indices counts twice (the (_index,_id) identity)") {
