@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Configurable ANALYZER CHAIN — the tokenize/normalize pipeline the
@@ -185,6 +185,17 @@ object Analyzer {
     val lowered = if (c.lowercase) s"lower($t)" else t
     if (c.stem) stemSql(lowered) else lowered
   }
+
+  /** The `_analyze` API surface — ES's `POST /_analyze` as a frame
+    * transform: every document's analyzed (position, term) stream,
+    * exactly what the index stores for it (gaps included). The
+    * debugging/inspection endpoint of every analyzer deployment.
+    * Output: (doc_id, pos, term), (doc_id, pos)-ascending. */
+  def analyzeFrame(docs: DataFrame, c: Chain): DataFrame =
+    docs.select(col("doc_id"), explode(posTerms(c, "text")).as("pt"))
+      .select(col("doc_id"), col("pt.pos").as("pos"),
+        col("pt.term").as("term"))
+      .orderBy("doc_id", "pos")
 
   /** CASE-PRESERVING display split regex, position-aligned with the
     * chain's own split: lowercasing maps [A-Z] into [a-z] and leaves

@@ -953,6 +953,52 @@ object SegmentedIndex {
       .orderBy(asc("value"), asc("rank"))
   }
 
+  /** Composite aggregation — ES's `composite` agg, the PAGINATED
+    * aggregation that exists precisely because a high-cardinality
+    * terms agg cannot return every bucket in one response: buckets
+    * order by KEY (not doc count), the `after` cursor resumes
+    * strictly past the previous page's last key, each page an
+    * independent top-`size` — nothing accumulates with page depth
+    * (the agg-side twin of [[searchAfter]]'s contract; at 10^9
+    * groups this is THE way ES exports an aggregation). Output:
+    * (value, doc_count), key-ascending, first `size` after the
+    * cursor. */
+  def compositeFacet(spark: SparkSession, rootDir: String,
+                     terms: Seq[String], field: String, size: Int,
+                     after: Option[String] = None): DataFrame = {
+    val buckets = hitFieldValues(spark, rootDir, terms, field)
+      .groupBy("value")
+      .agg(countDistinct(col("doc_id")).as("doc_count"))
+    after.fold(buckets)(a => buckets.filter(col("value") > lit(a)))
+      .orderBy("value")
+      .limit(size)
+  }
+
+  /** Function-score search — ES's `function_score` with a
+    * `field_value_factor` (multiply) function, the
+    * boost-by-popularity request every ranking system makes: the
+    * relevance score multiplies by a stored numeric field (docs
+    * missing the field boost by 1 — ES's `missing` default posture),
+    * re-ranked by the boosted score. One multiplication of two
+    * exactly-derived doubles — deterministic cross-engine, so the
+    * whole boosted ranking stays on the oracle surface. Output:
+    * (doc_id, score, boost_value, n_terms_hit), top-k by
+    * (score desc, doc_id). */
+  def functionScoreSearch(spark: SparkSession, rootDir: String,
+                          terms: Seq[String], field: String,
+                          k: Int): DataFrame = {
+    val scored = scoredHits(spark, rootDir, terms)
+    val vals = hitFieldValues(spark, rootDir, terms, field,
+      keepMissing = true)
+    scored.join(vals, Seq("doc_id"), "left")
+      .withColumn("boost_value",
+        coalesce(col("value").cast("double"), lit(1.0d)))
+      .withColumn("score", col("score") * col("boost_value"))
+      .select("doc_id", "score", "boost_value", "n_terms_hit")
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
+
   /** Sub-aggregation — ES's nested
     * `aggs: { terms: { bucketField }, aggs: { stats: { statField } } }`,
     * the group-and-describe request every analytics dashboard makes:

@@ -570,6 +570,35 @@ object LlmSurface {
         registered)
     }),
 
+    // --- composite aggregation (ES `composite` — the PAGINATED agg
+    //     high-cardinality exports need): source buckets keyed-order,
+    //     page 2 resumes strictly after a cursor, each page an
+    //     independent top-size (SegmentedIndex.compositeFacet) ---
+    "q212_composite_agg" -> ((s, d) =>
+      // probe-only against the STAGED index (segIndexDir)
+      SegmentedIndex.compositeFacet(s, segIndexDir(s, d), searchTerms,
+        "source", size = 5, after = Some("src12"))),
+
+    // --- function-score (ES `function_score` +
+    //     `field_value_factor`, multiply — boost-by-popularity): the
+    //     relevance score multiplies by the stored n_chars, re-ranked
+    //     by the boosted score; one exact double multiplication keeps
+    //     the boosted ranking oracle-exact
+    //     (SegmentedIndex.functionScoreSearch) ---
+    "q213_function_score" -> ((s, d) =>
+      // probe-only against the STAGED index (segIndexDir)
+      SegmentedIndex.functionScoreSearch(s, segIndexDir(s, d),
+        searchTerms, "n_chars", k = 20)),
+
+    // --- the `_analyze` API (ES `POST /_analyze` — the analyzer
+    //     inspection endpoint): every doc's analyzed (pos, term)
+    //     stream under the english chain, stopword gaps included —
+    //     exactly what the index stores (Analyzer.analyzeFrame) ---
+    "q214_analyze_api" -> ((s, d) =>
+      graft.operators.Analyzer.analyzeFrame(
+        docs(s, d).filter(col("doc_id") < 50).select("doc_id", "text"),
+        graft.operators.Analyzer.English)),
+
     // --- ANALYZED highlighting (ES's unified highlighter on an
     //     analyzed index): a display token marks when its ANALYZED
     //     form equals an analyzed query term — 'Joins' in the query
@@ -2763,6 +2792,67 @@ object LlmSurface {
         |SELECT doc_id, query_id::BIGINT AS query_id
         |FROM m JOIN qs USING (query_id) WHERE nh = nq
         |ORDER BY doc_id, query_id""".stripMargin,
+
+    // q212: composite agg replayed — key-ordered buckets strictly
+    // after the cursor, first 5
+    "q212_composite_agg" -> {
+      val termList = searchTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+         | p AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |       FROM d),
+         | hits AS (SELECT DISTINCT doc_id FROM p
+         |          WHERE term IN ($termList) AND doc_id % 37 <> 5)
+         |SELECT source AS value, count(DISTINCT d.doc_id) AS doc_count
+         |FROM d JOIN hits USING (doc_id)
+         |WHERE source > 'src12'
+         |GROUP BY source ORDER BY value LIMIT 5""".stripMargin
+    },
+
+    // q213: function_score replayed — the fixed-order contrib score
+    // times the stored field, one exact double multiplication
+    "q213_function_score" -> {
+      val termList = searchTerms.map(t => s"'$t'").mkString(", ")
+      val contribs = searchTerms.map { t =>
+        s"sum(CASE WHEN term = '$t' THEN tf::DOUBLE * " +
+          "(n_docs / doc_freq::DOUBLE) ELSE 0.0::DOUBLE END)"
+      }
+      s"""WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+         | p AS (SELECT term, doc_id, count(*)::BIGINT AS tf
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |        FROM d) GROUP BY term, doc_id),
+         | dfreq AS (SELECT term, count(*)::BIGINT AS doc_freq FROM p
+         |  GROUP BY term),
+         | nd AS (SELECT count(*)::DOUBLE AS n_docs FROM d),
+         | sc AS (SELECT doc_id, ${contribs.mkString(" + ")} AS s0,
+         |   count(*) AS n_terms_hit
+         |  FROM p JOIN dfreq USING (term), nd
+         |  WHERE term IN ($termList) AND doc_id % 37 <> 5
+         |  GROUP BY doc_id)
+         |SELECT doc_id, s0 * n_chars::DOUBLE AS score,
+         | n_chars::DOUBLE AS boost_value, n_terms_hit
+         |FROM sc JOIN d USING (doc_id)
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+    },
+
+    // q214: the _analyze endpoint replayed — positional tokens with
+    // the shared stemmer CASE, stopword gaps preserved
+    "q214_analyze_api" -> {
+      val stops = graft.operators.Analyzer.EnglishStopwords
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH d AS (SELECT doc_id, text FROM documents
+         |   WHERE doc_id < 50),
+         | toks AS (SELECT doc_id, unnest(l) AS tok,
+         |   generate_subscripts(l, 1) - 1 AS pos
+         |   FROM (SELECT doc_id,
+         |     string_split_regex(lower(text), '[^a-z0-9]+') AS l
+         |     FROM d))
+         |SELECT doc_id, pos::BIGINT AS pos, term FROM
+         | (SELECT doc_id, pos,
+         |    ${graft.operators.Analyzer.stemSql("tok")} AS term
+         |  FROM toks)
+         |WHERE term <> '' AND term NOT IN ($stops)
+         |ORDER BY doc_id, pos""".stripMargin
+    },
 
     // q211: the positional highlighter replayed — case-preserving
     // tokens with subscripts, per-token analyzed form via the SHARED

@@ -263,4 +263,32 @@ class PropertySpec extends SparkSpec {
             s"pages=${pages.flatten}\nfull= $full")
       }
   }
+
+  test("analyzer mirrors agree on RANDOM ASCII text: the column " +
+    "pipeline and the driver pipeline emit identical (pos, term) " +
+    "sequences for every chain") {
+    import graft.operators.Analyzer
+    // mixed-case words, punctuation runs, digits, stopwords, empties
+    val chunk = Gen.oneOf(
+      Gen.nonEmptyListOf(Gen.alphaChar).map(_.mkString),
+      Gen.oneOf(Analyzer.EnglishStopwords),
+      Gen.nonEmptyListOf(Gen.oneOf(' ', '.', ',', '-', '!', ';'))
+        .map(_.mkString),
+      Gen.choose(0, 999).map(_.toString))
+    val messy = Gen.listOfN(12, chunk).map(_.mkString(" "))
+    samples(Gen.listOfN(8, messy), 4).foreach { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      for (chain <- Seq(Analyzer.Whitespace, Analyzer.Standard,
+        Analyzer.English)) {
+        val got = df.select(col("doc_id"),
+            Analyzer.posTerms(chain, "text").as("pt"))
+          .as[(Long, Seq[(Long, String)])].collect().toMap
+        texts.zipWithIndex.foreach { case (t, i) =>
+          assert(got(i.toLong) == Analyzer.analyzeText(chain, t),
+            s"chain=${chain.name} text='$t'")
+        }
+      }
+    }
+  }
 }

@@ -729,6 +729,50 @@ class SegmentedIndexSpec extends SparkSpec {
       (20L, 30L, 0L), (30L, 40L, 0L)))
   }
 
+  test("compositeFacet: key-ordered bucket pages concatenate to the " +
+    "full terms-by-key aggregation with no overlap or skip") {
+    val root = Files.createTempDirectory("graft-comp").toString
+    val d = Seq(
+      (1L, "x a", "c1"), (2L, "x b", "c2"), (3L, "x c", "c3"),
+      (4L, "x d", "c4"), (5L, "x e", "c2"), (6L, "y f", "c9"))
+      .toDF("doc_id", "text", "cat")
+    SegmentedIndex.append(spark, root, d, "a", nBuckets = 4)
+    val full = SegmentedIndex.compositeFacet(spark, root, Seq("x"),
+      "cat", size = 100).as[(String, Long)].collect().toSeq
+    assert(full == Seq(("c1", 1L), ("c2", 2L), ("c3", 1L),
+      ("c4", 1L)), s"$full — key order, doc 6 matches nothing")
+    var pages = Seq(SegmentedIndex.compositeFacet(spark, root,
+      Seq("x"), "cat", size = 2).as[(String, Long)].collect().toSeq)
+    while (pages.last.nonEmpty) {
+      pages = pages :+ SegmentedIndex.compositeFacet(spark, root,
+        Seq("x"), "cat", size = 2, after = Some(pages.last.last._1))
+        .as[(String, Long)].collect().toSeq
+    }
+    assert(pages.flatten == full,
+      "composite pages must concatenate to the full aggregation")
+    SegmentedIndex.delete(spark, root, Seq(2L).toDF("doc_id"), "d1")
+    assert(SegmentedIndex.compositeFacet(spark, root, Seq("x"), "cat",
+      100).as[(String, Long)].collect().toSeq.find(_._1 == "c2")
+      .map(_._2) == Some(1L), "tombstone must shrink the bucket")
+  }
+
+  test("functionScoreSearch: the boosted ranking multiplies the " +
+    "relevance score by the field, missing fields boost by 1, and " +
+    "the re-rank can invert the relevance order") {
+    val root = Files.createTempDirectory("graft-fsc").toString
+    val d = Seq(
+      (1L, "x x x", Some(1L)),
+      (2L, "x", Some(10L)),
+      (3L, "x x", Option.empty[Long])).toDF("doc_id", "text", "n")
+    SegmentedIndex.append(spark, root, d, "a", nBuckets = 4)
+    val r = SegmentedIndex.functionScoreSearch(spark, root, Seq("x"),
+      "n", k = 10).as[(Long, Double, Double, Long)].collect().toSeq
+    // relevance (tf·N/df = tf): doc1=3, doc2=1, doc3=2; boosted:
+    // doc2 1·10=10 > doc1 3·1=3 > doc3 2·1(missing)=2
+    assert(r.map(x => (x._1, x._2, x._3)) == Seq(
+      (2L, 10.0, 10.0), (1L, 3.0, 1.0), (3L, 2.0, 1.0)), r.toString)
+  }
+
   test("topHitsFacet: per-bucket top-scored hits under the total " +
     "order, rank caps per bucket, missing-field docs drop") {
     val root = Files.createTempDirectory("graft-th").toString
