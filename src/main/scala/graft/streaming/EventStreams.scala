@@ -269,6 +269,36 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming PERCOLATION sink — ES's percolator in its actual
+    * deployment shape (alerting / saved-search notification): each
+    * micro-batch of incoming documents percolates against the
+    * REGISTERED query set ([[graft.operators.Search.percolate]]'s
+    * conjunction semantics under the given analyzer chain) and the
+    * (doc_id, query_id) matches land as an immutable
+    * `batch=<epoch>/` log segment — [[cdcLogSink]]'s exactly-once
+    * shape verbatim (per-epoch directory overwrite; a replayed epoch
+    * rewrites identical bytes, its inputs being the batch and the
+    * frozen registry). Downstream alert consumers read the match log
+    * incrementally by epoch. Scale shape: per trigger one term
+    * equi-join of batch × registry through shared vocabulary — the
+    * registry tokenizes once per micro-batch, never per document. */
+  def percolateSink(docs: DataFrame, queries: DataFrame,
+      matchesDir: String, checkpoint: String,
+      an: graft.operators.Analyzer.Chain =
+        graft.operators.Analyzer.Whitespace)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epoch: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.Search.percolate(batch.toDF(), queries, an)
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$matchesDir/batch=$epoch")
+        ()
+      }
+      .start()
+
   /** Near-real-time search ingestion — Elasticsearch's refresh model
     * (the reference pushes documents into ES and they become
     * searchable at the next refresh, which in Lucene terms is "the

@@ -743,6 +743,47 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("percolateSink: streamed documents alert against the " +
+    "registered queries — the match log's union equals the batch " +
+    "percolation of the unioned documents, per-epoch segments " +
+    "readable independently") {
+    import graft.operators.{Analyzer, Search}
+    val in = MemoryStream[(Long, String)](spark)
+    val matchesDir = Files.createTempDirectory("graft-perc").toString
+    val ck = Files.createTempDirectory("graft-perc-ck").toString
+    val registered = Seq(
+      (1L, "spark join"),
+      (2L, "Vector"),
+      (3L, "the a")).toDF("query_id", "qtext")
+    val docsStream = in.toDF().toDF("doc_id", "text")
+    val q = EventStreams.percolateSink(docsStream, registered,
+      matchesDir, ck, Analyzer.English)
+    val b1 = Seq((1L, "spark join here"), (2L, "VECTOR math"))
+    val b2 = Seq((3L, "join spark"), (4L, "nothing"))
+    in.addData(b1: _*)
+    q.processAllAvailable()
+    in.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val segs = new java.io.File(matchesDir).listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).sorted
+    assert(segs.length == 2, segs.toSeq.toString)
+    val streamed = spark.read.parquet(s"$matchesDir/batch=*")
+      .as[(Long, Long)].collect().toSet
+    val batch = Search.percolate(
+      (b1 ++ b2).toDF("doc_id", "text"), registered, Analyzer.English)
+      .as[(Long, Long)].collect().toSet
+    assert(streamed == batch,
+      s"streamed=$streamed batch=$batch")
+    // the english chain did its work: case folded (doc 2 matched
+    // query 2) and the stopword-only query 3 matched nothing
+    assert(streamed.contains((2L, 2L)))
+    assert(!streamed.exists(_._2 == 3L))
+    // each epoch's segment reads independently
+    assert(spark.read.parquet(s"$matchesDir/batch=0")
+      .as[(Long, Long)].collect().toSet == Set((1L, 1L), (2L, 2L)))
+  }
+
   test("cdcLogSink + replayLog: streamed change batches replay to the " +
     "same snapshots as the batch CDC path, every version readable") {
     import graft.operators.Pipeline
