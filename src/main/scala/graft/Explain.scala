@@ -480,7 +480,20 @@ object Explain {
         "query-terms-sized; candidates join a broadcast kept-blocks " +
         "list on blk = doc_id/128 before any aggregation — documents " +
         "in blocks whose ceiling cannot reach θ never reach the " +
-        "scorer."))
+        "scorer."),
+    "q206_more_like_this" ->
+      ("More-like-this: the term selection collects ≤ max_query_terms " +
+        "rows (TakeOrderedAndProject before the collect) and the " +
+        "serving scan shows the SELECTED terms as literal pushdowns " +
+        "(`PartitionFilters: [tb IN …]` + term IN) with the integer " +
+        "weights as a broadcast — related-items ranking at the cost " +
+        "of one multi-term query."),
+    "q209_percolate" ->
+      ("Percolation: both sides tokenize inside WholeStageCodegen, " +
+        "distinct to (id, term), and meet in ONE equi-join on term " +
+        "(the registry rides as a broadcast at fixture scale) — " +
+        "batch × registry only through shared vocabulary, no " +
+        "cross-product anywhere in the plan."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

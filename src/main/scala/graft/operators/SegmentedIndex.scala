@@ -816,7 +816,12 @@ object SegmentedIndex {
     * posting lists. The selected terms are ALREADY index vocabulary —
     * they bypass query-side analysis (re-stemming a stemmed term is
     * not an identity; ES's MLT builds term queries for the same
-    * reason).
+    * reason). Cost stated honestly: the input doc's term vector
+    * rides [[termVectors]]'s by-doc read — term-bucketed postings
+    * cannot partition-prune it, the doc_id predicate skips on the
+    * sorted files' footer stats, worst case O(postings footprint);
+    * exactly why ES recommends feeding MLT `like` text (the
+    * stored-field route) when this path is hot.
     *
     * The ranking key is EXACT-INTEGER (the rank-certificate pattern):
     * score_key = Σ_t tf_t · (N·D/df_t) with D = Π df over the
@@ -922,11 +927,17 @@ object SegmentedIndex {
     import spark.implicits._
     val bounds = ranges.toDF("range_from", "range_to")
     val vals = hitFieldValues(spark, rootDir, terms, field)
-    bounds.join(vals,
+    // the HIT SET stays distributed: the theta join broadcasts the
+    // literal bounds into it (never the other way — a left-outer
+    // from the bounds side would invite Spark to broadcast the hit
+    // values); the zero-fill joins two range-count-sized frames
+    val counts = vals.join(broadcast(bounds),
         col("value") >= col("range_from") &&
-          col("value") < col("range_to"), "left")
+          col("value") < col("range_to"))
       .groupBy("range_from", "range_to")
       .agg(count(col("doc_id")).as("doc_count"))
+    bounds.join(counts, Seq("range_from", "range_to"), "left")
+      .na.fill(0L, Seq("doc_count"))
       .orderBy("range_from", "range_to")
   }
 
