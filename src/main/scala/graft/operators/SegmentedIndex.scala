@@ -1904,6 +1904,17 @@ object SegmentedIndex {
         p.join(dead, Seq("doc_id", "seg"), "left_anti")
       case None => p
     }
+    bm25ScoreBody(live, dfreq, nDocs, totalLen, k1, b)
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
+
+  /** The BM25 scoring body shared by [[bm25TopK]] and
+    * [[bm25MaxScoreTopK]] — ONE expression tree so the pruned path is
+    * bit-identical to the exhaustive one by construction. */
+  private def bm25ScoreBody(live: DataFrame, dfreq: DataFrame,
+      nDocs: Long, totalLen: Long, k1: Double,
+      b: Double): DataFrame =
     live.join(dfreq, "term")
       .withColumn("avg_dl",
         lit(totalLen).cast("double") / lit(nDocs).cast("double"))
@@ -1917,8 +1928,207 @@ object SegmentedIndex {
           s"(tf + $k1 * (1.0 - $b + $b * dl / avg_dl))"))
       .groupBy("doc_id")
       .agg(sum("contrib").as("score"), count(lit(1)).as("n_terms_hit"))
+
+  /** BM25 top-k with WAND/MaxScore dynamic pruning — the PRODUCTION
+    * scorer under [[maxScoreSearch]]'s two-phase exactness argument,
+    * which is what Lucene actually ships (its MaxScore runs on BM25
+    * impacts, not on raw tf·idf):
+    *
+    *  1. per-term ceilings need no postings: each saturated
+    *     contribution is strictly below `ub_t = idf_t · (k1+1)`
+    *     (the classic WAND upper bound — the saturation limit as
+    *     tf → ∞), idf from the dictionary's df;
+    *  2. phase 1 fully scores the top-ceiling term's documents; the
+    *     k-th score is a certified lower bound θ;
+    *  3. the maximal low-ceiling term set with Σ ub < θ (1e-9
+    *     conservative slack) is non-essential — a doc matching none
+    *     of the essential terms scores strictly below θ;
+    *  4. BLOCK-MAX refinement: within a posting block the
+    *     contribution is bounded by
+    *     `idf · bmax·(k1+1) / (bmax + k1·(1−b))` (contribution is
+    *     increasing in tf ≤ bmax and decreasing in dl ≥ 0 — dropping
+    *     the dl term only raises the bound), so candidate docs in
+    *     blocks whose summed ceilings miss θ drop before scoring —
+    *     Lucene's block-max WAND, exactly.
+    *
+    * Results are [[bm25TopK]]'s bit-for-bit (shared scoring body,
+    * provable skip conditions — the spec pins equality; q215's
+    * equal-df pair certificate pins the pruned ORDER cross-engine).
+    * Output: (doc_id, score, n_terms_hit), top-k. */
+  def bm25MaxScoreTopK(spark: SparkSession, rootDir: String,
+                       terms: Seq[String], k: Int, k1: Double = 1.2,
+                       b: Double = 0.75): DataFrame =
+    bm25MaxScoreWithPlan(spark, rootDir, terms, k, k1, b)._1
+
+  /** [[bm25MaxScoreTopK]] plus its pruning decision — (result,
+    * essential terms, θ, scored-doc counter), the spec seam. */
+  private[operators] def bm25MaxScoreWithPlan(spark: SparkSession,
+      rootDir: String, terms: Seq[String], k: Int, k1: Double = 1.2,
+      b: Double = 0.75): (DataFrame, Seq[String], Double, () => Long) = {
+    require(terms.nonEmpty, "bm25MaxScoreTopK needs at least one term")
+    import spark.implicits._
+    val root = new java.io.File(rootDir)
+    val qs = qTerms(root, terms)
+    val (nb, segs, _) = readManifest(root)
+    val nDocs = segs.filter(_.kind == "seg").map(_.nDocs).sum
+    val totalLen = segs.filter(_.kind == "seg").map(_.totalLen).sum
+    val stats = dictFrame(spark, root, segs)
+      .filter(col("term").isin(qs: _*))
+      .groupBy("term").agg(sum("doc_freq").as("df"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    if (stats.isEmpty) {
+      val out = bm25TopK(spark, rootDir, terms, k, k1, b)
+      return (out, Seq.empty, Double.NegativeInfinity,
+        () => out.count())
+    }
+    def idfOf(df: Long): Double =
+      math.log((nDocs.toDouble - df + 0.5) / (df + 0.5) + 1.0)
+    val ub = stats.map { case (t, df) =>
+      t -> idfOf(df) * (k1 + 1.0) }.toMap
+    val present = stats.map(_._1).toSeq.sorted
+    val topTerm = present.maxBy(t => (ub(t), t))
+    val p = prunedPostings(spark, root, segs, present, nb)
+      .filter(col("term").isin(present: _*))
+    val dfreq = p.groupBy("term").agg(count(lit(1)).as("doc_freq"))
+    val live = tombstones(spark, root, segs) match {
+      case Some(dead) =>
+        p.join(dead, Seq("doc_id", "seg"), "left_anti")
+      case None => p
+    }
+    val kth = bm25ScoreBody(
+        live.join(live.filter(col("term") === lit(topTerm))
+          .select("doc_id").distinct(), Seq("doc_id"), "left_semi"),
+        dfreq, nDocs, totalLen, k1, b)
+      .orderBy(desc("score"), asc("doc_id")).limit(k)
+      .agg(min("score").as("kth"), count(lit(1)).as("n"))
+      .collect().head
+    val theta =
+      if (kth.getLong(1) < k) Double.NegativeInfinity
+      else kth.getDouble(0)
+    var acc = 0.0
+    val nonEss = scala.collection.mutable.Set[String]()
+    present.sortBy(t => (ub(t), t)).foreach { t =>
+      if ((acc + ub(t)) * (1 + 1e-9) < theta) { acc += ub(t); nonEss += t }
+    }
+    val essential = present.filterNot(nonEss)
+    val cand = live.filter(col("term").isin(essential: _*))
+      .select("doc_id").distinct()
+    val cand2 = impactsFrame(spark, root, segs) match {
+      case Some(imp) if theta > Double.NegativeInfinity =>
+        val idfs = stats.toSeq.map { case (t, df) => (t, idfOf(df)) }
+          .toDF("term", "t_idf")
+        val keepBlocks = imp.filter(col("term").isin(present: _*))
+          .join(broadcast(idfs), "term")
+          .withColumn("ubb", col("t_idf") *
+            (col("max_tf").cast("double") * lit(k1 + 1.0)) /
+            (col("max_tf").cast("double") + lit(k1 * (1.0 - b))))
+          .groupBy("blk").agg(sum("ubb").as("bsum"))
+          .filter(col("bsum") * lit(1 + 1e-9) >= lit(theta))
+          .select("blk")
+        cand.withColumn("blk",
+          floor(col("doc_id") / lit(ImpactBlockSize)).cast("long"))
+          .join(broadcast(keepBlocks), Seq("blk"), "left_semi")
+          .select("doc_id")
+      case _ => cand
+    }
+    (bm25ScoreBody(live.join(cand2, Seq("doc_id"), "left_semi"),
+        dfreq, nDocs, totalLen, k1, b)
       .orderBy(desc("score"), asc("doc_id"))
-      .limit(k)
+      .limit(k), essential, theta, () => cand2.count())
+  }
+
+  /** The WAND-pruned BM25 ranking with an exact cross-engine rank
+    * certificate — [[Search.bm25PairRankAudit]]'s equal-df-pair
+    * derivation served from the SEGMENTED index through
+    * [[bm25MaxScoreTopK]]'s pruned path: the pair (largest df shared
+    * by ≥ 2 dictionary terms, two smallest terms — the same
+    * deterministic SQL-expressible rule) is ranked by the PRUNED
+    * production scorer, and the emitted rank certifies against the
+    * exact integer ratio (tf_a·D_b + tf_b·D_a)/(D_a·D_b) — so the
+    * DuckDB hash equality proves the dynamic pruning returned
+    * exactly the exhaustive top-k, order included, under Lucene's
+    * statistics phases (df/N/totalLen pre-tombstone, hits post).
+    * Output schema of [[Search.bm25PairRankAudit]]. */
+  def bm25WandAudit(spark: SparkSession, rootDir: String, k: Int,
+                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k1 == 1.2 && b == 0.75,
+      "the exact rank_key derivation hardcodes k1=1.2, b=0.75 " +
+        "(rationals 3/10, 9/10); generalize the integer key to change them")
+    import spark.implicits._
+    val root = new java.io.File(rootDir)
+    val (nb, segs, _) = readManifest(root)
+    val nDocs = segs.filter(_.kind == "seg").map(_.nDocs).sum
+    val totalLen = segs.filter(_.kind == "seg").map(_.totalLen).sum
+    // the equal-df pair, chosen from the vocabulary-sized dictionary
+    // (pre-tombstone df — the stats phase): 2-row bounded collect
+    val dict = dictFrame(spark, root, segs)
+      .groupBy("term").agg(sum("doc_freq").as("df"))
+    val shared = dict.withColumn("nshare",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("df")))
+      .filter(col("nshare") >= 2)
+    val pair = shared
+      .join(broadcast(shared.agg(max("df").as("dstar"))),
+        col("df") === col("dstar"))
+      .orderBy("term").limit(2)
+      .select("term", "df").as[(String, Long)].collect().sortBy(_._1)
+    require(pair.length == 2, "no equal-df pair in the dictionary")
+    val (ta, tb) = (pair(0)._1, pair(1)._1)
+    val idfShared = math.log(
+      (nDocs.toDouble - pair(0)._2 + 0.5) / (pair(0)._2 + 0.5) + 1.0)
+    // the PRUNED production ranking on the pair
+    val pruned = bm25MaxScoreTopK(spark, rootDir, Seq(ta, tb), k, k1, b)
+    // exact integers per live doc for the certificate
+    val p = prunedPostings(spark, root, segs, Seq(ta, tb), nb)
+      .filter(col("term").isin(ta, tb))
+    val live = tombstones(spark, root, segs) match {
+      case Some(dead) =>
+        p.join(dead, Seq("doc_id", "seg"), "left_anti")
+      case None => p
+    }
+    val tfp = live.groupBy("doc_id", "dl").agg(
+      sum(when(col("term") === lit(ta), col("tf")).otherwise(lit(0L)))
+        .as("tf_a"),
+      sum(when(col("term") === lit(tb), col("tf")).otherwise(lit(0L)))
+        .as("tf_b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("score"), asc("doc_id"))
+    val wx = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("rank_key"), asc("doc_id"))
+    pruned.join(tfp, "doc_id")
+      .withColumn("term_a", lit(ta))
+      .withColumn("term_b", lit(tb))
+      // doubles with the PRODUCT envelope guard — the
+      // [[Search.bm25PairRankAudit]] posture exactly
+      .withColumn("da",
+        lit(10.0d) * lit(totalLen.toDouble) *
+          col("tf_a").cast("double") +
+          lit(3.0d) * lit(totalLen.toDouble) +
+          lit(9.0d) * lit(nDocs.toDouble) * col("dl").cast("double"))
+      .withColumn("db",
+        lit(10.0d) * lit(totalLen.toDouble) *
+          col("tf_b").cast("double") +
+          lit(3.0d) * lit(totalLen.toDouble) +
+          lit(9.0d) * lit(nDocs.toDouble) * col("dl").cast("double"))
+      .withColumn("rank_num",
+        col("tf_a").cast("double") * col("db") +
+          col("tf_b").cast("double") * col("da"))
+      .withColumn("rank_key",
+        when(col("da") * col("db") >= lit(Search.TwoTo53),
+          expr("raise_error('bm25WandAudit: integer rank-key " +
+            "envelope exceeded (da*db >= 2^53) — the exact-ordering " +
+            "certificate cannot hold at this corpus scale')")
+            .cast("double"))
+          .otherwise(col("rank_num") / (col("da") * col("db"))))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("rank_exact", row_number().over(wx).cast("long"))
+      .withColumn("rank_agrees", col("rank") === col("rank_exact"))
+      .withColumn("score_in_bounds",
+        col("score") > 0.0 &&
+          col("score") < lit(2.0 * idfShared * (k1 + 1.0)))
+      .select("doc_id", "term_a", "term_b", "tf_a", "tf_b", "dl",
+        "rank", "rank_key", "rank_agrees", "score_in_bounds")
+      .orderBy("rank")
   }
 
   /** Single-term BM25 over the segmented index with its exact

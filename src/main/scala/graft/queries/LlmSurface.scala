@@ -632,6 +632,18 @@ object LlmSurface {
         registered)
     }),
 
+    // --- WAND-pruned BM25 with the exact pair certificate (Lucene's
+    //     ACTUAL serving path — MaxScore/WAND runs on BM25 impacts):
+    //     the equal-df dictionary pair ranks through the pruned
+    //     two-phase scorer (per-term idf·(k1+1) ceilings + block-max
+    //     refinement) and the hash-exact integer-ratio certificate
+    //     proves the pruning returned the exhaustive top-k, order
+    //     included, under the Lucene stats phases
+    //     (SegmentedIndex.bm25MaxScoreTopK/bm25WandAudit) ---
+    "q215_bm25_wand" -> ((s, d) =>
+      // probe-only against the STAGED index (segIndexDir)
+      SegmentedIndex.bm25WandAudit(s, segIndexDir(s, d), k = 20)),
+
     // --- composite aggregation (ES `composite` — the PAGINATED agg
     //     high-cardinality exports need): source buckets keyed-order,
     //     page 2 resumes strictly after a cursor, each page an
@@ -2853,6 +2865,54 @@ object LlmSurface {
         |SELECT doc_id, query_id::BIGINT AS query_id
         |FROM m JOIN qs USING (query_id) WHERE nh = nq
         |ORDER BY doc_id, query_id""".stripMargin,
+
+    // q215: q176's pair-certificate oracle under the SEGMENTED
+    // phases — df/N/total_len over ALL docs (pre-tombstone stats),
+    // the ranked integers over the live docs only; hash equality
+    // proves the WAND-pruned serving path returned the exhaustive
+    // top-k exactly
+    "q215_bm25_wand" ->
+      """WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+        | lens AS (SELECT doc_id,
+        |   len(string_split(text, ' '))::BIGINT AS dl FROM d),
+        | p AS (SELECT term, doc_id, count(*)::BIGINT AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |        FROM d) GROUP BY term, doc_id),
+        | st AS (SELECT count(*)::BIGINT AS n_docs,
+        |   CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+        |     AS total_len FROM d),
+        | dfreq AS (SELECT term, count(*)::BIGINT AS doc_freq
+        |  FROM p GROUP BY term),
+        | dstar AS (SELECT max(doc_freq) AS dstar
+        |  FROM (SELECT doc_freq FROM dfreq
+        |        GROUP BY doc_freq HAVING count(*) >= 2)),
+        | pairt AS (SELECT term FROM dfreq, dstar
+        |  WHERE doc_freq = dstar ORDER BY term LIMIT 2),
+        | pr AS (SELECT min(term) AS term_a, max(term) AS term_b
+        |  FROM pairt),
+        | tfp AS (SELECT doc_id,
+        |   CAST(sum(CASE WHEN term = term_a THEN tf ELSE 0 END)
+        |     AS BIGINT) AS tf_a,
+        |   CAST(sum(CASE WHEN term = term_b THEN tf ELSE 0 END)
+        |     AS BIGINT) AS tf_b
+        |  FROM p, pr WHERE (term = term_a OR term = term_b)
+        |    AND doc_id % 37 <> 5
+        |  GROUP BY doc_id),
+        | r AS (SELECT t.doc_id, pr.term_a, pr.term_b, tf_a, tf_b, dl,
+        |   10 * total_len * tf_a + 3 * total_len + 9 * n_docs * dl
+        |     AS da,
+        |   10 * total_len * tf_b + 3 * total_len + 9 * n_docs * dl
+        |     AS db
+        |  FROM tfp t JOIN lens USING (doc_id), st, pr),
+        | ky AS (SELECT *, CAST(tf_a * db + tf_b * da AS DOUBLE) /
+        |    CAST(da * db AS DOUBLE) AS rank_key FROM r),
+        | k AS (SELECT doc_id, term_a, term_b, tf_a, tf_b, dl, rank_key,
+        |   row_number() OVER (ORDER BY rank_key DESC, doc_id) AS rank
+        |  FROM ky)
+        |SELECT doc_id, term_a, term_b, tf_a, tf_b, dl,
+        | CAST(rank AS BIGINT) AS rank, rank_key,
+        | TRUE AS rank_agrees, TRUE AS score_in_bounds
+        |FROM k WHERE rank <= 20 ORDER BY rank""".stripMargin,
 
     // q212: composite agg replayed — key-ordered buckets strictly
     // after the cursor, first 5

@@ -412,6 +412,73 @@ class SegmentedIndexSpec extends SparkSpec {
       "bb docs' blocks must all be skipped")
   }
 
+  test("bm25MaxScoreTopK: the WAND-pruned production scorer equals " +
+    "bm25TopK bitwise on every query shape, prunes the common term " +
+    "on a skewed corpus, and the block tier cuts the scored set") {
+    val root = Files.createTempDirectory("graft-bmws").toString
+    // rare term (high idf ceiling) clustered in block 0; filler
+    // everywhere with tf 1 outside the hot block
+    val docs = (Seq(
+      (1L, "rare filler filler"),
+      (2L, "rare rare filler"),
+      (3L, "rare filler pad"))
+      ++ (200L to 700L).map(i => (i, "filler pad")))
+      .toDF("doc_id", "text")
+    SegmentedIndex.append(spark, root, docs, "bm", nBuckets = 4)
+    def exhaustive(ts: Seq[String], k: Int) =
+      SegmentedIndex.bm25TopK(spark, root, ts, k)
+        .as[(Long, Double, Long)].collect().toSeq
+    val (out, essential, theta, scored) = SegmentedIndex
+      .bm25MaxScoreWithPlan(spark, root, Seq("rare", "filler"), 3)
+    assert(out.as[(Long, Double, Long)].collect().toSeq ==
+      exhaustive(Seq("rare", "filler"), 3),
+      "pruned BM25 must equal the exhaustive scorer bitwise")
+    assert(theta > 0.0)
+    assert(essential == Seq("rare"),
+      s"essential=$essential — filler must be non-essential")
+    assert(scored() == 3L,
+      "only the rare docs (one hot block) may reach the scorer")
+    // no-threshold degradation: k > matches, everything essential
+    val (out2, ess2, _, _) = SegmentedIndex
+      .bm25MaxScoreWithPlan(spark, root, Seq("rare", "filler"), 1000)
+    assert(ess2.toSet == Set("rare", "filler"))
+    assert(out2.as[(Long, Double, Long)].collect().toSeq ==
+      exhaustive(Seq("rare", "filler"), 1000))
+    // absent terms: empty both ways
+    assert(SegmentedIndex.bm25MaxScoreTopK(spark, root,
+      Seq("zzz-missing"), 5).count() == 0)
+    // tombstones flow through identically
+    SegmentedIndex.delete(spark, root, Seq(2L).toDF("doc_id"), "d1")
+    assert(SegmentedIndex.bm25MaxScoreTopK(spark, root,
+      Seq("rare", "filler"), 3)
+      .as[(Long, Double, Long)].collect().toSeq ==
+      exhaustive(Seq("rare", "filler"), 3))
+  }
+
+  test("bm25WandAudit: the pruned pair ranking certifies against " +
+    "the exact integer key — every emitted row rank_agrees") {
+    val root = Files.createTempDirectory("graft-bmwa").toString
+    val d = Seq(
+      (1L, "aa bb x"),
+      (2L, "aa aa y y"),
+      (3L, "bb z"),
+      (4L, "aa bb bb"),
+      (5L, "x y z")).toDF("doc_id", "text")
+    SegmentedIndex.append(spark, root, d, "a", nBuckets = 4)
+    val out = SegmentedIndex.bm25WandAudit(spark, root, k = 10)
+      .as[(Long, String, String, Long, Long, Long, Long, Double,
+        Boolean, Boolean)].collect().toSeq
+    // dfs: aa=3, bb=3 (largest shared) → the pair is (aa, bb)
+    assert(out.forall(r => r._2 == "aa" && r._3 == "bb"), out.toString)
+    assert(out.map(_._1).toSet == Set(1L, 2L, 3L, 4L))
+    assert(out.forall(_._9), "rank_agrees must certify on every row")
+    assert(out.forall(_._10), "score_in_bounds must certify")
+    // the pruned audit order equals the production bm25TopK order
+    assert(out.sortBy(_._7).map(_._1) ==
+      SegmentedIndex.bm25TopK(spark, root, Seq("aa", "bb"), 10)
+        .as[(Long, Double, Long)].collect().map(_._1).toSeq)
+  }
+
   test("bm25TopK on a one-segment index equals the ad-hoc scorer " +
     "bitwise; a tombstone drops the doc but not the stats") {
     val corpus = Seq(
