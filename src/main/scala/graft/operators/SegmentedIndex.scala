@@ -2540,6 +2540,19 @@ object SegmentedIndex {
       .orderBy("doc_id")
   }
 
+  /** Whether the index already holds [[append]]'s segment for this
+    * batch key — one driver-side manifest parse. The replay guard a
+    * MULTI-INDEX writer needs ([[graft.streaming.EventStreams
+    * .rolloverIndexSink]]): append's own membership check only
+    * covers the index it targets, so a re-delivered epoch that
+    * arrives AFTER an alias flip must ask the whole family. */
+  def hasBatch(rootDir: String, batchKey: String): Boolean = {
+    val root = new java.io.File(rootDir)
+    if (!hasManifest(root)) return false
+    val fp = graft.engine.Bucketing.fingerprint8("sx4|" + batchKey)
+    readManifest(root)._2.exists(_.name == s"seg=$fp")
+  }
+
   /** Live segment/tombstone counts and the Lucene-phase corpus stats
     * — (n_segments, n_tombstone_segments, n_docs_stat). */
   def stats(rootDir: String): (Long, Long, Long) = {

@@ -336,17 +336,68 @@ object EventStreams {
     */
   def searchIndexSink(docs: DataFrame, rootDir: String,
                       checkpoint: String, nBuckets: Int = 8,
-                      maxSegments: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
+                      maxSegments: Int = 0,
+                      analyzer: String =
+                        graft.operators.Analyzer.Whitespace.name)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epoch: Long) =>
         if (!batch.isEmpty) {
+          // the analyzer takes effect on the index's FIRST commit
+          // only — later epochs inherit the manifest's chain (the
+          // append contract), so a restarted stream can't drift
           graft.operators.SegmentedIndex.append(batch.sparkSession,
-            rootDir, batch.toDF(), s"epoch=$epoch", nBuckets)
+            rootDir, batch.toDF(), s"epoch=$epoch", nBuckets, analyzer)
           if (maxSegments > 0)
             graft.operators.SegmentedIndex.maybeMerge(
               batch.sparkSession, rootDir, maxSegments)
+        }
+        ()
+      }
+      .start()
+
+  /** Streaming ingestion through a ROLLOVER alias — ES's ILM hot
+    * phase in one loop: every micro-batch appends through the write
+    * alias's CURRENT index and then [[graft.operators.SegmentedIndex
+    * .rollover]] seals it and flips the alias once it holds
+    * `maxDocs` (the O(1) manifest-header check) — the stream keeps
+    * writing bounded, fresh indices while the sealed family stays
+    * immutable and searchable through [[graft.operators
+    * .SegmentedIndex.searchFamily]].
+    *
+    * Exactly-once composition: append's own batch-key membership
+    * check only covers the index it TARGETS, and a crash after the
+    * alias flip re-delivers the epoch to the NEW index — so the sink
+    * asks the WHOLE FAMILY first ([[graft.operators.SegmentedIndex
+    * .hasBatch]] over [[graft.operators.SegmentedIndex
+    * .familyRoots]], an O(family) driver-side manifest parse): a
+    * re-delivered epoch whose segment any member already holds is a
+    * no-op, wherever the alias points now. The alias flip itself is
+    * one atomic rename, idempotent under replay (rollover re-checks
+    * the doc threshold against the already-rolled index and declines). */
+  def rolloverIndexSink(docs: DataFrame, aliasPath: String,
+                        checkpoint: String, maxDocs: Long,
+                        nBuckets: Int = 8,
+                        analyzer: String =
+                          graft.operators.Analyzer.Whitespace.name)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epoch: Long) =>
+        if (!batch.isEmpty) {
+          val key = s"epoch=$epoch"
+          val held = graft.operators.SegmentedIndex
+            .familyRoots(aliasPath)
+            .exists { case (_, r) =>
+              graft.operators.SegmentedIndex.hasBatch(r, key) }
+          if (!held)
+            graft.operators.SegmentedIndex.append(batch.sparkSession,
+              graft.operators.SegmentedIndex.resolveAlias(aliasPath),
+              batch.toDF(), key, nBuckets, analyzer)
+          graft.operators.SegmentedIndex.rollover(aliasPath, maxDocs)
         }
         ()
       }

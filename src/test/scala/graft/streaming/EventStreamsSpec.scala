@@ -743,6 +743,48 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("rolloverIndexSink: streamed ingest rolls the write alias at " +
+    "the doc threshold, the sealed family serves exactly like one " +
+    "combined index, and a re-delivered epoch is a family-wide no-op") {
+    import graft.operators.SegmentedIndex
+    val in = MemoryStream[(Long, String)](spark)
+    val dir = Files.createTempDirectory("graft-rosink").toString
+    val stem = dir + "/logs"
+    val alias = dir + "/write-alias"
+    SegmentedIndex.createIndex(stem + "-000001", nBuckets = 4)
+    SegmentedIndex.setAlias(alias, stem + "-000001")
+    val ck = Files.createTempDirectory("graft-rosink-ck").toString
+    val q = EventStreams.rolloverIndexSink(
+      in.toDF().toDF("doc_id", "text"), alias, ck, maxDocs = 2L,
+      nBuckets = 4)
+    val batches = Seq(
+      Seq((1L, "spark data"), (2L, "spark vector")),
+      Seq((3L, "data only"), (4L, "vector vector")),
+      Seq((5L, "spark new")))
+    batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    // each 2-doc batch filled an index to the threshold and rolled
+    val family = SegmentedIndex.familyRoots(alias)
+    assert(family.size == 3, family.map(_._1).toString)
+    // the family serves exactly like one combined index
+    val all = Files.createTempDirectory("graft-rosink-all").toString
+    SegmentedIndex.append(spark, all,
+      batches.flatten.toDF("doc_id", "text"), "a", nBuckets = 4)
+    val terms = Seq("spark", "vector")
+    assert(SegmentedIndex.searchFamily(spark, alias, terms, 10)
+      .select("doc_id", "score", "n_terms_hit").collect().toSet ==
+      SegmentedIndex.search(spark, all, terms, 10).collect().toSet)
+    // the post-flip replay guard: epoch 0's batch lives in member 1;
+    // a re-delivery arriving at the CURRENT alias target must be
+    // seen as already-held family-wide
+    assert(SegmentedIndex.hasBatch(stem + "-000001", "epoch=0"))
+    assert(!SegmentedIndex.hasBatch(
+      SegmentedIndex.resolveAlias(alias), "epoch=0"))
+    assert(SegmentedIndex.familyRoots(alias).exists { case (_, r) =>
+      SegmentedIndex.hasBatch(r, "epoch=0") },
+      "the family-wide guard must catch a post-flip re-delivery")
+  }
+
   test("percolateSink: streamed documents alert against the " +
     "registered queries — the match log's union equals the batch " +
     "percolation of the unioned documents, per-epoch segments " +
