@@ -858,6 +858,18 @@ object SegmentedIndex {
       return Seq.empty[(Long, Long, Long)]
         .toDF("doc_id", "score_key", "n_terms_hit")
     val dProd = selected.map(_._2).product
+    // the exact-integer envelope, checked LOUDLY like every rank
+    // certificate: N·D must fit int64 with headroom for the tf sum
+    // (tf ≤ dl ≤ 2^16 is generous for any analyzed document; beyond
+    // this corpus scale the key must be re-derived, never silently
+    // wrapped). dProd also guards its own overflow: a wrapped Long
+    // product of positives can go non-positive or exceed the bound.
+    require(dProd > 0 &&
+      dProd <= Long.MaxValue / math.max(nDocs, 1L) / (1L << 16) /
+        math.max(maxQueryTerms, 1),
+      s"moreLikeThis: integer rank-key envelope exceeded " +
+        s"(N=$nDocs, D=$dProd) — the exact-ordering certificate " +
+        "cannot hold at this corpus scale")
     val weights = selected.map { case (t, df) =>
       (t, nDocs * dProd / df) }.toDF("term", "w")
     val p = prunedPostings(spark, root, segs, selected.map(_._1), nb)
