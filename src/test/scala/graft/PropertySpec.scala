@@ -264,6 +264,38 @@ class PropertySpec extends SparkSpec {
       }
   }
 
+  test("dynamic pruning is EXACT on random corpora, query shapes and " +
+    "k: both pruned scorers (tf·idf MaxScore and WAND BM25) equal " +
+    "their exhaustive twins bitwise") {
+    import graft.operators.SegmentedIndex
+    samples(Gen.zip(Gen.listOfN(14, text), Gen.choose(1, 6)), 3)
+      .foreach { case (texts, k) =>
+        val docs = texts.zipWithIndex
+          .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-prop-wand").toString
+        SegmentedIndex.append(spark, root, docs, "a", nBuckets = 4)
+        // query: the most frequent + a middling + a rare word — the
+        // shape dynamic pruning exists for
+        val byFreq = texts.flatMap(_.split(" "))
+          .groupBy(identity).toSeq
+          .sortBy { case (w, o) => (-o.size, w) }.map(_._1)
+        val terms = (byFreq.take(1) ++
+          byFreq.slice(byFreq.size / 2, byFreq.size / 2 + 1) ++
+          byFreq.takeRight(1)).distinct
+        assert(SegmentedIndex.maxScoreSearch(spark, root, terms, k)
+          .as[(Long, Double, Long)].collect().toSeq ==
+          SegmentedIndex.search(spark, root, terms, k)
+            .as[(Long, Double, Long)].collect().toSeq,
+          s"maxScoreSearch diverged: terms=$terms k=$k corpus=$texts")
+        assert(SegmentedIndex.bm25MaxScoreTopK(spark, root, terms, k)
+          .as[(Long, Double, Long)].collect().toSeq ==
+          SegmentedIndex.bm25TopK(spark, root, terms, k)
+            .as[(Long, Double, Long)].collect().toSeq,
+          s"bm25MaxScoreTopK diverged: terms=$terms k=$k corpus=$texts")
+      }
+  }
+
   test("analyzer mirrors agree on RANDOM ASCII text: the column " +
     "pipeline and the driver pipeline emit identical (pos, term) " +
     "sequences for every chain") {
