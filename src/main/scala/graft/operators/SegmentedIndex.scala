@@ -976,6 +976,22 @@ object SegmentedIndex {
       .orderBy(asc("value"), asc("rank"))
   }
 
+  /** Cardinality + value-count aggregation — ES's `cardinality` and
+    * `value_count` aggs over the live hit set's stored field, in one
+    * row. The distinct count here is EXACT (which keeps it on the
+    * hash-oracle surface); ES itself serves HLL++ for this agg — at
+    * 100 TB swap `countDistinct` for `approx_count_distinct`, the
+    * same sketch tier q43/q119 already serve, and the plan shape
+    * (one partial+final aggregation over the column-pruned
+    * doc-values read) is unchanged. Missing-field docs drop from
+    * both numbers (ES's rule). Output: (cardinality, value_count),
+    * one row. */
+  def cardinalityFacet(spark: SparkSession, rootDir: String,
+                       terms: Seq[String], field: String): DataFrame =
+    hitFieldValues(spark, rootDir, terms, field)
+      .agg(countDistinct(col("value")).as("cardinality"),
+        count(col("value")).as("value_count"))
+
   /** Composite aggregation — ES's `composite` agg, the PAGINATED
     * aggregation that exists precisely because a high-cardinality
     * terms agg cannot return every bucket in one response: buckets

@@ -644,6 +644,16 @@ object LlmSurface {
       // probe-only against the STAGED index (segIndexDir)
       SegmentedIndex.bm25WandAudit(s, segIndexDir(s, d), k = 20)),
 
+    // --- cardinality + value_count aggregation (ES `cardinality` /
+    //     `value_count`): exact distinct + non-null value count of a
+    //     stored field over the live hit set — exact keeps it
+    //     hash-oracled; ES serves HLL for this, the documented swap
+    //     at scale (SegmentedIndex.cardinalityFacet) ---
+    "q216_cardinality_agg" -> ((s, d) =>
+      // probe-only against the STAGED index (segIndexDir)
+      SegmentedIndex.cardinalityFacet(s, segIndexDir(s, d),
+        searchTerms, "source")),
+
     // --- composite aggregation (ES `composite` — the PAGINATED agg
     //     high-cardinality exports need): source buckets keyed-order,
     //     page 2 resumes strictly after a cursor, each page an
@@ -2913,6 +2923,19 @@ object LlmSurface {
         | CAST(rank AS BIGINT) AS rank, rank_key,
         | TRUE AS rank_agrees, TRUE AS score_in_bounds
         |FROM k WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+    // q216: exact distinct + value count over the live hit set
+    "q216_cardinality_agg" -> {
+      val termList = searchTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+         | p AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |       FROM d),
+         | hits AS (SELECT DISTINCT doc_id FROM p
+         |          WHERE term IN ($termList) AND doc_id % 37 <> 5)
+         |SELECT count(DISTINCT source)::BIGINT AS cardinality,
+         | count(source)::BIGINT AS value_count
+         |FROM d JOIN hits USING (doc_id)""".stripMargin
+    },
 
     // q212: composite agg replayed — key-ordered buckets strictly
     // after the cursor, first 5

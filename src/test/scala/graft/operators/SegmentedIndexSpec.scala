@@ -796,6 +796,27 @@ class SegmentedIndexSpec extends SparkSpec {
       (20L, 30L, 0L), (30L, 40L, 0L)))
   }
 
+  test("cardinalityFacet: exact distinct + value count over the " +
+    "live hit set; missing fields drop from both, tombstones move " +
+    "the numbers immediately") {
+    val root = Files.createTempDirectory("graft-card").toString
+    val d = Seq(
+      (1L, "x a", Option("c1")),
+      (2L, "x b", Option("c1")),
+      (3L, "x c", Option("c2")),
+      (4L, "x d", Option.empty[String]),
+      (5L, "y e", Option("c9"))).toDF("doc_id", "text", "cat")
+    SegmentedIndex.append(spark, root, d, "a", nBuckets = 4)
+    def got() = SegmentedIndex
+      .cardinalityFacet(spark, root, Seq("x"), "cat")
+      .as[(Long, Long)].collect().head
+    // hits 1–4; doc 4's missing field drops; doc 5 matches nothing
+    assert(got() == ((2L, 3L)))
+    SegmentedIndex.delete(spark, root, Seq(3L).toDF("doc_id"), "d1")
+    assert(got() == ((1L, 2L)),
+      "the tombstoned doc must leave both numbers immediately")
+  }
+
   test("compositeFacet: key-ordered bucket pages concatenate to the " +
     "full terms-by-key aggregation with no overlap or skip") {
     val root = Files.createTempDirectory("graft-comp").toString
