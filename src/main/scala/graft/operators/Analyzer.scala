@@ -60,11 +60,28 @@ object Analyzer {
 
   /** One analyzer chain. `splitRx` is a regex BOTH Spark's `split`
     * and DuckDB's `string_split_regex` interpret identically (kept to
-    * character-class basics for that reason). */
+    * character-class basics for that reason).
+    *
+    * `synonyms` is an INDEX-TIME expansion map over ANALYZED terms —
+    * ES's `synonym` token filter in its index-analyzer position: each
+    * ingested token equal to a key also emits every mapped value at
+    * the SAME position (Lucene's synonym-graph stacking), so a query
+    * for the value hits a key-only document while scoring stays plain
+    * tf·df arithmetic. The filter is SINGLE-PASS (an emitted synonym
+    * is not itself re-expanded — Lucene parity) and QUERY-SIDE
+    * ANALYSIS NEVER EXPANDS ([[analyzeText]]/[[queryTerms]] are the
+    * search-analyzer mirror; ES's recommended index-time-synonym
+    * setup drops the filter from the search analyzer). Entries are
+    * canonical analyzed forms — [[custom]] is the only constructor
+    * that admits them and canonicalizes/validates there. */
   final case class Chain(name: String, lowercase: Boolean,
                          splitRx: String, stopwords: Seq[String],
-                         stem: Boolean) {
+                         stem: Boolean,
+                         synonyms: Seq[(String, String)] = Nil) {
     val stopwordSet: Set[String] = stopwords.toSet
+    /** key → mapped values, first-occurrence order. */
+    val synonymMap: Map[String, Seq[String]] =
+      synonyms.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
   }
 
   /** The default: split on single spaces, no normalization — the
@@ -87,11 +104,98 @@ object Analyzer {
   private val registry: Map[String, Chain] =
     Seq(Whitespace, Standard, English).map(c => c.name -> c).toMap
 
-  /** Resolve a chain by its manifest name — fails loudly on an
-    * unknown name (a manifest written by a newer engine version). */
-  def byName(name: String): Chain = registry.getOrElse(name,
-    throw new IllegalArgumentException(
-      s"unknown analyzer '$name' (known: ${registry.keys.mkString(", ")})"))
+  /** Resolve a chain by its manifest name: a built-in registry name,
+    * or a CUSTOM analysis-settings spec (`custom(base=...;stop=...;
+    * syn=...)` — the serialized form [[custom]] mints; parsing it
+    * back through [[custom]] re-validates every token). Fails loudly
+    * on anything else (a manifest written by a newer engine version).
+    */
+  def byName(name: String): Chain =
+    registry.getOrElse(name,
+      if (name.startsWith("custom(") && name.endsWith(")"))
+        parseCustom(name)
+      else throw new IllegalArgumentException(
+        s"unknown analyzer '$name' (known: " +
+          s"${registry.keys.toSeq.sorted.mkString(", ")}, " +
+          "custom(base=...;stop=...;syn=...))"))
+
+  /** A CUSTOM chain — ES's per-index analysis settings
+    * (`PUT /idx { settings.analysis }`), scoped to the two most-used
+    * knobs: an EXTRA stopword list and an index-time synonym map,
+    * both layered on a built-in base chain. Tokens canonicalize
+    * through the base's own single-token analysis (lowercase + stem
+    * where the base does) so they compare against exactly what the
+    * index emits — `stop=runs` under an english base filters the
+    * emitted stem `run`; a synonym key that would itself analyze
+    * away is rejected rather than silently dead. The chain's NAME is
+    * its canonical serialized spec, which is what the manifest `an=`
+    * header carries — the settings travel with the index and
+    * [[byName]] round-trips them. */
+  def custom(base: String, extraStopwords: Seq[String] = Nil,
+             synonyms: Seq[(String, String)] = Nil): Chain = {
+    val b = registry.getOrElse(base, throw new IllegalArgumentException(
+      s"custom analyzer base must be a built-in chain, got '$base'"))
+    def canon(raw: String, role: String): String = {
+      require(raw.matches("[A-Za-z0-9]+"),
+        s"analysis-settings $role must be alphanumeric " +
+          s"([A-Za-z0-9]+): '$raw' — separators, quotes and " +
+          "spec-delimiters cannot be analyzed terms")
+      val t = normalize(b, raw)
+      if (b.stem) stemScala(t) else t
+    }
+    val stop = extraStopwords.map(canon(_, "stopword"))
+      .distinct.sorted
+    val allStop = b.stopwordSet ++ stop
+    val syn = synonyms
+      .map { case (k, v) => (canon(k, "synonym key"),
+        canon(v, "synonym value")) }
+      .distinct.sorted
+    syn.foreach { case (k, v) =>
+      require(!allStop(k) && !allStop(v),
+        s"synonym '$k>$v' collides with a stopword — the key would " +
+          "never be emitted (or the value would dodge the filter)")
+      require(k != v, s"self-synonym '$k>$v' is a no-op")
+    }
+    val spec = s"custom(base=${b.name}" +
+      (if (stop.isEmpty) "" else s";stop=${stop.mkString(",")}") +
+      (if (syn.isEmpty) ""
+       else s";syn=${syn.map { case (k, v) => s"$k>$v" }.mkString(",")}") +
+      ")"
+    Chain(spec, b.lowercase, b.splitRx, b.stopwords ++ stop, b.stem,
+      syn)
+  }
+
+  private def parseCustom(spec: String): Chain = {
+    val body = spec.stripPrefix("custom(").stripSuffix(")")
+    val fields = body.split(";", -1).toSeq
+    def bad(why: String): Nothing =
+      throw new IllegalArgumentException(
+        s"malformed custom analyzer spec '$spec': $why")
+    if (fields.isEmpty || !fields.head.startsWith("base="))
+      bad("first field must be base=<builtin>")
+    val base = fields.head.stripPrefix("base=")
+    var stop = Seq.empty[String]
+    var syn = Seq.empty[(String, String)]
+    fields.tail.foreach {
+      case f if f.startsWith("stop=") =>
+        stop = f.stripPrefix("stop=").split(",", -1).toSeq
+      case f if f.startsWith("syn=") =>
+        syn = f.stripPrefix("syn=").split(",", -1).toSeq.map { p =>
+          p.split(">", -1) match {
+            case Array(k, v) => (k, v)
+            case _ => bad(s"synonym entry '$p' is not key>value")
+          }
+        }
+      case f => bad(s"unknown field '$f'")
+    }
+    val c = custom(base, stop, syn)
+    // the canonical form is the only admissible serialization — a
+    // drifted header (reordered, un-canonicalized tokens) would make
+    // equal chains compare unequal in federation
+    if (c.name != spec)
+      bad(s"not in canonical form (expected '${c.name}')")
+    c
+  }
 
   /** The light stemmer as ONE SQL CASE over the placeholder
     * expression `t` — the SAME string is valid Spark SQL (inside a
@@ -139,9 +243,22 @@ object Analyzer {
       if (c.stopwords.isEmpty) ""
       else " AND NOT x.term IN (" +
         c.stopwords.map(s => s"'$s'").mkString(", ") + ")"
-    expr(s"filter(transform($raw, " +
+    val base = s"filter(transform($raw, " +
       s"(t, i) -> named_struct('pos', bigint(i), 'term', $term)), " +
-      s"x -> x.term <> ''$stop)")
+      s"x -> x.term <> ''$stop)"
+    if (c.synonymMap.isEmpty) return expr(base)
+    // index-time synonym expansion: each filtered token also emits
+    // its mapped values AT THE SAME POSITION (Lucene's synonym-graph
+    // stacking). Tokens are canonical [a-z0-9]+ ([[custom]] enforces
+    // it), so the literal embedding is injection-safe; the ELSE arm's
+    // slice(array(x), 1, 0) is the typed empty array.
+    val cases = c.synonymMap.toSeq.sortBy(_._1).map { case (k, vs) =>
+      s"WHEN '$k' THEN array(" + vs.map(v =>
+        s"named_struct('pos', x.pos, 'term', '$v')").mkString(", ") +
+        ")"
+    }.mkString(" ")
+    expr(s"flatten(transform($base, x -> concat(array(x), " +
+      s"CASE x.term $cases ELSE slice(array(x), 1, 0) END)))")
   }
 
   /** COLUMN mirror: the analyzed document length — the number of
@@ -151,18 +268,38 @@ object Analyzer {
   def dl(c: Chain, textCol: String): Column =
     size(posTerms(c, textCol)).cast("long")
 
-  /** DRIVER mirror of [[posTerms]]: analyze one string to its
-    * (position, term) pairs — used for query phrases, where the
-    * positions carry the stopword gaps a phrase match must respect. */
+  /** DRIVER mirror of the SEARCH-ANALYZER half of the chain: analyze
+    * one string to its (position, term) pairs — used for query
+    * phrases, where the positions carry the stopword gaps a phrase
+    * match must respect. NEVER expands synonyms (index-time-synonym
+    * setups drop the filter from the search analyzer — a query for
+    * the value must hit through the INDEX's stacked tokens, not by
+    * re-expanding the query); [[analyzeIngest]] is the ingest-side
+    * mirror. */
   def analyzeText(c: Chain, s: String): Seq[(Long, String)] = {
     if (c == Whitespace)
       return s.split(" ", -1).toSeq.zipWithIndex
         .map { case (t, i) => (i.toLong, t) }
-    val lowered = if (c.lowercase) s.toLowerCase else s
+    // Locale.ROOT: the column mirror (Spark lower()) and the DuckDB
+    // oracle lower() are locale-independent; a default-locale
+    // toLowerCase would diverge under e.g. tr_TR ('I' -> dotless 'ı')
+    // and silently lose matches against the indexed vocabulary
+    val lowered =
+      if (c.lowercase) s.toLowerCase(java.util.Locale.ROOT) else s
     lowered.split(c.splitRx, -1).toSeq.zipWithIndex
       .map { case (t, i) => (i.toLong, if (c.stem) stemScala(t) else t) }
       .filter { case (_, t) => t.nonEmpty && !c.stopwordSet(t) }
   }
+
+  /** DRIVER mirror of [[posTerms]] — the INGEST analysis, synonym
+    * stacking included: what the index actually stores for `s`. The
+    * property suite pins this against the column mirror on random
+    * text; [[analyzeText]] (no expansion) is the query-side twin. */
+  def analyzeIngest(c: Chain, s: String): Seq[(Long, String)] =
+    if (c.synonymMap.isEmpty) analyzeText(c, s)
+    else analyzeText(c, s).flatMap { case (p, t) =>
+      (p, t) +: c.synonymMap.getOrElse(t, Nil).map(v => (p, v))
+    }
 
   /** DRIVER mirror for TERM-LIST queries: analyze each query literal,
     * drop stopwords/empties, dedup preserving first occurrence — what
@@ -175,7 +312,7 @@ object Analyzer {
     * stop-filters them — a `prefix: "Runn"` must match the indexed
     * `running`, which stemming the PATTERN would break. */
   def normalize(c: Chain, s: String): String =
-    if (c.lowercase) s.toLowerCase else s
+    if (c.lowercase) s.toLowerCase(java.util.Locale.ROOT) else s
 
   /** The PER-TOKEN analyzed form as a SQL fragment over the
     * expression `t` (lowercase + stem, NO stopword filter) — what a

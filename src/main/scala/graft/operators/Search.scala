@@ -113,9 +113,17 @@ object Search {
     * deterministic function of the document, so it oracles exactly.
     * Output: (doc_id, pos, n_hits, snippet); non-matching docs drop.
     */
+  /** A string as a Spark SQL single-quoted literal, backslash and
+    * quote escaped — for analyzed terms embedded in `expr` strings
+    * (under the whitespace chain a term can contain ANY character,
+    * including a quote that would otherwise break or inject into the
+    * expression). */
+  private[operators] def sqlLit(t: String): String =
+    "'" + t.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
   def highlight(docs: DataFrame, terms: Seq[String],
                 window: Int = 3): DataFrame = {
-    val arr = terms.map(t => s"'$t'").mkString(", ")
+    val arr = terms.map(sqlLit).mkString(", ")
     docs
       .withColumn("toks", TextOps.tokens("text"))
       // first occurrence of ANY term: min over per-term first

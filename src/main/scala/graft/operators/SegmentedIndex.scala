@@ -119,6 +119,28 @@ object SegmentedIndex {
   private def readAnalyzer(root: java.io.File): Analyzer.Chain =
     Analyzer.byName(analyzerNameOf(root))
 
+  /** The federation PRECONDITION, enforced: every multi-index reader
+    * that analyzes query terms does so ONCE with the first index's
+    * chain, which is only sound when all federated indices share it
+    * (ES analyzes per-index; this engine's lossless-global-stats
+    * contract pools df/N across members, which presumes one
+    * vocabulary). A rollover family satisfies this by construction —
+    * [[rollover]]/[[snapshot]]/[[reindex]] inherit the manifest's
+    * `an=` header — so this is one manifest-header read per member
+    * (no data touched) that turns the silent-wrong-hits failure of a
+    * mixed federation into a loud error. */
+  private def requireUniformAnalyzer(
+      indices: Seq[(String, String)]): Unit = {
+    val chains = indices
+      .map { case (name, dir) =>
+        name -> analyzerNameOf(new java.io.File(dir)) }
+    require(chains.map(_._2).distinct.size <= 1,
+      "federated indices must share one analyzer chain (got " +
+        chains.map { case (n, a) => s"$n=$a" }.mkString(", ") +
+        "); reindex the divergent members — per-index analysis is " +
+        "unsupported in federation")
+  }
+
   /** The index's analyzer name — public so callers can introspect
     * (ES's `GET /idx/_settings` analyzer readback). */
   def analyzerOf(rootDir: String): String =
@@ -256,9 +278,11 @@ object SegmentedIndex {
     // an EXISTING index's analyzer always wins — all segments of an
     // index are analyzed identically (the ES mapping contract); the
     // parameter only takes effect on first commit
-    val anName =
-      if (hasManifest(root)) analyzerNameOf(root) else analyzer
-    val an = Analyzer.byName(anName)
+    // resolve-then-use-the-chain's-own-name: custom specs commit in
+    // canonical form, so header strings compare exactly in federation
+    val an = Analyzer.byName(
+      if (hasManifest(root)) analyzerNameOf(root) else analyzer)
+    val anName = an.name
     val (nb, segs, gen) =
       if (hasManifest(root)) readManifest(root)
       else (nBuckets, Seq.empty[Seg], 0L)
@@ -511,7 +535,18 @@ object SegmentedIndex {
         stored.join(dead, Seq("doc_id", "seg"), "left_anti")
       case None => stored
     }
-    val arr = qs.map(t => s"'$t'").mkString(", ")
+    // terms embed quote-escaped ([[Search.sqlLit]]) — under the
+    // whitespace chain they pass through analysis unfiltered, so a
+    // quote-bearing term must not break (or inject into) the expr.
+    // Under an index-time-synonym chain a display token whose
+    // analyzed form is a synonym KEY matches a query for the VALUE
+    // (the index stacked the value at its position — ES highlights
+    // the original token), so the marker set widens by the reverse
+    // map, driver-side.
+    val qSet = qs.toSet
+    val hlSet = qs ++ an.synonymMap.collect {
+      case (k, vs) if vs.exists(qSet) => k }
+    val arr = hlSet.map(Search.sqlLit).mkString(", ")
     val w = 2 * window + 1
     live.join(broadcast(top), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("text"))
@@ -668,6 +703,7 @@ object SegmentedIndex {
       indices: Seq[(String, String)], terms: Seq[String],
       field: String): DataFrame = {
     require(indices.nonEmpty, "need at least one index")
+    requireUniformAnalyzer(indices)
     indices.map { case (name, root) =>
       hitFieldValues(spark, root, terms, field)
         .withColumn("idx", lit(name))
@@ -710,6 +746,7 @@ object SegmentedIndex {
                             minDocCount: Long = 3L): DataFrame = {
     require(terms.nonEmpty, "significantTerms needs query terms")
     require(indices.nonEmpty, "need at least one index")
+    requireUniformAnalyzer(indices)
     val perIndex = indices.map { case (name, rootDir) =>
       val root = new java.io.File(rootDir)
       val (nb, segs, _) = readManifest(root)
@@ -832,6 +869,19 @@ object SegmentedIndex {
     * (a per-term fixed-order double pivot needs literal terms).
     * Output: (doc_id, score_key, n_terms_hit), top-k by
     * (score_key desc, doc_id). */
+  /** Fold a product of positive factors with a per-step overflow
+    * check against `bound`: `acc·f ≤ bound ⟺ acc ≤ bound/f` is exact
+    * in non-negative integer division, so the guard fires BEFORE the
+    * multiplication can wrap — never on an already-wrapped value
+    * (which could land back inside (0, bound] and pass a post-hoc
+    * range test). Seam for the envelope spec. */
+  private[operators] def checkedRankProduct(factors: Seq[Long],
+      bound: Long, msg: String): Long =
+    factors.foldLeft(1L) { (acc, f) =>
+      require(f > 0 && acc <= bound / f, msg)
+      acc * f
+    }
+
   def moreLikeThis(spark: SparkSession, rootDir: String, docId: Long,
                    k: Int, maxQueryTerms: Int = 5,
                    minDocFreq: Long = 2L): DataFrame = {
@@ -857,18 +907,19 @@ object SegmentedIndex {
     if (selected.isEmpty)
       return Seq.empty[(Long, Long, Long)]
         .toDF("doc_id", "score_key", "n_terms_hit")
-    val dProd = selected.map(_._2).product
     // the exact-integer envelope, checked LOUDLY like every rank
     // certificate: N·D must fit int64 with headroom for the tf sum
     // (tf ≤ dl ≤ 2^16 is generous for any analyzed document; beyond
     // this corpus scale the key must be re-derived, never silently
-    // wrapped). dProd also guards its own overflow: a wrapped Long
-    // product of positives can go non-positive or exceed the bound.
-    require(dProd > 0 &&
-      dProd <= Long.MaxValue / math.max(nDocs, 1L) / (1L << 16) /
+    // wrapped). The product folds with a PER-STEP overflow check —
+    // a wrapped Long product of positives is not guaranteed to land
+    // outside (0, bound], so a post-hoc range test on the wrapped
+    // value could silently certify a wrong ranking.
+    val dProd = checkedRankProduct(selected.map(_._2),
+      Long.MaxValue / math.max(nDocs, 1L) / (1L << 16) /
         math.max(maxQueryTerms, 1),
       s"moreLikeThis: integer rank-key envelope exceeded " +
-        s"(N=$nDocs, D=$dProd) — the exact-ordering certificate " +
+        s"(N=$nDocs) — the exact-ordering certificate " +
         "cannot hold at this corpus scale")
     val weights = selected.map { case (t, df) =>
       (t, nDocs * dProd / df) }.toDF("term", "w")
@@ -1063,6 +1114,7 @@ object SegmentedIndex {
                       terms: Seq[String], bucketField: String,
                       statField: String, kBuckets: Int): DataFrame = {
     require(indices.nonEmpty, "need at least one index")
+    requireUniformAnalyzer(indices)
     indices.map { case (name, root) =>
       hitFields(spark, root, terms,
         Seq(bucketField -> "value", statField -> "sv"),
@@ -1159,9 +1211,11 @@ object SegmentedIndex {
                   analyzer: String = Analyzer.Whitespace.name): Unit = {
     val root = new java.io.File(rootDir)
     root.mkdirs()
-    Analyzer.byName(analyzer) // fail loudly before committing
+    // resolve first: fails loudly before committing, and commits the
+    // CANONICAL name (custom specs normalize)
+    val an = Analyzer.byName(analyzer)
     if (!hasManifest(root))
-      writeManifest(root, nBuckets, Seq.empty, 0L, Some(analyzer))
+      writeManifest(root, nBuckets, Seq.empty, 0L, Some(an.name))
   }
 
   /** Rollover — ES's `_rollover`, the first step of every index
@@ -1743,9 +1797,13 @@ object SegmentedIndex {
     require(indices.nonEmpty, "multiSearch needs at least one index")
     require(indices.map(_._1).distinct.size == indices.size,
       "index names must be unique")
-    // federation analyzes with the FIRST index's chain — the lossless
-    // global-stats contract presumes a uniform analyzer across the
-    // federated indices (a rollover family always satisfies this)
+    // federation analyzes ONCE with the (enforced-uniform) family
+    // chain — the lossless global-stats contract requires it, and a
+    // rollover family always satisfies it ([[rollover]]/[[snapshot]]/
+    // [[reindex]] inherit the header). A mixed federation fails
+    // LOUDLY here instead of silently mis-analyzing the other
+    // members' queries ([[requireUniformAnalyzer]]).
+    requireUniformAnalyzer(indices)
     val qs = qTerms(new java.io.File(indices.head._2), terms)
     val perIndex = indices.map { case (name, rootDir) =>
       val root = new java.io.File(rootDir)
@@ -2526,11 +2584,20 @@ object SegmentedIndex {
     // token position AFTER the leading text — gaps included
     val leadOffsets = Analyzer.analyzeText(an, leading.mkString(" "))
       .map { case (pos, t) => (t, pos) }
+    // the prefix slot is ONE PAST the last real leading token's
+    // position. Under a separator-collapsing chain the raw split of
+    // the leading text can end in an EMPTY token (leading text ends
+    // in a separator, e.g. "foo,"), which occupies no position in
+    // the indexed document ("foo, bar" tokenizes bar at 1) — so the
+    // slot derives from the last NON-EMPTY raw index, not the raw
+    // array length. The whitespace chain keeps empty tokens as real
+    // positions (posTerms parity), so there the raw length IS the
+    // slot.
     val prefixOff: Long =
       if (leading.isEmpty) 0L
-      else (if (an == Analyzer.Whitespace) leading.size
-      else Analyzer.normalize(an, leading.mkString(" "))
-        .split(an.splitRx, -1).length).toLong
+      else if (an == Analyzer.Whitespace) leading.size.toLong
+      else (Analyzer.normalize(an, leading.mkString(" "))
+        .split(an.splitRx, -1).lastIndexWhere(_.nonEmpty) + 1).toLong
     val px = Analyzer.normalize(an, prefix)
     // the ES cap (max_expansions, smallest terms first) applies
     // INSIDE the plan — the collect is bounded by construction, never
@@ -2557,10 +2624,15 @@ object SegmentedIndex {
     live.select(col("doc_id"), col("term"),
         explode(col("positions")).as("pos"))
       .join(broadcast(offsets), "term")
-      .select(col("doc_id"), (col("pos") - col("off")).as("anchor"))
+      .select(col("doc_id"), col("off"),
+        (col("pos") - col("off")).as("anchor"))
       .filter(col("anchor") >= 0)
       .groupBy("doc_id", "anchor")
-      .agg(count(lit(1)).as("n_hit"))
+      // distinct OFFSETS matched, not raw rows: the last slot admits
+      // a term SET, and under an index-time-synonym chain one doc
+      // position can stack several of its expansions — "every slot
+      // matched" must not be confused by a doubly-matched slot
+      .agg(countDistinct(col("off")).as("n_hit"))
       .filter(col("n_hit") === lit(k.toLong))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_occurrences"),

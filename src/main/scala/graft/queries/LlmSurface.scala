@@ -98,6 +98,33 @@ object LlmSurface {
     root
   }
 
+  /** The CUSTOM analysis-settings chain behind q217 — ES's
+    * per-index `settings.analysis` knobs (an extra stopword + two
+    * index-time synonym rules) on the english base; the canonical
+    * spec string IS the analyzer name the manifest carries. */
+  val synChainSpec: String = graft.operators.Analyzer.custom(
+    "english",
+    extraStopwords = Seq("table"),
+    synonyms = Seq("big" -> "large", "fast" -> "quick")).name
+
+  /** The staged CUSTOM-SETTINGS segmented index — [[segIndexDir]]'s
+    * lifecycle under [[synChainSpec]] (q217 probes it; the oracle
+    * replays the base analysis + synonym stacking in DuckDB SQL). */
+  def segIndexSynDir(s: SparkSession, d: String): String = {
+    val root = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      "graft_segidx_syn_sx5a_" +
+        graft.engine.Bucketing.fingerprint8(d)).getPath
+    val dd = docs(s, d).filter(col("doc_id") < 150)
+    SegmentedIndex.append(s, root,
+      dd.filter(col("doc_id") % 5 =!= 0), "a", analyzer = synChainSpec)
+    SegmentedIndex.append(s, root,
+      dd.filter(col("doc_id") % 5 === 0), "b")
+    SegmentedIndex.delete(s, root,
+      dd.filter(col("doc_id") % 37 === 5).select("doc_id"), "d1")
+    root
+  }
+
   /** The three CDC change batches every maintained-view roundtrip
     * feeds — factored so the staged chain and the per-query oracles
     * derive from ONE definition. */
@@ -268,6 +295,7 @@ object LlmSurface {
     segIndexDir(s, d)
     segIndexPairDirs(s, d)
     segIndexEnDir(s, d)
+    segIndexSynDir(s, d)
     segIndexPreDir(s, d)
     summaryChainDirs(s, d)
     familyAliasPath(s, d)
@@ -565,6 +593,21 @@ object LlmSurface {
       // probe-only against the STAGED english index (segIndexEnDir)
       SegmentedIndex.phraseSearch(s, segIndexEnDir(s, d),
         Seq("Sparks", "the", "Line"))),
+
+    // --- CUSTOM analysis settings (ES `PUT /idx
+    //     { settings.analysis }` — the per-index analyzer knobs):
+    //     the staged index carries an extra stopword ('table') and
+    //     two index-time synonym rules (big>large, fast>quick) in
+    //     its manifest spec; a query for the VALUES hits key-only
+    //     docs through the stacked index tokens (query analysis
+    //     never re-expands — the search-analyzer contract), and the
+    //     'Table' query term drops as a stopword. The oracle
+    //     replays base analysis + stacking in SQL
+    //     (Analyzer.custom + SegmentedIndex.search) ---
+    "q217_synonym_search" -> ((s, d) =>
+      // probe-only against the STAGED custom index (segIndexSynDir)
+      SegmentedIndex.search(s, segIndexSynDir(s, d),
+        Seq("LARGE", "Quick", "Table"), k = 20)),
 
     // --- FAMILY-WIDE aggregation (ES `aggs` on `GET /<stem>-*` —
     //     analytics over a rolled index family without manual
@@ -2786,6 +2829,45 @@ object LlmSurface {
          |SELECT doc_id, count(*)::BIGINT AS n_occurrences,
          | min(anchor)::BIGINT AS first_pos
          |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    // q217: the custom-settings chain replayed — english base
+    // analysis + the extra stopword, then index-time synonym
+    // STACKING as a UNION ALL of mapped terms (each stacked token is
+    // one more row at ingest, so tf/df arithmetic needs no special
+    // cases); query terms large/quick in fixed pivot order, 'table'
+    // dropped by the custom stop list on the query side
+    "q217_synonym_search" -> {
+      val anTerms = Seq("large", "quick")
+      val termList = anTerms.map(t => s"'$t'").mkString(", ")
+      val contribs = anTerms.map { t =>
+        s"sum(CASE WHEN term = '$t' THEN tf::DOUBLE * " +
+          "(n_docs / doc_freq::DOUBLE) ELSE 0.0::DOUBLE END)"
+      }
+      val stops = (graft.operators.Analyzer.EnglishStopwords :+
+        "table").map(w => s"'$w'").mkString(", ")
+      s"""WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+         | toks AS (SELECT doc_id,
+         |   unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+         |   FROM d),
+         | an AS (SELECT doc_id, term FROM
+         |   (SELECT doc_id, ${graft.operators.Analyzer.stemSql("tok")}
+         |      AS term FROM toks)
+         |   WHERE term <> '' AND term NOT IN ($stops)),
+         | stacked AS (SELECT doc_id, term FROM an
+         |   UNION ALL SELECT doc_id, 'large' FROM an WHERE term = 'big'
+         |   UNION ALL SELECT doc_id, 'quick' FROM an WHERE term = 'fast'),
+         | p AS (SELECT term, doc_id, count(*)::BIGINT AS tf
+         |   FROM stacked GROUP BY term, doc_id),
+         | dfreq AS (SELECT term, count(*)::BIGINT AS doc_freq FROM p
+         |   GROUP BY term),
+         | nd AS (SELECT count(*)::DOUBLE AS n_docs FROM d)
+         |SELECT doc_id, ${contribs.mkString(" + ")} AS score,
+         | count(*) AS n_terms_hit
+         |FROM p JOIN dfreq USING (term), nd
+         |WHERE term IN ($termList) AND doc_id % 37 <> 5
+         |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20"""
+        .stripMargin
     },
 
     // q206: MLT replayed — doc 7's term vector joins the

@@ -308,16 +308,27 @@ class PropertySpec extends SparkSpec {
         .map(_.mkString),
       Gen.choose(0, 999).map(_.toString))
     val messy = Gen.listOfN(12, chunk).map(_.mkString(" "))
+    // a custom chain exercises the settings tier: extra stopwords +
+    // index-time synonym stacking (the ingest mirror is
+    // analyzeIngest; for the synonym-free chains it IS analyzeText)
+    val chains = Seq(Analyzer.Whitespace, Analyzer.Standard,
+      Analyzer.English,
+      Analyzer.custom("english", extraStopwords = Seq("zzz"),
+        synonyms = Seq("cat" -> "feline", "dog" -> "canine",
+          "dog" -> "hound")))
     samples(Gen.listOfN(8, messy), 4).foreach { texts =>
-      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      // splice synonym keys/extra stopwords into some rows so the
+      // expansion path actually fires on random surroundings
+      val spiced = texts.zipWithIndex.map { case (t, i) =>
+        if (i % 3 == 0) s"dog $t zzz cat" else t }
+      val df = spiced.zipWithIndex.map { case (t, i) => (i.toLong, t) }
         .toDF("doc_id", "text")
-      for (chain <- Seq(Analyzer.Whitespace, Analyzer.Standard,
-        Analyzer.English)) {
+      for (chain <- chains) {
         val got = df.select(col("doc_id"),
             Analyzer.posTerms(chain, "text").as("pt"))
           .as[(Long, Seq[(Long, String)])].collect().toMap
-        texts.zipWithIndex.foreach { case (t, i) =>
-          assert(got(i.toLong) == Analyzer.analyzeText(chain, t),
+        spiced.zipWithIndex.foreach { case (t, i) =>
+          assert(got(i.toLong) == Analyzer.analyzeIngest(chain, t),
             s"chain=${chain.name} text='$t'")
         }
       }

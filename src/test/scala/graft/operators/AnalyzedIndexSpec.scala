@@ -189,4 +189,173 @@ class AnalyzedIndexSpec extends SparkSpec {
     assert(SegmentedIndex.search(spark, root, Seq("dog"), 10)
       .count() == 0, "delete-by-query must analyze its terms")
   }
+
+  test("custom analysis settings travel with the index: synonym " +
+    "stacking serves value-queries, extra stopwords filter, appends " +
+    "inherit, reindex migrates") {
+    val spec = Analyzer.custom("english",
+      extraStopwords = Seq("noise"),
+      synonyms = Seq("fast" -> "quick")).name
+    val root = Files.createTempDirectory("graft-syn").toString
+    val d = Seq(
+      (1L, "The FAST dog"),
+      (2L, "a quick cat"),
+      (3L, "noise noise slow bird")).toDF("doc_id", "text")
+    SegmentedIndex.append(spark, root, d, "a", nBuckets = 4,
+      analyzer = spec)
+    assert(SegmentedIndex.analyzerOf(root) == spec,
+      "the manifest carries the canonical spec")
+    // a query for the VALUE hits the key-only doc through the
+    // stacked index tokens; df(quick) counts both docs
+    val hits = SegmentedIndex.search(spark, root, Seq("Quick"), 10)
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(hits.map(_._1).toSet == Set(1L, 2L), hits.toString)
+    // score = tf·(N/df) = 1·(3/2) for both
+    assert(hits.forall(_._2 == 1.5), hits.toString)
+    // the key still matches its own doc only (no query expansion)
+    assert(SegmentedIndex.search(spark, root, Seq("fast"), 10)
+      .select("doc_id").as[Long].collect().toSeq == Seq(1L))
+    // the extra stopword is gone on both sides
+    assert(SegmentedIndex.search(spark, root, Seq("noise"), 10)
+      .count() == 0)
+    // appends inherit the settings (the parameter is first-commit-only)
+    SegmentedIndex.append(spark, root,
+      Seq((4L, "another fast one")).toDF("doc_id", "text"), "b")
+    assert(SegmentedIndex.search(spark, root, Seq("quick"), 10)
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 4L))
+    // highlighting marks the ORIGINAL key token for a value query
+    val hl = SegmentedIndex.highlightPositional(spark, root,
+      Seq("quick"), k = 10)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(hl.map(r => (r._1, r._4)).toSet == Set(
+      (1L, "The [FAST] dog"), (2L, "a [quick] cat"),
+      (4L, "another [fast] one")), hl.toString)
+    // reindex BACK to plain english drops the settings: value-queries
+    // stop matching the key-only docs, 'noise' reappears
+    val dst = Files.createTempDirectory("graft-syn-rx").toString
+    SegmentedIndex.reindex(spark, root, dst, nBuckets = 4,
+      analyzer = Some("english"))
+    assert(SegmentedIndex.search(spark, dst, Seq("quick"), 10)
+      .select("doc_id").as[Long].collect().toSeq == Seq(2L))
+    assert(SegmentedIndex.search(spark, dst, Seq("noise"), 10)
+      .select("doc_id").as[Long].collect().toSeq == Seq(3L))
+    // and federating the custom index with its english migration is
+    // a MIXED federation — must throw
+    intercept[IllegalArgumentException](SegmentedIndex.multiSearch(
+      spark, Seq("c" -> root, "e" -> dst), Seq("dog"), 10))
+  }
+
+  test("phrase-prefix under synonym stacking: a position emitting " +
+    "several matching expansions still counts each slot once") {
+    val spec = Analyzer.custom("standard",
+      synonyms = Seq("fast" -> "quick", "fast" -> "quicker")).name
+    val root = Files.createTempDirectory("graft-synpp").toString
+    val d = Seq(
+      (1L, "big fast dog"),
+      (2L, "big dog fast")).toDF("doc_id", "text")
+    SegmentedIndex.append(spark, root, d, "a", nBuckets = 4,
+      analyzer = spec)
+    // prefix 'qui' expands to BOTH quick and quicker — doc 1's
+    // position 1 stacks both; the slot must count once, so doc 1
+    // matches exactly once
+    val r = SegmentedIndex
+      .phrasePrefixSearch(spark, root, Seq("big"), "qui")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(r == Seq((1L, 1L, 0L)), r.toString)
+  }
+
+  test("federation ENFORCES the uniform-analyzer precondition: a " +
+    "mixed pair throws loudly, a matched pair serves unchanged") {
+    val ws = Files.createTempDirectory("graft-fdw").toString
+    val ws2 = Files.createTempDirectory("graft-fdw2").toString
+    val en = Files.createTempDirectory("graft-fde").toString
+    val d1 = Seq((1L, "dogs run fast", "a"))
+      .toDF("doc_id", "text", "cat")
+    val d2 = Seq((2L, "cats sleep here", "b"))
+      .toDF("doc_id", "text", "cat")
+    SegmentedIndex.append(spark, ws, d1, "a", nBuckets = 4)
+    SegmentedIndex.append(spark, ws2, d2, "a", nBuckets = 4)
+    SegmentedIndex.append(spark, en, d2, "a", nBuckets = 4,
+      analyzer = "english")
+    val mixed = Seq("l" -> ws, "r" -> en)
+    val ok = Seq("l" -> ws, "r" -> ws2)
+    // every federated reader that analyzes query terms throws on the
+    // mixed pair — the silent-wrong-hits path must fail loudly
+    val e = intercept[IllegalArgumentException](
+      SegmentedIndex.multiSearch(spark, mixed, Seq("dogs"), 10))
+    assert(e.getMessage.contains("share one analyzer"),
+      e.getMessage)
+    intercept[IllegalArgumentException](SegmentedIndex
+      .multiFacet(spark, mixed, Seq("dogs"), "cat", 10))
+    intercept[IllegalArgumentException](SegmentedIndex
+      .multiStatsFacet(spark, mixed, Seq("dogs"), "doc_id"))
+    intercept[IllegalArgumentException](SegmentedIndex
+      .multiHistogramFacet(spark, mixed, Seq("dogs"), "doc_id", 10L))
+    intercept[IllegalArgumentException](SegmentedIndex
+      .multiFacetStats(spark, mixed, Seq("dogs"), "cat", "doc_id", 10))
+    intercept[IllegalArgumentException](SegmentedIndex
+      .multiSignificantTerms(spark, mixed, Seq("dogs"), 10, 1L))
+    // the matched pair keeps serving exactly as before
+    assert(SegmentedIndex.multiSearch(spark, ok, Seq("dogs"), 10)
+      .select("idx", "doc_id").as[(String, Long)].collect().toSeq ==
+      Seq(("l", 1L)))
+    assert(SegmentedIndex
+      .multiFacet(spark, ok, Seq("dogs", "cats"), "cat", 10)
+      .as[(String, Long)].collect().toSeq ==
+      Seq(("a", 1L), ("b", 1L)))
+  }
+
+  test("phrasePrefixSearch: a leading term ending in a separator " +
+    "does not shift the prefix slot (trailing-empty-token fix)") {
+    val root = Files.createTempDirectory("graft-ppx").toString
+    val d = Seq(
+      (1L, "foo, bar baz"),
+      (2L, "foo other bar")).toDF("doc_id", "text")
+    SegmentedIndex.append(spark, root, d, "a", nBuckets = 4,
+      analyzer = "standard")
+    // 'foo,' tokenizes to foo@0 with a TRAILING empty raw token; the
+    // prefix slot must still be 1 — doc 1's 'bar' matches, doc 2's
+    // bar (slot 2) must not
+    assert(SegmentedIndex
+      .phrasePrefixSearch(spark, root, Seq("foo,"), "ba")
+      .select("doc_id").as[Long].collect().toSeq == Seq(1L))
+    // unchanged on the clean form
+    assert(SegmentedIndex
+      .phrasePrefixSearch(spark, root, Seq("foo"), "ba")
+      .select("doc_id").as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("moreLikeThis's rank-product guard fires BEFORE the multiply " +
+    "can wrap — a wrapped value inside (0, bound] cannot pass") {
+    // 3^40 wraps Long multiplication back into a small positive:
+    // the per-step check must throw anyway
+    val huge = Seq.fill(40)(3486784401L) // 3^20
+    val e = intercept[IllegalArgumentException](SegmentedIndex
+      .checkedRankProduct(huge, Long.MaxValue / 4L, "envelope"))
+    assert(e.getMessage.contains("envelope"))
+    // in-bound products fold exactly
+    assert(SegmentedIndex.checkedRankProduct(
+      Seq(3L, 5L, 7L), 1000L, "envelope") == 105L)
+    // a zero/negative factor is rejected (df is always positive)
+    intercept[IllegalArgumentException](SegmentedIndex
+      .checkedRankProduct(Seq(0L), 10L, "envelope"))
+  }
+
+  test("highlighting survives quote-bearing analyzed terms (SQL " +
+    "literal escaping) under the whitespace chain") {
+    val root = Files.createTempDirectory("graft-hlq").toString
+    val d = Seq((1L, "it's a don't day"))
+      .toDF("doc_id", "text")
+    SegmentedIndex.append(spark, root, d, "a", nBuckets = 4)
+    val r = SegmentedIndex.highlightPositional(spark, root,
+      Seq("don't"), k = 5)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(r == Seq((1L, 3L, 1L, "it's a [don't] day")), r.toString)
+    val raw = Search.highlight(
+      Seq((1L, "it's a don't day")).toDF("doc_id", "text"),
+      Seq("don't"))
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(raw == Seq((1L, 3L, 1L, "it's a [don't] day")),
+      raw.toString)
+  }
 }

@@ -90,4 +90,70 @@ class AnalyzerSpec extends SparkSpec {
       Analyzer.byName("porter2")
     }
   }
+
+  test("custom chains: canonical spec round-trips through byName; " +
+    "tokens canonicalize through the base's own analysis") {
+    val c = Analyzer.custom("english",
+      extraStopwords = Seq("Tables", "zulu"),
+      synonyms = Seq("FAST" -> "quick", "big" -> "large",
+        "big" -> "huge"))
+    // extras stem+lowercase (Tables → table), sort; synonyms likewise
+    assert(c.name == "custom(base=english;stop=table,zulu;" +
+      "syn=big>huge,big>large,fast>quick)", c.name)
+    assert(Analyzer.byName(c.name) == c)
+    assert(c.stopwordSet("table") && c.stopwordSet("the"))
+    assert(c.synonymMap("big") == Seq("huge", "large"))
+    // non-canonical (unsorted entries) / malformed specs fail loudly
+    intercept[IllegalArgumentException](Analyzer.byName(
+      "custom(base=english;syn=fast>quick,big>huge)"))
+    intercept[IllegalArgumentException](Analyzer.byName(
+      "custom(base=porter)"))
+    intercept[IllegalArgumentException](Analyzer.byName(
+      "custom(stop=x)"))
+    // spec-breaking tokens are rejected as settings
+    intercept[IllegalArgumentException](
+      Analyzer.custom("english", Seq("two words")))
+    intercept[IllegalArgumentException](
+      Analyzer.custom("english", synonyms = Seq("a;b" -> "c")))
+    // stopword-colliding synonyms are dead entries — rejected
+    intercept[IllegalArgumentException](
+      Analyzer.custom("english", synonyms = Seq("the" -> "thing")))
+    intercept[IllegalArgumentException](
+      Analyzer.custom("english", Seq("gone"),
+        synonyms = Seq("fast" -> "gone")))
+    // a synonym key that stems onto its value is a self-synonym
+    intercept[IllegalArgumentException](
+      Analyzer.custom("english", synonyms = Seq("dogs" -> "dog")))
+  }
+
+  test("index-time synonym expansion: the column mirror stacks " +
+    "values at the key's position; query-side analysis never expands") {
+    val c = Analyzer.custom("english",
+      synonyms = Seq("fast" -> "quick", "big" -> "large",
+        "big" -> "huge"))
+    val got = Seq((1L, "The FAST big dog runs"))
+      .toDF("doc_id", "text")
+      .select(Analyzer.posTerms(c, "text").as("pt"))
+      .as[Seq[(Long, String)]].collect().head
+    // the@0 dropped (gap), fast@1 stacks quick@1, big@2 stacks its
+    // canonically-ordered values huge@2+large@2, dog@3, runs→run@4
+    assert(got == Seq((1L, "fast"), (1L, "quick"),
+      (2L, "big"), (2L, "huge"), (2L, "large"),
+      (3L, "dog"), (4L, "run")), got.toString)
+    // driver ingest mirror agrees token for token
+    assert(got == Analyzer.analyzeIngest(c, "The FAST big dog runs"))
+    // the search-analyzer mirror does NOT expand
+    assert(Analyzer.analyzeText(c, "The FAST big dog runs") ==
+      Seq((1L, "fast"), (2L, "big"), (3L, "dog"), (4L, "run")))
+    assert(Analyzer.queryTerms(c, Seq("FAST", "quick")) ==
+      Seq("fast", "quick"))
+    // dl counts stacked tokens (Lucene field length counts synonyms)
+    assert(Seq(("The FAST big dog runs"))
+      .toDF("text").select(Analyzer.dl(c, "text"))
+      .as[Long].collect().head == 7L)
+    // a custom chain with no synonyms behaves like its base + stops
+    val cs = Analyzer.custom("standard", Seq("filler"))
+    assert(Analyzer.analyzeText(cs, "Filler content here") ==
+      Seq((1L, "content"), (2L, "here")))
+  }
 }
