@@ -749,12 +749,21 @@ object Search {
           (lit(10L) * col("total_len") * col("tf") +
             lit(3L) * col("total_len") +
             lit(9L) * col("n_docs") * col("dl")).cast("double"))
+      // top-k FIRST (TakeOrderedAndProject — distributed partial
+      // top-k under the same (score desc, doc_id) total order), THEN
+      // the rank windows over the k bounded rows: the previous shape
+      // ran a corpus-wide single-partition rank window over the
+      // term's whole posting list. rank/rank_exact values are
+      // unchanged: the selected set IS the global top-k under the
+      // rank order, and whenever the certificate holds (score order
+      // == key order — what the oracle pins) the key window over it
+      // numbers identically
+      .orderBy(desc("score"), asc("doc_id")).limit(k)
       .withColumn("rank", row_number().over(w).cast("long"))
       .withColumn("rank_exact", row_number().over(wx).cast("long"))
       .withColumn("rank_agrees", col("rank") === col("rank_exact"))
       .withColumn("score_in_bounds",
         col("score") > 0.0 && col("score") < col("idf") * (k1 + 1.0))
-      .filter(col("rank") <= k)
       .select("doc_id", "tf", "dl", "rank", "rank_key", "rank_agrees",
         "score_in_bounds")
       .orderBy("rank")

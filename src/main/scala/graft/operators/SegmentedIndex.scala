@@ -353,6 +353,24 @@ object SegmentedIndex {
       .sortWithinPartitions("term", "blk")
       .write.mode("overwrite")
       .parquet(new java.io.File(segTmp, "_impacts").getPath)
+    // COMPLETION dictionary — the segment-resident structure under
+    // ES's completion suggester (Lucene's FST-backed suggest field):
+    // (term, weight) under `_complete/`, PARTITIONED BY THE FIRST
+    // CHARACTER (`pb=`) so a prefix walk prunes to ONE directory at
+    // PLANNING time — across thousands of segments the file listing
+    // itself shrinks by the alphabet, the step beyond `_dict`'s
+    // footer-stat pruning (an FST walks only the prefix's arc; this
+    // walks only the prefix's directory). Derived like `_impacts` at
+    // write time; hashing pb across nTasks writers keeps it to one
+    // file per occupied letter. Weight is the term's segment df —
+    // [[completionSuggest]] documents the convention.
+    posts
+      .groupBy("term").agg(count(lit(1)).as("weight"))
+      .withColumn("pb", substring(col("term"), 1, 1))
+      .repartition(nTasks, col("pb"))
+      .sortWithinPartitions("term")
+      .write.mode("overwrite").partitionBy("pb")
+      .parquet(new java.io.File(segTmp, "_complete").getPath)
   }
 
   /** The live segments' PER-BLOCK max impacts unioned (term, blk,
@@ -972,6 +990,56 @@ object SegmentedIndex {
       .filter(col("dist") <= lit(allow.toLong))
       .select("term", "dist", "doc_freq").distinct()
       .orderBy(asc("dist"), desc("doc_freq"), asc("term"))
+      .limit(k)
+  }
+
+  /** Completion suggester — ES's `suggest.completion`, the FST-backed
+    * search-as-you-type path (the suggest family's third member after
+    * [[termSuggest]] and [[phrasePrefixSearch]]): dictionary terms
+    * starting with the NORMALIZED prefix (multi-term-query rule —
+    * lowercase, never stem), ranked weight DESCENDING with duplicate
+    * outputs deduplicated across segments (ES's semantics: prefix
+    * match, weight desc, dedup by output), term ascending the
+    * tiebreak. Weight is the term's document frequency summed over
+    * the live segments' `_complete/` dictionaries — the corpus-driven
+    * stand-in for ES's doc-supplied completion weights (a dedicated
+    * weighted-input completion FIELD would ride the same structure;
+    * suggesting the indexed vocabulary is the common
+    * search-as-you-type deployment). Statistics are the DICTIONARY
+    * phase: tombstoned docs keep counting until a [[merge]]
+    * recomputes — ES's own documented suggester caveat.
+    *
+    * Scale shape: the `pb=` first-character partitioning prunes the
+    * walk to ONE directory per segment at planning time (the
+    * file-listing analogue of an FST following the prefix arc); the
+    * scan is vocabulary-fraction-sized, never postings-sized. A
+    * pre-completion segment layout (no `_complete/`) falls back to
+    * the term dictionaries — identical results, footer pruning only.
+    * Output: (term, weight), top-k by (weight desc, term). */
+  def completionSuggest(spark: SparkSession, rootDir: String,
+                        prefix: String, k: Int): DataFrame = {
+    require(prefix.nonEmpty, "completionSuggest needs a prefix")
+    import spark.implicits._
+    val root = new java.io.File(rootDir)
+    val (_, segs, _) = readManifest(root)
+    val px = Analyzer.normalize(readAnalyzer(root), prefix)
+    val live = segs.filter(_.kind == "seg")
+    if (live.isEmpty)
+      return Seq.empty[(String, Long)].toDF("term", "weight")
+    val dirs = live.map(sg =>
+      new java.io.File(new java.io.File(root, sg.name), "_complete"))
+    val cand =
+      if (dirs.forall(_.isDirectory))
+        dirs.map(dd => spark.read.parquet(dd.getPath))
+          .reduce(_ unionByName _)
+          .filter(col("pb") === lit(px.substring(0, 1)) &&
+            col("term").startsWith(px))
+      else
+        dictFrame(spark, root, segs)
+          .select(col("term"), col("doc_freq").as("weight"))
+          .filter(col("term").startsWith(px))
+    cand.groupBy("term").agg(sum("weight").as("weight"))
+      .orderBy(desc("weight"), asc("term"))
       .limit(k)
   }
 
@@ -1962,8 +2030,22 @@ object SegmentedIndex {
       .limit(k), essential, theta, () => cand2.count())
   }
 
-  /** Multi-term BM25 top-k over the segmented index — the production
-    * serving path under Lucene's statistics phases: N and avg_dl from
+  /** Multi-term BM25 top-k over the segmented index — THE production
+    * serving call, now the WAND/MaxScore-pruned path by default
+    * (Lucene serves BM25 through MaxScore; the pruned plan is
+    * provably bit-identical to the exhaustive one — the spec and the
+    * property suite pin it, and q215's pair certificate puts the
+    * pruned ORDER on the cross-engine hash surface). See
+    * [[bm25MaxScoreTopK]] for the pruning argument and
+    * [[bm25ExhaustiveTopK]] for the exhaustive twin it is certified
+    * against. Output: (doc_id, score, n_terms_hit). */
+  def bm25TopK(spark: SparkSession, rootDir: String,
+               terms: Seq[String], k: Int, k1: Double = 1.2,
+               b: Double = 0.75): DataFrame =
+    bm25MaxScoreTopK(spark, rootDir, terms, k, k1, b)
+
+  /** The EXHAUSTIVE multi-term BM25 top-k — every matching posting
+    * row scored — under Lucene's statistics phases: N and avg_dl from
     * the manifest headers, df aggregated from the (still
     * tombstone-bearing) pruned postings, per-doc saturated
     * contributions summed over the LIVE postings only, then a
@@ -1972,11 +2054,13 @@ object SegmentedIndex {
     * one-segment index against it); the `log` idf keeps this off the
     * DuckDB-hash surface, like every bm25 scorer — the segment tier's
     * oracled BM25 entry is the single-term rank certificate
-    * ([[bm25RankAudit]], q167). Output: (doc_id, score, n_terms_hit).
+    * ([[bm25RankAudit]], q167). Kept as [[bm25TopK]]'s certified
+    * reference twin (the pruned path's empty-dictionary degradation
+    * also lands here). Output: (doc_id, score, n_terms_hit).
     */
-  def bm25TopK(spark: SparkSession, rootDir: String,
-               terms: Seq[String], k: Int, k1: Double = 1.2,
-               b: Double = 0.75): DataFrame = {
+  private[graft] def bm25ExhaustiveTopK(spark: SparkSession,
+      rootDir: String, terms: Seq[String], k: Int, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
     val root = new java.io.File(rootDir)
     val qs = qTerms(root, terms)
     val (nb, segs, gen) = readManifest(root)
@@ -2037,10 +2121,12 @@ object SegmentedIndex {
     *     blocks whose summed ceilings miss θ drop before scoring —
     *     Lucene's block-max WAND, exactly.
     *
-    * Results are [[bm25TopK]]'s bit-for-bit (shared scoring body,
-    * provable skip conditions — the spec pins equality; q215's
-    * equal-df pair certificate pins the pruned ORDER cross-engine).
-    * Output: (doc_id, score, n_terms_hit), top-k. */
+    * Results are [[bm25ExhaustiveTopK]]'s bit-for-bit (shared
+    * scoring body, provable skip conditions — the spec pins
+    * equality; q215's equal-df pair certificate pins the pruned
+    * ORDER cross-engine), which is what makes this the safe DEFAULT
+    * behind [[bm25TopK]]. Output: (doc_id, score, n_terms_hit),
+    * top-k. */
   def bm25MaxScoreTopK(spark: SparkSession, rootDir: String,
                        terms: Seq[String], k: Int, k1: Double = 1.2,
                        b: Double = 0.75): DataFrame =
@@ -2063,7 +2149,7 @@ object SegmentedIndex {
       .groupBy("term").agg(sum("doc_freq").as("df"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
     if (stats.isEmpty) {
-      val out = bm25TopK(spark, rootDir, terms, k, k1, b)
+      val out = bm25ExhaustiveTopK(spark, rootDir, terms, k, k1, b)
       return (out, Seq.empty, Double.NegativeInfinity,
         () => out.count())
     }
@@ -2250,18 +2336,24 @@ object SegmentedIndex {
         p.join(dead, Seq("doc_id", "seg"), "left_anti")
       case None => p
     }
+    // the top-k SELECTION is the PRUNED production scorer's
+    // (TakeOrderedAndProject top-k — distributed partial top-k, the
+    // corpus-wide single-partition rank window this audit used to
+    // run is gone); its score is bit-identical to the certificate's
+    // own expression (shared arithmetic shape — the spec pins the
+    // emitted rows unchanged), so the windows below number k
+    // BOUNDED rows, the [[Search.rrfFuse]] posture
+    val top = bm25MaxScoreTopK(spark, rootDir, Seq(qt), k, k1, b)
+      .select(col("doc_id"), col("score"))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(desc("score"), asc("doc_id"))
     val wx = org.apache.spark.sql.expressions.Window
       .orderBy(desc("rank_key"), asc("doc_id"))
-    live.crossJoin(broadcast(dfreq))
+    live.join(top, "doc_id")
+      .crossJoin(broadcast(dfreq))
       .withColumn("idf", expr(
         s"log((cast(${nDocs}L as double) - doc_freq + 0.5) / " +
           "(doc_freq + 0.5) + 1.0)"))
-      .withColumn("score", expr(
-        s"idf * (tf * ($k1 + 1.0)) / " +
-          s"(tf + $k1 * (1.0 - $b + $b * dl / (${totalLen}L / " +
-          s"cast(${nDocs}L as double))))"))
       // the denominator is computed in DOUBLE, not Long — correctly
       // rounded at any magnitude (bit-identical inside the 2^53
       // envelope) where the Long sum would silently wrap at 2^63 —

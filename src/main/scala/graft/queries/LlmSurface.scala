@@ -43,7 +43,7 @@ object LlmSurface {
   def segIndexDir(s: SparkSession, d: String): String = {
     val root = new java.io.File(
       System.getProperty("java.io.tmpdir"),
-      "graft_segidx_sx5a_" +
+      "graft_segidx_sx6a_" +
         graft.engine.Bucketing.fingerprint8(d)).getPath
     val dd = docs(s, d).filter(col("doc_id") < 150)
     SegmentedIndex.append(s, root,
@@ -61,7 +61,7 @@ object LlmSurface {
   def segIndexPairDirs(s: SparkSession, d: String): (String, String) = {
     val stem = new java.io.File(
       System.getProperty("java.io.tmpdir"),
-      "graft_segidx_sx5a_" +
+      "graft_segidx_sx6a_" +
         graft.engine.Bucketing.fingerprint8(d)).getPath
     val dd = docs(s, d).filter(col("doc_id") < 150)
     val dl = dd.filter(col("doc_id") < 75)
@@ -86,7 +86,7 @@ object LlmSurface {
   def segIndexEnDir(s: SparkSession, d: String): String = {
     val root = new java.io.File(
       System.getProperty("java.io.tmpdir"),
-      "graft_segidx_en_sx5a_" +
+      "graft_segidx_en_sx6a_" +
         graft.engine.Bucketing.fingerprint8(d)).getPath
     val dd = docs(s, d).filter(col("doc_id") < 150)
     SegmentedIndex.append(s, root,
@@ -113,7 +113,7 @@ object LlmSurface {
   def segIndexSynDir(s: SparkSession, d: String): String = {
     val root = new java.io.File(
       System.getProperty("java.io.tmpdir"),
-      "graft_segidx_syn_sx5a_" +
+      "graft_segidx_syn_sx6a_" +
         graft.engine.Bucketing.fingerprint8(d)).getPath
     val dd = docs(s, d).filter(col("doc_id") < 150)
     SegmentedIndex.append(s, root,
@@ -172,7 +172,7 @@ object LlmSurface {
                        d: String): (String, String, String, String) = {
     val root = new java.io.File(
       System.getProperty("java.io.tmpdir"),
-      "graft_vchain_sx5a_" + graft.engine.Bucketing.fingerprint8(d))
+      "graft_vchain_sx6a_" + graft.engine.Bucketing.fingerprint8(d))
     if (!new java.io.File(root, "_COMPLETE").isFile) {
       if (root.exists()) graft.engine.Bucketing.deleteTree(root)
       val tmp = new java.io.File(root.getParentFile,
@@ -224,7 +224,7 @@ object LlmSurface {
   def segIndexPreDir(s: SparkSession, d: String): String = {
     val root = new java.io.File(
       System.getProperty("java.io.tmpdir"),
-      "graft_segidx_pre_sx5a_" +
+      "graft_segidx_pre_sx6a_" +
         graft.engine.Bucketing.fingerprint8(d)).getPath
     val dd = docs(s, d).filter(col("doc_id") < 150)
     SegmentedIndex.append(s, root,
@@ -245,7 +245,7 @@ object LlmSurface {
   def familyAliasPath(s: SparkSession, d: String): String = {
     val root = new java.io.File(
       System.getProperty("java.io.tmpdir"),
-      "graft_family_sx5a_" + graft.engine.Bucketing.fingerprint8(d))
+      "graft_family_sx6a_" + graft.engine.Bucketing.fingerprint8(d))
     val alias = new java.io.File(root, "write-alias")
     if (!new java.io.File(root, "_COMPLETE").isFile) {
       if (root.exists()) graft.engine.Bucketing.deleteTree(root)
@@ -282,7 +282,7 @@ object LlmSurface {
   def reindexEnDir(s: SparkSession, d: String): String = {
     val dst = new java.io.File(
       System.getProperty("java.io.tmpdir"),
-      "graft_segidx_enrx_sx5a_" +
+      "graft_segidx_enrx_sx6a_" +
         graft.engine.Bucketing.fingerprint8(d)).getPath
     SegmentedIndex.reindex(s, segIndexDir(s, d), dst, nBuckets = 8,
       analyzer = Some("english"))
@@ -608,6 +608,18 @@ object LlmSurface {
       // probe-only against the STAGED custom index (segIndexSynDir)
       SegmentedIndex.search(s, segIndexSynDir(s, d),
         Seq("LARGE", "Quick", "Table"), k = 20)),
+
+    // --- completion suggester (ES `suggest.completion` — the
+    //     FST-backed search-as-you-type path): dictionary terms
+    //     starting with the prefix rank weight desc (df over the
+    //     per-segment `_complete/` dictionaries, first-char
+    //     partition pruning), dedup by output, term the tiebreak;
+    //     the oracle is the honest exhaustive LIKE-prefix df scan
+    //     (SegmentedIndex.completionSuggest) ---
+    "q218_completion_suggest" -> ((s, d) =>
+      // probe-only against the STAGED index (segIndexDir)
+      SegmentedIndex.completionSuggest(s, segIndexDir(s, d),
+        prefix = "s", k = 10)),
 
     // --- FAMILY-WIDE aggregation (ES `aggs` on `GET /<stem>-*` —
     //     analytics over a rolled index family without manual
@@ -2869,6 +2881,19 @@ object LlmSurface {
          |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20"""
         .stripMargin
     },
+
+    // q218: completion replayed — the exhaustive LIKE-prefix oracle:
+    // per-term df over ALL appended docs (dictionary phase — the d1
+    // tombstones still count, pre-merge), weight desc, term asc
+    "q218_completion_suggest" ->
+      """WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+        | t AS (SELECT DISTINCT doc_id, term FROM
+        |   (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |    FROM d)),
+        | w AS (SELECT term, count(*)::BIGINT AS weight FROM t
+        |   GROUP BY term)
+        |SELECT term, weight FROM w WHERE term LIKE 's%'
+        |ORDER BY weight DESC, term LIMIT 10""".stripMargin,
 
     // q206: MLT replayed — doc 7's term vector joins the
     // pre-tombstone df, top-5 by tf·(N/df) (df ≥ 2), and the exact

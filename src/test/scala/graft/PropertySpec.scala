@@ -290,7 +290,7 @@ class PropertySpec extends SparkSpec {
           s"maxScoreSearch diverged: terms=$terms k=$k corpus=$texts")
         assert(SegmentedIndex.bm25MaxScoreTopK(spark, root, terms, k)
           .as[(Long, Double, Long)].collect().toSeq ==
-          SegmentedIndex.bm25TopK(spark, root, terms, k)
+          SegmentedIndex.bm25ExhaustiveTopK(spark, root, terms, k)
             .as[(Long, Double, Long)].collect().toSeq,
           s"bm25MaxScoreTopK diverged: terms=$terms k=$k corpus=$texts")
       }

@@ -233,6 +233,12 @@ class SearchSpec extends SparkSpec {
         s"audit indexed/ad-hoc diverge:\n$audIdx\n$audAdHoc")
       assert(audIdx.forall(r => r._6 && r._7),
         "certificates must hold on the indexed path")
+      // the top-k selection is a distributed TakeOrderedAndProject;
+      // the rank windows run over the k bounded rows only (the
+      // corpus-wide single-partition window is gone)
+      val plan = Search.bm25RankAuditIndexed(spark, base, "x", k = 10)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("TakeOrderedAndProject"), plan)
     } finally Seq("post", "dict", "stats").foreach(sfx =>
       graft.engine.Bucketing.dropTableAndLocation(spark, s"${base}_$sfx"))
   }

@@ -426,7 +426,7 @@ class SegmentedIndexSpec extends SparkSpec {
       .toDF("doc_id", "text")
     SegmentedIndex.append(spark, root, docs, "bm", nBuckets = 4)
     def exhaustive(ts: Seq[String], k: Int) =
-      SegmentedIndex.bm25TopK(spark, root, ts, k)
+      SegmentedIndex.bm25ExhaustiveTopK(spark, root, ts, k)
         .as[(Long, Double, Long)].collect().toSeq
     val (out, essential, theta, scored) = SegmentedIndex
       .bm25MaxScoreWithPlan(spark, root, Seq("rare", "filler"), 3)
@@ -495,6 +495,23 @@ class SegmentedIndexSpec extends SparkSpec {
     val want = Search.bm25(corpus, Seq("x", "y"), 10)
       .as[(Long, Double, Long)].collect().toSeq
     assert(got == want, s"\ngot= $got\nwant=$want")
+    // the default bm25TopK is now the PRUNED production path; its
+    // exhaustive reference twin stays pinned to the ad-hoc scorer too
+    assert(SegmentedIndex
+      .bm25ExhaustiveTopK(spark, root, Seq("x", "y"), 10)
+      .as[(Long, Double, Long)].collect().toSeq == want)
+    // the rank audit serves through the pruned scorer now: rows
+    // unchanged vs the ad-hoc audit, and the top-k selection is a
+    // TakeOrderedAndProject (the corpus-wide rank window is gone)
+    val aud = SegmentedIndex.bm25RankAudit(spark, root, "x", k = 10)
+    assert(aud
+      .as[(Long, Long, Long, Long, Double, Boolean, Boolean)]
+      .collect().toSeq ==
+      Search.bm25RankAudit(corpus, "x", k = 10)
+        .as[(Long, Long, Long, Long, Double, Boolean, Boolean)]
+        .collect().toSeq)
+    assert(aud.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"))
     // Lucene phase: deleting doc 2 removes it from the hits but the
     // remaining docs' scores DO NOT change (N, avg_dl, df all still
     // count it until merge)
@@ -773,6 +790,56 @@ class SegmentedIndexSpec extends SparkSpec {
     val r2 = SegmentedIndex.termSuggest(spark, root, "vector", k = 3)
       .as[(String, Long, Long)].collect().toSeq
     assert(r2.head == (("vector", 0L, 2L)), r2.toString)
+  }
+
+  test("completionSuggest: weight-ordered prefix completion deduped " +
+    "across segments, first-char dir pruning, dictionary-phase " +
+    "tombstones, merge recomputes, pre-completion layout falls back") {
+    val root = Files.createTempDirectory("graft-comp").toString
+    val d = Seq(
+      (1L, "spark spark sql"),
+      (2L, "spark stream"),
+      (3L, "sort key")).toDF("doc_id", "text")
+    SegmentedIndex.append(spark, root,
+      d.filter(col("doc_id") < 3), "a", nBuckets = 4)
+    SegmentedIndex.append(spark, root,
+      d.filter(col("doc_id") === 3), "b")
+    def sug() = SegmentedIndex
+      .completionSuggest(spark, root, "s", k = 10)
+    // weight = df ACROSS segments (spark appears in 2 docs — the
+    // duplicate output dedups to one row with the summed weight);
+    // tf never inflates it (doc 1 has spark twice)
+    val r = sug()
+    assert(r.as[(String, Long)].collect().toSeq == Seq(
+      ("spark", 2L), ("sort", 1L), ("sql", 1L), ("stream", 1L)),
+      r.collect().toSeq.toString)
+    // PLANNING-time dir pruning: the pb predicate lands in the scan's
+    // PartitionFilters (inputFiles lists the unpruned relation, so
+    // the executed plan is the honest witness)
+    val plan = r.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(pb"), plan)
+    // a longer prefix narrows inside the same partition
+    assert(SegmentedIndex.completionSuggest(spark, root, "sp", 10)
+      .as[(String, Long)].collect().toSeq == Seq(("spark", 2L)))
+    // dictionary phase: a tombstone does NOT move weights...
+    SegmentedIndex.delete(spark, root,
+      Seq(2L).toDF("doc_id"), "d1")
+    assert(sug().as[(String, Long)].collect().toSeq == Seq(
+      ("spark", 2L), ("sort", 1L), ("sql", 1L), ("stream", 1L)),
+      "suggester stats are pre-merge (ES's documented caveat)")
+    // ...until merge recomputes: doc 2's stream drops, spark df 1
+    SegmentedIndex.merge(spark, root)
+    assert(sug().as[(String, Long)].collect().toSeq == Seq(
+      ("sort", 1L), ("spark", 1L), ("sql", 1L)))
+    // pre-completion layout (older segments): the dictionary serves
+    // identically
+    Option(new java.io.File(root).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("seg="))
+      .foreach(sg => graft.engine.Bucketing.deleteTree(
+        new java.io.File(sg, "_complete")))
+    assert(sug().as[(String, Long)].collect().toSeq == Seq(
+      ("sort", 1L), ("spark", 1L), ("sql", 1L)),
+      "the _dict fallback must serve the same completions")
   }
 
   test("rangeFacet: every requested range appears (zero-count " +
