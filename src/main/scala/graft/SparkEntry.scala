@@ -63,6 +63,12 @@ object SparkEntry {
         graft.engine.Tables.table(spark, sfDir, "documents"),
         "lang", Seq("n_chars", "doc_id"), "docs")),
       Future(graft.queries.LlmSurface.ivfAppendStage(spark, sfDir)),
+      // the PQ-append base (q175's ingest half) — its own fixture
+      // key, so it races neither the shared IVF/PQ future nor
+      // ivfAppendStage's
+      Future(graft.queries.LlmSurface.pqAppendStage(spark, sfDir)),
+      // the pre-rollover family template (q196 clones it per run)
+      Future(graft.queries.LlmSurface.rolloverStage(spark, sfDir)),
       // sequential inside one future: all three roots commit via
       // single-writer manifest generations
       Future(graft.queries.LlmSurface.segIndexStage(spark, sfDir)),
