@@ -493,7 +493,20 @@ object Explain {
         "distinct to (id, term), and meet in ONE equi-join on term " +
         "(the registry rides as a broadcast at fixture scale) — " +
         "batch × registry only through shared vocabulary, no " +
-        "cross-product anywhere in the plan."))
+        "cross-product anywhere in the plan."),
+    "q217_synonym_search" ->
+      ("Custom analysis settings (r14): synonym stacking is ONE more " +
+        "codegen'd flatten/transform in the ingest column expression " +
+        "— the SERVING plan is exactly q202's shape (analyzed query " +
+        "literals → `PartitionFilters: [tb IN …]` + term IN " +
+        "pushdown); the settings cost the query path nothing."),
+    "q218_completion_suggest" ->
+      ("Completion suggester (r14): the prefix walk reads the " +
+        "`_complete/` dictionaries with the FIRST-CHARACTER partition " +
+        "pruned at planning time (`PartitionFilters: [isnotnull(pb), " +
+        "(pb = s)]`) and the term prefix pushed to the scan — " +
+        "vocabulary-fraction-sized, postings never read; top-k by " +
+        "TakeOrderedAndProject."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

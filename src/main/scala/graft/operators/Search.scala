@@ -779,9 +779,13 @@ object Search {
     * calibration between heterogeneous rankers, which is exactly why
     * ES adopted it for BM25 + kNN hybrid search.
     *
-    * Inputs are (frame, idCol, scoreCol) triples; each frame is an
-    * already-computed top-k (bounded), so the global rank windows run
-    * over k-sized frames, not the corpus. With TWO rankers the fused
+    * Inputs are (frame, idCol, scoreCol) triples; each frame MUST be
+    * an already-computed top-k ranking — that boundedness is the
+    * CONTRACT that makes the global (un-partitioned) rank windows
+    * safe: they run over k-sized frames, not the corpus. Passing an
+    * unbounded frame funnels it through one window partition — cap it
+    * with the ranker's own top-k first (nothing type-level can check
+    * this; the contract is the caller's). With TWO rankers the fused
     * score sums ≤ 2 doubles — commutative, so shuffle order cannot
     * change a bit (the oracle leans on this); with ≥ 3 the float sum
     * order is unpinned and only the rank order is contractual.

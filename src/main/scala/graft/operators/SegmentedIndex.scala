@@ -360,12 +360,14 @@ object SegmentedIndex {
     // PLANNING time — across thousands of segments the file listing
     // itself shrinks by the alphabet, the step beyond `_dict`'s
     // footer-stat pruning (an FST walks only the prefix's arc; this
-    // walks only the prefix's directory). Derived like `_impacts` at
-    // write time; hashing pb across nTasks writers keeps it to one
-    // file per occupied letter. Weight is the term's segment df —
-    // [[completionSuggest]] documents the convention.
-    posts
-      .groupBy("term").agg(count(lit(1)).as("weight"))
+    // walks only the prefix's directory). Derived from the
+    // JUST-WRITTEN `_dict` — a vocabulary-sized read, NOT another
+    // postings aggregation (the ingest cost of the third artifact is
+    // one tiny repartition job); hashing pb across nTasks writers
+    // keeps it to one file per occupied letter. Weight is the term's
+    // segment df — [[completionSuggest]] documents the convention.
+    spark.read.parquet(new java.io.File(segTmp, "_dict").getPath)
+      .select(col("term"), col("doc_freq").as("weight"))
       .withColumn("pb", substring(col("term"), 1, 1))
       .repartition(nTasks, col("pb"))
       .sortWithinPartitions("term")
@@ -2141,6 +2143,15 @@ object SegmentedIndex {
     import spark.implicits._
     val root = new java.io.File(rootDir)
     val qs = qTerms(root, terms)
+    // single-term short-circuit (Lucene's too — MaxScore needs >= 2
+    // terms): the lone term is always essential and phase 2 would
+    // score its whole posting list anyway, so the two driver-blocking
+    // pruning collects (dictionary stats, phase-1 θ) buy nothing —
+    // serve the one-job exhaustive plan
+    if (qs.size <= 1) {
+      val out = bm25ExhaustiveTopK(spark, rootDir, terms, k, k1, b)
+      return (out, qs, Double.NegativeInfinity, () => out.count())
+    }
     val (nb, segs, _) = readManifest(root)
     val nDocs = segs.filter(_.kind == "seg").map(_.nDocs).sum
     val totalLen = segs.filter(_.kind == "seg").map(_.totalLen).sum
