@@ -1045,6 +1045,50 @@ object SegmentedIndex {
       .limit(k)
   }
 
+  /** Completion FIELD suggester — ES's actual completion mapping
+    * shape (`{ "suggest": { "input": ..., "weight": ... } }`): the
+    * suggestion inputs come from a STORED FIELD of the documents and
+    * the weights are DOC-SUPPLIED (another stored field), which is
+    * what separates this from [[completionSuggest]]'s
+    * vocabulary-with-df deployment. Live documents only (the stored
+    * read applies tombstones — stricter than ES's FST, which serves
+    * deleted docs until merge); inputs normalize under the index
+    * chain's multi-term rule (lowercase iff the chain lowercases —
+    * ES's completion fields default to their `simple` lowercase
+    * analyzer), prefix match, duplicate outputs dedup keeping the
+    * MAX weight (ES's rule), top-k by (weight desc, input).
+    *
+    * Scale shape: one column-pruned doc-values read of
+    * (input, weight) from `_stored/` — the parquet columnar layout
+    * IS the doc-values behavior, text never leaves disk — then a
+    * partial+final max-aggregation and a TakeOrderedAndProject.
+    * Output: (input, weight). */
+  def completionFieldSuggest(spark: SparkSession, rootDir: String,
+                             inputField: String, weightField: String,
+                             prefix: String, k: Int): DataFrame = {
+    require(prefix.nonEmpty, "completionFieldSuggest needs a prefix")
+    val root = new java.io.File(rootDir)
+    val (_, segs, _) = readManifest(root)
+    val an = readAnalyzer(root)
+    val px = Analyzer.normalize(an, prefix)
+    val stored = storedFrame(spark, root, segs)
+      .select(col("doc_id"), col(inputField).as("raw_input"),
+        col(weightField).as("w"), col("seg"))
+    val live = tombstones(spark, root, segs) match {
+      case Some(dead) =>
+        stored.join(dead, Seq("doc_id", "seg"), "left_anti")
+      case None => stored
+    }
+    live
+      .withColumn("input",
+        if (an.lowercase) lower(col("raw_input")) else col("raw_input"))
+      .filter(col("input").isNotNull && col("w").isNotNull &&
+        col("input").startsWith(px))
+      .groupBy("input").agg(max("w").as("weight"))
+      .orderBy(desc("weight"), asc("input"))
+      .limit(k)
+  }
+
   /** Range aggregation — ES's `aggs.range` with explicit bounds:
     * every REQUESTED range appears in the output (zero-count ranges
     * included — ES returns all requested buckets), `from` inclusive,

@@ -692,6 +692,18 @@ object LlmSurface {
       SegmentedIndex.completionSuggest(s, segIndexDir(s, d),
         prefix = "s", k = 10)),
 
+    // --- completion FIELD (ES's actual completion mapping —
+    //     doc-supplied inputs AND weights): suggestions come from a
+    //     stored field with per-doc weights, duplicate outputs keep
+    //     the max weight, live docs only (stored doc-values read);
+    //     one column-pruned read + max-agg + top-k
+    //     (SegmentedIndex.completionFieldSuggest) ---
+    "q219_completion_field" -> ((s, d) =>
+      // probe-only against the STAGED index (segIndexDir)
+      SegmentedIndex.completionFieldSuggest(s, segIndexDir(s, d),
+        inputField = "source", weightField = "n_chars",
+        prefix = "src1", k = 8)),
+
     // --- FAMILY-WIDE aggregation (ES `aggs` on `GET /<stem>-*` —
     //     analytics over a rolled index family without manual
     //     fan-out): the q196 rollover family's stats aggregation
@@ -2960,6 +2972,17 @@ object LlmSurface {
         |   GROUP BY term)
         |SELECT term, weight FROM w WHERE term LIKE 's%'
         |ORDER BY weight DESC, term LIMIT 10""".stripMargin,
+
+    // q219: the completion FIELD replayed — live docs only (the
+    // stored read applies tombstones), per-input MAX of the
+    // doc-supplied weight, prefix LIKE, weight desc / input asc
+    "q219_completion_field" ->
+      """WITH d AS (SELECT * FROM documents
+        |   WHERE doc_id < 150 AND doc_id % 37 <> 5)
+        |SELECT source AS input, max(n_chars)::BIGINT AS weight
+        |FROM d WHERE source LIKE 'src1%'
+        |GROUP BY source ORDER BY weight DESC, input LIMIT 8"""
+        .stripMargin,
 
     // q206: MLT replayed — doc 7's term vector joins the
     // pre-tombstone df, top-5 by tf·(N/df) (df ≥ 2), and the exact

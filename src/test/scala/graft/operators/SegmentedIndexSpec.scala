@@ -842,6 +842,38 @@ class SegmentedIndexSpec extends SparkSpec {
       "the _dict fallback must serve the same completions")
   }
 
+  test("completionFieldSuggest: doc-supplied inputs and weights — " +
+    "max-weight dedup, live docs only, chain-normalized inputs, " +
+    "missing fields drop") {
+    val root = Files.createTempDirectory("graft-compf").toString
+    val d = Seq(
+      (1L, "t", "Alpha", 10L),
+      (2L, "t", "alpha", 40L),
+      (3L, "t", "alps", 25L),
+      (4L, "t", "beta", 99L),
+      (5L, "t", null.asInstanceOf[String], 7L))
+      .toDF("doc_id", "text", "sug", "w")
+    // english chain: inputs lowercase (ES completion's simple
+    // analyzer), so Alpha and alpha are ONE output at max weight
+    SegmentedIndex.append(spark, root, d, "a", nBuckets = 4,
+      analyzer = "english")
+    def r() = SegmentedIndex.completionFieldSuggest(spark, root,
+      "sug", "w", prefix = "al", k = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(r() == Seq(("alpha", 40L), ("alps", 25L)), r().toString)
+    // live-docs semantics: tombstoning the max-weight doc DOES move
+    // the weight (stored doc-values read — unlike the vocabulary
+    // suggester's dictionary phase)
+    SegmentedIndex.delete(spark, root, Seq(2L).toDF("doc_id"), "d1")
+    assert(r() == Seq(("alps", 25L), ("alpha", 10L)), r().toString)
+    // whitespace chain preserves case: no fold, prefix is exact
+    val root2 = Files.createTempDirectory("graft-compf2").toString
+    SegmentedIndex.append(spark, root2, d, "a", nBuckets = 4)
+    assert(SegmentedIndex.completionFieldSuggest(spark, root2,
+      "sug", "w", prefix = "Al", k = 10)
+      .as[(String, Long)].collect().toSeq == Seq(("Alpha", 10L)))
+  }
+
   test("rangeFacet: every requested range appears (zero-count " +
     "included), from inclusive / to exclusive, tombstones drop") {
     val root = Files.createTempDirectory("graft-rng").toString
