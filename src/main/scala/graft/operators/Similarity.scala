@@ -57,12 +57,30 @@ object Similarity {
     * Output: (q_id, neighbor_id, rank, cos).
     */
   def bruteForceTopK(emb: DataFrame, queryPred: String, k: Int,
-                     dim: Int = DefaultDim): DataFrame = {
+                     dim: Int = DefaultDim): DataFrame =
+    filteredTopK(emb, queryPred, "true", k, dim)
+
+  /** FILTERED exact kNN — ES 8's `knn` with `filter` (and the faiss
+    * `IDSelector` shape): the metadata predicate restricts the
+    * CANDIDATE set BEFORE ranking — PRE-filtering, so the top-k all
+    * satisfy the filter and k results come back even under selective
+    * predicates (post-filtering a plain top-k would silently return
+    * fewer — ES documents exactly this distinction). The filter is a
+    * plain pushdown-able predicate on the corpus scan (a parquet
+    * metadata column prunes at the scan, the production shape for
+    * "kNN among docs where lang='en'"); the query side broadcasts,
+    * the corpus is scanned once. [[bruteForceTopK]] is the
+    * `filterPred = "true"` case — one body. Output:
+    * (q_id, neighbor_id, rank, cos). */
+  def filteredTopK(emb: DataFrame, queryPred: String,
+                   filterPred: String, k: Int,
+                   dim: Int = DefaultDim): DataFrame = {
     val n = withNorm(emb, dim = dim)
     val q = n.filter(expr(queryPred))
       .select(col("vec_id").as("q_id"), col("dvec").as("q_vec"),
         col("norm").as("q_norm"))
-    val c = n.select(col("vec_id").as("neighbor_id"), col("dvec"), col("norm"))
+    val c = n.filter(expr(filterPred))
+      .select(col("vec_id").as("neighbor_id"), col("dvec"), col("norm"))
     val scored = c.join(broadcast(q), col("neighbor_id") =!= col("q_id"))
       .withColumn("cos",
         dot(col("q_vec"), col("dvec"), dim) / (col("q_norm") * col("norm")))
@@ -733,10 +751,21 @@ object Similarity {
     * Output: (q_id, neighbor_id, rank, qcos), bitwise identical to
     * the in-plan path.
     */
+  /** `filterPred` (default pass-through) is ES's `knn.filter` on the
+    * IVF path — the faiss `IDSelector` semantics: candidates are
+    * filtered WITHIN the probed cells (pre-ranking, so k results all
+    * satisfy it), via one left-semi against the filtered id set. The
+    * recall shape is the usual filtered-IVF caveat, stated honestly:
+    * probing is by the QUERY's nearest cells, so a highly selective
+    * filter concentrated in unprobed cells lowers recall — raise
+    * nprobe with filter selectivity (faiss's own guidance). With all
+    * cells probed the filtered result is EXACTLY
+    * [[filteredTopK]]'s (the spec pins it). */
   def ivfTopKStaged(spark: org.apache.spark.sql.SparkSession,
                     fixtureKey: String, emb: => DataFrame,
                     centroidPred: String, queryPred: String, k: Int,
-                    nprobe: Int = 1, dim: Int = DefaultDim): DataFrame = {
+                    nprobe: Int = 1, dim: Int = DefaultDim,
+                    filterPred: String = "true"): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1: $nprobe")
     graft.functions.GraftFunctions.register(spark)
     val (centTable, asgDir) =
@@ -755,8 +784,13 @@ object Similarity {
       .drop("probes")
     val probedCells = q.select("cluster").distinct()
       .collect().map(_.getLong(0)).sorted
-    val scored = asg
-      .filter(col("cluster").isin(probedCells: _*))
+    val cellCand = asg.filter(col("cluster").isin(probedCells: _*))
+    val cand =
+      if (filterPred == "true") cellCand
+      else cellCand.join(
+        emb.filter(expr(filterPred)).select("vec_id"),
+        Seq("vec_id"), "left_semi")
+    val scored = cand
       .join(broadcast(q), Seq("cluster"))
       .where(col("vec_id") =!= col("q_id"))
       .withColumn("qcos",

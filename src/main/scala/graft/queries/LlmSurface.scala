@@ -1298,6 +1298,20 @@ object LlmSurface {
       Similarity.bruteForceTopK(emb(s, d), "vec_id < 10", k = 5)
         .orderBy("q_id", "rank")),
 
+    // --- FILTERED kNN (ES 8's `knn` + `filter` — the production
+    //     vector-search shape: "nearest docs WHERE label = 2"):
+    //     PRE-filter semantics — the metadata predicate restricts
+    //     candidates before ranking, so all k results satisfy it
+    //     (post-filtering a plain top-k returns fewer; ES documents
+    //     the distinction). The predicate pushes into the corpus
+    //     scan; the spec additionally pins the filtered IVF path
+    //     (faiss IDSelector shape) against this exact baseline
+    //     (Similarity.filteredTopK) ---
+    "q220_filtered_knn" -> ((s, d) =>
+      Similarity.filteredTopK(emb(s, d), "vec_id < 10", "label = 2",
+          k = 5)
+        .orderBy("q_id", "rank")),
+
     // --- LSH-bucketed approximate top-k ---
     "q36_ann_lsh" -> ((s, d) =>
       Similarity.annTopK(emb(s, d), "vec_id < 10", k = 5)
@@ -4079,6 +4093,23 @@ object LlmSurface {
          |  ${dkDot("q.v", "c.v")} / (q.nrm * c.nrm) AS cos
          |FROM normed q JOIN normed c
          |  ON q.vec_id < 10 AND c.vec_id != q.vec_id
+         |QUALIFY rank <= 5
+         |ORDER BY q_id, rank""".stripMargin,
+
+    // q220: q35's exact cosine ranking with the PRE-filter on the
+    // candidate side only (queries are not filtered — ES's knn.filter
+    // constrains matches, not the query vector)
+    "q220_filtered_knn" ->
+      s"""WITH $dkNormed
+         |SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+         |  row_number() OVER (PARTITION BY q.vec_id
+         |    ORDER BY ${dkDot("q.v", "c.v")} / (q.nrm * c.nrm) DESC,
+         |      c.vec_id ASC)::BIGINT AS rank,
+         |  ${dkDot("q.v", "c.v")} / (q.nrm * c.nrm) AS cos
+         |FROM normed q JOIN normed c
+         |  ON q.vec_id < 10 AND c.vec_id != q.vec_id
+         |  AND c.vec_id IN
+         |    (SELECT vec_id FROM embeddings WHERE label = 2)
          |QUALIFY rank <= 5
          |ORDER BY q_id, rank""".stripMargin,
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{col, expr}
 
 import graft.SparkSpec
 
@@ -280,6 +280,46 @@ class SimilaritySpec extends SparkSpec {
       assert(r1.exists(_._2 == q + 1000000L),
         s"q=$q rank-1 is ${r1.map(_._2)}, expected copy ${q + 1000000L}")
     }
+  }
+
+  test("filtered kNN (ES knn.filter): PRE-filter semantics — every " +
+    "neighbor satisfies the predicate, k results survive selective " +
+    "filters, and the all-cells-probed IVF path matches exactly") {
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val r = Similarity.filteredTopK(e, "vec_id < 10", "label = 2",
+        k = 5)
+      .join(e.select(col("vec_id").as("neighbor_id"), col("label")),
+        "neighbor_id")
+      .select("q_id", "neighbor_id", "rank", "label")
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    assert(r.nonEmpty && r.forall(_._4 == 2),
+      "every neighbor must satisfy the filter (pre-filtering)")
+    // k results come back even though a post-filter of the plain
+    // top-5 would keep fewer
+    val label2 = e.filter(col("label") === 2).count()
+    assert(label2 >= 5, s"fixture needs >= 5 label-2 vectors: $label2")
+    assert(r.count(_._1 == 0L) == 5, r.filter(_._1 == 0L).toString)
+    val plainPost = Similarity.bruteForceTopK(e, "vec_id = 0", k = 5)
+      .join(e.select(col("vec_id").as("neighbor_id"), col("label")),
+        "neighbor_id")
+      .filter(col("label") === 2).count()
+    assert(plainPost < 5,
+      "fixture should make post-filtering visibly lossy " +
+        s"(got $plainPost — pick another label if this ever fails)")
+    // filterPred = "true" IS bruteForceTopK (one body)
+    assert(Similarity.filteredTopK(e, "vec_id < 5", "true", 5)
+      .collect().toSeq ==
+      Similarity.bruteForceTopK(e, "vec_id < 5", 5).collect().toSeq)
+    // IVF path with every cell probed equals the exact filtered kNN
+    val key = s"$sf001#spec-fknn"
+    Similarity.ensureIvfLearnedIndex(spark, key, e, "vec_id < 8")
+    val ivf = Similarity.ivfTopKStaged(spark, key, e, "vec_id < 8",
+        "vec_id < 10", k = 5, nprobe = 8, filterPred = "label = 2")
+      .select("q_id", "neighbor_id", "rank")
+      .as[(Long, Long, Long)].collect().sortBy(t => (t._1, t._3)).toSeq
+    assert(ivf == r.map(t => (t._1, t._2, t._3))
+      .sortBy(t => (t._1, t._3)),
+      "all-cells-probed filtered IVF must equal exact filtered kNN")
   }
 
   test("pqAppendOnce: appended codes serve through the staged IVF-PQ " +
