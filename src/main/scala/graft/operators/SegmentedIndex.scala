@@ -1941,6 +1941,72 @@ object SegmentedIndex {
       .limit(k)
   }
 
+  /** Batched multi-query search — ES's `_msearch` (one request, many
+    * searches): N term queries answer from ONE bucket-pruned postings
+    * scan of the UNION of their analyzed terms, instead of N separate
+    * scans — at serving scale this is the amortization that matters
+    * (a relevance batch job over 10^4 saved queries reads the
+    * postings once). Statistics are the index's usual phases (df/N
+    * pre-tombstone, hits post), shared by all queries of the batch —
+    * exactly one `dfs` phase per request, ES's shape. Scoring is
+    * [[search]]'s exact tf·(N/df) with the fixed-order pivot over the
+    * batch's GLOBAL sorted term list (a (query, doc) group only holds
+    * the query's own matched terms — the broadcast (query_id, term)
+    * membership join restricts rows — so the global pivot stays
+    * per-query-correct while keeping double addition order pinned
+    * cross-engine). Per-query top-k is one window PARTITIONED BY
+    * query_id — per-query hit sets, never a global funnel. A query
+    * whose terms all analyze away (or miss the index) simply returns
+    * no rows — ES's empty-hits response. Output: (query_id, doc_id,
+    * score, n_terms_hit, rank), (query_id, rank)-ascending. */
+  def multiQuerySearch(spark: SparkSession, rootDir: String,
+                       queries: Seq[(String, Seq[String])],
+                       k: Int): DataFrame = {
+    require(queries.nonEmpty, "multiQuerySearch needs queries")
+    require(queries.map(_._1).distinct.size == queries.size,
+      "query ids must be unique")
+    import spark.implicits._
+    val root = new java.io.File(rootDir)
+    val analyzed = queries.map { case (qid, ts) =>
+      qid -> qTerms(root, ts) }
+    val allTerms = analyzed.flatMap(_._2).distinct.sorted
+    if (allTerms.isEmpty)
+      return Seq.empty[(String, Long, Double, Long, Long)]
+        .toDF("query_id", "doc_id", "score", "n_terms_hit", "rank")
+    val (nb, segs, _) = readManifest(root)
+    val nDocs = segs.filter(_.kind == "seg").map(_.nDocs).sum
+    val p = prunedPostings(spark, root, segs, allTerms, nb)
+      .filter(col("term").isin(allTerms: _*))
+    val dfreq = p.groupBy("term").agg(count(lit(1)).as("doc_freq"))
+    val live = tombstones(spark, root, segs) match {
+      case Some(dead) =>
+        p.join(dead, Seq("doc_id", "seg"), "left_anti")
+      case None => p
+    }
+    val membership = analyzed
+      .flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    val contribs = allTerms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === lit(t),
+        col("tf").cast("double") *
+          (lit(nDocs).cast("double") / col("doc_freq").cast("double")))
+        .otherwise(lit(0.0d))).as(s"c_$i")
+    }
+    val score = allTerms.indices.map(i => col(s"c_$i")).reduce(_ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("score"), asc("doc_id"))
+    live.join(dfreq, "term")
+      .join(broadcast(membership), Seq("term"))
+      .groupBy("query_id", "doc_id")
+      .agg(contribs.head,
+        contribs.tail :+ count(lit(1)).as("n_terms_hit"): _*)
+      .withColumn("score", score)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "doc_id", "score", "n_terms_hit", "rank")
+      .orderBy("query_id", "rank")
+  }
+
   /** Top-k term search with MAXSCORE dynamic pruning — Lucene's
     * other serving-side half (WAND/MaxScore: Lucene keeps per-block
     * max impacts beside its postings and skips documents that cannot

@@ -692,6 +692,20 @@ object LlmSurface {
       SegmentedIndex.completionSuggest(s, segIndexDir(s, d),
         prefix = "s", k = 10)),
 
+    // --- batched multi-query search (ES `_msearch` — one request,
+    //     many searches): three term queries answer from ONE
+    //     bucket-pruned postings scan of their terms' union, one
+    //     shared dfs phase, per-query top-k via a query-partitioned
+    //     window; scoring pivots over the batch's global sorted term
+    //     list so double addition order is pinned cross-engine
+    //     (SegmentedIndex.multiQuerySearch) ---
+    "q221_msearch" -> ((s, d) =>
+      // probe-only against the STAGED index (segIndexDir)
+      SegmentedIndex.multiQuerySearch(s, segIndexDir(s, d),
+        Seq("qa" -> Seq("spark", "join"),
+          "qb" -> Seq("vector", "fast"),
+          "qc" -> Seq("line")), k = 10)),
+
     // --- completion FIELD (ES's actual completion mapping —
     //     doc-supplied inputs AND weights): suggestions come from a
     //     stored field with per-doc weights, duplicate outputs keep
@@ -2986,6 +3000,39 @@ object LlmSurface {
         |   GROUP BY term)
         |SELECT term, weight FROM w WHERE term LIKE 's%'
         |ORDER BY weight DESC, term LIMIT 10""".stripMargin,
+
+    // q221: msearch replayed — one postings derivation feeds every
+    // query through the (query_id, term) membership table; the score
+    // pivots over the batch's global SORTED term list (fast, join,
+    // line, spark, vector), the same fixed order the engine uses
+    "q221_msearch" -> {
+      val allTerms = Seq("fast", "join", "line", "spark", "vector")
+      val contribs = allTerms.map { t =>
+        s"sum(CASE WHEN term = '$t' THEN tf::DOUBLE * " +
+          "(n_docs / doc_freq::DOUBLE) ELSE 0.0::DOUBLE END)"
+      }
+      s"""WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+         | p AS (SELECT term, doc_id, count(*)::BIGINT AS tf
+         |   FROM (SELECT doc_id, unnest(string_split(text, ' '))
+         |     AS term FROM d) GROUP BY term, doc_id),
+         | dfreq AS (SELECT term, count(*)::BIGINT AS doc_freq FROM p
+         |   GROUP BY term),
+         | nd AS (SELECT count(*)::DOUBLE AS n_docs FROM d),
+         | qt AS (SELECT * FROM (VALUES ('qa', 'spark'), ('qa', 'join'),
+         |   ('qb', 'vector'), ('qb', 'fast'), ('qc', 'line'))
+         |   t(query_id, term)),
+         | scored AS (SELECT query_id, doc_id,
+         |   ${contribs.mkString(" + ")} AS score,
+         |   count(*) AS n_terms_hit
+         |  FROM p JOIN dfreq USING (term) JOIN qt USING (term), nd
+         |  WHERE doc_id % 37 <> 5
+         |  GROUP BY query_id, doc_id)
+         |SELECT query_id, doc_id, score, n_terms_hit,
+         |  row_number() OVER (PARTITION BY query_id
+         |    ORDER BY score DESC, doc_id)::BIGINT AS rank
+         |FROM scored QUALIFY rank <= 10
+         |ORDER BY query_id, rank""".stripMargin
+    },
 
     // q219: the completion FIELD replayed — live docs only (the
     // stored read applies tombstones), per-input MAX of the

@@ -842,6 +842,45 @@ class SegmentedIndexSpec extends SparkSpec {
       "the _dict fallback must serve the same completions")
   }
 
+  test("multiQuerySearch: each batched query equals its standalone " +
+    "search (sorted-term pivot), tombstones flow through, empty and " +
+    "all-stopword queries return no rows") {
+    val root = Files.createTempDirectory("graft-ms").toString
+    val d = Seq(
+      (1L, "x x y pad"),
+      (2L, "y z pad"),
+      (3L, "x z z pad"),
+      (4L, "pad pad")).toDF("doc_id", "text")
+    SegmentedIndex.append(spark, root, d, "a", nBuckets = 4)
+    SegmentedIndex.delete(spark, root, Seq(3L).toDF("doc_id"), "d1")
+    val ms = SegmentedIndex.multiQuerySearch(spark, root,
+      Seq("q1" -> Seq("x", "y"), "q2" -> Seq("z"),
+        "q3" -> Seq("absent-term")), k = 10)
+      .as[(String, Long, Double, Long, Long)].collect().toSeq
+    // per query, the batch answers == the standalone search (terms
+    // passed SORTED so both pivots share the same addition order)
+    for ((qid, ts) <- Seq("q1" -> Seq("x", "y"), "q2" -> Seq("z"))) {
+      val solo = SegmentedIndex.search(spark, root, ts.sorted, 10)
+        .as[(Long, Double, Long)].collect().toSeq
+      val batch = ms.filter(_._1 == qid)
+        .sortBy(_._5).map(t => (t._2, t._3, t._4))
+      assert(batch == solo, s"$qid:\nbatch=$batch\nsolo= $solo")
+    }
+    // the tombstoned doc 3 is in no query's hits; df still counts it
+    assert(!ms.exists(_._2 == 3L))
+    // a query with no indexed terms returns no rows (ES empty hits)
+    assert(!ms.exists(_._1 == "q3"))
+    // an all-miss batch returns an empty frame with the full schema
+    val none = SegmentedIndex.multiQuerySearch(spark, root,
+      Seq("q" -> Seq("nothing-here")), k = 5)
+    assert(none.count() == 0 && none.columns.toSeq ==
+      Seq("query_id", "doc_id", "score", "n_terms_hit", "rank"))
+    // duplicate query ids are rejected
+    intercept[IllegalArgumentException](SegmentedIndex
+      .multiQuerySearch(spark, root,
+        Seq("a" -> Seq("x"), "a" -> Seq("y")), 5))
+  }
+
   test("completionFieldSuggest: doc-supplied inputs and weights — " +
     "max-weight dedup, live docs only, chain-normalized inputs, " +
     "missing fields drop") {
