@@ -480,17 +480,57 @@ object SegmentedIndex {
     * format when this API is hot. A tombstoned or absent doc returns
     * 0 rows. Output: (term, tf, positions), term-ascending. */
   def termVectors(spark: SparkSession, rootDir: String,
-                  docId: Long): DataFrame = {
+                  docId: Long): DataFrame =
+    multiTermVectors(spark, rootDir, Seq(docId))
+      .select("term", "tf", "positions")
+
+  /** Batched term vectors — ES's `_mtermvectors`: the term vectors of
+    * SEVERAL documents from one postings read (the id set pushes into
+    * the scan as one IN filter) instead of one request per id —
+    * [[multiQuerySearch]]'s amortization argument on the fetch side.
+    * Single-id [[termVectors]] is the 1-element case of this body.
+    * Live rows only; same honest cost note as [[termVectors]]: the
+    * read is row-pruned by the pushed id filter, worst-case
+    * O(postings footprint) — ES's own caveat for this API. Output:
+    * (doc_id, term, tf, positions), (doc_id, term)-ascending. */
+  def multiTermVectors(spark: SparkSession, rootDir: String,
+                       docIds: Seq[Long]): DataFrame = {
+    require(docIds.nonEmpty, "multiTermVectors needs ids")
     val root = new java.io.File(rootDir)
     val (_, segs, _) = readManifest(root)
     val p = segmentsRead(spark, root, segs)
-      .filter(col("doc_id") === lit(docId))
+      .filter(col("doc_id").isin(docIds: _*))
     val live = tombstones(spark, root, segs) match {
       case Some(dead) =>
         p.join(dead, Seq("doc_id", "seg"), "left_anti")
       case None => p
     }
-    live.select("term", "tf", "positions").orderBy("term")
+    live.select("doc_id", "term", "tf", "positions")
+      .orderBy("doc_id", "term")
+  }
+
+  /** Hit count — ES's `GET /idx/_count`: how many LIVE documents
+    * match any of the analyzed query terms, with no scoring, no
+    * fetch, no top-k — the cheapest read the serving API offers (one
+    * bucket-pruned postings scan, a distinct-count, one row out).
+    * The usual phases still apply to the hit set (tombstoned docs
+    * never count — `_count` is a hits-side read). Output: (n_hits),
+    * 1 row. */
+  def countQuery(spark: SparkSession, rootDir: String,
+                 terms: Seq[String]): DataFrame = {
+    val root = new java.io.File(rootDir)
+    val qs = qTerms(root, terms)
+    import spark.implicits._
+    if (qs.isEmpty) return Seq(0L).toDF("n_hits")
+    val (nb, segs, _) = readManifest(root)
+    val p = prunedPostings(spark, root, segs, qs, nb)
+      .filter(col("term").isin(qs: _*))
+    val live = tombstones(spark, root, segs) match {
+      case Some(dead) =>
+        p.join(dead, Seq("doc_id", "seg"), "left_anti")
+      case None => p
+    }
+    live.agg(countDistinct(col("doc_id")).as("n_hits"))
   }
 
   /** Highlighting from the index — ES's actual flow: the QUERY phase

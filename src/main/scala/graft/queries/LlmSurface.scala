@@ -577,6 +577,25 @@ object LlmSurface {
         .withColumn("positions", array_join(
           expr("transform(positions, x -> cast(x as string))"), ","))),
 
+    // --- batched term vectors (ES `_mtermvectors`): several ids'
+    //     vectors from ONE postings read — the id set pushes into
+    //     the scan as one IN filter (q221's amortization argument on
+    //     the fetch side) (SegmentedIndex.multiTermVectors) ---
+    "q222_mtermvectors" -> ((s, d) =>
+      // probe-only against the STAGED index (segIndexDir)
+      SegmentedIndex.multiTermVectors(s, segIndexDir(s, d),
+          Seq(3L, 7L, 11L))
+        .withColumn("positions", array_join(
+          expr("transform(positions, x -> cast(x as string))"), ","))),
+
+    // --- hit count (ES `GET /idx/_count`): live docs matching any
+    //     query term — no scoring, no fetch, one distinct-count row
+    //     (SegmentedIndex.countQuery) ---
+    "q223_count" -> ((s, d) =>
+      // probe-only against the STAGED index (segIndexDir)
+      SegmentedIndex.countQuery(s, segIndexDir(s, d),
+        Seq("spark", "vector"))),
+
     // --- delete-by-query (ES `_delete_by_query`): tombstone the
     //     live hit set of a term query in one manifest commit; the
     //     statistics keep counting the deleted docs until merge
@@ -2786,6 +2805,28 @@ object LlmSurface {
         |SELECT term, count(*)::BIGINT AS tf,
         | array_to_string(list_sort(list(ord - 1)), ',') AS positions
         |FROM t GROUP BY term ORDER BY term""".stripMargin,
+
+    // q222: q190's replay for a batch of live ids, doc_id carried
+    "q222_mtermvectors" ->
+      """WITH d AS (SELECT * FROM documents
+        |   WHERE doc_id IN (3, 7, 11)),
+        | t AS (SELECT doc_id,
+        |        unnest(string_split(text, ' ')) AS term,
+        |        generate_subscripts(string_split(text, ' '), 1) AS ord
+        |       FROM d)
+        |SELECT doc_id, term, count(*)::BIGINT AS tf,
+        | array_to_string(list_sort(list(ord - 1)), ',') AS positions
+        |FROM t GROUP BY doc_id, term ORDER BY doc_id, term"""
+        .stripMargin,
+
+    // q223: live docs containing either term, one count row
+    "q223_count" ->
+      """WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+        | hits AS (SELECT DISTINCT doc_id FROM
+        |   (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |    FROM d)
+        |   WHERE term IN ('spark', 'vector') AND doc_id % 37 <> 5)
+        |SELECT count(*)::BIGINT AS n_hits FROM hits""".stripMargin,
 
     // q191: hits exclude every doc containing 'join' (the
     // delete-by-query victims) while df/N still count them pre-merge

@@ -881,6 +881,42 @@ class SegmentedIndexSpec extends SparkSpec {
         Seq("a" -> Seq("x"), "a" -> Seq("y")), 5))
   }
 
+  test("multiTermVectors + countQuery: the batch read equals per-id " +
+    "reads and excludes tombstones; _count is the live distinct-hit " +
+    "cardinality with query-side analysis") {
+    val root = Files.createTempDirectory("graft-mtv").toString
+    val d = Seq(
+      (1L, "x y"),
+      (2L, "x z"),
+      (3L, "y y")).toDF("doc_id", "text")
+    SegmentedIndex.append(spark, root, d, "a", nBuckets = 4)
+    SegmentedIndex.delete(spark, root, Seq(2L).toDF("doc_id"), "d1")
+    val batch = SegmentedIndex
+      .multiTermVectors(spark, root, Seq(1L, 2L, 3L))
+      .as[(Long, String, Long, Seq[Long])].collect().toSeq
+    assert(!batch.exists(_._1 == 2L), "tombstoned doc must not appear")
+    for (id <- Seq(1L, 3L)) {
+      val solo = SegmentedIndex.termVectors(spark, root, id)
+        .as[(String, Long, Seq[Long])].collect().toSeq
+      assert(batch.filter(_._1 == id).map(t => (t._2, t._3, t._4))
+        == solo, s"id=$id")
+    }
+    // x lives only in doc 1 now (doc 2 tombstoned); y in 1 and 3
+    assert(SegmentedIndex.countQuery(spark, root, Seq("x", "y"))
+      .as[Long].collect().toSeq == Seq(2L))
+    assert(SegmentedIndex.countQuery(spark, root, Seq("z"))
+      .as[Long].collect().toSeq == Seq(0L),
+      "the only z-doc is tombstoned")
+    assert(SegmentedIndex.countQuery(spark, root, Seq("absent"))
+      .as[Long].collect().toSeq == Seq(0L))
+    // an all-stopword query analyzes to nothing → 0 (english chain)
+    val en = Files.createTempDirectory("graft-mtv-en").toString
+    SegmentedIndex.append(spark, en, d, "a", nBuckets = 4,
+      analyzer = "english")
+    assert(SegmentedIndex.countQuery(spark, en, Seq("the", "a"))
+      .as[Long].collect().toSeq == Seq(0L))
+  }
+
   test("completionFieldSuggest: doc-supplied inputs and weights — " +
     "max-weight dedup, live docs only, chain-normalized inputs, " +
     "missing fields drop") {
