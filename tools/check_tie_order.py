@@ -36,9 +36,18 @@ def main(out_dir, sf_dir):
         cols = [re.sub(r"\s+(ASC|DESC|NULLS\s+FIRST|NULLS\s+LAST)", "",
                        c.strip(), flags=re.IGNORECASE).strip()
                 for c in tail.split(",")]
-        collist = ", ".join(cols)
         try:
             con.execute("CREATE OR REPLACE TEMP VIEW tie_r AS " + sql)
+            # ordinal ORDER BY keys (ORDER BY 1, 2) would re-probe as
+            # CONSTANT expressions (one all-rows tie group — a false
+            # flag); resolve them to the view's column names
+            vcols = [r[0] for r in con.sql(
+                "DESCRIBE tie_r").fetchall()]
+            cols = [vcols[int(c) - 1]
+                    if re.fullmatch(r"\d+", c) and
+                    0 < int(c) <= len(vcols) else c
+                    for c in cols]
+            collist = ", ".join(cols)
             def probe(cl):
                 return con.sql(
                     "WITH d AS (SELECT DISTINCT * FROM tie_r) "
