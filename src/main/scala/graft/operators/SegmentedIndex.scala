@@ -509,6 +509,39 @@ object SegmentedIndex {
       .orderBy("doc_id", "term")
   }
 
+  /** Index statistics — ES's `GET /idx/_stats` (docs + segments
+    * panels): segment/tombstone-batch counts and the stats-phase doc
+    * and token totals come straight from the MANIFEST (zero data
+    * read — the O(1) header arithmetic every lifecycle decision
+    * already uses); the deleted-doc count reads only the tombstone
+    * sidecars (victim-set-sized — ES's `docs.deleted`), and
+    * `n_live = n_docs − n_deleted` (each live doc is tombstoned at
+    * most once per its single home segment — upsert's invariant).
+    * Honest caveat: `n_deleted` counts distinct tombstoned IDS — a
+    * delete aimed at a never-indexed id inflates it (ES counts actual
+    * deleted docs; resolving the difference would cost a postings
+    * join this zero-data-read API exists to avoid). Output:
+    * (n_segments, n_del_batches, n_docs, n_deleted, n_live,
+    * total_len), 1 row. */
+  def indexStats(spark: SparkSession, rootDir: String): DataFrame = {
+    import spark.implicits._
+    val root = new java.io.File(rootDir)
+    val (_, segs, _) = readManifest(root)
+    val nSegs = segs.count(_.kind == "seg")
+    val nDels = segs.count(_.kind == "del")
+    val nDocs = segs.filter(_.kind == "seg").map(_.nDocs).sum
+    val totalLen = segs.filter(_.kind == "seg").map(_.totalLen).sum
+    val nDeleted = tombstones(spark, root, segs) match {
+      case Some(dead) =>
+        dead.select("doc_id").distinct().count()
+      case None => 0L
+    }
+    Seq((nSegs.toLong, nDels.toLong, nDocs, nDeleted,
+      nDocs - nDeleted, totalLen))
+      .toDF("n_segments", "n_del_batches", "n_docs", "n_deleted",
+        "n_live", "total_len")
+  }
+
   /** Hit count — ES's `GET /idx/_count`: how many LIVE documents
     * match any of the analyzed query terms, with no scoring, no
     * fetch, no top-k — the cheapest read the serving API offers (one
@@ -1240,6 +1273,49 @@ object SegmentedIndex {
       .withColumn("score", col("score") * col("boost_value"))
       .select("doc_id", "score", "boost_value", "n_terms_hit")
       .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
+
+  /** Query rescoring — ES's `rescore` (the two-phase ranking every
+    * relevance stack runs: a cheap first pass over everything, an
+    * expensive second pass over the top WINDOW only): the first-pass
+    * relevance ([[search]]'s exact tf·(N/df)) selects the top
+    * `windowSize` docs; ONLY those re-score as
+    * `query_weight·score + rescore_weight·(score·field)` (the
+    * field-value-factor rescorer — [[functionScoreSearch]]'s boost
+    * confined to the window, exact double arithmetic, missing → 1)
+    * and re-sort among themselves; documents OUTSIDE the window keep
+    * their first-pass order BELOW the window — ES re-sorts only the
+    * window, a tail doc can never climb past it. The expensive
+    * scorer's cost is windowSize-bounded by construction — the whole
+    * point of the API at scale. Output: (doc_id, score, rescored),
+    * top-k (k ≤ windowSize pages never even read the tail). */
+  def rescoreSearch(spark: SparkSession, rootDir: String,
+                    terms: Seq[String], field: String,
+                    windowSize: Int, k: Int,
+                    queryWeight: Double = 1.0,
+                    rescoreWeight: Double = 1.0): DataFrame = {
+    require(windowSize >= 1, s"windowSize must be >= 1: $windowSize")
+    val first = scoredHits(spark, rootDir, terms)
+    val window = first
+      .orderBy(desc("score"), asc("doc_id")).limit(windowSize)
+    val vals = hitFieldValues(spark, rootDir, terms, field,
+      keepMissing = true)
+    val rescored = window.join(vals, Seq("doc_id"), "left")
+      .withColumn("score",
+        lit(queryWeight) * col("score") +
+          lit(rescoreWeight) * (col("score") *
+            coalesce(col("value").cast("double"), lit(1.0d))))
+      .withColumn("rescored", lit(true))
+      .select("doc_id", "score", "rescored")
+    val tail = first
+      .join(window.select("doc_id"), Seq("doc_id"), "left_anti")
+      .withColumn("rescored", lit(false))
+      .select("doc_id", "score", "rescored")
+    // window first (re-sorted by the combined score), tail below in
+    // first-pass order — ES's window contract
+    rescored.unionByName(tail)
+      .orderBy(desc("rescored"), desc("score"), asc("doc_id"))
       .limit(k)
   }
 

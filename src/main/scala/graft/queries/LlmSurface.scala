@@ -725,6 +725,30 @@ object LlmSurface {
           "qb" -> Seq("vector", "fast"),
           "qc" -> Seq("line")), k = 10)),
 
+    // --- index stats (ES `GET /idx/_stats`): segment/tombstone
+    //     counts and stats-phase doc/token totals from the MANIFEST
+    //     (zero data read), deleted count from the victim-set-sized
+    //     tombstone sidecars, live = docs − deleted; the lifecycle
+    //     constants (2 segments, 1 del batch) ride as oracle
+    //     literals, the rest computes from the raw corpus
+    //     (SegmentedIndex.indexStats) ---
+    "q224_index_stats" -> ((s, d) =>
+      // probe-only against the STAGED index (segIndexDir)
+      SegmentedIndex.indexStats(s, segIndexDir(s, d))),
+
+    // --- query rescoring (ES `rescore` — the two-phase ranking):
+    //     cheap first pass everywhere, the expensive
+    //     field-value-factor scorer over the top WINDOW only; the
+    //     window re-sorts by the combined score, the tail keeps its
+    //     first-pass order strictly below (ES's window contract — a
+    //     tail doc can never climb past the window)
+    //     (SegmentedIndex.rescoreSearch) ---
+    "q225_rescore" -> ((s, d) =>
+      // probe-only against the STAGED index (segIndexDir)
+      SegmentedIndex.rescoreSearch(s, segIndexDir(s, d), searchTerms,
+        field = "n_chars", windowSize = 10, k = 15,
+        queryWeight = 1.0, rescoreWeight = 0.001)),
+
     // --- completion FIELD (ES's actual completion mapping —
     //     doc-supplied inputs AND weights): suggestions come from a
     //     stored field with per-doc weights, duplicate outputs keep
@@ -3041,6 +3065,57 @@ object LlmSurface {
         |   GROUP BY term)
         |SELECT term, weight FROM w WHERE term LIKE 's%'
         |ORDER BY weight DESC, term LIMIT 10""".stripMargin,
+
+    // q224: stats replayed — the lifecycle constants (2 segments,
+    // 1 tombstone batch — segIndexDir's fixed shape, the precedent
+    // q165 set) as literals, everything else computed from the corpus
+    "q224_index_stats" ->
+      """WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+        | del AS (SELECT count(*)::BIGINT AS n_deleted FROM d
+        |   WHERE doc_id % 37 = 5),
+        | tl AS (SELECT count(*)::BIGINT AS n_docs,
+        |   sum(len(string_split(text, ' ')))::BIGINT AS total_len
+        |   FROM d)
+        |SELECT 2::BIGINT AS n_segments, 1::BIGINT AS n_del_batches,
+        | n_docs, n_deleted, (n_docs - n_deleted)::BIGINT AS n_live,
+        | total_len
+        |FROM tl, del""".stripMargin,
+
+    // q225: rescore replayed — first-pass pivot scores, window via
+    // LIMIT, combined = qw·s + rw·(s·n_chars) exactly as the engine
+    // multiplies, tail below the window in first-pass order
+    "q225_rescore" -> {
+      val contribs = searchTerms.map { t =>
+        s"sum(CASE WHEN term = '$t' THEN tf::DOUBLE * " +
+          "(n_docs / doc_freq::DOUBLE) ELSE 0.0::DOUBLE END)"
+      }
+      s"""WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+         | p AS (SELECT term, doc_id, count(*)::BIGINT AS tf
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' '))
+         |    AS term FROM d) GROUP BY term, doc_id),
+         | dfreq AS (SELECT term, count(*)::BIGINT AS doc_freq FROM p
+         |   GROUP BY term),
+         | nd AS (SELECT count(*)::DOUBLE AS n_docs FROM d),
+         | scored AS (SELECT doc_id,
+         |   ${contribs.mkString(" + ")} AS score
+         |  FROM p JOIN dfreq USING (term), nd
+         |  WHERE term IN (${searchTerms.map(t => s"'$t'").mkString(", ")})
+         |    AND doc_id % 37 <> 5
+         |  GROUP BY doc_id),
+         | win AS (SELECT doc_id, score FROM scored
+         |   ORDER BY score DESC, doc_id LIMIT 10),
+         | resc AS (SELECT w.doc_id,
+         |   1.0 * w.score + 0.001 * (w.score *
+         |     COALESCE(d2.n_chars::DOUBLE, 1.0)) AS score,
+         |   TRUE AS rescored
+         |  FROM win w LEFT JOIN d d2 USING (doc_id)),
+         | tail AS (SELECT doc_id, score, FALSE AS rescored
+         |  FROM scored WHERE doc_id NOT IN (SELECT doc_id FROM win))
+         |SELECT doc_id, score, rescored FROM
+         | (SELECT * FROM resc UNION ALL SELECT * FROM tail)
+         |ORDER BY rescored DESC, score DESC, doc_id LIMIT 15"""
+        .stripMargin
+    },
 
     // q221: msearch replayed — one postings derivation feeds every
     // query through the (query_id, term) membership table; the score

@@ -917,6 +917,70 @@ class SegmentedIndexSpec extends SparkSpec {
       .as[Long].collect().toSeq == Seq(0L))
   }
 
+  test("rescoreSearch: only the window re-sorts; the tail stays " +
+    "strictly below even when its boost would beat the window; " +
+    "missing field boosts by 1") {
+    val root = Files.createTempDirectory("graft-resc").toString
+    val d = Seq(
+      (1L, "x x x", "m1", 100L),   // 1st pass rank 1
+      (2L, "x x pad", "m2", 2L),   // rank 2
+      (3L, "x pad pad", "m3", 999L)) // rank 3 — OUTSIDE window of 2
+      .toDF("doc_id", "text", "m", "w")
+    SegmentedIndex.append(spark, root, d, "a", nBuckets = 4)
+    val r = SegmentedIndex.rescoreSearch(spark, root, Seq("x"), "w",
+        windowSize = 2, k = 3)
+      .as[(Long, Double, Boolean)].collect().toSeq
+    // docs 1,2 rescored (window), doc 3 tail; doc 3's huge w=999
+    // must NOT let it outrank the window
+    assert(r.map(_._1) == Seq(1L, 2L, 3L), r.toString)
+    assert(r.map(_._3) == Seq(true, true, false))
+    // the window re-sorts internally: with rescoreWeight dominant
+    // and doc 2's tiny boost, doc 1 (s·100) stays over doc 2 (s·2);
+    // invert the field to flip them
+    val d2 = Seq(
+      (1L, "x x x", "m1", 1L),
+      (2L, "x x pad", "m2", 1000L),
+      (3L, "x pad pad", "m3", 1L)).toDF("doc_id", "text", "m", "w")
+    val root2 = Files.createTempDirectory("graft-resc2").toString
+    SegmentedIndex.append(spark, root2, d2, "a", nBuckets = 4)
+    val r2 = SegmentedIndex.rescoreSearch(spark, root2, Seq("x"), "w",
+        windowSize = 2, k = 3)
+      .as[(Long, Double, Boolean)].collect().toSeq
+    assert(r2.map(_._1) == Seq(2L, 1L, 3L),
+      s"the boosted doc 2 must overtake INSIDE the window: $r2")
+    // a doc missing the field boosts by exactly 1 (qw·s + rw·s·1)
+    val d3 = Seq(
+      (1L, "x x", "m", Some(5L)),
+      (2L, "x x", "m", None)).toDF("doc_id", "text", "m", "w")
+    val root3 = Files.createTempDirectory("graft-resc3").toString
+    SegmentedIndex.append(spark, root3, d3, "a", nBuckets = 4)
+    val r3 = SegmentedIndex.rescoreSearch(spark, root3, Seq("x"), "w",
+        windowSize = 2, k = 2)
+      .as[(Long, Double, Boolean)].collect().toSeq
+    val s0 = 2.0 * (2.0 / 2.0) // tf=2 · N/df = 2
+    assert(r3 == Seq((1L, s0 + s0 * 5.0, true),
+      (2L, s0 + s0 * 1.0, true)), r3.toString)
+  }
+
+  test("indexStats: manifest-only counters plus the victim-set " +
+    "deleted count; merge folds the panels") {
+    val root = Files.createTempDirectory("graft-stats").toString
+    val d = Seq(
+      (1L, "a b"), (2L, "c d e"), (3L, "f")).toDF("doc_id", "text")
+    SegmentedIndex.append(spark, root,
+      d.filter(col("doc_id") < 3), "a", nBuckets = 4)
+    SegmentedIndex.append(spark, root,
+      d.filter(col("doc_id") === 3), "b")
+    SegmentedIndex.delete(spark, root, Seq(2L).toDF("doc_id"), "d1")
+    def st() = SegmentedIndex.indexStats(spark, root)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    assert(st() == ((2L, 1L, 3L, 1L, 2L, 6L)), st().toString)
+    // merge applies tombstones and recomputes: one segment, no del
+    // batches, stats drop the deleted doc
+    SegmentedIndex.merge(spark, root)
+    assert(st() == ((1L, 0L, 2L, 0L, 2L, 3L)), st().toString)
+  }
+
   test("completionFieldSuggest: doc-supplied inputs and weights — " +
     "max-weight dedup, live docs only, chain-normalized inputs, " +
     "missing fields drop") {
