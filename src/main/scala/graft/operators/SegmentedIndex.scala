@@ -2057,6 +2057,78 @@ object SegmentedIndex {
       .limit(k)
   }
 
+  /** Federated search with PER-INDEX ANALYSIS — ES's exact semantics
+    * for a HETEROGENEOUS multi-index request (each index analyzes the
+    * query with its OWN chain; `dfs_query_then_fetch` then pools term
+    * statistics BY TERM STRING across every member's dictionary):
+    * the ES-exact generalization past [[multiSearch]]'s enforced
+    * uniform contract. The two entry points are deliberately
+    * separate — [[multiSearch]]'s lossless-split guarantee
+    * ("federation ≡ one combined index") is only well-defined under
+    * one shared chain (a combined index has ONE analyzer) and its
+    * `require` keeps that contract loud; THIS call is for
+    * federations that genuinely mix chains, where a query literal
+    * may reach one member as a stem and another verbatim.
+    *
+    * Statistics: `N` is the family total; each term's df sums over
+    * ALL members' vocabulary-sized dictionaries (ES pools stats for
+    * a term from every queried index, whether or not that index's
+    * analysis of the query produced it). Scoring is the exact
+    * tf·(N/df) pivot over the UNION of the per-index analyzed term
+    * sets in one fixed sorted order — each (idx, doc) group only
+    * holds its own index's matched terms (per-index pruned postings
+    * carry only that index's analyzed terms), so the global pivot
+    * stays per-index-correct while double addition order is pinned
+    * cross-engine ([[multiQuerySearch]]'s argument). Output:
+    * (idx, doc_id, score, n_terms_hit), top-k by
+    * (score desc, idx, doc_id). */
+  def multiSearchPerIndex(spark: SparkSession,
+                          indices: Seq[(String, String)],
+                          terms: Seq[String], k: Int): DataFrame = {
+    require(indices.nonEmpty, "multiSearchPerIndex needs an index")
+    require(indices.map(_._1).distinct.size == indices.size,
+      "index names must be unique")
+    import spark.implicits._
+    val perIndex = indices.map { case (name, rootDir) =>
+      val root = new java.io.File(rootDir)
+      (name, root, qTerms(root, terms))
+    }
+    val allTerms = perIndex.flatMap(_._3).distinct.sorted
+    if (allTerms.isEmpty)
+      return Seq.empty[(String, Long, Double, Long)]
+        .toDF("idx", "doc_id", "score", "n_terms_hit")
+    val parts = perIndex.map { case (name, root, qs) =>
+      val (nb, segs, _) = readManifest(root)
+      val nDocs = segs.filter(_.kind == "seg").map(_.nDocs).sum
+      val dict = dictFrame(spark, root, segs)
+        .filter(col("term").isin(allTerms: _*))
+        .select("term", "doc_freq")
+      val live =
+        if (qs.isEmpty)
+          None
+        else {
+          val p = prunedPostings(spark, root, segs, qs, nb)
+            .filter(col("term").isin(qs: _*))
+          Some((tombstones(spark, root, segs) match {
+            case Some(dead) =>
+              p.join(dead, Seq("doc_id", "seg"), "left_anti")
+            case None => p
+          }).withColumn("idx", lit(name)))
+        }
+      (nDocs, dict, live)
+    }
+    val nTotal = parts.map(_._1).sum
+    // df BY TERM STRING across every member's dictionary — the
+    // vocabulary-sized stats phase, postings never read for it
+    val dfreq = parts.map(_._2).reduce(_ unionByName _)
+      .groupBy("term").agg(sum("doc_freq").as("doc_freq"))
+    val liveAll = parts.flatMap(_._3).reduce(_ unionByName _)
+    scoreLive(liveAll, dfreq, allTerms, nTotal,
+      keys = Seq("idx", "doc_id"))
+      .orderBy(desc("score"), asc("idx"), asc("doc_id"))
+      .limit(k)
+  }
+
   /** Batched multi-query search — ES's `_msearch` (one request, many
     * searches): N term queries answer from ONE bucket-pruned postings
     * scan of the UNION of their analyzed terms, instead of N separate

@@ -725,6 +725,21 @@ object LlmSurface {
           "qb" -> Seq("vector", "fast"),
           "qc" -> Seq("line")), k = 10)),
 
+    // --- HETEROGENEOUS federation with per-index analysis (ES's
+    //     exact multi-index semantics when members mix analyzers):
+    //     each index analyzes the query with its OWN chain ('the'
+    //     survives on the whitespace member, drops on the english
+    //     one; 'Sparks' reaches english as the stem 'spark'), df
+    //     pools BY TERM STRING across every member's dictionary, N
+    //     is the family total; the strict multiSearch still throws
+    //     for this pair — the two contracts are deliberately
+    //     separate (SegmentedIndex.multiSearchPerIndex) ---
+    "q226_federated_mixed" -> ((s, d) =>
+      // probe-only against the STAGED whitespace + english pair
+      SegmentedIndex.multiSearchPerIndex(s,
+        Seq("e" -> segIndexEnDir(s, d), "w" -> segIndexDir(s, d)),
+        Seq("Sparks", "the", "Joins"), k = 20)),
+
     // --- index stats (ES `GET /idx/_stats`): segment/tombstone
     //     counts and stats-phase doc/token totals from the MANIFEST
     //     (zero data read), deleted count from the victim-set-sized
@@ -3065,6 +3080,51 @@ object LlmSurface {
         |   GROUP BY term)
         |SELECT term, weight FROM w WHERE term LIKE 's%'
         |ORDER BY weight DESC, term LIMIT 10""".stripMargin,
+
+    // q226: the mixed federation replayed — BOTH ingest analyses
+    // materialize (raw whitespace split; english lower+stop+stem),
+    // df pools by term string over their union, each member's hits
+    // come from its OWN analyzed query terms, N = both corpora; the
+    // pivot runs over the sorted union (Joins, Sparks, join, spark,
+    // the) — the engine's own fixed order
+    "q226_federated_mixed" -> {
+      val allTerms = Seq("Joins", "Sparks", "join", "spark", "the")
+      val contribs = allTerms.map { t =>
+        s"sum(CASE WHEN term = '$t' THEN tf::DOUBLE * " +
+          "(n_docs / doc_freq::DOUBLE) ELSE 0.0::DOUBLE END)"
+      }
+      val stops = graft.operators.Analyzer.EnglishStopwords
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+         | wsp AS (SELECT term, doc_id, count(*)::BIGINT AS tf
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' '))
+         |    AS term FROM d) GROUP BY term, doc_id),
+         | enp AS (SELECT term, doc_id, count(*)::BIGINT AS tf
+         |  FROM (SELECT doc_id,
+         |     ${graft.operators.Analyzer.stemSql("tok")} AS term
+         |    FROM (SELECT doc_id, unnest(string_split_regex(
+         |      lower(text), '[^a-z0-9]+')) AS tok FROM d))
+         |  WHERE term <> '' AND term NOT IN ($stops)
+         |  GROUP BY term, doc_id),
+         | dfreq AS (SELECT term, count(*)::BIGINT AS doc_freq FROM
+         |  (SELECT term, doc_id FROM wsp
+         |   UNION ALL SELECT term, doc_id FROM enp)
+         |  WHERE term IN (${allTerms.map(t => s"'$t'").mkString(", ")})
+         |  GROUP BY term),
+         | hits AS (
+         |  SELECT 'w' AS idx, doc_id, term, tf FROM wsp
+         |   WHERE term IN ('Sparks', 'the', 'Joins')
+         |  UNION ALL
+         |  SELECT 'e' AS idx, doc_id, term, tf FROM enp
+         |   WHERE term IN ('spark', 'join')),
+         | nd AS (SELECT (2 * count(*))::DOUBLE AS n_docs FROM d)
+         |SELECT idx, doc_id, ${contribs.mkString(" + ")} AS score,
+         | count(*) AS n_terms_hit
+         |FROM hits JOIN dfreq USING (term), nd
+         |WHERE doc_id % 37 <> 5
+         |GROUP BY idx, doc_id
+         |ORDER BY score DESC, idx, doc_id LIMIT 20""".stripMargin
+    },
 
     // q224: stats replayed — the lifecycle constants (2 segments,
     // 1 tombstone batch — segIndexDir's fixed shape, the precedent

@@ -245,6 +245,44 @@ class AnalyzedIndexSpec extends SparkSpec {
       spark, Seq("c" -> root, "e" -> dst), Seq("dog"), 10))
   }
 
+  test("multiSearchPerIndex: a MIXED federation analyzes per member " +
+    "and pools df by term string — ES's heterogeneous semantics; " +
+    "the strict multiSearch still throws for the same pair") {
+    val ws = Files.createTempDirectory("graft-fpw").toString
+    val en = Files.createTempDirectory("graft-fpe").toString
+    val d1 = Seq((1L, "the dog runs"), (2L, "dog bowl"))
+      .toDF("doc_id", "text")
+    val d2 = Seq((11L, "The Dogs Running"), (12L, "cat nap"))
+      .toDF("doc_id", "text")
+    SegmentedIndex.append(spark, ws, d1, "a", nBuckets = 4)
+    SegmentedIndex.append(spark, en, d2, "a", nBuckets = 4,
+      analyzer = "english")
+    val pair = Seq("w" -> ws, "e" -> en)
+    intercept[IllegalArgumentException](
+      SegmentedIndex.multiSearch(spark, pair, Seq("dog"), 10))
+    // query 'Dogs': whitespace analyzes verbatim ('Dogs' — matches
+    // nothing raw), english stems to 'dog' (doc 11). N = 4; df(dog)
+    // pools BOTH dictionaries: ws raw 'dog' (docs 1,2) + en stem
+    // 'dog' (doc 11) = 3; df(Dogs) = 0 (contributes nothing)
+    val r = SegmentedIndex
+      .multiSearchPerIndex(spark, pair, Seq("Dogs"), 10)
+      .as[(String, Long, Double, Long)].collect().toSeq
+    assert(r == Seq(("e", 11L, 4.0 / 3.0, 1L)), r.toString)
+    // the same query string lands differently per member: 'the'
+    // survives on ws (doc 1), drops on en; 'Running' stems to 'runn'
+    // (en doc 11) and misses ws verbatim
+    val r2 = SegmentedIndex
+      .multiSearchPerIndex(spark, pair, Seq("the", "Running"), 10)
+      .as[(String, Long, Double, Long)].collect().toSeq
+    assert(r2.map(t => (t._1, t._2)).toSet ==
+      Set(("w", 1L), ("e", 11L)), r2.toString)
+    // an all-members-analyze-away query returns the empty frame
+    val enOnly = Seq("e" -> en)
+    assert(SegmentedIndex
+      .multiSearchPerIndex(spark, enOnly, Seq("the", "a"), 10)
+      .count() == 0)
+  }
+
   test("phrase-prefix under synonym stacking: a position emitting " +
     "several matching expansions still counts each slot once") {
     val spec = Analyzer.custom("standard",
