@@ -506,7 +506,21 @@ object Explain {
         "pruned at planning time (`PartitionFilters: [isnotnull(pb), " +
         "(pb = s)]`) and the term prefix pushed to the scan — " +
         "vocabulary-fraction-sized, postings never read; top-k by " +
-        "TakeOrderedAndProject."))
+        "TakeOrderedAndProject."),
+    "q221_msearch" ->
+      ("Batched msearch (r14): THREE queries share one bucket-pruned " +
+        "postings scan of their terms' union (`PartitionFilters: " +
+        "[tb IN …]` + the union term IN pushdown appear ONCE), the " +
+        "(query_id, term) membership table rides as a broadcast, and " +
+        "the per-query top-k is a single query-partitioned rank " +
+        "window — serving N queries costs one postings pass."),
+    "q226_federated_mixed" ->
+      ("Heterogeneous federation (r14): each member's postings scan " +
+        "is pruned by ITS OWN analyzed term set (different IN lists " +
+        "per scan), the df side reads only the vocabulary-sized " +
+        "dictionaries, and the two members meet in one union + " +
+        "fixed-pivot aggregation — per-index analysis costs no extra " +
+        "corpus pass."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
