@@ -504,7 +504,8 @@ object Explain {
       ("Completion suggester (r14): the prefix walk reads the " +
         "`_complete/` dictionaries with the FIRST-CHARACTER partition " +
         "pruned at planning time (`PartitionFilters: [isnotnull(pb), " +
-        "(pb = s)]`) and the term prefix pushed to the scan — " +
+        "(pb = x73)]` — the first char's UTF-8 hex, an ASCII-safe " +
+        "directory name) and the term prefix pushed to the scan — " +
         "vocabulary-fraction-sized, postings never read; top-k by " +
         "TakeOrderedAndProject."),
     "q221_msearch" ->

@@ -366,9 +366,19 @@ object SegmentedIndex {
     // one tiny repartition job); hashing pb across nTasks writers
     // keeps it to one file per occupied letter. Weight is the term's
     // segment df — [[completionSuggest]] documents the convention.
+    // pb is "x" + the HEX of the first character's UTF-8 bytes, not
+    // the raw character: a string partition VALUE becomes a
+    // DIRECTORY NAME, and a non-ASCII byte there fails the
+    // local-filesystem write outright (sun.jnu.encoding) — any
+    // unicode vocabulary would poison ingest. Hex keeps the 1:1
+    // first-char → directory mapping (same pruning) in plain ASCII;
+    // the "x" prefix keeps partition-value TYPE INFERENCE away (a
+    // digit-only hex like `73` would infer as an int in one segment
+    // and clash with `6B`'s string in another).
     spark.read.parquet(new java.io.File(segTmp, "_dict").getPath)
       .select(col("term"), col("doc_freq").as("weight"))
-      .withColumn("pb", substring(col("term"), 1, 1))
+      .withColumn("pb", concat(lit("x"),
+        hex(encode(substring(col("term"), 1, 1), "UTF-8"))))
       .repartition(nTasks, col("pb"))
       .sortWithinPartitions("term")
       .write.mode("overwrite").partitionBy("pb")
@@ -1103,11 +1113,19 @@ object SegmentedIndex {
       return Seq.empty[(String, Long)].toDF("term", "weight")
     val dirs = live.map(sg =>
       new java.io.File(new java.io.File(root, sg.name), "_complete"))
+    // mirror the write side's partition key exactly: "x" + the UTF-8
+    // hex of the first CODE POINT (Spark's substring is
+    // code-point-aware — a UTF-16-unit take(1) would hand a lone
+    // surrogate for a supplementary-char prefix and match no
+    // partition)
+    val pb = "x" + px.substring(0, px.offsetByCodePoints(0, 1))
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .map(b => f"${b & 0xff}%02X").mkString
     val cand =
       if (dirs.forall(_.isDirectory))
         dirs.map(dd => spark.read.parquet(dd.getPath))
           .reduce(_ unionByName _)
-          .filter(col("pb") === lit(px.substring(0, 1)) &&
+          .filter(col("pb") === lit(pb) &&
             col("term").startsWith(px))
       else
         dictFrame(spark, root, segs)

@@ -43,7 +43,7 @@ object LlmSurface {
   def segIndexDir(s: SparkSession, d: String): String = {
     val root = new java.io.File(
       System.getProperty("java.io.tmpdir"),
-      "graft_segidx_sx6a_" +
+      "graft_segidx_sx6b_" +
         graft.engine.Bucketing.fingerprint8(d)).getPath
     val dd = docs(s, d).filter(col("doc_id") < 150)
     SegmentedIndex.append(s, root,
@@ -61,7 +61,7 @@ object LlmSurface {
   def segIndexPairDirs(s: SparkSession, d: String): (String, String) = {
     val stem = new java.io.File(
       System.getProperty("java.io.tmpdir"),
-      "graft_segidx_sx6a_" +
+      "graft_segidx_sx6b_" +
         graft.engine.Bucketing.fingerprint8(d)).getPath
     val dd = docs(s, d).filter(col("doc_id") < 150)
     val dl = dd.filter(col("doc_id") < 75)
@@ -86,7 +86,7 @@ object LlmSurface {
   def segIndexEnDir(s: SparkSession, d: String): String = {
     val root = new java.io.File(
       System.getProperty("java.io.tmpdir"),
-      "graft_segidx_en_sx6a_" +
+      "graft_segidx_en_sx6b_" +
         graft.engine.Bucketing.fingerprint8(d)).getPath
     val dd = docs(s, d).filter(col("doc_id") < 150)
     SegmentedIndex.append(s, root,
@@ -113,7 +113,7 @@ object LlmSurface {
   def segIndexSynDir(s: SparkSession, d: String): String = {
     val root = new java.io.File(
       System.getProperty("java.io.tmpdir"),
-      "graft_segidx_syn_sx6a_" +
+      "graft_segidx_syn_sx6b_" +
         graft.engine.Bucketing.fingerprint8(d)).getPath
     val dd = docs(s, d).filter(col("doc_id") < 150)
     SegmentedIndex.append(s, root,
@@ -172,7 +172,7 @@ object LlmSurface {
                        d: String): (String, String, String, String) = {
     val root = new java.io.File(
       System.getProperty("java.io.tmpdir"),
-      "graft_vchain_sx6a_" + graft.engine.Bucketing.fingerprint8(d))
+      "graft_vchain_sx6b_" + graft.engine.Bucketing.fingerprint8(d))
     if (!new java.io.File(root, "_COMPLETE").isFile) {
       if (root.exists()) graft.engine.Bucketing.deleteTree(root)
       val tmp = new java.io.File(root.getParentFile,
@@ -224,7 +224,7 @@ object LlmSurface {
   def segIndexPreDir(s: SparkSession, d: String): String = {
     val root = new java.io.File(
       System.getProperty("java.io.tmpdir"),
-      "graft_segidx_pre_sx6a_" +
+      "graft_segidx_pre_sx6b_" +
         graft.engine.Bucketing.fingerprint8(d)).getPath
     val dd = docs(s, d).filter(col("doc_id") < 150)
     SegmentedIndex.append(s, root,
@@ -245,7 +245,7 @@ object LlmSurface {
   def familyAliasPath(s: SparkSession, d: String): String = {
     val root = new java.io.File(
       System.getProperty("java.io.tmpdir"),
-      "graft_family_sx6a_" + graft.engine.Bucketing.fingerprint8(d))
+      "graft_family_sx6b_" + graft.engine.Bucketing.fingerprint8(d))
     val alias = new java.io.File(root, "write-alias")
     if (!new java.io.File(root, "_COMPLETE").isFile) {
       if (root.exists()) graft.engine.Bucketing.deleteTree(root)
@@ -288,7 +288,7 @@ object LlmSurface {
   private def familyPreRoot(s: SparkSession, d: String): java.io.File = {
     val root = new java.io.File(
       System.getProperty("java.io.tmpdir"),
-      "graft_ropre_sx6a_" + graft.engine.Bucketing.fingerprint8(d))
+      "graft_ropre_sx6b_" + graft.engine.Bucketing.fingerprint8(d))
     if (!new java.io.File(root, "_COMPLETE").isFile) {
       if (root.exists()) graft.engine.Bucketing.deleteTree(root)
       val tmp = new java.io.File(root.getParentFile,
@@ -353,7 +353,7 @@ object LlmSurface {
   def reindexEnDir(s: SparkSession, d: String): String = {
     val dst = new java.io.File(
       System.getProperty("java.io.tmpdir"),
-      "graft_segidx_enrx_sx6a_" +
+      "graft_segidx_enrx_sx6b_" +
         graft.engine.Bucketing.fingerprint8(d)).getPath
     SegmentedIndex.reindex(s, segIndexDir(s, d), dst, nBuckets = 8,
       analyzer = Some("english"))

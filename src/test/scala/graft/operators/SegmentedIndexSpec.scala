@@ -840,6 +840,18 @@ class SegmentedIndexSpec extends SparkSpec {
     assert(sug().as[(String, Long)].collect().toSeq == Seq(
       ("sort", 1L), ("spark", 1L), ("sql", 1L)),
       "the _dict fallback must serve the same completions")
+    // a SUPPLEMENTARY-char prefix: the pb partition value is one
+    // CODE POINT (Spark substring), so the driver-side first-char
+    // extraction must be code-point-aware — a UTF-16-unit take(1)
+    // would hand a lone surrogate and match no partition
+    val uroot = Files.createTempDirectory("graft-compu").toString
+    SegmentedIndex.append(spark, uroot,
+      Seq((1L, "𝕏ray plain")).toDF("doc_id", "text"),
+      "a", nBuckets = 4)
+    assert(SegmentedIndex
+      .completionSuggest(spark, uroot, "𝕏r", k = 5)
+      .as[(String, Long)].collect().toSeq ==
+      Seq(("𝕏ray", 1L)))
   }
 
   test("multiQuerySearch: each batched query equals its standalone " +
