@@ -92,11 +92,18 @@ object SegmentedIndex {
     (nb, segs, gen)
   }
 
+  /** Header lines a manifest may carry besides `nb=` (first line):
+    * `an=` (analyzer chain) and `cf=` (completion-field mapping). A
+    * segment line never collides — its first comma-field is a bare
+    * kind (`seg`/`del`). */
+  private def isHeaderLine(l: String): Boolean =
+    l.startsWith("an=") || l.startsWith("cf=")
+
   private def parseManifest(f: java.io.File): (Int, Seq[Seg]) = {
     val lines = java.nio.file.Files
       .readAllLines(f.toPath).toArray(Array.empty[String]).toSeq
     val nBuckets = lines.head.stripPrefix("nb=").toInt
-    (nBuckets, lines.tail.filterNot(_.startsWith("an=")).map { l =>
+    (nBuckets, lines.tail.filterNot(isHeaderLine).map { l =>
       val Array(kind, name, nd, tl) = l.split(",")
       Seg(kind, name, nd.toLong, tl.toLong)
     })
@@ -118,6 +125,46 @@ object SegmentedIndex {
 
   private def readAnalyzer(root: java.io.File): Analyzer.Chain =
     Analyzer.byName(analyzerNameOf(root))
+
+  /** The index's COMPLETION-FIELD mapping from the newest manifest
+    * generation's `cf=<inputField>:<weightField>` header — ES's
+    * completion mapping, an index-creation-time property like the
+    * analyzer: it declares which stored field supplies suggestion
+    * inputs and which supplies their doc-weights, so [[append]] can
+    * materialize the per-segment `_cfield/` suggest artifact at write
+    * time (ES builds its completion FST at index time for the same
+    * reason). Absent on unmapped indexes — [[completionFieldSuggest]]
+    * then serves its documented stored-scan fallback. */
+  private def cfHeaderOf(root: java.io.File): Option[String] = {
+    val gens = manifestGens(root)
+    if (gens.isEmpty) return None
+    java.nio.file.Files.readAllLines(gens.last._2.toPath)
+      .toArray(Array.empty[String]).toSeq
+      .find(_.startsWith("cf=")).map(_.stripPrefix("cf="))
+  }
+
+  private def cfPairOf(root: java.io.File): Option[(String, String)] =
+    cfHeaderOf(root).map { h =>
+      h.split(":", -1) match {
+        case Array(in, w) => (in, w)
+        case _ => throw new IllegalArgumentException(
+          s"malformed cf= manifest header '$h' at $root")
+      }
+    }
+
+  /** Serialize + validate a completion-field mapping for the `cf=`
+    * header. Plain identifier names only — the header is one line of
+    * a text manifest and the fields must be addressable columns. */
+  private def cfSpec(cf: (String, String)): String = {
+    Seq(cf._1, cf._2).foreach(f => require(f.matches("[A-Za-z0-9_]+"),
+      s"completion-field names must match [A-Za-z0-9_]+: '$f'"))
+    s"${cf._1}:${cf._2}"
+  }
+
+  /** The index's completion-field mapping — public introspection
+    * (ES's `GET /idx/_mapping` for the completion field). */
+  def completionFieldOf(rootDir: String): Option[(String, String)] =
+    cfPairOf(new java.io.File(rootDir))
 
   /** The federation PRECONDITION, enforced: every multi-index reader
     * that analyzes query terms does so ONCE with the first index's
@@ -209,13 +256,17 @@ object SegmentedIndex {
     * (tiny, but otherwise one file per commit forever). */
   private def writeManifest(root: java.io.File, nBuckets: Int,
                             segs: Seq[Seg], prevGen: Long,
-                            an: Option[String] = None): Unit = {
-    // the analyzer header travels with every commit: explicit at
-    // index creation, preserved from the previous generation after
+                            an: Option[String] = None,
+                            cf: Option[String] = None): Unit = {
+    // the analyzer + completion-mapping headers travel with every
+    // commit: explicit at index creation, preserved from the previous
+    // generation after (None = preserve)
     val anName = an.getOrElse(analyzerNameOf(root))
+    val cfName = cf.orElse(cfHeaderOf(root))
     val tmp = new java.io.File(root, "_SEGMENTS.tmp-" +
       java.util.UUID.randomUUID().toString.take(8))
-    val body = (s"nb=$nBuckets" +: s"an=$anName" +: segs.map(s =>
+    val body = (Seq(s"nb=$nBuckets", s"an=$anName") ++
+      cfName.map(c => s"cf=$c").toSeq ++ segs.map(s =>
       s"${s.kind},${s.name},${s.nDocs},${s.totalLen}")).mkString("\n")
     java.nio.file.Files.writeString(tmp.toPath, body)
     graft.engine.Fs.renameNoReplace(tmp,
@@ -272,7 +323,8 @@ object SegmentedIndex {
     * model; concurrent SAME-batch appenders commit one segment. */
   def append(spark: SparkSession, rootDir: String, docs: DataFrame,
              batchKey: String, nBuckets: Int = 8,
-             analyzer: String = Analyzer.Whitespace.name): Unit = {
+             analyzer: String = Analyzer.Whitespace.name,
+             completionField: Option[(String, String)] = None): Unit = {
     val root = new java.io.File(rootDir)
     root.mkdirs()
     // an EXISTING index's analyzer always wins — all segments of an
@@ -283,6 +335,12 @@ object SegmentedIndex {
     val an = Analyzer.byName(
       if (hasManifest(root)) analyzerNameOf(root) else analyzer)
     val anName = an.name
+    // the completion MAPPING follows the same contract: an existing
+    // index's mapping wins (every segment carries the same artifact —
+    // ES's mapping immutability), the parameter binds on first commit
+    val cf =
+      if (hasManifest(root)) cfPairOf(root)
+      else completionField.map { p => cfSpec(p); p }
     val (nb, segs, gen) =
       if (hasManifest(root)) readManifest(root)
       else (nBuckets, Seq.empty[Seg], 0L)
@@ -299,11 +357,12 @@ object SegmentedIndex {
           .partitionBy("tb").parquet(tmp.getPath)
         writeStored(d, tmp, nb)
         writeDict(d.sparkSession, tmp, nb)
+        cf.foreach(writeCField(d, tmp, nb, an, _))
     }
     d.unpersist()
     writeManifest(root, nb,
       segs :+ Seg("seg", name, stats.getLong(0), stats.getLong(1)), gen,
-      Some(anName))
+      Some(anName), cf.map(cfSpec))
   }
 
   /** Per-segment TERM DICTIONARY — Lucene's terms index: (term,
@@ -443,6 +502,83 @@ object SegmentedIndex {
       .sortWithinPartitions("doc_id")
       .write.mode("overwrite")
       .parquet(new java.io.File(segTmp, "_stored").getPath)
+
+  /** `_cfield/` row schema (pre-partitioning); [[CFieldSchema]] adds
+    * the `pb` partition column for reads. Weight is LONG by contract —
+    * ES's completion weights are integers (its mapping rejects
+    * non-integral weights), and pinning the type here keeps a
+    * multi-segment union consistent however each batch typed the
+    * source column. */
+  private val CFieldRowSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("input",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("weight",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType)))
+
+  private val CFieldSchema = org.apache.spark.sql.types.StructType(
+    CFieldRowSchema.fields :+ org.apache.spark.sql.types.StructField(
+      "pb", org.apache.spark.sql.types.StringType))
+
+  /** Per-segment COMPLETION-FIELD artifact — the segment-resident
+    * structure under ES's completion MAPPING (Lucene builds the
+    * suggest FST at index time precisely because scanning stored
+    * fields per keystroke is untenable): (input, weight, doc_id) rows
+    * for the mapped fields under `_cfield/`, inputs normalized by the
+    * chain's multi-term rule (lowercase iff the chain lowercases),
+    * PARTITIONED BY THE FIRST CODE POINT (`pb=`, the same
+    * ASCII-hex-of-UTF-8 key as `_complete/`) so a prefix suggest
+    * prunes to ONE directory per segment at planning time, and
+    * input-SORTED within files so the prefix predicate also prunes
+    * row groups by footer stats.
+    *
+    * doc_id rides IN the artifact — that is the deliberate divergence
+    * from ES's FST: Lucene's suggester serves deleted docs' inputs
+    * until merge (a documented caveat) because the FST folds weights
+    * at build time; keeping per-doc rows costs one column and buys
+    * EXACT live-doc semantics ([[completionFieldSuggest]] anti-joins
+    * the pruned candidate slice — candidate-sized, never corpus-sized
+    * — against the tombstones and folds max-weight at serve time).
+    * Merge regenerates the artifact from the surviving stored fields.
+    *
+    * A batch that does not carry the mapped columns (sparse documents
+    * — the ES mapping contract) writes an EMPTY artifact, keeping the
+    * layout uniform; reads give the schema explicitly so an empty
+    * directory never trips parquet schema inference. */
+  private def writeCField(d: DataFrame, segTmp: java.io.File,
+                          nTasks: Int, an: Analyzer.Chain,
+                          cf: (String, String)): Unit = {
+    val (inF, wF) = cf
+    val rows =
+      if (!d.columns.contains(inF) || !d.columns.contains(wF))
+        d.sparkSession.createDataFrame(
+          d.sparkSession.sparkContext
+            .emptyRDD[org.apache.spark.sql.Row], CFieldRowSchema)
+      else d.select(
+        (if (an.lowercase) lower(col(inF)) else col(inF)).as("input"),
+        col(wF).cast("long").as("weight"),
+        col("doc_id").cast("long").as("doc_id"))
+        .filter(col("input").isNotNull && col("weight").isNotNull &&
+          length(col("input")) > 0)
+    rows
+      .withColumn("pb", concat(lit("x"),
+        hex(encode(substring(col("input"), 1, 1), "UTF-8"))))
+      .repartition(nTasks, col("pb"))
+      .sortWithinPartitions("input")
+      .write.mode("overwrite").partitionBy("pb")
+      .parquet(new java.io.File(segTmp, "_cfield").getPath)
+  }
+
+  /** The `pb=` partition VALUE for a normalized prefix — the serving
+    * mirror of the write side's key: "x" + the UTF-8 hex of the first
+    * CODE POINT (code-point-aware — a UTF-16-unit take(1) would hand
+    * a lone surrogate for a supplementary-char prefix and match no
+    * partition). */
+  private def pbKeyOf(px: String): String =
+    "x" + px.substring(0, px.offsetByCodePoints(0, 1))
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .map(b => f"${b & 0xff}%02X").mkString
 
   /** The live segments' stored fields tagged with their segment fp —
     * one explicit read per segment (the `_stored` subtree is hidden
@@ -1111,26 +1247,27 @@ object SegmentedIndex {
     val live = segs.filter(_.kind == "seg")
     if (live.isEmpty)
       return Seq.empty[(String, Long)].toDF("term", "weight")
-    val dirs = live.map(sg =>
-      new java.io.File(new java.io.File(root, sg.name), "_complete"))
-    // mirror the write side's partition key exactly: "x" + the UTF-8
-    // hex of the first CODE POINT (Spark's substring is
-    // code-point-aware — a UTF-16-unit take(1) would hand a lone
-    // surrogate for a supplementary-char prefix and match no
-    // partition)
-    val pb = "x" + px.substring(0, px.offsetByCodePoints(0, 1))
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      .map(b => f"${b & 0xff}%02X").mkString
-    val cand =
-      if (dirs.forall(_.isDirectory))
-        dirs.map(dd => spark.read.parquet(dd.getPath))
-          .reduce(_ unionByName _)
+    // mirror the write side's partition key exactly ([[pbKeyOf]])
+    val pb = pbKeyOf(px)
+    // PER-SEGMENT layout fallback: a mixed index (new segments with
+    // `_complete/`, legacy segments without — a partial upgrade) keeps
+    // the pruned walk wherever the artifact exists and degrades ONLY
+    // the legacy segments to their `_dict` (identical results — both
+    // are the dictionary phase). An all-or-nothing fallback would let
+    // one legacy segment silently cost every segment its pruning.
+    val cand = live.map { sg =>
+      val segDir = new java.io.File(root, sg.name)
+      val dd = new java.io.File(segDir, "_complete")
+      if (dd.isDirectory)
+        spark.read.parquet(dd.getPath)
           .filter(col("pb") === lit(pb) &&
             col("term").startsWith(px))
+          .select("term", "weight")
       else
-        dictFrame(spark, root, segs)
+        spark.read.parquet(new java.io.File(segDir, "_dict").getPath)
           .select(col("term"), col("doc_freq").as("weight"))
           .filter(col("term").startsWith(px))
+    }.reduce(_ unionByName _)
     cand.groupBy("term").agg(sum("weight").as("weight"))
       .orderBy(desc("weight"), asc("term"))
       .limit(k)
@@ -1141,41 +1278,86 @@ object SegmentedIndex {
     * suggestion inputs come from a STORED FIELD of the documents and
     * the weights are DOC-SUPPLIED (another stored field), which is
     * what separates this from [[completionSuggest]]'s
-    * vocabulary-with-df deployment. Live documents only (the stored
-    * read applies tombstones — stricter than ES's FST, which serves
-    * deleted docs until merge); inputs normalize under the index
-    * chain's multi-term rule (lowercase iff the chain lowercases —
-    * ES's completion fields default to their `simple` lowercase
-    * analyzer), prefix match, duplicate outputs dedup keeping the
-    * MAX weight (ES's rule), top-k by (weight desc, input).
+    * vocabulary-with-df deployment. Live documents only — STRICTER
+    * than ES's FST, which serves deleted docs' inputs until merge
+    * (the [[writeCField]] scaladoc argues the divergence); inputs
+    * normalize under the index chain's multi-term rule (lowercase iff
+    * the chain lowercases — ES's completion fields default to their
+    * `simple` lowercase analyzer), prefix match, duplicate outputs
+    * dedup keeping the MAX weight (ES's rule), top-k by
+    * (weight desc, input).
     *
-    * Scale shape: one column-pruned doc-values read of
-    * (input, weight) from `_stored/` — the parquet columnar layout
-    * IS the doc-values behavior, text never leaves disk — then a
-    * partial+final max-aggregation and a TakeOrderedAndProject.
+    * Scale shape, on an index whose `cf=` MAPPING names these fields:
+    * each segment's read is its materialized `_cfield/` artifact —
+    * the `pb=` first-code-point partitioning prunes the walk to ONE
+    * directory per segment at PLANNING time and the input-sorted row
+    * groups footer-prune to the prefix range, so a per-keystroke call
+    * reads a prefix-neighborhood slice, never the corpus (the
+    * file-listing analogue of Lucene following the FST's prefix arc);
+    * the tombstone anti-join and max-weight fold run over that
+    * bounded slice. PER-SEGMENT fallback: a legacy segment (written
+    * before the mapping, or pre-`_cfield` layout) degrades alone to a
+    * column-pruned `_stored/` scan with identical live-doc semantics
+    * — one slow segment never costs the others their pruning.
+    * UNMAPPED indexes (or a call naming fields other than the
+    * mapping's) serve entirely from the stored scan — correct, and
+    * honestly the plan you get when the index never declared the
+    * field (ES simply has no completion field to query there).
     * Output: (input, weight). */
   def completionFieldSuggest(spark: SparkSession, rootDir: String,
                              inputField: String, weightField: String,
                              prefix: String, k: Int): DataFrame = {
     require(prefix.nonEmpty, "completionFieldSuggest needs a prefix")
+    import spark.implicits._
     val root = new java.io.File(rootDir)
     val (_, segs, _) = readManifest(root)
     val an = readAnalyzer(root)
     val px = Analyzer.normalize(an, prefix)
-    val stored = storedFrame(spark, root, segs)
-      .select(col("doc_id"), col(inputField).as("raw_input"),
-        col(weightField).as("w"), col("seg"))
-    val live = tombstones(spark, root, segs) match {
-      case Some(dead) =>
-        stored.join(dead, Seq("doc_id", "seg"), "left_anti")
-      case None => stored
+    val live = segs.filter(_.kind == "seg")
+    if (live.isEmpty)
+      return Seq.empty[(String, Long)].toDF("input", "weight")
+    val mapped = cfHeaderOf(root)
+      .contains(s"$inputField:$weightField")
+    // the stored-scan read for ONE segment — the fallback plan (and
+    // the whole plan on an unmapped index): column-pruned to the two
+    // fields, normalized and prefix-filtered on read. A segment whose
+    // stored schema lacks either field contributes nothing (sparse
+    // batches — the same nulls the storedFrame union would produce).
+    def storedSlice(sg: Seg): DataFrame = {
+      val st = spark.read.parquet(new java.io.File(
+        new java.io.File(root, sg.name), "_stored").getPath)
+      if (!st.columns.contains(inputField) ||
+        !st.columns.contains(weightField))
+        return Seq.empty[(String, Long, Long)]
+          .toDF("input", "weight", "doc_id")
+      st.select(
+        (if (an.lowercase) lower(col(inputField))
+         else col(inputField)).as("input"),
+        col(weightField).cast("long").as("weight"),
+        col("doc_id").cast("long").as("doc_id"))
+        .filter(col("input").isNotNull && col("weight").isNotNull &&
+          col("input").startsWith(px))
     }
-    live
-      .withColumn("input",
-        if (an.lowercase) lower(col("raw_input")) else col("raw_input"))
-      .filter(col("input").isNotNull && col("w").isNotNull &&
-        col("input").startsWith(px))
-      .groupBy("input").agg(max("w").as("weight"))
+    val pb = pbKeyOf(px)
+    val cand = live.map { sg =>
+      val cdir = new java.io.File(
+        new java.io.File(root, sg.name), "_cfield")
+      val slice =
+        if (mapped && cdir.isDirectory)
+          spark.read.schema(CFieldSchema).parquet(cdir.getPath)
+            .filter(col("pb") === lit(pb) &&
+              col("input").startsWith(px))
+            .select("input", "weight", "doc_id")
+        else storedSlice(sg)
+      slice.withColumn("seg", lit(sg.name.stripPrefix("seg=")))
+    }.reduce(_ unionByName _)
+    val liveCand = tombstones(spark, root, segs) match {
+      case Some(dead) =>
+        cand.join(dead, Seq("doc_id", "seg"), "left_anti")
+      case None => cand
+    }
+    liveCand
+      .groupBy("input").agg(max("weight").as("weight"))
       .orderBy(desc("weight"), asc("input"))
       .limit(k)
   }
@@ -1445,9 +1627,11 @@ object SegmentedIndex {
     }
     // the destination's chain: the migration parameter, else the
     // source's — committed first so a pre-existing destination's own
-    // chain wins inside append (the ES mapping contract)
+    // chain wins inside append (the ES mapping contract). The
+    // completion mapping migrates with the index (its artifact
+    // regenerates under the destination's chain inside append).
     createIndex(dstDir, nBuckets,
-      analyzer.getOrElse(analyzerNameOf(root)))
+      analyzer.getOrElse(analyzerNameOf(root)), cfPairOf(root))
     append(spark, dstDir, live.drop("seg"), "reindex", nBuckets)
   }
 
@@ -1456,14 +1640,17 @@ object SegmentedIndex {
     * answer zero hits; appends adopt the configured bucket count.
     * Idempotent — an existing index is left untouched. */
   def createIndex(rootDir: String, nBuckets: Int = 8,
-                  analyzer: String = Analyzer.Whitespace.name): Unit = {
+                  analyzer: String = Analyzer.Whitespace.name,
+                  completionField: Option[(String, String)] = None)
+      : Unit = {
     val root = new java.io.File(rootDir)
     root.mkdirs()
     // resolve first: fails loudly before committing, and commits the
     // CANONICAL name (custom specs normalize)
     val an = Analyzer.byName(analyzer)
     if (!hasManifest(root))
-      writeManifest(root, nBuckets, Seq.empty, 0L, Some(an.name))
+      writeManifest(root, nBuckets, Seq.empty, 0L, Some(an.name),
+        completionField.map(cfSpec))
   }
 
   /** Rollover — ES's `_rollover`, the first step of every index
@@ -1483,8 +1670,9 @@ object SegmentedIndex {
     if (segs.filter(_.kind == "seg").map(_.nDocs).sum < maxDocs)
       return false
     val next = f"$stem-${n + 1}%06d"
-    // the fresh family member inherits bucket count AND analyzer
-    createIndex(next, nb, analyzerNameOf(root))
+    // the fresh family member inherits bucket count, analyzer AND
+    // completion mapping
+    createIndex(next, nb, analyzerNameOf(root), cfPairOf(root))
     setAlias(aliasPath, next)
     true
   }
@@ -1651,6 +1839,7 @@ object SegmentedIndex {
           .partitionBy("tb").parquet(tmp.getPath)
         writeStored(d, tmp, nb)
         writeDict(d.sparkSession, tmp, nb)
+        cfPairOf(root).foreach(writeCField(d, tmp, nb, an, _))
     }
     d.unpersist()
     writeManifest(root, nb,
@@ -3171,8 +3360,15 @@ object SegmentedIndex {
         all.select("term", "doc_id", "dl", "tf", "positions", "tb")
           .repartition(nb, col("tb")) // one write task per bucket
           .write.mode("overwrite").partitionBy("tb").parquet(tmp.getPath)
-        writeStored(storedFrame(spark, root, run).drop("seg"), tmp, nb)
+        val st = storedFrame(spark, root, run).drop("seg")
+        writeStored(st, tmp, nb)
         writeDict(spark, tmp, nb)
+        // regenerate the completion-field artifact for the merged
+        // segment (tombstones are NOT applied here — the run is
+        // del-free and later dels still anti-join at serve time, the
+        // same contract as the merged postings)
+        cfPairOf(root).foreach(
+          writeCField(st, tmp, nb, readAnalyzer(root), _))
     }
     writeManifest(root, nb,
       segs.take(start) ++
@@ -3224,6 +3420,11 @@ object SegmentedIndex {
           .write.mode("overwrite").partitionBy("tb").parquet(tmp.getPath)
         writeStored(storedLive.drop("seg"), tmp, nb)
         writeDict(spark, tmp, nb)
+        // the merged segment's completion-field artifact derives from
+        // the SURVIVING stored fields — the merge is where tombstoned
+        // docs' suggestions physically leave the artifact
+        cfPairOf(root).foreach(writeCField(storedLive.drop("seg"),
+          tmp, nb, readAnalyzer(root), _))
     }
     merged.unpersist()
     writeManifest(root, nb,
@@ -3281,9 +3482,11 @@ object SegmentedIndex {
       }
     }
     // the destination manifest advances its OWN generation chain but
-    // carries the SOURCE's analyzer (the snapshot is the same index)
+    // carries the SOURCE's analyzer + completion mapping (the
+    // snapshot is the same index)
     val destGen = if (hasManifest(dest)) readManifest(dest)._3 else 0L
-    writeManifest(dest, nb, segs, destGen, Some(analyzerNameOf(root)))
+    writeManifest(dest, nb, segs, destGen, Some(analyzerNameOf(root)),
+      cfHeaderOf(root))
     copied
   }
 

@@ -43,11 +43,14 @@ object LlmSurface {
   def segIndexDir(s: SparkSession, d: String): String = {
     val root = new java.io.File(
       System.getProperty("java.io.tmpdir"),
-      "graft_segidx_sx6b_" +
+      "graft_segidx_sx7a_" +
         graft.engine.Bucketing.fingerprint8(d)).getPath
     val dd = docs(s, d).filter(col("doc_id") < 150)
+    // the completion MAPPING (cf= header) binds on first commit —
+    // q219 serves from the per-segment `_cfield/` artifact
     SegmentedIndex.append(s, root,
-      dd.filter(col("doc_id") % 5 =!= 0), "a")
+      dd.filter(col("doc_id") % 5 =!= 0), "a",
+      completionField = Some(("source", "n_chars")))
     SegmentedIndex.append(s, root,
       dd.filter(col("doc_id") % 5 === 0), "b")
     SegmentedIndex.delete(s, root,
@@ -61,7 +64,7 @@ object LlmSurface {
   def segIndexPairDirs(s: SparkSession, d: String): (String, String) = {
     val stem = new java.io.File(
       System.getProperty("java.io.tmpdir"),
-      "graft_segidx_sx6b_" +
+      "graft_segidx_sx7a_" +
         graft.engine.Bucketing.fingerprint8(d)).getPath
     val dd = docs(s, d).filter(col("doc_id") < 150)
     val dl = dd.filter(col("doc_id") < 75)
@@ -86,7 +89,7 @@ object LlmSurface {
   def segIndexEnDir(s: SparkSession, d: String): String = {
     val root = new java.io.File(
       System.getProperty("java.io.tmpdir"),
-      "graft_segidx_en_sx6b_" +
+      "graft_segidx_en_sx7a_" +
         graft.engine.Bucketing.fingerprint8(d)).getPath
     val dd = docs(s, d).filter(col("doc_id") < 150)
     SegmentedIndex.append(s, root,
@@ -113,7 +116,7 @@ object LlmSurface {
   def segIndexSynDir(s: SparkSession, d: String): String = {
     val root = new java.io.File(
       System.getProperty("java.io.tmpdir"),
-      "graft_segidx_syn_sx6b_" +
+      "graft_segidx_syn_sx7a_" +
         graft.engine.Bucketing.fingerprint8(d)).getPath
     val dd = docs(s, d).filter(col("doc_id") < 150)
     SegmentedIndex.append(s, root,
@@ -172,7 +175,7 @@ object LlmSurface {
                        d: String): (String, String, String, String) = {
     val root = new java.io.File(
       System.getProperty("java.io.tmpdir"),
-      "graft_vchain_sx6b_" + graft.engine.Bucketing.fingerprint8(d))
+      "graft_vchain_sx7a_" + graft.engine.Bucketing.fingerprint8(d))
     if (!new java.io.File(root, "_COMPLETE").isFile) {
       if (root.exists()) graft.engine.Bucketing.deleteTree(root)
       val tmp = new java.io.File(root.getParentFile,
@@ -224,7 +227,7 @@ object LlmSurface {
   def segIndexPreDir(s: SparkSession, d: String): String = {
     val root = new java.io.File(
       System.getProperty("java.io.tmpdir"),
-      "graft_segidx_pre_sx6b_" +
+      "graft_segidx_pre_sx7a_" +
         graft.engine.Bucketing.fingerprint8(d)).getPath
     val dd = docs(s, d).filter(col("doc_id") < 150)
     SegmentedIndex.append(s, root,
@@ -245,7 +248,7 @@ object LlmSurface {
   def familyAliasPath(s: SparkSession, d: String): String = {
     val root = new java.io.File(
       System.getProperty("java.io.tmpdir"),
-      "graft_family_sx6b_" + graft.engine.Bucketing.fingerprint8(d))
+      "graft_family_sx7a_" + graft.engine.Bucketing.fingerprint8(d))
     val alias = new java.io.File(root, "write-alias")
     if (!new java.io.File(root, "_COMPLETE").isFile) {
       if (root.exists()) graft.engine.Bucketing.deleteTree(root)
@@ -288,7 +291,7 @@ object LlmSurface {
   private def familyPreRoot(s: SparkSession, d: String): java.io.File = {
     val root = new java.io.File(
       System.getProperty("java.io.tmpdir"),
-      "graft_ropre_sx6b_" + graft.engine.Bucketing.fingerprint8(d))
+      "graft_ropre_sx7a_" + graft.engine.Bucketing.fingerprint8(d))
     if (!new java.io.File(root, "_COMPLETE").isFile) {
       if (root.exists()) graft.engine.Bucketing.deleteTree(root)
       val tmp = new java.io.File(root.getParentFile,
@@ -353,7 +356,7 @@ object LlmSurface {
   def reindexEnDir(s: SparkSession, d: String): String = {
     val dst = new java.io.File(
       System.getProperty("java.io.tmpdir"),
-      "graft_segidx_enrx_sx6b_" +
+      "graft_segidx_enrx_sx7a_" +
         graft.engine.Bucketing.fingerprint8(d)).getPath
     SegmentedIndex.reindex(s, segIndexDir(s, d), dst, nBuckets = 8,
       analyzer = Some("english"))
@@ -767,8 +770,12 @@ object LlmSurface {
     // --- completion FIELD (ES's actual completion mapping —
     //     doc-supplied inputs AND weights): suggestions come from a
     //     stored field with per-doc weights, duplicate outputs keep
-    //     the max weight, live docs only (stored doc-values read);
-    //     one column-pruned read + max-agg + top-k
+    //     the max weight, live docs only; served from the MATERIALIZED
+    //     per-segment `_cfield/` artifact (the index declares the
+    //     cf= mapping) — first-code-point dir pruning at planning
+    //     time, input-sorted footer pruning, candidate-sized
+    //     tombstone anti-join; the stored scan remains only as the
+    //     legacy-segment fallback
     //     (SegmentedIndex.completionFieldSuggest) ---
     "q219_completion_field" -> ((s, d) =>
       // probe-only against the STAGED index (segIndexDir)

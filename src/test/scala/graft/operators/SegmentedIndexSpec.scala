@@ -827,6 +827,17 @@ class SegmentedIndexSpec extends SparkSpec {
     assert(sug().as[(String, Long)].collect().toSeq == Seq(
       ("spark", 2L), ("sort", 1L), ("sql", 1L), ("stream", 1L)),
       "suggester stats are pre-merge (ES's documented caveat)")
+    // MIXED layout (partial upgrade): stripping ONE segment's
+    // `_complete/` degrades only THAT segment to its `_dict` — the
+    // fallback is per-segment, results identical
+    val firstSeg = Option(new java.io.File(root).listFiles()).toSeq
+      .flatten.filter(f => f.isDirectory && f.getName.startsWith("seg="))
+      .minBy(_.getName)
+    graft.engine.Bucketing.deleteTree(
+      new java.io.File(firstSeg, "_complete"))
+    assert(sug().as[(String, Long)].collect().toSeq == Seq(
+      ("spark", 2L), ("sort", 1L), ("sql", 1L), ("stream", 1L)),
+      "a mixed layout must serve per-segment, not all-or-nothing")
     // ...until merge recomputes: doc 2's stream drops, spark df 1
     SegmentedIndex.merge(spark, root)
     assert(sug().as[(String, Long)].collect().toSeq == Seq(
@@ -1023,6 +1034,94 @@ class SegmentedIndexSpec extends SparkSpec {
     assert(SegmentedIndex.completionFieldSuggest(spark, root2,
       "sug", "w", prefix = "Al", k = 10)
       .as[(String, Long)].collect().toSeq == Seq(("Alpha", 10L)))
+  }
+
+  test("completionFieldSuggest MAPPED: the materialized _cfield " +
+    "artifact serves with planning-time pb pruning and NO stored " +
+    "scan; live-only semantics survive, merge regenerates, mixed " +
+    "layouts fall back per segment, sparse batches and unicode hold") {
+    val root = Files.createTempDirectory("graft-cfm").toString
+    val d1 = Seq(
+      (1L, "t", "Alpha", 10L),
+      (2L, "t", "alpha", 40L),
+      (3L, "t", "alps", 25L)).toDF("doc_id", "text", "sug", "w")
+    val d2 = Seq(
+      (4L, "t", "beta", 99L),
+      (5L, "t", "alpine", 33L),
+      (6L, "t", null.asInstanceOf[String], 7L))
+      .toDF("doc_id", "text", "sug", "w")
+    // the cf= mapping binds on first commit; the second append
+    // inherits it (existing index wins — ES mapping immutability)
+    SegmentedIndex.append(spark, root, d1, "a", nBuckets = 4,
+      analyzer = "english", completionField = Some(("sug", "w")))
+    SegmentedIndex.append(spark, root, d2, "b")
+    assert(SegmentedIndex.completionFieldOf(root)
+      .contains(("sug", "w")))
+    def r() = SegmentedIndex.completionFieldSuggest(spark, root,
+      "sug", "w", prefix = "al", k = 10)
+    assert(r().as[(String, Long)].collect().toSeq ==
+      Seq(("alpha", 40L), ("alpine", 33L), ("alps", 25L)))
+    // the serving plan prunes to ONE pb directory per segment at
+    // PLANNING time and the stored fields never enter the plan —
+    // the 100 TB per-keystroke shape (vs the pre-artifact corpus
+    // column scan)
+    val plan = r().queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(pb"), plan)
+    assert(!plan.contains("_stored"), plan)
+    // LIVE-ONLY semantics survive materialization: the artifact
+    // carries doc_id, so the candidate-sized pruned slice anti-joins
+    // tombstones — tombstoning the max-weight doc moves the weight
+    // IMMEDIATELY (stricter than ES's FST, which serves deleted
+    // docs' inputs until merge; writeCField's scaladoc argues why)
+    SegmentedIndex.delete(spark, root, Seq(2L).toDF("doc_id"), "d1")
+    val afterDel =
+      Seq(("alpine", 33L), ("alps", 25L), ("alpha", 10L))
+    assert(r().as[(String, Long)].collect().toSeq == afterDel)
+    // MIXED layout (partial upgrade): strip ONE segment's artifact —
+    // that segment alone degrades to its column-pruned stored scan,
+    // results identical (per-segment fallback, not all-or-nothing)
+    val segDirs = Option(new java.io.File(root).listFiles()).toSeq
+      .flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("seg="))
+    graft.engine.Bucketing.deleteTree(
+      new java.io.File(segDirs.minBy(_.getName), "_cfield"))
+    assert(r().as[(String, Long)].collect().toSeq == afterDel)
+    // merge REGENERATES the artifact from the SURVIVING stored
+    // fields: the deleted doc's input physically leaves, every
+    // post-merge segment serves from _cfield again
+    SegmentedIndex.merge(spark, root)
+    assert(r().as[(String, Long)].collect().toSeq == afterDel)
+    assert(!r().queryExecution.executedPlan.toString
+      .contains("_stored"))
+    // a SPARSE batch (mapped columns absent) writes an EMPTY
+    // artifact — uniform layout, serving unaffected (the explicit
+    // read schema keeps parquet inference out of it)
+    SegmentedIndex.append(spark, root,
+      Seq((7L, "t")).toDF("doc_id", "text"), "c")
+    assert(r().as[(String, Long)].collect().toSeq == afterDel)
+    // the mapping travels: snapshot and reindex carry the cf header
+    // and the reindexed artifact serves pruned
+    val snap = Files.createTempDirectory("graft-cfsnap").toString
+    SegmentedIndex.snapshot(root, snap)
+    assert(SegmentedIndex.completionFieldOf(snap)
+      .contains(("sug", "w")))
+    val rx = Files.createTempDirectory("graft-cfrx").toString
+    SegmentedIndex.reindex(spark, root, rx, nBuckets = 4)
+    assert(SegmentedIndex.completionFieldOf(rx)
+      .contains(("sug", "w")))
+    assert(SegmentedIndex.completionFieldSuggest(spark, rx,
+      "sug", "w", "al", 10).as[(String, Long)].collect().toSeq ==
+      afterDel)
+    // UNICODE input: the pb key is the first CODE POINT's UTF-8 hex
+    // on both mirrors (a UTF-16-unit key would strand the
+    // supplementary char in an unreachable partition)
+    val uroot = Files.createTempDirectory("graft-cfu").toString
+    SegmentedIndex.append(spark, uroot,
+      Seq((1L, "t", "𝕏ray", 5L)).toDF("doc_id", "text", "sug", "w"),
+      "a", nBuckets = 4, completionField = Some(("sug", "w")))
+    assert(SegmentedIndex.completionFieldSuggest(spark, uroot,
+      "sug", "w", "𝕏r", 5).as[(String, Long)].collect().toSeq ==
+      Seq(("𝕏ray", 5L)))
   }
 
   test("rangeFacet: every requested range appears (zero-count " +
