@@ -2336,30 +2336,56 @@ object SegmentedIndex {
       .limit(k)
   }
 
+  /** Default per-chunk pivot-vocabulary bound for
+    * [[multiQuerySearch]]: each chunk's score pivot emits one
+    * aggregate column per distinct term, and an unbounded batch
+    * vocabulary would push thousands of expressions into one
+    * aggregate — past Janino's method-size limits and codegen's
+    * usefulness long before ES-scale batches. 64 keeps a chunk's
+    * aggregate comfortably inside whole-stage codegen. */
+  private[operators] val MsearchPivotVocabCap = 64
+
   /** Batched multi-query search — ES's `_msearch` (one request, many
-    * searches): N term queries answer from ONE bucket-pruned postings
-    * scan of the UNION of their analyzed terms, instead of N separate
-    * scans — at serving scale this is the amortization that matters
-    * (a relevance batch job over 10^4 saved queries reads the
-    * postings once). Statistics are the index's usual phases (df/N
-    * pre-tombstone, hits post), shared by all queries of the batch —
-    * exactly one `dfs` phase per request, ES's shape. Scoring is
-    * [[search]]'s exact tf·(N/df) with the fixed-order pivot over the
-    * batch's GLOBAL sorted term list (a (query, doc) group only holds
-    * the query's own matched terms — the broadcast (query_id, term)
-    * membership join restricts rows — so the global pivot stays
-    * per-query-correct while keeping double addition order pinned
-    * cross-engine). Per-query top-k is one window PARTITIONED BY
-    * query_id — per-query hit sets, never a global funnel. A query
-    * whose terms all analyze away (or miss the index) simply returns
-    * no rows — ES's empty-hits response. Output: (query_id, doc_id,
-    * score, n_terms_hit, rank), (query_id, rank)-ascending. */
+    * searches). The batch splits greedily (in request order) into
+    * CHUNKS whose distinct-term vocabulary stays within
+    * `pivotVocabCap`; within a chunk, queries answer from ONE
+    * bucket-pruned postings scan of the chunk's term union. The
+    * honest amortization: postings reads amortize PER CHUNK (a 10^4-
+    * query batch runs ~vocabulary/cap bounded-width scans, each
+    * shared by its chunk's queries; a term used by two chunks is read
+    * twice), while the `dfs` statistics phase runs ONCE for the whole
+    * request over the VOCABULARY-sized term dictionaries — postings
+    * are never read for df (per-segment dictionary doc_freq sums
+    * equal the postings row counts exactly, so the scores are
+    * unchanged). A query with more terms than the cap forms its own
+    * chunk — its pivot width is the query's own size, which is the
+    * floor any engine pays.
+    *
+    * Scoring is [[search]]'s exact tf·(N/df) with the fixed-order
+    * pivot over the CHUNK's sorted term list (a (query, doc) group
+    * only holds the query's own matched terms — the broadcast
+    * (query_id, term) membership join restricts rows — so the pivot
+    * stays per-query-correct; a query's matched terms keep the same
+    * relative order under any chunking and the absent terms add
+    * exact 0.0, so scores are bit-identical to the unchunked pivot).
+    * Per-query top-k is BOUNDED before ranking: a local
+    * (query_id, shuffle-partition) row_number keeps at most k rows
+    * per query per partition, then the per-query window numbers the
+    * ≤ k·partitions survivors — a hot term's corpus-sized hit set
+    * never funnels through one window partition. A query whose terms
+    * all analyze away (or miss the index) returns no rows — ES's
+    * empty-hits response. Output: (query_id, doc_id, score,
+    * n_terms_hit, rank), (query_id, rank)-ascending. */
   def multiQuerySearch(spark: SparkSession, rootDir: String,
                        queries: Seq[(String, Seq[String])],
-                       k: Int): DataFrame = {
+                       k: Int,
+                       pivotVocabCap: Int = MsearchPivotVocabCap)
+      : DataFrame = {
     require(queries.nonEmpty, "multiQuerySearch needs queries")
     require(queries.map(_._1).distinct.size == queries.size,
       "query ids must be unique")
+    require(pivotVocabCap >= 1,
+      s"pivotVocabCap must be >= 1: $pivotVocabCap")
     import spark.implicits._
     val root = new java.io.File(rootDir)
     val analyzed = queries.map { case (qid, ts) =>
@@ -2370,36 +2396,63 @@ object SegmentedIndex {
         .toDF("query_id", "doc_id", "score", "n_terms_hit", "rank")
     val (nb, segs, _) = readManifest(root)
     val nDocs = segs.filter(_.kind == "seg").map(_.nDocs).sum
-    val p = prunedPostings(spark, root, segs, allTerms, nb)
+    // the request's ONE dfs phase: df by term over the vocabulary-
+    // sized dictionaries, shared by every chunk
+    val dfreq = dictFrame(spark, root, segs)
       .filter(col("term").isin(allTerms: _*))
-    val dfreq = p.groupBy("term").agg(count(lit(1)).as("doc_freq"))
-    val live = tombstones(spark, root, segs) match {
-      case Some(dead) =>
-        p.join(dead, Seq("doc_id", "seg"), "left_anti")
-      case None => p
+      .groupBy("term").agg(sum("doc_freq").as("doc_freq"))
+    // greedy chunking in request order under the vocabulary cap
+    val chunks = analyzed.foldLeft(
+      Vector.empty[(Vector[(String, Seq[String])], Set[String])]) {
+      case (acc, q @ (_, ts)) =>
+        acc.lastOption match {
+          case Some((qs, vocab))
+            if (vocab ++ ts).size <= pivotVocabCap =>
+            acc.init :+ (qs :+ q, vocab ++ ts)
+          case _ => acc :+ (Vector(q), ts.toSet)
+        }
+    }.map(_._1)
+    val perChunk = chunks.map { chunk =>
+      val terms = chunk.flatMap(_._2).distinct.sorted
+      val p = prunedPostings(spark, root, segs, terms, nb)
+        .filter(col("term").isin(terms: _*))
+      val live = tombstones(spark, root, segs) match {
+        case Some(dead) =>
+          p.join(dead, Seq("doc_id", "seg"), "left_anti")
+        case None => p
+      }
+      val membership = chunk
+        .flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+        .toDF("query_id", "term")
+      val contribs = terms.zipWithIndex.map { case (t, i) =>
+        sum(when(col("term") === lit(t),
+          col("tf").cast("double") *
+            (lit(nDocs).cast("double") /
+              col("doc_freq").cast("double")))
+          .otherwise(lit(0.0d))).as(s"c_$i")
+      }
+      val score = terms.indices.map(i => col(s"c_$i")).reduce(_ + _)
+      val wl = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id", "pid")
+        .orderBy(desc("score"), asc("doc_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(desc("score"), asc("doc_id"))
+      live.join(dfreq, "term")
+        .join(broadcast(membership), Seq("term"))
+        .groupBy("query_id", "doc_id")
+        .agg(contribs.head,
+          contribs.tail :+ count(lit(1)).as("n_terms_hit"): _*)
+        .withColumn("score", score)
+        // bound BEFORE ranking: per-partition top-k is a superset of
+        // the per-query top-k under the same total order
+        .withColumn("pid", spark_partition_id())
+        .withColumn("lr", row_number().over(wl))
+        .filter(col("lr") <= k)
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= k)
+        .select("query_id", "doc_id", "score", "n_terms_hit", "rank")
     }
-    val membership = analyzed
-      .flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
-      .toDF("query_id", "term")
-    val contribs = allTerms.zipWithIndex.map { case (t, i) =>
-      sum(when(col("term") === lit(t),
-        col("tf").cast("double") *
-          (lit(nDocs).cast("double") / col("doc_freq").cast("double")))
-        .otherwise(lit(0.0d))).as(s"c_$i")
-    }
-    val score = allTerms.indices.map(i => col(s"c_$i")).reduce(_ + _)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(desc("score"), asc("doc_id"))
-    live.join(dfreq, "term")
-      .join(broadcast(membership), Seq("term"))
-      .groupBy("query_id", "doc_id")
-      .agg(contribs.head,
-        contribs.tail :+ count(lit(1)).as("n_terms_hit"): _*)
-      .withColumn("score", score)
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("query_id", "doc_id", "score", "n_terms_hit", "rank")
-      .orderBy("query_id", "rank")
+    perChunk.reduce(_ unionByName _).orderBy("query_id", "rank")
   }
 
   /** Top-k term search with MAXSCORE dynamic pruning — Lucene's

@@ -902,6 +902,23 @@ class SegmentedIndexSpec extends SparkSpec {
     intercept[IllegalArgumentException](SegmentedIndex
       .multiQuerySearch(spark, root,
         Seq("a" -> Seq("x"), "a" -> Seq("y")), 5))
+    // CHUNKED pivot: a cap of 1 splits this batch into per-term
+    // chunks (its union vocabulary of 3 terms far exceeds the cap —
+    // the unchunked pivot could not respect it), and the results are
+    // BIT-IDENTICAL to the uncapped run: per query the matched terms
+    // keep their sorted relative order in any chunk's pivot, and the
+    // dictionary-served dfs phase is shared by all chunks
+    val batch = Seq("q1" -> Seq("x", "y"), "q2" -> Seq("z"),
+      "q4" -> Seq("y", "z"))
+    val wide = SegmentedIndex.multiQuerySearch(spark, root, batch,
+        k = 10)
+      .as[(String, Long, Double, Long, Long)].collect().toSeq
+    val tight = SegmentedIndex.multiQuerySearch(spark, root, batch,
+        k = 10, pivotVocabCap = 1)
+      .as[(String, Long, Double, Long, Long)].collect().toSeq
+    assert(tight == wide, s"tight=$tight\nwide= $wide")
+    intercept[IllegalArgumentException](SegmentedIndex
+      .multiQuerySearch(spark, root, batch, 5, pivotVocabCap = 0))
   }
 
   test("multiTermVectors + countQuery: the batch read equals per-id " +
