@@ -135,6 +135,17 @@ object Analyzer {
              synonyms: Seq[(String, String)] = Nil): Chain = {
     val b = registry.getOrElse(base, throw new IllegalArgumentException(
       s"custom analyzer base must be a built-in chain, got '$base'"))
+    // the whitespace base is REJECTED: its contract is bit-compat
+    // with split(text, ' ') — empty tokens kept, positions dense —
+    // which the pure chain honors through a reference-equality
+    // special case; a custom chain layered on it would silently take
+    // the general path (empty tokens dropped) and shift semantics
+    // just because a stopword was added. Settings layer on the
+    // analyzing bases.
+    require(b != Whitespace,
+      "custom() cannot layer settings on the whitespace base (its " +
+        "bit-compat contract keeps empty tokens a filter chain " +
+        "drops); use base=standard or base=english")
     def canon(raw: String, role: String): String = {
       require(raw.matches("[A-Za-z0-9]+"),
         s"analysis-settings $role must be alphanumeric " +

@@ -720,6 +720,17 @@ object Search {
     * never enters the plan, so the oracle (which recomputes from the
     * raw table) certifies the INDEX faithfully serves the live
     * ranking. Output schema identical to [[bm25RankAudit]].
+    *
+    * Both selections are DISTRIBUTED top-k (TakeOrderedAndProject),
+    * never a corpus-wide rank window, and `rank_agrees` certifies
+    * BOTH halves of order agreement: the within-page numbering
+    * (rank == rank_exact over the k selected rows) AND top-k
+    * MEMBERSHIP (the doc also appears in the independent top-k under
+    * (rank_key desc, doc_id)) — without the membership check, a
+    * rounding perturbation that swaps a boundary doc in or out of the
+    * score-selected page could renumber consistently inside the
+    * bounded set and mask exactly the disagreement the certificate
+    * exists to flag.
     */
   def bm25RankAuditIndexed(spark: org.apache.spark.sql.SparkSession,
                            baseName: String, term: String, k: Int,
@@ -736,7 +747,7 @@ object Search {
       .orderBy(desc("score"), asc("doc_id"))
     val wx = org.apache.spark.sql.expressions.Window
       .orderBy(desc("rank_key"), asc("doc_id"))
-    p.crossJoin(broadcast(stats))
+    val full = p.crossJoin(broadcast(stats))
       .crossJoin(broadcast(dfreq))
       .withColumn("idf", expr(
         "log((n_docs - doc_freq + 0.5) / (doc_freq + 0.5) + 1.0)"))
@@ -749,19 +760,25 @@ object Search {
           (lit(10L) * col("total_len") * col("tf") +
             lit(3L) * col("total_len") +
             lit(9L) * col("n_docs") * col("dl")).cast("double"))
-      // top-k FIRST (TakeOrderedAndProject — distributed partial
-      // top-k under the same (score desc, doc_id) total order), THEN
-      // the rank windows over the k bounded rows: the previous shape
-      // ran a corpus-wide single-partition rank window over the
-      // term's whole posting list. rank/rank_exact values are
-      // unchanged: the selected set IS the global top-k under the
-      // rank order, and whenever the certificate holds (score order
-      // == key order — what the oracle pins) the key window over it
-      // numbers identically
-      .orderBy(desc("score"), asc("doc_id")).limit(k)
+    // the INDEPENDENT top-k under the exact key order — the
+    // membership witness (k rows, broadcastable)
+    val keyTop = full
+      .orderBy(desc("rank_key"), asc("doc_id")).limit(k)
+      .select(col("doc_id"), lit(true).as("in_key_topk"))
+    // top-k FIRST (TakeOrderedAndProject — distributed partial
+    // top-k under the same (score desc, doc_id) total order), THEN
+    // the rank windows over the k bounded rows: the previous shape
+    // ran a corpus-wide single-partition rank window over the
+    // term's whole posting list. rank/rank_exact values are
+    // unchanged whenever the certificate holds; the membership
+    // conjunct catches the case the bounded windows alone cannot —
+    // the two top-k SETS differing at the boundary
+    full.orderBy(desc("score"), asc("doc_id")).limit(k)
+      .join(broadcast(keyTop), Seq("doc_id"), "left")
       .withColumn("rank", row_number().over(w).cast("long"))
       .withColumn("rank_exact", row_number().over(wx).cast("long"))
-      .withColumn("rank_agrees", col("rank") === col("rank_exact"))
+      .withColumn("rank_agrees", col("rank") === col("rank_exact") &&
+        coalesce(col("in_key_topk"), lit(false)))
       .withColumn("score_in_bounds",
         col("score") > 0.0 && col("score") < col("idf") * (k1 + 1.0))
       .select("doc_id", "tf", "dl", "rank", "rank_key", "rank_agrees",

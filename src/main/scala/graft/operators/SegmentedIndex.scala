@@ -682,8 +682,12 @@ object SegmentedIndex {
         dead.select("doc_id").distinct().count()
       case None => 0L
     }
+    // n_live clamps at 0: deletes aimed at never-indexed ids inflate
+    // n_deleted (the documented caveat above), and on a small index
+    // that inflation could otherwise push the difference negative —
+    // a nonsense panel value no ES response would ever show
     Seq((nSegs.toLong, nDels.toLong, nDocs, nDeleted,
-      nDocs - nDeleted, totalLen))
+      math.max(0L, nDocs - nDeleted), totalLen))
       .toDF("n_segments", "n_del_batches", "n_docs", "n_deleted",
         "n_live", "total_len")
   }
@@ -1496,7 +1500,11 @@ object SegmentedIndex {
                     queryWeight: Double = 1.0,
                     rescoreWeight: Double = 1.0): DataFrame = {
     require(windowSize >= 1, s"windowSize must be >= 1: $windowSize")
-    val first = scoredHits(spark, rootDir, terms)
+    // persisted: the first-pass subtree feeds the window selection
+    // AND the tail anti-join — without the cache it would evaluate
+    // twice (bounded either way, but the first pass is the whole
+    // hit-set scan). Spark's LRU cache owns the lifetime.
+    val first = scoredHits(spark, rootDir, terms).persist()
     val window = first
       .orderBy(desc("score"), asc("doc_id")).limit(windowSize)
     val vals = hitFieldValues(spark, rootDir, terms, field,
@@ -2836,11 +2844,13 @@ object SegmentedIndex {
       .orderBy(desc("score"), asc("doc_id"))
     val wx = org.apache.spark.sql.expressions.Window
       .orderBy(desc("rank_key"), asc("doc_id"))
-    pruned.join(tfp, "doc_id")
+    // certificate key on the FULL pair hit set (doubles with the
+    // PRODUCT envelope guard — the [[Search.bm25PairRankAudit]]
+    // posture exactly), so the independent key-ordered top-k below
+    // can witness MEMBERSHIP, not just within-page numbering
+    val keyed = tfp
       .withColumn("term_a", lit(ta))
       .withColumn("term_b", lit(tb))
-      // doubles with the PRODUCT envelope guard — the
-      // [[Search.bm25PairRankAudit]] posture exactly
       .withColumn("da",
         lit(10.0d) * lit(totalLen.toDouble) *
           col("tf_a").cast("double") +
@@ -2861,9 +2871,15 @@ object SegmentedIndex {
             "certificate cannot hold at this corpus scale')")
             .cast("double"))
           .otherwise(col("rank_num") / (col("da") * col("db"))))
+    val keyTop = keyed
+      .orderBy(desc("rank_key"), asc("doc_id")).limit(k)
+      .select(col("doc_id"), lit(true).as("in_key_topk"))
+    pruned.join(keyed, "doc_id")
+      .join(broadcast(keyTop), Seq("doc_id"), "left")
       .withColumn("rank", row_number().over(w).cast("long"))
       .withColumn("rank_exact", row_number().over(wx).cast("long"))
-      .withColumn("rank_agrees", col("rank") === col("rank_exact"))
+      .withColumn("rank_agrees", col("rank") === col("rank_exact") &&
+        coalesce(col("in_key_topk"), lit(false)))
       .withColumn("score_in_bounds",
         col("score") > 0.0 &&
           col("score") < lit(2.0 * idfShared * (k1 + 1.0)))
@@ -2881,7 +2897,10 @@ object SegmentedIndex {
     * hit list excludes tombstoned docs immediately. tf and dl ride in
     * the pruned postings rows; the corpus is never read. Output
     * schema identical to [[Search.bm25RankAudit]]; the k1=1.2/b=0.75
-    * integer-key derivation is documented there.
+    * integer-key derivation is documented there. `rank_agrees`
+    * certifies within-page numbering AND top-k membership against an
+    * independent key-ordered top-k ([[Search.bm25RankAuditIndexed]]
+    * documents why the bounded windows alone are not enough).
     */
   def bm25RankAudit(spark: SparkSession, rootDir: String, term: String,
                     k: Int, k1: Double = 1.2,
@@ -2918,16 +2937,14 @@ object SegmentedIndex {
       .orderBy(desc("score"), asc("doc_id"))
     val wx = org.apache.spark.sql.expressions.Window
       .orderBy(desc("rank_key"), asc("doc_id"))
-    live.join(top, "doc_id")
-      .crossJoin(broadcast(dfreq))
-      .withColumn("idf", expr(
-        s"log((cast(${nDocs}L as double) - doc_freq + 0.5) / " +
-          "(doc_freq + 0.5) + 1.0)"))
-      // the denominator is computed in DOUBLE, not Long — correctly
-      // rounded at any magnitude (bit-identical inside the 2^53
-      // envelope) where the Long sum would silently wrap at 2^63 —
-      // and an input beyond the exact-integer envelope fails the
-      // audit LOUDLY ([[Search.bm25PairRankAudit]]'s contract).
+    // the denominator is computed in DOUBLE, not Long — correctly
+    // rounded at any magnitude (bit-identical inside the 2^53
+    // envelope) where the Long sum would silently wrap at 2^63 —
+    // and an input beyond the exact-integer envelope fails the
+    // audit LOUDLY ([[Search.bm25PairRankAudit]]'s contract; the
+    // guard runs over the FULL live posting list, since the exact-
+    // order claim is corpus-wide).
+    val keyed = live
       .withColumn("rank_den",
         lit(10.0d) * lit(totalLen.toDouble) * col("tf").cast("double") +
           lit(3.0d) * lit(totalLen.toDouble) +
@@ -2939,9 +2956,24 @@ object SegmentedIndex {
             "certificate cannot hold at this corpus scale')")
             .cast("double"))
           .otherwise(col("tf").cast("double") / col("rank_den")))
+    // the INDEPENDENT top-k under the exact key order (another
+    // distributed TakeOrderedAndProject, k rows): `rank_agrees`
+    // certifies within-page numbering AND top-k membership — the
+    // bounded windows alone could renumber consistently after a
+    // boundary swap and mask exactly what the certificate flags
+    val keyTop = keyed
+      .orderBy(desc("rank_key"), asc("doc_id")).limit(k)
+      .select(col("doc_id"), lit(true).as("in_key_topk"))
+    keyed.join(top, "doc_id")
+      .crossJoin(broadcast(dfreq))
+      .withColumn("idf", expr(
+        s"log((cast(${nDocs}L as double) - doc_freq + 0.5) / " +
+          "(doc_freq + 0.5) + 1.0)"))
+      .join(broadcast(keyTop), Seq("doc_id"), "left")
       .withColumn("rank", row_number().over(w).cast("long"))
       .withColumn("rank_exact", row_number().over(wx).cast("long"))
-      .withColumn("rank_agrees", col("rank") === col("rank_exact"))
+      .withColumn("rank_agrees", col("rank") === col("rank_exact") &&
+        coalesce(col("in_key_topk"), lit(false)))
       .withColumn("score_in_bounds",
         col("score") > 0.0 && col("score") < col("idf") * (k1 + 1.0))
       .filter(col("rank") <= k)

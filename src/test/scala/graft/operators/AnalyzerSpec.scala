@@ -124,6 +124,14 @@ class AnalyzerSpec extends SparkSpec {
     // a synonym key that stems onto its value is a self-synonym
     intercept[IllegalArgumentException](
       Analyzer.custom("english", synonyms = Seq("dogs" -> "dog")))
+    // the whitespace base is rejected: its bit-compat contract keeps
+    // empty tokens the general filter path drops — layering settings
+    // on it would silently shift the base semantics (posTerms
+    // special-cases the pure chain by equality, not by base)
+    intercept[IllegalArgumentException](
+      Analyzer.custom("whitespace", Seq("x")))
+    intercept[IllegalArgumentException](
+      Analyzer.byName("custom(base=whitespace;stop=x)"))
   }
 
   test("index-time synonym expansion: the column mirror stacks " +

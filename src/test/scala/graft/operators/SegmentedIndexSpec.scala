@@ -1019,6 +1019,16 @@ class SegmentedIndexSpec extends SparkSpec {
     // batches, stats drop the deleted doc
     SegmentedIndex.merge(spark, root)
     assert(st() == ((1L, 0L, 2L, 0L, 2L, 3L)), st().toString)
+    // never-indexed victims inflate n_deleted (documented caveat);
+    // n_live clamps at 0 instead of going negative
+    val root2 = Files.createTempDirectory("graft-stats2").toString
+    SegmentedIndex.append(spark, root2,
+      Seq((1L, "a")).toDF("doc_id", "text"), "a", nBuckets = 4)
+    SegmentedIndex.delete(spark, root2,
+      Seq(1L, 2L, 3L).toDF("doc_id"), "d1")
+    val s2 = SegmentedIndex.indexStats(spark, root2)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    assert(s2 == ((1L, 1L, 1L, 3L, 0L, 1L)), s2.toString)
   }
 
   test("completionFieldSuggest: doc-supplied inputs and weights — " +
