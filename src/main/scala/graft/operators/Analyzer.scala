@@ -69,19 +69,40 @@ object Analyzer {
     * for the value hits a key-only document while scoring stays plain
     * tf·df arithmetic. The filter is SINGLE-PASS (an emitted synonym
     * is not itself re-expanded — Lucene parity) and QUERY-SIDE
-    * ANALYSIS NEVER EXPANDS ([[analyzeText]]/[[queryTerms]] are the
-    * search-analyzer mirror; ES's recommended index-time-synonym
-    * setup drops the filter from the search analyzer). Entries are
-    * canonical analyzed forms — [[custom]] is the only constructor
-    * that admits them and canonicalizes/validates there. */
+    * ANALYSIS NEVER EXPANDS IT ([[analyzeText]]/[[queryTerms]] are
+    * the search-analyzer mirror; ES's recommended index-time-synonym
+    * setup drops the filter from the search analyzer).
+    *
+    * `querySynonyms` is the OTHER placement — ES's synonym filter in
+    * the SEARCH analyzer: the index stores exactly what the document
+    * says, and [[queryTerms]] expands each analyzed query term by the
+    * map (single-pass), so the query reaches the index as several
+    * terms EACH SCORED WITH ITS OWN df. That df semantics is the
+    * real difference from index-time stacking (where the stacked
+    * tokens inflate the value term's df); it is also why ES
+    * recommends query-time synonyms for hot-swappable vocabularies —
+    * here too, only the query path reads the map, so reindexing is
+    * never needed to change it. Scope: TERM queries ([[queryTerms]]
+    * callers); phrase analysis ([[analyzeText]]) deliberately does
+    * not expand — a multi-position synonym graph inside a phrase is
+    * out of scope and stated so.
+    *
+    * Entries of both maps are canonical analyzed forms — [[custom]]
+    * is the only constructor that admits them and
+    * canonicalizes/validates there. */
   final case class Chain(name: String, lowercase: Boolean,
                          splitRx: String, stopwords: Seq[String],
                          stem: Boolean,
-                         synonyms: Seq[(String, String)] = Nil) {
+                         synonyms: Seq[(String, String)] = Nil,
+                         querySynonyms: Seq[(String, String)] = Nil) {
     val stopwordSet: Set[String] = stopwords.toSet
     /** key → mapped values, first-occurrence order. */
     val synonymMap: Map[String, Seq[String]] =
       synonyms.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+    /** query-time key → mapped values, first-occurrence order. */
+    val querySynonymMap: Map[String, Seq[String]] =
+      querySynonyms.groupBy(_._1)
+        .map { case (k, vs) => k -> vs.map(_._2) }
   }
 
   /** The default: split on single spaces, no normalization — the
@@ -120,9 +141,11 @@ object Analyzer {
           "custom(base=...;stop=...;syn=...))"))
 
   /** A CUSTOM chain — ES's per-index analysis settings
-    * (`PUT /idx { settings.analysis }`), scoped to the two most-used
-    * knobs: an EXTRA stopword list and an index-time synonym map,
-    * both layered on a built-in base chain. Tokens canonicalize
+    * (`PUT /idx { settings.analysis }`), scoped to the most-used
+    * knobs: an EXTRA stopword list, an index-time synonym map and a
+    * QUERY-TIME synonym map (the search-analyzer placement — see
+    * [[Chain]] for the df-semantics difference), all layered on a
+    * built-in base chain. Tokens canonicalize
     * through the base's own single-token analysis (lowercase + stem
     * where the base does) so they compare against exactly what the
     * index emits — `stop=runs` under an english base filters the
@@ -130,9 +153,11 @@ object Analyzer {
     * away is rejected rather than silently dead. The chain's NAME is
     * its canonical serialized spec, which is what the manifest `an=`
     * header carries — the settings travel with the index and
-    * [[byName]] round-trips them. */
+    * [[byName]] round-trips them (federation headers compare exactly,
+    * query-time map included). */
   def custom(base: String, extraStopwords: Seq[String] = Nil,
-             synonyms: Seq[(String, String)] = Nil): Chain = {
+             synonyms: Seq[(String, String)] = Nil,
+             querySynonyms: Seq[(String, String)] = Nil): Chain = {
     val b = registry.getOrElse(base, throw new IllegalArgumentException(
       s"custom analyzer base must be a built-in chain, got '$base'"))
     // the whitespace base is REJECTED: its contract is bit-compat
@@ -167,13 +192,56 @@ object Analyzer {
           "never be emitted (or the value would dodge the filter)")
       require(k != v, s"self-synonym '$k>$v' is a no-op")
     }
+    val qsyn = querySynonyms
+      .map { case (k, v) => (canon(k, "query-synonym key"),
+        canon(v, "query-synonym value")) }
+      .distinct.sorted
+    qsyn.foreach { case (k, v) =>
+      // a stopword KEY never survives query analysis (dead entry); a
+      // stopword VALUE expands to a term the ingest filter guarantees
+      // is absent from the index (dead expansion) — both rejected
+      require(!allStop(k) && !allStop(v),
+        s"query synonym '$k>$v' collides with a stopword — the key " +
+          "never survives query analysis (or the value cannot be in " +
+          "the index)")
+      require(k != v, s"self-query-synonym '$k>$v' is a no-op")
+    }
     val spec = s"custom(base=${b.name}" +
       (if (stop.isEmpty) "" else s";stop=${stop.mkString(",")}") +
       (if (syn.isEmpty) ""
        else s";syn=${syn.map { case (k, v) => s"$k>$v" }.mkString(",")}") +
+      (if (qsyn.isEmpty) ""
+       else s";qsyn=${qsyn.map { case (k, v) => s"$k>$v" }
+         .mkString(",")}") +
       ")"
     Chain(spec, b.lowercase, b.splitRx, b.stopwords ++ stop, b.stem,
-      syn)
+      syn, qsyn)
+  }
+
+  /** Equivalence-GROUP sugar — ES synonym files' comma lines
+    * (`quick, fast` — every member means every other): each group
+    * canonicalizes to its DIRECTED closure (all ordered pairs) in the
+    * corresponding synonym map, so the serialized spec stays the one
+    * canonical `syn=`/`qsyn=` form and [[byName]] round-trips it with
+    * no separate group field. `groups` are index-time (stacked at
+    * ingest — symmetric search with pooled df); `queryGroups` are
+    * query-time (expanded at search — each member scored with its own
+    * df). Two members that canonicalize to the same analyzed term
+    * fail [[custom]]'s self-synonym check loudly. */
+  def customGroups(base: String, extraStopwords: Seq[String] = Nil,
+                   groups: Seq[Seq[String]] = Nil,
+                   queryGroups: Seq[Seq[String]] = Nil,
+                   synonyms: Seq[(String, String)] = Nil,
+                   querySynonyms: Seq[(String, String)] = Nil)
+      : Chain = {
+    def closure(gs: Seq[Seq[String]]): Seq[(String, String)] =
+      gs.flatMap { g =>
+        require(g.size >= 2 && g.distinct.size == g.size,
+          s"a synonym group needs >= 2 distinct members: $g")
+        for (a <- g; b <- g if a != b) yield (a, b)
+      }
+    custom(base, extraStopwords, synonyms ++ closure(groups),
+      querySynonyms ++ closure(queryGroups))
   }
 
   private def parseCustom(spec: String): Chain = {
@@ -187,19 +255,24 @@ object Analyzer {
     val base = fields.head.stripPrefix("base=")
     var stop = Seq.empty[String]
     var syn = Seq.empty[(String, String)]
+    var qsyn = Seq.empty[(String, String)]
+    def pairs(body: String): Seq[(String, String)] =
+      body.split(",", -1).toSeq.map { p =>
+        p.split(">", -1) match {
+          case Array(k, v) => (k, v)
+          case _ => bad(s"synonym entry '$p' is not key>value")
+        }
+      }
     fields.tail.foreach {
       case f if f.startsWith("stop=") =>
         stop = f.stripPrefix("stop=").split(",", -1).toSeq
       case f if f.startsWith("syn=") =>
-        syn = f.stripPrefix("syn=").split(",", -1).toSeq.map { p =>
-          p.split(">", -1) match {
-            case Array(k, v) => (k, v)
-            case _ => bad(s"synonym entry '$p' is not key>value")
-          }
-        }
+        syn = pairs(f.stripPrefix("syn="))
+      case f if f.startsWith("qsyn=") =>
+        qsyn = pairs(f.stripPrefix("qsyn="))
       case f => bad(s"unknown field '$f'")
     }
-    val c = custom(base, stop, syn)
+    val c = custom(base, stop, syn, qsyn)
     // the canonical form is the only admissible serialization — a
     // drifted header (reordered, un-canonicalized tokens) would make
     // equal chains compare unequal in federation
@@ -313,10 +386,15 @@ object Analyzer {
     }
 
   /** DRIVER mirror for TERM-LIST queries: analyze each query literal,
-    * drop stopwords/empties, dedup preserving first occurrence — what
-    * ES's match query does to its input before hitting the index. */
+    * drop stopwords/empties, then apply the QUERY-TIME synonym filter
+    * (each analyzed term also emits its mapped values — single-pass,
+    * the search-analyzer placement; index-time synonyms never expand
+    * here), dedup preserving first occurrence — what ES's match query
+    * does to its input before hitting the index. */
   def queryTerms(c: Chain, terms: Seq[String]): Seq[String] =
-    terms.flatMap(t => analyzeText(c, t).map(_._2)).distinct
+    terms.flatMap(t => analyzeText(c, t).map(_._2))
+      .flatMap(t => t +: c.querySynonymMap.getOrElse(t, Nil))
+      .distinct
 
   /** DRIVER mirror for MULTI-TERM queries (prefix/wildcard/fuzzy):
     * Lucene NORMALIZES these (lowercase) but never stems or

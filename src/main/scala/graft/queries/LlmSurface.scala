@@ -128,6 +128,33 @@ object LlmSurface {
     root
   }
 
+  /** The GROUP + QUERY-TIME synonym chain behind q227/q228 — an
+    * equivalence group (`big, large`, canonicalized to the directed
+    * closure at index time) plus a search-analyzer synonym
+    * (`rapid > fast`, expanded at QUERY time with per-term df — never
+    * stacked at ingest). */
+  val grpChainSpec: String = graft.operators.Analyzer.customGroups(
+    "english",
+    groups = Seq(Seq("big", "large")),
+    querySynonyms = Seq("rapid" -> "fast")).name
+
+  /** The staged GROUP/QSYN segmented index — [[segIndexDir]]'s
+    * lifecycle under [[grpChainSpec]]. */
+  def segIndexGrpDir(s: SparkSession, d: String): String = {
+    val root = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      "graft_segidx_grp_sx7a_" +
+        graft.engine.Bucketing.fingerprint8(d)).getPath
+    val dd = docs(s, d).filter(col("doc_id") < 150)
+    SegmentedIndex.append(s, root,
+      dd.filter(col("doc_id") % 5 =!= 0), "a", analyzer = grpChainSpec)
+    SegmentedIndex.append(s, root,
+      dd.filter(col("doc_id") % 5 === 0), "b")
+    SegmentedIndex.delete(s, root,
+      dd.filter(col("doc_id") % 37 === 5).select("doc_id"), "d1")
+    root
+  }
+
   /** The three CDC change batches every maintained-view roundtrip
     * feeds — factored so the staged chain and the per-query oracles
     * derive from ONE definition. */
@@ -370,6 +397,7 @@ object LlmSurface {
     segIndexPairDirs(s, d)
     segIndexEnDir(s, d)
     segIndexSynDir(s, d)
+    segIndexGrpDir(s, d)
     segIndexPreDir(s, d)
     summaryChainDirs(s, d)
     familyAliasPath(s, d)
@@ -701,6 +729,33 @@ object LlmSurface {
       // probe-only against the STAGED custom index (segIndexSynDir)
       SegmentedIndex.search(s, segIndexSynDir(s, d),
         Seq("LARGE", "Quick", "Table"), k = 20)),
+
+    // --- synonym EQUIVALENCE GROUP (ES synonym files' comma lines:
+    //     "big, large" — every member means every other): the group
+    //     canonicalizes to the directed closure at index time, so a
+    //     query for EITHER member hits every doc of the group
+    //     symmetrically (each stacked token carries the occurrence's
+    //     tf; both query terms match every group doc, df pooled by
+    //     the stacking). The oracle replays the closure as two
+    //     UNION ALL stacking arms (Analyzer.customGroups) ---
+    "q227_synonym_group" -> ((s, d) =>
+      // probe-only against the STAGED group index (segIndexGrpDir)
+      SegmentedIndex.search(s, segIndexGrpDir(s, d),
+        Seq("BIG", "Large"), k = 20)),
+
+    // --- QUERY-TIME synonym expansion (ES's synonym filter in the
+    //     SEARCH analyzer — the hot-swappable-vocabulary placement):
+    //     the index stores exactly what documents say ('rapid' is
+    //     never stacked at ingest); the query term Rapid expands at
+    //     search to {rapid, fast}, EACH SCORED WITH ITS OWN df — the
+    //     df semantics that separates this from index-time stacking.
+    //     The fixture corpus contains no 'rapid' at all, so every hit
+    //     arrives through the expansion: recall gained with zero
+    //     reindexing (SegmentedIndex.search via the chain's qsyn) ---
+    "q228_query_synonyms" -> ((s, d) =>
+      // probe-only against the STAGED group index (segIndexGrpDir)
+      SegmentedIndex.search(s, segIndexGrpDir(s, d),
+        Seq("Rapid"), k = 20)),
 
     // --- completion suggester (ES `suggest.completion` — the
     //     FST-backed search-as-you-type path): dictionary terms
@@ -3071,6 +3126,81 @@ object LlmSurface {
          | count(*) AS n_terms_hit
          |FROM p JOIN dfreq USING (term), nd
          |WHERE term IN ($termList) AND doc_id % 37 <> 5
+         |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20"""
+        .stripMargin
+    },
+
+    // q227: the equivalence group replayed — english base analysis,
+    // then the group's DIRECTED CLOSURE as two stacking arms (big
+    // docs emit large AND large docs emit big — the second arm fires
+    // on zero rows in this corpus, which is exactly the point of
+    // replaying the closure, not the data); both query terms in the
+    // engine's pivot order (big, large)
+    "q227_synonym_group" -> {
+      val anTerms = Seq("big", "large")
+      val contribs = anTerms.map { t =>
+        s"sum(CASE WHEN term = '$t' THEN tf::DOUBLE * " +
+          "(n_docs / doc_freq::DOUBLE) ELSE 0.0::DOUBLE END)"
+      }
+      val stops = graft.operators.Analyzer.EnglishStopwords
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+         | toks AS (SELECT doc_id,
+         |   unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+         |   FROM d),
+         | an AS (SELECT doc_id, term FROM
+         |   (SELECT doc_id, ${graft.operators.Analyzer.stemSql("tok")}
+         |      AS term FROM toks)
+         |   WHERE term <> '' AND term NOT IN ($stops)),
+         | stacked AS (SELECT doc_id, term FROM an
+         |   UNION ALL SELECT doc_id, 'large' FROM an WHERE term = 'big'
+         |   UNION ALL SELECT doc_id, 'big' FROM an WHERE term = 'large'),
+         | p AS (SELECT term, doc_id, count(*)::BIGINT AS tf
+         |   FROM stacked GROUP BY term, doc_id),
+         | dfreq AS (SELECT term, count(*)::BIGINT AS doc_freq FROM p
+         |   GROUP BY term),
+         | nd AS (SELECT count(*)::DOUBLE AS n_docs FROM d)
+         |SELECT doc_id, ${contribs.mkString(" + ")} AS score,
+         | count(*) AS n_terms_hit
+         |FROM p JOIN dfreq USING (term), nd
+         |WHERE term IN ('big', 'large') AND doc_id % 37 <> 5
+         |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20"""
+        .stripMargin
+    },
+
+    // q228: query-time expansion replayed — the INDEX side is the
+    // same stacked ingest (the chain's index-time closure still
+    // applies; 'rapid' is never stacked), the QUERY side expands
+    // Rapid -> (rapid, fast) with per-term df, in the engine's
+    // expansion order (analyzed term first, then its mapped values)
+    "q228_query_synonyms" -> {
+      val anTerms = Seq("rapid", "fast")
+      val contribs = anTerms.map { t =>
+        s"sum(CASE WHEN term = '$t' THEN tf::DOUBLE * " +
+          "(n_docs / doc_freq::DOUBLE) ELSE 0.0::DOUBLE END)"
+      }
+      val stops = graft.operators.Analyzer.EnglishStopwords
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+         | toks AS (SELECT doc_id,
+         |   unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+         |   FROM d),
+         | an AS (SELECT doc_id, term FROM
+         |   (SELECT doc_id, ${graft.operators.Analyzer.stemSql("tok")}
+         |      AS term FROM toks)
+         |   WHERE term <> '' AND term NOT IN ($stops)),
+         | stacked AS (SELECT doc_id, term FROM an
+         |   UNION ALL SELECT doc_id, 'large' FROM an WHERE term = 'big'
+         |   UNION ALL SELECT doc_id, 'big' FROM an WHERE term = 'large'),
+         | p AS (SELECT term, doc_id, count(*)::BIGINT AS tf
+         |   FROM stacked GROUP BY term, doc_id),
+         | dfreq AS (SELECT term, count(*)::BIGINT AS doc_freq FROM p
+         |   GROUP BY term),
+         | nd AS (SELECT count(*)::DOUBLE AS n_docs FROM d)
+         |SELECT doc_id, ${contribs.mkString(" + ")} AS score,
+         | count(*) AS n_terms_hit
+         |FROM p JOIN dfreq USING (term), nd
+         |WHERE term IN ('rapid', 'fast') AND doc_id % 37 <> 5
          |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20"""
         .stripMargin
     },

@@ -245,6 +245,65 @@ class AnalyzedIndexSpec extends SparkSpec {
       spark, Seq("c" -> root, "e" -> dst), Seq("dog"), 10))
   }
 
+  test("synonym groups + query-time synonyms at the index level: " +
+    "group members search symmetrically with pooled df; qsyn expands " +
+    "the query with per-term df and never touches the index; " +
+    "federation compares the full spec") {
+    val spec = Analyzer.customGroups("english",
+      groups = Seq(Seq("big", "large")),
+      querySynonyms = Seq("rapid" -> "fast")).name
+    val root = Files.createTempDirectory("graft-grp").toString
+    val d = Seq(
+      (1L, "a big house"),
+      (2L, "a large estate"),
+      (3L, "the fast train"),
+      (4L, "slow boat")).toDF("doc_id", "text")
+    SegmentedIndex.append(spark, root, d, "a", nBuckets = 4,
+      analyzer = spec)
+    // SYMMETRY: either member finds BOTH docs — the big doc stacks
+    // large and the large doc stacks big (the directed closure), so
+    // df pools to 2 and both hits score 1·(4/2)
+    for (q <- Seq("big", "LARGE")) {
+      val hits = SegmentedIndex.search(spark, root, Seq(q), 10)
+        .as[(Long, Double, Long)].collect().toSeq
+      assert(hits.map(_._1).toSet == Set(1L, 2L), s"$q: $hits")
+      assert(hits.forall(_._2 == 2.0), s"$q: $hits")
+    }
+    // QUERY-TIME expansion: 'rapid' appears nowhere — the hit
+    // arrives through the expanded term, scored with fast's OWN df
+    // of 1 (score 1·(4/1); index-time stacking would have pooled it)
+    val r = SegmentedIndex.search(spark, root, Seq("Rapid"), 10)
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(r == Seq((3L, 4.0, 1L)), r.toString)
+    // the index stores exactly what the doc says — no qsyn token
+    assert(SegmentedIndex.termVectors(spark, root, 3L)
+      .select("term").as[String].collect().toSet ==
+      Set("fast", "train"))
+    // every term-query reader rides the same expansion seam
+    assert(SegmentedIndex.countQuery(spark, root, Seq("rapid"))
+      .as[Long].collect().toSeq == Seq(1L))
+    // federation: an identical spec federates; a divergent QUERY-side
+    // map is a mixed federation and must throw (the header carries
+    // qsyn, so the comparison stays exact)
+    val twin = Files.createTempDirectory("graft-grp2").toString
+    SegmentedIndex.append(spark, twin,
+      Seq((9L, "big data")).toDF("doc_id", "text"), "a",
+      nBuckets = 4, analyzer = spec)
+    assert(SegmentedIndex.multiSearch(spark,
+      Seq("a" -> root, "b" -> twin), Seq("large"), 10)
+      .select("doc_id").as[Long].collect().toSet ==
+      Set(1L, 2L, 9L))
+    val other = Files.createTempDirectory("graft-grp3").toString
+    SegmentedIndex.append(spark, other,
+      Seq((9L, "big data")).toDF("doc_id", "text"), "a",
+      nBuckets = 4,
+      analyzer = Analyzer.customGroups("english",
+        groups = Seq(Seq("big", "large")),
+        querySynonyms = Seq("rapid" -> "slow")).name)
+    intercept[IllegalArgumentException](SegmentedIndex.multiSearch(
+      spark, Seq("a" -> root, "c" -> other), Seq("large"), 10))
+  }
+
   test("multiSearchPerIndex: a MIXED federation analyzes per member " +
     "and pools df by term string — ES's heterogeneous semantics; " +
     "the strict multiSearch still throws for the same pair") {

@@ -134,6 +134,48 @@ class AnalyzerSpec extends SparkSpec {
       Analyzer.byName("custom(base=whitespace;stop=x)"))
   }
 
+  test("synonym groups + query-time synonyms: the group " +
+    "canonicalizes to its directed closure, qsyn expands ONLY " +
+    "query-side analysis, the spec round-trips, collisions reject") {
+    val c = Analyzer.customGroups("english",
+      groups = Seq(Seq("BIG", "large")),
+      queryGroups = Seq(Seq("ml", "ai")),
+      querySynonyms = Seq("rapid" -> "fast"))
+    // the canonical spec IS the closure — no group field survives
+    // serialization, so federation headers compare exactly
+    assert(c.name == "custom(base=english;syn=big>large,large>big;" +
+      "qsyn=ai>ml,ml>ai,rapid>fast)", c.name)
+    assert(Analyzer.byName(c.name) == c)
+    // queryTerms expands qsyn (single-pass: 'fast' does not chain
+    // further) with first-occurrence dedup; index-time synonyms
+    // NEVER expand there
+    assert(Analyzer.queryTerms(c, Seq("Rapid")) ==
+      Seq("rapid", "fast"))
+    assert(Analyzer.queryTerms(c, Seq("ml", "Rapid", "fast")) ==
+      Seq("ml", "ai", "rapid", "fast"))
+    assert(Analyzer.queryTerms(c, Seq("big")) == Seq("big"),
+      "index-time entries must not expand at query time")
+    // ingest analysis stacks the INDEX-time closure only — qsyn
+    // never touches what the index stores
+    assert(Analyzer.analyzeIngest(c, "rapid big") ==
+      Seq((0L, "rapid"), (1L, "big"), (1L, "large")))
+    // phrase analysis expands nothing (documented scope)
+    assert(Analyzer.analyzeText(c, "rapid big") ==
+      Seq((0L, "rapid"), (1L, "big")))
+    // group validation: < 2 members / duplicates reject; stopword
+    // collisions and self-maps reject for qsyn like syn
+    intercept[IllegalArgumentException](
+      Analyzer.customGroups("english", groups = Seq(Seq("solo"))))
+    intercept[IllegalArgumentException](Analyzer.customGroups(
+      "english", groups = Seq(Seq("dup", "dup"))))
+    intercept[IllegalArgumentException](Analyzer.custom(
+      "english", querySynonyms = Seq("the" -> "thing")))
+    intercept[IllegalArgumentException](Analyzer.custom(
+      "english", querySynonyms = Seq("thing" -> "the")))
+    intercept[IllegalArgumentException](Analyzer.custom(
+      "english", querySynonyms = Seq("dogs" -> "dog")))
+  }
+
   test("index-time synonym expansion: the column mirror stacks " +
     "values at the key's position; query-side analysis never expands") {
     val c = Analyzer.custom("english",
