@@ -1498,32 +1498,86 @@ object SegmentedIndex {
                     terms: Seq[String], field: String,
                     windowSize: Int, k: Int,
                     queryWeight: Double = 1.0,
-                    rescoreWeight: Double = 1.0): DataFrame = {
-    require(windowSize >= 1, s"windowSize must be >= 1: $windowSize")
+                    rescoreWeight: Double = 1.0): DataFrame =
+    // the 1-phase case of the chain; `rescored` is n_phases > 0
+    rescoreChain(spark, rootDir, terms,
+      Seq((field, windowSize, queryWeight, rescoreWeight)), k)
+      .withColumn("rescored", col("n_phases") > 0L)
+      .select("doc_id", "score", "rescored")
+      .orderBy(desc("rescored"), desc("score"), asc("doc_id"))
+
+  /** CHAINED rescoring — ES's `rescore` ARRAY (rescorers apply in
+    * sequence, each seeing the PREVIOUS phase's results, with
+    * windows that narrow as the scorers get more expensive —
+    * window₁ ⊇ window₂ ⊇ …, `require`d here because a WIDENING
+    * window would have to re-score documents the previous phase never
+    * ranked, which ES's sequential contract cannot express): phase i
+    * re-scores only the top `windowᵢ` of phase i−1's ordering as
+    * `qwᵢ·score + rwᵢ·(score·fieldᵢ)` (the field-value-factor
+    * rescorer per phase, each with its OWN stored field and weights;
+    * missing → 1) and re-sorts them among themselves; every document
+    * a phase leaves behind keeps its then-current order BELOW every
+    * later phase's window. `n_phases` reports how many rescorers
+    * touched each row (the tail below window₁ reports 0), and the
+    * output order is (n_phases desc, score desc, doc_id) — scores
+    * from different phases are never compared to each other, which
+    * is exactly ES's layering.
+    *
+    * Scale shape: the first pass is the one hit-set scan (persisted —
+    * window selection and tail anti-join share it); every later
+    * phase's input is window₁-bounded, so chaining more phases adds
+    * only window-sized joins against column-pruned stored reads.
+    * Output: (doc_id, score, n_phases), top-k. */
+  def rescoreChain(spark: SparkSession, rootDir: String,
+                   terms: Seq[String],
+                   phases: Seq[(String, Int, Double, Double)],
+                   k: Int): DataFrame = {
+    require(phases.nonEmpty, "rescoreChain needs at least one phase")
+    phases.foreach { case (_, w, _, _) =>
+      require(w >= 1, s"windowSize must be >= 1: $w") }
+    require(phases.map(_._2).sliding(2)
+      .forall(p => p.size < 2 || p(0) >= p(1)),
+      "rescore windows must be non-increasing: " +
+        phases.map(_._2).mkString(", "))
     // persisted: the first-pass subtree feeds the window selection
     // AND the tail anti-join — without the cache it would evaluate
     // twice (bounded either way, but the first pass is the whole
     // hit-set scan). Spark's LRU cache owns the lifetime.
     val first = scoredHits(spark, rootDir, terms).persist()
-    val window = first
-      .orderBy(desc("score"), asc("doc_id")).limit(windowSize)
-    val vals = hitFieldValues(spark, rootDir, terms, field,
-      keepMissing = true)
-    val rescored = window.join(vals, Seq("doc_id"), "left")
-      .withColumn("score",
-        lit(queryWeight) * col("score") +
-          lit(rescoreWeight) * (col("score") *
-            coalesce(col("value").cast("double"), lit(1.0d))))
-      .withColumn("rescored", lit(true))
-      .select("doc_id", "score", "rescored")
-    val tail = first
-      .join(window.select("doc_id"), Seq("doc_id"), "left_anti")
-      .withColumn("rescored", lit(false))
-      .select("doc_id", "score", "rescored")
-    // window first (re-sorted by the combined score), tail below in
-    // first-pass order — ES's window contract
-    rescored.unionByName(tail)
-      .orderBy(desc("rescored"), desc("score"), asc("doc_id"))
+    def applyPhase(win: DataFrame, field: String, qw: Double,
+                   rw: Double): DataFrame = {
+      val vals = hitFieldValues(spark, rootDir, terms, field,
+        keepMissing = true)
+      win.join(vals, Seq("doc_id"), "left")
+        .withColumn("score",
+          lit(qw) * col("score") +
+            lit(rw) * (col("score") *
+              coalesce(col("value").cast("double"), lit(1.0d))))
+        .withColumn("n_phases", col("n_phases") + lit(1L))
+        .select("doc_id", "score", "n_phases")
+    }
+    val (f0, w0, q0, r0) = phases.head
+    val top0 = first
+      .orderBy(desc("score"), asc("doc_id")).limit(w0)
+      .select(col("doc_id"), col("score"), lit(0L).as("n_phases"))
+    val tail0 = first
+      .join(top0.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("score"), lit(0L).as("n_phases"))
+    // the fold: `cur` is the bounded frame the NEXT phase narrows
+    // (all its rows share one n_phases value, so score order alone
+    // selects the next window); each phase's left-behind rows join
+    // the finished layers
+    val (last, layers) = phases.tail
+      .foldLeft((applyPhase(top0, f0, q0, r0), List(tail0))) {
+        case ((cur, ls), (field, w, qw, rw)) =>
+          val win = cur
+            .orderBy(desc("score"), asc("doc_id")).limit(w)
+          val below = cur
+            .join(win.select("doc_id"), Seq("doc_id"), "left_anti")
+          (applyPhase(win, field, qw, rw), below :: ls)
+      }
+    (last :: layers).reduce(_ unionByName _)
+      .orderBy(desc("n_phases"), desc("score"), asc("doc_id"))
       .limit(k)
   }
 

@@ -822,6 +822,20 @@ object LlmSurface {
         field = "n_chars", windowSize = 10, k = 15,
         queryWeight = 1.0, rescoreWeight = 0.001)),
 
+    // --- CHAINED rescoring (ES's rescore ARRAY — phases in
+    //     sequence, each seeing the previous phase's results through
+    //     a NARROWING window): phase 1 boosts the top 10 by n_chars,
+    //     phase 2 re-boosts only ITS top 4 by doc_id; rows report how
+    //     many phases touched them and order (n_phases desc,
+    //     score desc) — a phase-1 row can never climb past the
+    //     phase-2 window, however large its boost
+    //     (SegmentedIndex.rescoreChain) ---
+    "q229_rescore_chain" -> ((s, d) =>
+      // probe-only against the STAGED index (segIndexDir)
+      SegmentedIndex.rescoreChain(s, segIndexDir(s, d), searchTerms,
+        phases = Seq(("n_chars", 10, 1.0, 0.001),
+          ("doc_id", 4, 1.0, 0.0001)), k = 15)),
+
     // --- completion FIELD (ES's actual completion mapping —
     //     doc-supplied inputs AND weights): suggestions come from a
     //     stored field with per-doc weights, duplicate outputs keep
@@ -3311,6 +3325,52 @@ object LlmSurface {
          |SELECT doc_id, score, rescored FROM
          | (SELECT * FROM resc UNION ALL SELECT * FROM tail)
          |ORDER BY rescored DESC, score DESC, doc_id LIMIT 15"""
+        .stripMargin
+    },
+
+    // q229: the chained rescore replayed — q225's first-pass scored
+    // CTE, then the two phases as nested window/LIMIT layers: win2
+    // narrows r1 (not scored), each left-behind layer keeps its
+    // then-current score, final order (n_phases desc, score desc)
+    "q229_rescore_chain" -> {
+      val contribs = searchTerms.map { t =>
+        s"sum(CASE WHEN term = '$t' THEN tf::DOUBLE * " +
+          "(n_docs / doc_freq::DOUBLE) ELSE 0.0::DOUBLE END)"
+      }
+      s"""WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+         | p AS (SELECT term, doc_id, count(*)::BIGINT AS tf
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' '))
+         |    AS term FROM d) GROUP BY term, doc_id),
+         | dfreq AS (SELECT term, count(*)::BIGINT AS doc_freq FROM p
+         |   GROUP BY term),
+         | nd AS (SELECT count(*)::DOUBLE AS n_docs FROM d),
+         | scored AS (SELECT doc_id,
+         |   ${contribs.mkString(" + ")} AS score
+         |  FROM p JOIN dfreq USING (term), nd
+         |  WHERE term IN (${searchTerms.map(t => s"'$t'").mkString(", ")})
+         |    AND doc_id % 37 <> 5
+         |  GROUP BY doc_id),
+         | win1 AS (SELECT doc_id, score FROM scored
+         |   ORDER BY score DESC, doc_id LIMIT 10),
+         | r1 AS (SELECT w.doc_id,
+         |   1.0 * w.score + 0.001 * (w.score *
+         |     COALESCE(d2.n_chars::DOUBLE, 1.0)) AS score
+         |  FROM win1 w LEFT JOIN d d2 ON w.doc_id = d2.doc_id),
+         | win2 AS (SELECT doc_id, score FROM r1
+         |   ORDER BY score DESC, doc_id LIMIT 4),
+         | r2 AS (SELECT w.doc_id,
+         |   1.0 * w.score + 0.0001 * (w.score *
+         |     COALESCE(d2.doc_id::DOUBLE, 1.0)) AS score,
+         |   2::BIGINT AS n_phases
+         |  FROM win2 w LEFT JOIN d d2 ON w.doc_id = d2.doc_id),
+         | layer1 AS (SELECT doc_id, score, 1::BIGINT AS n_phases
+         |  FROM r1 WHERE doc_id NOT IN (SELECT doc_id FROM win2)),
+         | tail AS (SELECT doc_id, score, 0::BIGINT AS n_phases
+         |  FROM scored WHERE doc_id NOT IN (SELECT doc_id FROM win1))
+         |SELECT doc_id, score, n_phases FROM
+         | (SELECT * FROM r2 UNION ALL SELECT * FROM layer1
+         |  UNION ALL SELECT * FROM tail)
+         |ORDER BY n_phases DESC, score DESC, doc_id LIMIT 15"""
         .stripMargin
     },
 

@@ -1002,6 +1002,48 @@ class SegmentedIndexSpec extends SparkSpec {
       (2L, s0 + s0 * 1.0, true)), r3.toString)
   }
 
+  test("rescoreChain: phases narrow in sequence, each re-sorts only " +
+    "its own window, a phase-1 leftover can never climb past the " +
+    "phase-2 window, widening windows reject, 1 phase == " +
+    "rescoreSearch") {
+    val root = Files.createTempDirectory("graft-rchain").toString
+    // whitespace chain, df(x)=4, N=4 → first-pass score = tf
+    val d = Seq(
+      (1L, "x x x x", 1.0, 7.0),
+      (2L, "x x x pad", 10.0, 0.001),
+      (3L, "x x pad pad", 2.0, 7.0),
+      (4L, "x pad pad pad", 999.0, 7.0))
+      .toDF("doc_id", "text", "w1", "w2")
+    SegmentedIndex.append(spark, root, d, "a", nBuckets = 4)
+    // phase 1 (window 3, score ← score·w1): doc2 30, doc1 4, doc3 4;
+    // doc4 never enters (window₁ cut by FIRST-pass order — its huge
+    // w1 is unreachable). phase 2 (window 1, score ← score·w2):
+    // only doc2 re-scores, to 0.03 — and STAYS on top: phase layers
+    // never compare scores across phases
+    val r = SegmentedIndex.rescoreChain(spark, root, Seq("x"),
+        phases = Seq(("w1", 3, 0.0, 1.0), ("w2", 1, 0.0, 1.0)),
+        k = 10)
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(r == Seq(
+      (2L, 30.0 * 0.001, 2L),
+      (1L, 4.0, 1L), (3L, 4.0, 1L),
+      (4L, 1.0, 0L)), r.toString)
+    // widening windows are rejected (ES's sequential contract)
+    intercept[IllegalArgumentException](SegmentedIndex.rescoreChain(
+      spark, root, Seq("x"),
+      phases = Seq(("w1", 2, 1.0, 1.0), ("w2", 3, 1.0, 1.0)), k = 5))
+    // the 1-phase chain IS rescoreSearch (modulo the rescored flag)
+    val viaChain = SegmentedIndex.rescoreChain(spark, root, Seq("x"),
+        phases = Seq(("w1", 2, 1.0, 0.5)), k = 4)
+      .as[(Long, Double, Long)].collect().toSeq
+    val viaSearch = SegmentedIndex.rescoreSearch(spark, root,
+        Seq("x"), "w1", windowSize = 2, k = 4, queryWeight = 1.0,
+        rescoreWeight = 0.5)
+      .as[(Long, Double, Boolean)].collect().toSeq
+    assert(viaChain.map(t => (t._1, t._2, t._3 > 0L)) == viaSearch,
+      s"chain=$viaChain\nsearch=$viaSearch")
+  }
+
   test("indexStats: manifest-only counters plus the victim-set " +
     "deleted count; merge folds the panels") {
     val root = Files.createTempDirectory("graft-stats").toString
