@@ -1218,6 +1218,131 @@ object SegmentedIndex {
       .limit(k)
   }
 
+  /** Phrase-length bound for [[phraseSuggest]]: the whole-phrase
+    * candidate space is (maxPerPos+1)^positions (a broadcast cross
+    * product of per-position shortlists) — bounded by construction,
+    * but only because the phrase itself is. ES bounds effective
+    * phrase length the same way through its shingle sizes. */
+  private[operators] val MaxPhraseSuggestTokens = 5
+
+  /** Phrase suggester — ES's `suggest.phrase`, the whole-phrase
+    * did-you-mean (the suggest family's last member, after term
+    * (q207), completion (q218/q219) and phrase-prefix (q197)):
+    * per-POSITION candidate generation (ES's direct generator) +
+    * a REAL-WORD language-model score over the whole corrected
+    * phrase — corrections are ranked by corpus statistics and gated
+    * against the input's own score, which is what separates this
+    * from per-term suggestion. The LM here is unigram (no bigram
+    * shingles), which is exactly what ES's phrase suggester degrades
+    * to on an unshingled field; its StupidBackoff tier needs shingle
+    * subfields this layout does not keep.
+    *
+    *  - the input analyzes under the index chain's QUERY mirror
+    *    (the suggestion space is the indexed vocabulary — stems
+    *    under an english chain, exactly like [[termSuggest]]);
+    *  - each position's candidates are the dictionary terms within
+    *    edit distance 1, found by the recall-1 SymSpell deletion
+    *    blocking ([[Fuzzy]]'s scheme — vocabulary-sized, never
+    *    corpus-sized) and verified by exact levenshtein, shortlisted
+    *    to `maxPerPos` by (distance, df desc, term); the original
+    *    token is ALWAYS its own candidate (df 0 when out-of-vocab),
+    *    so the identity phrase anchors the confidence gate;
+    *  - whole-phrase candidates are the cross product of the
+    *    shortlists — (maxPerPos+1)^n rows, broadcast joins, nothing
+    *    shuffles — scored by a df-backed add-one unigram LM:
+    *    `Π_i (df_i + 1) / (N + V)` with N the stats-phase doc count
+    *    and V the vocabulary size (the honest stand-in for ES's
+    *    shard LM; every factor is one exact division and the product
+    *    folds in position order, so the score is bit-stable
+    *    cross-engine);
+    *  - `maxErrors` caps CHANGED positions (ES's max_errors) and the
+    *    `confidence` gate keeps only candidates scoring strictly
+    *    above `confidence · score(input)` — at the default 1.0 a
+    *    suggestion must beat the input itself (ES's default), and
+    *    the unchanged phrase never returns.
+    *
+    * Statistics are the dictionary phase (tombstoned docs count
+    * until merge — [[termSuggest]]'s posture). Output:
+    * (suggestion, score, n_changed), top-k by
+    * (score desc, suggestion). */
+  def phraseSuggest(spark: SparkSession, rootDir: String,
+                    input: String, k: Int, maxPerPos: Int = 5,
+                    maxErrors: Int = 1,
+                    confidence: Double = 1.0): DataFrame = {
+    import spark.implicits._
+    val root = new java.io.File(rootDir)
+    val (_, segs, _) = readManifest(root)
+    val an = readAnalyzer(root)
+    val toks = Analyzer.analyzeText(an, input).map(_._2)
+    require(toks.nonEmpty,
+      "phraseSuggest needs at least one analyzed token")
+    require(toks.size <= MaxPhraseSuggestTokens,
+      s"phraseSuggest is bounded to $MaxPhraseSuggestTokens analyzed" +
+        s" tokens (got ${toks.size}): the candidate space is " +
+        "(maxPerPos+1)^positions")
+    require(maxPerPos >= 1 && maxPerPos <= 8,
+      s"maxPerPos must be in [1, 8]: $maxPerPos")
+    require(maxErrors >= 1, s"maxErrors must be >= 1: $maxErrors")
+    val nDocs = segs.filter(_.kind == "seg").map(_.nDocs).sum
+    val dict = dictFrame(spark, root, segs)
+      .groupBy("term").agg(sum("doc_freq").as("df")).persist()
+    val vocabSize = dict.count()
+    val denom = (nDocs + vocabSize).toDouble
+    // per-token df for the input phrase's own LM score (the
+    // confidence anchor) — a |phrase|-bounded collect
+    val origDf = dict
+      .filter(col("term").isin(toks.distinct: _*))
+      .select("term", "df").as[(String, Long)].collect().toMap
+    val s0 = toks
+      .map(t => (origDf.getOrElse(t, 0L) + 1.0) / denom).product
+    def del1(s: String): Seq[String] =
+      s +: s.indices.map(i => s.take(i) + s.drop(i + 1))
+    val variants = toks.zipWithIndex
+      .flatMap { case (t, i) => del1(t).distinct.map(v => (i, v, t)) }
+      .toDF("pos", "v", "orig")
+    val cands = dict
+      .withColumn("v", explode(expr(Fuzzy.delAutoExpr("term", 1))))
+      .join(broadcast(variants), "v")
+      .withColumn("dist",
+        levenshtein(col("term"), col("orig")).cast("long"))
+      .filter(col("dist") <= 1L)
+      .select("pos", "term", "df", "dist").distinct()
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy("pos")
+      .orderBy(asc("dist"), desc("df"), asc("term"))
+    val pool = cands
+      .withColumn("r", row_number().over(wp))
+      .filter(col("r") <= maxPerPos)
+      .select("pos", "term", "df")
+      .unionByName(toks.zipWithIndex
+        .map { case (t, i) => (i, t, 0L) }.toDF("pos", "term", "df"))
+      .groupBy("pos", "term").agg(max("df").as("df"))
+      .persist()
+    val perPos = toks.indices.map(i =>
+      pool.filter(col("pos") === i)
+        .select(col("term").as(s"t_$i"), col("df").as(s"df_$i")))
+    val cross = perPos.reduce((a, b) => a.crossJoin(broadcast(b)))
+    val score = toks.indices
+      .map(i => (col(s"df_$i").cast("double") + lit(1.0d)) /
+        lit(denom))
+      .reduce(_ * _)
+    val nChanged = toks.indices
+      .map(i => when(col(s"t_$i") === lit(toks(i)), lit(0L))
+        .otherwise(lit(1L)))
+      .reduce(_ + _)
+    cross
+      .withColumn("suggestion",
+        concat_ws(" ", toks.indices.map(i => col(s"t_$i")): _*))
+      .withColumn("score", score)
+      .withColumn("n_changed", nChanged)
+      .filter(col("n_changed") >= 1L &&
+        col("n_changed") <= lit(maxErrors.toLong) &&
+        col("score") > lit(confidence * s0))
+      .select("suggestion", "score", "n_changed")
+      .orderBy(desc("score"), asc("suggestion"))
+      .limit(k)
+  }
+
   /** Completion suggester — ES's `suggest.completion`, the FST-backed
     * search-as-you-type path (the suggest family's third member after
     * [[termSuggest]] and [[phrasePrefixSearch]]): dictionary terms

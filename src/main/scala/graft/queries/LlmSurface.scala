@@ -783,6 +783,20 @@ object LlmSurface {
           "qb" -> Seq("vector", "fast"),
           "qc" -> Seq("line")), k = 10)),
 
+    // --- phrase suggester (ES `suggest.phrase` — whole-phrase
+    //     did-you-mean, closing the suggest family after term/
+    //     completion/phrase-prefix): per-position candidates from the
+    //     vocabulary via recall-1 SymSpell blocking + exact
+    //     levenshtein, whole-phrase rescoring by a df-backed add-one
+    //     unigram LM, max_errors-capped changes, and suggestions must
+    //     beat the input's own LM score (confidence 1.0 — the
+    //     unchanged phrase never returns); 'spqrk join' corrects to
+    //     'spark join' (SegmentedIndex.phraseSuggest) ---
+    "q230_phrase_suggest" -> ((s, d) =>
+      // probe-only against the STAGED index (segIndexDir)
+      SegmentedIndex.phraseSuggest(s, segIndexDir(s, d),
+        input = "spqrk join", k = 5)),
+
     // --- HETEROGENEOUS federation with per-index analysis (ES's
     //     exact multi-index semantics when members mix analyzers):
     //     each index analyzes the query with its OWN chain ('the'
@@ -3406,6 +3420,55 @@ object LlmSurface {
          |FROM scored QUALIFY rank <= 10
          |ORDER BY query_id, rank""".stripMargin
     },
+
+    // q230: the phrase suggester replayed exhaustively — the honest
+    // vocab×token quadratic replaces the SymSpell blocking (recall-1
+    // at dist <= 1, so the candidate sets are provably equal), then
+    // the same per-position shortlist, fallback union, cross product,
+    // add-one unigram LM product in position order, max_errors and
+    // confidence gates
+    "q230_phrase_suggest" ->
+      """WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+        | t AS (SELECT DISTINCT doc_id, term FROM
+        |   (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |    FROM d)),
+        | dict AS (SELECT term, count(*)::BIGINT AS df FROM t
+        |   GROUP BY term),
+        | consts AS (SELECT
+        |   (SELECT count(*) FROM d)::BIGINT AS n_docs,
+        |   (SELECT count(*) FROM dict)::BIGINT AS v),
+        | toks AS (SELECT * FROM (VALUES (0, 'spqrk'), (1, 'join'))
+        |   t(pos, orig)),
+        | cand AS (SELECT pos, term, df,
+        |   levenshtein(term, orig)::BIGINT AS dist
+        |  FROM dict CROSS JOIN toks
+        |  WHERE levenshtein(term, orig) <= 1),
+        | shortlist AS (SELECT pos, term, df FROM
+        |   (SELECT *, row_number() OVER (PARTITION BY pos
+        |      ORDER BY dist, df DESC, term) AS r FROM cand)
+        |  WHERE r <= 5),
+        | pool AS (SELECT pos, term, max(df)::BIGINT AS df FROM
+        |   (SELECT * FROM shortlist
+        |    UNION ALL SELECT pos, orig AS term, 0::BIGINT AS df
+        |      FROM toks)
+        |  GROUP BY pos, term),
+        | s0 AS (SELECT
+        |   ((COALESCE((SELECT df FROM dict WHERE term = 'spqrk'), 0)
+        |      + 1)::DOUBLE / (n_docs + v)::DOUBLE) *
+        |   ((COALESCE((SELECT df FROM dict WHERE term = 'join'), 0)
+        |      + 1)::DOUBLE / (n_docs + v)::DOUBLE) AS sc
+        |  FROM consts),
+        | scored AS (SELECT p0.term || ' ' || p1.term AS suggestion,
+        |   ((p0.df + 1)::DOUBLE / (n_docs + v)::DOUBLE) *
+        |   ((p1.df + 1)::DOUBLE / (n_docs + v)::DOUBLE) AS score,
+        |   (CASE WHEN p0.term = 'spqrk' THEN 0 ELSE 1 END +
+        |    CASE WHEN p1.term = 'join' THEN 0 ELSE 1 END)::BIGINT
+        |     AS n_changed
+        |  FROM (SELECT * FROM pool WHERE pos = 0) p0,
+        |       (SELECT * FROM pool WHERE pos = 1) p1, consts)
+        |SELECT suggestion, score, n_changed FROM scored, s0
+        |WHERE n_changed >= 1 AND n_changed <= 1 AND score > 1.0 * sc
+        |ORDER BY score DESC, suggestion LIMIT 5""".stripMargin,
 
     // q219: the completion FIELD replayed — live docs only (the
     // stored read applies tombstones), per-input MAX of the

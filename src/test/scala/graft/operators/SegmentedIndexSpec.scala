@@ -792,6 +792,50 @@ class SegmentedIndexSpec extends SparkSpec {
     assert(r2.head == (("vector", 0L, 2L)), r2.toString)
   }
 
+  test("phraseSuggest: real-word whole-phrase corrections beat the " +
+    "input's LM score, max_errors caps changed positions, the " +
+    "identity never returns, an all-valid input yields nothing, " +
+    "length bound rejects") {
+    val root = Files.createTempDirectory("graft-phs").toString
+    val d = Seq(
+      (1L, "spark join"),
+      (2L, "spark joins"),
+      (3L, "spark data"),
+      (4L, "data join")).toDF("doc_id", "text")
+    SegmentedIndex.append(spark, root, d, "a", nBuckets = 4)
+    // N=4, V={spark, join, joins, data}=4 → denom 8; dfs: spark 3,
+    // join 2, joins 1, data 2. Input score s0 = (0+1)/8 · (2+1)/8
+    // = 3/64. With maxErrors=1: 'spark join' = (4/8)(3/8) = 0.1875
+    // beats s0; 'spqrk joins' = (1/8)(2/8) = 2/64 does NOT (a
+    // correction must make the phrase MORE probable, not just be a
+    // valid word); 'spark joins' changes 2 positions — capped
+    val r = SegmentedIndex.phraseSuggest(spark, root, "spqrk join",
+        k = 5)
+      .as[(String, Double, Long)].collect().toSeq
+    assert(r == Seq(("spark join", 0.1875, 1L)), r.toString)
+    // max_errors 2 admits the double correction, ranked below
+    val r2 = SegmentedIndex.phraseSuggest(spark, root, "spqrk join",
+        k = 5, maxErrors = 2)
+      .as[(String, Double, Long)].collect().toSeq
+    assert(r2 == Seq(("spark join", 0.1875, 1L),
+      ("spark joins", 0.125, 2L)), r2.toString)
+    // an already-probable input returns NOTHING at confidence 1.0:
+    // no candidate beats it and the identity is never suggested
+    assert(SegmentedIndex.phraseSuggest(spark, root, "spark join",
+      k = 5).count() == 0)
+    // lowering confidence re-admits real-word alternatives below
+    // the input's own score
+    val r3 = SegmentedIndex.phraseSuggest(spark, root, "spark join",
+        k = 5, confidence = 0.5)
+      .as[(String, Double, Long)].collect().toSeq
+    assert(r3 == Seq(("spark joins", 0.125, 1L)), r3.toString)
+    // the phrase-length bound and parameter floors fail loudly
+    intercept[IllegalArgumentException](SegmentedIndex.phraseSuggest(
+      spark, root, "a b c d e f", k = 5))
+    intercept[IllegalArgumentException](SegmentedIndex.phraseSuggest(
+      spark, root, "spqrk join", k = 5, maxPerPos = 0))
+  }
+
   test("completionSuggest: weight-ordered prefix completion deduped " +
     "across segments, first-char dir pruning, dictionary-phase " +
     "tombstones, merge recomputes, pre-completion layout falls back") {
