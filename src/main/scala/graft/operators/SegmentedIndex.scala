@@ -873,6 +873,81 @@ object SegmentedIndex {
       .orderBy("bucket")
   }
 
+  /** PIPELINE aggregations over a histogram — ES's parent pipeline
+    * tier (`cumulative_sum`, `derivative`, `moving_fn` and the
+    * `bucket_selector`/`bucket_sort` post-passes), the
+    * second-derivative layer every monitoring dashboard asks of a
+    * date/value histogram:
+    *
+    *  - `cum_count` — `cumulative_sum` of doc_count (running total,
+    *    current bucket included);
+    *  - `derivative` — doc_count minus the PREVIOUS bucket's (the
+    *    first bucket reports null — ES omits the value there; the
+    *    gap-filled zero buckets make the series well-defined, which
+    *    is why ES requires min_doc_count=0 under a derivative);
+    *  - `moving_avg` — the mean over the trailing `movingWindow`
+    *    buckets ENDING AT AND INCLUDING the current one (ES's
+    *    `moving_fn` slides the same window; its `shift` knob picks
+    *    among offsets of it). The sum is over exact longs, so the
+    *    one division is bit-stable cross-engine;
+    *  - `minDocCount` — ES's `bucket_selector`: buckets failing the
+    *    predicate leave the RESPONSE only, after every pipeline
+    *    value is computed over the full series (ES's reduce order);
+    *  - `topBuckets` — ES's `bucket_sort`: keep the top-N buckets by
+    *    (doc_count desc, bucket), replacing the bucket-ascending
+    *    order.
+    *
+    * Scale shape, stated honestly: the pipeline windows run
+    * UNPARTITIONED over the bucket series — which is bucket-count-
+    * sized by the histogram's own contract (range/interval), NOT
+    * corpus-sized, and is exactly where ES computes pipeline
+    * aggregations too (the coordinating node's reduce phase over the
+    * already-reduced buckets). The heavy lifting stays in
+    * [[histogramFacet]]'s distributed hit-set aggregation. Output:
+    * (bucket, doc_count, cum_count, derivative, moving_avg). */
+  def histogramPipelineFacet(spark: SparkSession, rootDir: String,
+                             terms: Seq[String], field: String,
+                             interval: Long, movingWindow: Int = 3,
+                             minDocCount: Long = 0L,
+                             topBuckets: Option[Int] = None)
+      : DataFrame = {
+    require(movingWindow >= 1,
+      s"movingWindow must be >= 1: $movingWindow")
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .orderBy(asc("bucket"))
+    val wCum = wOrd.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wMov = wOrd.rowsBetween(-(movingWindow - 1).toLong, 0)
+    val piped = histogramFacet(spark, rootDir, terms, field, interval)
+      .withColumn("cum_count", sum("doc_count").over(wCum))
+      .withColumn("derivative",
+        col("doc_count") - lag("doc_count", 1).over(wOrd))
+      .withColumn("moving_avg",
+        sum("doc_count").over(wMov).cast("double") /
+          count(lit(1)).over(wMov).cast("double"))
+      .filter(col("doc_count") >= lit(minDocCount))
+    topBuckets.fold(piped.orderBy("bucket"))(n =>
+      piped.orderBy(desc("doc_count"), asc("bucket")).limit(n))
+  }
+
+  /** SIBLING pipeline aggregation — ES's `stats_bucket` (with
+    * `avg`/`min`/`max`/`sum_bucket` as its columns): one row of
+    * statistics ACROSS the histogram's buckets (doc_count series),
+    * the "what does the whole series look like" reduce every
+    * dashboard footer shows. Zero-filled buckets count (ES's
+    * gap_policy on a min_doc_count=0 histogram); avg is an exact
+    * long sum over one division. Output: (n_buckets, bmin, bmax,
+    * bsum, bavg), 1 row. */
+  def statsBucket(spark: SparkSession, rootDir: String,
+                  terms: Seq[String], field: String,
+                  interval: Long): DataFrame =
+    histogramFacet(spark, rootDir, terms, field, interval)
+      .agg(count(lit(1)).as("n_buckets"),
+        min("doc_count").as("bmin"), max("doc_count").as("bmax"),
+        sum("doc_count").as("bsum"),
+        (sum("doc_count").cast("double") /
+          count(lit(1)).cast("double")).as("bavg"))
+
   /** Field-sorted search — ES's `sort: [{ field: order }]`, the
     * list-by-date request every search UI makes: the FULL live hit
     * set of the query terms orders by a stored doc-values column
@@ -1489,6 +1564,164 @@ object SegmentedIndex {
       .groupBy("input").agg(max("weight").as("weight"))
       .orderBy(desc("weight"), asc("input"))
       .limit(k)
+  }
+
+  /** Filters aggregation — ES's `aggs.filters` with keyed buckets:
+    * each NAMED bucket is its own term query (match-any semantics,
+    * [[countQuery]]'s contract) and every bucket reports its live
+    * distinct-hit count — the one-request dashboard split ("errors
+    * vs warnings vs the rest") that would otherwise be N searches.
+    * ALL buckets answer from ONE bucket-pruned postings scan of the
+    * union of their analyzed terms (the `_msearch` amortization
+    * applied to counting); a broadcast (name, term) membership join
+    * fans rows to their buckets. Every REQUESTED bucket appears,
+    * zero-count included — ES's keyed-filters response shape (a
+    * filter whose terms all analyze away simply counts 0). Output:
+    * (name, doc_count), name-ascending. */
+  def filtersFacet(spark: SparkSession, rootDir: String,
+                   filters: Seq[(String, Seq[String])]): DataFrame = {
+    require(filters.nonEmpty, "filtersFacet needs at least one filter")
+    require(filters.map(_._1).distinct.size == filters.size,
+      "filter names must be unique")
+    import spark.implicits._
+    val root = new java.io.File(rootDir)
+    val analyzed = filters.map { case (n, ts) => n -> qTerms(root, ts) }
+    val allTerms = analyzed.flatMap(_._2).distinct
+    val names = filters.map(_._1).toDF("name")
+    if (allTerms.isEmpty)
+      return names.withColumn("doc_count", lit(0L)).orderBy("name")
+    val (nb, segs, _) = readManifest(root)
+    val p = prunedPostings(spark, root, segs, allTerms, nb)
+      .filter(col("term").isin(allTerms: _*))
+    val live = tombstones(spark, root, segs) match {
+      case Some(dead) =>
+        p.join(dead, Seq("doc_id", "seg"), "left_anti")
+      case None => p
+    }
+    val membership = analyzed
+      .flatMap { case (n, ts) => ts.map(t => (n, t)) }
+      .toDF("name", "term")
+    val counts = live.join(broadcast(membership), "term")
+      .groupBy("name")
+      .agg(countDistinct(col("doc_id")).as("doc_count"))
+    broadcast(names).join(counts, Seq("name"), "left")
+      .na.fill(0L, Seq("doc_count"))
+      .orderBy("name")
+  }
+
+  /** Adjacency-matrix aggregation — ES's `adjacency_matrix`: one
+    * bucket per named filter plus one per PAIRWISE INTERSECTION
+    * (key `a&b`, the lexicographically-ordered pair under ES's `&`
+    * separator), the co-occurrence matrix behind graph/venn
+    * visualizations. Same one-scan membership plumbing as
+    * [[filtersFacet]]; the intersections come from a hit-set-sized
+    * self-join on doc_id (O(hits · filters²) worst case — ES caps
+    * the filter count for the same reason; pass a handful). Unlike
+    * `filters`, EMPTY buckets are omitted — ES's documented rule for
+    * this agg. Output: (key, doc_count), key-ascending. */
+  def adjacencyMatrix(spark: SparkSession, rootDir: String,
+                      filters: Seq[(String, Seq[String])]): DataFrame = {
+    require(filters.nonEmpty, "adjacencyMatrix needs filters")
+    require(filters.map(_._1).distinct.size == filters.size,
+      "filter names must be unique")
+    require(filters.forall(!_._1.contains("&")),
+      "filter names cannot contain the '&' intersection separator")
+    import spark.implicits._
+    val root = new java.io.File(rootDir)
+    val analyzed = filters.map { case (n, ts) => n -> qTerms(root, ts) }
+    val allTerms = analyzed.flatMap(_._2).distinct
+    val (nb, segs, _) = readManifest(root)
+    if (allTerms.isEmpty)
+      return Seq.empty[(String, Long)].toDF("key", "doc_count")
+    val p = prunedPostings(spark, root, segs, allTerms, nb)
+      .filter(col("term").isin(allTerms: _*))
+    val live = tombstones(spark, root, segs) match {
+      case Some(dead) =>
+        p.join(dead, Seq("doc_id", "seg"), "left_anti")
+      case None => p
+    }
+    val membership = analyzed
+      .flatMap { case (n, ts) => ts.map(t => (n, t)) }
+      .toDF("name", "term")
+    val docNames = live.join(broadcast(membership), "term")
+      .select("name", "doc_id").distinct()
+    val singles = docNames.groupBy("name")
+      .agg(count(lit(1)).as("doc_count"))
+      .withColumnRenamed("name", "key")
+    val pairs = docNames
+      .join(docNames.withColumnRenamed("name", "name2"), Seq("doc_id"))
+      .filter(col("name") < col("name2"))
+      .withColumn("key", concat(col("name"), lit("&"), col("name2")))
+      .groupBy("key").agg(count(lit(1)).as("doc_count"))
+    singles.unionByName(pairs).orderBy("key")
+  }
+
+  /** Percentile-ranks aggregation — ES's `percentile_ranks`, the
+    * INVERSE of the percentiles agg ("what fraction of page loads
+    * finish at or below 500ms"): for each requested value, the
+    * percent of the live hit set's field values AT OR BELOW it
+    * (ES's at-or-below reading). EXACT here — which keeps it on the
+    * hash-oracle surface; ES itself serves TDigest, and at 100 TB
+    * the swap is the same sketch-tier note as [[cardinalityFacet]].
+    * The requested values ride as a broadcast literal frame into a
+    * theta join ([[rangeFacet]]'s shape — O(hits · |values|), never
+    * a shuffle by value); the rank is an exact integer count over
+    * one double division. Every requested value appears (0.0 when
+    * below all data). Output: (value, percentile_rank),
+    * value-ascending. */
+  def percentileRanksFacet(spark: SparkSession, rootDir: String,
+                           terms: Seq[String], field: String,
+                           values: Seq[Long]): DataFrame = {
+    require(values.nonEmpty, "percentileRanksFacet needs values")
+    import spark.implicits._
+    val req = values.distinct.sorted.toDF("rv")
+    val v = hitFieldValues(spark, rootDir, terms, field)
+    val total = v.agg(count(lit(1)).as("n"))
+    val counts = v.join(broadcast(req), col("value") <= col("rv"))
+      .groupBy("rv").agg(count(lit(1)).as("le"))
+    broadcast(req).join(counts, Seq("rv"), "left")
+      .na.fill(0L, Seq("le"))
+      .crossJoin(broadcast(total))
+      .withColumn("percentile_rank",
+        col("le").cast("double") * lit(100.0d) /
+          col("n").cast("double"))
+      .select(col("rv").as("value"), col("percentile_rank"))
+      .orderBy("value")
+  }
+
+  /** Exists query — ES's `exists` (filter context): live documents
+    * whose stored FIELD carries a value (non-null — ES's "has an
+    * indexed value"), constant score 1.0 like every filter-context
+    * query, doc_id-ordered first k. One column-pruned stored read
+    * per segment with the IsNotNull predicate pushed into the
+    * parquet scan; a segment whose schema lacks the field (sparse
+    * mapping) contributes nothing. Output: (doc_id, score). */
+  def existsQuery(spark: SparkSession, rootDir: String, field: String,
+                  k: Int): DataFrame = {
+    import spark.implicits._
+    val root = new java.io.File(rootDir)
+    val (_, segs, _) = readManifest(root)
+    val live0 = segs.filter(_.kind == "seg")
+    if (live0.isEmpty)
+      return Seq.empty[(Long, Double)].toDF("doc_id", "score")
+    val stored = live0.map { sg =>
+      val st = spark.read.parquet(new java.io.File(
+        new java.io.File(root, sg.name), "_stored").getPath)
+      (if (st.columns.contains(field))
+        st.select(col("doc_id").cast("long").as("doc_id"),
+          col(field).isNotNull.as("has"))
+          .filter(col("has"))
+      else
+        Seq.empty[(Long, Boolean)].toDF("doc_id", "has"))
+        .withColumn("seg", lit(sg.name.stripPrefix("seg=")))
+    }.reduce(_ unionByName _)
+    val live = tombstones(spark, root, segs) match {
+      case Some(dead) =>
+        stored.join(dead, Seq("doc_id", "seg"), "left_anti")
+      case None => stored
+    }
+    live.select(col("doc_id"), lit(1.0d).as("score"))
+      .orderBy("doc_id").limit(k)
   }
 
   /** Range aggregation — ES's `aggs.range` with explicit bounds:

@@ -583,6 +583,74 @@ object LlmSurface {
       SegmentedIndex.histogramFacet(s, segIndexDir(s, d), searchTerms,
         "n_chars", interval = 50L)),
 
+    // --- PIPELINE aggregations (ES's parent pipeline tier —
+    //     cumulative_sum + derivative + moving_fn over the q181
+    //     histogram, then a bucket_selector): running total,
+    //     bucket-over-bucket delta (first bucket null — ES omits it),
+    //     trailing-3 moving average (exact long sums, one division),
+    //     and buckets below min doc_count leave the response AFTER
+    //     every pipeline value computed over the full gap-filled
+    //     series — ES's reduce order. The windows run over the
+    //     bucket series, exactly where ES computes them
+    //     (SegmentedIndex.histogramPipelineFacet) ---
+    "q231_pipeline_aggs" -> ((s, d) =>
+      // probe-only against the STAGED index (segIndexDir)
+      SegmentedIndex.histogramPipelineFacet(s, segIndexDir(s, d),
+        searchTerms, "n_chars", interval = 50L, movingWindow = 3,
+        minDocCount = 1L)),
+
+    // --- SIBLING pipeline aggregation (ES `stats_bucket` — the
+    //     avg/min/max/sum_bucket family in one row): statistics
+    //     ACROSS the histogram's doc_count series, zero-filled
+    //     buckets included (gap_policy on a min_doc_count=0
+    //     histogram) (SegmentedIndex.statsBucket) ---
+    "q232_stats_bucket" -> ((s, d) =>
+      // probe-only against the STAGED index (segIndexDir)
+      SegmentedIndex.statsBucket(s, segIndexDir(s, d), searchTerms,
+        "n_chars", interval = 50L)),
+
+    // --- filters aggregation (ES `aggs.filters`, keyed): three named
+    //     term-query buckets counted from ONE postings scan of their
+    //     union; the all-miss bucket still appears at zero (ES's
+    //     keyed response shape) (SegmentedIndex.filtersFacet) ---
+    "q233_filters_agg" -> ((s, d) =>
+      // probe-only against the STAGED index (segIndexDir)
+      SegmentedIndex.filtersFacet(s, segIndexDir(s, d),
+        Seq("sparkish" -> Seq("spark"),
+          "joiny" -> Seq("join", "vector"),
+          "none" -> Seq("zz-absent-term")))),
+
+    // --- adjacency-matrix aggregation (ES `adjacency_matrix`):
+    //     per-filter buckets plus every non-empty pairwise
+    //     intersection under the 'a&b' key — the co-occurrence
+    //     matrix; empty cells omitted (ES's rule for this agg,
+    //     unlike `filters`) (SegmentedIndex.adjacencyMatrix) ---
+    "q234_adjacency_matrix" -> ((s, d) =>
+      // probe-only against the STAGED index (segIndexDir)
+      SegmentedIndex.adjacencyMatrix(s, segIndexDir(s, d),
+        Seq("j" -> Seq("join"), "s" -> Seq("spark"),
+          "v" -> Seq("vector")))),
+
+    // --- percentile-ranks aggregation (ES `percentile_ranks` — the
+    //     inverse percentiles): the percent of live hit docs'
+    //     n_chars at or below each requested value, exact integer
+    //     counts over one division (ES serves TDigest; the sketch
+    //     swap is the cardinality note)
+    //     (SegmentedIndex.percentileRanksFacet) ---
+    "q235_percentile_ranks" -> ((s, d) =>
+      // probe-only against the STAGED index (segIndexDir)
+      SegmentedIndex.percentileRanksFacet(s, segIndexDir(s, d),
+        searchTerms, "n_chars", Seq(100L, 400L, 2000L))),
+
+    // --- exists query (ES `exists`, filter context): live docs whose
+    //     stored field carries a value, constant score, IsNotNull
+    //     pushed into the column-pruned stored scan
+    //     (SegmentedIndex.existsQuery) ---
+    "q236_exists_query" -> ((s, d) =>
+      // probe-only against the STAGED index (segIndexDir)
+      SegmentedIndex.existsQuery(s, segIndexDir(s, d), "source",
+        k = 25)),
+
     // --- point-in-time search (ES PIT / Lucene's pinned
     //     IndexReader): a retained manifest generation is a frozen
     //     view — the search pinned BEFORE the delete still sees every
@@ -4125,6 +4193,141 @@ object LlmSurface {
          |FROM b LEFT JOIN c USING (bucket) ORDER BY bucket"""
         .stripMargin
     },
+
+    // q231: the pipeline tier replayed — q181's gap-filled series,
+    // then the same window functions (running sum, lag delta with a
+    // null first bucket, trailing-3 average as an exact long sum over
+    // one division), selector applied AFTER the pipelines (reduce
+    // order)
+    "q231_pipeline_aggs" -> {
+      val termList = searchTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+         | p AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |       FROM d),
+         | hits AS (SELECT DISTINCT doc_id FROM p
+         |          WHERE term IN ($termList) AND doc_id % 37 <> 5),
+         | c AS (SELECT (n_chars // 50) * 50 AS bucket,
+         |   count(DISTINCT d.doc_id)::BIGINT AS doc_count
+         |  FROM d JOIN hits USING (doc_id) GROUP BY 1),
+         | b AS (SELECT unnest(generate_series(
+         |   (SELECT min(bucket) FROM c), (SELECT max(bucket) FROM c),
+         |   50)) AS bucket),
+         | filled AS (SELECT bucket,
+         |   coalesce(doc_count, 0)::BIGINT AS doc_count
+         |  FROM b LEFT JOIN c USING (bucket)),
+         | piped AS (SELECT bucket, doc_count,
+         |   sum(doc_count) OVER (ORDER BY bucket
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |     ::BIGINT AS cum_count,
+         |   (doc_count - lag(doc_count) OVER (ORDER BY bucket))
+         |     ::BIGINT AS derivative,
+         |   sum(doc_count) OVER (ORDER BY bucket
+         |     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)::DOUBLE /
+         |   count(*) OVER (ORDER BY bucket
+         |     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)::DOUBLE
+         |     AS moving_avg
+         |  FROM filled)
+         |SELECT bucket, doc_count, cum_count, derivative, moving_avg
+         |FROM piped WHERE doc_count >= 1 ORDER BY bucket"""
+        .stripMargin
+    },
+
+    // q232: the sibling stats_bucket replayed — one row over the
+    // same gap-filled doc_count series, avg = exact sum / count
+    "q232_stats_bucket" -> {
+      val termList = searchTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+         | p AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |       FROM d),
+         | hits AS (SELECT DISTINCT doc_id FROM p
+         |          WHERE term IN ($termList) AND doc_id % 37 <> 5),
+         | c AS (SELECT (n_chars // 50) * 50 AS bucket,
+         |   count(DISTINCT d.doc_id)::BIGINT AS doc_count
+         |  FROM d JOIN hits USING (doc_id) GROUP BY 1),
+         | b AS (SELECT unnest(generate_series(
+         |   (SELECT min(bucket) FROM c), (SELECT max(bucket) FROM c),
+         |   50)) AS bucket),
+         | filled AS (SELECT bucket,
+         |   coalesce(doc_count, 0)::BIGINT AS doc_count
+         |  FROM b LEFT JOIN c USING (bucket))
+         |SELECT count(*)::BIGINT AS n_buckets,
+         | min(doc_count)::BIGINT AS bmin,
+         | max(doc_count)::BIGINT AS bmax,
+         | sum(doc_count)::BIGINT AS bsum,
+         | (sum(doc_count)::DOUBLE / count(*)::DOUBLE) AS bavg
+         |FROM filled""".stripMargin
+    },
+
+    // q233: keyed filters replayed — per-name distinct live hits
+    // from one token derivation, the all-miss bucket zero-filled
+    "q233_filters_agg" ->
+      """WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+        | p AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |       FROM d),
+        | qt AS (SELECT * FROM (VALUES ('sparkish', 'spark'),
+        |   ('joiny', 'join'), ('joiny', 'vector'),
+        |   ('none', 'zz-absent-term')) t(name, term)),
+        | counts AS (SELECT name,
+        |   count(DISTINCT doc_id)::BIGINT AS doc_count
+        |  FROM p JOIN qt USING (term) WHERE doc_id % 37 <> 5
+        |  GROUP BY name),
+        | names AS (SELECT * FROM (VALUES ('sparkish'), ('joiny'),
+        |   ('none')) t(name))
+        |SELECT name, coalesce(doc_count, 0)::BIGINT AS doc_count
+        |FROM names LEFT JOIN counts USING (name)
+        |ORDER BY name""".stripMargin,
+
+    // q234: the adjacency matrix replayed — per-filter distinct live
+    // doc sets, singles + lexicographic 'a&b' pair intersections,
+    // empty cells dropping out of the GROUP BY naturally
+    "q234_adjacency_matrix" ->
+      """WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+        | p AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |       FROM d),
+        | qt AS (SELECT * FROM (VALUES ('j', 'join'), ('s', 'spark'),
+        |   ('v', 'vector')) t(name, term)),
+        | dn AS (SELECT DISTINCT name, doc_id FROM p JOIN qt
+        |   USING (term) WHERE doc_id % 37 <> 5),
+        | singles AS (SELECT name AS key, count(*)::BIGINT AS doc_count
+        |  FROM dn GROUP BY name),
+        | pairs AS (SELECT a.name || '&' || b.name AS key,
+        |   count(*)::BIGINT AS doc_count
+        |  FROM dn a JOIN dn b
+        |    ON a.doc_id = b.doc_id AND a.name < b.name
+        |  GROUP BY 1)
+        |SELECT key, doc_count FROM
+        | (SELECT * FROM singles UNION ALL SELECT * FROM pairs)
+        |ORDER BY key""".stripMargin,
+
+    // q235: percentile ranks replayed — exact at-or-below counts per
+    // requested value over the live hit docs' field, one division
+    "q235_percentile_ranks" -> {
+      val termList = searchTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+         | p AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |       FROM d),
+         | hits AS (SELECT DISTINCT doc_id FROM p
+         |          WHERE term IN ($termList) AND doc_id % 37 <> 5),
+         | vals AS (SELECT n_chars AS value FROM d
+         |   JOIN hits USING (doc_id)),
+         | n AS (SELECT count(*)::BIGINT AS n FROM vals),
+         | req AS (SELECT * FROM (VALUES (100), (400), (2000)) t(rv)),
+         | counts AS (SELECT rv, count(*)::BIGINT AS le FROM vals
+         |   JOIN req ON value <= rv GROUP BY rv)
+         |SELECT rv::BIGINT AS value,
+         | (coalesce(le, 0)::DOUBLE * 100.0 / n::DOUBLE)
+         |   AS percentile_rank
+         |FROM req LEFT JOIN counts USING (rv), n
+         |ORDER BY value""".stripMargin
+    },
+
+    // q236: exists replayed — live docs with a non-null field,
+    // constant score, id-ordered page
+    "q236_exists_query" ->
+      """WITH d AS (SELECT * FROM documents WHERE doc_id < 150)
+        |SELECT doc_id, 1.0::DOUBLE AS score FROM d
+        |WHERE source IS NOT NULL AND doc_id % 37 <> 5
+        |ORDER BY doc_id LIMIT 25""".stripMargin,
 
     // q180: ES bool semantics replayed in SQL — candidates must carry
     // BOTH must terms (live rows), none of the must_not term; scoring

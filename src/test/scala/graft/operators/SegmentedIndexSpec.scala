@@ -1237,6 +1237,92 @@ class SegmentedIndexSpec extends SparkSpec {
       Seq(("𝕏ray", 5L)))
   }
 
+  test("histogramPipelineFacet + statsBucket: cumulative sum, " +
+    "null-first derivative, exact trailing moving average over the " +
+    "gap-filled series; the selector prunes AFTER the pipelines; " +
+    "bucket_sort keeps top-N") {
+    val root = Files.createTempDirectory("graft-pipe").toString
+    val d = Seq(
+      (1L, "x pad", 0L),
+      (2L, "x pad", 5L),
+      (3L, "x pad", 10L),
+      (4L, "x pad", 30L)).toDF("doc_id", "text", "n")
+    SegmentedIndex.append(spark, root, d, "a", nBuckets = 4)
+    // buckets (interval 10): 0→2, 10→1, 20→0 (gap-filled), 30→1
+    val r = SegmentedIndex.histogramPipelineFacet(spark, root,
+        Seq("x"), "n", interval = 10L, movingWindow = 3)
+      .as[(Long, Long, Long, Option[Long], Double)].collect().toSeq
+    assert(r == Seq(
+      (0L, 2L, 2L, None, 2.0),
+      (10L, 1L, 3L, Some(-1L), 1.5),
+      (20L, 0L, 3L, Some(-1L), 1.0),
+      (30L, 1L, 4L, Some(1L), 2.0 / 3.0)), r.toString)
+    // bucket_selector drops the empty bucket AFTER the pipelines:
+    // bucket 30's derivative still reads +1 against the REMOVED
+    // zero bucket (ES's reduce order — the series, then the filter)
+    val sel = SegmentedIndex.histogramPipelineFacet(spark, root,
+        Seq("x"), "n", interval = 10L, movingWindow = 3,
+        minDocCount = 1L)
+      .as[(Long, Long, Long, Option[Long], Double)].collect().toSeq
+    assert(sel.map(_._1) == Seq(0L, 10L, 30L), sel.toString)
+    assert(sel.last == ((30L, 1L, 4L, Some(1L), 2.0 / 3.0)),
+      sel.toString)
+    // bucket_sort: top 2 by (doc_count desc, bucket)
+    val top = SegmentedIndex.histogramPipelineFacet(spark, root,
+        Seq("x"), "n", interval = 10L, movingWindow = 3,
+        topBuckets = Some(2))
+      .as[(Long, Long, Long, Option[Long], Double)].collect().toSeq
+    assert(top.map(_._1) == Seq(0L, 10L), top.toString)
+    // the sibling stats_bucket over the same series
+    val sb = SegmentedIndex.statsBucket(spark, root, Seq("x"), "n",
+        interval = 10L)
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    assert(sb == ((4L, 0L, 2L, 4L, 1.0)), sb.toString)
+  }
+
+  test("filtersFacet / adjacencyMatrix / percentileRanksFacet / " +
+    "existsQuery: keyed buckets zero-fill, the matrix emits only " +
+    "non-empty cells, ranks are exact at-or-below percents, exists " +
+    "is live null-filtering") {
+    val root = Files.createTempDirectory("graft-fadj").toString
+    val d = Seq(
+      (1L, "x y", 5L, Some("a")),
+      (2L, "x z", 7L, Some("q")),
+      (3L, "y z", 20L, None),
+      (4L, "w pad", 9L, Some("b")))
+      .toDF("doc_id", "text", "n", "m")
+    SegmentedIndex.append(spark, root, d, "a", nBuckets = 4)
+    SegmentedIndex.delete(spark, root, Seq(2L).toDF("doc_id"), "d1")
+    // filters: live x → {1}; y/z → {1, 3}; the all-miss bucket
+    // still appears at 0 (ES's keyed shape)
+    assert(SegmentedIndex.filtersFacet(spark, root,
+      Seq("a" -> Seq("x"), "b" -> Seq("y", "z"),
+        "c" -> Seq("absent")))
+      .as[(String, Long)].collect().toSeq ==
+      Seq(("a", 1L), ("b", 2L), ("c", 0L)))
+    // adjacency matrix: singles px{1} py{1,3} pz{3}; intersections
+    // px&py (doc 1) and py&pz (doc 3); px&pz is EMPTY and omitted
+    assert(SegmentedIndex.adjacencyMatrix(spark, root,
+      Seq("px" -> Seq("x"), "py" -> Seq("y"), "pz" -> Seq("z")))
+      .as[(String, Long)].collect().toSeq ==
+      Seq(("px", 1L), ("px&py", 1L), ("py", 2L), ("py&pz", 1L),
+        ("pz", 1L)))
+    intercept[IllegalArgumentException](SegmentedIndex
+      .adjacencyMatrix(spark, root, Seq("a&b" -> Seq("x"))))
+    // percentile ranks over live hits {1, 3} (n = 5, 20): at-or-
+    // below 4 → 0%, 5 → 50%, 25 → 100%; requested values always
+    // appear
+    assert(SegmentedIndex.percentileRanksFacet(spark, root,
+      Seq("x", "y", "z"), "n", Seq(4L, 5L, 25L))
+      .as[(Long, Double)].collect().toSeq ==
+      Seq((4L, 0.0), (5L, 50.0), (25L, 100.0)))
+    // exists: docs with a non-null m, live only (doc 2 has m but is
+    // tombstoned; doc 3's null drops)
+    assert(SegmentedIndex.existsQuery(spark, root, "m", 10)
+      .as[(Long, Double)].collect().toSeq ==
+      Seq((1L, 1.0), (4L, 1.0)))
+  }
+
   test("rangeFacet: every requested range appears (zero-count " +
     "included), from inclusive / to exclusive, tombstones drop") {
     val root = Files.createTempDirectory("graft-rng").toString
