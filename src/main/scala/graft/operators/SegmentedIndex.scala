@@ -1566,6 +1566,138 @@ object SegmentedIndex {
       .limit(k)
   }
 
+  /** Two-term SLOPPY phrase — ES's `match_phrase` with `slop` on a
+    * two-term phrase (the overwhelmingly common slop usage: "find
+    * A near-before B"): a document matches when SOME pair of
+    * occurrence positions (p for the first term, q for the second)
+    * needs at most `slop` position MOVES to become adjacent in
+    * order — `|q − p − 1|` moves, so an in-order gap of g costs g
+    * and transposed adjacent terms cost 2 (ES's own documented
+    * example), and slop 0 degrades to the exact adjacent phrase.
+    * The n-term generalization is Lucene's full SloppyPhraseMatcher
+    * (an alignment optimization with repeat handling) and is
+    * deliberately out of scope — stated, not approximated; repeated
+    * terms are rejected for the same reason (a single occurrence
+    * must not match against itself).
+    *
+    * Scale shape: two bucket-pruned posting lists join on doc_id and
+    * the min-moves fold runs INSIDE one codegen'd array expression
+    * over the inline position arrays (tf_a·tf_b pairs per doc —
+    * Lucene's own per-doc cost); no explode, no extra shuffle.
+    * Output: (doc_id, min_moves), doc_id-ascending, first k. */
+  def sloppyPhraseSearch(spark: SparkSession, rootDir: String,
+                         first: String, second: String, slop: Int,
+                         k: Int): DataFrame = {
+    require(slop >= 0, s"slop must be >= 0: $slop")
+    val root = new java.io.File(rootDir)
+    val qa = qTerms(root, Seq(first))
+    val qb = qTerms(root, Seq(second))
+    require(qa.size == 1 && qb.size == 1,
+      "each phrase slot must analyze to exactly one term")
+    val (ta, tb) = (qa.head, qb.head)
+    require(ta != tb, "repeated-term sloppy phrases need Lucene's " +
+      "repeat handling — unsupported")
+    val (nb, segs, _) = readManifest(root)
+    val p = prunedPostings(spark, root, segs, Seq(ta, tb), nb)
+      .filter(col("term").isin(ta, tb))
+    val live = tombstones(spark, root, segs) match {
+      case Some(dead) =>
+        p.join(dead, Seq("doc_id", "seg"), "left_anti")
+      case None => p
+    }
+    val pa = live.filter(col("term") === lit(ta))
+      .select(col("doc_id"), col("positions").as("pa"))
+    val pb = live.filter(col("term") === lit(tb))
+      .select(col("doc_id"), col("positions").as("pb"))
+    pa.join(pb, "doc_id")
+      .withColumn("min_moves", expr(
+        "array_min(flatten(transform(pa, " +
+          "p -> transform(pb, q -> abs(q - p - 1)))))"))
+      .filter(col("min_moves") <= lit(slop.toLong))
+      .select("doc_id", "min_moves")
+      .orderBy("doc_id").limit(k)
+  }
+
+  /** Function-score with a LINEAR DECAY — ES's `function_score`
+    * decay family (`gauss`/`exp`/`linear`) on a numeric field, the
+    * "prefer things near this value" ranking (recency, price,
+    * distance). The LINEAR kernel specifically, because it is pure
+    * +,−,×,÷ arithmetic and therefore bit-stable on the hash-oracle
+    * surface (gauss/exp need libm `exp`, whose last-bit behavior
+    * differs across engines — they trade exactness for shape, and
+    * ES's own scores are approximate there):
+    *
+    *   λ = scale / (1 − decay)   (ES's linear λ; at the default
+    *                              decay 0.5 the multiplier reaches
+    *                              0.5 exactly at `scale` distance)
+    *   mult = max(0, (λ − |value − origin|) / λ)
+    *
+    * Documents missing the field multiply by 1 (ES's rule — decay
+    * functions skip docs without the field). Output: (doc_id, score,
+    * decay_mult, n_terms_hit), top-k by (score desc, doc_id). */
+  def decayScoreSearch(spark: SparkSession, rootDir: String,
+                       terms: Seq[String], field: String,
+                       origin: Long, scale: Long, k: Int,
+                       decay: Double = 0.5): DataFrame = {
+    require(scale > 0, s"scale must be positive: $scale")
+    require(decay > 0.0 && decay < 1.0,
+      s"decay must be in (0, 1): $decay")
+    val lam = scale / (1.0 - decay)
+    val scored = scoredHits(spark, rootDir, terms)
+    val vals = hitFieldValues(spark, rootDir, terms, field,
+      keepMissing = true)
+    scored.join(vals, Seq("doc_id"), "left")
+      .withColumn("decay_mult",
+        when(col("value").isNull, lit(1.0d))
+          .otherwise(greatest(lit(0.0d),
+            (lit(lam) - abs(col("value") - lit(origin))
+              .cast("double")) / lit(lam))))
+      .withColumn("score", col("score") * col("decay_mult"))
+      .select("doc_id", "score", "decay_mult", "n_terms_hit")
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
+
+  /** Named-query reporting — ES's bool `_name` / `matched_queries`:
+    * each hit carries WHICH named clauses matched it (should
+    * semantics — any match returns the doc), the debugging/relevance
+    * breadcrumb every complex bool query turns on. The names return
+    * as one comma-joined SORTED string (ES returns an array; the
+    * string keeps the result on the hash-oracle surface). One
+    * bucket-pruned postings scan of all clauses' terms + the
+    * broadcast (name, term) membership join + a per-doc sorted
+    * collect. Output: (doc_id, matched_queries), doc_id-ascending,
+    * first k. */
+  def namedQueriesSearch(spark: SparkSession, rootDir: String,
+                         queries: Seq[(String, Seq[String])],
+                         k: Int): DataFrame = {
+    require(queries.nonEmpty, "namedQueriesSearch needs queries")
+    require(queries.map(_._1).distinct.size == queries.size,
+      "query names must be unique")
+    import spark.implicits._
+    val root = new java.io.File(rootDir)
+    val analyzed = queries.map { case (n, ts) => n -> qTerms(root, ts) }
+    val allTerms = analyzed.flatMap(_._2).distinct
+    if (allTerms.isEmpty)
+      return Seq.empty[(Long, String)].toDF("doc_id", "matched_queries")
+    val (nb, segs, _) = readManifest(root)
+    val p = prunedPostings(spark, root, segs, allTerms, nb)
+      .filter(col("term").isin(allTerms: _*))
+    val live = tombstones(spark, root, segs) match {
+      case Some(dead) =>
+        p.join(dead, Seq("doc_id", "seg"), "left_anti")
+      case None => p
+    }
+    val membership = analyzed
+      .flatMap { case (n, ts) => ts.map(t => (n, t)) }
+      .toDF("name", "term")
+    live.join(broadcast(membership), "term")
+      .groupBy("doc_id")
+      .agg(concat_ws(",", sort_array(collect_set(col("name"))))
+        .as("matched_queries"))
+      .orderBy("doc_id").limit(k)
+  }
+
   /** Filters aggregation — ES's `aggs.filters` with keyed buckets:
     * each NAMED bucket is its own term query (match-any semantics,
     * [[countQuery]]'s contract) and every bucket reports its live
@@ -2661,6 +2793,17 @@ object SegmentedIndex {
     // LOUDLY here instead of silently mis-analyzing the other
     // members' queries ([[requireUniformAnalyzer]]).
     requireUniformAnalyzer(indices)
+    multiSearchScored(spark, indices, terms)
+      .orderBy(desc("score"), asc("idx"), asc("doc_id"))
+      .limit(k)
+  }
+
+  /** [[multiSearch]]'s scored hit set WITHOUT the top-k — the shared
+    * body [[multiSearchBoosted]] re-ranks. Callers enforce the
+    * uniform-analyzer precondition first. */
+  private def multiSearchScored(spark: SparkSession,
+                                indices: Seq[(String, String)],
+                                terms: Seq[String]): DataFrame = {
     val qs = qTerms(new java.io.File(indices.head._2), terms)
     val perIndex = indices.map { case (name, rootDir) =>
       val root = new java.io.File(rootDir)
@@ -2680,6 +2823,34 @@ object SegmentedIndex {
     val liveAll = perIndex.map(_._3).reduce(_ unionByName _)
     scoreLive(liveAll, dfreq, qs, nTotal,
       keys = Seq("idx", "doc_id"))
+  }
+
+  /** Federated search with PER-INDEX BOOSTS — ES's `indices_boost`
+    * (".. hits coming from the newer index matter more .."): exactly
+    * [[multiSearch]]'s lossless global-stats scoring, then each
+    * hit's relevance multiplies by its index's boost factor BEFORE
+    * the global top-k — one broadcast literal join and one double
+    * multiplication, deterministic cross-engine, so the boosted
+    * federation stays on the oracle surface. The uniform-analyzer
+    * precondition is [[multiSearch]]'s. Output: (idx, doc_id,
+    * score, n_terms_hit), top-k by (score desc, idx, doc_id). */
+  def multiSearchBoosted(spark: SparkSession,
+                         indices: Seq[(String, String, Double)],
+                         terms: Seq[String], k: Int): DataFrame = {
+    require(indices.nonEmpty, "multiSearchBoosted needs an index")
+    require(indices.forall(_._3 > 0.0),
+      "index boosts must be positive")
+    import spark.implicits._
+    val plain = indices.map { case (n, dir, _) => (n, dir) }
+    require(plain.map(_._1).distinct.size == plain.size,
+      "index names must be unique")
+    requireUniformAnalyzer(plain)
+    val boosts = indices.map { case (n, _, b) => (n, b) }
+      .toDF("idx", "boost")
+    multiSearchScored(spark, plain, terms)
+      .join(broadcast(boosts), "idx")
+      .withColumn("score", col("score") * col("boost"))
+      .select("idx", "doc_id", "score", "n_terms_hit")
       .orderBy(desc("score"), asc("idx"), asc("doc_id"))
       .limit(k)
   }

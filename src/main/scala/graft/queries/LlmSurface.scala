@@ -651,6 +651,53 @@ object LlmSurface {
       SegmentedIndex.existsQuery(s, segIndexDir(s, d), "source",
         k = 25)),
 
+    // --- two-term sloppy phrase (ES `match_phrase` + `slop`): a doc
+    //     matches when some occurrence pair needs <= slop position
+    //     moves to become adjacent in order (|q-p-1| — a gap of g
+    //     costs g, a transposition costs 2, ES's documented
+    //     arithmetic); the min-moves fold runs inside one codegen'd
+    //     array expression over the inline position arrays
+    //     (SegmentedIndex.sloppyPhraseSearch) ---
+    "q237_sloppy_phrase" -> ((s, d) =>
+      // probe-only against the STAGED index (segIndexDir)
+      SegmentedIndex.sloppyPhraseSearch(s, segIndexDir(s, d),
+        "spark", "join", slop = 3, k = 20)),
+
+    // --- indices_boost (ES's per-index relevance weighting — "hits
+    //     from the newer index matter more"): multiSearch's exact
+    //     global-stats scoring, each hit multiplied by its index's
+    //     boost BEFORE the global top-k
+    //     (SegmentedIndex.multiSearchBoosted) ---
+    "q238_indices_boost" -> ((s, d) => {
+      // probe-only against the STAGED corpus-split index pair
+      val (left, right) = segIndexPairDirs(s, d)
+      SegmentedIndex.multiSearchBoosted(s,
+        Seq(("left", left, 1.5), ("right", right, 1.0)),
+        searchTerms, k = 20)
+    }),
+
+    // --- function_score LINEAR decay (ES's decay family — prefer
+    //     docs near origin on a numeric field): the linear kernel is
+    //     pure arithmetic (λ = scale/(1−decay); mult =
+    //     max(0, (λ−|v−origin|)/λ)), so the decayed ranking stays
+    //     hash-exact where gauss/exp's libm calls could not
+    //     (SegmentedIndex.decayScoreSearch) ---
+    "q239_decay_score" -> ((s, d) =>
+      // probe-only against the STAGED index (segIndexDir)
+      SegmentedIndex.decayScoreSearch(s, segIndexDir(s, d),
+        searchTerms, "n_chars", origin = 500L, scale = 400L,
+        k = 20)),
+
+    // --- named queries (ES bool `_name` / matched_queries): each hit
+    //     reports WHICH named clauses matched it, comma-joined sorted
+    //     (ES returns an array; the string keeps the hash surface)
+    //     (SegmentedIndex.namedQueriesSearch) ---
+    "q240_named_queries" -> ((s, d) =>
+      // probe-only against the STAGED index (segIndexDir)
+      SegmentedIndex.namedQueriesSearch(s, segIndexDir(s, d),
+        Seq("alpha" -> Seq("spark"), "beta" -> Seq("join", "vector")),
+        k = 30)),
+
     // --- point-in-time search (ES PIT / Lucene's pinned
     //     IndexReader): a retained manifest generation is a frozen
     //     view — the search pinned BEFORE the delete still sees every
@@ -4328,6 +4375,105 @@ object LlmSurface {
         |SELECT doc_id, 1.0::DOUBLE AS score FROM d
         |WHERE source IS NOT NULL AND doc_id % 37 <> 5
         |ORDER BY doc_id LIMIT 25""".stripMargin,
+
+    // q237: the sloppy phrase replayed from raw positions
+    // (generate_subscripts zips with unnest — q204's pattern): min
+    // |q−p−1| over all occurrence pairs per live doc, <= slop
+    "q237_sloppy_phrase" ->
+      """WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+        | toks AS (SELECT doc_id, unnest(l) AS term,
+        |   generate_subscripts(l, 1) - 1 AS pos
+        |   FROM (SELECT doc_id, string_split(text, ' ') AS l FROM d)),
+        | pa AS (SELECT doc_id, pos FROM toks
+        |   WHERE term = 'spark' AND doc_id % 37 <> 5),
+        | pb AS (SELECT doc_id, pos FROM toks
+        |   WHERE term = 'join' AND doc_id % 37 <> 5),
+        | m AS (SELECT a.doc_id,
+        |   min(abs(b.pos - a.pos - 1))::BIGINT AS min_moves
+        |  FROM pa a JOIN pb b ON a.doc_id = b.doc_id
+        |  GROUP BY a.doc_id)
+        |SELECT doc_id, min_moves FROM m WHERE min_moves <= 3
+        |ORDER BY doc_id LIMIT 20""".stripMargin,
+
+    // q238: the boosted federation replayed — q182's global-stats
+    // scoring, then ONE multiply by the per-index boost before the
+    // global top-k
+    "q238_indices_boost" -> {
+      val termList = searchTerms.map(t => s"'$t'").mkString(", ")
+      val contribs = searchTerms.map { t =>
+        s"sum(CASE WHEN term = '$t' THEN tf::DOUBLE * " +
+          "(n_docs / doc_freq::DOUBLE) ELSE 0.0::DOUBLE END)"
+      }
+      s"""WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+         | p AS (SELECT term, doc_id, count(*)::BIGINT AS tf
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |        FROM d) GROUP BY term, doc_id),
+         | dfreq AS (SELECT term, count(*)::BIGINT AS doc_freq FROM p
+         |  GROUP BY term),
+         | nd AS (SELECT count(*)::DOUBLE AS n_docs FROM d),
+         | scored AS (SELECT
+         |   CASE WHEN doc_id < 75 THEN 'left' ELSE 'right' END AS idx,
+         |   doc_id, ${contribs.mkString(" + ")} AS score,
+         |   count(*) AS n_terms_hit
+         |  FROM p JOIN dfreq USING (term), nd
+         |  WHERE term IN ($termList) AND doc_id % 37 <> 5
+         |  GROUP BY idx, doc_id)
+         |SELECT idx, doc_id,
+         | score * (CASE idx WHEN 'left' THEN 1.5 ELSE 1.0 END)::DOUBLE
+         |   AS score,
+         | n_terms_hit
+         |FROM scored
+         |ORDER BY score DESC, idx, doc_id LIMIT 20""".stripMargin
+    },
+
+    // q239: the linear decay replayed — λ = 400/(1−0.5) = 800 exact,
+    // mult = max(0, (λ − |n_chars − 500|)/λ), one multiply onto the
+    // pivot score
+    "q239_decay_score" -> {
+      val termList = searchTerms.map(t => s"'$t'").mkString(", ")
+      val contribs = searchTerms.map { t =>
+        s"sum(CASE WHEN term = '$t' THEN tf::DOUBLE * " +
+          "(n_docs / doc_freq::DOUBLE) ELSE 0.0::DOUBLE END)"
+      }
+      s"""WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+         | p AS (SELECT term, doc_id, count(*)::BIGINT AS tf
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |        FROM d) GROUP BY term, doc_id),
+         | dfreq AS (SELECT term, count(*)::BIGINT AS doc_freq FROM p
+         |  GROUP BY term),
+         | nd AS (SELECT count(*)::DOUBLE AS n_docs FROM d),
+         | scored AS (SELECT doc_id,
+         |   ${contribs.mkString(" + ")} AS score,
+         |   count(*) AS n_terms_hit
+         |  FROM p JOIN dfreq USING (term), nd
+         |  WHERE term IN ($termList) AND doc_id % 37 <> 5
+         |  GROUP BY doc_id)
+         |SELECT s.doc_id,
+         | s.score * greatest(0.0::DOUBLE,
+         |   (800.0::DOUBLE - abs(d2.n_chars - 500)::DOUBLE)
+         |     / 800.0::DOUBLE) AS score,
+         | greatest(0.0::DOUBLE,
+         |   (800.0::DOUBLE - abs(d2.n_chars - 500)::DOUBLE)
+         |     / 800.0::DOUBLE) AS decay_mult,
+         | s.n_terms_hit
+         |FROM scored s JOIN d d2 ON s.doc_id = d2.doc_id
+         |ORDER BY score DESC, s.doc_id LIMIT 20""".stripMargin
+    },
+
+    // q240: named queries replayed — distinct (doc, name) matches,
+    // names comma-joined in sorted order per live hit
+    "q240_named_queries" ->
+      """WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+        | p AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |       FROM d),
+        | qt AS (SELECT * FROM (VALUES ('alpha', 'spark'),
+        |   ('beta', 'join'), ('beta', 'vector')) t(name, term)),
+        | dn AS (SELECT DISTINCT doc_id, name FROM p JOIN qt
+        |   USING (term) WHERE doc_id % 37 <> 5)
+        |SELECT doc_id,
+        | string_agg(name, ',' ORDER BY name) AS matched_queries
+        |FROM dn GROUP BY doc_id ORDER BY doc_id LIMIT 30"""
+        .stripMargin,
 
     // q180: ES bool semantics replayed in SQL — candidates must carry
     // BOTH must terms (live rows), none of the must_not term; scoring

@@ -1323,6 +1323,76 @@ class SegmentedIndexSpec extends SparkSpec {
       Seq((1L, 1.0), (4L, 1.0)))
   }
 
+  test("sloppyPhraseSearch: |q-p-1| move arithmetic (gap costs its " +
+    "size, transposition costs 2), slop 0 is the adjacent phrase, " +
+    "tombstones drop, repeated/multi-token slots reject; " +
+    "namedQueriesSearch reports sorted matched clause names") {
+    val root = Files.createTempDirectory("graft-slop").toString
+    val d = Seq(
+      (1L, "u v pad"),
+      (2L, "u pad v"),
+      (3L, "v u pad"),
+      (4L, "u pad pad pad pad v"),
+      (5L, "pad v x")).toDF("doc_id", "text")
+    SegmentedIndex.append(spark, root, d, "a", nBuckets = 4)
+    SegmentedIndex.delete(spark, root, Seq(2L).toDF("doc_id"), "d1")
+    // doc1 adjacent (0 moves); doc3 transposed adjacent (2 — ES's
+    // documented cost); doc4 gap of 4; doc2's 1-move match is dead
+    assert(SegmentedIndex.sloppyPhraseSearch(spark, root, "u", "v",
+      slop = 2, k = 10).as[(Long, Long)].collect().toSeq ==
+      Seq((1L, 0L), (3L, 2L)))
+    assert(SegmentedIndex.sloppyPhraseSearch(spark, root, "u", "v",
+      slop = 0, k = 10).as[(Long, Long)].collect().toSeq ==
+      Seq((1L, 0L)))
+    intercept[IllegalArgumentException](SegmentedIndex
+      .sloppyPhraseSearch(spark, root, "u", "u", 1, 10))
+    intercept[IllegalArgumentException](SegmentedIndex
+      .sloppyPhraseSearch(spark, root, "u v", "x", 1, 10))
+    // named queries: docs matching any clause return with the SORTED
+    // joined names of the clauses they matched
+    assert(SegmentedIndex.namedQueriesSearch(spark, root,
+      Seq("n1" -> Seq("u"), "n2" -> Seq("v")), k = 10)
+      .as[(Long, String)].collect().toSeq ==
+      Seq((1L, "n1,n2"), (3L, "n1,n2"), (4L, "n1,n2"),
+        (5L, "n2")))
+  }
+
+  test("decayScoreSearch (linear) + multiSearchBoosted: the decay " +
+    "multiplier is exact arithmetic with missing-field = 1 and a " +
+    "zero floor; index boosts re-rank the federation before top-k") {
+    val root = Files.createTempDirectory("graft-decay").toString
+    val d = Seq(
+      (1L, "y pad", Some(10L)),
+      (2L, "y pad", Some(14L)),
+      (3L, "y pad", Some(30L)),
+      (4L, "y pad", None)).toDF("doc_id", "text", "n")
+    SegmentedIndex.append(spark, root, d, "a", nBuckets = 4)
+    // df(y)=4, N=4 → base score 1.0 each; λ = 4/(1−0.5) = 8:
+    // n=10 → 1.0, n=14 → (8−4)/8 = 0.5, n=30 → floored 0, missing →
+    // 1.0 (ES skips docs without the field)
+    val r = SegmentedIndex.decayScoreSearch(spark, root, Seq("y"),
+        "n", origin = 10L, scale = 4L, k = 10)
+      .as[(Long, Double, Double, Long)].collect().toSeq
+    assert(r == Seq(
+      (1L, 1.0, 1.0, 1L), (4L, 1.0, 1.0, 1L),
+      (2L, 0.5, 0.5, 1L), (3L, 0.0, 0.0, 1L)), r.toString)
+    // boosted federation: idxB's boost 3 flips the unboosted order
+    val ra = Files.createTempDirectory("graft-boostA").toString
+    val rb = Files.createTempDirectory("graft-boostB").toString
+    SegmentedIndex.append(spark, ra,
+      Seq((1L, "z z")).toDF("doc_id", "text"), "a", nBuckets = 4)
+    SegmentedIndex.append(spark, rb,
+      Seq((2L, "z pad")).toDF("doc_id", "text"), "a", nBuckets = 4)
+    // global stats: N=2, df(z)=2 → doc1 = 2·(2/2) = 2.0, doc2 = 1.0
+    val boosted = SegmentedIndex.multiSearchBoosted(spark,
+        Seq(("a", ra, 1.0), ("b", rb, 3.0)), Seq("z"), k = 10)
+      .as[(String, Long, Double, Long)].collect().toSeq
+    assert(boosted == Seq(("b", 2L, 3.0, 1L), ("a", 1L, 2.0, 1L)),
+      boosted.toString)
+    intercept[IllegalArgumentException](SegmentedIndex
+      .multiSearchBoosted(spark, Seq(("a", ra, 0.0)), Seq("z"), 5))
+  }
+
   test("rangeFacet: every requested range appears (zero-count " +
     "included), from inclusive / to exclusive, tombstones drop") {
     val root = Files.createTempDirectory("graft-rng").toString
