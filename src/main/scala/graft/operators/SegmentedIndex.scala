@@ -1698,6 +1698,123 @@ object SegmentedIndex {
       .orderBy("doc_id").limit(k)
   }
 
+  /** Terms-set query — ES's `terms_set` ("match at least M of these
+    * N terms"), the tunable middle ground between bool's OR and AND:
+    * exactly [[search]]'s scored hit set constrained to docs whose
+    * DISTINCT matched-term count reaches `minMatch` (ES scores the
+    * survivors like the equivalent bool/should — same tf·(N/df)
+    * arithmetic here, so the whole query stays on the oracle
+    * surface). minMatch = 1 degrades to [[search]], minMatch = N to
+    * the conjunction. Output: [[search]]'s schema, top-k. */
+  def termsSetQuery(spark: SparkSession, rootDir: String,
+                    terms: Seq[String], minMatch: Int,
+                    k: Int): DataFrame = {
+    require(minMatch >= 1, s"minMatch must be >= 1: $minMatch")
+    scoredHits(spark, rootDir, terms)
+      .filter(col("n_terms_hit") >= lit(minMatch.toLong))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
+
+  /** Dis-max query — ES's `dis_max` (disjunction max): clauses score
+    * independently and a document's score is its BEST clause plus
+    * `tieBreaker` times the rest — the "fields compete, don't pile
+    * up" combinator behind multi-field search (a doc matching one
+    * clause strongly should beat a doc matching many weakly).
+    * score = best + tieBreaker·(Σ − best); with tieBreaker 0 (ES's
+    * default) pure max, with 1 exactly bool/should. Every clause is
+    * a term query scored by [[search]]'s exact arithmetic; absent
+    * clauses contribute 0. The combination is max + one multiply
+    * over the FIXED clause order — deterministic doubles, oracle
+    * surface. Clause hit sets meet in full-outer joins on doc_id
+    * (O(clauses) joins, clause lists are query-bounded). Output:
+    * (doc_id, score, n_clauses_hit), top-k by (score desc, doc_id).
+    */
+  def disMaxSearch(spark: SparkSession, rootDir: String,
+                   clauses: Seq[Seq[String]], tieBreaker: Double,
+                   k: Int): DataFrame = {
+    require(clauses.nonEmpty, "disMaxSearch needs clauses")
+    require(tieBreaker >= 0.0 && tieBreaker <= 1.0,
+      s"tieBreaker must be in [0, 1]: $tieBreaker")
+    val frames = clauses.zipWithIndex.map { case (ts, i) =>
+      scoredHits(spark, rootDir, ts)
+        .select(col("doc_id"), col("score").as(s"s_$i"))
+    }
+    val joined = frames
+      .reduce((a, b) => a.join(b, Seq("doc_id"), "full_outer"))
+    val hitFlags = clauses.indices
+      .map(i => when(col(s"s_$i").isNotNull, lit(1L)).otherwise(lit(0L)))
+    val scores = clauses.indices
+      .map(i => coalesce(col(s"s_$i"), lit(0.0d)))
+    val best =
+      if (scores.size == 1) scores.head else greatest(scores: _*)
+    val total = scores.reduce(_ + _)
+    joined
+      .withColumn("score",
+        best + lit(tieBreaker) * (total - best))
+      .withColumn("n_clauses_hit", hitFlags.reduce(_ + _))
+      .select("doc_id", "score", "n_clauses_hit")
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
+
+  /** Span-first query — Lucene/ES's `span_first` ("the term within
+    * the first N positions" — title-ish matching without a separate
+    * title field): live docs whose term occurs at an analyzed
+    * position strictly below `end`, with that first occurrence
+    * reported. The position test is `array_min` over the inline
+    * positions array — inside the pruned postings scan, no explode.
+    * Output: (doc_id, first_pos), doc_id-ascending, first k. */
+  def spanFirstSearch(spark: SparkSession, rootDir: String,
+                      term: String, end: Long, k: Int): DataFrame = {
+    require(end >= 1, s"end must be >= 1: $end")
+    val root = new java.io.File(rootDir)
+    val qs = qTerms(root, Seq(term))
+    require(qs.size == 1,
+      "span_first needs a single-term query")
+    val (nb, segs, _) = readManifest(root)
+    val p = prunedPostings(spark, root, segs, qs, nb)
+      .filter(col("term") === lit(qs.head))
+    val live = tombstones(spark, root, segs) match {
+      case Some(dead) =>
+        p.join(dead, Seq("doc_id", "seg"), "left_anti")
+      case None => p
+    }
+    live
+      .withColumn("first_pos", array_min(col("positions")))
+      .filter(col("first_pos") < lit(end))
+      .select("doc_id", "first_pos")
+      .orderBy("doc_id").limit(k)
+  }
+
+  /** Field capabilities — ES's `GET /_field_caps`, the schema
+    * introspection every Kibana session opens with: the index's
+    * queryable fields with their types, merged across the live
+    * segments' stored schemas (sparse mappings — a field missing
+    * from some batches still reports, with the per-segment presence
+    * count). Driver-side parquet FOOTER reads only — no data moves.
+    * `searchable` marks the indexed full-text field (`text` — the
+    * one column [[append]] tokenizes into postings); every stored
+    * field is `aggregatable` (the parquet columnar layout IS the
+    * doc-values store). Output: (field, dtype, searchable,
+    * aggregatable, n_segments), field-ascending. */
+  def fieldCaps(spark: SparkSession, rootDir: String): DataFrame = {
+    import spark.implicits._
+    val root = new java.io.File(rootDir)
+    val (_, segs, _) = readManifest(root)
+    val live = segs.filter(_.kind == "seg")
+    val fields = live.flatMap { sg =>
+      spark.read.parquet(new java.io.File(
+        new java.io.File(root, sg.name), "_stored").getPath)
+        .schema.fields.map(f => (f.name, f.dataType.simpleString))
+    }
+    fields.groupBy(identity).map { case ((name, dt), occ) =>
+      (name, dt, name == "text", true, occ.size.toLong)
+    }.toSeq.sortBy(t => (t._1, t._2))
+      .toDF("field", "dtype", "searchable", "aggregatable",
+        "n_segments")
+  }
+
   /** Filters aggregation — ES's `aggs.filters` with keyed buckets:
     * each NAMED bucket is its own term query (match-any semantics,
     * [[countQuery]]'s contract) and every bucket reports its live

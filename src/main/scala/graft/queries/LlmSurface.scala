@@ -698,6 +698,43 @@ object LlmSurface {
         Seq("alpha" -> Seq("spark"), "beta" -> Seq("join", "vector")),
         k = 30)),
 
+    // --- terms_set query (ES's "match at least M of N terms" — the
+    //     tunable middle between OR and AND): search's scored hits
+    //     constrained to docs matching >= 2 of the 3 terms
+    //     (SegmentedIndex.termsSetQuery) ---
+    "q241_terms_set" -> ((s, d) =>
+      // probe-only against the STAGED index (segIndexDir)
+      SegmentedIndex.termsSetQuery(s, segIndexDir(s, d), searchTerms,
+        minMatch = 2, k = 20)),
+
+    // --- dis_max query (ES's disjunction max — clauses compete
+    //     instead of piling up): score = best clause +
+    //     tie_breaker·(rest); exact per-clause pivots meet in
+    //     full-outer joins, max + one multiply keeps it hash-exact
+    //     (SegmentedIndex.disMaxSearch) ---
+    "q242_dis_max" -> ((s, d) =>
+      // probe-only against the STAGED index (segIndexDir)
+      SegmentedIndex.disMaxSearch(s, segIndexDir(s, d),
+        Seq(Seq("spark", "join"), Seq("vector")), tieBreaker = 0.3,
+        k = 20)),
+
+    // --- span_first query (Lucene/ES `span_first` — the term within
+    //     the first N positions, title-ish matching without a title
+    //     field): array_min over the inline positions inside the
+    //     pruned scan (SegmentedIndex.spanFirstSearch) ---
+    "q243_span_first" -> ((s, d) =>
+      // probe-only against the STAGED index (segIndexDir)
+      SegmentedIndex.spanFirstSearch(s, segIndexDir(s, d), "spark",
+        end = 5L, k = 20)),
+
+    // --- field capabilities (ES `GET /_field_caps` — the schema
+    //     introspection every Kibana session opens with): fields and
+    //     types merged across the live segments' stored schemas,
+    //     parquet footer reads only (SegmentedIndex.fieldCaps) ---
+    "q244_field_caps" -> ((s, d) =>
+      // probe-only against the STAGED index (segIndexDir)
+      SegmentedIndex.fieldCaps(s, segIndexDir(s, d))),
+
     // --- point-in-time search (ES PIT / Lucene's pinned
     //     IndexReader): a retained manifest generation is a frozen
     //     view — the search pinned BEFORE the delete still sees every
@@ -4459,6 +4496,95 @@ object LlmSurface {
          |FROM scored s JOIN d d2 ON s.doc_id = d2.doc_id
          |ORDER BY score DESC, s.doc_id LIMIT 20""".stripMargin
     },
+
+    // q241: terms_set replayed — the usual pivot with a HAVING on
+    // the distinct matched-term count
+    "q241_terms_set" -> {
+      val termList = searchTerms.map(t => s"'$t'").mkString(", ")
+      val contribs = searchTerms.map { t =>
+        s"sum(CASE WHEN term = '$t' THEN tf::DOUBLE * " +
+          "(n_docs / doc_freq::DOUBLE) ELSE 0.0::DOUBLE END)"
+      }
+      s"""WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+         | p AS (SELECT term, doc_id, count(*)::BIGINT AS tf
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |        FROM d) GROUP BY term, doc_id),
+         | dfreq AS (SELECT term, count(*)::BIGINT AS doc_freq FROM p
+         |  GROUP BY term),
+         | nd AS (SELECT count(*)::DOUBLE AS n_docs FROM d)
+         |SELECT doc_id, ${contribs.mkString(" + ")} AS score,
+         | count(*) AS n_terms_hit
+         |FROM p JOIN dfreq USING (term), nd
+         |WHERE term IN ($termList) AND doc_id % 37 <> 5
+         |GROUP BY doc_id HAVING count(*) >= 2
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+    },
+
+    // q242: dis_max replayed — per-clause pivots (engine clause
+    // order), FULL OUTER join, best + tie_breaker·(sum − best)
+    "q242_dis_max" -> {
+      val c0 = Seq("spark", "join").map { t =>
+        s"sum(CASE WHEN term = '$t' THEN tf::DOUBLE * " +
+          "(n_docs / doc_freq::DOUBLE) ELSE 0.0::DOUBLE END)"
+      }.mkString(" + ")
+      s"""WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+         | p AS (SELECT term, doc_id, count(*)::BIGINT AS tf
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |        FROM d) GROUP BY term, doc_id),
+         | dfreq AS (SELECT term, count(*)::BIGINT AS doc_freq FROM p
+         |  GROUP BY term),
+         | nd AS (SELECT count(*)::DOUBLE AS n_docs FROM d),
+         | c0 AS (SELECT doc_id, $c0 AS score
+         |  FROM p JOIN dfreq USING (term), nd
+         |  WHERE term IN ('spark', 'join') AND doc_id % 37 <> 5
+         |  GROUP BY doc_id),
+         | c1 AS (SELECT doc_id,
+         |   sum(CASE WHEN term = 'vector' THEN tf::DOUBLE *
+         |     (n_docs / doc_freq::DOUBLE) ELSE 0.0::DOUBLE END)
+         |     AS score
+         |  FROM p JOIN dfreq USING (term), nd
+         |  WHERE term = 'vector' AND doc_id % 37 <> 5
+         |  GROUP BY doc_id),
+         | j AS (SELECT COALESCE(c0.doc_id, c1.doc_id) AS doc_id,
+         |   c0.score AS s0n, c1.score AS s1n
+         |  FROM c0 FULL JOIN c1 ON c0.doc_id = c1.doc_id)
+         |SELECT doc_id,
+         | greatest(COALESCE(s0n, 0.0::DOUBLE),
+         |   COALESCE(s1n, 0.0::DOUBLE)) +
+         |  0.3 * ((COALESCE(s0n, 0.0::DOUBLE) +
+         |    COALESCE(s1n, 0.0::DOUBLE)) -
+         |   greatest(COALESCE(s0n, 0.0::DOUBLE),
+         |     COALESCE(s1n, 0.0::DOUBLE))) AS score,
+         | ((s0n IS NOT NULL)::INT + (s1n IS NOT NULL)::INT)::BIGINT
+         |   AS n_clauses_hit
+         |FROM j ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+    },
+
+    // q243: span_first replayed — min analyzed position per live doc
+    // below the bound
+    "q243_span_first" ->
+      """WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+        | toks AS (SELECT doc_id, unnest(l) AS term,
+        |   generate_subscripts(l, 1) - 1 AS pos
+        |   FROM (SELECT doc_id, string_split(text, ' ') AS l FROM d)),
+        | m AS (SELECT doc_id, min(pos)::BIGINT AS first_pos
+        |  FROM toks WHERE term = 'spark' AND doc_id % 37 <> 5
+        |  GROUP BY doc_id)
+        |SELECT doc_id, first_pos FROM m WHERE first_pos < 5
+        |ORDER BY doc_id LIMIT 20""".stripMargin,
+
+    // q244: field caps replayed — the staged index's stored schema
+    // as literals (both segments carry every documents column; the
+    // text field is the one the postings index — searchable)
+    "q244_field_caps" ->
+      """SELECT * FROM (VALUES
+        | ('doc_id', 'bigint', false, true, 2::BIGINT),
+        | ('lang', 'string', false, true, 2::BIGINT),
+        | ('n_chars', 'bigint', false, true, 2::BIGINT),
+        | ('source', 'string', false, true, 2::BIGINT),
+        | ('text', 'string', true, true, 2::BIGINT))
+        | t(field, dtype, searchable, aggregatable, n_segments)
+        |ORDER BY field""".stripMargin,
 
     // q240: named queries replayed — distinct (doc, name) matches,
     // names comma-joined in sorted order per live hit

@@ -1393,6 +1393,51 @@ class SegmentedIndexSpec extends SparkSpec {
       .multiSearchBoosted(spark, Seq(("a", ra, 0.0)), Seq("z"), 5))
   }
 
+  test("termsSetQuery / disMaxSearch / spanFirstSearch / fieldCaps: " +
+    "minimum-should-match gating, best-clause-plus-tiebreaker " +
+    "scoring, first-position bounds with tombstones, sparse-schema " +
+    "introspection") {
+    val root = Files.createTempDirectory("graft-tsq").toString
+    SegmentedIndex.append(spark, root,
+      Seq((1L, "p q r", 5L)).toDF("doc_id", "text", "n"), "a",
+      nBuckets = 4)
+    SegmentedIndex.append(spark, root,
+      Seq((2L, "p q pad"), (3L, "p pad pad")).toDF("doc_id", "text"),
+      "b")
+    // N=3, df(p)=3 df(q)=2 df(r)=1: doc1 matches 3 terms
+    // (1 + 1.5 + 3), doc2 two (1 + 1.5), doc3 only one — gated out
+    assert(SegmentedIndex.termsSetQuery(spark, root,
+      Seq("p", "q", "r"), minMatch = 2, k = 10)
+      .as[(Long, Double, Long)].collect().toSeq ==
+      Seq((1L, 5.5, 3L), (2L, 2.5, 2L)))
+    // dis_max: clause r scores doc1 at 3.0, clause p scores all at
+    // 1.0 → doc1 = best 3.0 + 0.5·(4.0 − 3.0); single-clause docs
+    // keep their clause score
+    assert(SegmentedIndex.disMaxSearch(spark, root,
+      Seq(Seq("r"), Seq("p")), tieBreaker = 0.5, k = 10)
+      .as[(Long, Double, Long)].collect().toSeq ==
+      Seq((1L, 3.5, 2L), (2L, 1.0, 1L), (3L, 1.0, 1L)))
+    // span_first: p sits at position 0 everywhere (strictly below
+    // 1); q at position 1 fails end=1
+    assert(SegmentedIndex.spanFirstSearch(spark, root, "p", end = 1L,
+      k = 10).as[(Long, Long)].collect().toSeq ==
+      Seq((1L, 0L), (2L, 0L), (3L, 0L)))
+    assert(SegmentedIndex.spanFirstSearch(spark, root, "q", end = 1L,
+      k = 10).count() == 0)
+    // tombstones drop from the span hit list
+    SegmentedIndex.delete(spark, root, Seq(2L).toDF("doc_id"), "d1")
+    assert(SegmentedIndex.spanFirstSearch(spark, root, "p", end = 1L,
+      k = 10).as[(Long, Long)].collect().map(_._1).toSeq ==
+      Seq(1L, 3L))
+    // field caps: the sparse column n reports 1 of 2 segments; the
+    // indexed text field is the searchable one
+    assert(SegmentedIndex.fieldCaps(spark, root)
+      .as[(String, String, Boolean, Boolean, Long)].collect().toSeq ==
+      Seq(("doc_id", "bigint", false, true, 2L),
+        ("n", "bigint", false, true, 1L),
+        ("text", "string", true, true, 2L)))
+  }
+
   test("rangeFacet: every requested range appears (zero-count " +
     "included), from inclusive / to exclusive, tombstones drop") {
     val root = Files.createTempDirectory("graft-rng").toString
