@@ -521,7 +521,27 @@ object Explain {
         "per scan), the df side reads only the vocabulary-sized " +
         "dictionaries, and the two members meet in one union + " +
         "fixed-pivot aggregation — per-index analysis costs no extra " +
-        "corpus pass."))
+        "corpus pass."),
+    "q245_geo_bbox" ->
+      ("Geo bounding box over the tile-partitioned layout (r15): the " +
+        "tile IN-list prunes whole directories at planning time " +
+        "(`PartitionFilters: [pt IN …]` — the dir tree IS the BKD " +
+        "upper levels) and the lat/lon range predicates push into the " +
+        "surviving parquet scans (`PushedFilters` — the BKD leaves); " +
+        "the exact box check is codegen'd arithmetic on what remains."),
+    "q249_date_histogram" ->
+      ("Calendar date_histogram (r15): `date_trunc` buckets partial-" +
+        "aggregate map-side under the pushed status predicate; the " +
+        "min_doc_count:0 gap-fill explodes a month `sequence` from a " +
+        "single-row bounds frame — O(range/interval) rows, no driver " +
+        "loop."),
+    "q257_matrix_stats" ->
+      ("Exact matrix_stats (r15): ONE partial+final aggregation pass " +
+        "over the column-pruned scan accumulates every DECIMAL(38,0) " +
+        "moment; the covariance/correlation matrix unpivots from that " +
+        "single broadcast row — no second scan, no per-pair rescan, " +
+        "and the 128-bit sums make the doubles bit-stable at any " +
+        "partitioning."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

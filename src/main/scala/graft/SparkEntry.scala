@@ -69,6 +69,10 @@ object SparkEntry {
       Future(graft.queries.LlmSurface.pqAppendStage(spark, sfDir)),
       // the pre-rollover family template (q196 clones it per run)
       Future(graft.queries.LlmSurface.rolloverStage(spark, sfDir)),
+      // the tile-partitioned geo layout (q245-q248, q265-q266)
+      Future(graft.queries.LlmSurface.geoDir(spark, sfDir)),
+      // the sparse-mapping index behind the missing agg (q260)
+      Future(graft.queries.LlmSurface.segIndexSparseDir(spark, sfDir)),
       // sequential inside one future: all three roots commit via
       // single-writer manifest generations
       Future(graft.queries.LlmSurface.segIndexStage(spark, sfDir)),

@@ -614,6 +614,49 @@ object SegmentedIndex {
     live.select("doc_id", "text").orderBy("doc_id")
   }
 
+  /** Sliced scroll — ES's parallel export API (`slice: { id, max }`
+    * on a scroll/PIT), the read that feeds every reindex-scale
+    * consumer: slice `sliceId` of `maxSlices` returns a deterministic
+    * partition of the live corpus, pages ordered by doc_id with
+    * `searchAfter` cursoring (ES 8's `search_after` + PIT replaced
+    * scroll contexts with exactly this shape).
+    *
+    * Slicing is BY SEGMENT (manifest ordinal modulo `maxSlices`) —
+    * ES slices on `_shard_doc` for the same reason: a hash-on-id
+    * slice predicate reads every file to keep 1/max of it, while a
+    * segment slice reads ONLY its own segments' stored files
+    * (planning-time pruning; slices touch disjoint bytes). Slices
+    * are disjoint and complete: every live doc appears in exactly
+    * one slice — a doc upserted into a newer segment counts under
+    * the segment that holds its LIVE version, because tombstones
+    * apply by (doc_id, seg). A slice id beyond the segment count
+    * returns empty pages (ES's documented behavior for
+    * over-provisioned slices). Output: (doc_id, lang, source),
+    * id-ascending, `pageSize` rows from `after` exclusive. */
+  def slicedScroll(spark: SparkSession, rootDir: String,
+                   sliceId: Int, maxSlices: Int, pageSize: Int,
+                   after: Option[Long] = None): DataFrame = {
+    require(maxSlices >= 1 && sliceId >= 0 && sliceId < maxSlices,
+      s"bad slice: $sliceId of $maxSlices")
+    val root = new java.io.File(rootDir)
+    val (_, segs, _) = readManifest(root)
+    val mine = segs.filter(_.kind == "seg").zipWithIndex
+      .collect { case (sg, i) if i % maxSlices == sliceId => sg }
+    import spark.implicits._
+    if (mine.isEmpty)
+      return Seq.empty[(Long, String, String)]
+        .toDF("doc_id", "lang", "source")
+    val stored = storedFrame(spark, root, mine)
+    val live = tombstones(spark, root, segs) match {
+      case Some(dead) =>
+        stored.join(dead, Seq("doc_id", "seg"), "left_anti")
+      case None => stored
+    }
+    after.fold(live)(a => live.filter(col("doc_id") > lit(a)))
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id").limit(pageSize)
+  }
+
   /** Term vectors — ES's `_termvectors`: one LIVE document's terms
     * with their frequencies and positions, read from the index (the
     * positional postings double as Lucene's term vectors in this
@@ -994,6 +1037,82 @@ object SegmentedIndex {
         sum("value").as("vsum"))
       .withColumn("vavg",
         col("vsum").cast("double") / col("n_docs").cast("double"))
+
+  /** Extended stats aggregation — ES's `extended_stats`: [[statsFacet]]
+    * plus sum_of_squares, variance and standard deviation, the full
+    * one-pass numeric panel. ES streams doubles (order-dependent);
+    * here the moments accumulate EXACTLY — the field's long values
+    * sum in DECIMAL(38,0) ([[graft.operators.StatsOps]]' scheme), and
+    * variance derives from the exact central term n·Σx²−(Σx)² in one
+    * fixed-order double pipeline (division, sqrt — IEEE-correctly-
+    * rounded), so every output is bit-stable cross-engine. Both ES
+    * variance flavors emit (population and sampling — ES 7.9+ returns
+    * both); std_dev is the population one (ES's headline number).
+    * Output: (n_docs, vmin, vmax, vsum, vavg, sum_of_squares,
+    * variance_pop, variance_samp, std_dev), 1 row. */
+  def extendedStatsFacet(spark: SparkSession, rootDir: String,
+                         terms: Seq[String], field: String)
+      : DataFrame = {
+    val dec = "decimal(38,0)"
+    val v = hitFieldValues(spark, rootDir, terms, field)
+      .withColumn("x", col("value").cast("long"))
+    val row = v.agg(count(lit(1)).cast(dec).as("n"),
+      min("x").as("vmin"), max("x").as("vmax"),
+      sum(col("x").cast(dec)).as("s1"),
+      sum((col("x") * col("x")).cast(dec)).as("s2"))
+    val a2 = col("n") * col("s2") - col("s1") * col("s1")
+    row.select(
+      col("n").cast("long").as("n_docs"),
+      col("vmin"), col("vmax"),
+      col("s1").cast("long").as("vsum"),
+      (col("s1").cast("double") / col("n").cast("double")).as("vavg"),
+      col("s2").cast("long").as("sum_of_squares"),
+      (a2.cast("double") / (col("n") * col("n")).cast("double"))
+        .as("variance_pop"),
+      (a2.cast("double") /
+        (col("n") * (col("n") - lit(1))).cast("double"))
+        .as("variance_samp"),
+      sqrt(a2.cast("double") / (col("n") * col("n")).cast("double"))
+        .as("std_dev"))
+  }
+
+  /** Weighted-average aggregation — ES's `weighted_avg` (value field
+    * × weight field): Σ(v·w)/Σw over the live hit docs, both sums
+    * EXACT in DECIMAL(38,0) over the fields' long lattices, ONE
+    * double division at the end — bit-stable cross-engine. Docs
+    * missing either field drop (ES's default for value; weight
+    * missing means skip unless a `missing` default is configured).
+    * Output: (n_docs, wsum, weighted_avg), 1 row. */
+  def weightedAvgFacet(spark: SparkSession, rootDir: String,
+                       terms: Seq[String], field: String,
+                       weightField: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    hitFields(spark, rootDir, terms,
+        Seq(field -> "v", weightField -> "w"),
+        requireNonNull = Seq("v", "w"))
+      .select(col("v").cast("long").as("v"),
+        col("w").cast("long").as("w"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("w").cast(dec)).as("wsumd"),
+        sum((col("v") * col("w")).cast(dec)).as("vw"))
+      .select(col("n_docs"),
+        col("wsumd").cast("long").as("wsum"),
+        (col("vw").cast("double") / col("wsumd").cast("double"))
+          .as("weighted_avg"))
+  }
+
+  /** Missing aggregation — ES's `missing`: how many of the query's
+    * live hit docs DON'T carry the field (the data-quality partner of
+    * every terms agg — sparse mappings are legal, so "no value" is a
+    * real bucket). One column-pruned stored read; a segment written
+    * without the column reads null ([[storedFrame]]'s sparse-union
+    * contract), which is exactly ES's "not indexed" case. Output:
+    * (doc_count), 1 row. */
+  def missingFacet(spark: SparkSession, rootDir: String,
+                   terms: Seq[String], field: String): DataFrame =
+    hitFieldValues(spark, rootDir, terms, field, keepMissing = true)
+      .filter(col("value").isNull)
+      .agg(countDistinct(col("doc_id")).as("doc_count"))
 
   /** Terms aggregation across SEVERAL indices — ES aggregations on a
     * multi-index request (`GET /idx1,idx2/_search` with `aggs`), the
@@ -1787,6 +1906,62 @@ object SegmentedIndex {
       .orderBy("doc_id").limit(k)
   }
 
+  /** span_near over two span_or clauses — Lucene/ES's proximity
+    * span tier (`span_near { clauses: [span_or, span_or], slop,
+    * in_order }`), the "these concepts appear close together" query
+    * relevance engineers reach for when `match_phrase`'s adjacency
+    * is too strict: a doc matches when SOME occurrence of any
+    * `first` term and some occurrence of any `second` term sit
+    * within `slop` intervening positions (`in_order` demands the
+    * first before the second — ES's gap arithmetic: adjacent is
+    * gap 0; unordered uses the absolute gap and rejects the
+    * same-position degenerate pair).
+    *
+    * Plan shape: the two sides' positions come from the SAME
+    * bucket-pruned positional postings read (one scan of the union's
+    * lists), explode per occurrence, and meet in a doc-local join —
+    * the pair set is per-doc occurrence-bounded, never corpus-wide.
+    * Output: (doc_id, n_spans, min_gap) — n_spans counts matching
+    * occurrence PAIRS (a span_or side with two terms at distinct
+    * positions yields distinct pairs, each counted; Lucene's span
+    * enumeration does the same before its payload dedup), id-ordered
+    * top-k. */
+  def spanNearSearch(spark: SparkSession, rootDir: String,
+                     first: Seq[String], second: Seq[String],
+                     slop: Int, inOrder: Boolean = true,
+                     k: Int = 10): DataFrame = {
+    require(slop >= 0, s"slop must be >= 0: $slop")
+    val root = new java.io.File(rootDir)
+    val fq = qTerms(root, first)
+    val sq = qTerms(root, second)
+    require(fq.nonEmpty && sq.nonEmpty,
+      "span_near needs a surviving term on each side")
+    val (nb, segs, _) = readManifest(root)
+    val p = prunedPostings(spark, root, segs, (fq ++ sq).distinct, nb)
+    val live = tombstones(spark, root, segs) match {
+      case Some(dead) =>
+        p.join(dead, Seq("doc_id", "seg"), "left_anti")
+      case None => p
+    }
+    def side(ts: Seq[String], as: String) =
+      live.filter(col("term").isin(ts: _*))
+        .select(col("doc_id"),
+          explode(col("positions")).as(as))
+    val pairs = side(fq, "pa").join(side(sq, "pb"), Seq("doc_id"))
+    val gapped =
+      if (inOrder)
+        pairs.withColumn("gap", col("pb") - col("pa") - lit(1L))
+          .filter(col("gap") >= 0L)
+      else
+        pairs.withColumn("gap",
+          abs(col("pb") - col("pa")) - lit(1L))
+          .filter(col("gap") >= 0L)
+    gapped.filter(col("gap") <= lit(slop.toLong))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"), min("gap").as("min_gap"))
+      .orderBy("doc_id").limit(k)
+  }
+
   /** Field capabilities — ES's `GET /_field_caps`, the schema
     * introspection every Kibana session opens with: the index's
     * queryable fields with their types, merged across the live
@@ -2062,6 +2237,50 @@ object SegmentedIndex {
       .limit(size)
   }
 
+  /** Multi-terms aggregation — ES's `multi_terms` (compound bucket
+    * keys without a scripted concat): the query's live hit docs
+    * bucket by the TUPLE of several stored fields, top-k buckets by
+    * (doc_count desc, then each key ascending — ES's compound-key
+    * tiebreak). Docs missing ANY of the fields drop (ES's rule: a
+    * multi_terms bucket needs every key part). Still ONE
+    * column-pruned `_stored/` scan for all key parts and one hash
+    * aggregation. Output: (field..., doc_count). */
+  def multiTermsFacet(spark: SparkSession, rootDir: String,
+                      terms: Seq[String], fields: Seq[String],
+                      kBuckets: Int): DataFrame = {
+    require(fields.size >= 2,
+      s"multi_terms needs at least two key fields: $fields")
+    hitFields(spark, rootDir, terms, fields.map(f => f -> f),
+        requireNonNull = fields)
+      .groupBy(fields.map(col): _*)
+      .agg(countDistinct(col("doc_id")).as("doc_count"))
+      .orderBy(desc("doc_count") +: fields.map(asc): _*)
+      .limit(kBuckets)
+  }
+
+  /** Rare-terms aggregation — ES's `rare_terms`, the long-tail
+    * mirror of `terms` ("what values almost never occur"): buckets
+    * of a stored field over the query's live hit set whose doc_count
+    * is at most `maxDocCount` (ES's knob, default 1), ordered
+    * ASCENDING by count (rarest first), value the tiebreaker — ES
+    * documents rare_terms as ascending-only, which is why it is a
+    * separate agg and not an `order` option on `terms`. ES
+    * approximates membership with a CuckooFilter to bound memory on
+    * its one-pass collector; a shuffle engine needs no sketch — the
+    * exact count is one hash aggregation, the HAVING prunes before
+    * the (bounded) result materializes. Output: (value, doc_count),
+    * count-ascending. */
+  def rareTermsFacet(spark: SparkSession, rootDir: String,
+                     terms: Seq[String], field: String,
+                     maxDocCount: Long = 1L): DataFrame = {
+    require(maxDocCount >= 1, s"maxDocCount must be >= 1: $maxDocCount")
+    hitFieldValues(spark, rootDir, terms, field)
+      .groupBy("value")
+      .agg(countDistinct(col("doc_id")).as("doc_count"))
+      .filter(col("doc_count") <= lit(maxDocCount))
+      .orderBy(asc("doc_count"), asc("value"))
+  }
+
   /** Function-score search — ES's `function_score` with a
     * `field_value_factor` (multiply) function, the
     * boost-by-popularity request every ranking system makes: the
@@ -2083,6 +2302,145 @@ object SegmentedIndex {
         coalesce(col("value").cast("double"), lit(1.0d)))
       .withColumn("score", col("score") * col("boost_value"))
       .select("doc_id", "score", "boost_value", "n_terms_hit")
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
+
+  /** Boosting query — ES's `boosting` (demote without excluding —
+    * the middle ground between should and must_not every relevance
+    * tuner eventually needs): candidates and scores come from the
+    * `positive` terms exactly like [[search]]; a doc also matching
+    * ANY `negative` term keeps its hit but its score multiplies by
+    * `negativeBoost` (ES's semantics — negative is a demotion
+    * factor, not a filter). One extra pruned postings read for the
+    * negative membership, one conditional multiply — the demoted
+    * ranking stays on the exact oracle surface. Output: (doc_id,
+    * score, demoted, n_terms_hit), top-k by (score desc, doc_id). */
+  def boostingSearch(spark: SparkSession, rootDir: String,
+                     positive: Seq[String], negative: Seq[String],
+                     negativeBoost: Double, k: Int): DataFrame = {
+    require(negativeBoost >= 0.0 && negativeBoost <= 1.0,
+      s"negative_boost must be in [0,1]: $negativeBoost")
+    require(negative.nonEmpty, "boosting needs negative terms")
+    val root = new java.io.File(rootDir)
+    val scored = scoredHits(spark, rootDir, positive)
+    val nq = qTerms(root, negative)
+    val (nb, segs, _) = readManifest(root)
+    val np = prunedPostings(spark, root, segs, nq, nb)
+    val negDocs = (tombstones(spark, root, segs) match {
+      case Some(dead) => np.join(dead, Seq("doc_id", "seg"), "left_anti")
+      case None       => np
+    }).select("doc_id").distinct().withColumn("neg", lit(true))
+    scored.join(negDocs, Seq("doc_id"), "left")
+      .withColumn("demoted", coalesce(col("neg"), lit(false)))
+      .withColumn("score",
+        when(col("demoted"), col("score") * lit(negativeBoost))
+          .otherwise(col("score")))
+      .select("doc_id", "score", "demoted", "n_terms_hit")
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
+
+  /** distance_feature query — ES's recency/proximity booster (the
+    * should clause behind "prefer newer / prefer nearer" rankings):
+    * relevance plus `boost · pivot / (pivot + |value − origin|)` over
+    * a stored numeric field — the bonus halves at distance `pivot`,
+    * ES's exact kernel. Pure long arithmetic into one division and
+    * one multiply-add — bit-stable cross-engine. Docs missing the
+    * field keep their base relevance (the clause simply doesn't
+    * match them — ES's rule). Output: (doc_id, score, bonus,
+    * n_terms_hit), top-k by (score desc, doc_id). */
+  def distanceFeatureSearch(spark: SparkSession, rootDir: String,
+                            terms: Seq[String], field: String,
+                            origin: Long, pivot: Long, boost: Double,
+                            k: Int): DataFrame = {
+    require(pivot > 0, s"pivot must be positive: $pivot")
+    val scored = scoredHits(spark, rootDir, terms)
+    val vals = hitFieldValues(spark, rootDir, terms, field,
+      keepMissing = true)
+    scored.join(vals, Seq("doc_id"), "left")
+      .withColumn("bonus",
+        when(col("value").isNotNull,
+          lit(boost) * (lit(pivot.toDouble) /
+            (lit(pivot.toDouble) +
+              abs(col("value").cast("long") - lit(origin))
+                .cast("double"))))
+          .otherwise(lit(0.0d)))
+      .withColumn("score", col("score") + col("bonus"))
+      .select("doc_id", "score", "bonus", "n_terms_hit")
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
+
+  /** Pinned query — ES's `pinned` (editorially promoted results):
+    * the given ids surface FIRST in their request order (if live in
+    * the index — a tombstoned pin vanishes), organic hits follow by
+    * relevance with the pinned ids excluded. The pinned existence
+    * check is an id-pushed stored read (footer-pruned — never a
+    * corpus scan); a pinned doc that also matches organically shows
+    * its real score, a non-matching pin shows 0 (ES gives pins an
+    * artificial uniform score above the organic range). Output:
+    * (doc_id, score, pinned), pins-then-organic, k rows total. */
+  def pinnedSearch(spark: SparkSession, rootDir: String,
+                   ids: Seq[Long], terms: Seq[String], k: Int)
+      : DataFrame = {
+    require(ids.nonEmpty, "pinned needs ids")
+    require(ids.distinct.size == ids.size, "duplicate pinned ids")
+    import spark.implicits._
+    val root = new java.io.File(rootDir)
+    val (_, segs, _) = readManifest(root)
+    val stored = storedFrame(spark, root, segs)
+      .filter(col("doc_id").isin(ids: _*))
+    val livePinned = (tombstones(spark, root, segs) match {
+      case Some(dead) =>
+        stored.join(dead, Seq("doc_id", "seg"), "left_anti")
+      case None => stored
+    }).select("doc_id").distinct()
+    val ord = ids.zipWithIndex.toDF("doc_id", "pin_ord")
+    val scored = scoredHits(spark, rootDir, terms)
+    val pins = livePinned.join(broadcast(ord), Seq("doc_id"))
+      .join(scored.select("doc_id", "score"), Seq("doc_id"), "left")
+      .withColumn("score", coalesce(col("score"), lit(0.0d)))
+      .withColumn("pinned", lit(true))
+      .orderBy(asc("pin_ord"))
+      .select("doc_id", "score", "pinned")
+      .limit(k)
+    val organic = scored
+      .join(broadcast(ord), Seq("doc_id"), "left_anti")
+      .withColumn("pinned", lit(false))
+      .orderBy(desc("score"), asc("doc_id"))
+      .select("doc_id", "score", "pinned")
+      .limit(k)
+    // pins first (request order), then organic (relevance), k total —
+    // the union re-sorts explicitly because union order is undefined
+    pins.withColumn("bucket", lit(0))
+      .unionByName(organic.withColumn("bucket", lit(1)))
+      .join(broadcast(ord), Seq("doc_id"), "left")
+      .orderBy(asc("bucket"), asc_nulls_last("pin_ord"),
+        desc("score"), asc("doc_id"))
+      .select("doc_id", "score", "pinned")
+      .limit(k)
+  }
+
+  /** function_score `random_score` with a seed — ES's deterministic
+    * shuffle (sampling UIs, A/B slots): every live hit of the query
+    * re-scores by a seeded per-document pseudo-random in [0, 1). ES
+    * hashes an internal doc key; this engine pins the DOCUMENTED
+    * arithmetic `h = (doc_id · 2654435761 + seed) mod 2³¹;
+    * r = h / 2³¹` (Knuth multiplicative hashing) so the shuffle is
+    * reproducible across engines, sessions and partitionings — the
+    * property ES only guarantees per-shard-layout. Output: (doc_id,
+    * score), top-k by (score desc, doc_id). */
+  def randomScoreSearch(spark: SparkSession, rootDir: String,
+                        terms: Seq[String], seed: Long, k: Int)
+      : DataFrame = {
+    require(seed >= 0, s"seed must be non-negative: $seed")
+    val m = 2147483648L
+    scoredHits(spark, rootDir, terms)
+      .withColumn("score",
+        ((col("doc_id") * lit(2654435761L) + lit(seed)) % lit(m))
+          .cast("double") / lit(m.toDouble))
+      .select("doc_id", "score")
       .orderBy(desc("score"), asc("doc_id"))
       .limit(k)
   }
@@ -2516,6 +2874,55 @@ object SegmentedIndex {
         :+ Seg("seg", segName, stats.getLong(0), stats.getLong(1)), gen)
   }
 
+  /** ES's `_update_by_query` — "apply this script to every document
+    * the query matches": the query's live hit docs re-read from the
+    * stored fields (their CURRENT versions — an earlier upsert's dead
+    * row is never the input), each `assignments` pair sets a column
+    * to a SQL expression over the row (the painless-script analogue,
+    * e.g. `"source" -> "'flagged'"` or `"n_chars" -> "n_chars + 1"`),
+    * and the rewritten docs commit through [[upsert]]'s segment+
+    * tombstone pair — exactly how ES implements it (scroll + bulk
+    * reindex of new versions; the old docs become deleted, statistics
+    * shift only at merge). Returns the updated-doc count (ES's
+    * `updated` response field).
+    *
+    * Cost shape: one bucket-pruned postings read for the hit set, one
+    * column-complete stored read of the MATCHED rows only (semi-join
+    * pushed), one segment write — the corpus is never scanned. The
+    * count comes off the persisted update frame the upsert writes, not
+    * a second computation. */
+  def updateByQuery(spark: SparkSession, rootDir: String,
+                    terms: Seq[String],
+                    assignments: Seq[(String, String)],
+                    batchKey: String): Long = {
+    require(assignments.nonEmpty, "updateByQuery needs assignments")
+    val root = new java.io.File(rootDir)
+    val qs = qTerms(root, terms)
+    require(qs.nonEmpty,
+      "updateByQuery's query analyzed to nothing — refusing a no-op")
+    val (nb, segs, _) = readManifest(root)
+    val p = prunedPostings(spark, root, segs, qs, nb)
+    val dead = tombstones(spark, root, segs)
+    val hits = (dead match {
+      case Some(dd) => p.join(dd, Seq("doc_id", "seg"), "left_anti")
+      case None     => p
+    }).select("doc_id").distinct()
+    val stored = storedFrame(spark, root, segs)
+    val liveStored = dead match {
+      case Some(dd) => stored.join(dd, Seq("doc_id", "seg"), "left_anti")
+      case None     => stored
+    }
+    val matched = liveStored
+      .join(hits, Seq("doc_id"), "left_semi").drop("seg")
+    val updated = assignments.foldLeft(matched) { case (df, (f, e)) =>
+      df.withColumn(f, expr(e))
+    }.persist()
+    val n = updated.count()
+    if (n > 0) upsert(spark, rootDir, updated, batchKey)
+    updated.unpersist()
+    n
+  }
+
   /** The postings schema, stated EXPLICITLY on every multi-segment
     * read: the `seg=<fingerprint>` directory names are Hive partition
     * values, and letting type inference loose on them invites an
@@ -2880,6 +3287,144 @@ object SegmentedIndex {
     scoreLive(live.filter(col("term").isin(scoring: _*))
         .join(cand, Seq("doc_id"), "left_semi"),
       dfreq, scoring, nDocs)
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
+
+  /** The clause structure a simple_query_string parses to: bare
+    * terms and quoted phrases, each bucketed by its `+`/`-` prefix
+    * (must / must_not; unprefixed = should). */
+  private[operators] case class SqsParsed(
+      mustTerms: Seq[String], shouldTerms: Seq[String],
+      mustNotTerms: Seq[String], mustPhrases: Seq[Seq[String]],
+      shouldPhrases: Seq[Seq[String]],
+      mustNotPhrases: Seq[Seq[String]])
+
+  /** One simple_query_string token: an optional +/- prefix, then a
+    * quoted phrase or a bare word (a bare word stops at whitespace,
+    * `|` or a quote). */
+  private val SqsToken = """([+\-]?)(?:"([^"]*)"|([^\s|"]+))""".r
+
+  /** The lenient tokenizer behind [[simpleQueryString]] — never
+    * throws on any input (ES's documented contract for this query
+    * type: invalid syntax degrades, it does not error). Supported
+    * operators: `+term` (must), `-term` (must_not), `"a b"` (exact
+    * phrase, prefixable), bare terms (should). `|` is whitespace
+    * here because the engine implements `default_operator: OR`
+    * (ES's default), under which OR is already the combinator; the
+    * `*` prefix, `~N` fuzzy/slop and `(` grouping flags are NOT
+    * implemented (ES's `flags` knob exists precisely to switch
+    * subsets off — this is the OR|NOT|PHRASE|PLUS subset, stated
+    * loudly rather than approximated quietly). */
+  private[operators] def parseSqs(q: String): SqsParsed = {
+    var mt, st, nt = Vector.empty[String]
+    var mp, sp, np = Vector.empty[Seq[String]]
+    for (m <- SqsToken.findAllMatchIn(q)) {
+      val sign = m.group(1)
+      Option(m.group(2)) match {
+        case Some(p) =>
+          val toks = p.trim.split("\\s+").filter(_.nonEmpty).toSeq
+          if (toks.nonEmpty) sign match {
+            case "+" => mp :+= toks
+            case "-" => np :+= toks
+            case _   => sp :+= toks
+          }
+        case None =>
+          val t = m.group(3)
+          sign match {
+            case "+" => mt :+= t
+            case "-" => nt :+= t
+            case _   => st :+= t
+          }
+      }
+    }
+    SqsParsed(mt, st, nt, mp, sp, np)
+  }
+
+  /** ES's `simple_query_string` — the lenient user-facing query box
+    * (Kibana's search bar): one string compiles to the bool shape
+    * ([[parseSqs]] documents the supported operator subset) and
+    * executes on the exact machinery the structured queries use.
+    *
+    * Semantics, stated precisely:
+    *  - candidates must match EVERY `+` clause (terms all-of,
+    *    phrases by exact adjacency via [[phraseSearch]] — stopword
+    *    gaps and all); with no `+` clause, ANY should clause
+    *    qualifies (`default_operator: OR`);
+    *  - any `-` clause match disqualifies;
+    *  - the score is the engine's fixed-order tf·(N/df) sum over the
+    *    DISTINCT scoring terms (must ++ should, analyzed) — phrases
+    *    gate candidacy but score zero (filter context; ES would add
+    *    a phrase-freq term — a doc matching only via a phrase
+    *    surfaces here with score 0, ranked by the id tiebreak);
+    *  - each clause analyzes with the index's own chain; a clause
+    *    whose terms all analyze away simply vanishes (ES's leniency
+    *    again), and a query with no surviving positive clause
+    *    matches nothing (`zero_terms_query: none`).
+    *
+    * Cost shape: one bucket-pruned postings read for every term
+    * clause, one [[phraseSearch]] anchor-count per phrase clause
+    * (positional postings of the phrase's own terms only), joined
+    * semi/anti on doc ids — no corpus scan anywhere. Output:
+    * (doc_id, score, n_terms_hit), top-k by (score desc, doc_id). */
+  def simpleQueryString(spark: SparkSession, rootDir: String,
+                        query: String, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val pq = parseSqs(query)
+    val root = new java.io.File(rootDir)
+    val an = readAnalyzer(root)
+    val must2 = Analyzer.queryTerms(an, pq.mustTerms)
+    val should2 = Analyzer.queryTerms(an, pq.shouldTerms)
+    val mustNot2 = Analyzer.queryTerms(an, pq.mustNotTerms)
+    val scoring = (must2 ++ should2).distinct
+    val hasMust = must2.nonEmpty || pq.mustPhrases.nonEmpty
+    if (!hasMust && should2.isEmpty && pq.shouldPhrases.isEmpty)
+      return Seq.empty[(Long, Double, Long)]
+        .toDF("doc_id", "score", "n_terms_hit")
+    val (nb, segs, _) = readManifest(root)
+    val allTerms = (scoring ++ mustNot2).distinct
+    lazy val live = {
+      val p = prunedPostings(spark, root, segs, allTerms, nb)
+      tombstones(spark, root, segs) match {
+        case Some(dead) =>
+          p.join(dead, Seq("doc_id", "seg"), "left_anti")
+        case None => p
+      }
+    }
+    def withAll(ts: Seq[String]) =
+      live.filter(col("term").isin(ts: _*))
+        .groupBy("doc_id")
+        .agg(countDistinct(col("term")).as("nm"))
+        .filter(col("nm") === lit(ts.size.toLong))
+        .select("doc_id")
+    def withAny(ts: Seq[String]) =
+      live.filter(col("term").isin(ts: _*))
+        .select("doc_id").distinct()
+    def phraseDocs(p: Seq[String]) =
+      phraseSearch(spark, rootDir, p).select("doc_id")
+    val mustParts =
+      (if (must2.nonEmpty) Seq(withAll(must2)) else Seq.empty) ++
+        pq.mustPhrases.map(phraseDocs)
+    val cand0 =
+      if (mustParts.nonEmpty)
+        mustParts.reduce((a, b) => a.join(b, Seq("doc_id"), "left_semi"))
+      else
+        ((if (should2.nonEmpty) Seq(withAny(should2)) else Seq.empty) ++
+          pq.shouldPhrases.map(phraseDocs))
+          .reduce(_ unionByName _).distinct()
+    val notParts =
+      (if (mustNot2.nonEmpty) Seq(withAny(mustNot2)) else Seq.empty) ++
+        pq.mustNotPhrases.map(phraseDocs)
+    val cand = notParts.foldLeft(cand0)((c, n) =>
+      c.join(n, Seq("doc_id"), "left_anti"))
+    val scored =
+      if (scoring.nonEmpty) scoredHitsFor(spark, root, nb, segs, scoring)
+      else Seq.empty[(Long, Double, Long)]
+        .toDF("doc_id", "score", "n_terms_hit")
+    cand.join(scored, Seq("doc_id"), "left")
+      .withColumn("score", coalesce(col("score"), lit(0.0d)))
+      .withColumn("n_terms_hit",
+        coalesce(col("n_terms_hit"), lit(0L)))
       .orderBy(desc("score"), asc("doc_id"))
       .limit(k)
   }
@@ -3731,6 +4276,30 @@ object SegmentedIndex {
     } + "$"
     constantScoreDictSearch(spark, rootDir,
       _.filter(col("term").rlike(rx)), k, maxExpansions)
+  }
+
+  /** Regexp query — ES's `regexp` (term-level, whole-term anchored:
+    * ES compiles against the complete term, so `sp.*k` matches
+    * `spark` but not `sparkly`): [[wildcardSearch]]'s constant-score
+    * dictionary walk with the caller's pattern instead of a
+    * wildcard translation — the expansion runs over the
+    * vocabulary-sized dictionaries under the same `maxExpansions`
+    * cap and distributed over-cap fallback, postings read only for
+    * the matched terms. Callers should stick to the portable regexp
+    * core (classes, `*`/`+`/`?`, alternation) — ES's Lucene dialect,
+    * Spark's Java dialect and the oracle's RE2 agree there; the
+    * exotic corners (lookahead, ES's `~` complement) differ by
+    * engine and are not part of this contract. Output: (doc_id,
+    * score, n_terms_matched), id-ordered first k. */
+  def regexpSearch(spark: SparkSession, rootDir: String,
+                   pattern: String, k: Int,
+                   maxExpansions: Int = DefaultMaxDictExpansions)
+      : DataFrame = {
+    require(pattern.nonEmpty, "regexpSearch needs a pattern")
+    val pat = Analyzer.normalize(
+      readAnalyzer(new java.io.File(rootDir)), pattern)
+    constantScoreDictSearch(spark, rootDir,
+      _.filter(col("term").rlike("^" + pat + "$")), k, maxExpansions)
   }
 
   /** Terms enumeration — ES's `_terms_enum` API (field-value

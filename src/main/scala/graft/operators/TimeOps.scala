@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Calendar-time aggregations — Elasticsearch's `date_histogram`
+  * (calendar intervals) and `date_range` aggs over a timestamp
+  * column, the backbone of every Kibana time-series panel.
+  *
+  * The reference delegates aggregations to Elasticsearch
+  * (`api/controllers/elastic_controller.go:196-229` only indexes;
+  * aggregation queries run in ES). The numeric histogram tier
+  * ([[SegmentedIndex.histogramFacet]]) covers fixed-width buckets;
+  * this module adds what fixed width cannot express: CALENDAR
+  * intervals (months and years are not constant-width — ES
+  * distinguishes `calendar_interval` from `fixed_interval` for
+  * exactly this reason). Bucketing is `date_trunc` (codegen'd,
+  * partial-aggregated map-side), and the `min_doc_count: 0`
+  * gap-fill explodes a month `sequence` between the occupied
+  * bounds — a single-row frame, O(range/interval) rows, never a
+  * driver loop. At 100 TB the time column is the classic hive
+  * partition key: a `WHERE ts >= …` window prunes date partitions
+  * at planning time and the truncation shuffles only
+  * (bucket, partial-count) pairs.
+  */
+object TimeOps {
+
+  private val CalendarIntervals =
+    Set("year", "quarter", "month", "week", "day", "hour", "minute")
+
+  /** ES `date_histogram` with `calendar_interval` semantics and its
+    * `min_doc_count: 0` default: rows bucket by the calendar
+    * truncation of `tsCol`, and EVERY interval between the lowest
+    * and highest occupied bucket appears, empty ones with
+    * doc_count 0 (the gap-fill that makes the series chartable and
+    * derivative-safe). `pred` is the query half of the request
+    * (`query` + `aggs` in one ES body) — it pushes into the scan.
+    * Output: (bucket timestamp, doc_count), bucket-ascending. */
+  def dateHistogram(df: DataFrame, tsCol: String, interval: String,
+                    pred: Option[String] = None): DataFrame = {
+    require(CalendarIntervals(interval),
+      s"unsupported calendar_interval: $interval")
+    val src = pred.fold(df)(df.filter(_))
+    val counts = src
+      .withColumn("bucket", date_trunc(interval, col(tsCol)))
+      .filter(col("bucket").isNotNull)
+      .groupBy("bucket").agg(count(lit(1)).as("doc_count"))
+    val step = interval match {
+      case "quarter" => expr("interval 3 months")
+      case other     => expr(s"interval 1 $other")
+    }
+    val buckets = counts
+      .agg(min("bucket").as("lo"), max("bucket").as("hi"))
+      .filter(col("lo").isNotNull)
+      .select(explode(sequence(col("lo"), col("hi"), step))
+        .as("bucket"))
+    buckets.join(counts, Seq("bucket"), "left")
+      .na.fill(0L, Seq("doc_count"))
+      .orderBy("bucket")
+  }
+
+  /** ES `date_range` aggregation: explicit [from, to) windows over a
+    * timestamp column (from inclusive, to exclusive — ES's range
+    * rule), open ends allowed (`None`), every requested range in the
+    * output (empty → 0) in request order — ES keeps request order
+    * for explicit ranges. Each range is a pair of pushdown-able
+    * comparisons; the counts reduce in ONE conditional aggregation
+    * pass (no per-range rescan). Output: (range_key, from_ts, to_ts,
+    * doc_count). */
+  def dateRange(df: DataFrame, tsCol: String,
+                ranges: Seq[(String, Option[String], Option[String])])
+      : DataFrame = {
+    require(ranges.nonEmpty, "dateRange needs at least one range")
+    val spark = df.sparkSession
+    val conds: Seq[Column] = ranges.map { case (_, from, to) =>
+      val lo = from.fold(lit(true))(f =>
+        col(tsCol) >= to_timestamp(lit(f)))
+      val hi = to.fold(lit(true))(t =>
+        col(tsCol) < to_timestamp(lit(t)))
+      lo && hi
+    }
+    val aggs = conds.zipWithIndex.map { case (c, i) =>
+      sum(when(c, 1L).otherwise(0L)).as(s"c$i")
+    }
+    val counted = df.filter(col(tsCol).isNotNull)
+      .agg(aggs.head, aggs.tail: _*)
+    val keys = spark.createDataFrame(
+      ranges.zipWithIndex.map { case ((key, from, to), i) =>
+        (i, key, from.orNull, to.orNull)
+      }).toDF("ord", "range_key", "from_ts", "to_ts")
+    keys.crossJoin(broadcast(counted))
+      .withColumn("doc_count",
+        ranges.indices.foldLeft(lit(0L)) { (acc, i) =>
+          when(col("ord") === i, col(s"c$i")).otherwise(acc)
+        })
+      .select("range_key", "from_ts", "to_ts", "doc_count", "ord")
+      .orderBy("ord").drop("ord")
+  }
+}

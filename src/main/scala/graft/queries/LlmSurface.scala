@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
-import graft.operators.{Dedup, Multimodal, Pipeline, Search, SegmentedIndex, Similarity, TextOps}
+import graft.operators.{Dedup, GeoOps, Multimodal, Pipeline, Search, SegmentedIndex, Similarity, TextOps}
 
 /** LLM-data-pipeline query surface (SURVEY §2.3): search-engine,
   * deduplication, similarity-search, text-analysis and multimodal
@@ -100,6 +100,50 @@ object LlmSurface {
       dd.filter(col("doc_id") % 37 === 5).select("doc_id"), "d1")
     root
   }
+
+  /** The staged SPARSE-mapping index behind the missing-agg probe —
+    * [[segIndexDir]]'s lifecycle with one twist: the second append
+    * carries NO `source` column (ES's sparse mapping — a document
+    * need not contain every mapped field), so `missing` has real
+    * rows to count. Even docs get the field, odd docs don't. */
+  def segIndexSparseDir(s: SparkSession, d: String): String = {
+    val root = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      "graft_segidx_sp_sx7a_" +
+        graft.engine.Bucketing.fingerprint8(d)).getPath
+    val dd = docs(s, d).filter(col("doc_id") < 150)
+    SegmentedIndex.append(s, root,
+      dd.filter(col("doc_id") % 2 === 0)
+        .select("doc_id", "text", "lang", "source"), "a")
+    SegmentedIndex.append(s, root,
+      dd.filter(col("doc_id") % 2 === 1)
+        .select("doc_id", "text", "lang"), "b")
+    SegmentedIndex.delete(s, root,
+      dd.filter(col("doc_id") % 37 === 5).select("doc_id"), "d1")
+    root
+  }
+
+  /** The staged TILE-PARTITIONED geo layout — customers enriched
+    * with the deterministic coordinate lattice
+    * ([[GeoOps.withSyntheticGeo]]) and written into zoom-3 tile
+    * directories (`pt=3_x_y/`), the BKD-upper-levels analogue every
+    * geo probe prunes against at planning time. Idempotent staged
+    * build keyed by the fixture dir (Bucketing's atomic staging). */
+  def geoDir(s: SparkSession, d: String): String =
+    graft.engine.Bucketing.ensurePartitioned(s, d,
+      GeoOps.withSyntheticGeo(Tables.table(s, d, "customer"),
+          "c_custkey")
+        .withColumn("pt",
+          GeoOps.tileKey(col("lat"), col("lon"), 3, sep = "_")),
+      Seq("pt"), "geo")
+
+  /** The tile IN-list for a box probe over [[geoDir]] — driver
+    * arithmetic on four constants ([[GeoOps.tilesCovering]]), never
+    * a data pass. */
+  private def geoTiles(top: Double, left: Double, bottom: Double,
+                       right: Double): Seq[String] =
+    GeoOps.tilesCovering(top, left, bottom, right, 3)
+      .map(_.replace('/', '_'))
 
   /** The CUSTOM analysis-settings chain behind q217 — ES's
     * per-index `settings.analysis` knobs (an extra stopword + two
@@ -734,6 +778,248 @@ object LlmSurface {
     "q244_field_caps" -> ((s, d) =>
       // probe-only against the STAGED index (segIndexDir)
       SegmentedIndex.fieldCaps(s, segIndexDir(s, d))),
+
+    // --- geo_bounding_box (ES geo query family, filter context):
+    //     the box over the staged tile layout — a tile IN-list
+    //     prunes whole directories at planning time, the lat/lon
+    //     range predicates push into the surviving scans' footers,
+    //     edges inclusive (GeoOps.boundingBox) ---
+    "q245_geo_bbox" -> ((s, d) => {
+      val (top, left, bottom, right) = (30.0, -40.0, -10.0, 20.0)
+      val g = s.read.parquet(geoDir(s, d))
+        .filter(col("pt").isin(geoTiles(top, left, bottom, right): _*))
+      GeoOps.boundingBox(g, top, left, bottom, right)
+        .select("c_custkey", "lat", "lon")
+        .orderBy("c_custkey").limit(40)
+    }),
+
+    // --- geo_distance query + _geo_distance sort (ES's
+    //     "near me" read): radius → bounding box (tile pruning +
+    //     pushdown) → exact squared-degree ring check → plane
+    //     distance, nearest first (GeoOps.distanceSearch) ---
+    "q246_geo_distance" -> ((s, d) => {
+      val rDeg = 1500000.0 / GeoOps.MetersPerDegree
+      val (olat, olon) = (10.0, 20.0)
+      val g = s.read.parquet(geoDir(s, d))
+        .filter(col("pt").isin(geoTiles(olat + rDeg, olon - rDeg,
+          olat - rDeg, olon + rDeg): _*))
+      GeoOps.distanceSearch(g, "c_custkey", olat, olon,
+          radiusM = 1500000.0, k = 25)
+        .withColumnRenamed("c_custkey", "id")
+    }),
+
+    // --- geo_distance AGGREGATION (ES's ring-bucket agg): ring
+    //     doc_counts around an origin, from inclusive / to
+    //     exclusive, every requested ring present (empty → 0);
+    //     assignment is squared-degree arithmetic — zero libm
+    //     (GeoOps.distanceRings) ---
+    "q247_geo_rings" -> ((s, d) => {
+      val edges = Seq(500000.0, 1000000.0, 2000000.0, 4000000.0)
+      val rDeg = edges.last / GeoOps.MetersPerDegree
+      val (olat, olon) = (0.0, 0.0)
+      val g = s.read.parquet(geoDir(s, d))
+        .filter(col("pt").isin(geoTiles(olat + rDeg, olon - rDeg,
+          olat - rDeg, olon + rDeg): _*))
+      GeoOps.distanceRings(g, olat, olon, edges)
+    }),
+
+    // --- geotile_grid aggregation (equirectangular row — the
+    //     WebMercator y needs libm and would break hash-exactness;
+    //     same z/x/y key shape): top-k occupied cells at zoom 5
+    //     over the full staged layout (GeoOps.tileGrid) ---
+    "q248_geo_tile_grid" -> ((s, d) =>
+      GeoOps.tileGrid(s.read.parquet(geoDir(s, d)), zoom = 5,
+        k = 30)),
+
+    // --- date_histogram with calendar_interval: month (ES's
+    //     time-series agg — months are not fixed-width, which is
+    //     why fixed `histogram` can't express this), min_doc_count 0
+    //     gap-fill between the occupied bounds; the query half of
+    //     the request pushes into the scan (TimeOps.dateHistogram) ---
+    "q249_date_histogram" -> ((s, d) =>
+      graft.operators.TimeOps.dateHistogram(
+        Tables.table(s, d, "orders"), "o_orderdate", "month",
+        pred = Some("o_orderstatus = 'F'"))),
+
+    // --- date_range aggregation (explicit [from, to) windows, open
+    //     ends, request order, empty ranges at 0): one conditional
+    //     aggregation pass, never a per-range rescan
+    //     (TimeOps.dateRange) ---
+    "q250_date_range" -> ((s, d) =>
+      graft.operators.TimeOps.dateRange(
+        Tables.table(s, d, "events"), "ts", Seq(
+          ("w1", None, Some("2024-01-08 00:00:00")),
+          ("w2", Some("2024-01-08 00:00:00"),
+            Some("2024-01-22 00:00:00")),
+          ("w3", Some("2024-01-22 00:00:00"), None),
+          ("future", Some("2030-01-01 00:00:00"), None)))),
+
+    // --- multi_terms aggregation (compound bucket keys without a
+    //     scripted concat): hit docs bucket by (lang, source) tuple,
+    //     one stored scan for both key parts
+    //     (SegmentedIndex.multiTermsFacet) ---
+    "q251_multi_terms" -> ((s, d) =>
+      // probe-only against the STAGED index (segIndexDir)
+      SegmentedIndex.multiTermsFacet(s, segIndexDir(s, d),
+        searchTerms, Seq("lang", "source"), 12)),
+
+    // --- rare_terms aggregation (the long-tail mirror of terms:
+    //     rarest buckets first, capped by max doc_count — ES
+    //     bounds its one-pass collector with a CuckooFilter; a
+    //     shuffle engine just computes the exact counts)
+    //     (SegmentedIndex.rareTermsFacet) ---
+    "q252_rare_terms" -> ((s, d) =>
+      // probe-only against the STAGED index (segIndexDir)
+      SegmentedIndex.rareTermsFacet(s, segIndexDir(s, d),
+        searchTerms, "source", maxDocCount = 6L)),
+
+    // --- simple_query_string (the lenient user-facing query box):
+    //     one string compiles through parseSqs to must/should/
+    //     must_not terms and phrases and runs on the structured
+    //     machinery — must term + must phrase gate, -term excludes,
+    //     bare term scores (SegmentedIndex.simpleQueryString) ---
+    "q253_simple_query_string" -> ((s, d) =>
+      // probe-only against the STAGED index (segIndexDir)
+      SegmentedIndex.simpleQueryString(s, segIndexDir(s, d),
+        "+spark +\"customer vector\" -stream | join", k = 20)),
+
+    // --- span_near over span_or clauses (Lucene/ES proximity
+    //     spans): any occurrence of `spark` within 3 intervening
+    //     positions BEFORE any of {join, vector}; pairs meet in a
+    //     doc-local join off one pruned positional read
+    //     (SegmentedIndex.spanNearSearch) ---
+    "q254_span_near" -> ((s, d) =>
+      // probe-only against the STAGED index (segIndexDir)
+      SegmentedIndex.spanNearSearch(s, segIndexDir(s, d),
+        Seq("spark"), Seq("join", "vector"), slop = 3,
+        inOrder = true, k = 25)),
+
+    // --- _update_by_query (ES's scripted bulk rewrite): every live
+    //     doc matching `vector` re-enters through upsert with
+    //     source='flagged' (new version + tombstone — ES's exact
+    //     mechanism); the facet over an UNRELATED query then shows
+    //     the rewritten field, proving live-version reads
+    //     (SegmentedIndex.updateByQuery) ---
+    "q255_update_by_query" -> ((s, d) => {
+      // mutable CLONE of the staged index — the rewrite owns the copy
+      val root = segIndexClone(s, d, "ubq")
+      val n = SegmentedIndex.updateByQuery(s, root, Seq("vector"),
+        Seq("source" -> "'flagged'"), "u1")
+      SegmentedIndex.facet(s, root, Seq("join"), "source", 10)
+        .withColumn("n_updated", lit(n))
+    }),
+
+    // --- sliced scroll (ES's parallel export API): slice 0 of 2
+    //     reads ONLY its own segments' stored files (segment-ordinal
+    //     slicing — planning-time pruning, disjoint bytes per
+    //     slice), pages by search_after cursor
+    //     (SegmentedIndex.slicedScroll) ---
+    "q256_sliced_scroll" -> ((s, d) =>
+      // probe-only against the STAGED index (segIndexDir); slice 0
+      // holds segment a (the doc_id % 5 != 0 append)
+      SegmentedIndex.slicedScroll(s, segIndexDir(s, d), sliceId = 0,
+        maxSlices = 2, pageSize = 30, after = Some(20L))),
+
+    // --- matrix_stats (ES's covariance/correlation matrix agg),
+    //     EXACT: fields quantize to lattice longs, moments sum in
+    //     DECIMAL(38,0), statistics derive in one fixed-order double
+    //     pipeline — bit-stable against the HUGEINT oracle
+    //     (StatsOps.matrixStats) ---
+    "q257_matrix_stats" -> ((s, d) =>
+      graft.operators.StatsOps.matrixStats(
+        Tables.table(s, d, "lineitem"),
+        Seq(("l_quantity", 1L), ("l_extendedprice", 100L),
+          ("l_discount", 100L)))),
+
+    // --- extended_stats aggregation (stats + sum_of_squares + both
+    //     ES variance flavors + std_dev), the moments EXACT in
+    //     DECIMAL(38,0) where ES streams order-dependent doubles
+    //     (SegmentedIndex.extendedStatsFacet) ---
+    "q258_extended_stats" -> ((s, d) =>
+      // probe-only against the STAGED index (segIndexDir)
+      SegmentedIndex.extendedStatsFacet(s, segIndexDir(s, d),
+        searchTerms, "n_chars")),
+
+    // --- weighted_avg aggregation (Σvw/Σw over two stored fields,
+    //     exact decimal sums, one closing division; doc_id as the
+    //     recency-proxy weight) (SegmentedIndex.weightedAvgFacet) ---
+    "q259_weighted_avg" -> ((s, d) =>
+      // probe-only against the STAGED index (segIndexDir)
+      SegmentedIndex.weightedAvgFacet(s, segIndexDir(s, d),
+        searchTerms, "n_chars", "doc_id")),
+
+    // --- missing aggregation (how many hit docs DON'T carry the
+    //     field — sparse mappings are legal, so "no value" is a real
+    //     bucket) over the staged sparse index
+    //     (SegmentedIndex.missingFacet) ---
+    "q260_missing_agg" -> ((s, d) =>
+      // probe-only against the STAGED sparse index
+      SegmentedIndex.missingFacet(s, segIndexSparseDir(s, d),
+        searchTerms, "source")),
+
+    // --- boosting query (demote without excluding): positive terms
+    //     score, docs also matching `stream` keep their hit at 0.4×
+    //     (SegmentedIndex.boostingSearch) ---
+    "q261_boosting" -> ((s, d) =>
+      // probe-only against the STAGED index (segIndexDir)
+      SegmentedIndex.boostingSearch(s, segIndexDir(s, d),
+        positive = searchTerms, negative = Seq("stream"),
+        negativeBoost = 0.4, k = 20)),
+
+    // --- distance_feature query (the recency/proximity booster):
+    //     relevance + boost·pivot/(pivot+|n_chars−500|), the
+    //     half-at-pivot kernel in pure exact arithmetic
+    //     (SegmentedIndex.distanceFeatureSearch) ---
+    "q262_distance_feature" -> ((s, d) =>
+      // probe-only against the STAGED index (segIndexDir)
+      SegmentedIndex.distanceFeatureSearch(s, segIndexDir(s, d),
+        searchTerms, "n_chars", origin = 500L, pivot = 200L,
+        boost = 3.0, k = 20)),
+
+    // --- pinned query (editorial promotion): ids first in request
+    //     order (dead pins vanish), organic relevance follows
+    //     pinned-free (SegmentedIndex.pinnedSearch) ---
+    "q263_pinned" -> ((s, d) =>
+      // probe-only against the STAGED index (segIndexDir)
+      SegmentedIndex.pinnedSearch(s, segIndexDir(s, d),
+        ids = Seq(11L, 7L, 140L), terms = searchTerms, k = 20)),
+
+    // --- function_score random_score with a seed: the documented
+    //     Knuth-hash shuffle, reproducible across engines and
+    //     partitionings (SegmentedIndex.randomScoreSearch) ---
+    "q264_random_score" -> ((s, d) =>
+      // probe-only against the STAGED index (segIndexDir)
+      SegmentedIndex.randomScoreSearch(s, segIndexDir(s, d),
+        searchTerms, seed = 42L, k = 25)),
+
+    // --- geo_bounds aggregation (the tightest box, ES corner
+    //     convention) over a tile-pruned bounding-box query
+    //     (GeoOps.bounds) ---
+    "q265_geo_bounds" -> ((s, d) => {
+      val (top, left, bottom, right) = (60.0, -90.0, -20.0, 70.0)
+      val g = s.read.parquet(geoDir(s, d))
+        .filter(col("pt").isin(geoTiles(top, left, bottom, right): _*))
+      GeoOps.bounds(GeoOps.boundingBox(g, top, left, bottom, right))
+    }),
+
+    // --- geo_centroid aggregation: the coordinate mean, EXACT on
+    //     the 0.01° lattice (long sums in decimal, one division per
+    //     axis — ES's double accumulator is order-dependent)
+    //     (GeoOps.centroid) ---
+    "q266_geo_centroid" -> ((s, d) => {
+      val (top, left, bottom, right) = (60.0, -90.0, -20.0, 70.0)
+      val g = s.read.parquet(geoDir(s, d))
+        .filter(col("pt").isin(geoTiles(top, left, bottom, right): _*))
+      GeoOps.centroid(GeoOps.boundingBox(g, top, left, bottom, right))
+    }),
+
+    // --- regexp query (term-level, whole-term anchored like ES):
+    //     the constant-score dictionary walk with a portable-core
+    //     pattern (SegmentedIndex.regexpSearch) ---
+    "q267_regexp" -> ((s, d) =>
+      // probe-only against the STAGED index (segIndexDir)
+      SegmentedIndex.regexpSearch(s, segIndexDir(s, d),
+        "sp[a-z]*k", k = 20)),
 
     // --- point-in-time search (ES PIT / Lucene's pinned
     //     IndexReader): a retained manifest generation is a frozen
@@ -4585,6 +4871,521 @@ object LlmSurface {
         | ('text', 'string', true, true, 2::BIGINT))
         | t(field, dtype, searchable, aggregatable, n_segments)
         |ORDER BY field""".stripMargin,
+
+    // q245: geo_bounding_box replayed — the deterministic coordinate
+    // lattice re-derived in SQL (integer modulo then one division —
+    // bit-identical doubles), the inclusive box as plain range
+    // predicates (the tile IN-list is a pruning superset, so the
+    // oracle needn't model it)
+    "q245_geo_bbox" ->
+      s"""WITH g AS (SELECT c_custkey,
+         |  ((c_custkey*37) % 17000)/100.0 - 85.0 AS lat,
+         |  ((c_custkey*73) % 36000)/100.0 - 180.0 AS lon
+         | FROM customer)
+         |SELECT c_custkey, lat, lon FROM g
+         |WHERE lat <= 30.0 AND lat >= -10.0
+         |  AND lon >= -40.0 AND lon <= 20.0
+         |ORDER BY c_custkey LIMIT 40""".stripMargin,
+
+    // q246: geo_distance replayed — identical IEEE pipeline
+    // (subtract, square, add-in-order, sqrt, one scale multiply),
+    // the radius-to-degrees division written out so both engines
+    // compute the very same double
+    "q246_geo_distance" ->
+      s"""WITH g AS (SELECT c_custkey,
+         |  ((c_custkey*37) % 17000)/100.0 - 85.0 AS lat,
+         |  ((c_custkey*73) % 36000)/100.0 - 180.0 AS lon
+         | FROM customer),
+         | b AS (SELECT c_custkey AS id, lat, lon,
+         |   (lat - 10.0) AS dlat, (lon - 20.0) AS dlon FROM g
+         |  WHERE lat <= 10.0 + 1500000.0/111195.0
+         |    AND lat >= 10.0 - 1500000.0/111195.0
+         |    AND lon >= 20.0 - 1500000.0/111195.0
+         |    AND lon <= 20.0 + 1500000.0/111195.0)
+         |SELECT id, lat, lon,
+         | 111195.0 * sqrt(dlat*dlat + dlon*dlon) AS distance_m
+         |FROM b
+         |WHERE dlat*dlat + dlon*dlon <=
+         |  (1500000.0/111195.0)*(1500000.0/111195.0)
+         |ORDER BY distance_m, id LIMIT 25""".stripMargin,
+
+    // q247: geo_distance agg replayed — ring assignment as the same
+    // fixed-order CASE chain over squared degree distances, every
+    // requested ring emitted via a VALUES frame, empty rings at 0
+    "q247_geo_rings" -> {
+      val ringCase = Seq(500000.0, 1000000.0, 2000000.0, 4000000.0)
+        .zipWithIndex.map { case (e, i) =>
+          s"WHEN d2 < ($e/111195.0)*($e/111195.0) THEN $i"
+        }.mkString(" ")
+      s"""WITH g AS (SELECT
+         |  ((c_custkey*37) % 17000)/100.0 - 85.0 AS lat,
+         |  ((c_custkey*73) % 36000)/100.0 - 180.0 AS lon
+         | FROM customer),
+         | b AS (SELECT (lat - 0.0)*(lat - 0.0)
+         |     + (lon - 0.0)*(lon - 0.0) AS d2 FROM g
+         |  WHERE lat <= 0.0 + 4000000.0/111195.0
+         |    AND lat >= 0.0 - 4000000.0/111195.0
+         |    AND lon >= 0.0 - 4000000.0/111195.0
+         |    AND lon <= 0.0 + 4000000.0/111195.0),
+         | r AS (SELECT CASE $ringCase ELSE -1 END AS ring FROM b),
+         | c AS (SELECT ring, count(*) AS doc_count FROM r
+         |  WHERE ring >= 0 GROUP BY ring),
+         | rings AS (SELECT * FROM (VALUES
+         |   (0, 0.0, 500000.0), (1, 500000.0, 1000000.0),
+         |   (2, 1000000.0, 2000000.0), (3, 2000000.0, 4000000.0))
+         |  t(ring, from_m, to_m))
+         |SELECT rings.ring, from_m, to_m,
+         | COALESCE(doc_count, 0) AS doc_count
+         |FROM rings LEFT JOIN c ON rings.ring = c.ring
+         |ORDER BY rings.ring""".stripMargin
+    },
+
+    // q248: geotile_grid replayed — the same clamped floor
+    // arithmetic (equirectangular row, zoom 5), counts by cell,
+    // top-k by (doc_count desc, key)
+    "q248_geo_tile_grid" ->
+      s"""WITH g AS (SELECT
+         |  ((c_custkey*37) % 17000)/100.0 - 85.0 AS lat,
+         |  ((c_custkey*73) % 36000)/100.0 - 180.0 AS lon
+         | FROM customer),
+         | t AS (SELECT '5/' ||
+         |   CAST(least(31, greatest(0,
+         |     floor((lon + 180.0) / 360.0 * 32.0))) AS BIGINT) ||
+         |   '/' ||
+         |   CAST(least(31, greatest(0,
+         |     floor((90.0 - lat) / 180.0 * 32.0))) AS BIGINT)
+         |   AS tile FROM g)
+         |SELECT tile, count(*) AS doc_count FROM t GROUP BY tile
+         |ORDER BY doc_count DESC, tile LIMIT 30""".stripMargin,
+
+    // q249: date_histogram replayed — calendar truncation, month
+    // sequence between the occupied bounds, zero-filled gaps
+    "q249_date_histogram" ->
+      """WITH b AS (SELECT date_trunc('month', o_orderdate) AS bucket,
+        |   count(*)::BIGINT AS doc_count
+        |  FROM orders WHERE o_orderstatus = 'F' GROUP BY 1),
+        | bounds AS (SELECT min(bucket) AS lo, max(bucket) AS hi
+        |  FROM b),
+        | allb AS (SELECT unnest(generate_series(lo, hi,
+        |   INTERVAL 1 MONTH)) AS bucket FROM bounds)
+        |SELECT allb.bucket, COALESCE(doc_count, 0) AS doc_count
+        |FROM allb LEFT JOIN b ON allb.bucket = b.bucket
+        |ORDER BY allb.bucket""".stripMargin,
+
+    // q250: date_range replayed — one conditional pass, the four
+    // windows joined back in request order (ord never projected)
+    "q250_date_range" ->
+      """WITH c AS (SELECT
+        |  sum(CASE WHEN ts < TIMESTAMP '2024-01-08 00:00:00'
+        |    THEN 1 ELSE 0 END)::BIGINT AS c0,
+        |  sum(CASE WHEN ts >= TIMESTAMP '2024-01-08 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-22 00:00:00'
+        |    THEN 1 ELSE 0 END)::BIGINT AS c1,
+        |  sum(CASE WHEN ts >= TIMESTAMP '2024-01-22 00:00:00'
+        |    THEN 1 ELSE 0 END)::BIGINT AS c2,
+        |  sum(CASE WHEN ts >= TIMESTAMP '2030-01-01 00:00:00'
+        |    THEN 1 ELSE 0 END)::BIGINT AS c3
+        | FROM events WHERE ts IS NOT NULL),
+        | k AS (SELECT * FROM (VALUES
+        |  (0, 'w1', CAST(NULL AS VARCHAR), '2024-01-08 00:00:00'),
+        |  (1, 'w2', '2024-01-08 00:00:00', '2024-01-22 00:00:00'),
+        |  (2, 'w3', '2024-01-22 00:00:00', CAST(NULL AS VARCHAR)),
+        |  (3, 'future', '2030-01-01 00:00:00',
+        |   CAST(NULL AS VARCHAR)))
+        |  t(ord, range_key, from_ts, to_ts))
+        |SELECT range_key, from_ts, to_ts,
+        | CASE k.ord WHEN 0 THEN c0 WHEN 1 THEN c1 WHEN 2 THEN c2
+        |  ELSE c3 END AS doc_count
+        |FROM k, c ORDER BY k.ord""".stripMargin,
+
+    // q251: multi_terms replayed — compound (lang, source) buckets
+    // of the live hit set, docs missing either key part dropped
+    "q251_multi_terms" -> {
+      val termList = searchTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+         | p AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |       FROM d),
+         | hits AS (SELECT DISTINCT doc_id FROM p
+         |          WHERE term IN ($termList) AND doc_id % 37 <> 5)
+         |SELECT lang, source, count(DISTINCT d.doc_id) AS doc_count
+         |FROM d JOIN hits USING (doc_id)
+         |WHERE lang IS NOT NULL AND source IS NOT NULL
+         |GROUP BY lang, source
+         |ORDER BY doc_count DESC, lang, source LIMIT 12""".stripMargin
+    },
+
+    // q252: rare_terms replayed — ascending by count under the cap,
+    // value the tiebreaker
+    "q252_rare_terms" -> {
+      val termList = searchTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+         | p AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |       FROM d),
+         | hits AS (SELECT DISTINCT doc_id FROM p
+         |          WHERE term IN ($termList) AND doc_id % 37 <> 5)
+         |SELECT source AS value, count(DISTINCT d.doc_id) AS doc_count
+         |FROM d JOIN hits USING (doc_id)
+         |WHERE source IS NOT NULL
+         |GROUP BY source HAVING count(DISTINCT d.doc_id) <= 6
+         |ORDER BY doc_count, value""".stripMargin
+    },
+
+    // q253: simple_query_string replayed — the compiled bool shape
+    // in SQL: must term (spark) + exact-adjacency phrase gate
+    // (customer vector), stream excluded, {spark, join} score in
+    // the engine's fixed clause order
+    "q253_simple_query_string" -> {
+      val contribs = Seq("spark", "join").map { t =>
+        s"sum(CASE WHEN term = '$t' THEN tf::DOUBLE * " +
+          "(n_docs / doc_freq::DOUBLE) ELSE 0.0::DOUBLE END)"
+      }
+      s"""WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+         | p AS (SELECT term, doc_id, count(*)::BIGINT AS tf
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |        FROM d) GROUP BY term, doc_id),
+         | dfreq AS (SELECT term, count(*)::BIGINT AS doc_freq FROM p
+         |  GROUP BY term),
+         | nd AS (SELECT count(*)::DOUBLE AS n_docs FROM d),
+         | liv AS (SELECT * FROM p WHERE doc_id % 37 <> 5),
+         | toks AS (SELECT doc_id, unnest(l) AS term,
+         |   generate_subscripts(l, 1) - 1 AS pos
+         |   FROM (SELECT doc_id, string_split(text, ' ') AS l FROM d)),
+         | ph AS (SELECT DISTINCT a.doc_id FROM toks a JOIN toks b
+         |  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         |  WHERE a.term = 'customer' AND b.term = 'vector'
+         |    AND a.doc_id % 37 <> 5),
+         | cand AS (
+         |  SELECT doc_id FROM liv WHERE term = 'spark'
+         |  INTERSECT SELECT doc_id FROM ph
+         |  EXCEPT SELECT doc_id FROM liv WHERE term = 'stream')
+         |SELECT doc_id, ${contribs.mkString(" + ")} AS score,
+         | count(*) AS n_terms_hit
+         |FROM liv JOIN dfreq USING (term), nd
+         |WHERE term IN ('spark', 'join')
+         |  AND doc_id IN (SELECT doc_id FROM cand)
+         |GROUP BY doc_id
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+    },
+
+    // q254: span_near replayed — occurrence pairs off the position
+    // arrays, in-order gap arithmetic, pair count + tightest gap
+    "q254_span_near" ->
+      """WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+        | toks AS (SELECT doc_id, unnest(l) AS term,
+        |   generate_subscripts(l, 1) - 1 AS pos
+        |   FROM (SELECT doc_id, string_split(text, ' ') AS l FROM d)),
+        | pa AS (SELECT doc_id, pos FROM toks
+        |  WHERE term = 'spark' AND doc_id % 37 <> 5),
+        | pb AS (SELECT doc_id, pos FROM toks
+        |  WHERE term IN ('join', 'vector') AND doc_id % 37 <> 5),
+        | pairs AS (SELECT pa.doc_id,
+        |   CAST(pb.pos - pa.pos - 1 AS BIGINT) AS gap
+        |  FROM pa JOIN pb ON pa.doc_id = pb.doc_id
+        |  WHERE pb.pos - pa.pos - 1 >= 0)
+        |SELECT doc_id, count(*) AS n_spans, min(gap) AS min_gap
+        |FROM pairs WHERE gap <= 3
+        |GROUP BY doc_id ORDER BY doc_id LIMIT 25""".stripMargin,
+
+    // q255: update_by_query replayed — live docs matching `vector`
+    // read back with source='flagged' (the upserted version wins by
+    // construction), the `join` facet buckets the rewritten field
+    "q255_update_by_query" ->
+      """WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+        | p AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |       FROM d),
+        | vec AS (SELECT DISTINCT doc_id FROM p
+        |  WHERE term = 'vector' AND doc_id % 37 <> 5),
+        | joins AS (SELECT DISTINCT doc_id FROM p
+        |  WHERE term = 'join' AND doc_id % 37 <> 5),
+        | src AS (SELECT d.doc_id,
+        |   CASE WHEN vec.doc_id IS NOT NULL THEN 'flagged'
+        |    ELSE d.source END AS value
+        |  FROM d LEFT JOIN vec ON d.doc_id = vec.doc_id),
+        | nu AS (SELECT count(*)::BIGINT AS n FROM vec)
+        |SELECT value, count(DISTINCT src.doc_id) AS doc_count,
+        | (SELECT n FROM nu) AS n_updated
+        |FROM src JOIN joins ON src.doc_id = joins.doc_id
+        |GROUP BY value ORDER BY doc_count DESC, value
+        |LIMIT 10""".stripMargin,
+
+    // q256: sliced scroll replayed — slice 0 of 2 is segment a
+    // (the doc_id % 5 != 0 append) by manifest-ordinal slicing,
+    // live rows, search_after cursor at 20
+    "q256_sliced_scroll" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id < 150 AND doc_id % 5 <> 0
+        |  AND doc_id % 37 <> 5 AND doc_id > 20
+        |ORDER BY doc_id LIMIT 30""".stripMargin,
+
+    // q257: matrix_stats replayed — the same lattice quantization,
+    // the moment sums in HUGEINT (the oracle's 128-bit mirror of
+    // DECIMAL(38,0)), the same fixed-order double derivations
+    "q257_matrix_stats" ->
+      """WITH q AS (SELECT
+        |  CAST(round(l_quantity * 1.0) AS BIGINT) AS xq,
+        |  CAST(round(l_extendedprice * 100.0) AS BIGINT) AS xp,
+        |  CAST(round(l_discount * 100.0) AS BIGINT) AS xd
+        | FROM lineitem WHERE l_quantity IS NOT NULL
+        |  AND l_extendedprice IS NOT NULL AND l_discount IS NOT NULL),
+        | s AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |  CAST(sum(xq) AS HUGEINT) AS s1q,
+        |  CAST(sum(xq*xq) AS HUGEINT) AS s2q,
+        |  CAST(sum(xp) AS HUGEINT) AS s1p,
+        |  CAST(sum(xp*xp) AS HUGEINT) AS s2p,
+        |  CAST(sum(xd) AS HUGEINT) AS s1d,
+        |  CAST(sum(xd*xd) AS HUGEINT) AS s2d,
+        |  CAST(sum(xq*xp) AS HUGEINT) AS s11qp,
+        |  CAST(sum(xq*xd) AS HUGEINT) AS s11qd,
+        |  CAST(sum(xp*xd) AS HUGEINT) AS s11pd
+        | FROM q)
+        |SELECT field_a, field_b, CAST(n AS BIGINT) AS n_docs,
+        | (CAST(s1a AS DOUBLE)/CAST(n AS DOUBLE))/sca AS mean_a,
+        | (CAST(s1b AS DOUBLE)/CAST(n AS DOUBLE))/scb AS mean_b,
+        | (CAST(n*s2a - s1a*s1a AS DOUBLE)
+        |   /CAST(n*(n-1) AS DOUBLE))/(sca*sca) AS var_a,
+        | (CAST(n*s2b - s1b*s1b AS DOUBLE)
+        |   /CAST(n*(n-1) AS DOUBLE))/(scb*scb) AS var_b,
+        | (CAST(n*s11 - s1a*s1b AS DOUBLE)
+        |   /CAST(n*(n-1) AS DOUBLE))/(sca*scb) AS covariance,
+        | CAST(n*s11 - s1a*s1b AS DOUBLE)
+        |  /(sqrt(CAST(n*s2a - s1a*s1a AS DOUBLE))
+        |    *sqrt(CAST(n*s2b - s1b*s1b AS DOUBLE))) AS correlation
+        |FROM (
+        | SELECT 0 AS ord, 'l_quantity' AS field_a,
+        |  'l_extendedprice' AS field_b, n, s1q AS s1a, s2q AS s2a,
+        |  s1p AS s1b, s2p AS s2b, s11qp AS s11,
+        |  1.0 AS sca, 100.0 AS scb FROM s
+        | UNION ALL
+        | SELECT 1, 'l_quantity', 'l_discount', n, s1q, s2q,
+        |  s1d, s2d, s11qd, 1.0, 100.0 FROM s
+        | UNION ALL
+        | SELECT 2, 'l_extendedprice', 'l_discount', n, s1p, s2p,
+        |  s1d, s2d, s11pd, 100.0, 100.0 FROM s)
+        |ORDER BY ord""".stripMargin,
+
+    // q258: extended_stats replayed — HUGEINT moments, the same
+    // fixed-order double derivations for avg / both variances / std
+    "q258_extended_stats" -> {
+      val termList = searchTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+         | p AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |       FROM d),
+         | hits AS (SELECT DISTINCT doc_id FROM p
+         |          WHERE term IN ($termList) AND doc_id % 37 <> 5),
+         | v AS (SELECT d.n_chars AS x FROM d JOIN hits USING (doc_id)
+         |  WHERE d.n_chars IS NOT NULL),
+         | s AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+         |  min(x) AS vmin, max(x) AS vmax,
+         |  CAST(sum(x) AS HUGEINT) AS s1,
+         |  CAST(sum(x*x) AS HUGEINT) AS s2 FROM v)
+         |SELECT CAST(n AS BIGINT) AS n_docs, vmin, vmax,
+         | CAST(s1 AS BIGINT) AS vsum,
+         | CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE) AS vavg,
+         | CAST(s2 AS BIGINT) AS sum_of_squares,
+         | CAST(n*s2 - s1*s1 AS DOUBLE)/CAST(n*n AS DOUBLE)
+         |   AS variance_pop,
+         | CAST(n*s2 - s1*s1 AS DOUBLE)/CAST(n*(n-1) AS DOUBLE)
+         |   AS variance_samp,
+         | sqrt(CAST(n*s2 - s1*s1 AS DOUBLE)/CAST(n*n AS DOUBLE))
+         |   AS std_dev
+         |FROM s""".stripMargin
+    },
+
+    // q259: weighted_avg replayed — exact integer Σvw / Σw, one
+    // closing division
+    "q259_weighted_avg" -> {
+      val termList = searchTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+         | p AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |       FROM d),
+         | hits AS (SELECT DISTINCT doc_id FROM p
+         |          WHERE term IN ($termList) AND doc_id % 37 <> 5),
+         | v AS (SELECT d.n_chars AS v, d.doc_id AS w
+         |  FROM d JOIN hits USING (doc_id)
+         |  WHERE d.n_chars IS NOT NULL AND d.doc_id IS NOT NULL)
+         |SELECT count(*) AS n_docs,
+         | CAST(CAST(sum(w) AS HUGEINT) AS BIGINT) AS wsum,
+         | CAST(CAST(sum(v*w) AS HUGEINT) AS DOUBLE)
+         |  /CAST(CAST(sum(w) AS HUGEINT) AS DOUBLE) AS weighted_avg
+         |FROM v""".stripMargin
+    },
+
+    // q260: missing replayed — the sparse append (odd ids) carries
+    // no source column, so those hit docs read null
+    "q260_missing_agg" -> {
+      val termList = searchTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+         | p AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |       FROM d)
+         |SELECT count(DISTINCT doc_id) AS doc_count FROM p
+         |WHERE term IN ($termList) AND doc_id % 37 <> 5
+         |  AND doc_id % 2 = 1""".stripMargin
+    },
+
+    // q261: boosting replayed — the usual pivot score, a hit also
+    // matching the negative term multiplies by 0.4 AFTER scoring
+    "q261_boosting" -> {
+      val contribs = searchTerms.map { t =>
+        s"sum(CASE WHEN term = '$t' THEN tf::DOUBLE * " +
+          "(n_docs / doc_freq::DOUBLE) ELSE 0.0::DOUBLE END)"
+      }
+      s"""WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+         | p AS (SELECT term, doc_id, count(*)::BIGINT AS tf
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |        FROM d) GROUP BY term, doc_id),
+         | dfreq AS (SELECT term, count(*)::BIGINT AS doc_freq FROM p
+         |  GROUP BY term),
+         | nd AS (SELECT count(*)::DOUBLE AS n_docs FROM d),
+         | liv AS (SELECT * FROM p WHERE doc_id % 37 <> 5),
+         | base AS (SELECT doc_id, ${contribs.mkString(" + ")}
+         |   AS score0, count(*) AS n_terms_hit
+         |  FROM liv JOIN dfreq USING (term), nd
+         |  WHERE term IN (${searchTerms.map(t => s"'$t'")
+            .mkString(", ")})
+         |  GROUP BY doc_id),
+         | neg AS (SELECT DISTINCT doc_id FROM liv
+         |  WHERE term = 'stream')
+         |SELECT b.doc_id,
+         | CASE WHEN n.doc_id IS NOT NULL THEN b.score0 * 0.4
+         |  ELSE b.score0 END AS score,
+         | (n.doc_id IS NOT NULL) AS demoted, b.n_terms_hit
+         |FROM base b LEFT JOIN neg n ON b.doc_id = n.doc_id
+         |ORDER BY score DESC, b.doc_id LIMIT 20""".stripMargin
+    },
+
+    // q262: distance_feature replayed — base relevance plus the
+    // half-at-pivot kernel on |n_chars − 500|
+    "q262_distance_feature" -> {
+      val contribs = searchTerms.map { t =>
+        s"sum(CASE WHEN term = '$t' THEN tf::DOUBLE * " +
+          "(n_docs / doc_freq::DOUBLE) ELSE 0.0::DOUBLE END)"
+      }
+      s"""WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+         | p AS (SELECT term, doc_id, count(*)::BIGINT AS tf
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |        FROM d) GROUP BY term, doc_id),
+         | dfreq AS (SELECT term, count(*)::BIGINT AS doc_freq FROM p
+         |  GROUP BY term),
+         | nd AS (SELECT count(*)::DOUBLE AS n_docs FROM d),
+         | liv AS (SELECT * FROM p WHERE doc_id % 37 <> 5),
+         | base AS (SELECT doc_id, ${contribs.mkString(" + ")}
+         |   AS score0, count(*) AS n_terms_hit
+         |  FROM liv JOIN dfreq USING (term), nd
+         |  WHERE term IN (${searchTerms.map(t => s"'$t'")
+            .mkString(", ")})
+         |  GROUP BY doc_id),
+         | bon AS (SELECT b.doc_id, b.score0, b.n_terms_hit,
+         |   CASE WHEN d2.n_chars IS NOT NULL THEN
+         |    3.0 * (200.0 / (200.0 +
+         |      CAST(abs(d2.n_chars - 500) AS DOUBLE)))
+         |   ELSE 0.0 END AS bonus
+         |  FROM base b JOIN d d2 ON b.doc_id = d2.doc_id)
+         |SELECT doc_id, score0 + bonus AS score, bonus, n_terms_hit
+         |FROM bon ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+    },
+
+    // q263: pinned replayed — live pins in request order (score from
+    // the organic pass or 0), then pinned-free relevance
+    "q263_pinned" -> {
+      val contribs = searchTerms.map { t =>
+        s"sum(CASE WHEN term = '$t' THEN tf::DOUBLE * " +
+          "(n_docs / doc_freq::DOUBLE) ELSE 0.0::DOUBLE END)"
+      }
+      s"""WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+         | p AS (SELECT term, doc_id, count(*)::BIGINT AS tf
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |        FROM d) GROUP BY term, doc_id),
+         | dfreq AS (SELECT term, count(*)::BIGINT AS doc_freq FROM p
+         |  GROUP BY term),
+         | nd AS (SELECT count(*)::DOUBLE AS n_docs FROM d),
+         | liv AS (SELECT * FROM p WHERE doc_id % 37 <> 5),
+         | scored AS (SELECT doc_id, ${contribs.mkString(" + ")}
+         |   AS score FROM liv JOIN dfreq USING (term), nd
+         |  WHERE term IN (${searchTerms.map(t => s"'$t'")
+            .mkString(", ")})
+         |  GROUP BY doc_id),
+         | pins AS (SELECT * FROM (VALUES
+         |  (CAST(11 AS BIGINT), 0), (CAST(7 AS BIGINT), 1),
+         |  (CAST(140 AS BIGINT), 2)) t(doc_id, pin_ord)),
+         | livepin AS (SELECT pins.doc_id, pins.pin_ord FROM pins
+         |  JOIN (SELECT DISTINCT doc_id FROM d
+         |        WHERE doc_id % 37 <> 5) ld
+         |  ON pins.doc_id = ld.doc_id),
+         | rows0 AS (
+         |  SELECT lp.doc_id, COALESCE(s.score, 0.0) AS score,
+         |   TRUE AS pinned, lp.pin_ord, 0 AS bucket
+         |  FROM livepin lp LEFT JOIN scored s
+         |   ON lp.doc_id = s.doc_id
+         |  UNION ALL
+         |  SELECT s.doc_id, s.score, FALSE, NULL, 1
+         |  FROM scored s WHERE s.doc_id NOT IN
+         |   (SELECT doc_id FROM pins))
+         |SELECT doc_id, score, pinned FROM rows0
+         |ORDER BY bucket, pin_ord NULLS LAST, score DESC, doc_id
+         |LIMIT 20""".stripMargin
+    },
+
+    // q264: random_score replayed — the documented Knuth hash over
+    // the live hit set
+    "q264_random_score" -> {
+      val termList = searchTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+         | p AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |       FROM d),
+         | hits AS (SELECT DISTINCT doc_id FROM p
+         |          WHERE term IN ($termList) AND doc_id % 37 <> 5)
+         |SELECT doc_id,
+         | CAST((doc_id * 2654435761 + 42) % 2147483648 AS DOUBLE)
+         |  / 2147483648.0 AS score
+         |FROM hits ORDER BY score DESC, doc_id LIMIT 25""".stripMargin
+    },
+
+    // q265: geo_bounds replayed — min/max corners over the box (the
+    // tile IN-list is a pruning superset, not part of the result)
+    "q265_geo_bounds" ->
+      s"""WITH g AS (SELECT c_custkey,
+         |  ((c_custkey*37) % 17000)/100.0 - 85.0 AS lat,
+         |  ((c_custkey*73) % 36000)/100.0 - 180.0 AS lon
+         | FROM customer),
+         | b AS (SELECT lat, lon FROM g
+         |  WHERE lat <= 60.0 AND lat >= -20.0
+         |   AND lon >= -90.0 AND lon <= 70.0)
+         |SELECT max(lat) AS top, min(lon) AS "left",
+         | min(lat) AS bottom, max(lon) AS "right",
+         | count(*) AS n_points FROM b""".stripMargin,
+
+    // q266: geo_centroid replayed — exact lattice sums in HUGEINT,
+    // one double division per axis
+    "q266_geo_centroid" ->
+      s"""WITH g AS (SELECT c_custkey,
+         |  ((c_custkey*37) % 17000)/100.0 - 85.0 AS lat,
+         |  ((c_custkey*73) % 36000)/100.0 - 180.0 AS lon
+         | FROM customer),
+         | b AS (SELECT lat, lon FROM g
+         |  WHERE lat <= 60.0 AND lat >= -20.0
+         |   AND lon >= -90.0 AND lon <= 70.0),
+         | q AS (SELECT CAST(round(lat*100.0) AS BIGINT) AS qla,
+         |   CAST(round(lon*100.0) AS BIGINT) AS qlo FROM b),
+         | s AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+         |  CAST(sum(qla) AS HUGEINT) AS sla,
+         |  CAST(sum(qlo) AS HUGEINT) AS slo FROM q)
+         |SELECT
+         | (CAST(sla AS DOUBLE)/CAST(n AS DOUBLE))/100.0 AS lat,
+         | (CAST(slo AS DOUBLE)/CAST(n AS DOUBLE))/100.0 AS lon,
+         | CAST(n AS BIGINT) AS n_points FROM s""".stripMargin,
+
+    // q267: regexp replayed — whole-term anchored match over the
+    // live postings (the engine's dictionary expansion is exactly
+    // the distinct matched-term set)
+    "q267_regexp" ->
+      """WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+        | p AS (SELECT DISTINCT doc_id,
+        |   unnest(string_split(text, ' ')) AS term FROM d),
+        | liv AS (SELECT * FROM p WHERE doc_id % 37 <> 5)
+        |SELECT doc_id, 1.0 AS score,
+        | count(DISTINCT term) AS n_terms_matched
+        |FROM liv WHERE regexp_matches(term, '^sp[a-z]*k$')
+        |GROUP BY doc_id ORDER BY doc_id LIMIT 20""".stripMargin,
 
     // q240: named queries replayed — distinct (doc, name) matches,
     // names comma-joined in sorted order per live hit

@@ -1,0 +1,282 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Round-15 serving-surface additions: simple_query_string,
+  * span_near, multi_terms / rare_terms, _update_by_query and the
+  * sliced scroll. */
+class ServingExtrasSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "spark join customer vector extra", "en", "web"),
+    (2L, "spark customer vector stream", "en", "book"),
+    (3L, "spark join join", "de", "web"),
+    (4L, "customer vector join", "en", "web"),
+    (5L, "spark vector customer", "fr", "wiki"))
+    .toDF("doc_id", "text", "lang", "source")
+
+  private def freshIndex(): String = {
+    val root = Files.createTempDirectory("graft-sx15").toString
+    SegmentedIndex.append(spark, root,
+      corpus.filter(col("doc_id") <= 3), "a", nBuckets = 4)
+    SegmentedIndex.append(spark, root,
+      corpus.filter(col("doc_id") > 3), "b")
+    root
+  }
+
+  test("parseSqs buckets terms and phrases by prefix; | is decoration") {
+    val p = SegmentedIndex.parseSqs("""+a -b "c d" | e +"f g" -"h i"""")
+    assert(p.mustTerms == Seq("a") && p.shouldTerms == Seq("e") &&
+      p.mustNotTerms == Seq("b"))
+    assert(p.shouldPhrases == Seq(Seq("c", "d")) &&
+      p.mustPhrases == Seq(Seq("f", "g")) &&
+      p.mustNotPhrases == Seq(Seq("h", "i")))
+    // lenient: junk input degrades, never throws
+    assert(SegmentedIndex.parseSqs("\"unclosed").shouldTerms.nonEmpty ||
+      SegmentedIndex.parseSqs("\"unclosed").shouldPhrases.nonEmpty ||
+      true)
+  }
+
+  test("simpleQueryString: must term + must phrase gate, must_not " +
+    "excludes, should terms score") {
+    val root = freshIndex()
+    val out = SegmentedIndex.simpleQueryString(spark, root,
+      "+spark +\"customer vector\" -stream | join", k = 10)
+      .as[(Long, Double, Long)].collect().toSeq
+    // doc1: spark + adjacent "customer vector", no stream;
+    // doc2 has stream; doc4 lacks spark; doc5's pair is reversed
+    assert(out.map(_._1) == Seq(1L))
+    // scoring terms (spark, join): N=5, df(spark)=4, df(join)=3
+    assert(out.head._2 == 1.0 * (5.0 / 4) + 1.0 * (5.0 / 3))
+    assert(out.head._3 == 2L)
+  }
+
+  test("simpleQueryString: phrase-only should query matches with " +
+    "score zero, id-ordered") {
+    val root = freshIndex()
+    val out = SegmentedIndex.simpleQueryString(spark, root,
+      "\"customer vector\"", k = 10)
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(out == Seq((1L, 0.0, 0L), (2L, 0.0, 0L), (4L, 0.0, 0L)))
+  }
+
+  test("simpleQueryString: bare terms OR together (default_operator)") {
+    val root = freshIndex()
+    val ids = SegmentedIndex.simpleQueryString(spark, root,
+      "join stream", k = 10)
+      .as[(Long, Double, Long)].collect().map(_._1).toSet
+    assert(ids == Set(1L, 2L, 3L, 4L))
+  }
+
+  test("spanNearSearch: in-order gap arithmetic, slop bound, span_or " +
+    "sides, unordered mode") {
+    val root = Files.createTempDirectory("graft-span").toString
+    SegmentedIndex.append(spark, root, Seq(
+      (1L, "a x b"), (2L, "b x x a"), (3L, "a b"),
+      (4L, "a x x x b"), (5L, "c b"))
+      .toDF("doc_id", "text"), "a", nBuckets = 4)
+    def ids(out: org.apache.spark.sql.DataFrame) =
+      out.select("doc_id").as[Long].collect().toSeq
+    assert(ids(SegmentedIndex.spanNearSearch(spark, root,
+      Seq("a"), Seq("b"), slop = 1)) == Seq(1L, 3L))
+    assert(ids(SegmentedIndex.spanNearSearch(spark, root,
+      Seq("a"), Seq("b"), slop = 3)) == Seq(1L, 3L, 4L))
+    assert(ids(SegmentedIndex.spanNearSearch(spark, root,
+      Seq("a"), Seq("b"), slop = 2, inOrder = false))
+      == Seq(1L, 2L, 3L))
+    // span_or on the first side: (a OR c) near b
+    assert(ids(SegmentedIndex.spanNearSearch(spark, root,
+      Seq("a", "c"), Seq("b"), slop = 0)) == Seq(3L, 5L))
+    // n_spans counts pairs, min_gap the tightest one
+    val rows = SegmentedIndex.spanNearSearch(spark, root,
+      Seq("a"), Seq("b"), slop = 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(rows == Seq((1L, 1L, 1L), (3L, 1L, 0L), (4L, 1L, 3L)))
+  }
+
+  test("multiTermsFacet: compound keys, count desc then keys asc; " +
+    "rareTermsFacet: long tail ascending under the cap") {
+    val root = freshIndex()
+    SegmentedIndex.delete(spark, root, Seq(5L).toDF("doc_id"), "d1")
+    val mt = SegmentedIndex.multiTermsFacet(spark, root,
+      Seq("spark", "join", "vector"), Seq("lang", "source"), 10)
+      .as[(String, String, Long)].collect().toSeq
+    // live hits 1,2,3,4: (en,web)=2, (de,web)=1, (en,book)=1
+    assert(mt == Seq(("en", "web", 2L), ("de", "web", 1L),
+      ("en", "book", 1L)))
+    val rt = SegmentedIndex.rareTermsFacet(spark, root,
+      Seq("spark", "join", "vector"), "source", maxDocCount = 1L)
+      .as[(String, Long)].collect().toSeq
+    // web=3 over the cap; book=1 under; wiki's doc is tombstoned
+    assert(rt == Seq(("book", 1L)))
+  }
+
+  test("updateByQuery rewrites matched docs as new live versions " +
+    "and reports the count; unmatched docs keep their fields") {
+    val root = freshIndex()
+    val n = SegmentedIndex.updateByQuery(spark, root,
+      Seq("stream"), Seq("source" -> "'flagged'"), "u1")
+    assert(n == 1L) // only doc2 contains "stream"
+    val srcs = SegmentedIndex.facet(spark, root,
+      Seq("spark", "join", "vector"), "source", 10)
+      .as[(String, Long)].collect().toMap
+    // doc2's live version now reads flagged; its old book row is dead
+    assert(srcs == Map("web" -> 3L, "flagged" -> 1L, "wiki" -> 1L))
+    // text edits re-analyze: append a token, then find it
+    val n2 = SegmentedIndex.updateByQuery(spark, root,
+      Seq("extra"), Seq("text" -> "concat(text, ' zz')"), "u2")
+    assert(n2 == 1L)
+    val hits = SegmentedIndex.search(spark, root, Seq("zz"), 10)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(hits == Seq(1L))
+  }
+
+  test("extendedStatsFacet: exact decimal moments, both variance " +
+    "flavors, std_dev") {
+    val root = Files.createTempDirectory("graft-xs").toString
+    SegmentedIndex.append(spark, root, Seq(
+      (1L, "q a", 1L), (2L, "q b", 2L), (3L, "q c", 3L),
+      (4L, "zz", 99L))
+      .toDF("doc_id", "text", "n"), "a", nBuckets = 4)
+    val r = SegmentedIndex.extendedStatsFacet(spark, root,
+      Seq("q"), "n").collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 1L &&
+      r.getLong(2) == 3L && r.getLong(3) == 6L)
+    assert(r.getDouble(4) == 2.0)            // vavg
+    assert(r.getLong(5) == 14L)              // sum_of_squares
+    assert(r.getDouble(6) == 6.0 / 9.0)      // variance_pop
+    assert(r.getDouble(7) == 1.0)            // variance_samp
+    assert(r.getDouble(8) == math.sqrt(6.0 / 9.0))
+  }
+
+  test("weightedAvgFacet: exact Σvw/Σw; docs missing either field " +
+    "drop") {
+    val root = Files.createTempDirectory("graft-wa").toString
+    SegmentedIndex.append(spark, root, Seq(
+      (1L, "q", Some(10L), Some(1L)), (2L, "q", Some(20L), Some(3L)),
+      (3L, "q", None, Some(9L)), (4L, "q", Some(50L), None))
+      .toDF("doc_id", "text", "v", "w"), "a", nBuckets = 4)
+    val r = SegmentedIndex.weightedAvgFacet(spark, root,
+      Seq("q"), "v", "w").collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 4L)
+    assert(r.getDouble(2) == 70.0 / 4.0)
+  }
+
+  test("missingFacet counts live hit docs whose sparse segment " +
+    "lacks the field") {
+    val root = Files.createTempDirectory("graft-miss").toString
+    SegmentedIndex.append(spark, root,
+      Seq((1L, "q full", "s1"), (2L, "q full", "s2"))
+        .toDF("doc_id", "text", "source"), "a", nBuckets = 4)
+    SegmentedIndex.append(spark, root,
+      Seq((3L, "q sparse"), (4L, "q sparse"))
+        .toDF("doc_id", "text"), "b")
+    SegmentedIndex.delete(spark, root, Seq(4L).toDF("doc_id"), "d1")
+    val n = SegmentedIndex.missingFacet(spark, root, Seq("q"),
+      "source").as[Long].collect().head
+    assert(n == 1L) // doc3 only: doc4 is dead, docs 1-2 carry source
+  }
+
+  test("boostingSearch demotes without excluding") {
+    val root = freshIndex()
+    val out = SegmentedIndex.boostingSearch(spark, root,
+      positive = Seq("spark"), negative = Seq("stream"),
+      negativeBoost = 0.5, k = 10)
+      .as[(Long, Double, Boolean, Long)].collect().toSeq
+    val base = SegmentedIndex.search(spark, root, Seq("spark"), 10)
+      .as[(Long, Double, Long)].collect()
+      .map(r => r._1 -> r._2).toMap
+    // doc2 contains stream → halved; everyone else unchanged
+    val byId = out.map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(byId(2L)._1 == base(2L) * 0.5 && byId(2L)._2)
+    assert(byId(1L)._1 == base(1L) && !byId(1L)._2)
+    assert(out.map(_._1).toSet == base.keySet)
+  }
+
+  test("distanceFeatureSearch adds the pivot kernel bonus") {
+    val root = Files.createTempDirectory("graft-dfq").toString
+    SegmentedIndex.append(spark, root, Seq(
+      (1L, "q", Some(100L)), (2L, "q", Some(140L)),
+      (3L, "q", None: Option[Long]))
+      .toDF("doc_id", "text", "ts"), "a", nBuckets = 4)
+    val out = SegmentedIndex.distanceFeatureSearch(spark, root,
+      Seq("q"), "ts", origin = 100L, pivot = 40L, boost = 2.0,
+      k = 10).as[(Long, Double, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val base = 1.0 * (3.0 / 3.0) // tf·(N/df): every doc has q
+    assert(out(1L)._2 == 2.0)                   // at origin: full boost
+    assert(out(2L)._2 == 2.0 * (40.0 / 80.0))   // |140-100|=pivot → half
+    assert(out(3L)._2 == 0.0)                   // missing field: no bonus
+    assert(out(1L)._1 == base + 2.0)
+  }
+
+  test("pinnedSearch: pins first in request order, organic follows " +
+    "pinned-free; dead pins vanish") {
+    val root = freshIndex()
+    SegmentedIndex.delete(spark, root, Seq(3L).toDF("doc_id"), "d1")
+    val out = SegmentedIndex.pinnedSearch(spark, root,
+      ids = Seq(4L, 3L, 1L), terms = Seq("spark"), k = 10)
+      .as[(Long, Double, Boolean)].collect().toSeq
+    // pin 3 is tombstoned → drops; 4 and 1 lead in request order
+    assert(out.take(2).map(t => (t._1, t._3)) ==
+      Seq((4L, true), (1L, true)))
+    assert(out.drop(2).forall(!_._3))
+    assert(!out.drop(2).map(_._1).contains(4L))
+    // doc4 matches no spark → pinned with score 0 but still first
+    assert(out.head._2 == 0.0)
+  }
+
+  test("randomScoreSearch: the documented Knuth hash, reproducible") {
+    val root = freshIndex()
+    val out = SegmentedIndex.randomScoreSearch(spark, root,
+      Seq("spark"), seed = 7L, k = 10)
+      .as[(Long, Double)].collect().toMap
+    def r(id: Long) =
+      ((id * 2654435761L + 7L) % 2147483648L).toDouble / 2147483648.0
+    assert(out.keySet == Set(1L, 2L, 3L, 5L))
+    out.foreach { case (id, s) => assert(s == r(id)) }
+    val again = SegmentedIndex.randomScoreSearch(spark, root,
+      Seq("spark"), seed = 7L, k = 10)
+      .as[(Long, Double)].collect().toMap
+    assert(again == out)
+  }
+
+  test("regexpSearch: whole-term anchoring on the dictionary walk") {
+    val root = freshIndex()
+    val out = SegmentedIndex.regexpSearch(spark, root,
+      "st[a-z]*m", k = 10)
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(out.map(_._1) == Seq(2L)) // stream; nothing else matches
+    // anchored: "par" alone matches no whole term
+    assert(SegmentedIndex.regexpSearch(spark, root, "par", 10)
+      .count() == 0)
+  }
+
+  test("slicedScroll: disjoint, complete, tombstone-aware, paged") {
+    val root = freshIndex()
+    SegmentedIndex.delete(spark, root, Seq(2L).toDF("doc_id"), "d1")
+    val s0 = SegmentedIndex.slicedScroll(spark, root, 0, 2, 100)
+      .select("doc_id").as[Long].collect().toSet
+    val s1 = SegmentedIndex.slicedScroll(spark, root, 1, 2, 100)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s0 == Set(1L, 3L) && s1 == Set(4L, 5L))
+    assert((s0 & s1).isEmpty)
+    // paging: after the first id of slice 0, one-row pages walk on
+    val p = SegmentedIndex.slicedScroll(spark, root, 0, 2, 1,
+      after = Some(1L)).select("doc_id").as[Long].collect().toSeq
+    assert(p == Seq(3L))
+    // an upserted doc moves to the slice holding its live version
+    SegmentedIndex.upsert(spark, root,
+      corpus.filter(col("doc_id") === 1L)
+        .withColumn("source", lit("moved")), "u9")
+    val all = (0 until 3).flatMap(i =>
+      SegmentedIndex.slicedScroll(spark, root, i, 3, 100)
+        .select("doc_id").as[Long].collect())
+    assert(all.sorted == Seq(1L, 3L, 4L, 5L))
+  }
+}

@@ -1,0 +1,57 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+class TimeOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def evts = Seq(
+    (1L, ts("2024-01-05 10:00:00")),
+    (2L, ts("2024-01-28 23:59:59")),
+    (3L, ts("2024-04-01 00:00:00")),   // gap: feb, mar empty
+    (4L, ts("2024-04-15 12:00:00")))
+    .toDF("id", "t")
+
+  test("dateHistogram(month) buckets by calendar month and " +
+    "gap-fills empty months with zero") {
+    val out = TimeOps.dateHistogram(evts, "t", "month")
+      .as[(Timestamp, Long)].collect().toSeq
+    assert(out == Seq(
+      (ts("2024-01-01 00:00:00"), 2L),
+      (ts("2024-02-01 00:00:00"), 0L),
+      (ts("2024-03-01 00:00:00"), 0L),
+      (ts("2024-04-01 00:00:00"), 2L)))
+  }
+
+  test("dateHistogram pred filters before bucketing") {
+    val out = TimeOps.dateHistogram(evts, "t", "month",
+      pred = Some("id >= 3"))
+      .as[(Timestamp, Long)].collect().toSeq
+    assert(out == Seq((ts("2024-04-01 00:00:00"), 2L)))
+  }
+
+  test("dateHistogram rejects a fixed-interval spelling") {
+    intercept[IllegalArgumentException] {
+      TimeOps.dateHistogram(evts, "t", "30s")
+    }
+  }
+
+  test("dateRange: from inclusive, to exclusive, open ends, " +
+    "request order, empty range at zero") {
+    val out = TimeOps.dateRange(evts, "t", Seq(
+      ("early", None, Some("2024-01-28 23:59:59")),
+      ("edge", Some("2024-01-28 23:59:59"), Some("2024-04-01 00:00:00")),
+      ("late", Some("2024-04-01 00:00:00"), None),
+      ("empty", Some("2025-01-01 00:00:00"), None)))
+      .select("range_key", "doc_count")
+      .as[(String, Long)].collect().toSeq
+    // id2 sits exactly at "edge"'s from → inclusive there, excluded
+    // from "early" (to exclusive); id3 exactly at "late"'s from
+    assert(out == Seq(("early", 1L), ("edge", 1L), ("late", 2L),
+      ("empty", 0L)))
+  }
+}
