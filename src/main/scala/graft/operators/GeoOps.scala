@@ -185,6 +185,53 @@ object GeoOps {
       .orderBy("ring")
   }
 
+  /** The real geohash cell key at `precision` (1–7 chars) — ES's
+    * `geohash_grid` bucket key. Geohash is interval bisection, which
+    * closed-forms to pure integer arithmetic: quantize lon to
+    * ceil(5p/2) bits and lat to floor(5p/2) bits, bit-interleave
+    * MSB-first starting with lon (the geohash convention), emit
+    * 5-bit groups through the base-32 alphabet. Every step is floor/
+    * shift/modulo on exact integers — no libm, bit-stable, and the
+    * oracle replays the identical expression. */
+  def geohashKey(lat: Column, lon: Column, precision: Int): Column = {
+    require(precision >= 1 && precision <= 7,
+      s"precision out of range: $precision")
+    val bits = precision * 5
+    val lonBits = (bits + 1) / 2
+    val latBits = bits / 2
+    val x = least(lit((1L << lonBits) - 1), greatest(lit(0L),
+      floor((lon + lit(180.0)) / lit(360.0) *
+        lit((1L << lonBits).toDouble))))
+    val y = least(lit((1L << latBits) - 1), greatest(lit(0L),
+      floor((lat + lit(90.0)) / lit(180.0) *
+        lit((1L << latBits).toDouble))))
+    val interleaved = (0 until bits).foldLeft(lit(0L)) { (acc, j) =>
+      val (src, bitIdx) =
+        if (j % 2 == 0) (x, lonBits - 1 - j / 2)
+        else (y, latBits - 1 - (j - 1) / 2)
+      acc + (shiftright(src, bitIdx) % lit(2L)) *
+        lit(1L << (bits - 1 - j))
+    }
+    val alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+    val chars = array(alphabet.map(c => lit(c.toString)): _*)
+    concat((0 until precision).map { i =>
+      element_at(chars,
+        ((shiftright(interleaved, bits - 5 * (i + 1)) % lit(32L))
+          .cast("int") + lit(1)))
+    }: _*)
+  }
+
+  /** ES `geohash_grid` aggregation: points bucket by [[geohashKey]],
+    * top-k cells by (doc_count desc, key). Same one-pass hash
+    * aggregation shape as [[tileGrid]]. Output: (geohash,
+    * doc_count). */
+  def geohashGrid(df: DataFrame, precision: Int, k: Int): DataFrame =
+    df.withColumn("geohash",
+        geohashKey(col("lat"), col("lon"), precision))
+      .groupBy("geohash").agg(count(lit(1)).as("doc_count"))
+      .orderBy(desc("doc_count"), asc("geohash"))
+      .limit(k)
+
   /** ES `geo_bounds` aggregation: the tightest box around the
     * points — top_left = (max lat, min lon), bottom_right =
     * (min lat, max lon), ES's corner convention. Min/max of doubles

@@ -1101,6 +1101,100 @@ object SegmentedIndex {
           .as("weighted_avg"))
   }
 
+  /** `_cat/segments` — ES's per-segment operational panel (the view
+    * every capacity review opens with): one row per manifest entry in
+    * COMMIT ORDER — data segments with their doc and token-length
+    * totals, tombstone batches with their victim counts. Pure
+    * manifest arithmetic: zero data files open, zero rows move —
+    * [[indexStats]]' zero-data-read posture at per-segment grain.
+    * Segment NAMES are content fingerprints (not stable across
+    * fixtures), so the panel exposes the commit ORDINAL instead —
+    * the stable identity a dashboard keys on. Output: (ord, kind,
+    * n_docs, total_len), ord-ascending. */
+  def catSegments(spark: SparkSession, rootDir: String): DataFrame = {
+    import spark.implicits._
+    val (_, segs, _) = readManifest(new java.io.File(rootDir))
+    segs.zipWithIndex.map { case (sg, i) =>
+      (i.toLong, sg.kind, sg.nDocs, sg.totalLen)
+    }.toDF("ord", "kind", "n_docs", "total_len")
+      .orderBy("ord")
+  }
+
+  /** serial_diff pipeline aggregation — ES's lag-N differencing over
+    * a histogram's bucket series (seasonality removal: lag = the
+    * period): doc_count minus the bucket `lag` steps earlier; the
+    * first `lag` buckets report null (ES omits them). Runs over the
+    * gap-filled [[histogramFacet]] series — bucket-count-sized, the
+    * coordinating-node reduce tier like every parent pipeline here.
+    * Output: (bucket, doc_count, serial_diff), bucket-ascending. */
+  def serialDiffFacet(spark: SparkSession, rootDir: String,
+                      terms: Seq[String], field: String,
+                      interval: Long, lagN: Int): DataFrame = {
+    require(lagN >= 1, s"lag must be >= 1: $lagN")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(asc("bucket"))
+    histogramFacet(spark, rootDir, terms, field, interval)
+      .withColumn("serial_diff",
+        col("doc_count") - lag(col("doc_count"), lagN).over(w))
+      .orderBy("bucket")
+  }
+
+  /** percentiles_bucket sibling pipeline — ES's percentiles OVER a
+    * histogram's doc_count series. ES computes these exactly (the
+    * series is already reduced in memory) with the nearest-rank rule
+    * `ceil(p/100 · n)`; so does this — over the gap-filled,
+    * bucket-count-sized series, never the corpus. Output:
+    * (percent, value), percent-ascending. */
+  def percentilesBucket(spark: SparkSession, rootDir: String,
+                        terms: Seq[String], field: String,
+                        interval: Long, percents: Seq[Double])
+      : DataFrame = {
+    require(percents.nonEmpty &&
+      percents.forall(p => p > 0.0 && p <= 100.0),
+      s"percents must be in (0, 100]: $percents")
+    val spark2 = spark
+    import spark2.implicits._
+    val counts = histogramFacet(spark, rootDir, terms, field, interval)
+      .select(col("doc_count"))
+    val ranked = counts
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(asc("doc_count"))))
+      .crossJoin(broadcast(counts.agg(count(lit(1)).as("n"))))
+    val req = percents.distinct.sorted.toDF("percent")
+    broadcast(req).join(ranked,
+        col("rk") === ceil(col("percent") / lit(100.0d) *
+          col("n").cast("double")).cast("int"))
+      .select(col("percent"), col("doc_count").as("value"))
+      .orderBy("percent")
+  }
+
+  /** top_metrics under a terms bucketing — ES's `top_metrics` agg
+    * ("per category, the metric of the top-sorted doc"): for each
+    * bucket of `bucketField` over the query's live hit set, the
+    * `metricField` value of the document ranking FIRST by
+    * (`sortField` desc, doc_id asc — ES breaks sort ties by doc
+    * identity). One stored scan for all three columns, a rank window
+    * PARTITIONED BY BUCKET (partitions are bucket-sized — never a
+    * global funnel). Docs missing any of the three fields drop.
+    * Output: (value, top_sort, metric, doc_id), bucket-value-
+    * ascending. */
+  def topMetricsFacet(spark: SparkSession, rootDir: String,
+                      terms: Seq[String], bucketField: String,
+                      sortField: String, metricField: String)
+      : DataFrame = {
+    val rows = hitFields(spark, rootDir, terms,
+      Seq(bucketField -> "value", sortField -> "top_sort",
+        metricField -> "metric"),
+      requireNonNull = Seq("value", "top_sort", "metric"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("value"))
+      .orderBy(desc("top_sort"), asc("doc_id"))
+    rows.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select("value", "top_sort", "metric", "doc_id")
+      .orderBy("value")
+  }
+
   /** Missing aggregation — ES's `missing`: how many of the query's
     * live hit docs DON'T carry the field (the data-quality partner of
     * every terms agg — sparse mappings are legal, so "no value" is a
@@ -1959,6 +2053,51 @@ object SegmentedIndex {
     gapped.filter(col("gap") <= lit(slop.toLong))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_spans"), min("gap").as("min_gap"))
+      .orderBy("doc_id").limit(k)
+  }
+
+  /** span_not — the last member of the span family (with
+    * [[spanFirstSearch]] and [[spanNearSearch]]): occurrences of any
+    * `include` term that are NOT within `pre` positions after / `post`
+    * positions before an `exclude` term occurrence ("java but not
+    * preceded by coffee-adjacent words"). ES's pre/post window
+    * arithmetic on single-term spans: an include position p is killed
+    * by an exclude position e when p − pre ≤ e ≤ p + post; the doc
+    * matches while at least one include occurrence survives. The kill
+    * check is a doc-local band join off the same pruned positional
+    * read; survivors aggregate per doc. Output: (doc_id, n_spans,
+    * first_pos) — surviving-occurrence count and the earliest
+    * surviving position — id-ordered top-k. */
+  def spanNotSearch(spark: SparkSession, rootDir: String,
+                    include: Seq[String], exclude: Seq[String],
+                    pre: Int = 0, post: Int = 0, k: Int = 10)
+      : DataFrame = {
+    require(pre >= 0 && post >= 0, s"pre/post must be >= 0: $pre/$post")
+    val root = new java.io.File(rootDir)
+    val iq = qTerms(root, include)
+    val eq = qTerms(root, exclude)
+    require(iq.nonEmpty && eq.nonEmpty,
+      "span_not needs surviving include and exclude terms")
+    val (nb, segs, _) = readManifest(root)
+    val p = prunedPostings(spark, root, segs, (iq ++ eq).distinct, nb)
+    val live = tombstones(spark, root, segs) match {
+      case Some(dead) =>
+        p.join(dead, Seq("doc_id", "seg"), "left_anti")
+      case None => p
+    }
+    def side(ts: Seq[String], as: String) =
+      live.filter(col("term").isin(ts: _*))
+        .select(col("doc_id"), explode(col("positions")).as(as))
+    val inc = side(iq, "p")
+    val exc = side(eq, "e")
+    val killed = inc.join(exc,
+        inc("doc_id") === exc("doc_id") &&
+          exc("e") >= inc("p") - lit(pre.toLong) &&
+          exc("e") <= inc("p") + lit(post.toLong))
+      .select(inc("doc_id"), inc("p")).distinct()
+    inc.join(killed, Seq("doc_id", "p"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"), min("p").as("first_pos"))
       .orderBy("doc_id").limit(k)
   }
 
@@ -3427,6 +3566,152 @@ object SegmentedIndex {
         coalesce(col("n_terms_hit"), lit(0L)))
       .orderBy(desc("score"), asc("doc_id"))
       .limit(k)
+  }
+
+  /** The mustache-lite renderer behind [[searchTemplate]]:
+    * `{{param}}` slots fill from the map, unknown slots render empty
+    * (mustache's rule, which is what makes ES templates omit optional
+    * clauses). Sections/partials/logic are NOT implemented — ES
+    * embeds full mustache; this is the parameter-substitution subset,
+    * stated loudly. */
+  private[operators] def renderTemplate(template: String,
+      params: Map[String, String]): String =
+    """\{\{([A-Za-z0-9_]+)\}\}""".r.replaceAllIn(template, m =>
+      scala.util.matching.Regex.quoteReplacement(
+        params.getOrElse(m.group(1), "")))
+
+  /** search_template — ES's `_search/template` (saved parameterized
+    * queries — the API behind every "saved search" feature): the
+    * template renders with the params ([[renderTemplate]]) and the
+    * result executes as a [[simpleQueryString]], so one stored string
+    * serves arbitrarily many parameterizations on the structured
+    * machinery. Output: [[simpleQueryString]]'s (doc_id, score,
+    * n_terms_hit) top-k. */
+  def searchTemplate(spark: SparkSession, rootDir: String,
+                     template: String, params: Map[String, String],
+                     k: Int = 10): DataFrame =
+    simpleQueryString(spark, rootDir, renderTemplate(template, params),
+      k)
+
+  /** match_bool_prefix — ES's search-as-you-type companion to
+    * `match_phrase_prefix`: the typed words become bool SHOULD term
+    * clauses (any may match, anywhere — no adjacency) and the final
+    * partial word a prefix clause. Leading terms score the exact
+    * tf·(N/df) sum; the prefix clause contributes Lucene's
+    * constant-score rewrite (flat 1.0 — multi-term queries don't
+    * idf-weight their expansions by default). The prefix expands over
+    * the vocabulary-sized dictionaries under `maxExpansions` (term
+    * order, ES's cap) and only the matched terms' postings are read.
+    * Output: (doc_id, score, n_terms_hit) — n_terms_hit counts
+    * LEADING terms — top-k by (score desc, doc_id). */
+  def matchBoolPrefix(spark: SparkSession, rootDir: String,
+                      leading: Seq[String], prefix: String, k: Int,
+                      maxExpansions: Int = 50): DataFrame = {
+    require(prefix.nonEmpty, "matchBoolPrefix needs a prefix")
+    import spark.implicits._
+    val root = new java.io.File(rootDir)
+    val lead2 = qTerms(root, leading)
+    val (nb, segs, _) = readManifest(root)
+    val px = Analyzer.normalize(readAnalyzer(root), prefix)
+    val expansions = dictFrame(spark, root, segs)
+      .filter(col("term").startsWith(px))
+      .select("term").distinct()
+      .orderBy("term").limit(maxExpansions)
+      .as[String].collect().toSeq.sorted
+    val scored =
+      if (lead2.nonEmpty) scoredHitsFor(spark, root, nb, segs, lead2)
+      else Seq.empty[(Long, Double, Long)]
+        .toDF("doc_id", "score", "n_terms_hit")
+    val prefixDocs =
+      if (expansions.isEmpty)
+        Seq.empty[(Long, Boolean)].toDF("doc_id", "pfx")
+      else {
+        val p = prunedPostings(spark, root, segs, expansions, nb)
+        (tombstones(spark, root, segs) match {
+          case Some(dead) =>
+            p.join(dead, Seq("doc_id", "seg"), "left_anti")
+          case None => p
+        }).select("doc_id").distinct().withColumn("pfx", lit(true))
+      }
+    scored.join(prefixDocs, Seq("doc_id"), "full_outer")
+      .withColumn("score",
+        coalesce(col("score"), lit(0.0d)) +
+          when(coalesce(col("pfx"), lit(false)), lit(1.0d))
+            .otherwise(lit(0.0d)))
+      .withColumn("n_terms_hit",
+        coalesce(col("n_terms_hit"), lit(0L)))
+      .select("doc_id", "score", "n_terms_hit")
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
+
+  /** significant_text — ES's free-text twin of [[significantTerms]],
+    * with the two knobs that make it usable on real corpora: a
+    * SAMPLER (only the first `sampleSize` hit docs, by doc_id — ES
+    * samples the top-scoring per shard; a deterministic engine
+    * samples a deterministic set, stated plainly) and
+    * `filter_duplicate_text` (near-identical boilerplate must not
+    * vote twice: duplicate texts collapse to one representative —
+    * exact-digest dedup here, ES deduplicates on a sequence-of-
+    * tokens signature). Foreground counts come from the sampled,
+    * deduped docs' postings; background df from the vocabulary-sized
+    * dictionaries; JLH scoring and min_doc_count as in
+    * [[significantTerms]]. Cost honesty: the foreground pass reads
+    * the SAMPLE's full term rows (sample-bounded, which is the whole
+    * point of the sampler at 100 TB) plus one digest read of the
+    * sample's stored text. Output: (term, fg_count, bg_count,
+    * score), top-k by (score desc, term). */
+  def significantText(spark: SparkSession, rootDir: String,
+                      terms: Seq[String], kTerms: Int,
+                      sampleSize: Int, minDocCount: Long = 3L)
+      : DataFrame = {
+    require(terms.nonEmpty, "significantText needs query terms")
+    require(sampleSize >= 1, s"sampleSize must be >= 1: $sampleSize")
+    val root = new java.io.File(rootDir)
+    val (nb, segs, _) = readManifest(root)
+    val nDocs = segs.filter(_.kind == "seg").map(_.nDocs).sum
+    val p = prunedPostings(spark, root, segs, qTerms(root, terms), nb)
+    val dead = tombstones(spark, root, segs)
+    val hits = (dead match {
+      case Some(d) => p.join(d, Seq("doc_id", "seg"), "left_anti")
+      case None    => p
+    }).select("doc_id").distinct()
+      .orderBy("doc_id").limit(sampleSize)
+    val stored = storedFrame(spark, root, segs)
+    val liveStored = dead match {
+      case Some(d) => stored.join(d, Seq("doc_id", "seg"), "left_anti")
+      case None    => stored
+    }
+    // filter_duplicate_text: one representative (lowest id) per
+    // exact text digest within the sample
+    val wDup = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("digest")).orderBy(asc("doc_id"))
+    val sampled = liveStored
+      .join(hits, Seq("doc_id"), "left_semi")
+      .withColumn("digest", md5(col("text")))
+      .withColumn("rk", row_number().over(wDup))
+      .filter(col("rk") === 1)
+      .select("doc_id")
+    val fg = segmentsRead(spark, root, segs)
+      .select("term", "doc_id", "seg")
+      .join(sampled, Seq("doc_id"), "left_semi")
+      .groupBy("term")
+      .agg(countDistinct(col("doc_id")).as("fg_count"))
+    val bg = dictFrame(spark, root, segs)
+      .groupBy("term").agg(sum("doc_freq").as("bg_count"))
+    fg.join(bg, "term")
+      .crossJoin(broadcast(
+        sampled.agg(count(lit(1)).cast("double").as("fcnt"))))
+      .withColumn("fgp", col("fg_count").cast("double") / col("fcnt"))
+      .withColumn("bgp",
+        col("bg_count").cast("double") / lit(nDocs).cast("double"))
+      .withColumn("score",
+        (col("fgp") - col("bgp")) * (col("fgp") / col("bgp")))
+      .filter(col("fg_count") >= lit(minDocCount) &&
+        col("score") > lit(0.0d))
+      .select("term", "fg_count", "bg_count", "score")
+      .orderBy(desc("score"), asc("term"))
+      .limit(kTerms)
   }
 
   /** Federated search across several indices — ES's multi-index

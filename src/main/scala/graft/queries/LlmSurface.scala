@@ -1021,6 +1021,84 @@ object LlmSurface {
       SegmentedIndex.regexpSearch(s, segIndexDir(s, d),
         "sp[a-z]*k", k = 20)),
 
+    // --- _cat/segments (ES's per-segment operational panel): one
+    //     row per manifest entry in commit order — zero data files
+    //     open, pure manifest arithmetic
+    //     (SegmentedIndex.catSegments) ---
+    "q268_cat_segments" -> ((s, d) =>
+      // probe-only against the STAGED index (segIndexDir)
+      SegmentedIndex.catSegments(s, segIndexDir(s, d))),
+
+    // --- serial_diff pipeline agg (lag-N differencing over the
+    //     gap-filled histogram series — seasonality removal)
+    //     (SegmentedIndex.serialDiffFacet) ---
+    "q269_serial_diff" -> ((s, d) =>
+      // probe-only against the STAGED index (segIndexDir)
+      SegmentedIndex.serialDiffFacet(s, segIndexDir(s, d),
+        searchTerms, "n_chars", interval = 200L, lagN = 2)),
+
+    // --- percentiles_bucket sibling pipeline (exact nearest-rank
+    //     percentiles OVER the bucket series, never the corpus)
+    //     (SegmentedIndex.percentilesBucket) ---
+    "q270_percentiles_bucket" -> ((s, d) =>
+      // probe-only against the STAGED index (segIndexDir)
+      SegmentedIndex.percentilesBucket(s, segIndexDir(s, d),
+        searchTerms, "n_chars", interval = 200L,
+        percents = Seq(25.0, 50.0, 90.0))),
+
+    // --- top_metrics under a terms bucketing ("per language, the
+    //     source of the longest doc"), rank window partitioned by
+    //     bucket — never a global funnel
+    //     (SegmentedIndex.topMetricsFacet) ---
+    "q271_top_metrics" -> ((s, d) =>
+      // probe-only against the STAGED index (segIndexDir)
+      SegmentedIndex.topMetricsFacet(s, segIndexDir(s, d),
+        searchTerms, "lang", "n_chars", "source")),
+
+    // --- match_bool_prefix (search-as-you-type, no adjacency):
+    //     leading terms score tf·(N/df), the trailing prefix adds
+    //     Lucene's constant-score 1.0 over its dictionary expansion
+    //     (SegmentedIndex.matchBoolPrefix) ---
+    "q272_match_bool_prefix" -> ((s, d) =>
+      // probe-only against the STAGED index (segIndexDir)
+      SegmentedIndex.matchBoolPrefix(s, segIndexDir(s, d),
+        leading = Seq("spark", "join"), prefix = "vec", k = 20)),
+
+    // --- significant_text (the free-text significance agg with its
+    //     production knobs: a deterministic sampler and
+    //     filter_duplicate_text) (SegmentedIndex.significantText) ---
+    "q273_significant_text" -> ((s, d) =>
+      // probe-only against the STAGED index (segIndexDir)
+      SegmentedIndex.significantText(s, segIndexDir(s, d),
+        searchTerms, kTerms = 15, sampleSize = 40,
+        minDocCount = 2L)),
+
+    // --- geohash_grid (the REAL geohash, closed-formed to integer
+    //     interleaving — no libm, no bisection loop)
+    //     (GeoOps.geohashGrid) ---
+    "q274_geohash_grid" -> ((s, d) =>
+      GeoOps.geohashGrid(s.read.parquet(geoDir(s, d)),
+        precision = 4, k = 30)),
+
+    // --- span_not (the span family's last member): vector
+    //     occurrences NOT adjacent to a customer occurrence —
+    //     pre/post kill windows, doc-local band join
+    //     (SegmentedIndex.spanNotSearch) ---
+    "q276_span_not" -> ((s, d) =>
+      // probe-only against the STAGED index (segIndexDir)
+      SegmentedIndex.spanNotSearch(s, segIndexDir(s, d),
+        include = Seq("vector"), exclude = Seq("customer"),
+        pre = 1, post = 1, k = 25)),
+
+    // --- search_template (saved parameterized queries): mustache-
+    //     lite params into simple_query_string
+    //     (SegmentedIndex.searchTemplate) ---
+    "q275_search_template" -> ((s, d) =>
+      // probe-only against the STAGED index (segIndexDir)
+      SegmentedIndex.searchTemplate(s, segIndexDir(s, d),
+        "+{{must}} | {{opt}}",
+        Map("must" -> "spark", "opt" -> "join"), k = 20)),
+
     // --- point-in-time search (ES PIT / Lucene's pinned
     //     IndexReader): a retained manifest generation is a frozen
     //     view — the search pinned BEFORE the delete still sees every
@@ -5373,6 +5451,245 @@ object LlmSurface {
          | (CAST(sla AS DOUBLE)/CAST(n AS DOUBLE))/100.0 AS lat,
          | (CAST(slo AS DOUBLE)/CAST(n AS DOUBLE))/100.0 AS lon,
          | CAST(n AS BIGINT) AS n_points FROM s""".stripMargin,
+
+    // q268: _cat/segments replayed — the staged lifecycle's manifest
+    // rows recomputed from the corpus split (append a = %5 != 0,
+    // append b = %5 = 0, one tombstone batch), token totals by the
+    // whitespace token count
+    "q268_cat_segments" ->
+      """WITH d AS (SELECT * FROM documents WHERE doc_id < 150)
+        |SELECT CAST(0 AS BIGINT) AS ord, 'seg' AS kind,
+        | (SELECT count(*) FROM d WHERE doc_id % 5 <> 0) AS n_docs,
+        | (SELECT CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+        |  FROM d WHERE doc_id % 5 <> 0) AS total_len
+        |UNION ALL
+        |SELECT 1, 'seg',
+        | (SELECT count(*) FROM d WHERE doc_id % 5 = 0),
+        | (SELECT CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+        |  FROM d WHERE doc_id % 5 = 0)
+        |UNION ALL
+        |SELECT 2, 'del',
+        | (SELECT count(*) FROM d WHERE doc_id % 37 = 5),
+        | CAST(0 AS BIGINT)
+        |ORDER BY ord""".stripMargin,
+
+    // q269: serial_diff replayed — q181's gap-filled series with a
+    // lag-2 window difference (first two buckets null)
+    "q269_serial_diff" -> {
+      val termList = searchTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+         | p AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |       FROM d),
+         | hits AS (SELECT DISTINCT doc_id FROM p
+         |          WHERE term IN ($termList) AND doc_id % 37 <> 5),
+         | c AS (SELECT (n_chars // 200) * 200 AS bucket,
+         |   count(DISTINCT d.doc_id)::BIGINT AS doc_count
+         |  FROM d JOIN hits USING (doc_id) GROUP BY 1),
+         | b AS (SELECT unnest(generate_series(
+         |   (SELECT min(bucket) FROM c), (SELECT max(bucket) FROM c),
+         |   200)) AS bucket),
+         | g AS (SELECT bucket,
+         |   coalesce(doc_count, 0)::BIGINT AS doc_count
+         |  FROM b LEFT JOIN c USING (bucket))
+         |SELECT bucket, doc_count,
+         | doc_count - lag(doc_count, 2) OVER (ORDER BY bucket)
+         |   AS serial_diff
+         |FROM g ORDER BY bucket""".stripMargin
+    },
+
+    // q270: percentiles_bucket replayed — exact nearest-rank over
+    // the same gap-filled series (tied counts share their value, so
+    // tie order inside the rank is immaterial)
+    "q270_percentiles_bucket" -> {
+      val termList = searchTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+         | p AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |       FROM d),
+         | hits AS (SELECT DISTINCT doc_id FROM p
+         |          WHERE term IN ($termList) AND doc_id % 37 <> 5),
+         | c AS (SELECT (n_chars // 200) * 200 AS bucket,
+         |   count(DISTINCT d.doc_id)::BIGINT AS doc_count
+         |  FROM d JOIN hits USING (doc_id) GROUP BY 1),
+         | b AS (SELECT unnest(generate_series(
+         |   (SELECT min(bucket) FROM c), (SELECT max(bucket) FROM c),
+         |   200)) AS bucket),
+         | g AS (SELECT coalesce(doc_count, 0)::BIGINT AS doc_count
+         |  FROM b LEFT JOIN c USING (bucket)),
+         | r AS (SELECT doc_count,
+         |   row_number() OVER (ORDER BY doc_count) AS rk FROM g),
+         | n AS (SELECT count(*)::BIGINT AS n FROM g)
+         |SELECT percent, doc_count AS value
+         |FROM (VALUES (25.0), (50.0), (90.0)) t(percent)
+         |CROSS JOIN n
+         |JOIN r ON r.rk = CAST(ceil(percent / 100.0 *
+         |  CAST(n.n AS DOUBLE)) AS INT)
+         |ORDER BY percent""".stripMargin
+    },
+
+    // q271: top_metrics replayed — per lang, the source of the doc
+    // ranking first by (n_chars desc, doc_id asc)
+    "q271_top_metrics" -> {
+      val termList = searchTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+         | p AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |       FROM d),
+         | hits AS (SELECT DISTINCT doc_id FROM p
+         |          WHERE term IN ($termList) AND doc_id % 37 <> 5),
+         | v AS (SELECT d.lang AS value, d.n_chars AS top_sort,
+         |   d.source AS metric, d.doc_id,
+         |   row_number() OVER (PARTITION BY d.lang
+         |     ORDER BY d.n_chars DESC, d.doc_id) AS rk
+         |  FROM d JOIN hits USING (doc_id)
+         |  WHERE d.lang IS NOT NULL AND d.n_chars IS NOT NULL
+         |   AND d.source IS NOT NULL)
+         |SELECT value, top_sort, metric, doc_id FROM v
+         |WHERE rk = 1 ORDER BY value""".stripMargin
+    },
+
+    // q272: match_bool_prefix replayed — {spark, join} score in the
+    // fixed pivot order, the 'vec' dictionary expansion adds a
+    // constant 1.0, prefix-only docs surface at 1.0
+    "q272_match_bool_prefix" -> {
+      val contribs = Seq("spark", "join").map { t =>
+        s"sum(CASE WHEN term = '$t' THEN tf::DOUBLE * " +
+          "(n_docs / doc_freq::DOUBLE) ELSE 0.0::DOUBLE END)"
+      }
+      s"""WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+         | p AS (SELECT term, doc_id, count(*)::BIGINT AS tf
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |        FROM d) GROUP BY term, doc_id),
+         | dfreq AS (SELECT term, count(*)::BIGINT AS doc_freq FROM p
+         |  GROUP BY term),
+         | nd AS (SELECT count(*)::DOUBLE AS n_docs FROM d),
+         | liv AS (SELECT * FROM p WHERE doc_id % 37 <> 5),
+         | base AS (SELECT doc_id, ${contribs.mkString(" + ")}
+         |   AS score0, count(*) AS n_terms_hit
+         |  FROM liv JOIN dfreq USING (term), nd
+         |  WHERE term IN ('spark', 'join') GROUP BY doc_id),
+         | pfx AS (SELECT DISTINCT doc_id FROM liv
+         |  WHERE term LIKE 'vec%')
+         |SELECT COALESCE(b.doc_id, f.doc_id) AS doc_id,
+         | COALESCE(b.score0, 0.0) +
+         |  CASE WHEN f.doc_id IS NOT NULL THEN 1.0 ELSE 0.0 END
+         |   AS score,
+         | COALESCE(b.n_terms_hit, 0)::BIGINT AS n_terms_hit
+         |FROM base b FULL JOIN pfx f ON b.doc_id = f.doc_id
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+    },
+
+    // q273: significant_text replayed — first 40 hit docs by id,
+    // one representative per exact text, JLH over the deduped
+    // foreground vs the pre-tombstone background
+    "q273_significant_text" -> {
+      val termList = searchTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+         | pr AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |        FROM d),
+         | p AS (SELECT DISTINCT doc_id, term FROM pr),
+         | liv AS (SELECT * FROM p WHERE doc_id % 37 <> 5),
+         | hits AS (SELECT DISTINCT doc_id FROM liv
+         |          WHERE term IN ($termList)
+         |          ORDER BY doc_id LIMIT 40),
+         | samp AS (SELECT doc_id FROM (
+         |   SELECT d.doc_id, row_number() OVER (PARTITION BY d.text
+         |     ORDER BY d.doc_id) AS rk
+         |   FROM d JOIN hits USING (doc_id)) WHERE rk = 1),
+         | f AS (SELECT count(*)::DOUBLE AS fcnt FROM samp),
+         | nd AS (SELECT count(*)::DOUBLE AS n_docs FROM d),
+         | fg AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS fg_count
+         |  FROM liv JOIN samp USING (doc_id) GROUP BY term),
+         | bg AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS bg_count
+         |  FROM p GROUP BY term),
+         | s AS (SELECT term, fg_count, bg_count,
+         |   (fg_count::DOUBLE / fcnt - bg_count::DOUBLE / n_docs) *
+         |   ((fg_count::DOUBLE / fcnt) / (bg_count::DOUBLE / n_docs))
+         |     AS score
+         |  FROM fg JOIN bg USING (term), f, nd)
+         |SELECT term, fg_count, bg_count, score FROM s
+         |WHERE fg_count >= 2 AND score > 0.0
+         |ORDER BY score DESC, term LIMIT 15""".stripMargin
+    },
+
+    // q274: geohash_grid replayed — the identical closed-form
+    // integer interleave, generated by the same loop
+    "q274_geohash_grid" -> {
+      val bits = 20; val lonBits = 10; val latBits = 10
+      val terms = (0 until bits).map { j =>
+        val (src, bi) =
+          if (j % 2 == 0) ("x", lonBits - 1 - j / 2)
+          else ("y", latBits - 1 - (j - 1) / 2)
+        s"(($src >> $bi) % 2) * ${1L << (bits - 1 - j)}"
+      }.mkString(" + ")
+      val alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+      val chars = (0 until 4).map { i =>
+        val sh = bits - 5 * (i + 1)
+        s"substr('$alphabet', CAST((ih >> $sh) % 32 AS INT) + 1, 1)"
+      }.mkString(" || ")
+      s"""WITH g AS (SELECT
+         |  ((c_custkey*37) % 17000)/100.0 - 85.0 AS lat,
+         |  ((c_custkey*73) % 36000)/100.0 - 180.0 AS lon
+         | FROM customer),
+         | q AS (SELECT
+         |  CAST(least(${(1L << lonBits) - 1}, greatest(0,
+         |   floor((lon + 180.0) / 360.0 * ${(1L << lonBits).toDouble})))
+         |   AS BIGINT) AS x,
+         |  CAST(least(${(1L << latBits) - 1}, greatest(0,
+         |   floor((lat + 90.0) / 180.0 * ${(1L << latBits).toDouble})))
+         |   AS BIGINT) AS y FROM g),
+         | h AS (SELECT $terms AS ih FROM q),
+         | k AS (SELECT $chars AS geohash FROM h)
+         |SELECT geohash, count(*) AS doc_count FROM k
+         |GROUP BY geohash ORDER BY doc_count DESC, geohash
+         |LIMIT 30""".stripMargin
+    },
+
+    // q276: span_not replayed — include positions anti-joined
+    // against the pre/post kill band
+    "q276_span_not" ->
+      """WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+        | toks AS (SELECT doc_id, unnest(l) AS term,
+        |   generate_subscripts(l, 1) - 1 AS pos
+        |   FROM (SELECT doc_id, string_split(text, ' ') AS l FROM d)),
+        | inc AS (SELECT doc_id, pos AS p FROM toks
+        |  WHERE term = 'vector' AND doc_id % 37 <> 5),
+        | exc AS (SELECT doc_id, pos AS e FROM toks
+        |  WHERE term = 'customer' AND doc_id % 37 <> 5),
+        | killed AS (SELECT DISTINCT inc.doc_id, inc.p
+        |  FROM inc JOIN exc ON inc.doc_id = exc.doc_id
+        |   AND exc.e >= inc.p - 1 AND exc.e <= inc.p + 1),
+        | surv AS (SELECT inc.doc_id, inc.p FROM inc
+        |  ANTI JOIN killed ON inc.doc_id = killed.doc_id
+        |   AND inc.p = killed.p)
+        |SELECT doc_id, count(*) AS n_spans,
+        | CAST(min(p) AS BIGINT) AS first_pos
+        |FROM surv GROUP BY doc_id ORDER BY doc_id
+        |LIMIT 25""".stripMargin,
+
+    // q275: search_template replayed — the rendered template
+    // "+spark | join" as its simple_query_string shape
+    "q275_search_template" -> {
+      val contribs = Seq("spark", "join").map { t =>
+        s"sum(CASE WHEN term = '$t' THEN tf::DOUBLE * " +
+          "(n_docs / doc_freq::DOUBLE) ELSE 0.0::DOUBLE END)"
+      }
+      s"""WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+         | p AS (SELECT term, doc_id, count(*)::BIGINT AS tf
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |        FROM d) GROUP BY term, doc_id),
+         | dfreq AS (SELECT term, count(*)::BIGINT AS doc_freq FROM p
+         |  GROUP BY term),
+         | nd AS (SELECT count(*)::DOUBLE AS n_docs FROM d),
+         | liv AS (SELECT * FROM p WHERE doc_id % 37 <> 5),
+         | cand AS (SELECT DISTINCT doc_id FROM liv
+         |  WHERE term = 'spark')
+         |SELECT doc_id, ${contribs.mkString(" + ")} AS score,
+         | count(*) AS n_terms_hit
+         |FROM liv JOIN dfreq USING (term), nd
+         |WHERE term IN ('spark', 'join')
+         |  AND doc_id IN (SELECT doc_id FROM cand)
+         |GROUP BY doc_id
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+    },
 
     // q267: regexp replayed — whole-term anchored match over the
     // live postings (the engine's dictionary expansion is exactly

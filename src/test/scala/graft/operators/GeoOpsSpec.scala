@@ -128,6 +128,27 @@ class GeoOpsSpec extends SparkSpec {
     assert(c.getLong(2) == 3L)
   }
 
+  test("geohashKey matches the published geohash of a known point") {
+    // geohash.org: (57.64911, 10.40744) → "u4pruyd..."
+    val g = Seq((57.64911, 10.40744)).toDF("lat", "lon")
+    val h5 = g.select(GeoOps.geohashKey(col("lat"), col("lon"), 5))
+      .as[String].collect().head
+    assert(h5 == "u4pru", h5)
+    val h7 = g.select(GeoOps.geohashKey(col("lat"), col("lon"), 7))
+      .as[String].collect().head
+    assert(h7 == "u4pruyd", h7)
+  }
+
+  test("geohashGrid buckets and orders like the tile grid") {
+    val g = Seq(
+      (1L, 57.64911, 10.40744), (2L, 57.649, 10.407),  // same cell
+      (3L, -33.9, 18.4))
+      .toDF("id", "lat", "lon")
+    val out = GeoOps.geohashGrid(g, 4, 10)
+      .as[(String, Long)].collect().toSeq
+    assert(out.head == (("u4pr", 2L)) && out.size == 2)
+  }
+
   test("bounding-box predicates push into the parquet scan") {
     val dir = java.nio.file.Files.createTempDirectory("geo_push")
       .toFile.getPath

@@ -99,6 +99,23 @@ class ServingExtrasSpec extends SparkSpec {
     assert(rows == Seq((1L, 1L, 1L), (3L, 1L, 0L), (4L, 1L, 3L)))
   }
 
+  test("spanNotSearch: include occurrences survive unless an " +
+    "exclude term sits in the pre/post window") {
+    val root = Files.createTempDirectory("graft-sn").toString
+    SegmentedIndex.append(spark, root, Seq(
+      (1L, "c t"), (2L, "x t"), (3L, "t"), (4L, "x x t x"))
+      .toDF("doc_id", "text"), "a", nBuckets = 4)
+    val strict = SegmentedIndex.spanNotSearch(spark, root,
+      Seq("t"), Seq("x"), pre = 1, post = 1)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(strict == Seq((1L, 1L, 1L), (3L, 1L, 0L)))
+    // zero windows: only exact overlap kills — nothing overlaps here
+    val loose = SegmentedIndex.spanNotSearch(spark, root,
+      Seq("t"), Seq("x"), pre = 0, post = 0)
+      .as[(Long, Long, Long)].collect().map(_._1).toSeq
+    assert(loose == Seq(1L, 2L, 3L, 4L))
+  }
+
   test("multiTermsFacet: compound keys, count desc then keys asc; " +
     "rareTermsFacet: long tail ascending under the cap") {
     val root = freshIndex()
@@ -255,6 +272,115 @@ class ServingExtrasSpec extends SparkSpec {
     // anchored: "par" alone matches no whole term
     assert(SegmentedIndex.regexpSearch(spark, root, "par", 10)
       .count() == 0)
+  }
+
+  test("catSegments: manifest rows in commit order, zero data reads") {
+    val root = freshIndex()
+    SegmentedIndex.delete(spark, root, Seq(5L).toDF("doc_id"), "d1")
+    val rows = SegmentedIndex.catSegments(spark, root)
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(rows.map(r => (r._1, r._2, r._3)) ==
+      Seq((0L, "seg", 3L), (1L, "seg", 2L), (2L, "del", 1L)))
+    // token totals: docs 1-3 have 5+4+3 tokens, docs 4-5 have 3+3
+    assert(rows(0)._4 == 12L && rows(1)._4 == 6L)
+  }
+
+  test("serialDiffFacet: lag-N differencing, first N buckets null") {
+    val root = Files.createTempDirectory("graft-sd").toString
+    SegmentedIndex.append(spark, root, Seq(
+      (1L, "q", 0L), (2L, "q", 0L), (3L, "q", 10L), (4L, "q", 20L),
+      (5L, "q", 20L), (6L, "q", 20L))
+      .toDF("doc_id", "text", "n"), "a", nBuckets = 4)
+    val out = SegmentedIndex.serialDiffFacet(spark, root, Seq("q"),
+      "n", interval = 10L, lagN = 2)
+      .select("bucket", "doc_count", "serial_diff")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getLong(2))).toSeq
+    assert(out == Seq((0L, 2L, null), (10L, 1L, null),
+      (20L, 3L, 1L)))
+  }
+
+  test("percentilesBucket: exact nearest-rank over the bucket series") {
+    val root = Files.createTempDirectory("graft-pb2").toString
+    SegmentedIndex.append(spark, root, Seq(
+      (1L, "q", 0L), (2L, "q", 0L), (3L, "q", 10L), (4L, "q", 20L),
+      (5L, "q", 20L), (6L, "q", 20L))
+      .toDF("doc_id", "text", "n"), "a", nBuckets = 4)
+    // series of doc_counts: [2, 1, 3] → sorted [1, 2, 3]
+    val out = SegmentedIndex.percentilesBucket(spark, root, Seq("q"),
+      "n", interval = 10L, percents = Seq(50.0, 100.0))
+      .as[(Double, Long)].collect().toSeq
+    assert(out == Seq((50.0, 2L), (100.0, 3L)))
+  }
+
+  test("topMetricsFacet: per bucket, the metric of the top-sorted " +
+    "doc, ties broken by id") {
+    val root = Files.createTempDirectory("graft-tm").toString
+    SegmentedIndex.append(spark, root, Seq(
+      (1L, "q", "a", 5L, 100L), (2L, "q", "a", 9L, 200L),
+      (3L, "q", "b", 9L, 300L), (4L, "q", "b", 9L, 400L))
+      .toDF("doc_id", "text", "grp", "srt", "m"), "a", nBuckets = 4)
+    val out = SegmentedIndex.topMetricsFacet(spark, root, Seq("q"),
+      "grp", "srt", "m")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // bucket a: doc2 (srt 9); bucket b: srt tie 9/9 → doc3 by id
+    assert(out == Seq(("a", 9L, 200L, 2L), ("b", 9L, 300L, 3L)))
+  }
+
+  test("matchBoolPrefix: leading terms score, the prefix clause " +
+    "adds a constant, prefix-only docs surface at 1.0") {
+    val root = freshIndex()
+    val out = SegmentedIndex.matchBoolPrefix(spark, root,
+      leading = Seq("join"), prefix = "ve", k = 10)
+      .as[(Long, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // join docs: 1,3,4 (df=3, N=5); vector docs (prefix ve): 1,2,4,5
+    val j = 5.0 / 3.0
+    assert(out(1L) == ((j + 1.0, 1L)))   // join + vector
+    assert(out(3L) == ((2.0 * j, 1L)))   // join twice, no ve-term
+    assert(out(2L) == ((1.0, 0L)))       // prefix only
+    assert(out(5L) == ((1.0, 0L)))
+  }
+
+  test("significantText: sampler bounds the foreground, duplicate " +
+    "texts vote once") {
+    val root = Files.createTempDirectory("graft-st").toString
+    SegmentedIndex.append(spark, root, Seq(
+      (1L, "q rare common"), (2L, "q rare common"),   // exact dups
+      (3L, "q other common"), (4L, "plain common"),
+      (5L, "plain common"))
+      .toDF("doc_id", "text"), "a", nBuckets = 4)
+    val out = SegmentedIndex.significantText(spark, root, Seq("q"),
+      kTerms = 10, sampleSize = 10, minDocCount = 1L)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> r._2).toMap
+    // hits of q = {1,2,3}; dedup collapses the 1/2 boilerplate pair
+    // → foreground {1,3}, fcnt 2: "rare" votes ONCE (fg 1, not 2 —
+    // filter_duplicate_text's point), "common" is everywhere
+    // (fgp = bgp → score 0 → filtered)
+    assert(out.keySet == Set("q", "rare", "other"))
+    assert(out("rare") == 1L && out("other") == 1L && out("q") == 2L)
+    // a tighter sampler changes the foreground: first 2 hit docs
+    // {1,2} dedup to {1} → rare and q both overrepresented there
+    val tight = SegmentedIndex.significantText(spark, root, Seq("q"),
+      kTerms = 10, sampleSize = 2, minDocCount = 1L)
+      .as[(String, Long, Long, Double)].collect().map(_._1).toSeq
+    assert(tight == Seq("rare", "q"))
+  }
+
+  test("searchTemplate renders {{params}} (unknown slots empty) and " +
+    "executes as simple_query_string") {
+    val root = freshIndex()
+    assert(SegmentedIndex.renderTemplate(
+      "+{{a}} -{{b}} {{missing}}", Map("a" -> "spark", "b" -> "x"))
+      == "+spark -x ")
+    val viaTemplate = SegmentedIndex.searchTemplate(spark, root,
+      "+{{must}} | {{opt}}", Map("must" -> "spark", "opt" -> "join"),
+      k = 10).as[(Long, Double, Long)].collect().toSeq
+    val direct = SegmentedIndex.simpleQueryString(spark, root,
+      "+spark | join", k = 10)
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(viaTemplate == direct && direct.nonEmpty)
   }
 
   test("slicedScroll: disjoint, complete, tombstone-aware, paged") {

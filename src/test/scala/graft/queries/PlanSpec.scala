@@ -686,4 +686,29 @@ class PlanSpec extends SparkSpec {
     assert(lines.drop(bcastLn).exists(_.contains("HashAggregate")),
       p.take(2000))
   }
+
+  test("q257: matrix_stats is ONE scan + one partial+final reduce — " +
+    "the pair matrix never rescans") {
+    val p = plan("q257_matrix_stats")
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected one lineitem scan, saw $scans:\n" +
+      p.take(1500))
+    assert(p.contains("HashAggregate"), p.take(1500))
+    // column pruning: only the three requested columns are read
+    val readSchema = p.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_quantity") &&
+      !readSchema.contains("l_orderkey"), readSchema)
+  }
+
+  test("q249: date_histogram's gap-fill is a sequence explode, not " +
+    "a driver loop, and the status predicate pushes down") {
+    val p = plan("q249_date_histogram")
+    assert(p.contains("sequence(") || p.contains("Generate"),
+      p.take(1500))
+    assert(p.contains("o_orderstatus,F") ||
+      p.contains("o_orderstatus, F") ||
+      p.contains("EqualTo(o_orderstatus,F)"),
+      "status predicate did not reach PushedFilters:\n" + p.take(1500))
+  }
 }
