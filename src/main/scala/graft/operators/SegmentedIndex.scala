@@ -1690,6 +1690,63 @@ object SegmentedIndex {
       .limit(k)
   }
 
+  /** FUZZY completion suggest — ES's `suggest.completion.fuzzy`
+    * (typo-tolerant autocomplete: "vectr" still suggests "vector"):
+    * a dictionary term matches when SOME prefix of it sits within
+    * `fuzziness` edits of the typed prefix. ES's `prefix_length`
+    * default of 1 is load-bearing here and kept FIXED: the first
+    * character must match exactly, which is precisely what lets the
+    * `pb=` first-code-point partition pruning survive fuzziness — an
+    * edit at position 0 would force reading every partition (ES pays
+    * the same expansion cost in its FST when prefix_length is 0).
+    * The edit check is `levenshtein` over the candidate's
+    * length-(n−1..n+1) prefixes (a prefix within distance f has
+    * length within ±f of the query — f=1 here; both engines compute
+    * plain Levenshtein, so the oracle replays it verbatim), run
+    * INSIDE the pruned per-segment `_complete/` walk
+    * ([[completionSuggest]]'s layout and fallback). Output:
+    * (term, weight), (weight desc, term) top-k. */
+  def completionSuggestFuzzy(spark: SparkSession, rootDir: String,
+                             prefix: String, k: Int,
+                             fuzziness: Int = 1): DataFrame = {
+    require(fuzziness == 1,
+      "only fuzziness=1 is implemented (the ±length prefix window " +
+        "below is derived for f=1)")
+    import spark.implicits._
+    val root = new java.io.File(rootDir)
+    val (_, segs, _) = readManifest(root)
+    val px = Analyzer.normalize(readAnalyzer(root), prefix)
+    require(px.length >= 2,
+      "fuzzy completion needs at least 2 prefix chars " +
+        "(prefix_length 1 + an editable tail)")
+    val live = segs.filter(_.kind == "seg")
+    if (live.isEmpty)
+      return Seq.empty[(String, Long)].toDF("term", "weight")
+    val n = px.length
+    val pb = pbKeyOf(px)
+    def fuzzyCond: org.apache.spark.sql.Column = {
+      val eds = Seq(n - 1, n, n + 1).filter(_ >= 1).map(l =>
+        levenshtein(substring(col("term"), 1, l), lit(px)))
+      col("term").startsWith(px.take(1)) &&
+        eds.reduce(least(_, _)) <= lit(fuzziness)
+    }
+    val cand = live.map { sg =>
+      val segDir = new java.io.File(root, sg.name)
+      val dd = new java.io.File(segDir, "_complete")
+      if (dd.isDirectory)
+        spark.read.parquet(dd.getPath)
+          .filter(col("pb") === lit(pb) && fuzzyCond)
+          .select("term", "weight")
+      else
+        spark.read.parquet(new java.io.File(segDir, "_dict").getPath)
+          .select(col("term"), col("doc_freq").as("weight"))
+          .filter(fuzzyCond)
+    }.reduce(_ unionByName _)
+    cand.groupBy("term").agg(sum("weight").as("weight"))
+      .orderBy(desc("weight"), asc("term"))
+      .limit(k)
+  }
+
   /** Completion FIELD suggester — ES's actual completion mapping
     * shape (`{ "suggest": { "input": ..., "weight": ... } }`): the
     * suggestion inputs come from a STORED FIELD of the documents and
@@ -3246,6 +3303,48 @@ object SegmentedIndex {
       .limit(k)
   }
 
+  /** Field collapsing WITH inner hits — ES's `collapse.inner_hits`
+    * (the "one result per seller, with their next-best offers"
+    * read): [[collapseSearch]]'s one-hit-per-group ranking, but each
+    * surviving group also carries its top `innerN` members. Groups
+    * rank by their HEAD's (score desc, doc_id) — ES's rule — and the
+    * inner list re-uses the same ordering inside the group. One
+    * scored pass, one stored read, one rank window PARTITIONED BY
+    * GROUP (bucket-sized partitions) — the inner expansion joins the
+    * kept group keys semi-style, never rescanning. Output:
+    * (group_value, group_rank, inner_rank, doc_id, score) —
+    * group_rank 1..kGroups in head order, inner_rank 1 IS the
+    * collapsed hit. */
+  def collapseInnerHits(spark: SparkSession, rootDir: String,
+                        terms: Seq[String], field: String,
+                        kGroups: Int, innerN: Int): DataFrame = {
+    require(innerN >= 1, s"innerN must be >= 1: $innerN")
+    val scored = scoredHits(spark, rootDir, terms)
+    val vals = hitFields(spark, rootDir, terms,
+      Seq(field -> "group_value"), requireNonNull = Seq.empty)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("group_value")
+      .orderBy(desc("score"), asc("doc_id"))
+    // ranked feeds BOTH the head ranking and the inner expansion —
+    // persist so the scored pass and the group window run once
+    // (rescoreSearch's first-pass precedent; hit-set-bounded)
+    val ranked = scored.join(vals, "doc_id")
+      .withColumn("inner_rank", row_number().over(w))
+      .persist()
+    val heads = ranked.filter(col("inner_rank") === 1)
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(kGroups)
+      .withColumn("group_rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(desc("score"), asc("doc_id"))))
+      .select("group_value", "group_rank")
+    ranked.filter(col("inner_rank") <= lit(innerN))
+      .join(broadcast(heads), Seq("group_value"))
+      .select("group_value", "group_rank", "inner_rank", "doc_id",
+        "score")
+      .orderBy(asc("group_rank"), asc("inner_rank"))
+  }
+
   /** Score explanation — ES's `_explain` API: WHY one live document
     * got its score — the per-term contribution breakdown of
     * [[search]]'s exact scorer (tf, df, and tf·N/df per matched
@@ -3433,7 +3532,7 @@ object SegmentedIndex {
   /** The clause structure a simple_query_string parses to: bare
     * terms and quoted phrases, each bucketed by its `+`/`-` prefix
     * (must / must_not; unprefixed = should). */
-  private[operators] case class SqsParsed(
+  private[graft] case class SqsParsed(
       mustTerms: Seq[String], shouldTerms: Seq[String],
       mustNotTerms: Seq[String], mustPhrases: Seq[Seq[String]],
       shouldPhrases: Seq[Seq[String]],
@@ -3455,7 +3554,7 @@ object SegmentedIndex {
     * implemented (ES's `flags` knob exists precisely to switch
     * subsets off — this is the OR|NOT|PHRASE|PLUS subset, stated
     * loudly rather than approximated quietly). */
-  private[operators] def parseSqs(q: String): SqsParsed = {
+  private[graft] def parseSqs(q: String): SqsParsed = {
     var mt, st, nt = Vector.empty[String]
     var mp, sp, np = Vector.empty[Seq[String]]
     for (m <- SqsToken.findAllMatchIn(q)) {

@@ -23,8 +23,10 @@ import org.apache.spark.sql.functions._
   * variance, covariance and correlation are bit-stable across
   * engines, partitionings and shuffle orders.
   *
-  * Magnitude proof for the fixture tier (the `require` guards the
-  * general case): |x| ≤ 2³¹ keeps every per-row product x·y < 2⁶²
+  * Magnitude proof for the fixture tier (an in-plan `assert_true`
+  * guard enforces the general case — violations fail the job loudly
+  * rather than dropping rows): |x| < 2³¹ keeps every per-row product
+  * x·y < 2⁶²
   * (long-exact) and every 128-bit sum term n·Σxy < 10³⁸ for
   * n ≤ 10¹². ES's per-field skewness/kurtosis extras need Σx³/Σx⁴
   * terms like s₁⁴ that overflow 128 bits for cent-scaled prices
@@ -60,13 +62,8 @@ object StatsOps {
     val quantized = fields.foldLeft(
       df.filter(names.map(col(_).isNotNull).reduce(_ && _))) {
       case (acc, (f, sc)) =>
-        val x = acc.withColumn(s"x_$f",
+        acc.withColumn(s"x_$f",
           round(col(f) * lit(sc.toDouble)).cast("long"))
-        // the long-product proof needs |x| < 2^31
-        x.withColumn(s"x_$f",
-          when(abs(col(s"x_$f")) < lit(Int.MaxValue.toLong),
-            col(s"x_$f")))
-          .filter(col(s"x_$f").isNotNull)
     }
     val pairs = for {
       i <- fields.indices; j <- fields.indices if i < j
@@ -74,12 +71,30 @@ object StatsOps {
     val aggs =
       names.flatMap { f =>
         Seq(sum(col(s"x_$f").cast(dec)).as(s"s1_$f"),
-          sum((col(s"x_$f") * col(s"x_$f")).cast(dec)).as(s"s2_$f"))
+          sum((col(s"x_$f") * col(s"x_$f")).cast(dec)).as(s"s2_$f"),
+          max(abs(col(s"x_$f"))).as(s"mx_$f"))
       } ++ pairs.map { case (a, b) =>
         sum((col(s"x_$a") * col(s"x_$b")).cast(dec)).as(s"s11_${a}_$b")
       }
+    // the 2^31 lattice bound the long-product proof needs is
+    // ENFORCED, not silently filtered: a row outside it fails the
+    // whole aggregation loudly (dropping data from a statistics
+    // panel would be a correctness lie; widening needs a 256-bit
+    // accumulator, not a quieter bug). The guard WEAVES into the
+    // `n` every statistic reads — a standalone asserted column
+    // would be pruned away as unused — as `+ coalesce(assert, 0)`:
+    // assert_true is null on success, so n is unchanged, and a
+    // violation raises before any output row materializes.
+    val guardZero = names.map { f =>
+      coalesce(
+        assert_true(col(s"mx_$f") < lit(Int.MaxValue.toLong),
+          lit(s"matrix_stats: |$f x scale| exceeds the 2^31 " +
+            "lattice bound - pick a coarser scale")).cast(dec),
+        lit(0).cast(dec))
+    }.reduce(_ + _)
     val row = quantized
       .agg(count(lit(1)).cast(dec).as("n"), aggs: _*)
+      .withColumn("n", col("n") + guardZero)
     val scaleOf = fields.toMap
     // exact 128-bit central terms, then ONE fixed-order double
     // pipeline per statistic

@@ -1080,6 +1080,26 @@ object LlmSurface {
       GeoOps.geohashGrid(s.read.parquet(geoDir(s, d)),
         precision = 4, k = 30)),
 
+    // --- FUZZY completion suggest (typo-tolerant autocomplete:
+    //     "vectr" → "vector"): levenshtein over ±1-length prefixes
+    //     inside the pb-pruned _complete walk; ES's prefix_length=1
+    //     default kept fixed because it's what preserves the
+    //     partition pruning (SegmentedIndex.completionSuggestFuzzy) ---
+    "q278_completion_fuzzy" -> ((s, d) =>
+      // probe-only against the STAGED index (segIndexDir)
+      SegmentedIndex.completionSuggestFuzzy(s, segIndexDir(s, d),
+        "vectr", k = 10)),
+
+    // --- collapse with inner_hits ("one per seller, plus their
+    //     next-best offers"): group heads rank the page, each kept
+    //     group carries its top-3 members — the rank window is
+    //     group-partitioned, the inner expansion joins broadcast
+    //     group keys (SegmentedIndex.collapseInnerHits) ---
+    "q277_collapse_inner" -> ((s, d) =>
+      // probe-only against the STAGED index (segIndexDir)
+      SegmentedIndex.collapseInnerHits(s, segIndexDir(s, d),
+        searchTerms, "lang", kGroups = 5, innerN = 3)),
+
     // --- span_not (the span family's last member): vector
     //     occurrences NOT adjacent to a customer occurrence —
     //     pre/post kill windows, doc-local band join
@@ -5641,6 +5661,58 @@ object LlmSurface {
          |SELECT geohash, count(*) AS doc_count FROM k
          |GROUP BY geohash ORDER BY doc_count DESC, geohash
          |LIMIT 30""".stripMargin
+    },
+
+    // q278: fuzzy completion replayed — dictionary weights are
+    // pre-tombstone df (the dictionary phase), the same levenshtein
+    // window over length-(n−1..n+1) prefixes, first char exact
+    "q278_completion_fuzzy" ->
+      """WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+        | p AS (SELECT DISTINCT doc_id,
+        |   unnest(string_split(text, ' ')) AS term FROM d)
+        |SELECT term, count(DISTINCT doc_id) AS weight FROM p
+        |WHERE substr(term, 1, 1) = 'v'
+        |  AND least(
+        |   levenshtein(substr(term, 1, 4), 'vectr'),
+        |   levenshtein(substr(term, 1, 5), 'vectr'),
+        |   levenshtein(substr(term, 1, 6), 'vectr')) <= 1
+        |GROUP BY term ORDER BY weight DESC, term
+        |LIMIT 10""".stripMargin,
+
+    // q277: collapse inner_hits replayed — the same two rank
+    // windows (per-group inner rank, head-ordered group rank)
+    "q277_collapse_inner" -> {
+      val contribs = searchTerms.map { t =>
+        s"sum(CASE WHEN term = '$t' THEN tf::DOUBLE * " +
+          "(n_docs / doc_freq::DOUBLE) ELSE 0.0::DOUBLE END)"
+      }
+      s"""WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+         | p AS (SELECT term, doc_id, count(*)::BIGINT AS tf
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |        FROM d) GROUP BY term, doc_id),
+         | dfreq AS (SELECT term, count(*)::BIGINT AS doc_freq FROM p
+         |  GROUP BY term),
+         | nd AS (SELECT count(*)::DOUBLE AS n_docs FROM d),
+         | liv AS (SELECT * FROM p WHERE doc_id % 37 <> 5),
+         | scored AS (SELECT doc_id, ${contribs.mkString(" + ")}
+         |   AS score FROM liv JOIN dfreq USING (term), nd
+         |  WHERE term IN (${searchTerms.map(t => s"'$t'")
+            .mkString(", ")})
+         |  GROUP BY doc_id),
+         | ranked AS (SELECT d.lang AS group_value, s.doc_id, s.score,
+         |   CAST(row_number() OVER (PARTITION BY d.lang
+         |     ORDER BY s.score DESC, s.doc_id) AS INT) AS inner_rank
+         |  FROM scored s JOIN d ON s.doc_id = d.doc_id),
+         | heads AS (SELECT group_value,
+         |   CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+         |     AS INT) AS group_rank
+         |  FROM ranked WHERE inner_rank = 1
+         |  ORDER BY score DESC, doc_id LIMIT 5)
+         |SELECT r.group_value, h.group_rank, r.inner_rank,
+         | r.doc_id, r.score
+         |FROM ranked r JOIN heads h ON r.group_value = h.group_value
+         |WHERE r.inner_rank <= 3
+         |ORDER BY h.group_rank, r.inner_rank""".stripMargin
     },
 
     // q276: span_not replayed — include positions anti-joined

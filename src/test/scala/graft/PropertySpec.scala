@@ -334,4 +334,61 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("parseSqs is total: random operator soup never throws, and " +
+    "every bucketed token came from the input") {
+    val soupChar = Gen.oneOf(Gen.alphaLowerChar, Gen.oneOf(
+      '+', '-', '"', '|', ' ', ' ', '(', ')', '*', '~'))
+    val soup = Gen.listOfN(40, soupChar).map(_.mkString)
+    samples(soup, 200).foreach { q =>
+      val p = graft.operators.SegmentedIndex.parseSqs(q) // must not throw
+      val toks = p.mustTerms ++ p.shouldTerms ++ p.mustNotTerms ++
+        (p.mustPhrases ++ p.shouldPhrases ++ p.mustNotPhrases).flatten
+      toks.foreach { t =>
+        assert(t.nonEmpty && q.contains(t), s"q='$q' tok='$t'")
+      }
+    }
+  }
+
+  test("geohashKey equals a reference bisection implementation on " +
+    "random coordinates, at every precision") {
+    import graft.operators.GeoOps
+    // classic geohash by interval bisection — the independently
+    // derived reference the closed form must reproduce
+    def reference(lat: Double, lon: Double, precision: Int): String = {
+      val alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+      var (latLo, latHi, lonLo, lonHi) = (-90.0, 90.0, -180.0, 180.0)
+      var even = true
+      val sb = new StringBuilder
+      var bits = 0; var ch = 0
+      while (sb.length < precision) {
+        if (even) {
+          val mid = (lonLo + lonHi) / 2
+          if (lon >= mid) { ch = (ch << 1) | 1; lonLo = mid }
+          else { ch = ch << 1; lonHi = mid }
+        } else {
+          val mid = (latLo + latHi) / 2
+          if (lat >= mid) { ch = (ch << 1) | 1; latLo = mid }
+          else { ch = ch << 1; latHi = mid }
+        }
+        even = !even; bits += 1
+        if (bits == 5) { sb.append(alphabet(ch)); bits = 0; ch = 0 }
+      }
+      sb.toString
+    }
+    val coord = for {
+      lat <- Gen.chooseNum(-89.99, 89.99)
+      lon <- Gen.chooseNum(-179.99, 179.99)
+    } yield (lat, lon)
+    val pts = samples(coord, 60)
+    for (precision <- Seq(1, 3, 5, 7)) {
+      val got = pts.toDF("lat", "lon")
+        .select(GeoOps.geohashKey(col("lat"), col("lon"), precision))
+        .as[String].collect().toSeq
+      pts.zip(got).foreach { case ((la, lo), h) =>
+        assert(h == reference(la, lo, precision),
+          s"($la, $lo) p=$precision got=$h")
+      }
+    }
+  }
 }

@@ -99,6 +99,36 @@ class ServingExtrasSpec extends SparkSpec {
     assert(rows == Seq((1L, 1L, 1L), (3L, 1L, 0L), (4L, 1L, 3L)))
   }
 
+  test("completionSuggestFuzzy: one edit in the tail matches, the " +
+    "first char is exact (prefix_length 1), two edits don't") {
+    val root = freshIndex()
+    def terms(px: String) =
+      SegmentedIndex.completionSuggestFuzzy(spark, root, px, 10)
+        .as[(String, Long)].collect().toSeq
+    // "vectr": substitution in the tail → vector (df 4: docs 1,2,4,5)
+    assert(terms("vectr") == Seq(("vector", 4L)))
+    // exact prefixes still match through the same path
+    assert(terms("vecto") == Seq(("vector", 4L)))
+    // first char wrong → nothing (the edit would sit at position 0)
+    assert(terms("xecto").isEmpty)
+    // two tail edits → nothing
+    assert(terms("vezzr").isEmpty)
+  }
+
+  test("collapseInnerHits: heads rank groups, inner lists stay " +
+    "group-local and ordered") {
+    val root = freshIndex()
+    val out = SegmentedIndex.collapseInnerHits(spark, root,
+      Seq("spark"), "lang", kGroups = 5, innerN = 2)
+      .as[(String, Int, Int, Long, Double)].collect().toSeq
+    // spark hits {1,2,3,5}, all score 1.25 → head order by doc_id:
+    // en(doc1) < de(doc3) < fr(doc5); en's inner list carries doc2
+    assert(out.map(r => (r._1, r._2, r._3, r._4)) == Seq(
+      ("en", 1, 1, 1L), ("en", 1, 2, 2L),
+      ("de", 2, 1, 3L), ("fr", 3, 1, 5L)))
+    assert(out.forall(_._5 == 1.0 * (5.0 / 4)))
+  }
+
   test("spanNotSearch: include occurrences survive unless an " +
     "exclude term sits in the pre/post window") {
     val root = Files.createTempDirectory("graft-sn").toString

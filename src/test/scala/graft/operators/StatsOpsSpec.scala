@@ -53,6 +53,18 @@ class StatsOpsSpec extends SparkSpec {
     assert(math.abs(qp.getDouble(8) - stats.getDouble(4)) < 1e-9)
   }
 
+  test("matrixStats fails LOUDLY when a value breaks the 2^31 " +
+    "lattice bound — never silently drops rows") {
+    val df = Seq((1.0, 2.0), (3.0e9, 4.0)).toDF("a", "b")
+    val e = intercept[Exception] {
+      StatsOps.matrixStats(df, Seq(("a", 1L), ("b", 1L))).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("lattice bound")), e.toString)
+  }
+
   test("matrixStats rejects degenerate requests") {
     val df = Seq((1.0, 2.0)).toDF("a", "b")
     intercept[IllegalArgumentException] {
