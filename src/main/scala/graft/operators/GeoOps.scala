@@ -232,6 +232,44 @@ object GeoOps {
       .orderBy(desc("doc_count"), asc("geohash"))
       .limit(k)
 
+  /** Point-in-polygon — ES's `geo_polygon` query (the `geo_shape`
+    * polygon filter for point fields): PNPOLY ray casting, the
+    * crossing-parity fold over the polygon's edges. Every edge term
+    * is comparisons plus one multiply and one divide of IEEE doubles
+    * in a fixed order, so containment is bit-deterministic and the
+    * oracle unrolls the identical expression; points exactly ON an
+    * edge resolve by the algorithm's documented >-vs-≥ asymmetry —
+    * consistently, both engines computing the same arithmetic.
+    * `vertices` are (lat, lon) pairs, ≥ 3, no closing repeat. */
+  def polygonContains(vertices: Seq[(Double, Double)]): Column = {
+    require(vertices.size >= 3,
+      s"polygon needs >= 3 vertices: ${vertices.size}")
+    val edges = vertices.zip(
+      vertices.tail :+ vertices.head)
+    edges.map { case ((yi, xi), (yj, xj)) =>
+      ((lit(yi) > col("lat")) =!= (lit(yj) > col("lat"))) &&
+        (col("lon") < (lit(xj) - lit(xi)) *
+          (col("lat") - lit(yi)) / (lit(yj) - lit(yi)) + lit(xi))
+    }.reduce(_ =!= _)
+  }
+
+  /** ES `geo_polygon` query: live points inside the polygon,
+    * id-ordered first k. The polygon's bounding box (driver
+    * arithmetic over the vertex constants) pre-filters exactly like
+    * [[distanceSearch]]'s radius box — tile pruning + footer
+    * pushdown — and the parity fold runs codegen'd on survivors.
+    * Output: (idCol, lat, lon). */
+  def polygonSearch(df: DataFrame, idCol: String,
+                    vertices: Seq[(Double, Double)], k: Int)
+      : DataFrame = {
+    val lats = vertices.map(_._1); val lons = vertices.map(_._2)
+    boundingBox(df, lats.max, lons.min, lats.min, lons.max)
+      .filter(polygonContains(vertices))
+      .select(col(idCol), col("lat"), col("lon"))
+      .orderBy(asc(idCol))
+      .limit(k)
+  }
+
   /** ES `geo_bounds` aggregation: the tightest box around the
     * points — top_left = (max lat, min lon), bottom_right =
     * (min lat, max lon), ES's corner convention. Min/max of doubles

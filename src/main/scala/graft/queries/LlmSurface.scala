@@ -1080,6 +1080,21 @@ object LlmSurface {
       GeoOps.geohashGrid(s.read.parquet(geoDir(s, d)),
         precision = 4, k = 30)),
 
+    // --- geo_polygon query (the geo_shape polygon filter for
+    //     points): PNPOLY crossing parity, the polygon's bbox
+    //     pre-filtering through tile pruning + footer pushdown
+    //     (GeoOps.polygonSearch) ---
+    "q279_geo_polygon" -> ((s, d) => {
+      val poly = Seq((40.0, -50.0), (40.0, 10.0), (0.0, 30.0),
+        (-30.0, 0.0), (0.0, -60.0))
+      val (lats, lons) = (poly.map(_._1), poly.map(_._2))
+      val g = s.read.parquet(geoDir(s, d))
+        .filter(col("pt").isin(geoTiles(lats.max, lons.min,
+          lats.min, lons.max): _*))
+      GeoOps.polygonSearch(g, "c_custkey", poly, k = 40)
+        .withColumnRenamed("c_custkey", "id")
+    }),
+
     // --- FUZZY completion suggest (typo-tolerant autocomplete:
     //     "vectr" → "vector"): levenshtein over ±1-length prefixes
     //     inside the pb-pruned _complete walk; ES's prefix_length=1
@@ -5661,6 +5676,30 @@ object LlmSurface {
          |SELECT geohash, count(*) AS doc_count FROM k
          |GROUP BY geohash ORDER BY doc_count DESC, geohash
          |LIMIT 30""".stripMargin
+    },
+
+    // q279: geo_polygon replayed — the identical PNPOLY edge terms
+    // and crossing-parity fold, generated from the same vertex list
+    "q279_geo_polygon" -> {
+      val poly = Seq((40.0, -50.0), (40.0, 10.0), (0.0, 30.0),
+        (-30.0, 0.0), (0.0, -60.0))
+      val terms = poly.zip(poly.tail :+ poly.head).map {
+        case ((yi, xi), (yj, xj)) =>
+          s"((($yi > lat) <> ($yj > lat)) AND " +
+            s"(lon < ($xj - $xi) * (lat - $yi) / ($yj - $yi) + $xi))"
+      }
+      val parity = terms.tail.foldLeft(terms.head)((acc, t) =>
+        s"($acc <> $t)")
+      s"""WITH g AS (SELECT c_custkey AS id,
+         |  ((c_custkey*37) % 17000)/100.0 - 85.0 AS lat,
+         |  ((c_custkey*73) % 36000)/100.0 - 180.0 AS lon
+         | FROM customer),
+         | b AS (SELECT * FROM g
+         |  WHERE lat <= 40.0 AND lat >= -30.0
+         |   AND lon >= -60.0 AND lon <= 30.0)
+         |SELECT id, lat, lon FROM b
+         |WHERE $parity
+         |ORDER BY id LIMIT 40""".stripMargin
     },
 
     // q278: fuzzy completion replayed — dictionary weights are

@@ -128,6 +128,28 @@ class GeoOpsSpec extends SparkSpec {
     assert(c.getLong(2) == 3L)
   }
 
+  test("polygonSearch: ray-cast containment on known points; the " +
+    "bbox prefilter is lossless") {
+    // a diamond centered at (0, 0) with radius 10 degrees
+    val diamond = Seq((10.0, 0.0), (0.0, 10.0), (-10.0, 0.0),
+      (0.0, -10.0))
+    val pts = Seq(
+      (1L, 0.0, 0.0),    // center: in
+      (2L, 4.0, 4.0),    // inside (|lat|+|lon| = 8 < 10)
+      (3L, 6.0, 6.0),    // outside (12 > 10)
+      (4L, 9.99, 0.0),   // just inside the top vertex
+      (5L, 10.01, 0.0),  // just above
+      (6L, -3.0, -6.0))  // inside
+      .toDF("id", "lat", "lon")
+    val in = GeoOps.polygonSearch(pts, "id", diamond, 10)
+      .select("id").as[Long].collect().toSeq
+    assert(in == Seq(1L, 2L, 4L, 6L))
+    // prefilter losslessness: parity alone agrees on every point
+    val parity = pts.filter(GeoOps.polygonContains(diamond))
+      .select("id").as[Long].collect().toSeq.sorted
+    assert(parity == in)
+  }
+
   test("geohashKey matches the published geohash of a known point") {
     // geohash.org: (57.64911, 10.40744) → "u4pruyd..."
     val g = Seq((57.64911, 10.40744)).toDF("lat", "lon")
