@@ -3597,8 +3597,12 @@ object SegmentedIndex {
     *    surfaces here with score 0, ranked by the id tiebreak);
     *  - each clause analyzes with the index's own chain; a clause
     *    whose terms all analyze away simply vanishes (ES's leniency
-    *    again), and a query with no surviving positive clause
-    *    matches nothing (`zero_terms_query: none`).
+    *    again); a query with no surviving clause at all matches
+    *    nothing (`zero_terms_query: none`), while a NEGATION-ONLY
+    *    query (`-foo`) is ES's match_all-minus-exclusions — every
+    *    live doc except the excluded, score 0 (the one shape whose
+    *    candidate base costs an id-column corpus read, exactly as it
+    *    does in ES).
     *
     * Cost shape: one bucket-pruned postings read for every term
     * clause, one [[phraseSearch]] anchor-count per phrase clause
@@ -3616,7 +3620,11 @@ object SegmentedIndex {
     val mustNot2 = Analyzer.queryTerms(an, pq.mustNotTerms)
     val scoring = (must2 ++ should2).distinct
     val hasMust = must2.nonEmpty || pq.mustPhrases.nonEmpty
-    if (!hasMust && should2.isEmpty && pq.shouldPhrases.isEmpty)
+    val negOnly = !hasMust && should2.isEmpty &&
+      pq.shouldPhrases.isEmpty &&
+      (mustNot2.nonEmpty || pq.mustNotPhrases.nonEmpty)
+    if (!hasMust && should2.isEmpty && pq.shouldPhrases.isEmpty &&
+        !negOnly)
       return Seq.empty[(Long, Double, Long)]
         .toDF("doc_id", "score", "n_terms_hit")
     val (nb, segs, _) = readManifest(root)
@@ -3646,7 +3654,20 @@ object SegmentedIndex {
     val cand0 =
       if (mustParts.nonEmpty)
         mustParts.reduce((a, b) => a.join(b, Seq("doc_id"), "left_semi"))
-      else
+      else if (negOnly) {
+        // ES's negation-only query ("-foo") is match_all minus the
+        // exclusions: the candidate base is EVERY live doc — one
+        // id-column stored read, the corpus-scan cost ES itself pays
+        // for this shape (stated; every other shape stays
+        // postings-bounded)
+        val stored = storedFrame(spark, root, segs)
+          .select("doc_id", "seg")
+        (tombstones(spark, root, segs) match {
+          case Some(dead) =>
+            stored.join(dead, Seq("doc_id", "seg"), "left_anti")
+          case None => stored
+        }).select("doc_id").distinct()
+      } else
         ((if (should2.nonEmpty) Seq(withAny(should2)) else Seq.empty) ++
           pq.shouldPhrases.map(phraseDocs))
           .reduce(_ unionByName _).distinct()

@@ -80,7 +80,9 @@ object TimeOps {
       lo && hi
     }
     val aggs = conds.zipWithIndex.map { case (c, i) =>
-      sum(when(c, 1L).otherwise(0L)).as(s"c$i")
+      // coalesce: sum over an EMPTY source is null — an empty index
+      // still answers every requested range with doc_count 0 (ES)
+      coalesce(sum(when(c, 1L).otherwise(0L)), lit(0L)).as(s"c$i")
     }
     val counted = df.filter(col(tsCol).isNotNull)
       .agg(aggs.head, aggs.tail: _*)

@@ -65,6 +65,20 @@ class ServingExtrasSpec extends SparkSpec {
     assert(out == Seq((1L, 0.0, 0L), (2L, 0.0, 0L), (4L, 0.0, 0L)))
   }
 
+  test("simpleQueryString: a negation-only query is match_all minus " +
+    "the exclusions (ES parity), tombstones respected") {
+    val root = freshIndex()
+    SegmentedIndex.delete(spark, root, Seq(3L).toDF("doc_id"), "d1")
+    val out = SegmentedIndex.simpleQueryString(spark, root,
+      "-stream", k = 10)
+      .as[(Long, Double, Long)].collect().toSeq
+    // live docs {1,2,4,5} minus stream-doc 2; score 0, id order
+    assert(out == Seq((1L, 0.0, 0L), (4L, 0.0, 0L), (5L, 0.0, 0L)))
+    // an EMPTY query still matches nothing
+    assert(SegmentedIndex.simpleQueryString(spark, root, "  | ",
+      k = 10).count() == 0)
+  }
+
   test("simpleQueryString: bare terms OR together (default_operator)") {
     val root = freshIndex()
     val ids = SegmentedIndex.simpleQueryString(spark, root,

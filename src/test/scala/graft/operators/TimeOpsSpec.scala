@@ -40,6 +40,15 @@ class TimeOpsSpec extends SparkSpec {
     }
   }
 
+  test("dateRange on an EMPTY source still answers every range " +
+    "with zero (never null)") {
+    val out = TimeOps.dateRange(evts.filter("id > 100"), "t", Seq(
+      ("all", None, None), ("w", Some("2024-01-01 00:00:00"), None)))
+      .select("range_key", "doc_count")
+      .as[(String, Long)].collect().toSeq
+    assert(out == Seq(("all", 0L), ("w", 0L)))
+  }
+
   test("dateRange: from inclusive, to exclusive, open ends, " +
     "request order, empty range at zero") {
     val out = TimeOps.dateRange(evts, "t", Seq(
