@@ -2158,6 +2158,63 @@ object SegmentedIndex {
       .orderBy("doc_id").limit(k)
   }
 
+  /** ORDERED intervals query — ES's `intervals` with
+    * `match { ordered: true, max_gaps }` (the modern span
+    * replacement, the query relevance engineers write proximity
+    * rules in today): the terms must appear IN ORDER with at most
+    * `maxGaps` other tokens interleaved across the whole chain
+    * (ES's max_gaps counts the total gap budget of the interval,
+    * not per-adjacency — "spark … join … vector" with the
+    * in-between sums bounded). Occurrence chains enumerate through
+    * doc-local ascending-position joins off ONE pruned positional
+    * read — per-doc occurrence-bounded like [[spanNearSearch]]'s
+    * pairs, never corpus-wide; the unordered variant is not
+    * implemented (span_near(inOrder=false) covers the two-term
+    * case). Output: (doc_id, n_intervals, min_span) — qualifying
+    * chain count and the tightest chain's token span — id-ordered
+    * top-k. */
+  def intervalsSearch(spark: SparkSession, rootDir: String,
+                      terms: Seq[String], maxGaps: Int,
+                      k: Int = 10): DataFrame = {
+    require(terms.size >= 2, "intervals needs at least two terms")
+    require(maxGaps >= 0, s"max_gaps must be >= 0: $maxGaps")
+    val root = new java.io.File(rootDir)
+    val qs = terms.map(t => qTerms(root, Seq(t)))
+    require(qs.forall(_.size == 1),
+      s"every intervals term must survive analysis 1:1: $terms")
+    val flat = qs.map(_.head)
+    val (nb, segs, _) = readManifest(root)
+    val p = prunedPostings(spark, root, segs, flat.distinct, nb)
+    val live = tombstones(spark, root, segs) match {
+      case Some(dead) =>
+        p.join(dead, Seq("doc_id", "seg"), "left_anti")
+      case None => p
+    }
+    // each side renames its doc id uniquely: the chain is a
+    // self-join of the same postings lineage, where reusing the
+    // attribute would be ambiguous
+    def side(t: String, as: String, idAs: String) =
+      live.filter(col("term") === lit(t))
+        .select(col("doc_id").as(idAs),
+          explode(col("positions")).as(as))
+    val n = flat.size
+    val chained = flat.zipWithIndex.drop(1).foldLeft(
+      side(flat.head, "p0", "doc_id")) { case (acc, (t, i)) =>
+        acc.join(side(t, s"p$i", s"d$i"),
+            col("doc_id") === col(s"d$i") &&
+              col(s"p$i") > col(s"p${i - 1}"))
+          .drop(s"d$i")
+    }
+    chained
+      .withColumn("gaps",
+        col(s"p${n - 1}") - col("p0") - lit((n - 1).toLong))
+      .filter(col("gaps") <= lit(maxGaps.toLong))
+      .withColumn("span", col(s"p${n - 1}") - col("p0") + lit(1L))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_intervals"), min("span").as("min_span"))
+      .orderBy("doc_id").limit(k)
+  }
+
   /** Field capabilities — ES's `GET /_field_caps`, the schema
     * introspection every Kibana session opens with: the index's
     * queryable fields with their types, merged across the live

@@ -1080,6 +1080,15 @@ object LlmSurface {
       GeoOps.geohashGrid(s.read.parquet(geoDir(s, d)),
         precision = 4, k = 30)),
 
+    // --- ORDERED intervals query (ES `intervals` — the modern span
+    //     replacement): spark … join … vector in order under a
+    //     TOTAL gap budget, chains enumerated through doc-local
+    //     ascending-position joins (SegmentedIndex.intervalsSearch) ---
+    "q280_intervals" -> ((s, d) =>
+      // probe-only against the STAGED index (segIndexDir)
+      SegmentedIndex.intervalsSearch(s, segIndexDir(s, d),
+        Seq("spark", "join", "vector"), maxGaps = 8, k = 20)),
+
     // --- geo_polygon query (the geo_shape polygon filter for
     //     points): PNPOLY crossing parity, the polygon's bbox
     //     pre-filtering through tile pruning + footer pushdown
@@ -5677,6 +5686,29 @@ object LlmSurface {
          |GROUP BY geohash ORDER BY doc_count DESC, geohash
          |LIMIT 30""".stripMargin
     },
+
+    // q280: ordered intervals replayed — the same ascending-position
+    // chain joins, total-gap filter, chain count + tightest span
+    "q280_intervals" ->
+      """WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+        | toks AS (SELECT doc_id, unnest(l) AS term,
+        |   generate_subscripts(l, 1) - 1 AS pos
+        |   FROM (SELECT doc_id, string_split(text, ' ') AS l FROM d)),
+        | a AS (SELECT doc_id, pos FROM toks
+        |  WHERE term = 'spark' AND doc_id % 37 <> 5),
+        | b AS (SELECT doc_id, pos FROM toks
+        |  WHERE term = 'join' AND doc_id % 37 <> 5),
+        | c AS (SELECT doc_id, pos FROM toks
+        |  WHERE term = 'vector' AND doc_id % 37 <> 5),
+        | ch AS (SELECT a.doc_id,
+        |   CAST(c.pos - a.pos - 2 AS BIGINT) AS gaps,
+        |   CAST(c.pos - a.pos + 1 AS BIGINT) AS span
+        |  FROM a JOIN b ON a.doc_id = b.doc_id AND b.pos > a.pos
+        |  JOIN c ON b.doc_id = c.doc_id AND c.pos > b.pos)
+        |SELECT doc_id, count(*) AS n_intervals,
+        | min(span) AS min_span
+        |FROM ch WHERE gaps <= 8
+        |GROUP BY doc_id ORDER BY doc_id LIMIT 20""".stripMargin,
 
     // q279: geo_polygon replayed — the identical PNPOLY edge terms
     // and crossing-parity fold, generated from the same vertex list

@@ -160,6 +160,24 @@ class ServingExtrasSpec extends SparkSpec {
     assert(loose == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("intervalsSearch: ordered chains under a TOTAL gap budget, " +
+    "chain count and tightest span") {
+    val root = Files.createTempDirectory("graft-iv").toString
+    SegmentedIndex.append(spark, root, Seq(
+      (1L, "a b c"),          // gaps 0, span 3
+      (2L, "a x b x c"),      // gaps 2, span 5
+      (3L, "c b a"),          // wrong order
+      (4L, "a x x x b c"),    // gaps 3 — over budget 2
+      (5L, "a b x c a b c"))  // multiple chains
+      .toDF("doc_id", "text"), "a", nBuckets = 4)
+    val out = SegmentedIndex.intervalsSearch(spark, root,
+      Seq("a", "b", "c"), maxGaps = 2)
+      .as[(Long, Long, Long)].collect().toSeq
+    // doc5 chains within budget: (a0,b1,c3 g1) (a0,b1,c6 g4✗)
+    // (a0,b5,c6 g4✗) (a4,b5,c6 g0) → 2 chains, tightest span 3
+    assert(out == Seq((1L, 1L, 3L), (2L, 1L, 5L), (5L, 2L, 3L)))
+  }
+
   test("multiTermsFacet: compound keys, count desc then keys asc; " +
     "rareTermsFacet: long tail ascending under the cap") {
     val root = freshIndex()
