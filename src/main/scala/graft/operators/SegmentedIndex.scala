@@ -631,15 +631,29 @@ object SegmentedIndex {
     * the segment that holds its LIVE version, because tombstones
     * apply by (doc_id, seg). A slice id beyond the segment count
     * returns empty pages (ES's documented behavior for
-    * over-provisioned slices). Output: (doc_id, lang, source),
-    * id-ascending, `pageSize` rows from `after` exclusive. */
+    * over-provisioned slices).
+    *
+    * `gen` pins ALL pages of ALL slices to ONE manifest generation
+    * (the [[searchAt]] PIT contract — ES ties sliced scroll to a PIT
+    * for exactly this reason): an append or merge committed between
+    * pages renumbers segment ordinals, so slice membership computed
+    * against the CURRENT manifest would shift under a paging
+    * consumer — docs skipped or duplicated across the export.
+    * Callers open the export with [[generations]]' newest value and
+    * pass it to every page; `None` reads the current manifest (a
+    * single-page or known-quiescent read). Output: (doc_id, lang,
+    * source), id-ascending, `pageSize` rows from `after` exclusive. */
   def slicedScroll(spark: SparkSession, rootDir: String,
                    sliceId: Int, maxSlices: Int, pageSize: Int,
-                   after: Option[Long] = None): DataFrame = {
+                   after: Option[Long] = None,
+                   gen: Option[Long] = None): DataFrame = {
     require(maxSlices >= 1 && sliceId >= 0 && sliceId < maxSlices,
       s"bad slice: $sliceId of $maxSlices")
     val root = new java.io.File(rootDir)
-    val (_, segs, _) = readManifest(root)
+    val segs = gen match {
+      case Some(g) => readManifestAt(root, g)._2
+      case None    => readManifest(root)._2
+    }
     val mine = segs.filter(_.kind == "seg").zipWithIndex
       .collect { case (sg, i) if i % maxSlices == sliceId => sg }
     import spark.implicits._
@@ -2682,16 +2696,28 @@ object SegmentedIndex {
     * arithmetic `h = (doc_id · 2654435761 + seed) mod 2³¹;
     * r = h / 2³¹` (Knuth multiplicative hashing) so the shuffle is
     * reproducible across engines, sessions and partitionings — the
-    * property ES only guarantees per-shard-layout. Output: (doc_id,
+    * property ES only guarantees per-shard-layout.
+    *
+    * Overflow-proofed for the FULL long id space: the doc id reduces
+    * mod 2³¹ BEFORE the multiply ((a mod m)·h ≡ a·h (mod m)), so the
+    * widest intermediate is (2³¹−1)·2654435761 ≈ 5.7e18 < 2⁶³−1 —
+    * a doc_id ≥ ~3.5e9 would otherwise wrap the raw product
+    * silently, the sign-carrying `%` would go negative, and scores
+    * would leave [0, 1) while the oracle (which widens or errors)
+    * diverged. `pmod` (not `%`) keeps the residue non-negative for
+    * negative ids too. The seed is bounded below 2³¹ so the add
+    * cannot re-overflow the reduced product. Output: (doc_id,
     * score), top-k by (score desc, doc_id). */
   def randomScoreSearch(spark: SparkSession, rootDir: String,
                         terms: Seq[String], seed: Long, k: Int)
       : DataFrame = {
-    require(seed >= 0, s"seed must be non-negative: $seed")
     val m = 2147483648L
+    require(seed >= 0 && seed < m,
+      s"seed must be in [0, 2^31): $seed")
     scoredHits(spark, rootDir, terms)
       .withColumn("score",
-        ((col("doc_id") * lit(2654435761L) + lit(seed)) % lit(m))
+        pmod(pmod(col("doc_id"), lit(m)) * lit(2654435761L) +
+            lit(seed), lit(m))
           .cast("double") / lit(m.toDouble))
       .select("doc_id", "score")
       .orderBy(desc("score"), asc("doc_id"))
@@ -2762,10 +2788,22 @@ object SegmentedIndex {
     // twice (bounded either way, but the first pass is the whole
     // hit-set scan). Spark's LRU cache owns the lifetime.
     val first = scoredHits(spark, rootDir, terms).persist()
+    // ALL phases' rescore fields read in ONE column-pruned stored
+    // pass against the persisted hit set (a per-phase
+    // hitFieldValues call would re-resolve the hit docs through the
+    // postings once per phase just to fetch one column — bounded
+    // work, but N−1 redundant postings passes); each phase then
+    // joins its window against its own column of this frame.
+    val phaseFields = phases.map(_._1).distinct
+    val allVals = hitFields(spark, rootDir, terms,
+      phaseFields.zipWithIndex.map { case (f, i) => f -> s"v_$i" },
+      requireNonNull = Seq.empty).persist()
+    val valColOf = phaseFields.zipWithIndex
+      .map { case (f, i) => f -> s"v_$i" }.toMap
     def applyPhase(win: DataFrame, field: String, qw: Double,
                    rw: Double): DataFrame = {
-      val vals = hitFieldValues(spark, rootDir, terms, field,
-        keepMissing = true)
+      val vals = allVals
+        .select(col("doc_id"), col(valColOf(field)).as("value"))
       win.join(vals, Seq("doc_id"), "left")
         .withColumn("score",
           lit(qw) * col("score") +
@@ -3139,16 +3177,42 @@ object SegmentedIndex {
     * shift only at merge). Returns the updated-doc count (ES's
     * `updated` response field).
     *
-    * Cost shape: one bucket-pruned postings read for the hit set, one
-    * column-complete stored read of the MATCHED rows only (semi-join
-    * pushed), one segment write — the corpus is never scanned. The
-    * count comes off the persisted update frame the upsert writes, not
-    * a second computation. */
+    * Cost shape: one bucket-pruned postings read for the hit set;
+    * then the matched-doc fetch is PLAN-GATED on the hit count, the
+    * [[tombstones]] broadcast-sizing posture applied to a read path:
+    * a SELECTIVE update (ES's common case — `_update_by_query` with
+    * a narrow query) collects the hit ids (bounded by the gate, at
+    * most `graft.updateByQuery.idPushdownMaxRows`+1 longs reach the
+    * driver) and pushes them into every segment's stored read as an
+    * id IN-list — the [[fetch]] plan, where the doc-id-sorted stored
+    * files footer-prune to the matched row groups and a handful of
+    * rewritten docs never costs a corpus read; ABOVE the gate (a
+    * corpus-fraction rewrite) the id list would bloat planning and
+    * prune nothing, so the fetch stays the scan-and-semi-join whose
+    * cost the update itself is about to dwarf. One segment write
+    * commits the result either way. */
   def updateByQuery(spark: SparkSession, rootDir: String,
                     terms: Seq[String],
                     assignments: Seq[(String, String)],
                     batchKey: String): Long = {
     require(assignments.nonEmpty, "updateByQuery needs assignments")
+    val matched = matchedForUpdate(spark, rootDir, terms)
+    val updated = assignments.foldLeft(matched) { case (df, (f, e)) =>
+      df.withColumn(f, expr(e))
+    }.persist()
+    val n = updated.count()
+    if (n > 0) upsert(spark, rootDir, updated, batchKey)
+    updated.unpersist()
+    n
+  }
+
+  /** The matched-doc fetch behind [[updateByQuery]], split out so its
+    * PLAN is assertable: the gate decides between the id-IN-list
+    * stored read (selective — PushedFilters carries the In(doc_id)
+    * the doc-id-sorted stored files footer-prune on) and the
+    * scan-and-semi-join (bulk). */
+  private[operators] def matchedForUpdate(spark: SparkSession,
+      rootDir: String, terms: Seq[String]): DataFrame = {
     val root = new java.io.File(rootDir)
     val qs = qTerms(root, terms)
     require(qs.nonEmpty,
@@ -3165,15 +3229,18 @@ object SegmentedIndex {
       case Some(dd) => stored.join(dd, Seq("doc_id", "seg"), "left_anti")
       case None     => stored
     }
-    val matched = liveStored
-      .join(hits, Seq("doc_id"), "left_semi").drop("seg")
-    val updated = assignments.foldLeft(matched) { case (df, (f, e)) =>
-      df.withColumn(f, expr(e))
-    }.persist()
-    val n = updated.count()
-    if (n > 0) upsert(spark, rootDir, updated, batchKey)
-    updated.unpersist()
-    n
+    // the selective/scan gate (scaladoc above): the probe collect is
+    // bounded by construction — limit(gate+1) caps what reaches the
+    // driver regardless of the hit count, and its source is the
+    // already-pruned postings hit set, never a corpus read
+    val gate = spark.conf
+      .getOption("graft.updateByQuery.idPushdownMaxRows").map(_.toInt)
+      .getOrElse(UpdateByQueryIdPushdownMaxRowsDefault)
+    val probe = hits.limit(gate + 1).collect().map(_.getLong(0))
+    if (probe.length <= gate)
+      liveStored.filter(col("doc_id").isin(probe: _*)).drop("seg")
+    else
+      liveStored.join(hits, Seq("doc_id"), "left_semi").drop("seg")
   }
 
   /** The postings schema, stated EXPLICITLY on every multi-segment
@@ -3241,6 +3308,15 @@ object SegmentedIndex {
     * Overridable per session via `graft.tombstones.broadcastMaxRows`
     * (also the test seam for the over-threshold plan). */
   private val BroadcastTombstoneRowsDefault = 4L * 1000 * 1000
+
+  /** Hit count above which [[updateByQuery]] abandons the collected
+    * id IN-list fetch for the scan-and-semi-join — sized where an
+    * IN-list stops pruning and starts bloating planning (ES's own
+    * terms-query ceiling `index.max_terms_count` is 65536; scroll
+    * batches run 1k–10k). Overridable per session via
+    * `graft.updateByQuery.idPushdownMaxRows` (also the test seam
+    * for forcing either path). */
+  private val UpdateByQueryIdPushdownMaxRowsDefault = 10000
 
   /** Tombstoned (doc_id, seg) pairs — each delete segment expanded
     * against the postings segments committed BEFORE it in the
@@ -4751,17 +4827,28 @@ object SegmentedIndex {
     * core (classes, `*`/`+`/`?`, alternation) — ES's Lucene dialect,
     * Spark's Java dialect and the oracle's RE2 agree there; the
     * exotic corners (lookahead, ES's `~` complement) differ by
-    * engine and are not part of this contract. Output: (doc_id,
+    * engine and are not part of this contract. The whole-term anchor
+    * wraps the pattern in a NON-CAPTURING GROUP — `^(?:a|b)$` — so a
+    * top-level alternation stays inside the anchors (bare
+    * `^spark|vec$` would find-anywhere-match `sparkly` via its left
+    * branch, violating the whole-term contract). Patterns are
+    * query-normalized (lowercased) ONLY when they carry no backslash
+    * escape: lowercasing `\S` silently flips it to `\s` — a pattern
+    * that opts into escape classes is taken verbatim, stated here
+    * rather than mangled quietly. Output: (doc_id,
     * score, n_terms_matched), id-ordered first k. */
   def regexpSearch(spark: SparkSession, rootDir: String,
                    pattern: String, k: Int,
                    maxExpansions: Int = DefaultMaxDictExpansions)
       : DataFrame = {
     require(pattern.nonEmpty, "regexpSearch needs a pattern")
-    val pat = Analyzer.normalize(
-      readAnalyzer(new java.io.File(rootDir)), pattern)
+    val pat =
+      if (pattern.contains('\\')) pattern
+      else Analyzer.normalize(
+        readAnalyzer(new java.io.File(rootDir)), pattern)
     constantScoreDictSearch(spark, rootDir,
-      _.filter(col("term").rlike("^" + pat + "$")), k, maxExpansions)
+      _.filter(col("term").rlike("^(?:" + pat + ")$")), k,
+      maxExpansions)
   }
 
   /** Terms enumeration — ES's `_terms_enum` API (field-value

@@ -85,9 +85,16 @@ object StatsOps {
     // would be pruned away as unused — as `+ coalesce(assert, 0)`:
     // assert_true is null on success, so n is unchanged, and a
     // violation raises before any output row materializes.
+    // null-safe: over an EMPTY (or all-null-filtered) source the max
+    // aggregates to null, and a bare `null < bound` is null — which
+    // assert_true RAISES, turning "no rows" into a misleading
+    // lattice-bound error. An empty panel must instead flow through
+    // and produce ES's empty-stats shape (n = 0 rows downstream).
     val guardZero = names.map { f =>
       coalesce(
-        assert_true(col(s"mx_$f") < lit(Int.MaxValue.toLong),
+        assert_true(
+          col(s"mx_$f").isNull ||
+            col(s"mx_$f") < lit(Int.MaxValue.toLong),
           lit(s"matrix_stats: |$f x scale| exceeds the 2^31 " +
             "lattice bound - pick a coarser scale")).cast(dec),
         lit(0).cast(dec))
@@ -125,6 +132,11 @@ object StatsOps {
     def cab(a: String, b: String): Column =
       col("n") * col(s"s11_${a}_$b") - col(s"s1_$a") * col(s"s1_$b")
     pairFrame.crossJoin(broadcast(row))
+      // ES's empty-result shape: matrix_stats over zero qualifying
+      // documents answers with no field pairs at all (`fields: []`),
+      // not a panel of NaNs — the n = 0 row drops here, AFTER the
+      // null-safe guard above let the empty aggregate through
+      .filter(col("n") > lit(0))
       .select(col("field_a"), col("field_b"),
         col("n").cast("long").as("n_docs"),
         byPair((a, _) => meanCol(a)).as("mean_a"),

@@ -72,11 +72,27 @@ object TimeOps {
       : DataFrame = {
     require(ranges.nonEmpty, "dateRange needs at least one range")
     val spark = df.sparkSession
-    val conds: Seq[Column] = ranges.map { case (_, from, to) =>
+    // boundary strings parse DRIVER-SIDE, inside a loud require: an
+    // in-plan to_timestamp(lit(...)) turns a typo'd boundary into
+    // null, the range condition evaluates null, and the window
+    // silently reports doc_count 0 — a malformed REQUEST must error
+    // (ES 400s it), only the DATA may be lenient. The parsed
+    // timestamp then enters the plan as a literal, so pushdown is
+    // unchanged.
+    def parseTs(key: String, s: String): java.sql.Timestamp =
+      try java.sql.Timestamp.valueOf(
+        if (s.contains(" ")) s else s + " 00:00:00")
+      catch {
+        case _: IllegalArgumentException =>
+          throw new IllegalArgumentException(
+            s"date_range '$key': unparseable boundary '$s' " +
+              "(expected yyyy-MM-dd[ HH:mm:ss[.f...]])")
+      }
+    val conds: Seq[Column] = ranges.map { case (key, from, to) =>
       val lo = from.fold(lit(true))(f =>
-        col(tsCol) >= to_timestamp(lit(f)))
+        col(tsCol) >= lit(parseTs(key, f)))
       val hi = to.fold(lit(true))(t =>
-        col(tsCol) < to_timestamp(lit(t)))
+        col(tsCol) < lit(parseTs(key, t)))
       lo && hi
     }
     val aggs = conds.zipWithIndex.map { case (c, i) =>

@@ -467,4 +467,106 @@ class ServingExtrasSpec extends SparkSpec {
         .select("doc_id").as[Long].collect())
     assert(all.sorted == Seq(1L, 3L, 4L, 5L))
   }
+
+  test("slicedScroll pinned to a generation: a commit between pages " +
+    "neither shifts slice membership nor leaks new docs") {
+    val root = freshIndex()
+    val gen = SegmentedIndex.generations(root).last
+    val page1 = SegmentedIndex.slicedScroll(spark, root, 0, 2, 1,
+      gen = Some(gen)).select("doc_id").as[Long].collect().toSeq
+    // an append between pages renumbers CURRENT manifest ordinals —
+    // the pinned view must not see it
+    SegmentedIndex.append(spark, root,
+      Seq((9L, "spark late arrival", "en", "web"))
+        .toDF("doc_id", "text", "lang", "source"), "c")
+    val page2 = SegmentedIndex.slicedScroll(spark, root, 0, 2, 100,
+      after = Some(page1.last), gen = Some(gen))
+      .select("doc_id").as[Long].collect().toSeq
+    val pinned0 = (page1 ++ page2).toSet
+    val pinned1 = SegmentedIndex.slicedScroll(spark, root, 1, 2, 100,
+      gen = Some(gen)).select("doc_id").as[Long].collect().toSet
+    // the pinned export is exactly the pinned view's live corpus:
+    // disjoint, complete, and doc 9 is invisible
+    assert((pinned0 & pinned1).isEmpty)
+    assert((pinned0 ++ pinned1) == Set(1L, 2L, 3L, 4L, 5L))
+    // unpinned reads DO see the new doc (and the new ordinals)
+    val current = (0 until 2).flatMap(i =>
+      SegmentedIndex.slicedScroll(spark, root, i, 2, 100)
+        .select("doc_id").as[Long].collect())
+    assert(current.sorted == Seq(1L, 2L, 3L, 4L, 5L, 9L))
+  }
+
+  test("updateByQuery fetch gate: the selective path pushes the " +
+    "collected id IN-list into the stored scans; the bulk path " +
+    "scans and semi-joins; both agree") {
+    val root = freshIndex()
+    // selective (default gate 10000): In(doc_id, ...) reaches the
+    // parquet scans' PushedFilters — the footer-pruning plan
+    val sel = SegmentedIndex.matchedForUpdate(spark, root,
+      Seq("join"))
+    val selPlan = sel.queryExecution.executedPlan.toString
+    assert(selPlan.contains("PushedFilters:") &&
+      (selPlan.contains("In(doc_id") ||
+        selPlan.contains("EqualTo(doc_id")), selPlan.take(1200))
+    assert(!selPlan.toLowerCase.contains("leftsemi"), selPlan.take(400))
+    // bulk (gate forced to 0): no id list — the semi-join plan
+    spark.conf.set("graft.updateByQuery.idPushdownMaxRows", "0")
+    try {
+      val bulk = SegmentedIndex.matchedForUpdate(spark, root,
+        Seq("join"))
+      val bulkPlan = bulk.queryExecution.executedPlan.toString
+      assert(bulkPlan.toLowerCase.contains("leftsemi"),
+        bulkPlan.take(1200))
+      assert(sel.select("doc_id").as[Long].collect().toSet ==
+        bulk.select("doc_id").as[Long].collect().toSet)
+      // the mutating roundtrip agrees on the forced-scan path too
+      val n = SegmentedIndex.updateByQuery(spark, root,
+        Seq("stream"), Seq("source" -> "'flagged'"), "u1")
+      assert(n == 1L)
+    } finally
+      spark.conf.unset("graft.updateByQuery.idPushdownMaxRows")
+    val srcs = SegmentedIndex.facet(spark, root,
+      Seq("spark", "join", "vector"), "source", 10)
+      .as[(String, Long)].collect().toMap
+    assert(srcs == Map("web" -> 3L, "flagged" -> 1L, "wiki" -> 1L))
+  }
+
+  test("randomScoreSearch: ids beyond 2^31 reduce before the " +
+    "multiply — scores stay in [0, 1) and match the modular hash") {
+    val root = freshIndex()
+    val big = 4100000000L // doc_id · 2654435761 would wrap a Long
+    SegmentedIndex.append(spark, root,
+      Seq((big, "spark giant id", "en", "web"))
+        .toDF("doc_id", "text", "lang", "source"), "c")
+    val out = SegmentedIndex.randomScoreSearch(spark, root,
+      Seq("spark"), seed = 7L, k = 10)
+      .as[(Long, Double)].collect().toMap
+    val m = BigInt(2147483648L)
+    def r(id: Long) =
+      (((BigInt(id) * BigInt(2654435761L) + 7) mod m).toDouble
+        / m.toDouble)
+    assert(out.contains(big))
+    out.foreach { case (id, s) =>
+      assert(s >= 0.0 && s < 1.0, s"$id -> $s")
+      assert(s == r(id), s"$id: $s != ${r(id)}")
+    }
+  }
+
+  test("regexpSearch: top-level alternation stays whole-term " +
+    "anchored; backslash patterns bypass lowercasing") {
+    val root = freshIndex()
+    SegmentedIndex.append(spark, root,
+      Seq((7L, "sparkly things", "en", "web"))
+        .toDF("doc_id", "text", "lang", "source"), "c")
+    // ^(?:spark|vec)$ — 'sparkly' must NOT match via the left branch
+    val hits = SegmentedIndex.regexpSearch(spark, root,
+      "spark|stream", k = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(hits == Set(1L, 2L, 3L, 5L), hits)
+    // \S+ lowercased would become \s+ (matches nothing-term); the
+    // verbatim path keeps the escape class meaningful
+    val all = SegmentedIndex.regexpSearch(spark, root,
+      """\S+""", k = 50).count()
+    assert(all > 0L)
+  }
 }

@@ -65,6 +65,18 @@ class StatsOpsSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("lattice bound")), e.toString)
   }
 
+  test("matrixStats on an empty (or all-null-filtered) source " +
+    "returns ES's empty result, not a lattice-bound error") {
+    val empty = Seq.empty[(Double, Double)].toDF("a", "b")
+    assert(StatsOps.matrixStats(empty,
+      Seq(("a", 1L), ("b", 1L))).collect().isEmpty)
+    // all rows null-filtered is the same empty aggregate
+    val nulls = Seq((Option.empty[Double], Some(1.0)),
+      (Some(2.0), Option.empty[Double])).toDF("a", "b")
+    assert(StatsOps.matrixStats(nulls,
+      Seq(("a", 1L), ("b", 1L))).collect().isEmpty)
+  }
+
   test("matrixStats rejects degenerate requests") {
     val df = Seq((1.0, 2.0)).toDF("a", "b")
     intercept[IllegalArgumentException] {

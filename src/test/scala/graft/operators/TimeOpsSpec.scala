@@ -63,4 +63,19 @@ class TimeOpsSpec extends SparkSpec {
     assert(out == Seq(("early", 1L), ("edge", 1L), ("late", 2L),
       ("empty", 0L)))
   }
+
+  test("dateRange: an unparseable boundary errors loudly instead of " +
+    "reading as an empty range; bare dates parse as midnight") {
+    val e = intercept[IllegalArgumentException] {
+      TimeOps.dateRange(evts, "t",
+        Seq(("w", Some("2024-13-99 oops"), None)))
+    }
+    assert(e.getMessage.contains("unparseable boundary"), e.getMessage)
+    // a bare yyyy-MM-dd boundary means midnight (ES date math's day
+    // floor), so request ergonomics don't force a time suffix
+    val out = TimeOps.dateRange(evts, "t",
+      Seq(("d", Some("2024-04-01"), None)))
+      .select("doc_count").as[Long].collect().toSeq
+    assert(out == Seq(2L))
+  }
 }
