@@ -1,0 +1,405 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The STRICT Lucene `query_string` grammar — ES's power-user query
+  * box (`query_string` query), the full-syntax counterpart of the
+  * lenient [[SegmentedIndex.simpleQueryString]]: field prefixes
+  * (`meta:src3`), boolean operators with grouping
+  * (`(a AND b) OR NOT c`, `&&`/`||`/`!` accepted as Lucene does),
+  * quoted phrases, and per-clause boosts (`spark^2`). The two parse
+  * contracts are deliberately OPPOSITE and both are ES's: a
+  * malformed `simple_query_string` degrades silently, a malformed
+  * `query_string` is a 400 — here an [[IllegalArgumentException]]
+  * from the parser (unbalanced parens, dangling operators, empty
+  * groups, malformed boosts all error loudly).
+  *
+  * The reference delegates all querying to Elasticsearch
+  * (`api/controllers/elastic_controller.go:184-250` indexes; search
+  * runs in ES) — this module executes the query natively on the
+  * segmented-index machinery.
+  *
+  * Semantics, stated precisely:
+  *  - grammar (precedence low→high): `OR` < `AND` < unary `NOT` <
+  *    primary; ADJACENCY is OR (`default_operator: OR`, ES's
+  *    default — "a b" parses as "a OR b");
+  *  - each clause addresses a FIELD ([[SegmentedIndex
+  *    .multiMatchSearch]]'s field model: every analyzed field is its
+  *    own postings family over a shared doc-id space); unprefixed
+  *    clauses hit `defaultField`; an unknown field prefix errors
+  *    (ES with `lenient: false`);
+  *  - each clause analyzes with ITS field's chain; a clause whose
+  *    terms all analyze away DROPS from the tree (Lucene discards
+  *    the clause, not the query); a clause analyzing to SEVERAL
+  *    tokens becomes their OR (Lucene's multi-token query-time
+  *    expansion — the synonym-chain behavior);
+  *  - `NOT x` is match-all-minus-x (Lucene's pure-negative rewrite;
+  *    the candidate base is one id-column stored read of the default
+  *    field's family — the corpus-scan cost ES itself pays, stated);
+  *    `a AND NOT b` short-circuits to an anti-join (no corpus read);
+  *  - scoring is Lucene's NESTED boolean sum, not a flat one: a
+  *    term clause contributes boost·tf·(N_f/df_f) with its FIELD's
+  *    own statistics, a disjunction sums its MATCHING kids, and a
+  *    conjunction that fails contributes ZERO even when some of its
+  *    terms match (`(a AND b) OR c`: a doc holding only `a` and `c`
+  *    scores c alone). A clause appearing twice scores twice
+  *    (Lucene sums duplicate clauses). Phrases GATE candidacy but
+  *    score zero (filter context — [[SegmentedIndex
+  *    .simpleQueryString]]'s stated posture); `n_terms_hit` counts
+  *    distinct positive (field, term) pairs matched.
+  *
+  * Cost shape: ONE bucket-pruned postings read per involved field
+  * (the union of that field's clause terms — the `_msearch`
+  * amortization), one column pair per distinct (field, term) in a
+  * per-doc leaf matrix met in O(pairs) id joins; the boolean tree
+  * folds over those columns as driver-composed fixed-order
+  * expressions (deterministic doubles — the hash-oracle surface).
+  * No corpus scan except the stated pure-negative base.
+  */
+object QueryString {
+
+  // ---- AST ----
+  private[graft] sealed trait Node
+  private[graft] case class TermNode(field: Option[String],
+      text: String, boost: Double) extends Node
+  private[graft] case class PhraseNode(field: Option[String],
+      words: Seq[String], boost: Double) extends Node
+  private[graft] case class AndNode(kids: Seq[Node]) extends Node
+  private[graft] case class OrNode(kids: Seq[Node]) extends Node
+  private[graft] case class NotNode(kid: Node) extends Node
+
+  // ---- tokenizer ----
+  private[graft] sealed trait Tok
+  private[graft] case object LP extends Tok
+  private[graft] case object RP extends Tok
+  private[graft] case object AndT extends Tok
+  private[graft] case object OrT extends Tok
+  private[graft] case object NotT extends Tok
+  private[graft] case class Leaf(node: Node) extends Tok
+
+  private val FieldPrefix = """([A-Za-z_][A-Za-z0-9_]*):""".r
+  private val BoostSuffix = """\^(\d+(?:\.\d+)?)""".r
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"query_string parse error: $msg")
+
+  private[graft] def tokenize(q: String): Seq[Tok] = {
+    val toks = scala.collection.mutable.ArrayBuffer.empty[Tok]
+    var i = 0
+    val n = q.length
+    def boostAt(j: Int): (Double, Int) =
+      if (j < n && q(j) == '^') {
+        BoostSuffix.findPrefixMatchOf(q.substring(j)) match {
+          case Some(m) => (m.group(1).toDouble, j + m.matched.length)
+          case None    => fail(s"malformed boost at offset $j")
+        }
+      } else (1.0, j)
+    while (i < n) {
+      q(i) match {
+        case c if c.isWhitespace => i += 1
+        case '(' => toks += LP; i += 1
+        case ')' => toks += RP; i += 1
+        case '!' => toks += NotT; i += 1
+        case '&' =>
+          if (i + 1 < n && q(i + 1) == '&') { toks += AndT; i += 2 }
+          else fail(s"lone '&' at offset $i")
+        case '|' =>
+          if (i + 1 < n && q(i + 1) == '|') { toks += OrT; i += 2 }
+          else fail(s"lone '|' at offset $i")
+        case _ =>
+          // optional field prefix, then phrase or bare term
+          val field = FieldPrefix.findPrefixMatchOf(q.substring(i))
+            .map { m => i += m.matched.length; m.group(1) }
+          if (i >= n || q(i).isWhitespace || "()".contains(q(i)))
+            fail(s"field prefix without a clause at offset $i")
+          if (q(i) == '"') {
+            val close = q.indexOf('"', i + 1)
+            if (close < 0) fail(s"unclosed phrase at offset $i")
+            val words = q.substring(i + 1, close)
+              .split("\\s+").filter(_.nonEmpty).toSeq
+            if (words.isEmpty) fail(s"empty phrase at offset $i")
+            val (b, j) = boostAt(close + 1)
+            toks += Leaf(PhraseNode(field, words, b))
+            i = j
+          } else {
+            val start = i
+            while (i < n && !q(i).isWhitespace &&
+              !"()^\":!".contains(q(i))) i += 1
+            val word = q.substring(start, i)
+            if (word.isEmpty) fail(s"empty clause at offset $start")
+            val (b, j) = boostAt(i)
+            i = j
+            word match {
+              case "AND" if field.isEmpty && b == 1.0 => toks += AndT
+              case "OR" if field.isEmpty && b == 1.0  => toks += OrT
+              case "NOT" if field.isEmpty && b == 1.0 => toks += NotT
+              case w => toks += Leaf(TermNode(field, w, b))
+            }
+          }
+      }
+    }
+    toks.toSeq
+  }
+
+  /** Recursive-descent parse; throws [[IllegalArgumentException]] on
+    * any malformed input (the strict contract above). */
+  private[graft] def parse(q: String): Node = {
+    val toks = tokenize(q)
+    if (toks.isEmpty) fail("empty query")
+    var pos = 0
+    def peek: Option[Tok] =
+      if (pos < toks.length) Some(toks(pos)) else None
+    def next(): Tok = {
+      if (pos >= toks.length) fail("unexpected end of input")
+      val t = toks(pos); pos += 1; t
+    }
+    def parseOr(): Node = {
+      // adjacency is OR (default_operator: OR): clauses simply
+      // follow each other, with explicit OR tokens as decoration
+      val kids = scala.collection.mutable.ArrayBuffer(parseAnd())
+      var cont = true
+      while (cont) peek match {
+        case Some(OrT) => next(); kids += parseAnd()
+        case Some(LP) | Some(NotT) | Some(Leaf(_)) =>
+          kids += parseAnd()
+        case _ => cont = false
+      }
+      if (kids.size == 1) kids.head else OrNode(kids.toSeq)
+    }
+    def parseAnd(): Node = {
+      val kids = scala.collection.mutable.ArrayBuffer(parseNot())
+      while (peek.contains(AndT)) { next(); kids += parseNot() }
+      if (kids.size == 1) kids.head else AndNode(kids.toSeq)
+    }
+    def parseNot(): Node = peek match {
+      case Some(NotT) => next(); NotNode(parseNot())
+      case _          => parsePrimary()
+    }
+    def parsePrimary(): Node = next() match {
+      case LP =>
+        val inner = parseOr()
+        if (!peek.contains(RP)) fail("unbalanced '('")
+        next(); inner
+      case Leaf(nd) => nd
+      case RP   => fail("unbalanced ')'")
+      case AndT => fail("dangling AND")
+      case OrT  => fail("dangling OR")
+      case NotT => fail("dangling NOT")
+    }
+    val root = parseOr()
+    if (pos != toks.length) fail("trailing input")
+    root
+  }
+
+  // ---- resolved tree (leaves analyzed, drops applied) ----
+  private sealed trait RNode
+  private case class TermR(pair: Int, boost: Double) extends RNode
+  private case class PhraseR(ph: Int) extends RNode
+  private case class AndR(kids: Seq[RNode]) extends RNode
+  private case class OrR(kids: Seq[RNode]) extends RNode
+  private case class NotR(kid: RNode) extends RNode
+
+  /** Execute `query` against the per-field postings families in
+    * `fields` (field name → family root — [[SegmentedIndex
+    * .multiMatchSearch]]'s mapping).
+    *
+    * Evaluation preserves Lucene's NESTED boolean scoring, not a
+    * flat sum: each (field, analyzed-term) pair becomes one column
+    * pair (matched?, contribution) in a per-doc leaf matrix (built
+    * from one pruned postings read per field, met in O(pairs)
+    * full-outer joins), and the tree folds over those columns —
+    * a conjunction that fails contributes ZERO even when some of its
+    * terms match (`(a AND b) OR c`: a doc with only `a` and `c`
+    * scores c alone, exactly Lucene), a disjunction sums its
+    * matching kids, a negation flips the match bit and contributes
+    * nothing. All arithmetic is fixed-order driver-composed column
+    * expressions — deterministic doubles on the oracle surface.
+    * Output: (doc_id, score, n_terms_hit) — n_terms_hit counts
+    * distinct positive (field, term) pairs matched — top-k by
+    * (score desc, doc_id). */
+  def search(spark: SparkSession, fields: Seq[(String, String)],
+             defaultField: String, query: String, k: Int)
+      : DataFrame = {
+    import spark.implicits._
+    require(fields.nonEmpty, "query_string needs fields")
+    require(fields.map(_._1).distinct.size == fields.size,
+      "duplicate fields")
+    val rootOf = fields.toMap
+    require(rootOf.contains(defaultField),
+      s"defaultField '$defaultField' is not a mapped field")
+    val ast = parse(query)
+
+    def fieldName(f: Option[String]): String = f match {
+      case Some(name) =>
+        require(rootOf.contains(name),
+          s"unknown field '$name' (mapped: " +
+            fields.map(_._1).mkString(", ") + ")")
+        name
+      case None => defaultField
+    }
+    def analyzed(field: String, raw: String): Seq[String] =
+      SegmentedIndex.qTerms(new java.io.File(rootOf(field)), Seq(raw))
+
+    // resolve: analyze leaves under their field's chain, drop
+    // clauses that analyze away (Lucene's rule), expand multi-token
+    // analysis to an OR of single-token leaves. Pair/phrase tables
+    // assign one matrix column set per DISTINCT (field, term) and
+    // (field, words).
+    val pairIds = scala.collection.mutable
+      .LinkedHashMap.empty[(String, String), Int]
+    val phraseIds = scala.collection.mutable
+      .LinkedHashMap.empty[(String, Seq[String]), Int]
+    def pairId(f: String, t: String): Int =
+      pairIds.getOrElseUpdate((f, t), pairIds.size)
+    def phraseId(f: String, w: Seq[String]): Int =
+      phraseIds.getOrElseUpdate((f, w), phraseIds.size)
+    def resolve(n: Node): Option[RNode] = n match {
+      case TermNode(f, t, b) =>
+        val fn = fieldName(f)
+        analyzed(fn, t) match {
+          case Seq()    => None
+          case Seq(one) => Some(TermR(pairId(fn, one), b))
+          case many     => Some(OrR(many.map(tok =>
+            TermR(pairId(fn, tok), b))))
+        }
+      case PhraseNode(f, words, _) =>
+        val fn = fieldName(f)
+        if (analyzed(fn, words.mkString(" ")).isEmpty) None
+        else Some(PhraseR(phraseId(fn, words)))
+      case AndNode(ks) =>
+        val rs = ks.flatMap(resolve)
+        if (rs.isEmpty) None
+        else if (rs.size == 1) Some(rs.head)
+        else Some(AndR(rs))
+      case OrNode(ks) =>
+        val rs = ks.flatMap(resolve)
+        if (rs.isEmpty) None
+        else if (rs.size == 1) Some(rs.head)
+        else Some(OrR(rs))
+      case NotNode(kd) => resolve(kd).map(NotR)
+    }
+    val rootR = resolve(ast) match {
+      case Some(r) => r
+      case None =>
+        // the whole query analyzed away: zero_terms_query none
+        return Seq.empty[(Long, Double, Long)]
+          .toDF("doc_id", "score", "n_terms_hit")
+    }
+
+    // one pruned postings read per field over ALL its pairs' terms
+    val termsByField = pairIds.keys.toSeq.groupBy(_._1)
+      .view.mapValues(_.map(_._2)).toMap
+    case class FieldCtx(live: DataFrame, dfreq: DataFrame,
+                        nDocs: Long)
+    val ctx: Map[String, FieldCtx] = termsByField.map {
+      case (fn, terms) =>
+        val root = new java.io.File(rootOf(fn))
+        val (nb, segs, _) = SegmentedIndex.readManifest(root)
+        val p = SegmentedIndex
+          .prunedPostings(spark, root, segs, terms, nb)
+        val dfreq = p.groupBy("term")
+          .agg(count(lit(1)).as("doc_freq"))
+        val live = SegmentedIndex.tombstones(spark, root, segs) match {
+          case Some(dead) =>
+            p.join(dead, Seq("doc_id", "seg"), "left_anti")
+          case None => p
+        }
+        fn -> FieldCtx(live, dfreq,
+          segs.filter(_.kind == "seg").map(_.nDocs).sum)
+    }
+
+    // per-pair frames: (doc_id, m_p = true, sc_p = tf·(N_f/df_f))
+    val pairFrames = pairIds.toSeq.map { case ((fn, tok), p) =>
+      val c = ctx(fn)
+      c.live.filter(col("term") === lit(tok))
+        .join(c.dfreq, "term")
+        .groupBy("doc_id")
+        .agg(sum(col("tf").cast("double") *
+          (lit(c.nDocs).cast("double") /
+            col("doc_freq").cast("double"))).as(s"sc_$p"))
+        .withColumn(s"m_$p", lit(true))
+    }
+    val phraseFrames = phraseIds.toSeq.map { case ((fn, words), q) =>
+      SegmentedIndex.phraseSearch(spark, rootOf(fn), words)
+        .select("doc_id").distinct()
+        .withColumn(s"mp_$q", lit(true))
+    }
+
+    // the candidate base: without negation, every matching doc
+    // matches >= 1 leaf, so the union of leaf doc sets suffices;
+    // with negation the base is the live corpus of the default
+    // field's family (ONE id-column stored read — Lucene's
+    // pure-negative rewrite, the cost ES itself pays, stated)
+    def hasNot(r: RNode): Boolean = r match {
+      case NotR(_)   => true
+      case AndR(ks)  => ks.exists(hasNot)
+      case OrR(ks)   => ks.exists(hasNot)
+      case _         => false
+    }
+    val leafDocIds = (pairFrames ++ phraseFrames)
+      .map(_.select("doc_id"))
+    val base: DataFrame =
+      if (hasNot(rootR)) {
+        val root = new java.io.File(rootOf(defaultField))
+        val (_, segs, _) = SegmentedIndex.readManifest(root)
+        val stored = SegmentedIndex.storedFrame(spark, root, segs)
+          .select("doc_id", "seg")
+        (SegmentedIndex.tombstones(spark, root, segs) match {
+          case Some(dead) =>
+            stored.join(dead, Seq("doc_id", "seg"), "left_anti")
+          case None => stored
+        }).select("doc_id").distinct()
+      } else if (leafDocIds.isEmpty)
+        return Seq.empty[(Long, Double, Long)]
+          .toDF("doc_id", "score", "n_terms_hit")
+      else leafDocIds.reduce(_ unionByName _).distinct()
+
+    val matrix = (pairFrames ++ phraseFrames)
+      .foldLeft(base)((acc, lf) => acc.join(lf, Seq("doc_id"), "left"))
+
+    // the tree folds over the matrix columns — matched and score per
+    // node, scores gated by their own conjunction's match
+    def comp(r: RNode): (org.apache.spark.sql.Column,
+                         org.apache.spark.sql.Column) = r match {
+      case TermR(p, b) =>
+        (coalesce(col(s"m_$p"), lit(false)),
+          lit(b) * coalesce(col(s"sc_$p"), lit(0.0d)))
+      case PhraseR(q) =>
+        (coalesce(col(s"mp_$q"), lit(false)), lit(0.0d))
+      case AndR(ks) =>
+        val cs = ks.map(comp)
+        val m = cs.map(_._1).reduce(_ && _)
+        (m, when(m, cs.map(_._2).reduce(_ + _)).otherwise(lit(0.0d)))
+      case OrR(ks) =>
+        val cs = ks.map(comp)
+        (cs.map(_._1).reduce(_ || _), cs.map(_._2).reduce(_ + _))
+      case NotR(kd) =>
+        val (m, _) = comp(kd)
+        (!m, lit(0.0d))
+    }
+    val (rootM, rootS) = comp(rootR)
+
+    // distinct positive (field, term) pairs — reachable outside any
+    // negation — matched per doc
+    def posPairs(r: RNode, neg: Boolean): Seq[Int] = r match {
+      case TermR(p, _) if !neg => Seq(p)
+      case AndR(ks) => ks.flatMap(posPairs(_, neg))
+      case OrR(ks)  => ks.flatMap(posPairs(_, neg))
+      case NotR(kd) => posPairs(kd, neg = true)
+      case _        => Seq.empty
+    }
+    val pos = posPairs(rootR, neg = false).distinct
+    val nHit = pos.map(p =>
+        when(coalesce(col(s"m_$p"), lit(false)), lit(1L))
+          .otherwise(lit(0L)))
+      .reduceOption(_ + _).getOrElse(lit(0L))
+
+    matrix.filter(rootM)
+      .withColumn("score", rootS)
+      .withColumn("n_terms_hit", nHit)
+      .select("doc_id", "score", "n_terms_hit")
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
+}

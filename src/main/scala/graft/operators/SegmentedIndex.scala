@@ -61,7 +61,7 @@ object SegmentedIndex {
     ((h % nBuckets) + nBuckets).toInt % nBuckets
   }
 
-  private case class Seg(kind: String, name: String, nDocs: Long,
+  private[operators] case class Seg(kind: String, name: String, nDocs: Long,
                          totalLen: Long)
 
   /** How many superseded manifest generations [[writeManifest]] keeps
@@ -84,7 +84,7 @@ object SegmentedIndex {
   /** Parse the NEWEST manifest generation: (nBuckets, live segments
     * in commit order, generation). O(segments) driver work — bounded
     * by merge cadence, never by corpus size. */
-  private def readManifest(root: java.io.File): (Int, Seq[Seg], Long) = {
+  private[operators] def readManifest(root: java.io.File): (Int, Seq[Seg], Long) = {
     val gens = manifestGens(root)
     require(gens.nonEmpty, s"no segmented index at $root")
     val (gen, f) = gens.last
@@ -123,7 +123,7 @@ object SegmentedIndex {
       .getOrElse(Analyzer.Whitespace.name)
   }
 
-  private def readAnalyzer(root: java.io.File): Analyzer.Chain =
+  private[operators] def readAnalyzer(root: java.io.File): Analyzer.Chain =
     Analyzer.byName(analyzerNameOf(root))
 
   /** The index's COMPLETION-FIELD mapping from the newest manifest
@@ -197,7 +197,7 @@ object SegmentedIndex {
     * chain before touching the postings (ES analyzes match-query input
     * with the field's analyzer) — stopword query terms drop, case
     * folds, stems align with the indexed vocabulary. */
-  private def qTerms(root: java.io.File, terms: Seq[String]): Seq[String] =
+  private[operators] def qTerms(root: java.io.File, terms: Seq[String]): Seq[String] =
     Analyzer.queryTerms(readAnalyzer(root), terms)
 
   /** Parse a SPECIFIC retained manifest generation — the reader-side
@@ -584,7 +584,7 @@ object SegmentedIndex {
     * one explicit read per segment (the `_stored` subtree is hidden
     * from partition discovery by design, so each is addressed
     * directly). O(segments) plan nodes, bounded by merge cadence. */
-  private def storedFrame(spark: SparkSession, root: java.io.File,
+  private[operators] def storedFrame(spark: SparkSession, root: java.io.File,
                           segs: Seq[Seg]): DataFrame =
     segs.filter(_.kind == "seg").map { sg =>
       spark.read.parquet(
@@ -1004,6 +1004,48 @@ object SegmentedIndex {
         sum("doc_count").as("bsum"),
         (sum("doc_count").cast("double") /
           count(lit(1)).cast("double")).as("bavg"))
+
+  /** `bucket_script` — ES's general-arithmetic pipeline agg: each
+    * histogram bucket carries sibling METRICS (here per-bucket sums
+    * of stored numeric fields, named by the caller — ES's
+    * `buckets_path` map) and a SCRIPT combines them into one more
+    * column per bucket (`params.a / params.b` painless; here a SQL
+    * expression over the metric names — same expressive role,
+    * compiled by Catalyst instead of interpreted per bucket).
+    *
+    * ONE aggregation pass produces buckets, doc_count and every
+    * metric together (the multi-field doc-values read — no
+    * per-metric rescan), and the script is a projection over the
+    * aggregated frame: at any scale its cost is O(buckets), the
+    * pipeline-agg contract. Docs missing the BUCKET field drop;
+    * a doc missing only a metric field contributes null→0 to that
+    * sum (ES's gap_policy-adjacent per-role rule, stated). Output:
+    * (bucket, doc_count, <metrics...>, script_value),
+    * bucket-ascending. */
+  def bucketScriptFacet(spark: SparkSession, rootDir: String,
+                        terms: Seq[String], field: String,
+                        interval: Long,
+                        metrics: Seq[(String, String)],
+                        script: String): DataFrame = {
+    require(interval > 0, s"interval must be positive: $interval")
+    require(metrics.nonEmpty, "bucket_script needs metrics")
+    require(metrics.map(_._1).distinct.size == metrics.size,
+      "duplicate metric names")
+    val rows = hitFields(spark, rootDir, terms,
+      (field -> "bval") +: metrics.map { case (n, f) => f -> n },
+      requireNonNull = Seq("bval"))
+    val aggs = count(lit(1)).as("doc_count") +:
+      metrics.map { case (n, _) =>
+        coalesce(sum(col(n)), lit(0L)).as(n) }
+    rows
+      .withColumn("bucket",
+        (floor(col("bval") / lit(interval)) * lit(interval))
+          .cast("long"))
+      .groupBy("bucket")
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("script_value", expr(script))
+      .orderBy("bucket")
+  }
 
   /** Field-sorted search — ES's `sort: [{ field: order }]`, the
     * list-by-date request every search UI makes: the FULL live hit
@@ -1902,19 +1944,29 @@ object SegmentedIndex {
       .orderBy("doc_id").limit(k)
   }
 
-  /** Function-score with a LINEAR DECAY — ES's `function_score`
-    * decay family (`gauss`/`exp`/`linear`) on a numeric field, the
+  /** Function-score with a DECAY kernel — ES's `function_score`
+    * decay family (`linear`/`gauss`/`exp`) on a numeric field, the
     * "prefer things near this value" ranking (recency, price,
-    * distance). The LINEAR kernel specifically, because it is pure
-    * +,−,×,÷ arithmetic and therefore bit-stable on the hash-oracle
-    * surface (gauss/exp need libm `exp`, whose last-bit behavior
-    * differs across engines — they trade exactness for shape, and
-    * ES's own scores are approximate there):
+    * distance). Kernels, ES's exact parameterization (decay is the
+    * multiplier reached at `scale` distance for all three):
     *
-    *   λ = scale / (1 − decay)   (ES's linear λ; at the default
-    *                              decay 0.5 the multiplier reaches
-    *                              0.5 exactly at `scale` distance)
-    *   mult = max(0, (λ − |value − origin|) / λ)
+    *   linear: λ = scale / (1 − decay)
+    *           mult = max(0, (λ − |v − origin|) / λ)
+    *   gauss:  mult = decay^((|v − origin| / scale)²)
+    *           (= exp(−d²/2σ²) with σ² = −scale²/(2·ln decay))
+    *   exp:    mult = decay^(|v − origin| / scale)
+    *           (= exp(λd) with λ = ln(decay)/scale)
+    *
+    * ORACLE CONTRACT by kernel: `linear` is pure +,−,×,÷ arithmetic
+    * — bit-stable on the hash-oracle surface. `gauss`/`exp` go
+    * through libm `exp`, whose LAST-BIT behavior differs across
+    * engines (ES's own scores are approximate there) — their
+    * multipliers are exact-shape but tolerance-grade, so oracled
+    * entries must compare BANDS or booleans (the q43 sketch
+    * precedent), never raw multiplier hashes. Both are computed as
+    * exp(exponent·ln(decay)) with the exponent in exact double
+    * arithmetic, so monotonicity in |v − origin| is inherited from
+    * libm's monotone exp.
     *
     * Documents missing the field multiply by 1 (ES's rule — decay
     * functions skip docs without the field). Output: (doc_id, score,
@@ -1922,20 +1974,30 @@ object SegmentedIndex {
   def decayScoreSearch(spark: SparkSession, rootDir: String,
                        terms: Seq[String], field: String,
                        origin: Long, scale: Long, k: Int,
-                       decay: Double = 0.5): DataFrame = {
+                       decay: Double = 0.5,
+                       kernel: String = "linear"): DataFrame = {
     require(scale > 0, s"scale must be positive: $scale")
     require(decay > 0.0 && decay < 1.0,
       s"decay must be in (0, 1): $decay")
-    val lam = scale / (1.0 - decay)
+    require(Set("linear", "gauss", "exp")(kernel),
+      s"unsupported decay kernel: $kernel")
     val scored = scoredHits(spark, rootDir, terms)
     val vals = hitFieldValues(spark, rootDir, terms, field,
       keepMissing = true)
+    val dist = abs(col("value") - lit(origin)).cast("double")
+    val mult = kernel match {
+      case "linear" =>
+        val lam = scale / (1.0 - decay)
+        greatest(lit(0.0d), (lit(lam) - dist) / lit(lam))
+      case "gauss" =>
+        exp((dist / lit(scale.toDouble)) * (dist / lit(scale.toDouble))
+          * lit(math.log(decay)))
+      case "exp" =>
+        exp((dist / lit(scale.toDouble)) * lit(math.log(decay)))
+    }
     scored.join(vals, Seq("doc_id"), "left")
       .withColumn("decay_mult",
-        when(col("value").isNull, lit(1.0d))
-          .otherwise(greatest(lit(0.0d),
-            (lit(lam) - abs(col("value") - lit(origin))
-              .cast("double")) / lit(lam))))
+        when(col("value").isNull, lit(1.0d)).otherwise(mult))
       .withColumn("score", col("score") * col("decay_mult"))
       .select("doc_id", "score", "decay_mult", "n_terms_hit")
       .orderBy(desc("score"), asc("doc_id"))
@@ -2038,6 +2100,586 @@ object SegmentedIndex {
         best + lit(tieBreaker) * (total - best))
       .withColumn("n_clauses_hit", hitFlags.reduce(_ + _))
       .select("doc_id", "score", "n_clauses_hit")
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
+
+  /** `combined_fields` — ES 7.13+'s term-centric multi-field query
+    * (Lucene's CombinedFieldQuery): the fields score AS IF their
+    * contents were one synthetic combined field, the principled
+    * alternative to cross_fields. Pinned formula, stated:
+    *
+    *   ctf(doc, t) = Σ_field weight_f · tf_f(doc, t)
+    *   df(t)       = |docs holding t in ANY field|  (the synthetic
+    *                 field's document frequency — what a literal
+    *                 combined field would have; Lucene approximates
+    *                 the merged statistics, this engine computes
+    *                 them exactly)
+    *   score(doc)  = Σ_t ctf · (N / df)   (fixed term order)
+    *
+    * Field weights are ES's per-field boosts (`fields: ["title^2"]`)
+    * and multiply INSIDE the tf — the BM25F posture — not outside
+    * the whole clause like a query boost. Weights must be WHOLE
+    * numbers (`require`d, ES's own combined_fields restriction —
+    * "per-field boosts … must be >= 1.0" and integral there for the
+    * same reason): integral weighted tfs are exact in doubles, so
+    * the per-(term, doc) combine sum is order-FREE and the score
+    * stays on the hash-oracle surface with any field count. The doc
+    * count N is the shared doc-id space's (the families index the
+    * same documents; `require`d equal). Statistics include
+    * tombstoned docs, hits exclude them — the engine-wide Lucene
+    * rule, applied to the combined postings. One bucket-pruned
+    * postings read per field, one (term, doc) combine, no corpus
+    * scan. Output: (doc_id, score, n_terms_hit), top-k by
+    * (score desc, doc_id). */
+  def combinedFieldsSearch(spark: SparkSession,
+                           fields: Seq[(String, String, Double)],
+                           terms: Seq[String], k: Int): DataFrame = {
+    import spark.implicits._
+    require(fields.nonEmpty, "combined_fields needs fields")
+    require(fields.map(_._1).distinct.size == fields.size,
+      "duplicate fields")
+    fields.foreach { case (f, _, w) =>
+      require(w >= 1.0 && w == math.rint(w) && w <= (1L << 20),
+        s"combined_fields weights must be whole numbers >= 1: $f^$w")
+    }
+    // per-field analysis (each family's own chain), per-field pruned
+    // postings; the combine keys on the ANALYZED term of the FIRST
+    // field — combined statistics presume one vocabulary, so the
+    // query terms must analyze 1:1 across families (require'd)
+    val perField = fields.map { case (fn, rootDir, w) =>
+      val root = new java.io.File(rootDir)
+      val qts = qTerms(root, terms)
+      (fn, root, w, qts)
+    }
+    val qhead = perField.head._4
+    require(perField.forall(_._4 == qhead),
+      "combined_fields needs the query to analyze identically " +
+        "across families (one synthetic vocabulary): " +
+        perField.map(p => p._1 + "=" + p._4.mkString("/"))
+          .mkString(", "))
+    if (qhead.isEmpty)
+      return Seq.empty[(Long, Double, Long)]
+        .toDF("doc_id", "score", "n_terms_hit")
+    val parts = perField.map { case (_, root, w, qts) =>
+      val (nb, segs, _) = readManifest(root)
+      val p = prunedPostings(spark, root, segs, qts, nb)
+      (p.select(col("term"), col("doc_id"),
+        (col("tf").cast("double") * lit(w)).as("wtf"),
+        col("seg")),
+        tombstones(spark, root, segs),
+        segs.filter(_.kind == "seg").map(_.nDocs).sum)
+    }
+    val nDocs = parts.head._3
+    require(parts.forall(_._3 == nDocs),
+      "combined_fields families must index the same doc space " +
+        s"(nDocs differ: ${parts.map(_._3).mkString(", ")})")
+    // df over the PRE-tombstone union (stats include deletes);
+    // hits over the live union
+    val all = parts.map(_._1).reduce(_ unionByName _)
+    val dfreq = all.select("term", "doc_id").distinct()
+      .groupBy("term").agg(count(lit(1)).as("doc_freq"))
+    val live = parts.map { case (p, dead, _) =>
+      dead match {
+        case Some(dd) => p.join(dd, Seq("doc_id", "seg"), "left_anti")
+        case None     => p
+      }
+    }.reduce(_ unionByName _)
+    val combined = live.groupBy("term", "doc_id")
+      .agg(sum("wtf").as("ctf"))
+      .join(dfreq, "term")
+    val contribs = qhead.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === lit(t),
+        col("ctf") * (lit(nDocs).cast("double") /
+          col("doc_freq").cast("double")))
+        .otherwise(lit(0.0d))).as(s"c_$i")
+    }
+    val score = qhead.indices.map(i => col(s"c_$i")).reduce(_ + _)
+    combined.groupBy("doc_id")
+      .agg(countDistinct(col("term")).as("n_terms_hit"),
+        contribs: _*)
+      .select(col("doc_id"), score.as("score"), col("n_terms_hit"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
+
+  /** `has_child` — ES's join-field query ("return PARENTS with a
+    * matching child"): parent and child documents live in ONE index
+    * (ES's join field: the child carries its relation name and its
+    * parent's id; here two stored columns, `typeField` holding the
+    * relation name and `parentField` the parent doc id — the
+    * mapping, lifted into the sparse stored schema). The child
+    * query's live hits restrict to `childType` docs, group by their
+    * parent id, and the surviving LIVE parents return.
+    *
+    * Score modes — the ES subset implemented, stated: `none` (ES's
+    * default — filter context, parents score 0) and `max` (parent
+    * score = its best matching child's score, exact double max —
+    * deterministic, oracle surface). `sum`/`avg`/`min` would be the
+    * same aggregation with a different combiner; `avg` divides
+    * doubles in data-dependent order, which is why only the
+    * order-free pair ships.
+    *
+    * Scale shape: the child hit set is postings-pruned, the join
+    * columns are ONE column-pruned stored read, and the group-by
+    * shuffles only MATCHED children (ES co-locates parent and child
+    * in one shard via parent routing for the same reason — the
+    * relation never crosses the corpus). Output: (doc_id, score,
+    * n_children_matched), top-k by (score desc, doc_id). */
+  def hasChildSearch(spark: SparkSession, rootDir: String,
+                     childTerms: Seq[String], childType: String,
+                     parentType: String, scoreMode: String, k: Int,
+                     typeField: String = "join_name",
+                     parentField: String = "parent_id"): DataFrame = {
+    require(Set("none", "max")(scoreMode),
+      s"unsupported has_child score_mode: $scoreMode (none | max)")
+    val root = new java.io.File(rootDir)
+    val (_, segs, _) = readManifest(root)
+    val dead = tombstones(spark, root, segs)
+    val stored = storedFrame(spark, root, segs)
+      .select(col("doc_id"), col(typeField).as("jt"),
+        col(parentField).as("pid"), col("seg"))
+    val liveStored = dead match {
+      case Some(dd) => stored.join(dd, Seq("doc_id", "seg"), "left_anti")
+      case None     => stored
+    }
+    val hits = scoredHits(spark, rootDir, childTerms)
+      .select("doc_id", "score")
+    val children = liveStored
+      .filter(col("jt") === lit(childType) && col("pid").isNotNull)
+      .join(hits, Seq("doc_id"))
+    val byParent = children
+      .groupBy(col("pid").as("doc_id"))
+      .agg(count(lit(1)).as("n_children_matched"),
+        max("score").as("cmax"))
+    val parents = liveStored
+      .filter(col("jt") === lit(parentType)).select("doc_id")
+    parents.join(byParent, Seq("doc_id"))
+      .withColumn("score",
+        if (scoreMode == "max") col("cmax") else lit(0.0d))
+      .select("doc_id", "score", "n_children_matched")
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
+
+  /** `has_parent` — the join-field mirror ("return CHILDREN whose
+    * parent matches"): the parent query's live hits restrict to
+    * `parentType` docs and every LIVE `childType` doc pointing at
+    * one returns. `withScore` is ES's `score` flag: true hands each
+    * child its parent's score (there is exactly one parent — no
+    * combiner, no float-order hazard), false is filter context
+    * (score 0). Same one-stored-read, matched-rows-only join shape
+    * as [[hasChildSearch]]. Output: (doc_id, score), top-k by
+    * (score desc, doc_id). */
+  def hasParentSearch(spark: SparkSession, rootDir: String,
+                      parentTerms: Seq[String], parentType: String,
+                      childType: String, withScore: Boolean, k: Int,
+                      typeField: String = "join_name",
+                      parentField: String = "parent_id"): DataFrame = {
+    val root = new java.io.File(rootDir)
+    val (_, segs, _) = readManifest(root)
+    val dead = tombstones(spark, root, segs)
+    val stored = storedFrame(spark, root, segs)
+      .select(col("doc_id"), col(typeField).as("jt"),
+        col(parentField).as("pid"), col("seg"))
+    val liveStored = dead match {
+      case Some(dd) => stored.join(dd, Seq("doc_id", "seg"), "left_anti")
+      case None     => stored
+    }
+    val parentHits = scoredHits(spark, rootDir, parentTerms)
+      .select(col("doc_id"), col("score"))
+      .join(liveStored.filter(col("jt") === lit(parentType))
+        .select("doc_id"), Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("pid"), col("score"))
+    liveStored
+      .filter(col("jt") === lit(childType) && col("pid").isNotNull)
+      .join(parentHits, Seq("pid"))
+      .withColumn("score",
+        if (withScore) col("score") else lit(0.0d))
+      .select("doc_id", "score")
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
+
+  /** Reciprocal Rank Fusion — ES's `rrf` retriever (8.14+), the
+    * hybrid-search combinator (BM25 ⊕ kNN ⊕ anything): each
+    * retriever contributes 1/(rank_constant + rank) for every doc
+    * in its top `windowSize`, ranks assigned under that retriever's
+    * OWN (score desc, doc_id) order; docs outside a retriever's
+    * window contribute 0 from it (ES's rule). RRF is rank-only —
+    * incomparable score scales fuse without normalization, which is
+    * the whole point — and the arithmetic (one divide per retriever
+    * per doc, fixed retriever order) is exact doubles on the
+    * hash-oracle surface.
+    *
+    * Scale shape: each retriever's rank window is `limit
+    * windowSize` FIRST (a TakeOrderedAndProject), so the rank
+    * assignment's unpartitioned window runs over windowSize-bounded
+    * rows — the established bounded-frame convention — and the
+    * fusion joins windowSize-sized frames on doc_id. Output:
+    * (doc_id, score, n_retrievers_hit), top-k by
+    * (score desc, doc_id). Inputs: (name, frame) pairs where the
+    * frame carries `doc_id` and `score`. */
+  def rrfFusion(spark: SparkSession,
+                rankings: Seq[(String, DataFrame)],
+                rankConstant: Int = 60, windowSize: Int = 100,
+                k: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "rrf needs retrievers")
+    require(rankConstant >= 1,
+      s"rank_constant must be >= 1: $rankConstant")
+    require(windowSize >= 1, s"windowSize must be >= 1: $windowSize")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("score"), asc("doc_id"))
+    val ranked = rankings.zipWithIndex.map { case ((_, df), i) =>
+      df.select("doc_id", "score")
+        .orderBy(desc("score"), asc("doc_id")).limit(windowSize)
+        .withColumn(s"r_$i", row_number().over(w).cast("long"))
+        .select("doc_id", s"r_$i")
+    }
+    val joined = ranked
+      .reduce((a, b) => a.join(b, Seq("doc_id"), "full_outer"))
+    val score = rankings.indices.map { i =>
+      when(col(s"r_$i").isNotNull,
+        lit(1.0d) / (lit(rankConstant.toDouble) +
+          col(s"r_$i").cast("double")))
+        .otherwise(lit(0.0d))
+    }.reduce(_ + _)
+    val nHit = rankings.indices.map(i =>
+      when(col(s"r_$i").isNotNull, lit(1L)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    joined
+      .withColumn("score", score)
+      .withColumn("n_retrievers_hit", nHit)
+      .select("doc_id", "score", "n_retrievers_hit")
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
+
+  /** The LINEAR retriever — ES's weighted-sum hybrid (8.16+'s
+    * `linear` retriever with the `minmax` normalizer): each
+    * retriever's top-window scores normalize to [0, 1] within the
+    * window ((s − min)/(max − min); a degenerate all-equal window
+    * normalizes to 1.0 — pinned, ES leaves it undefined) and the
+    * fused score is Σ weightᵢ · normᵢ, missing docs contributing 0.
+    * Same windowSize-bounded rank/normalize shape as [[rrfFusion]];
+    * min/max ride a broadcast single-row aggregate per retriever —
+    * no second scan. All arithmetic exact-rounding deterministic
+    * doubles. Output: (doc_id, score, n_retrievers_hit), top-k. */
+  def linearFusion(spark: SparkSession,
+                   rankings: Seq[(String, DataFrame, Double)],
+                   windowSize: Int = 100, k: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "linear retriever needs retrievers")
+    require(windowSize >= 1, s"windowSize must be >= 1: $windowSize")
+    rankings.foreach { case (n, _, wt) =>
+      require(wt > 0, s"retriever weight must be positive: $n=$wt") }
+    val normed = rankings.zipWithIndex.map { case ((_, df, _), i) =>
+      val win = df.select("doc_id", "score")
+        .orderBy(desc("score"), asc("doc_id")).limit(windowSize)
+      val mm = win.agg(min("score").as("mn"), max("score").as("mx"))
+      win.crossJoin(broadcast(mm))
+        .withColumn(s"n_$i",
+          when(col("mx") === col("mn"), lit(1.0d))
+            .otherwise((col("score") - col("mn")) /
+              (col("mx") - col("mn"))))
+        .select("doc_id", s"n_$i")
+    }
+    val joined = normed
+      .reduce((a, b) => a.join(b, Seq("doc_id"), "full_outer"))
+    val score = rankings.zipWithIndex.map { case ((_, _, wt), i) =>
+      when(col(s"n_$i").isNotNull, lit(wt) * col(s"n_$i"))
+        .otherwise(lit(0.0d))
+    }.reduce(_ + _)
+    val nHit = rankings.indices.map(i =>
+      when(col(s"n_$i").isNotNull, lit(1L)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    joined
+      .withColumn("score", score)
+      .withColumn("n_retrievers_hit", nHit)
+      .select("doc_id", "score", "n_retrievers_hit")
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
+
+  /** Plain `sampler` aggregation — ES's scoped sampling (run the
+    * expensive sub-agg over a bounded sample of the hit set): the
+    * first `shardSize` live hit docs enter the sample and the terms
+    * sub-agg runs over them. Selection PINNED to doc_id order
+    * ([[diversifiedSamplerFacet]]'s stated determinism posture; ES
+    * samples best-scoring per shard). The sample is a
+    * TakeOrderedAndProject — never a full sort. Output: (value,
+    * doc_count), (count desc, value) order, top kBuckets. */
+  def samplerFacet(spark: SparkSession, rootDir: String,
+                   terms: Seq[String], shardSize: Int,
+                   aggField: String, kBuckets: Int): DataFrame = {
+    require(shardSize >= 1, s"shard_size must be >= 1: $shardSize")
+    hitFieldValues(spark, rootDir, terms, aggField)
+      .orderBy(asc("doc_id")).limit(shardSize)
+      .groupBy("value")
+      .agg(count(lit(1)).as("doc_count"))
+      .orderBy(desc("doc_count"), asc("value"))
+      .limit(kBuckets)
+  }
+
+  /** Terms LOOKUP — ES's `terms` query with a lookup clause
+    * (`terms: { field, index, id, path }`): the filter values come
+    * from ANOTHER document's field at query time (the "my followees'
+    * posts" pattern). The lookup is a GET by id ([[fetch]]'s
+    * id-pushed stored read) whose value(s) collect driver-side —
+    * bounded by ONE document's field, exactly the ES coordinator
+    * behavior — and become an ordinary stored-field filter over the
+    * live corpus. A missing or tombstoned lookup doc yields zero
+    * terms and zero hits (ES's rule). Filter context: no scores;
+    * the matched value returns as evidence. Output: (doc_id,
+    * value), id-ascending, first k (the lookup doc itself included
+    * when it matches — ES does not self-exclude here, MLT does). */
+  def termsLookupSearch(spark: SparkSession, rootDir: String,
+                        lookupId: Long, lookupField: String,
+                        targetField: String, k: Int): DataFrame = {
+    import spark.implicits._
+    val root = new java.io.File(rootDir)
+    val (_, segs, _) = readManifest(root)
+    val dead = tombstones(spark, root, segs)
+    val stored = storedFrame(spark, root, segs)
+    val liveStored = dead match {
+      case Some(dd) => stored.join(dd, Seq("doc_id", "seg"), "left_anti")
+      case None     => stored
+    }
+    val lookup = liveStored
+      .filter(col("doc_id") === lit(lookupId))
+      .select(col(lookupField)).limit(1).collect()
+    if (lookup.isEmpty || lookup.head.isNullAt(0))
+      return Seq.empty[(Long, String)].toDF("doc_id", "value")
+    val v = lookup.head.get(0)
+    liveStored
+      .filter(col(targetField) === lit(v))
+      .select(col("doc_id"), col(targetField).cast("string")
+        .as("value"))
+      .orderBy("doc_id").limit(k)
+  }
+
+  /** `rank_feature` with the SATURATION function — ES's static-
+    * relevance query (pagerank, recency, popularity fields):
+    * score = query score + boost · v/(v + pivot), the saturation
+    * kernel specifically because it is ONE divide of exact doubles —
+    * deterministic on the hash-oracle surface (ES's `log`/`sigmoid`
+    * variants go through libm and would need the q284 band
+    * treatment). Docs missing the feature get no bonus (ES skips
+    * them — the rank_feature clause simply doesn't match). Output:
+    * (doc_id, score, saturation), top-k by (score desc, doc_id). */
+  def rankFeatureSearch(spark: SparkSession, rootDir: String,
+                        terms: Seq[String], field: String,
+                        pivot: Double, boost: Double, k: Int)
+      : DataFrame = {
+    require(pivot > 0, s"pivot must be positive: $pivot")
+    val scored = scoredHits(spark, rootDir, terms)
+    val vals = hitFieldValues(spark, rootDir, terms, field,
+      keepMissing = true)
+    scored.join(vals, Seq("doc_id"), "left")
+      .withColumn("saturation",
+        when(col("value").isNull, lit(0.0d))
+          .otherwise(col("value").cast("double") /
+            (col("value").cast("double") + lit(pivot))))
+      .withColumn("score",
+        col("score") + lit(boost) * col("saturation"))
+      .select("doc_id", "score", "saturation")
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
+
+  /** `script_score` — ES's compute-the-score-yourself query: the
+    * caller's expression replaces the relevance score, seeing the
+    * query score as `_score` and any requested stored fields by
+    * name (painless's `doc['f'].value`; here a SQL expression
+    * COMPILED BY CATALYST — codegen'd, not interpreted per doc).
+    * Deterministic-arithmetic scripts stay on the hash-oracle
+    * surface; a script reaching for libm owns the q284 band
+    * treatment — the caller's contract, stated. Missing fields read
+    * null (script's responsibility, like painless). One postings
+    * pass + one column-pruned stored read. Output: (doc_id, score),
+    * top-k by (score desc, doc_id). */
+  def scriptScoreSearch(spark: SparkSession, rootDir: String,
+                        terms: Seq[String], fields: Seq[String],
+                        script: String, k: Int): DataFrame = {
+    val scored = scoredHits(spark, rootDir, terms)
+      .withColumnRenamed("score", "_score")
+    val base = if (fields.isEmpty) scored
+    else {
+      val vals = hitFields(spark, rootDir, terms,
+        fields.map(f => f -> f), requireNonNull = Seq.empty)
+      scored.join(vals, Seq("doc_id"), "left")
+    }
+    base
+      .withColumn("score", expr(script))
+      .select("doc_id", "score")
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
+
+  /** `diversified_sampler` + terms sub-agg — ES's anti-dominance
+    * sampler (one over-represented author/source must not own the
+    * aggregation): at most `maxDocsPerValue` hit docs per
+    * `dedupField` value enter the sample, the sub-agg runs over the
+    * sample only. Selection is PINNED to doc_id order per value
+    * (deterministic everywhere; ES's own pick is shard-local
+    * best-score — a heuristic this engine replaces with a stated
+    * total order). The rank is a per-value bounded window — k per
+    * value, never a global sort. Output: (value, doc_count) of the
+    * sub-agg over the sample, (count desc, value) order, top
+    * kBuckets. */
+  def diversifiedSamplerFacet(spark: SparkSession, rootDir: String,
+                              terms: Seq[String], dedupField: String,
+                              maxDocsPerValue: Int, aggField: String,
+                              kBuckets: Int): DataFrame = {
+    require(maxDocsPerValue >= 1,
+      s"max_docs_per_value must be >= 1: $maxDocsPerValue")
+    val rows = hitFields(spark, rootDir, terms,
+      Seq(dedupField -> "dv", aggField -> "value"),
+      requireNonNull = Seq("dv", "value"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("dv").orderBy(asc("doc_id"))
+    rows.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= lit(maxDocsPerValue))
+      .groupBy("value")
+      .agg(count(lit(1)).as("doc_count"))
+      .orderBy(desc("doc_count"), asc("value"))
+      .limit(kBuckets)
+  }
+
+  /** `cumulative_cardinality` — ES's "new distinct values over
+    * time" pipeline agg (x-pack): per histogram bucket, the
+    * cardinality of `valueField` accumulated from the first bucket
+    * (how many DISTINCT users have we ever seen by day d). ES feeds
+    * approximate per-bucket HLL sketches through the pipeline; this
+    * engine computes it EXACTLY from each value's FIRST bucket (a
+    * value contributes to the cumulative count from min(bucket) on)
+    * — one aggregation for the buckets, one for the first-bucket
+    * frame, one bucket-bounded cumulative window (the established
+    * bounded-frame window convention). Output: (bucket, doc_count,
+    * cum_cardinality), bucket-ascending. */
+  def cumulativeCardinalityFacet(spark: SparkSession, rootDir: String,
+                                 terms: Seq[String],
+                                 bucketField: String, interval: Long,
+                                 valueField: String): DataFrame = {
+    require(interval > 0, s"interval must be positive: $interval")
+    val rows = hitFields(spark, rootDir, terms,
+      Seq(bucketField -> "bval", valueField -> "value"),
+      requireNonNull = Seq("bval", "value"))
+      .withColumn("bucket",
+        (floor(col("bval") / lit(interval)) * lit(interval))
+          .cast("long"))
+    val counts = rows.groupBy("bucket")
+      .agg(count(lit(1)).as("doc_count"))
+    val news = rows.groupBy("value")
+      .agg(min("bucket").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_new"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .orderBy(asc("bucket")).rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    counts.join(news, Seq("bucket"), "left")
+      .na.fill(0L, Seq("n_new"))
+      .withColumn("cum_cardinality", sum("n_new").over(wCum))
+      .select("bucket", "doc_count", "cum_cardinality")
+      .orderBy("bucket")
+  }
+
+  /** `median_absolute_deviation` — ES's robust-dispersion agg:
+    * MAD = median(|v − median(v)|) over the live hit set's field
+    * values. ES computes both medians on TDigest sketches
+    * (approximate); a shuffle engine computes them EXACTLY — the
+    * inner median collects as ONE driver-side double (the
+    * single-row bounds posture) and re-enters the plan as a
+    * literal, interpolated percentiles matching the oracle's
+    * quantile_cont. Output: (n_docs, vmedian, mad), 1 row. */
+  def madFacet(spark: SparkSession, rootDir: String,
+               terms: Seq[String], field: String): DataFrame = {
+    import spark.implicits._
+    val vals = hitFieldValues(spark, rootDir, terms, field)
+    val m = vals
+      .agg(expr("percentile(value, 0.5D)").as("m"))
+      .collect().head
+    // no qualifying values: ES reports the agg with a null MAD
+    if (m.isNullAt(0))
+      return Seq((0L, Option.empty[Double], Option.empty[Double]))
+        .toDF("n_docs", "vmedian", "mad")
+    val med = m.getDouble(0)
+    vals
+      .agg(count(lit(1)).as("n_docs"),
+        lit(med).as("vmedian"),
+        expr(s"percentile(abs(value - ${med}D), 0.5D)").as("mad"))
+  }
+
+  /** Multi-match query — ES's `multi_match`, the single most-used
+    * query in real ES front ends (one text box, N fields): the SAME
+    * query string runs against several analyzed FIELDS of one
+    * logical index and the per-field scores combine per document.
+    *
+    * Field model: Lucene's per-field postings are independent
+    * inverted indexes that happen to share a doc-id space — this
+    * engine materializes each analyzed field as its own segment
+    * family (`fields` maps field name → that family's root), which
+    * is the same structure with the field dimension lifted into the
+    * directory layout. Statistics are PER FIELD (ES/Lucene score
+    * each field with its own df and doc count — a term common in
+    * `title` but rare in `body` is rare where it matters), and the
+    * query analyzes per field with that field's own chain (ES's
+    * per-field analyzer rule; a `keyword`-ish field and a stemmed
+    * field see different token streams of the same input).
+    *
+    * Types implemented (ES's two everyday modes):
+    *  - `best_fields` (ES's default): fields COMPETE —
+    *    score = best + tieBreaker·(Σ − best), the [[disMaxSearch]]
+    *    combinator applied across fields (ES implements best_fields
+    *    as exactly that dis_max);
+    *  - `most_fields`: fields PILE UP — score = Σ (ES compiles it
+    *    to a bool/should across the per-field queries).
+    * `cross_fields` is NOT implemented: it BLENDS df across fields
+    * inside the term weight (a different scoring formula, not a
+    * different combinator) — stated loudly rather than approximated
+    * with per-field stats.
+    *
+    * Cost shape: one bucket-pruned postings read per field (each
+    * over its own family), met in O(fields) full-outer joins on
+    * doc_id; no corpus scan, no cross-field shuffle beyond the id
+    * join. Output: (doc_id, score, n_fields_hit), top-k by
+    * (score desc, doc_id). */
+  def multiMatchSearch(spark: SparkSession,
+                       fields: Seq[(String, String)],
+                       terms: Seq[String], matchType: String,
+                       tieBreaker: Double, k: Int): DataFrame = {
+    require(fields.nonEmpty, "multiMatch needs fields")
+    require(fields.map(_._1).distinct.size == fields.size,
+      "duplicate fields")
+    require(Set("best_fields", "most_fields")(matchType),
+      s"unsupported multi_match type: $matchType " +
+        "(best_fields | most_fields; cross_fields blends df and is " +
+        "deliberately not implemented)")
+    require(tieBreaker >= 0.0 && tieBreaker <= 1.0,
+      s"tieBreaker must be in [0, 1]: $tieBreaker")
+    val frames = fields.zipWithIndex.map { case ((_, root), i) =>
+      // scoredHits analyzes `terms` with THIS field's chain and
+      // scores with THIS field's df/N — the per-field statistics
+      // contract above
+      scoredHits(spark, root, terms)
+        .select(col("doc_id"), col("score").as(s"s_$i"))
+    }
+    val joined = frames
+      .reduce((a, b) => a.join(b, Seq("doc_id"), "full_outer"))
+    val hitFlags = fields.indices
+      .map(i => when(col(s"s_$i").isNotNull, lit(1L)).otherwise(lit(0L)))
+    val scores = fields.indices
+      .map(i => coalesce(col(s"s_$i"), lit(0.0d)))
+    val total = scores.reduce(_ + _)
+    val combined = matchType match {
+      case "most_fields" => total
+      case _ =>
+        val best =
+          if (scores.size == 1) scores.head else greatest(scores: _*)
+        best + lit(tieBreaker) * (total - best)
+    }
+    joined
+      .withColumn("score", combined)
+      .withColumn("n_fields_hit", hitFlags.reduce(_ + _))
+      .select("doc_id", "score", "n_fields_hit")
       .orderBy(desc("score"), asc("doc_id"))
       .limit(k)
   }
@@ -2226,6 +2868,151 @@ object SegmentedIndex {
       .withColumn("span", col(s"p${n - 1}") - col("p0") + lit(1L))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_intervals"), min("span").as("min_span"))
+      .orderBy("doc_id").limit(k)
+  }
+
+  /** The `intervals` source tree — ES's intervals COMBINATORS, the
+    * nesting that makes intervals the span replacement: `match`
+    * (ordered term chain under a total gap budget — [[
+    * intervalsSearch]]'s rule; `maxGaps < 0` = unlimited, ES's
+    * default), `any_of` (union of the kids' intervals) and `all_of`
+    * (ordered non-overlapping sequence of the kids' intervals, the
+    * COMBINED interval's own gap budget counting every position
+    * covered by no kid). The unordered variants are not implemented
+    * (stated — [[spanNearSearch]](inOrder=false) covers the
+    * two-term case). */
+  sealed trait IntervalsNode
+  case class IMatch(terms: Seq[String], maxGaps: Int = -1)
+    extends IntervalsNode
+  case class IAnyOf(kids: Seq[IntervalsNode]) extends IntervalsNode
+  case class IAllOf(kids: Seq[IntervalsNode], maxGaps: Int = -1)
+    extends IntervalsNode
+  /** ES's intervals `filter` rule: keep `src` intervals by their
+    * POSITIONAL relation to `by` intervals of the same doc —
+    * `containing`/`contained_by`/`overlapping` and their `not_`
+    * negations (the six relation rules; `before`/`after`/`script`
+    * not implemented, stated). */
+  case class IFiltered(src: IntervalsNode, rule: String,
+                       by: IntervalsNode) extends IntervalsNode
+
+  /** Evaluate an [[IntervalsNode]] tree — ES's
+    * `intervals: { all_of / any_of / match }` query with nesting.
+    *
+    * Every node evaluates to a frame of (doc_id, start, end)
+    * INTERVALS off ONE bucket-pruned positional read of the tree's
+    * whole vocabulary (the same amortization every span query here
+    * uses): `match` chains ascending doc-local position joins,
+    * `any_of` unions, `all_of` chains kid intervals with
+    * `start > previous end` (ordered, non-overlapping — Lucene's
+    * ordered combination rule) and bounds the positions covered by
+    * NO kid: gaps = combined width − Σ kid widths ≤ maxGaps.
+    *
+    * Counting convention, stated: `n_intervals` counts qualifying
+    * interval COMBINATIONS (the enumeration the joins produce) —
+    * Lucene's lazy algorithm counts MINIMAL intervals, so per-doc
+    * counts can differ from ES's while the MATCHED DOC SET and
+    * `min_span` (the tightest combination IS the minimal interval's
+    * width) agree exactly; q280 pinned the same convention for the
+    * flat chain. Occurrence-bounded per doc like every span query —
+    * never corpus-wide. Output: (doc_id, n_intervals, min_span),
+    * id-ordered top-k. */
+  def intervalsQuery(spark: SparkSession, rootDir: String,
+                     node: IntervalsNode, k: Int = 10): DataFrame = {
+    val root = new java.io.File(rootDir)
+    def rawTerms(n: IntervalsNode): Seq[String] = n match {
+      case IMatch(ts, _)       => ts
+      case IAnyOf(ks)          => ks.flatMap(rawTerms)
+      case IAllOf(ks, _)       => ks.flatMap(rawTerms)
+      case IFiltered(s, _, by) => rawTerms(s) ++ rawTerms(by)
+    }
+    val qs = rawTerms(node).map(t => t -> qTerms(root, Seq(t))).toMap
+    require(qs.values.forall(_.size == 1),
+      s"every intervals term must survive analysis 1:1: " +
+        qs.filter(_._2.size != 1).keys.mkString(", "))
+    val vocab = qs.values.flatten.toSeq.distinct
+    val (nb, segs, _) = readManifest(root)
+    val p = prunedPostings(spark, root, segs, vocab, nb)
+    val live = tombstones(spark, root, segs) match {
+      case Some(dead) =>
+        p.join(dead, Seq("doc_id", "seg"), "left_anti")
+      case None => p
+    }
+    // unique column names per evaluation site: every sub-frame is a
+    // self-join of the same postings lineage
+    var uid = 0
+    def fresh(): Int = { uid += 1; uid }
+    def side(t: String, as: String, idAs: String) =
+      live.filter(col("term") === lit(qs(t).head))
+        .select(col("doc_id").as(idAs),
+          explode(col("positions")).as(as))
+    def eval(n: IntervalsNode): DataFrame = n match {
+      case IMatch(ts, mg) =>
+        require(ts.nonEmpty, "intervals match needs terms")
+        val u = fresh()
+        val names = ts.indices.map(i => s"q${u}_$i")
+        val chained = ts.zipWithIndex.drop(1).foldLeft(
+          side(ts.head, names.head, "doc_id")) { case (acc, (t, i)) =>
+            acc.join(side(t, names(i), s"qd${u}_$i"),
+                col("doc_id") === col(s"qd${u}_$i") &&
+                  col(names(i)) > col(names(i - 1)))
+              .drop(s"qd${u}_$i")
+          }
+        val g = col(names.last) - col(names.head) -
+          lit((ts.size - 1).toLong)
+        (if (mg < 0) chained else chained.filter(g <= lit(mg.toLong)))
+          .select(col("doc_id"), col(names.head).as("istart"),
+            col(names.last).as("iend"))
+      case IAnyOf(ks) =>
+        require(ks.nonEmpty, "any_of needs sources")
+        ks.map(eval).reduce(_ unionByName _)
+      case IAllOf(ks, mg) =>
+        require(ks.nonEmpty, "all_of needs sources")
+        val parts = ks.map { kd =>
+          val u = fresh()
+          (eval(kd).select(col("doc_id").as(s"ad$u"),
+            col("istart").as(s"as$u"), col("iend").as(s"ae$u")), u)
+        }
+        val (head, hu) = parts.head
+        // the doc key stays the HEAD kid's (the tail kids' key
+        // columns drop after each join); the position chain links
+        // each kid to its PREDECESSOR's end
+        val joined = parts.tail.foldLeft((head, hu)) {
+          case ((acc, pu), (f, u)) =>
+            (acc.join(f, col(s"ad$hu") === col(s"ad$u") &&
+                col(s"as$u") > col(s"ae$pu"))
+              .drop(s"ad$u"), u)
+        }._1
+        val widths = parts.map { case (_, u) =>
+          col(s"ae$u") - col(s"as$u") + lit(1L) }.reduce(_ + _)
+        val start = col(s"as$hu")
+        val end = col(s"ae${parts.last._2}")
+        val g = (end - start + lit(1L)) - widths
+        (if (mg < 0) joined else joined.filter(g <= lit(mg.toLong)))
+          .select(col(s"ad$hu").as("doc_id"), start.as("istart"),
+            end.as("iend"))
+      case IFiltered(srcN, rule, byN) =>
+        val u = fresh()
+        val s = eval(srcN)
+        val b = eval(byN).select(col("doc_id").as(s"fd$u"),
+          col("istart").as(s"fs$u"), col("iend").as(s"fe$u"))
+        val rel = rule.stripPrefix("not_") match {
+          case "containing" =>
+            col(s"fs$u") >= col("istart") && col(s"fe$u") <= col("iend")
+          case "contained_by" =>
+            col("istart") >= col(s"fs$u") && col("iend") <= col(s"fe$u")
+          case "overlapping" =>
+            col("istart") <= col(s"fe$u") && col(s"fs$u") <= col("iend")
+          case other => throw new IllegalArgumentException(
+            s"unsupported intervals filter rule: $rule")
+        }
+        val cond = col("doc_id") === col(s"fd$u") && rel
+        s.join(b, cond,
+          if (rule.startsWith("not_")) "left_anti" else "left_semi")
+    }
+    eval(node)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_intervals"),
+        min(col("iend") - col("istart") + lit(1L)).as("min_span"))
       .orderBy("doc_id").limit(k)
   }
 
@@ -3293,7 +4080,7 @@ object SegmentedIndex {
     * per-query cost is the queried posting lists, never a segment
     * scan. Tombstones NOT yet applied (callers choose the Lucene
     * phase: df before, hits after). */
-  private def prunedPostings(spark: SparkSession, root: java.io.File,
+  private[operators] def prunedPostings(spark: SparkSession, root: java.io.File,
       segs: Seq[Seg], terms: Seq[String], nb: Int): DataFrame = {
     val buckets = terms.map(termBucket(_, nb)).distinct
     segmentsRead(spark, root, segs)
@@ -3334,7 +4121,7 @@ object SegmentedIndex {
     * be forced through the 8 GB broadcast ceiling — above the
     * threshold the hint is dropped and AQE plans the join from
     * runtime statistics. */
-  private def tombstones(spark: SparkSession, root: java.io.File,
+  private[operators] def tombstones(spark: SparkSession, root: java.io.File,
                          segs: Seq[Seg]): Option[DataFrame] = {
     val dels = segs.zipWithIndex.filter(_._1.kind == "del")
     val frames = dels

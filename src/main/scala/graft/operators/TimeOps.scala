@@ -59,6 +59,58 @@ object TimeOps {
       .orderBy("bucket")
   }
 
+  /** The auto_date_histogram interval ladder, finest→coarsest, with
+    * PINNED nominal spans (seconds) for the bucket-count estimate:
+    * months count as 30 days, quarters 90, years 365 — the rough
+    * rounding ES's own interval picker uses (the estimate picks the
+    * unit; the BUCKETS are then true calendar buckets). Pinned
+    * constants keep the pick engine-reproducible. */
+  private val AutoLadder: Seq[(String, Long)] = Seq(
+    "minute" -> 60L, "hour" -> 3600L, "day" -> 86400L,
+    "week" -> 604800L, "month" -> 2592000L,
+    "quarter" -> 7776000L, "year" -> 31536000L)
+
+  /** ES `auto_date_histogram`: the caller names a TARGET bucket
+    * count, the engine picks the interval — the finest [[AutoLadder]]
+    * unit whose estimated bucket count (span/unit + 1, the pinned
+    * nominal spans) stays within `targetBuckets`; coarser than a
+    * year is a year (ES tops out the same way). The span comes off
+    * one (min, max) aggregation — a SINGLE-ROW driver collect, the
+    * coordinator-side pick ES itself performs — and the result is
+    * [[dateHistogram]]'s gap-filled calendar series under the chosen
+    * unit, with the pick reported in `auto_interval` (ES returns the
+    * chosen `interval` in the response for exactly this reason).
+    * Output: (bucket, doc_count, auto_interval), bucket-ascending;
+    * an empty source yields zero rows. */
+  def autoDateHistogram(df: DataFrame, tsCol: String,
+                        targetBuckets: Int,
+                        pred: Option[String] = None): DataFrame = {
+    require(targetBuckets >= 1,
+      s"targetBuckets must be >= 1: $targetBuckets")
+    val src = pred.fold(df)(df.filter(_))
+    val b = src.filter(col(tsCol).isNotNull)
+      .agg(min(col(tsCol)).as("lo"), max(col(tsCol)).as("hi"))
+      .collect().head
+    if (b.isNullAt(0))
+      return df.sparkSession.createDataFrame(
+        df.sparkSession.sparkContext
+          .emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("bucket",
+            org.apache.spark.sql.types.TimestampType),
+          org.apache.spark.sql.types.StructField("doc_count",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("auto_interval",
+            org.apache.spark.sql.types.StringType))))
+    val spanSec = (b.getTimestamp(1).getTime -
+      b.getTimestamp(0).getTime) / 1000L
+    val chosen = AutoLadder
+      .find { case (_, s) => spanSec / s + 1 <= targetBuckets }
+      .map(_._1).getOrElse("year")
+    dateHistogram(src, tsCol, chosen)
+      .withColumn("auto_interval", lit(chosen))
+  }
+
   /** ES `date_range` aggregation: explicit [from, to) windows over a
     * timestamp column (from inclusive, to exclusive — ES's range
     * rule), open ends allowed (`None`), every requested range in the

@@ -436,8 +436,64 @@ object LlmSurface {
 
   /** Stage hook for `SparkEntry.stage`: build the shared segment
     * indexes up front so query entries measure probe cost only. */
+  /** The staged SECOND analyzed FIELD of the [[segIndexDir]] index —
+    * `meta` = "source lang" tokenized — as its own postings family
+    * over the SAME doc-id space and live set (two appends split
+    * `% 5`, the `% 37` tombstone batch). This is Lucene's multi-field
+    * mapping with the field dimension lifted into the directory
+    * layout: per-field postings are independent inverted indexes
+    * sharing doc ids, which is exactly what `multi_match` combines —
+    * each field scores with its OWN df/N
+    * ([[SegmentedIndex.multiMatchSearch]]'s statistics contract). */
+  def segIndexMetaDir(s: SparkSession, d: String): String = {
+    val root = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      "graft_segidx_mf_sx7a_" +
+        graft.engine.Bucketing.fingerprint8(d)).getPath
+    val dd = docs(s, d).filter(col("doc_id") < 150)
+      .withColumn("text", concat_ws(" ", col("source"), col("lang")))
+    SegmentedIndex.append(s, root,
+      dd.filter(col("doc_id") % 5 =!= 0), "a")
+    SegmentedIndex.append(s, root,
+      dd.filter(col("doc_id") % 5 === 0), "b")
+    SegmentedIndex.delete(s, root,
+      dd.filter(col("doc_id") % 37 === 5).select("doc_id"), "d1")
+    root
+  }
+
+  /** The staged PARENT/CHILD index behind the join-field queries —
+    * [[segIndexDir]]'s lifecycle over a relation-mapped corpus:
+    * every third doc (`% 3 == 0`) is a `question` parent, the other
+    * two are `answer` children pointing at it (`parent_id =
+    * doc_id - doc_id % 3` — ES's join field as two sparse stored
+    * columns). The `% 37` tombstone batch lands on BOTH roles
+    * (doc 42 is a deleted parent), so the queries' live-relation
+    * rules have real rows to prove. */
+  def segIndexJoinDir(s: SparkSession, d: String): String = {
+    val root = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      "graft_segidx_pc_sx7a_" +
+        graft.engine.Bucketing.fingerprint8(d)).getPath
+    val dd = docs(s, d).filter(col("doc_id") < 150)
+      .withColumn("join_name",
+        when(col("doc_id") % 3 === 0, lit("question"))
+          .otherwise(lit("answer")))
+      .withColumn("parent_id",
+        when(col("doc_id") % 3 === 0, lit(null).cast("long"))
+          .otherwise(col("doc_id") - col("doc_id") % 3))
+    SegmentedIndex.append(s, root,
+      dd.filter(col("doc_id") % 5 =!= 0), "a")
+    SegmentedIndex.append(s, root,
+      dd.filter(col("doc_id") % 5 === 0), "b")
+    SegmentedIndex.delete(s, root,
+      dd.filter(col("doc_id") % 37 === 5).select("doc_id"), "d1")
+    root
+  }
+
   def segIndexStage(s: SparkSession, d: String): Unit = {
     segIndexDir(s, d)
+    segIndexMetaDir(s, d)
+    segIndexJoinDir(s, d)
     segIndexPairDirs(s, d)
     segIndexEnDir(s, d)
     segIndexSynDir(s, d)
@@ -1088,6 +1144,268 @@ object LlmSurface {
       // probe-only against the STAGED index (segIndexDir)
       SegmentedIndex.intervalsSearch(s, segIndexDir(s, d),
         Seq("spark", "join", "vector"), maxGaps = 8, k = 20)),
+
+    // --- multi_match, type best_fields (ES's most-used query: one
+    //     text box, N fields): the same query runs against the
+    //     `text` and `meta` postings families (per-field df/N —
+    //     ES/Lucene's statistics rule), fields COMPETE via dis_max:
+    //     best + tie_breaker·(rest)
+    //     (SegmentedIndex.multiMatchSearch) ---
+    "q281_multi_match_best" -> ((s, d) =>
+      // probe-only against the STAGED per-field families
+      SegmentedIndex.multiMatchSearch(s,
+        Seq("text" -> segIndexDir(s, d),
+          "meta" -> segIndexMetaDir(s, d)),
+        Seq("spark", "src3"), "best_fields", tieBreaker = 0.3,
+        k = 20)),
+
+    // --- multi_match, type most_fields (fields PILE UP — the bool/
+    //     should compilation): per-field scores sum; a doc matching
+    //     in both fields outranks an equal single-field match
+    //     (SegmentedIndex.multiMatchSearch) ---
+    "q282_multi_match_most" -> ((s, d) =>
+      // probe-only against the STAGED per-field families
+      SegmentedIndex.multiMatchSearch(s,
+        Seq("text" -> segIndexDir(s, d),
+          "meta" -> segIndexMetaDir(s, d)),
+        Seq("spark", "en"), "most_fields", tieBreaker = 0.0,
+        k = 20)),
+
+    // --- combined_fields (ES 7.13+'s term-centric multi-field
+    //     query — the principled cross_fields): fields score AS one
+    //     synthetic field — tf sums across families (integral
+    //     weights keep the combine exact), df is the synthetic
+    //     field's (docs holding the term in ANY field)
+    //     (SegmentedIndex.combinedFieldsSearch) ---
+    "q290_combined_fields" -> ((s, d) =>
+      // probe-only against the STAGED per-field families
+      SegmentedIndex.combinedFieldsSearch(s,
+        Seq(("text", segIndexDir(s, d), 1.0),
+          ("meta", segIndexMetaDir(s, d), 2.0)),
+        Seq("spark", "en"), k = 20)),
+
+    // --- intervals FILTER rule (ES's intervals filter —
+    //     containing): spark…vector chains (gaps<=5) kept only when
+    //     a `customer` occurrence lies INSIDE the interval; semi
+    //     join on the positional relation
+    //     (SegmentedIndex.intervalsQuery + IFiltered) ---
+    "q291_intervals_filter" -> ((s, d) =>
+      // probe-only against the STAGED index (segIndexDir)
+      SegmentedIndex.intervalsQuery(s, segIndexDir(s, d),
+        SegmentedIndex.IFiltered(
+          SegmentedIndex.IMatch(Seq("spark", "vector"), maxGaps = 5),
+          "containing",
+          SegmentedIndex.IMatch(Seq("customer"))), k = 20)),
+
+    // --- terms LOOKUP (ES terms query with a lookup clause — the
+    //     "my followees' posts" pattern): doc 7's lang fetched by
+    //     id-pushed stored read, its value filters the live corpus
+    //     (SegmentedIndex.termsLookupSearch) ---
+    "q292_terms_lookup" -> ((s, d) =>
+      // probe-only against the STAGED index (segIndexDir)
+      SegmentedIndex.termsLookupSearch(s, segIndexDir(s, d),
+        lookupId = 7L, lookupField = "lang", targetField = "lang",
+        k = 40)),
+
+    // --- rank_feature, saturation kernel (ES's static-relevance
+    //     query): score = query + boost·v/(v+pivot) — one exact
+    //     divide, hash-exact (log/sigmoid would need q284's bands)
+    //     (SegmentedIndex.rankFeatureSearch) ---
+    "q293_rank_feature" -> ((s, d) =>
+      // probe-only against the STAGED index (segIndexDir)
+      SegmentedIndex.rankFeatureSearch(s, segIndexDir(s, d),
+        searchTerms, "n_chars", pivot = 200.0, boost = 1.5, k = 20)),
+
+    // --- script_score (ES's compute-the-score-yourself query):
+    //     the caller's expression over _score and stored fields,
+    //     compiled by Catalyst — codegen'd, not interpreted
+    //     (SegmentedIndex.scriptScoreSearch) ---
+    "q294_script_score" -> ((s, d) =>
+      // probe-only against the STAGED index (segIndexDir)
+      SegmentedIndex.scriptScoreSearch(s, segIndexDir(s, d),
+        searchTerms, Seq("n_chars"),
+        "(_score + n_chars / 100.0) * 2.0", k = 20)),
+
+    // --- diversified_sampler + terms sub-agg (ES's anti-dominance
+    //     sampler): at most 3 hit docs per lang enter the sample
+    //     (pinned doc_id order), the source terms agg runs over the
+    //     sample (SegmentedIndex.diversifiedSamplerFacet) ---
+    "q295_diversified_sampler" -> ((s, d) =>
+      // probe-only against the STAGED index (segIndexDir)
+      SegmentedIndex.diversifiedSamplerFacet(s, segIndexDir(s, d),
+        searchTerms, dedupField = "lang", maxDocsPerValue = 3,
+        aggField = "source", kBuckets = 10)),
+
+    // --- cumulative_cardinality (ES's "new distinct values over
+    //     time" pipeline agg, computed EXACTLY from first-bucket
+    //     frames instead of HLL sketches): distinct langs
+    //     accumulated across n_chars buckets
+    //     (SegmentedIndex.cumulativeCardinalityFacet) ---
+    "q296_cumulative_cardinality" -> ((s, d) =>
+      // probe-only against the STAGED index (segIndexDir)
+      SegmentedIndex.cumulativeCardinalityFacet(s, segIndexDir(s, d),
+        searchTerms, bucketField = "n_chars", interval = 100L,
+        valueField = "lang")),
+
+    // --- median_absolute_deviation (ES's robust dispersion agg —
+    //     TDigest-approximate there, EXACT here): inner median as a
+    //     single-row driver literal, interpolated percentiles both
+    //     engines (SegmentedIndex.madFacet) ---
+    "q297_mad" -> ((s, d) =>
+      // probe-only against the STAGED index (segIndexDir)
+      SegmentedIndex.madFacet(s, segIndexDir(s, d), searchTerms,
+        "n_chars")),
+
+    // --- Reciprocal Rank Fusion (ES's `rrf` retriever — the hybrid
+    //     search combinator): a relevance ranking and a length
+    //     ranking fuse by 1/(60+rank) within 50-doc windows —
+    //     rank-only, so incomparable score scales compose
+    //     (SegmentedIndex.rrfFusion) ---
+    "q298_rrf" -> ((s, d) => {
+      val root = segIndexDir(s, d)
+      val rel = SegmentedIndex.search(s, root,
+        Seq("spark", "join"), 50)
+      val len = SegmentedIndex.sortedSearch(s, root, searchTerms,
+        "n_chars", 50, ascending = false)
+        .select(col("doc_id"),
+          col("sort_value").cast("double").as("score"))
+      SegmentedIndex.rrfFusion(s,
+        Seq("relevance" -> rel, "length" -> len),
+        rankConstant = 60, windowSize = 50, k = 20)
+    }),
+
+    // --- linear retriever with minmax normalization (ES 8.16+'s
+    //     weighted-sum hybrid): window scores normalize to [0,1],
+    //     fused score = 1.0·rel + 0.5·len
+    //     (SegmentedIndex.linearFusion) ---
+    "q299_linear_retriever" -> ((s, d) => {
+      val root = segIndexDir(s, d)
+      val rel = SegmentedIndex.search(s, root,
+        Seq("spark", "join"), 50)
+      val len = SegmentedIndex.sortedSearch(s, root, searchTerms,
+        "n_chars", 50, ascending = false)
+        .select(col("doc_id"),
+          col("sort_value").cast("double").as("score"))
+      SegmentedIndex.linearFusion(s,
+        Seq(("relevance", rel, 1.0), ("length", len, 0.5)),
+        windowSize = 50, k = 20)
+    }),
+
+    // --- plain sampler agg (ES's scoped sampling — the expensive
+    //     sub-agg over a bounded sample): first 20 hit docs by
+    //     pinned id order, source terms agg over them
+    //     (SegmentedIndex.samplerFacet) ---
+    "q300_sampler" -> ((s, d) =>
+      // probe-only against the STAGED index (segIndexDir)
+      SegmentedIndex.samplerFacet(s, segIndexDir(s, d), searchTerms,
+        shardSize = 20, aggField = "source", kBuckets = 10)),
+
+    // --- intervals COMBINATORS (ES's nested intervals — the span
+    //     replacement): all_of( any_of(spark | stream),
+    //     match(customer vector, gaps<=2) ) ordered, combined gap
+    //     budget 6 — interval frames chained off one pruned
+    //     positional read (SegmentedIndex.intervalsQuery) ---
+    "q289_intervals_combinators" -> ((s, d) =>
+      // probe-only against the STAGED index (segIndexDir)
+      SegmentedIndex.intervalsQuery(s, segIndexDir(s, d),
+        SegmentedIndex.IAllOf(Seq(
+          SegmentedIndex.IAnyOf(Seq(
+            SegmentedIndex.IMatch(Seq("spark")),
+            SegmentedIndex.IMatch(Seq("stream")))),
+          SegmentedIndex.IMatch(Seq("customer", "vector"),
+            maxGaps = 2)),
+          maxGaps = 6), k = 20)),
+
+    // --- auto_date_histogram (ES picks the interval for a TARGET
+    //     bucket count — the zoom-adaptive panel request): the
+    //     finest ladder unit fitting 50 buckets over the events
+    //     span (30 days → day), then the gap-filled calendar series
+    //     with the pick reported (TimeOps.autoDateHistogram) ---
+    "q287_auto_date_histogram" -> ((s, d) =>
+      graft.operators.TimeOps.autoDateHistogram(
+        Tables.table(s, d, "events"), "ts", targetBuckets = 50)),
+
+    // --- bucket_script pipeline agg (ES's general arithmetic over
+    //     sibling metrics, per bucket): n_chars histogram buckets
+    //     carry doc_count + sum(n_chars), the script derives mean
+    //     chars per doc — one aggregation pass, script cost
+    //     O(buckets) (SegmentedIndex.bucketScriptFacet) ---
+    "q288_bucket_script" -> ((s, d) =>
+      // probe-only against the STAGED index (segIndexDir)
+      SegmentedIndex.bucketScriptFacet(s, segIndexDir(s, d),
+        searchTerms, "n_chars", interval = 100L,
+        metrics = Seq("sum_nc" -> "n_chars"),
+        script = "sum_nc / doc_count")),
+
+    // --- has_child, score_mode max (ES's join-field query: parents
+    //     with a matching child, scored by their best child): child
+    //     hits postings-pruned, relation columns one stored read,
+    //     only MATCHED children shuffle; tombstoned parents (doc 42)
+    //     and children drop live (SegmentedIndex.hasChildSearch) ---
+    "q285_has_child" -> ((s, d) =>
+      // probe-only against the STAGED parent/child index
+      SegmentedIndex.hasChildSearch(s, segIndexJoinDir(s, d),
+        Seq("vector"), childType = "answer", parentType = "question",
+        scoreMode = "max", k = 30)),
+
+    // --- has_parent with score=true (children of matching parents,
+    //     each handed its parent's score — one parent, no combiner,
+    //     no float-order hazard) (SegmentedIndex.hasParentSearch) ---
+    "q286_has_parent" -> ((s, d) =>
+      // probe-only against the STAGED parent/child index
+      SegmentedIndex.hasParentSearch(s, segIndexJoinDir(s, d),
+        Seq("spark"), parentType = "question", childType = "answer",
+        withScore = true, k = 40)),
+
+    // --- gauss + exp decay kernels (ES's function_score decay
+    //     family beyond q239's linear): multipliers are libm-exp
+    //     tolerance-grade (the scaladoc's oracle contract), so the
+    //     entry compares BANDS — decay-power thresholds the exact
+    //     exponent arithmetic can't misplace (boundary distances
+    //     d % 100 == 0 excluded, where a 1-ulp libm difference
+    //     COULD flip a band) — plus the (0,1] range boolean, the
+    //     q43 tolerance-assertion precedent
+    //     (SegmentedIndex.decayScoreSearch) ---
+    "q284_decay_gauss_exp" -> ((s, d) => {
+      val root = segIndexDir(s, d)
+      val g = SegmentedIndex.decayScoreSearch(s, root, Seq("vector"),
+        "n_chars", origin = 300L, scale = 100L, k = 500,
+        decay = 0.5, kernel = "gauss")
+        .select(col("doc_id"), col("decay_mult").as("gm"))
+      val e = SegmentedIndex.decayScoreSearch(s, root, Seq("vector"),
+        "n_chars", origin = 300L, scale = 100L, k = 500,
+        decay = 0.5, kernel = "exp")
+        .select(col("doc_id"), col("decay_mult").as("em"))
+      val dist = Tables.table(s, d, "documents")
+        .filter(col("doc_id") < 150)
+        .select(col("doc_id"), abs(col("n_chars") - 300).as("dist"))
+      def band(c: String) = (1 to 16)
+        .map(k => when(col(c) < lit(math.pow(0.5, k)), 1L)
+          .otherwise(0L))
+        .reduce(_ + _)
+      g.join(e, Seq("doc_id")).join(dist, Seq("doc_id"))
+        .filter(col("dist") % 100 =!= 0)
+        .select(col("doc_id"), col("dist"),
+          band("gm").as("gauss_band"), band("em").as("exp_band"),
+          (col("gm") > lit(0.0d) && col("gm") <= lit(1.0d) &&
+            col("em") > lit(0.0d) && col("em") <= lit(1.0d))
+            .as("in_unit"))
+        .orderBy("doc_id").limit(40)
+    }),
+
+    // --- query_string (the STRICT Lucene grammar — field prefixes,
+    //     AND/OR/NOT with grouping, ^boosts; malformed input is a
+    //     400, the opposite contract of q253's lenient box): nested
+    //     boolean scoring — a failed conjunction's terms contribute
+    //     zero; meta:src3 scores with the meta family's own df/N
+    //     (QueryString.search) ---
+    "q283_query_string" -> ((s, d) =>
+      // probe-only against the STAGED per-field families
+      graft.operators.QueryString.search(s,
+        Seq("text" -> segIndexDir(s, d),
+          "meta" -> segIndexMetaDir(s, d)),
+        "text", "(spark AND join) OR meta:src3^2 AND NOT stream",
+        k = 20)),
 
     // --- geo_polygon query (the geo_shape polygon filter for
     //     points): PNPOLY crossing parity, the polygon's bbox
@@ -3225,6 +3543,84 @@ object LlmSurface {
             s"max(CASE WHEN j = $j THEN d END)")
             .mkString("\n       |   + ")} AS ad2
        |  FROM adc GROUP BY q_id, vec_id)""".stripMargin
+
+  /** The shared multi_match oracle body (q281/q282): per-field
+    * postings over the SAME bounded corpus — `text` tokenized,
+    * `meta` = [source, lang] — each field with its OWN df and
+    * n_docs (the per-field statistics contract), per-field pivoted
+    * score sums in the engine's fixed term order, met in a
+    * full-outer join; `combiner` is the SQL for the per-doc score
+    * off the (s0, s1) pair. */
+  private def multiMatchOracle(terms: Seq[String],
+                               combiner: String): String = {
+    def contribs(alias: String) = terms.map { t =>
+      s"sum(CASE WHEN term = '$t' THEN tf::DOUBLE * " +
+        s"((SELECT n FROM nd) / df::DOUBLE) ELSE 0.0::DOUBLE END)"
+    }.mkString(" + ")
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+       | nd AS (SELECT count(*)::DOUBLE AS n FROM d),
+       | pt AS (SELECT term, doc_id, count(*)::BIGINT AS tf
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |        FROM d) GROUP BY term, doc_id),
+       | dft AS (SELECT term, count(*)::BIGINT AS df FROM pt
+       |  GROUP BY term),
+       | pm AS (SELECT term, doc_id, count(*)::BIGINT AS tf
+       |  FROM (SELECT doc_id, unnest([source, lang]) AS term FROM d)
+       |  GROUP BY term, doc_id),
+       | dfm AS (SELECT term, count(*)::BIGINT AS df FROM pm
+       |  GROUP BY term),
+       | st AS (SELECT doc_id, ${contribs("t")} AS s
+       |  FROM pt JOIN dft USING (term)
+       |  WHERE term IN ($inList) AND doc_id % 37 <> 5
+       |  GROUP BY doc_id),
+       | sm AS (SELECT doc_id, ${contribs("m")} AS s
+       |  FROM pm JOIN dfm USING (term)
+       |  WHERE term IN ($inList) AND doc_id % 37 <> 5
+       |  GROUP BY doc_id),
+       | u AS (SELECT coalesce(st.doc_id, sm.doc_id) AS doc_id,
+       |   st.s AS s0, sm.s AS s1
+       |  FROM st FULL OUTER JOIN sm ON st.doc_id = sm.doc_id)
+       |SELECT doc_id, $combiner AS score,
+       | (CASE WHEN s0 IS NOT NULL THEN 1 ELSE 0 END +
+       |  CASE WHEN s1 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+       |  AS n_fields_hit
+       |FROM u ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+  }
+
+  /** Shared CTE body for the hybrid-fusion oracles (q298/q299):
+    * the relevance retriever's engine-exact pivot scores and the
+    * length retriever's n_chars scores, each ranked into its 50-doc
+    * window under the engine's (score desc, doc_id) total order. */
+  private def fusionOracleCtes: String =
+    """WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+      | nd AS (SELECT count(*)::DOUBLE AS n FROM d),
+      | p AS (SELECT term, doc_id, count(*)::BIGINT AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |        FROM d) GROUP BY term, doc_id),
+      | dfreq AS (SELECT term, count(*)::BIGINT AS df FROM p
+      |  GROUP BY term),
+      | rel AS (SELECT doc_id,
+      |   sum(CASE WHEN term = 'spark' THEN tf::DOUBLE *
+      |    ((SELECT n FROM nd) / df::DOUBLE)
+      |    ELSE 0.0::DOUBLE END) +
+      |   sum(CASE WHEN term = 'join' THEN tf::DOUBLE *
+      |    ((SELECT n FROM nd) / df::DOUBLE)
+      |    ELSE 0.0::DOUBLE END) AS score
+      |  FROM p JOIN dfreq USING (term)
+      |  WHERE term IN ('spark', 'join') AND doc_id % 37 <> 5
+      |  GROUP BY doc_id),
+      | ra AS (SELECT * FROM (SELECT doc_id, score,
+      |   row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+      |  FROM rel) WHERE rn <= 50),
+      | hits3 AS (SELECT DISTINCT doc_id FROM p
+      |  WHERE term IN ('spark', 'join', 'vector')
+      |   AND doc_id % 37 <> 5),
+      | lr AS (SELECT d.doc_id, d.n_chars::DOUBLE AS score FROM d
+      |  JOIN hits3 USING (doc_id)),
+      | rb AS (SELECT * FROM (SELECT doc_id, score,
+      |   row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+      |  FROM lr) WHERE rn <= 50)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q105b_phrase_indexed" -> phraseOracle,
@@ -5709,6 +6105,452 @@ object LlmSurface {
         | min(span) AS min_span
         |FROM ch WHERE gaps <= 8
         |GROUP BY doc_id ORDER BY doc_id LIMIT 20""".stripMargin,
+
+    // q281/q282: multi_match replayed — per-field postings (text
+    // tokenized; meta = [source, lang]), per-field df/N, per-field
+    // pivoted score sums met in a full-outer join; best_fields
+    // combines greatest + tie·rest, most_fields sums. The CTE body
+    // is shared; only the terms and the combinator differ.
+    "q281_multi_match_best" ->
+      multiMatchOracle(Seq("spark", "src3"),
+        "greatest(coalesce(s0, 0.0::DOUBLE), coalesce(s1, " +
+          "0.0::DOUBLE)) + 0.3 * ((coalesce(s0, 0.0::DOUBLE) + " +
+          "coalesce(s1, 0.0::DOUBLE)) - " +
+          "greatest(coalesce(s0, 0.0::DOUBLE), " +
+          "coalesce(s1, 0.0::DOUBLE)))"),
+
+    "q282_multi_match_most" ->
+      multiMatchOracle(Seq("spark", "en"),
+        "coalesce(s0, 0.0::DOUBLE) + coalesce(s1, 0.0::DOUBLE)"),
+
+    // q298/q299: hybrid fusion replayed — both retrievers' rank
+    // windows as row_number subsets, RRF as 1/(60+rank) terms,
+    // linear as weighted minmax-normalized sums; the CTE body is
+    // shared via fusionOracleCtes
+    "q298_rrf" -> (fusionOracleCtes +
+      """
+        |SELECT coalesce(ra.doc_id, rb.doc_id) AS doc_id,
+        | (CASE WHEN ra.rn IS NOT NULL
+        |   THEN 1.0 / (60.0 + ra.rn::DOUBLE) ELSE 0.0::DOUBLE END) +
+        | (CASE WHEN rb.rn IS NOT NULL
+        |   THEN 1.0 / (60.0 + rb.rn::DOUBLE) ELSE 0.0::DOUBLE END)
+        |  AS score,
+        | ((CASE WHEN ra.rn IS NOT NULL THEN 1 ELSE 0 END) +
+        |  (CASE WHEN rb.rn IS NOT NULL THEN 1 ELSE 0 END))::BIGINT
+        |  AS n_retrievers_hit
+        |FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin),
+
+    "q299_linear_retriever" -> (fusionOracleCtes +
+      """,
+        | mma AS (SELECT min(score) AS mn, max(score) AS mx FROM ra),
+        | mmb AS (SELECT min(score) AS mn, max(score) AS mx FROM rb),
+        | na AS (SELECT doc_id, CASE WHEN mma.mx = mma.mn THEN 1.0
+        |   ELSE (score - mma.mn) / (mma.mx - mma.mn) END AS nv
+        |  FROM ra, mma),
+        | nb AS (SELECT doc_id, CASE WHEN mmb.mx = mmb.mn THEN 1.0
+        |   ELSE (score - mmb.mn) / (mmb.mx - mmb.mn) END AS nv
+        |  FROM rb, mmb)
+        |SELECT coalesce(na.doc_id, nb.doc_id) AS doc_id,
+        | (CASE WHEN na.nv IS NOT NULL THEN 1.0 * na.nv
+        |   ELSE 0.0::DOUBLE END) +
+        | (CASE WHEN nb.nv IS NOT NULL THEN 0.5 * nb.nv
+        |   ELSE 0.0::DOUBLE END) AS score,
+        | ((CASE WHEN na.nv IS NOT NULL THEN 1 ELSE 0 END) +
+        |  (CASE WHEN nb.nv IS NOT NULL THEN 1 ELSE 0 END))::BIGINT
+        |  AS n_retrievers_hit
+        |FROM na FULL OUTER JOIN nb ON na.doc_id = nb.doc_id
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin),
+
+    // q300: sampler replayed — the pinned id-order sample bounds
+    // the sub-agg's input
+    "q300_sampler" ->
+      """WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+        | p AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |       FROM d),
+        | hits AS (SELECT DISTINCT doc_id FROM p
+        |  WHERE term IN ('spark', 'join', 'vector')
+        |   AND doc_id % 37 <> 5),
+        | smp AS (SELECT d.doc_id, d.source FROM d
+        |  JOIN hits USING (doc_id)
+        |  WHERE d.source IS NOT NULL
+        |  ORDER BY d.doc_id LIMIT 20)
+        |SELECT source AS value, count(*)::BIGINT AS doc_count
+        |FROM smp GROUP BY source ORDER BY doc_count DESC, value
+        |LIMIT 10""".stripMargin,
+
+    // q290: combined_fields replayed — weighted tf union across the
+    // two field corpora, synthetic df over the pre-tombstone union,
+    // live rows score in the fixed term order
+    "q290_combined_fields" ->
+      """WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+        | nd AS (SELECT count(*)::DOUBLE AS n FROM d),
+        | pt AS (SELECT term, doc_id, count(*)::BIGINT AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |        FROM d) GROUP BY term, doc_id),
+        | pm AS (SELECT term, doc_id, count(*)::BIGINT AS tf
+        |  FROM (SELECT doc_id, unnest([source, lang]) AS term FROM d)
+        |  GROUP BY term, doc_id),
+        | cp AS (SELECT term, doc_id, tf::DOUBLE * 1.0 AS wtf FROM pt
+        |   WHERE term IN ('spark', 'en')
+        |  UNION ALL
+        |  SELECT term, doc_id, tf::DOUBLE * 2.0 FROM pm
+        |   WHERE term IN ('spark', 'en')),
+        | comb AS (SELECT term, doc_id, sum(wtf) AS ctf FROM cp
+        |  GROUP BY term, doc_id),
+        | dfc AS (SELECT term, count(*)::BIGINT AS df FROM comb
+        |  GROUP BY term)
+        |SELECT doc_id,
+        | sum(CASE WHEN term = 'spark' THEN ctf *
+        |  ((SELECT n FROM nd) / df::DOUBLE) ELSE 0.0::DOUBLE END) +
+        | sum(CASE WHEN term = 'en' THEN ctf *
+        |  ((SELECT n FROM nd) / df::DOUBLE) ELSE 0.0::DOUBLE END)
+        |  AS score,
+        | count(DISTINCT term) AS n_terms_hit
+        |FROM comb JOIN dfc USING (term)
+        |WHERE doc_id % 37 <> 5
+        |GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // q291: intervals containing filter replayed — the chain pairs
+    // kept by an EXISTS on the in-interval customer position
+    "q291_intervals_filter" ->
+      """WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+        | toks AS (SELECT doc_id, unnest(l) AS term,
+        |   generate_subscripts(l, 1) - 1 AS pos
+        |   FROM (SELECT doc_id, string_split(text, ' ') AS l FROM d)),
+        | sv AS (SELECT a.doc_id, a.pos AS s, b.pos AS e
+        |  FROM toks a JOIN toks b
+        |   ON a.doc_id = b.doc_id AND b.pos > a.pos
+        |  WHERE a.term = 'spark' AND b.term = 'vector'
+        |   AND b.pos - a.pos - 1 <= 5 AND a.doc_id % 37 <> 5),
+        | cu AS (SELECT doc_id, pos FROM toks
+        |  WHERE term = 'customer' AND doc_id % 37 <> 5),
+        | kept AS (SELECT sv.* FROM sv WHERE EXISTS (
+        |  SELECT 1 FROM cu WHERE cu.doc_id = sv.doc_id
+        |   AND cu.pos >= sv.s AND cu.pos <= sv.e))
+        |SELECT doc_id, count(*) AS n_intervals,
+        | min(CAST(e - s + 1 AS BIGINT)) AS min_span
+        |FROM kept GROUP BY doc_id ORDER BY doc_id LIMIT 20""".stripMargin,
+
+    // q292: terms lookup replayed — doc 7's lang filters the live
+    // corpus (the lookup doc itself included, ES's rule)
+    "q292_terms_lookup" ->
+      """WITH d AS (SELECT * FROM documents WHERE doc_id < 150)
+        |SELECT doc_id, lang AS value FROM d
+        |WHERE doc_id % 37 <> 5
+        | AND lang = (SELECT lang FROM d
+        |   WHERE doc_id = 7 AND doc_id % 37 <> 5)
+        |ORDER BY doc_id LIMIT 40""".stripMargin,
+
+    // q293: rank_feature saturation replayed — base pivot score +
+    // boost·v/(v+pivot), one exact divide
+    "q293_rank_feature" -> {
+      val contribs = Seq("spark", "join", "vector").map { t =>
+        s"sum(CASE WHEN term = '$t' THEN tf::DOUBLE * " +
+          "((SELECT n FROM nd) / df::DOUBLE) " +
+          "ELSE 0.0::DOUBLE END)"
+      }.mkString(" + ")
+      s"""WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+         | nd AS (SELECT count(*)::DOUBLE AS n FROM d),
+         | p AS (SELECT term, doc_id, count(*)::BIGINT AS tf
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |        FROM d) GROUP BY term, doc_id),
+         | dfreq AS (SELECT term, count(*)::BIGINT AS df FROM p
+         |  GROUP BY term),
+         | base AS (SELECT doc_id, $contribs AS bscore
+         |  FROM p JOIN dfreq USING (term)
+         |  WHERE term IN ('spark', 'join', 'vector')
+         |   AND doc_id % 37 <> 5
+         |  GROUP BY doc_id)
+         |SELECT b.doc_id,
+         | b.bscore + 1.5 * (d.n_chars::DOUBLE /
+         |   (d.n_chars::DOUBLE + 200.0)) AS score,
+         | d.n_chars::DOUBLE / (d.n_chars::DOUBLE + 200.0)
+         |  AS saturation
+         |FROM base b JOIN d ON b.doc_id = d.doc_id
+         |ORDER BY score DESC, b.doc_id LIMIT 20""".stripMargin
+    },
+
+    // q294: script_score replayed — the same arithmetic as plain SQL
+    "q294_script_score" -> {
+      val contribs = Seq("spark", "join", "vector").map { t =>
+        s"sum(CASE WHEN term = '$t' THEN tf::DOUBLE * " +
+          "((SELECT n FROM nd) / df::DOUBLE) " +
+          "ELSE 0.0::DOUBLE END)"
+      }.mkString(" + ")
+      s"""WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+         | nd AS (SELECT count(*)::DOUBLE AS n FROM d),
+         | p AS (SELECT term, doc_id, count(*)::BIGINT AS tf
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |        FROM d) GROUP BY term, doc_id),
+         | dfreq AS (SELECT term, count(*)::BIGINT AS df FROM p
+         |  GROUP BY term),
+         | base AS (SELECT doc_id, $contribs AS bscore
+         |  FROM p JOIN dfreq USING (term)
+         |  WHERE term IN ('spark', 'join', 'vector')
+         |   AND doc_id % 37 <> 5
+         |  GROUP BY doc_id)
+         |SELECT b.doc_id,
+         | (b.bscore + d.n_chars / 100.0) * 2.0 AS score
+         |FROM base b JOIN d ON b.doc_id = d.doc_id
+         |ORDER BY score DESC, b.doc_id LIMIT 20""".stripMargin
+    },
+
+    // q295: diversified_sampler replayed — the pinned per-lang
+    // doc_id-order rank bounds the sample, the source terms agg
+    // runs over it
+    "q295_diversified_sampler" ->
+      """WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+        | p AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |       FROM d),
+        | hits AS (SELECT DISTINCT doc_id FROM p
+        |  WHERE term IN ('spark', 'join', 'vector')
+        |   AND doc_id % 37 <> 5),
+        | j AS (SELECT d.doc_id, d.lang, d.source,
+        |   row_number() OVER (PARTITION BY d.lang
+        |    ORDER BY d.doc_id) AS rn
+        |  FROM d JOIN hits USING (doc_id)
+        |  WHERE d.lang IS NOT NULL AND d.source IS NOT NULL)
+        |SELECT source AS value, count(*)::BIGINT AS doc_count
+        |FROM j WHERE rn <= 3
+        |GROUP BY source ORDER BY doc_count DESC, value
+        |LIMIT 10""".stripMargin,
+
+    // q296: cumulative_cardinality replayed — each lang counts from
+    // its FIRST bucket on; the window is bucket-bounded
+    "q296_cumulative_cardinality" ->
+      """WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+        | p AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |       FROM d),
+        | hits AS (SELECT DISTINCT doc_id FROM p
+        |  WHERE term IN ('spark', 'join', 'vector')
+        |   AND doc_id % 37 <> 5),
+        | j AS (SELECT d.doc_id,
+        |   (floor(d.n_chars / 100.0) * 100)::BIGINT AS bucket,
+        |   d.lang
+        |  FROM d JOIN hits USING (doc_id)
+        |  WHERE d.n_chars IS NOT NULL AND d.lang IS NOT NULL),
+        | c AS (SELECT bucket, count(*)::BIGINT AS doc_count FROM j
+        |  GROUP BY bucket),
+        | f AS (SELECT lang, min(bucket) AS bucket FROM j
+        |  GROUP BY lang),
+        | nn AS (SELECT bucket, count(*)::BIGINT AS n_new FROM f
+        |  GROUP BY bucket)
+        |SELECT c.bucket, c.doc_count,
+        | sum(coalesce(nn.n_new, 0)) OVER (ORDER BY c.bucket
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+        |  AS cum_cardinality
+        |FROM c LEFT JOIN nn ON c.bucket = nn.bucket
+        |ORDER BY c.bucket""".stripMargin,
+
+    // q297: MAD replayed — quantile_cont is the same interpolated
+    // percentile as Spark's exact `percentile`; the inner median is
+    // the identical scalar on both sides
+    "q297_mad" ->
+      """WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+        | p AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |       FROM d),
+        | hits AS (SELECT DISTINCT doc_id FROM p
+        |  WHERE term IN ('spark', 'join', 'vector')
+        |   AND doc_id % 37 <> 5),
+        | v AS (SELECT d.n_chars AS value FROM d
+        |  JOIN hits USING (doc_id) WHERE d.n_chars IS NOT NULL),
+        | m AS (SELECT quantile_cont(value, 0.5) AS med FROM v)
+        |SELECT count(*)::BIGINT AS n_docs,
+        | (SELECT med FROM m) AS vmedian,
+        | quantile_cont(abs(value - (SELECT med FROM m)), 0.5) AS mad
+        |FROM v""".stripMargin,
+
+    // q289: intervals combinators replayed — any_of as a term
+    // union of single-position intervals, the match pair by
+    // ascending positions under its own gap bound, all_of chaining
+    // any.end < pair.start with the combined-minus-covered gap rule
+    "q289_intervals_combinators" ->
+      """WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+        | toks AS (SELECT doc_id, unnest(l) AS term,
+        |   generate_subscripts(l, 1) - 1 AS pos
+        |   FROM (SELECT doc_id, string_split(text, ' ') AS l FROM d)),
+        | anyiv AS (SELECT doc_id, pos AS s, pos AS e FROM toks
+        |  WHERE term IN ('spark', 'stream') AND doc_id % 37 <> 5),
+        | cv AS (SELECT a.doc_id, a.pos AS s, b.pos AS e
+        |  FROM toks a JOIN toks b
+        |   ON a.doc_id = b.doc_id AND b.pos > a.pos
+        |  WHERE a.term = 'customer' AND b.term = 'vector'
+        |   AND b.pos - a.pos - 1 <= 2 AND a.doc_id % 37 <> 5),
+        | combo AS (SELECT anyiv.doc_id,
+        |   CAST(cv.e - anyiv.s + 1 AS BIGINT) AS span,
+        |   (cv.e - anyiv.s + 1) -
+        |    ((anyiv.e - anyiv.s + 1) + (cv.e - cv.s + 1)) AS gaps
+        |  FROM anyiv JOIN cv ON anyiv.doc_id = cv.doc_id
+        |   AND cv.s > anyiv.e)
+        |SELECT doc_id, count(*) AS n_intervals, min(span) AS min_span
+        |FROM combo WHERE gaps <= 6
+        |GROUP BY doc_id ORDER BY doc_id LIMIT 20""".stripMargin,
+
+    // q287: auto_date_histogram replayed — the events span (30
+    // days) under target 50 picks `day` on the pinned ladder
+    // (hour estimates 720 buckets, day 30); the series is q249's
+    // gap-fill shape under the picked unit, pick reported
+    "q287_auto_date_histogram" ->
+      """WITH b AS (SELECT date_trunc('day', ts) AS bucket,
+        |   count(*)::BIGINT AS doc_count
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        | bounds AS (SELECT min(bucket) AS lo, max(bucket) AS hi
+        |  FROM b),
+        | allb AS (SELECT unnest(generate_series(lo, hi,
+        |   INTERVAL 1 DAY)) AS bucket FROM bounds)
+        |SELECT allb.bucket, COALESCE(doc_count, 0) AS doc_count,
+        | 'day' AS auto_interval
+        |FROM allb LEFT JOIN b ON allb.bucket = b.bucket
+        |ORDER BY allb.bucket""".stripMargin,
+
+    // q288: bucket_script replayed — the same single-pass bucket +
+    // metric aggregation, the script as plain SQL arithmetic
+    // (BIGINT / BIGINT is float division in both dialects)
+    "q288_bucket_script" ->
+      """WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+        | p AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |       FROM d),
+        | hits AS (SELECT DISTINCT doc_id FROM p
+        |  WHERE term IN ('spark', 'join', 'vector')
+        |   AND doc_id % 37 <> 5),
+        | j AS (SELECT d.doc_id, d.n_chars FROM d
+        |  JOIN hits USING (doc_id))
+        |SELECT (floor(n_chars / 100.0) * 100)::BIGINT AS bucket,
+        | count(*)::BIGINT AS doc_count,
+        | sum(n_chars)::BIGINT AS sum_nc,
+        | sum(n_chars)::BIGINT / count(*)::BIGINT AS script_value
+        |FROM j GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // q285: has_child replayed — live child hits of `vector` group
+    // by parent (doc_id - doc_id % 3), max child score, live
+    // parents only (42 is tombstoned and must not return)
+    "q285_has_child" ->
+      """WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+        | nd AS (SELECT count(*)::DOUBLE AS n FROM d),
+        | p AS (SELECT term, doc_id, count(*)::BIGINT AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |        FROM d) GROUP BY term, doc_id),
+        | dfreq AS (SELECT term, count(*)::BIGINT AS df FROM p
+        |  GROUP BY term),
+        | ch AS (SELECT doc_id,
+        |   sum(CASE WHEN term = 'vector' THEN tf::DOUBLE *
+        |    ((SELECT n FROM nd) / df::DOUBLE)
+        |    ELSE 0.0::DOUBLE END) AS score
+        |  FROM p JOIN dfreq USING (term)
+        |  WHERE term = 'vector' AND doc_id % 37 <> 5
+        |   AND doc_id % 3 <> 0
+        |  GROUP BY doc_id),
+        | byp AS (SELECT (doc_id - doc_id % 3) AS doc_id,
+        |   count(*)::BIGINT AS n_children_matched,
+        |   max(score) AS score
+        |  FROM ch GROUP BY 1),
+        | par AS (SELECT doc_id FROM d
+        |  WHERE doc_id % 3 = 0 AND doc_id % 37 <> 5)
+        |SELECT doc_id, score, n_children_matched
+        |FROM par JOIN byp USING (doc_id)
+        |ORDER BY score DESC, doc_id LIMIT 30""".stripMargin,
+
+    // q286: has_parent replayed — live parents matching `spark`
+    // hand their score to every live child pointing at them
+    "q286_has_parent" ->
+      """WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+        | nd AS (SELECT count(*)::DOUBLE AS n FROM d),
+        | p AS (SELECT term, doc_id, count(*)::BIGINT AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |        FROM d) GROUP BY term, doc_id),
+        | dfreq AS (SELECT term, count(*)::BIGINT AS df FROM p
+        |  GROUP BY term),
+        | ph AS (SELECT doc_id AS pid,
+        |   sum(CASE WHEN term = 'spark' THEN tf::DOUBLE *
+        |    ((SELECT n FROM nd) / df::DOUBLE)
+        |    ELSE 0.0::DOUBLE END) AS score
+        |  FROM p JOIN dfreq USING (term)
+        |  WHERE term = 'spark' AND doc_id % 37 <> 5
+        |   AND doc_id % 3 = 0
+        |  GROUP BY doc_id),
+        | ch AS (SELECT doc_id, (doc_id - doc_id % 3) AS pid FROM d
+        |  WHERE doc_id % 3 <> 0 AND doc_id % 37 <> 5)
+        |SELECT ch.doc_id, ph.score
+        |FROM ch JOIN ph USING (pid)
+        |ORDER BY score DESC, doc_id LIMIT 40""".stripMargin,
+
+    // q284: gauss/exp decay replayed as BANDS — mult < decay^k iff
+    // exponent > k (decay < 1), so the band is floor of the exact
+    // exponent; boundary distances are excluded on both sides and
+    // the in-unit booleans state the range contract as literals
+    "q284_decay_gauss_exp" ->
+      """WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+        | p AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |       FROM d),
+        | hits AS (SELECT DISTINCT doc_id FROM p
+        |  WHERE term = 'vector' AND doc_id % 37 <> 5),
+        | j AS (SELECT d.doc_id,
+        |   abs(d.n_chars - 300)::BIGINT AS dist
+        |  FROM d JOIN hits USING (doc_id))
+        |SELECT doc_id, dist,
+        | least(16, floor(dist * dist / 10000.0))::BIGINT
+        |  AS gauss_band,
+        | least(16, floor(dist / 100.0))::BIGINT AS exp_band,
+        | TRUE AS in_unit
+        |FROM j WHERE dist % 100 <> 0
+        |ORDER BY doc_id LIMIT 40""".stripMargin,
+
+    // q283: query_string replayed — the parsed tree
+    // OR( AND(spark, join), AND(meta:src3^2, NOT stream) ) as
+    // nested CASE gating: each conjunction contributes only when it
+    // matches whole, src3 weights with the meta family's df/N,
+    // n_terms_hit counts positive pairs the doc holds
+    "q283_query_string" ->
+      """WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+        | nd AS (SELECT count(*)::DOUBLE AS n FROM d),
+        | pt AS (SELECT term, doc_id, count(*)::BIGINT AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |        FROM d) GROUP BY term, doc_id),
+        | dft AS (SELECT term, count(*)::BIGINT AS df FROM pt
+        |  GROUP BY term),
+        | pm AS (SELECT term, doc_id, count(*)::BIGINT AS tf
+        |  FROM (SELECT doc_id, unnest([source, lang]) AS term FROM d)
+        |  GROUP BY term, doc_id),
+        | dfm AS (SELECT term, count(*)::BIGINT AS df FROM pm
+        |  GROUP BY term),
+        | sp AS (SELECT doc_id, sum(tf::DOUBLE *
+        |   ((SELECT n FROM nd) / df::DOUBLE)) AS v
+        |  FROM pt JOIN dft USING (term)
+        |  WHERE term = 'spark' AND doc_id % 37 <> 5 GROUP BY doc_id),
+        | jn AS (SELECT doc_id, sum(tf::DOUBLE *
+        |   ((SELECT n FROM nd) / df::DOUBLE)) AS v
+        |  FROM pt JOIN dft USING (term)
+        |  WHERE term = 'join' AND doc_id % 37 <> 5 GROUP BY doc_id),
+        | s3 AS (SELECT doc_id, sum(tf::DOUBLE *
+        |   ((SELECT n FROM nd) / df::DOUBLE)) AS v
+        |  FROM pm JOIN dfm USING (term)
+        |  WHERE term = 'src3' AND doc_id % 37 <> 5 GROUP BY doc_id),
+        | st AS (SELECT DISTINCT doc_id FROM pt
+        |  WHERE term = 'stream' AND doc_id % 37 <> 5),
+        | u AS (SELECT d.doc_id, sp.v AS vsp, jn.v AS vjn,
+        |   s3.v AS vs3, (st.doc_id IS NOT NULL) AS mst
+        |  FROM d LEFT JOIN sp ON d.doc_id = sp.doc_id
+        |  LEFT JOIN jn ON d.doc_id = jn.doc_id
+        |  LEFT JOIN s3 ON d.doc_id = s3.doc_id
+        |  LEFT JOIN st ON d.doc_id = st.doc_id
+        |  WHERE d.doc_id % 37 <> 5)
+        |SELECT doc_id,
+        | (CASE WHEN vsp IS NOT NULL AND vjn IS NOT NULL
+        |   THEN coalesce(vsp, 0.0::DOUBLE) + coalesce(vjn, 0.0::DOUBLE)
+        |   ELSE 0.0::DOUBLE END) +
+        | (CASE WHEN vs3 IS NOT NULL AND NOT mst
+        |   THEN 2.0 * coalesce(vs3, 0.0::DOUBLE)
+        |   ELSE 0.0::DOUBLE END) AS score,
+        | ((CASE WHEN vsp IS NOT NULL THEN 1 ELSE 0 END) +
+        |  (CASE WHEN vjn IS NOT NULL THEN 1 ELSE 0 END) +
+        |  (CASE WHEN vs3 IS NOT NULL THEN 1 ELSE 0 END))::BIGINT
+        |  AS n_terms_hit
+        |FROM u
+        |WHERE (vsp IS NOT NULL AND vjn IS NOT NULL)
+        |   OR (vs3 IS NOT NULL AND NOT mst)
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
     // q279: geo_polygon replayed — the identical PNPOLY edge terms
     // and crossing-parity fold, generated from the same vertex list

@@ -1,0 +1,151 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.QueryString._
+
+/** The strict Lucene query_string grammar: parser shape + errors,
+  * and the nested boolean scoring semantics on the per-field
+  * postings families. */
+class QueryStringSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- parser ----
+
+  test("precedence: adjacency/OR lowest, AND binds tighter, NOT " +
+    "tightest; parens group; && / || / ! are Lucene aliases") {
+    assert(parse("a b AND c") ==
+      OrNode(Seq(TermNode(None, "a", 1.0),
+        AndNode(Seq(TermNode(None, "b", 1.0),
+          TermNode(None, "c", 1.0))))))
+    assert(parse("NOT a AND b") ==
+      AndNode(Seq(NotNode(TermNode(None, "a", 1.0)),
+        TermNode(None, "b", 1.0))))
+    assert(parse("(a OR b) AND c") ==
+      AndNode(Seq(OrNode(Seq(TermNode(None, "a", 1.0),
+        TermNode(None, "b", 1.0))), TermNode(None, "c", 1.0))))
+    assert(parse("a && !b || c") == parse("a AND NOT b OR c"))
+  }
+
+  test("field prefixes, boosts and phrases parse; AND/OR/NOT only " +
+    "act as operators when bare") {
+    assert(parse("meta:src3^2.5") ==
+      TermNode(Some("meta"), "src3", 2.5))
+    assert(parse("""title:"a b"^3 c""") ==
+      OrNode(Seq(PhraseNode(Some("title"), Seq("a", "b"), 3.0),
+        TermNode(None, "c", 1.0))))
+    // a field named AND is a term, not an operator
+    assert(parse("f:AND") == TermNode(Some("f"), "AND", 1.0))
+  }
+
+  test("malformed input errors loudly (ES 400 contract): parens, " +
+    "operators, boosts, phrases, field prefixes") {
+    for (bad <- Seq("(a", "a)", "a AND", "OR a", "a OR", "NOT",
+      "a ^", "a^x", "\"unclosed", "\"\"", "f:", "f:(a)", "a & b",
+      "a | b", ""))
+      withClue(s"input: '$bad'") {
+        intercept[IllegalArgumentException] { parse(bad) }
+      }
+  }
+
+  // ---- execution ----
+
+  private def corpus = Seq(
+    (1L, "spark join customer vector extra", "en", "web"),
+    (2L, "spark customer vector stream", "en", "book"),
+    (3L, "spark join join", "de", "web"),
+    (4L, "customer vector join", "en", "web"),
+    (5L, "spark vector customer", "fr", "wiki"))
+    .toDF("doc_id", "text", "lang", "source")
+
+  private def stage(): Seq[(String, String)] = {
+    val textRoot = Files.createTempDirectory("graft-qs-t").toString
+    SegmentedIndex.append(spark, textRoot, corpus, "a", nBuckets = 4)
+    val metaRoot = Files.createTempDirectory("graft-qs-m").toString
+    SegmentedIndex.append(spark, metaRoot,
+      corpus.withColumn("text",
+        concat_ws(" ", col("source"), col("lang"))), "a",
+      nBuckets = 4)
+    Seq("text" -> textRoot, "meta" -> metaRoot)
+  }
+
+  // text stats: N=5; df: spark 4, join 3, customer 4, vector 4,
+  // stream 1, extra 1. meta stats: N=5; df: web 3, wiki 1, en 3.
+  private def w(df: Long) = 5.0 / df
+
+  test("nested boolean scoring: a failed conjunction's terms do NOT " +
+    "score — (spark AND extra) OR customer") {
+    val out = QueryString.search(spark, stage(), "text",
+      "(spark AND extra) OR customer", k = 10)
+      .as[(Long, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // doc1 matches the conjunction AND customer
+    assert(out(1L) == (((1 * w(4) + 1 * w(1)) + 1 * w(4), 3L)))
+    // doc2 has spark + customer but NOT extra: the conjunction
+    // fails, spark must contribute nothing
+    assert(out(2L) == ((1 * w(4), 2L)))
+    // doc3 (spark join join): no customer, no extra -> no match
+    assert(!out.contains(3L))
+  }
+
+  test("field prefixes score with each field's own statistics; " +
+    "boosts multiply; NOT excludes without scoring") {
+    val out = QueryString.search(spark, stage(), "text",
+      "spark^2 meta:wiki AND NOT stream", k = 10)
+      .as[(Long, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // parse: OR(spark^2, AND(meta:wiki, NOT stream))
+    // doc5: spark (2·5/4) + wiki (5/1, meta stats)
+    assert(out(5L) == ((2 * w(4) + 1 * 5.0, 2L)))
+    // doc2 has spark AND stream: the AND branch fails but the OR's
+    // spark branch still matches
+    assert(out(2L) == ((2 * w(4), 1L)))
+    assert(!out.contains(4L)) // neither spark nor wiki
+  }
+
+  test("pure negation is match-all-minus; tombstones respected") {
+    val fields = stage()
+    SegmentedIndex.delete(spark, fields.head._2,
+      Seq(4L).toDF("doc_id"), "d1")
+    val out = QueryString.search(spark, fields, "text",
+      "NOT spark", k = 10)
+      .as[(Long, Double, Long)].collect().toSeq
+    // docs without spark: 4 (tombstoned) -> none... doc4 only
+    assert(out.isEmpty)
+    val out2 = QueryString.search(spark, fields, "text",
+      "NOT stream", k = 10).select("doc_id")
+      .as[Long].collect().toSet
+    assert(out2 == Set(1L, 3L, 5L)) // 2 has stream, 4 tombstoned
+  }
+
+  test("phrases gate but score zero; unknown fields error; a " +
+    "stopword-free analyzer keeps terms 1:1") {
+    val fields = stage()
+    val out = QueryString.search(spark, fields, "text",
+      "\"customer vector\" extra", k = 10)
+      .as[(Long, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // adjacency: docs 1, 2, 4; extra scores only doc1
+    assert(out.keySet == Set(1L, 2L, 4L))
+    assert(out(1L) == ((1 * w(1), 1L)) && out(2L) == ((0.0, 0L)))
+    intercept[IllegalArgumentException] {
+      QueryString.search(spark, fields, "text", "nope:x", 10)
+    }
+    intercept[IllegalArgumentException] {
+      QueryString.search(spark, fields, "nope", "x", 10)
+    }
+  }
+
+  test("duplicate clauses score twice; dropped clauses vanish " +
+    "rather than killing the query") {
+    val fields = stage()
+    val out = QueryString.search(spark, fields, "text",
+      "extra extra", k = 10)
+      .as[(Long, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((2 * w(1), 1L))) // twice the weight, one pair
+  }
+}

@@ -531,6 +531,154 @@ class ServingExtrasSpec extends SparkSpec {
     assert(srcs == Map("web" -> 3L, "flagged" -> 1L, "wiki" -> 1L))
   }
 
+  test("multiMatchSearch: per-field statistics, best_fields competes " +
+    "(dis_max), most_fields piles up; cross_fields refused") {
+    val textRoot = freshIndex()
+    // the second analyzed field over the SAME doc ids: "source lang"
+    val metaRoot = Files.createTempDirectory("graft-sx16m").toString
+    val meta = corpus.withColumn("text",
+      concat_ws(" ", col("source"), col("lang")))
+    SegmentedIndex.append(spark, metaRoot,
+      meta.filter(col("doc_id") <= 3), "a", nBuckets = 4)
+    SegmentedIndex.append(spark, metaRoot,
+      meta.filter(col("doc_id") > 3), "b")
+    val fields = Seq("text" -> textRoot, "meta" -> metaRoot)
+    // terms: "spark" lives in text (df 4), "web" lives in meta (df 3)
+    val best = SegmentedIndex.multiMatchSearch(spark, fields,
+      Seq("spark", "web"), "best_fields", tieBreaker = 0.5, k = 10)
+      .as[(Long, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // per-field scores: text s = tf_spark·(5/4); meta s = 1·(5/3)
+    def t(id: Long, tf: Long) = tf * (5.0 / 4)
+    val m = 5.0 / 3
+    // doc1 hits both fields: best = max(t, m), tie picks up the rest
+    assert(best(1L)._1 ==
+      math.max(t(1, 1), m) + 0.5 * (t(1, 1) + m - math.max(t(1, 1), m)))
+    assert(best(1L)._2 == 2L)
+    // doc5 (wiki): text only
+    assert(best(5L) == ((t(5, 1), 1L)))
+    val most = SegmentedIndex.multiMatchSearch(spark, fields,
+      Seq("spark", "web"), "most_fields", tieBreaker = 0.0, k = 10)
+      .as[(Long, Double, Long)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(most(1L) == t(1, 1) + m) // fields pile up
+    // doc4 lacks spark in text but is web in meta: present via meta
+    assert(most(4L) == m)
+    intercept[IllegalArgumentException] {
+      SegmentedIndex.multiMatchSearch(spark, fields,
+        Seq("spark"), "cross_fields", 0.0, 10)
+    }
+  }
+
+  test("intervalsQuery combinators: any_of unions, all_of chains " +
+    "ordered non-overlapping with a combined gap budget; a flat " +
+    "match agrees with intervalsSearch") {
+    import SegmentedIndex.{IAllOf, IAnyOf, IMatch}
+    val root = freshIndex()
+    val out = SegmentedIndex.intervalsQuery(spark, root,
+      IAllOf(Seq(
+        IAnyOf(Seq(IMatch(Seq("spark")), IMatch(Seq("stream")))),
+        IMatch(Seq("customer", "vector"), maxGaps = 0)),
+        maxGaps = 1), k = 10)
+      .as[(Long, Long, Long)].collect().toSeq
+    // doc1: spark@0 then customer,vector@(2,3) -> 1 covered gap;
+    // doc2: spark@0 then (1,2) -> 0 gaps (stream@3 is AFTER cv);
+    // doc4 has no any_of source, doc5's pair is reversed
+    assert(out == Seq((1L, 1L, 4L), (2L, 1L, 3L)))
+    val flatQ = SegmentedIndex.intervalsQuery(spark, root,
+      IMatch(Seq("spark", "join", "vector"), maxGaps = 8), k = 10)
+      .as[(Long, Long, Long)].collect().toSeq
+    val flatS = SegmentedIndex.intervalsSearch(spark, root,
+      Seq("spark", "join", "vector"), maxGaps = 8, k = 10)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(flatQ == flatS && flatQ.nonEmpty)
+    // unlimited gaps (ES default) admits the loose chain
+    val loose = SegmentedIndex.intervalsQuery(spark, root,
+      IAllOf(Seq(IMatch(Seq("spark")), IMatch(Seq("extra")))), 10)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(loose == Seq((1L, 1L, 5L)))
+  }
+
+  test("bucketScriptFacet: one pass buckets + metrics, the script " +
+    "projects over them") {
+    val root = Files.createTempDirectory("graft-bs").toString
+    SegmentedIndex.append(spark, root, Seq(
+      (1L, "spark a", 120L), (2L, "spark b", 180L),
+      (3L, "spark c", 250L), (4L, "other", 999L))
+      .toDF("doc_id", "text", "n_chars"), "a", nBuckets = 4)
+    val out = SegmentedIndex.bucketScriptFacet(spark, root,
+      Seq("spark"), "n_chars", interval = 100L,
+      metrics = Seq("sum_nc" -> "n_chars"),
+      script = "sum_nc / doc_count")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq((100L, 2L, 300L, 150.0), (200L, 1L, 250L, 250.0)))
+  }
+
+  test("hasChildSearch / hasParentSearch: join-field relations, " +
+    "live on both sides, max and parent-score modes") {
+    val root = Files.createTempDirectory("graft-pc").toString
+    val pc = Seq(
+      (10L, "topic spark", "question", Option.empty[Long]),
+      (11L, "vector answer", "answer", Some(10L)),
+      (12L, "vector vector deep", "answer", Some(10L)),
+      (20L, "spark stream", "question", Option.empty[Long]),
+      (21L, "vector plain", "answer", Some(20L)))
+      .toDF("doc_id", "text", "join_name", "parent_id")
+    SegmentedIndex.append(spark, root, pc, "a", nBuckets = 4)
+    SegmentedIndex.delete(spark, root, Seq(20L).toDF("doc_id"), "d1")
+    // N=5; df(vector)=3, df(spark)=2 (stats include the tombstone)
+    val wv = 5.0 / 3
+    val hc = SegmentedIndex.hasChildSearch(spark, root, Seq("vector"),
+      "answer", "question", "max", 10)
+      .as[(Long, Double, Long)].collect().toSeq
+    // parent 20 is dead (child 21's match must not resurrect it);
+    // parent 10's best child is 12 (tf 2)
+    assert(hc == Seq((10L, 2 * wv, 2L)))
+    val hcNone = SegmentedIndex.hasChildSearch(spark, root,
+      Seq("vector"), "answer", "question", "none", 10)
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(hcNone == Seq((10L, 0.0, 2L)))
+    val hp = SegmentedIndex.hasParentSearch(spark, root, Seq("spark"),
+      "question", "answer", withScore = true, 10)
+      .as[(Long, Double)].collect().toSeq
+    // only live parent 10 matches; both its children get its score
+    assert(hp == Seq((11L, 5.0 / 2), (12L, 5.0 / 2)))
+    intercept[IllegalArgumentException] {
+      SegmentedIndex.hasChildSearch(spark, root, Seq("vector"),
+        "answer", "question", "avg", 10)
+    }
+  }
+
+  test("decayScoreSearch kernels: gauss/exp reach `decay` at scale " +
+    "distance (ES's parameterization), squared vs linear exponent " +
+    "beyond it; unknown kernel refused") {
+    val root = Files.createTempDirectory("graft-decay").toString
+    SegmentedIndex.append(spark, root, Seq(
+      (1L, "spark", 300L), (2L, "spark", 400L), (3L, "spark", 100L))
+      .toDF("doc_id", "text", "n_chars"), "a", nBuckets = 4)
+    def mults(kernel: String): Map[Long, Double] =
+      SegmentedIndex.decayScoreSearch(spark, root, Seq("spark"),
+        "n_chars", origin = 300L, scale = 100L, k = 10,
+        decay = 0.5, kernel = kernel)
+        .select("doc_id", "decay_mult")
+        .as[(Long, Double)].collect().toMap
+    def near(a: Double, b: Double) = math.abs(a - b) <= 1e-12
+    val g = mults("gauss")
+    // d=0 -> 1; d=scale -> decay; d=2·scale -> decay^4
+    assert(near(g(1L), 1.0) && near(g(2L), 0.5) &&
+      near(g(3L), 0.0625), g)
+    val e = mults("exp")
+    // d=0 -> 1; d=scale -> decay; d=2·scale -> decay^2
+    assert(near(e(1L), 1.0) && near(e(2L), 0.5) &&
+      near(e(3L), 0.25), e)
+    val l = mults("linear")
+    assert(l(1L) == 1.0 && l(2L) == 0.5 && l(3L) == 0.0, l)
+    intercept[IllegalArgumentException] {
+      SegmentedIndex.decayScoreSearch(spark, root, Seq("spark"),
+        "n_chars", 300L, 100L, 10, 0.5, "sigmoid")
+    }
+  }
+
   test("randomScoreSearch: ids beyond 2^31 reduce before the " +
     "multiply — scores stay in [0, 1) and match the modular hash") {
     val root = freshIndex()

@@ -64,6 +64,28 @@ class TimeOpsSpec extends SparkSpec {
       ("empty", 0L)))
   }
 
+  test("autoDateHistogram picks the finest ladder unit fitting the " +
+    "target, reports it, and gap-fills under it") {
+    // evts span ~3.2 months: week estimates 13 buckets, month 3
+    val m = TimeOps.autoDateHistogram(evts, "t", targetBuckets = 5)
+      .select("bucket", "doc_count", "auto_interval")
+      .as[(Timestamp, Long, String)].collect().toSeq
+    assert(m.forall(_._3 == "month"))
+    assert(m.map(r => (r._1, r._2)) == Seq(
+      (ts("2024-01-01 00:00:00"), 2L), (ts("2024-02-01 00:00:00"), 0L),
+      (ts("2024-03-01 00:00:00"), 0L), (ts("2024-04-01 00:00:00"), 2L)))
+    // a larger budget zooms in: the ~101-day span estimates 102
+    // day buckets, within 200
+    val d = TimeOps.autoDateHistogram(evts, "t", targetBuckets = 200)
+      .select("auto_interval").distinct().as[String].collect().toSeq
+    assert(d == Seq("day"))
+    // empty source: zero rows, schema intact
+    val e = TimeOps.autoDateHistogram(
+      evts.filter("id < 0"), "t", 10)
+    assert(e.collect().isEmpty &&
+      e.columns.toSeq == Seq("bucket", "doc_count", "auto_interval"))
+  }
+
   test("dateRange: an unparseable boundary errors loudly instead of " +
     "reading as an empty range; bare dates parse as midnight") {
     val e = intercept[IllegalArgumentException] {
