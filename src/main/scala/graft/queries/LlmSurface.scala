@@ -1291,6 +1291,26 @@ object LlmSurface {
         windowSize = 50, k = 20)
     }),
 
+    // --- HYBRID text ⊕ vector search (ES's flagship 8.x pattern:
+    //     BM25 retriever + knn retriever fused by RRF): the seg
+    //     index's relevance top-50 and the EXACT filtered kNN of
+    //     vec 3 (candidates pre-filtered to the live doc set — the
+    //     ES knn `filter` / faiss IDSelector shape) fuse rank-only
+    //     (Similarity.filteredTopK + SegmentedIndex.rrfFusion) ---
+    "q301_hybrid_knn_rrf" -> ((s, d) => {
+      val root = segIndexDir(s, d)
+      val rel = SegmentedIndex.search(s, root,
+        Seq("spark", "join"), 50)
+      val knn = Similarity.filteredTopK(
+        emb(s, d).filter(col("vec_id") < 150), "vec_id = 3",
+        "vec_id % 37 <> 5", 50)
+        .select(col("neighbor_id").as("doc_id"),
+          col("cos").as("score"))
+      SegmentedIndex.rrfFusion(s,
+        Seq("bm25" -> rel, "knn" -> knn),
+        rankConstant = 60, windowSize = 50, k = 20)
+    }),
+
     // --- plain sampler agg (ES's scoped sampling — the expensive
     //     sub-agg over a bounded sample): first 20 hit docs by
     //     pinned id order, source terms agg over them
@@ -6161,6 +6181,34 @@ object LlmSurface {
         |  AS n_retrievers_hit
         |FROM na FULL OUTER JOIN nb ON na.doc_id = nb.doc_id
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin),
+
+    // q301: hybrid BM25 ⊕ kNN replayed — the bm25 rank window from
+    // the shared fusion CTEs, the knn side as the exact filtered
+    // cosine top-50 (query vec 3, live candidates), RRF terms
+    "q301_hybrid_knn_rrf" -> (fusionOracleCtes +
+      s""",
+         | $dkNormed,
+         | knn AS (SELECT * FROM (
+         |   SELECT c.vec_id AS doc_id,
+         |    ${dkDot("q.v", "c.v")} / (q.nrm * c.nrm) AS score
+         |   FROM normed q JOIN normed c
+         |    ON q.vec_id = 3 AND c.vec_id <> 3
+         |   WHERE c.vec_id < 150 AND c.vec_id % 37 <> 5)
+         |  ),
+         | rk AS (SELECT * FROM (SELECT doc_id, score,
+         |   row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+         |  FROM knn) WHERE rn <= 50)
+         |SELECT coalesce(ra.doc_id, rk.doc_id) AS doc_id,
+         | (CASE WHEN ra.rn IS NOT NULL
+         |   THEN 1.0 / (60.0 + ra.rn::DOUBLE) ELSE 0.0::DOUBLE END) +
+         | (CASE WHEN rk.rn IS NOT NULL
+         |   THEN 1.0 / (60.0 + rk.rn::DOUBLE) ELSE 0.0::DOUBLE END)
+         |  AS score,
+         | ((CASE WHEN ra.rn IS NOT NULL THEN 1 ELSE 0 END) +
+         |  (CASE WHEN rk.rn IS NOT NULL THEN 1 ELSE 0 END))::BIGINT
+         |  AS n_retrievers_hit
+         |FROM ra FULL OUTER JOIN rk ON ra.doc_id = rk.doc_id
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin),
 
     // q300: sampler replayed — the pinned id-order sample bounds
     // the sub-agg's input
