@@ -541,7 +541,21 @@ object Explain {
         "moment; the covariance/correlation matrix unpivots from that " +
         "single broadcast row — no second scan, no per-pair rescan, " +
         "and the 128-bit sums make the doubles bit-stable at any " +
-        "partitioning."))
+        "partitioning."),
+    "q281_multi_match_best" ->
+      ("multi_match best_fields (r16): each field's postings family " +
+        "reads with its own planning-time `tb IN` PartitionFilters " +
+        "(per-field pruned term reads), the per-field score frames " +
+        "meet in ONE full-outer id join, and the dis_max combinator " +
+        "is codegen'd column arithmetic — no corpus scan, no " +
+        "cross-field shuffle beyond the id join."),
+    "q298_rrf" ->
+      ("Reciprocal Rank Fusion (r16): each retriever's window is a " +
+        "`TakeOrderedAndProject` (top-50, never a global sort), the " +
+        "rank assignment's unpartitioned window runs over the " +
+        "50-row-bounded frame, and the fusion is a full-outer join " +
+        "of two 50-row frames — the hybrid-search plan stays " +
+        "window-sized at ANY corpus scale."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
