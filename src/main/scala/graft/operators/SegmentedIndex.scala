@@ -2301,6 +2301,120 @@ object SegmentedIndex {
       .limit(k)
   }
 
+  /** `t_test` — ES's two-sample statistical agg (heteroscedastic /
+    * Welch's, ES's default): are two groups' field means different?
+    * The groups split on a stored partition field (ES takes two
+    * filters; a field split is the common case and keeps ONE
+    * aggregation pass). Moments accumulate EXACTLY (the
+    * [[StatsOps.matrixStats]] DECIMAL(38,0) discipline — the oracle
+    * mirrors in HUGEINT), then the statistic derives in one
+    * fixed-order double pipeline:
+    *
+    *   t = (m₁ − m₂) / sqrt(s₁²/n₁ + s₂²/n₂)
+    *
+    * (sample variances; sqrt is IEEE-exact-rounded — deterministic,
+    * hash-oracle surface). The p-value is NOT computed: Student's
+    * CDF needs incomplete-beta libm series — ES reports p, this
+    * engine reports the exact statistic and leaves the lookup to
+    * the caller (stated). Output: (n_a, n_b, mean_a, mean_b,
+    * t_stat), 1 row; fewer than 2 values on either side yields a
+    * null t_stat (variance undefined — ES errors, a null keeps the
+    * panel shape). */
+  def tTestFacet(spark: SparkSession, rootDir: String,
+                 terms: Seq[String], field: String,
+                 groupField: String, groupA: String, groupB: String)
+      : DataFrame = {
+    require(groupA != groupB, "t_test needs two distinct groups")
+    val dec = "decimal(38,0)"
+    val rows = hitFields(spark, rootDir, terms,
+      Seq(field -> "v", groupField -> "g"),
+      requireNonNull = Seq("v", "g"))
+      .filter(col("g").isin(groupA, groupB))
+    def side(tag: String, grp: String) = Seq(
+      sum(when(col("g") === grp, 1L).otherwise(0L)).as(s"n_$tag"),
+      sum(when(col("g") === grp, col("v").cast(dec))
+        .otherwise(lit(0).cast(dec))).as(s"s1_$tag"),
+      sum(when(col("g") === grp,
+        (col("v") * col("v")).cast(dec))
+        .otherwise(lit(0).cast(dec))).as(s"s2_$tag"))
+    val aggs = side("a", groupA) ++ side("b", groupB)
+    val r = rows.agg(aggs.head, aggs.tail: _*)
+    def mean(t: String): org.apache.spark.sql.Column =
+      col(s"s1_$t").cast("double") / col(s"n_$t").cast("double")
+    // sample variance from exact central term:
+    // (n·Σx² − (Σx)²) / (n(n−1))
+    def variance(t: String): org.apache.spark.sql.Column =
+      (col(s"n_$t").cast(dec) * col(s"s2_$t") -
+        col(s"s1_$t") * col(s"s1_$t")).cast("double") /
+        (col(s"n_$t") * (col(s"n_$t") - lit(1L))).cast("double")
+    r.select(
+      col("n_a"), col("n_b"),
+      mean("a").as("mean_a"), mean("b").as("mean_b"),
+      when(col("n_a") >= 2 && col("n_b") >= 2,
+        (mean("a") - mean("b")) /
+          sqrt(variance("a") / col("n_a").cast("double") +
+            variance("b") / col("n_b").cast("double")))
+        .otherwise(lit(null).cast("double")).as("t_stat"))
+  }
+
+  /** `boxplot` — ES's five-number summary agg (whisker plots over a
+    * numeric field): min, q1, median, q3, max of the live hit set's
+    * values. ES computes the quartiles on TDigest (approximate); a
+    * shuffle engine computes EXACT interpolated percentiles —
+    * matching the oracle's `quantile_cont` — in one aggregation
+    * pass. Output: (n_docs, vmin, q1, q2, q3, vmax), 1 row. */
+  def boxplotFacet(spark: SparkSession, rootDir: String,
+                   terms: Seq[String], field: String): DataFrame =
+    hitFieldValues(spark, rootDir, terms, field)
+      .agg(count(lit(1)).as("n_docs"),
+        min("value").cast("double").as("vmin"),
+        expr("percentile(value, 0.25D)").as("q1"),
+        expr("percentile(value, 0.5D)").as("q2"),
+        expr("percentile(value, 0.75D)").as("q3"),
+        max("value").cast("double").as("vmax"))
+
+  /** `string_stats` — ES's string-field profile (count, length
+    * min/max/avg): one pass over the live hit set's column-pruned
+    * values. The Shannon-entropy column ES appends is NOT computed
+    * — it sums MANY libm log2 terms over a data-dependent character
+    * distribution, so the q284 boundary-exclusion band trick cannot
+    * apply and no hash-exact oracle exists; stated rather than
+    * approximated quietly. avg_length is one exact-sum division
+    * (ES's own arithmetic). Output: (n_docs, min_length,
+    * max_length, avg_length), 1 row. */
+  def stringStatsFacet(spark: SparkSession, rootDir: String,
+                       terms: Seq[String], field: String): DataFrame =
+    hitFieldValues(spark, rootDir, terms, field)
+      .withColumn("len", length(col("value").cast("string"))
+        .cast("long"))
+      .agg(count(lit(1)).as("n_docs"),
+        min("len").as("min_length"), max("len").as("max_length"),
+        (sum("len").cast("double") / count(lit(1)).cast("double"))
+          .as("avg_length"))
+
+  /** RUNTIME FIELD + terms agg — ES's runtime mappings (a field
+    * DEFINED at query time by a script over stored fields, then
+    * aggregated like any mapped field): the definition is a SQL
+    * expression over the requested stored columns, compiled by
+    * Catalyst into the same codegen'd stage as the aggregation —
+    * the schema-on-read posture without a reindex, and none of
+    * painless's per-doc interpretation. One column-pruned stored
+    * read. Output: (value, doc_count), (count desc, value) order,
+    * top kBuckets. */
+  def runtimeFieldFacet(spark: SparkSession, rootDir: String,
+                        terms: Seq[String], fields: Seq[String],
+                        defExpr: String, kBuckets: Int): DataFrame = {
+    require(fields.nonEmpty, "runtime field needs source fields")
+    hitFields(spark, rootDir, terms, fields.map(f => f -> f),
+      requireNonNull = Seq.empty)
+      .withColumn("value", expr(defExpr))
+      .filter(col("value").isNotNull)
+      .groupBy("value")
+      .agg(count(lit(1)).as("doc_count"))
+      .orderBy(desc("doc_count"), asc("value"))
+      .limit(kBuckets)
+  }
+
   /** Reciprocal Rank Fusion — ES's `rrf` retriever (8.14+), the
     * hybrid-search combinator (BM25 ⊕ kNN ⊕ anything): each
     * retriever contributes 1/(rank_constant + rank) for every doc

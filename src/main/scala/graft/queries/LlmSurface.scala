@@ -1291,6 +1291,42 @@ object LlmSurface {
         windowSize = 50, k = 20)
     }),
 
+    // --- t_test agg (ES's Welch's two-sample statistic): en vs de
+    //     n_chars means — exact decimal moments, one fixed-order
+    //     double pipeline; p-value stated out (incomplete-beta libm)
+    //     (SegmentedIndex.tTestFacet) ---
+    "q302_t_test" -> ((s, d) =>
+      // probe-only against the STAGED index (segIndexDir)
+      SegmentedIndex.tTestFacet(s, segIndexDir(s, d), searchTerms,
+        "n_chars", "lang", "en", "de")),
+
+    // --- boxplot agg (ES's five-number summary — TDigest there,
+    //     EXACT interpolated percentiles here)
+    //     (SegmentedIndex.boxplotFacet) ---
+    "q303_boxplot" -> ((s, d) =>
+      // probe-only against the STAGED index (segIndexDir)
+      SegmentedIndex.boxplotFacet(s, segIndexDir(s, d), searchTerms,
+        "n_chars")),
+
+    // --- string_stats agg (length profile of a string field;
+    //     ES's entropy column stated out — many-term libm log2 has
+    //     no hash-exact oracle) (SegmentedIndex.stringStatsFacet) ---
+    "q304_string_stats" -> ((s, d) =>
+      // probe-only against the STAGED index (segIndexDir)
+      SegmentedIndex.stringStatsFacet(s, segIndexDir(s, d),
+        searchTerms, "source")),
+
+    // --- runtime field + terms agg (ES runtime mappings — a field
+    //     defined at query time by an expression over stored
+    //     columns, Catalyst-compiled): lang × length-class buckets
+    //     (SegmentedIndex.runtimeFieldFacet) ---
+    "q305_runtime_field" -> ((s, d) =>
+      // probe-only against the STAGED index (segIndexDir)
+      SegmentedIndex.runtimeFieldFacet(s, segIndexDir(s, d),
+        searchTerms, Seq("lang", "n_chars"),
+        "concat(lang, '/', CASE WHEN n_chars > 250 THEN 'long' " +
+          "ELSE 'short' END)", kBuckets = 12)),
+
     // --- HYBRID text ⊕ vector search (ES's flagship 8.x pattern:
     //     BM25 retriever + knn retriever fused by RRF): the seg
     //     index's relevance top-50 and the EXACT filtered kNN of
@@ -6181,6 +6217,97 @@ object LlmSurface {
         |  AS n_retrievers_hit
         |FROM na FULL OUTER JOIN nb ON na.doc_id = nb.doc_id
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin),
+
+    // q302: t_test replayed — HUGEINT moments mirror the decimal
+    // accumulators, the same Welch pipeline in the same op order
+    "q302_t_test" ->
+      """WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+        | p AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |       FROM d),
+        | hits AS (SELECT DISTINCT doc_id FROM p
+        |  WHERE term IN ('spark', 'join', 'vector')
+        |   AND doc_id % 37 <> 5),
+        | j AS (SELECT d.n_chars AS v, d.lang AS g FROM d
+        |  JOIN hits USING (doc_id)
+        |  WHERE d.n_chars IS NOT NULL AND d.lang IS NOT NULL
+        |   AND d.lang IN ('en', 'de')),
+        | s AS (SELECT
+        |   CAST(sum(CASE WHEN g = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_a,
+        |   CAST(sum(CASE WHEN g = 'en' THEN v ELSE 0 END) AS HUGEINT)
+        |    AS s1a,
+        |   CAST(sum(CASE WHEN g = 'en' THEN v * v ELSE 0 END)
+        |    AS HUGEINT) AS s2a,
+        |   CAST(sum(CASE WHEN g = 'de' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_b,
+        |   CAST(sum(CASE WHEN g = 'de' THEN v ELSE 0 END) AS HUGEINT)
+        |    AS s1b,
+        |   CAST(sum(CASE WHEN g = 'de' THEN v * v ELSE 0 END)
+        |    AS HUGEINT) AS s2b
+        |  FROM j)
+        |SELECT n_a, n_b,
+        | s1a::DOUBLE / n_a::DOUBLE AS mean_a,
+        | s1b::DOUBLE / n_b::DOUBLE AS mean_b,
+        | CASE WHEN n_a >= 2 AND n_b >= 2 THEN
+        |  (s1a::DOUBLE / n_a::DOUBLE - s1b::DOUBLE / n_b::DOUBLE) /
+        |  sqrt(((n_a::HUGEINT * s2a - s1a * s1a)::DOUBLE /
+        |     (n_a * (n_a - 1))::DOUBLE) / n_a::DOUBLE +
+        |   ((n_b::HUGEINT * s2b - s1b * s1b)::DOUBLE /
+        |     (n_b * (n_b - 1))::DOUBLE) / n_b::DOUBLE)
+        | ELSE NULL END AS t_stat
+        |FROM s""".stripMargin,
+
+    // q303: boxplot replayed — quantile_cont at the quartiles is
+    // the same interpolated percentile as Spark's exact one
+    "q303_boxplot" ->
+      """WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+        | p AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |       FROM d),
+        | hits AS (SELECT DISTINCT doc_id FROM p
+        |  WHERE term IN ('spark', 'join', 'vector')
+        |   AND doc_id % 37 <> 5),
+        | v AS (SELECT d.n_chars AS value FROM d
+        |  JOIN hits USING (doc_id) WHERE d.n_chars IS NOT NULL)
+        |SELECT count(*)::BIGINT AS n_docs,
+        | min(value)::DOUBLE AS vmin,
+        | quantile_cont(value, 0.25) AS q1,
+        | quantile_cont(value, 0.5) AS q2,
+        | quantile_cont(value, 0.75) AS q3,
+        | max(value)::DOUBLE AS vmax
+        |FROM v""".stripMargin,
+
+    // q304: string_stats replayed — exact length profile
+    "q304_string_stats" ->
+      """WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+        | p AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |       FROM d),
+        | hits AS (SELECT DISTINCT doc_id FROM p
+        |  WHERE term IN ('spark', 'join', 'vector')
+        |   AND doc_id % 37 <> 5),
+        | v AS (SELECT length(d.source)::BIGINT AS len FROM d
+        |  JOIN hits USING (doc_id) WHERE d.source IS NOT NULL)
+        |SELECT count(*)::BIGINT AS n_docs,
+        | min(len) AS min_length, max(len) AS max_length,
+        | sum(len)::DOUBLE / count(*)::DOUBLE AS avg_length
+        |FROM v""".stripMargin,
+
+    // q305: runtime field replayed — the same expression as SQL
+    // over the hit docs' stored columns
+    "q305_runtime_field" ->
+      """WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+        | p AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |       FROM d),
+        | hits AS (SELECT DISTINCT doc_id FROM p
+        |  WHERE term IN ('spark', 'join', 'vector')
+        |   AND doc_id % 37 <> 5),
+        | j AS (SELECT concat(d.lang, '/',
+        |   CASE WHEN d.n_chars > 250 THEN 'long' ELSE 'short' END)
+        |   AS value
+        |  FROM d JOIN hits USING (doc_id))
+        |SELECT value, count(*)::BIGINT AS doc_count
+        |FROM j WHERE value IS NOT NULL
+        |GROUP BY value ORDER BY doc_count DESC, value
+        |LIMIT 12""".stripMargin,
 
     // q301: hybrid BM25 ⊕ kNN replayed — the bm25 rank window from
     // the shared fusion CTEs, the knn side as the exact filtered

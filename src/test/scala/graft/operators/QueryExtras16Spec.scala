@@ -145,6 +145,61 @@ class QueryExtras16Spec extends SparkSpec {
       (400L, 1L, 3L)))
   }
 
+  test("tTestFacet: Welch statistic from exact moments; degenerate " +
+    "group yields null") {
+    val root = Files.createTempDirectory("graft-tt").toString
+    SegmentedIndex.append(spark, root, Seq(
+      (1L, "spark", "en", 100L), (2L, "spark", "en", 200L),
+      (3L, "spark", "de", 300L), (4L, "spark", "de", 400L),
+      (5L, "spark", "de", 500L), (6L, "spark", "fr", 999L))
+      .toDF("doc_id", "text", "lang", "n_chars"), "a", nBuckets = 4)
+    val out = SegmentedIndex.tTestFacet(spark, root, Seq("spark"),
+      "n_chars", "lang", "en", "de")
+      .as[(Long, Long, Double, Double, Double)].collect().head
+    // en: n 2, mean 150, var 5000; de: n 3, mean 400, var 10000
+    val expected = (150.0 - 400.0) /
+      math.sqrt(5000.0 / 2.0 + 10000.0 / 3.0)
+    assert(out == ((2L, 3L, 150.0, 400.0, expected)))
+    // fr has one value: variance undefined -> null statistic
+    val degen = SegmentedIndex.tTestFacet(spark, root, Seq("spark"),
+      "n_chars", "lang", "en", "fr").select("t_stat")
+      .as[Option[Double]].collect().head
+    assert(degen.isEmpty)
+  }
+
+  test("boxplotFacet: exact interpolated five-number summary") {
+    val root = freshIndex()
+    val out = SegmentedIndex.boxplotFacet(spark, root,
+      Seq("spark", "join", "vector", "customer"), "n_chars")
+      .as[(Long, Double, Double, Double, Double, Double)]
+      .collect().head
+    // values 100,120,180,250,400: quartile indexes land exactly
+    assert(out == ((5L, 100.0, 120.0, 180.0, 250.0, 400.0)))
+  }
+
+  test("stringStatsFacet: exact length profile") {
+    val root = freshIndex()
+    val out = SegmentedIndex.stringStatsFacet(spark, root,
+      Seq("spark", "join", "vector", "customer"), "source")
+      .as[(Long, Long, Long, Double)].collect().head
+    // web(3) book(4) web(3) web(3) wiki(4): avg 17/5
+    assert(out == ((5L, 3L, 4L, 17.0 / 5.0)))
+  }
+
+  test("runtimeFieldFacet: the query-time expression buckets like a " +
+    "mapped field") {
+    val root = freshIndex()
+    val out = SegmentedIndex.runtimeFieldFacet(spark, root,
+      Seq("spark", "join", "vector", "customer"),
+      Seq("lang", "n_chars"),
+      "concat(lang, '/', CASE WHEN n_chars > 150 THEN 'long' " +
+        "ELSE 'short' END)", 10)
+      .as[(String, Long)].collect().toSeq
+    // docs: 1 en/100, 2 en/250, 3 de/180, 4 en/120, 5 fr/400
+    assert(out == Seq(("en/short", 2L), ("de/long", 1L),
+      ("en/long", 1L), ("fr/long", 1L)))
+  }
+
   test("rrfFusion: rank-only fusion, 1/(c+rank) per retriever, " +
     "missing docs contribute zero") {
     val a = Seq((1L, 10.0), (2L, 5.0)).toDF("doc_id", "score")
