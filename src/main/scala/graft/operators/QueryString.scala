@@ -65,6 +65,9 @@ object QueryString {
       text: String, boost: Double) extends Node
   private[graft] case class PhraseNode(field: Option[String],
       words: Seq[String], boost: Double) extends Node
+  private[graft] case class RangeNode(field: String, lo: Long,
+      hi: Long) extends Node
+  private[graft] case class ExistsNode(field: String) extends Node
   private[graft] case class AndNode(kids: Seq[Node]) extends Node
   private[graft] case class OrNode(kids: Seq[Node]) extends Node
   private[graft] case class NotNode(kid: Node) extends Node
@@ -113,7 +116,24 @@ object QueryString {
             .map { m => i += m.matched.length; m.group(1) }
           if (i >= n || q(i).isWhitespace || "()".contains(q(i)))
             fail(s"field prefix without a clause at offset $i")
-          if (q(i) == '"') {
+          if (q(i) == '[') {
+            // inclusive numeric range: field:[lo TO hi] (Lucene's
+            // classic range clause; long-typed — string ranges are
+            // not part of this contract, stated)
+            val f = field.getOrElse(
+              fail(s"range clause without a field at offset $i"))
+            val close = q.indexOf(']', i)
+            if (close < 0) fail(s"unclosed range at offset $i")
+            val body = q.substring(i + 1, close).split(" TO ")
+            if (body.length != 2)
+              fail(s"malformed range at offset $i (use [lo TO hi])")
+            val (lo, hi) =
+              try (body(0).trim.toLong, body(1).trim.toLong)
+              catch { case _: NumberFormatException =>
+                fail(s"non-numeric range bound at offset $i") }
+            toks += Leaf(RangeNode(f, lo, hi))
+            i = close + 1
+          } else if (q(i) == '"') {
             val close = q.indexOf('"', i + 1)
             if (close < 0) fail(s"unclosed phrase at offset $i")
             val words = q.substring(i + 1, close)
@@ -134,6 +154,11 @@ object QueryString {
               case "AND" if field.isEmpty && b == 1.0 => toks += AndT
               case "OR" if field.isEmpty && b == 1.0  => toks += OrT
               case "NOT" if field.isEmpty && b == 1.0 => toks += NotT
+              case w if field.contains("_exists_") =>
+                // Lucene's _exists_:field (filter context — a boost
+                // on a constant filter is meaningless and rejected)
+                if (b != 1.0) fail(s"boost on _exists_ at offset $start")
+                toks += Leaf(ExistsNode(w))
               case w => toks += Leaf(TermNode(field, w, b))
             }
           }
@@ -199,6 +224,7 @@ object QueryString {
   private case class AndR(kids: Seq[RNode]) extends RNode
   private case class OrR(kids: Seq[RNode]) extends RNode
   private case class NotR(kid: RNode) extends RNode
+  private case class FilterR(fid: Int) extends RNode
 
   /** Execute `query` against the per-field postings families in
     * `fields` (field name → family root — [[SegmentedIndex
@@ -254,6 +280,13 @@ object QueryString {
       pairIds.getOrElseUpdate((f, t), pairIds.size)
     def phraseId(f: String, w: Seq[String]): Int =
       phraseIds.getOrElseUpdate((f, w), phraseIds.size)
+    // filter leaves (range / exists) address STORED columns of the
+    // DEFAULT field's family (the shared doc-id space's doc-values
+    // store) — one column-pruned stored read per distinct leaf
+    val filterIds = scala.collection.mutable
+      .LinkedHashMap.empty[(String, String, Long, Long), Int]
+    def filterId(kind: String, f: String, lo: Long, hi: Long): Int =
+      filterIds.getOrElseUpdate((kind, f, lo, hi), filterIds.size)
     def resolve(n: Node): Option[RNode] = n match {
       case TermNode(f, t, b) =>
         val fn = fieldName(f)
@@ -277,6 +310,10 @@ object QueryString {
         if (rs.isEmpty) None
         else if (rs.size == 1) Some(rs.head)
         else Some(OrR(rs))
+      case RangeNode(f, lo, hi) =>
+        Some(FilterR(filterId("range", f, lo, hi)))
+      case ExistsNode(f) =>
+        Some(FilterR(filterId("exists", f, 0L, 0L)))
       case NotNode(kd) => resolve(kd).map(NotR)
     }
     val rootR = resolve(ast) match {
@@ -325,6 +362,27 @@ object QueryString {
         .select("doc_id").distinct()
         .withColumn(s"mp_$q", lit(true))
     }
+    // filter-leaf frames off the default family's live stored rows
+    // (built once, shared across leaves — the doc-values read)
+    lazy val defaultLiveStored: DataFrame = {
+      val root = new java.io.File(rootOf(defaultField))
+      val (_, segs, _) = SegmentedIndex.readManifest(root)
+      val stored = SegmentedIndex.storedFrame(spark, root, segs)
+      SegmentedIndex.tombstones(spark, root, segs) match {
+        case Some(dead) =>
+          stored.join(dead, Seq("doc_id", "seg"), "left_anti")
+        case None => stored
+      }
+    }
+    val filterFrames = filterIds.toSeq.map {
+      case ((kind, f, lo, hi), fid) =>
+        val cond = kind match {
+          case "range" => col(f).between(lit(lo), lit(hi))
+          case _       => col(f).isNotNull
+        }
+        defaultLiveStored.filter(cond).select("doc_id").distinct()
+          .withColumn(s"mf_$fid", lit(true))
+    }
 
     // the candidate base: without negation, every matching doc
     // matches >= 1 leaf, so the union of leaf doc sets suffices;
@@ -337,7 +395,7 @@ object QueryString {
       case OrR(ks)   => ks.exists(hasNot)
       case _         => false
     }
-    val leafDocIds = (pairFrames ++ phraseFrames)
+    val leafDocIds = (pairFrames ++ phraseFrames ++ filterFrames)
       .map(_.select("doc_id"))
     val base: DataFrame =
       if (hasNot(rootR)) {
@@ -355,7 +413,7 @@ object QueryString {
           .toDF("doc_id", "score", "n_terms_hit")
       else leafDocIds.reduce(_ unionByName _).distinct()
 
-    val matrix = (pairFrames ++ phraseFrames)
+    val matrix = (pairFrames ++ phraseFrames ++ filterFrames)
       .foldLeft(base)((acc, lf) => acc.join(lf, Seq("doc_id"), "left"))
 
     // the tree folds over the matrix columns — matched and score per
@@ -377,6 +435,10 @@ object QueryString {
       case NotR(kd) =>
         val (m, _) = comp(kd)
         (!m, lit(0.0d))
+      case FilterR(fid) =>
+        // filter context: gates candidacy, scores zero (the pinned
+        // phrase posture applied to range/exists)
+        (coalesce(col(s"mf_$fid"), lit(false)), lit(0.0d))
     }
     val (rootM, rootS) = comp(rootR)
 

@@ -2996,7 +2996,15 @@ object SegmentedIndex {
     * (stated — [[spanNearSearch]](inOrder=false) covers the
     * two-term case). */
   sealed trait IntervalsNode
-  case class IMatch(terms: Seq[String], maxGaps: Int = -1)
+  /** `ordered: false` is ES's intervals-match DEFAULT (any term
+    * order, the minimal window containing one occurrence of each
+    * term): evaluated as the per-term occurrence product with
+    * least/greatest window bounds — terms must analyze DISTINCT
+    * (`require`d; Lucene's duplicate-term unordered semantics need
+    * occurrence-disjointness bookkeeping this engine states out).
+    * `ordered: true` is the q280 chain. */
+  case class IMatch(terms: Seq[String], maxGaps: Int = -1,
+                    ordered: Boolean = true)
     extends IntervalsNode
   case class IAnyOf(kids: Seq[IntervalsNode]) extends IntervalsNode
   case class IAllOf(kids: Seq[IntervalsNode], maxGaps: Int = -1)
@@ -3034,7 +3042,7 @@ object SegmentedIndex {
                      node: IntervalsNode, k: Int = 10): DataFrame = {
     val root = new java.io.File(rootDir)
     def rawTerms(n: IntervalsNode): Seq[String] = n match {
-      case IMatch(ts, _)       => ts
+      case IMatch(ts, _, _)    => ts
       case IAnyOf(ks)          => ks.flatMap(rawTerms)
       case IAllOf(ks, _)       => ks.flatMap(rawTerms)
       case IFiltered(s, _, by) => rawTerms(s) ++ rawTerms(by)
@@ -3060,22 +3068,48 @@ object SegmentedIndex {
         .select(col("doc_id").as(idAs),
           explode(col("positions")).as(as))
     def eval(n: IntervalsNode): DataFrame = n match {
-      case IMatch(ts, mg) =>
+      case IMatch(ts, mg, ordered) =>
         require(ts.nonEmpty, "intervals match needs terms")
         val u = fresh()
         val names = ts.indices.map(i => s"q${u}_$i")
-        val chained = ts.zipWithIndex.drop(1).foldLeft(
-          side(ts.head, names.head, "doc_id")) { case (acc, (t, i)) =>
-            acc.join(side(t, names(i), s"qd${u}_$i"),
-                col("doc_id") === col(s"qd${u}_$i") &&
-                  col(names(i)) > col(names(i - 1)))
-              .drop(s"qd${u}_$i")
-          }
-        val g = col(names.last) - col(names.head) -
-          lit((ts.size - 1).toLong)
-        (if (mg < 0) chained else chained.filter(g <= lit(mg.toLong)))
-          .select(col("doc_id"), col(names.head).as("istart"),
-            col(names.last).as("iend"))
+        if (ordered) {
+          val chained = ts.zipWithIndex.drop(1).foldLeft(
+            side(ts.head, names.head, "doc_id")) { case (acc, (t, i)) =>
+              acc.join(side(t, names(i), s"qd${u}_$i"),
+                  col("doc_id") === col(s"qd${u}_$i") &&
+                    col(names(i)) > col(names(i - 1)))
+                .drop(s"qd${u}_$i")
+            }
+          val g = col(names.last) - col(names.head) -
+            lit((ts.size - 1).toLong)
+          (if (mg < 0) chained else chained.filter(g <= lit(mg.toLong)))
+            .select(col("doc_id"), col(names.head).as("istart"),
+              col(names.last).as("iend"))
+        } else {
+          // UNORDERED (ES's match default): one occurrence per term
+          // in any order — the per-term occurrence product joined on
+          // the doc alone, window = [least, greatest]. Distinct
+          // analyzed terms required (one position holds one term, so
+          // the window covers ts.size distinct source positions).
+          require(ts.map(qs(_).head).distinct.size == ts.size,
+            "unordered intervals match needs distinct terms: " +
+              ts.mkString(", "))
+          val joined = ts.zipWithIndex.drop(1).foldLeft(
+            side(ts.head, names.head, "doc_id")) { case (acc, (t, i)) =>
+              acc.join(side(t, names(i), s"qd${u}_$i"),
+                  col("doc_id") === col(s"qd${u}_$i"))
+                .drop(s"qd${u}_$i")
+            }
+          val cols = names.map(col)
+          val start =
+            if (cols.size == 1) cols.head else least(cols: _*)
+          val end =
+            if (cols.size == 1) cols.head else greatest(cols: _*)
+          val g = (end - start + lit(1L)) - lit(ts.size.toLong)
+          (if (mg < 0) joined else joined.filter(g <= lit(mg.toLong)))
+            .select(col("doc_id"), start.as("istart"),
+              end.as("iend"))
+        }
       case IAnyOf(ks) =>
         require(ks.nonEmpty, "any_of needs sources")
         ks.map(eval).reduce(_ unionByName _)

@@ -1291,6 +1291,27 @@ object LlmSurface {
         windowSize = 50, k = 20)
     }),
 
+    // --- UNORDERED intervals match (ES's intervals-match DEFAULT —
+    //     any term order, minimal-window gap budget): the per-term
+    //     occurrence product with least/greatest window bounds
+    //     (SegmentedIndex.intervalsQuery, IMatch ordered=false) ---
+    "q306_intervals_unordered" -> ((s, d) =>
+      // probe-only against the STAGED index (segIndexDir)
+      SegmentedIndex.intervalsQuery(s, segIndexDir(s, d),
+        SegmentedIndex.IMatch(Seq("vector", "spark"), maxGaps = 3,
+          ordered = false), k = 20)),
+
+    // --- query_string FILTER leaves (Lucene's `field:[lo TO hi]`
+    //     numeric range and `_exists_:field`): gate candidacy,
+    //     score zero (the pinned filter-context posture), composed
+    //     with scoring clauses over the SPARSE-mapping family so
+    //     _exists_ has real misses (QueryString.search) ---
+    "q307_query_string_filters" -> ((s, d) =>
+      // probe-only against the STAGED sparse index
+      graft.operators.QueryString.search(s,
+        Seq("text" -> segIndexSparseDir(s, d)), "text",
+        "spark AND _exists_:source AND doc_id:[20 TO 90]", k = 30)),
+
     // --- t_test agg (ES's Welch's two-sample statistic): en vs de
     //     n_chars means — exact decimal moments, one fixed-order
     //     double pipeline; p-value stated out (incomplete-beta libm)
@@ -6217,6 +6238,48 @@ object LlmSurface {
         |  AS n_retrievers_hit
         |FROM na FULL OUTER JOIN nb ON na.doc_id = nb.doc_id
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin),
+
+    // q306: unordered intervals replayed — the occurrence product
+    // with least/greatest bounds under the window gap rule
+    "q306_intervals_unordered" ->
+      """WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+        | toks AS (SELECT doc_id, unnest(l) AS term,
+        |   generate_subscripts(l, 1) - 1 AS pos
+        |   FROM (SELECT doc_id, string_split(text, ' ') AS l FROM d)),
+        | a AS (SELECT doc_id, pos FROM toks
+        |  WHERE term = 'vector' AND doc_id % 37 <> 5),
+        | b AS (SELECT doc_id, pos FROM toks
+        |  WHERE term = 'spark' AND doc_id % 37 <> 5),
+        | w AS (SELECT a.doc_id,
+        |   CAST(greatest(a.pos, b.pos) - least(a.pos, b.pos) + 1
+        |    AS BIGINT) AS span
+        |  FROM a JOIN b ON a.doc_id = b.doc_id)
+        |SELECT doc_id, count(*) AS n_intervals, min(span) AS min_span
+        |FROM w WHERE span - 2 <= 3
+        |GROUP BY doc_id ORDER BY doc_id LIMIT 20""".stripMargin,
+
+    // q307: query_string filter leaves replayed — spark scores, the
+    // exists and range leaves gate (sparse family: odd docs carry
+    // no source column)
+    "q307_query_string_filters" ->
+      """WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+        | nd AS (SELECT count(*)::DOUBLE AS n FROM d),
+        | p AS (SELECT term, doc_id, count(*)::BIGINT AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |        FROM d) GROUP BY term, doc_id),
+        | dfreq AS (SELECT term, count(*)::BIGINT AS df FROM p
+        |  GROUP BY term),
+        | sp AS (SELECT doc_id,
+        |   sum(CASE WHEN term = 'spark' THEN tf::DOUBLE *
+        |    ((SELECT n FROM nd) / df::DOUBLE)
+        |    ELSE 0.0::DOUBLE END) AS score
+        |  FROM p JOIN dfreq USING (term)
+        |  WHERE term = 'spark' AND doc_id % 37 <> 5
+        |  GROUP BY doc_id)
+        |SELECT doc_id, score, 1::BIGINT AS n_terms_hit
+        |FROM sp
+        |WHERE doc_id % 2 = 0 AND doc_id BETWEEN 20 AND 90
+        |ORDER BY score DESC, doc_id LIMIT 30""".stripMargin,
 
     // q302: t_test replayed — HUGEINT moments mirror the decimal
     // accumulators, the same Welch pipeline in the same op order

@@ -145,6 +145,58 @@ class QueryExtras16Spec extends SparkSpec {
       (400L, 1L, 3L)))
   }
 
+  test("plan audit: multiMatch prunes each family's postings by " +
+    "term bucket; rrf windows are TakeOrderedAndProject, no global " +
+    "sort") {
+    val fields = Seq("text" -> freshIndex(), "meta" -> metaIndex())
+    val mm = SegmentedIndex.multiMatchSearch(spark, fields,
+      Seq("spark", "web"), "best_fields", 0.3, 10)
+    mm.collect() // finalize AQE — the executed plan is the witness
+    // formatted explain prints scan details untruncated (the
+    // one-line plan string cuts before PartitionFilters)
+    val p = mm.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    // both families' scans arrive with the tb partition filter —
+    // the planning-time pruning every postings read here rides
+    // (single-bucket probes print isnotnull(tb)+EqualTo, multi-
+    // bucket ones a bare IN — match the attribute, not the shape)
+    assert(p.linesIterator.exists(l =>
+      l.contains("PartitionFilters: [") && l.contains("tb#")),
+      p.linesIterator.filter(_.contains("PartitionFilters"))
+        .mkString("\n"))
+    // frames BIGGER than the window: a maxRows-bounded literal
+    // frame would let EliminateLimits legally drop the window limit
+    val a = spark.range(0, 200).select(col("id").as("doc_id"),
+      (col("id") % 97).cast("double").as("score"))
+    val b = spark.range(100, 300).select(col("id").as("doc_id"),
+      (col("id") % 89).cast("double").as("score"))
+    val rr = SegmentedIndex.rrfFusion(spark,
+      Seq("a" -> a, "b" -> b), 60, 50, 10)
+    rr.collect()
+    val rp = rr.queryExecution.executedPlan.toString
+    // each retriever's 50-doc window is a TakeOrderedAndProject —
+    // top-k selection, never a global sort of the hit set
+    assert(rp.contains("TakeOrderedAndProject"), rp.take(900))
+  }
+
+  test("intervalsQuery unordered match: any term order, minimal " +
+    "window gap budget; duplicate terms refused") {
+    import SegmentedIndex.IMatch
+    val root = freshIndex()
+    // "customer" and "spark" in either order within window 3 (gap 1)
+    val out = SegmentedIndex.intervalsQuery(spark, root,
+      IMatch(Seq("customer", "spark"), maxGaps = 1, ordered = false),
+      k = 10).as[(Long, Long, Long)].collect().toSeq
+    // doc2: spark@0 customer@1 (gap 0); doc5: spark@0 … customer@2
+    // (gap 1); doc1: spark@0 customer@2 (gap 1); docs 3,4 lack one
+    assert(out == Seq((1L, 1L, 3L), (2L, 1L, 2L), (5L, 1L, 3L)))
+    intercept[IllegalArgumentException] {
+      SegmentedIndex.intervalsQuery(spark, root,
+        IMatch(Seq("spark", "spark"), 1, ordered = false), 10)
+    }
+  }
+
   test("tTestFacet: Welch statistic from exact moments; degenerate " +
     "group yields null") {
     val root = Files.createTempDirectory("graft-tt").toString

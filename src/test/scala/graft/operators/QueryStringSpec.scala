@@ -139,6 +139,35 @@ class QueryStringSpec extends SparkSpec {
     }
   }
 
+  test("range and _exists_ filter leaves gate without scoring; " +
+    "malformed ranges error") {
+    val root = Files.createTempDirectory("graft-qs-f").toString
+    SegmentedIndex.append(spark, root,
+      Seq((1L, "spark alpha", "web"), (2L, "spark beta", "book"),
+        (3L, "other", "web")).toDF("doc_id", "text", "source"),
+      "a", nBuckets = 4)
+    SegmentedIndex.append(spark, root,
+      Seq((4L, "spark gamma"), (5L, "spark delta"))
+        .toDF("doc_id", "text"), "b")
+    val fields = Seq("text" -> root)
+    val out = QueryString.search(spark, fields, "text",
+      "spark AND _exists_:source AND doc_id:[1 TO 4]", 10)
+      .as[(Long, Double, Long)].collect().toSeq
+    // spark: 1,2,4,5; has source: 1,2,3; id in [1,4]: joint 1,2
+    assert(out.map(_._1) == Seq(1L, 2L))
+    assert(out.forall(r => r._2 == 5.0 / 4 && r._3 == 1L))
+    // filter-only query: matches gate, everything scores zero
+    val only = QueryString.search(spark, fields, "text",
+      "_exists_:source", 10)
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(only == Seq((1L, 0.0, 0L), (2L, 0.0, 0L), (3L, 0.0, 0L)))
+    for (bad <- Seq("[1 TO 2]", "doc_id:[1 TO]", "doc_id:[a TO b]",
+      "_exists_:source^2", "doc_id:[1 TO 2"))
+      withClue(s"input: '$bad'") {
+        intercept[IllegalArgumentException] { parse(bad) }
+      }
+  }
+
   test("duplicate clauses score twice; dropped clauses vanish " +
     "rather than killing the query") {
     val fields = stage()
