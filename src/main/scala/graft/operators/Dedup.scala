@@ -692,6 +692,44 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Contamination RATE — the GPT-3-style refinement of
+    * [[decontaminate]]: per corpus document, the FRACTION of its
+    * distinct n-grams that appear anywhere in the benchmark, plus
+    * the thresholded verdict (the published pipelines flag a
+    * training doc "dirty" above an overlap rate, not on any single
+    * hit — one common phrase must not disqualify a document).
+    *
+    * Scale shape: the benchmark side stays the [[decontaminate]]
+    * broadcast (eval sets are MBs by construction); the corpus adds
+    * ONE doc-keyed distinct-count rollup for the denominators —
+    * doc-keyed, so it partial-aggregates and never shuffles by gram
+    * (the shuffle this family exists to avoid). The fraction is one
+    * exact division; the verdict one comparison against the literal
+    * threshold — both engine-invariant. Output: (doc_id, n_grams,
+    * n_hit_grams, overlap_frac, contaminated) for every corpus doc
+    * with >= n tokens, id-ascending. */
+  def contaminationRate(corpus: DataFrame, benchmark: DataFrame,
+                        n: Int = 4,
+                        threshold: Double = 0.2): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1]: $threshold")
+    val bench = gramStream(benchmark, n).select("g").distinct()
+    val grams = gramStream(corpus, n)
+    val perDoc = grams.groupBy("doc_id")
+      .agg(countDistinct(col("g")).as("n_grams"))
+    val hits = grams.join(broadcast(bench), "g")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("g")).as("n_hit_grams"))
+    perDoc.join(hits, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_hit_grams"))
+      .withColumn("overlap_frac",
+        col("n_hit_grams").cast("double") /
+          col("n_grams").cast("double"))
+      .withColumn("contaminated",
+        col("overlap_frac") >= lit(threshold))
+      .orderBy("doc_id")
+  }
+
   /** The benchmark's distinct gram digests as a driver-side value, for
     * closure-shipping into a stream. The collect is sized by the
     * BENCHMARK — eval sets, MBs by construction — never the corpus;

@@ -68,6 +68,10 @@ object QueryString {
   private[graft] case class RangeNode(field: String, lo: Long,
       hi: Long) extends Node
   private[graft] case class ExistsNode(field: String) extends Node
+  private[graft] case class PrefixNode(field: Option[String],
+      stem: String, boost: Double) extends Node
+  private[graft] case class FuzzyNode(field: Option[String],
+      term: String, maxEdits: Int, boost: Double) extends Node
   private[graft] case class AndNode(kids: Seq[Node]) extends Node
   private[graft] case class OrNode(kids: Seq[Node]) extends Node
   private[graft] case class NotNode(kid: Node) extends Node
@@ -83,6 +87,13 @@ object QueryString {
 
   private val FieldPrefix = """([A-Za-z_][A-Za-z0-9_]*):""".r
   private val BoostSuffix = """\^(\d+(?:\.\d+)?)""".r
+
+  /** `term~N` fuzzy syntax: N in {1, 2} (Lucene's edit bound). */
+  private val FuzzySyntax = """([^~*]+)~([12])""".r
+
+  /** Expansion cap for prefix/fuzzy leaves — ES's
+    * fuzzy/prefix rewrite ceiling (`max_expansions`, default 50). */
+  val MaxLeafExpansions: Int = 50
 
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"query_string parse error: $msg")
@@ -159,6 +170,15 @@ object QueryString {
                 // on a constant filter is meaningless and rejected)
                 if (b != 1.0) fail(s"boost on _exists_ at offset $start")
                 toks += Leaf(ExistsNode(w))
+              case FuzzySyntax(t, e) =>
+                toks += Leaf(FuzzyNode(field, t, e.toInt, b))
+              case w if w.endsWith("*") && w.length > 1 &&
+                  !w.init.contains("*") =>
+                toks += Leaf(PrefixNode(field, w.init, b))
+              case w if w.contains("*") || w.contains("~") =>
+                fail(s"malformed wildcard/fuzzy clause '$w' at " +
+                  s"offset $start (supported: trailing-* prefix, " +
+                  "term~1, term~2)")
               case w => toks += Leaf(TermNode(field, w, b))
             }
           }
@@ -225,6 +245,7 @@ object QueryString {
   private case class OrR(kids: Seq[RNode]) extends RNode
   private case class NotR(kid: RNode) extends RNode
   private case class FilterR(fid: Int) extends RNode
+  private case class ConstR(cid: Int, boost: Double) extends RNode
 
   /** Execute `query` against the per-field postings families in
     * `fields` (field name → family root — [[SegmentedIndex
@@ -287,6 +308,14 @@ object QueryString {
       .LinkedHashMap.empty[(String, String, Long, Long), Int]
     def filterId(kind: String, f: String, lo: Long, hi: Long): Int =
       filterIds.getOrElseUpdate((kind, f, lo, hi), filterIds.size)
+    // constant-score multi-term leaves (prefix / fuzzy): Lucene's
+    // multi-term rewrite — matched docs score boost·1.0; expansions
+    // walk the family's vocabulary-sized dictionary under a cap
+    val constIds = scala.collection.mutable
+      .LinkedHashMap.empty[(String, String, String, Int), Int]
+    def constId(kind: String, fn: String, text: String,
+                edits: Int): Int =
+      constIds.getOrElseUpdate((kind, fn, text, edits), constIds.size)
     def resolve(n: Node): Option[RNode] = n match {
       case TermNode(f, t, b) =>
         val fn = fieldName(f)
@@ -310,6 +339,10 @@ object QueryString {
         if (rs.isEmpty) None
         else if (rs.size == 1) Some(rs.head)
         else Some(OrR(rs))
+      case PrefixNode(f, stem, b) =>
+        Some(ConstR(constId("prefix", fieldName(f), stem, 0), b))
+      case FuzzyNode(f, t, e, b) =>
+        Some(ConstR(constId("fuzzy", fieldName(f), t, e), b))
       case RangeNode(f, lo, hi) =>
         Some(FilterR(filterId("range", f, lo, hi)))
       case ExistsNode(f) =>
@@ -383,6 +416,39 @@ object QueryString {
         defaultLiveStored.filter(cond).select("doc_id").distinct()
           .withColumn(s"mf_$fid", lit(true))
     }
+    // constant-score leaf frames: expansion terms collected from the
+    // dictionary walk (BOUNDED: at most MaxLeafExpansions strings
+    // reach the driver — ES's own fuzzy/prefix expansion posture),
+    // then one pruned postings read of the matched terms' lists
+    val constFrames = constIds.toSeq.map {
+      case ((kind, fn, text, edits), cid) =>
+        val root = new java.io.File(rootOf(fn))
+        val (nb, segs, _) = SegmentedIndex.readManifest(root)
+        val chain = Analyzer.byName(SegmentedIndex.analyzerOf(rootOf(fn)))
+        val px = Analyzer.normalize(chain, text)
+        val dict = SegmentedIndex.dictFrame(spark, root, segs)
+        val matched = kind match {
+          case "prefix" => dict.filter(col("term").startsWith(px))
+          case _ => dict.filter(
+            levenshtein(col("term"), lit(px)) <= lit(edits))
+        }
+        val expansions = matched.select("term").distinct()
+          .orderBy("term").limit(MaxLeafExpansions)
+          .collect().map(_.getString(0)).toSeq
+        val docs =
+          if (expansions.isEmpty)
+            spark.range(0).select(col("id").as("doc_id"))
+          else {
+            val ps = SegmentedIndex
+              .prunedPostings(spark, root, segs, expansions, nb)
+            (SegmentedIndex.tombstones(spark, root, segs) match {
+              case Some(dead) =>
+                ps.join(dead, Seq("doc_id", "seg"), "left_anti")
+              case None => ps
+            }).select("doc_id").distinct()
+          }
+        docs.withColumn(s"mc_$cid", lit(true))
+    }
 
     // the candidate base: without negation, every matching doc
     // matches >= 1 leaf, so the union of leaf doc sets suffices;
@@ -395,8 +461,9 @@ object QueryString {
       case OrR(ks)   => ks.exists(hasNot)
       case _         => false
     }
-    val leafDocIds = (pairFrames ++ phraseFrames ++ filterFrames)
-      .map(_.select("doc_id"))
+    val leafDocIds =
+      (pairFrames ++ phraseFrames ++ filterFrames ++ constFrames)
+        .map(_.select("doc_id"))
     val base: DataFrame =
       if (hasNot(rootR)) {
         val root = new java.io.File(rootOf(defaultField))
@@ -413,8 +480,10 @@ object QueryString {
           .toDF("doc_id", "score", "n_terms_hit")
       else leafDocIds.reduce(_ unionByName _).distinct()
 
-    val matrix = (pairFrames ++ phraseFrames ++ filterFrames)
-      .foldLeft(base)((acc, lf) => acc.join(lf, Seq("doc_id"), "left"))
+    val matrix =
+      (pairFrames ++ phraseFrames ++ filterFrames ++ constFrames)
+        .foldLeft(base)((acc, lf) =>
+          acc.join(lf, Seq("doc_id"), "left"))
 
     // the tree folds over the matrix columns — matched and score per
     // node, scores gated by their own conjunction's match
@@ -439,6 +508,11 @@ object QueryString {
         // filter context: gates candidacy, scores zero (the pinned
         // phrase posture applied to range/exists)
         (coalesce(col(s"mf_$fid"), lit(false)), lit(0.0d))
+      case ConstR(cid, b) =>
+        // Lucene's constant-score multi-term rewrite: boost·1.0 —
+        // expansions deliberately NOT idf-weighted (ES's default)
+        val m = coalesce(col(s"mc_$cid"), lit(false))
+        (m, when(m, lit(b)).otherwise(lit(0.0d)))
     }
     val (rootM, rootS) = comp(rootR)
 

@@ -463,7 +463,7 @@ object SegmentedIndex {
 
   /** The live segments' dictionaries unioned (term, doc_freq, seg).
     * Vocabulary-sized per segment. */
-  private def dictFrame(spark: SparkSession, root: java.io.File,
+  private[operators] def dictFrame(spark: SparkSession, root: java.io.File,
                         segs: Seq[Seg]): DataFrame = {
     val live = segs.filter(_.kind == "seg")
     if (live.isEmpty) {

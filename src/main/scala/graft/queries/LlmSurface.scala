@@ -1291,6 +1291,35 @@ object LlmSurface {
         windowSize = 50, k = 20)
     }),
 
+    // --- contamination RATE (the GPT-3-style refinement of q123's
+    //     decontamination: fraction of a doc's distinct n-grams
+    //     found in the benchmark + a thresholded verdict — one
+    //     common phrase must not disqualify a document): benchmark
+    //     broadcast, one doc-keyed rollup for denominators
+    //     (Dedup.contaminationRate) ---
+    "q308_contamination_rate" -> ((s, d) => {
+      val ds = docs(s, d)
+      graft.operators.Dedup.contaminationRate(
+        ds.filter(col("source") =!= "src0")
+          .select("doc_id", "text"),
+        ds.filter(col("source") === "src0")
+          .select("doc_id", "text"),
+        n = 4, threshold = 0.05)
+    }),
+
+    // --- query_string PREFIX and FUZZY leaves (Lucene's `cust*`
+    //     and `term~1`): constant-score multi-term rewrite —
+    //     matched docs take boost·1.0 (expansions deliberately not
+    //     idf-weighted, ES's default), expansions walk the
+    //     vocabulary-sized dictionaries under the 50-term cap
+    //     (QueryString.search) ---
+    "q309_query_string_multiterm" -> ((s, d) =>
+      // probe-only against the STAGED per-field families
+      graft.operators.QueryString.search(s,
+        Seq("text" -> segIndexDir(s, d),
+          "meta" -> segIndexMetaDir(s, d)),
+        "text", "(spark AND cust*^2) OR vektor~1", k = 25)),
+
     // --- UNORDERED intervals match (ES's intervals-match DEFAULT —
     //     any term order, minimal-window gap budget): the per-term
     //     occurrence product with least/greatest window bounds
@@ -6238,6 +6267,72 @@ object LlmSurface {
         |  AS n_retrievers_hit
         |FROM na FULL OUTER JOIN nb ON na.doc_id = nb.doc_id
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin),
+
+    // q308: contamination rate replayed — q123's gram digests with
+    // the per-doc denominator rollup, one exact division, the
+    // literal-threshold verdict
+    "q308_contamination_rate" ->
+      """WITH toks AS (SELECT doc_id, source,
+        |   string_split(text, ' ') AS t FROM documents),
+        | grams AS (SELECT doc_id, source, unnest(list_distinct(
+        |     [md5(array_to_string(t[i:i+3], ' '))
+        |      for i in range(1, len(t) - 2)])) AS g
+        |   FROM toks WHERE len(t) >= 4),
+        | bench AS (SELECT DISTINCT g FROM grams
+        |  WHERE source = 'src0'),
+        | corp AS (SELECT doc_id, g FROM grams
+        |  WHERE source <> 'src0'),
+        | tot AS (SELECT doc_id, count(*)::BIGINT AS n_grams
+        |  FROM corp GROUP BY doc_id),
+        | hit AS (SELECT corp.doc_id, count(*)::BIGINT AS h
+        |  FROM corp JOIN bench USING (g) GROUP BY corp.doc_id)
+        |SELECT tot.doc_id, tot.n_grams,
+        | coalesce(hit.h, 0)::BIGINT AS n_hit_grams,
+        | coalesce(hit.h, 0)::DOUBLE / tot.n_grams::DOUBLE
+        |  AS overlap_frac,
+        | (coalesce(hit.h, 0)::DOUBLE / tot.n_grams::DOUBLE) >= 0.05
+        |  AS contaminated
+        |FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id
+        |ORDER BY tot.doc_id""".stripMargin,
+
+    // q309: query_string multi-term leaves replayed — cust* expands
+    // to `customer`, vektor~1 to `vector` (the only vocabulary
+    // terms in reach), constant boost·1.0 inside the nested gating
+    "q309_query_string_multiterm" ->
+      """WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+        | nd AS (SELECT count(*)::DOUBLE AS n FROM d),
+        | p AS (SELECT term, doc_id, count(*)::BIGINT AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |        FROM d) GROUP BY term, doc_id),
+        | dfreq AS (SELECT term, count(*)::BIGINT AS df FROM p
+        |  GROUP BY term),
+        | sp AS (SELECT doc_id,
+        |   sum(CASE WHEN term = 'spark' THEN tf::DOUBLE *
+        |    ((SELECT n FROM nd) / df::DOUBLE)
+        |    ELSE 0.0::DOUBLE END) AS v
+        |  FROM p JOIN dfreq USING (term)
+        |  WHERE term = 'spark' AND doc_id % 37 <> 5
+        |  GROUP BY doc_id),
+        | cu AS (SELECT DISTINCT doc_id FROM p
+        |  WHERE term = 'customer' AND doc_id % 37 <> 5),
+        | ve AS (SELECT DISTINCT doc_id FROM p
+        |  WHERE term = 'vector' AND doc_id % 37 <> 5),
+        | u AS (SELECT d.doc_id, sp.v,
+        |   (sp.doc_id IS NOT NULL) AS msp,
+        |   (cu.doc_id IS NOT NULL) AS mcu,
+        |   (ve.doc_id IS NOT NULL) AS mve
+        |  FROM d LEFT JOIN sp ON d.doc_id = sp.doc_id
+        |  LEFT JOIN cu ON d.doc_id = cu.doc_id
+        |  LEFT JOIN ve ON d.doc_id = ve.doc_id
+        |  WHERE d.doc_id % 37 <> 5)
+        |SELECT doc_id,
+        | (CASE WHEN msp AND mcu
+        |   THEN coalesce(v, 0.0::DOUBLE) + 2.0
+        |   ELSE 0.0::DOUBLE END) +
+        | (CASE WHEN mve THEN 1.0 ELSE 0.0::DOUBLE END) AS score,
+        | (CASE WHEN msp THEN 1 ELSE 0 END)::BIGINT AS n_terms_hit
+        |FROM u WHERE (msp AND mcu) OR mve
+        |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
 
     // q306: unordered intervals replayed — the occurrence product
     // with least/greatest bounds under the window gap rule

@@ -350,6 +350,26 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("QueryString.parse is total-or-stated: random grammar soup " +
+    "either parses or throws the documented IllegalArgumentException " +
+    "— never an index/match error") {
+    val soupChar = Gen.oneOf(Gen.alphaLowerChar, Gen.oneOf(
+      '(', ')', '"', '^', '~', '*', ':', '!', '&', '|', '[', ']',
+      ' ', ' ', '2', '.'))
+    val soup = Gen.listOfN(30, soupChar).map(_.mkString)
+    val words = Gen.listOfN(8, Gen.oneOf("AND", "OR", "NOT", "a",
+      "f:b", "c^2", "\"d e\"", "NOT", "(", ")", "x~1", "pre*",
+      "_exists_:f", "n:[1 TO 5]")).map(_.mkString(" "))
+    (samples(soup, 150) ++ samples(words, 150)).foreach { q =>
+      try { graft.operators.QueryString.parse(q); () }
+      catch {
+        case _: IllegalArgumentException => () // the stated contract
+        case e: Throwable =>
+          fail(s"q='$q' threw ${e.getClass.getName}: ${e.getMessage}")
+      }
+    }
+  }
+
   test("geohashKey equals a reference bisection implementation on " +
     "random coordinates, at every precision") {
     import graft.operators.GeoOps

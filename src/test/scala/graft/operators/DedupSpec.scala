@@ -390,4 +390,24 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect()
     assert(rep.toSeq == Seq((7L, 1L, 1L)))
   }
+
+  test("contaminationRate: overlap fraction per doc, thresholded " +
+    "verdict, clean docs report zero") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // 4 distinct grams, 2 shared -> 0.5
+      (1L, "x alpha beta gamma delta epsilon y"),
+      // 2 grams, 0 shared -> 0.0
+      (2L, "zero one two three four"),
+      (3L, "too short")) // < n tokens: no grams, no row
+      .toDF("doc_id", "text")
+    val out = Dedup.contaminationRate(corpus, bench, n = 4,
+      threshold = 0.4)
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out(1L) == ((4L, 2L, 0.5, true)))
+    assert(out(2L) == ((2L, 0L, 0.0, false)))
+    assert(!out.contains(3L) && out.size == 2)
+  }
 }

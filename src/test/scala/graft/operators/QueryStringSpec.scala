@@ -168,6 +168,26 @@ class QueryStringSpec extends SparkSpec {
       }
   }
 
+  test("prefix and fuzzy leaves: constant-score boost, capped " +
+    "dictionary expansion; malformed wildcard syntax errors") {
+    val fields = stage()
+    val out = QueryString.search(spark, fields, "text",
+      "cust*^2 vektor~1", 10)
+      .as[(Long, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // cust* -> customer (docs 1,2,4,5); vektor~1 -> vector (1,2,4,5)
+    // wait: every corpus doc holding customer also holds vector here
+    // score = 2.0 (prefix) + 1.0 (fuzzy) where both match;
+    // const leaves don't count toward n_terms_hit
+    assert(out.keySet == Set(1L, 2L, 4L, 5L))
+    assert(out.values.forall(_ == ((3.0, 0L))), out)
+    // doc3 ("spark join join") matches neither
+    for (bad <- Seq("a*b", "*lead", "term~3", "x~y"))
+      withClue(s"input: '$bad'") {
+        intercept[IllegalArgumentException] { parse(bad) }
+      }
+  }
+
   test("duplicate clauses score twice; dropped clauses vanish " +
     "rather than killing the query") {
     val fields = stage()
