@@ -749,6 +749,29 @@ object SegmentedIndex {
         "n_live", "total_len")
   }
 
+  /** `_cat/indices` — ES's cluster index panel (one row per index:
+    * doc counts, deletes, store size), the operational read every
+    * cluster dashboard opens with: [[indexStats]] per family member,
+    * unioned under the index name. Manifest + tombstone-sidecar
+    * reads only — zero postings/stored data touched, per-member cost
+    * O(segments) regardless of corpus size. Output: (idx,
+    * n_segments, n_del_batches, n_docs, n_deleted, n_live,
+    * total_len), index-name-ascending. (`idx`, not ES's `index` —
+    * the word is reserved in enough SQL dialects to poison the
+    * oracle surface.) */
+  def catIndices(spark: SparkSession,
+                 indices: Seq[(String, String)]): DataFrame = {
+    require(indices.nonEmpty, "catIndices needs at least one index")
+    require(indices.map(_._1).distinct.size == indices.size,
+      "duplicate index names")
+    indices.map { case (name, dir) =>
+      indexStats(spark, dir).withColumn("idx", lit(name))
+    }.reduce(_ unionByName _)
+      .select("idx", "n_segments", "n_del_batches", "n_docs",
+        "n_deleted", "n_live", "total_len")
+      .orderBy("idx")
+  }
+
   /** Hit count — ES's `GET /idx/_count`: how many LIVE documents
     * match any of the analyzed query terms, with no scoring, no
     * fetch, no top-k — the cheapest read the serving API offers (one

@@ -1291,6 +1291,15 @@ object LlmSurface {
         windowSize = 50, k = 20)
     }),
 
+    // --- _cat/indices (ES's cluster index panel — doc counts,
+    //     deletes, token size per index): indexStats per federation
+    //     member, manifest + tombstone-sidecar reads only
+    //     (SegmentedIndex.catIndices) ---
+    "q310_cat_indices" -> ((s, d) => {
+      val (l, r) = segIndexPairDirs(s, d)
+      SegmentedIndex.catIndices(s, Seq("left" -> l, "right" -> r))
+    }),
+
     // --- contamination RATE (the GPT-3-style refinement of q123's
     //     decontamination: fraction of a doc's distinct n-grams
     //     found in the benchmark + a thresholded verdict — one
@@ -6267,6 +6276,31 @@ object LlmSurface {
         |  AS n_retrievers_hit
         |FROM na FULL OUTER JOIN nb ON na.doc_id = nb.doc_id
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin),
+
+    // q310: _cat/indices replayed — each federation member's panel
+    // from the corpus-half arithmetic (1 segment + 1 del batch per
+    // side by staging; token totals mirror the manifest stats)
+    "q310_cat_indices" ->
+      """WITH d AS (SELECT doc_id,
+        |   len(string_split(text, ' '))::BIGINT AS tl
+        |  FROM documents WHERE doc_id < 150),
+        | l AS (SELECT 'left' AS idx, 1::BIGINT AS n_segments,
+        |   1::BIGINT AS n_del_batches, count(*)::BIGINT AS n_docs,
+        |   sum(CASE WHEN doc_id % 37 = 5 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_deleted,
+        |   (count(*) - sum(CASE WHEN doc_id % 37 = 5 THEN 1 ELSE 0
+        |    END))::BIGINT AS n_live,
+        |   sum(tl)::BIGINT AS total_len
+        |  FROM d WHERE doc_id < 75),
+        | r AS (SELECT 'right' AS idx, 1::BIGINT, 1::BIGINT,
+        |   count(*)::BIGINT,
+        |   sum(CASE WHEN doc_id % 37 = 5 THEN 1 ELSE 0 END)::BIGINT,
+        |   (count(*) - sum(CASE WHEN doc_id % 37 = 5 THEN 1 ELSE 0
+        |    END))::BIGINT,
+        |   sum(tl)::BIGINT
+        |  FROM d WHERE doc_id >= 75)
+        |SELECT * FROM l UNION ALL SELECT * FROM r
+        |ORDER BY idx""".stripMargin,
 
     // q308: contamination rate replayed — q123's gram digests with
     // the per-doc denominator rollup, one exact division, the
