@@ -336,6 +336,28 @@ class ServingExtrasSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("catIndices: one panel row per federation member, manifest " +
+    "arithmetic only, live counts net of tombstones") {
+    val rootA = freshIndex()
+    val rootB = Files.createTempDirectory("graft-ci").toString
+    SegmentedIndex.append(spark, rootB,
+      corpus.filter(col("doc_id") <= 2), "a", nBuckets = 4)
+    SegmentedIndex.delete(spark, rootB, Seq(2L).toDF("doc_id"), "d1")
+    val out = SegmentedIndex.catIndices(spark,
+      Seq("beta" -> rootB, "alpha" -> rootA))
+      .as[(String, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    // alpha: 2 segments, no deletes, 5 docs, 18 tokens;
+    // beta: 1 segment + 1 del batch, 2 docs, 1 deleted, 9 tokens
+    assert(out == Seq(
+      ("alpha", 2L, 0L, 5L, 0L, 5L, 18L),
+      ("beta", 1L, 1L, 2L, 1L, 1L, 9L)))
+    intercept[IllegalArgumentException] {
+      SegmentedIndex.catIndices(spark,
+        Seq("x" -> rootA, "x" -> rootB))
+    }
+  }
+
   test("catSegments: manifest rows in commit order, zero data reads") {
     val root = freshIndex()
     SegmentedIndex.delete(spark, root, Seq(5L).toDF("doc_id"), "d1")
