@@ -749,6 +749,25 @@ object SegmentedIndex {
         "n_live", "total_len")
   }
 
+  /** `_analyze` — ES's `POST /idx/_analyze` (the analyzer debugging
+    * endpoint every mapping session leans on): the INDEX's OWN chain
+    * applied to caller text, token by token — lowercasing, stopword
+    * position GAPS (a dropped stopword still consumes its position,
+    * the offsets phrase matches respect), stemming, and index-time
+    * synonym STACKING ([[Analyzer.analyzeIngest]] — what the index
+    * actually stores). One driver-side string analysis (ES's
+    * coordinator does the same — no data touched). Output:
+    * (position, token), position-ascending (stacked synonyms share
+    * their base's position). */
+  def analyzeApi(spark: SparkSession, rootDir: String,
+                 text: String): DataFrame = {
+    import spark.implicits._
+    val chain = Analyzer.byName(analyzerOf(rootDir))
+    Analyzer.analyzeIngest(chain, text)
+      .toDF("position", "token")
+      .orderBy("position", "token")
+  }
+
   /** `_cat/indices` — ES's cluster index panel (one row per index:
     * doc counts, deletes, store size), the operational read every
     * cluster dashboard opens with: [[indexStats]] per family member,

@@ -1291,6 +1291,15 @@ object LlmSurface {
         windowSize = 50, k = 20)
     }),
 
+    // --- _analyze (ES's POST /idx/_analyze — the analyzer
+    //     debugging endpoint): the ENGLISH index's chain applied to
+    //     caller text — lowercase, stopword position gaps, stems;
+    //     one driver-side string analysis, no data touched
+    //     (SegmentedIndex.analyzeApi) ---
+    "q311_analyze_api" -> ((s, d) =>
+      SegmentedIndex.analyzeApi(s, segIndexEnDir(s, d),
+        "The Searches and Tables were Joining")),
+
     // --- _cat/indices (ES's cluster index panel — doc counts,
     //     deletes, token size per index): indexStats per federation
     //     member, manifest + tombstone-sidecar reads only
@@ -6276,6 +6285,25 @@ object LlmSurface {
         |  AS n_retrievers_hit
         |FROM na FULL OUTER JOIN nb ON na.doc_id = nb.doc_id
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin),
+
+    // q311: _analyze replayed — the dialect-shared english chain
+    // (regex split, lower, stemSql, stopword drop) over the same
+    // literal, positions counted BEFORE the drops (the gaps)
+    "q311_analyze_api" -> {
+      val stops = graft.operators.Analyzer.EnglishStopwords
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH l AS (SELECT string_split_regex(
+         |   lower('The Searches and Tables were Joining'),
+         |   '[^a-z0-9]+') AS t),
+         | toks AS (SELECT unnest(t) AS tok,
+         |   generate_subscripts(t, 1) - 1 AS position FROM l),
+         | an AS (SELECT position::BIGINT AS position,
+         |   ${graft.operators.Analyzer.stemSql("tok")} AS token
+         |  FROM toks)
+         |SELECT position, token FROM an
+         |WHERE token <> '' AND token NOT IN ($stops)
+         |ORDER BY position, token""".stripMargin
+    },
 
     // q310: _cat/indices replayed — each federation member's panel
     // from the corpus-half arithmetic (1 segment + 1 del batch per
