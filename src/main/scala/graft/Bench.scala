@@ -141,10 +141,14 @@ object Bench {
     // metrics object can exceed it (BENCH_r07.json captured 2 KB and
     // lost the totals — "parsed": null). A file on disk survives any
     // truncation. Best-effort: benching must never fail on a read-only
-    // working directory.
+    // working directory. The path is overridable
+    // (SPARK_GRAFT_BENCH_OUT) so an AD-HOC run can write a sibling
+    // instead of clobbering the committed gate artifact in the
+    // working tree; the driver's default stays BENCH_local.json.
     try {
       java.nio.file.Files.write(
-        java.nio.file.Paths.get("BENCH_local.json"),
+        java.nio.file.Paths.get(sys.env.getOrElse(
+          "SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")),
         (summary + "\n").getBytes("UTF-8"))
     } catch { case _: java.io.IOException => () }
     spark.stop()

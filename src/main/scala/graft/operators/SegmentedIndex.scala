@@ -1955,7 +1955,17 @@ object SegmentedIndex {
     * Output: (doc_id, min_moves), doc_id-ascending, first k. */
   def sloppyPhraseSearch(spark: SparkSession, rootDir: String,
                          first: String, second: String, slop: Int,
-                         k: Int): DataFrame = {
+                         k: Int): DataFrame =
+    sloppyPhraseDocs(spark, rootDir, first, second, slop)
+      .orderBy("doc_id").limit(k)
+
+  /** [[sloppyPhraseSearch]]'s un-ranked frame — (doc_id, min_moves)
+    * for EVERY matching doc, no top-k: the shape composite callers
+    * (query_string's slop leaves) gate on without planting a
+    * corpus-wide global limit in the middle of their plan. */
+  private[operators] def sloppyPhraseDocs(spark: SparkSession,
+      rootDir: String, first: String, second: String, slop: Int)
+      : DataFrame = {
     require(slop >= 0, s"slop must be >= 0: $slop")
     val root = new java.io.File(rootDir)
     val qa = qTerms(root, Seq(first))
@@ -1983,7 +1993,6 @@ object SegmentedIndex {
           "p -> transform(pb, q -> abs(q - p - 1)))))"))
       .filter(col("min_moves") <= lit(slop.toLong))
       .select("doc_id", "min_moves")
-      .orderBy("doc_id").limit(k)
   }
 
   /** Function-score with a DECAY kernel — ES's `function_score`
@@ -2987,7 +2996,9 @@ object SegmentedIndex {
     * top-k. */
   def intervalsSearch(spark: SparkSession, rootDir: String,
                       terms: Seq[String], maxGaps: Int,
-                      k: Int = 10): DataFrame = {
+                      k: Int = 10,
+                      maxCombinationsPerDoc: Long = 1L << 20)
+      : DataFrame = {
     require(terms.size >= 2, "intervals needs at least two terms")
     require(maxGaps >= 0, s"max_gaps must be >= 0: $maxGaps")
     val root = new java.io.File(rootDir)
@@ -3002,6 +3013,10 @@ object SegmentedIndex {
         p.join(dead, Seq("doc_id", "seg"), "left_anti")
       case None => p
     }
+    // the combination-enumeration guard (see intervalsQuery): the
+    // chain can reach Π tfᵢ rows for one pathological doc — refuse
+    // it loudly instead of enumerating unbounded
+    guardCombinations(live, flat, maxCombinationsPerDoc, "intervals")
     // each side renames its doc id uniquely: the chain is a
     // self-join of the same postings lineage, where reusing the
     // attribute would be ambiguous
@@ -3025,6 +3040,39 @@ object SegmentedIndex {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_intervals"), min("span").as("min_span"))
       .orderBy("doc_id").limit(k)
+  }
+
+  /** The interval-family combination guard: `terms` are the query's
+    * ANALYZED leaf terms WITH MULTIPLICITY (a term used by two tree
+    * leaves counts twice — nested combinators multiply kid counts,
+    * and the product over all leaf occurrences bounds every node's
+    * enumeration). One aggregation over the already-pruned postings
+    * (query-terms-sized, never corpus-sized) computes the per-doc
+    * log₂ of that product; a doc over the cap errors LOUDLY instead
+    * of enumerating an unbounded occurrence product. */
+  private def guardCombinations(live: DataFrame, terms: Seq[String],
+                                maxComb: Long, what: String): Unit = {
+    require(maxComb >= 1, s"maxCombinationsPerDoc must be >= 1")
+    val mult = terms.groupBy(identity).view.mapValues(_.size).toMap
+    val wCol = mult.foldLeft(lit(0.0d)) { case (acc, (t, m)) =>
+      when(col("term") === lit(t), lit(m.toDouble)).otherwise(acc)
+    }
+    val worst = live
+      .groupBy("doc_id")
+      .agg(sum(log2(col("tf").cast("double")) * wCol).as("lg"))
+      .orderBy(desc("lg")).limit(1)
+      .collect()
+    val bound = math.log(maxComb.toDouble) / math.log(2.0)
+    worst.headOption.foreach { r =>
+      if (!r.isNullAt(1))
+        require(r.getDouble(1) <= bound,
+          s"$what query would enumerate ~2^${r.getDouble(1).ceil
+            .toLong} occurrence combinations for doc ${r.getLong(0)} " +
+            s"(cap $maxComb — raise maxCombinationsPerDoc to " +
+            "override; Lucene's minimal-interval algorithm is linear " +
+            "in positions, this engine's combination enumeration is " +
+            "not and refuses the pathological doc loudly)")
+    }
   }
 
   /** The `intervals` source tree — ES's intervals COMBINATORS, the
@@ -3078,10 +3126,24 @@ object SegmentedIndex {
     * `min_span` (the tightest combination IS the minimal interval's
     * width) agree exactly; q280 pinned the same convention for the
     * flat chain. Occurrence-bounded per doc like every span query —
-    * never corpus-wide. Output: (doc_id, n_intervals, min_span),
-    * id-ordered top-k. */
+    * never corpus-wide.
+    *
+    * ADVERSARIAL-INPUT GUARD: the enumeration can reach
+    * tf₁·tf₂·…·tfₖ rows for ONE pathological doc (every query term
+    * at high tf — the doc a 100 TB corpus will contain), where
+    * Lucene's minimal-interval algorithm is linear in positions.
+    * Rather than silently blowing up, the per-doc combination count
+    * is BOUNDED: one tiny aggregation over the already-pruned
+    * postings computes each doc's Σ mult(term)·log₂(tf) — the log of
+    * the product over the tree's leaf occurrences, an upper bound on
+    * any node's enumeration for that doc — and a doc exceeding
+    * `maxCombinationsPerDoc` fails the query LOUDLY with the doc id,
+    * naming the cap to raise. Output: (doc_id, n_intervals,
+    * min_span), id-ordered top-k. */
   def intervalsQuery(spark: SparkSession, rootDir: String,
-                     node: IntervalsNode, k: Int = 10): DataFrame = {
+                     node: IntervalsNode, k: Int = 10,
+                     maxCombinationsPerDoc: Long = 1L << 20)
+      : DataFrame = {
     val root = new java.io.File(rootDir)
     def rawTerms(n: IntervalsNode): Seq[String] = n match {
       case IMatch(ts, _, _)    => ts
@@ -3101,6 +3163,8 @@ object SegmentedIndex {
         p.join(dead, Seq("doc_id", "seg"), "left_anti")
       case None => p
     }
+    guardCombinations(live, rawTerms(node).map(t => qs(t).head),
+      maxCombinationsPerDoc, "intervals")
     // unique column names per evaluation site: every sub-frame is a
     // self-join of the same postings lineage
     var uid = 0
@@ -3809,9 +3873,20 @@ object SegmentedIndex {
             .join(win.select("doc_id"), Seq("doc_id"), "left_anti")
           (applyPhase(win, field, qw, rw), below :: ls)
       }
-    (last :: layers).reduce(_ unionByName _)
+    val out = (last :: layers).reduce(_ unionByName _)
       .orderBy(desc("n_phases"), desc("score"), asc("doc_id"))
       .limit(k)
+    // materialize the k-BOUNDED result eagerly, then RELEASE both
+    // cached frames: the lazy alternative leaks `first`/`allVals`
+    // into Spark's LRU until eviction, and repeated calls accumulate
+    // cached hit-set scans (the round-16 review finding). The collect
+    // is ≤ k rows by construction (the limit above) — the same
+    // bounded-collect discipline every top-k entry states.
+    import scala.jdk.CollectionConverters._
+    val rows = out.collect().toSeq
+    first.unpersist()
+    allVals.unpersist()
+    spark.createDataFrame(rows.asJava, out.schema)
   }
 
   /** Sub-aggregation — ES's nested
@@ -5783,15 +5858,22 @@ object SegmentedIndex {
     require(pattern.nonEmpty, "wildcardSearch needs a pattern")
     val pat = Analyzer.normalize(
       readAnalyzer(new java.io.File(rootDir)), pattern)
-    val rx = "^" + pat.flatMap {
+    constantScoreDictSearch(spark, rootDir,
+      _.filter(col("term").rlike(wildcardRegex(pat))), k,
+      maxExpansions)
+  }
+
+  /** The anchored-regex translation of a Lucene wildcard pattern
+    * (`*` any sequence, `?` exactly one char, everything else
+    * literal) — shared by [[wildcardSearch]] and [[QueryString]]'s
+    * wildcard leaves so the automaton is ONE definition. */
+  private[operators] def wildcardRegex(pat: String): String =
+    "^" + pat.flatMap {
       case '*' => ".*"
       case '?' => "."
       case c if "\\.[]{}()^$|+".contains(c) => "\\" + c
       case c => c.toString
     } + "$"
-    constantScoreDictSearch(spark, rootDir,
-      _.filter(col("term").rlike(rx)), k, maxExpansions)
-  }
 
   /** Regexp query — ES's `regexp` (term-level, whole-term anchored:
     * ES compiles against the complete term, so `sp.*k` matches

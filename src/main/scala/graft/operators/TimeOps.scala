@@ -130,16 +130,29 @@ object TimeOps {
     // silently reports doc_count 0 — a malformed REQUEST must error
     // (ES 400s it), only the DATA may be lenient. The parsed
     // timestamp then enters the plan as a literal, so pushdown is
-    // unchanged.
-    def parseTs(key: String, s: String): java.sql.Timestamp =
-      try java.sql.Timestamp.valueOf(
-        if (s.contains(" ")) s else s + " 00:00:00")
-      catch {
-        case _: IllegalArgumentException =>
+    // unchanged. The wall-clock string converts to an instant in the
+    // SESSION time zone (spark.sql.session.timeZone — the zone every
+    // in-plan timestamp comparison uses), NOT the JVM default that
+    // java.sql.Timestamp.valueOf would bake in: when the two zones
+    // differ the boundaries must not silently shift by the offset.
+    // Both ISO-8601 'T' and space separators are accepted.
+    def parseTs(key: String, s: String): java.sql.Timestamp = {
+      val txt =
+        if (s.contains(" ") || s.contains("T")) s.replace(' ', 'T')
+        else s + "T00:00:00"
+      try {
+        val zone = java.time.ZoneId.of(
+          spark.sessionState.conf.sessionLocalTimeZone)
+        java.sql.Timestamp.from(
+          java.time.LocalDateTime.parse(txt).atZone(zone).toInstant)
+      } catch {
+        case _: java.time.format.DateTimeParseException |
+             _: java.time.DateTimeException =>
           throw new IllegalArgumentException(
             s"date_range '$key': unparseable boundary '$s' " +
-              "(expected yyyy-MM-dd[ HH:mm:ss[.f...]])")
+              "(expected yyyy-MM-dd[[T| ]HH:mm:ss[.f...]])")
       }
+    }
     val conds: Seq[Column] = ranges.map { case (key, from, to) =>
       val lo = from.fold(lit(true))(f =>
         col(tsCol) >= lit(parseTs(key, f)))

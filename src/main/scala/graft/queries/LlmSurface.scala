@@ -1338,6 +1338,30 @@ object LlmSurface {
           "meta" -> segIndexMetaDir(s, d)),
         "text", "(spark AND cust*^2) OR vektor~1", k = 25)),
 
+    // --- query_string unary +/- modifiers (Lucene's MUST/MUST_NOT
+    //     prefixes — the boolean clause list): must spark, must-not
+    //     stream, customer and meta:src3 optional-scoring; the must
+    //     clause bounds the candidate base (no corpus read)
+    //     (QueryString.search) ---
+    "q312_query_string_ops" -> ((s, d) =>
+      // probe-only against the STAGED per-field families
+      graft.operators.QueryString.search(s,
+        Seq("text" -> segIndexDir(s, d),
+          "meta" -> segIndexMetaDir(s, d)),
+        "text", "+spark -stream customer meta:src3", k = 25)),
+
+    // --- query_string group boosts `(a b)^2`, phrase slop
+    //     `"a b"~2` (sloppyPhraseSearch's move arithmetic as a
+    //     filter-context leaf) and mid-term/leading wildcards
+    //     (`*tor` through the anchored automaton, constant-score)
+    //     (QueryString.search) ---
+    "q313_query_string_advanced" -> ((s, d) =>
+      // probe-only against the STAGED per-field families
+      graft.operators.QueryString.search(s,
+        Seq("text" -> segIndexDir(s, d),
+          "meta" -> segIndexMetaDir(s, d)),
+        "text", "(vector join)^2 \"spark join\"~2 *tor^3", k = 30)),
+
     // --- UNORDERED intervals match (ES's intervals-match DEFAULT —
     //     any term order, minimal-window gap budget): the per-term
     //     occurrence product with least/greatest window bounds
@@ -6395,6 +6419,106 @@ object LlmSurface {
         | (CASE WHEN msp THEN 1 ELSE 0 END)::BIGINT AS n_terms_hit
         |FROM u WHERE (msp AND mcu) OR mve
         |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
+
+    // q312: the +/- clause list replayed — must spark gates, stream
+    // excludes, customer and meta:src3 add their field-stats scores
+    // when present; n_terms_hit counts matched positive pairs
+    "q312_query_string_ops" ->
+      """WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+        | nd AS (SELECT count(*)::DOUBLE AS n FROM d),
+        | pt AS (SELECT term, doc_id, count(*)::BIGINT AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |        FROM d) GROUP BY term, doc_id),
+        | dft AS (SELECT term, count(*)::BIGINT AS df FROM pt
+        |  GROUP BY term),
+        | pm AS (SELECT term, doc_id, count(*)::BIGINT AS tf
+        |  FROM (SELECT doc_id, unnest([source, lang]) AS term FROM d)
+        |  GROUP BY term, doc_id),
+        | dfm AS (SELECT term, count(*)::BIGINT AS df FROM pm
+        |  GROUP BY term),
+        | sp AS (SELECT doc_id, sum(tf::DOUBLE *
+        |   ((SELECT n FROM nd) / df::DOUBLE)) AS v
+        |  FROM pt JOIN dft USING (term)
+        |  WHERE term = 'spark' AND doc_id % 37 <> 5 GROUP BY doc_id),
+        | cu AS (SELECT doc_id, sum(tf::DOUBLE *
+        |   ((SELECT n FROM nd) / df::DOUBLE)) AS v
+        |  FROM pt JOIN dft USING (term)
+        |  WHERE term = 'customer' AND doc_id % 37 <> 5
+        |  GROUP BY doc_id),
+        | s3 AS (SELECT doc_id, sum(tf::DOUBLE *
+        |   ((SELECT n FROM nd) / df::DOUBLE)) AS v
+        |  FROM pm JOIN dfm USING (term)
+        |  WHERE term = 'src3' AND doc_id % 37 <> 5 GROUP BY doc_id),
+        | st AS (SELECT DISTINCT doc_id FROM pt
+        |  WHERE term = 'stream' AND doc_id % 37 <> 5),
+        | u AS (SELECT d.doc_id, sp.v AS vsp, cu.v AS vcu,
+        |   s3.v AS vs3, (st.doc_id IS NOT NULL) AS mst
+        |  FROM d LEFT JOIN sp ON d.doc_id = sp.doc_id
+        |  LEFT JOIN cu ON d.doc_id = cu.doc_id
+        |  LEFT JOIN s3 ON d.doc_id = s3.doc_id
+        |  LEFT JOIN st ON d.doc_id = st.doc_id
+        |  WHERE d.doc_id % 37 <> 5)
+        |SELECT doc_id,
+        | coalesce(vsp, 0.0::DOUBLE) + coalesce(vcu, 0.0::DOUBLE) +
+        |  coalesce(vs3, 0.0::DOUBLE) AS score,
+        | ((CASE WHEN vsp IS NOT NULL THEN 1 ELSE 0 END) +
+        |  (CASE WHEN vcu IS NOT NULL THEN 1 ELSE 0 END) +
+        |  (CASE WHEN vs3 IS NOT NULL THEN 1 ELSE 0 END))::BIGINT
+        |  AS n_terms_hit
+        |FROM u WHERE vsp IS NOT NULL AND NOT mst
+        |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
+
+    // q313: group boost / phrase slop / wildcard replayed — the
+    // boosted group doubles (vector + join), the sloppy phrase
+    // (min |q−p−1| ≤ 2) and the *tor wildcard (→ vector) gate or
+    // add constant score, matching the engine's fold order
+    "q313_query_string_advanced" ->
+      """WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+        | nd AS (SELECT count(*)::DOUBLE AS n FROM d),
+        | toks AS (SELECT doc_id, unnest(l) AS term,
+        |   generate_subscripts(l, 1) - 1 AS pos
+        |   FROM (SELECT doc_id, string_split(text, ' ') AS l FROM d)),
+        | pt AS (SELECT term, doc_id, count(*)::BIGINT AS tf
+        |  FROM toks GROUP BY term, doc_id),
+        | dft AS (SELECT term, count(*)::BIGINT AS df FROM pt
+        |  GROUP BY term),
+        | vx AS (SELECT doc_id, sum(tf::DOUBLE *
+        |   ((SELECT n FROM nd) / df::DOUBLE)) AS v
+        |  FROM pt JOIN dft USING (term)
+        |  WHERE term = 'vector' AND doc_id % 37 <> 5
+        |  GROUP BY doc_id),
+        | jn AS (SELECT doc_id, sum(tf::DOUBLE *
+        |   ((SELECT n FROM nd) / df::DOUBLE)) AS v
+        |  FROM pt JOIN dft USING (term)
+        |  WHERE term = 'join' AND doc_id % 37 <> 5 GROUP BY doc_id),
+        | sl AS (SELECT a.doc_id FROM
+        |   (SELECT doc_id, pos FROM toks WHERE term = 'spark'
+        |     AND doc_id % 37 <> 5) a
+        |  JOIN (SELECT doc_id, pos FROM toks WHERE term = 'join'
+        |     AND doc_id % 37 <> 5) b
+        |   ON a.doc_id = b.doc_id
+        |  GROUP BY a.doc_id
+        |  HAVING min(abs(b.pos - a.pos - 1)) <= 2),
+        | wc AS (SELECT DISTINCT doc_id FROM pt
+        |  WHERE term = 'vector' AND doc_id % 37 <> 5),
+        | u AS (SELECT d.doc_id, vx.v AS vvx, jn.v AS vjn,
+        |   (sl.doc_id IS NOT NULL) AS msl,
+        |   (wc.doc_id IS NOT NULL) AS mwc
+        |  FROM d LEFT JOIN vx ON d.doc_id = vx.doc_id
+        |  LEFT JOIN jn ON d.doc_id = jn.doc_id
+        |  LEFT JOIN sl ON d.doc_id = sl.doc_id
+        |  LEFT JOIN wc ON d.doc_id = wc.doc_id
+        |  WHERE d.doc_id % 37 <> 5)
+        |SELECT doc_id,
+        | (coalesce(vvx, 0.0::DOUBLE) + coalesce(vjn, 0.0::DOUBLE))
+        |   * 2.0 +
+        |  (CASE WHEN mwc THEN 3.0 ELSE 0.0::DOUBLE END) AS score,
+        | ((CASE WHEN vvx IS NOT NULL THEN 1 ELSE 0 END) +
+        |  (CASE WHEN vjn IS NOT NULL THEN 1 ELSE 0 END))::BIGINT
+        |  AS n_terms_hit
+        |FROM u
+        |WHERE vvx IS NOT NULL OR vjn IS NOT NULL OR msl OR mwc
+        |ORDER BY score DESC, doc_id LIMIT 30""".stripMargin,
 
     // q306: unordered intervals replayed — the occurrence product
     // with least/greatest bounds under the window gap rule

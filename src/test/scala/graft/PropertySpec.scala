@@ -355,11 +355,12 @@ class PropertySpec extends SparkSpec {
     "— never an index/match error") {
     val soupChar = Gen.oneOf(Gen.alphaLowerChar, Gen.oneOf(
       '(', ')', '"', '^', '~', '*', ':', '!', '&', '|', '[', ']',
-      ' ', ' ', '2', '.'))
+      ' ', ' ', '2', '.', '+', '-', '?'))
     val soup = Gen.listOfN(30, soupChar).map(_.mkString)
     val words = Gen.listOfN(8, Gen.oneOf("AND", "OR", "NOT", "a",
       "f:b", "c^2", "\"d e\"", "NOT", "(", ")", "x~1", "pre*",
-      "_exists_:f", "n:[1 TO 5]")).map(_.mkString(" "))
+      "_exists_:f", "n:[1 TO 5]", "+m", "-n", "w?ld*", "\"d e\"~2",
+      ")^2")).map(_.mkString(" "))
     (samples(soup, 150) ++ samples(words, 150)).foreach { q =>
       try { graft.operators.QueryString.parse(q); () }
       catch {

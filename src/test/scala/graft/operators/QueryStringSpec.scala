@@ -34,18 +34,37 @@ class QueryStringSpec extends SparkSpec {
     "act as operators when bare") {
     assert(parse("meta:src3^2.5") ==
       TermNode(Some("meta"), "src3", 2.5))
-    assert(parse("""title:"a b"^3 c""") ==
-      OrNode(Seq(PhraseNode(Some("title"), Seq("a", "b"), 3.0),
+    assert(parse("""title:"a b"~2 c""") ==
+      OrNode(Seq(PhraseNode(Some("title"), Seq("a", "b"), 2),
         TermNode(None, "c", 1.0))))
     // a field named AND is a term, not an operator
     assert(parse("f:AND") == TermNode(Some("f"), "AND", 1.0))
   }
 
+  test("unary +/- modifiers build the boolean clause list; group " +
+    "boosts and mid-term wildcards parse") {
+    assert(parse("+a -b c") ==
+      BoolNode(Seq(TermNode(None, "a", 1.0)),
+        Seq(TermNode(None, "b", 1.0)),
+        Seq(TermNode(None, "c", 1.0))))
+    // modifiers bind whole clause-list elements, below OR
+    assert(parse("+(a b) -c^2") ==
+      BoolNode(Seq(OrNode(Seq(TermNode(None, "a", 1.0),
+        TermNode(None, "b", 1.0)))),
+        Seq(TermNode(None, "c", 2.0)), Seq.empty))
+    assert(parse("(a b)^2") ==
+      BoostNode(OrNode(Seq(TermNode(None, "a", 1.0),
+        TermNode(None, "b", 1.0))), 2.0))
+    assert(parse("d?ta*") == WildcardNode(None, "d?ta*", 1.0))
+    assert(parse("*lead") == WildcardNode(None, "*lead", 1.0))
+  }
+
   test("malformed input errors loudly (ES 400 contract): parens, " +
-    "operators, boosts, phrases, field prefixes") {
+    "operators, modifiers, boosts, phrases, field prefixes") {
     for (bad <- Seq("(a", "a)", "a AND", "OR a", "a OR", "NOT",
       "a ^", "a^x", "\"unclosed", "\"\"", "f:", "f:(a)", "a & b",
-      "a | b", ""))
+      "a | b", "", "+", "-", "a AND +b", "NOT -a", "\"a b\"^3",
+      "\"a b\"~2^3", "*", "?*", "a AND -b"))
       withClue(s"input: '$bad'") {
         intercept[IllegalArgumentException] { parse(bad) }
       }
@@ -182,10 +201,114 @@ class QueryStringSpec extends SparkSpec {
     assert(out.keySet == Set(1L, 2L, 4L, 5L))
     assert(out.values.forall(_ == ((3.0, 0L))), out)
     // doc3 ("spark join join") matches neither
-    for (bad <- Seq("a*b", "*lead", "term~3", "x~y"))
+    for (bad <- Seq("term~3", "x~y"))
       withClue(s"input: '$bad'") {
         intercept[IllegalArgumentException] { parse(bad) }
       }
+  }
+
+  test("wildcard leaves: the anchored automaton over the dictionary " +
+    "(mid-term ?, leading *), constant-score") {
+    val fields = stage()
+    // s?ark -> spark only (docs 1,2,3,5); *tream -> stream (doc 2)
+    val out = QueryString.search(spark, fields, "text",
+      "s?ark* *tream^3", 10)
+      .as[(Long, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 5L))
+    assert(out(2L) == ((1.0 + 3.0, 0L))) // spark + stream
+    assert(out(1L) == ((1.0, 0L)))
+  }
+
+  test("fuzzy leaves walk the dictionary SymSpell-BLOCKED: the " +
+    "blocked expansion equals the unblocked ground truth") {
+    val fields = stage()
+    val root = new java.io.File(fields.head._2)
+    val (_, segs, _) = SegmentedIndex.readManifest(root)
+    val dict = SegmentedIndex.dictFrame(spark, root, segs)
+      .select("term").distinct().as[String].collect().toSet
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = Seq(d(i - 1)(j) + 1, d(i)(j - 1) + 1,
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1)).min
+      d(a.length)(b.length)
+    }
+    // every (query, edits) pair: docs returned == docs holding a
+    // term within `edits` of the query (incl. SHORT terms at ~2 —
+    // explicit edits apply at any length, unlike Lucene-AUTO)
+    for ((q, e) <- Seq(("vektor", 1), ("joim", 1), ("jon", 2),
+      ("sprak", 2))) {
+      val expected = dict.filter(t => lev(t, q) <= e)
+      val viaQs = QueryString.search(spark, fields, "text",
+        s"$q~$e", 10).select("doc_id").as[Long].collect().toSet
+      val ground = corpus.collect()
+        .map(r => (r.getLong(0), r.getString(1).split(" ").toSet))
+        .collect { case (id, toks)
+          if toks.exists(expected.contains) => id }.toSet
+      withClue(s"$q~$e (expansions: $expected)") {
+        assert(viaQs == ground)
+      }
+    }
+  }
+
+  test("the boolean clause list executes Lucene's must/must_not/" +
+    "should rule; group boosts scale the group's score") {
+    val fields = stage()
+    // +spark -stream customer: must spark, not stream, customer
+    // optional-scoring
+    val out = QueryString.search(spark, fields, "text",
+      "+spark -stream customer", 10)
+      .as[(Long, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // doc2 has stream -> excluded; doc4 lacks spark -> excluded
+    assert(out.keySet == Set(1L, 3L, 5L))
+    assert(out(1L) == ((w(4) + w(4), 2L))) // spark + customer
+    assert(out(3L) == ((w(4), 1L)))        // spark alone
+    // pure-negative clause list: match-all-minus
+    val neg = QueryString.search(spark, fields, "text",
+      "-stream", 10).select("doc_id").as[Long].collect().toSet
+    assert(neg == Set(1L, 3L, 4L, 5L))
+    // group boost multiplies the group's whole score
+    val gb = QueryString.search(spark, fields, "text",
+      "(spark extra)^2", 10)
+      .as[(Long, Double, Long)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(gb(1L) == 2 * (w(4) + w(1)))
+    assert(gb(3L) == 2 * w(4))
+  }
+
+  test("phrase slop routes through the two-term move arithmetic: " +
+    "\"customer extra\"~1 matches the transposed-gap doc") {
+    val fields = stage()
+    // doc1: "spark join customer vector extra" — customer..extra has
+    // one intervening token (vector): gap 1 needs slop >= 1
+    val strict = QueryString.search(spark, fields, "text",
+      "\"customer extra\"", 10).select("doc_id")
+      .as[Long].collect().toSet
+    assert(strict.isEmpty)
+    val sloppy = QueryString.search(spark, fields, "text",
+      "\"customer extra\"~1", 10).select("doc_id")
+      .as[Long].collect().toSet
+    assert(sloppy == Set(1L))
+    // n-term sloppy phrases are the stated out-of-scope
+    intercept[IllegalArgumentException] {
+      QueryString.search(spark, fields, "text",
+        "\"a b c\"~1", 10)
+    }
+  }
+
+  test("mapped families must share one doc space (the negation-base " +
+    "precondition): mismatched corpora error loudly") {
+    val fields = stage()
+    val smallRoot = Files.createTempDirectory("graft-qs-s").toString
+    SegmentedIndex.append(spark, smallRoot,
+      corpus.filter(col("doc_id") < 3), "a", nBuckets = 4)
+    intercept[IllegalArgumentException] {
+      QueryString.search(spark,
+        fields :+ ("tiny" -> smallRoot), "text", "spark", 10)
+    }
   }
 
   test("duplicate clauses score twice; dropped clauses vanish " +

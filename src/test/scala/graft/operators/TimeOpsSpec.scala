@@ -100,4 +100,40 @@ class TimeOpsSpec extends SparkSpec {
       .select("doc_count").as[Long].collect().toSeq
     assert(out == Seq(2L))
   }
+
+  test("dateRange boundaries parse in the SESSION time zone (not " +
+    "the JVM default) and accept the ISO-8601 'T' separator") {
+    // ISO 'T' separator: same boundary as the space form
+    val iso = TimeOps.dateRange(evts, "t",
+      Seq(("d", Some("2024-04-01T00:00:00"), None)))
+      .select("doc_count").as[Long].collect().toSeq
+    assert(iso == Seq(2L))
+    // with the session zone moved 14h west of the stored instants'
+    // zone, the wall-clock boundary names a LATER instant: the
+    // 2024-04-01 00:00:00 boundary read in Pacific/Kiritimati
+    // (UTC+14) is 10:00 UTC the previous day — doc 3 (stored at
+    // 2024-04-01 00:00:00 session-default-zone) must still count
+    // under the SESSION zone's midnight, and a JVM-default parse
+    // would shift it out whenever the zones differ
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone",
+        "Pacific/Kiritimati")
+      // evts' timestamps were created under the JVM zone; recreate
+      // the frame under the session zone so data and boundary share
+      // one zone — the operator contract is "boundary wall-clock in
+      // session zone"
+      val d = Seq((1L, "2024-03-31 23:59:59"),
+        (2L, "2024-04-01 00:00:00"))
+        .toDF("id", "s")
+        .selectExpr("id", "to_timestamp(s) AS t")
+      val out = TimeOps.dateRange(d, "t",
+        Seq(("d", Some("2024-04-01"), None)))
+        .select("doc_count").as[Long].collect().toSeq
+      // exactly the on-or-after-session-midnight row counts
+      assert(out == Seq(1L))
+    } finally {
+      spark.conf.set("spark.sql.session.timeZone", prevTz)
+    }
+  }
 }
