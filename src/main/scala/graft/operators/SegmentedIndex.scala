@@ -143,28 +143,46 @@ object SegmentedIndex {
       .find(_.startsWith("cf=")).map(_.stripPrefix("cf="))
   }
 
-  private def cfPairOf(root: java.io.File): Option[(String, String)] =
+  /** The completion mapping parsed: (input field, weight field,
+    * optional CONTEXT field) — the third component is ES's
+    * completion CONTEXTS (category contexts: each suggestion carries
+    * a context value and a suggest request may filter on one).
+    * Two-part headers (pre-context indexes) parse with no context —
+    * the artifact schema evolution is the read-side explicit schema
+    * (missing `ctx` columns read as null). */
+  private def cfTripleOf(root: java.io.File)
+      : Option[(String, String, Option[String])] =
     cfHeaderOf(root).map { h =>
       h.split(":", -1) match {
-        case Array(in, w) => (in, w)
+        case Array(in, w)      => (in, w, None)
+        case Array(in, w, ctx) => (in, w, Some(ctx))
         case _ => throw new IllegalArgumentException(
           s"malformed cf= manifest header '$h' at $root")
       }
     }
 
+  private def cfPairOf(root: java.io.File): Option[(String, String)] =
+    cfTripleOf(root).map(t => (t._1, t._2))
+
   /** Serialize + validate a completion-field mapping for the `cf=`
     * header. Plain identifier names only — the header is one line of
     * a text manifest and the fields must be addressable columns. */
-  private def cfSpec(cf: (String, String)): String = {
-    Seq(cf._1, cf._2).foreach(f => require(f.matches("[A-Za-z0-9_]+"),
-      s"completion-field names must match [A-Za-z0-9_]+: '$f'"))
-    s"${cf._1}:${cf._2}"
+  private def cfSpec(cf: (String, String),
+                     ctx: Option[String] = None): String = {
+    (Seq(cf._1, cf._2) ++ ctx.toSeq).foreach(f =>
+      require(f.matches("[A-Za-z0-9_]+"),
+        s"completion-field names must match [A-Za-z0-9_]+: '$f'"))
+    (Seq(cf._1, cf._2) ++ ctx.toSeq).mkString(":")
   }
 
   /** The index's completion-field mapping — public introspection
     * (ES's `GET /idx/_mapping` for the completion field). */
   def completionFieldOf(rootDir: String): Option[(String, String)] =
     cfPairOf(new java.io.File(rootDir))
+
+  /** The completion mapping's CONTEXT field, when mapped. */
+  def completionContextOf(rootDir: String): Option[String] =
+    cfTripleOf(new java.io.File(rootDir)).flatMap(_._3)
 
   /** The federation PRECONDITION, enforced: every multi-index reader
     * that analyzes query terms does so ONCE with the first index's
@@ -324,7 +342,8 @@ object SegmentedIndex {
   def append(spark: SparkSession, rootDir: String, docs: DataFrame,
              batchKey: String, nBuckets: Int = 8,
              analyzer: String = Analyzer.Whitespace.name,
-             completionField: Option[(String, String)] = None): Unit = {
+             completionField: Option[(String, String)] = None,
+             completionContext: Option[String] = None): Unit = {
     val root = new java.io.File(rootDir)
     root.mkdirs()
     // an EXISTING index's analyzer always wins — all segments of an
@@ -338,9 +357,11 @@ object SegmentedIndex {
     // the completion MAPPING follows the same contract: an existing
     // index's mapping wins (every segment carries the same artifact —
     // ES's mapping immutability), the parameter binds on first commit
-    val cf =
-      if (hasManifest(root)) cfPairOf(root)
-      else completionField.map { p => cfSpec(p); p }
+    val cf: Option[(String, String, Option[String])] =
+      if (hasManifest(root)) cfTripleOf(root)
+      else completionField.map { p =>
+        cfSpec(p, completionContext); (p._1, p._2, completionContext)
+      }
     val (nb, segs, gen) =
       if (hasManifest(root)) readManifest(root)
       else (nBuckets, Seq.empty[Seg], 0L)
@@ -357,12 +378,12 @@ object SegmentedIndex {
           .partitionBy("tb").parquet(tmp.getPath)
         writeStored(d, tmp, nb)
         writeDict(d.sparkSession, tmp, nb)
-        cf.foreach(writeCField(d, tmp, nb, an, _))
+        cf.foreach(t => writeCField(d, tmp, nb, an, (t._1, t._2), t._3))
     }
     d.unpersist()
     writeManifest(root, nb,
       segs :+ Seg("seg", name, stats.getLong(0), stats.getLong(1)), gen,
-      Some(anName), cf.map(cfSpec))
+      Some(anName), cf.map(t => cfSpec((t._1, t._2), t._3)))
   }
 
   /** Per-segment TERM DICTIONARY — Lucene's terms index: (term,
@@ -515,7 +536,12 @@ object SegmentedIndex {
     org.apache.spark.sql.types.StructField("weight",
       org.apache.spark.sql.types.LongType),
     org.apache.spark.sql.types.StructField("doc_id",
-      org.apache.spark.sql.types.LongType)))
+      org.apache.spark.sql.types.LongType),
+    // the CONTEXT value (ES's completion category contexts); null on
+    // context-less mappings — pre-context artifacts lack the column
+    // entirely and the read-side explicit schema fills null
+    org.apache.spark.sql.types.StructField("ctx",
+      org.apache.spark.sql.types.StringType)))
 
   private val CFieldSchema = org.apache.spark.sql.types.StructType(
     CFieldRowSchema.fields :+ org.apache.spark.sql.types.StructField(
@@ -548,8 +574,13 @@ object SegmentedIndex {
     * directory never trips parquet schema inference. */
   private def writeCField(d: DataFrame, segTmp: java.io.File,
                           nTasks: Int, an: Analyzer.Chain,
-                          cf: (String, String)): Unit = {
+                          cf: (String, String),
+                          ctxF: Option[String] = None): Unit = {
     val (inF, wF) = cf
+    val ctxCol = ctxF match {
+      case Some(c) if d.columns.contains(c) => col(c).cast("string")
+      case _ => lit(null).cast("string")
+    }
     val rows =
       if (!d.columns.contains(inF) || !d.columns.contains(wF))
         d.sparkSession.createDataFrame(
@@ -558,7 +589,8 @@ object SegmentedIndex {
       else d.select(
         (if (an.lowercase) lower(col(inF)) else col(inF)).as("input"),
         col(wF).cast("long").as("weight"),
-        col("doc_id").cast("long").as("doc_id"))
+        col("doc_id").cast("long").as("doc_id"),
+        ctxCol.as("ctx"))
         .filter(col("input").isNotNull && col("weight").isNotNull &&
           length(col("input")) > 0)
     rows
@@ -1046,6 +1078,85 @@ object SegmentedIndex {
         sum("doc_count").as("bsum"),
         (sum("doc_count").cast("double") /
           count(lit(1)).cast("double")).as("bavg"))
+
+  /** `normalize` pipeline agg — ES's per-bucket rescaling of a
+    * sibling metric series (here doc_count), the two EXACT-arithmetic
+    * methods: `percent_of_sum` (value / Σ values — one division of
+    * exactly-representable longs per bucket, bit-stable) and
+    * `rescale_0_1` ((value − min) / (max − min); a CONSTANT series
+    * rescales to 0.0, pinned — ES's division by zero there is NaN,
+    * and this engine's hash-oracle surface does not carry NaNs).
+    * The softmax / z-score methods are libm (exp/sqrt chains over
+    * many terms) and deliberately out (stated — the q43 posture).
+    * The series stats are ONE single-row aggregate broadcast back
+    * (the [[linearFusion]] frame shape); everything else is a
+    * projection over the bucket series. Output: (bucket, doc_count,
+    * normalized), bucket-ascending. */
+  def normalizeFacet(spark: SparkSession, rootDir: String,
+                     terms: Seq[String], field: String,
+                     interval: Long, method: String): DataFrame = {
+    require(Set("percent_of_sum", "rescale_0_1")(method),
+      s"unsupported normalize method: $method (percent_of_sum | " +
+        "rescale_0_1; softmax/z-score are libm and stated out)")
+    val h = histogramFacet(spark, rootDir, terms, field, interval)
+    val stats = h.agg(sum("doc_count").as("nsum"),
+      min("doc_count").as("nmin"), max("doc_count").as("nmax"))
+    val normalized = method match {
+      case "percent_of_sum" =>
+        col("doc_count").cast("double") / col("nsum").cast("double")
+      case _ =>
+        when(col("nmax") === col("nmin"), lit(0.0d))
+          .otherwise((col("doc_count") - col("nmin")).cast("double") /
+            (col("nmax") - col("nmin")).cast("double"))
+    }
+    h.crossJoin(broadcast(stats))
+      .withColumn("normalized", normalized)
+      .select("bucket", "doc_count", "normalized")
+      .orderBy("bucket")
+  }
+
+  /** `moving_percentiles` — ES's sliding-window percentile pipeline
+    * agg, EXACT where ES folds TDigest sketches (the engine's
+    * standing exact-where-ES-approximates stance): over the trailing
+    * `window` buckets (current included — the [[
+    * histogramPipelineFacet]] moving_avg window), the interpolated
+    * percentile of the doc_count series at `percent`, computed by
+    * the standard linear rule on the sorted window
+    *
+    *   rank = (percent/100)·(n−1);  v = a[⌊rank⌋] +
+    *     (a[⌈rank⌉] − a[⌊rank⌋])·(rank − ⌊rank⌋)
+    *
+    * — the exact expression shape stated so the oracle mirrors it
+    * op-for-op (subtraction on longs, one multiply, one add). The
+    * window is bucket-series-sized (the pipeline-agg reduce-phase
+    * contract — [[histogramPipelineFacet]]'s scale note). Output:
+    * (bucket, doc_count, moving_pct), bucket-ascending. */
+  def movingPercentilesFacet(spark: SparkSession, rootDir: String,
+                             terms: Seq[String], field: String,
+                             interval: Long, window: Int,
+                             percent: Double): DataFrame = {
+    require(window >= 1, s"window must be >= 1: $window")
+    require(percent > 0.0 && percent < 100.0,
+      s"percent must be in (0, 100): $percent")
+    val wMov = org.apache.spark.sql.expressions.Window
+      .orderBy(asc("bucket"))
+      .rowsBetween(-(window - 1).toLong, 0)
+    val arr = sort_array(collect_list(col("doc_count")).over(wMov))
+    histogramFacet(spark, rootDir, terms, field, interval)
+      .withColumn("warr", arr)
+      .withColumn("rank",
+        lit(percent / 100.0) *
+          (size(col("warr")) - lit(1)).cast("double"))
+      .withColumn("lo", floor(col("rank")).cast("int"))
+      .withColumn("hi", ceil(col("rank")).cast("int"))
+      .withColumn("moving_pct",
+        element_at(col("warr"), col("lo") + 1).cast("double") +
+          (element_at(col("warr"), col("hi") + 1) -
+            element_at(col("warr"), col("lo") + 1)).cast("double") *
+          (col("rank") - col("lo").cast("double")))
+      .select("bucket", "doc_count", "moving_pct")
+      .orderBy("bucket")
+  }
 
   /** `bucket_script` — ES's general-arithmetic pipeline agg: each
     * histogram bucket carries sibling METRICS (here per-bucket sums
@@ -1878,7 +1989,9 @@ object SegmentedIndex {
     * Output: (input, weight). */
   def completionFieldSuggest(spark: SparkSession, rootDir: String,
                              inputField: String, weightField: String,
-                             prefix: String, k: Int): DataFrame = {
+                             prefix: String, k: Int,
+                             context: Option[String] = None)
+      : DataFrame = {
     require(prefix.nonEmpty, "completionFieldSuggest needs a prefix")
     import spark.implicits._
     val root = new java.io.File(rootDir)
@@ -1888,8 +2001,17 @@ object SegmentedIndex {
     val live = segs.filter(_.kind == "seg")
     if (live.isEmpty)
       return Seq.empty[(String, Long)].toDF("input", "weight")
-    val mapped = cfHeaderOf(root)
-      .contains(s"$inputField:$weightField")
+    val triple = cfTripleOf(root)
+    val mapped = triple.exists(t =>
+      t._1 == inputField && t._2 == weightField)
+    // a CONTEXT-filtered suggest requires the mapping to declare a
+    // context field (ES rejects a context query against a
+    // context-less completion mapping) — loud, never silently empty
+    require(context.isEmpty || triple.exists(_._3.nonEmpty),
+      "context-filtered suggest needs a completion mapping with a " +
+        s"context field (mapping: ${triple.map(t =>
+          cfSpec((t._1, t._2), t._3)).getOrElse("none")})")
+    val ctxField = triple.flatMap(_._3)
     // the stored-scan read for ONE segment — the fallback plan (and
     // the whole plan on an unmapped index): column-pruned to the two
     // fields, normalized and prefix-filtered on read. A segment whose
@@ -1900,13 +2022,18 @@ object SegmentedIndex {
         new java.io.File(root, sg.name), "_stored").getPath)
       if (!st.columns.contains(inputField) ||
         !st.columns.contains(weightField))
-        return Seq.empty[(String, Long, Long)]
-          .toDF("input", "weight", "doc_id")
+        return Seq.empty[(String, Long, Long, String)]
+          .toDF("input", "weight", "doc_id", "ctx")
       st.select(
         (if (an.lowercase) lower(col(inputField))
          else col(inputField)).as("input"),
         col(weightField).cast("long").as("weight"),
-        col("doc_id").cast("long").as("doc_id"))
+        col("doc_id").cast("long").as("doc_id"),
+        (ctxField match {
+          case Some(c) if st.columns.contains(c) =>
+            col(c).cast("string")
+          case _ => lit(null).cast("string")
+        }).as("ctx"))
         .filter(col("input").isNotNull && col("weight").isNotNull &&
           col("input").startsWith(px))
     }
@@ -1919,10 +2046,13 @@ object SegmentedIndex {
           spark.read.schema(CFieldSchema).parquet(cdir.getPath)
             .filter(col("pb") === lit(pb) &&
               col("input").startsWith(px))
-            .select("input", "weight", "doc_id")
+            .select("input", "weight", "doc_id", "ctx")
         else storedSlice(sg)
       slice.withColumn("seg", lit(sg.name.stripPrefix("seg=")))
     }.reduce(_ unionByName _)
+      // the context filter applies on the pruned candidate slice —
+      // candidate-sized, never corpus-sized
+      .transform(c => context.fold(c)(v => c.filter(col("ctx") === lit(v))))
     val liveCand = tombstones(spark, root, segs) match {
       case Some(dead) =>
         cand.join(dead, Seq("doc_id", "seg"), "left_anti")
@@ -2350,6 +2480,156 @@ object SegmentedIndex {
       .select("doc_id", "score")
       .orderBy(desc("score"), asc("doc_id"))
       .limit(k)
+  }
+
+  /** NESTED documents — ES's `nested` mapping + query, the most-used
+    * relation feature in real mappings (object-array fields whose
+    * sub-objects must match queries INDIVIDUALLY, not as a blended
+    * bag): Lucene indexes each sub-object as a HIDDEN SUB-DOCUMENT in
+    * the parent's block, and a `nested: {path, query}` matches a
+    * parent iff SOME single sub-document satisfies the whole inner
+    * query — field A of one sub-object plus field B of another must
+    * NOT match (the entire point of `nested` vs a flattened
+    * `object`). The reference delegates exactly this to ES
+    * (`api/controllers/elastic_controller.go:184-250` indexes; the
+    * nested query is ES `_search` semantics).
+    *
+    * This engine mirrors Lucene's layout Spark-first: the nested path
+    * is its OWN segment family whose docs are the sub-documents
+    * (doc_id = a synthetic nested id), each stored row carrying
+    * `parent_id` and `ord` (the block-position column — Lucene's
+    * parent bitset lifted into two stored columns). Because every
+    * sub-document is a real doc in that family, the inner query —
+    * scoring terms plus an optional stored-field equality
+    * (`storedEq`, the `term` filter on a nested field) — evaluates
+    * PER SUB-DOCUMENT by construction, which is precisely the
+    * block-scoped matching rule. Term statistics (N, df) are the
+    * nested family's own, exactly Lucene's (sub-documents are real
+    * docs in the same index; ES's BM25 stats there count them).
+    *
+    * Block deletes follow Lucene: deleting a parent tombstones its
+    * whole block in the nested family (the fixture's delete batches
+    * do both), and parent liveness is ALSO checked against the
+    * parent family (`parentRootDir`) — a dead parent cannot be
+    * resurrected by a stale nested block (the has_child q285 rule).
+    *
+    * `scoreMode` none/max — the order-free subset ([[hasChildSearch]]
+    * states why sum/avg are out). Plan shape: the inner hits come off
+    * the nested family's pruned postings; the relation columns are
+    * ONE column-pruned stored read; only MATCHED sub-documents
+    * shuffle (grouped by parent); parent liveness is a semi-join
+    * against the parent family's live id set. Output: (doc_id,
+    * score, n_nested_matched), top-k by (score desc, doc_id). */
+  def nestedQuery(spark: SparkSession, nestedRootDir: String,
+                  parentRootDir: String, terms: Seq[String],
+                  storedEq: Option[(String, String)], scoreMode: String,
+                  k: Int, parentIdField: String = "parent_id")
+      : DataFrame = {
+    require(Set("none", "max")(scoreMode),
+      s"unsupported nested score_mode: $scoreMode (none | max)")
+    val matched = nestedMatched(spark, nestedRootDir, terms, storedEq,
+      parentIdField)
+    val byParent = matched
+      .groupBy(col("pid").as("doc_id"))
+      .agg(count(lit(1)).as("n_nested_matched"),
+        max("score").as("nmax"))
+    byParent
+      .join(liveIds(spark, parentRootDir), Seq("doc_id"), "left_semi")
+      .withColumn("score",
+        if (scoreMode == "max") col("nmax") else lit(0.0d))
+      .select("doc_id", "score", "n_nested_matched")
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
+
+  /** `inner_hits` for [[nestedQuery]]: the matched SUB-DOCUMENTS
+    * themselves (which sub-object hit, not just which parent) —
+    * (doc_id = parent, ord, score), top-k by (score desc, doc_id,
+    * ord). Same plan as the query; parents filtered live the same
+    * way. */
+  def nestedInnerHits(spark: SparkSession, nestedRootDir: String,
+                      parentRootDir: String, terms: Seq[String],
+                      storedEq: Option[(String, String)], k: Int,
+                      parentIdField: String = "parent_id",
+                      ordField: String = "ord"): DataFrame =
+    nestedMatched(spark, nestedRootDir, terms, storedEq,
+      parentIdField, Seq(ordField))
+      .select(col("pid").as("doc_id"), col(ordField), col("score"))
+      .join(liveIds(spark, parentRootDir), Seq("doc_id"), "left_semi")
+      .orderBy(desc("score"), asc("doc_id"), asc(ordField))
+      .limit(k)
+
+  /** The `nested` AGGREGATION — ES's `aggs: { nested: { path },
+    * aggs: { terms: { field } } }`: bucket the SUB-DOCUMENTS of the
+    * parents matching an outer query by a nested field. The outer
+    * query runs on the parent family; live nested rows under those
+    * parents bucket in one column-pruned stored read + semi-join.
+    * Output: (value, doc_count), top-k by (doc_count desc, value). */
+  def nestedFacet(spark: SparkSession, parentRootDir: String,
+                  nestedRootDir: String, outerTerms: Seq[String],
+                  bucketField: String, kBuckets: Int,
+                  parentIdField: String = "parent_id"): DataFrame = {
+    val parents = scoredHits(spark, parentRootDir, outerTerms)
+      .select("doc_id")
+    val root = new java.io.File(nestedRootDir)
+    val (_, segs, _) = readManifest(root)
+    val stored = storedFrame(spark, root, segs)
+      .select(col("doc_id"), col(parentIdField).as("pid"),
+        col(bucketField).as("value"), col("seg"))
+    val live = tombstones(spark, root, segs) match {
+      case Some(dd) => stored.join(dd, Seq("doc_id", "seg"), "left_anti")
+      case None     => stored
+    }
+    live
+      .join(parents.withColumnRenamed("doc_id", "pid"),
+        Seq("pid"), "left_semi")
+      .filter(col("value").isNotNull)
+      .groupBy("value")
+      .agg(count(lit(1)).as("doc_count"))
+      .orderBy(desc("doc_count"), asc("value"))
+      .limit(kBuckets)
+  }
+
+  /** Shared inner-query evaluation for the nested family: live
+    * scoring hits of `terms`, optionally gated by a stored-field
+    * equality ON THE SAME SUB-DOCUMENT (the block-isolation rule),
+    * joined to the relation columns. Returns (doc_id = nested id,
+    * pid, score [, extra stored columns]). */
+  private def nestedMatched(spark: SparkSession, nestedRootDir: String,
+      terms: Seq[String], storedEq: Option[(String, String)],
+      parentIdField: String, extraCols: Seq[String] = Seq.empty)
+      : DataFrame = {
+    val root = new java.io.File(nestedRootDir)
+    val (_, segs, _) = readManifest(root)
+    val cols = Seq(col("doc_id"), col(parentIdField).as("pid"),
+      col("seg")) ++ storedEq.map(e => col(e._1)).toSeq ++
+      extraCols.map(col)
+    val stored = storedFrame(spark, root, segs).select(cols: _*)
+    val live = tombstones(spark, root, segs) match {
+      case Some(dd) => stored.join(dd, Seq("doc_id", "seg"), "left_anti")
+      case None     => stored
+    }
+    val gated = storedEq match {
+      case Some((f, v)) => live.filter(col(f) === lit(v))
+      case None         => live
+    }
+    scoredHits(spark, nestedRootDir, terms)
+      .select("doc_id", "score")
+      .join(gated.filter(col("pid").isNotNull), Seq("doc_id"))
+  }
+
+  /** The live doc-id set of a family — one id-column stored read,
+    * tombstone anti-joined. */
+  private def liveIds(spark: SparkSession, rootDir: String)
+      : DataFrame = {
+    val root = new java.io.File(rootDir)
+    val (_, segs, _) = readManifest(root)
+    val stored = storedFrame(spark, root, segs)
+      .select("doc_id", "seg")
+    (tombstones(spark, root, segs) match {
+      case Some(dd) => stored.join(dd, Seq("doc_id", "seg"), "left_anti")
+      case None     => stored
+    }).select("doc_id").distinct()
   }
 
   /** `t_test` — ES's two-sample statistical agg (heteroscedastic /
@@ -2847,6 +3127,184 @@ object SegmentedIndex {
       .select("doc_id", "score", "n_fields_hit")
       .orderBy(desc("score"), asc("doc_id"))
       .limit(k)
+  }
+
+  /** The dis_max fold shared by the multi_match family: per-field
+    * score frames (doc_id, s_i) meet in full-outer joins; combined =
+    * best + tieBreaker·(total − best) (tieBreaker 1.0 degenerates to
+    * the most_fields sum); n_fields_hit counts matching fields. */
+  private def disMaxCombine(frames: Seq[DataFrame],
+      tieBreaker: Double, k: Int): DataFrame = {
+    val joined = frames
+      .reduce((a, b) => a.join(b, Seq("doc_id"), "full_outer"))
+    val hitFlags = frames.indices
+      .map(i => when(col(s"s_$i").isNotNull, lit(1L)).otherwise(lit(0L)))
+    val scores = frames.indices
+      .map(i => coalesce(col(s"s_$i"), lit(0.0d)))
+    val total = scores.reduce(_ + _)
+    val best =
+      if (scores.size == 1) scores.head else greatest(scores: _*)
+    joined
+      .withColumn("score", best + lit(tieBreaker) * (total - best))
+      .withColumn("n_fields_hit", hitFlags.reduce(_ + _))
+      .select("doc_id", "score", "n_fields_hit")
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
+
+  /** `multi_match` type `phrase` / `phrase_prefix` — ES's per-field
+    * phrase tier (the [[multiMatchSearch]] compositions r16 left
+    * out): the words run as a `match_phrase` ([[phraseSearch]]) or
+    * `match_phrase_prefix` ([[phrasePrefixSearch]], last word the
+    * prefix) PER FIELD — each field analyzing with its own chain and
+    * expanding against its own dictionary — and the per-field scores
+    * fold through dis_max (ES's combinator for both types).
+    *
+    * SCORING CONVENTION, pinned: the phrase is a PSEUDO-TERM —
+    * per field, score = n_occurrences · (N_f / df_phrase_f), where
+    * n_occurrences is the doc's exact phrase count (Lucene's phrase
+    * freq) and df_phrase_f counts the field's LIVE matching docs —
+    * EXACT phrase statistics where Lucene estimates them from term
+    * stats (the same exact-where-ES-approximates stance as
+    * [[combinedFieldsSearch]]'s df). The df is one count aggregated
+    * from the phrase frame itself and broadcast back (a single-row
+    * frame — the [[linearFusion]] shape), so the plan stays one
+    * anchor-count pass per field. Output: (doc_id, score,
+    * n_fields_hit), top-k by (score desc, doc_id). */
+  def multiMatchPhraseSearch(spark: SparkSession,
+                             fields: Seq[(String, String)],
+                             words: Seq[String], matchType: String,
+                             tieBreaker: Double, k: Int): DataFrame = {
+    require(fields.nonEmpty, "multiMatchPhrase needs fields")
+    require(fields.map(_._1).distinct.size == fields.size,
+      "duplicate fields")
+    require(Set("phrase", "phrase_prefix")(matchType),
+      s"unsupported type: $matchType (phrase | phrase_prefix)")
+    require(tieBreaker >= 0.0 && tieBreaker <= 1.0,
+      s"tieBreaker must be in [0, 1]: $tieBreaker")
+    require(words.size >= 2,
+      "multi_match phrase needs at least two words " +
+        "(a one-word phrase is a term / prefix query)")
+    val frames = fields.zipWithIndex.map { case ((_, rootDir), i) =>
+      val (_, segs, _) = readManifest(new java.io.File(rootDir))
+      val nDocs = segs.filter(_.kind == "seg").map(_.nDocs).sum
+      val ph = matchType match {
+        case "phrase" => phraseSearch(spark, rootDir, words)
+        case _ => phrasePrefixSearch(spark, rootDir,
+          words.init, words.last)
+      }
+      val dfRow = ph.agg(count(lit(1)).as("dfp"))
+      ph.crossJoin(broadcast(dfRow))
+        .select(col("doc_id"),
+          (col("n_occurrences").cast("double") *
+            (lit(nDocs).cast("double") / col("dfp").cast("double")))
+            .as(s"s_$i"))
+    }
+    disMaxCombine(frames, tieBreaker, k)
+  }
+
+  /** `match` with `fuzziness` — ES's typo-tolerant match (the other
+    * r16-noted composition): each query term expands against the
+    * TERM DICTIONARY through the same SymSpell deletion-variant
+    * blocking as [[fuzzySearch]] (Lucene-AUTO allowance: two edits
+    * only for query terms of length ≥ 6), then every live doc sums
+    * tf·(N/df) over its matched (query-term, expansion) PAIRS — a
+    * term reached by two query terms contributes once per pair,
+    * ES's per-clause sum. No distance damping (the [[fuzzySearch]]
+    * convention, stated: Lucene's fuzzy boost is 1 − d/len, this
+    * engine keeps expansion scores exact and undamped).
+    * Contributions fold as FIXED-ORDER pivoted sums over the sorted
+    * pair list (the scoreLive discipline — deterministic doubles);
+    * `n_terms_hit` counts query terms with ≥ 1 matched expansion.
+    * Output: (doc_id, score, n_terms_hit), top-k. */
+  def matchFuzzySearch(spark: SparkSession, rootDir: String,
+                       terms: Seq[String], maxDist: Int,
+                       k: Int): DataFrame =
+    matchFuzzyHits(spark, rootDir, terms, maxDist)
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+
+  /** `multi_match` with `fuzziness`: [[matchFuzzySearch]] per field
+    * (each field's own chain, dictionary and statistics), dis_max on
+    * top. Output: (doc_id, score, n_fields_hit), top-k. */
+  def multiMatchFuzzySearch(spark: SparkSession,
+                            fields: Seq[(String, String)],
+                            terms: Seq[String], maxDist: Int,
+                            tieBreaker: Double, k: Int): DataFrame = {
+    require(fields.nonEmpty, "multiMatchFuzzy needs fields")
+    require(fields.map(_._1).distinct.size == fields.size,
+      "duplicate fields")
+    require(tieBreaker >= 0.0 && tieBreaker <= 1.0,
+      s"tieBreaker must be in [0, 1]: $tieBreaker")
+    val frames = fields.zipWithIndex.map { case ((_, rootDir), i) =>
+      matchFuzzyHits(spark, rootDir, terms, maxDist)
+        .select(col("doc_id"), col("score").as(s"s_$i"))
+    }
+    disMaxCombine(frames, tieBreaker, k)
+  }
+
+  /** [[matchFuzzySearch]]'s unranked frame: (doc_id, score,
+    * n_terms_hit) for every matching live doc. */
+  private def matchFuzzyHits(spark: SparkSession, rootDir: String,
+      terms: Seq[String], maxDist: Int): DataFrame = {
+    require(maxDist == 1 || maxDist == 2,
+      s"maxDist must be 1 or 2: $maxDist")
+    import spark.implicits._
+    val root = new java.io.File(rootDir)
+    val an0 = readAnalyzer(root)
+    val qn = terms.map(Analyzer.normalize(an0, _)).distinct
+    val (nb, segs, _) = readManifest(root)
+    val nDocs = segs.filter(_.kind == "seg").map(_.nDocs).sum
+    val vocab = dictFrame(spark, root, segs).select("term").distinct()
+    def del1(s: String): Seq[String] =
+      s +: s.indices.map(i => s.take(i) + s.drop(i + 1))
+    def variants(s: String): Seq[String] =
+      if (maxDist == 2 && s.length >= 6)
+        (del1(s) ++ del1(s).flatMap(del1)).distinct
+      else del1(s)
+    val qv = qn.flatMap(t => variants(t).map(v => (t, v))).distinct
+      .toDF("q_term", "v")
+    // query-bounded collect (the fuzzySearch pass-1 posture): the
+    // pair set is |query terms| × ≤ a few expansions each
+    val pairs = vocab
+      .withColumn("v", explode(expr(Fuzzy.delAutoExpr("term", maxDist))))
+      .join(broadcast(qv), "v")
+      .filter(levenshtein(col("term"), col("q_term")) <=
+        when(length(col("q_term")) >= 6, lit(maxDist)).otherwise(lit(1)))
+      .select("q_term", "term").distinct()
+      .collect().map(r => (r.getString(0), r.getString(1)))
+      .toSeq.sorted
+    if (pairs.isEmpty)
+      return Seq.empty[(Long, Double, Long)]
+        .toDF("doc_id", "score", "n_terms_hit")
+    val matched = pairs.map(_._2).distinct
+    val p = prunedPostings(spark, root, segs, matched, nb)
+    val dfreq = p.groupBy("term").agg(count(lit(1)).as("doc_freq"))
+    val live = tombstones(spark, root, segs) match {
+      case Some(dead) =>
+        p.join(dead, Seq("doc_id", "seg"), "left_anti")
+      case None => p
+    }
+    val contribs = pairs.zipWithIndex.map { case ((_, t), i) =>
+      sum(when(col("term") === lit(t),
+        col("tf").cast("double") *
+          (lit(nDocs).cast("double") / col("doc_freq").cast("double")))
+        .otherwise(lit(0.0d))).as(s"c_$i")
+    }
+    val score = pairs.indices.map(i => col(s"c_$i")).reduce(_ + _)
+    // one flag per QUERY term: any of its pairs matched
+    val byQ = pairs.zipWithIndex.groupBy(_._1._1)
+    val nHit = qn.flatMap(q => byQ.get(q).map { ps =>
+        val anyHit = ps.map { case (_, i) => col(s"c_$i") > lit(0.0d) }
+          .reduce(_ || _)
+        when(anyHit, lit(1L)).otherwise(lit(0L))
+      }).reduceOption(_ + _).getOrElse(lit(0L))
+    live.join(dfreq, "term")
+      .groupBy("doc_id")
+      .agg(contribs.head, contribs.tail: _*)
+      .withColumn("score", score)
+      .withColumn("n_terms_hit", nHit)
+      .select("doc_id", "score", "n_terms_hit")
   }
 
   /** Span-first query — Lucene/ES's `span_first` ("the term within
@@ -4001,7 +4459,8 @@ object SegmentedIndex {
     // completion mapping migrates with the index (its artifact
     // regenerates under the destination's chain inside append).
     createIndex(dstDir, nBuckets,
-      analyzer.getOrElse(analyzerNameOf(root)), cfPairOf(root))
+      analyzer.getOrElse(analyzerNameOf(root)), cfPairOf(root),
+      cfTripleOf(root).flatMap(_._3))
     append(spark, dstDir, live.drop("seg"), "reindex", nBuckets)
   }
 
@@ -4011,7 +4470,8 @@ object SegmentedIndex {
     * Idempotent — an existing index is left untouched. */
   def createIndex(rootDir: String, nBuckets: Int = 8,
                   analyzer: String = Analyzer.Whitespace.name,
-                  completionField: Option[(String, String)] = None)
+                  completionField: Option[(String, String)] = None,
+                  completionContext: Option[String] = None)
       : Unit = {
     val root = new java.io.File(rootDir)
     root.mkdirs()
@@ -4020,7 +4480,7 @@ object SegmentedIndex {
     val an = Analyzer.byName(analyzer)
     if (!hasManifest(root))
       writeManifest(root, nBuckets, Seq.empty, 0L, Some(an.name),
-        completionField.map(cfSpec))
+        completionField.map(cfSpec(_, completionContext)))
   }
 
   /** Rollover — ES's `_rollover`, the first step of every index
@@ -4042,7 +4502,8 @@ object SegmentedIndex {
     val next = f"$stem-${n + 1}%06d"
     // the fresh family member inherits bucket count, analyzer AND
     // completion mapping
-    createIndex(next, nb, analyzerNameOf(root), cfPairOf(root))
+    createIndex(next, nb, analyzerNameOf(root), cfPairOf(root),
+      cfTripleOf(root).flatMap(_._3))
     setAlias(aliasPath, next)
     true
   }
@@ -4209,7 +4670,8 @@ object SegmentedIndex {
           .partitionBy("tb").parquet(tmp.getPath)
         writeStored(d, tmp, nb)
         writeDict(d.sparkSession, tmp, nb)
-        cfPairOf(root).foreach(writeCField(d, tmp, nb, an, _))
+        cfTripleOf(root).foreach(t =>
+          writeCField(d, tmp, nb, an, (t._1, t._2), t._3))
     }
     d.unpersist()
     writeManifest(root, nb,
@@ -6329,8 +6791,9 @@ object SegmentedIndex {
         // segment (tombstones are NOT applied here — the run is
         // del-free and later dels still anti-join at serve time, the
         // same contract as the merged postings)
-        cfPairOf(root).foreach(
-          writeCField(st, tmp, nb, readAnalyzer(root), _))
+        cfTripleOf(root).foreach(t =>
+          writeCField(st, tmp, nb, readAnalyzer(root),
+            (t._1, t._2), t._3))
     }
     writeManifest(root, nb,
       segs.take(start) ++
@@ -6385,8 +6848,9 @@ object SegmentedIndex {
         // the merged segment's completion-field artifact derives from
         // the SURVIVING stored fields — the merge is where tombstoned
         // docs' suggestions physically leave the artifact
-        cfPairOf(root).foreach(writeCField(storedLive.drop("seg"),
-          tmp, nb, readAnalyzer(root), _))
+        cfTripleOf(root).foreach(t =>
+          writeCField(storedLive.drop("seg"), tmp, nb,
+            readAnalyzer(root), (t._1, t._2), t._3))
     }
     merged.unpersist()
     writeManifest(root, nb,

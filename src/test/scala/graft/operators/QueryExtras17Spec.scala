@@ -67,4 +67,257 @@ class QueryExtras17Spec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSeq
     assert(out.nonEmpty)
   }
+
+  // ---- multi_match phrase / phrase_prefix / fuzziness ----
+
+  private def metaIndex(): String = {
+    val root = Files.createTempDirectory("graft-sx17m").toString
+    val meta = corpus.withColumn("text",
+      concat_ws(" ", col("source"), col("lang")))
+    SegmentedIndex.append(spark, root,
+      meta.filter(col("doc_id") <= 3), "a", nBuckets = 4)
+    SegmentedIndex.append(spark, root,
+      meta.filter(col("doc_id") > 3), "b")
+    root
+  }
+
+  test("multiMatchPhraseSearch: per-field exact phrase statistics, " +
+    "dis_max fold; phrase_prefix expands the last word per field") {
+    val fields = Seq("text" -> freshIndex(), "meta" -> metaIndex())
+    // "customer vector" adjacent: docs 1, 2, 4 (text); meta never
+    val out = SegmentedIndex.multiMatchPhraseSearch(spark, fields,
+      Seq("customer", "vector"), "phrase", tieBreaker = 0.5, k = 10)
+      .as[(Long, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // pseudo-term stats: N=5, df_phrase=3 -> each occurrence 5/3
+    assert(out.keySet == Set(1L, 2L, 4L))
+    assert(out(1L) == ((5.0 / 3, 1L)))
+    // phrase_prefix: "web e*" on meta -> docs with source web AND
+    // lang starting 'e' (1: web/en, 4: web/en; 3 is web/de)
+    val pp = SegmentedIndex.multiMatchPhraseSearch(spark, fields,
+      Seq("web", "e"), "phrase_prefix", tieBreaker = 0.5, k = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(pp == Set(1L, 4L))
+    intercept[IllegalArgumentException] {
+      SegmentedIndex.multiMatchPhraseSearch(spark, fields,
+        Seq("only"), "phrase", 0.0, 10)
+    }
+    intercept[IllegalArgumentException] {
+      SegmentedIndex.multiMatchPhraseSearch(spark, fields,
+        Seq("a", "b"), "cross_phrase", 0.0, 10)
+    }
+  }
+
+  test("matchFuzzySearch: SymSpell-blocked expansions, per-pair " +
+    "exact sums; a term reached by two query terms counts per " +
+    "pair; multi-field fuzziness dis_maxes per-field scores") {
+    val fields = Seq("text" -> freshIndex(), "meta" -> metaIndex())
+    val out = SegmentedIndex.matchFuzzySearch(spark, fields.head._2,
+      Seq("vektor", "joim"), maxDist = 1, k = 10)
+      .as[(Long, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // vektor->vector (df 4), joim->join (df 3); doc1 has both,
+    // doc3 has join twice (tf 2)
+    assert(out(1L) == ((5.0 / 3 + 5.0 / 4, 2L)))
+    assert(out(3L) == ((2 * (5.0 / 3), 1L)))
+    assert(!out.contains(99L))
+    // two query terms hitting the SAME expansion: both pairs add
+    val dup = SegmentedIndex.matchFuzzySearch(spark, fields.head._2,
+      Seq("joim", "joiz"), maxDist = 1, k = 10)
+      .as[(Long, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(dup(3L) == ((2 * (5.0 / 3) + 2 * (5.0 / 3), 2L)))
+    // multi-field: wikj~1 -> wiki in meta only; vektor in text only
+    val mm = SegmentedIndex.multiMatchFuzzySearch(spark, fields,
+      Seq("vektor", "wikj"), maxDist = 1, tieBreaker = 0.5, k = 10)
+      .as[(Long, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // doc5: vector (text, 5/4) + wiki (meta, 5/1): dis_max =
+    // 5.0 + 0.5 * ((5/4 + 5) - 5)
+    val st = 5.0 / 4; val sm = 5.0
+    assert(mm(5L) == ((sm + 0.5 * ((st + sm) - sm), 2L)))
+    assert(mm(1L) == ((st, 1L))) // text only
+  }
+
+  // ---- nested documents ----
+
+  /** Parent family: 3 parents. Nested family: per-parent
+    * sub-documents with (author, body) chosen so cross-sub-object
+    * combinations exist — the block-isolation trap. */
+  private def nestedFixture(): (String, String) = {
+    val pRoot = Files.createTempDirectory("graft-nd-p").toString
+    SegmentedIndex.append(spark, pRoot, Seq(
+      (1L, "parent one"), (2L, "parent two"), (3L, "parent three"))
+      .toDF("doc_id", "text"), "a", nBuckets = 4)
+    val nRoot = Files.createTempDirectory("graft-nd-n").toString
+    SegmentedIndex.append(spark, nRoot, Seq(
+      // parent 1: alice says spark, bob says join — the trap:
+      // (author=alice AND body:join) must NOT match parent 1
+      (10L, 1L, 0L, "alice", "spark vector"),
+      (11L, 1L, 1L, "bob", "join stream"),
+      // parent 2: alice says join — the true match
+      (20L, 2L, 0L, "alice", "join batch"),
+      // parent 3: bob says join (wrong author)
+      (30L, 3L, 0L, "bob", "join join"))
+      .toDF("doc_id", "parent_id", "ord", "author", "text"),
+      "a", nBuckets = 4)
+    (pRoot, nRoot)
+  }
+
+  test("nested query: BLOCK ISOLATION — field A of one sub-object " +
+    "plus field B of another must NOT match; one sub-object " +
+    "holding both does") {
+    val (pRoot, nRoot) = nestedFixture()
+    val out = SegmentedIndex.nestedQuery(spark, nRoot, pRoot,
+      Seq("join"), storedEq = Some(("author", "alice")),
+      scoreMode = "max", k = 10)
+      .as[(Long, Double, Long)].collect().toSeq
+    // parent 1 has alice (sub 0) and join (sub 1) in DIFFERENT
+    // sub-objects -> excluded; parent 2's single sub holds both;
+    // parent 3's join is bob's
+    assert(out.map(_._1) == Seq(2L))
+    assert(out.head._3 == 1L)
+    // without the author filter, join matches parents 1, 2, 3
+    val all = SegmentedIndex.nestedQuery(spark, nRoot, pRoot,
+      Seq("join"), None, "none", 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(all == Set(1L, 2L, 3L))
+    // score_mode none zeroes scores; max hands the best sub's score
+    val none = SegmentedIndex.nestedQuery(spark, nRoot, pRoot,
+      Seq("join"), None, "none", 10)
+      .select("score").as[Double].collect().toSet
+    assert(none == Set(0.0))
+    // parent 3's doubled join outranks singles under max: tf 2
+    val ranked = SegmentedIndex.nestedQuery(spark, nRoot, pRoot,
+      Seq("join"), None, "max", 10)
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(ranked.head._1 == 3L)
+  }
+
+  test("nested query: a dead parent cannot be resurrected by a " +
+    "live nested block, and a tombstoned block stops matching") {
+    val (pRoot, nRoot) = nestedFixture()
+    // tombstone parent 2 in the PARENT family only (a stale nested
+    // block survives until merge — Lucene's window)
+    SegmentedIndex.delete(spark, pRoot,
+      Seq(2L).toDF("doc_id"), "d1")
+    val out = SegmentedIndex.nestedQuery(spark, nRoot, pRoot,
+      Seq("join"), Some(("author", "alice")), "max", 10)
+    assert(out.count() == 0L)
+    // tombstone parent 1's BLOCK in the nested family (the block
+    // delete): its sub-documents stop matching
+    SegmentedIndex.delete(spark, nRoot,
+      Seq(10L, 11L).toDF("doc_id"), "d2")
+    val rest = SegmentedIndex.nestedQuery(spark, nRoot, pRoot,
+      Seq("join"), None, "none", 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(rest == Set(3L))
+  }
+
+  // ---- completion contexts ----
+
+  test("completion contexts: the suggest filters on the context " +
+    "value in the pruned slice; cross-segment max-weight dedup and " +
+    "tombstones hold; a context query on a context-less mapping " +
+    "errors loudly") {
+    val root = Files.createTempDirectory("graft-cctx").toString
+    def batch(rows: Seq[(Long, String, Long, String)]) =
+      rows.toDF("doc_id", "sug", "w", "lang")
+        .withColumn("text", lit("x"))
+    SegmentedIndex.append(spark, root,
+      batch(Seq((1L, "apple", 10L, "en"), (2L, "apple", 30L, "de"),
+        (3L, "apricot", 20L, "en"))),
+      "a", nBuckets = 4,
+      completionField = Some(("sug", "w")),
+      completionContext = Some("lang"))
+    SegmentedIndex.append(spark, root,
+      batch(Seq((4L, "apple", 50L, "en"))), "b")
+    assert(SegmentedIndex.completionContextOf(root) == Some("lang"))
+    val en = SegmentedIndex.completionFieldSuggest(spark, root,
+      "sug", "w", "ap", 10, context = Some("en"))
+      .as[(String, Long)].collect().toSeq
+    // apple's en max spans segments (10 in a, 50 in b); de's 30
+    // must not leak in
+    assert(en == Seq(("apple", 50L), ("apricot", 20L)))
+    val de = SegmentedIndex.completionFieldSuggest(spark, root,
+      "sug", "w", "ap", 10, context = Some("de"))
+      .as[(String, Long)].collect().toSeq
+    assert(de == Seq(("apple", 30L)))
+    // unfiltered keeps the global max-weight dedup
+    val all = SegmentedIndex.completionFieldSuggest(spark, root,
+      "sug", "w", "ap", 10)
+      .as[(String, Long)].collect().toSeq
+    assert(all == Seq(("apple", 50L), ("apricot", 20L)))
+    // tombstoning the en top drops it from the en context exactly
+    SegmentedIndex.delete(spark, root, Seq(4L).toDF("doc_id"), "d1")
+    val en2 = SegmentedIndex.completionFieldSuggest(spark, root,
+      "sug", "w", "ap", 10, context = Some("en"))
+      .as[(String, Long)].collect().toSeq
+    assert(en2 == Seq(("apricot", 20L), ("apple", 10L)))
+    // a context-less mapping rejects context queries (ES's rule),
+    // while unfiltered suggests keep working (old-layout artifacts)
+    val root2 = Files.createTempDirectory("graft-cctx2").toString
+    SegmentedIndex.append(spark, root2,
+      batch(Seq((1L, "apple", 10L, "en"))), "a", nBuckets = 4,
+      completionField = Some(("sug", "w")))
+    intercept[IllegalArgumentException] {
+      SegmentedIndex.completionFieldSuggest(spark, root2,
+        "sug", "w", "ap", 10, context = Some("en"))
+    }
+    assert(SegmentedIndex.completionFieldSuggest(spark, root2,
+      "sug", "w", "ap", 10).count() == 1L)
+  }
+
+  // ---- normalize / moving_percentiles pipeline aggs ----
+
+  test("normalizeFacet: percent_of_sum divides by the series sum, " +
+    "rescale_0_1 by the range, a constant series rescales to 0; " +
+    "movingPercentilesFacet interpolates exactly per window") {
+    val root = freshIndex()
+    // 'spark' hits docs 1,2,3,5 -> n_chars 100,250,180,400 ->
+    // buckets 100:2, 200:1, 300:0, 400:1
+    val pos = SegmentedIndex.normalizeFacet(spark, root,
+      Seq("spark"), "n_chars", 100L, "percent_of_sum")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(pos == Seq((100L, 2L, 0.5), (200L, 1L, 0.25),
+      (300L, 0L, 0.0), (400L, 1L, 0.25)))
+    val rs = SegmentedIndex.normalizeFacet(spark, root,
+      Seq("spark"), "n_chars", 100L, "rescale_0_1")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(rs == Seq((100L, 2L, 1.0), (200L, 1L, 0.5),
+      (300L, 0L, 0.0), (400L, 1L, 0.5)))
+    // constant series (one bucket): rescale pins 0.0
+    val const = SegmentedIndex.normalizeFacet(spark, root,
+      Seq("extra"), "n_chars", 1000L, "rescale_0_1")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(const == Seq((0L, 1L, 0.0)))
+    intercept[IllegalArgumentException] {
+      SegmentedIndex.normalizeFacet(spark, root, Seq("spark"),
+        "n_chars", 100L, "softmax")
+    }
+    // moving median, window 3, over [2,1,0,1]: n=1 -> 2; n=2 ->
+    // 1 + (2-1)·0.5; n=3 -> middle
+    val mp = SegmentedIndex.movingPercentilesFacet(spark, root,
+      Seq("spark"), "n_chars", 100L, window = 3, percent = 50.0)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(mp == Seq((100L, 2L, 2.0), (200L, 1L, 1.5),
+      (300L, 0L, 1.0), (400L, 1L, 1.0)))
+  }
+
+  test("nested inner_hits name the matched sub-objects; the nested " +
+    "facet buckets sub-documents of matching parents") {
+    val (pRoot, nRoot) = nestedFixture()
+    val ih = SegmentedIndex.nestedInnerHits(spark, nRoot, pRoot,
+      Seq("join"), None, k = 10)
+      .select("doc_id", "ord").as[(Long, Long)].collect().toSeq
+    // parent 3's sub 0 (tf 2) ranks first, then singles
+    assert(ih.head == ((3L, 0L)))
+    assert(ih.toSet == Set((1L, 1L), (2L, 0L), (3L, 0L)))
+    // facet: parents matching 'parent' (all three) -> authors of
+    // their live sub-documents
+    val fc = SegmentedIndex.nestedFacet(spark, pRoot, nRoot,
+      Seq("parent"), "author", kBuckets = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(fc == Seq(("alice", 2L), ("bob", 2L)))
+  }
 }
