@@ -150,7 +150,19 @@ object Analyzer {
     * where the base does) so they compare against exactly what the
     * index emits — `stop=runs` under an english base filters the
     * emitted stem `run`; a synonym key that would itself analyze
-    * away is rejected rather than silently dead. The chain's NAME is
+    * away is rejected rather than silently dead.
+    *
+    * MULTI-WORD (graph) synonyms are REFUSED LOUDLY, by contract:
+    * every synonym key and value must be ONE alphanumeric token
+    * (`[A-Za-z0-9]+` — the require below), so "nyc → new york" is an
+    * [[IllegalArgumentException]] at chain construction, never a
+    * silently single-position-stacked phrase. Lucene's synonym-graph
+    * position-length machinery (a value spanning several positions)
+    * is deliberately out of scope: this engine's phrase/span/interval
+    * operators assume one term per position (the posTerms contract),
+    * and a flattened multi-word synonym would corrupt exactly those
+    * queries — ES documents the same hazard for its non-graph synonym
+    * filter. The chain's NAME is
     * its canonical serialized spec, which is what the manifest `an=`
     * header carries — the settings travel with the index and
     * [[byName]] round-trips them (federation headers compare exactly,

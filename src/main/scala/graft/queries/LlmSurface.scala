@@ -490,10 +490,72 @@ object LlmSurface {
     root
   }
 
+  /** The staged NESTED-documents family — ES's `nested` mapping in
+    * Lucene's own layout (each sub-object a hidden sub-document of
+    * the parent's block), the path lifted into its own segment
+    * family: every parent doc (`doc_id < 150`, [[segIndexDir]]'s
+    * corpus) carries 3 sub-objects (ord 0..2), each indexed as its
+    * own doc (nested id = parent·4 + ord) with
+    *   author = 'a' + ((parent + ord) % 7)      (a nested keyword)
+    *   text   = the parent's tokens at positions ≡ ord (mod 3)
+    * — deterministic striping, so sub-objects hold DIFFERENT token
+    * sets (the block-isolation semantics have real rows) and the
+    * oracle can replay the derivation from `documents` alone. Block
+    * deletes follow Lucene: the `% 37` parent tombstone batch kills
+    * the parents' WHOLE nested blocks here, mirroring
+    * [[segIndexDir]]'s parent-side tombstones. */
+  def segIndexNestedDir(s: SparkSession, d: String): String = {
+    val root = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      "graft_segidx_nd_sx7a_" +
+        graft.engine.Bucketing.fingerprint8(d)).getPath
+    val nested = docs(s, d).filter(col("doc_id") < 150)
+      .select(col("doc_id").as("parent_id"), col("text"),
+        explode(sequence(lit(0L), lit(2L))).as("ord"))
+      .withColumn("author", concat(lit("a"),
+        pmod(col("parent_id") + col("ord"), lit(7L)).cast("string")))
+      .withColumn("text", concat_ws(" ",
+        expr("filter(split(text, ' '), (t, i) -> i % 3 = ord)")))
+      .withColumn("doc_id", col("parent_id") * 4 + col("ord"))
+      .select("doc_id", "parent_id", "ord", "author", "text")
+    SegmentedIndex.append(s, root,
+      nested.filter(col("parent_id") % 5 =!= 0), "a")
+    SegmentedIndex.append(s, root,
+      nested.filter(col("parent_id") % 5 === 0), "b")
+    SegmentedIndex.delete(s, root,
+      nested.filter(col("parent_id") % 37 === 5).select("doc_id"),
+      "d1")
+    root
+  }
+
+  /** The staged CONTEXT-mapped completion index — [[segIndexDir]]'s
+    * lifecycle with the completion mapping extended by a CONTEXT
+    * field (`source:n_chars:lang` — ES's category contexts): each
+    * suggestion row carries its doc's lang, and a suggest request
+    * may filter on one context value. */
+  def segIndexCtxDir(s: SparkSession, d: String): String = {
+    val root = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      "graft_segidx_cx_sx7a_" +
+        graft.engine.Bucketing.fingerprint8(d)).getPath
+    val dd = docs(s, d).filter(col("doc_id") < 150)
+    SegmentedIndex.append(s, root,
+      dd.filter(col("doc_id") % 5 =!= 0), "a",
+      completionField = Some(("source", "n_chars")),
+      completionContext = Some("lang"))
+    SegmentedIndex.append(s, root,
+      dd.filter(col("doc_id") % 5 === 0), "b")
+    SegmentedIndex.delete(s, root,
+      dd.filter(col("doc_id") % 37 === 5).select("doc_id"), "d1")
+    root
+  }
+
   def segIndexStage(s: SparkSession, d: String): Unit = {
     segIndexDir(s, d)
     segIndexMetaDir(s, d)
     segIndexJoinDir(s, d)
+    segIndexNestedDir(s, d)
+    segIndexCtxDir(s, d)
     segIndexPairDirs(s, d)
     segIndexEnDir(s, d)
     segIndexSynDir(s, d)
@@ -1349,6 +1411,113 @@ object LlmSurface {
         Seq("text" -> segIndexDir(s, d),
           "meta" -> segIndexMetaDir(s, d)),
         "text", "+spark -stream customer meta:src3", k = 25)),
+
+    // --- normalize pipeline agg (ES's per-bucket series rescaling;
+    //     the exact-arithmetic percent_of_sum method — softmax and
+    //     z-score are libm and stated out)
+    //     (SegmentedIndex.normalizeFacet) ---
+    "q322_normalize_bucket" -> ((s, d) =>
+      // probe-only against the STAGED index (segIndexDir)
+      SegmentedIndex.normalizeFacet(s, segIndexDir(s, d),
+        searchTerms, "n_chars", interval = 100L,
+        method = "percent_of_sum")),
+
+    // --- moving_percentiles pipeline agg (EXACT interpolated
+    //     percentile over the trailing bucket window — ES folds
+    //     TDigest sketches there)
+    //     (SegmentedIndex.movingPercentilesFacet) ---
+    "q323_moving_percentiles" -> ((s, d) =>
+      // probe-only against the STAGED index (segIndexDir)
+      SegmentedIndex.movingPercentilesFacet(s, segIndexDir(s, d),
+        searchTerms, "n_chars", interval = 100L, window = 3,
+        percent = 50.0)),
+
+    // --- completion suggester CONTEXTS (ES's category contexts —
+    //     filtered completion): the `_cfield/` artifact carries each
+    //     suggestion's context value, the suggest filters on one
+    //     inside the pb-pruned candidate slice, cross-segment
+    //     max-weight dedup preserved
+    //     (SegmentedIndex.completionFieldSuggest) ---
+    "q321_completion_contexts" -> ((s, d) =>
+      // probe-only against the STAGED context-mapped index
+      SegmentedIndex.completionFieldSuggest(s, segIndexCtxDir(s, d),
+        "source", "n_chars", prefix = "src", k = 10,
+        context = Some("en"))),
+
+    // --- multi_match type phrase (ES's per-field phrase tier):
+    //     match_phrase per field with each field's own chain and
+    //     exact phrase statistics, dis_max on top
+    //     (SegmentedIndex.multiMatchPhraseSearch) ---
+    "q317_multi_match_phrase" -> ((s, d) =>
+      // probe-only against the STAGED per-field families
+      SegmentedIndex.multiMatchPhraseSearch(s,
+        Seq("text" -> segIndexDir(s, d),
+          "meta" -> segIndexMetaDir(s, d)),
+        Seq("spark", "join"), matchType = "phrase",
+        tieBreaker = 0.2, k = 25)),
+
+    // --- multi_match type phrase_prefix (search-as-you-type over
+    //     several fields): the last word expands against each
+    //     field's OWN dictionary (SegmentedIndex
+    //     .multiMatchPhraseSearch) ---
+    "q318_mm_phrase_prefix" -> ((s, d) =>
+      // probe-only against the STAGED per-field families
+      SegmentedIndex.multiMatchPhraseSearch(s,
+        Seq("text" -> segIndexDir(s, d),
+          "meta" -> segIndexMetaDir(s, d)),
+        Seq("src3", "d"), matchType = "phrase_prefix",
+        tieBreaker = 0.2, k = 25)),
+
+    // --- match with fuzziness (ES's typo-tolerant match): SymSpell
+    //     dictionary expansion per query term, per-pair exact
+    //     tf·(N/df) sums in fixed pivot order
+    //     (SegmentedIndex.matchFuzzySearch) ---
+    "q319_match_fuzzy" -> ((s, d) =>
+      // probe-only against the STAGED index (segIndexDir)
+      SegmentedIndex.matchFuzzySearch(s, segIndexDir(s, d),
+        Seq("vektor", "joim"), maxDist = 1, k = 25)),
+
+    // --- multi_match with fuzziness: the per-field fuzzy match
+    //     under each field's own dictionary and stats, dis_max
+    //     fold (SegmentedIndex.multiMatchFuzzySearch) ---
+    "q320_multi_match_fuzzy" -> ((s, d) =>
+      // probe-only against the STAGED per-field families
+      SegmentedIndex.multiMatchFuzzySearch(s,
+        Seq("text" -> segIndexDir(s, d),
+          "meta" -> segIndexMetaDir(s, d)),
+        Seq("vektor", "src3"), maxDist = 1, tieBreaker = 0.3,
+        k = 25)),
+
+    // --- nested query (ES's `nested: {path, query}` — the
+    //     most-used mapping relation): a parent matches iff ONE
+    //     sub-document satisfies the WHOLE inner query (term +
+    //     nested-field filter on the same sub-object — block
+    //     isolation); score_mode max; block tombstones + parent
+    //     liveness both enforced (SegmentedIndex.nestedQuery) ---
+    "q314_nested_query" -> ((s, d) =>
+      // probe-only against the STAGED nested + parent families
+      SegmentedIndex.nestedQuery(s, segIndexNestedDir(s, d),
+        segIndexDir(s, d), Seq("vector"),
+        storedEq = Some(("author", "a3")), scoreMode = "max",
+        k = 30)),
+
+    // --- nested inner_hits (WHICH sub-object hit): the matched
+    //     sub-documents with their block ordinal
+    //     (SegmentedIndex.nestedInnerHits) ---
+    "q315_nested_inner_hits" -> ((s, d) =>
+      // probe-only against the STAGED nested + parent families
+      SegmentedIndex.nestedInnerHits(s, segIndexNestedDir(s, d),
+        segIndexDir(s, d), Seq("vector"),
+        storedEq = Some(("author", "a3")), k = 40)),
+
+    // --- nested aggregation (ES's `aggs: {nested: {path}, aggs:
+    //     {terms}}`): sub-documents of the outer query's parents
+    //     bucketed by a nested field (SegmentedIndex.nestedFacet) ---
+    "q316_nested_agg" -> ((s, d) =>
+      // probe-only against the STAGED nested + parent families
+      SegmentedIndex.nestedFacet(s, segIndexDir(s, d),
+        segIndexNestedDir(s, d), Seq("spark"), "author",
+        kBuckets = 10)),
 
     // --- query_string group boosts `(a b)^2`, phrase slop
     //     `"a b"~2` (sloppyPhraseSearch's move arithmetic as a
@@ -6419,6 +6588,258 @@ object LlmSurface {
         | (CASE WHEN msp THEN 1 ELSE 0 END)::BIGINT AS n_terms_hit
         |FROM u WHERE (msp AND mcu) OR mve
         |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
+
+    // q322: normalize replayed — the same gap-filled doc_count
+    // series, one exact long division per bucket against the series
+    // sum
+    "q322_normalize_bucket" -> {
+      val termList = searchTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+         | p AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |       FROM d),
+         | hits AS (SELECT DISTINCT doc_id FROM p
+         |          WHERE term IN ($termList) AND doc_id % 37 <> 5),
+         | c AS (SELECT (n_chars // 100) * 100 AS bucket,
+         |   count(DISTINCT d.doc_id)::BIGINT AS doc_count
+         |  FROM d JOIN hits USING (doc_id) GROUP BY 1),
+         | b AS (SELECT unnest(generate_series(
+         |   (SELECT min(bucket) FROM c), (SELECT max(bucket) FROM c),
+         |   100)) AS bucket),
+         | filled AS (SELECT bucket,
+         |   coalesce(doc_count, 0)::BIGINT AS doc_count
+         |  FROM b LEFT JOIN c USING (bucket))
+         |SELECT bucket, doc_count,
+         | doc_count::DOUBLE /
+         |  (SELECT sum(doc_count) FROM filled)::DOUBLE AS normalized
+         |FROM filled ORDER BY bucket""".stripMargin
+    },
+
+    // q323: moving_percentiles replayed — the trailing-3 window as a
+    // dense-bucket range self-join, the interpolation mirrored
+    // op-for-op (long subtraction, one multiply, one add)
+    "q323_moving_percentiles" -> {
+      val termList = searchTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+         | p AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |       FROM d),
+         | hits AS (SELECT DISTINCT doc_id FROM p
+         |          WHERE term IN ($termList) AND doc_id % 37 <> 5),
+         | c AS (SELECT (n_chars // 100) * 100 AS bucket,
+         |   count(DISTINCT d.doc_id)::BIGINT AS doc_count
+         |  FROM d JOIN hits USING (doc_id) GROUP BY 1),
+         | b AS (SELECT unnest(generate_series(
+         |   (SELECT min(bucket) FROM c), (SELECT max(bucket) FROM c),
+         |   100)) AS bucket),
+         | filled AS (SELECT bucket,
+         |   coalesce(doc_count, 0)::BIGINT AS doc_count
+         |  FROM b LEFT JOIN c USING (bucket)),
+         | w AS (SELECT f1.bucket, f1.doc_count,
+         |   list(f2.doc_count ORDER BY f2.doc_count) AS a
+         |  FROM filled f1 JOIN filled f2
+         |   ON f2.bucket BETWEEN f1.bucket - 200 AND f1.bucket
+         |  GROUP BY f1.bucket, f1.doc_count)
+         |SELECT bucket, doc_count,
+         | a[CAST(floor(0.5 * (len(a) - 1)) AS INT) + 1]::DOUBLE +
+         |  (a[CAST(ceil(0.5 * (len(a) - 1)) AS INT) + 1] -
+         |   a[CAST(floor(0.5 * (len(a) - 1)) AS INT) + 1])::DOUBLE *
+         |  (0.5 * (len(a) - 1) - floor(0.5 * (len(a) - 1)))
+         |  AS moving_pct
+         |FROM w ORDER BY bucket""".stripMargin
+    },
+
+    // q321: completion contexts replayed — live docs in the 'en'
+    // context, per-source max weight (the cross-segment dedup)
+    "q321_completion_contexts" ->
+      """SELECT source AS input, max(n_chars)::BIGINT AS weight
+        |FROM documents
+        |WHERE doc_id < 150 AND doc_id % 37 <> 5 AND lang = 'en'
+        | AND source LIKE 'src%' AND source IS NOT NULL
+        | AND n_chars IS NOT NULL
+        |GROUP BY source
+        |ORDER BY weight DESC, input LIMIT 10""".stripMargin,
+
+    // q317: multi_match phrase replayed — the exact adjacency
+    // anchors on the text family (meta never matches the phrase);
+    // score = n_occ · (N / live phrase df), the pinned pseudo-term
+    // convention; the dis_max fold with one matching field is
+    // s + tie·(s − s)
+    "q317_multi_match_phrase" ->
+      """WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+        | nd AS (SELECT count(*)::DOUBLE AS n FROM d),
+        | toks AS (SELECT doc_id, unnest(l) AS term,
+        |   generate_subscripts(l, 1) - 1 AS pos
+        |   FROM (SELECT doc_id, string_split(text, ' ') AS l FROM d)),
+        | a AS (SELECT doc_id, pos FROM toks
+        |  WHERE term = 'spark' AND doc_id % 37 <> 5),
+        | b AS (SELECT doc_id, pos FROM toks
+        |  WHERE term = 'join' AND doc_id % 37 <> 5),
+        | ph AS (SELECT a.doc_id, count(*)::BIGINT AS n_occ
+        |  FROM a JOIN b ON a.doc_id = b.doc_id
+        |   AND b.pos = a.pos + 1
+        |  GROUP BY a.doc_id),
+        | dfp AS (SELECT count(*)::DOUBLE AS c FROM ph)
+        |SELECT doc_id,
+        | n_occ::DOUBLE * ((SELECT n FROM nd) / (SELECT c FROM dfp))
+        |  AS score,
+        | 1::BIGINT AS n_fields_hit
+        |FROM ph ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
+
+    // q318: multi_match phrase_prefix replayed — the meta family's
+    // src3-then-d* adjacency is exactly source='src3' ∧ lang LIKE
+    // 'd%' (source at position 0, lang at 1); text never matches
+    // (src3 is not in its vocabulary)
+    "q318_mm_phrase_prefix" ->
+      """WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+        | nd AS (SELECT count(*)::DOUBLE AS n FROM d),
+        | m AS (SELECT doc_id FROM d
+        |  WHERE source = 'src3' AND lang LIKE 'd%'
+        |   AND doc_id % 37 <> 5),
+        | dfp AS (SELECT count(*)::DOUBLE AS c FROM m)
+        |SELECT doc_id,
+        | 1.0::DOUBLE * ((SELECT n FROM nd) / (SELECT c FROM dfp))
+        |  AS score,
+        | 1::BIGINT AS n_fields_hit
+        |FROM m ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
+
+    // q319: match fuzziness replayed — vektor→vector, joim→join
+    // (the fixture vocabulary's only distance-1 expansions), exact
+    // tf·(N/df) per pair in sorted pair order (joim < vektor)
+    "q319_match_fuzzy" ->
+      """WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+        | nd AS (SELECT count(*)::DOUBLE AS n FROM d),
+        | pt AS (SELECT term, doc_id, count(*)::BIGINT AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |        FROM d) GROUP BY term, doc_id),
+        | dft AS (SELECT term, count(*)::BIGINT AS df FROM pt
+        |  GROUP BY term),
+        | jc AS (SELECT doc_id, sum(tf::DOUBLE *
+        |   ((SELECT n FROM nd) / df::DOUBLE)) AS v
+        |  FROM pt JOIN dft USING (term)
+        |  WHERE term = 'join' AND doc_id % 37 <> 5 GROUP BY doc_id),
+        | vc AS (SELECT doc_id, sum(tf::DOUBLE *
+        |   ((SELECT n FROM nd) / df::DOUBLE)) AS v
+        |  FROM pt JOIN dft USING (term)
+        |  WHERE term = 'vector' AND doc_id % 37 <> 5
+        |  GROUP BY doc_id),
+        | ids AS (SELECT doc_id FROM jc UNION SELECT doc_id FROM vc)
+        |SELECT i.doc_id,
+        | coalesce(jc.v, 0.0::DOUBLE) + coalesce(vc.v, 0.0::DOUBLE)
+        |  AS score,
+        | ((CASE WHEN vc.v IS NOT NULL THEN 1 ELSE 0 END) +
+        |  (CASE WHEN jc.v IS NOT NULL THEN 1 ELSE 0 END))::BIGINT
+        |  AS n_terms_hit
+        |FROM ids i LEFT JOIN jc ON i.doc_id = jc.doc_id
+        | LEFT JOIN vc ON i.doc_id = vc.doc_id
+        |ORDER BY score DESC, i.doc_id LIMIT 25""".stripMargin,
+
+    // q320: multi_match fuzziness replayed — text expands
+    // vektor→vector; meta expands src3 to every source within one
+    // edit (levenshtein in the oracle mirrors the SymSpell-blocked
+    // walk's exact verify), so a matching doc's meta score is
+    // N/df(its source); the dis_max combine keeps the engine's
+    // exact expression shape (total − best computed, not
+    // simplified)
+    "q320_multi_match_fuzzy" ->
+      """WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+        | nd AS (SELECT count(*)::DOUBLE AS n FROM d),
+        | pt AS (SELECT term, doc_id, count(*)::BIGINT AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |        FROM d) GROUP BY term, doc_id),
+        | dft AS (SELECT term, count(*)::BIGINT AS df FROM pt
+        |  GROUP BY term),
+        | tv AS (SELECT doc_id, sum(tf::DOUBLE *
+        |   ((SELECT n FROM nd) / df::DOUBLE)) AS v
+        |  FROM pt JOIN dft USING (term)
+        |  WHERE term = 'vector' AND doc_id % 37 <> 5
+        |  GROUP BY doc_id),
+        | dfs AS (SELECT source, count(*)::BIGINT AS df FROM d
+        |  GROUP BY source),
+        | mv AS (SELECT d.doc_id,
+        |   1.0::DOUBLE * ((SELECT n FROM nd) / dfs.df::DOUBLE) AS v
+        |  FROM d JOIN dfs USING (source)
+        |  WHERE d.doc_id % 37 <> 5
+        |   AND levenshtein(d.source, 'src3') <= 1),
+        | ids AS (SELECT doc_id FROM tv UNION SELECT doc_id FROM mv),
+        | u AS (SELECT i.doc_id, coalesce(tv.v, 0.0::DOUBLE) AS st,
+        |   coalesce(mv.v, 0.0::DOUBLE) AS sm,
+        |   (tv.v IS NOT NULL) AS mt, (mv.v IS NOT NULL) AS mm
+        |  FROM ids i LEFT JOIN tv ON i.doc_id = tv.doc_id
+        |  LEFT JOIN mv ON i.doc_id = mv.doc_id)
+        |SELECT doc_id,
+        | greatest(st, sm) +
+        |  0.3 * ((st + sm) - greatest(st, sm)) AS score,
+        | ((CASE WHEN mt THEN 1 ELSE 0 END) +
+        |  (CASE WHEN mm THEN 1 ELSE 0 END))::BIGINT
+        |  AS n_fields_hit
+        |FROM u ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
+
+    // q314: the nested query replayed — sub-documents derived by the
+    // fixture's striping rule (ord = pos mod 3, author = 'a' +
+    // (parent+ord) mod 7), scored with the NESTED family's own
+    // stats (N = 3·|parents|, df over sub-documents), the term and
+    // the author filter required on the SAME sub-document (block
+    // isolation), max child score per live parent
+    "q314_nested_query" ->
+      """WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+        | toks AS (SELECT doc_id, unnest(l) AS term,
+        |   generate_subscripts(l, 1) - 1 AS pos
+        |   FROM (SELECT doc_id, string_split(text, ' ') AS l FROM d)),
+        | np AS (SELECT doc_id AS parent_id, (pos % 3) AS ord, term,
+        |   count(*)::BIGINT AS tf
+        |  FROM toks GROUP BY 1, 2, 3),
+        | nn AS (SELECT (3 * count(*))::DOUBLE AS n FROM d),
+        | dfn AS (SELECT term, count(*)::BIGINT AS df FROM np
+        |  GROUP BY term),
+        | h AS (SELECT parent_id, ord, sum(CASE WHEN term = 'vector'
+        |   THEN tf::DOUBLE * ((SELECT n FROM nn) / df::DOUBLE)
+        |   ELSE 0.0::DOUBLE END) AS score
+        |  FROM np JOIN dfn USING (term)
+        |  WHERE term = 'vector' AND parent_id % 37 <> 5
+        |   AND (parent_id + ord) % 7 = 3
+        |  GROUP BY parent_id, ord)
+        |SELECT parent_id AS doc_id, max(score) AS score,
+        | count(*)::BIGINT AS n_nested_matched
+        |FROM h GROUP BY 1
+        |ORDER BY score DESC, doc_id LIMIT 30""".stripMargin,
+
+    // q315: nested inner_hits replayed — the matched sub-documents
+    // themselves with their block ordinal
+    "q315_nested_inner_hits" ->
+      """WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+        | toks AS (SELECT doc_id, unnest(l) AS term,
+        |   generate_subscripts(l, 1) - 1 AS pos
+        |   FROM (SELECT doc_id, string_split(text, ' ') AS l FROM d)),
+        | np AS (SELECT doc_id AS parent_id, (pos % 3) AS ord, term,
+        |   count(*)::BIGINT AS tf
+        |  FROM toks GROUP BY 1, 2, 3),
+        | nn AS (SELECT (3 * count(*))::DOUBLE AS n FROM d),
+        | dfn AS (SELECT term, count(*)::BIGINT AS df FROM np
+        |  GROUP BY term),
+        | h AS (SELECT parent_id, ord, sum(CASE WHEN term = 'vector'
+        |   THEN tf::DOUBLE * ((SELECT n FROM nn) / df::DOUBLE)
+        |   ELSE 0.0::DOUBLE END) AS score
+        |  FROM np JOIN dfn USING (term)
+        |  WHERE term = 'vector' AND parent_id % 37 <> 5
+        |   AND (parent_id + ord) % 7 = 3
+        |  GROUP BY parent_id, ord)
+        |SELECT parent_id AS doc_id, ord, score FROM h
+        |ORDER BY score DESC, doc_id, ord LIMIT 40""".stripMargin,
+
+    // q316: the nested aggregation replayed — every live parent
+    // matching 'spark' contributes its 3 live sub-documents,
+    // bucketed by the derived author keyword
+    "q316_nested_agg" ->
+      """WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+        | p AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |       FROM d),
+        | par AS (SELECT DISTINCT doc_id FROM p
+        |  WHERE term = 'spark' AND doc_id % 37 <> 5),
+        | sub AS (SELECT par.doc_id AS parent_id, o.ord
+        |  FROM par CROSS JOIN (VALUES (0), (1), (2)) AS o(ord))
+        |SELECT 'a' || ((parent_id + ord) % 7) AS value,
+        | count(*)::BIGINT AS doc_count
+        |FROM sub GROUP BY 1
+        |ORDER BY doc_count DESC, value LIMIT 10""".stripMargin,
 
     // q312: the +/- clause list replayed — must spark gates, stream
     // excludes, customer and meta:src3 add their field-stats scores

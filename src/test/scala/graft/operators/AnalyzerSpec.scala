@@ -206,4 +206,27 @@ class AnalyzerSpec extends SparkSpec {
     assert(Analyzer.analyzeText(cs, "Filler content here") ==
       Seq((1L, "content"), (2L, "here")))
   }
+
+  test("multi-word (graph) synonyms are REFUSED loudly at chain " +
+    "construction — never silently flattened (the one-term-per-" +
+    "position contract)") {
+    for (bad <- Seq(
+      "nyc" -> "new york",       // multi-word value
+      "big apple" -> "nyc",      // multi-word key
+      "a_b" -> "c",              // separator chars are not tokens
+      "x" -> "y,z"))
+      withClue(s"synonym: $bad") {
+        intercept[IllegalArgumentException] {
+          Analyzer.custom("standard", synonyms = Seq(bad))
+        }
+        intercept[IllegalArgumentException] {
+          Analyzer.custom("standard", querySynonyms = Seq(bad))
+        }
+      }
+    // the same contract guards the group sugar
+    intercept[IllegalArgumentException] {
+      Analyzer.customGroups("standard",
+        groups = Seq(Seq("nyc", "new york")))
+    }
+  }
 }
