@@ -3094,12 +3094,14 @@ object SegmentedIndex {
     require(fields.nonEmpty, "multiMatch needs fields")
     require(fields.map(_._1).distinct.size == fields.size,
       "duplicate fields")
-    require(Set("best_fields", "most_fields")(matchType),
+    require(Set("best_fields", "most_fields", "cross_fields")
+      (matchType),
       s"unsupported multi_match type: $matchType " +
-        "(best_fields | most_fields; cross_fields blends df and is " +
-        "deliberately not implemented)")
+        "(best_fields | most_fields | cross_fields)")
     require(tieBreaker >= 0.0 && tieBreaker <= 1.0,
       s"tieBreaker must be in [0, 1]: $tieBreaker")
+    if (matchType == "cross_fields")
+      return crossFieldsSearch(spark, fields, terms, k)
     val frames = fields.zipWithIndex.map { case ((_, root), i) =>
       // scoredHits analyzes `terms` with THIS field's chain and
       // scores with THIS field's df/N — the per-field statistics
@@ -3124,6 +3126,94 @@ object SegmentedIndex {
     joined
       .withColumn("score", combined)
       .withColumn("n_fields_hit", hitFlags.reduce(_ + _))
+      .select("doc_id", "score", "n_fields_hit")
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
+
+  /** `multi_match` type `cross_fields` — ES's TERM-CENTRIC blending
+    * (the "first_name/last_name" query where a term may live in
+    * either field), implemented with Lucene's BlendedTermQuery
+    * convention PINNED: the query analyzes ONCE (the field group
+    * must share one analyzer — `require`d, ES's own cross_fields
+    * precondition), and per term the fields' document frequencies
+    * BLEND to their MAXIMUM (Lucene's blend rule — the common term
+    * stays common no matter which field it's rare in, killing the
+    * rare-field idf spike that makes best_fields wrong for names);
+    * each doc then scores Σ_t max_f(tf_f(t)) · (N / df_blend(t)) —
+    * per term the best field's tf under the blended weight (the
+    * per-term dis_max), summed over terms in fixed order
+    * (deterministic doubles). Terms absent from every field drop.
+    * The per-(field, term) dfs are a BOUNDED driver collect
+    * (|fields|·|terms| scalars, stated); each field contributes one
+    * pruned postings read. Families must share one doc space
+    * (nDocs-equality `require`, the [[combinedFieldsSearch]]
+    * precondition). Output: (doc_id, score, n_fields_hit), top-k by
+    * (score desc, doc_id). */
+  private def crossFieldsSearch(spark: SparkSession,
+      fields: Seq[(String, String)], terms: Seq[String], k: Int)
+      : DataFrame = {
+    import spark.implicits._
+    requireUniformAnalyzer(fields)
+    val qs = qTerms(new java.io.File(fields.head._2), terms)
+    if (qs.isEmpty)
+      return Seq.empty[(Long, Double, Long)]
+        .toDF("doc_id", "score", "n_fields_hit")
+    case class Fam(live: DataFrame, dfs: Map[String, Long],
+                   nDocs: Long)
+    val fams = fields.map { case (_, rootDir) =>
+      val root = new java.io.File(rootDir)
+      val (nb, segs, _) = readManifest(root)
+      val p = prunedPostings(spark, root, segs, qs, nb)
+      // df pre-tombstone (the standing Lucene stats convention);
+      // BOUNDED collect: one row per (field, term)
+      val dfs = p.groupBy("term").agg(count(lit(1)).as("df"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val live = tombstones(spark, root, segs) match {
+        case Some(dead) =>
+          p.join(dead, Seq("doc_id", "seg"), "left_anti")
+        case None => p
+      }
+      Fam(live, dfs, segs.filter(_.kind == "seg").map(_.nDocs).sum)
+    }
+    require(fams.map(_.nDocs).distinct.size == 1,
+      "cross_fields families must share one doc space: " +
+        fams.map(_.nDocs).mkString(", "))
+    val nDocs = fams.head.nDocs
+    val blend: Map[String, Long] = qs.map(t =>
+      t -> fams.map(_.dfs.getOrElse(t, 0L)).max).toMap
+    val alive = qs.filter(blend(_) > 0L)
+    if (alive.isEmpty)
+      return Seq.empty[(Long, Double, Long)]
+        .toDF("doc_id", "score", "n_fields_hit")
+    // per field: one per-doc tf column per term (fixed pivot order)
+    val frames = fams.zipWithIndex.map { case (fam, i) =>
+      val aggs = alive.map(t =>
+        sum(when(col("term") === lit(t), col("tf"))
+          .otherwise(lit(0L))).as(s"tf_${i}_${alive.indexOf(t)}"))
+      fam.live.filter(col("term").isin(alive: _*))
+        .groupBy("doc_id")
+        .agg(aggs.head, aggs.tail: _*)
+    }
+    val joined = frames
+      .reduce((a, b) => a.join(b, Seq("doc_id"), "full_outer"))
+    def tfOf(i: Int, ti: Int) =
+      coalesce(col(s"tf_${i}_$ti"), lit(0L))
+    val perTerm = alive.zipWithIndex.map { case (t, ti) =>
+      val tfs = fields.indices.map(i => tfOf(i, ti))
+      val best = if (tfs.size == 1) tfs.head else greatest(tfs: _*)
+      best.cast("double") *
+        (lit(nDocs).cast("double") / lit(blend(t)).cast("double"))
+    }
+    val score = perTerm.reduce(_ + _)
+    val fieldHit = fields.indices.map { i =>
+      val any = alive.indices.map(ti => tfOf(i, ti) > lit(0L))
+        .reduce(_ || _)
+      when(any, lit(1L)).otherwise(lit(0L))
+    }
+    joined
+      .withColumn("score", score)
+      .withColumn("n_fields_hit", fieldHit.reduce(_ + _))
       .select("doc_id", "score", "n_fields_hit")
       .orderBy(desc("score"), asc("doc_id"))
       .limit(k)
@@ -3769,10 +3859,13 @@ object SegmentedIndex {
     * filter whose terms all analyze away simply counts 0). Output:
     * (name, doc_count), name-ascending. */
   def filtersFacet(spark: SparkSession, rootDir: String,
-                   filters: Seq[(String, Seq[String])]): DataFrame = {
+                   filters: Seq[(String, Seq[String])],
+                   otherBucket: Boolean = false): DataFrame = {
     require(filters.nonEmpty, "filtersFacet needs at least one filter")
     require(filters.map(_._1).distinct.size == filters.size,
       "filter names must be unique")
+    require(!filters.exists(_._1 == "_other_"),
+      "'_other_' is the reserved other-bucket key")
     import spark.implicits._
     val root = new java.io.File(rootDir)
     val analyzed = filters.map { case (n, ts) => n -> qTerms(root, ts) }
@@ -3794,9 +3887,29 @@ object SegmentedIndex {
     val counts = live.join(broadcast(membership), "term")
       .groupBy("name")
       .agg(countDistinct(col("doc_id")).as("doc_count"))
-    broadcast(names).join(counts, Seq("name"), "left")
+    val keyed = broadcast(names).join(counts, Seq("name"), "left")
       .na.fill(0L, Seq("doc_count"))
-      .orderBy("name")
+    // ES's other_bucket: docs in context matching NO filter, under
+    // the reserved "_other_" key — live-corpus count minus the
+    // matched-any count, two scalar aggregates met in one broadcast
+    // cross join (the single-row-frame shape). The corpus side is
+    // one id-column stored read — the match_all context cost ES
+    // itself pays for this bucket, stated.
+    val out =
+      if (!otherBucket) keyed
+      else {
+        val matchedAny = live
+          .join(broadcast(membership.select("term").distinct()),
+            Seq("term"), "left_semi")
+          .agg(countDistinct(col("doc_id")).as("m"))
+        val total = liveIds(spark, rootDir)
+          .agg(count(lit(1)).as("t"))
+        val other = total.crossJoin(broadcast(matchedAny))
+          .select(lit("_other_").as("name"),
+            (col("t") - col("m")).as("doc_count"))
+        keyed.unionByName(other)
+      }
+    out.orderBy("name")
   }
 
   /** Adjacency-matrix aggregation — ES's `adjacency_matrix`: one
@@ -4001,6 +4114,51 @@ object SegmentedIndex {
     after.fold(buckets)(a => buckets.filter(col("value") > lit(a)))
       .orderBy("value")
       .limit(size)
+  }
+
+  /** `variable_width_histogram` — ES's data-adaptive bucketing (no
+    * fixed interval; the agg CLUSTERS the values into `buckets`
+    * groups), with the convention PINNED EXACT where ES is an
+    * order-sensitive one-pass clusterer: equal-frequency split BY
+    * DISTINCT VALUE — each distinct value belongs wholly to bucket
+    * ⌊cum_before·buckets / n⌋ (cum_before = rows below it, n = total
+    * rows), so bucket populations are as equal as value ties allow
+    * and the result is deterministic for any row order (ES's own
+    * docs warn its bucket bounds are approximate and order-
+    * dependent; this engine trades that for reproducibility, the
+    * q295 determinism posture). The split runs over the PER-VALUE
+    * frame (value-cardinality-sized — the doc-values vocabulary,
+    * never the corpus; the one unpartitioned window is over that
+    * frame, the same bounded shape as the bucket-series pipelines);
+    * centroid sums accumulate in DECIMAL(38,0) (the exact-moment
+    * discipline) with ONE double division. Output: (bkey, doc_count,
+    * vmin, vmax, centroid), bkey-ascending. */
+  def variableWidthHistogramFacet(spark: SparkSession,
+      rootDir: String, terms: Seq[String], field: String,
+      buckets: Int): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1: $buckets")
+    val perVal = hitFieldValues(spark, rootDir, terms, field)
+      .groupBy("value").agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(asc("value"))
+      .rowsBetween(org.apache.spark.sql.expressions
+        .Window.unboundedPreceding, -1)
+    val tot = perVal.agg(sum("cnt").as("n"))
+    perVal
+      .withColumn("cum_before",
+        coalesce(sum("cnt").over(w), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("bkey",
+        expr(s"(cum_before * ${buckets}L) div n"))
+      .groupBy("bkey")
+      .agg(sum("cnt").as("doc_count"),
+        min("value").as("vmin"), max("value").as("vmax"),
+        sum(col("value").cast("decimal(38,0)") * col("cnt"))
+          .as("vsum"))
+      .withColumn("centroid",
+        col("vsum").cast("double") / col("doc_count").cast("double"))
+      .select("bkey", "doc_count", "vmin", "vmax", "centroid")
+      .orderBy("bkey")
   }
 
   /** Multi-terms aggregation — ES's `multi_terms` (compound bucket
@@ -4360,9 +4518,11 @@ object SegmentedIndex {
     * buckets by (doc_count desc, value). */
   def facetStats(spark: SparkSession, rootDir: String,
                  terms: Seq[String], bucketField: String,
-                 statField: String, kBuckets: Int): DataFrame =
+                 statField: String, kBuckets: Int,
+                 orderMetric: String = "doc_count",
+                 orderAsc: Boolean = false): DataFrame =
     multiFacetStats(spark, Seq("" -> rootDir), terms, bucketField,
-      statField, kBuckets)
+      statField, kBuckets, orderMetric, orderAsc)
 
   /** [[facetStats]] across several indices — the nested terms+stats
     * agg under the (_index, _id) identity; per-role missing-field
@@ -4370,9 +4530,20 @@ object SegmentedIndex {
   def multiFacetStats(spark: SparkSession,
                       indices: Seq[(String, String)],
                       terms: Seq[String], bucketField: String,
-                      statField: String, kBuckets: Int): DataFrame = {
+                      statField: String, kBuckets: Int,
+                      orderMetric: String = "doc_count",
+                      orderAsc: Boolean = false): DataFrame = {
     require(indices.nonEmpty, "need at least one index")
+    // ES's terms-agg `order: { <sub-agg metric>: asc|desc }` — the
+    // "cheapest source first" request: any stats column may drive
+    // the bucket ranking instead of doc_count (still a bounded
+    // top-k over the aggregated bucket frame — TakeOrderedAndProject,
+    // never a full sort). The value tiebreak keeps it total.
+    require(Set("doc_count", "vmin", "vmax", "vsum", "vavg")
+      (orderMetric), s"unknown order metric: $orderMetric")
     requireUniformAnalyzer(indices)
+    val ord =
+      if (orderAsc) asc(orderMetric) else desc(orderMetric)
     indices.map { case (name, root) =>
       hitFields(spark, root, terms,
         Seq(bucketField -> "value", statField -> "sv"),
@@ -4388,7 +4559,7 @@ object SegmentedIndex {
       .withColumn("vavg",
         col("vsum").cast("double") / col("n_vals").cast("double"))
       .select("value", "doc_count", "vmin", "vmax", "vsum", "vavg")
-      .orderBy(desc("doc_count"), asc("value"))
+      .orderBy(ord, asc("value"))
       .limit(kBuckets)
   }
 

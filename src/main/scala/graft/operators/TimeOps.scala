@@ -111,6 +111,38 @@ object TimeOps {
       .withColumn("auto_interval", lit(chosen))
   }
 
+  /** ES `rate` aggregation under a `date_histogram` parent — "how
+    * many per day", computed per calendar bucket: rate =
+    * doc_count / (days in THAT bucket), which is the whole point of
+    * the agg under calendar intervals (a 28-day February and a
+    * 31-day January normalize to comparable per-day rates; a fixed
+    * divisor would lie). The divisor is exact integer calendar
+    * arithmetic (datediff to the next bucket start) and the rate is
+    * ONE division of exactly-representable longs — bit-stable on the
+    * hash-oracle surface. `unit` is pinned to `day` (ES's other
+    * units are the same single scaling; day is the one that
+    * exercises variable bucket lengths). Output: (bucket, doc_count,
+    * bucket_days, rate_per_day), bucket-ascending, gap-filled like
+    * [[dateHistogram]] (empty buckets rate 0.0). */
+  def dateHistogramRate(df: DataFrame, tsCol: String,
+                        interval: String,
+                        pred: Option[String] = None): DataFrame = {
+    require(Set("year", "quarter", "month", "week", "day")(interval),
+      s"rate needs a day-divisible calendar interval: $interval")
+    val step = interval match {
+      case "quarter" => expr("interval 3 months")
+      case other     => expr(s"interval 1 $other")
+    }
+    dateHistogram(df, tsCol, interval, pred)
+      .withColumn("bucket_days",
+        datediff(to_date(col("bucket") + step), to_date(col("bucket")))
+          .cast("long"))
+      .withColumn("rate_per_day",
+        col("doc_count").cast("double") /
+          col("bucket_days").cast("double"))
+      .orderBy("bucket")
+  }
+
   /** ES `date_range` aggregation: explicit [from, to) windows over a
     * timestamp column (from inclusive, to exclusive — ES's range
     * rule), open ends allowed (`None`), every requested range in the

@@ -1432,6 +1432,61 @@ object LlmSurface {
         searchTerms, "n_chars", interval = 100L, window = 3,
         percent = 50.0)),
 
+    // --- rate aggregation under a calendar date_histogram (ES
+    //     `rate`): per-day rate per bucket, the divisor the EXACT
+    //     day count of that calendar bucket (Feb ≠ Jan — the whole
+    //     point under calendar intervals)
+    //     (TimeOps.dateHistogramRate) ---
+    "q324_rate_agg" -> ((s, d) =>
+      graft.operators.TimeOps.dateHistogramRate(
+        Tables.table(s, d, "orders"), "o_orderdate", "month",
+        pred = Some("o_orderstatus = 'F'"))),
+
+    // --- filters agg with other_bucket (ES's `other_bucket`: docs
+    //     matching NO filter, under the reserved '_other_' key) —
+    //     live-corpus count minus matched-any, two scalar aggregates
+    //     (SegmentedIndex.filtersFacet) ---
+    "q325_filters_other" -> ((s, d) =>
+      // probe-only against the STAGED index (segIndexDir)
+      SegmentedIndex.filtersFacet(s, segIndexDir(s, d),
+        Seq("sparkish" -> Seq("spark"),
+          "joiny" -> Seq("join", "vector"),
+          "none" -> Seq("zz-absent-term")),
+        otherBucket = true)),
+
+    // --- terms agg ORDERED BY a sub-agg metric (ES's
+    //     `order: {avg_metric: desc}` — rank sources by their mean
+    //     doc length, not their size)
+    //     (SegmentedIndex.facetStats orderMetric) ---
+    "q326_terms_order_metric" -> ((s, d) =>
+      // probe-only against the STAGED index (segIndexDir)
+      SegmentedIndex.facetStats(s, segIndexDir(s, d), searchTerms,
+        bucketField = "source", statField = "n_chars",
+        kBuckets = 10, orderMetric = "vavg")),
+
+    // --- variable_width_histogram (ES's data-adaptive bucketing),
+    //     pinned EXACT: equal-frequency split by distinct value —
+    //     deterministic where ES's one-pass clusterer is
+    //     order-dependent; DECIMAL(38,0) centroid moments
+    //     (SegmentedIndex.variableWidthHistogramFacet) ---
+    "q327_variable_width_histogram" -> ((s, d) =>
+      // probe-only against the STAGED index (segIndexDir)
+      SegmentedIndex.variableWidthHistogramFacet(s,
+        segIndexDir(s, d), searchTerms, "n_chars", buckets = 5)),
+
+    // --- multi_match type cross_fields (the r16 refusal upgraded —
+    //     Lucene's BlendedTermQuery convention pinned: per term the
+    //     fields' dfs blend to their MAX, the best field's tf scores
+    //     once under the blended weight, terms sum)
+    //     (SegmentedIndex.multiMatchSearch) ---
+    "q328_multi_match_cross" -> ((s, d) =>
+      // probe-only against the STAGED per-field families
+      SegmentedIndex.multiMatchSearch(s,
+        Seq("text" -> segIndexDir(s, d),
+          "meta" -> segIndexMetaDir(s, d)),
+        Seq("spark", "de"), matchType = "cross_fields",
+        tieBreaker = 0.0, k = 25)),
+
     // --- completion suggester CONTEXTS (ES's category contexts —
     //     filtered completion): the `_cfield/` artifact carries each
     //     suggestion's context value, the suggest filters on one
@@ -6588,6 +6643,130 @@ object LlmSurface {
         | (CASE WHEN msp THEN 1 ELSE 0 END)::BIGINT AS n_terms_hit
         |FROM u WHERE (msp AND mcu) OR mve
         |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
+
+    // q324: rate replayed — the q249 gap-filled month series with
+    // the exact per-bucket day count as divisor
+    "q324_rate_agg" ->
+      """WITH b AS (SELECT date_trunc('month', o_orderdate) AS bucket,
+        |   count(*)::BIGINT AS doc_count
+        |  FROM orders WHERE o_orderstatus = 'F' GROUP BY 1),
+        | bounds AS (SELECT min(bucket) AS lo, max(bucket) AS hi
+        |  FROM b),
+        | allb AS (SELECT unnest(generate_series(lo, hi,
+        |   INTERVAL 1 MONTH)) AS bucket FROM bounds),
+        | f AS (SELECT allb.bucket,
+        |   COALESCE(doc_count, 0) AS doc_count
+        |  FROM allb LEFT JOIN b ON allb.bucket = b.bucket)
+        |SELECT bucket, doc_count,
+        | date_diff('day', bucket::DATE,
+        |   (bucket + INTERVAL 1 MONTH)::DATE)::BIGINT AS bucket_days,
+        | doc_count::DOUBLE / date_diff('day', bucket::DATE,
+        |   (bucket + INTERVAL 1 MONTH)::DATE)::DOUBLE AS rate_per_day
+        |FROM f ORDER BY bucket""".stripMargin,
+
+    // q325: filters + other_bucket replayed — q233's keyed counts
+    // plus live-total minus matched-any under '_other_'
+    "q325_filters_other" ->
+      """WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+        | p AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |       FROM d),
+        | qt AS (SELECT * FROM (VALUES ('sparkish', 'spark'),
+        |   ('joiny', 'join'), ('joiny', 'vector'),
+        |   ('none', 'zz-absent-term')) t(name, term)),
+        | counts AS (SELECT name,
+        |   count(DISTINCT doc_id)::BIGINT AS doc_count
+        |  FROM p JOIN qt USING (term) WHERE doc_id % 37 <> 5
+        |  GROUP BY name),
+        | names AS (SELECT * FROM (VALUES ('sparkish'), ('joiny'),
+        |   ('none')) t(name)),
+        | keyed AS (SELECT name,
+        |   coalesce(doc_count, 0)::BIGINT AS doc_count
+        |  FROM names LEFT JOIN counts USING (name)),
+        | other AS (SELECT '_other_' AS name,
+        |   ((SELECT count(*) FROM d WHERE doc_id % 37 <> 5) -
+        |    (SELECT count(DISTINCT doc_id) FROM p
+        |     WHERE term IN ('spark', 'join', 'vector', 'zz-absent-term')
+        |      AND doc_id % 37 <> 5))::BIGINT AS doc_count)
+        |SELECT * FROM keyed UNION ALL SELECT * FROM other
+        |ORDER BY name""".stripMargin,
+
+    // q326: metric-ordered terms agg replayed — q193's stats frame
+    // ordered by the exact vavg instead of doc_count
+    "q326_terms_order_metric" -> {
+      val termList = searchTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+         | p AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |       FROM d),
+         | hits AS (SELECT DISTINCT doc_id FROM p
+         |          WHERE term IN ($termList) AND doc_id % 37 <> 5)
+         |SELECT source AS value,
+         | count(DISTINCT d.doc_id) AS doc_count,
+         | min(n_chars) AS vmin, max(n_chars) AS vmax,
+         | sum(n_chars)::BIGINT AS vsum,
+         | sum(n_chars)::DOUBLE / count(n_chars)::DOUBLE AS vavg
+         |FROM d JOIN hits USING (doc_id)
+         |GROUP BY source ORDER BY vavg DESC, value LIMIT 10"""
+        .stripMargin
+    },
+
+    // q327: variable_width_histogram replayed — per-distinct-value
+    // cumulative split, HUGEINT centroid moments mirroring the
+    // DECIMAL(38,0) accumulators
+    "q327_variable_width_histogram" -> {
+      val termList = searchTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+         | p AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |       FROM d),
+         | hits AS (SELECT DISTINCT doc_id FROM p
+         |          WHERE term IN ($termList) AND doc_id % 37 <> 5),
+         | vals AS (SELECT n_chars AS value FROM d
+         |  JOIN hits USING (doc_id) WHERE n_chars IS NOT NULL),
+         | pv AS (SELECT value, count(*)::BIGINT AS cnt FROM vals
+         |  GROUP BY value),
+         | cum AS (SELECT value, cnt,
+         |   coalesce(sum(cnt) OVER (ORDER BY value
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |    0)::BIGINT AS cum_before,
+         |   (SELECT sum(cnt) FROM pv)::BIGINT AS n FROM pv)
+         |SELECT (cum_before * 5) // n AS bkey,
+         | sum(cnt)::BIGINT AS doc_count,
+         | min(value) AS vmin, max(value) AS vmax,
+         | sum(value::HUGEINT * cnt)::DOUBLE / sum(cnt)::DOUBLE
+         |  AS centroid
+         |FROM cum GROUP BY 1 ORDER BY bkey"""
+        .stripMargin
+    },
+
+    // q328: cross_fields replayed — spark blends to the text df,
+    // de to the meta df (the other family holds neither), best tf
+    // once under the blended weight, terms sum in query order
+    "q328_multi_match_cross" ->
+      """WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+        | nd AS (SELECT count(*)::DOUBLE AS n FROM d),
+        | pt AS (SELECT term, doc_id, count(*)::BIGINT AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |        FROM d) GROUP BY term, doc_id),
+        | dfsp AS (SELECT count(*)::BIGINT AS df FROM pt
+        |  WHERE term = 'spark'),
+        | dfde AS (SELECT count(*)::BIGINT AS df FROM d
+        |  WHERE lang = 'de'),
+        | sp AS (SELECT doc_id, tf FROM pt
+        |  WHERE term = 'spark' AND doc_id % 37 <> 5),
+        | de AS (SELECT doc_id, 1::BIGINT AS tf FROM d
+        |  WHERE lang = 'de' AND doc_id % 37 <> 5),
+        | ids AS (SELECT doc_id FROM sp UNION SELECT doc_id FROM de)
+        |SELECT i.doc_id,
+        | coalesce(sp.tf, 0)::DOUBLE *
+        |  ((SELECT n FROM nd) / (SELECT df FROM dfsp)::DOUBLE) +
+        | coalesce(de.tf, 0)::DOUBLE *
+        |  ((SELECT n FROM nd) / (SELECT df FROM dfde)::DOUBLE)
+        |  AS score,
+        | ((CASE WHEN sp.tf IS NOT NULL THEN 1 ELSE 0 END) +
+        |  (CASE WHEN de.tf IS NOT NULL THEN 1 ELSE 0 END))::BIGINT
+        |  AS n_fields_hit
+        |FROM ids i LEFT JOIN sp ON i.doc_id = sp.doc_id
+        | LEFT JOIN de ON i.doc_id = de.doc_id
+        |ORDER BY score DESC, i.doc_id LIMIT 25""".stripMargin,
 
     // q322: normalize replayed — the same gap-filled doc_count
     // series, one exact long division per bucket against the series

@@ -139,6 +139,79 @@ class QueryExtras17Spec extends SparkSpec {
     assert(mm(1L) == ((st, 1L))) // text only
   }
 
+  // ---- wave 2: rate / other_bucket / metric order / vwh ----
+
+  test("dateHistogramRate: the divisor is the EXACT day count of " +
+    "each calendar bucket (Feb != Jan); gap buckets rate 0") {
+    val evts = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-10 00:00:00")),
+      (2L, java.sql.Timestamp.valueOf("2024-01-20 00:00:00")),
+      (3L, java.sql.Timestamp.valueOf("2024-02-05 00:00:00")),
+      (4L, java.sql.Timestamp.valueOf("2024-04-01 00:00:00")))
+      .toDF("id", "t")
+    val out = TimeOps.dateHistogramRate(evts, "t", "month")
+      .select("doc_count", "bucket_days", "rate_per_day")
+      .as[(Long, Long, Double)].collect().toSeq
+    // 2024: Jan 31, Feb 29 (leap), Mar 31 (gap), Apr 30
+    assert(out == Seq((2L, 31L, 2.0 / 31), (1L, 29L, 1.0 / 29),
+      (0L, 31L, 0.0), (1L, 30L, 1.0 / 30)))
+    intercept[IllegalArgumentException] {
+      TimeOps.dateHistogramRate(evts, "t", "hour")
+    }
+  }
+
+  test("filtersFacet other_bucket: docs matching NO filter count " +
+    "under '_other_'; the reserved key is refused as a name") {
+    val root = freshIndex()
+    val out = SegmentedIndex.filtersFacet(spark, root,
+      Seq("sparky" -> Seq("spark"), "none" -> Seq("zz-absent")),
+      otherBucket = true)
+      .as[(String, Long)].collect().toMap
+    // corpus: 5 docs; spark docs 1,2,3,5 -> other = doc 4
+    assert(out == Map("sparky" -> 4L, "none" -> 0L, "_other_" -> 1L))
+    intercept[IllegalArgumentException] {
+      SegmentedIndex.filtersFacet(spark, root,
+        Seq("_other_" -> Seq("spark")), otherBucket = true)
+    }
+  }
+
+  test("facetStats orderMetric: buckets rank by the chosen sub-agg " +
+    "metric instead of doc_count; unknown metrics refused") {
+    val root = freshIndex()
+    // spark hits 1,2,3,5: web(100,180) book(250) wiki(400)
+    val byAvg = SegmentedIndex.facetStats(spark, root, Seq("spark"),
+      "source", "n_chars", 10, orderMetric = "vavg")
+      .select("value").as[String].collect().toSeq
+    assert(byAvg == Seq("wiki", "book", "web"))
+    val byMinAsc = SegmentedIndex.facetStats(spark, root,
+      Seq("spark"), "source", "n_chars", 10,
+      orderMetric = "vmin", orderAsc = true)
+      .select("value").as[String].collect().toSeq
+    assert(byMinAsc == Seq("web", "book", "wiki"))
+    intercept[IllegalArgumentException] {
+      SegmentedIndex.facetStats(spark, root, Seq("spark"),
+        "source", "n_chars", 10, orderMetric = "median")
+    }
+  }
+
+  test("variableWidthHistogramFacet: exact equal-frequency split by " +
+    "distinct value, ties stay whole, DECIMAL centroids") {
+    val root = Files.createTempDirectory("graft-vwh").toString
+    // values: 1,1,1,2,3,4 (6 rows) into 3 buckets: cum_before of
+    // 1->0, 2->3, 3->4, 4->5; bkey = cum*3 div 6 -> 1:0, 2:1, 3:2, 4:2
+    SegmentedIndex.append(spark, root,
+      Seq((1L, "x", 1L), (2L, "x", 1L), (3L, "x", 1L), (4L, "x", 2L),
+        (5L, "x", 3L), (6L, "x", 4L)).toDF("doc_id", "text", "v"),
+      "a", nBuckets = 4)
+    val out = SegmentedIndex.variableWidthHistogramFacet(spark, root,
+      Seq("x"), "v", buckets = 3)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (0L, 3L, 1L, 1L, 1.0),
+      (1L, 1L, 2L, 2L, 2.0),
+      (2L, 2L, 3L, 4L, 3.5)))
+  }
+
   // ---- nested documents ----
 
   /** Parent family: 3 parents. Nested family: per-parent

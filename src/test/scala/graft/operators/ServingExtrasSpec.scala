@@ -554,7 +554,8 @@ class ServingExtrasSpec extends SparkSpec {
   }
 
   test("multiMatchSearch: per-field statistics, best_fields competes " +
-    "(dis_max), most_fields piles up; cross_fields refused") {
+    "(dis_max), most_fields piles up; cross_fields blends df to the " +
+    "max (r17 upgrade of the former loud refusal)") {
     val textRoot = freshIndex()
     // the second analyzed field over the SAME doc ids: "source lang"
     val metaRoot = Files.createTempDirectory("graft-sx16m").toString
@@ -586,10 +587,35 @@ class ServingExtrasSpec extends SparkSpec {
     assert(most(1L) == t(1, 1) + m) // fields pile up
     // doc4 lacks spark in text but is web in meta: present via meta
     assert(most(4L) == m)
-    intercept[IllegalArgumentException] {
-      SegmentedIndex.multiMatchSearch(spark, fields,
-        Seq("spark"), "cross_fields", 0.0, 10)
-    }
+    // cross_fields (the Lucene BlendedTermQuery convention, pinned):
+    // per term df blends to the MAX across fields, per doc the best
+    // field's tf scores under the blended weight, terms sum.
+    // 'spark': text df 4, meta df 0 -> blend 4; 'web': meta df 3,
+    // text df 0 -> blend 3 — so here cross == most numerically, but
+    // via max-tf (doc3 "spark join join": tf_spark=1 text, 0 meta)
+    val cross = SegmentedIndex.multiMatchSearch(spark, fields,
+      Seq("spark", "web"), "cross_fields", 0.0, 10)
+      .as[(Long, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(cross(1L) == ((1.0 * (5.0 / 4) + 1.0 * (5.0 / 3), 2L)))
+    assert(cross(4L) == ((0.0 * (5.0 / 4) + 1.0 * (5.0 / 3), 1L)))
+    // a term in BOTH fields blends df to the max and takes the best
+    // tf once: plant 'web' into doc5's text family via a new index
+    val textRoot2 = Files.createTempDirectory("graft-sx16x").toString
+    SegmentedIndex.append(spark, textRoot2,
+      corpus.withColumn("text",
+        when(col("doc_id") === 5, concat(col("text"), lit(" web web")))
+          .otherwise(col("text"))), "a", nBuckets = 4)
+    val cross2 = SegmentedIndex.multiMatchSearch(spark,
+      Seq("text" -> textRoot2, "meta" -> metaRoot),
+      Seq("web"), "cross_fields", 0.0, 10)
+      .as[(Long, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // df blend = max(text df 1, meta df 3) = 3; doc5 takes its best
+    // tf (2, from text) ONCE under the blended weight — without
+    // blending, text's df 1 would hand doc5 an idf spike of 5/1
+    assert(cross2(5L) == ((2.0 * (5.0 / 3), 1L)))
+    assert(cross2(1L) == ((1.0 * (5.0 / 3), 1L)))
   }
 
   test("intervalsQuery combinators: any_of unions, all_of chains " +
