@@ -2865,6 +2865,88 @@ object SegmentedIndex {
       .limit(kBuckets)
   }
 
+  /** `random_sampler` — ES 8.2's probability-sampling agg (run the
+    * sub-aggs over a p-fraction of the docs, scale the estimates by
+    * 1/p — THE knob for interactive aggregations over 100 TB), with
+    * the sampling DETERMINISTIC by contract: a doc is in the sample
+    * iff knuth(doc_id, seed) < ⌊p·2³¹⌋ — the same seeded Knuth
+    * multiplicative hash [[randomScoreSearch]] pins (uniform over
+    * [0, 2³¹), overflow-proof there), so the sample is reproducible
+    * across runs and engines where ES's is per-shard random. The
+    * inclusion test is one codegen'd integer compare inside the scan
+    * — at scale the sampled fraction is the only data that reaches
+    * the aggregation. Use dyadic probabilities (1/2, 1/4, …) for an
+    * exact threshold (stated; ⌊p·2³¹⌋ is exact there). Output, one
+    * row: (n_sampled, doc_count_estimate = n/p — one double divide,
+    * vmin, vmax, vsum over the sampled stat field). */
+  def randomSamplerFacet(spark: SparkSession, rootDir: String,
+                         terms: Seq[String], statField: String,
+                         probability: Double, seed: Long)
+      : DataFrame = {
+    val m = 2147483648L
+    require(probability > 0.0 && probability <= 1.0,
+      s"probability must be in (0, 1]: $probability")
+    require(seed >= 0 && seed < m, s"seed must be in [0, 2^31): $seed")
+    val threshold = (probability * m.toDouble).toLong
+    require(threshold >= 1, s"probability too small: $probability")
+    hitFieldValues(spark, rootDir, terms, statField)
+      .filter(pmod(pmod(col("doc_id"), lit(m)) * lit(2654435761L) +
+        lit(seed), lit(m)) < lit(threshold))
+      .agg(count(lit(1)).as("n_sampled"),
+        min("value").as("vmin"), max("value").as("vmax"),
+        sum("value").as("vsum"))
+      .withColumn("doc_count_estimate",
+        col("n_sampled").cast("double") / lit(probability))
+      .select("n_sampled", "doc_count_estimate", "vmin", "vmax",
+        "vsum")
+  }
+
+  /** `categorize_text` — ES's log-categorization agg (group similar
+    * messages into templates: "Connection to * failed after * ms"),
+    * with the algorithm PINNED DETERMINISTIC where ES's is a
+    * streaming order-dependent clusterer (its docs warn the buckets
+    * depend on shard order): messages group by (token count, first
+    * token) — the drain-style anchor — and within a group each token
+    * POSITION keeps its token when the whole group agrees on it,
+    * else generalizes to `*`. Tokens are the index CHAIN's emitted
+    * sequence (analyzer-aware — an english index categorizes stemmed
+    * messages); docs analyzing to nothing drop (stated). The plan is
+    * one stored text read → token explode → two aggregations
+    * (per-slot agreement, per-group fold); the per-slot frame is
+    * (groups · positions)-sized, never corpus². Output: (category,
+    * doc_count), top-k by (doc_count desc, category). */
+  def categorizeTextFacet(spark: SparkSession, rootDir: String,
+                          terms: Seq[String], k: Int): DataFrame = {
+    val an = readAnalyzer(new java.io.File(rootDir))
+    val base = hitFieldValues(spark, rootDir, terms, "text")
+      .select(col("doc_id"),
+        transform(Analyzer.posTerms(an, "value"),
+          x => x.getField("term")).as("tk"))
+      .filter(size(col("tk")) > 0)
+      .withColumn("n", size(col("tk")).cast("long"))
+      .withColumn("f", element_at(col("tk"), 1))
+    val slots = base
+      .select(col("n"), col("f"),
+        posexplode(col("tk")).as(Seq("pos", "tok")))
+      .groupBy("n", "f", "pos")
+      .agg(countDistinct(col("tok")).as("ndist"),
+        min("tok").as("one"))
+      .withColumn("ttok",
+        when(col("ndist") === 1L, col("one")).otherwise(lit("*")))
+    val templates = slots
+      .groupBy("n", "f")
+      .agg(concat_ws(" ",
+        transform(
+          array_sort(collect_list(struct(col("pos"), col("ttok")))),
+          x => x.getField("ttok"))).as("category"))
+    base.groupBy("n", "f")
+      .agg(count(lit(1)).as("doc_count"))
+      .join(templates, Seq("n", "f"))
+      .select("category", "doc_count")
+      .orderBy(desc("doc_count"), asc("category"))
+      .limit(k)
+  }
+
   /** Terms LOOKUP — ES's `terms` query with a lookup clause
     * (`terms: { field, index, id, path }`): the filter values come
     * from ANOTHER document's field at query time (the "my followees'

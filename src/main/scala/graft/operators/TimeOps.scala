@@ -143,6 +143,64 @@ object TimeOps {
       .orderBy("bucket")
   }
 
+  /** Event FUNNEL — the ordered-conversion question every event
+    * analytics stack asks ("signup → purchase within 7 days": how
+    * many users reach each stage?): per user, stage 1 anchors at the
+    * user's EARLIEST stage-1 event; each later stage i anchors at
+    * the earliest stage-i event AT OR AFTER the previous stage's
+    * anchor and within `windowSec` of the STAGE-1 anchor (the
+    * whole-funnel window — the common product-analytics definition,
+    * pinned). Conversion is each stage's user count over stage 1's —
+    * one exact long division per stage.
+    *
+    * Plan shape: one filtered scan per stage (the event-type
+    * predicate pushes down), each stage a (user, min ts) aggregation
+    * joined user-keyed to the previous anchor — stage frames shrink
+    * monotonically, joins are user-keyed shuffles (co-partitioned
+    * after the first), nothing is ever per-event quadratic. Output:
+    * (stage_idx, stage, n_users, conversion), stage order. */
+  def funnel(df: DataFrame, userCol: String, typeCol: String,
+             tsCol: String, stages: Seq[String],
+             windowSec: Long): DataFrame = {
+    require(stages.size >= 2, "a funnel needs at least two stages")
+    require(stages.distinct.size == stages.size,
+      "funnel stages must be distinct event types")
+    require(windowSec > 0, s"windowSec must be positive: $windowSec")
+    val spark = df.sparkSession
+    val first = df.filter(col(typeCol) === lit(stages.head))
+      .groupBy(col(userCol).as("u"))
+      .agg(min(col(tsCol)).as("t0"))
+    val anchors = stages.zipWithIndex.tail
+      .scanLeft(first.withColumn("tprev", col("t0"))) {
+        case (prev, (stage, _)) =>
+          df.filter(col(typeCol) === lit(stage))
+            .select(col(userCol).as("u"), col(tsCol).as("ts"))
+            .join(prev.select("u", "t0", "tprev"), Seq("u"))
+            .filter(col("ts") >= col("tprev") &&
+              col("ts") <= col("t0") +
+                expr(s"interval $windowSec seconds"))
+            .groupBy("u")
+            .agg(min(col("ts")).as("tnew"),
+              min(col("t0")).as("t0"))
+            .select(col("u"), col("t0"), col("tnew").as("tprev"))
+      }
+    val counts = anchors.map(_.agg(count(lit(1)).as("n")))
+    val labeled = stages.zip(counts).zipWithIndex.map {
+      case ((stage, c), i) =>
+        c.select(lit(i.toLong).as("stage_idx"),
+          lit(stage).as("stage"), col("n").as("n_users"))
+    }
+    val base = counts.head.select(col("n").as("n0"))
+    labeled.reduce(_ unionByName _)
+      .crossJoin(broadcast(base))
+      .withColumn("conversion",
+        when(col("n0") === 0L, lit(0.0d))
+          .otherwise(col("n_users").cast("double") /
+            col("n0").cast("double")))
+      .select("stage_idx", "stage", "n_users", "conversion")
+      .orderBy("stage_idx")
+  }
+
   /** ES `date_range` aggregation: explicit [from, to) windows over a
     * timestamp column (from inclusive, to exclusive — ES's range
     * rule), open ends allowed (`None`), every requested range in the

@@ -1432,6 +1432,36 @@ object LlmSurface {
         searchTerms, "n_chars", interval = 100L, window = 3,
         percent = 50.0)),
 
+    // --- categorize_text (ES's log-categorization agg), pinned
+    //     DETERMINISTIC: messages group by (token count, first
+    //     token), each position keeps its token when the group
+    //     agrees, else '*' — reproducible where ES's streaming
+    //     clusterer is shard-order-dependent
+    //     (SegmentedIndex.categorizeTextFacet) ---
+    "q329_categorize_text" -> ((s, d) =>
+      // probe-only against the STAGED index (segIndexDir)
+      SegmentedIndex.categorizeTextFacet(s, segIndexDir(s, d),
+        searchTerms, k = 15)),
+
+    // --- random_sampler agg (ES 8.2's probability sampling — THE
+    //     interactive-aggregation knob at 100 TB), deterministic by
+    //     contract: inclusion = seeded Knuth hash under ⌊p·2³¹⌋,
+    //     estimates scaled by 1/p
+    //     (SegmentedIndex.randomSamplerFacet) ---
+    "q330_random_sampler" -> ((s, d) =>
+      // probe-only against the STAGED index (segIndexDir)
+      SegmentedIndex.randomSamplerFacet(s, segIndexDir(s, d),
+        searchTerms, "n_chars", probability = 0.25, seed = 7L)),
+
+    // --- event funnel (signup → purchase → error within 14 days):
+    //     per-user ordered stage anchors, whole-funnel window,
+    //     exact conversion divisions (TimeOps.funnel) ---
+    "q331_funnel" -> ((s, d) =>
+      graft.operators.TimeOps.funnel(
+        Tables.table(s, d, "events"), "user_id", "event_type", "ts",
+        Seq("signup", "purchase", "error"),
+        windowSec = 14L * 86400L)),
+
     // --- rate aggregation under a calendar date_histogram (ES
     //     `rate`): per-day rate per bucket, the divisor the EXACT
     //     day count of that calendar bucket (Feb ≠ Jan — the whole
@@ -6643,6 +6673,90 @@ object LlmSurface {
         | (CASE WHEN msp THEN 1 ELSE 0 END)::BIGINT AS n_terms_hit
         |FROM u WHERE (msp AND mcu) OR mve
         |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
+
+    // q329: categorize_text replayed — the (token count, first
+    // token) anchor groups, per-position agreement, string_agg
+    // templates in position order
+    "q329_categorize_text" -> {
+      val termList = searchTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+         | p AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |       FROM d),
+         | hits AS (SELECT DISTINCT doc_id FROM p
+         |          WHERE term IN ($termList) AND doc_id % 37 <> 5),
+         | b AS (SELECT d.doc_id, string_split(text, ' ') AS tk
+         |  FROM d JOIN hits USING (doc_id)),
+         | b2 AS (SELECT doc_id, tk, len(tk)::BIGINT AS n, tk[1] AS f
+         |  FROM b WHERE len(tk) > 0),
+         | px AS (SELECT n, f,
+         |   generate_subscripts(tk, 1) - 1 AS pos, unnest(tk) AS tok
+         |  FROM b2),
+         | slots AS (SELECT n, f, pos,
+         |   count(DISTINCT tok) AS ndist, min(tok) AS one
+         |  FROM px GROUP BY 1, 2, 3),
+         | tpl AS (SELECT n, f,
+         |   string_agg(CASE WHEN ndist = 1 THEN one ELSE '*' END,
+         |     ' ' ORDER BY pos) AS category
+         |  FROM slots GROUP BY n, f),
+         | cnt AS (SELECT n, f, count(*)::BIGINT AS doc_count
+         |  FROM b2 GROUP BY n, f)
+         |SELECT category, doc_count FROM cnt JOIN tpl USING (n, f)
+         |ORDER BY doc_count DESC, category LIMIT 15""".stripMargin
+    },
+
+    // q330: random_sampler replayed — the same seeded Knuth hash
+    // under the exact dyadic threshold (0.25·2³¹ = 536870912), the
+    // estimate one double divide
+    "q330_random_sampler" -> {
+      val termList = searchTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+         | p AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |       FROM d),
+         | hits AS (SELECT DISTINCT doc_id FROM p
+         |          WHERE term IN ($termList) AND doc_id % 37 <> 5),
+         | s AS (SELECT d.doc_id, n_chars FROM d JOIN hits USING (doc_id)
+         |  WHERE n_chars IS NOT NULL
+         |   AND ((d.doc_id % 2147483648) * 2654435761 + 7)
+         |     % 2147483648 < 536870912)
+         |SELECT count(*)::BIGINT AS n_sampled,
+         | count(*)::DOUBLE / 0.25 AS doc_count_estimate,
+         | min(n_chars) AS vmin, max(n_chars) AS vmax,
+         | sum(n_chars)::BIGINT AS vsum
+         |FROM s""".stripMargin
+    },
+
+    // q331: the funnel replayed — per-user earliest anchors chained
+    // under the whole-funnel window, one division per stage
+    "q331_funnel" ->
+      """WITH s0 AS (SELECT user_id AS u, min(ts) AS t0 FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        | s1 AS (SELECT e.user_id AS u, min(s0.t0) AS t0,
+        |   min(e.ts) AS t1
+        |  FROM events e JOIN s0 ON e.user_id = s0.u
+        |  WHERE e.event_type = 'purchase' AND e.ts >= s0.t0
+        |   AND e.ts <= s0.t0 + INTERVAL 1209600 SECOND
+        |  GROUP BY 1),
+        | s2 AS (SELECT e.user_id AS u, min(e.ts) AS t2
+        |  FROM events e JOIN s1 ON e.user_id = s1.u
+        |  WHERE e.event_type = 'error' AND e.ts >= s1.t1
+        |   AND e.ts <= s1.t0 + INTERVAL 1209600 SECOND
+        |  GROUP BY 1),
+        | n AS (SELECT (SELECT count(*) FROM s0)::BIGINT AS n0,
+        |   (SELECT count(*) FROM s1)::BIGINT AS n1,
+        |   (SELECT count(*) FROM s2)::BIGINT AS n2)
+        |SELECT 0::BIGINT AS stage_idx, 'signup' AS stage,
+        |  n0 AS n_users,
+        |  CASE WHEN n0 = 0 THEN 0.0::DOUBLE
+        |   ELSE n0::DOUBLE / n0::DOUBLE END AS conversion FROM n
+        |UNION ALL
+        |SELECT 1::BIGINT, 'purchase', n1,
+        |  CASE WHEN n0 = 0 THEN 0.0::DOUBLE
+        |   ELSE n1::DOUBLE / n0::DOUBLE END FROM n
+        |UNION ALL
+        |SELECT 2::BIGINT, 'error', n2,
+        |  CASE WHEN n0 = 0 THEN 0.0::DOUBLE
+        |   ELSE n2::DOUBLE / n0::DOUBLE END FROM n
+        |ORDER BY stage_idx""".stripMargin,
 
     // q324: rate replayed — the q249 gap-filled month series with
     // the exact per-bucket day count as divisor

@@ -212,6 +212,85 @@ class QueryExtras17Spec extends SparkSpec {
       (2L, 2L, 3L, 4L, 3.5)))
   }
 
+  // ---- wave 3: categorize_text / random_sampler / funnel ----
+
+  test("categorizeTextFacet: (token count, first token) anchor, " +
+    "per-position agreement, '*' generalization — deterministic") {
+    val root = Files.createTempDirectory("graft-cat").toString
+    SegmentedIndex.append(spark, root, Seq(
+      (1L, "conn to hostA failed"), (2L, "conn to hostB failed"),
+      (3L, "conn to hostA failed"), (4L, "restart ok"),
+      (5L, "conn reset"))
+      .toDF("doc_id", "text"), "a", nBuckets = 4)
+    val out = SegmentedIndex.categorizeTextFacet(spark, root,
+      Seq("conn", "restart"), k = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(out == Seq(
+      ("conn to * failed", 3L),
+      ("conn reset", 1L),
+      ("restart ok", 1L)))
+  }
+
+  test("randomSamplerFacet: seeded Knuth inclusion is deterministic " +
+    "and matches the hash computed independently; estimate = n/p") {
+    val root = freshIndex()
+    val m = 2147483648L
+    def knuth(id: Long, seed: Long): Long =
+      ((id % m) * 2654435761L + seed) % m
+    val p = 0.5
+    val thr = (p * m).toLong
+    // 'spark' hits docs 1,2,3,5 with n_chars 100,250,180,400
+    val expectIds = Seq(1L, 2L, 3L, 5L)
+      .filter(id => knuth(id, 3L) < thr)
+    val out = SegmentedIndex.randomSamplerFacet(spark, root,
+      Seq("spark"), "n_chars", probability = p, seed = 3L)
+      .as[(Long, Double, Long, Long, Long)].collect().head
+    assert(out._1 == expectIds.size.toLong)
+    assert(out._2 == expectIds.size.toDouble / p)
+    val vals = Map(1L -> 100L, 2L -> 250L, 3L -> 180L, 5L -> 400L)
+    if (expectIds.nonEmpty) {
+      assert(out._3 == expectIds.map(vals).min)
+      assert(out._4 == expectIds.map(vals).max)
+      assert(out._5 == expectIds.map(vals).sum)
+    }
+    // p = 1 keeps everything (the determinism sanity bound)
+    val all = SegmentedIndex.randomSamplerFacet(spark, root,
+      Seq("spark"), "n_chars", 1.0, 3L)
+      .select("n_sampled").as[Long].collect().head
+    assert(all == 4L)
+  }
+
+  test("funnel: ordered anchors — pre-anchor events don't count, " +
+    "the whole-funnel window bounds later stages, conversions " +
+    "divide exactly") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // u1: clean signup -> purchase -> refund chain
+      (1L, "signup", ts("2024-01-01 00:00:00")),
+      (1L, "purchase", ts("2024-01-03 00:00:00")),
+      (1L, "refund", ts("2024-01-05 00:00:00")),
+      // u2: purchase BEFORE signup — must not convert
+      (2L, "purchase", ts("2024-01-01 00:00:00")),
+      (2L, "signup", ts("2024-01-02 00:00:00")),
+      // u3: purchase outside the 7-day whole-funnel window
+      (3L, "signup", ts("2024-01-01 00:00:00")),
+      (3L, "purchase", ts("2024-01-20 00:00:00")),
+      // u4: signup only
+      (4L, "signup", ts("2024-01-01 00:00:00")))
+      .toDF("user_id", "event_type", "t")
+    val out = TimeOps.funnel(ev, "user_id", "event_type", "t",
+      Seq("signup", "purchase", "refund"), windowSec = 7L * 86400L)
+      .as[(Long, String, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (0L, "signup", 4L, 1.0),
+      (1L, "purchase", 1L, 0.25),
+      (2L, "refund", 1L, 0.25)))
+    intercept[IllegalArgumentException] {
+      TimeOps.funnel(ev, "user_id", "event_type", "t",
+        Seq("signup"), 10L)
+    }
+  }
+
   // ---- nested documents ----
 
   /** Parent family: 3 parents. Nested family: per-parent
