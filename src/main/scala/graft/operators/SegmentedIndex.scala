@@ -962,6 +962,42 @@ object SegmentedIndex {
             field: String, kBuckets: Int): DataFrame =
     multiFacet(spark, Seq("" -> rootDir), terms, field, kBuckets)
 
+  /** Terms-agg PARTITION paging — ES's
+    * `include: { partition, num_partitions }`, the knob for walking
+    * a huge-cardinality terms agg in independent requests (each
+    * request sees the buckets whose KEY hashes into its partition;
+    * the union over partitions is exact and disjoint — the
+    * billion-key agg pages without a billion-bucket response). The
+    * partition hash is PINNED cross-engine: the first two hex chars
+    * of md5(key) as a base-16 integer, mod `numPartitions` (md5 is
+    * the repo's one cross-engine string digest — the dedup tier's
+    * convention), so the oracle replays it and the paging is
+    * deterministic everywhere; numPartitions ≤ 256 (the two-char
+    * range, `require`d — ES itself caps partitions far below key
+    * cardinality). The filter applies BEFORE the top-k, inside the
+    * bucket aggregation. Output: [[facet]]'s (value, doc_count). */
+  def facetPartition(spark: SparkSession, rootDir: String,
+                     terms: Seq[String], field: String,
+                     numPartitions: Int, partition: Int,
+                     kBuckets: Int): DataFrame = {
+    require(numPartitions >= 1 && numPartitions <= 256,
+      s"numPartitions must be in [1, 256]: $numPartitions")
+    require(partition >= 0 && partition < numPartitions,
+      s"partition must be in [0, $numPartitions): $partition")
+    val hashExpr = expr(
+      "pmod((instr('0123456789abcdef', " +
+        "substring(md5(cast(value as string)), 1, 1)) - 1) * 16 + " +
+        "(instr('0123456789abcdef', " +
+        "substring(md5(cast(value as string)), 2, 1)) - 1), " +
+        s"$numPartitions)")
+    hitFieldValues(spark, rootDir, terms, field)
+      .filter(hashExpr === lit(partition))
+      .groupBy("value")
+      .agg(countDistinct(col("doc_id")).as("doc_count"))
+      .orderBy(desc("doc_count"), asc("value"))
+      .limit(kBuckets)
+  }
+
   /** Histogram aggregation over a query's full hit set — ES's
     * `aggs: { histogram: { field, interval } }` with its default
     * `min_doc_count: 0` semantics: matched live documents bucket by
@@ -4807,16 +4843,79 @@ object SegmentedIndex {
     graft.engine.Fs.renameReplace(tmp, alias)
   }
 
-  /** Resolve an alias to its current target root. */
+  /** Resolve an alias to its current target root (the first line —
+    * a FILTERED alias carries its filter on the second line, see
+    * [[setAliasFiltered]]). */
   def resolveAlias(aliasPath: String): String =
     new String(java.nio.file.Files.readAllBytes(
-      new java.io.File(aliasPath).toPath), "UTF-8").trim
+      new java.io.File(aliasPath).toPath), "UTF-8")
+      .linesIterator.next().trim
+
+  /** FILTERED alias — ES's alias with a `filter` clause (the
+    * multi-tenant / view pattern: `logs-eu` is `logs` filtered to
+    * `region:eu`): the alias file carries a stored-field equality
+    * beside the target, and every search through the alias applies
+    * it — the filter constrains WITHOUT scoring (ES runs alias
+    * filters in filter context). Plain [[setAlias]] files (one line)
+    * stay unfiltered — the format is backward compatible. */
+  def setAliasFiltered(aliasPath: String, targetRoot: String,
+                       field: String, value: String): Unit = {
+    require(field.matches("[A-Za-z0-9_]+"),
+      s"alias filter field must match [A-Za-z0-9_]+: '$field'")
+    require(!value.contains("\n") && !value.contains("="),
+      s"alias filter value must be one plain line: '$value'")
+    val alias = new java.io.File(aliasPath)
+    Option(alias.getParentFile).foreach(_.mkdirs())
+    val tmp = new java.io.File(alias.getParentFile,
+      "." + alias.getName + ".tmp-" +
+        java.util.UUID.randomUUID().toString.take(8))
+    java.nio.file.Files.write(tmp.toPath,
+      s"$targetRoot\nfilter=$field=$value".getBytes("UTF-8"))
+    graft.engine.Fs.renameReplace(tmp, alias)
+  }
+
+  /** The alias's filter clause, when present. */
+  def aliasFilterOf(aliasPath: String): Option[(String, String)] = {
+    val lines = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(aliasPath).toPath), "UTF-8")
+      .linesIterator.toSeq
+    lines.find(_.startsWith("filter=")).map { l =>
+      l.stripPrefix("filter=").split("=", 2) match {
+        case Array(f, v) => (f, v)
+        case _ => throw new IllegalArgumentException(
+          s"malformed alias filter line '$l' in $aliasPath")
+      }
+    }
+  }
 
   /** Search through an alias — ES's search-on-alias, the read side of
-    * the zero-downtime swap. */
+    * the zero-downtime swap. A FILTERED alias semi-joins the scored
+    * hits against the live stored rows satisfying the filter (one
+    * column-pruned, predicate-pushed stored read) BEFORE the top-k —
+    * a tail hit outside the filter can never displace an in-filter
+    * one. */
   def searchAlias(spark: SparkSession, aliasPath: String,
-                  terms: Seq[String], k: Int): DataFrame =
-    search(spark, resolveAlias(aliasPath), terms, k)
+                  terms: Seq[String], k: Int): DataFrame = {
+    val root = resolveAlias(aliasPath)
+    aliasFilterOf(aliasPath) match {
+      case None => search(spark, root, terms, k)
+      case Some((f, v)) =>
+        val rootF = new java.io.File(root)
+        val (_, segs, _) = readManifest(rootF)
+        val stored = storedFrame(spark, rootF, segs)
+          .select(col("doc_id"), col(f).as("fv"), col("seg"))
+        val live = tombstones(spark, rootF, segs) match {
+          case Some(dd) =>
+            stored.join(dd, Seq("doc_id", "seg"), "left_anti")
+          case None => stored
+        }
+        scoredHits(spark, root, terms)
+          .join(live.filter(col("fv") === lit(v)).select("doc_id"),
+            Seq("doc_id"), "left_semi")
+          .orderBy(desc("score"), asc("doc_id"))
+          .limit(k)
+    }
+  }
 
   /** Tombstone a set of doc_ids — Lucene's live-docs delete: the
     * postings stay until [[merge]]; queries skip the docs now, the

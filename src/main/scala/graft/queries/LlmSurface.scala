@@ -1432,6 +1432,31 @@ object LlmSurface {
         searchTerms, "n_chars", interval = 100L, window = 3,
         percent = 50.0)),
 
+    // --- FILTERED alias (ES's alias filter — the multi-tenant view
+    //     pattern): every search through the alias semi-joins the
+    //     filter's live stored rows BEFORE the top-k; filter context,
+    //     never scored (SegmentedIndex.setAliasFiltered/searchAlias) ---
+    "q332_filtered_alias" -> ((s, d) => {
+      val alias = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        "graft_alias_en_sx7a_" +
+          graft.engine.Bucketing.fingerprint8(d)).getPath
+      SegmentedIndex.setAliasFiltered(alias, segIndexDir(s, d),
+        "lang", "en")
+      SegmentedIndex.searchAlias(s, alias, searchTerms, k = 20)
+    }),
+
+    // --- terms-agg PARTITION paging (ES's include:
+    //     {partition, num_partitions} — walking a huge-cardinality
+    //     terms agg in independent exact-disjoint pages): the
+    //     partition hash pinned cross-engine (md5 hex prefix)
+    //     (SegmentedIndex.facetPartition) ---
+    "q333_terms_partition" -> ((s, d) =>
+      // probe-only against the STAGED index (segIndexDir)
+      SegmentedIndex.facetPartition(s, segIndexDir(s, d),
+        searchTerms, "source", numPartitions = 3, partition = 1,
+        kBuckets = 10)),
+
     // --- categorize_text (ES's log-categorization agg), pinned
     //     DETERMINISTIC: messages group by (token count, first
     //     token), each position keeps its token when the group
@@ -6673,6 +6698,54 @@ object LlmSurface {
         | (CASE WHEN msp THEN 1 ELSE 0 END)::BIGINT AS n_terms_hit
         |FROM u WHERE (msp AND mcu) OR mve
         |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
+
+    // q332: the filtered alias replayed — the standard scored search
+    // restricted to live docs satisfying the alias filter (lang=en)
+    "q332_filtered_alias" -> {
+      val termList = searchTerms.map(t => s"'$t'").mkString(", ")
+      val contribs = searchTerms.map { t =>
+        s"sum(CASE WHEN term = '$t' THEN tf::DOUBLE * " +
+          "((SELECT n FROM nd) / df::DOUBLE) ELSE 0.0::DOUBLE END)"
+      }
+      s"""WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+         | nd AS (SELECT count(*)::DOUBLE AS n FROM d),
+         | p AS (SELECT term, doc_id, count(*)::BIGINT AS tf
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |        FROM d) GROUP BY term, doc_id),
+         | dfreq AS (SELECT term, count(*)::BIGINT AS df FROM p
+         |  GROUP BY term),
+         | en AS (SELECT doc_id FROM d WHERE lang = 'en'
+         |  AND doc_id % 37 <> 5)
+         |SELECT p.doc_id,
+         | ${contribs.mkString(" + ")} AS score,
+         | count(*)::BIGINT AS n_terms_hit
+         |FROM p JOIN dfreq USING (term)
+         | JOIN en ON p.doc_id = en.doc_id
+         |WHERE term IN ($termList) AND p.doc_id % 37 <> 5
+         |GROUP BY p.doc_id
+         |ORDER BY score DESC, p.doc_id LIMIT 20""".stripMargin
+    },
+
+    // q333: terms partition paging replayed — the same md5-hex-prefix
+    // partition hash over the bucket keys
+    "q333_terms_partition" -> {
+      val termList = searchTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+         | p AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |       FROM d),
+         | hits AS (SELECT DISTINCT doc_id FROM p
+         |          WHERE term IN ($termList) AND doc_id % 37 <> 5)
+         |SELECT source AS value,
+         | count(DISTINCT d.doc_id)::BIGINT AS doc_count
+         |FROM d JOIN hits USING (doc_id)
+         |WHERE source IS NOT NULL
+         | AND ((strpos('0123456789abcdef',
+         |    substring(md5(source::VARCHAR), 1, 1)) - 1) * 16 +
+         |   (strpos('0123456789abcdef',
+         |    substring(md5(source::VARCHAR), 2, 1)) - 1)) % 3 = 1
+         |GROUP BY source
+         |ORDER BY doc_count DESC, value LIMIT 10""".stripMargin
+    },
 
     // q329: categorize_text replayed — the (token count, first
     // token) anchor groups, per-position agreement, string_agg

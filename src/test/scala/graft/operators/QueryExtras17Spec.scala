@@ -212,6 +212,66 @@ class QueryExtras17Spec extends SparkSpec {
       (2L, 2L, 3L, 4L, 3.5)))
   }
 
+  // ---- wave 4: filtered aliases / terms partition paging ----
+
+  test("filtered alias: searches through the alias apply the filter " +
+    "BEFORE the top-k; plain aliases stay unfiltered; malformed " +
+    "filters refused") {
+    val root = freshIndex()
+    val alias = Files.createTempDirectory("graft-fa")
+      .resolve("read-alias").toString
+    SegmentedIndex.setAliasFiltered(alias, root, "lang", "en")
+    val out = SegmentedIndex.searchAlias(spark, alias,
+      Seq("spark"), k = 10)
+      .select("doc_id").as[Long].collect().toSet
+    // spark docs 1,2,3,5; en docs 1,2,4 -> 1,2
+    assert(out == Set(1L, 2L))
+    assert(SegmentedIndex.aliasFilterOf(alias) ==
+      Some(("lang", "en")))
+    // k applies after the filter: k=1 returns the best EN hit, not
+    // an empty page because a non-en doc took the slot
+    assert(SegmentedIndex.searchAlias(spark, alias, Seq("spark"), 1)
+      .count() == 1L)
+    // a plain alias to the same root sees everything
+    val plain = Files.createTempDirectory("graft-fa2")
+      .resolve("plain-alias").toString
+    SegmentedIndex.setAlias(plain, root)
+    assert(SegmentedIndex.aliasFilterOf(plain).isEmpty)
+    assert(SegmentedIndex.searchAlias(spark, plain,
+      Seq("spark"), 10).count() == 4L)
+    intercept[IllegalArgumentException] {
+      SegmentedIndex.setAliasFiltered(alias, root, "bad field", "x")
+    }
+    intercept[IllegalArgumentException] {
+      SegmentedIndex.setAliasFiltered(alias, root, "lang", "a=b")
+    }
+  }
+
+  test("terms partition paging: partitions are disjoint and their " +
+    "union is the full terms agg; bounds refused") {
+    val root = freshIndex()
+    val full = SegmentedIndex.facet(spark, root, Seq("spark"),
+      "source", 100)
+      .as[(String, Long)].collect().toMap
+    val parts = (0 until 3).map { p =>
+      SegmentedIndex.facetPartition(spark, root, Seq("spark"),
+        "source", numPartitions = 3, partition = p, kBuckets = 100)
+        .as[(String, Long)].collect().toMap
+    }
+    // pairwise disjoint (sizes add up) and the union reconstructs
+    // the full agg exactly
+    assert(parts.map(_.size).sum == full.size)
+    assert(parts.reduce(_ ++ _) == full)
+    intercept[IllegalArgumentException] {
+      SegmentedIndex.facetPartition(spark, root, Seq("spark"),
+        "source", 3, 3, 10)
+    }
+    intercept[IllegalArgumentException] {
+      SegmentedIndex.facetPartition(spark, root, Seq("spark"),
+        "source", 257, 0, 10)
+    }
+  }
+
   // ---- wave 3: categorize_text / random_sampler / funnel ----
 
   test("categorizeTextFacet: (token count, first token) anchor, " +
