@@ -22,6 +22,15 @@ final case class SessionState(n: Int, total: Double, start: Long, last: Long)
 /** A document arriving on a stream (near-dup candidate detection). */
 final case class StreamDoc(doc_id: Long, text: String)
 
+/** Per-user funnel automaton state: the stage-0 anchor, the previous
+  * stage's anchor and the reached stage index (all epoch millis —
+  * fixed-size, O(users) total state). */
+final case class FunnelState(t0: Long, tprev: Long, idx: Int)
+
+/** One funnel advancement: `user_id` reached `stage_idx` at `ts`. */
+final case class FunnelHit(user_id: Long, stage_idx: Int,
+                           ts: java.sql.Timestamp)
+
 /** One banded-signature row of a streaming doc. */
 final case class DocBand(band_id: Int, band_key: String, doc_id: Long)
 
@@ -223,6 +232,58 @@ object EventStreams {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  /** STREAMING funnel — [[graft.operators.TimeOps.funnel]]'s
+    * mapGroupsWithState twin (the live conversion dashboard): a
+    * per-user STAGE AUTOMATON advances on each qualifying event —
+    * stage 0 anchors on the user's first stage-0 event, stage i
+    * advances on the first stage-i event at/after the previous
+    * anchor and within `windowSec` of the stage-0 anchor (the
+    * whole-funnel window — the batch twin's pinned definition) —
+    * emitting one [[FunnelHit]] per advancement. Within each
+    * micro-batch the group's events process in event-time order
+    * (the [[sessionize]] sort), so for in-order delivery the greedy
+    * automaton's anchors ARE the batch twin's per-user minima — the
+    * replay-equality the spec pins: per-stage distinct users equal
+    * [[graft.operators.TimeOps.funnel]]'s counts on the same data.
+    * State is one fixed-size triple per user (O(users), the
+    * mapGroupsWithState contract); a user who completes the funnel
+    * keeps a terminal state and emits nothing further. */
+  def funnelStream(events: Dataset[Event], stages: Seq[String],
+                   windowSec: Long, watermark: String = "2 hours")
+      : Dataset[FunnelHit] = {
+    require(stages.size >= 2, "a funnel needs at least two stages")
+    require(stages.distinct.size == stages.size,
+      "funnel stages must be distinct event types")
+    require(windowSec > 0, s"windowSec must be positive: $windowSec")
+    import events.sparkSession.implicits._
+    def fn(userId: Long, batch: Iterator[Event],
+           state: GroupState[FunnelState]): Iterator[FunnelHit] = {
+      val hits = Seq.newBuilder[FunnelHit]
+      var cur = state.getOption
+      batch.toSeq.sortBy(_.ts.getTime).foreach { e =>
+        cur match {
+          case None if e.event_type == stages.head =>
+            cur = Some(FunnelState(e.ts.getTime, e.ts.getTime, 0))
+            hits += FunnelHit(userId, 0, e.ts)
+          case Some(s) if s.idx < stages.size - 1 &&
+              e.event_type == stages(s.idx + 1) &&
+              e.ts.getTime >= s.tprev &&
+              e.ts.getTime <= s.t0 + windowSec * 1000L =>
+            cur = Some(FunnelState(s.t0, e.ts.getTime, s.idx + 1))
+            hits += FunnelHit(userId, s.idx + 1, e.ts)
+          case _ => ()
+        }
+      }
+      cur.foreach(state.update)
+      hits.result().iterator
+    }
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
   }
 
   /** Micro-batch bulk-index sink: every trigger's data is appended to

@@ -244,6 +244,55 @@ class EventStreamsSpec extends SparkSpec {
         s" only-batch=${(batch -- streamed).take(5)}")
   }
 
+  test("funnelStream: the stage automaton advances in order within " +
+    "the whole-funnel window; replay equals the batch twin's " +
+    "per-stage counts") {
+    // hand-built edge cases first (MemoryStream, single batch)
+    val in = MemoryStream[Event](spark)
+    val out = EventStreams.funnelStream(in.toDS(),
+      Seq("signup", "purchase", "refund"), windowSec = 7L * 86400L)
+    runToMemory(out, "fnl", OutputMode.Append) {
+      in.addData(
+        // u1 full chain (in-batch out-of-order arrival: fn sorts)
+        Event(3, ts(300), 1, "refund", 0),
+        Event(1, ts(10), 1, "signup", 0),
+        Event(2, ts(100), 1, "purchase", 0),
+        // u2: purchase BEFORE signup must not convert
+        Event(4, ts(5), 2, "purchase", 0),
+        Event(5, ts(6), 2, "signup", 0),
+        // u3: second signup must not re-anchor (earliest wins)
+        Event(6, ts(1), 3, "signup", 0),
+        Event(7, ts(2), 3, "signup", 0))
+    }
+    val hits = spark.table("fnl")
+      .as[FunnelHit].collect()
+      .map(h => (h.user_id, h.stage_idx)).toSet
+    assert(hits == Set((1L, 0), (1L, 1), (1L, 2), (2L, 0), (3L, 0)))
+
+    // replay-equality on the REAL fixture: per-stage distinct users
+    // from the stream equal the oracled batch twin's counts
+    val stages = Seq("signup", "purchase", "error")
+    val w = 14L * 86400L
+    val evS = EventStreams.readEventStream(spark, sf001)
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event]
+    runToMemory(EventStreams.funnelStream(evS, stages, w),
+      "fnl_replay", OutputMode.Append) { () }
+    val streamed = spark.table("fnl_replay").as[FunnelHit].collect()
+      .groupBy(_.stage_idx).view.mapValues(_.map(_.user_id).distinct
+        .size.toLong).toMap
+    val batch = graft.operators.TimeOps.funnel(
+      graft.engine.Tables.table(spark, sf001, "events"),
+      "user_id", "event_type", "ts", stages, w)
+      .select("stage_idx", "n_users")
+      .as[(Long, Long)].collect().toMap
+    assert(streamed.getOrElse(0, 0L) > 0, "replay produced no hits")
+    stages.indices.foreach { i =>
+      assert(streamed.getOrElse(i, 0L) == batch(i.toLong),
+        s"stage $i: stream=${streamed.get(i)} batch=${batch(i.toLong)}")
+    }
+  }
+
   test("readEventStream replays the fixture table with proper timestamps") {
     val stream = EventStreams.readEventStream(spark, sf001)
     assert(stream.isStreaming)
