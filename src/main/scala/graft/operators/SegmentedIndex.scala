@@ -962,6 +962,34 @@ object SegmentedIndex {
             field: String, kBuckets: Int): DataFrame =
     multiFacet(spark, Seq("" -> rootDir), terms, field, kBuckets)
 
+  /** Terms-agg `include`/`exclude` REGEX — ES's bucket-key filter
+    * (`include: "sw.*"`, `exclude: ".*3"`): buckets whose KEY fails
+    * the include pattern or matches the exclude pattern leave the
+    * aggregation BEFORE the top-k (ES applies them during bucket
+    * collection). Patterns are whole-key anchored in a non-capturing
+    * group (`^(?:pat)$` — the [[regexpSearch]] convention, so a
+    * top-level alternation stays whole-key) and stick to the
+    * portable regexp core, the same cross-engine stance. Output:
+    * [[facet]]'s (value, doc_count). */
+  def facetInclude(spark: SparkSession, rootDir: String,
+                   terms: Seq[String], field: String,
+                   include: Option[String], exclude: Option[String],
+                   kBuckets: Int): DataFrame = {
+    require(include.nonEmpty || exclude.nonEmpty,
+      "facetInclude needs an include or exclude pattern")
+    val vals = hitFieldValues(spark, rootDir, terms, field)
+    val inc = include.fold(vals)(p =>
+      vals.filter(col("value").cast("string")
+        .rlike("^(?:" + p + ")$")))
+    val exc = exclude.fold(inc)(p =>
+      inc.filter(!col("value").cast("string")
+        .rlike("^(?:" + p + ")$")))
+    exc.groupBy("value")
+      .agg(countDistinct(col("doc_id")).as("doc_count"))
+      .orderBy(desc("doc_count"), asc("value"))
+      .limit(kBuckets)
+  }
+
   /** Terms-agg PARTITION paging — ES's
     * `include: { partition, num_partitions }`, the knob for walking
     * a huge-cardinality terms agg in independent requests (each

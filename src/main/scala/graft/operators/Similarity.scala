@@ -74,7 +74,8 @@ object Similarity {
     * (q_id, neighbor_id, rank, cos). */
   def filteredTopK(emb: DataFrame, queryPred: String,
                    filterPred: String, k: Int,
-                   dim: Int = DefaultDim): DataFrame = {
+                   dim: Int = DefaultDim,
+                   minSimilarity: Double = -2.0): DataFrame = {
     val n = withNorm(emb, dim = dim)
     val q = n.filter(expr(queryPred))
       .select(col("vec_id").as("q_id"), col("dvec").as("q_vec"),
@@ -84,8 +85,16 @@ object Similarity {
     val scored = c.join(broadcast(q), col("neighbor_id") =!= col("q_id"))
       .withColumn("cos",
         dot(col("q_vec"), col("dvec"), dim) / (col("q_norm") * col("norm")))
+    // ES knn's `similarity` cutoff: candidates below the cosine
+    // floor leave BEFORE the rank window (a sparse result is the
+    // contract — ES returns fewer than k there too). Default -2
+    // admits everything (cos ∈ [-1, 1]) and adds no plan node.
+    val gated =
+      if (minSimilarity > -2.0)
+        scored.filter(col("cos") >= lit(minSimilarity))
+      else scored
     val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("neighbor_id"))
-    scored
+    gated
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("q_id", "neighbor_id", "rank", "cos")

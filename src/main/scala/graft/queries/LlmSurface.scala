@@ -1432,6 +1432,63 @@ object LlmSurface {
         searchTerms, "n_chars", interval = 100L, window = 3,
         percent = 50.0)),
 
+    // --- ingest pipeline _simulate (ES's processor chain between
+    //     the bulk request and the index — rename/uppercase/gsub/
+    //     set/script/remove, the most-used kernel): the whole chain
+    //     is ONE Catalyst projection, zero UDFs (Ingest.simulate) ---
+    "q334_ingest_pipeline" -> ((s, d) =>
+      graft.operators.Ingest.simulate(
+        Tables.table(s, d, "documents"),
+        Seq(
+          graft.operators.Ingest.RenameProc("source", "src"),
+          graft.operators.Ingest.UppercaseProc("src"),
+          graft.operators.Ingest.GsubProc("lang", "[aeiou]", "_"),
+          graft.operators.Ingest.SetProc("pipeline_tag", "v1"),
+          graft.operators.Ingest.ScriptProc("n_tokens",
+            "bigint(size(split(text, ' ')))"),
+          graft.operators.Ingest.RemoveProc("text")),
+        pred = "doc_id < 15")),
+
+    // --- terms-agg include/exclude regex (ES's bucket-key filter):
+    //     whole-key-anchored patterns applied before the top-k
+    //     (SegmentedIndex.facetInclude) ---
+    "q335_terms_include" -> ((s, d) =>
+      // probe-only against the STAGED index (segIndexDir)
+      SegmentedIndex.facetInclude(s, segIndexDir(s, d), searchTerms,
+        "source", include = Some("src1.*"), exclude = Some(".*3"),
+        kBuckets = 10)),
+
+    // --- retriever TREE (ES 8.16's nested retrievers): an rrf
+    //     retriever over [a linear retriever over (relevance,
+    //     length), a vector-ish relevance retriever] — pure
+    //     composition, windows bounded at every level
+    //     (SegmentedIndex.rrfFusion ∘ linearFusion) ---
+    "q336_retriever_tree" -> ((s, d) => {
+      val root = segIndexDir(s, d)
+      val rel = SegmentedIndex.search(s, root,
+        Seq("spark", "join"), 50)
+      val len = SegmentedIndex.sortedSearch(s, root, searchTerms,
+        "n_chars", 50, ascending = false)
+        .select(col("doc_id"),
+          col("sort_value").cast("double").as("score"))
+      val lin = SegmentedIndex.linearFusion(s,
+        Seq(("relevance", rel, 1.0), ("length", len, 0.5)),
+        windowSize = 50, k = 30)
+      val vec = SegmentedIndex.search(s, root, Seq("vector"), 50)
+      SegmentedIndex.rrfFusion(s,
+        Seq("linear" -> lin, "vec" -> vec),
+        rankConstant = 60, windowSize = 30, k = 20)
+    }),
+
+    // --- knn similarity cutoff (ES knn's `similarity` param):
+    //     candidates below the cosine floor leave before the rank
+    //     window — sparse results are the contract
+    //     (Similarity.filteredTopK minSimilarity) ---
+    "q337_knn_similarity" -> ((s, d) =>
+      Similarity.filteredTopK(emb(s, d), "vec_id < 10", "label = 2",
+          k = 5, minSimilarity = 0.2)
+        .orderBy("q_id", "rank")),
+
     // --- FILTERED alias (ES's alias filter — the multi-tenant view
     //     pattern): every search through the alias semi-joins the
     //     filter's live stored rows BEFORE the top-k; filter context,
@@ -6699,6 +6756,81 @@ object LlmSurface {
         |FROM u WHERE (msp AND mcu) OR mve
         |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
 
+    // q334: the ingest pipeline replayed — each processor one SQL
+    // transformation, same order
+    "q334_ingest_pipeline" ->
+      """SELECT doc_id,
+        | regexp_replace(lang, '[aeiou]', '_', 'g') AS lang,
+        | n_chars,
+        | upper(source) AS src,
+        | 'v1' AS pipeline_tag,
+        | len(string_split(text, ' '))::BIGINT AS n_tokens
+        |FROM documents WHERE doc_id < 15
+        |ORDER BY doc_id""".stripMargin,
+
+    // q335: include/exclude replayed — whole-key regexp matches on
+    // the bucket keys before the top-k
+    "q335_terms_include" -> {
+      val termList = searchTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+         | p AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |       FROM d),
+         | hits AS (SELECT DISTINCT doc_id FROM p
+         |          WHERE term IN ($termList) AND doc_id % 37 <> 5)
+         |SELECT source AS value,
+         | count(DISTINCT d.doc_id)::BIGINT AS doc_count
+         |FROM d JOIN hits USING (doc_id)
+         |WHERE source IS NOT NULL
+         | AND regexp_full_match(source, 'src1.*')
+         | AND NOT regexp_full_match(source, '.*3')
+         |GROUP BY source
+         |ORDER BY doc_count DESC, value LIMIT 10""".stripMargin
+    },
+
+    // q336: the retriever tree replayed — the q299 linear fusion
+    // re-windowed to 30, a vector relevance window, rrf on top
+    "q336_retriever_tree" -> (fusionOracleCtes +
+      """,
+        | mma AS (SELECT min(score) AS mn, max(score) AS mx FROM ra),
+        | mmb AS (SELECT min(score) AS mn, max(score) AS mx FROM rb),
+        | na AS (SELECT doc_id, CASE WHEN mma.mx = mma.mn THEN 1.0
+        |   ELSE (score - mma.mn) / (mma.mx - mma.mn) END AS nv
+        |  FROM ra, mma),
+        | nb AS (SELECT doc_id, CASE WHEN mmb.mx = mmb.mn THEN 1.0
+        |   ELSE (score - mmb.mn) / (mmb.mx - mmb.mn) END AS nv
+        |  FROM rb, mmb),
+        | lin AS (SELECT coalesce(na.doc_id, nb.doc_id) AS doc_id,
+        |  (CASE WHEN na.nv IS NOT NULL THEN 1.0 * na.nv
+        |    ELSE 0.0::DOUBLE END) +
+        |  (CASE WHEN nb.nv IS NOT NULL THEN 0.5 * nb.nv
+        |    ELSE 0.0::DOUBLE END) AS score
+        |  FROM na FULL OUTER JOIN nb ON na.doc_id = nb.doc_id),
+        | lin30 AS (SELECT * FROM (SELECT doc_id,
+        |   row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+        |  FROM lin) WHERE rn <= 30),
+        | vq AS (SELECT doc_id,
+        |   sum(CASE WHEN term = 'vector' THEN tf::DOUBLE *
+        |    ((SELECT n FROM nd) / df::DOUBLE)
+        |    ELSE 0.0::DOUBLE END) AS score
+        |  FROM p JOIN dfreq USING (term)
+        |  WHERE term = 'vector' AND doc_id % 37 <> 5
+        |  GROUP BY doc_id),
+        | vr30 AS (SELECT * FROM (SELECT doc_id,
+        |   row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+        |  FROM vq) WHERE rn <= 30)
+        |SELECT coalesce(lin30.doc_id, vr30.doc_id) AS doc_id,
+        | (CASE WHEN lin30.rn IS NOT NULL
+        |   THEN 1.0 / (60.0 + lin30.rn::DOUBLE) ELSE 0.0::DOUBLE END) +
+        | (CASE WHEN vr30.rn IS NOT NULL
+        |   THEN 1.0 / (60.0 + vr30.rn::DOUBLE) ELSE 0.0::DOUBLE END)
+        |  AS score,
+        | ((CASE WHEN lin30.rn IS NOT NULL THEN 1 ELSE 0 END) +
+        |  (CASE WHEN vr30.rn IS NOT NULL THEN 1 ELSE 0 END))::BIGINT
+        |  AS n_retrievers_hit
+        |FROM lin30 FULL OUTER JOIN vr30
+        | ON lin30.doc_id = vr30.doc_id
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin),
+
     // q332: the filtered alias replayed — the standard scored search
     // restricted to live docs satisfying the alias filter (lang=en)
     "q332_filtered_alias" -> {
@@ -8477,6 +8609,24 @@ object LlmSurface {
          |  ON q.vec_id < 10 AND c.vec_id != q.vec_id
          |  AND c.vec_id IN
          |    (SELECT vec_id FROM embeddings WHERE label = 2)
+         |QUALIFY rank <= 5
+         |ORDER BY q_id, rank""".stripMargin,
+
+    // q337: the similarity cutoff replayed — q220's exact cosine
+    // with the floor applied BEFORE the rank window
+    "q337_knn_similarity" ->
+      s"""WITH $dkNormed,
+         | scored AS (SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+         |   ${dkDot("q.v", "c.v")} / (q.nrm * c.nrm) AS cos
+         |  FROM normed q JOIN normed c
+         |   ON q.vec_id < 10 AND c.vec_id != q.vec_id
+         |   AND c.vec_id IN
+         |     (SELECT vec_id FROM embeddings WHERE label = 2))
+         |SELECT q_id, neighbor_id,
+         |  row_number() OVER (PARTITION BY q_id
+         |    ORDER BY cos DESC, neighbor_id ASC)::BIGINT AS rank,
+         |  cos
+         |FROM scored WHERE cos >= 0.2
          |QUALIFY rank <= 5
          |ORDER BY q_id, rank""".stripMargin,
 

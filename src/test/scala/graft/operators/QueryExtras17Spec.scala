@@ -272,6 +272,51 @@ class QueryExtras17Spec extends SparkSpec {
     }
   }
 
+  test("facetInclude: whole-key-anchored include/exclude patterns " +
+    "filter bucket keys before the top-k") {
+    val root = freshIndex()
+    // spark hits 1,2,3,5 -> sources web(1,3) book(2) wiki(5)
+    val inc = SegmentedIndex.facetInclude(spark, root, Seq("spark"),
+      "source", include = Some("w.*"), exclude = None, kBuckets = 10)
+      .as[(String, Long)].collect().toMap
+    assert(inc == Map("web" -> 2L, "wiki" -> 1L))
+    val exc = SegmentedIndex.facetInclude(spark, root, Seq("spark"),
+      "source", include = None, exclude = Some("w.*|book"),
+      kBuckets = 10)
+    assert(exc.count() == 0L)
+    // whole-key anchor: 'eb' must NOT find-anywhere-match 'web'
+    val anchored = SegmentedIndex.facetInclude(spark, root,
+      Seq("spark"), "source", Some("eb"), None, 10)
+    assert(anchored.count() == 0L)
+    intercept[IllegalArgumentException] {
+      SegmentedIndex.facetInclude(spark, root, Seq("spark"),
+        "source", None, None, 10)
+    }
+  }
+
+  test("filteredTopK minSimilarity: candidates below the cosine " +
+    "floor leave before the rank window (sparse results)") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), 0L),
+      (10L, Array(1.0f, 0.1f), 2L),   // cos ~ 0.995
+      (11L, Array(0.0f, 1.0f), 2L),   // cos = 0
+      (12L, Array(-1.0f, 0.0f), 2L))  // cos = -1
+      .toDF("vec_id", "embedding", "label")
+    val all = Similarity.filteredTopK(emb, "vec_id = 1", "label = 2",
+      k = 5, dim = 2)
+    assert(all.count() == 3L)
+    val cut = Similarity.filteredTopK(emb, "vec_id = 1", "label = 2",
+      k = 5, dim = 2, minSimilarity = 0.5)
+      .select("neighbor_id").as[Long].collect().toSeq
+    assert(cut == Seq(10L))
+    // ranks are dense WITHIN the gated set (the floor applies
+    // before the window)
+    val ranked = Similarity.filteredTopK(emb, "vec_id = 1",
+      "label = 2", k = 5, dim = 2, minSimilarity = -0.5)
+      .select("neighbor_id", "rank").as[(Long, Long)].collect().toSeq
+    assert(ranked == Seq((10L, 1L), (11L, 2L)))
+  }
+
   // ---- wave 3: categorize_text / random_sampler / funnel ----
 
   test("categorizeTextFacet: (token count, first token) anchor, " +
