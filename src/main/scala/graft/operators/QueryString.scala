@@ -346,6 +346,11 @@ object QueryString {
   private case class BoolR(must: Seq[RNode], mustNot: Seq[RNode],
       should: Seq[RNode]) extends RNode
   private case class BoostR(kid: RNode, boost: Double) extends RNode
+  /** Lucene's per-clause dis_max across the `fields` list: an
+    * UNQUALIFIED clause under a multi-field query_string scores as
+    * the MAX of its per-field scores (tie_breaker 0 — Lucene's
+    * default for the fields expansion). */
+  private case class DisR(kids: Seq[RNode]) extends RNode
 
   /** Execute `query` against the per-field postings families in
     * `fields` (field name → family root — [[SegmentedIndex
@@ -369,14 +374,37 @@ object QueryString {
     * (score desc, doc_id). */
   def search(spark: SparkSession, fields: Seq[(String, String)],
              defaultField: String, query: String, k: Int)
-      : DataFrame = {
+      : DataFrame =
+    searchFields(spark, fields, Seq(defaultField -> 1.0), query, k)
+
+  /** [[search]] with ES's `fields` LIST (`fields: ["text",
+    * "meta^2"]`): every UNQUALIFIED scoring clause expands to a
+    * dis_max across the listed fields, each analyzed under its own
+    * chain and weighted by its field boost (tie_breaker 0 —
+    * Lucene's default for the expansion); explicitly-prefixed
+    * clauses are untouched. Phrases expand to an any-field OR
+    * (filter context either way); range/`_exists_` leaves and the
+    * pure-negation base read the FIRST listed field's family (its
+    * stored columns are the shared doc-value store — the families
+    * share one doc space by the `require` below). */
+  def searchFields(spark: SparkSession,
+                   fields: Seq[(String, String)],
+                   defaultFields: Seq[(String, Double)],
+                   query: String, k: Int): DataFrame = {
     import spark.implicits._
     require(fields.nonEmpty, "query_string needs fields")
     require(fields.map(_._1).distinct.size == fields.size,
       "duplicate fields")
+    require(defaultFields.nonEmpty, "query_string needs a fields list")
+    require(defaultFields.map(_._1).distinct.size ==
+      defaultFields.size, "duplicate default fields")
+    defaultFields.foreach { case (f, b) =>
+      require(b > 0, s"field boost must be positive: $f^$b") }
     val rootOf = fields.toMap
-    require(rootOf.contains(defaultField),
-      s"defaultField '$defaultField' is not a mapped field")
+    defaultFields.foreach { case (f, _) =>
+      require(rootOf.contains(f),
+        s"default field '$f' is not a mapped field") }
+    val defaultField = defaultFields.head._1
     // the mapped families must share ONE doc space (the per-field
     // postings-family model: independent inverted indexes over a
     // SHARED doc-id set — combinedFieldsSearch's precondition,
@@ -433,19 +461,41 @@ object QueryString {
     def constId(kind: String, fn: String, text: String,
                 edits: Int): Int =
       constIds.getOrElseUpdate((kind, fn, text, edits), constIds.size)
+    // an UNQUALIFIED clause expands across the fields list (dis_max
+    // over per-field resolutions — Lucene's fields expansion); one
+    // field degenerates to the plain single-field resolution
+    def overDefaults(mk: (String, Double) => Option[RNode])
+        : Option[RNode] =
+      defaultFields.flatMap { case (fn, fb) => mk(fn, fb) } match {
+        case Seq()    => None
+        case Seq(one) => Some(one)
+        case ks       => Some(DisR(ks))
+      }
+    def termIn(fn: String, t: String, b: Double): Option[RNode] =
+      analyzed(fn, t) match {
+        case Seq()    => None
+        case Seq(one) => Some(TermR(pairId(fn, one), b))
+        case many     => Some(OrR(many.map(tok =>
+          TermR(pairId(fn, tok), b))))
+      }
     def resolve(n: Node): Option[RNode] = n match {
-      case TermNode(f, t, b) =>
-        val fn = fieldName(f)
-        analyzed(fn, t) match {
-          case Seq()    => None
-          case Seq(one) => Some(TermR(pairId(fn, one), b))
-          case many     => Some(OrR(many.map(tok =>
-            TermR(pairId(fn, tok), b))))
-        }
+      case TermNode(Some(f), t, b) => termIn(fieldName(Some(f)), t, b)
+      case TermNode(None, t, b) =>
+        overDefaults((fn, fb) => termIn(fn, t, b * fb))
       case PhraseNode(f, words, slop) =>
-        val fn = fieldName(f)
-        if (analyzed(fn, words.mkString(" ")).isEmpty) None
-        else Some(PhraseR(phraseId(fn, words, slop)))
+        val fns = f match {
+          case Some(_) => Seq(fieldName(f))
+          case None    => defaultFields.map(_._1)
+        }
+        val ks = fns.filter(fn =>
+            analyzed(fn, words.mkString(" ")).nonEmpty)
+          .map(fn => PhraseR(phraseId(fn, words, slop)))
+        ks match {
+          case Seq()    => None
+          case Seq(one) => Some(one)
+          // filter context: any-field match gates, scores stay zero
+          case many     => Some(DisR(many))
+        }
       case AndNode(ks) =>
         val rs = ks.flatMap(resolve)
         if (rs.isEmpty) None
@@ -469,12 +519,21 @@ object QueryString {
         } else Some(BoolR(rm, rn, rs))
       case BoostNode(kd, b) =>
         resolve(kd).map(r => if (b == 1.0) r else BoostR(r, b))
-      case PrefixNode(f, stem, b) =>
-        Some(ConstR(constId("prefix", fieldName(f), stem, 0), b))
-      case WildcardNode(f, pat, b) =>
-        Some(ConstR(constId("wildcard", fieldName(f), pat, 0), b))
-      case FuzzyNode(f, t, e, b) =>
-        Some(ConstR(constId("fuzzy", fieldName(f), t, e), b))
+      case PrefixNode(Some(f), stem, b) =>
+        Some(ConstR(constId("prefix", fieldName(Some(f)), stem, 0), b))
+      case PrefixNode(None, stem, b) =>
+        overDefaults((fn, fb) =>
+          Some(ConstR(constId("prefix", fn, stem, 0), b * fb)))
+      case WildcardNode(Some(f), pat, b) =>
+        Some(ConstR(constId("wildcard", fieldName(Some(f)), pat, 0), b))
+      case WildcardNode(None, pat, b) =>
+        overDefaults((fn, fb) =>
+          Some(ConstR(constId("wildcard", fn, pat, 0), b * fb)))
+      case FuzzyNode(Some(f), t, e, b) =>
+        Some(ConstR(constId("fuzzy", fieldName(Some(f)), t, e), b))
+      case FuzzyNode(None, t, e, b) =>
+        overDefaults((fn, fb) =>
+          Some(ConstR(constId("fuzzy", fn, t, e), b * fb)))
       case RangeNode(f, lo, hi) =>
         Some(FilterR(filterId("range", f, lo, hi)))
       case ExistsNode(f) =>
@@ -632,6 +691,7 @@ object QueryString {
       case BoostR(kd, _) => needsCorpus(kd)
       case AndR(ks)      => ks.forall(needsCorpus)
       case OrR(ks)       => ks.exists(needsCorpus)
+      case DisR(ks)      => ks.exists(needsCorpus)
       case BoolR(m, _, sh) =>
         if (m.nonEmpty) m.forall(needsCorpus)
         else if (sh.nonEmpty) sh.exists(needsCorpus)
@@ -701,6 +761,15 @@ object QueryString {
       case BoostR(kd, b) =>
         val (m, s) = comp(kd)
         (m, s * lit(b))
+      case DisR(ks) =>
+        // the per-clause fields dis_max: matched = any field, score
+        // = the best field's (tie_breaker 0; kid scores self-gate
+        // to 0 when unmatched, and are non-negative, so greatest is
+        // exactly Lucene's max-of-matching)
+        val cs = ks.map(comp)
+        val scores = cs.map(_._2)
+        (cs.map(_._1).reduce(_ || _),
+          if (scores.size == 1) scores.head else greatest(scores: _*))
       case FilterR(fid) =>
         // filter context: gates candidacy, scores zero (the pinned
         // phrase posture applied to range/exists)
@@ -724,6 +793,7 @@ object QueryString {
         (m ++ sh).flatMap(posPairs(_, neg)) ++
           mn.flatMap(posPairs(_, neg = true))
       case BoostR(kd, _) => posPairs(kd, neg)
+      case DisR(ks) => ks.flatMap(posPairs(_, neg))
       case _        => Seq.empty
     }
     val pos = posPairs(rootR, neg = false).distinct

@@ -5486,8 +5486,18 @@ object SegmentedIndex {
                  must: Seq[String], should: Seq[String] = Seq.empty,
                  mustNot: Seq[String] = Seq.empty,
                  k: Int = 10,
-                 rangeFilter: Option[(String, Long, Long)] = None)
+                 rangeFilter: Option[(String, Long, Long)] = None,
+                 minimumShouldMatch: Option[Int] = None)
       : DataFrame = {
+    // ES's `minimum_should_match`: when set, a candidate must match
+    // at least that many DISTINCT should terms (on top of the must
+    // rules); unset keeps ES's defaults — should purely optional
+    // beside a must, at-least-one for a should-only bool. The bound
+    // applies to the ANALYZED should set: a bound no surviving set
+    // can reach matches nothing (Lucene's unsatisfiable bool — by
+    // construction here, no special case).
+    minimumShouldMatch.foreach(n =>
+      require(n >= 1, s"minimum_should_match must be >= 1: $n"))
     require(must.nonEmpty || should.nonEmpty,
       "boolSearch needs at least one scoring clause (must or should)")
     val root = new java.io.File(rootDir)
@@ -5517,17 +5527,26 @@ object SegmentedIndex {
         p.join(dd, Seq("doc_id", "seg"), "left_anti")
       case None => p
     }
-    // candidates: all-of-must, else any-of-should
+    // candidates: all-of-must, plus >= minimum_should_match distinct
+    // should terms (default: 0 beside a must, 1 for should-only)
+    val msm: Int =
+      minimumShouldMatch.getOrElse(if (must2.nonEmpty) 0 else 1)
+    def shouldCand(atLeast: Int): DataFrame =
+      live.filter(col("term").isin(should2: _*))
+        .groupBy("doc_id")
+        .agg(countDistinct(col("term")).as("ns"))
+        .filter(col("ns") >= lit(atLeast.toLong))
+        .select("doc_id")
     val cand0 =
-      if (must2.nonEmpty)
-        live.filter(col("term").isin(must2: _*))
+      if (must2.nonEmpty) {
+        val m = live.filter(col("term").isin(must2: _*))
           .groupBy("doc_id")
           .agg(countDistinct(col("term")).as("nm"))
           .filter(col("nm") === lit(must2.size.toLong))
           .select("doc_id")
-      else
-        live.filter(col("term").isin(should2: _*))
-          .select("doc_id").distinct()
+        if (msm <= 0) m
+        else m.join(shouldCand(msm), Seq("doc_id"), "left_semi")
+      } else shouldCand(msm)
     val cand1 =
       if (mustNot2.isEmpty) cand0
       else cand0.join(

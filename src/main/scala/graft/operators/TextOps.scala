@@ -22,6 +22,40 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** RAG document CHUNKING — the retrieval-ingestion splitter every
+    * RAG pipeline runs before embedding (LangChain/LlamaIndex's
+    * token splitter, here over the corpus pipeline's whitespace
+    * tokens): each document yields overlapping windows of
+    * `windowTokens` tokens, starts at 0, stride, 2·stride, … while
+    * the start is inside the document (the trailing window may be
+    * shorter — the convention pinned; a stride < window gives the
+    * overlap that keeps sentence context across chunk boundaries).
+    * Pure column arithmetic (sequence → explode → slice — codegen'd,
+    * zero UDFs, map-side: no shuffle at any scale; output rows ≈
+    * tokens/stride per doc). Output: (doc_id, chunk_id = start /
+    * stride, n_tokens, chunk_text), (doc_id, chunk_id)-ordered by
+    * the caller. */
+  def chunkDocuments(docs: DataFrame, windowTokens: Int,
+                     strideTokens: Int, textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame = {
+    require(windowTokens >= 1,
+      s"windowTokens must be >= 1: $windowTokens")
+    require(strideTokens >= 1 && strideTokens <= windowTokens,
+      s"strideTokens must be in [1, windowTokens]: $strideTokens")
+    docs
+      .select(col(idCol).as("doc_id"),
+        split(col(textCol), " ").as("tk"))
+      .withColumn("start", explode(sequence(lit(0),
+        greatest(size(col("tk")) - 1, lit(0)),
+        lit(strideTokens))))
+      .withColumn("chunk",
+        slice(col("tk"), col("start") + 1, lit(windowTokens)))
+      .select(col("doc_id"),
+        (col("start") / strideTokens).cast("long").as("chunk_id"),
+        size(col("chunk")).cast("long").as("n_tokens"),
+        concat_ws(" ", col("chunk")).as("chunk_text"))
+  }
+
   /** Modulus for the portable char-polynomial hash (large prime). */
   val HashP = 1000003L
 

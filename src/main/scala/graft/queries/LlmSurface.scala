@@ -1432,6 +1432,37 @@ object LlmSurface {
         searchTerms, "n_chars", interval = 100L, window = 3,
         percent = 50.0)),
 
+    // --- query_string `fields` LIST (ES's multi-field box with
+    //     per-field boosts): every unqualified clause dis_maxes
+    //     across the listed fields, each under its own chain and
+    //     statistics (QueryString.searchFields) ---
+    "q338_query_string_fields" -> ((s, d) =>
+      // probe-only against the STAGED per-field families
+      graft.operators.QueryString.searchFields(s,
+        Seq("text" -> segIndexDir(s, d),
+          "meta" -> segIndexMetaDir(s, d)),
+        Seq("text" -> 1.0, "meta" -> 2.0),
+        "+spark src3", k = 25)),
+
+    // --- bool with minimum_should_match (ES's most-used relevance
+    //     knob after boosts): candidates must match >= N distinct
+    //     should terms (SegmentedIndex.boolSearch) ---
+    "q339_minimum_should_match" -> ((s, d) =>
+      // probe-only against the STAGED index (segIndexDir)
+      SegmentedIndex.boolSearch(s, segIndexDir(s, d),
+        must = Seq.empty, should = searchTerms, k = 25,
+        minimumShouldMatch = Some(2))),
+
+    // --- RAG document chunking (the retrieval-ingestion splitter):
+    //     overlapping token windows, stride < window for boundary
+    //     context; pure codegen'd column arithmetic, no shuffle
+    //     (TextOps.chunkDocuments) ---
+    "q340_rag_chunking" -> ((s, d) =>
+      graft.operators.TextOps.chunkDocuments(
+        Tables.table(s, d, "documents").filter(col("doc_id") < 30),
+        windowTokens = 40, strideTokens = 20)
+        .orderBy("doc_id", "chunk_id")),
+
     // --- ingest pipeline _simulate (ES's processor chain between
     //     the bulk request and the index — rename/uppercase/gsub/
     //     set/script/remove, the most-used kernel): the whole chain
@@ -6755,6 +6786,81 @@ object LlmSurface {
         | (CASE WHEN msp THEN 1 ELSE 0 END)::BIGINT AS n_terms_hit
         |FROM u WHERE (msp AND mcu) OR mve
         |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
+
+    // q338: the fields-list query_string replayed — the must clause
+    // dis_maxes to its text score (spark is absent from meta), the
+    // should clause to 2× its meta score (src3 absent from text);
+    // n_terms_hit counts matched (field, term) pairs
+    "q338_query_string_fields" ->
+      """WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+        | nd AS (SELECT count(*)::DOUBLE AS n FROM d),
+        | pt AS (SELECT term, doc_id, count(*)::BIGINT AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |        FROM d) GROUP BY term, doc_id),
+        | dft AS (SELECT term, count(*)::BIGINT AS df FROM pt
+        |  GROUP BY term),
+        | pm AS (SELECT term, doc_id, count(*)::BIGINT AS tf
+        |  FROM (SELECT doc_id, unnest([source, lang]) AS term FROM d)
+        |  GROUP BY term, doc_id),
+        | dfm AS (SELECT term, count(*)::BIGINT AS df FROM pm
+        |  GROUP BY term),
+        | sp AS (SELECT doc_id, sum(tf::DOUBLE *
+        |   ((SELECT n FROM nd) / df::DOUBLE)) AS v
+        |  FROM pt JOIN dft USING (term)
+        |  WHERE term = 'spark' AND doc_id % 37 <> 5 GROUP BY doc_id),
+        | s3 AS (SELECT doc_id, sum(tf::DOUBLE *
+        |   ((SELECT n FROM nd) / df::DOUBLE)) AS v
+        |  FROM pm JOIN dfm USING (term)
+        |  WHERE term = 'src3' AND doc_id % 37 <> 5 GROUP BY doc_id)
+        |SELECT sp.doc_id,
+        | greatest(sp.v, 0.0::DOUBLE) +
+        | (CASE WHEN s3.v IS NOT NULL
+        |   THEN greatest(0.0::DOUBLE, 2.0 * s3.v)
+        |   ELSE 0.0::DOUBLE END) AS score,
+        | ((CASE WHEN sp.v IS NOT NULL THEN 1 ELSE 0 END) +
+        |  (CASE WHEN s3.v IS NOT NULL THEN 1 ELSE 0 END))::BIGINT
+        |  AS n_terms_hit
+        |FROM sp LEFT JOIN s3 ON sp.doc_id = s3.doc_id
+        |ORDER BY score DESC, sp.doc_id LIMIT 25""".stripMargin,
+
+    // q339: minimum_should_match replayed — candidates hold >= 2 of
+    // the three should terms, scored by the full pivot sum
+    "q339_minimum_should_match" -> {
+      val termList = searchTerms.map(t => s"'$t'").mkString(", ")
+      val contribs = searchTerms.map { t =>
+        s"sum(CASE WHEN term = '$t' THEN tf::DOUBLE * " +
+          "((SELECT n FROM nd) / df::DOUBLE) ELSE 0.0::DOUBLE END)"
+      }
+      s"""WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+         | nd AS (SELECT count(*)::DOUBLE AS n FROM d),
+         | p AS (SELECT term, doc_id, count(*)::BIGINT AS tf
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |        FROM d) GROUP BY term, doc_id),
+         | dfreq AS (SELECT term, count(*)::BIGINT AS df FROM p
+         |  GROUP BY term)
+         |SELECT doc_id,
+         | ${contribs.mkString(" + ")} AS score,
+         | count(*)::BIGINT AS n_terms_hit
+         |FROM p JOIN dfreq USING (term)
+         |WHERE term IN ($termList) AND doc_id % 37 <> 5
+         |GROUP BY doc_id
+         |HAVING count(DISTINCT term) >= 2
+         |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin
+    },
+
+    // q340: RAG chunking replayed — the same window starts, list
+    // slices and joins
+    "q340_rag_chunking" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |  FROM documents WHERE doc_id < 30),
+        | s AS (SELECT doc_id, tk,
+        |   unnest(generate_series(0, len(tk) - 1, 20)) AS start
+        |  FROM d)
+        |SELECT doc_id, (start // 20)::BIGINT AS chunk_id,
+        | len(tk[start + 1 : start + 40])::BIGINT AS n_tokens,
+        | array_to_string(tk[start + 1 : start + 40], ' ')
+        |  AS chunk_text
+        |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
 
     // q334: the ingest pipeline replayed — each processor one SQL
     // transformation, same order

@@ -272,6 +272,59 @@ class QueryExtras17Spec extends SparkSpec {
     }
   }
 
+  test("boolSearch minimum_should_match: candidates need >= N " +
+    "distinct should terms; an unreachable bound matches nothing") {
+    val root = freshIndex()
+    // should = spark, join, customer: doc1 has all 3; doc2 spark+
+    // customer; doc3 spark+join; doc4 join+customer; doc5 spark+cust
+    val two = SegmentedIndex.boolSearch(spark, root, Seq.empty,
+      should = Seq("spark", "join", "customer"), k = 10,
+      minimumShouldMatch = Some(2))
+      .select("doc_id").as[Long].collect().toSet
+    assert(two == Set(1L, 2L, 3L, 4L, 5L))
+    val three = SegmentedIndex.boolSearch(spark, root, Seq.empty,
+      should = Seq("spark", "join", "customer"), k = 10,
+      minimumShouldMatch = Some(3))
+      .select("doc_id").as[Long].collect().toSet
+    assert(three == Set(1L))
+    // beside a must, the bound binds the should side too
+    val mustPlus = SegmentedIndex.boolSearch(spark, root,
+      must = Seq("vector"), should = Seq("join", "extra"), k = 10,
+      minimumShouldMatch = Some(2))
+      .select("doc_id").as[Long].collect().toSet
+    assert(mustPlus == Set(1L)) // vector + (join AND extra): doc1
+    // unreachable bound: nothing (Lucene's unsatisfiable bool)
+    assert(SegmentedIndex.boolSearch(spark, root, Seq.empty,
+      should = Seq("spark"), k = 10,
+      minimumShouldMatch = Some(4)).count() == 0L)
+    intercept[IllegalArgumentException] {
+      SegmentedIndex.boolSearch(spark, root, Seq.empty,
+        should = Seq("spark"), k = 10,
+        minimumShouldMatch = Some(0))
+    }
+  }
+
+  test("chunkDocuments: overlapping windows at the pinned stride " +
+    "convention, trailing chunk shorter, empty-ish docs one chunk") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "a b c"),
+      (3L, "solo"))
+      .toDF("doc_id", "text")
+    val out = TextOps.chunkDocuments(docs, windowTokens = 4,
+      strideTokens = 2).orderBy("doc_id", "chunk_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out.filter(_._1 == 1L).map(c => (c._2, c._3)) ==
+      Seq((0L, 4L), (1L, 4L), (2L, 4L), (3L, 4L), (4L, 2L)))
+    assert(out.filter(_._1 == 1L).head._4 == "t1 t2 t3 t4")
+    assert(out.filter(_._1 == 1L)(1)._4 == "t3 t4 t5 t6")
+    assert(out.filter(_._1 == 2L).map(_._4) == Seq("a b c", "c"))
+    assert(out.filter(_._1 == 3L).map(_._4) == Seq("solo"))
+    intercept[IllegalArgumentException] {
+      TextOps.chunkDocuments(docs, 4, 5)
+    }
+  }
+
   test("facetInclude: whole-key-anchored include/exclude patterns " +
     "filter bucket keys before the top-k") {
     val root = freshIndex()

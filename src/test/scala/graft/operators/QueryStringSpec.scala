@@ -299,6 +299,42 @@ class QueryStringSpec extends SparkSpec {
     }
   }
 
+  test("searchFields: unqualified clauses dis_max across the fields " +
+    "list with per-field boosts and statistics; qualified clauses " +
+    "untouched") {
+    val fields = stage()
+    // text stats: web absent; meta stats: web df 3 (N=5)
+    // 'web' via the fields list scores from meta at 2x; 'spark'
+    // scores from text (absent in meta)
+    val out = QueryString.searchFields(spark, fields,
+      Seq("text" -> 1.0, "meta" -> 2.0), "spark web", 10)
+      .as[(Long, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // doc1 (spark + meta web): max(spark_text, 0) + max(0, 2·web_meta)
+    assert(out(1L) == ((w(4) + 2 * (5.0 / 3), 2L)))
+    // doc5 (spark, wiki): spark alone
+    assert(out(5L) == ((w(4), 1L)))
+    // doc4 (no spark, web): the meta side alone
+    assert(out(4L) == ((2 * (5.0 / 3), 1L)))
+    // a term living in BOTH fields takes the better field's score:
+    // 'en' is a meta term only; 'extra' text only — sanity that
+    // qualified clauses bypass the expansion
+    val q = QueryString.searchFields(spark, fields,
+      Seq("text" -> 1.0, "meta" -> 2.0), "meta:en", 10)
+      .as[(Long, Double, Long)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(q(1L) == 5.0 / 3) // meta:en df 3, boost 1 (qualified)
+    // bad boosts / unknown default fields error
+    intercept[IllegalArgumentException] {
+      QueryString.searchFields(spark, fields,
+        Seq("text" -> 0.0), "x", 10)
+    }
+    intercept[IllegalArgumentException] {
+      QueryString.searchFields(spark, fields,
+        Seq("nope" -> 1.0), "x", 10)
+    }
+  }
+
   test("mapped families must share one doc space (the negation-base " +
     "precondition): mismatched corpora error loudly") {
     val fields = stage()
