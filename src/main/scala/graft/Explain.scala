@@ -555,7 +555,26 @@ object Explain {
         "rank assignment's unpartitioned window runs over the " +
         "50-row-bounded frame, and the fusion is a full-outer join " +
         "of two 50-row frames — the hybrid-search plan stays " +
-        "window-sized at ANY corpus scale."))
+        "window-sized at ANY corpus scale."),
+    "q314_nested_query" ->
+      ("Nested documents (r17): the inner query reads the NESTED " +
+        "family's postings with planning-time `tb IN` " +
+        "PartitionFilters, the relation columns are one " +
+        "column-pruned stored read, matched sub-documents alone " +
+        "shuffle to their parent-keyed aggregation, and parent " +
+        "liveness is a semi-join against the parent family's id " +
+        "column — two predicate-pushed stored reads total, no " +
+        "corpus-wide work."),
+    "q334_ingest_pipeline" ->
+      ("Ingest pipeline (r17): the whole six-processor chain " +
+        "(rename/uppercase/gsub/set/script/remove) compiles into " +
+        "ONE `Project` over the scan — zero UDFs, zero shuffles, " +
+        "zero extra passes; at any scale the pipeline is free."),
+    "q340_rag_chunking" ->
+      ("RAG chunking (r17): sequence → explode(Generate) → slice " +
+        "all inside one codegen'd map-side stage over the pushed-" +
+        "filter scan — no shuffle; output rows ≈ tokens/stride per " +
+        "document."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
