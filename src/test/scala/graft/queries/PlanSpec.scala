@@ -711,4 +711,47 @@ class PlanSpec extends SparkSpec {
       p.contains("EqualTo(o_orderstatus,F)"),
       "status predicate did not reach PushedFilters:\n" + p.take(1500))
   }
+
+  test("q334: the six-processor ingest pipeline is ONE map-side " +
+    "projection — no Exchange, no extra scan, the id predicate " +
+    "pushed down") {
+    val p = plan("q334_ingest_pipeline")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "the pipeline must not shuffle:\n" + p.take(1500))
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected one documents scan, saw $scans")
+    assert(p.contains("PushedFilters") && p.contains("LessThan"),
+      "the doc_id slice predicate did not push down:\n" + p.take(1200))
+  }
+
+  test("q340: RAG chunking is shuffle-free map-side work " +
+    "(sequence/slice inside Generate stages)") {
+    val p = plan("q340_rag_chunking")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "chunking must not shuffle:\n" + p.take(1500))
+    assert(p.contains("Generate"), p.take(1200))
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected one documents scan, saw $scans")
+  }
+
+  test("q314: the nested query's postings reads are planning-time " +
+    "bucket-pruned (tb PartitionFilters) and the stored reads are " +
+    "column-pruned to the relation columns") {
+    // the staged fixture must exist before the plan is inspected
+    graft.queries.LlmSurface.segIndexNestedDir(spark, sf001)
+    graft.queries.LlmSurface.segIndexDir(spark, sf001)
+    val df = SparkEntry.queries("q314_nested_query")(spark, sf001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(tb"),
+      "postings read lost its tb pruning:\n" + p.take(1500))
+    // at least one stored read carries ONLY the relation columns
+    // (doc_id, parent_id/author) — the text column never loads
+    val storedReads = p.linesIterator
+      .filter(_.contains("ReadSchema")).toSeq
+    assert(storedReads.exists(l =>
+      l.contains("parent_id") && !l.contains("text")),
+      "relation stored read was not column-pruned:\n" +
+        storedReads.mkString("\n"))
+  }
 }
