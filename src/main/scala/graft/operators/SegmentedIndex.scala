@@ -646,6 +646,33 @@ object SegmentedIndex {
     live.select("doc_id", "text").orderBy("doc_id")
   }
 
+  /** `_mget` with `_source` filtering — ES's multi-get where the
+    * caller names the fields to return (`_source: ["lang", …]`):
+    * [[fetch]]'s id-pushed live stored read, projected to the
+    * REQUESTED columns only — and because the store is parquet, the
+    * projection IS the I/O saving (the unrequested text column never
+    * leaves disk; ES parses the whole `_source` JSON and filters
+    * after the fact). Fields absent from a sparse segment's schema
+    * read as null (the storedFrame union rule). Output: (doc_id,
+    * fields…), id-ordered. */
+  def fetchFields(spark: SparkSession, rootDir: String,
+                  ids: Seq[Long], fields: Seq[String]): DataFrame = {
+    require(fields.nonEmpty, "fetchFields needs fields")
+    require(!fields.contains("doc_id"),
+      "doc_id is always returned — do not request it")
+    val root = new java.io.File(rootDir)
+    val (_, segs, _) = readManifest(root)
+    val stored = storedFrame(spark, root, segs)
+      .filter(col("doc_id").isin(ids: _*))
+    val live = tombstones(spark, root, segs) match {
+      case Some(dead) =>
+        stored.join(dead, Seq("doc_id", "seg"), "left_anti")
+      case None => stored
+    }
+    live.select((col("doc_id") +: fields.map(col)): _*)
+      .orderBy("doc_id")
+  }
+
   /** Sliced scroll — ES's parallel export API (`slice: { id, max }`
     * on a scroll/PIT), the read that feeds every reindex-scale
     * consumer: slice `sliceId` of `maxSlices` returns a deterministic
@@ -1753,9 +1780,19 @@ object SegmentedIndex {
     * until merge, ES's own suggester caveat), then term. Output:
     * (term, dist, doc_freq), first k. */
   def termSuggest(spark: SparkSession, rootDir: String, input: String,
-                  k: Int, maxDist: Int = 2): DataFrame = {
+                  k: Int, maxDist: Int = 2,
+                  suggestMode: String = "always"): DataFrame = {
     require(maxDist == 1 || maxDist == 2,
       s"maxDist must be 1 or 2: $maxDist")
+    // ES's `suggest_mode`: `always` (the default here — suggest for
+    // every input), `missing` (suggest ONLY when the input term is
+    // absent from the index — ES's own default; a known term returns
+    // no suggestions), `popular` (only candidates MORE FREQUENT than
+    // the input term — the "did you mean the common spelling" rule).
+    // The input's df is one dictionary-row driver scalar (bounded).
+    require(Set("always", "missing", "popular")(suggestMode),
+      s"unsupported suggest_mode: $suggestMode " +
+        "(always | missing | popular)")
     import spark.implicits._
     val root = new java.io.File(rootDir)
     val (_, segs, _) = readManifest(root)
@@ -1768,12 +1805,26 @@ object SegmentedIndex {
       else del1(q)).toDF("v")
     val allow =
       if (q.length >= 6) math.min(maxDist, 2) else 1
-    dictFrame(spark, root, segs)
+    val dict = dictFrame(spark, root, segs)
       .groupBy("term").agg(sum("doc_freq").as("doc_freq"))
+    val inputDf: Long =
+      if (suggestMode == "always") 0L
+      else dict.filter(col("term") === lit(q))
+        .agg(coalesce(sum("doc_freq"), lit(0L)))
+        .collect().head.getLong(0)
+    if (suggestMode == "missing" && inputDf > 0L)
+      return Seq.empty[(String, Long, Long)]
+        .toDF("term", "dist", "doc_freq")
+    val cands = dict
       .withColumn("v", explode(expr(Fuzzy.delAutoExpr("term", maxDist))))
       .join(broadcast(variants), "v")
       .withColumn("dist", levenshtein(col("term"), lit(q)).cast("long"))
       .filter(col("dist") <= lit(allow.toLong))
+    val gated =
+      if (suggestMode == "popular")
+        cands.filter(col("doc_freq") > lit(inputDf))
+      else cands
+    gated
       .select("term", "dist", "doc_freq").distinct()
       .orderBy(asc("dist"), desc("doc_freq"), asc("term"))
       .limit(k)

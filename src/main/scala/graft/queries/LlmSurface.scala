@@ -1432,6 +1432,27 @@ object LlmSurface {
         searchTerms, "n_chars", interval = 100L, window = 3,
         percent = 50.0)),
 
+    // --- _mget with _source filtering (multi-get returning only
+    //     the requested fields): the id-pushed stored read projected
+    //     to the requested columns — the parquet projection IS the
+    //     I/O saving ES's post-hoc JSON filter can't have; a
+    //     tombstoned id (5) and an absent id (999) return nothing
+    //     (SegmentedIndex.fetchFields) ---
+    "q341_mget_fields" -> ((s, d) =>
+      // probe-only against the STAGED index (segIndexDir)
+      SegmentedIndex.fetchFields(s, segIndexDir(s, d),
+        ids = Seq(2L, 5L, 7L, 120L, 999L),
+        fields = Seq("lang", "n_chars"))),
+
+    // --- term suggester suggest_mode (ES's missing/popular/always):
+    //     `missing` suggests only for absent input terms (the
+    //     present-term empty half is spec-pinned)
+    //     (SegmentedIndex.termSuggest) ---
+    "q342_suggest_mode" -> ((s, d) =>
+      // probe-only against the STAGED index (segIndexDir)
+      SegmentedIndex.termSuggest(s, segIndexDir(s, d), "vektor",
+        k = 5, maxDist = 1, suggestMode = "missing")),
+
     // --- query_string `fields` LIST (ES's multi-field box with
     //     per-field boosts): every unqualified clause dis_maxes
     //     across the listed fields, each under its own chain and
@@ -6786,6 +6807,28 @@ object LlmSurface {
         | (CASE WHEN msp THEN 1 ELSE 0 END)::BIGINT AS n_terms_hit
         |FROM u WHERE (msp AND mcu) OR mve
         |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
+
+    // q341: _mget field filtering replayed — the live id slice with
+    // only the requested columns (doc 5 tombstoned, 999 absent)
+    "q341_mget_fields" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id IN (2, 5, 7, 120, 999) AND doc_id < 150
+        | AND doc_id % 37 <> 5
+        |ORDER BY doc_id""".stripMargin,
+
+    // q342: suggest_mode missing replayed — 'vektor' is absent from
+    // the vocabulary, so the missing gate passes and the distance-1
+    // dictionary walk suggests normally
+    "q342_suggest_mode" ->
+      """WITH d AS (SELECT * FROM documents WHERE doc_id < 150),
+        | dict AS (SELECT term, count(*)::BIGINT AS doc_freq FROM
+        |   (SELECT DISTINCT doc_id, term FROM
+        |     (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |      FROM d)) GROUP BY term)
+        |SELECT term, levenshtein(term, 'vektor')::BIGINT AS dist,
+        | doc_freq
+        |FROM dict WHERE levenshtein(term, 'vektor') <= 1
+        |ORDER BY dist, doc_freq DESC, term LIMIT 5""".stripMargin,
 
     // q338: the fields-list query_string replayed — the must clause
     // dis_maxes to its text score (spark is absent from meta), the

@@ -272,6 +272,52 @@ class QueryExtras17Spec extends SparkSpec {
     }
   }
 
+  test("fetchFields: id-pushed live read projected to the requested " +
+    "columns; doc_id always returned, requesting it refused") {
+    val root = freshIndex()
+    SegmentedIndex.delete(spark, root, Seq(2L).toDF("doc_id"), "d1")
+    val out = SegmentedIndex.fetchFields(spark, root,
+      Seq(1L, 2L, 4L, 99L), Seq("lang", "n_chars"))
+      .as[(Long, String, Long)].collect().toSeq
+    // 2 tombstoned, 99 absent
+    assert(out == Seq((1L, "en", 100L), (4L, "en", 120L)))
+    intercept[IllegalArgumentException] {
+      SegmentedIndex.fetchFields(spark, root, Seq(1L),
+        Seq("doc_id", "lang"))
+    }
+  }
+
+  test("termSuggest suggest_mode: missing returns nothing for a " +
+    "KNOWN term; popular keeps only more-frequent candidates") {
+    val root = Files.createTempDirectory("graft-sm").toString
+    // 'grey' df 1; 'gray' df 3 — one edit apart
+    SegmentedIndex.append(spark, root, Seq(
+      (1L, "grey gray"), (2L, "gray"), (3L, "gray"))
+      .toDF("doc_id", "text"), "a", nBuckets = 4)
+    // missing + present input -> empty (ES's default mode rule)
+    assert(SegmentedIndex.termSuggest(spark, root, "grey", 5,
+      maxDist = 1, suggestMode = "missing").count() == 0L)
+    // missing + absent input -> suggests normally
+    val abs = SegmentedIndex.termSuggest(spark, root, "grei", 5,
+      maxDist = 1, suggestMode = "missing")
+      .select("term").as[String].collect().toSet
+    assert(abs == Set("grey"))
+    // popular: only candidates with df > df(input)
+    val pop = SegmentedIndex.termSuggest(spark, root, "grey", 5,
+      maxDist = 1, suggestMode = "popular")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(pop == Seq(("gray", 1L, 3L)))
+    // always keeps the identity candidate too
+    val always = SegmentedIndex.termSuggest(spark, root, "grey", 5,
+      maxDist = 1, suggestMode = "always")
+      .select("term").as[String].collect().toSet
+    assert(always == Set("grey", "gray"))
+    intercept[IllegalArgumentException] {
+      SegmentedIndex.termSuggest(spark, root, "grey", 5,
+        suggestMode = "sometimes")
+    }
+  }
+
   test("boolSearch minimum_should_match: candidates need >= N " +
     "distinct should terms; an unreachable bound matches nothing") {
     val root = freshIndex()
