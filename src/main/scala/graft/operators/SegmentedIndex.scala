@@ -2660,19 +2660,37 @@ object SegmentedIndex {
   /** `inner_hits` for [[nestedQuery]]: the matched SUB-DOCUMENTS
     * themselves (which sub-object hit, not just which parent) —
     * (doc_id = parent, ord, score), top-k by (score desc, doc_id,
-    * ord). Same plan as the query; parents filtered live the same
-    * way. */
+    * ord). `perParent` is ES's inner_hits `size` (default 3 there):
+    * when set, each parent keeps only its best N sub-documents
+    * (score desc, ord tiebreak) BEFORE the global top-k — a
+    * parent-partitioned rank window over the matched-sub-document
+    * frame (matched-sized, never corpus-sized). Same plan as the
+    * query; parents filtered live the same way. */
   def nestedInnerHits(spark: SparkSession, nestedRootDir: String,
                       parentRootDir: String, terms: Seq[String],
                       storedEq: Option[(String, String)], k: Int,
                       parentIdField: String = "parent_id",
-                      ordField: String = "ord"): DataFrame =
-    nestedMatched(spark, nestedRootDir, terms, storedEq,
+                      ordField: String = "ord",
+                      perParent: Option[Int] = None): DataFrame = {
+    perParent.foreach(n =>
+      require(n >= 1, s"inner_hits size must be >= 1: $n"))
+    val matched = nestedMatched(spark, nestedRootDir, terms, storedEq,
       parentIdField, Seq(ordField))
       .select(col("pid").as("doc_id"), col(ordField), col("score"))
+    val capped = perParent match {
+      case None => matched
+      case Some(n) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id")
+          .orderBy(desc("score"), asc(ordField))
+        matched.withColumn("ihr", row_number().over(w))
+          .filter(col("ihr") <= n).drop("ihr")
+    }
+    capped
       .join(liveIds(spark, parentRootDir), Seq("doc_id"), "left_semi")
       .orderBy(desc("score"), asc("doc_id"), asc(ordField))
       .limit(k)
+  }
 
   /** The `nested` AGGREGATION — ES's `aggs: { nested: { path },
     * aggs: { terms: { field } } }`: bucket the SUB-DOCUMENTS of the

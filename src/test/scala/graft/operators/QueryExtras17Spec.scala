@@ -675,5 +675,18 @@ class QueryExtras17Spec extends SparkSpec {
       Seq("parent"), "author", kBuckets = 10)
       .as[(String, Long)].collect().toSeq
     assert(fc == Seq(("alice", 2L), ("bob", 2L)))
+    // perParent (ES's inner_hits size): each parent keeps its best
+    // N sub-documents before the global top-k — parent 1 matches
+    // twice on 'spark OR join'-ish terms, capping to 1 keeps only
+    // its best sub-object while other parents are untouched
+    val capped = SegmentedIndex.nestedInnerHits(spark, nRoot, pRoot,
+      Seq("join", "spark"), None, k = 10, perParent = Some(1))
+      .select("doc_id", "ord").as[(Long, Long)].collect().toSet
+    assert(capped.count(_._1 == 1L) == 1)
+    assert(capped.map(_._1) == Set(1L, 2L, 3L))
+    intercept[IllegalArgumentException] {
+      SegmentedIndex.nestedInnerHits(spark, nRoot, pRoot,
+        Seq("join"), None, 10, perParent = Some(0))
+    }
   }
 }
